@@ -1,13 +1,173 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.operators._
+
+/** Driver contract — see /root/repo/SURVEY.md §2 for the inventory. */
 object SparkEntry {
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    Engagement.leaderboardTopN(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Engagement-pipeline core (reference surface)
+    "cdc_latest_by_key"  -> Engagement.cdcLatestByKey _,
+    "enrich_events"      -> Engagement.enrichEvents _,
+    "hop_window_agg"     -> Engagement.hopWindowAgg _,
+    "tumble_window_agg"  -> Engagement.tumbleWindowAgg _,
+    "session_window_agg" -> Engagement.sessionWindowAgg _,
+    "leaderboard_topn"   -> ((s: SparkSession, d: String) => Engagement.leaderboardTopN(s, d)),
+    "event_router"       -> Engagement.eventRouter _,
+    "json_extract_props" -> Engagement.jsonExtractProps _,
+    // Analytic core
+    "q1_pricing_summary"    -> Olap.q1PricingSummary _,
+    "q3_top_orders"         -> Olap.q3TopOrders _,
+    "q5_region_revenue"     -> Olap.q5RegionRevenue _,
+    "running_total"         -> Olap.runningTotal _,
+    "distinct_daily"        -> Olap.distinctDaily _,
+    "approx_distinct_daily" -> Olap.approxDistinctDaily _,
+    "rollup_sales"          -> Olap.rollupSales _,
+    "semi_anti_customers"   -> Olap.semiAntiCustomers _,
+    "percentile_stats"      -> Olap.percentileStats _,
+    "skew_salted_join"      -> ((s: SparkSession, d: String) => Olap.skewSaltedJoin(s, d)),
+  )
+
+  /** DuckDB-runnable oracle for each SQL-expressible query.
+    * Column names/aliases match the Spark side exactly; timestamps
+    * are cast to microsecond TIMESTAMP up front so DuckDB's ns
+    * precision matches Spark's µs parquet reads. */
+  def oracleSql: Map[String, String] = Map(
+    "cdc_latest_by_key" ->
+      """SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, event_type, value
+        |FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        |      FROM events) t
+        |WHERE rn = 1 ORDER BY user_id""".stripMargin,
+
+    "enrich_events" ->
+      """SELECT e.event_id, e.user_id, e.event_type, e.value, c.c_mktsegment AS segment,
+        |       round(e.value / 1000.0, 6) AS engagement_seconds,
+        |       CASE WHEN c.c_acctbal > 0 THEN round(e.value / c.c_acctbal, 6) END AS engagement_pct
+        |FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
+        |ORDER BY e.event_id""".stripMargin,
+
+    "hop_window_agg" ->
+      """SELECT w_start, event_type, count(*) AS n, round(sum(value), 2) AS total
+        |FROM (SELECT make_timestamp(((CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) // 300) * 300 - k * 300) * 1000000) AS w_start,
+        |             event_type, value
+        |      FROM events CROSS JOIN (SELECT unnest([0, 1]) AS k) ks) t
+        |GROUP BY w_start, event_type
+        |ORDER BY w_start, event_type""".stripMargin,
+
+    "tumble_window_agg" ->
+      """SELECT CAST(date_trunc('hour', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS w_start, event_type,
+        |       count(*) AS n, round(sum(value), 2) AS total, round(avg(value), 4) AS avg_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "session_window_agg" ->
+      """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value, event_id FROM events),
+        |x AS (SELECT *, CASE WHEN lag(ts) OVER w IS NULL
+        |                          OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS is_new
+        |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |y AS (SELECT *, sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS sess
+        |      FROM x)
+        |SELECT user_id, min(ts) AS s_start, max(ts) + INTERVAL 30 MINUTE AS s_end,
+        |       count(*) AS n_events, round(sum(value), 2) AS total
+        |FROM y GROUP BY user_id, sess ORDER BY user_id, s_start""".stripMargin,
+
+    "leaderboard_topn" ->
+      """SELECT rank, user_id, score, n_events
+        |FROM (SELECT user_id, round(sum(value), 2) AS score, count(*) AS n_events,
+        |             row_number() OVER (ORDER BY sum(value) DESC, user_id) AS rank
+        |      FROM events GROUP BY user_id) t
+        |WHERE rank <= 10 ORDER BY rank""".stripMargin,
+
+    "event_router" ->
+      """SELECT CASE WHEN event_type = 'purchase' THEN 'billing'
+        |            WHEN event_type = 'signup' THEN 'crm'
+        |            WHEN event_type = 'error' THEN 'ops'
+        |            ELSE 'analytics' END AS route,
+        |       count(*) AS n, round(sum(value), 2) AS total
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "json_extract_props" ->
+      """SELECT CAST(regexp_extract(props, '[0-9]+') AS BIGINT) % 10 AS k_bucket,
+        |       count(*) AS n, round(avg(value), 4) AS avg_value
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q1_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |       round(sum(l_quantity), 2) AS sum_qty,
+        |       round(sum(l_extendedprice), 2) AS sum_base_price,
+        |       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+        |       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+        |       round(avg(l_quantity), 4) AS avg_qty,
+        |       round(avg(l_extendedprice), 4) AS avg_price,
+        |       round(avg(l_discount), 6) AS avg_disc,
+        |       count(*) AS count_order
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q3_top_orders" ->
+      """SELECT o_orderkey, revenue, o_orderdate, o_orderpriority
+        |FROM (SELECT o.o_orderkey, round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+        |             o.o_orderdate, o.o_orderpriority
+        |      FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+        |           JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        |      WHERE c.c_mktsegment = 'BUILDING'
+        |        AND o.o_orderdate < TIMESTAMP '1998-01-01'
+        |        AND l.l_shipdate > TIMESTAMP '1998-01-01'
+        |      GROUP BY o.o_orderkey, o.o_orderdate, o.o_orderpriority) t
+        |ORDER BY revenue DESC, o_orderkey LIMIT 10""".stripMargin,
+
+    "q5_region_revenue" ->
+      """SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM region JOIN nation ON n_regionkey = r_regionkey
+        |     JOIN customer ON c_nationkey = n_nationkey
+        |     JOIN orders ON o_custkey = c_custkey
+        |     JOIN lineitem ON l_orderkey = o_orderkey
+        |WHERE r_name = 'EUROPE'
+        |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin,
+
+    "running_total" ->
+      """SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice,
+        |       row_number() OVER w AS rn,
+        |       round(sum(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |                                     ROWS UNBOUNDED PRECEDING), 2) AS running_spend
+        |FROM orders WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_custkey, rn""".stripMargin,
+
+    "distinct_daily" ->
+      """SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS day,
+        |       count(DISTINCT user_id) AS n_users, count(*) AS n_events
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "rollup_sales" ->
+      """SELECT l_returnflag, l_linestatus, round(sum(l_extendedprice), 2) AS sum_price, count(*) AS n
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+
+    "semi_anti_customers" ->
+      """SELECT c_custkey, c_name, c_mktsegment
+        |FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 450000)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "percentile_stats" ->
+      """SELECT l_returnflag,
+        |       round(quantile_cont(l_extendedprice, 0.5), 2) AS median_price,
+        |       round(quantile_cont(l_extendedprice, 0.95), 2) AS p95_price,
+        |       round(min(l_extendedprice), 2) AS min_price,
+        |       round(max(l_extendedprice), 2) AS max_price
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "skew_salted_join" ->
+      """SELECT c_mktsegment, count(*) AS n, round(sum(value), 2) AS total
+        |FROM events JOIN customer ON user_id = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+  )
 }

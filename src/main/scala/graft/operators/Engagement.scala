@@ -1,0 +1,173 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** The reference pipeline's core surface, re-expressed Spark-first.
+  *
+  * Reference: saqqaf/flink-engagement-pipeline `src/process.py` —
+  * upsert-kafka source (changelog compaction), temporal lookup join
+  * against a Postgres dim (`process.py:150-176`), derived engagement
+  * metrics, HOP-window aggregation feeding a Redis leaderboard
+  * (`process.py:195-204`), and per-sink changelog routing
+  * (`process.py:43-115`).
+  *
+  * These are the *batch* semantics of each operator on the test
+  * corpus (events fact + customer dim); `graft.streaming` carries the
+  * same logic on Structured Streaming. Every op is a declarative
+  * DataFrame transform: Catalyst handles pushdown, broadcast picks,
+  * and partial aggregation. Scale notes on each method.
+  */
+object Engagement {
+
+  /** Changelog/upsert compaction: keep the latest record per key.
+    *
+    * The batch analog of the reference's upsert-kafka topic keyed by
+    * `id` (`ingest.py:35-52`): given an append log, the compacted
+    * table is the last row per key by event time.
+    *
+    * Scale: single shuffle on the key (`row_number` window). At 100
+    * TB, prefer partitioned parquet on key-hash so compaction is a
+    * per-partition sort with no wide shuffle.
+    */
+  def cdcLatestByKey(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts".desc, $"event_id".desc)
+    Tables.events(spark, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" === 1)
+      .select($"user_id", $"event_id", $"ts", $"event_type", $"value")
+      .orderBy($"user_id")
+  }
+
+  /** Dimension-enrichment lookup join + derived engagement metrics.
+    *
+    * Mirrors `process.py:150-176`: events LEFT JOIN dim, then
+    * `engagement_seconds = duration/1000` and a divide-guarded
+    * `engagement_pct`. The dim (customer) is broadcast — a lookup
+    * join at any scale, zero shuffle of the fact table.
+    */
+  def enrichEvents(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    val c = Tables.customer(spark, dir)
+      .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"))
+    e.join(broadcast(c), e("user_id") === c("c_custkey"), "left")
+      .select(
+        e("event_id"), e("user_id"), e("event_type"), e("value"),
+        c("c_mktsegment").as("segment"),
+        round(e("value") / lit(1000.0), 6).as("engagement_seconds"),
+        when(c("c_acctbal") > 0, round(e("value") / c("c_acctbal"), 6))
+          .otherwise(lit(null)).as("engagement_pct"))
+      .orderBy(col("event_id"))
+  }
+
+  /** Sliding (HOP) window aggregation: 10-minute windows sliding by 5.
+    *
+    * The reference does `HOP(proc_time, 5s, 10min)` (`process.py:
+    * 197-204`); we use event time (deterministic + replayable) via
+    * Spark's streaming-unified `window()` — the same expression runs
+    * unchanged under Structured Streaming with a watermark.
+    *
+    * Scale: window() is a generator (size/slide rows per event, here
+    * 2x) followed by a hash aggregate with map-side partial agg — no
+    * per-window state materialization.
+    */
+  def hopWindowAgg(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, dir)
+      .groupBy(window($"ts", "10 minutes", "5 minutes"), $"event_type")
+      .agg(count("*").as("n"), round(sum($"value"), 2).as("total"))
+      .select($"window.start".as("w_start"), $"event_type", $"n", $"total")
+      .orderBy($"w_start", $"event_type")
+  }
+
+  /** Tumbling window aggregation (hourly rollup per event type). */
+  def tumbleWindowAgg(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, dir)
+      .groupBy(window($"ts", "1 hour"), $"event_type")
+      .agg(
+        count("*").as("n"),
+        round(sum($"value"), 2).as("total"),
+        round(avg($"value"), 4).as("avg_value"))
+      .select($"window.start".as("w_start"), $"event_type", $"n", $"total", $"avg_value")
+      .orderBy($"w_start", $"event_type")
+  }
+
+  /** Session windows: 30-minute-gap sessions per user.
+    *
+    * Uses Spark's `session_window` (streaming-unified; merges
+    * overlapping [ts, ts+gap) intervals). Window end = last event +
+    * gap, matching the oracle's gaps-and-islands SQL.
+    */
+  def sessionWindowAgg(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, dir)
+      .groupBy($"user_id", session_window($"ts", "30 minutes"))
+      .agg(count("*").as("n_events"), round(sum($"value"), 2).as("total"))
+      .select(
+        $"user_id", $"session_window.start".as("s_start"),
+        $"session_window.end".as("s_end"), $"n_events", $"total")
+      .orderBy($"user_id", $"s_start")
+  }
+
+  /** Top-N leaderboard by cumulative engagement score.
+    *
+    * Redis-ZSET semantics from `process.py:79-95` (ZINCRBY then
+    * ZRANGE): total score per key, take the top N. Implemented as
+    * aggregate → `orderBy().limit(n)` so Spark plans a
+    * TakeOrderedAndProject (per-partition top-N + tiny driver merge,
+    * no global sort) — the shape that survives 100 TB.
+    */
+  def leaderboardTopN(spark: SparkSession, dir: String, n: Int = 10): DataFrame = {
+    import spark.implicits._
+    val scores = Tables.events(spark, dir)
+      .groupBy($"user_id")
+      .agg(sum($"value").as("raw_score"), count("*").as("n_events"))
+      .orderBy($"raw_score".desc, $"user_id")
+      .limit(n)
+    scores
+      .withColumn("rank", row_number().over(Window.orderBy($"raw_score".desc, $"user_id")).cast("long"))
+      .select($"rank", $"user_id", round($"raw_score", 2).as("score"), $"n_events")
+      .orderBy($"rank")
+  }
+
+  /** Multi-sink routing: classify each event to a destination.
+    *
+    * The reference fans one changelog stream out to ClickHouse /
+    * Redis / an external API with per-sink filters (`process.py:
+    * 43-115`). Batch analog: a route column + per-route aggregate;
+    * `Router.writeRouted` writes the actual per-route outputs, and
+    * the streaming variant fans out in one foreachBatch pass.
+    */
+  def routeExpr(eventType: Column): Column =
+    when(eventType === "purchase", "billing")
+      .when(eventType === "signup", "crm")
+      .when(eventType === "error", "ops")
+      .otherwise("analytics")
+
+  def eventRouter(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, dir)
+      .withColumn("route", routeExpr($"event_type"))
+      .groupBy($"route")
+      .agg(count("*").as("n"), round(sum($"value"), 2).as("total"))
+      .orderBy($"route")
+  }
+
+  /** JSON payload extraction (the reference's `raw_payload JSONB`).
+    *
+    * `get_json_object` is a codegen'd Catalyst expression — no UDF.
+    */
+  def jsonExtractProps(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, dir)
+      .withColumn("k", get_json_object($"props", "$.k").cast("long"))
+      .groupBy(($"k" % 10).as("k_bucket"))
+      .agg(count("*").as("n"), round(avg($"value"), 4).as("avg_value"))
+      .orderBy($"k_bucket")
+  }
+}

@@ -1,0 +1,168 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** The analytic (ClickHouse-sink) surface: what a user of the
+  * reference pipeline runs against the columnar store downstream.
+  *
+  * All queries are declarative DataFrame plans — filters/projections
+  * push into the parquet scan, dims broadcast, facts shuffle only on
+  * their aggregation/join keys, partial aggregation is automatic.
+  */
+object Olap {
+
+  /** Multi-aggregate scan (TPC-H Q1 shape): predicate pushed to
+    * parquet, hash aggregate with map-side combine, tiny result. */
+  def q1PricingSummary(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, dir)
+      .filter($"l_shipdate" <= lit("1998-09-02").cast("timestamp"))
+      .groupBy($"l_returnflag", $"l_linestatus")
+      .agg(
+        round(sum($"l_quantity"), 2).as("sum_qty"),
+        round(sum($"l_extendedprice"), 2).as("sum_base_price"),
+        round(sum($"l_extendedprice" * (lit(1) - $"l_discount")), 2).as("sum_disc_price"),
+        round(sum($"l_extendedprice" * (lit(1) - $"l_discount") * (lit(1) + $"l_tax")), 2).as("sum_charge"),
+        round(avg($"l_quantity"), 4).as("avg_qty"),
+        round(avg($"l_extendedprice"), 4).as("avg_price"),
+        round(avg($"l_discount"), 6).as("avg_disc"),
+        count("*").as("count_order"))
+      .orderBy($"l_returnflag", $"l_linestatus")
+  }
+
+  /** 3-way join + agg + top-N (TPC-H Q3 shape). Customer dim is
+    * broadcast; orders⋈lineitem shuffles on the order key; the top-N
+    * is TakeOrderedAndProject (no global sort). */
+  def q3TopOrders(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val c = Tables.customer(spark, dir)
+      .filter($"c_mktsegment" === "BUILDING")
+      .select($"c_custkey")
+    val o = Tables.orders(spark, dir)
+      .filter($"o_orderdate" < lit("1998-01-01").cast("timestamp"))
+      .select($"o_orderkey", $"o_custkey", $"o_orderdate", $"o_orderpriority")
+    val l = Tables.lineitem(spark, dir)
+      .filter($"l_shipdate" > lit("1998-01-01").cast("timestamp"))
+      .select($"l_orderkey", $"l_extendedprice", $"l_discount")
+    o.join(broadcast(c), $"o_custkey" === $"c_custkey")
+      .join(l, $"l_orderkey" === $"o_orderkey")
+      .groupBy($"o_orderkey", $"o_orderdate", $"o_orderpriority")
+      .agg(round(sum($"l_extendedprice" * (lit(1) - $"l_discount")), 2).as("revenue"))
+      .orderBy($"revenue".desc, $"o_orderkey")
+      .limit(10)
+      .select($"o_orderkey", $"revenue", $"o_orderdate", $"o_orderpriority")
+  }
+
+  /** 5-table star join (TPC-H Q5 shape): region→nation→customer all
+    * broadcast, single shuffle join of the two facts. */
+  def q5RegionRevenue(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val r = Tables.region(spark, dir).filter($"r_name" === "EUROPE")
+    val n = Tables.nation(spark, dir)
+    val c = Tables.customer(spark, dir).select($"c_custkey", $"c_nationkey")
+    val o = Tables.orders(spark, dir).select($"o_orderkey", $"o_custkey")
+    val l = Tables.lineitem(spark, dir).select($"l_orderkey", $"l_extendedprice", $"l_discount")
+    val dim = c.join(broadcast(n.join(broadcast(r), $"n_regionkey" === $"r_regionkey")),
+        $"c_nationkey" === $"n_nationkey")
+      .select($"c_custkey", $"n_name")
+    o.join(broadcast(dim), $"o_custkey" === $"c_custkey")
+      .join(l, $"l_orderkey" === $"o_orderkey")
+      .groupBy($"n_name")
+      .agg(round(sum($"l_extendedprice" * (lit(1) - $"l_discount")), 2).as("revenue"))
+      .orderBy($"revenue".desc, $"n_name")
+  }
+
+  /** Analytic window functions: per-customer order sequence with
+    * running spend. One shuffle on the partition key, in-partition
+    * sort — the canonical windowed-analytics shape. */
+  def runningTotal(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"o_custkey").orderBy($"o_orderdate", $"o_orderkey")
+    Tables.orders(spark, dir)
+      .select($"o_custkey", $"o_orderkey", $"o_orderdate", $"o_totalprice")
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("running_spend",
+        round(sum($"o_totalprice").over(w.rowsBetween(Window.unboundedPreceding, 0)), 2))
+      .orderBy($"o_custkey", $"rn")
+  }
+
+  /** Exact per-day distinct users. Exact distinct is the
+    * shuffle-heavy variant (expand + two-phase agg); the sketch
+    * version below is the 100 TB default. */
+  def distinctDaily(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, dir)
+      .groupBy(date_trunc("day", $"ts").as("day"))
+      .agg(countDistinct($"user_id").as("n_users"), count("*").as("n_events"))
+      .orderBy($"day")
+  }
+
+  /** HyperLogLog++ sketch distinct — mergeable, constant memory,
+    * no second shuffle. rows-only oracle (approximate by design). */
+  def approxDistinctDaily(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, dir)
+      .groupBy(date_trunc("day", $"ts").as("day"))
+      .agg(approx_count_distinct($"user_id", 0.01).as("approx_users"))
+      .orderBy($"day")
+  }
+
+  /** ROLLUP multi-level aggregate (grand total + per-flag + per
+    * flag/status), one pass via Expand. */
+  def rollupSales(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, dir)
+      .rollup($"l_returnflag", $"l_linestatus")
+      .agg(round(sum($"l_extendedprice"), 2).as("sum_price"), count("*").as("n"))
+      .orderBy($"l_returnflag".asc_nulls_first, $"l_linestatus".asc_nulls_first)
+  }
+
+  /** Left-semi + left-anti joins (EXISTS / NOT EXISTS): customers
+    * with at least one order but none above the price cap. */
+  def semiAntiCustomers(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val o = Tables.orders(spark, dir).select($"o_custkey", $"o_totalprice")
+    val big = o.filter($"o_totalprice" > 450000).select($"o_custkey")
+    Tables.customer(spark, dir)
+      .join(o.select($"o_custkey"), $"c_custkey" === $"o_custkey", "left_semi")
+      .join(big, $"c_custkey" === big("o_custkey"), "left_anti")
+      .select($"c_custkey", $"c_name", $"c_mktsegment")
+      .orderBy($"c_custkey")
+  }
+
+  /** Exact interpolated percentiles per group (median / p95). */
+  def percentileStats(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, dir)
+      .groupBy($"l_returnflag")
+      .agg(
+        round(expr("percentile(l_extendedprice, 0.5)"), 2).as("median_price"),
+        round(expr("percentile(l_extendedprice, 0.95)"), 2).as("p95_price"),
+        round(min($"l_extendedprice"), 2).as("min_price"),
+        round(max($"l_extendedprice"), 2).as("max_price"))
+      .orderBy($"l_returnflag")
+  }
+
+  /** Skew-aware salted join. events.user_id is zipfian-ish; on a
+    * plain shuffle join the hot keys pin single reducers. Salting
+    * replicates the dim S ways and splits each hot fact key across S
+    * reducers — same result as the plain join (the oracle), but the
+    * shuffle is balanced. (AQE skew-join handles this adaptively; the
+    * salt is the explicit, planner-independent version.) */
+  def skewSaltedJoin(spark: SparkSession, dir: String, salt: Int = 8): DataFrame = {
+    import spark.implicits._
+    val e = Tables.events(spark, dir)
+      .withColumn("salt", pmod($"event_id", lit(salt)).cast("int"))
+    val c = Tables.customer(spark, dir)
+      .select($"c_custkey", $"c_mktsegment")
+      .withColumn("salt", explode(array((0 until salt).map(lit): _*)))
+    e.join(c, e("user_id") === c("c_custkey") && e("salt") === c("salt"))
+      .groupBy($"c_mktsegment")
+      .agg(count("*").as("n"), round(sum($"value"), 2).as("total"))
+      .orderBy($"c_mktsegment")
+  }
+}
