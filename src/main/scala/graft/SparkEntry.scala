@@ -33,6 +33,20 @@ object SparkEntry {
     "semi_anti_customers"   -> Olap.semiAntiCustomers _,
     "percentile_stats"      -> Olap.percentileStats _,
     "skew_salted_join"      -> ((s: SparkSession, d: String) => Olap.skewSaltedJoin(s, d)),
+    // LLM training-data pipeline
+    "dedup_exact"        -> TextOps.dedupExact _,
+    "word_jaccard_pairs" -> ((s: SparkSession, d: String) => TextOps.wordJaccardPairs(s, d)),
+    "lang_id"            -> TextOps.langId _,
+    "text_quality"       -> TextOps.textQuality _,
+    "token_count"        -> TextOps.tokenCount _,
+    "doc_fingerprint"    -> TextOps.docFingerprint _,
+    "multimodal_meta"    -> TextOps.multimodalMeta _,
+    "multimodal_decode"  -> Multimodal.decode _,
+    "dedup_minhash_lsh"  -> ((s: SparkSession, d: String) => Dedup.minHashLsh(s, d)),
+    "dedup_simhash"      -> ((s: SparkSession, d: String) => Dedup.simHashPairs(s, d)),
+    "embedding_neardup"  -> ((s: SparkSession, d: String) => VectorOps.embeddingNearDup(s, d)),
+    "ann_topk"           -> ((s: SparkSession, d: String) => VectorOps.annTopK(s, d)),
+    "ann_lsh_topk"       -> ((s: SparkSession, d: String) => VectorOps.annLshTopK(s, d)),
   )
 
   /** DuckDB-runnable oracle for each SQL-expressible query.
@@ -169,5 +183,53 @@ object SparkEntry {
       """SELECT c_mktsegment, count(*) AS n, round(sum(value), 2) AS total
         |FROM events JOIN customer ON user_id = c_custkey
         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    "dedup_exact" ->
+      """SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, count(*) AS n_copies
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "word_jaccard_pairs" ->
+      """WITH d AS (SELECT doc_id, source, list_distinct(string_split(text, ' ')) AS words FROM documents),
+        |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |             round(CAST(len(list_intersect(a.words, b.words)) AS DOUBLE)
+        |                   / (len(a.words) + len(b.words) - len(list_intersect(a.words, b.words))), 4) AS jaccard
+        |      FROM d a JOIN d b ON a.source = b.source AND a.doc_id < b.doc_id)
+        |SELECT doc_a, doc_b, jaccard FROM p WHERE jaccard >= 0.75 ORDER BY doc_a, doc_b""".stripMargin,
+
+    "lang_id" -> operators.TextOps.langIdOracleSql,
+
+    "text_quality" -> operators.TextOps.textQualityOracleSql,
+
+    "token_count" ->
+      """WITH t AS (SELECT doc_id, length(text) AS n,
+        |                  CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens,
+        |                  CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]')) AS BIGINT) AS bpe_tokens
+        |           FROM documents)
+        |SELECT doc_id, ws_tokens, bpe_tokens,
+        |       CASE WHEN bpe_tokens > 0 THEN round(CAST(n AS DOUBLE) / bpe_tokens, 4) END AS chars_per_token
+        |FROM t ORDER BY doc_id""".stripMargin,
+
+    "doc_fingerprint" -> operators.TextOps.docFingerprintOracleSql,
+
+    "multimodal_meta" ->
+      """WITH m AS (SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes FROM documents)
+        |SELECT doc_id, n_bytes, n_bytes % 640 + 1 AS width, (n_bytes * 7) % 480 + 1 AS height,
+        |       CASE WHEN n_bytes % 3 = 0 THEN 'png' WHEN n_bytes % 3 = 1 THEN 'jpeg' ELSE 'webp' END AS format
+        |FROM m ORDER BY doc_id""".stripMargin,
+
+    "embedding_neardup" ->
+      """WITH p AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+        |                  list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) AS c
+        |           FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
+        |SELECT vec_a, vec_b, round(c, 4) AS cosine FROM p WHERE c >= 0.3 ORDER BY vec_a, vec_b""".stripMargin,
+
+    "ann_topk" ->
+      """SELECT query_id, neighbor_id, rank, cosine
+        |FROM (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+        |             row_number() OVER (PARTITION BY a.vec_id
+        |               ORDER BY list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) DESC, b.vec_id) AS rank,
+        |             round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) AS cosine
+        |      FROM embeddings a JOIN embeddings b ON a.vec_id < 10 AND b.vec_id >= 10) t
+        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
   )
 }

@@ -1,0 +1,191 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Text-analysis operators for a training-data pipeline over the
+  * `documents` table. Everything is built from codegen'd built-in
+  * expressions (split / higher-order array functions / regexp) — no
+  * UDFs — so each op is a single scan-and-project with whole-stage
+  * codegen, embarrassingly parallel at any scale.
+  */
+object TextOps {
+
+  /** Exact dedup: group by content hash, keep the lowest doc_id.
+    * One shuffle on the 128-bit hash — the canonical first dedup
+    * pass at 100 TB (hash is computed map-side, only (hash, id)
+    * shuffles, never the text). */
+  def dedupExact(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .groupBy(md5($"text").as("content_hash"))
+      .agg(min($"doc_id").as("keep_id"), count("*").as("n_copies"))
+      .orderBy($"content_hash")
+  }
+
+  /** Exact word-set Jaccard similarity pairs, blocked by source.
+    * The blocking key turns the O(n²) cross join into per-block
+    * joins — the exactness oracle against which the MinHash-LSH
+    * path (Dedup.minHashLsh) is measured. */
+  def wordJaccardPairs(spark: SparkSession, dir: String, threshold: Double = 0.75): DataFrame = {
+    import spark.implicits._
+    val d = Tables.documents(spark, dir)
+      .select($"doc_id", $"source", array_distinct(split($"text", " ")).as("words"))
+    val a = d.alias("a")
+    val b = d.alias("b")
+    a.join(b, col("a.source") === col("b.source") && col("a.doc_id") < col("b.doc_id"))
+      .withColumn("inter", size(array_intersect(col("a.words"), col("b.words"))))
+      .withColumn("jaccard",
+        round($"inter".cast("double") /
+          (size(col("a.words")) + size(col("b.words")) - $"inter"), 4))
+      .filter($"jaccard" >= threshold)
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"), $"jaccard")
+      .orderBy($"doc_a", $"doc_b")
+  }
+
+  private val langMarkers: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "data", "table", "query"),
+    "es" -> Seq("el", "la", "los", "datos", "tabla"),
+    "de" -> Seq("der", "die", "und", "daten"),
+    "fr" -> Seq("le", "les", "et", "requete"))
+
+  /** Language ID via marker-token frequency scoring (the word-level
+    * n-gram heuristic): count occurrences of per-language marker
+    * tokens, argmax with fixed precedence, 'und' when all zero. */
+  def langId(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    def score(lang: String): String = {
+      val inList = langMarkers(lang).map(w => s"'$w'").mkString(", ")
+      s"cast(size(filter(split(text, ' '), w -> w IN ($inList))) as bigint)"
+    }
+    Tables.documents(spark, dir)
+      .select($"doc_id",
+        expr(score("en")).as("s_en"), expr(score("es")).as("s_es"),
+        expr(score("de")).as("s_de"), expr(score("fr")).as("s_fr"))
+      .withColumn("pred_lang",
+        when($"s_en" === 0 && $"s_es" === 0 && $"s_de" === 0 && $"s_fr" === 0, "und")
+          .when($"s_en" >= $"s_es" && $"s_en" >= $"s_de" && $"s_en" >= $"s_fr", "en")
+          .when($"s_es" >= $"s_de" && $"s_es" >= $"s_fr", "es")
+          .when($"s_de" >= $"s_fr", "de")
+          .otherwise("fr"))
+      .orderBy($"doc_id")
+  }
+
+  /** SQL fragments shared verbatim between the Spark plan and the
+    * DuckDB oracle for language scoring. */
+  def langIdOracleSql: String = {
+    def score(lang: String): String = {
+      val inList = langMarkers(lang).map(w => s"'$w'").mkString(", ")
+      s"CAST(len(list_filter(string_split(text, ' '), w -> w IN ($inList))) AS BIGINT)"
+    }
+    s"""WITH s AS (SELECT doc_id, ${score("en")} AS s_en, ${score("es")} AS s_es,
+       |                  ${score("de")} AS s_de, ${score("fr")} AS s_fr
+       |           FROM documents)
+       |SELECT doc_id, s_en, s_es, s_de, s_fr,
+       |       CASE WHEN s_en = 0 AND s_es = 0 AND s_de = 0 AND s_fr = 0 THEN 'und'
+       |            WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr THEN 'en'
+       |            WHEN s_es >= s_de AND s_es >= s_fr THEN 'es'
+       |            WHEN s_de >= s_fr THEN 'de'
+       |            ELSE 'fr' END AS pred_lang
+       |FROM s ORDER BY doc_id""".stripMargin
+  }
+
+  private val stopwords = Seq("the", "a", "an", "and", "or", "of", "in", "to", "is")
+
+  /** Quality scoring: word count, average word length, stopword
+    * ratio, composite [0,1] score — the standard cheap pre-filter
+    * before expensive dedup/training stages. */
+  def textQuality(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val stopList = stopwords.map(w => s"'$w'").mkString(", ")
+    Tables.documents(spark, dir)
+      .withColumn("n_words", expr("cast(size(split(text, ' ')) as bigint)"))
+      .withColumn("n_stop", expr(s"cast(size(filter(split(text, ' '), w -> w IN ($stopList))) as bigint)"))
+      .withColumn("awl", length(regexp_replace($"text", " ", "")).cast("double") / $"n_words")
+      .withColumn("stop_ratio", $"n_stop".cast("double") / $"n_words")
+      .select($"doc_id", $"n_words",
+        round($"awl", 4).as("avg_word_len"),
+        round($"stop_ratio", 4).as("stop_ratio"),
+        round(least(lit(1.0), $"n_words" / 100.0) * 0.5
+          + (lit(1.0) - $"stop_ratio") * 0.3
+          + least(lit(1.0), $"awl" / 8.0) * 0.2, 4).as("quality"))
+      .orderBy($"doc_id")
+  }
+
+  def textQualityOracleSql: String = {
+    val stopList = stopwords.map(w => s"'$w'").mkString(", ")
+    s"""WITH q AS (
+       |  SELECT doc_id,
+       |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+       |         CAST(len(list_filter(string_split(text, ' '), w -> w IN ($stopList))) AS BIGINT) AS n_stop,
+       |         length(replace(text, ' ', '')) AS n_alpha
+       |  FROM documents)
+       |SELECT doc_id, n_words,
+       |       round(CAST(n_alpha AS DOUBLE) / n_words, 4) AS avg_word_len,
+       |       round(CAST(n_stop AS DOUBLE) / n_words, 4) AS stop_ratio,
+       |       round(least(1.0, n_words / 100.0) * 0.5
+       |             + (1.0 - CAST(n_stop AS DOUBLE) / n_words) * 0.3
+       |             + least(1.0, (CAST(n_alpha AS DOUBLE) / n_words) / 8.0) * 0.2, 4) AS quality
+       |FROM q ORDER BY doc_id""".stripMargin
+  }
+
+  /** Token counting: whitespace tokens plus a BPE-ish segmentation
+    * (letter runs | digit runs | single punctuation). */
+  def tokenCount(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .withColumn("ws_tokens", expr("cast(size(split(text, ' ')) as bigint)"))
+      .withColumn("bpe_tokens",
+        expr("cast(size(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]', 0)) as bigint)"))
+      .select($"doc_id", $"ws_tokens", $"bpe_tokens",
+        when($"bpe_tokens" > 0, round(length($"text").cast("double") / $"bpe_tokens", 4))
+          .otherwise(lit(null)).as("chars_per_token"))
+      .orderBy($"doc_id")
+  }
+
+  /** Position-weighted polynomial fingerprint over the token stream —
+    * order-sensitive (unlike a bag-of-words hash), cheap, and
+    * reproducible in any engine with list lambdas. The heavier
+    * shingle-based fingerprints live in Dedup (MinHash/SimHash). */
+  def docFingerprint(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .withColumn("fp", expr(
+        """pmod(aggregate(
+          |  transform(sequence(1, size(split(text, ' '))),
+          |    i -> cast(i as bigint) * (length(element_at(split(text, ' '), i)) * 131
+          |         + ascii(substr(element_at(split(text, ' '), i), 1, 1)) * 7
+          |         + ascii(right(element_at(split(text, ' '), i), 1)))),
+          |  cast(0 as bigint), (acc, x) -> acc + x), 1000000007)""".stripMargin))
+      .select($"doc_id", $"fp")
+      .orderBy($"doc_id")
+  }
+
+  def docFingerprintOracleSql: String =
+    """SELECT doc_id,
+      |       list_sum(list_transform(range(1, len(string_split(text, ' ')) + 1),
+      |         i -> CAST(i AS BIGINT) * (length(string_split(text, ' ')[i]) * 131
+      |              + ascii(substr(string_split(text, ' ')[i], 1, 1)) * 7
+      |              + ascii(right(string_split(text, ' ')[i], 1))))) % 1000000007 AS fp
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** Multimodal column plumbing: an opaque binary payload plus typed
+    * metadata derived deterministically from the bytes. The decode
+    * stub itself (Multimodal.decodeStub) is a mapPartitions op; this
+    * is the oracle-checkable schema/metadata path. */
+  def multimodalMeta(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .withColumn("blob", encode($"text", "UTF-8"))
+      .withColumn("n_bytes", length($"blob").cast("long"))
+      .select($"doc_id", $"n_bytes",
+        ($"n_bytes" % 640 + 1).as("width"),
+        (($"n_bytes" * 7) % 480 + 1).as("height"),
+        when($"n_bytes" % 3 === 0, "png")
+          .when($"n_bytes" % 3 === 1, "jpeg")
+          .otherwise("webp").as("format"))
+      .orderBy($"doc_id")
+  }
+}
