@@ -107,7 +107,7 @@ object SparkEntry {
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "json_extract_props" ->
-      """SELECT CAST(regexp_extract(props, '[0-9]+') AS BIGINT) % 10 AS k_bucket,
+      """SELECT TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_bucket,
         |       count(*) AS n, round(avg(value), 4) AS avg_value
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
 

@@ -152,23 +152,26 @@ object TextOps {
   def docFingerprint(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     Tables.documents(spark, dir)
+      .withColumn("toks", split($"text", " "))
       .withColumn("fp", expr(
         """pmod(aggregate(
-          |  transform(sequence(1, size(split(text, ' '))),
-          |    i -> cast(i as bigint) * (length(element_at(split(text, ' '), i)) * 131
-          |         + ascii(substr(element_at(split(text, ' '), i), 1, 1)) * 7
-          |         + ascii(right(element_at(split(text, ' '), i), 1)))),
+          |  transform(sequence(1, size(toks)),
+          |    i -> cast(i as bigint) * (length(element_at(toks, i)) * 131
+          |         + ascii(substr(element_at(toks, i), 1, 1)) * 7
+          |         + ascii(right(element_at(toks, i), 1)))),
           |  cast(0 as bigint), (acc, x) -> acc + x), 1000000007)""".stripMargin))
       .select($"doc_id", $"fp")
       .orderBy($"doc_id")
   }
 
+  /** DuckDB list_sum returns HUGEINT — cast to BIGINT so the oracle's
+    * dtype matches Spark's int64 (the driver's hash covers dtypes). */
   def docFingerprintOracleSql: String =
     """SELECT doc_id,
-      |       list_sum(list_transform(range(1, len(string_split(text, ' ')) + 1),
+      |       CAST(COALESCE(list_sum(list_transform(range(1, len(string_split(text, ' ')) + 1),
       |         i -> CAST(i AS BIGINT) * (length(string_split(text, ' ')[i]) * 131
       |              + ascii(substr(string_split(text, ' ')[i], 1, 1)) * 7
-      |              + ascii(right(string_split(text, ' ')[i], 1))))) % 1000000007 AS fp
+      |              + ascii(right(string_split(text, ' ')[i], 1))))), 0) % 1000000007 AS BIGINT) AS fp
       |FROM documents ORDER BY doc_id""".stripMargin
 
   /** Multimodal column plumbing: an opaque binary payload plus typed

@@ -46,8 +46,11 @@ def compare(name, spark_df, duck_df):
         else:
             if not av.equals(bv):
                 neq = ~((av == bv) | (av.isna() & bv.isna()))
-                i = neq.idxmax()
-                return f"VAL   col={c} row={i} spark={av[i]!r} duck={bv[i]!r} ({int(neq.sum())} diffs) dtypes {av.dtype}/{bv.dtype}"
+                if neq.any():
+                    i = neq.idxmax()
+                    return f"VAL   col={c} row={i} spark={av[i]!r} duck={bv[i]!r} ({int(neq.sum())} diffs) dtypes {av.dtype}/{bv.dtype}"
+                # values equal, dtypes differ (e.g. int32 vs int64) —
+                # falls through to the dtype-notes path below
     # dtype note (not a failure, but flag int32 vs int64 etc.)
     notes = [f"{c}:{a[c].dtype}!={b[c].dtype}" for c in a.columns if str(a[c].dtype) != str(b[c].dtype)]
     return "OK" + (f"  [dtype notes: {', '.join(notes)}]" if notes else "")
