@@ -211,6 +211,8 @@ object SparkEntry {
 
     "doc_fingerprint" -> operators.TextOps.docFingerprintOracleSql,
 
+    "dedup_minhash_lsh" -> operators.Dedup.minHashLshOracleSql(),
+
     "multimodal_meta" ->
       """WITH m AS (SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes FROM documents)
         |SELECT doc_id, n_bytes, n_bytes % 640 + 1 AS width, (n_bytes * 7) % 480 + 1 AS height,

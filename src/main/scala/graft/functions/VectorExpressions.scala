@@ -1,8 +1,9 @@
 package graft.functions
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpectsInputTypes, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpectsInputTypes, ExpressionInfo, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
@@ -87,6 +88,13 @@ object Hash64 {
     z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
     z ^ (z >>> 31)
   }
+
+  /** Hash-derived random-hyperplane component in [-1, 1): plane `p`,
+    * dimension `d` under `seed`. Replaces materialized plane matrices
+    * (no driver-side RNG, no literal trees, no task-binary bloat) —
+    * each component is recomputed on demand inside codegen. */
+  def planeVal(seed: Long, p: Int, d: Int): Double =
+    mix(seed ^ (p.toLong * 0x9e3779b97f4a7c15L) ^ (d.toLong * 0xc2b2ae3d27d4eb4fL)).toDouble / 9.223372036854776e18
 }
 
 /** simhash64(tokens): 64-bit SimHash over an array<string> token
@@ -94,7 +102,7 @@ object Hash64 {
   * position; the sign vector is the fingerprint. Near-duplicate
   * documents land within a small Hamming distance. */
 case class SimHash64(child: Expression)
-    extends UnaryExpression with ExpectsInputTypes with CodegenFallback {
+    extends UnaryExpression with ExpectsInputTypes {
 
   override def inputTypes: Seq[DataType] = Seq(ArrayType(StringType))
   override def dataType: DataType = LongType
@@ -124,17 +132,114 @@ case class SimHash64(child: Expression)
     sim
   }
 
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, arr => {
+      val votes = ctx.freshName("votes")
+      val i = ctx.freshName("i"); val h = ctx.freshName("h")
+      val b1 = ctx.freshName("b"); val b2 = ctx.freshName("b")
+      val sim = ctx.freshName("sim")
+      s"""
+         |int[] $votes = new int[64];
+         |for (int $i = 0; $i < $arr.numElements(); $i++) {
+         |  if (!$arr.isNullAt($i)) {
+         |    long $h = graft.functions.Hash64.mix(graft.functions.Hash64.fnv1a($arr.getUTF8String($i)));
+         |    for (int $b1 = 0; $b1 < 64; $b1++) {
+         |      $votes[$b1] += ((($h >>> $b1) & 1L) == 1L) ? 1 : -1;
+         |    }
+         |  }
+         |}
+         |long $sim = 0L;
+         |for (int $b2 = 0; $b2 < 64; $b2++) {
+         |  if ($votes[$b2] > 0) $sim |= (1L << $b2);
+         |}
+         |${ev.value} = $sim;
+         |""".stripMargin
+    })
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** Random-hyperplane LSH signature (Charikar 2002): bit p of the
+  * result = sign(dot(embedding, plane_p)), planes derived from
+  * `seed` via [[Hash64.planeVal]] — computed inline per (p, d), so
+  * the plan carries three scalars instead of an nPlanes x dim
+  * literal matrix, and no driver-side action is needed to learn the
+  * dimension. Codegen'd: the double loop runs unboxed inside
+  * whole-stage codegen. */
+case class HyperplaneSignature(child: Expression, seed: Long, nPlanes: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(FloatType))
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "graft_hyperplane_sig"
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    var bucket = 0
+    var p = 0
+    while (p < nPlanes) {
+      var dot = 0.0
+      var d = 0
+      while (d < n) {
+        dot += arr.getFloat(d) * Hash64.planeVal(seed, p, d)
+        d += 1
+      }
+      if (dot >= 0) bucket |= (1 << p)
+      p += 1
+    }
+    bucket
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, arr => {
+      val n = ctx.freshName("n"); val bucket = ctx.freshName("bucket")
+      val p = ctx.freshName("p"); val d = ctx.freshName("d"); val dot = ctx.freshName("dot")
+      s"""
+         |int $n = $arr.numElements();
+         |int $bucket = 0;
+         |for (int $p = 0; $p < $nPlanes; $p++) {
+         |  double $dot = 0.0;
+         |  for (int $d = 0; $d < $n; $d++) {
+         |    $dot += ((double) $arr.getFloat($d)) * graft.functions.Hash64.planeVal(${seed}L, $p, $d);
+         |  }
+         |  if ($dot >= 0) $bucket |= (1 << $p);
+         |}
+         |${ev.value} = $bucket;
+         |""".stripMargin
+    })
+
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
 object GraftFunctions {
-  /** Idempotent registration so any session (including the driver's)
-    * can call the functions by name via `call_function`/SQL. */
+  type Builder = Seq[Expression] => Expression
+
+  private def litLong(e: Expression): Long =
+    e.eval(null).asInstanceOf[Number].longValue()
+
+  /** The full function surface, shared by [[graft.GraftExtensions]]
+    * (session-level injection, SQL-visible) and [[register]]
+    * (programmatic fallback for externally built sessions). */
+  val all: Seq[(String, ExpressionInfo, Builder)] = Seq(
+    ("graft_cosine",
+      new ExpressionInfo(classOf[CosineSimilarity].getName, "graft_cosine"),
+      es => CosineSimilarity(es(0), es(1))),
+    ("graft_simhash64",
+      new ExpressionInfo(classOf[SimHash64].getName, "graft_simhash64"),
+      es => SimHash64(es.head)),
+    ("graft_hyperplane_sig",
+      new ExpressionInfo(classOf[HyperplaneSignature].getName, "graft_hyperplane_sig"),
+      es => HyperplaneSignature(es(0), litLong(es(1)), litLong(es(2)).toInt)))
+
+  /** Idempotent registration for sessions not built with
+    * `spark.sql.extensions=graft.GraftExtensions`; no-ops (and logs
+    * nothing) when the functions are already present. */
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
-    reg.createOrReplaceTempFunction(
-      "graft_cosine", es => CosineSimilarity(es(0), es(1)), "built-in")
-    reg.createOrReplaceTempFunction(
-      "graft_simhash64", es => SimHash64(es.head), "built-in")
+    all.foreach { case (name, info, builder) =>
+      val id = FunctionIdentifier(name)
+      if (!reg.functionExists(id)) reg.registerFunction(id, info, builder)
+    }
   }
 }

@@ -26,34 +26,48 @@ object Dedup {
   /** MinHash + banded LSH near-dup pairs (Broder 1997).
     *
     * sig[p] = min over shingles s of xxhash64(s, p), p = 0..63;
-    * 16 bands x 4 rows: docs sharing any band hash become candidate
-    * pairs; candidates are confirmed with exact shingle-set Jaccard.
-    * P(candidate | j) = 1 - (1 - j^4)^16 — steep around j ~ 0.55.
+    * `bands` bands x `rows` rows: docs sharing any band hash become
+    * candidate pairs; candidates are confirmed with exact shingle-set
+    * Jaccard. P(candidate | j) = 1 - (1 - j^rows)^bands — with the
+    * default 32x2 that is > 0.9999 at j = 0.5, so on any corpus
+    * whose near-dup pairs sit at or above the threshold the output
+    * equals the exact quadratic all-pairs result (which is the
+    * DuckDB oracle for this query).
+    *
+    * Scale contract: only (doc_id, band, band_hash) goes through the
+    * candidate shuffle — never shingles or text. The surviving pair
+    * list (tiny) is then joined back to a compact doc_id → shingle-set
+    * table for exact verification, so document content is read twice
+    * but shuffled at most once, keyed by doc_id, for candidate docs
+    * only.
     */
   def minHashLsh(spark: SparkSession, dir: String, threshold: Double = 0.5,
-                 bands: Int = 16, rows: Int = 4): DataFrame = {
+                 bands: Int = 32, rows: Int = 2): DataFrame = {
     import spark.implicits._
     val docs = Tables.documents(spark, dir)
       .select($"doc_id", expr(shingleExpr).as("shingles"))
+
+    // Candidate generation: ids + 64-bit band hashes only.
+    val banded = docs
       .withColumn("sig", expr(
         s"transform(sequence(0, ${bands * rows - 1}), p -> array_min(transform(shingles, s -> xxhash64(s, p))))"))
-
-    val banded = docs
-      .select($"doc_id", $"shingles", posexplode(expr(
+      .select($"doc_id", posexplode(expr(
         s"transform(sequence(0, ${bands - 1}), b -> xxhash64(slice(sig, b * $rows + 1, $rows)))")))
       .withColumnRenamed("pos", "band")
       .withColumnRenamed("col", "band_hash")
 
-    val a = banded.select($"doc_id".as("id_a"), $"shingles".as("sh_a"), $"band", $"band_hash")
-    val b = banded.select($"doc_id".as("id_b"), $"shingles".as("sh_b"), $"band", $"band_hash")
+    val a = banded.select($"doc_id".as("id_a"), $"band", $"band_hash")
+    val b = banded.select($"doc_id".as("id_b"), $"band", $"band_hash")
     val candidates = a.join(b, Seq("band", "band_hash"))
       .filter($"id_a" < $"id_b")
-      .select($"id_a", $"id_b", $"sh_a", $"sh_b")
+      .select($"id_a", $"id_b")
       .dropDuplicates("id_a", "id_b")
 
+    // Exact verification: fetch shingle sets for candidate docs only.
+    val sets = docs.select($"doc_id", array_distinct($"shingles").as("sh"))
     candidates
-      .withColumn("da", array_distinct($"sh_a"))
-      .withColumn("db", array_distinct($"sh_b"))
+      .join(sets.select($"doc_id".as("id_a"), $"sh".as("da")), Seq("id_a"))
+      .join(sets.select($"doc_id".as("id_b"), $"sh".as("db")), Seq("id_b"))
       .withColumn("inter", size(array_intersect($"da", $"db")))
       .withColumn("jaccard",
         round($"inter".cast("double") / (size($"da") + size($"db") - $"inter"), 4))
@@ -61,6 +75,40 @@ object Dedup {
       .select($"id_a".as("doc_a"), $"id_b".as("doc_b"), $"jaccard")
       .orderBy($"doc_a", $"doc_b")
   }
+
+  /** Exact all-pairs shingle-Jaccard — the quadratic correctness
+    * oracle for [[minHashLsh]]; used by the spec at sf0.001 and as
+    * the DuckDB oracle shape. Never the production path. */
+  def exactShingleJaccard(spark: SparkSession, dir: String, threshold: Double = 0.5): DataFrame = {
+    import spark.implicits._
+    val d = Tables.documents(spark, dir)
+      .select($"doc_id", array_distinct(expr(shingleExpr)).as("sh"))
+    val a = d.select($"doc_id".as("doc_a"), $"sh".as("da"))
+    val b = d.select($"doc_id".as("doc_b"), $"sh".as("db"))
+    a.join(b, $"doc_a" < $"doc_b")
+      .withColumn("inter", size(array_intersect($"da", $"db")))
+      .withColumn("jaccard",
+        round($"inter".cast("double") / (size($"da") + size($"db") - $"inter"), 4))
+      .filter($"jaccard" >= threshold)
+      .select($"doc_a", $"doc_b", $"jaccard")
+      .orderBy($"doc_a", $"doc_b")
+  }
+
+  /** DuckDB analog of [[exactShingleJaccard]] — valid as the oracle
+    * for [[minHashLsh]] because the banding (32x2 over a 64-long
+    * signature) has >0.9999 recall at the 0.5 threshold and the
+    * final exact-Jaccard filter removes all false positives; parity
+    * is additionally asserted by the spec at sf0.001. */
+  def minHashLshOracleSql(threshold: Double = 0.5): String =
+    s"""WITH d AS (SELECT doc_id,
+       |                  list_distinct(list_transform(range(1, greatest(len(string_split(text, ' ')) - 2, 1) + 1),
+       |                    i -> array_to_string(string_split(text, ' ')[i:i+2], ' '))) AS sh
+       |           FROM documents),
+       |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |             round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+       |                   / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 4) AS jaccard
+       |      FROM d a JOIN d b ON a.doc_id < b.doc_id)
+       |SELECT doc_a, doc_b, jaccard FROM p WHERE jaccard >= $threshold ORDER BY doc_a, doc_b""".stripMargin
 
   /** SimHash near-dup candidates (Charikar 2002 / Manku et al. 2007).
     *

@@ -60,40 +60,50 @@ object VectorOps {
       .orderBy($"query_id", $"rank")
   }
 
-  /** Deterministic pseudo-random unit-free hyperplanes: plane p,
-    * dim d → a fixed hash-derived value in [-1, 1). */
-  private def planes(nPlanes: Int, dim: Int): Array[Array[Double]] = {
-    val rng = new scala.util.Random(42)
-    Array.fill(nPlanes, dim)(rng.nextDouble() * 2 - 1)
-  }
-
-  /** LSH-bucketed approximate top-k: random-hyperplane signature →
-    * bucket join → exact re-rank within candidates. The scale path:
-    * each query compares against its bucket's corpus slice only.
+  /** LSH-bucketed approximate top-k: random-hyperplane signatures
+    * ([[graft.functions.HyperplaneSignature]], codegen'd, planes
+    * derived from the seed — no materialized plane matrix, no
+    * driver-side action, constant plan size at any embedding dim) →
+    * bucket join → exact re-rank within candidates.
+    *
+    * Standard OR-amplified construction: `nTables` independent hash
+    * tables (seeds seed..seed+nTables-1); a corpus vector is a
+    * candidate if it shares a bucket with the query in ANY table.
+    * Each query additionally probes the nPlanes buckets at Hamming
+    * distance 1 per table (multi-probe). All fan-out lives on the
+    * tiny broadcast query side plus a narrow corpus explode — the
+    * corpus is never shuffled; only (query_id, vec_id, cos)
+    * candidate triples go through the dedup + top-k exchange.
     * Approximate by construction (rows-only oracle); recall measured
     * in the spec against annTopK. */
   def annLshTopK(spark: SparkSession, dir: String, k: Int = 5, nQueries: Int = 10,
-                 nPlanes: Int = 8): DataFrame = {
+                 nPlanes: Int = 8, nTables: Int = 4, seed: Long = 42L): DataFrame = {
     import spark.implicits._
     GraftFunctions.register(spark)
     val e = Tables.embeddings(spark, dir).select($"vec_id", $"embedding")
-    val dim = e.select(size($"embedding")).first().getInt(0)
-    val hp = planes(nPlanes, dim)
+    def sig(t: Int): Column =
+      call_function("graft_hyperplane_sig", $"embedding", lit(seed + t), lit(nPlanes))
+    val withBuckets = e.select($"vec_id" +: $"embedding" +:
+      (0 until nTables).map(t => sig(t).as(s"b$t")): _*)
 
-    // signature bit p = sign(dot(embedding, plane_p)); bucket = bits as int
-    val sigBits = (0 until nPlanes).map { p =>
-      val dot = (0 until dim).map { d =>
-        element_at($"embedding", d + 1) * lit(hp(p)(d))
-      }.reduce(_ + _)
-      when(dot >= 0, lit(1 << p)).otherwise(lit(0))
-    }.reduce(_ + _)
+    val corpus = withBuckets.filter($"vec_id" >= nQueries)
+      .select($"vec_id", $"embedding", explode(array(
+        (0 until nTables).map(t => struct(lit(t).as("tbl"), col(s"b$t").as("bucket"))): _*)).as("tb"))
+      .select($"vec_id", $"embedding", $"tb.tbl".as("tbl"), $"tb.bucket".as("bucket"))
 
-    val bucketed = e.withColumn("bucket", sigBits)
-    val queries = bucketed.filter($"vec_id" < nQueries)
-      .select($"vec_id".as("query_id"), $"embedding".as("q_emb"), $"bucket")
-    val corpus = bucketed.filter($"vec_id" >= nQueries)
-    corpus.join(broadcast(queries), Seq("bucket"))
-      .withColumn("cos", cosine($"q_emb", $"embedding"))
+    val probes = for (t <- 0 until nTables; j <- 0 to nPlanes) yield {
+      val b = if (j == 0) col(s"b$t") else col(s"b$t").bitwiseXOR(lit(1 << (j - 1)))
+      struct(lit(t).as("tbl"), b.as("bucket"))
+    }
+    val queries = withBuckets.filter($"vec_id" < nQueries)
+      .select($"vec_id".as("query_id"), $"embedding".as("q_emb"),
+        explode(array(probes: _*)).as("tb"))
+      .select($"query_id", $"q_emb", $"tb.tbl".as("tbl"), $"tb.bucket".as("bucket"))
+
+    corpus.join(broadcast(queries), Seq("tbl", "bucket"))
+      .select($"query_id", $"vec_id",
+        cosine($"q_emb", $"embedding").as("cos"))
+      .dropDuplicates("query_id", "vec_id")
       .withColumn("rank", row_number()
         .over(Window.partitionBy($"query_id").orderBy($"cos".desc, $"vec_id")).cast("long"))
       .filter($"rank" <= k)

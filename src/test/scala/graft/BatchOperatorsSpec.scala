@@ -58,6 +58,49 @@ class BatchOperatorsSpec extends AnyFunSuite {
     assert(hop == 2 * n)
   }
 
+  test("minhash-lsh pairs equal exact all-pairs shingle jaccard") {
+    val lsh = graft.operators.Dedup.minHashLsh(spark, sf).collect().toSet
+    val exact = graft.operators.Dedup.exactShingleJaccard(spark, sf).collect().toSet
+    assert(lsh == exact, s"lsh=${lsh.size} exact=${exact.size} diff=${(lsh diff exact) ++ (exact diff lsh)}")
+  }
+
+  test("simhash pigeonhole join equals brute-force hamming pairs") {
+    import org.apache.spark.sql.functions._
+    graft.functions.GraftFunctions.register(spark)
+    val d = graft.sources.Tables.documents(spark, sf)
+      .select(col("doc_id"), call_function("graft_simhash64", split(col("text"), " ")).as("sim"))
+    val a = d.select(col("doc_id").as("doc_a"), col("sim").as("sa"))
+    val b = d.select(col("doc_id").as("doc_b"), col("sim").as("sb"))
+    val brute = a.join(b, col("doc_a") < col("doc_b"))
+      .withColumn("hamming", bit_count(col("sa").bitwiseXOR(col("sb"))).cast("long"))
+      .filter(col("hamming") <= 3)
+      .select("doc_a", "doc_b", "hamming").collect().toSet
+    val pigeonhole = SparkEntry.queries("dedup_simhash")(spark, sf).collect().toSet
+    assert(pigeonhole == brute, s"pigeonhole=${pigeonhole.size} brute=${brute.size}")
+  }
+
+  test("ann_lsh_topk recall vs exact ann_topk") {
+    def pairs(name: String) = SparkEntry.queries(name)(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairs("ann_topk")
+    val lsh = pairs("ann_lsh_topk")
+    // the sf0.001 embeddings are near-uniform (top-5 neighbors at low
+    // cosine), the hardest case for hyperplane LSH; 0.48 observed while
+    // probing ~14% of the corpus per query (4 tables x 9 probes / 2^8
+    // buckets) vs 0.14 for a single table. Clustered real-world
+    // embeddings sit far higher at the same cost.
+    val recall = (exact intersect lsh).size.toDouble / exact.size
+    assert(recall >= 0.4, s"recall=$recall (${(exact intersect lsh).size}/${exact.size})")
+  }
+
+  test("graft functions are SQL-visible via GraftExtensions") {
+    val r = spark.sql(
+      "SELECT graft_cosine(array(cast(1.0 as float), cast(0.0 as float)), array(cast(1.0 as float), cast(0.0 as float))) AS c," +
+        " graft_simhash64(array('a','b')) AS s, graft_hyperplane_sig(array(cast(1.0 as float)), 42L, 8) AS h")
+      .collect()(0)
+    assert(math.abs(r.getDouble(0) - 1.0) < 1e-9)
+  }
+
   test("salted join matches plain join") {
     val salted = SparkEntry.queries("skew_salted_join")(spark, sf).collect()
     val e = graft.sources.Tables.events(spark, sf)
