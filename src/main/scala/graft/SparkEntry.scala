@@ -3,6 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.operators._
+import graft.streaming.{CdcCompact, EngagementStream, Sessionize}
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the inventory. */
 object SparkEntry {
@@ -22,6 +23,14 @@ object SparkEntry {
     "leaderboard_topn"   -> ((s: SparkSession, d: String) => Engagement.leaderboardTopN(s, d)),
     "event_router"       -> Engagement.eventRouter _,
     "json_extract_props" -> Engagement.jsonExtractProps _,
+    // Structured Streaming (real engine: readStream -> AvailableNow),
+    // checked against the same DuckDB oracles as their batch twins
+    "stream_hop_agg"     -> EngagementStream.streamHopAgg _,
+    "stream_enrich"      -> EngagementStream.streamEnrich _,
+    "stream_cdc_compact" -> ((s: SparkSession, d: String) => CdcCompact.streamCdcCompact(s, d)),
+    "stream_session_agg" -> Sessionize.streamSessionAgg _,
+    "stream_router"      -> EngagementStream.streamRouter _,
+    "stream_leaderboard" -> EngagementStream.streamLeaderboard _,
     // Analytic core
     "q1_pricing_summary"    -> Olap.q1PricingSummary _,
     "q3_top_orders"         -> Olap.q3TopOrders _,
@@ -53,7 +62,20 @@ object SparkEntry {
     * Column names/aliases match the Spark side exactly; timestamps
     * are cast to microsecond TIMESTAMP up front so DuckDB's ns
     * precision matches Spark's µs parquet reads. */
-  def oracleSql: Map[String, String] = Map(
+  def oracleSql: Map[String, String] = {
+    val base = baseOracleSql
+    // streaming variants produce byte-identical results to their
+    // batch twins (shared transforms / MERGE semantics) — same oracle
+    base ++ Map(
+      "stream_hop_agg"     -> base("hop_window_agg"),
+      "stream_enrich"      -> base("enrich_events"),
+      "stream_cdc_compact" -> base("cdc_latest_by_key"),
+      "stream_session_agg" -> base("session_window_agg"),
+      "stream_router"      -> base("event_router"),
+      "stream_leaderboard" -> base("leaderboard_topn"))
+  }
+
+  private def baseOracleSql: Map[String, String] = Map(
     "cdc_latest_by_key" ->
       """SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, event_type, value
         |FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn

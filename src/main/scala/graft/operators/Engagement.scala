@@ -50,19 +50,25 @@ object Engagement {
     * `engagement_pct`. The dim (customer) is broadcast — a lookup
     * join at any scale, zero shuffle of the fact table.
     */
-  def enrichEvents(spark: SparkSession, dir: String): DataFrame = {
-    val e = Tables.events(spark, dir)
-    val c = Tables.customer(spark, dir)
-      .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"))
-    e.join(broadcast(c), e("user_id") === c("c_custkey"), "left")
+  /** The join + derived-metric transform shared verbatim by the batch
+    * query and the Structured Streaming variant
+    * ([[graft.streaming.EngagementStream]]) — stream/batch parity by
+    * construction. Works on any events-shaped DataFrame (bounded or
+    * unbounded). */
+  def enrichTransform(events: DataFrame, customer: DataFrame): DataFrame = {
+    val c = customer.select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"))
+    events.join(broadcast(c), events("user_id") === c("c_custkey"), "left")
       .select(
-        e("event_id"), e("user_id"), e("event_type"), e("value"),
+        events("event_id"), events("user_id"), events("event_type"), events("value"),
         c("c_mktsegment").as("segment"),
-        round(e("value") / lit(1000.0), 6).as("engagement_seconds"),
-        when(c("c_acctbal") > 0, round(e("value") / c("c_acctbal"), 6))
+        round(events("value") / lit(1000.0), 6).as("engagement_seconds"),
+        when(c("c_acctbal") > 0, round(events("value") / c("c_acctbal"), 6))
           .otherwise(lit(null)).as("engagement_pct"))
-      .orderBy(col("event_id"))
   }
+
+  def enrichEvents(spark: SparkSession, dir: String): DataFrame =
+    enrichTransform(Tables.events(spark, dir), Tables.customer(spark, dir))
+      .orderBy(col("event_id"))
 
   /** Sliding (HOP) window aggregation: 10-minute windows sliding by 5.
     *
@@ -75,12 +81,17 @@ object Engagement {
     * 2x) followed by a hash aggregate with map-side partial agg — no
     * per-window state materialization.
     */
+  /** Streaming-unified HOP transform: identical expression tree for
+    * the batch query and the readStream variant. */
+  def hopAggTransform(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "10 minutes", "5 minutes"), col("event_type"))
+      .agg(count("*").as("n"), round(sum(col("value")), 2).as("total"))
+      .select(col("window.start").as("w_start"), col("event_type"), col("n"), col("total"))
+
   def hopWindowAgg(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    Tables.events(spark, dir)
-      .groupBy(window($"ts", "10 minutes", "5 minutes"), $"event_type")
-      .agg(count("*").as("n"), round(sum($"value"), 2).as("total"))
-      .select($"window.start".as("w_start"), $"event_type", $"n", $"total")
+    hopAggTransform(Tables.events(spark, dir))
       .orderBy($"w_start", $"event_type")
   }
 

@@ -1,0 +1,84 @@
+package graft.streaming
+
+import java.util.concurrent.atomic.AtomicInteger
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+
+/** Structured Streaming source/sink plumbing for the engagement
+  * pipeline.
+  *
+  * The reference ingests an upsert-kafka changelog
+  * (`/root/reference/src/ingest.py:35-52`); in this sandbox the
+  * stream is replayed from the same parquet files the batch operators
+  * read (`readStream` file source), which upgrades the reference's
+  * processing-time semantics to deterministic event time. The Kafka
+  * surface is kept as config builders in [[KafkaConfig]] (the
+  * connector jars are absent here).
+  *
+  * Everything runs with `Trigger.AvailableNow` — process all
+  * available input as a sequence of micro-batches, then stop — so
+  * tests and the driver's correctness gate are deterministic while
+  * the exact same code runs unbounded in production.
+  */
+object StreamSources {
+
+  private val nameCtr = new AtomicInteger(0)
+
+  /** The events table as an unbounded stream. Same nanos→micros
+    * normalization as [[graft.sources.Tables.events]]; the schema is
+    * taken from a metadata-only batch read (file-source streams
+    * require an explicit schema). `maxFilesPerTrigger` bounds each
+    * micro-batch so multi-file inputs exercise real incremental
+    * processing. */
+  def events(spark: SparkSession, dir: String, maxFilesPerTrigger: Int = 0): DataFrame =
+    eventsFrom(spark, s"$dir/events.parquet", maxFilesPerTrigger)
+
+  /** Same as [[events]] but over an arbitrary events-shaped parquet
+    * path (used by specs/queries that stage multi-file or
+    * sentinel-augmented inputs). */
+  def eventsFrom(spark: SparkSession, path: String, maxFilesPerTrigger: Int = 0): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(path).schema
+    var reader = spark.readStream.schema(schema)
+    if (maxFilesPerTrigger > 0)
+      reader = reader.option("maxFilesPerTrigger", maxFilesPerTrigger.toString)
+    // For a non-glob path the file source injects basePath = the path
+    // itself, which partition discovery rejects when it is a single
+    // FILE. Turning the last character into a trivial one-char glob
+    // ([x]) keeps the match identical while routing around that
+    // injection.
+    val streamPath =
+      if (new java.io.File(path).isFile) s"${path.init}[${path.last}]" else path
+    reader.parquet(streamPath)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value"), col("props"))
+  }
+
+  /** Drive a streaming DataFrame to completion (AvailableNow) into an
+    * in-process memory sink and return the materialized result. The
+    * memory sink holds only the (small) query result, never the
+    * input. */
+  def runToMemory(df: DataFrame, mode: OutputMode): DataFrame = {
+    val name = s"graft_stream_${nameCtr.incrementAndGet()}"
+    val q = df.writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode(mode)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    df.sparkSession.table(name)
+  }
+
+  /** Drive a stream through `foreachBatch` to completion. */
+  def runForeachBatch(df: DataFrame, f: (Dataset[Row], Long) => Unit): Unit = {
+    val q = df.writeStream
+      .foreachBatch(f)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+}

@@ -1,0 +1,71 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.{EngagementStream, KafkaConfig}
+
+/** Stream/batch parity: every streaming operator must produce exactly
+  * the result of its batch twin after draining the same input — the
+  * property that lets the driver's DuckDB oracles check the streaming
+  * engine. */
+class StreamingSpec extends AnyFunSuite {
+  import TestSession._
+
+  private def rows(name: String) =
+    SparkEntry.queries(name)(spark, sf).collect().toSeq
+
+  test("stream_hop_agg equals batch hop_window_agg") {
+    assert(rows("stream_hop_agg") == rows("hop_window_agg"))
+  }
+
+  test("stream_enrich equals batch enrich_events") {
+    assert(rows("stream_enrich") == rows("enrich_events"))
+  }
+
+  test("stream_cdc_compact (multi-batch MERGE) equals batch cdc_latest_by_key") {
+    assert(rows("stream_cdc_compact") == rows("cdc_latest_by_key"))
+  }
+
+  test("stream_session_agg (flatMapGroupsWithState) equals batch session_window_agg") {
+    assert(rows("stream_session_agg") == rows("session_window_agg"))
+  }
+
+  test("stream_leaderboard equals batch leaderboard_topn") {
+    assert(rows("stream_leaderboard") == rows("leaderboard_topn"))
+  }
+
+  test("stream_router counts equal event_router; physical route partitions exist") {
+    assert(rows("stream_router") == rows("event_router"))
+    val (out, _) = EngagementStream.fanout(spark, sf)
+    val routes = new java.io.File(s"$out/routed").listFiles()
+      .filter(_.isDirectory).map(_.getName).toSet
+    assert(routes == Set("route=analytics", "route=billing", "route=crm", "route=ops"),
+      s"got $routes")
+  }
+
+  test("fanout enriched sink holds every event exactly once") {
+    val (out, _) = EngagementStream.fanout(spark, sf)
+    val enriched = spark.read.parquet(s"$out/enriched")
+    val nEvents = graft.sources.Tables.events(spark, sf).count()
+    assert(enriched.count() == nEvents)
+    assert(enriched.select("event_id").distinct().count() == nEvents)
+  }
+
+  test("kafka source/sink config shape and upsert record encoding") {
+    val src = KafkaConfig.sourceOptions("broker:9092", "engagement_events")
+    assert(src("kafka.bootstrap.servers") == "broker:9092")
+    assert(src("subscribe") == "engagement_events")
+    assert(src("startingOffsets") == "earliest")
+    assert(src("failOnDataLoss") == "false")
+    val snk = KafkaConfig.sinkOptions("broker:9092", "out_topic", "/tmp/ckpt")
+    assert(snk("topic") == "out_topic" && snk("checkpointLocation") == "/tmp/ckpt")
+
+    val events = graft.sources.Tables.events(spark, sf)
+    val recs = KafkaConfig.toUpsertRecords(events, Seq("event_id"))
+    assert(recs.columns.toSeq == Seq("key", "value"))
+    val first = recs.limit(1).collect()(0)
+    assert(first.getString(0).startsWith("""{"event_id""""))
+    assert(first.getString(1).contains(""""event_type""""))
+    assert(recs.count() == events.count())
+  }
+}
