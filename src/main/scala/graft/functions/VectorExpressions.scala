@@ -159,6 +159,56 @@ case class SimHash64(child: Expression)
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+object MinHash {
+  /** One-pass MinHash: each token is string-hashed ONCE
+    * (FNV-1a + avalanche), then the `nHashes` per-permutation values
+    * derive from that 64-bit h via the splitmix64 stream
+    * (mix(h + p*golden)) — 64 long-ops instead of 64 re-hashes of
+    * the string bytes. Called from both the interpreted eval and the
+    * generated code. */
+  def compute(arr: ArrayData, nHashes: Int): ArrayData = {
+    val mins = Array.fill(nHashes)(Long.MaxValue)
+    var i = 0
+    while (i < arr.numElements()) {
+      if (!arr.isNullAt(i)) {
+        val h = Hash64.mix(Hash64.fnv1a(arr.getUTF8String(i)))
+        var p = 0
+        while (p < nHashes) {
+          val v = Hash64.mix(h + p * 0x9e3779b97f4a7c15L)
+          if (v < mins(p)) mins(p) = v
+          p += 1
+        }
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(mins)
+  }
+}
+
+/** minhash signature over an array<string> token/shingle column
+  * (Broder 1997): sig[p] = min over tokens of h_p(token). The
+  * equivalent nested higher-order-function formulation
+  * (`transform(sequence(...), p -> array_min(transform(...)))`) runs
+  * interpreted and re-hashes every string per permutation — measured
+  * 86s vs <2s at sf0.1 for the 64-hash signature over ~200-shingle
+  * docs. */
+case class MinHashSignature(child: Expression, nHashes: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(StringType))
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_minhash"
+
+  override def nullSafeEval(input: Any): Any =
+    MinHash.compute(input.asInstanceOf[ArrayData], nHashes)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, arr =>
+      s"${ev.value} = graft.functions.MinHash.compute($arr, $nHashes);")
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** Random-hyperplane LSH signature (Charikar 2002): bit p of the
   * result = sign(dot(embedding, plane_p)), planes derived from
   * `seed` via [[Hash64.planeVal]] — computed inline per (p, d), so
@@ -230,7 +280,10 @@ object GraftFunctions {
       es => SimHash64(es.head)),
     ("graft_hyperplane_sig",
       new ExpressionInfo(classOf[HyperplaneSignature].getName, "graft_hyperplane_sig"),
-      es => HyperplaneSignature(es(0), litLong(es(1)), litLong(es(2)).toInt)))
+      es => HyperplaneSignature(es(0), litLong(es(1)), litLong(es(2)).toInt)),
+    ("graft_minhash",
+      new ExpressionInfo(classOf[MinHashSignature].getName, "graft_minhash"),
+      es => MinHashSignature(es(0), litLong(es(1)).toInt)))
 
   /** Idempotent registration for sessions not built with
     * `spark.sql.extensions=graft.GraftExtensions`; no-ops (and logs

@@ -33,9 +33,15 @@ object TextOps {
     import spark.implicits._
     val d = Tables.documents(spark, dir)
       .select($"doc_id", $"source", array_distinct(split($"text", " ")).as("words"))
+      .withColumn("nw", size($"words"))
     val a = d.alias("a")
     val b = d.alias("b")
-    a.join(b, col("a.source") === col("b.source") && col("a.doc_id") < col("b.doc_id"))
+    // lossless length prefilter: J(A,B) <= min(|A|,|B|)/max(|A|,|B|),
+    // so pairs failing the size ratio can never reach the threshold —
+    // pruned BEFORE the per-pair set intersection
+    a.join(b, col("a.source") === col("b.source") && col("a.doc_id") < col("b.doc_id")
+        && least(col("a.nw"), col("b.nw")).cast("double")
+           >= lit(threshold) * greatest(col("a.nw"), col("b.nw")))
       .withColumn("inter", size(array_intersect(col("a.words"), col("b.words"))))
       .withColumn("jaccard",
         round($"inter".cast("double") /
