@@ -241,6 +241,21 @@ object SparkEntry {
         |       CASE WHEN n_bytes % 3 = 0 THEN 'png' WHEN n_bytes % 3 = 1 THEN 'jpeg' ELSE 'webp' END AS format
         |FROM m ORDER BY doc_id""".stripMargin,
 
+    // mirrors the deterministic stub kernel in Multimodal.decodeKernel
+    // byte-for-byte (test corpus is pure ASCII, so ascii() = byte value)
+    "multimodal_decode" ->
+      """WITH m AS (SELECT doc_id,
+        |                  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |                  ascii(substr(text, 1, 1)) AS b0,
+        |                  ascii(substr(text, 2, 1)) AS b1
+        |           FROM documents)
+        |SELECT doc_id, n_bytes,
+        |       CAST((b0 * 256 + b1) % 1920 + 1 AS INT) AS width,
+        |       CAST((b1 * 256 + b0) % 1080 + 1 AS INT) AS height,
+        |       CASE WHEN n_bytes % 3 = 0 THEN 'png' WHEN n_bytes % 3 = 1 THEN 'jpeg' ELSE 'webp' END AS format,
+        |       CAST(n_bytes % 64 + 1 AS INT) AS n_frames
+        |FROM m ORDER BY doc_id""".stripMargin,
+
     "embedding_neardup" ->
       """WITH p AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
         |                  list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) AS c
