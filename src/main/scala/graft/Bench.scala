@@ -24,8 +24,18 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Untimed warm-up: JIT + codegen infrastructure + parquet reader +
+    // noop sink init. Without it the first timed query absorbs ~6s of
+    // one-time session cost regardless of what it computes.
+    try spark.read.parquet(s"$sfDir/region.parquet")
+      .groupBy("r_regionkey").count().orderBy("r_regionkey")
+      .write.format("noop").mode("overwrite").save()
+    catch { case _: Throwable => () }
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    val selected =
+      if (args.nonEmpty) SparkEntry.queries.view.filterKeys(args.toSet).toMap
+      else SparkEntry.queries
+    val results = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch {

@@ -40,7 +40,7 @@ object SparkEntry {
     "approx_distinct_daily" -> Olap.approxDistinctDaily _,
     "rollup_sales"          -> Olap.rollupSales _,
     "semi_anti_customers"   -> Olap.semiAntiCustomers _,
-    "percentile_stats"      -> Olap.percentileStats _,
+    "percentile_stats"      -> ((s: SparkSession, d: String) => Olap.percentileStats(s, d)),
     "skew_salted_join"      -> ((s: SparkSession, d: String) => Olap.skewSaltedJoin(s, d)),
     // LLM training-data pipeline
     "dedup_exact"        -> TextOps.dedupExact _,

@@ -262,6 +262,60 @@ case class HyperplaneSignature(child: Expression, seed: Long, nPlanes: Int)
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+object DocFingerprintKernel {
+  private def firstCp(t: UTF8String): Long =
+    if (t.numBytes == 0) 0L
+    else {
+      val b = t.getByte(0)
+      if (b >= 0) b.toLong else t.toString.codePointAt(0).toLong
+    }
+
+  private def lastCp(t: UTF8String): Long =
+    if (t.numBytes == 0) 0L
+    else {
+      val b = t.getByte(t.numBytes - 1)
+      if (b >= 0) b.toLong
+      else { val s = t.toString; s.codePointBefore(s.length).toLong }
+    }
+
+  /** Σ i · (chars(tok_i)·131 + cp(first)·7 + cp(last)) mod 1e9+7 —
+    * identical to the SQL/DuckDB formulation (ascii() = first/last
+    * codepoint; single-byte fast path). */
+  def compute(arr: ArrayData): Long = {
+    var acc = 0L
+    var i = 0
+    while (i < arr.numElements()) {
+      if (!arr.isNullAt(i)) {
+        val t = arr.getUTF8String(i)
+        acc += (i + 1).toLong * (t.numChars().toLong * 131L + firstCp(t) * 7L + lastCp(t))
+      }
+      i += 1
+    }
+    Math.floorMod(acc, 1000000007L)
+  }
+}
+
+/** Position-weighted polynomial document fingerprint over a token
+  * array — the codegen'd twin of the `aggregate(transform(...))` SQL
+  * formulation (which runs interpreted and re-evaluates per-token
+  * subexpressions). */
+case class DocFingerprint(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(StringType))
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_doc_fingerprint"
+
+  override def nullSafeEval(input: Any): Any =
+    DocFingerprintKernel.compute(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, arr =>
+      s"${ev.value} = graft.functions.DocFingerprintKernel.compute($arr);")
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 object GraftFunctions {
   type Builder = Seq[Expression] => Expression
 
@@ -283,7 +337,10 @@ object GraftFunctions {
       es => HyperplaneSignature(es(0), litLong(es(1)), litLong(es(2)).toInt)),
     ("graft_minhash",
       new ExpressionInfo(classOf[MinHashSignature].getName, "graft_minhash"),
-      es => MinHashSignature(es(0), litLong(es(1)).toInt)))
+      es => MinHashSignature(es(0), litLong(es(1)).toInt)),
+    ("graft_doc_fingerprint",
+      new ExpressionInfo(classOf[DocFingerprint].getName, "graft_doc_fingerprint"),
+      es => DocFingerprint(es.head)))
 
   /** Idempotent registration for sessions not built with
     * `spark.sql.extensions=graft.GraftExtensions`; no-ops (and logs

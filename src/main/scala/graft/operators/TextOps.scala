@@ -153,20 +153,18 @@ object TextOps {
 
   /** Position-weighted polynomial fingerprint over the token stream —
     * order-sensitive (unlike a bag-of-words hash), cheap, and
-    * reproducible in any engine with list lambdas. The heavier
-    * shingle-based fingerprints live in Dedup (MinHash/SimHash). */
+    * reproducible in any engine with list lambdas (the DuckDB oracle
+    * uses exactly that formulation). Computed by the codegen'd
+    * [[graft.functions.DocFingerprint]] expression — the
+    * `aggregate(transform(...))` SQL equivalent runs interpreted and
+    * ~5× slower. The heavier shingle-based fingerprints live in
+    * Dedup (MinHash/SimHash). */
   def docFingerprint(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
     Tables.documents(spark, dir)
-      .withColumn("toks", split($"text", " "))
-      .withColumn("fp", expr(
-        """pmod(aggregate(
-          |  transform(sequence(1, size(toks)),
-          |    i -> cast(i as bigint) * (length(element_at(toks, i)) * 131
-          |         + ascii(substr(element_at(toks, i), 1, 1)) * 7
-          |         + ascii(right(element_at(toks, i), 1)))),
-          |  cast(0 as bigint), (acc, x) -> acc + x), 1000000007)""".stripMargin))
-      .select($"doc_id", $"fp")
+      .select($"doc_id",
+        call_function("graft_doc_fingerprint", split($"text", " ")).as("fp"))
       .orderBy($"doc_id")
   }
 
