@@ -262,6 +262,47 @@ case class HyperplaneSignature(child: Expression, seed: Long, nPlanes: Int)
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+object IntersectKernel {
+  /** |A ∩ B| for two SORTED, DISTINCT string arrays via a two-pointer
+    * merge walk — no hash set, no materialized intersection array
+    * (`size(array_intersect(a, b))` builds both per evaluation). */
+  def size(a: ArrayData, b: ArrayData): Int = {
+    val na = a.numElements(); val nb = b.numElements()
+    var i = 0; var j = 0; var n = 0
+    while (i < na && j < nb) {
+      val x = a.getUTF8String(i); val y = b.getUTF8String(j)
+      val c = x.compareTo(y)
+      if (c == 0) { n += 1; i += 1; j += 1 }
+      else if (c < 0) i += 1
+      else j += 1
+    }
+    n
+  }
+}
+
+/** Intersection cardinality of two sorted distinct string arrays —
+  * the allocation-free core of exact Jaccard verification. Callers
+  * must pre-sort (`array_sort(array_distinct(...))`), which happens
+  * once per document instead of per pair. */
+case class SortedIntersectSize(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[DataType] =
+    Seq(ArrayType(StringType), ArrayType(StringType))
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "graft_sorted_intersect_size"
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    IntersectKernel.size(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.IntersectKernel.size($a, $b);")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
 object DocFingerprintKernel {
   private def firstCp(t: UTF8String): Long =
     if (t.numBytes == 0) 0L
@@ -340,7 +381,10 @@ object GraftFunctions {
       es => MinHashSignature(es(0), litLong(es(1)).toInt)),
     ("graft_doc_fingerprint",
       new ExpressionInfo(classOf[DocFingerprint].getName, "graft_doc_fingerprint"),
-      es => DocFingerprint(es.head)))
+      es => DocFingerprint(es.head)),
+    ("graft_sorted_intersect_size",
+      new ExpressionInfo(classOf[SortedIntersectSize].getName, "graft_sorted_intersect_size"),
+      es => SortedIntersectSize(es(0), es(1))))
 
   /** Idempotent registration for sessions not built with
     * `spark.sql.extensions=graft.GraftExtensions`; no-ops (and logs

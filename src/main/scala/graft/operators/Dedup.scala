@@ -88,11 +88,11 @@ object Dedup {
 
     // Exact verification: fetch shingle sets for candidate docs only.
     val sets = Tables.documents(spark, dir)
-      .select($"doc_id", array_distinct(expr(shingleExpr)).as("sh"))
+      .select($"doc_id", array_sort(array_distinct(expr(shingleExpr))).as("sh"))
     candidates
       .join(sets.select($"doc_id".as("id_a"), $"sh".as("da")), Seq("id_a"))
       .join(sets.select($"doc_id".as("id_b"), $"sh".as("db")), Seq("id_b"))
-      .withColumn("inter", size(array_intersect($"da", $"db")))
+      .withColumn("inter", call_function("graft_sorted_intersect_size", $"da", $"db"))
       .withColumn("jaccard",
         round($"inter".cast("double") / (size($"da") + size($"db") - $"inter"), 4))
       .filter($"jaccard" >= threshold)

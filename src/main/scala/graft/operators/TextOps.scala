@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.sources.Tables
@@ -29,25 +30,56 @@ object TextOps {
     * The blocking key turns the O(n²) cross join into per-block
     * joins — the exactness oracle against which the MinHash-LSH
     * path (Dedup.minHashLsh) is measured. */
+  /** Exact set-similarity join via prefix filtering (AllPairs /
+    * PPJoin family — Bayardo et al. 2007): identical output to the
+    * naive blocked cross join, but candidates come from an inverted
+    * index over each document's PREFIX — its `|A| - ceil(t·|A|) + 1`
+    * rarest tokens under a global frequency order. Two documents
+    * with J ≥ t must share a prefix token (pigeonhole), so the
+    * quadratic block join shrinks to short rare-token posting-list
+    * joins; survivors are verified with the allocation-free sorted
+    * merge walk. This IS the production-exact path at scale — the
+    * shuffles carry (doc_id, token) postings and id pairs, never
+    * full documents. */
   def wordJaccardPairs(spark: SparkSession, dir: String, threshold: Double = 0.75): DataFrame = {
     import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
     val d = Tables.documents(spark, dir)
-      .select($"doc_id", $"source", array_distinct(split($"text", " ")).as("words"))
+      .select($"doc_id", $"source", array_sort(array_distinct(split($"text", " "))).as("words"))
       .withColumn("nw", size($"words"))
-    val a = d.alias("a")
-    val b = d.alias("b")
-    // lossless length prefilter: J(A,B) <= min(|A|,|B|)/max(|A|,|B|),
-    // so pairs failing the size ratio can never reach the threshold —
-    // pruned BEFORE the per-pair set intersection
-    a.join(b, col("a.source") === col("b.source") && col("a.doc_id") < col("b.doc_id")
-        && least(col("a.nw"), col("b.nw")).cast("double")
-           >= lit(threshold) * greatest(col("a.nw"), col("b.nw")))
-      .withColumn("inter", size(array_intersect(col("a.words"), col("b.words"))))
+
+    // global ascending document frequency = the token rarity order
+    val postings = d.select($"doc_id", $"source", $"nw", explode($"words").as("tok"))
+    val docFreq = postings.groupBy($"tok").agg(count("*").as("df"))
+
+    // prefix = the L rarest tokens per doc, L = nw - ceil(t·nw) + 1
+    val byRarity = Window.partitionBy($"doc_id").orderBy($"df", $"tok")
+    val prefixes = postings.join(docFreq, "tok")
+      .withColumn("rk", row_number().over(byRarity))
+      .filter($"rk" <= $"nw" - ceil(lit(threshold) * $"nw") + 1)
+      .select($"doc_id", $"source", $"nw", $"tok")
+
+    // candidates share a prefix token (+ lossless size-ratio filter:
+    // J <= min/max)
+    val candidates = prefixes.as("a")
+      .join(prefixes.as("b"),
+        col("a.source") === col("b.source") && col("a.tok") === col("b.tok")
+          && col("a.doc_id") < col("b.doc_id")
+          && least(col("a.nw"), col("b.nw")).cast("double")
+             >= lit(threshold) * greatest(col("a.nw"), col("b.nw")))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .dropDuplicates("id_a", "id_b")
+
+    // exact verification on the surviving pairs only
+    val sets = d.select($"doc_id", $"words", $"nw")
+    candidates
+      .join(sets.select($"doc_id".as("id_a"), $"words".as("wa"), $"nw".as("na")), Seq("id_a"))
+      .join(sets.select($"doc_id".as("id_b"), $"words".as("wb"), $"nw".as("nb")), Seq("id_b"))
+      .withColumn("inter", call_function("graft_sorted_intersect_size", $"wa", $"wb"))
       .withColumn("jaccard",
-        round($"inter".cast("double") /
-          (size(col("a.words")) + size(col("b.words")) - $"inter"), 4))
+        round($"inter".cast("double") / ($"na" + $"nb" - $"inter"), 4))
       .filter($"jaccard" >= threshold)
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"), $"jaccard")
+      .select($"id_a".as("doc_a"), $"id_b".as("doc_b"), $"jaccard")
       .orderBy($"doc_a", $"doc_b")
   }
 

@@ -64,6 +64,22 @@ class BatchOperatorsSpec extends AnyFunSuite {
     assert(lsh == exact, s"lsh=${lsh.size} exact=${exact.size} diff=${(lsh diff exact) ++ (exact diff lsh)}")
   }
 
+  test("prefix-filtered jaccard join equals naive blocked cross join") {
+    import org.apache.spark.sql.functions._
+    val d = graft.sources.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("source"), array_distinct(split(col("text"), " ")).as("words"))
+    val naive = d.alias("a").join(d.alias("b"),
+        col("a.source") === col("b.source") && col("a.doc_id") < col("b.doc_id"))
+      .withColumn("inter", size(array_intersect(col("a.words"), col("b.words"))))
+      .withColumn("jaccard", round(col("inter").cast("double") /
+        (size(col("a.words")) + size(col("b.words")) - col("inter")), 4))
+      .filter(col("jaccard") >= 0.75)
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"), col("jaccard"))
+      .collect().toSet
+    val fast = SparkEntry.queries("word_jaccard_pairs")(spark, sf).collect().toSet
+    assert(fast == naive, s"fast=${fast.size} naive=${naive.size}")
+  }
+
   test("simhash pigeonhole join equals brute-force hamming pairs") {
     import org.apache.spark.sql.functions._
     graft.functions.GraftFunctions.register(spark)
