@@ -56,6 +56,7 @@ object SparkEntry {
     "embedding_neardup"  -> ((s: SparkSession, d: String) => VectorOps.embeddingNearDup(s, d)),
     "ann_topk"           -> ((s: SparkSession, d: String) => VectorOps.annTopK(s, d)),
     "ann_lsh_topk"       -> ((s: SparkSession, d: String) => VectorOps.annLshTopK(s, d)),
+    "ann_ivf_topk"       -> ((s: SparkSession, d: String) => VectorOps.annIvfTopK(s, d)),
   )
 
   /** DuckDB-runnable oracle for each SQL-expressible query.

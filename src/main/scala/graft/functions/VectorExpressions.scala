@@ -357,6 +357,76 @@ case class DocFingerprint(child: Expression)
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+object IvfKernel {
+  /** Normalized dot products of `v` against the `k` hash-derived
+    * coarse centroids (centroid c, dim d = Hash64.planeVal(seed, c,
+    * d); normalized so argmax ~ cosine argmax). Training-free IVF:
+    * real deployments replace the centroid function with k-means
+    * cells — the plumbing (assign / multi-probe / per-cell join) is
+    * identical. */
+  private def cellScores(v: ArrayData, seed: Long, k: Int): Array[Double] = {
+    val dim = v.numElements()
+    val out = new Array[Double](k)
+    var c = 0
+    while (c < k) {
+      var dot = 0.0
+      var norm = 0.0
+      var d = 0
+      while (d < dim) {
+        val p = Hash64.planeVal(seed, c, d)
+        dot += v.getFloat(d) * p
+        norm += p * p
+        d += 1
+      }
+      out(c) = if (norm == 0.0) 0.0 else dot / math.sqrt(norm)
+      c += 1
+    }
+    out
+  }
+
+  def assign(v: ArrayData, seed: Long, k: Int): Int = {
+    val s = cellScores(v, seed, k)
+    var best = 0
+    var c = 1
+    while (c < k) { if (s(c) > s(best)) best = c; c += 1 }
+    best
+  }
+
+  def probe(v: ArrayData, seed: Long, k: Int, nProbe: Int): ArrayData = {
+    val s = cellScores(v, seed, k)
+    val idx = Array.tabulate(k)(identity).sortBy(c => (-s(c), c)).take(nProbe)
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(idx)
+  }
+}
+
+/** IVF cell assignment: index of the nearest coarse centroid. */
+case class IvfAssign(child: Expression, seed: Long, nCells: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(FloatType))
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "graft_ivf_assign"
+  override def nullSafeEval(input: Any): Any =
+    IvfKernel.assign(input.asInstanceOf[ArrayData], seed, nCells)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, arr =>
+      s"${ev.value} = graft.functions.IvfKernel.assign($arr, ${seed}L, $nCells);")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** IVF multi-probe: the nProbe nearest cells, best first. */
+case class IvfProbe(child: Expression, seed: Long, nCells: Int, nProbe: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(FloatType))
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "graft_ivf_probe"
+  override def nullSafeEval(input: Any): Any =
+    IvfKernel.probe(input.asInstanceOf[ArrayData], seed, nCells, nProbe)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, arr =>
+      s"${ev.value} = graft.functions.IvfKernel.probe($arr, ${seed}L, $nCells, $nProbe);")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 object GraftFunctions {
   type Builder = Seq[Expression] => Expression
 
@@ -384,7 +454,13 @@ object GraftFunctions {
       es => DocFingerprint(es.head)),
     ("graft_sorted_intersect_size",
       new ExpressionInfo(classOf[SortedIntersectSize].getName, "graft_sorted_intersect_size"),
-      es => SortedIntersectSize(es(0), es(1))))
+      es => SortedIntersectSize(es(0), es(1))),
+    ("graft_ivf_assign",
+      new ExpressionInfo(classOf[IvfAssign].getName, "graft_ivf_assign"),
+      es => IvfAssign(es(0), litLong(es(1)), litLong(es(2)).toInt)),
+    ("graft_ivf_probe",
+      new ExpressionInfo(classOf[IvfProbe].getName, "graft_ivf_probe"),
+      es => IvfProbe(es(0), litLong(es(1)), litLong(es(2)).toInt, litLong(es(3)).toInt)))
 
   /** Idempotent registration for sessions not built with
     * `spark.sql.extensions=graft.GraftExtensions`; no-ops (and logs

@@ -60,6 +60,36 @@ object VectorOps {
       .orderBy($"query_id", $"rank")
   }
 
+  /** IVF-style approximate top-k: corpus vectors are assigned to
+    * their nearest coarse centroid cell ([[graft.functions.IvfAssign]],
+    * hash-derived training-free centroids — swap in k-means cells in
+    * production, the plumbing is identical); each query probes its
+    * `nProbe` nearest cells ([[graft.functions.IvfProbe]]) and
+    * re-ranks exactly within them. The complementary ANN shape to
+    * [[annLshTopK]]: cells partition the corpus (1 row per vector —
+    * no explode), probes fan out only on the tiny broadcast query
+    * side. Approximate (rows-only oracle); recall vs [[annTopK]]
+    * measured in the spec. */
+  def annIvfTopK(spark: SparkSession, dir: String, k: Int = 5, nQueries: Int = 10,
+                 nCells: Int = 16, nProbe: Int = 4, seed: Long = 7L): DataFrame = {
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    val e = Tables.embeddings(spark, dir).select($"vec_id", $"embedding")
+    val corpus = e.filter($"vec_id" >= nQueries)
+      .withColumn("cell", call_function("graft_ivf_assign", $"embedding", lit(seed), lit(nCells)))
+    val queries = e.filter($"vec_id" < nQueries)
+      .select($"vec_id".as("query_id"), $"embedding".as("q_emb"),
+        explode(call_function("graft_ivf_probe", $"embedding", lit(seed), lit(nCells), lit(nProbe)))
+          .as("cell"))
+    corpus.join(broadcast(queries), Seq("cell"))
+      .select($"query_id", $"vec_id", cosine($"q_emb", $"embedding").as("cos"))
+      .withColumn("rank", row_number()
+        .over(Window.partitionBy($"query_id").orderBy($"cos".desc, $"vec_id")).cast("long"))
+      .filter($"rank" <= k)
+      .select($"query_id", $"vec_id".as("neighbor_id"), $"rank", round($"cos", 4).as("cosine"))
+      .orderBy($"query_id", $"rank")
+  }
+
   /** LSH-bucketed approximate top-k: random-hyperplane signatures
     * ([[graft.functions.HyperplaneSignature]], codegen'd, planes
     * derived from the seed — no materialized plane matrix, no

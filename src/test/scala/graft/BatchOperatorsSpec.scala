@@ -109,6 +109,15 @@ class BatchOperatorsSpec extends AnyFunSuite {
     assert(recall >= 0.4, s"recall=$recall (${(exact intersect lsh).size}/${exact.size})")
   }
 
+  test("ann_ivf_topk recall vs exact ann_topk") {
+    def pairs(name: String) = SparkEntry.queries(name)(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairs("ann_topk")
+    val ivf = pairs("ann_ivf_topk")
+    val recall = (exact intersect ivf).size.toDouble / exact.size
+    assert(recall >= 0.3, s"recall=$recall (${(exact intersect ivf).size}/${exact.size})")
+  }
+
   test("graft functions are SQL-visible via GraftExtensions") {
     val r = spark.sql(
       "SELECT graft_cosine(array(cast(1.0 as float), cast(0.0 as float)), array(cast(1.0 as float), cast(0.0 as float))) AS c," +
