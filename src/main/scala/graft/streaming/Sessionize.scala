@@ -1,6 +1,6 @@
 package graft.streaming
 
-import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import java.nio.file.{Files, Paths, StandardCopyOption}
 import java.sql.Timestamp
 
 import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
@@ -112,17 +112,19 @@ object Sessionize {
 
     val schema = raw.schema
     val tenDaysNs = 10L * 86400L * 1000000000L
-    def sentinel(i: Int): Path = {
-      val row = Row(-i.toLong, maxNanos + i * tenDaysNs, -i.toLong, "sentinel", 0.0, "{}")
-      val df = spark.createDataFrame(java.util.List.of(row), schema).coalesce(1)
-      val stage = Paths.get(work, s"stage$i")
-      df.write.mode("overwrite").parquet(stage.toString)
-      val part = Files.list(stage).filter(_.getFileName.toString.endsWith(".parquet"))
-        .findFirst().get()
-      Files.move(part, inputDir.resolve(f"00$i%d_sentinel.parquet"),
-        StandardCopyOption.REPLACE_EXISTING)
-    }
-    sentinel(1); sentinel(2)
+    val row = Row(-1L, maxNanos + tenDaysNs, -1L, "sentinel", 0.0, "{}")
+    val df = spark.createDataFrame(java.util.List.of(row), schema).coalesce(1)
+    val stage = Paths.get(work, "stage")
+    df.write.mode("overwrite").parquet(stage.toString)
+    val part = Files.list(stage).filter(_.getFileName.toString.endsWith(".parquet"))
+      .findFirst().get()
+    Files.move(part, inputDir.resolve("001_sentinel.parquet"),
+      StandardCopyOption.REPLACE_EXISTING)
+    // the third batch only needs to EXIST to carry the watermark past
+    // sentinel 1 (watermark lags one batch); a byte-identical copy of
+    // the sentinel file works and saves a Spark write job
+    Files.copy(inputDir.resolve("001_sentinel.parquet"),
+      inputDir.resolve("002_sentinel.parquet"))
     // strictly increasing mod-times => deterministic batch order
     val t0 = Files.getLastModifiedTime(inputDir.resolve("000_events.parquet")).toMillis
     Seq("000_events.parquet", "001_sentinel.parquet", "002_sentinel.parquet").zipWithIndex
