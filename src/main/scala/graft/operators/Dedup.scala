@@ -60,10 +60,14 @@ object Dedup {
     sigCache.getOrElseUpdate((spark, dir, nHashes), {
       import spark.implicits._
       GraftFunctions.register(spark)
-      Tables.documents(spark, dir)
+      val t = Tables.documents(spark, dir)
         .select($"doc_id",
           call_function("graft_minhash", expr(shingleExpr), lit(nHashes)).as("sig"))
         .persist(StorageLevel.MEMORY_AND_DISK)
+      // eager: the banded self-join's sides + broadcast threads must
+      // not race to fill the cache (per-partition block-lock waits)
+      t.count()
+      t
     })
 
   def minHashLsh(spark: SparkSession, dir: String, threshold: Double = 0.5,
@@ -152,10 +156,12 @@ object Dedup {
     simCache.getOrElseUpdate((spark, dir), {
       import spark.implicits._
       GraftFunctions.register(spark)
-      Tables.documents(spark, dir)
+      val t = Tables.documents(spark, dir)
         .select($"doc_id",
           call_function("graft_simhash64", split($"text", " ")).as("sim"))
         .persist(StorageLevel.MEMORY_AND_DISK)
+      t.count()
+      t
     })
 
   def simHashPairs(spark: SparkSession, dir: String, maxHamming: Int = 3): DataFrame = {
