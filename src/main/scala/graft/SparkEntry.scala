@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.operators._
-import graft.streaming.{CdcCompact, EngagementStream, Sessionize}
+import graft.streaming.{CdcCompact, EngagementStream, Sessionize, StreamDedup}
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the inventory. */
 object SparkEntry {
@@ -23,6 +23,7 @@ object SparkEntry {
     "leaderboard_topn"   -> ((s: SparkSession, d: String) => Engagement.leaderboardTopN(s, d)),
     "event_router"       -> Engagement.eventRouter _,
     "json_extract_props" -> Engagement.jsonExtractProps _,
+    "asof_join"          -> Engagement.asofJoin _,
     // Structured Streaming (real engine: readStream -> AvailableNow),
     // checked against the same DuckDB oracles as their batch twins
     "stream_hop_agg"     -> EngagementStream.streamHopAgg _,
@@ -31,6 +32,7 @@ object SparkEntry {
     "stream_session_agg" -> Sessionize.streamSessionAgg _,
     "stream_router"      -> EngagementStream.streamRouter _,
     "stream_leaderboard" -> EngagementStream.streamLeaderboard _,
+    "stream_dedup"       -> StreamDedup.streamDedup _,
     // Analytic core
     "q1_pricing_summary"    -> Olap.q1PricingSummary _,
     "q3_top_orders"         -> Olap.q3TopOrders _,
@@ -73,7 +75,12 @@ object SparkEntry {
       "stream_cdc_compact" -> base("cdc_latest_by_key"),
       "stream_session_agg" -> base("session_window_agg"),
       "stream_router"      -> base("event_router"),
-      "stream_leaderboard" -> base("leaderboard_topn"))
+      "stream_leaderboard" -> base("leaderboard_topn"),
+      // a full replay of the input is 100% duplicates → the deduped
+      // stream equals the events table itself
+      "stream_dedup" ->
+        """SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value, props
+          |FROM events ORDER BY event_id""".stripMargin)
   }
 
   private def baseOracleSql: Map[String, String] = Map(
@@ -133,6 +140,18 @@ object SparkEntry {
       """SELECT TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_bucket,
         |       count(*) AS n, round(avg(value), 4) AS avg_value
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // orders are pre-compacted to one row per (custkey, date) with a
+    // deterministic tie-break, so ASOF's pick is unique in both engines
+    "asof_join" ->
+      """WITH o AS (SELECT o_custkey, o_orderdate, max(o_orderkey) AS last_orderkey,
+        |                  max_by(o_totalprice, o_orderkey) AS last_totalprice
+        |           FROM orders GROUP BY 1, 2)
+        |SELECT e.event_id, CAST(e.ts AS TIMESTAMP) AS ts, e.user_id,
+        |       o.last_orderkey, o.o_orderdate AS last_orderdate,
+        |       round(o.last_totalprice, 2) AS last_totalprice
+        |FROM events e ASOF LEFT JOIN o ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+        |ORDER BY e.event_id""".stripMargin,
 
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,

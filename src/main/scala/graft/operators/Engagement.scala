@@ -169,6 +169,54 @@ object Engagement {
       .orderBy($"route")
   }
 
+  /** As-of join: each event picks up the user's most recent order at
+    * or before the event's timestamp — the bounded-data cousin of the
+    * reference's `FOR SYSTEM_TIME AS OF` temporal join
+    * (`process.py:163-183`), where the "dimension" is itself
+    * versioned by time.
+    *
+    * Spark-first shape: NOT a key-join-then-filter (that materializes
+    * every (event, earlier-order) pair — quadratic in versions per
+    * key). Instead the classic distributed merge: union both inputs
+    * into one keyed timeline, one shuffle on the key, one in-partition
+    * sort, and `last(..., ignoreNulls)` carries the latest order
+    * forward onto each event row. O(n log n) per partition, constant
+    * state per row, spills through the sort machinery — the plan you
+    * want at 100 TB. Orders are first compacted to one row per
+    * (custkey, date) with a deterministic tie-break (max orderkey),
+    * which also makes the DuckDB `ASOF JOIN` oracle deterministic.
+    */
+  def asofJoin(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val o = Tables.orders(spark, dir)
+      .groupBy($"o_custkey", $"o_orderdate")
+      .agg(max($"o_orderkey").as("last_orderkey"),
+        max_by($"o_totalprice", $"o_orderkey").as("last_totalprice"))
+
+    // side 0 = order version rows, side 1 = event rows; at an equal
+    // timestamp the order sorts first, so `>=` (at-or-before) holds.
+    val ou = o.select($"o_custkey".as("user_id"), $"o_orderdate".as("t"),
+      lit(0).as("side"), lit(null).cast("long").as("event_id"),
+      $"last_orderkey", $"o_orderdate".as("last_orderdate"), $"last_totalprice")
+    val eu = Tables.events(spark, dir).select($"user_id", $"ts".as("t"),
+      lit(1).as("side"), $"event_id",
+      lit(null).cast("long").as("last_orderkey"),
+      lit(null).cast("timestamp").as("last_orderdate"),
+      lit(null).cast("double").as("last_totalprice"))
+
+    val w = Window.partitionBy($"user_id").orderBy($"t", $"side")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    ou.unionByName(eu)
+      .withColumn("lk", last($"last_orderkey", ignoreNulls = true).over(w))
+      .withColumn("ld", last($"last_orderdate", ignoreNulls = true).over(w))
+      .withColumn("lp", last($"last_totalprice", ignoreNulls = true).over(w))
+      .filter($"side" === 1)
+      .select($"event_id", $"t".as("ts"), $"user_id",
+        $"lk".as("last_orderkey"), $"ld".as("last_orderdate"),
+        round($"lp", 2).as("last_totalprice"))
+      .orderBy($"event_id")
+  }
+
   /** JSON payload extraction (the reference's `raw_payload JSONB`).
     *
     * `get_json_object` is a codegen'd Catalyst expression — no UDF.

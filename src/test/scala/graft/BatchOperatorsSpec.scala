@@ -80,6 +80,25 @@ class BatchOperatorsSpec extends AnyFunSuite {
     assert(fast == naive, s"fast=${fast.size} naive=${naive.size}")
   }
 
+  test("asof_join equals naive join-filter-rank and never looks ahead") {
+    import org.apache.spark.sql.functions._
+    val df = SparkEntry.queries("asof_join")(spark, sf)
+    assert(df.filter(col("last_orderdate") > col("ts")).count() == 0)
+
+    val e = graft.sources.Tables.events(spark, sf)
+    val o = graft.sources.Tables.orders(spark, sf)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("event_id"))
+      .orderBy(col("o_orderdate").desc_nulls_last, col("o_orderkey").desc_nulls_last)
+    val naive = e.join(o, e("user_id") === o("o_custkey") && o("o_orderdate") <= e("ts"), "left")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("event_id"), col("o_orderkey"))
+      .collect().map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1))).toSet
+    val merged = df.select(col("event_id"), col("last_orderkey"))
+      .collect().map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1))).toSet
+    assert(merged == naive, s"merged=${merged.size} naive=${naive.size}")
+  }
+
   test("simhash pigeonhole join equals brute-force hamming pairs") {
     import org.apache.spark.sql.functions._
     graft.functions.GraftFunctions.register(spark)

@@ -51,6 +51,14 @@ class StreamingSpec extends AnyFunSuite {
     assert(enriched.select("event_id").distinct().count() == nEvents)
   }
 
+  test("stream_dedup drops a full replay across micro-batches") {
+    val out = rows("stream_dedup")
+    val events = graft.sources.Tables.events(spark, sf)
+    assert(out.size == events.count())
+    val ids = out.map(_.getLong(0))
+    assert(ids.distinct.size == ids.size, "duplicate event_ids survived")
+  }
+
   test("kafka source/sink config shape and upsert record encoding") {
     val src = KafkaConfig.sourceOptions("broker:9092", "engagement_events")
     assert(src("kafka.bootstrap.servers") == "broker:9092")
