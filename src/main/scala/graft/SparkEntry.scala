@@ -33,6 +33,7 @@ object SparkEntry {
     "stream_router"      -> EngagementStream.streamRouter _,
     "stream_leaderboard" -> EngagementStream.streamLeaderboard _,
     "stream_dedup"       -> StreamDedup.streamDedup _,
+    "stream_interval_join" -> EngagementStream.streamIntervalJoin _,
     // Analytic core
     "q1_pricing_summary"    -> Olap.q1PricingSummary _,
     "q3_top_orders"         -> Olap.q3TopOrders _,
@@ -44,6 +45,7 @@ object SparkEntry {
     "semi_anti_customers"   -> Olap.semiAntiCustomers _,
     "percentile_stats"      -> ((s: SparkSession, d: String) => Olap.percentileStats(s, d)),
     "skew_salted_join"      -> ((s: SparkSession, d: String) => Olap.skewSaltedJoin(s, d)),
+    "range_join_agg"        -> Olap.rangeJoinAgg _,
     // LLM training-data pipeline
     "dedup_exact"        -> TextOps.dedupExact _,
     "word_jaccard_pairs" -> ((s: SparkSession, d: String) => TextOps.wordJaccardPairs(s, d)),
@@ -80,7 +82,14 @@ object SparkEntry {
       // stream equals the events table itself
       "stream_dedup" ->
         """SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value, props
-          |FROM events ORDER BY event_id""".stripMargin)
+          |FROM events ORDER BY event_id""".stripMargin,
+      "stream_interval_join" ->
+        """SELECT c.event_id AS click_id, p.event_id AS purchase_id, c.user_id,
+          |       CAST(c.ts AS TIMESTAMP) AS click_ts, CAST(p.ts AS TIMESTAMP) AS purchase_ts
+          |FROM events c JOIN events p
+          |  ON c.user_id = p.user_id AND c.event_type = 'click' AND p.event_type = 'purchase'
+          | AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
+          |ORDER BY click_id, purchase_id""".stripMargin)
   }
 
   private def baseOracleSql: Map[String, String] = Map(
@@ -225,6 +234,15 @@ object SparkEntry {
       """SELECT c_mktsegment, count(*) AS n, round(sum(value), 2) AS total
         |FROM events JOIN customer ON user_id = c_custkey
         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    "range_join_agg" ->
+      """SELECT e.event_id, count(f.event_id) AS n_nearby,
+        |       round(coalesce(sum(f.value), 0), 2) AS nearby_value
+        |FROM events e LEFT JOIN events f
+        |  ON f.event_id != e.event_id
+        | AND f.ts >= e.ts - INTERVAL 300 SECOND
+        | AND f.ts <= e.ts + INTERVAL 300 SECOND
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "dedup_exact" ->
       """SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, count(*) AS n_copies

@@ -190,6 +190,45 @@ object Olap {
       .orderBy($"l_returnflag")
   }
 
+  /** Range (interval) join without an equi-key, done the scale-safe
+    * way: for each event, aggregate every OTHER event (any user)
+    * within ±5 minutes — co-occurrence density, the interval-join
+    * shape behind burst detection and attribution windows.
+    *
+    * A naive plan is a broadcast-nested-loop over every event pair —
+    * quadratic, the classic range-join trap. Bucketization
+    * manufactures the missing equi-key: both sides are keyed by the
+    * 5-minute epoch bucket (bucket width = window half-width), the
+    * probe side fans out to the 3 buckets its window can touch, the
+    * join is a plain hash equi-join on the bucket, and the exact
+    * interval predicate filters inside. Each qualifying pair meets in
+    * exactly one bucket (the build row's own), so no dedup is needed.
+    * Shuffle volume is 3·|probe| + |build|, never |probe|·|build| —
+    * the expansion-join shape, expressed declaratively.
+    */
+  def rangeJoinAgg(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val bucketSecs = 300L
+    val ev = Tables.events(spark, dir)
+    val probe = ev
+      .select($"event_id", $"ts",
+        (unix_timestamp($"ts") / bucketSecs).cast("long").as("b0"))
+      .select($"event_id", $"ts", explode(sequence($"b0" - 1, $"b0" + 1)).as("bucket"))
+    val build = ev
+      .select($"event_id".as("f_id"), $"ts".as("f_ts"), $"value".as("f_value"),
+        (unix_timestamp($"ts") / bucketSecs).cast("long").as("bucket"))
+    probe.join(build,
+        probe("bucket") === build("bucket")
+          && $"f_id" =!= $"event_id"
+          && $"f_ts" >= $"ts" - expr(s"INTERVAL $bucketSecs SECONDS")
+          && $"f_ts" <= $"ts" + expr(s"INTERVAL $bucketSecs SECONDS"),
+        "left")
+      .groupBy($"event_id")
+      .agg(count($"f_id").as("n_nearby"),
+        round(coalesce(sum($"f_value"), lit(0.0)), 2).as("nearby_value"))
+      .orderBy($"event_id")
+  }
+
   /** Skew-aware salted join. events.user_id is zipfian-ish; on a
     * plain shuffle join the hot keys pin single reducers. Salting
     * replicates the dim S ways and splits each hot fact key across S

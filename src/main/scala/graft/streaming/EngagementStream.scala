@@ -50,6 +50,36 @@ object EngagementStream {
       OutputMode.Append())
       .orderBy(col("event_id"))
 
+  /** Stream-stream interval join (click→purchase attribution): each
+    * purchase joins the same user's clicks from the preceding 30
+    * minutes. The missing-operator class next to windowed aggs and
+    * stateful dedup: BOTH sides are unbounded, so the engine buffers
+    * each side in keyed state and the event-time range condition +
+    * watermarks bound how long a click can wait for its purchase —
+    * state is evicted once the watermark passes click_ts + 30 min.
+    * That bound is exactly what makes a stream-stream join viable on
+    * an unbounded 100 TB/day feed; without the range condition state
+    * grows forever. Inner join ⇒ Append mode emits matches
+    * immediately. */
+  def streamIntervalJoin(spark: SparkSession, dir: String): DataFrame = {
+    val base = StreamSources.events(spark, dir)
+    val clicks = base.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"), col("ts").as("click_ts"))
+      .withWatermark("click_ts", "1 hour")
+    val purchases = base.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),
+        col("ts").as("purchase_ts"))
+      .withWatermark("purchase_ts", "1 hour")
+    val joined = clicks.join(purchases,
+      col("user_id") === col("p_user")
+        && col("purchase_ts") >= col("click_ts")
+        && col("purchase_ts") <= col("click_ts") + expr("INTERVAL 30 MINUTES"))
+      .select(col("click_id"), col("purchase_id"), col("user_id"),
+        col("click_ts"), col("purchase_ts"))
+    StreamSources.runToMemory(joined, OutputMode.Append())
+      .orderBy(col("click_id"), col("purchase_id"))
+  }
+
   /** Cumulative leaderboard state (the Redis ZINCRBY analog,
     * process.py:79-95): per micro-batch, partial per-user scores are
     * merged into a versioned parquet scoreboard. Only the (small)

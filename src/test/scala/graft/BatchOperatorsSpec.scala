@@ -99,6 +99,26 @@ class BatchOperatorsSpec extends AnyFunSuite {
     assert(merged == naive, s"merged=${merged.size} naive=${naive.size}")
   }
 
+  test("range_join_agg equals the naive quadratic interval join") {
+    import org.apache.spark.sql.functions._
+    val ev = graft.sources.Tables.events(spark, sf)
+    val probe = ev.select(col("event_id"), col("ts"))
+    val build = ev.select(col("event_id").as("f_id"), col("ts").as("f_ts"),
+      col("value").as("f_value"))
+    val naive = probe.join(build,
+        col("f_id") =!= col("event_id")
+          && col("f_ts") >= col("ts") - expr("INTERVAL 300 SECONDS")
+          && col("f_ts") <= col("ts") + expr("INTERVAL 300 SECONDS"),
+        "left")
+      .groupBy(col("event_id"))
+      .agg(count(col("f_id")).as("n_nearby"),
+        round(coalesce(sum(col("f_value")), lit(0.0)), 2).as("nearby_value"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val bucketed = SparkEntry.queries("range_join_agg")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(bucketed == naive, s"bucketed=${bucketed.size} naive=${naive.size}")
+  }
+
   test("simhash pigeonhole join equals brute-force hamming pairs") {
     import org.apache.spark.sql.functions._
     graft.functions.GraftFunctions.register(spark)

@@ -59,6 +59,24 @@ class StreamingSpec extends AnyFunSuite {
     assert(ids.distinct.size == ids.size, "duplicate event_ids survived")
   }
 
+  test("stream_interval_join equals the batch attribution join") {
+    import org.apache.spark.sql.functions._
+    val ev = graft.sources.Tables.events(spark, sf)
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"), col("ts").as("click_ts"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),
+        col("ts").as("purchase_ts"))
+    val batch = c.join(p,
+        col("user_id") === col("p_user")
+          && col("purchase_ts") >= col("click_ts")
+          && col("purchase_ts") <= col("click_ts") + expr("INTERVAL 30 MINUTES"))
+      .select(col("click_id"), col("purchase_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val stream = rows("stream_interval_join").map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(stream == batch, s"stream=${stream.size} batch=${batch.size}")
+  }
+
   test("kafka source/sink config shape and upsert record encoding") {
     val src = KafkaConfig.sourceOptions("broker:9092", "engagement_events")
     assert(src("kafka.bootstrap.servers") == "broker:9092")
