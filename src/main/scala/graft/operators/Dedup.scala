@@ -56,6 +56,9 @@ object Dedup {
   private val sigCache = scala.collection.concurrent.TrieMap
     .empty[(SparkSession, String, Int), DataFrame]
 
+  private val setsCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), DataFrame]
+
   private def sigTable(spark: SparkSession, dir: String, nHashes: Int): DataFrame =
     sigCache.getOrElseUpdate((spark, dir, nHashes), {
       import spark.implicits._
@@ -91,8 +94,16 @@ object Dedup {
       .dropDuplicates("id_a", "id_b")
 
     // Exact verification: fetch shingle sets for candidate docs only.
-    val sets = Tables.documents(spark, dir)
-      .select($"doc_id", array_sort(array_distinct(expr(shingleExpr))).as("sh"))
+    // Persisted + eager for the same reason as the signature table —
+    // it feeds both sides of the pair join, and shingling each doc
+    // twice is the larger half of this query's work.
+    val sets = setsCache.getOrElseUpdate((spark, dir), {
+      val t = Tables.documents(spark, dir)
+        .select($"doc_id", array_sort(array_distinct(expr(shingleExpr))).as("sh"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      t.count()
+      t
+    })
     candidates
       .join(sets.select($"doc_id".as("id_a"), $"sh".as("da")), Seq("id_a"))
       .join(sets.select($"doc_id".as("id_b"), $"sh".as("db")), Seq("id_b"))

@@ -57,11 +57,26 @@ object StreamSources {
         col("event_type"), col("value"), col("props"))
   }
 
+  /** Shuffle/state partition count captured by a starting streaming
+    * query. The replayed micro-batches here are small, and every
+    * stateful operator creates one state store (plus per-batch commit
+    * files) PER partition — at the session default of 32 that is pure
+    * task/commit overhead. Scoped down around query start and
+    * restored after; a deployment sizes this to its cluster (the
+    * value is baked into a real checkpoint). */
+  private def withStreamPartitions[A](df: DataFrame)(f: => A): A = {
+    val spark = df.sparkSession
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, sys.env.getOrElse("SPARK_GRAFT_STREAM_PARTITIONS", "8"))
+    try f finally spark.conf.set(key, prev)
+  }
+
   /** Drive a streaming DataFrame to completion (AvailableNow) into an
     * in-process memory sink and return the materialized result. The
     * memory sink holds only the (small) query result, never the
     * input. */
-  def runToMemory(df: DataFrame, mode: OutputMode): DataFrame = {
+  def runToMemory(df: DataFrame, mode: OutputMode): DataFrame = withStreamPartitions(df) {
     val name = s"graft_stream_${nameCtr.incrementAndGet()}"
     val q = df.writeStream
       .format("memory")
@@ -74,11 +89,12 @@ object StreamSources {
   }
 
   /** Drive a stream through `foreachBatch` to completion. */
-  def runForeachBatch(df: DataFrame, f: (Dataset[Row], Long) => Unit): Unit = {
-    val q = df.writeStream
-      .foreachBatch(f)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-  }
+  def runForeachBatch(df: DataFrame, f: (Dataset[Row], Long) => Unit): Unit =
+    withStreamPartitions(df) {
+      val q = df.writeStream
+        .foreachBatch(f)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
 }
