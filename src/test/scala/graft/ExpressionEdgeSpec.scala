@@ -1,0 +1,97 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Edge-input behavior of the native expressions — empty arrays,
+  * zero vectors, empty strings. The synthetic corpus never produces
+  * these, so pin them here: a 100 TB crawl WILL contain empty and
+  * degenerate documents, and the dedup/similarity pipeline must
+  * degrade deterministically, not throw. */
+class ExpressionEdgeSpec extends AnyFunSuite {
+  import TestSession._
+
+  private def one(sqlText: String): Row = {
+    graft.functions.GraftFunctions.register(spark)
+    spark.sql(sqlText).collect()(0)
+  }
+
+  test("cosine: zero vectors and empty arrays give 0.0, not NaN") {
+    val r = one(
+      """SELECT
+        |  graft_cosine(array(cast(0.0 AS float), cast(0.0 AS float)),
+        |               array(cast(1.0 AS float), cast(2.0 AS float))) AS zero_vec,
+        |  graft_cosine(cast(array() AS array<float>), cast(array() AS array<float>)) AS empty,
+        |  graft_cosine(array(cast(3.0 AS float)),
+        |               array(cast(3.0 AS float), cast(9.0 AS float))) AS truncated
+        |""".stripMargin)
+    assert(r.getDouble(0) == 0.0)
+    assert(r.getDouble(1) == 0.0)
+    assert(r.getDouble(2) == 1.0) // shorter length wins: dot over dim 1
+  }
+
+  test("simhash: empty token array is the all-zero fingerprint") {
+    val r = one("SELECT graft_simhash64(cast(array() AS array<string>)) AS s")
+    assert(r.getLong(0) == 0L)
+  }
+
+  test("minhash: empty token array yields the identity signature (all Long.Max)") {
+    val r = one("SELECT graft_minhash(cast(array() AS array<string>), 4) AS sig")
+    assert(r.getSeq[Long](0) == Seq.fill(4)(Long.MaxValue))
+  }
+
+  test("sorted intersect: empty, disjoint, and identical inputs") {
+    val r = one(
+      """SELECT
+        |  graft_sorted_intersect_size(cast(array() AS array<string>), array('a')) AS e,
+        |  graft_sorted_intersect_size(array('a', 'b'), array('c', 'd')) AS d,
+        |  graft_sorted_intersect_size(array('a', 'b', 'c'), array('a', 'b', 'c')) AS i
+        |""".stripMargin)
+    assert(r.getInt(0) == 0 && r.getInt(1) == 0 && r.getInt(2) == 3)
+  }
+
+  test("doc fingerprint: empty array and empty-string tokens are defined") {
+    val r = one(
+      """SELECT
+        |  graft_doc_fingerprint(cast(array() AS array<string>)) AS empty_arr,
+        |  graft_doc_fingerprint(array('', '')) AS empty_toks
+        |""".stripMargin)
+    assert(r.getLong(0) == 0L)
+    assert(r.getLong(1) == 0L) // zero chars, cp(first)=cp(last)=0
+  }
+
+  test("hyperplane signature: zero vector maps to the deterministic all-ones bucket") {
+    val r = one(
+      """SELECT graft_hyperplane_sig(array(cast(0.0 AS float), cast(0.0 AS float)), 42, 8) AS b""")
+    assert(r.getInt(0) == 255) // dot == 0 ⇒ bit set, for every plane
+  }
+
+  test("ivf: zero vector assigns to cell 0 and probes cells in index order") {
+    val r = one(
+      """SELECT graft_ivf_assign(array(cast(0.0 AS float)), 7, 16) AS cell,
+        |       graft_ivf_probe(array(cast(0.0 AS float)), 7, 16, 4) AS probes""".stripMargin)
+    assert(r.getInt(0) == 0)
+    assert(r.getSeq[Int](1) == Seq(0, 1, 2, 3))
+  }
+
+  test("interpreted eval matches codegen for a non-trivial input") {
+    // same expressions evaluated through a projection (codegen) and
+    // via expression.eval (interpreted) must agree bit-for-bit
+    import graft.functions._
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import org.apache.spark.unsafe.types.UTF8String
+    val toks = new GenericArrayData(
+      Array[Any](UTF8String.fromString("alpha"), UTF8String.fromString("beta")))
+    val interpSim = SimHash64(org.apache.spark.sql.catalyst.expressions.Literal(
+      toks, ArrayType(StringType))).eval(null).asInstanceOf[Long]
+    val codegenSim = one("SELECT graft_simhash64(array('alpha', 'beta')) AS s").getLong(0)
+    assert(interpSim == codegenSim)
+
+    val interpFp = DocFingerprint(org.apache.spark.sql.catalyst.expressions.Literal(
+      toks, ArrayType(StringType))).eval(null).asInstanceOf[Long]
+    val codegenFp = one("SELECT graft_doc_fingerprint(array('alpha', 'beta')) AS s").getLong(0)
+    assert(interpFp == codegenFp)
+  }
+}
