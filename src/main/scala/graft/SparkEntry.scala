@@ -56,6 +56,7 @@ object SparkEntry {
     "multimodal_meta"    -> TextOps.multimodalMeta _,
     "multimodal_decode"  -> Multimodal.decode _,
     "dedup_minhash_lsh"  -> ((s: SparkSession, d: String) => Dedup.minHashLsh(s, d)),
+    "dedup_clusters"     -> ((s: SparkSession, d: String) => Dedup.dedupClusters(s, d)),
     "dedup_simhash"      -> ((s: SparkSession, d: String) => Dedup.simHashPairs(s, d)),
     "embedding_neardup"  -> ((s: SparkSession, d: String) => VectorOps.embeddingNearDup(s, d)),
     "ann_topk"           -> ((s: SparkSession, d: String) => VectorOps.annTopK(s, d)),
@@ -272,6 +273,8 @@ object SparkEntry {
     "doc_fingerprint" -> operators.TextOps.docFingerprintOracleSql,
 
     "dedup_minhash_lsh" -> operators.Dedup.minHashLshOracleSql(),
+
+    "dedup_clusters" -> operators.Dedup.dedupClustersOracleSql(),
 
     "multimodal_meta" ->
       """WITH m AS (SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes FROM documents)

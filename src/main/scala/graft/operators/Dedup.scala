@@ -149,6 +149,80 @@ object Dedup {
        |      FROM d a JOIN d b ON a.doc_id < b.doc_id)
        |SELECT doc_a, doc_b, jaccard FROM p WHERE jaccard >= $threshold ORDER BY doc_a, doc_b""".stripMargin
 
+  /** Near-dup clustering: connected components over the MinHash-LSH
+    * pair graph, emitting the dedup DECISION a training pipeline
+    * actually consumes — every document labeled with its cluster
+    * representative (the component's min doc_id) and a keep/drop
+    * flag.
+    *
+    * Implementation is Pregel-style iterative min-label propagation:
+    * each round, every node takes the min of its own label and its
+    * neighbors' labels (one join + one aggregate per round on the
+    * edge list — ids only, never text). Rounds needed = component
+    * diameter; near-dup components are short chains, so this
+    * converges in a handful of rounds (convergence is checked, with
+    * a documented cap; adversarial long-chain graphs at warehouse
+    * scale would swap in the large-star/small-star variant, same
+    * join-based plumbing). The driver loop carries only the
+    * converged/iteration state — all data stays distributed.
+    */
+  def dedupClusters(spark: SparkSession, dir: String, threshold: Double = 0.5,
+                    maxIters: Int = 20): DataFrame = {
+    import spark.implicits._
+    val pairs = minHashLsh(spark, dir, threshold).select($"doc_a", $"doc_b")
+    val edges = pairs
+      .unionByName(pairs.select($"doc_b".as("doc_a"), $"doc_a".as("doc_b")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    edges.count()
+
+    var labels = edges.select($"doc_a".as("node")).distinct()
+      .select($"node", $"node".as("lbl"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    labels.count()
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIters) {
+      val nbrMin = edges.join(labels, edges("doc_b") === labels("node"))
+        .groupBy(edges("doc_a").as("n2")).agg(min($"lbl").as("nbr"))
+      val next = labels.join(nbrMin, labels("node") === nbrMin("n2"), "left")
+        .select($"node", least($"lbl", coalesce($"nbr", $"lbl")).as("lbl"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      next.count()
+      val changed = next.as("n").join(labels.as("o"), col("n.node") === col("o.node"))
+        .filter(col("n.lbl") =!= col("o.lbl")).limit(1).count()
+      labels.unpersist()
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+
+    val out = Tables.documents(spark, dir).select($"doc_id")
+      .join(labels.withColumnRenamed("node", "doc_id"), Seq("doc_id"), "left")
+      .select($"doc_id", coalesce($"lbl", $"doc_id").as("cluster_rep"))
+      .withColumn("is_kept", $"cluster_rep" === $"doc_id")
+      .orderBy($"doc_id")
+    edges.unpersist()
+    out
+  }
+
+  def dedupClustersOracleSql(threshold: Double = 0.5): String =
+    s"""WITH RECURSIVE
+       |d AS (SELECT doc_id,
+       |             list_distinct(list_transform(range(1, greatest(len(string_split(text, ' ')) - 2, 1) + 1),
+       |               i -> array_to_string(string_split(text, ' ')[i:i+2], ' '))) AS sh
+       |      FROM documents),
+       |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |      FROM d a JOIN d b ON a.doc_id < b.doc_id
+       |      WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+       |            / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= $threshold),
+       |e AS (SELECT doc_a AS a, doc_b AS b FROM p UNION ALL SELECT doc_b, doc_a FROM p),
+       |reach(a, b) AS (
+       |  SELECT doc_id, doc_id FROM documents
+       |  UNION
+       |  SELECT reach.a, e.b FROM reach JOIN e ON reach.b = e.a)
+       |SELECT a AS doc_id, min(b) AS cluster_rep, (min(b) = a) AS is_kept
+       |FROM reach GROUP BY a ORDER BY doc_id""".stripMargin
+
   /** SimHash near-dup candidates (Charikar 2002 / Manku et al. 2007).
     *
     * 64-bit SimHash over tokens via the native expression; the

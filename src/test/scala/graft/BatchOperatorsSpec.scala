@@ -99,6 +99,23 @@ class BatchOperatorsSpec extends AnyFunSuite {
     assert(merged == naive, s"merged=${merged.size} naive=${naive.size}")
   }
 
+  test("dedup_clusters labels both ends of every near-dup pair identically") {
+    import org.apache.spark.sql.functions.col
+    val clusters = SparkEntry.queries("dedup_clusters")(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val pairs = graft.operators.Dedup.minHashLsh(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    pairs.foreach { case (a, b) =>
+      assert(clusters(a) == clusters(b), s"pair ($a,$b) split across clusters")
+    }
+    // representative = component minimum ⇒ every rep labels itself
+    clusters.values.toSet.foreach { (rep: Long) => assert(clusters(rep) == rep) }
+    // kept = exactly one per cluster
+    val kept = SparkEntry.queries("dedup_clusters")(spark, sf)
+      .filter(col("is_kept")).count()
+    assert(kept == clusters.values.toSet.size)
+  }
+
   test("range_join_agg equals the naive quadratic interval join") {
     import org.apache.spark.sql.functions._
     val ev = graft.sources.Tables.events(spark, sf)
