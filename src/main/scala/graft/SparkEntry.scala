@@ -115,9 +115,13 @@ object SparkEntry {
         |GROUP BY w_start, event_type
         |ORDER BY w_start, event_type""".stripMargin,
 
+    // integer-cents aggregation: order-independent exact sum, single
+    // int-division at the end — see Engagement.tumbleWindowAgg
     "tumble_window_agg" ->
       """SELECT CAST(date_trunc('hour', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS w_start, event_type,
-        |       count(*) AS n, round(sum(value), 2) AS total, round(avg(value), 4) AS avg_value
+        |       count(*) AS n,
+        |       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS total,
+        |       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / (count(*) * 100.0) AS avg_value
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "session_window_agg" ->

@@ -73,46 +73,61 @@ object Dedup {
       t
     })
 
+  /** Verified near-dup pair list, memoized + persisted: both the
+    * pair query itself and downstream consumers (clustering) read it,
+    * and it is tiny (ids + jaccard). */
+  private val pairsCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String, Double, Int, Int), DataFrame]
+
+  private def minHashPairs(spark: SparkSession, dir: String, threshold: Double,
+                           bands: Int, rows: Int): DataFrame =
+    pairsCache.getOrElseUpdate((spark, dir, threshold, bands, rows), {
+      import spark.implicits._
+      // Candidate generation: ids + 64-bit band hashes only. The band
+      // hash mixes the band's `rows` signature slots through the
+      // scalar (codegen'd) xxhash64 — no array allocation per band.
+      val bandHashExpr = (0 until rows).map(r => s"element_at(sig, b * $rows + ${r + 1})")
+        .mkString(s"transform(sequence(0, ${bands - 1}), b -> xxhash64(", ", ", ", b))")
+      val banded = sigTable(spark, dir, bands * rows)
+        .select($"doc_id", posexplode(expr(bandHashExpr)))
+        .withColumnRenamed("pos", "band")
+        .withColumnRenamed("col", "band_hash")
+
+      val candidates = banded.as("a")
+        .join(banded.as("b"),
+          col("a.band") === col("b.band") && col("a.band_hash") === col("b.band_hash")
+            && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+        .dropDuplicates("id_a", "id_b")
+
+      // Exact verification: fetch shingle sets for candidate docs only.
+      // Persisted + eager for the same reason as the signature table —
+      // it feeds both sides of the pair join, and shingling each doc
+      // twice is the larger half of this query's work.
+      val sets = setsCache.getOrElseUpdate((spark, dir), {
+        val t = Tables.documents(spark, dir)
+          .select($"doc_id", array_sort(array_distinct(expr(shingleExpr))).as("sh"))
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        t.count()
+        t
+      })
+      val pairs = candidates
+        .join(sets.select($"doc_id".as("id_a"), $"sh".as("da")), Seq("id_a"))
+        .join(sets.select($"doc_id".as("id_b"), $"sh".as("db")), Seq("id_b"))
+        .withColumn("inter", call_function("graft_sorted_intersect_size", $"da", $"db"))
+        .withColumn("jaccard",
+          round($"inter".cast("double") / (size($"da") + size($"db") - $"inter"), 4))
+        .filter($"jaccard" >= threshold)
+        .select($"id_a".as("doc_a"), $"id_b".as("doc_b"), $"jaccard")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      pairs.count()
+      pairs
+    })
+
   def minHashLsh(spark: SparkSession, dir: String, threshold: Double = 0.5,
                  bands: Int = 32, rows: Int = 2): DataFrame = {
     import spark.implicits._
-    // Candidate generation: ids + 64-bit band hashes only. The band
-    // hash mixes the band's `rows` signature slots through the
-    // scalar (codegen'd) xxhash64 — no array allocation per band.
-    val bandHashExpr = (0 until rows).map(r => s"element_at(sig, b * $rows + ${r + 1})")
-      .mkString(s"transform(sequence(0, ${bands - 1}), b -> xxhash64(", ", ", ", b))")
-    val banded = sigTable(spark, dir, bands * rows)
-      .select($"doc_id", posexplode(expr(bandHashExpr)))
-      .withColumnRenamed("pos", "band")
-      .withColumnRenamed("col", "band_hash")
-
-    val candidates = banded.as("a")
-      .join(banded.as("b"),
-        col("a.band") === col("b.band") && col("a.band_hash") === col("b.band_hash")
-          && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
-      .dropDuplicates("id_a", "id_b")
-
-    // Exact verification: fetch shingle sets for candidate docs only.
-    // Persisted + eager for the same reason as the signature table —
-    // it feeds both sides of the pair join, and shingling each doc
-    // twice is the larger half of this query's work.
-    val sets = setsCache.getOrElseUpdate((spark, dir), {
-      val t = Tables.documents(spark, dir)
-        .select($"doc_id", array_sort(array_distinct(expr(shingleExpr))).as("sh"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      t.count()
-      t
-    })
-    candidates
-      .join(sets.select($"doc_id".as("id_a"), $"sh".as("da")), Seq("id_a"))
-      .join(sets.select($"doc_id".as("id_b"), $"sh".as("db")), Seq("id_b"))
-      .withColumn("inter", call_function("graft_sorted_intersect_size", $"da", $"db"))
-      .withColumn("jaccard",
-        round($"inter".cast("double") / (size($"da") + size($"db") - $"inter"), 4))
-      .filter($"jaccard" >= threshold)
-      .select($"id_a".as("doc_a"), $"id_b".as("doc_b"), $"jaccard")
-      .orderBy($"doc_a", $"doc_b")
+    minHashPairs(spark, dir, threshold, bands, rows).orderBy($"doc_a", $"doc_b")
   }
 
   /** Exact all-pairs shingle-Jaccard — the quadratic correctness
@@ -169,7 +184,7 @@ object Dedup {
   def dedupClusters(spark: SparkSession, dir: String, threshold: Double = 0.5,
                     maxIters: Int = 20): DataFrame = {
     import spark.implicits._
-    val pairs = minHashLsh(spark, dir, threshold).select($"doc_a", $"doc_b")
+    val pairs = minHashPairs(spark, dir, threshold, 32, 2).select($"doc_a", $"doc_b")
     val edges = pairs
       .unionByName(pairs.select($"doc_b".as("doc_a"), $"doc_a".as("doc_b")))
       .persist(StorageLevel.MEMORY_AND_DISK)

@@ -95,16 +95,23 @@ object Engagement {
       .orderBy($"w_start", $"event_type")
   }
 
-  /** Tumbling window aggregation (hourly rollup per event type). */
+  /** Tumbling window aggregation (hourly rollup per event type).
+    *
+    * `value` is an exact 2-decimal quantity, so the aggregate runs on
+    * integer cents: the sum is order-independent (double summation
+    * noise flipped `round(avg, 4)` at boundary values — 3 windows at
+    * sf0.1 disagreed with the oracle), and the final averages are a
+    * single IEEE division of exact integers — bit-identical in any
+    * engine. */
   def tumbleWindowAgg(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     Tables.events(spark, dir)
+      .withColumn("cents", round($"value" * 100).cast("long"))
       .groupBy(window($"ts", "1 hour"), $"event_type")
-      .agg(
-        count("*").as("n"),
-        round(sum($"value"), 2).as("total"),
-        round(avg($"value"), 4).as("avg_value"))
-      .select($"window.start".as("w_start"), $"event_type", $"n", $"total", $"avg_value")
+      .agg(count("*").as("n"), sum($"cents").as("sc"))
+      .select($"window.start".as("w_start"), $"event_type", $"n",
+        ($"sc".cast("double") / 100.0).as("total"),
+        ($"sc".cast("double") / ($"n" * 100.0)).as("avg_value"))
       .orderBy($"w_start", $"event_type")
   }
 

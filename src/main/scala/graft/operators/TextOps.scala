@@ -150,21 +150,33 @@ object TextOps {
 
   /** Quality scoring: word count, average word length, stopword
     * ratio, composite [0,1] score — the standard cheap pre-filter
-    * before expensive dedup/training stages. */
+    * before expensive dedup/training stages.
+    *
+    * The composite is computed in EXACT integer arithmetic
+    * (`quality = num / (1000·n_words)` with
+    * `num = 5·min(nw,100)·nw + 300·(nw−ns) + 25·min(na, 8·nw)`,
+    * truncated at 6 decimals via integer division) and only then
+    * divided once in floating point. The float formulation's terms
+    * are exact 5-decimal rationals, so `round(…, 4)` sat exactly ON
+    * rounding boundaries and flipped on summation noise — 5 of 5000
+    * docs at sf0.1 disagreed with the oracle purely from
+    * engine-specific rounding of boundary doubles. Exact ints + one
+    * IEEE division are bit-identical in any engine. */
   def textQuality(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val stopList = stopwords.map(w => s"'$w'").mkString(", ")
     Tables.documents(spark, dir)
       .withColumn("n_words", expr("cast(size(split(text, ' ')) as bigint)"))
       .withColumn("n_stop", expr(s"cast(size(filter(split(text, ' '), w -> w IN ($stopList))) as bigint)"))
-      .withColumn("awl", length(regexp_replace($"text", " ", "")).cast("double") / $"n_words")
-      .withColumn("stop_ratio", $"n_stop".cast("double") / $"n_words")
+      .withColumn("n_alpha", length(regexp_replace($"text", " ", "")).cast("long"))
+      .withColumn("num",
+        lit(5L) * least($"n_words", lit(100L)) * $"n_words"
+          + lit(300L) * ($"n_words" - $"n_stop")
+          + lit(25L) * least($"n_alpha", lit(8L) * $"n_words"))
       .select($"doc_id", $"n_words",
-        round($"awl", 4).as("avg_word_len"),
-        round($"stop_ratio", 4).as("stop_ratio"),
-        round(least(lit(1.0), $"n_words" / 100.0) * 0.5
-          + (lit(1.0) - $"stop_ratio") * 0.3
-          + least(lit(1.0), $"awl" / 8.0) * 0.2, 4).as("quality"))
+        round($"n_alpha".cast("double") / $"n_words", 4).as("avg_word_len"),
+        round($"n_stop".cast("double") / $"n_words", 4).as("stop_ratio"),
+        (expr("(num * 1000) div n_words").cast("double") / 1000000.0).as("quality"))
       .orderBy($"doc_id")
   }
 
@@ -174,15 +186,18 @@ object TextOps {
        |  SELECT doc_id,
        |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
        |         CAST(len(list_filter(string_split(text, ' '), w -> w IN ($stopList))) AS BIGINT) AS n_stop,
-       |         length(replace(text, ' ', '')) AS n_alpha
-       |  FROM documents)
+       |         CAST(length(replace(text, ' ', '')) AS BIGINT) AS n_alpha
+       |  FROM documents),
+       |n AS (
+       |  SELECT *, 5 * least(n_words, 100) * n_words
+       |            + 300 * (n_words - n_stop)
+       |            + 25 * least(n_alpha, 8 * n_words) AS num
+       |  FROM q)
        |SELECT doc_id, n_words,
        |       round(CAST(n_alpha AS DOUBLE) / n_words, 4) AS avg_word_len,
        |       round(CAST(n_stop AS DOUBLE) / n_words, 4) AS stop_ratio,
-       |       round(least(1.0, n_words / 100.0) * 0.5
-       |             + (1.0 - CAST(n_stop AS DOUBLE) / n_words) * 0.3
-       |             + least(1.0, (CAST(n_alpha AS DOUBLE) / n_words) / 8.0) * 0.2, 4) AS quality
-       |FROM q ORDER BY doc_id""".stripMargin
+       |       CAST((num * 1000) // n_words AS DOUBLE) / 1000000.0 AS quality
+       |FROM n ORDER BY doc_id""".stripMargin
   }
 
   /** Token counting: whitespace tokens plus a BPE-ish segmentation
