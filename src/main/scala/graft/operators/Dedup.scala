@@ -196,20 +196,29 @@ object Dedup {
     labels.count()
     var converged = false
     var iter = 0
-    while (!converged && iter < maxIters) {
-      val nbrMin = edges.join(labels, edges("doc_b") === labels("node"))
-        .groupBy(edges("doc_a").as("n2")).agg(min($"lbl").as("nbr"))
-      val next = labels.join(nbrMin, labels("node") === nbrMin("n2"), "left")
-        .select($"node", least($"lbl", coalesce($"nbr", $"lbl")).as("lbl"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      next.count()
-      val changed = next.as("n").join(labels.as("o"), col("n.node") === col("o.node"))
-        .filter(col("n.lbl") =!= col("o.lbl")).limit(1).count()
-      labels.unpersist()
-      labels = next
-      converged = changed == 0
-      iter += 1
-    }
+    // The iteration jobs shuffle only the (tiny) pair-graph node set;
+    // scope the shuffle width down for the loop the same way the
+    // streaming runners do — the propagation joins are latency-bound
+    // on task count, not data. Restored before the returned plan runs.
+    val shuffleKey = "spark.sql.shuffle.partitions"
+    val prevShuffle = spark.conf.get(shuffleKey)
+    spark.conf.set(shuffleKey, "8")
+    try {
+      while (!converged && iter < maxIters) {
+        val nbrMin = edges.join(labels, edges("doc_b") === labels("node"))
+          .groupBy(edges("doc_a").as("n2")).agg(min($"lbl").as("nbr"))
+        val next = labels.join(nbrMin, labels("node") === nbrMin("n2"), "left")
+          .select($"node", least($"lbl", coalesce($"nbr", $"lbl")).as("lbl"))
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        next.count()
+        val changed = next.as("n").join(labels.as("o"), col("n.node") === col("o.node"))
+          .filter(col("n.lbl") =!= col("o.lbl")).limit(1).count()
+        labels.unpersist()
+        labels = next
+        converged = changed == 0
+        iter += 1
+      }
+    } finally spark.conf.set(shuffleKey, prevShuffle)
 
     val out = Tables.documents(spark, dir).select($"doc_id")
       .join(labels.withColumnRenamed("node", "doc_id"), Seq("doc_id"), "left")
