@@ -28,7 +28,20 @@ import org.apache.spark.sql.functions._
   * versioned-directory swaps.
   */
 final class CdcCompact(stateDir: String) {
-  @volatile private var version: Long = -1L
+  /** Recovered on construction so a restarted job (new instance, same
+    * state dir + checkpoint) continues from the last committed
+    * version instead of silently dropping prior state. Re-running an
+    * uncommitted batch after a crash is harmless: `merge` is
+    * idempotent (latest-per-key over already-merged rows is a
+    * no-op). */
+  @volatile private var version: Long = {
+    val d = new java.io.File(stateDir)
+    if (!d.exists()) -1L
+    else d.listFiles()
+      .filter(f => f.isDirectory && f.getName.matches("v\\d+"))
+      .map(_.getName.drop(1).toLong)
+      .sorted.lastOption.getOrElse(-1L)
+  }
 
   private val outCols =
     Seq(col("user_id"), col("event_id"), col("ts"), col("event_type"), col("value"))

@@ -77,6 +77,46 @@ class StreamingSpec extends AnyFunSuite {
     assert(stream == batch, s"stream=${stream.size} batch=${batch.size}")
   }
 
+  test("cdc compaction resumes from checkpoint across a restart, exactly once") {
+    import java.nio.file.{Files => JFiles, Paths, StandardCopyOption}
+    import org.apache.spark.sql.streaming.Trigger
+    import graft.streaming.{CdcCompact, StreamSources}
+    val work = JFiles.createTempDirectory("graft_resume_").toString
+    // stage the events table as 4 files, but reveal them in two phases
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(s"$sf/events.parquet").repartition(4)
+      .write.mode("overwrite").parquet(s"$work/staged")
+    val parts = new java.io.File(s"$work/staged").listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.getName).sorted
+    assert(parts.length == 4)
+    JFiles.createDirectories(Paths.get(s"$work/input"))
+    def reveal(names: Seq[String]): Unit = names.foreach { n =>
+      JFiles.copy(Paths.get(s"$work/staged/$n"), Paths.get(s"$work/input/$n"),
+        StandardCopyOption.REPLACE_EXISTING)
+    }
+    def drain(cdc: CdcCompact): Unit = {
+      val q = StreamSources.eventsFrom(spark, s"$work/input", maxFilesPerTrigger = 1)
+        .writeStream
+        .foreachBatch((b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) => cdc.merge(b, id))
+        .option("checkpointLocation", s"$work/ckpt")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    // phase 1: two files, then "crash" (query + operator instance die)
+    reveal(parts.take(2))
+    drain(new CdcCompact(s"$work/state"))
+    // phase 2: restart — fresh operator instance recovers its version,
+    // the checkpoint's file log skips the already-processed files
+    reveal(parts.drop(2))
+    val cdc2 = new CdcCompact(s"$work/state")
+    drain(cdc2)
+    val streamed = cdc2.table(spark)
+      .orderBy(org.apache.spark.sql.functions.col("user_id")).collect().toSeq
+    val batch = rows("cdc_latest_by_key")
+    assert(streamed == batch, s"streamed=${streamed.size} batch=${batch.size}")
+  }
+
   test("kafka source/sink config shape and upsert record encoding") {
     val src = KafkaConfig.sourceOptions("broker:9092", "engagement_events")
     assert(src("kafka.bootstrap.servers") == "broker:9092")
