@@ -86,9 +86,27 @@ object EngagementStream {
     * aggregated scoreboard is rewritten per batch — the raw stream is
     * never re-read. */
   final class LeaderboardState(stateDir: String) {
-    @volatile private var version: Long = -1L
+    /** Recovered on construction (same pattern as [[CdcCompact]]) so
+      * a restarted job keeps its cumulative scores. NOTE unlike the
+      * latest-per-key MERGE, a cumulative sum is NOT idempotent under
+      * batch replay — a production deployment stores the batchId
+      * high-water mark with the scoreboard (as done here via the
+      * version suffix) and skips batches already folded in. */
+    @volatile private var version: Long = {
+      val d = new java.io.File(stateDir)
+      if (!d.exists()) -1L
+      else d.listFiles()
+        .filter(f => f.isDirectory && f.getName.matches("v\\d+"))
+        .map(_.getName.drop(1).toLong)
+        .sorted.lastOption.getOrElse(-1L)
+    }
+
+    /** Skip batches at or below the recovered high-water mark (the
+      * replayed-batch guard that makes `merge` effectively-once). */
+    private def alreadyMerged(batchId: Long): Boolean = batchId <= version
 
     def merge(batchEvents: DataFrame, batchId: Long): Unit = {
+      if (alreadyMerged(batchId)) return
       val spark = batchEvents.sparkSession
       val partial = batchEvents.groupBy(col("user_id"))
         .agg(sum(col("value")).as("raw_score"), count("*").as("n_events"))
