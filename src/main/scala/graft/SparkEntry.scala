@@ -42,6 +42,7 @@ object SparkEntry {
     "distinct_daily"        -> Olap.distinctDaily _,
     "approx_distinct_daily" -> Olap.approxDistinctDaily _,
     "rollup_sales"          -> Olap.rollupSales _,
+    "cube_sales"            -> Olap.cubeSales _,
     "semi_anti_customers"   -> Olap.semiAntiCustomers _,
     "percentile_stats"      -> ((s: SparkSession, d: String) => Olap.percentileStats(s, d)),
     "skew_salted_join"      -> ((s: SparkSession, d: String) => Olap.skewSaltedJoin(s, d)),
@@ -219,6 +220,13 @@ object SparkEntry {
       """SELECT l_returnflag, l_linestatus, round(sum(l_extendedprice), 2) AS sum_price, count(*) AS n
         |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
         |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+
+    "cube_sales" ->
+      """SELECT l_returnflag, l_linestatus,
+        |       CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+        |       round(sum(l_extendedprice), 2) AS sum_price, count(*) AS n
+        |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+        |ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
 
     "semi_anti_customers" ->
       """SELECT c_custkey, c_name, c_mktsegment

@@ -124,6 +124,21 @@ object Olap {
       .orderBy($"l_returnflag".asc_nulls_first, $"l_linestatus".asc_nulls_first)
   }
 
+  /** CUBE multi-level aggregation — all four grouping combinations
+    * (flag×status, per-flag, per-status, grand total) in one pass via
+    * Expand, completing the grouping-family next to [[rollupSales]].
+    * `grouping_id` disambiguates a real NULL key from a rolled-up
+    * level (and gives the oracle a deterministic sort). */
+  def cubeSales(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, dir)
+      .cube($"l_returnflag", $"l_linestatus")
+      .agg(round(sum($"l_extendedprice"), 2).as("sum_price"), count("*").as("n"),
+        grouping_id().as("gid"))
+      .select($"l_returnflag", $"l_linestatus", $"gid", $"sum_price", $"n")
+      .orderBy($"gid", $"l_returnflag".asc_nulls_first, $"l_linestatus".asc_nulls_first)
+  }
+
   /** Left-semi + left-anti joins (EXISTS / NOT EXISTS): customers
     * with at least one order but none above the price cap. */
   def semiAntiCustomers(spark: SparkSession, dir: String): DataFrame = {
