@@ -56,6 +56,7 @@ object SparkEntry {
     "doc_fingerprint"    -> TextOps.docFingerprint _,
     "multimodal_meta"    -> TextOps.multimodalMeta _,
     "multimodal_decode"  -> Multimodal.decode _,
+    "multimodal_pipeline" -> Multimodal.pipeline _,
     "dedup_minhash_lsh"  -> ((s: SparkSession, d: String) => Dedup.minHashLsh(s, d)),
     "dedup_clusters"     -> ((s: SparkSession, d: String) => Dedup.dedupClusters(s, d)),
     "dedup_simhash"      -> ((s: SparkSession, d: String) => Dedup.simHashPairs(s, d)),
@@ -308,6 +309,30 @@ object SparkEntry {
         |       CASE WHEN n_bytes % 3 = 0 THEN 'png' WHEN n_bytes % 3 = 1 THEN 'jpeg' ELSE 'webp' END AS format,
         |       CAST(n_bytes % 64 + 1 AS INT) AS n_frames
         |FROM m ORDER BY doc_id""".stripMargin,
+
+    // stub decode dims (b0/b1 formulas) + REAL integer resize /
+    // frame-sample / byte-feature math, mirrored exactly
+    "multimodal_pipeline" ->
+      """WITH m AS (SELECT doc_id, text,
+        |                  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |                  ascii(substr(text, 1, 1)) AS b0,
+        |                  ascii(substr(text, 2, 1)) AS b1
+        |           FROM documents),
+        |d AS (SELECT doc_id, text, n_bytes,
+        |             CAST((b0 * 256 + b1) % 1920 + 1 AS BIGINT) AS w,
+        |             CAST((b1 * 256 + b0) % 1080 + 1 AS BIGINT) AS h,
+        |             CAST(n_bytes % 64 + 1 AS BIGINT) AS n_frames,
+        |             least(4, CAST(n_bytes % 64 + 1 AS BIGINT)) AS k
+        |      FROM m)
+        |SELECT doc_id, n_bytes,
+        |       CAST(CASE WHEN w >= h THEN 224 ELSE greatest(1, (w * 224) // h) END AS INT) AS fit_w,
+        |       CAST(CASE WHEN w >= h THEN greatest(1, (h * 224) // w) ELSE 224 END AS INT) AS fit_h,
+        |       array_to_string(list_transform(range(0, k), i -> CAST((i * n_frames) // k AS VARCHAR)), ',') AS frame_offsets,
+        |       CAST(COALESCE(list_sum(list_transform(range(1, CAST(len(text) AS BIGINT) + 1),
+        |              i -> ascii(substr(text, CAST(i AS INT), 1)))), 0) * 1000 // n_bytes AS BIGINT) AS mean_byte_milli,
+        |       CAST(COALESCE(list_max(list_transform(range(1, CAST(len(text) AS BIGINT) + 1),
+        |              i -> ascii(substr(text, CAST(i AS INT), 1)))), 0) AS INT) AS max_byte
+        |FROM d ORDER BY doc_id""".stripMargin,
 
     "embedding_neardup" ->
       """WITH p AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,

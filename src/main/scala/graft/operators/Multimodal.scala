@@ -50,4 +50,53 @@ object Multimodal {
       .toDF()
       .orderBy($"doc_id")
   }
+
+  /** Full media-prep record: decode → resize → frame-sample →
+    * feature-extract. */
+  case class MediaPrep(doc_id: Long, n_bytes: Long, fit_w: Int, fit_h: Int,
+                       frame_offsets: String, mean_byte_milli: Long, max_byte: Int)
+
+  /** The downstream media-prep steps a training pipeline runs after
+    * decode — all REAL logic in exact integer arithmetic (only the
+    * codec itself is stubbed, via [[decodeKernel]]'s dimensions):
+    *
+    *  - resize: aspect-preserving fit into 224×224 (integer
+    *    cross-multiplication, no floats);
+    *  - frame sampling: k = min(4, n_frames) evenly-spaced offsets
+    *    `(i·n_frames) div k` (emitted comma-joined for a stable
+    *    cross-engine representation);
+    *  - feature extraction: byte-stream statistics (exact per-mille
+    *    mean + max) standing in for an embedding kernel.
+    *
+    * Same per-partition imperative shape as [[decode]]: one scan, one
+    * mapPartitions, nothing on the driver. */
+  def prepKernel(docId: Long, bytes: Array[Byte]): MediaPrep = {
+    val m = decodeKernel(docId, bytes)
+    val (fw, fh) =
+      if (m.width >= m.height) (224, math.max(1, m.height * 224 / m.width))
+      else (math.max(1, m.width * 224 / m.height), 224)
+    val k = math.min(4, m.n_frames)
+    val offsets = (0 until k).map(i => i.toLong * m.n_frames / k).mkString(",")
+    var sum = 0L
+    var max = 0
+    var i = 0
+    while (i < bytes.length) {
+      val b = bytes(i) & 0xff
+      sum += b
+      if (b > max) max = b
+      i += 1
+    }
+    val meanMilli = if (bytes.length == 0) 0L else sum * 1000L / bytes.length
+    MediaPrep(docId, m.n_bytes, fw, fh, offsets, meanMilli, max)
+  }
+
+  def pipeline(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select($"doc_id", encode($"text", "UTF-8").as("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) => prepKernel(id, bytes) })
+      .toDF()
+      .orderBy($"doc_id")
+  }
 }
