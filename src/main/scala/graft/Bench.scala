@@ -35,14 +35,25 @@ object Bench {
     val selected =
       if (args.nonEmpty) SparkEntry.queries.view.filterKeys(args.toSet).toMap
       else SparkEntry.queries
-    val results = selected.map { case (name, fn) =>
+    val results = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    selected.foreach { case (name, fn) =>
       val t0 = System.nanoTime()
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch {
+      try {
+        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        // Timing includes any memo-cache/persist fill the query does —
+        // honest per-query cost against a clean JVM.
+        results(name) = (System.nanoTime() - t0) / 1e9
+      } catch {
+        // Failed queries are NOT recorded in the timings/total — a
+        // fast failure must not read as a fast run.
         case e: Throwable =>
           errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
       }
-      name -> (System.nanoTime() - t0) / 1e9
+      // Bench hygiene (round-2 verdict): memoized persisted tables,
+      // cached blocks, and streaming temp dirs from one query must not
+      // contaminate the next query's timing.
+      GraftCaches.clearAll()
+      spark.catalog.clearCache()
     }
     def q(s: String): String = "\"" + s.flatMap {
       case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"

@@ -16,6 +16,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Engagement-pipeline core (reference surface)
     "cdc_latest_by_key"  -> Engagement.cdcLatestByKey _,
+    "cdc_with_deletes"   -> Engagement.cdcWithDeletes _,
     "enrich_events"      -> Engagement.enrichEvents _,
     "hop_window_agg"     -> Engagement.hopWindowAgg _,
     "tumble_window_agg"  -> Engagement.tumbleWindowAgg _,
@@ -29,6 +30,7 @@ object SparkEntry {
     "stream_hop_agg"     -> EngagementStream.streamHopAgg _,
     "stream_enrich"      -> EngagementStream.streamEnrich _,
     "stream_cdc_compact" -> ((s: SparkSession, d: String) => CdcCompact.streamCdcCompact(s, d)),
+    "stream_cdc_with_deletes" -> ((s: SparkSession, d: String) => CdcCompact.streamCdcWithDeletes(s, d)),
     "stream_session_agg" -> Sessionize.streamSessionAgg _,
     "stream_router"      -> EngagementStream.streamRouter _,
     "stream_leaderboard" -> EngagementStream.streamLeaderboard _,
@@ -45,6 +47,7 @@ object SparkEntry {
     "cube_sales"            -> Olap.cubeSales _,
     "semi_anti_customers"   -> Olap.semiAntiCustomers _,
     "percentile_stats"      -> ((s: SparkSession, d: String) => Olap.percentileStats(s, d)),
+    "percentile_stats_approx" -> Olap.percentileStatsApprox _,
     "skew_salted_join"      -> ((s: SparkSession, d: String) => Olap.skewSaltedJoin(s, d)),
     "range_join_agg"        -> Olap.rangeJoinAgg _,
     // LLM training-data pipeline
@@ -75,6 +78,7 @@ object SparkEntry {
     // streaming variants produce byte-identical results to their
     // batch twins (shared transforms / MERGE semantics) — same oracle
     base ++ Map(
+      "stream_cdc_with_deletes" -> base("cdc_with_deletes"),
       "stream_hop_agg"     -> base("hop_window_agg"),
       "stream_enrich"      -> base("enrich_events"),
       "stream_cdc_compact" -> base("cdc_latest_by_key"),
@@ -101,6 +105,15 @@ object SparkEntry {
         |FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
         |      FROM events) t
         |WHERE rn = 1 ORDER BY user_id""".stripMargin,
+
+    // latest row per key wins UNLESS it is a tombstone (op = delete
+    // iff event_type = 'error' — Engagement.opExpr, shared with the
+    // streaming twin's staged input)
+    "cdc_with_deletes" ->
+      """SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, event_type, value
+        |FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        |      FROM events) t
+        |WHERE rn = 1 AND event_type != 'error' ORDER BY user_id""".stripMargin,
 
     "enrich_events" ->
       """SELECT e.event_id, e.user_id, e.event_type, e.value, c.c_mktsegment AS segment,

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
+import graft.GraftCaches
 import graft.functions.GraftFunctions
 import graft.sources.Tables
 
@@ -26,8 +27,11 @@ object Dedup {
 
   /** MinHash + banded LSH near-dup pairs (Broder 1997).
     *
-    * sig[p] = min over shingles s of xxhash64(s, p), p = 0..63;
-    * `bands` bands x `rows` rows: docs sharing any band hash become
+    * Each shingle is string-hashed ONCE (FNV-1a + splitmix64
+    * avalanche, [[graft.functions.MinHash.compute]]); the per-
+    * permutation values derive from that 64-bit h via the splitmix64
+    * stream (mix(h + p·golden), p = 0..63) and sig[p] is the min over
+    * shingles. `bands` bands x `rows` rows: docs sharing any band hash become
     * candidate pairs; candidates are confirmed with exact shingle-set
     * Jaccard. P(candidate | j) = 1 - (1 - j^rows)^bands — with the
     * default 32x2 that is > 0.9999 at j = 0.5, so on any corpus
@@ -53,14 +57,14 @@ object Dedup {
     * sf0.01 once the table is materialized). 520 bytes per doc —
     * storage-trivial next to the corpus. Memoized per (session, dir,
     * size). */
-  private val sigCache = scala.collection.concurrent.TrieMap
-    .empty[(SparkSession, String, Int), DataFrame]
+  private val sigCache =
+    GraftCaches.memo[(SparkSession, String, Int), DataFrame](_.unpersist())
 
-  private val setsCache = scala.collection.concurrent.TrieMap
-    .empty[(SparkSession, String), DataFrame]
+  private val setsCache =
+    GraftCaches.memo[(SparkSession, String), DataFrame](_.unpersist())
 
   private def sigTable(spark: SparkSession, dir: String, nHashes: Int): DataFrame =
-    sigCache.getOrElseUpdate((spark, dir, nHashes), {
+    sigCache.getOrElseUpdate((spark, dir, nHashes)) {
       import spark.implicits._
       GraftFunctions.register(spark)
       val t = Tables.documents(spark, dir)
@@ -71,17 +75,17 @@ object Dedup {
       // not race to fill the cache (per-partition block-lock waits)
       t.count()
       t
-    })
+    }
 
   /** Verified near-dup pair list, memoized + persisted: both the
     * pair query itself and downstream consumers (clustering) read it,
     * and it is tiny (ids + jaccard). */
-  private val pairsCache = scala.collection.concurrent.TrieMap
-    .empty[(SparkSession, String, Double, Int, Int), DataFrame]
+  private val pairsCache =
+    GraftCaches.memo[(SparkSession, String, Double, Int, Int), DataFrame](_.unpersist())
 
   private def minHashPairs(spark: SparkSession, dir: String, threshold: Double,
                            bands: Int, rows: Int): DataFrame =
-    pairsCache.getOrElseUpdate((spark, dir, threshold, bands, rows), {
+    pairsCache.getOrElseUpdate((spark, dir, threshold, bands, rows)) {
       import spark.implicits._
       // Candidate generation: ids + 64-bit band hashes only. The band
       // hash mixes the band's `rows` signature slots through the
@@ -104,13 +108,13 @@ object Dedup {
       // Persisted + eager for the same reason as the signature table —
       // it feeds both sides of the pair join, and shingling each doc
       // twice is the larger half of this query's work.
-      val sets = setsCache.getOrElseUpdate((spark, dir), {
+      val sets = setsCache.getOrElseUpdate((spark, dir)) {
         val t = Tables.documents(spark, dir)
           .select($"doc_id", array_sort(array_distinct(expr(shingleExpr))).as("sh"))
           .persist(StorageLevel.MEMORY_AND_DISK)
         t.count()
         t
-      })
+      }
       val pairs = candidates
         .join(sets.select($"doc_id".as("id_a"), $"sh".as("da")), Seq("id_a"))
         .join(sets.select($"doc_id".as("id_b"), $"sh".as("db")), Seq("id_b"))
@@ -122,7 +126,7 @@ object Dedup {
         .persist(StorageLevel.MEMORY_AND_DISK)
       pairs.count()
       pairs
-    })
+    }
 
   def minHashLsh(spark: SparkSession, dir: String, threshold: Double = 0.5,
                  bands: Int = 32, rows: Int = 2): DataFrame = {
@@ -181,52 +185,78 @@ object Dedup {
     * join-based plumbing). The driver loop carries only the
     * converged/iteration state — all data stays distributed.
     */
+  /** Converged (node, lbl) label table for the LSH pair graph —
+    * memoized + persisted like every shared table here (freed via
+    * [[graft.GraftCaches.clearAll]]); the returned DataFrame is
+    * eagerly materialized, so nothing downstream re-triggers the
+    * iteration. */
+  private val labelsCache =
+    GraftCaches.memo[(SparkSession, String, Double, Int), DataFrame](_.unpersist())
+
+  private def clusterLabels(spark: SparkSession, dir: String, threshold: Double,
+                            maxIters: Int): DataFrame =
+    labelsCache.getOrElseUpdate((spark, dir, threshold, maxIters)) {
+      import spark.implicits._
+      val pairs = minHashPairs(spark, dir, threshold, 32, 2).select($"doc_a", $"doc_b")
+      val edges = pairs
+        .unionByName(pairs.select($"doc_b".as("doc_a"), $"doc_a".as("doc_b")))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      edges.count()
+
+      var labels = edges.select($"doc_a".as("node")).distinct()
+        .select($"node", $"node".as("lbl"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      labels.count()
+      var converged = false
+      var iter = 0
+      // The iteration jobs shuffle only the (tiny) pair-graph node set;
+      // scope the shuffle width down for the loop the same way the
+      // streaming runners do — the propagation joins are latency-bound
+      // on task count, not data. Restored before the returned plan runs.
+      val shuffleKey = "spark.sql.shuffle.partitions"
+      val prevShuffle = spark.conf.get(shuffleKey)
+      spark.conf.set(shuffleKey, "8")
+      try {
+        while (!converged && iter < maxIters) {
+          val nbrMin = edges.join(labels, edges("doc_b") === labels("node"))
+            .groupBy(edges("doc_a").as("n2")).agg(min($"lbl").as("nbr"))
+          val next = labels.join(nbrMin, labels("node") === nbrMin("n2"), "left")
+            .select($"node", least($"lbl", coalesce($"nbr", $"lbl")).as("lbl"))
+            .persist(StorageLevel.MEMORY_AND_DISK)
+          next.count()
+          val changed = next.as("n").join(labels.as("o"), col("n.node") === col("o.node"))
+            .filter(col("n.lbl") =!= col("o.lbl")).limit(1).count()
+          labels.unpersist()
+          labels = next
+          converged = changed == 0
+          iter += 1
+        }
+      } finally spark.conf.set(shuffleKey, prevShuffle)
+      // An unconverged labeling is NOT the connected-components answer
+      // — surface it instead of letting it be consumed as exact. (A
+      // component with diameter > maxIters means an adversarially long
+      // near-dup chain; the large-star/small-star variant is the
+      // production escalation.)
+      if (!converged)
+        org.slf4j.LoggerFactory.getLogger(getClass).warn(
+          s"dedupClusters did NOT converge within $maxIters iterations; " +
+            "cluster labels may be incorrect for long-chain components")
+      // `labels` is already materialized (count per iteration), so the
+      // edge list can be released here — the returned table never
+      // re-reads it.
+      edges.unpersist()
+      labels
+    }
+
   def dedupClusters(spark: SparkSession, dir: String, threshold: Double = 0.5,
                     maxIters: Int = 20): DataFrame = {
     import spark.implicits._
-    val pairs = minHashPairs(spark, dir, threshold, 32, 2).select($"doc_a", $"doc_b")
-    val edges = pairs
-      .unionByName(pairs.select($"doc_b".as("doc_a"), $"doc_a".as("doc_b")))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    edges.count()
-
-    var labels = edges.select($"doc_a".as("node")).distinct()
-      .select($"node", $"node".as("lbl"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    labels.count()
-    var converged = false
-    var iter = 0
-    // The iteration jobs shuffle only the (tiny) pair-graph node set;
-    // scope the shuffle width down for the loop the same way the
-    // streaming runners do — the propagation joins are latency-bound
-    // on task count, not data. Restored before the returned plan runs.
-    val shuffleKey = "spark.sql.shuffle.partitions"
-    val prevShuffle = spark.conf.get(shuffleKey)
-    spark.conf.set(shuffleKey, "8")
-    try {
-      while (!converged && iter < maxIters) {
-        val nbrMin = edges.join(labels, edges("doc_b") === labels("node"))
-          .groupBy(edges("doc_a").as("n2")).agg(min($"lbl").as("nbr"))
-        val next = labels.join(nbrMin, labels("node") === nbrMin("n2"), "left")
-          .select($"node", least($"lbl", coalesce($"nbr", $"lbl")).as("lbl"))
-          .persist(StorageLevel.MEMORY_AND_DISK)
-        next.count()
-        val changed = next.as("n").join(labels.as("o"), col("n.node") === col("o.node"))
-          .filter(col("n.lbl") =!= col("o.lbl")).limit(1).count()
-        labels.unpersist()
-        labels = next
-        converged = changed == 0
-        iter += 1
-      }
-    } finally spark.conf.set(shuffleKey, prevShuffle)
-
-    val out = Tables.documents(spark, dir).select($"doc_id")
+    val labels = clusterLabels(spark, dir, threshold, maxIters)
+    Tables.documents(spark, dir).select($"doc_id")
       .join(labels.withColumnRenamed("node", "doc_id"), Seq("doc_id"), "left")
       .select($"doc_id", coalesce($"lbl", $"doc_id").as("cluster_rep"))
       .withColumn("is_kept", $"cluster_rep" === $"doc_id")
       .orderBy($"doc_id")
-    edges.unpersist()
-    out
   }
 
   def dedupClustersOracleSql(threshold: Double = 0.5): String =
@@ -258,11 +288,11 @@ object Dedup {
   /** Materialized SimHash fingerprint table (doc_id, sim) — same
     * rationale as [[sigTable]]: one codegen'd SimHash pass per doc,
     * shared by the chunked self-join's two sides. 16 bytes/doc. */
-  private val simCache = scala.collection.concurrent.TrieMap
-    .empty[(SparkSession, String), DataFrame]
+  private val simCache =
+    GraftCaches.memo[(SparkSession, String), DataFrame](_.unpersist())
 
   private def simTable(spark: SparkSession, dir: String): DataFrame =
-    simCache.getOrElseUpdate((spark, dir), {
+    simCache.getOrElseUpdate((spark, dir)) {
       import spark.implicits._
       GraftFunctions.register(spark)
       val t = Tables.documents(spark, dir)
@@ -271,7 +301,7 @@ object Dedup {
         .persist(StorageLevel.MEMORY_AND_DISK)
       t.count()
       t
-    })
+    }
 
   def simHashPairs(spark: SparkSession, dir: String, maxHamming: Int = 3): DataFrame = {
     import spark.implicits._

@@ -43,6 +43,27 @@ object Engagement {
       .orderBy($"user_id")
   }
 
+  /** Changelog compaction WITH delete semantics: the reference's
+    * changelog carries row-kinds (postgres-cdc WAL deletes,
+    * `ingest.py:21-31`; sinks filter kinds, `process.py:45-46`).
+    * Batch semantics: latest row per key wins — unless that row is a
+    * tombstone, in which case the key is gone. The row-kind here is
+    * derived from the test corpus ([[opExpr]]: `error` = delete); the
+    * streaming twin ([[graft.streaming.CdcCompact]]) retains
+    * tombstones in state so late-arriving older upserts cannot
+    * resurrect a key.
+    */
+  def cdcWithDeletes(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts".desc, $"event_id".desc)
+    Tables.events(spark, dir)
+      .withColumn("op", opExpr($"event_type"))
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" === 1 && $"op" === "upsert")
+      .select($"user_id", $"event_id", $"ts", $"event_type", $"value")
+      .orderBy($"user_id")
+  }
+
   /** Dimension-enrichment lookup join + derived engagement metrics.
     *
     * Mirrors `process.py:150-176`: events LEFT JOIN dim, then
@@ -147,11 +168,29 @@ object Engagement {
       .agg(sum($"value").as("raw_score"), count("*").as("n_events"))
       .orderBy($"raw_score".desc, $"user_id")
       .limit(n)
-    scores
-      .withColumn("rank", row_number().over(Window.orderBy($"raw_score".desc, $"user_id")).cast("long"))
-      .select($"rank", $"user_id", round($"raw_score", 2).as("score"), $"n_events")
-      .orderBy($"rank")
+    // Global rank over the n surviving rows. A window would need an
+    // empty (or constant — which the optimizer folds away) partition
+    // spec and emit the global-window WARN; instead the tiny top-N is
+    // collected into ONE sorted array (negated score = descending,
+    // user_id tie-break) and positions become ranks — no WindowExec,
+    // one n-row aggregate. The ZRANGE half of the Redis analog.
+    Engagement.rankTopN(scores)
   }
+
+  /** rank/score/user_id/n_events projection of an already-limited
+    * (user_id, raw_score, n_events) top-N set, without a global
+    * window: sort_array over a collect_list of the ≤N rows, positions
+    * = ranks. Shared by the batch leaderboard and the streaming
+    * scoreboard view. */
+  def rankTopN(scores: DataFrame): DataFrame =
+    scores
+      .agg(sort_array(collect_list(struct(
+        (-col("raw_score")).as("neg_score"), col("user_id"),
+        col("raw_score"), col("n_events")))).as("arr"))
+      .select(posexplode(col("arr")).as(Seq("pos", "r")))
+      .select((col("pos") + 1).cast("long").as("rank"), col("r.user_id").as("user_id"),
+        round(col("r.raw_score"), 2).as("score"), col("r.n_events").as("n_events"))
+      .orderBy(col("rank"))
 
   /** Multi-sink routing: classify each event to a destination.
     *
@@ -166,6 +205,13 @@ object Engagement {
       .when(eventType === "signup", "crm")
       .when(eventType === "error", "ops")
       .otherwise("analytics")
+
+  /** Synthetic changelog row-kind over the test corpus: `error`
+    * events play the role of WAL deletes (account teardown), all
+    * other kinds are upserts. Shared verbatim by [[cdcWithDeletes]],
+    * the streaming twin, and the DuckDB oracle. */
+  def opExpr(eventType: Column): Column =
+    when(eventType === "error", "delete").otherwise("upsert")
 
   def eventRouter(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._

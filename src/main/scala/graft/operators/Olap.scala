@@ -152,55 +152,122 @@ object Olap {
       .orderBy($"c_custkey")
   }
 
-  /** Exact interpolated percentiles per group (median / p95),
-    * computed by sorted rank + linear interpolation (the
-    * quantile_cont definition: v = v_lo + (v_hi - v_lo)·frac at
-    * pos = (n-1)·q) instead of Spark's `percentile` aggregate. The
-    * aggregate buffers a value→count map per group in the agg buffer
-    * (the per-group memory bomb at scale); the window formulation
-    * streams each sorted group with constant memory and spills
-    * through the sort machinery — and is ~4× faster here. */
+  /** Approximate percentiles per group via `approx_percentile` —
+    * Spark's mergeable Greenwald-Khanna sketch. One map-side-partial
+    * aggregation pass, constant memory per group, no sort anywhere:
+    * the 100 TB default for quantiles, exactly as
+    * [[approxDistinctDaily]] is for count-distinct (rows-only oracle,
+    * approximate by design; [[percentileStats]] is the exact
+    * variant). */
+  def percentileStatsApprox(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, dir)
+      .groupBy($"l_returnflag")
+      .agg(
+        round(percentile_approx($"l_extendedprice", lit(0.5), lit(10000)), 2).as("median_price"),
+        round(percentile_approx($"l_extendedprice", lit(0.95), lit(10000)), 2).as("p95_price"),
+        round(min($"l_extendedprice"), 2).as("min_price"),
+        round(max($"l_extendedprice"), 2).as("max_price"))
+      .orderBy($"l_returnflag")
+  }
+
+  /** EXACT interpolated percentiles per group (quantile_cont:
+    * v = v_lo + (v_hi - v_lo)·frac at pos = (n-1)·q), computed
+    * scale-safely by range-partitioned rank:
+    *
+    *   1. one aggregation pass → per-group count/min/max and the
+    *      target ranks;
+    *   2. every value is assigned to one of `buckets` value-range
+    *      slices; a second aggregation pass counts each slice, and a
+    *      window over the TINY (groups × buckets) count table turns
+    *      slice counts into global rank offsets — locating the one
+    *      slice that contains each target rank;
+    *   3. only the located slices (≈ n/buckets rows each) are sorted
+    *      (row_number per (group, slice)), and offset + local rank =
+    *      exact global rank.
+    *
+    * Nothing ever sorts a whole group: the previous formulation's
+    * `row_number() OVER (PARTITION BY l_returnflag)` put one task per
+    * group — parallelism 3 at ANY cluster size, 33 TB through a
+    * single sort at the target scale. Here parallelism is
+    * groups × buckets for the counting pass and the final sort
+    * touches ~|targets| · n/buckets rows. (At warehouse scale the
+    * slice boundaries would come from a range sampler à la
+    * RangePartitioner rather than uniform min/max splits, which
+    * degrade only under extreme in-group value skew — the located
+    * slice then holds more rows, never wrong results.)
+    */
   def percentileStats(spark: SparkSession, dir: String,
-                      quantiles: Seq[(String, Double)] = Seq("median_price" -> 0.5, "p95_price" -> 0.95)): DataFrame = {
+                      quantiles: Seq[(String, Double)] = Seq("median_price" -> 0.5, "p95_price" -> 0.95),
+                      buckets: Int = 256): DataFrame = {
     import spark.implicits._
     val li = Tables.lineitem(spark, dir).select($"l_returnflag", $"l_extendedprice")
 
-    // pass 1 (plain agg): group sizes + min/max, then the target rank
-    // positions pos = (cnt-1)*q per quantile
-    val stats = quantiles.foldLeft(
-      li.groupBy($"l_returnflag").agg(count("*").as("cnt"),
-        round(min($"l_extendedprice"), 2).as("min_price"),
-        round(max($"l_extendedprice"), 2).as("max_price"))) {
-      case (df, (name, qv)) =>
-        val pos = (col("cnt") - 1) * lit(qv)
-        df.withColumn(s"${name}_lo", floor(pos).cast("long") + 1)
-          .withColumn(s"${name}_hi", ceil(pos).cast("long") + 1)
-          .withColumn(s"${name}_frac", pos - floor(pos))
-    }
+    // pass 1: group sizes + min/max → target ranks pos = (cnt-1)*q
+    val stats = li.groupBy($"l_returnflag").agg(count("*").as("cnt"),
+      min($"l_extendedprice").as("vmin"), max($"l_extendedprice").as("vmax"))
 
-    // pass 2 (single window sort): keep only the rows sitting at a
-    // needed rank, one or two per group per quantile
-    val w = Window.partitionBy($"l_returnflag").orderBy($"l_extendedprice")
-    val ranked = li.withColumn("rn", row_number().over(w))
-      .join(broadcast(stats), Seq("l_returnflag"))
-    val needed = quantiles.map { case (name, _) =>
-      $"rn" === col(s"${name}_lo") || $"rn" === col(s"${name}_hi")
-    }.reduce(_ || _)
+    // tiny (group × quantile × {lo,hi}) rank-target table
+    val qStructs = quantiles.map { case (name, qv) =>
+      struct(lit(name).as("qname"), lit(qv).as("qv"))
+    }
+    val targets = stats
+      .select($"l_returnflag", $"cnt", explode(array(qStructs: _*)).as("q"))
+      .select($"l_returnflag", $"q.qname".as("qname"),
+        (($"cnt" - 1) * $"q.qv").as("pos"))
+      .select($"l_returnflag", $"qname", ($"pos" - floor($"pos")).as("frac"),
+        explode(array(
+          struct(lit("lo").as("which"), (floor($"pos").cast("long") + 1).as("rk")),
+          struct(lit("hi").as("which"), (ceil($"pos").cast("long") + 1).as("rk")))).as("r"))
+      .select($"l_returnflag", $"qname", $"frac", $"r.which".as("which"), $"r.rk".as("rk"))
+
+    // pass 2: uniform value-range slice per row; count each slice
+    val bucketed = li.join(broadcast(stats.select($"l_returnflag", $"vmin", $"vmax")), Seq("l_returnflag"))
+      .withColumn("bkt", when($"vmax" > $"vmin",
+          least(lit(buckets - 1),
+            floor(($"l_extendedprice" - $"vmin") / ($"vmax" - $"vmin") * buckets).cast("int")))
+        .otherwise(lit(0)))
+      .select($"l_returnflag", $"bkt", $"l_extendedprice")
+    val sliceCounts = bucketed.groupBy($"l_returnflag", $"bkt").agg(count("*").as("bc"))
+    // rank offsets over the tiny slice-count table (≤ groups × buckets rows)
+    val wcum = Window.partitionBy($"l_returnflag").orderBy($"bkt")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = sliceCounts.withColumn("cum_before", coalesce(sum($"bc").over(wcum), lit(0L)))
+
+    // locate each target rank's slice: cum_before < rk <= cum_before + bc
+    val located = targets.join(offsets, Seq("l_returnflag"))
+      .filter($"rk" > $"cum_before" && $"rk" <= $"cum_before" + $"bc")
+      .select($"l_returnflag", $"qname", $"which", $"frac", $"rk", $"bkt", $"cum_before")
+
+    // pass 3: sort ONLY the located slices; offset + local rank = global rank
+    val needed = located.select($"l_returnflag", $"bkt", $"cum_before")
+      .dropDuplicates("l_returnflag", "bkt")
+    val wSlice = Window.partitionBy($"l_returnflag", $"bkt").orderBy($"l_extendedprice")
+    val ranked = bucketed.join(broadcast(needed), Seq("l_returnflag", "bkt"))
+      .withColumn("grk", $"cum_before" + row_number().over(wSlice))
+    // renamed join key: `located` also feeds `needed` above, so both
+    // join sides share lineage — a bare column reference would be
+    // ambiguous under self-join resolution
+    val locSel = located.select($"l_returnflag".as("t_flag"), $"qname", $"which", $"frac", $"rk")
+    val hits = ranked.join(broadcast(locSel),
+        $"l_returnflag" === $"t_flag" && $"grk" === $"rk")
+      .select($"l_returnflag", $"qname", $"which", $"frac", $"l_extendedprice")
+
+    // assemble: vlo + (vhi - vlo) * frac per quantile, plus min/max
     val aggCols = quantiles.flatMap { case (name, _) =>
       Seq(
-        min(when($"rn" === col(s"${name}_lo"), $"l_extendedprice")).as(s"${name}_vlo"),
-        min(when($"rn" === col(s"${name}_hi"), $"l_extendedprice")).as(s"${name}_vhi"),
-        first(col(s"${name}_frac")).as(s"${name}_f"))
-    } ++ Seq(first($"min_price").as("min_price"), first($"max_price").as("max_price"))
-
-    val picked = ranked.filter(needed)
-      .groupBy($"l_returnflag")
-      .agg(aggCols.head, aggCols.tail: _*)
-    quantiles.foldLeft(picked) { case (df, (name, _)) =>
-      // quantile_cont interpolation: v_lo + (v_hi - v_lo) * frac
+        min(when($"qname" === name && $"which" === "lo", $"l_extendedprice")).as(s"${name}_vlo"),
+        min(when($"qname" === name && $"which" === "hi", $"l_extendedprice")).as(s"${name}_vhi"),
+        min(when($"qname" === name, $"frac")).as(s"${name}_f"))
+    }
+    val picked = hits.groupBy($"l_returnflag").agg(aggCols.head, aggCols.tail: _*)
+    val interpolated = quantiles.foldLeft(picked) { case (df, (name, _)) =>
       df.withColumn(name, round(
         col(s"${name}_vlo") + (col(s"${name}_vhi") - col(s"${name}_vlo")) * col(s"${name}_f"), 2))
     }
+    interpolated
+      .join(broadcast(stats.select($"l_returnflag",
+        round($"vmin", 2).as("min_price"), round($"vmax", 2).as("max_price"))), Seq("l_returnflag"))
       .select($"l_returnflag", $"median_price", $"p95_price", $"min_price", $"max_price")
       .orderBy($"l_returnflag")
   }

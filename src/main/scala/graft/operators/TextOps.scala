@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.GraftCaches
 import graft.sources.Tables
 
 /** Text-analysis operators for a training-data pipeline over the
@@ -41,39 +42,55 @@ object TextOps {
     * merge walk. This IS the production-exact path at scale — the
     * shuffles carry (doc_id, token) postings and id pairs, never
     * full documents. */
+  /** The two self-join-feeding tables (word sets + prefix index),
+    * memoized per (session, dir, threshold) and freed via
+    * [[graft.GraftCaches.clearAll]]. */
+  private val jaccardTablesCache =
+    GraftCaches.memo[(SparkSession, String, Double), (DataFrame, DataFrame)] {
+      case (d, p) => d.unpersist(); p.unpersist(); ()
+    }
+
+  private def jaccardTables(spark: SparkSession, dir: String,
+                            threshold: Double): (DataFrame, DataFrame) =
+    jaccardTablesCache.getOrElseUpdate((spark, dir, threshold)) {
+      import spark.implicits._
+      // Persisted like the MinHash signature table: the word-set table
+      // and the prefix index each feed BOTH sides of the self-join plus
+      // the verification joins — without persist, Catalyst plans the
+      // whole scan→split→docFreq→window subtree once per consumer (the
+      // round-1 lesson: self-joins do not share non-identical
+      // exchanges). Materialized eagerly: letting the join's two sides
+      // (plus broadcast builder threads) race to fill the cache
+      // serializes on per-partition block locks — measured 10-50s of
+      // flaky wait at sf0.1. At warehouse scale these are parquet
+      // stages, which are eager for the same reason.
+      val d = Tables.documents(spark, dir)
+        .select($"doc_id", $"source", array_sort(array_distinct(split($"text", " "))).as("words"))
+        .withColumn("nw", size($"words"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      d.count()
+
+      // global ascending document frequency = the token rarity order
+      val postings = d.select($"doc_id", $"source", $"nw", explode($"words").as("tok"))
+      val docFreq = postings.groupBy($"tok").agg(count("*").as("df"))
+
+      // prefix = the L rarest tokens per doc, L = nw - ceil(t·nw) + 1.
+      // (Correctness needs only SOME global token order — rarity order
+      // is the selectivity heuristic that matters on Zipfian corpora.)
+      val byRarity = Window.partitionBy($"doc_id").orderBy($"df", $"tok")
+      val prefixes = postings.join(docFreq, "tok")
+        .withColumn("rk", row_number().over(byRarity))
+        .filter($"rk" <= $"nw" - ceil(lit(threshold) * $"nw") + 1)
+        .select($"doc_id", $"source", $"nw", $"tok")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      prefixes.count()
+      (d, prefixes)
+    }
+
   def wordJaccardPairs(spark: SparkSession, dir: String, threshold: Double = 0.75): DataFrame = {
     import spark.implicits._
     graft.functions.GraftFunctions.register(spark)
-    // Persisted like the MinHash signature table: the word-set table
-    // and the prefix index each feed BOTH sides of the self-join plus
-    // the verification joins — without persist, Catalyst plans the
-    // whole scan→split→docFreq→window subtree once per consumer (the
-    // round-1 lesson: self-joins do not share non-identical
-    // exchanges). Materialized eagerly: letting the join's two sides
-    // (plus broadcast builder threads) race to fill the cache
-    // serializes on per-partition block locks — measured 10-50s of
-    // flaky wait at sf0.1. At warehouse scale these are parquet
-    // stages, which are eager for the same reason.
-    val d = Tables.documents(spark, dir)
-      .select($"doc_id", $"source", array_sort(array_distinct(split($"text", " "))).as("words"))
-      .withColumn("nw", size($"words"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    d.count()
-
-    // global ascending document frequency = the token rarity order
-    val postings = d.select($"doc_id", $"source", $"nw", explode($"words").as("tok"))
-    val docFreq = postings.groupBy($"tok").agg(count("*").as("df"))
-
-    // prefix = the L rarest tokens per doc, L = nw - ceil(t·nw) + 1.
-    // (Correctness needs only SOME global token order — rarity order
-    // is the selectivity heuristic that matters on Zipfian corpora.)
-    val byRarity = Window.partitionBy($"doc_id").orderBy($"df", $"tok")
-    val prefixes = postings.join(docFreq, "tok")
-      .withColumn("rk", row_number().over(byRarity))
-      .filter($"rk" <= $"nw" - ceil(lit(threshold) * $"nw") + 1)
-      .select($"doc_id", $"source", $"nw", $"tok")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    prefixes.count()
+    val (d, prefixes) = jaccardTables(spark, dir, threshold)
 
     // candidates share a prefix token (+ lossless size-ratio filter:
     // J <= min/max)

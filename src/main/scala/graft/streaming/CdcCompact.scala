@@ -1,7 +1,5 @@
 package graft.streaming
 
-import java.nio.file.Files
-
 import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -21,19 +19,27 @@ import org.apache.spark.sql.functions._
   * [[graft.operators.Engagement.cdcLatestByKey]] — which is exactly
   * what the correctness gate checks (same DuckDB oracle).
   *
+  * DELETE semantics: the reference's changelog carries row-kinds —
+  * postgres-cdc emits WAL deletes (`ingest.py:21-31`) and every
+  * reference sink filters kinds (`process.py:45-46, 84-85, 98-99`).
+  * Here a batch may carry an `op` column (`upsert` | `delete`).
+  * Tombstones are RETAINED in the compacted state (with their
+  * timestamp) so an out-of-order older upsert arriving in a later
+  * micro-batch cannot resurrect a deleted key; [[live]] is the
+  * read-side view with tombstoned keys dropped — the same
+  * retain-then-filter design as log-compacted topics and LSM stores.
+  *
   * Scale: state size is O(distinct keys), not O(stream length); the
   * merge shuffles only the compacted table + the new batch on the
   * key. At warehouse scale the same `merge` body targets a format
   * with real MERGE INTO (Delta/Iceberg) instead of
-  * versioned-directory swaps.
+  * versioned-directory swaps, and tombstones age out after a
+  * retention horizon.
   */
-final class CdcCompact(stateDir: String) {
+final class CdcCompact(stateDir: String, extraCols: Seq[String] = Nil) {
   /** Recovered on construction so a restarted job (new instance, same
     * state dir + checkpoint) continues from the last committed
-    * version instead of silently dropping prior state. Re-running an
-    * uncommitted batch after a crash is harmless: `merge` is
-    * idempotent (latest-per-key over already-merged rows is a
-    * no-op). */
+    * version instead of silently dropping prior state. */
   @volatile private var version: Long = {
     val d = new java.io.File(stateDir)
     if (!d.exists()) -1L
@@ -44,7 +50,7 @@ final class CdcCompact(stateDir: String) {
   }
 
   private val outCols =
-    Seq(col("user_id"), col("event_id"), col("ts"), col("event_type"), col("value"))
+    (Seq("user_id", "event_id", "ts", "event_type", "value") ++ extraCols).map(col)
 
   private def latestPerKey(df: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("user_id")).orderBy(col("ts").desc, col("event_id").desc)
@@ -53,8 +59,14 @@ final class CdcCompact(stateDir: String) {
       .select(outCols: _*)
   }
 
-  /** foreachBatch body. */
+  /** foreachBatch body. Exactly-once under replay: if `batchId` is at
+    * or below the recovered version, `v$batchId` already exists on
+    * disk — that batch was fully merged before the crash, so it is
+    * skipped (re-merging would also have Spark read and overwrite the
+    * same `v$batchId` path in one job, which fails). Same guard as
+    * [[EngagementStream.LeaderboardState.merge]]. */
   def merge(batch: Dataset[Row], batchId: Long): Unit = {
+    if (batchId <= version) return
     val spark = batch.sparkSession
     val incoming = batch.select(outCols: _*)
     val merged =
@@ -66,34 +78,61 @@ final class CdcCompact(stateDir: String) {
     if (prev >= 0) StreamUtil.delete(spark, s"$stateDir/v$prev")
   }
 
-  /** The compacted table at the current version. */
+  /** The compacted table at the current version — latest row per key
+    * INCLUDING tombstones (the physical state). */
   def table(spark: SparkSession): DataFrame =
     spark.read.parquet(s"$stateDir/v$version")
+
+  /** The live view: keys whose latest row is a delete are dropped,
+    * and the `op` bookkeeping column is hidden. Equals [[table]] when
+    * the stream carries no `op` column. */
+  def live(spark: SparkSession): DataFrame = {
+    val t = table(spark)
+    if (extraCols.contains("op")) t.filter(col("op") =!= "delete").drop("op") else t
+  }
 }
 
 object CdcCompact {
 
   /** Stage the events table as `nFiles` parquet files so the file
     * source delivers a genuinely incremental stream
-    * (maxFilesPerTrigger=1 → one MERGE per file). */
+    * (maxFilesPerTrigger=1 → one MERGE per file). `withOps` adds the
+    * derived changelog row-kind column (see [[opExpr]]). */
   private[streaming] def stageSplitEvents(spark: SparkSession, dir: String,
-                                          out: String, nFiles: Int): Unit = {
+                                          out: String, nFiles: Int,
+                                          withOps: Boolean = false): Unit = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$dir/events.parquet")
-      .repartition(nFiles)
-      .write.mode("overwrite").parquet(out)
+    val base = spark.read.parquet(s"$dir/events.parquet")
+    val staged =
+      if (withOps) base.withColumn("op", graft.operators.Engagement.opExpr(col("event_type")))
+      else base
+    staged.repartition(nFiles).write.mode("overwrite").parquet(out)
   }
 
   /** Queries entry: run the compaction over a multi-batch replay of
     * the events table and return the final compacted table (oracle:
     * same SQL as `cdc_latest_by_key`). */
   def streamCdcCompact(spark: SparkSession, dir: String, nFiles: Int = 4): DataFrame = {
-    val work = Files.createTempDirectory("graft_cdc_").toString
+    val work = graft.GraftCaches.trackTempDir("graft_cdc_")
     stageSplitEvents(spark, dir, s"$work/input", nFiles)
     val cdc = new CdcCompact(s"$work/state")
     StreamSources.runForeachBatch(
       StreamSources.eventsFrom(spark, s"$work/input", maxFilesPerTrigger = 1),
       cdc.merge)
     cdc.table(spark).orderBy(col("user_id"))
+  }
+
+  /** Queries entry: the same replay with changelog row-kinds — keys
+    * whose latest change is a delete vanish from the live view
+    * (oracle: latest-per-key where the winner is an upsert). */
+  def streamCdcWithDeletes(spark: SparkSession, dir: String, nFiles: Int = 4): DataFrame = {
+    val work = graft.GraftCaches.trackTempDir("graft_cdcdel_")
+    stageSplitEvents(spark, dir, s"$work/input", nFiles, withOps = true)
+    val cdc = new CdcCompact(s"$work/state", extraCols = Seq("op"))
+    StreamSources.runForeachBatch(
+      StreamSources.eventsFrom(spark, s"$work/input", maxFilesPerTrigger = 1,
+        extraCols = Seq("op")),
+      cdc.merge)
+    cdc.live(spark).orderBy(col("user_id"))
   }
 }

@@ -1,7 +1,5 @@
 package graft.streaming
 
-import java.nio.file.Files
-
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.OutputMode
@@ -123,16 +121,13 @@ object EngagementStream {
 
     /** Top-N view over the current scoreboard — same shape as the
       * batch [[Engagement.leaderboardTopN]]. */
-    def topN(spark: SparkSession, n: Int = 10): DataFrame = {
-      import org.apache.spark.sql.expressions.Window
-      spark.read.parquet(s"$stateDir/v$version")
-        .orderBy(col("raw_score").desc, col("user_id"))
-        .limit(n)
-        .withColumn("rank", row_number()
-          .over(Window.orderBy(col("raw_score").desc, col("user_id"))).cast("long"))
-        .select(col("rank"), col("user_id"), round(col("raw_score"), 2).as("score"), col("n_events"))
-        .orderBy(col("rank"))
-    }
+    def topN(spark: SparkSession, n: Int = 10): DataFrame =
+      // rank-after-limit via the window-free array-rank projection
+      // (see Engagement.rankTopN) — no global-window WARN.
+      Engagement.rankTopN(
+        spark.read.parquet(s"$stateDir/v$version")
+          .orderBy(col("raw_score").desc, col("user_id"))
+          .limit(n))
   }
 
   /** End-to-end fan-out mirroring process.py's three sinks: each
@@ -158,17 +153,20 @@ object EngagementStream {
     lb
   }
 
-  /** Memoized fan-out per input dir, so the routed-counts and
-    * leaderboard query entries (and specs) can share one streaming
-    * run instead of re-processing the input per entry. */
+  /** Memoized fan-out per (session, input dir), so the routed-counts
+    * and leaderboard query entries (and specs) can share one streaming
+    * run instead of re-processing the input per entry. Keyed by
+    * session (a later session must not see DataFrames bound to a
+    * stopped one) and cleared via [[graft.GraftCaches.clearAll]] —
+    * the temp output tree is tracked and deleted on the same hook. */
   private val fanoutCache =
-    scala.collection.concurrent.TrieMap.empty[String, (String, LeaderboardState)]
+    graft.GraftCaches.memo[(SparkSession, String), (String, LeaderboardState)](_ => ())
 
   def fanout(spark: SparkSession, dir: String): (String, LeaderboardState) =
-    fanoutCache.getOrElseUpdate(dir, {
-      val out = Files.createTempDirectory("graft_fanout_").toString
+    fanoutCache.getOrElseUpdate((spark, dir)) {
+      val out = graft.GraftCaches.trackTempDir("graft_fanout_")
       (out, runFanout(spark, dir, out))
-    })
+    }
 
   /** SURVEY §2 #7's streaming variant: multi-sink routing driven
     * through the real engine; returns per-route counts read back from

@@ -138,7 +138,7 @@ object Sessionize {
     * same SQL as `session_window_agg`). Sentinel users (< 0) are the
     * flush mechanism, excluded from output. */
   def streamSessionAgg(spark: SparkSession, dir: String): DataFrame = {
-    val work = Files.createTempDirectory("graft_sess_").toString
+    val work = graft.GraftCaches.trackTempDir("graft_sess_")
     stageWithSentinels(spark, dir, work)
     val stream = StreamSources.eventsFrom(spark, s"$work/input", maxFilesPerTrigger = 1)
     StreamSources.runToMemory(sessionize(stream).toDF(), OutputMode.Append())

@@ -34,7 +34,7 @@ object StreamDedup {
     * The horizon is set beyond the data's time span so the guarantee
     * is global for the replay. */
   def streamDedup(spark: SparkSession, dir: String): DataFrame = {
-    val work = Files.createTempDirectory("graft_dedup_").toString
+    val work = graft.GraftCaches.trackTempDir("graft_dedup_")
     val inputDir = Paths.get(work, "input")
     Files.createDirectories(inputDir)
     val src = Paths.get(s"$dir/events.parquet")

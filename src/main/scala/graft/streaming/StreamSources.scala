@@ -37,8 +37,11 @@ object StreamSources {
 
   /** Same as [[events]] but over an arbitrary events-shaped parquet
     * path (used by specs/queries that stage multi-file or
-    * sentinel-augmented inputs). */
-  def eventsFrom(spark: SparkSession, path: String, maxFilesPerTrigger: Int = 0): DataFrame = {
+    * sentinel-augmented inputs). `extraCols` carries staged
+    * changelog columns (e.g. the CDC `op` row-kind) through the
+    * projection. */
+  def eventsFrom(spark: SparkSession, path: String, maxFilesPerTrigger: Int = 0,
+                 extraCols: Seq[String] = Nil): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = spark.read.parquet(path).schema
     var reader = spark.readStream.schema(schema)
@@ -53,8 +56,8 @@ object StreamSources {
       if (new java.io.File(path).isFile) s"${path.init}[${path.last}]" else path
     reader.parquet(streamPath)
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      .select(col("event_id"), col("ts"), col("user_id"),
-        col("event_type"), col("value"), col("props"))
+      .select((Seq("event_id", "ts", "user_id", "event_type", "value", "props")
+        ++ extraCols).map(col): _*)
   }
 
   /** Shuffle/state partition count captured by a starting streaming

@@ -12,7 +12,10 @@ object TestSession {
   }
 }
 
-class BatchOperatorsSpec extends AnyFunSuite {
+class BatchOperatorsSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
+  // zero leaked persisted blocks / temp dirs after `sbt test`
+  override def afterAll(): Unit = GraftCaches.clearAll()
+
   import TestSession._
 
   test("entry returns rows") {

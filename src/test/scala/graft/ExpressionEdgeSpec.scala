@@ -10,7 +10,10 @@ import org.scalatest.funsuite.AnyFunSuite
   * these, so pin them here: a 100 TB crawl WILL contain empty and
   * degenerate documents, and the dedup/similarity pipeline must
   * degrade deterministically, not throw. */
-class ExpressionEdgeSpec extends AnyFunSuite {
+class ExpressionEdgeSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
+  // zero leaked persisted blocks / temp dirs after `sbt test`
+  override def afterAll(): Unit = GraftCaches.clearAll()
+
   import TestSession._
 
   private def one(sqlText: String): Row = {

@@ -8,7 +8,10 @@ import graft.streaming.{EngagementStream, KafkaConfig}
   * the result of its batch twin after draining the same input — the
   * property that lets the driver's DuckDB oracles check the streaming
   * engine. */
-class StreamingSpec extends AnyFunSuite {
+class StreamingSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
+  // zero leaked persisted blocks / temp dirs after `sbt test`
+  override def afterAll(): Unit = GraftCaches.clearAll()
+
   import TestSession._
 
   private def rows(name: String) =
@@ -75,6 +78,43 @@ class StreamingSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val stream = rows("stream_interval_join").map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(stream == batch, s"stream=${stream.size} batch=${batch.size}")
+  }
+
+  test("stream_cdc_with_deletes equals batch cdc_with_deletes") {
+    assert(rows("stream_cdc_with_deletes") == rows("cdc_with_deletes"))
+  }
+
+  test("cdc deletes: insert→update→delete lifecycle, replay guard, no tombstone resurrection") {
+    import org.apache.spark.sql.functions.{col, to_timestamp}
+    import graft.streaming.CdcCompact
+    import spark.implicits._
+    val work = GraftCaches.trackTempDir("graft_cdcspec_")
+    val cdc = new CdcCompact(s"$work/state", extraCols = Seq("op"))
+    def batch(rows: (Long, Long, String, String, Double, String)*) =
+      rows.toSeq.toDF("user_id", "event_id", "tss", "event_type", "value", "op")
+        .withColumn("ts", to_timestamp(col("tss"))).drop("tss")
+    def liveIds = cdc.live(spark).orderBy(col("user_id"))
+      .select(col("user_id"), col("event_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+
+    // insert (two keys), then update key 1
+    cdc.merge(batch((1L, 1L, "2024-01-01 10:00:00", "view", 1.0, "upsert"),
+      (2L, 10L, "2024-01-01 10:00:00", "view", 2.0, "upsert")), 0)
+    cdc.merge(batch((1L, 2L, "2024-01-01 11:00:00", "click", 5.0, "upsert")), 1)
+    assert(liveIds == Seq((1L, 2L), (2L, 10L)))
+    // delete key 1: gone from the live view, tombstone retained in state
+    cdc.merge(batch((1L, 3L, "2024-01-01 12:00:00", "error", 0.0, "delete")), 2)
+    assert(liveIds == Seq((2L, 10L)))
+    assert(cdc.table(spark).count() == 2, "tombstone must stay in physical state")
+    // a late OLDER upsert for the deleted key must not resurrect it
+    cdc.merge(batch((1L, 4L, "2024-01-01 10:30:00", "view", 9.0, "upsert")), 3)
+    assert(liveIds == Seq((2L, 10L)))
+    // replayed batchId is skipped (exactly-once guard): key 2 unchanged
+    cdc.merge(batch((2L, 99L, "2024-01-01 23:00:00", "view", 9.0, "upsert")), 3)
+    assert(liveIds == Seq((2L, 10L)))
+    // a genuinely NEWER upsert re-creates the key
+    cdc.merge(batch((1L, 5L, "2024-01-01 13:00:00", "view", 7.0, "upsert")), 4)
+    assert(liveIds == Seq((1L, 5L), (2L, 10L)))
   }
 
   test("cdc compaction resumes from checkpoint across a restart, exactly once") {
