@@ -53,6 +53,7 @@ object SparkEntry {
     // LLM training-data pipeline
     "dedup_exact"        -> TextOps.dedupExact _,
     "word_jaccard_pairs" -> ((s: SparkSession, d: String) => TextOps.wordJaccardPairs(s, d)),
+    "word_jaccard_naive" -> ((s: SparkSession, d: String) => TextOps.wordJaccardNaive(s, d)),
     "lang_id"            -> TextOps.langId _,
     "text_quality"       -> TextOps.textQuality _,
     "token_count"        -> TextOps.tokenCount _,
@@ -78,6 +79,9 @@ object SparkEntry {
     // streaming variants produce byte-identical results to their
     // batch twins (shared transforms / MERGE semantics) — same oracle
     base ++ Map(
+      // the naive blocked join is output-identical to the
+      // prefix-filtered path (both exact) — same oracle
+      "word_jaccard_naive" -> base("word_jaccard_pairs"),
       "stream_cdc_with_deletes" -> base("cdc_with_deletes"),
       "stream_hop_agg"     -> base("hop_window_agg"),
       "stream_enrich"      -> base("enrich_events"),
@@ -299,6 +303,10 @@ object SparkEntry {
     "doc_fingerprint" -> operators.TextOps.docFingerprintOracleSql,
 
     "dedup_minhash_lsh" -> operators.Dedup.minHashLshOracleSql(),
+
+    // deterministic (pigeonhole-exact) — full fingerprint recompute in
+    // DuckDB, see Dedup.simHashOracleSql's arithmetic notes
+    "dedup_simhash" -> operators.Dedup.simHashOracleSql(),
 
     "dedup_clusters" -> operators.Dedup.dedupClustersOracleSql(),
 

@@ -323,4 +323,60 @@ object Dedup {
       .select($"id_a".as("doc_a"), $"id_b".as("doc_b"), $"hamming")
       .orderBy($"doc_a", $"doc_b")
   }
+
+  /** Exact DuckDB oracle for [[simHashPairs]]. SimHash is
+    * deterministic (the pigeonhole chunk join finds EVERY pair within
+    * the Hamming radius, it is not approximate), so the oracle
+    * recomputes the fingerprints from scratch: FNV-1a 64 over each
+    * token's bytes, the splitmix64 avalanche, per-bit ±1 votes, then
+    * all-pairs Hamming — mirroring [[graft.functions.Hash64]] bit for
+    * bit in SQL.
+    *
+    * Mod-2^64 arithmetic rides on HUGEINT: the FNV multiply
+    * (h < 2^64 times the 40-bit prime < 2^104) fits directly; the two
+    * splitmix multiplies (full 64×64 bit) are split at 32 bits —
+    * (a·b) mod 2^64 = (a_lo·b mod 2^64 + ((a_hi·b mod 2^32)·2^32))
+    * mod 2^64 — so no intermediate exceeds 2^97. XOR runs through
+    * UBIGINT (both operands < 2^64); `x // 2^k` is `x >>> k` for the
+    * non-negative HUGEINT intermediates. Byte iteration uses
+    * codepoints, which equal UTF-8 bytes on the all-ASCII test
+    * corpus (asserted: sf0.1 has zero non-ASCII documents);
+    * `list_filter(c <> '')` reproduces FNV("") = offset-basis for
+    * empty tokens, where DuckDB's `string_split('','')` yields
+    * `['']`. */
+  def simHashOracleSql(maxHamming: Int = 3): String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+       |f0 AS (SELECT doc_id,
+       |  list_reduce(
+       |    list_prepend(14695981039346656037::HUGEINT,
+       |                 list_transform(list_filter(string_split(tok,''), c -> c <> ''),
+       |                                c -> ord(c)::HUGEINT)),
+       |    (h, b) -> ((h - (h % 256) + xor((h % 256)::BIGINT, b::BIGINT)::HUGEINT) * 1099511628211::HUGEINT)
+       |              % 18446744073709551616::HUGEINT) AS h0
+       |  FROM toks),
+       |m1 AS (SELECT doc_id, (h0 + 11400714819323198485::HUGEINT) % 18446744073709551616::HUGEINT AS z0 FROM f0),
+       |m2 AS (SELECT doc_id, xor(z0::UBIGINT, (z0 // 1073741824)::UBIGINT)::HUGEINT AS x0 FROM m1),
+       |m3 AS (SELECT doc_id,
+       |  ( ((x0 % 4294967296) * 13787848793156543929::HUGEINT) % 18446744073709551616::HUGEINT
+       |    + (((x0 // 4294967296) * 13787848793156543929::HUGEINT) % 4294967296::HUGEINT) * 4294967296::HUGEINT
+       |  ) % 18446744073709551616::HUGEINT AS z1 FROM m2),
+       |m4 AS (SELECT doc_id, xor(z1::UBIGINT, (z1 // 134217728)::UBIGINT)::HUGEINT AS x1 FROM m3),
+       |m5 AS (SELECT doc_id,
+       |  ( ((x1 % 4294967296) * 10723151780598845931::HUGEINT) % 18446744073709551616::HUGEINT
+       |    + (((x1 // 4294967296) * 10723151780598845931::HUGEINT) % 4294967296::HUGEINT) * 4294967296::HUGEINT
+       |  ) % 18446744073709551616::HUGEINT AS z2 FROM m4),
+       |hashes AS (SELECT doc_id, xor(z2::UBIGINT, (z2 // 2147483648)::UBIGINT) AS h FROM m5),
+       |votes AS (
+       |  SELECT doc_id, b, sum(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS v
+       |  FROM hashes, (SELECT unnest(range(0, 64)) AS b) bits
+       |  GROUP BY doc_id, b),
+       |fp AS (
+       |  SELECT doc_id, sum(CASE WHEN v > 0 THEN (1::UBIGINT << b)::HUGEINT ELSE 0::HUGEINT END)::UBIGINT AS sim
+       |  FROM votes GROUP BY doc_id)
+       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |       bit_count(xor(a.sim, b.sim))::BIGINT AS hamming
+       |FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.sim, b.sim)) <= $maxHamming
+       |ORDER BY doc_a, doc_b""".stripMargin
 }

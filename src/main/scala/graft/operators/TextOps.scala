@@ -77,11 +77,13 @@ object TextOps {
       // prefix = the L rarest tokens per doc, L = nw - ceil(t·nw) + 1.
       // (Correctness needs only SOME global token order — rarity order
       // is the selectivity heuristic that matters on Zipfian corpora.)
+      // `rk` — the token's 1-based position in the doc's rarity
+      // order — is carried through for the PPJoin positional bound.
       val byRarity = Window.partitionBy($"doc_id").orderBy($"df", $"tok")
       val prefixes = postings.join(docFreq, "tok")
         .withColumn("rk", row_number().over(byRarity))
         .filter($"rk" <= $"nw" - ceil(lit(threshold) * $"nw") + 1)
-        .select($"doc_id", $"source", $"nw", $"tok")
+        .select($"doc_id", $"source", $"nw", $"tok", $"rk")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       prefixes.count()
       (d, prefixes)
@@ -92,14 +94,27 @@ object TextOps {
     graft.functions.GraftFunctions.register(spark)
     val (d, prefixes) = jaccardTables(spark, dir, threshold)
 
-    // candidates share a prefix token (+ lossless size-ratio filter:
-    // J <= min/max)
+    // candidates share a prefix token, subject to two lossless prunes:
+    //  - size ratio: J <= |A|/|B| when |A| <= |B|, so require
+    //    min(nw) >= t·max(nw);
+    //  - PPJoin positional bound (Xiao et al. 2008): a shared token at
+    //    rarity positions (i, j) caps the overlap at
+    //    1 + min(|A|-i, |B|-j); a true pair needs overlap
+    //    >= α = ceil(t/(1+t)·(|A|+|B|)), and its FIRST shared token
+    //    (which prefix filtering guarantees sits inside both prefixes)
+    //    always satisfies the bound — so keeping pairs where ANY
+    //    shared prefix token passes never loses a true pair, while
+    //    pruning the candidates whose shared tokens all sit too deep.
+    //    (1e-9 slack keeps an FP-rounded α from exceeding the exact
+    //    integer and over-pruning.)
+    val alpha = ceil(lit(threshold) * (col("a.nw") + col("b.nw")) / lit(1.0 + threshold) - lit(1e-9))
     val candidates = prefixes.as("a")
       .join(prefixes.as("b"),
         col("a.source") === col("b.source") && col("a.tok") === col("b.tok")
           && col("a.doc_id") < col("b.doc_id")
           && least(col("a.nw"), col("b.nw")).cast("double")
-             >= lit(threshold) * greatest(col("a.nw"), col("b.nw")))
+             >= lit(threshold) * greatest(col("a.nw"), col("b.nw"))
+          && lit(1) + least(col("a.nw") - col("a.rk"), col("b.nw") - col("b.rk")) >= alpha)
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
       .dropDuplicates("id_a", "id_b")
 
@@ -113,6 +128,32 @@ object TextOps {
         round($"inter".cast("double") / ($"na" + $"nb" - $"inter"), 4))
       .filter($"jaccard" >= threshold)
       .select($"id_a".as("doc_a"), $"id_b".as("doc_b"), $"jaccard")
+      .orderBy($"doc_a", $"doc_b")
+  }
+
+  /** The naive blocked variant of [[wordJaccardPairs]]: a per-source
+    * quadratic self-join with the allocation-free sorted-merge
+    * intersect. Identical output (same oracle SQL). Kept as a
+    * first-class entry so the bench records both shapes every round:
+    * the quadratic join wins while blocks are small (pair count
+    * ~(block/√2)², no index-build cost), the prefix-filtered join is
+    * the production path once blocks outgrow it — candidates scale
+    * with posting-list lengths, not block². */
+  def wordJaccardNaive(spark: SparkSession, dir: String, threshold: Double = 0.75): DataFrame = {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    val d = Tables.documents(spark, dir)
+      .select($"doc_id", $"source", array_sort(array_distinct(split($"text", " "))).as("words"))
+      .withColumn("nw", size($"words"))
+    d.as("a").join(d.as("b"),
+        col("a.source") === col("b.source") && col("a.doc_id") < col("b.doc_id")
+          && least(col("a.nw"), col("b.nw")).cast("double")
+             >= lit(threshold) * greatest(col("a.nw"), col("b.nw")))
+      .withColumn("inter", call_function("graft_sorted_intersect_size", col("a.words"), col("b.words")))
+      .withColumn("jaccard",
+        round($"inter".cast("double") / (col("a.nw") + col("b.nw") - $"inter"), 4))
+      .filter($"jaccard" >= threshold)
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"), $"jaccard")
       .orderBy($"doc_a", $"doc_b")
   }
 
