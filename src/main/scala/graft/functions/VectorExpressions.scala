@@ -427,6 +427,87 @@ case class IvfProbe(child: Expression, seed: Long, nCells: Int, nProbe: Int)
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+object TrainedIvfKernel {
+  /** Dot products of `v` against `k` trained centroids packed row-major
+    * into one flat float array (centroids are unit-normalized at
+    * training time, so argmax-dot == argmax-cosine; |v| is constant
+    * across cells and never needs computing). Plain multiply-adds over
+    * primitive arrays — cheaper per row than the hash-centroid kernel,
+    * which re-derives every plane component through the mix() hash. */
+  private def scores(v: ArrayData, cents: ArrayData): Array[Double] = {
+    val dim = v.numElements()
+    val k = if (dim == 0) 0 else cents.numElements() / dim
+    val out = new Array[Double](k)
+    var c = 0
+    while (c < k) {
+      var dot = 0.0
+      val base = c * dim
+      var d = 0
+      while (d < dim) {
+        dot += v.getFloat(d) * cents.getFloat(base + d)
+        d += 1
+      }
+      out(c) = dot
+      c += 1
+    }
+    out
+  }
+
+  def assign(v: ArrayData, cents: ArrayData): Int = {
+    val s = scores(v, cents)
+    if (s.isEmpty) return 0
+    var best = 0
+    var c = 1
+    while (c < s.length) { if (s(c) > s(best)) best = c; c += 1 }
+    best
+  }
+
+  def probe(v: ArrayData, cents: ArrayData, nProbe: Int): ArrayData = {
+    val s = scores(v, cents)
+    val idx = Array.tabulate(s.length)(identity).sortBy(c => (-s(c), c)).take(nProbe)
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(idx)
+  }
+}
+
+/** IVF cell assignment against TRAINED centroids: the centroid matrix
+  * arrives as a flat array<float> literal child (k·dim values — coarse
+  * quantization keeps this a few KB by design, e.g. 16×64×4 B; it is a
+  * plan constant, folded into the codegen references array, NOT
+  * recomputed per row). Centroids come from
+  * [[graft.operators.VectorOps.trainIvfCentroids]] (sampled spherical
+  * k-means). */
+case class TrainedIvfAssign(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] =
+    Seq(ArrayType(FloatType), ArrayType(FloatType))
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "graft_ivf_assign_trained"
+  override def nullSafeEval(v: Any, cents: Any): Any =
+    TrainedIvfKernel.assign(v.asInstanceOf[ArrayData], cents.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (v, cents) =>
+      s"${ev.value} = graft.functions.TrainedIvfKernel.assign($v, $cents);")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** Multi-probe against trained centroids: the `nProbe` nearest cells,
+  * best first. */
+case class TrainedIvfProbe(left: Expression, right: Expression, nProbe: Int)
+    extends BinaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] =
+    Seq(ArrayType(FloatType), ArrayType(FloatType))
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "graft_ivf_probe_trained"
+  override def nullSafeEval(v: Any, cents: Any): Any =
+    TrainedIvfKernel.probe(v.asInstanceOf[ArrayData], cents.asInstanceOf[ArrayData], nProbe)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (v, cents) =>
+      s"${ev.value} = graft.functions.TrainedIvfKernel.probe($v, $cents, $nProbe);")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
 object GraftFunctions {
   type Builder = Seq[Expression] => Expression
 
@@ -460,7 +541,13 @@ object GraftFunctions {
       es => IvfAssign(es(0), litLong(es(1)), litLong(es(2)).toInt)),
     ("graft_ivf_probe",
       new ExpressionInfo(classOf[IvfProbe].getName, "graft_ivf_probe"),
-      es => IvfProbe(es(0), litLong(es(1)), litLong(es(2)).toInt, litLong(es(3)).toInt)))
+      es => IvfProbe(es(0), litLong(es(1)), litLong(es(2)).toInt, litLong(es(3)).toInt)),
+    ("graft_ivf_assign_trained",
+      new ExpressionInfo(classOf[TrainedIvfAssign].getName, "graft_ivf_assign_trained"),
+      es => TrainedIvfAssign(es(0), es(1))),
+    ("graft_ivf_probe_trained",
+      new ExpressionInfo(classOf[TrainedIvfProbe].getName, "graft_ivf_probe_trained"),
+      es => TrainedIvfProbe(es(0), es(1), litLong(es(2)).toInt)))
 
   /** Idempotent registration for sessions not built with
     * `spark.sql.extensions=graft.GraftExtensions`; no-ops (and logs

@@ -25,6 +25,104 @@ object VectorOps {
   private def cosine(a: Column, b: Column): Column =
     call_function("graft_cosine", a, b)
 
+  /** Trained coarse centroids for IVF, memoized per (session, dir,
+    * nCells, seed) and returned as one flat row-major float array
+    * (k·dim values), unit-normalized so cell scoring is a plain dot
+    * product.
+    *
+    * Training = spherical k-means on a bounded driver-side sample:
+    * take ≤ `sampleN` vectors (deterministic vec_id order), normalize,
+    * seed with greedy farthest-point (k-center: each next centroid is
+    * the sample point with the lowest max-cosine to those already
+    * chosen — deterministic, spread-out, no RNG sensitivity), then run
+    * `iters` Lloyd rounds (assign by max dot, recompute means,
+    * renormalize; an emptied cell is reseeded to the point worst
+    * served by its current cell). The ≤10k-row collect is the ONE
+    * intentional driver-side action in the library: coarse-quantizer
+    * training is O(sample · k · dim) and sample-bounded by
+    * construction — at warehouse scale the same code runs on a
+    * `.sample(fraction)` of the corpus, and only the k·dim centroid
+    * array (a few KB) ever enters the distributed plan. */
+  private val centroidCache =
+    graft.GraftCaches.memo[(SparkSession, String, Int, Long), Array[Float]](_ => ())
+
+  def trainIvfCentroids(spark: SparkSession, dir: String, nCells: Int = 16,
+                        seed: Long = 7L, sampleN: Int = 10000, iters: Int = 5): Array[Float] =
+    centroidCache.getOrElseUpdate((spark, dir, nCells, seed)) {
+      import spark.implicits._
+      val rows = Tables.embeddings(spark, dir)
+        .select($"vec_id", $"embedding").orderBy($"vec_id").limit(sampleN)
+        .collect()
+      val sample: Array[Array[Float]] = rows.map { r =>
+        val v = r.getSeq[Float](1).toArray
+        val n = math.sqrt(v.foldLeft(0.0)((s, x) => s + x.toDouble * x)).toFloat
+        if (n > 0f) v.map(_ / n) else v
+      }
+      val n = sample.length
+      val dim = if (n > 0) sample(0).length else 0
+      val k = math.min(nCells, math.max(n, 1))
+      def dot(a: Array[Float], b: Array[Float]): Double = {
+        var s = 0.0; var d = 0
+        while (d < dim) { s += a(d).toDouble * b(d); d += 1 }
+        s
+      }
+      // greedy farthest-point init
+      val chosen = scala.collection.mutable.ArrayBuffer((seed % math.max(n, 1)).toInt.abs)
+      while (chosen.length < k) {
+        var bestIdx = -1; var bestScore = Double.MaxValue
+        var i = 0
+        while (i < n) {
+          if (!chosen.contains(i)) {
+            val nearest = chosen.iterator.map(c => dot(sample(i), sample(c))).max
+            if (nearest < bestScore) { bestScore = nearest; bestIdx = i }
+          }
+          i += 1
+        }
+        chosen += bestIdx
+      }
+      var cents: Array[Array[Float]] = chosen.map(sample(_).clone()).toArray
+      // Lloyd rounds
+      var it = 0
+      while (it < iters && n > 0) {
+        val sums = Array.fill(k)(new Array[Double](dim))
+        val counts = new Array[Int](k)
+        val assign = new Array[Int](n)
+        var i = 0
+        while (i < n) {
+          var best = 0; var bestS = Double.MinValue
+          var c = 0
+          while (c < k) {
+            val s = dot(sample(i), cents(c))
+            if (s > bestS) { bestS = s; best = c }
+            c += 1
+          }
+          assign(i) = best; counts(best) += 1
+          var d = 0
+          while (d < dim) { sums(best)(d) += sample(i)(d); d += 1 }
+          i += 1
+        }
+        cents = Array.tabulate(k) { c =>
+          if (counts(c) == 0) {
+            // reseed an emptied cell to the worst-served point
+            var worst = 0; var worstS = Double.MaxValue
+            var j = 0
+            while (j < n) {
+              val s = dot(sample(j), cents(assign(j)))
+              if (s < worstS) { worstS = s; worst = j }
+              j += 1
+            }
+            sample(worst).clone()
+          } else {
+            val m = sums(c).map(_ / counts(c))
+            val norm = math.sqrt(m.foldLeft(0.0)((s, x) => s + x * x))
+            if (norm > 0) m.map(x => (x / norm).toFloat) else cents(c)
+          }
+        }
+        it += 1
+      }
+      cents.flatten
+    }
+
   /** Exact embedding near-duplicate pairs: all (a, b) with
     * cosine >= threshold. */
   def embeddingNearDup(spark: SparkSession, dir: String, threshold: Double = 0.3): DataFrame = {
@@ -61,26 +159,37 @@ object VectorOps {
   }
 
   /** IVF-style approximate top-k: corpus vectors are assigned to
-    * their nearest coarse centroid cell ([[graft.functions.IvfAssign]],
-    * hash-derived training-free centroids — swap in k-means cells in
-    * production, the plumbing is identical); each query probes its
-    * `nProbe` nearest cells ([[graft.functions.IvfProbe]]) and
-    * re-ranks exactly within them. The complementary ANN shape to
-    * [[annLshTopK]]: cells partition the corpus (1 row per vector —
-    * no explode), probes fan out only on the tiny broadcast query
-    * side. Approximate (rows-only oracle); recall vs [[annTopK]]
-    * measured in the spec. */
+    * their nearest coarse centroid cell; each query probes its
+    * `nProbe` nearest cells and re-ranks exactly within them. The
+    * complementary ANN shape to [[annLshTopK]]: cells partition the
+    * corpus (1 row per vector — no explode), probes fan out only on
+    * the tiny broadcast query side. Approximate (rows-only oracle);
+    * recall vs [[annTopK]] measured in the spec.
+    *
+    * `trained = true` (default) scores cells against k-means
+    * centroids from [[trainIvfCentroids]], carried into the plan as a
+    * few-KB flat literal ([[graft.functions.TrainedIvfAssign]]);
+    * `trained = false` keeps the training-free hash-derived centroids
+    * ([[graft.functions.IvfAssign]]) — the zero-setup fallback the
+    * recall spec measures the trained variant against. */
   def annIvfTopK(spark: SparkSession, dir: String, k: Int = 5, nQueries: Int = 10,
-                 nCells: Int = 16, nProbe: Int = 4, seed: Long = 7L): DataFrame = {
+                 nCells: Int = 16, nProbe: Int = 4, seed: Long = 7L,
+                 trained: Boolean = true): DataFrame = {
     import spark.implicits._
     GraftFunctions.register(spark)
     val e = Tables.embeddings(spark, dir).select($"vec_id", $"embedding")
-    val corpus = e.filter($"vec_id" >= nQueries)
-      .withColumn("cell", call_function("graft_ivf_assign", $"embedding", lit(seed), lit(nCells)))
+    val (assignCol, probeCol) =
+      if (trained) {
+        val cents = typedLit(trainIvfCentroids(spark, dir, nCells, seed))
+        (call_function("graft_ivf_assign_trained", $"embedding", cents),
+         call_function("graft_ivf_probe_trained", $"embedding", cents, lit(nProbe)))
+      } else
+        (call_function("graft_ivf_assign", $"embedding", lit(seed), lit(nCells)),
+         call_function("graft_ivf_probe", $"embedding", lit(seed), lit(nCells), lit(nProbe)))
+    val corpus = e.filter($"vec_id" >= nQueries).withColumn("cell", assignCol)
     val queries = e.filter($"vec_id" < nQueries)
       .select($"vec_id".as("query_id"), $"embedding".as("q_emb"),
-        explode(call_function("graft_ivf_probe", $"embedding", lit(seed), lit(nCells), lit(nProbe)))
-          .as("cell"))
+        explode(probeCol).as("cell"))
     corpus.join(broadcast(queries), Seq("cell"))
       .select($"query_id", $"vec_id", cosine($"q_emb", $"embedding").as("cos"))
       .withColumn("rank", row_number()

@@ -39,4 +39,31 @@ object Tables {
   }
   def documents(s: SparkSession, d: String): DataFrame  = apply(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = apply(s, d, "embeddings")
+
+  /** JDBC dimension loader — the analog of the reference's Postgres
+    * lookup dim (`process.py:145-160`, a JDBC catalog table joined
+    * against the changelog stream). Any dim the RDBMS holds loads
+    * through here and drops into [[graft.operators.Engagement
+    * .enrichTransform]] unchanged; Spark's JDBC source pushes filters
+    * and prunes columns at the database, and a small dim arrives in
+    * one round trip and broadcasts like the parquet one.
+    *
+    * `partitionOn` (column, lower, upper, n) splits the read into n
+    * range-parallel queries — how a LARGE dim (or fact) table comes
+    * over JDBC without serializing through one connection. */
+  def dimJdbc(s: SparkSession, url: String, table: String,
+              props: java.util.Properties = new java.util.Properties(),
+              partitionOn: Option[(String, Long, Long, Int)] = None): DataFrame = {
+    val r = s.read.format("jdbc")
+      .option("url", url)
+      .option("dbtable", table)
+    val withParts = partitionOn.fold(r) { case (colName, lo, hi, n) =>
+      r.option("partitionColumn", colName)
+        .option("lowerBound", lo.toString)
+        .option("upperBound", hi.toString)
+        .option("numPartitions", n.toString)
+    }
+    props.stringPropertyNames().forEach(k => withParts.option(k, props.getProperty(k)))
+    withParts.load()
+  }
 }

@@ -177,6 +177,20 @@ class BatchOperatorsSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAl
     assert(recall >= 0.3, s"recall=$recall (${(exact intersect ivf).size}/${exact.size})")
   }
 
+  test("trained k-means IVF centroids beat hash centroids at equal nProbe") {
+    def pairs(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairs(SparkEntry.queries("ann_topk")(spark, sf))
+    def recall(s: Set[(Long, Long)]) = (exact intersect s).size.toDouble / exact.size
+    val trained = recall(pairs(graft.operators.VectorOps.annIvfTopK(spark, sf)))
+    val hash = recall(pairs(graft.operators.VectorOps.annIvfTopK(spark, sf, trained = false)))
+    info(s"trained=$trained hash=$hash")
+    // k-means cells follow the data distribution, so probing the same
+    // number of cells covers more true neighbors than hash-random cells
+    assert(trained >= hash, s"trained=$trained < hash=$hash")
+    assert(trained >= 0.5, s"trained recall=$trained")
+  }
+
   test("bucketed co-located join plans zero shuffle exchanges") {
     // SURVEY §4's co-location claim, demonstrated: both sides written
     // bucketed on the join key with the same bucket count ⇒ the join
@@ -210,6 +224,53 @@ class BatchOperatorsSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAl
     } finally {
       spark.sql("DROP TABLE IF EXISTS graft_ev_bucketed")
       spark.sql("DROP TABLE IF EXISTS graft_cust_bucketed")
+    }
+  }
+
+  test("JDBC dim loader reads through Derby and enriches identically to the parquet dim") {
+    // The reference's lookup dim is a Postgres JDBC table
+    // (process.py:145-160). Derby ships on Spark's classpath, so this
+    // runs a REAL spark.read.jdbc round trip: parquet customer dim →
+    // in-memory Derby table → Tables.dimJdbc → enrichTransform, and
+    // the result must be byte-identical to enrichment via the parquet
+    // dim.
+    import org.apache.spark.sql.functions.col
+    val url = "jdbc:derby:memory:graftdim;create=true"
+    val cust = graft.sources.Tables.customer(spark, sf)
+      .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"))
+    // load the dim into Derby over plain JDBC (the "external RDBMS")
+    val conn = java.sql.DriverManager.getConnection(url)
+    try {
+      conn.createStatement().execute(
+        "CREATE TABLE customer (c_custkey BIGINT PRIMARY KEY, c_mktsegment VARCHAR(32), c_acctbal DOUBLE)")
+      val ps = conn.prepareStatement("INSERT INTO customer VALUES (?, ?, ?)")
+      cust.collect().foreach { r =>
+        ps.setLong(1, r.getLong(0)); ps.setString(2, r.getString(1)); ps.setDouble(3, r.getDouble(2))
+        ps.addBatch()
+      }
+      ps.executeBatch()
+
+      val viaJdbc = graft.sources.Tables.dimJdbc(spark, url, "customer")
+        .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"))
+      assert(viaJdbc.count() == cust.count())
+
+      val ev = graft.sources.Tables.events(spark, sf)
+      val enrichedJdbc = graft.operators.Engagement.enrichTransform(ev, viaJdbc)
+        .orderBy(col("event_id")).collect().toSeq
+      val enrichedParquet = graft.operators.Engagement.enrichTransform(ev, cust)
+        .orderBy(col("event_id")).collect().toSeq
+      assert(enrichedJdbc == enrichedParquet,
+        s"jdbc=${enrichedJdbc.size} parquet=${enrichedParquet.size}")
+
+      // partitioned range read returns the same dim rows in n splits
+      val maxKey = cust.agg(org.apache.spark.sql.functions.max(col("c_custkey"))).collect()(0).getLong(0)
+      val parted = graft.sources.Tables.dimJdbc(spark, url, "customer",
+        partitionOn = Some(("c_custkey", 0L, maxKey + 1, 4)))
+      assert(parted.rdd.getNumPartitions == 4)
+      assert(parted.count() == cust.count())
+    } finally {
+      try conn.createStatement().execute("DROP TABLE customer") catch { case _: Throwable => () }
+      conn.close()
     }
   }
 
