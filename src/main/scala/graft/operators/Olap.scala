@@ -173,103 +173,115 @@ object Olap {
 
   /** EXACT interpolated percentiles per group (quantile_cont:
     * v = v_lo + (v_hi - v_lo)·frac at pos = (n-1)·q), computed
-    * scale-safely by range-partitioned rank:
+    * scale-safely by range-partitioned rank over LOG-SPACED value
+    * slices:
     *
-    *   1. one aggregation pass → per-group count/min/max and the
-    *      target ranks;
-    *   2. every value is assigned to one of `buckets` value-range
-    *      slices; a second aggregation pass counts each slice, and a
-    *      window over the TINY (groups × buckets) count table turns
-    *      slice counts into global rank offsets — locating the one
+    *   1. every row maps to slice floor(ln(v)·`logScale`) — monotone
+    *      in v and needing NO min/max pre-pass (this is what keeps the
+    *      whole query one job: an earlier cut used uniform min/max
+    *      slices, and the extra aggregation pass + eager
+    *      materializations tripled the stage count for zero data
+    *      locality benefit);
+    *   2. ONE aggregation pass counts each (group, slice) and carries
+    *      per-slice min/max; group totals, the target ranks
+    *      pos = (cnt-1)·q, and cumulative rank offsets all derive
+    *      from that TINY (groups × slices) table, locating the one
     *      slice that contains each target rank;
-    *   3. only the located slices (≈ n/buckets rows each) are sorted
-    *      (row_number per (group, slice)), and offset + local rank =
-    *      exact global rank.
+    *   3. a second scan sorts ONLY the located slices (row_number per
+    *      (group, slice), a few thousand rows each), and
+    *      offset + local rank = exact global rank.
     *
-    * Nothing ever sorts a whole group: the previous formulation's
+    * Nothing ever sorts a whole group: the round-2 formulation's
     * `row_number() OVER (PARTITION BY l_returnflag)` put one task per
     * group — parallelism 3 at ANY cluster size, 33 TB through a
-    * single sort at the target scale. Here parallelism is
-    * groups × buckets for the counting pass and the final sort
-    * touches ~|targets| · n/buckets rows. (At warehouse scale the
-    * slice boundaries would come from a range sampler à la
-    * RangePartitioner rather than uniform min/max splits, which
-    * degrade only under extreme in-group value skew — the located
-    * slice then holds more rows, never wrong results.)
+    * single sort at the target scale. Here the counting pass is an
+    * ordinary map-side-partial aggregate and the final sort touches
+    * ~|targets| · n/slices rows across (group × slice) tasks.
+    * Non-positive values collapse into one underflow slice (ordered
+    * below all log slices — correctness never depends on slice
+    * granularity, only the located-slice sort size does; pathological
+    * single-value groups degrade to sorting that one slice, never to
+    * wrong results).
     */
   def percentileStats(spark: SparkSession, dir: String,
                       quantiles: Seq[(String, Double)] = Seq("median_price" -> 0.5, "p95_price" -> 0.95),
-                      buckets: Int = 256): DataFrame = {
+                      logScale: Int = 64): DataFrame = {
     import spark.implicits._
     val li = Tables.lineitem(spark, dir).select($"l_returnflag", $"l_extendedprice")
+    val bkted = li.withColumn("bkt",
+      when($"l_extendedprice" > 0, floor(log($"l_extendedprice") * logScale))
+        .otherwise(lit(Int.MinValue.toLong)).cast("long"))
 
-    // pass 1: group sizes + min/max → target ranks pos = (cnt-1)*q
-    val stats = li.groupBy($"l_returnflag").agg(count("*").as("cnt"),
-      min($"l_extendedprice").as("vmin"), max($"l_extendedprice").as("vmax"))
+    // ONE full-table aggregation pass: slice counts + slice min/max
+    val sliceCounts = bkted.groupBy($"l_returnflag", $"bkt")
+      .agg(count("*").as("bc"), min($"l_extendedprice").as("smin"), max($"l_extendedprice").as("smax"))
 
-    // tiny (group × quantile × {lo,hi}) rank-target table
-    val qStructs = quantiles.map { case (name, qv) =>
-      struct(lit(name).as("qname"), lit(qv).as("qv"))
+    // The (groups × occupied-slices) count table is PLANNING
+    // METADATA, not data — a few hundred rows here, groups × ≤ a few
+    // hundred occupied slices in general. It comes to the driver the
+    // same way Spark's own RangePartitioner collects its sampled
+    // bounds: locating which slice holds each target rank is a
+    // driver-side decision (plain cumulative sums), and pushing it
+    // through 5 more tiny shuffle/window stages just multiplies
+    // per-stage latency. (The driver table grows with group count —
+    // percentile REPORTS are few-group by nature; a billion-group
+    // edge case would move this arithmetic back into the plan.)
+    val slices = sliceCounts.collect().map { r =>
+      (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4)) // (flag, bkt, count, smin, smax)
     }
-    val targets = stats
-      .select($"l_returnflag", $"cnt", explode(array(qStructs: _*)).as("q"))
-      .select($"l_returnflag", $"q.qname".as("qname"),
-        (($"cnt" - 1) * $"q.qv").as("pos"))
-      .select($"l_returnflag", $"qname", ($"pos" - floor($"pos")).as("frac"),
-        explode(array(
-          struct(lit("lo").as("which"), (floor($"pos").cast("long") + 1).as("rk")),
-          struct(lit("hi").as("which"), (ceil($"pos").cast("long") + 1).as("rk")))).as("r"))
-      .select($"l_returnflag", $"qname", $"frac", $"r.which".as("which"), $"r.rk".as("rk"))
+    // per group: totals + cumulative offsets in slice order
+    case class Loc(flag: String, qname: String, which: String, frac: Double,
+                   rk: Long, bkt: Long, cumBefore: Long)
+    val located: Seq[Loc] = slices.groupBy(_._1).toSeq.flatMap { case (flag, ss) =>
+      val ordered = ss.sortBy(_._2)
+      val cnt = ordered.map(_._3).sum
+      val cum = ordered.scanLeft(0L)(_ + _._3) // cum(i) = rows before slice i
+      quantiles.flatMap { case (name, qv) =>
+        val pos = (cnt - 1) * qv
+        val frac = pos - math.floor(pos)
+        Seq(("lo", math.floor(pos).toLong + 1), ("hi", math.ceil(pos).toLong + 1))
+          .map { case (which, rk) =>
+            val i = ordered.indices.find(i => rk > cum(i) && rk <= cum(i) + ordered(i)._3).get
+            Loc(flag, name, which, frac, rk, ordered(i)._2, cum(i))
+          }
+      }
+    }
+    val groupStats = slices.groupBy(_._1).map { case (flag, ss) =>
+      (flag, ss.map(_._4).min, ss.map(_._5).max)
+    }.toSeq
 
-    // pass 2: uniform value-range slice per row; count each slice
-    val bucketed = li.join(broadcast(stats.select($"l_returnflag", $"vmin", $"vmax")), Seq("l_returnflag"))
-      .withColumn("bkt", when($"vmax" > $"vmin",
-          least(lit(buckets - 1),
-            floor(($"l_extendedprice" - $"vmin") / ($"vmax" - $"vmin") * buckets).cast("int")))
-        .otherwise(lit(0)))
-      .select($"l_returnflag", $"bkt", $"l_extendedprice")
-    val sliceCounts = bucketed.groupBy($"l_returnflag", $"bkt").agg(count("*").as("bc"))
-    // rank offsets over the tiny slice-count table (≤ groups × buckets rows)
-    val wcum = Window.partitionBy($"l_returnflag").orderBy($"bkt")
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val offsets = sliceCounts.withColumn("cum_before", coalesce(sum($"bc").over(wcum), lit(0L)))
-
-    // locate each target rank's slice: cum_before < rk <= cum_before + bc
-    val located = targets.join(offsets, Seq("l_returnflag"))
-      .filter($"rk" > $"cum_before" && $"rk" <= $"cum_before" + $"bc")
-      .select($"l_returnflag", $"qname", $"which", $"frac", $"rk", $"bkt", $"cum_before")
-
-    // pass 3: sort ONLY the located slices; offset + local rank = global rank
-    val needed = located.select($"l_returnflag", $"bkt", $"cum_before")
-      .dropDuplicates("l_returnflag", "bkt")
+    // second scan: sort ONLY the located slices; offset + local rank
+    // = exact global rank
+    val needed = located.map(l => (l.flag, l.bkt, l.cumBefore)).distinct
+      .toDF("l_returnflag", "bkt", "cum_before")
     val wSlice = Window.partitionBy($"l_returnflag", $"bkt").orderBy($"l_extendedprice")
-    val ranked = bucketed.join(broadcast(needed), Seq("l_returnflag", "bkt"))
+    val ranked = bkted.join(broadcast(needed), Seq("l_returnflag", "bkt"))
       .withColumn("grk", $"cum_before" + row_number().over(wSlice))
-    // renamed join key: `located` also feeds `needed` above, so both
-    // join sides share lineage — a bare column reference would be
-    // ambiguous under self-join resolution
-    val locSel = located.select($"l_returnflag".as("t_flag"), $"qname", $"which", $"frac", $"rk")
+    val locSel = located.map(l => (l.flag, l.qname, l.which, l.frac, l.rk))
+      .toDF("t_flag", "qname", "which", "frac", "rk")
     val hits = ranked.join(broadcast(locSel),
         $"l_returnflag" === $"t_flag" && $"grk" === $"rk")
-      .select($"l_returnflag", $"qname", $"which", $"frac", $"l_extendedprice")
+      .select($"l_returnflag", $"qname", $"which", $"l_extendedprice")
 
-    // assemble: vlo + (vhi - vlo) * frac per quantile, plus min/max
-    val aggCols = quantiles.flatMap { case (name, _) =>
-      Seq(
-        min(when($"qname" === name && $"which" === "lo", $"l_extendedprice")).as(s"${name}_vlo"),
-        min(when($"qname" === name && $"which" === "hi", $"l_extendedprice")).as(s"${name}_vhi"),
-        min(when($"qname" === name, $"frac")).as(s"${name}_f"))
+    // assemble the (groups × 5)-cell report from the ≤ groups ×
+    // quantiles × 2 hit values — driver arithmetic again (the
+    // interpolation v_lo + (v_hi - v_lo)·frac over a dozen doubles);
+    // pushing it through two more groupBy/join/sort stages only adds
+    // latency. The result is rebuilt as a DataFrame for the driver
+    // contract.
+    val hv = hits.collect()
+      .map(r => ((r.getString(0), r.getString(1), r.getString(2)), r.getDouble(3))).toMap
+    val fracs = located.map(l => ((l.flag, l.qname), l.frac)).toMap
+    def round2(d: Double) = BigDecimal(d).setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val out = groupStats.sortBy(_._1).map { case (flag, vmin, vmax) =>
+      val q = quantiles.map { case (name, _) =>
+        val lo = hv((flag, name, "lo")); val hi = hv((flag, name, "hi"))
+        round2(lo + (hi - lo) * fracs((flag, name)))
+      }
+      (flag, q.head, q(1), round2(vmin), round2(vmax))
     }
-    val picked = hits.groupBy($"l_returnflag").agg(aggCols.head, aggCols.tail: _*)
-    val interpolated = quantiles.foldLeft(picked) { case (df, (name, _)) =>
-      df.withColumn(name, round(
-        col(s"${name}_vlo") + (col(s"${name}_vhi") - col(s"${name}_vlo")) * col(s"${name}_f"), 2))
-    }
-    interpolated
-      .join(broadcast(stats.select($"l_returnflag",
-        round($"vmin", 2).as("min_price"), round($"vmax", 2).as("max_price"))), Seq("l_returnflag"))
-      .select($"l_returnflag", $"median_price", $"p95_price", $"min_price", $"max_price")
-      .orderBy($"l_returnflag")
+    out.toDF("l_returnflag", "median_price", "p95_price", "min_price", "max_price")
   }
 
   /** Range (interval) join without an equi-key, done the scale-safe
