@@ -28,4 +28,11 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
   // 32 shuffle threads at sf0.1 GC-thrash in 8g; the box has 128GiB
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
+  // A full 49-query bench session generates thousands of
+  // whole-stage-codegen classes; the JVM default 240 MB code cache
+  // fills mid-run and the JIT silently stops compiling — tail queries
+  // then run partly interpreted, 4-5x slower than the same query in a
+  // short session (the round-2 "contaminated bench" had this on top
+  // of the cache leaks).
+  "-XX:ReservedCodeCacheSize=1g",
 )

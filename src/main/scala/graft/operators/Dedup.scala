@@ -218,17 +218,22 @@ object Dedup {
       spark.conf.set(shuffleKey, "8")
       try {
         while (!converged && iter < maxIters) {
+          // ONE job per round: the new label and a changed flag come
+          // out of the same join (the flag is just lbl != new lbl, no
+          // second labels join needed), and the materializing action
+          // is an aggregate over the persisted table rather than a
+          // separate count + change-probe — round-3 fix after the
+          // honest per-query bench (memo caches cleared) made this
+          // loop the slowest operator at 3 jobs per iteration.
           val nbrMin = edges.join(labels, edges("doc_b") === labels("node"))
             .groupBy(edges("doc_a").as("n2")).agg(min($"lbl").as("nbr"))
           val next = labels.join(nbrMin, labels("node") === nbrMin("n2"), "left")
-            .select($"node", least($"lbl", coalesce($"nbr", $"lbl")).as("lbl"))
+            .select($"node", $"lbl".as("old_lbl"), least($"lbl", coalesce($"nbr", $"lbl")).as("lbl"))
             .persist(StorageLevel.MEMORY_AND_DISK)
-          next.count()
-          val changed = next.as("n").join(labels.as("o"), col("n.node") === col("o.node"))
-            .filter(col("n.lbl") =!= col("o.lbl")).limit(1).count()
+          val chg = next.agg(sum(when($"lbl" =!= $"old_lbl", 1L).otherwise(0L))).collect()(0).getLong(0)
           labels.unpersist()
           labels = next
-          converged = changed == 0
+          converged = chg == 0
           iter += 1
         }
       } finally spark.conf.set(shuffleKey, prevShuffle)
@@ -241,11 +246,16 @@ object Dedup {
         org.slf4j.LoggerFactory.getLogger(getClass).warn(
           s"dedupClusters did NOT converge within $maxIters iterations; " +
             "cluster labels may be incorrect for long-chain components")
-      // `labels` is already materialized (count per iteration), so the
-      // edge list can be released here — the returned table never
-      // re-reads it.
+      // Memoize the 2-column projection as its own persisted table
+      // (tiny: pair-graph nodes only) so the cache cleanup hook
+      // releases the actual cached blocks, then free the loop
+      // iterate and the edge list — the returned table re-reads
+      // neither.
+      val out = labels.select($"node", $"lbl").persist(StorageLevel.MEMORY_AND_DISK)
+      out.count()
+      labels.unpersist()
       edges.unpersist()
-      labels
+      out
     }
 
   def dedupClusters(spark: SparkSession, dir: String, threshold: Double = 0.5,
