@@ -54,6 +54,12 @@ object Bench {
       // contaminate the next query's timing.
       GraftCaches.clearAll()
       spark.catalog.clearCache()
+      // Spark's ContextCleaner reclaims dead shuffle files / broadcast
+      // blocks only when the JVM garbage-collects — on a 24g heap that
+      // can be never, so 49 queries' worth of shuffle state piles up on
+      // /tmp and bleeds IO into later timings. Outside the timed
+      // window by construction.
+      System.gc()
     }
     def q(s: String): String = "\"" + s.flatMap {
       case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
