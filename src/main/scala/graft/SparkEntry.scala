@@ -54,6 +54,11 @@ object SparkEntry {
     "dedup_exact"        -> TextOps.dedupExact _,
     "word_jaccard_pairs" -> ((s: SparkSession, d: String) => TextOps.wordJaccardPairs(s, d)),
     "word_jaccard_naive" -> ((s: SparkSession, d: String) => TextOps.wordJaccardNaive(s, d)),
+    // corpus assembly: deterministic selection / split / packing
+    "train_test_split"    -> ((s: SparkSession, d: String) => Sampling.trainTestSplit(s, d)),
+    "stratified_sample"   -> ((s: SparkSession, d: String) => Sampling.stratifiedSample(s, d)),
+    "pack_sequences"      -> ((s: SparkSession, d: String) => Sampling.packSequences(s, d)),
+    "ngram_contamination" -> ((s: SparkSession, d: String) => Sampling.ngramContamination(s, d)),
     "lang_id"            -> TextOps.langId _,
     "text_quality"       -> TextOps.textQuality _,
     "token_count"        -> TextOps.tokenCount _,
@@ -288,6 +293,51 @@ object SparkEntry {
         |SELECT doc_a, doc_b, jaccard FROM p WHERE jaccard >= 0.75 ORDER BY doc_a, doc_b""".stripMargin,
 
     "lang_id" -> operators.TextOps.langIdOracleSql,
+
+    // corpus assembly — all keyed off the same md5(doc_id:salt) 32-bit
+    // hash, which DuckDB computes bit-identically
+    "train_test_split" ->
+      """WITH h AS (SELECT doc_id, source,
+        |                  ('0x' || substr(md5(doc_id || ':graft'), 1, 8))::UBIGINT % 100 AS hv
+        |           FROM documents)
+        |SELECT doc_id, source,
+        |       CASE WHEN hv < 5 THEN 'test' WHEN hv < 10 THEN 'val' ELSE 'train' END AS split
+        |FROM h ORDER BY doc_id""".stripMargin,
+
+    "stratified_sample" ->
+      """SELECT doc_id, source FROM documents
+        |WHERE ('0x' || substr(md5(doc_id || ':graft'), 1, 8))::UBIGINT / 4294967296.0
+        |      < (CAST(substr(source, 4) AS INT) + 1) / 21.0
+        |ORDER BY doc_id""".stripMargin,
+
+    "pack_sequences" ->
+      """WITH t AS (SELECT doc_id,
+        |                  ('0x' || substr(md5(doc_id || ':graft'), 1, 8))::UBIGINT % 16 AS bucket,
+        |                  CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]')) AS BIGINT) AS n_tokens
+        |           FROM documents),
+        |o AS (SELECT doc_id, CAST(bucket AS BIGINT) AS bucket, n_tokens,
+        |             CAST(COALESCE(sum(n_tokens) OVER (PARTITION BY bucket ORDER BY doc_id
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_offset
+        |      FROM t)
+        |SELECT doc_id, bucket, n_tokens, start_offset,
+        |       CAST(start_offset // 2048 AS BIGINT) AS chunk_first,
+        |       CAST((start_offset + greatest(n_tokens, 1) - 1) // 2048 AS BIGINT) AS chunk_last,
+        |       CAST((start_offset + greatest(n_tokens, 1) - 1) // 2048 - start_offset // 2048 + 1 AS BIGINT) AS n_chunks
+        |FROM o ORDER BY doc_id""".stripMargin,
+
+    "ngram_contamination" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w,
+        |                  ('0x' || substr(md5(doc_id || ':graft'), 1, 8))::UBIGINT % 100 AS hv
+        |           FROM documents),
+        |g AS (SELECT doc_id, hv,
+        |             list_distinct(list_transform(range(1, greatest(len(w) - 7, 1) + 1),
+        |               i -> array_to_string(w[i:i+7], ' '))) AS grams
+        |      FROM d),
+        |eg AS (SELECT DISTINCT unnest(grams) AS gram FROM g WHERE hv < 10),
+        |cg AS (SELECT doc_id, unnest(grams) AS gram FROM g WHERE hv >= 10)
+        |SELECT cg.doc_id, CAST(count(DISTINCT cg.gram) AS BIGINT) AS n_shared_ngrams
+        |FROM cg JOIN eg ON cg.gram = eg.gram
+        |GROUP BY cg.doc_id ORDER BY cg.doc_id""".stripMargin,
 
     "text_quality" -> operators.TextOps.textQualityOracleSql,
 

@@ -1,0 +1,146 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Corpus-assembly operators: the deterministic selection / split /
+  * packing layer of a training-data pipeline, downstream of the
+  * cleaning and dedup passes.
+  *
+  * Everything here keys off ONE salted content-free hash
+  * ([[splitHash]]): a 32-bit value derived from `md5(doc_id:salt)`.
+  * Determinism is the point — re-running the pipeline on a grown
+  * corpus must keep every previously-assigned document in the same
+  * split/sample/bucket (no `rand()`, no sampling that depends on
+  * partition layout or row order), and the hash is cheap enough to
+  * recompute map-side anywhere it is needed. All four operators are
+  * single-scan, shuffle-free or narrow-shuffle plans.
+  */
+object Sampling {
+
+  /** Deterministic uniform hash in [0, 2^32): first 8 hex chars of
+    * `md5(doc_id ++ ":" ++ salt)`. md5 is bit-identical across
+    * engines, which is what makes the DuckDB oracles exact. */
+  def splitHash(docId: Column, salt: String): Column =
+    conv(substring(md5(concat(docId.cast("string"), lit(":" + salt))), 1, 8), 16, 10)
+      .cast("long")
+
+  /** Deterministic train/val/test assignment: `h mod 100` buckets the
+    * corpus into testPct / valPct / rest. Stable under corpus growth
+    * (a document's split never changes when new documents arrive),
+    * content-free (near-duplicate texts land in independent splits —
+    * leakage control belongs to the dedup pass, not the splitter),
+    * and embarrassingly parallel: one scan, no shuffle before the
+    * ordered output. */
+  def trainTestSplit(spark: SparkSession, dir: String,
+                     valPct: Int = 5, testPct: Int = 5,
+                     salt: String = "graft"): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select($"doc_id", $"source",
+        (splitHash($"doc_id", salt) % 100).as("h"))
+      .withColumn("split",
+        when($"h" < testPct, "test")
+          .when($"h" < testPct + valPct, "val")
+          .otherwise("train"))
+      .select($"doc_id", $"source", $"split")
+      .orderBy($"doc_id")
+  }
+
+  /** Per-source stratified sampling with deterministic membership:
+    * keep a document iff `h / 2^32 < rate(source)`. The rate here is
+    * derived from the source name (source `srcN` keeps (N+1)/21 of
+    * its documents) so the operator is parameter-free for the
+    * harness; production passes an explicit rate table and joins or
+    * maps it the same way. Exactly-reproducible sampling at any
+    * scale: one scan, the filter runs map-side, and membership never
+    * depends on what else is in the corpus. */
+  def stratifiedSample(spark: SparkSession, dir: String,
+                       salt: String = "graft"): DataFrame = {
+    import spark.implicits._
+    val rate = (substring($"source", 4, 10).cast("int") + 1).cast("double") / lit(21.0)
+    Tables.documents(spark, dir)
+      .select($"doc_id", $"source",
+        (splitHash($"doc_id", salt).cast("double") / lit(4294967296.0)).as("u"))
+      .filter($"u" < rate)
+      .select($"doc_id", $"source")
+      .orderBy($"doc_id")
+  }
+
+  /** Concat-then-chunk sequence packing: assign every document a
+    * position in a fixed-size token stream, the way LLM pretraining
+    * shards pack documents into context windows.
+    *
+    * Documents are hashed into `nBuckets` independent streams
+    * (bucket = parallelism unit — at warehouse scale this is
+    * thousands, one per writer task); within a bucket the
+    * deterministic doc_id order fixes the layout, a window cumsum
+    * over BPE-ish token counts yields each document's start offset,
+    * and chunk ids are `offset / windowTokens`. The only shuffle is
+    * the per-bucket repartition+sort that any sharded writer needs;
+    * token counting runs map-side (same codegen'd regexp as
+    * [[TextOps.tokenCount]]).
+    *
+    * Output: one row per document with its bucket, token count,
+    * start offset, and the first/last window chunk it lands in
+    * (`n_chunks` = how many windows the document spans — the
+    * packing efficiency signal). */
+  def packSequences(spark: SparkSession, dir: String,
+                    windowTokens: Int = 2048, nBuckets: Int = 16,
+                    salt: String = "graft"): DataFrame = {
+    import spark.implicits._
+    val toks = size(regexp_extract_all($"text", lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]"), lit(0)))
+      .cast("long")
+    val w = Window.partitionBy($"bucket").orderBy($"doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.documents(spark, dir)
+      .select($"doc_id",
+        (splitHash($"doc_id", salt) % nBuckets).as("bucket"),
+        toks.as("n_tokens"))
+      .withColumn("start_offset", coalesce(sum($"n_tokens").over(w), lit(0L)))
+      .withColumn("chunk_first", ($"start_offset" / windowTokens).cast("long"))
+      .withColumn("chunk_last",
+        (($"start_offset" + greatest($"n_tokens", lit(1L)) - 1) / windowTokens).cast("long"))
+      .withColumn("n_chunks", $"chunk_last" - $"chunk_first" + 1)
+      .select($"doc_id", $"bucket", $"n_tokens", $"start_offset",
+        $"chunk_first", $"chunk_last", $"n_chunks")
+      .orderBy($"doc_id")
+  }
+
+  /** Benchmark-contamination scan: flag corpus documents sharing any
+    * word n-gram with a held-out evaluation set.
+    *
+    * The eval set here is the deterministic `h mod 100 < evalPct`
+    * slice of the corpus (standing in for an external benchmark
+    * file); its distinct n-grams form the SMALL side and broadcast.
+    * Corpus documents explode to (doc_id, ngram) map-side and
+    * hash-join the broadcast set — the corpus itself never shuffles,
+    * so the scan is the same shape at 100 TB (the eval-gram set of
+    * any real benchmark suite is a few million strings — broadcast
+    * territory). Output: contaminated documents with the count of
+    * distinct shared n-grams. */
+  def ngramContamination(spark: SparkSession, dir: String,
+                         n: Int = 8, evalPct: Int = 10,
+                         salt: String = "graft"): DataFrame = {
+    import spark.implicits._
+    // distinct word n-grams of the `text` column (docs shorter than n
+    // words contribute their whole text as one gram)
+    val grams: Column = expr(
+      s"""array_distinct(transform(
+         |  sequence(1, greatest(size(split(text, ' ')) - ${n - 1}, 1)),
+         |  i -> array_join(slice(split(text, ' '), i, $n), ' ')))""".stripMargin)
+    val docs = Tables.documents(spark, dir)
+      .select($"doc_id", $"text", (splitHash($"doc_id", salt) % 100).as("h"))
+    val evalGrams = docs.filter($"h" < evalPct)
+      .select(explode(grams).as("gram"))
+      .distinct()
+    val corpusGrams = docs.filter($"h" >= evalPct)
+      .select($"doc_id", explode(grams).as("gram"))
+    corpusGrams.join(broadcast(evalGrams), Seq("gram"))
+      .groupBy($"doc_id").agg(countDistinct($"gram").as("n_shared_ngrams"))
+      .orderBy($"doc_id")
+  }
+}

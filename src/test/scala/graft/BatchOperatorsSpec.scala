@@ -274,6 +274,42 @@ class BatchOperatorsSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAl
     }
   }
 
+  test("split/sample assignments are stable under corpus growth") {
+    // The property the md5(doc_id:salt) design buys: a document's
+    // split and sample membership is a pure function of its id —
+    // re-running on a larger corpus never reassigns existing docs
+    // (rand()- or order-based assignment breaks this).
+    import org.apache.spark.sql.functions.col
+    val full = graft.operators.Sampling.trainTestSplit(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getString(2))).toMap
+    val halfDocs = graft.sources.Tables.documents(spark, sf).filter(col("doc_id") % 2 === 0)
+    val halfSplit = graft.operators.Sampling
+      .trainTestSplit(spark, sf) // same operator...
+      .join(halfDocs.select(col("doc_id")), Seq("doc_id")) // ...restricted to the half-corpus
+      .collect().map(r => (r.getLong(0), r.getString(2))).toMap
+    assert(halfSplit.forall { case (id, s) => full(id) == s })
+    assert(full.values.toSet == Set("train", "val", "test"))
+
+    val sampled = graft.operators.Sampling.stratifiedSample(spark, sf)
+      .collect().map(_.getLong(0)).toSet
+    val again = graft.operators.Sampling.stratifiedSample(spark, sf)
+      .collect().map(_.getLong(0)).toSet
+    assert(sampled == again, "stratified sample must be deterministic")
+  }
+
+  test("pack_sequences lays out contiguous per-bucket token streams") {
+    val rows = graft.operators.Sampling.packSequences(spark, sf).collect()
+      .map(r => (r.getLong(1), r.getLong(0), r.getLong(2), r.getLong(3))) // bucket, doc, n_tokens, start
+    rows.groupBy(_._1).foreach { case (_, ds) =>
+      val ordered = ds.sortBy(_._2)
+      var offset = 0L
+      ordered.foreach { case (_, _, n, start) =>
+        assert(start == offset, s"gap in stream: expected $offset got $start")
+        offset += n
+      }
+    }
+  }
+
   test("graft functions are SQL-visible via GraftExtensions") {
     val r = spark.sql(
       "SELECT graft_cosine(array(cast(1.0 as float), cast(0.0 as float)), array(cast(1.0 as float), cast(0.0 as float))) AS c," +
