@@ -54,6 +54,7 @@ object SparkEntry {
     "dedup_exact"        -> TextOps.dedupExact _,
     "word_jaccard_pairs" -> ((s: SparkSession, d: String) => TextOps.wordJaccardPairs(s, d)),
     "word_jaccard_naive" -> ((s: SparkSession, d: String) => TextOps.wordJaccardNaive(s, d)),
+    "dedup_incremental"  -> ((s: SparkSession, d: String) => Dedup.dedupIncremental(s, d)),
     // corpus assembly: deterministic selection / split / packing
     "train_test_split"    -> ((s: SparkSession, d: String) => Sampling.trainTestSplit(s, d)),
     "stratified_sample"   -> ((s: SparkSession, d: String) => Sampling.stratifiedSample(s, d)),
@@ -353,6 +354,8 @@ object SparkEntry {
     "doc_fingerprint" -> operators.TextOps.docFingerprintOracleSql,
 
     "dedup_minhash_lsh" -> operators.Dedup.minHashLshOracleSql(),
+
+    "dedup_incremental" -> operators.Dedup.dedupIncrementalOracleSql(),
 
     // deterministic (pigeonhole-exact) — full fingerprint recompute in
     // DuckDB, see Dedup.simHashOracleSql's arithmetic notes

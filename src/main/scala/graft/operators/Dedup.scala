@@ -134,6 +134,95 @@ object Dedup {
     minHashPairs(spark, dir, threshold, bands, rows).orderBy($"doc_a", $"doc_b")
   }
 
+  /** Incremental dedup: screen a NEW batch of documents against an
+    * EXISTING corpus — the shape production ingestion actually runs
+    * (the self-join variants above are the bootstrap pass; every
+    * day after that is this asymmetric pass). The batch/corpus split
+    * here is the deterministic `md5(doc_id:salt) mod 100` slice
+    * ([[graft.operators.Sampling.splitHash]], `hv >= 100-batchPct` =
+    * new batch) standing in for "today's crawl".
+    *
+    * Verdict per batch document:
+    *   - `exact_dup`  — a corpus document has identical content
+    *     (md5 equi-join; (hash, id) through the shuffle, never text);
+    *   - `near_dup`   — best corpus match by shingle Jaccard ≥
+    *     `threshold`, found via the SAME banded-LSH join as
+    *     [[minHashLsh]] but batch-side × corpus-side (never
+    *     batch × batch, never corpus × corpus): candidates carry only
+    *     (id, band, band_hash), verification fetches shingle sets for
+    *     survivors, `dup_of` = argmax Jaccard (ties → min corpus id);
+    *   - `unique`     — neither.
+    *
+    * Scale: the corpus side is the big one and it is never
+    * self-joined; band posting lists bound the candidate count, and
+    * the output shuffles (batch_id, corpus_id, jaccard) triples.
+    * The full-oracle argument is [[minHashLshOracleSql]]'s: 32×2
+    * banding has >0.9999 recall at t=0.5 and false positives are
+    * removed exactly, so the DuckDB all-pairs oracle matches. */
+  def dedupIncremental(spark: SparkSession, dir: String, threshold: Double = 0.5,
+                       batchPct: Int = 20, bands: Int = 32, rows: Int = 2,
+                       salt: String = "graft"): DataFrame = {
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    val hv = Sampling.splitHash($"doc_id", salt) % 100
+    val cut = 100 - batchPct
+
+    val hashed = Tables.documents(spark, dir)
+      .select($"doc_id", md5($"text").as("ch"), (hv >= cut).as("is_batch"))
+    val batchIds = hashed.filter($"is_batch").select($"doc_id", $"ch")
+    val corpusIds = hashed.filter(!$"is_batch").select($"doc_id".as("c_id"), $"ch")
+
+    // exact layer: content-hash equi-join, min corpus id per batch doc
+    val exact = batchIds.join(corpusIds, Seq("ch"))
+      .groupBy($"doc_id").agg(min($"c_id").as("exact_of"))
+
+    // near layer: banded LSH join, batch side × corpus side
+    val bandHashExpr = (0 until rows).map(r => s"element_at(sig, b * $rows + ${r + 1})")
+      .mkString(s"transform(sequence(0, ${bands - 1}), b -> xxhash64(", ", ", ", b))")
+    val banded = sigTable(spark, dir, bands * rows)
+      .join(hashed.select($"doc_id", $"is_batch"), Seq("doc_id"))
+      .select($"doc_id", $"is_batch", posexplode(expr(bandHashExpr)))
+      .withColumnRenamed("pos", "band")
+      .withColumnRenamed("col", "band_hash")
+    val candidates = banded.filter($"is_batch").as("b")
+      .join(banded.filter(!$"is_batch").as("c"),
+        col("b.band") === col("c.band") && col("b.band_hash") === col("c.band_hash"))
+      .select(col("b.doc_id").as("doc_id"), col("c.doc_id").as("c_id"))
+      .dropDuplicates("doc_id", "c_id")
+
+    val sets = setsCache.getOrElseUpdate((spark, dir)) {
+      val t = Tables.documents(spark, dir)
+        .select($"doc_id", array_sort(array_distinct(expr(shingleExpr))).as("sh"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      t.count()
+      t
+    }
+    val verified = candidates
+      .join(sets.select($"doc_id", $"sh".as("bs")), Seq("doc_id"))
+      .join(sets.select($"doc_id".as("c_id"), $"sh".as("cs")), Seq("c_id"))
+      .withColumn("inter", call_function("graft_sorted_intersect_size", $"bs", $"cs"))
+      .withColumn("jaccard",
+        round($"inter".cast("double") / (size($"bs") + size($"cs") - $"inter"), 4))
+      .filter($"jaccard" >= threshold)
+    val bestNear = verified
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy($"doc_id")
+          .orderBy($"jaccard".desc, $"c_id")))
+      .filter($"rk" === 1)
+      .select($"doc_id", $"c_id".as("near_of"), $"jaccard")
+
+    batchIds.select($"doc_id")
+      .join(exact, Seq("doc_id"), "left")
+      .join(bestNear, Seq("doc_id"), "left")
+      .select($"doc_id",
+        when($"exact_of".isNotNull, "exact_dup")
+          .when($"near_of".isNotNull, "near_dup")
+          .otherwise("unique").as("verdict"),
+        when($"exact_of".isNotNull, $"exact_of").otherwise($"near_of").as("dup_of"),
+        when($"exact_of".isNull, $"jaccard").as("jaccard"))
+      .orderBy($"doc_id")
+  }
+
   /** Exact all-pairs shingle-Jaccard — the quadratic correctness
     * oracle for [[minHashLsh]]; used by the spec at sf0.001 and as
     * the DuckDB oracle shape. Never the production path. */
@@ -332,6 +421,41 @@ object Dedup {
       .filter($"hamming" <= maxHamming)
       .select($"id_a".as("doc_a"), $"id_b".as("doc_b"), $"hamming")
       .orderBy($"doc_a", $"doc_b")
+  }
+
+  /** Exact DuckDB oracle for [[dedupIncremental]] — all-pairs
+    * batch × corpus Jaccard (valid for the LSH side by the same
+    * recall argument as [[minHashLshOracleSql]]; the exact layer is
+    * an md5 equi-join in both engines). */
+  def dedupIncrementalOracleSql(threshold: Double = 0.5, batchPct: Int = 20): String = {
+    val cut = 100 - batchPct
+    s"""WITH h AS (SELECT doc_id, text, md5(text) AS ch,
+       |                  ('0x' || substr(md5(doc_id || ':graft'), 1, 8))::UBIGINT % 100 AS hv
+       |           FROM documents),
+       |ex AS (SELECT b.doc_id, min(c.doc_id) AS exact_of
+       |       FROM h b JOIN h c ON b.ch = c.ch AND b.hv >= $cut AND c.hv < $cut
+       |       GROUP BY b.doc_id),
+       |sh AS (SELECT doc_id, hv,
+       |              list_distinct(list_transform(range(1, greatest(len(string_split(text, ' ')) - 2, 1) + 1),
+       |                i -> array_to_string(string_split(text, ' ')[i:i+2], ' '))) AS s
+       |       FROM h),
+       |near AS (SELECT bb.doc_id, cc.doc_id AS c_id,
+       |                round(CAST(len(list_intersect(bb.s, cc.s)) AS DOUBLE)
+       |                      / (len(bb.s) + len(cc.s) - len(list_intersect(bb.s, cc.s))), 4) AS j
+       |         FROM sh bb JOIN sh cc ON bb.hv >= $cut AND cc.hv < $cut),
+       |nbest AS (SELECT doc_id, c_id AS near_of, j,
+       |                 row_number() OVER (PARTITION BY doc_id ORDER BY j DESC, c_id) AS rk
+       |          FROM near WHERE j >= $threshold)
+       |SELECT h.doc_id,
+       |       CASE WHEN ex.exact_of IS NOT NULL THEN 'exact_dup'
+       |            WHEN nb.near_of IS NOT NULL THEN 'near_dup'
+       |            ELSE 'unique' END AS verdict,
+       |       COALESCE(ex.exact_of, nb.near_of) AS dup_of,
+       |       CASE WHEN ex.exact_of IS NULL THEN nb.j END AS jaccard
+       |FROM h LEFT JOIN ex ON h.doc_id = ex.doc_id
+       |       LEFT JOIN (SELECT * FROM nbest WHERE rk = 1) nb ON h.doc_id = nb.doc_id
+       |WHERE h.hv >= $cut
+       |ORDER BY h.doc_id""".stripMargin
   }
 
   /** Exact DuckDB oracle for [[simHashPairs]]. SimHash is
