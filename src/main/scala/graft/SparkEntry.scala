@@ -25,6 +25,8 @@ object SparkEntry {
     "event_router"       -> Engagement.eventRouter _,
     "json_extract_props" -> Engagement.jsonExtractProps _,
     "asof_join"          -> Engagement.asofJoin _,
+    "funnel_conversion"  -> Engagement.funnelConversion _,
+    "retention_cohorts"  -> ((s: SparkSession, d: String) => Engagement.retentionCohorts(s, d)),
     // Structured Streaming (real engine: readStream -> AvailableNow),
     // checked against the same DuckDB oracles as their batch twins
     "stream_hop_agg"     -> EngagementStream.streamHopAgg _,
@@ -124,6 +126,34 @@ object SparkEntry {
         |FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
         |      FROM events) t
         |WHERE rn = 1 AND event_type != 'error' ORDER BY user_id""".stripMargin,
+
+    // ordered funnel: stage k counts only events after the user's
+    // stage k-1 first-time; base CTE truncates ns->us to match Spark
+    "funnel_conversion" ->
+      """WITH e AS (SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events),
+        |v AS (SELECT user_id, min(ts) AS t_view FROM e WHERE event_type = 'view' GROUP BY 1),
+        |c AS (SELECT e.user_id, min(e.ts) AS t_click
+        |      FROM e JOIN v ON e.user_id = v.user_id AND e.ts > v.t_view
+        |      WHERE e.event_type = 'click' GROUP BY 1),
+        |p AS (SELECT e.user_id, min(e.ts) AS t_purchase
+        |      FROM e JOIN c ON e.user_id = c.user_id AND e.ts > c.t_click
+        |      WHERE e.event_type = 'purchase' GROUP BY 1),
+        |u AS (SELECT DISTINCT user_id FROM e)
+        |SELECT count(v.t_view) AS reached_view, count(c.t_click) AS reached_click,
+        |       count(p.t_purchase) AS reached_purchase, count(*) AS n_users
+        |FROM u LEFT JOIN v ON u.user_id = v.user_id
+        |       LEFT JOIN c ON u.user_id = c.user_id
+        |       LEFT JOIN p ON u.user_id = p.user_id""".stripMargin,
+
+    "retention_cohorts" ->
+      """WITH a AS (SELECT DISTINCT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day FROM events),
+        |ch AS (SELECT user_id, min(day) AS cohort_day FROM a GROUP BY 1)
+        |SELECT strftime(ch.cohort_day, '%Y-%m-%d') AS cohort_day,
+        |       CAST(datediff('day', ch.cohort_day, a.day) AS BIGINT) AS k,
+        |       count(DISTINCT a.user_id) AS n_active
+        |FROM a JOIN ch ON a.user_id = ch.user_id
+        |WHERE datediff('day', ch.cohort_day, a.day) <= 7
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "enrich_events" ->
       """SELECT e.event_id, e.user_id, e.event_type, e.value, c.c_mktsegment AS segment,

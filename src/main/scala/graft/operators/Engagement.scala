@@ -222,6 +222,70 @@ object Engagement {
       .orderBy($"route")
   }
 
+  /** Ordered funnel conversion: how many users reach each stage of
+    * view → click → purchase IN ORDER (a later-stage event counts
+    * only if it happens after the user's first qualifying
+    * earlier-stage event). The sequential-pattern query every
+    * engagement stack runs (ClickHouse `windowFunnel`, the classic
+    * cohort funnel).
+    *
+    * Shape: a chain of per-stage conditional-min aggregations, each
+    * keyed on user_id — stage k's aggregate filters its events
+    * against stage k-1's first-time and takes `min(ts)`. Every
+    * aggregate and every join shares the user_id hash partitioning,
+    * so the plan shuffles the events table once per stage filter and
+    * never builds per-user event lists (a `collect_list` funnel is
+    * the per-user agg-buffer bomb at scale — a power user's millions
+    * of events would sit in one buffer; conditional min is constant
+    * state, mergeable, map-side-combinable). */
+  def funnelConversion(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, dir).select($"user_id", $"event_type", $"ts")
+    val v = ev.filter($"event_type" === "view")
+      .groupBy($"user_id").agg(min($"ts").as("t_view"))
+    val c = ev.filter($"event_type" === "click")
+      .join(v, Seq("user_id")).filter($"ts" > $"t_view")
+      .groupBy($"user_id").agg(min($"ts").as("t_click"))
+    val p = ev.filter($"event_type" === "purchase")
+      .join(c, Seq("user_id")).filter($"ts" > $"t_click")
+      .groupBy($"user_id").agg(min($"ts").as("t_purchase"))
+    ev.select($"user_id").distinct()
+      .join(v, Seq("user_id"), "left")
+      .join(c.select($"user_id", $"t_click"), Seq("user_id"), "left")
+      .join(p.select($"user_id", $"t_purchase"), Seq("user_id"), "left")
+      .agg(
+        count($"t_view").as("reached_view"),
+        count($"t_click").as("reached_click"),
+        count($"t_purchase").as("reached_purchase"),
+        count("*").as("n_users"))
+  }
+
+  /** Retention cohorts: users grouped by first-seen day, tracked by
+    * how many are active again k days later — the DAU retention
+    * triangle behind every growth dashboard.
+    *
+    * Two narrow aggregations: distinct (user, day) activity, a
+    * per-user min(day) cohort, then a count per (cohort_day, k).
+    * Everything shuffles on ids and day numbers only. The cohort
+    * lookup broadcasts (one row per user — at warehouse scale this is
+    * the one table worth bucketing instead; the join key is the same
+    * user_id the activity table already shuffles on, so co-location
+    * makes the join exchange-free). */
+  def retentionCohorts(spark: SparkSession, dir: String, maxDays: Int = 7): DataFrame = {
+    import spark.implicits._
+    val activity = Tables.events(spark, dir)
+      .select($"user_id", to_date($"ts").as("day"))
+      .distinct()
+    val cohorts = activity.groupBy($"user_id").agg(min($"day").as("cohort_day"))
+    activity.join(cohorts, Seq("user_id"))
+      .withColumn("k", datediff($"day", $"cohort_day"))
+      .filter($"k" <= maxDays)
+      .groupBy($"cohort_day", $"k")
+      .agg(countDistinct($"user_id").as("n_active"))
+      .select(date_format($"cohort_day", "yyyy-MM-dd").as("cohort_day"), $"k".cast("long").as("k"), $"n_active")
+      .orderBy($"cohort_day", $"k")
+  }
+
   /** As-of join: each event picks up the user's most recent order at
     * or before the event's timestamp — the bounded-data cousin of the
     * reference's `FOR SYSTEM_TIME AS OF` temporal join
