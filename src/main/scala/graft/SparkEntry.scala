@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.operators._
-import graft.streaming.{CdcCompact, EngagementStream, Sessionize, StreamDedup}
+import graft.streaming.{CdcCompact, EngagementStream, Sessionize, StreamDedup, StreamIncrementalDedup}
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the inventory. */
 object SparkEntry {
@@ -37,6 +37,8 @@ object SparkEntry {
     "stream_router"      -> EngagementStream.streamRouter _,
     "stream_leaderboard" -> EngagementStream.streamLeaderboard _,
     "stream_dedup"       -> StreamDedup.streamDedup _,
+    "stream_dedup_incremental" ->
+      ((s: SparkSession, d: String) => StreamIncrementalDedup.streamDedupIncremental(s, d)),
     "stream_interval_join" -> EngagementStream.streamIntervalJoin _,
     // Analytic core
     "q1_pricing_summary"    -> Olap.q1PricingSummary _,
@@ -91,6 +93,9 @@ object SparkEntry {
       // prefix-filtered path (both exact) — same oracle
       "word_jaccard_naive" -> base("word_jaccard_pairs"),
       "stream_cdc_with_deletes" -> base("cdc_with_deletes"),
+      // verdicts are against the static corpus only, so micro-batch
+      // boundaries cannot change any answer — same oracle
+      "stream_dedup_incremental" -> base("dedup_incremental"),
       "stream_hop_agg"     -> base("hop_window_agg"),
       "stream_enrich"      -> base("enrich_events"),
       "stream_cdc_compact" -> base("cdc_latest_by_key"),

@@ -163,43 +163,69 @@ object Dedup {
                        batchPct: Int = 20, bands: Int = 32, rows: Int = 2,
                        salt: String = "graft"): DataFrame = {
     import spark.implicits._
+    val hv = Sampling.splitHash($"doc_id", salt) % 100
+    val cut = 100 - batchPct
+    val batch = Tables.documents(spark, dir)
+      .filter(hv >= cut).select($"doc_id", $"text")
+    screenBatch(spark, dir, batch, threshold, batchPct, bands, rows, salt)
+      .orderBy($"doc_id")
+  }
+
+  /** The screening core shared by [[dedupIncremental]] and the
+    * streaming twin ([[graft.streaming.StreamIncrementalDedup]]):
+    * verdicts for an ARBITRARY batch of (doc_id, text) documents
+    * against the corpus slice of `dir`. The corpus-side signature
+    * table is the memoized [[sigTable]] (built once, reused by every
+    * micro-batch — the "index the warehouse once, screen each
+    * delivery" shape); the batch side computes its signatures and
+    * shingle sets on the fly, map-side. */
+  def screenBatch(spark: SparkSession, dir: String, batch: DataFrame,
+                  threshold: Double = 0.5, batchPct: Int = 20,
+                  bands: Int = 32, rows: Int = 2,
+                  salt: String = "graft"): DataFrame = {
+    import spark.implicits._
     GraftFunctions.register(spark)
     val hv = Sampling.splitHash($"doc_id", salt) % 100
     val cut = 100 - batchPct
-
-    val hashed = Tables.documents(spark, dir)
-      .select($"doc_id", md5($"text").as("ch"), (hv >= cut).as("is_batch"))
-    val batchIds = hashed.filter($"is_batch").select($"doc_id", $"ch")
-    val corpusIds = hashed.filter(!$"is_batch").select($"doc_id".as("c_id"), $"ch")
+    val corpus = Tables.documents(spark, dir).filter(hv < cut)
 
     // exact layer: content-hash equi-join, min corpus id per batch doc
-    val exact = batchIds.join(corpusIds, Seq("ch"))
+    val batchIds = batch.select($"doc_id", md5($"text").as("ch"))
+    val corpusHashes = corpus.select($"doc_id".as("c_id"), md5($"text").as("ch"))
+    val exactBest = batchIds.join(corpusHashes, Seq("ch"))
       .groupBy($"doc_id").agg(min($"c_id").as("exact_of"))
 
     // near layer: banded LSH join, batch side × corpus side
     val bandHashExpr = (0 until rows).map(r => s"element_at(sig, b * $rows + ${r + 1})")
       .mkString(s"transform(sequence(0, ${bands - 1}), b -> xxhash64(", ", ", ", b))")
-    val banded = sigTable(spark, dir, bands * rows)
-      .join(hashed.select($"doc_id", $"is_batch"), Seq("doc_id"))
-      .select($"doc_id", $"is_batch", posexplode(expr(bandHashExpr)))
+    def explodeBands(sigs: DataFrame): DataFrame = sigs
+      .select($"doc_id", posexplode(expr(bandHashExpr)))
       .withColumnRenamed("pos", "band")
       .withColumnRenamed("col", "band_hash")
-    val candidates = banded.filter($"is_batch").as("b")
-      .join(banded.filter(!$"is_batch").as("c"),
-        col("b.band") === col("c.band") && col("b.band_hash") === col("c.band_hash"))
-      .select(col("b.doc_id").as("doc_id"), col("c.doc_id").as("c_id"))
+    val corpusBands = explodeBands(
+      sigTable(spark, dir, bands * rows)
+        .join(corpus.select($"doc_id"), Seq("doc_id")))
+      .select($"doc_id".as("c_id"), $"band", $"band_hash")
+    val batchBands = explodeBands(
+      batch.select($"doc_id",
+        call_function("graft_minhash", expr(shingleExpr), lit(bands * rows)).as("sig")))
+    val candidates = batchBands
+      .join(corpusBands, Seq("band", "band_hash"))
+      .select($"doc_id", $"c_id")
       .dropDuplicates("doc_id", "c_id")
 
-    val sets = setsCache.getOrElseUpdate((spark, dir)) {
+    val corpusSets = setsCache.getOrElseUpdate((spark, dir)) {
       val t = Tables.documents(spark, dir)
         .select($"doc_id", array_sort(array_distinct(expr(shingleExpr))).as("sh"))
         .persist(StorageLevel.MEMORY_AND_DISK)
       t.count()
       t
     }
+    val batchSets = batch
+      .select($"doc_id", array_sort(array_distinct(expr(shingleExpr))).as("bs"))
     val verified = candidates
-      .join(sets.select($"doc_id", $"sh".as("bs")), Seq("doc_id"))
-      .join(sets.select($"doc_id".as("c_id"), $"sh".as("cs")), Seq("c_id"))
+      .join(batchSets, Seq("doc_id"))
+      .join(corpusSets.select($"doc_id".as("c_id"), $"sh".as("cs")), Seq("c_id"))
       .withColumn("inter", call_function("graft_sorted_intersect_size", $"bs", $"cs"))
       .withColumn("jaccard",
         round($"inter".cast("double") / (size($"bs") + size($"cs") - $"inter"), 4))
@@ -211,8 +237,8 @@ object Dedup {
       .filter($"rk" === 1)
       .select($"doc_id", $"c_id".as("near_of"), $"jaccard")
 
-    batchIds.select($"doc_id")
-      .join(exact, Seq("doc_id"), "left")
+    batch.select($"doc_id")
+      .join(exactBest, Seq("doc_id"), "left")
       .join(bestNear, Seq("doc_id"), "left")
       .select($"doc_id",
         when($"exact_of".isNotNull, "exact_dup")
@@ -220,7 +246,6 @@ object Dedup {
           .otherwise("unique").as("verdict"),
         when($"exact_of".isNotNull, $"exact_of").otherwise($"near_of").as("dup_of"),
         when($"exact_of".isNull, $"jaccard").as("jaccard"))
-      .orderBy($"doc_id")
   }
 
   /** Exact all-pairs shingle-Jaccard — the quadratic correctness

@@ -84,6 +84,10 @@ class StreamingSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
     assert(rows("stream_cdc_with_deletes") == rows("cdc_with_deletes"))
   }
 
+  test("stream_dedup_incremental equals batch dedup_incremental") {
+    assert(rows("stream_dedup_incremental") == rows("dedup_incremental"))
+  }
+
   test("cdc deletes: insert→update→delete lifecycle, replay guard, no tombstone resurrection") {
     import org.apache.spark.sql.functions.{col, to_timestamp}
     import graft.streaming.CdcCompact
