@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.operators._
-import graft.streaming.{CdcCompact, EngagementStream, Sessionize, StreamDedup, StreamIncrementalDedup}
+import graft.streaming.{CdcCompact, EngagementStream, FunnelStream, Sessionize, StreamDedup, StreamIncrementalDedup}
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the inventory. */
 object SparkEntry {
@@ -39,6 +39,7 @@ object SparkEntry {
     "stream_dedup"       -> StreamDedup.streamDedup _,
     "stream_dedup_incremental" ->
       ((s: SparkSession, d: String) => StreamIncrementalDedup.streamDedupIncremental(s, d)),
+    "stream_funnel"      -> ((s: SparkSession, d: String) => FunnelStream.streamFunnel(s, d)),
     "stream_interval_join" -> EngagementStream.streamIntervalJoin _,
     // Analytic core
     "q1_pricing_summary"    -> Olap.q1PricingSummary _,
@@ -96,6 +97,7 @@ object SparkEntry {
       // verdicts are against the static corpus only, so micro-batch
       // boundaries cannot change any answer — same oracle
       "stream_dedup_incremental" -> base("dedup_incremental"),
+      "stream_funnel" -> base("funnel_conversion"),
       "stream_hop_agg"     -> base("hop_window_agg"),
       "stream_enrich"      -> base("enrich_events"),
       "stream_cdc_compact" -> base("cdc_latest_by_key"),

@@ -88,6 +88,10 @@ class StreamingSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
     assert(rows("stream_dedup_incremental") == rows("dedup_incremental"))
   }
 
+  test("stream_funnel equals batch funnel_conversion") {
+    assert(rows("stream_funnel") == rows("funnel_conversion"))
+  }
+
   test("cdc deletes: insert→update→delete lifecycle, replay guard, no tombstone resurrection") {
     import org.apache.spark.sql.functions.{col, to_timestamp}
     import graft.streaming.CdcCompact
