@@ -80,7 +80,11 @@ final class FunnelState(stateDir: String) {
       .select(col("user_id"), col("t_view"), col("t_click"),
         coalesce(least(col("t_purchase"), col("bp")), col("t_purchase"), col("bp")).as("t_purchase"))
 
-    s3.write.mode("overwrite").parquet(s"$stateDir/v$batchId")
+    // per-user funnel state is 4 columns × |users| — single-file
+    // parquet keeps the per-batch read/write cost at metadata scale
+    // (a production deployment shards this by the same user_id hash
+    // as its ingest partitioning)
+    s3.coalesce(1).write.mode("overwrite").parquet(s"$stateDir/v$batchId")
     val prev = version
     version = batchId
     if (prev >= 0) StreamUtil.delete(spark, s"$stateDir/v$prev")
