@@ -16,6 +16,22 @@ class ExpressionEdgeSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAl
 
   import TestSession._
 
+  test("screenBatch degrades deterministically on empty and degenerate batches") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val sf = "/root/testdata/sf0.001"
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(graft.operators.Dedup.screenBatch(spark, sf, empty).count() == 0)
+    // empty text, single word, and whitespace-only docs must all get
+    // verdicts (a 100 TB crawl WILL contain them), never throw
+    val degenerate = Seq((900001L, ""), (900002L, "word"), (900003L, "   "))
+      .toDF("doc_id", "text")
+    val v = graft.operators.Dedup.screenBatch(spark, sf, degenerate)
+      .orderBy(col("doc_id")).collect()
+    assert(v.length == 3)
+    assert(v.forall(r => Set("exact_dup", "near_dup", "unique")(r.getString(1))))
+  }
+
   private def one(sqlText: String): Row = {
     graft.functions.GraftFunctions.register(spark)
     spark.sql(sqlText).collect()(0)
