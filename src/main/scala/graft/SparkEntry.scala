@@ -157,7 +157,7 @@ object SparkEntry {
         |ch AS (SELECT user_id, min(day) AS cohort_day FROM a GROUP BY 1)
         |SELECT strftime(ch.cohort_day, '%Y-%m-%d') AS cohort_day,
         |       CAST(datediff('day', ch.cohort_day, a.day) AS BIGINT) AS k,
-        |       count(DISTINCT a.user_id) AS n_active
+        |       count(*) AS n_active
         |FROM a JOIN ch ON a.user_id = ch.user_id
         |WHERE datediff('day', ch.cohort_day, a.day) <= 7
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,

@@ -281,7 +281,10 @@ object Engagement {
       .withColumn("k", datediff($"day", $"cohort_day"))
       .filter($"k" <= maxDays)
       .groupBy($"cohort_day", $"k")
-      .agg(countDistinct($"user_id").as("n_active"))
+      // activity is distinct (user, day) and k is a function of
+      // (user, day), so each user hits a (cohort, k) cell at most
+      // once — plain count avoids count-distinct's two-phase expand
+      .agg(count("*").as("n_active"))
       .select(date_format($"cohort_day", "yyyy-MM-dd").as("cohort_day"), $"k".cast("long").as("k"), $"n_active")
       .orderBy($"cohort_day", $"k")
   }

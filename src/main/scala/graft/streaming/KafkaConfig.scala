@@ -44,7 +44,7 @@ object KafkaConfig {
   def toUpsertRecords(df: DataFrame, keyCols: Seq[String]): DataFrame =
     df.select(
       to_json(struct(keyCols.map(col): _*)).as("key"),
-      to_json(struct(df.columns.map(col): _*)).as("value"))
+      to_json(struct(df.columns.toSeq.map(col): _*)).as("value"))
 
   /** Kafka source stream (requires the spark-sql-kafka connector on
     * the classpath at runtime). */

@@ -56,9 +56,12 @@ object StreamIncrementalDedup {
       .parquet(s"$work/input")
     StreamSources.runForeachBatch(
       stream,
-      (batch, _) =>
+      (batch, batchId) =>
+        // one partition dir per micro-batch, overwritten on replay —
+        // a re-run batch replaces its own output instead of
+        // append-duplicating it (idempotent without a commit log)
         Dedup.screenBatch(batch.sparkSession, dir, batch.toDF(), threshold, batchPct)
-          .write.mode("append").parquet(s"$work/out"))
-    spark.read.parquet(s"$work/out").orderBy(col("doc_id"))
+          .write.mode("overwrite").parquet(s"$work/out/batch_id=$batchId"))
+    spark.read.parquet(s"$work/out").drop("batch_id").orderBy(col("doc_id"))
   }
 }
