@@ -65,6 +65,7 @@ object SparkEntry {
     "stratified_sample"   -> ((s: SparkSession, d: String) => Sampling.stratifiedSample(s, d)),
     "pack_sequences"      -> ((s: SparkSession, d: String) => Sampling.packSequences(s, d)),
     "ngram_contamination" -> ((s: SparkSession, d: String) => Sampling.ngramContamination(s, d)),
+    "corpus_filter"       -> ((s: SparkSession, d: String) => TextOps.corpusFilter(s, d)),
     "lang_id"            -> TextOps.langId _,
     "text_quality"       -> TextOps.textQuality _,
     "token_count"        -> TextOps.tokenCount _,
@@ -331,6 +332,8 @@ object SparkEntry {
         |SELECT doc_a, doc_b, jaccard FROM p WHERE jaccard >= 0.75 ORDER BY doc_a, doc_b""".stripMargin,
 
     "lang_id" -> operators.TextOps.langIdOracleSql,
+
+    "corpus_filter" -> operators.TextOps.corpusFilterOracleSql(),
 
     // corpus assembly — all keyed off the same md5(doc_id:salt) 32-bit
     // hash, which DuckDB computes bit-identically

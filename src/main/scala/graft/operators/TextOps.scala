@@ -258,6 +258,56 @@ object TextOps {
        |FROM n ORDER BY doc_id""".stripMargin
   }
 
+  /** The end-to-end corpus keep/drop decision — what the cleaning
+    * stages exist FOR: every document gets its predicted language
+    * ([[langId]]), quality score ([[textQuality]]), near-dup verdict
+    * ([[Dedup.dedupClusters]]'s cluster representative election), and
+    * a final `kept` flag with the first failing reason. The three
+    * inputs are one-row-per-doc tables joined on doc_id — each stage
+    * stays independently testable, and the composition is two
+    * co-partitioned joins, not a new pipeline.
+    *
+    * Filter policy (deliberately simple): language must be in
+    * `langs`, quality ≥ `minQuality`, and the doc must be its
+    * cluster's elected representative. Reasons report the FIRST
+    * failing check in that order. */
+  def corpusFilter(spark: SparkSession, dir: String, minQuality: Double = 0.5,
+                   langs: Seq[String] = Seq("en")): DataFrame = {
+    import spark.implicits._
+    val lang = langId(spark, dir).select($"doc_id", $"pred_lang")
+    val qual = textQuality(spark, dir).select($"doc_id", $"quality")
+    val dedup = Dedup.dedupClusters(spark, dir).select($"doc_id", $"is_kept".as("dedup_kept"))
+    val langOk = $"pred_lang".isin(langs: _*)
+    lang.join(qual, Seq("doc_id")).join(dedup, Seq("doc_id"))
+      .withColumn("reason",
+        when(!langOk, "lang")
+          .when($"quality" < minQuality, "quality")
+          .when(!$"dedup_kept", "duplicate")
+          .otherwise("ok"))
+      .withColumn("kept", $"reason" === "ok")
+      .select($"doc_id", $"pred_lang", $"quality", $"dedup_kept", $"reason", $"kept")
+      .orderBy($"doc_id")
+  }
+
+  /** Oracle for [[corpusFilter]]: the component oracles composed as
+    * subqueries — language, quality, and the recursive-CTE
+    * connected-components dedup, joined exactly as the Spark plan
+    * joins the component DataFrames. */
+  def corpusFilterOracleSql(minQuality: Double = 0.5): String =
+    s"""SELECT l.doc_id, l.pred_lang, q.quality, d.is_kept AS dedup_kept,
+       |       CASE WHEN l.pred_lang != 'en' THEN 'lang'
+       |            WHEN q.quality < $minQuality THEN 'quality'
+       |            WHEN NOT d.is_kept THEN 'duplicate'
+       |            ELSE 'ok' END AS reason,
+       |       (CASE WHEN l.pred_lang != 'en' THEN 'lang'
+       |             WHEN q.quality < $minQuality THEN 'quality'
+       |             WHEN NOT d.is_kept THEN 'duplicate'
+       |             ELSE 'ok' END) = 'ok' AS kept
+       |FROM ($langIdOracleSql) l
+       |JOIN ($textQualityOracleSql) q ON l.doc_id = q.doc_id
+       |JOIN (${Dedup.dedupClustersOracleSql()}) d ON l.doc_id = d.doc_id
+       |ORDER BY l.doc_id""".stripMargin
+
   /** Token counting: whitespace tokens plus a BPE-ish segmentation
     * (letter runs | digit runs | single punctuation). */
   def tokenCount(spark: SparkSession, dir: String): DataFrame = {
