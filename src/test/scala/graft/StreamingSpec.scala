@@ -92,6 +92,30 @@ class StreamingSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
     assert(rows("stream_funnel") == rows("funnel_conversion"))
   }
 
+  test("funnel state: same-batch chains resolve, replayed batch is skipped") {
+    import org.apache.spark.sql.functions.{col, to_timestamp}
+    import graft.streaming.FunnelState
+    import spark.implicits._
+    val state = new FunnelState(GraftCaches.trackTempDir("graft_funnelspec_") + "/state")
+    def batch(rows: (Long, String, String)*) =
+      rows.toSeq.toDF("user_id", "event_type", "tss")
+        .withColumn("ts", to_timestamp(col("tss"))).drop("tss")
+    def counts = state.counts(spark).collect()(0)
+
+    // view and click in the SAME batch: the click gates on the merged
+    // first-view and must count
+    state.merge(batch((1L, "view", "2024-01-01 10:00:00"),
+      (1L, "click", "2024-01-01 10:05:00"),
+      (2L, "signup", "2024-01-01 10:06:00")), 0)
+    assert((counts.getLong(0), counts.getLong(1), counts.getLong(2), counts.getLong(3)) == ((1L, 1L, 0L, 2L)))
+    // replaying batch 0 must be a no-op (crash-replay guard)
+    state.merge(batch((1L, "purchase", "2024-01-01 10:10:00")), 0)
+    assert(counts.getLong(2) == 0L)
+    // the purchase arriving in batch 1 completes the funnel
+    state.merge(batch((1L, "purchase", "2024-01-01 10:10:00")), 1)
+    assert((counts.getLong(2), counts.getLong(3)) == ((1L, 2L)))
+  }
+
   test("cdc deletes: insert→update→delete lifecycle, replay guard, no tombstone resurrection") {
     import org.apache.spark.sql.functions.{col, to_timestamp}
     import graft.streaming.CdcCompact
