@@ -372,6 +372,95 @@ object Dedup {
       out
     }
 
+  /** Connected components by alternating large-star / small-star
+    * (Kiveris et al., "Connected Components in MapReduce and
+    * Beyond", 2014) — the production escalation for ADVERSARIAL
+    * graphs: min-label propagation needs diameter rounds (a
+    * 10k-long near-dup chain = 10k shuffles), star contraction
+    * converges in O(log² n) rounds on any shape.
+    *
+    * Each round is two join+aggregate passes over the edge list —
+    * per node u with neighborhood N(u): m = min(N(u) ∪ {u});
+    * large-star connects every neighbor v > u to m, small-star
+    * connects every neighbor v ≤ u (and u itself) to m. Edges only
+    * ever shuffle as (id, id) pairs; neighborhood minima come from a
+    * plain groupBy-min (constant agg state, no neighbor lists).
+    * Convergence = the edge multiset stops changing (checked by
+    * count + an order-insensitive checksum, one tiny aggregate).
+    * Output shape identical to [[dedupClusters]]; equality
+    * spec-asserted on the LSH pair graph. */
+  def dedupClustersStar(spark: SparkSession, dir: String, threshold: Double = 0.5,
+                        maxIters: Int = 30): DataFrame = {
+    import spark.implicits._
+    val pairs = minHashPairs(spark, dir, threshold, 32, 2).select($"doc_a", $"doc_b")
+
+    val shuffleKey = "spark.sql.shuffle.partitions"
+    val prevShuffle = spark.conf.get(shuffleKey)
+    spark.conf.set(shuffleKey, "8")
+
+    def sym(e: DataFrame): DataFrame =
+      e.unionByName(e.select($"v".as("u"), $"u".as("v"))).filter($"u" =!= $"v").distinct()
+
+    // the two star operators, rendered as join+aggregate passes:
+    //  large-star(u): m = min(Γ(u) ∪ {u}) over the FULL neighborhood;
+    //    every strictly larger neighbor attaches to m;
+    //  small-star(u): edges first direct to their larger endpoint, so
+    //    Γ≤(u) holds only smaller neighbors; m = min(Γ≤(u) ∪ {u});
+    //    every smaller neighbor AND u itself attach to m.
+    def largeStar(e: DataFrame): DataFrame = {
+      val mins = e.groupBy($"u").agg(least(min($"v"), first($"u")).as("m"))
+      e.filter($"v" > $"u").join(mins, Seq("u"))
+        .select($"v".as("u"), $"m".as("v"))
+        .filter($"u" =!= $"v")
+        .distinct()
+    }
+    def smallStar(e: DataFrame): DataFrame = {
+      val dir = e.select(greatest($"u", $"v").as("u"), least($"u", $"v").as("v"))
+      val mins = dir.groupBy($"u").agg(min($"v").as("m")) // v < u always
+      dir.join(mins, Seq("u"))
+        .select($"v".as("u"), $"m".as("v"))
+        .unionByName(mins.select($"u", $"m".as("v")))
+        .filter($"u" =!= $"v")
+        .distinct()
+    }
+
+    def checksum(e: DataFrame): (Long, Long) = {
+      val r = e.agg(count(lit(1)), sum(xxhash64($"u", $"v"))).collect()(0)
+      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+    }
+
+    val labels = try {
+      var edges = sym(pairs.select($"doc_a".as("u"), $"doc_b".as("v")))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      var sig = checksum(edges)
+      var converged = false
+      var iter = 0
+      while (!converged && iter < maxIters) {
+        val next = star(star(edges, large = true), large = false)
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        val nextSig = checksum(next)
+        edges.unpersist()
+        edges = next
+        converged = nextSig == sig
+        sig = nextSig
+        iter += 1
+      }
+      if (!converged)
+        org.slf4j.LoggerFactory.getLogger(getClass).warn(
+          s"dedupClustersStar did NOT converge within $maxIters rounds")
+      // converged stars: every non-center node has exactly one edge to
+      // its component min; centers label themselves
+      edges.groupBy($"u".as("node")).agg(min($"v").as("lbl"))
+        .select($"node", least($"node", $"lbl").as("lbl"))
+    } finally spark.conf.set(shuffleKey, prevShuffle)
+
+    Tables.documents(spark, dir).select($"doc_id")
+      .join(labels.withColumnRenamed("node", "doc_id"), Seq("doc_id"), "left")
+      .select($"doc_id", coalesce($"lbl", $"doc_id").as("cluster_rep"))
+      .withColumn("is_kept", $"cluster_rep" === $"doc_id")
+      .orderBy($"doc_id")
+  }
+
   def dedupClusters(spark: SparkSession, dir: String, threshold: Double = 0.5,
                     maxIters: Int = 20): DataFrame = {
     import spark.implicits._
