@@ -68,6 +68,7 @@ object SparkEntry {
     "corpus_filter"       -> ((s: SparkSession, d: String) => TextOps.corpusFilter(s, d)),
     "lang_id"            -> TextOps.langId _,
     "text_quality"       -> TextOps.textQuality _,
+    "text_repetition"    -> TextOps.textRepetition _,
     "token_count"        -> TextOps.tokenCount _,
     "doc_fingerprint"    -> TextOps.docFingerprint _,
     "multimodal_meta"    -> TextOps.multimodalMeta _,
@@ -75,6 +76,7 @@ object SparkEntry {
     "multimodal_pipeline" -> Multimodal.pipeline _,
     "dedup_minhash_lsh"  -> ((s: SparkSession, d: String) => Dedup.minHashLsh(s, d)),
     "dedup_clusters"     -> ((s: SparkSession, d: String) => Dedup.dedupClusters(s, d)),
+    "dedup_clusters_star" -> ((s: SparkSession, d: String) => Dedup.dedupClustersStar(s, d)),
     "dedup_simhash"      -> ((s: SparkSession, d: String) => Dedup.simHashPairs(s, d)),
     "embedding_neardup"  -> ((s: SparkSession, d: String) => VectorOps.embeddingNearDup(s, d)),
     "ann_topk"           -> ((s: SparkSession, d: String) => VectorOps.annTopK(s, d)),
@@ -381,6 +383,7 @@ object SparkEntry {
         |GROUP BY cg.doc_id ORDER BY cg.doc_id""".stripMargin,
 
     "text_quality" -> operators.TextOps.textQualityOracleSql,
+    "text_repetition" -> operators.TextOps.textRepetitionOracleSql,
 
     "token_count" ->
       """WITH t AS (SELECT doc_id, length(text) AS n,
@@ -402,6 +405,9 @@ object SparkEntry {
     "dedup_simhash" -> operators.Dedup.simHashOracleSql(),
 
     "dedup_clusters" -> operators.Dedup.dedupClustersOracleSql(),
+    // alternating-star components converge to the same (doc, min-id
+    // label) fixpoint as min-label propagation — identical oracle
+    "dedup_clusters_star" -> operators.Dedup.dedupClustersOracleSql(),
 
     "multimodal_meta" ->
       """WITH m AS (SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes FROM documents)

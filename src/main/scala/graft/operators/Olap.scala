@@ -274,14 +274,22 @@ object Olap {
       .map(r => ((r.getString(0), r.getString(1), r.getString(2)), r.getDouble(3))).toMap
     val fracs = located.map(l => ((l.flag, l.qname), l.frac)).toMap
     def round2(d: Double) = BigDecimal(d).setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble
-    val out = groupStats.sortBy(_._1).map { case (flag, vmin, vmax) =>
+    // schema follows the `quantiles` parameter — one column per
+    // requested quantile, so callers aren't pinned to exactly two
+    val rows = groupStats.sortBy(_._1).map { case (flag, vmin, vmax) =>
       val q = quantiles.map { case (name, _) =>
         val lo = hv((flag, name, "lo")); val hi = hv((flag, name, "hi"))
         round2(lo + (hi - lo) * fracs((flag, name)))
       }
-      (flag, q.head, q(1), round2(vmin), round2(vmax))
+      org.apache.spark.sql.Row.fromSeq(flag +: q :+ round2(vmin) :+ round2(vmax))
     }
-    out.toDF("l_returnflag", "median_price", "p95_price", "min_price", "max_price")
+    val schema = org.apache.spark.sql.types.StructType(
+      org.apache.spark.sql.types.StructField("l_returnflag", org.apache.spark.sql.types.StringType) +:
+        quantiles.map { case (name, _) =>
+          org.apache.spark.sql.types.StructField(name, org.apache.spark.sql.types.DoubleType) } :+
+        org.apache.spark.sql.types.StructField("min_price", org.apache.spark.sql.types.DoubleType) :+
+        org.apache.spark.sql.types.StructField("max_price", org.apache.spark.sql.types.DoubleType))
+    spark.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
   }
 
   /** Range (interval) join without an equi-key, done the scale-safe

@@ -353,6 +353,83 @@ object TextOps {
     * metadata derived deterministically from the bytes. The decode
     * stub itself (Multimodal.decodeStub) is a mapPartitions op; this
     * is the oracle-checkable schema/metadata path. */
+  /** Repetition metrics (the Gopher/C4 quality-filter family,
+    * Rae et al. 2021 §A1.1): fraction of the doc covered by its most
+    * frequent word and bigram, and the duplicate-trigram fraction —
+    * the standard cheap detectors for boilerplate / degenerate /
+    * template text before training.
+    *
+    * Scale shape: the top-frequency metrics explode to (doc_id, gram)
+    * and aggregate twice keyed on doc_id — partial (map-side)
+    * aggregation absorbs the ~n_words-× fan-out, and both stages plus
+    * the final joins share one doc_id partitioning. The trigram
+    * metric needs only distinct-vs-total, so it stays a pure per-row
+    * array computation (zip_with slices → array_distinct) with no
+    * shuffle at all. Fractions are truncated 4-decimal integer
+    * ratios (`·10000 div n`, [[textQuality]]'s exact-arithmetic
+    * pattern) so any engine reproduces them bit-identically. */
+  def textRepetition(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+      .select($"doc_id", split($"text", " ").as("words"))
+
+    def grams2(ws: org.apache.spark.sql.Column) =
+      zip_with(slice(ws, lit(1), size(ws) - 1), slice(ws, lit(2), size(ws) - 1),
+        (a, b) => concat_ws(" ", a, b))
+
+    val uni = docs.select($"doc_id", explode($"words").as("w"))
+      .groupBy($"doc_id", $"w").agg(count(lit(1)).as("c"))
+      .groupBy($"doc_id").agg(max($"c").as("uni_max"), sum($"c").as("n_words"))
+    val bi = docs.select($"doc_id", explode(grams2($"words")).as("bg"))
+      .groupBy($"doc_id", $"bg").agg(count(lit(1)).as("c"))
+      .groupBy($"doc_id").agg(max($"c").as("bi_max"), sum($"c").as("n_bigrams"))
+    val tri = docs.select($"doc_id",
+      (size($"words") - 2).cast("long").as("n_trigrams"),
+      // zip_with pads the shorter side with nulls, so trim the
+      // (n-1)-long bigram array to n-2 before zipping the 3rd words
+      size(array_distinct(zip_with(
+        slice(grams2($"words"), lit(1), size($"words") - 2),
+        slice($"words", lit(3), size($"words") - 2),
+        (ab, c) => concat_ws(" ", ab, c)))).cast("long").as("tri_distinct"))
+
+    uni.join(bi, Seq("doc_id")).join(tri, Seq("doc_id"))
+      .select($"doc_id", $"n_words",
+        (expr("uni_max * 10000 div n_words").cast("double") / 10000.0).as("top_word_frac"),
+        (expr("bi_max * 10000 div n_bigrams").cast("double") / 10000.0).as("top_bigram_frac"),
+        (expr("(n_trigrams - tri_distinct) * 10000 div n_trigrams").cast("double") / 10000.0)
+          .as("dup_trigram_frac"))
+      .orderBy($"doc_id")
+  }
+
+  /** DuckDB oracle for [[textRepetition]]: same grams built by
+    * zipping shifted list slices, same truncated integer ratios. */
+  def textRepetitionOracleSql: String =
+    """WITH d AS (
+      |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+      |), g AS (
+      |  SELECT doc_id, ws,
+      |         list_transform(list_zip(ws[1:len(ws)-1], ws[2:len(ws)]),
+      |                        x -> x[1] || ' ' || x[2]) AS bgs,
+      |         list_transform(list_zip(ws[1:len(ws)-2], ws[2:len(ws)-1], ws[3:len(ws)]),
+      |                        x -> x[1] || ' ' || x[2] || ' ' || x[3]) AS tgs
+      |  FROM d
+      |), uni AS (
+      |  SELECT doc_id, max(c) AS uni_max, CAST(sum(c) AS BIGINT) AS n_words
+      |  FROM (SELECT doc_id, u.w AS w, count(*) AS c FROM g, unnest(ws) AS u(w) GROUP BY 1, 2) GROUP BY 1
+      |), bi AS (
+      |  SELECT doc_id, max(c) AS bi_max, CAST(sum(c) AS BIGINT) AS n_bigrams
+      |  FROM (SELECT doc_id, u.bg AS bg, count(*) AS c FROM g, unnest(bgs) AS u(bg) GROUP BY 1, 2) GROUP BY 1
+      |), tri AS (
+      |  SELECT doc_id, CAST(len(tgs) AS BIGINT) AS n_trigrams,
+      |         CAST(len(list_distinct(tgs)) AS BIGINT) AS tri_distinct FROM g
+      |)
+      |SELECT uni.doc_id AS doc_id, n_words,
+      |       (uni_max * 10000 // n_words) / 10000.0 AS top_word_frac,
+      |       (bi_max * 10000 // n_bigrams) / 10000.0 AS top_bigram_frac,
+      |       ((n_trigrams - tri_distinct) * 10000 // n_trigrams) / 10000.0 AS dup_trigram_frac
+      |FROM uni JOIN bi USING (doc_id) JOIN tri USING (doc_id)
+      |ORDER BY doc_id""".stripMargin
+
   def multimodalMeta(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     Tables.documents(spark, dir)

@@ -60,7 +60,7 @@ object StreamIncrementalDedup {
         // one partition dir per micro-batch, overwritten on replay —
         // a re-run batch replaces its own output instead of
         // append-duplicating it (idempotent without a commit log)
-        Dedup.screenBatch(batch.sparkSession, dir, batch.toDF(), threshold, batchPct)
+        Dedup.screenBatch(batch.sparkSession, dir, batch.toDF(), threshold, batchPct, salt = salt)
           .write.mode("overwrite").parquet(s"$work/out/batch_id=$batchId"))
     spark.read.parquet(s"$work/out").drop("batch_id").orderBy(col("doc_id"))
   }

@@ -119,6 +119,15 @@ class BatchOperatorsSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAl
     assert(kept == clusters.values.toSet.size)
   }
 
+  test("dedup_clusters_star equals min-label propagation row for row") {
+    val prop = SparkEntry.queries("dedup_clusters")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    val star = SparkEntry.queries("dedup_clusters_star")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    assert(star == prop,
+      s"star diff: extra=${(star -- prop).take(5)} missing=${(prop -- star).take(5)}")
+  }
+
   test("range_join_agg equals the naive quadratic interval join") {
     import org.apache.spark.sql.functions._
     val ev = graft.sources.Tables.events(spark, sf)
@@ -316,6 +325,32 @@ class BatchOperatorsSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAl
         " graft_simhash64(array('a','b')) AS s, graft_hyperplane_sig(array(cast(1.0 as float)), 42L, 8) AS h")
       .collect()(0)
     assert(math.abs(r.getDouble(0) - 1.0) < 1e-9)
+  }
+
+  test("percentile_stats honors arbitrary quantile lists (1 and 3 entries)") {
+    import org.apache.spark.sql.functions._
+    // ground truth: Spark's exact interpolated percentile aggregate
+    val truth = graft.sources.Tables.lineitem(spark, sf)
+      .groupBy(col("l_returnflag"))
+      .agg(expr("percentile(l_extendedprice, array(0.25, 0.5, 0.95))").as("p"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Double](1)).toMap
+    def round2(d: Double) = BigDecimal(d).setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+    val one = graft.operators.Olap.percentileStats(spark, sf, Seq("p50" -> 0.5))
+    assert(one.columns.toSeq == Seq("l_returnflag", "p50", "min_price", "max_price"))
+    one.collect().foreach { r =>
+      assert(r.getDouble(1) == round2(truth(r.getString(0))(1)), s"p50 mismatch for ${r.getString(0)}")
+    }
+
+    val three = graft.operators.Olap.percentileStats(spark, sf,
+      Seq("p25" -> 0.25, "p50" -> 0.5, "p95" -> 0.95))
+    assert(three.columns.toSeq == Seq("l_returnflag", "p25", "p50", "p95", "min_price", "max_price"))
+    three.collect().foreach { r =>
+      val t = truth(r.getString(0))
+      Seq(1, 2, 3).zipWithIndex.foreach { case (c, i) =>
+        assert(r.getDouble(c) == round2(t(i)), s"q$i mismatch for ${r.getString(0)}")
+      }
+    }
   }
 
   test("salted join matches plain join") {
