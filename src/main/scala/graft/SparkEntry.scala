@@ -22,6 +22,7 @@ object SparkEntry {
     "tumble_window_agg"  -> Engagement.tumbleWindowAgg _,
     "session_window_agg" -> Engagement.sessionWindowAgg _,
     "leaderboard_topn"   -> ((s: SparkSession, d: String) => Engagement.leaderboardTopN(s, d)),
+    "topk_per_group"     -> ((s: SparkSession, d: String) => Engagement.topkPerGroup(s, d)),
     "event_router"       -> Engagement.eventRouter _,
     "json_extract_props" -> Engagement.jsonExtractProps _,
     "asof_join"          -> Engagement.asofJoin _,
@@ -30,6 +31,7 @@ object SparkEntry {
     // Structured Streaming (real engine: readStream -> AvailableNow),
     // checked against the same DuckDB oracles as their batch twins
     "stream_hop_agg"     -> EngagementStream.streamHopAgg _,
+    "stream_tumble_agg"  -> EngagementStream.streamTumbleAgg _,
     "stream_enrich"      -> EngagementStream.streamEnrich _,
     "stream_cdc_compact" -> ((s: SparkSession, d: String) => CdcCompact.streamCdcCompact(s, d)),
     "stream_cdc_with_deletes" -> ((s: SparkSession, d: String) => CdcCompact.streamCdcWithDeletes(s, d)),
@@ -49,11 +51,13 @@ object SparkEntry {
     "distinct_daily"        -> Olap.distinctDaily _,
     "approx_distinct_daily" -> Olap.approxDistinctDaily _,
     "rollup_sales"          -> Olap.rollupSales _,
+    "pivot_sales"           -> Olap.pivotSales _,
     "cube_sales"            -> Olap.cubeSales _,
     "semi_anti_customers"   -> Olap.semiAntiCustomers _,
     "percentile_stats"      -> ((s: SparkSession, d: String) => Olap.percentileStats(s, d)),
     "percentile_stats_approx" -> Olap.percentileStatsApprox _,
     "skew_salted_join"      -> ((s: SparkSession, d: String) => Olap.skewSaltedJoin(s, d)),
+    "bloom_filtered_join"   -> ((s: SparkSession, d: String) => Olap.bloomFilteredJoin(s, d)),
     "range_join_agg"        -> Olap.rangeJoinAgg _,
     // LLM training-data pipeline
     "dedup_exact"        -> TextOps.dedupExact _,
@@ -102,6 +106,7 @@ object SparkEntry {
       "stream_dedup_incremental" -> base("dedup_incremental"),
       "stream_funnel" -> base("funnel_conversion"),
       "stream_hop_agg"     -> base("hop_window_agg"),
+      "stream_tumble_agg"  -> base("tumble_window_agg"),
       "stream_enrich"      -> base("enrich_events"),
       "stream_cdc_compact" -> base("cdc_latest_by_key"),
       "stream_session_agg" -> base("session_window_agg"),
@@ -311,6 +316,12 @@ object SparkEntry {
       """SELECT c_mktsegment, count(*) AS n, round(sum(value), 2) AS total
         |FROM events JOIN customer ON user_id = c_custkey
         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    "bloom_filtered_join" -> operators.Olap.bloomFilteredJoinOracleSql(),
+
+    "topk_per_group" -> operators.Engagement.topkPerGroupOracleSql(),
+
+    "pivot_sales" -> operators.Olap.pivotSalesOracleSql,
 
     "range_join_agg" ->
       """SELECT e.event_id, count(f.event_id) AS n_nearby,

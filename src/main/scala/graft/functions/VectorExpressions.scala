@@ -547,7 +547,26 @@ object GraftFunctions {
       es => TrainedIvfAssign(es(0), es(1))),
     ("graft_ivf_probe_trained",
       new ExpressionInfo(classOf[TrainedIvfProbe].getName, "graft_ivf_probe_trained"),
-      es => TrainedIvfProbe(es(0), es(1), litLong(es(2)).toInt)))
+      es => TrainedIvfProbe(es(0), es(1), litLong(es(2)).toInt)),
+    ("graft_topk",
+      new ExpressionInfo(classOf[BoundedTopK].getName, "graft_topk"),
+      es => BoundedTopK(es(0), es(1), litLong(es(2)).toInt)),
+    // Spark's own (non-SQL-registered) runtime-filter expressions,
+    // surfaced so operators can build/apply semi-join bloom pruning
+    // explicitly: graft_bloom_agg(xxhash64(key), estItems) -> binary
+    // sketch; graft_bloom_might_contain(sketch, xxhash64(key)) ->
+    // boolean. Same pair InjectRuntimeFilter plans internally.
+    ("graft_bloom_agg",
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate].getName,
+        "graft_bloom_agg"),
+      es => new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+        es(0), litLong(es(1)))),
+    ("graft_bloom_might_contain",
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain].getName,
+        "graft_bloom_might_contain"),
+      es => org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(es(0), es(1))))
 
   /** Idempotent registration for sessions not built with
     * `spark.sql.extensions=graft.GraftExtensions`; no-ops (and logs

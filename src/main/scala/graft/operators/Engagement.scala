@@ -124,15 +124,21 @@ object Engagement {
     * sf0.1 disagreed with the oracle), and the final averages are a
     * single IEEE division of exact integers — bit-identical in any
     * engine. */
+  /** Streaming-unified TUMBLE transform: identical expression tree
+    * for the batch query and the readStream variant (the
+    * [[hopAggTransform]] pattern). */
+  def tumbleAggTransform(events: DataFrame): DataFrame =
+    events
+      .withColumn("cents", round(col("value") * 100).cast("long"))
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count("*").as("n"), sum(col("cents")).as("sc"))
+      .select(col("window.start").as("w_start"), col("event_type"), col("n"),
+        (col("sc").cast("double") / 100.0).as("total"),
+        (col("sc").cast("double") / (col("n") * 100.0)).as("avg_value"))
+
   def tumbleWindowAgg(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    Tables.events(spark, dir)
-      .withColumn("cents", round($"value" * 100).cast("long"))
-      .groupBy(window($"ts", "1 hour"), $"event_type")
-      .agg(count("*").as("n"), sum($"cents").as("sc"))
-      .select($"window.start".as("w_start"), $"event_type", $"n",
-        ($"sc".cast("double") / 100.0).as("total"),
-        ($"sc".cast("double") / ($"n" * 100.0)).as("avg_value"))
+    tumbleAggTransform(Tables.events(spark, dir))
       .orderBy($"w_start", $"event_type")
   }
 
@@ -349,4 +355,38 @@ object Engagement {
       .agg(count("*").as("n"), round(avg($"value"), 4).as("avg_value"))
       .orderBy($"k_bucket")
   }
+
+  /** Per-group top-k rows via the bounded-heap aggregate
+    * ([[graft.functions.BoundedTopK]]): the k highest-value events
+    * per event_type, ties to the smaller event_id.
+    *
+    * The window formulation (`row_number` per event_type) shuffles
+    * EVERY row and sorts whole partitions — with few groups that is
+    * one task per group at any cluster size (the percentile_stats
+    * lesson). The aggregate formulation reduces each map task to ≤ k
+    * entries per group before the shuffle, so the shuffle carries
+    * O(groups · k · tasks) bounded buffers and nothing is ever fully
+    * sorted. Same shape the leaderboard's Redis ZSET analog needs at
+    * 100 TB. */
+  def topkPerGroup(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    Tables.events(spark, dir)
+      .groupBy($"event_type")
+      .agg(call_function("graft_topk", $"value", $"event_id", lit(k)).as("top"))
+      .select($"event_type", posexplode($"top"))
+      .select($"event_type", ($"pos" + 1).cast("long").as("rank"),
+        $"col.id".as("event_id"), round($"col.score", 2).as("value"))
+      .orderBy($"event_type", $"rank")
+  }
+
+  /** DuckDB oracle for [[topkPerGroup]] — the window formulation the
+    * aggregate replaces. */
+  def topkPerGroupOracleSql(k: Int = 5): String =
+    s"""SELECT event_type, CAST(rn AS BIGINT) AS rank, event_id, round(value, 2) AS value
+       |FROM (SELECT event_type, event_id, value,
+       |             row_number() OVER (PARTITION BY event_type
+       |                                ORDER BY value DESC, event_id ASC) AS rn
+       |      FROM events WHERE value IS NOT NULL) t
+       |WHERE rn <= $k ORDER BY event_type, rank""".stripMargin
 }

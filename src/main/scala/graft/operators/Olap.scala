@@ -349,4 +349,91 @@ object Olap {
       .agg(count("*").as("n"), round(sum($"value"), 2).as("total"))
       .orderBy($"c_mktsegment")
   }
+
+  /** PIVOT: per-month revenue re-shaped to one column per
+    * (returnflag, linestatus) pair — the wide-table export every
+    * BI/ClickHouse consumer asks for.
+    *
+    * The pivot values are declared EXPLICITLY: `pivot(col)` without
+    * values runs a collect-distinct job first and inlines the result
+    * into the plan — fine ad hoc, but at 100 TB that is an extra full
+    * scan (and an unbounded-width plan if the column is dirty).
+    * With declared values the whole pivot compiles to one pass of
+    * conditional aggregates — same single-shuffle shape as any
+    * groupBy, just wider rows out. */
+  def pivotSales(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val statuses = Seq("AF", "AO", "NF", "NO", "RF", "RO")
+    Tables.lineitem(spark, dir)
+      .withColumn("mon", date_format($"l_shipdate", "yyyy-MM"))
+      .withColumn("fs", concat($"l_returnflag", $"l_linestatus"))
+      .withColumn("cents", round($"l_extendedprice" * (lit(1) - $"l_discount") * 100).cast("long"))
+      .groupBy($"mon")
+      .pivot("fs", statuses)
+      .agg(coalesce(sum($"cents"), lit(0L)))
+      .select($"mon" +: statuses.map(s =>
+        (col(s).cast("double") / 100.0).as(s"rev_$s")): _*)
+      .orderBy($"mon")
+  }
+
+  /** DuckDB oracle for [[pivotSales]]: the same pivot as explicit
+    * conditional aggregation (what the Spark plan compiles to). */
+  def pivotSalesOracleSql: String = {
+    val cols = Seq("AF", "AO", "NF", "NO", "RF", "RO").map { s =>
+      s"""coalesce(sum(CASE WHEN l_returnflag || l_linestatus = '$s' THEN cents END), 0) / 100.0 AS rev_$s"""
+    }.mkString(",\n       |       ")
+    s"""SELECT strftime(l_shipdate, '%Y-%m') AS mon,
+       |       $cols
+       |FROM (SELECT *, CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT) AS cents
+       |      FROM lineitem)
+       |GROUP BY mon ORDER BY mon""".stripMargin
+  }
+
+  /** Bloom-pruned fact×dim join — the runtime-filter technique for a
+    * selective dim that is TOO BIG TO BROADCAST at scale: aggregate
+    * the filtered dim's join keys into a bloom sketch (a few MB even
+    * for 10⁸ keys, vs GBs for a broadcast hash table), broadcast the
+    * sketch as a literal, and filter the fact MAP-SIDE before its
+    * shuffle. With a selective dim predicate the fact-side shuffle
+    * shrinks by roughly the dim's selectivity — at 100 TB that is the
+    * difference between shuffling 100 TB and shuffling 15 TB. False
+    * positives only cost wasted shuffle rows; the join itself removes
+    * them, so the RESULT is exactly the plain join (the oracle is the
+    * plain join SQL).
+    *
+    * Uses Spark's own BloomFilterAggregate / BloomFilterMightContain
+    * expressions (what InjectRuntimeFilter plans when it fires) keyed
+    * on xxhash64, surfaced as graft functions — here applied
+    * EXPLICITLY so the pruning is guaranteed, not heuristic. The one
+    * driver round-trip (collecting the few-MB sketch) replaces a
+    * broadcast exchange of the whole dim. */
+  def bloomFilteredJoin(spark: SparkSession, dir: String,
+                        cutoff: String = "1997-01-01",
+                        estKeys: Long = 1000000L): DataFrame = {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    val o = Tables.orders(spark, dir)
+      .filter($"o_orderdate" >= lit(cutoff).cast("timestamp"))
+      .select($"o_orderkey", $"o_orderstatus")
+    val sketch = o.agg(
+      call_function("graft_bloom_agg", xxhash64($"o_orderkey"), lit(estKeys)).as("bf"))
+      .collect()(0).getAs[Array[Byte]](0)
+    val l = Tables.lineitem(spark, dir)
+      .select($"l_orderkey", $"l_extendedprice", $"l_discount")
+      .filter(call_function("graft_bloom_might_contain", lit(sketch), xxhash64($"l_orderkey")))
+    l.join(o, $"l_orderkey" === $"o_orderkey")
+      .groupBy($"o_orderstatus")
+      .agg(count(lit(1)).as("n_items"),
+        round(sum($"l_extendedprice" * (lit(1) - $"l_discount")), 2).as("revenue"))
+      .orderBy($"o_orderstatus")
+  }
+
+  /** DuckDB oracle for [[bloomFilteredJoin]] — the PLAIN join: bloom
+    * pruning is result-invisible by construction. */
+  def bloomFilteredJoinOracleSql(cutoff: String = "1997-01-01"): String =
+    s"""SELECT o_orderstatus, count(*) AS n_items,
+       |       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+       |FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+       |WHERE o_orderdate >= TIMESTAMP '$cutoff 00:00:00'
+       |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
 }

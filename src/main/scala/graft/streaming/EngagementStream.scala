@@ -37,6 +37,17 @@ object EngagementStream {
       OutputMode.Complete())
       .orderBy(col("w_start"), col("event_type"))
 
+  /** SURVEY §2 #9a: TUMBLE-window aggregation through the real
+    * streaming engine — same shared transform as the batch twin, so
+    * parity is by construction; Complete mode emits every window
+    * against the batch oracle. */
+  def streamTumbleAgg(spark: SparkSession, dir: String): DataFrame =
+    StreamSources.runToMemory(
+      Engagement.tumbleAggTransform(
+        StreamSources.events(spark, dir).withWatermark("ts", "1 hour")),
+      OutputMode.Complete())
+      .orderBy(col("w_start"), col("event_type"))
+
   /** SURVEY §2 #10: dimension enrichment as a stream-static broadcast
     * join (the Spark analog of the reference's
     * `FOR SYSTEM_TIME AS OF` lookup join, process.py:163-183) —

@@ -353,6 +353,58 @@ class BatchOperatorsSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAl
     }
   }
 
+  test("topk_per_group equals the window formulation and plans partial aggregation") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    val df = SparkEntry.queries("topk_per_group")(spark, sf)
+    // bounded-heap agg must run as ObjectHashAggregate with a partial
+    // (map-side) pass — that is the whole scale argument
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("ObjectHashAggregate"), s"expected ObjectHashAggregate in:\n$plan")
+    assert(plan.contains("partial_graft_topk"), s"expected partial graft_topk in:\n$plan")
+
+    val got = df.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("value").desc, col("event_id").asc)
+    val want = graft.sources.Tables.events(spark, sf)
+      .filter(col("value").isNotNull)
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 5)
+      .select(col("event_type"), col("rank"), col("event_id"), round(col("value"), 2).as("value"))
+      .orderBy(col("event_type"), col("rank"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got.toSeq == want.toSeq)
+  }
+
+  test("graft_topk merge respects the bound and the ordering") {
+    val a = new graft.functions.TopKBuffer(3)
+    Seq((1.0, 10L), (5.0, 2L), (5.0, 1L), (2.0, 7L)).foreach { case (s, i) => a.insert(s, i) }
+    val b = new graft.functions.TopKBuffer(3)
+    Seq((9.0, 4L), (2.0, 3L)).foreach { case (s, i) => b.insert(s, i) }
+    a.mergeFrom(b)
+    // best-first: 9.0 wins, then the two 5.0s tie-broken by id asc
+    assert(a.sortedBestFirst.toSeq == Seq((9.0, 4L), (5.0, 1L), (5.0, 2L)))
+  }
+
+  test("bloom_filtered_join equals the plain join and prunes the fact scan") {
+    import org.apache.spark.sql.functions._
+    val df = SparkEntry.queries("bloom_filtered_join")(spark, sf)
+    // the bloom predicate must sit in the plan (pruning is explicit,
+    // not left to the optimizer's heuristic injection)
+    assert(df.queryExecution.executedPlan.toString.contains("might_contain"),
+      "bloom predicate missing from the physical plan")
+    val got = df.collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+
+    val o = graft.sources.Tables.orders(spark, sf)
+      .filter(col("o_orderdate") >= lit("1997-01-01").cast("timestamp"))
+    val plain = graft.sources.Tables.lineitem(spark, sf)
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_items"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == plain, s"bloom join diverged: got=$got plain=$plain")
+  }
+
   test("salted join matches plain join") {
     val salted = SparkEntry.queries("skew_salted_join")(spark, sf).collect()
     val e = graft.sources.Tables.events(spark, sf)
