@@ -83,6 +83,7 @@ object SparkEntry {
     "dedup_clusters_star" -> ((s: SparkSession, d: String) => Dedup.dedupClustersStar(s, d)),
     "dedup_simhash"      -> ((s: SparkSession, d: String) => Dedup.simHashPairs(s, d)),
     "embedding_neardup"  -> ((s: SparkSession, d: String) => VectorOps.embeddingNearDup(s, d)),
+    "dedup_semantic"     -> ((s: SparkSession, d: String) => VectorOps.dedupSemantic(s, d)),
     "ann_topk"           -> ((s: SparkSession, d: String) => VectorOps.annTopK(s, d)),
     "ann_lsh_topk"       -> ((s: SparkSession, d: String) => VectorOps.annLshTopK(s, d)),
     "ann_ivf_topk"       -> ((s: SparkSession, d: String) => VectorOps.annIvfTopK(s, d)),

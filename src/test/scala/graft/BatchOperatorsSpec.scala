@@ -353,6 +353,30 @@ class BatchOperatorsSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAl
     }
   }
 
+  test("dedup_semantic is sound within cells and recalls most exact pairs") {
+    import org.apache.spark.sql.functions._
+    val t = 0.35
+    val sem = graft.operators.VectorOps.dedupSemantic(spark, sf, t).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    // keep-consistency: dup_of == self iff kept; dup_of always lower id otherwise
+    sem.foreach { case (id, _, dupOf, kept) =>
+      assert(kept == (dupOf == id))
+      if (!kept) assert(dupOf < id)
+    }
+    val exact = graft.operators.VectorOps.embeddingNearDup(spark, sf, t).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // soundness: every emitted (dup_of, id) pair is a true >=t pair
+    sem.filter(!_._4).foreach { case (id, _, dupOf, _) =>
+      assert(exact.contains((dupOf, id)), s"semantic pair ($dupOf,$id) not >= $t exactly")
+    }
+    // recall on the decision that matters: which vectors are flagged
+    // as duplicates (exact dup = has ANY lower-id >=t neighbor)
+    val exactDups = exact.map(_._2)
+    val flagged = sem.filter(!_._4).map(_._1).toSet
+    val recall = (flagged & exactDups).size.toDouble / math.max(exactDups.size, 1)
+    assert(recall >= 0.5, s"semantic dedup recall $recall below 0.5 (${exactDups.size} exact dups)")
+  }
+
   test("topk_per_group equals the window formulation and plans partial aggregation") {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.expressions.Window
