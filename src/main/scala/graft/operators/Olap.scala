@@ -405,11 +405,17 @@ object Olap {
     * expressions (what InjectRuntimeFilter plans when it fires) keyed
     * on xxhash64, surfaced as graft functions — here applied
     * EXPLICITLY so the pruning is guaranteed, not heuristic. The one
-    * driver round-trip (collecting the few-MB sketch) replaces a
-    * broadcast exchange of the whole dim. */
+    * driver round-trip (collecting the sketch) replaces a broadcast
+    * exchange of the whole dim. The sketch enters the plan as a
+    * LITERAL, i.e. it rides in every task binary for the probe
+    * stage — size `estKeys` to the filtered dim (default 100k ≈ 90 KB
+    * at 3% fpp); Spark caps its own runtime blooms at 8 MB for the
+    * same reason, and an oversized estimate only wastes bytes while
+    * an undersized one only raises fpp (extra shuffled rows, never
+    * wrong results). */
   def bloomFilteredJoin(spark: SparkSession, dir: String,
                         cutoff: String = "1997-01-01",
-                        estKeys: Long = 1000000L): DataFrame = {
+                        estKeys: Long = 100000L): DataFrame = {
     import spark.implicits._
     graft.functions.GraftFunctions.register(spark)
     val o = Tables.orders(spark, dir)
