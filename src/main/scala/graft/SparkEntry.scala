@@ -32,6 +32,7 @@ object SparkEntry {
     // checked against the same DuckDB oracles as their batch twins
     "stream_hop_agg"     -> EngagementStream.streamHopAgg _,
     "stream_tumble_agg"  -> EngagementStream.streamTumbleAgg _,
+    "stream_topk_per_group" -> ((s: SparkSession, d: String) => EngagementStream.streamTopkPerGroup(s, d)),
     "stream_enrich"      -> EngagementStream.streamEnrich _,
     "stream_cdc_compact" -> ((s: SparkSession, d: String) => CdcCompact.streamCdcCompact(s, d)),
     "stream_cdc_with_deletes" -> ((s: SparkSession, d: String) => CdcCompact.streamCdcWithDeletes(s, d)),
@@ -50,6 +51,7 @@ object SparkEntry {
     "running_total"         -> Olap.runningTotal _,
     "distinct_daily"        -> Olap.distinctDaily _,
     "approx_distinct_daily" -> Olap.approxDistinctDaily _,
+    "approx_top_items"      -> ((s: SparkSession, d: String) => Olap.approxTopItems(s, d)),
     "rollup_sales"          -> Olap.rollupSales _,
     "pivot_sales"           -> Olap.pivotSales _,
     "cube_sales"            -> Olap.cubeSales _,
@@ -108,6 +110,7 @@ object SparkEntry {
       "stream_funnel" -> base("funnel_conversion"),
       "stream_hop_agg"     -> base("hop_window_agg"),
       "stream_tumble_agg"  -> base("tumble_window_agg"),
+      "stream_topk_per_group" -> base("topk_per_group"),
       "stream_enrich"      -> base("enrich_events"),
       "stream_cdc_compact" -> base("cdc_latest_by_key"),
       "stream_session_agg" -> base("session_window_agg"),

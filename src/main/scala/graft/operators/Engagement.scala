@@ -368,17 +368,23 @@ object Engagement {
     * O(groups · k · tasks) bounded buffers and nothing is ever fully
     * sorted. Same shape the leaderboard's Redis ZSET analog needs at
     * 100 TB. */
-  def topkPerGroup(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
-    import spark.implicits._
-    graft.functions.GraftFunctions.register(spark)
-    Tables.events(spark, dir)
-      .groupBy($"event_type")
-      .agg(call_function("graft_topk", $"value", $"event_id", lit(k)).as("top"))
-      .select($"event_type", posexplode($"top"))
-      .select($"event_type", ($"pos" + 1).cast("long").as("rank"),
-        $"col.id".as("event_id"), round($"col.score", 2).as("value"))
-      .orderBy($"event_type", $"rank")
+  /** Streaming-unified top-k transform + the rank-exploding
+    * projection of its result (applied post-sink for the streaming
+    * twin, where the memory table holds the aggregated arrays). */
+  def topkAggTransform(events: DataFrame, k: Int): DataFrame = {
+    graft.functions.GraftFunctions.register(events.sparkSession)
+    events.groupBy(col("event_type"))
+      .agg(call_function("graft_topk", col("value"), col("event_id"), lit(k)).as("top"))
   }
+
+  def topkExplode(agged: DataFrame): DataFrame =
+    agged.select(col("event_type"), posexplode(col("top")))
+      .select(col("event_type"), (col("pos") + 1).cast("long").as("rank"),
+        col("col.id").as("event_id"), round(col("col.score"), 2).as("value"))
+      .orderBy(col("event_type"), col("rank"))
+
+  def topkPerGroup(spark: SparkSession, dir: String, k: Int = 5): DataFrame =
+    topkExplode(topkAggTransform(Tables.events(spark, dir), k))
 
   /** DuckDB oracle for [[topkPerGroup]] — the window formulation the
     * aggregate replaces. */

@@ -350,6 +350,34 @@ object Olap {
       .orderBy($"c_mktsegment")
   }
 
+  /** Heavy hitters: the k most frequent user_ids via Spark's
+    * `approx_top_k` (DataSketches frequent-items) — the third
+    * mergeable sketch next to HLL count-distinct (#16) and GK
+    * quantiles (#19a), and the 100 TB path for "top talkers" over a
+    * skewed key: constant-size sketch state per partition, one
+    * tiny merge, no full groupBy-count over every key.
+    *
+    * With `maxTracked` ≥ the true distinct count the sketch's counts
+    * are EXACT (the spec pins that per item); what stays approximate
+    * is only which of the tied boundary items are reported, hence
+    * rows-only. Output is re-sorted (freq desc, user_id) so the
+    * result is deterministic for the driver's hash. */
+  def approxTopItems(spark: SparkSession, dir: String, k: Int = 10,
+                     maxTracked: Int = 10000): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, dir)
+      .agg(expr(s"approx_top_k(user_id, $k, $maxTracked)").as("top"))
+      // rank without a WindowExec (the rankTopN pattern): sort the
+      // ≤k-entry array in place, positions become ranks
+      .select(sort_array(expr(
+        "transform(top, t -> struct(-t.count AS neg, t.item AS user_id, t.count AS freq))"))
+        .as("arr"))
+      .select(posexplode($"arr").as(Seq("pos", "r")))
+      .select(($"pos" + 1).cast("long").as("rank"),
+        $"r.user_id".as("user_id"), $"r.freq".as("freq"))
+      .orderBy($"rank")
+  }
+
   /** PIVOT: per-month revenue re-shaped to one column per
     * (returnflag, linestatus) pair — the wide-table export every
     * BI/ClickHouse consumer asks for.

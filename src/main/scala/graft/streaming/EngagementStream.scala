@@ -48,6 +48,20 @@ object EngagementStream {
       OutputMode.Complete())
       .orderBy(col("w_start"), col("event_type"))
 
+  /** SURVEY §2 #6b: the bounded-heap top-k aggregate
+    * ([[graft.functions.BoundedTopK]]) driven through the streaming
+    * engine — the custom TypedImperativeAggregate's buffers
+    * serialize through the state store across micro-batches exactly
+    * like the built-in sketches, proving the operator is
+    * streaming-safe, not batch-only. Complete mode re-emits the
+    * final leaderboard; ranks are derived post-sink. */
+  def streamTopkPerGroup(spark: SparkSession, dir: String, k: Int = 5): DataFrame =
+    Engagement.topkExplode(
+      StreamSources.runToMemory(
+        Engagement.topkAggTransform(
+          StreamSources.events(spark, dir).withWatermark("ts", "1 hour"), k),
+        OutputMode.Complete()))
+
   /** SURVEY §2 #10: dimension enrichment as a stream-static broadcast
     * join (the Spark analog of the reference's
     * `FOR SYSTEM_TIME AS OF` lookup join, process.py:163-183) —

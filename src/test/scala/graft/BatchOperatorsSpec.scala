@@ -353,6 +353,25 @@ class BatchOperatorsSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAl
     }
   }
 
+  test("approx_top_items counts are exact and match the true top-k multiset") {
+    import org.apache.spark.sql.functions._
+    val got = graft.operators.Olap.approxTopItems(spark, sf, 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.map(_._1).toSeq == (1L to got.length))
+    val exact = graft.sources.Tables.events(spark, sf)
+      .groupBy(col("user_id")).agg(count(lit(1)).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // maxTracked >= distinct users -> every reported count is exact
+    got.foreach { case (_, uid, freq) =>
+      assert(exact(uid) == freq, s"user $uid: sketch=$freq exact=${exact(uid)}")
+    }
+    // the reported count multiset == the true top-k count multiset
+    // (ties at the boundary may swap WHICH item is reported, never
+    // the counts)
+    val wantCounts = exact.values.toSeq.sorted.reverse.take(got.length)
+    assert(got.map(_._3).toSeq.sorted.reverse == wantCounts)
+  }
+
   test("dedup_semantic is sound within cells and recalls most exact pairs") {
     import org.apache.spark.sql.functions._
     val t = 0.35
