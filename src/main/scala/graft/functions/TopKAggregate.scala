@@ -34,8 +34,15 @@ final class TopKBuffer(val k: Int) {
 
   def mergeFrom(o: TopKBuffer): Unit = o.heap.foreach { case (s, id) => insert(s, id) }
 
-  /** Entries best-first: (score desc, id asc). */
-  def sortedBestFirst: Array[(Double, Long)] = heap.dequeueAll.reverse.toArray
+  /** Entries best-first: (score desc, id asc). Non-destructive: the
+    * buffer survives the call, because Spark's AggregateProcessor
+    * calls eval() repeatedly on the same live buffer in window frames
+    * (graft_topk is SQL-registered, so users CAN put it in a window),
+    * and eval()+serialize() may both run on one buffer. */
+  def sortedBestFirst: Array[(Double, Long)] =
+    heap.toArray.sortWith { (a, b) =>
+      if (a._1 != b._1) a._1 > b._1 else a._2 < b._2
+    }
 }
 
 /** `graft_topk(score, id, k)` → `array<struct<score, id>>`, the k

@@ -389,6 +389,18 @@ object Dedup {
     * count + an order-insensitive checksum, one tiny aggregate).
     * Output shape identical to [[dedupClusters]]; equality
     * spec-asserted on the LSH pair graph. */
+  /** Per-round lineage truncation for iterative algorithms. With a
+    * checkpoint dir configured (`spark.sparkContext.setCheckpointDir`
+    * — the cluster deployment) the round is written reliably, so an
+    * executor loss mid-iteration recomputes nothing; otherwise falls
+    * back to executor-local localCheckpoint (this sandbox / dev),
+    * whose blocks die with their executor but whose dead rounds the
+    * ContextCleaner reclaims for free. `eager` in both paths, so each
+    * round materializes before the next plans on top of it. */
+  private def truncateLineage(df: DataFrame): DataFrame =
+    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint()
+    else df.localCheckpoint()
+
   def dedupClustersStar(spark: SparkSession, dir: String, threshold: Double = 0.5,
                         maxIters: Int = 30): DataFrame = {
     import spark.implicits._
@@ -438,22 +450,21 @@ object Dedup {
     }
 
     val labels = try {
-      // localCheckpoint, not persist: persist caches the DATA but the
-      // LOGICAL PLAN still nests every prior round, so Catalyst
+      // Lineage truncation, not persist: persist caches the DATA but
+      // the LOGICAL PLAN still nests every prior round, so Catalyst
       // re-analyzes an exponentially growing tree each iteration
       // (measured 13.4 s vs ~2 s at sf0.001 — the classic iterative-
       // algorithm trap; GraphX checkpoints for the same reason).
-      // localCheckpoint truncates lineage at executor-local blocks;
-      // dead rounds' blocks are reclaimed by the ContextCleaner. On a
-      // real cluster a reliable checkpoint dir (or an explicit
-      // parquet round-trip every K rounds) buys executor-loss safety.
-      var edges = sym(pairs.select($"doc_a".as("u"), $"doc_b".as("v")))
-        .localCheckpoint()
+      // truncateLineage picks reliable checkpoint() when the caller
+      // set a checkpoint dir (executor-loss safety on a cluster) and
+      // executor-local localCheckpoint otherwise.
+      var edges = truncateLineage(
+        sym(pairs.select($"doc_a".as("u"), $"doc_b".as("v"))))
       var sig = checksum(edges)
       var converged = false
       var iter = 0
       while (!converged && iter < maxIters) {
-        val next = smallStar(largeStar(edges)).localCheckpoint()
+        val next = truncateLineage(smallStar(largeStar(edges)))
         val nextSig = checksum(next)
         edges = next
         converged = nextSig == sig

@@ -101,9 +101,9 @@ object Engagement {
     * Scale: window() is a generator (size/slide rows per event, here
     * 2x) followed by a hash aggregate with map-side partial agg — no
     * per-window state materialization.
-    */
-  /** Streaming-unified HOP transform: identical expression tree for
-    * the batch query and the readStream variant. */
+    *
+    * Streaming-unified: identical expression tree for the batch query
+    * ([[hopWindowAgg]]) and the readStream variant. */
   def hopAggTransform(events: DataFrame): DataFrame =
     events
       .groupBy(window(col("ts"), "10 minutes", "5 minutes"), col("event_type"))
@@ -123,9 +123,10 @@ object Engagement {
     * noise flipped `round(avg, 4)` at boundary values — 3 windows at
     * sf0.1 disagreed with the oracle), and the final averages are a
     * single IEEE division of exact integers — bit-identical in any
-    * engine. */
-  /** Streaming-unified TUMBLE transform: identical expression tree
-    * for the batch query and the readStream variant (the
+    * engine.
+    *
+    * Streaming-unified: identical expression tree for the batch query
+    * ([[tumbleWindowAgg]]) and the readStream variant (the
     * [[hopAggTransform]] pattern). */
   def tumbleAggTransform(events: DataFrame): DataFrame =
     events
@@ -367,10 +368,12 @@ object Engagement {
     * entries per group before the shuffle, so the shuffle carries
     * O(groups · k · tasks) bounded buffers and nothing is ever fully
     * sorted. Same shape the leaderboard's Redis ZSET analog needs at
-    * 100 TB. */
-  /** Streaming-unified top-k transform + the rank-exploding
-    * projection of its result (applied post-sink for the streaming
-    * twin, where the memory table holds the aggregated arrays). */
+    * 100 TB.
+    *
+    * Streaming-unified: [[topkPerGroup]] = this transform +
+    * [[topkExplode]]'s rank-exploding projection (applied post-sink
+    * for the streaming twin, where the memory table holds the
+    * aggregated arrays). */
   def topkAggTransform(events: DataFrame, k: Int): DataFrame = {
     graft.functions.GraftFunctions.register(events.sparkSession)
     events.groupBy(col("event_type"))

@@ -360,21 +360,34 @@ object Olap {
     * With `maxTracked` ≥ the true distinct count the sketch's counts
     * are EXACT (the spec pins that per item); what stays approximate
     * is only which of the tied boundary items are reported, hence
-    * rows-only. Output is re-sorted (freq desc, user_id) so the
-    * result is deterministic for the driver's hash. */
+    * rows-only. The `counts_exact` output column reports whether that
+    * guarantee held (HLL distinct estimate ≤ maxTracked, computed in
+    * the same pass) so large-scale callers can SEE when the sketch
+    * has degraded to approximate counts. Output is re-sorted
+    * (freq desc, user_id) so the result is deterministic for the
+    * driver's hash. */
   def approxTopItems(spark: SparkSession, dir: String, k: Int = 10,
                      maxTracked: Int = 10000): DataFrame = {
     import spark.implicits._
     Tables.events(spark, dir)
-      .agg(expr(s"approx_top_k(user_id, $k, $maxTracked)").as("top"))
+      // an HLL distinct estimate rides the SAME aggregate pass (merged
+      // into the one scan) so the output can SAY whether the exactness
+      // guarantee held: approx_top_k counts are exact only while
+      // distinct items ≤ maxTracked — beyond that the sketch silently
+      // degrades to approximate counts under exact-looking ranks.
+      .agg(expr(s"approx_top_k(user_id, $k, $maxTracked)").as("top"),
+        approx_count_distinct($"user_id").as("est_distinct"))
       // rank without a WindowExec (the rankTopN pattern): sort the
       // ≤k-entry array in place, positions become ranks
       .select(sort_array(expr(
         "transform(top, t -> struct(-t.count AS neg, t.item AS user_id, t.count AS freq))"))
-        .as("arr"))
-      .select(posexplode($"arr").as(Seq("pos", "r")))
+        .as("arr"), $"est_distinct")
+      .select(posexplode($"arr").as(Seq("pos", "r")), $"est_distinct")
       .select(($"pos" + 1).cast("long").as("rank"),
-        $"r.user_id".as("user_id"), $"r.freq".as("freq"))
+        $"r.user_id".as("user_id"), $"r.freq".as("freq"),
+        // HLL's ~2% relative error can't mask a real overflow for
+        // long: warn-worthy overflows are 'distinct >> maxTracked'
+        ($"est_distinct" <= lit(maxTracked.toLong)).as("counts_exact"))
       .orderBy($"rank")
   }
 

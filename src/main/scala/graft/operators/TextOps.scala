@@ -27,21 +27,6 @@ object TextOps {
       .orderBy($"content_hash")
   }
 
-  /** Exact word-set Jaccard similarity pairs, blocked by source.
-    * The blocking key turns the O(n²) cross join into per-block
-    * joins — the exactness oracle against which the MinHash-LSH
-    * path (Dedup.minHashLsh) is measured. */
-  /** Exact set-similarity join via prefix filtering (AllPairs /
-    * PPJoin family — Bayardo et al. 2007): identical output to the
-    * naive blocked cross join, but candidates come from an inverted
-    * index over each document's PREFIX — its `|A| - ceil(t·|A|) + 1`
-    * rarest tokens under a global frequency order. Two documents
-    * with J ≥ t must share a prefix token (pigeonhole), so the
-    * quadratic block join shrinks to short rare-token posting-list
-    * joins; survivors are verified with the allocation-free sorted
-    * merge walk. This IS the production-exact path at scale — the
-    * shuffles carry (doc_id, token) postings and id pairs, never
-    * full documents. */
   /** The two self-join-feeding tables (word sets + prefix index),
     * memoized per (session, dir, threshold) and freed via
     * [[graft.GraftCaches.clearAll]]. */
@@ -89,6 +74,21 @@ object TextOps {
       (d, prefixes)
     }
 
+  /** Exact word-set Jaccard similarity pairs, blocked by source —
+    * the exactness oracle against which the MinHash-LSH path
+    * (Dedup.minHashLsh) is measured.
+    *
+    * Exact set-similarity join via prefix filtering (AllPairs /
+    * PPJoin family — Bayardo et al. 2007): identical output to the
+    * naive blocked cross join, but candidates come from an inverted
+    * index over each document's PREFIX — its `|A| - ceil(t·|A|) + 1`
+    * rarest tokens under a global frequency order. Two documents
+    * with J ≥ t must share a prefix token (pigeonhole), so the
+    * quadratic block join shrinks to short rare-token posting-list
+    * joins; survivors are verified with the allocation-free sorted
+    * merge walk. This IS the production-exact path at scale — the
+    * shuffles carry (doc_id, token) postings and id pairs, never
+    * full documents. */
   def wordJaccardPairs(spark: SparkSession, dir: String, threshold: Double = 0.75): DataFrame = {
     import spark.implicits._
     graft.functions.GraftFunctions.register(spark)
@@ -349,10 +349,6 @@ object TextOps {
       |              + ascii(right(string_split(text, ' ')[i], 1))))), 0) % 1000000007 AS BIGINT) AS fp
       |FROM documents ORDER BY doc_id""".stripMargin
 
-  /** Multimodal column plumbing: an opaque binary payload plus typed
-    * metadata derived deterministically from the bytes. The decode
-    * stub itself (Multimodal.decodeStub) is a mapPartitions op; this
-    * is the oracle-checkable schema/metadata path. */
   /** Repetition metrics (the Gopher/C4 quality-filter family,
     * Rae et al. 2021 §A1.1): fraction of the doc covered by its most
     * frequent word and bigram, and the duplicate-trigram fraction —
@@ -368,49 +364,65 @@ object TextOps {
     * shuffle at all. Fractions are truncated 4-decimal integer
     * ratios (`·10000 div n`, [[textQuality]]'s exact-arithmetic
     * pattern) so any engine reproduces them bit-identically. */
-  def textRepetition(spark: SparkSession, dir: String): DataFrame = {
+  def textRepetition(spark: SparkSession, dir: String): DataFrame =
+    textRepetitionTransform(spark, Tables.documents(spark, dir))
+
+  /** [[textRepetition]] as a transform on any (doc_id, text) frame —
+    * lets the degenerate-input spec feed 1- and 2-word docs. Slice
+    * lengths are clamped at 0 and the bigram/trigram ratios guarded
+    * (null for too-short docs): a quality filter for degenerate text
+    * must survive degenerate input — a 1-word doc used to make
+    * `slice(..., size-2)` throw on its negative length, and a 2-word
+    * doc divided by n_trigrams = 0 (ANSI DIVIDE_BY_ZERO). */
+  def textRepetitionTransform(spark: SparkSession, documents: DataFrame): DataFrame = {
     import spark.implicits._
-    val docs = Tables.documents(spark, dir)
-      .select($"doc_id", split($"text", " ").as("words"))
+    val docs = documents.select($"doc_id", split($"text", " ").as("words"))
 
     def grams2(ws: org.apache.spark.sql.Column) =
-      zip_with(slice(ws, lit(1), size(ws) - 1), slice(ws, lit(2), size(ws) - 1),
+      zip_with(slice(ws, lit(1), greatest(size(ws) - 1, lit(0))),
+        slice(ws, lit(2), greatest(size(ws) - 1, lit(0))),
         (a, b) => concat_ws(" ", a, b))
 
     val uni = docs.select($"doc_id", explode($"words").as("w"))
       .groupBy($"doc_id", $"w").agg(count(lit(1)).as("c"))
       .groupBy($"doc_id").agg(max($"c").as("uni_max"), sum($"c").as("n_words"))
+    // a 1-word doc has no bigram rows at all → LEFT join below keeps it
     val bi = docs.select($"doc_id", explode(grams2($"words")).as("bg"))
       .groupBy($"doc_id", $"bg").agg(count(lit(1)).as("c"))
       .groupBy($"doc_id").agg(max($"c").as("bi_max"), sum($"c").as("n_bigrams"))
     val tri = docs.select($"doc_id",
-      (size($"words") - 2).cast("long").as("n_trigrams"),
+      greatest(size($"words") - 2, lit(0)).cast("long").as("n_trigrams"),
       // zip_with pads the shorter side with nulls, so trim the
       // (n-1)-long bigram array to n-2 before zipping the 3rd words
       size(array_distinct(zip_with(
-        slice(grams2($"words"), lit(1), size($"words") - 2),
-        slice($"words", lit(3), size($"words") - 2),
+        slice(grams2($"words"), lit(1), greatest(size($"words") - 2, lit(0))),
+        slice($"words", lit(3), greatest(size($"words") - 2, lit(0))),
         (ab, c) => concat_ws(" ", ab, c)))).cast("long").as("tri_distinct"))
 
-    uni.join(bi, Seq("doc_id")).join(tri, Seq("doc_id"))
+    uni.join(bi, Seq("doc_id"), "left").join(tri, Seq("doc_id"))
       .select($"doc_id", $"n_words",
         (expr("uni_max * 10000 div n_words").cast("double") / 10000.0).as("top_word_frac"),
-        (expr("bi_max * 10000 div n_bigrams").cast("double") / 10000.0).as("top_bigram_frac"),
-        (expr("(n_trigrams - tri_distinct) * 10000 div n_trigrams").cast("double") / 10000.0)
+        when($"n_bigrams" > 0,
+          expr("bi_max * 10000 div n_bigrams").cast("double") / 10000.0).as("top_bigram_frac"),
+        when($"n_trigrams" > 0,
+          expr("(n_trigrams - tri_distinct) * 10000 div n_trigrams").cast("double") / 10000.0)
           .as("dup_trigram_frac"))
       .orderBy($"doc_id")
   }
 
   /** DuckDB oracle for [[textRepetition]]: same grams built by
-    * zipping shifted list slices, same truncated integer ratios. */
+    * zipping shifted list slices, same truncated integer ratios,
+    * same short-doc guards (greatest-clamped slice ends — a negative
+    * end would mean from-the-end in DuckDB, not empty — LEFT join
+    * for bigram-less docs, CASE-guarded divisions). */
   def textRepetitionOracleSql: String =
     """WITH d AS (
       |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
       |), g AS (
       |  SELECT doc_id, ws,
-      |         list_transform(list_zip(ws[1:len(ws)-1], ws[2:len(ws)]),
+      |         list_transform(list_zip(ws[1:greatest(len(ws)-1,0)], ws[2:len(ws)]),
       |                        x -> x[1] || ' ' || x[2]) AS bgs,
-      |         list_transform(list_zip(ws[1:len(ws)-2], ws[2:len(ws)-1], ws[3:len(ws)]),
+      |         list_transform(list_zip(ws[1:greatest(len(ws)-2,0)], ws[2:greatest(len(ws)-1,0)], ws[3:len(ws)]),
       |                        x -> x[1] || ' ' || x[2] || ' ' || x[3]) AS tgs
       |  FROM d
       |), uni AS (
@@ -425,11 +437,15 @@ object TextOps {
       |)
       |SELECT uni.doc_id AS doc_id, n_words,
       |       (uni_max * 10000 // n_words) / 10000.0 AS top_word_frac,
-      |       (bi_max * 10000 // n_bigrams) / 10000.0 AS top_bigram_frac,
-      |       ((n_trigrams - tri_distinct) * 10000 // n_trigrams) / 10000.0 AS dup_trigram_frac
-      |FROM uni JOIN bi USING (doc_id) JOIN tri USING (doc_id)
+      |       CASE WHEN n_bigrams > 0 THEN (bi_max * 10000 // n_bigrams) / 10000.0 END AS top_bigram_frac,
+      |       CASE WHEN n_trigrams > 0 THEN ((n_trigrams - tri_distinct) * 10000 // n_trigrams) / 10000.0 END AS dup_trigram_frac
+      |FROM uni LEFT JOIN bi USING (doc_id) JOIN tri USING (doc_id)
       |ORDER BY doc_id""".stripMargin
 
+  /** Multimodal column plumbing: an opaque binary payload plus typed
+    * metadata derived deterministically from the bytes. The decode
+    * stub itself (Multimodal.decodeStub) is a mapPartitions op; this
+    * is the oracle-checkable schema/metadata path. */
   def multimodalMeta(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     Tables.documents(spark, dir)

@@ -50,10 +50,25 @@ object VectorOps {
                         seed: Long = 7L, sampleN: Int = 10000, iters: Int = 5): Array[Float] =
     centroidCache.getOrElseUpdate((spark, dir, nCells, seed)) {
       import spark.implicits._
-      val rows = Tables.embeddings(spark, dir)
-        .select($"vec_id", $"embedding").orderBy($"vec_id").limit(sampleN)
+      val emb = Tables.embeddings(spark, dir)
+      // Deterministic MAP-SIDE sample (the Sampling.splitHash
+      // pattern): membership = hash(vec_id) under a threshold sized
+      // to ~1.1·sampleN of the corpus, then a driver-side cap in
+      // hash order. The previous `orderBy(vec_id).limit(sampleN)`
+      // sat exactly at topKSortFallbackThreshold (10000), so Spark
+      // planned a FULL global sort of the embeddings table just to
+      // pick a training sample; the threshold filter touches each
+      // row once with no shuffle, and membership stays stable under
+      // corpus growth and partition layout.
+      val total = math.max(emb.select($"vec_id").count(), 1L)
+      val frac = math.min(1.0, sampleN.toDouble * 1.1 / total)
+      val rows = emb
+        .select($"vec_id", $"embedding",
+          Sampling.splitHash($"vec_id", "ivf-train").as("h"))
+        .filter($"h" < math.ceil(frac * 4294967296.0).toLong)
         .collect()
-      val sample: Array[Array[Float]] = rows.map { r =>
+      val sample: Array[Array[Float]] = rows
+        .sortBy(r => (r.getLong(2), r.getLong(0))).take(sampleN).map { r =>
         val v = r.getSeq[Float](1).toArray
         val n = math.sqrt(v.foldLeft(0.0)((s, x) => s + x.toDouble * x)).toFloat
         if (n > 0f) v.map(_ / n) else v

@@ -40,14 +40,7 @@ final class CdcCompact(stateDir: String, extraCols: Seq[String] = Nil) {
   /** Recovered on construction so a restarted job (new instance, same
     * state dir + checkpoint) continues from the last committed
     * version instead of silently dropping prior state. */
-  @volatile private var version: Long = {
-    val d = new java.io.File(stateDir)
-    if (!d.exists()) -1L
-    else d.listFiles()
-      .filter(f => f.isDirectory && f.getName.matches("v\\d+"))
-      .map(_.getName.drop(1).toLong)
-      .sorted.lastOption.getOrElse(-1L)
-  }
+  @volatile private var version: Long = StreamUtil.latestVersion(stateDir)
 
   private val outCols =
     (Seq("user_id", "event_id", "ts", "event_type", "value") ++ extraCols).map(col)

@@ -115,14 +115,7 @@ object EngagementStream {
       * batch replay — a production deployment stores the batchId
       * high-water mark with the scoreboard (as done here via the
       * version suffix) and skips batches already folded in. */
-    @volatile private var version: Long = {
-      val d = new java.io.File(stateDir)
-      if (!d.exists()) -1L
-      else d.listFiles()
-        .filter(f => f.isDirectory && f.getName.matches("v\\d+"))
-        .map(_.getName.drop(1).toLong)
-        .sorted.lastOption.getOrElse(-1L)
-    }
+    @volatile private var version: Long = StreamUtil.latestVersion(stateDir)
 
     /** Skip batches at or below the recovered high-water mark (the
       * replayed-batch guard that makes `merge` effectively-once). */
@@ -215,5 +208,30 @@ private[streaming] object StreamUtil {
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.delete(p, true)
     ()
+  }
+
+  /** Hadoop conf for state-dir I/O that runs OUTSIDE a foreachBatch
+    * (version recovery at construction): the session's conf when one
+    * is live — carrying its object-store credentials/settings — else
+    * the default conf (core-site.xml). */
+  private def hadoopConf: org.apache.hadoop.conf.Configuration =
+    SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession)
+      .map(_.sparkContext.hadoopConfiguration)
+      .getOrElse(new org.apache.hadoop.conf.Configuration())
+
+  /** Latest committed state version: the highest `v<batchId>`
+    * directory under `stateDir`, or -1 when none. Listed through the
+    * Hadoop FileSystem API — the delete path above already was — so
+    * state dirs work on any supported store (HDFS, S3A, local), not
+    * just `java.io.File`'s local view. */
+  def latestVersion(stateDir: String): Long = {
+    val p = new org.apache.hadoop.fs.Path(stateDir)
+    val fs = p.getFileSystem(hadoopConf)
+    if (!fs.exists(p)) -1L
+    else fs.listStatus(p).iterator
+      .filter(_.isDirectory)
+      .map(_.getPath.getName)
+      .collect { case s if s.matches("v\\d+") => s.drop(1).toLong }
+      .foldLeft(-1L)(math.max)
   }
 }

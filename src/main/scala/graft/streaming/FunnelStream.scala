@@ -28,13 +28,7 @@ import graft.sources.Tables
   * (Kafka per-partition order + watermark-buffered reordering) gives
   * the production variant. */
 final class FunnelState(stateDir: String) {
-  @volatile private var version: Long = {
-    val d = new java.io.File(stateDir)
-    if (!d.exists()) -1L
-    else d.listFiles().map(_.getName)
-      .collect { case s if s.startsWith("v") => s.drop(1).toLong }
-      .sorted.lastOption.getOrElse(-1L)
-  }
+  @volatile private var version: Long = StreamUtil.latestVersion(stateDir)
 
   private def prior(spark: SparkSession): DataFrame =
     if (version < 0)

@@ -355,9 +355,14 @@ class BatchOperatorsSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAl
 
   test("approx_top_items counts are exact and match the true top-k multiset") {
     import org.apache.spark.sql.functions._
-    val got = graft.operators.Olap.approxTopItems(spark, sf, 10).collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val rows = graft.operators.Olap.approxTopItems(spark, sf, 10).collect()
+    val got = rows.map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     assert(got.map(_._1).toSeq == (1L to got.length))
+    // the exactness flag: distinct users here is far below maxTracked
+    rows.foreach(r => assert(r.getBoolean(3), "counts_exact should hold at this SF"))
+    // ... and it turns false when maxTracked is undersized
+    val tiny = graft.operators.Olap.approxTopItems(spark, sf, 5, maxTracked = 8).collect()
+    tiny.foreach(r => assert(!r.getBoolean(3), "counts_exact must report sketch overflow"))
     val exact = graft.sources.Tables.events(spark, sf)
       .groupBy(col("user_id")).agg(count(lit(1)).as("c"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
@@ -370,6 +375,22 @@ class BatchOperatorsSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAl
     // the counts)
     val wantCounts = exact.values.toSeq.sorted.reverse.take(got.length)
     assert(got.map(_._3).toSeq.sorted.reverse == wantCounts)
+  }
+
+  test("text_repetition survives degenerate (1- and 2-word) documents") {
+    import spark.implicits._
+    val docs = Seq((1L, "one"), (2L, "two words"), (3L, "a b a b a b"))
+      .toDF("doc_id", "text")
+    val out = graft.operators.TextOps.textRepetitionTransform(spark, docs).collect()
+    assert(out.length == 3)
+    val m = out.map(r => r.getLong(0) -> r).toMap
+    // 1-word doc: no bigrams or trigrams exist -> null fractions, no
+    // negative-length slice error, no ANSI divide-by-zero
+    assert(m(1L).getDouble(2) == 1.0 && m(1L).isNullAt(3) && m(1L).isNullAt(4))
+    // 2-word doc: one bigram, zero trigrams
+    assert(m(2L).getDouble(3) == 1.0 && m(2L).isNullAt(4))
+    // normal doc unaffected by the guards
+    assert(m(3L).getDouble(2) == 0.5 && m(3L).getDouble(3) > 0.0)
   }
 
   test("dedup_semantic is sound within cells and recalls most exact pairs") {
@@ -426,6 +447,12 @@ class BatchOperatorsSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAl
     a.mergeFrom(b)
     // best-first: 9.0 wins, then the two 5.0s tie-broken by id asc
     assert(a.sortedBestFirst.toSeq == Seq((9.0, 4L), (5.0, 1L), (5.0, 2L)))
+    // non-destructive: window frames call eval() repeatedly on one
+    // live buffer, and eval+serialize may both visit the same buffer
+    assert(a.sortedBestFirst.toSeq == Seq((9.0, 4L), (5.0, 1L), (5.0, 2L)),
+      "sortedBestFirst must not drain the heap")
+    a.insert(10.0, 99L)
+    assert(a.sortedBestFirst.head == ((10.0, 99L)))
   }
 
   test("bloom_filtered_join equals the plain join and prunes the fact scan") {
