@@ -80,6 +80,7 @@ object SparkEntry {
     "multimodal_meta"    -> TextOps.multimodalMeta _,
     "multimodal_decode"  -> Multimodal.decode _,
     "multimodal_pipeline" -> Multimodal.pipeline _,
+    "dedup_substring"    -> ((s: SparkSession, d: String) => Dedup.dedupSubstring(s, d)),
     "dedup_minhash_lsh"  -> ((s: SparkSession, d: String) => Dedup.minHashLsh(s, d)),
     "dedup_clusters"     -> ((s: SparkSession, d: String) => Dedup.dedupClusters(s, d)),
     "dedup_clusters_star" -> ((s: SparkSession, d: String) => Dedup.dedupClustersStar(s, d)),
@@ -410,6 +411,8 @@ object SparkEntry {
         |FROM t ORDER BY doc_id""".stripMargin,
 
     "doc_fingerprint" -> operators.TextOps.docFingerprintOracleSql,
+
+    "dedup_substring" -> operators.Dedup.dedupSubstringOracleSql(),
 
     "dedup_minhash_lsh" -> operators.Dedup.minHashLshOracleSql(),
 

@@ -653,4 +653,120 @@ object Dedup {
        |FROM fp a JOIN fp b ON a.doc_id < b.doc_id
        |WHERE bit_count(xor(a.sim, b.sim)) <= $maxHamming
        |ORDER BY doc_a, doc_b""".stripMargin
+
+  /** Repeated-substring exact dedup (Lee et al. 2022, "Deduplicating
+    * Training Data Makes Language Models Better" — the ExactSubstr
+    * suffix-array pass, re-expressed as k-gram postings): per
+    * document, the spans of ≥ `k` consecutive tokens that occur more
+    * than once ANYWHERE in the corpus — cross-document boilerplate
+    * (license headers, templates) or within-document repetition, the
+    * duplication class whole-document MinHash similarity misses when
+    * two long documents share only a paragraph.
+    *
+    * Equivalence to the suffix-array formulation: a token run of
+    * length L ≥ k repeats iff each of its L−k+1 k-grams repeats
+    * (pigeonhole both ways), so "tokens covered by a repeated
+    * ≥k-token substring" = "tokens covered by a repeated k-gram".
+    * The plan:
+    *  1. hash each doc's k-grams map-side (one xxhash64 per
+    *     position) → (doc_id, pos, gram_hash) postings; TEXT never
+    *     enters a shuffle — only 8-byte hashes and positions;
+    *  2. count occurrences per hash (map-side partial agg absorbs
+    *     the per-doc fan-out), keep count ≥ 2 = the repeated-gram
+    *     set;
+    *  3. join the postings back on the hash (ids + positions only)
+    *     and merge each doc's covered intervals [pos, pos+k−1] with
+    *     one gaps-and-islands window partitioned by doc_id (all
+    *     intervals have length k, so a new span starts exactly where
+    *     pos > prev_pos + k);
+    *  4. per-doc span stats + covered-token fraction as a truncated
+    *     integer ratio (bit-identical in any engine).
+    *
+    * Nothing is quadratic in the corpus: the postings table is
+    * O(total tokens), the count is a hash aggregate, and the window
+    * partitions by doc_id (bounded per-doc work). The DuckDB oracle
+    * runs the identical algorithm on the gram STRINGS (no xxhash64
+    * there) — equal output unless two distinct grams collide in 64
+    * bits. */
+  def dedupSubstring(spark: SparkSession, dir: String, k: Int = 8): DataFrame =
+    dedupSubstringTransform(spark, Tables.documents(spark, dir), k)
+
+  /** [[dedupSubstring]] over any (doc_id, text) frame — lets the spec
+    * feed documents with a known planted repeat. */
+  def dedupSubstringTransform(spark: SparkSession, documents: DataFrame, k: Int): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+
+    val docs = documents
+      .select($"doc_id", split($"text", " ").as("words"))
+      .withColumn("n_tokens", size($"words").cast("long"))
+    // one hash per gram start position; guarded because
+    // sequence(1, 0) counts DOWN in Spark rather than being empty
+    val withGrams = docs.withColumn("ghs",
+      expr(s"""CASE WHEN size(words) >= $k
+              |THEN transform(sequence(1, size(words) - ${k - 1}),
+              |               i -> xxhash64(concat_ws(' ', slice(words, i, $k))))
+              |ELSE CAST(array() AS array<bigint>) END""".stripMargin))
+    val posts = withGrams
+      .select($"doc_id", posexplode($"ghs").as(Seq("p0", "h")))
+      .select($"doc_id", ($"p0" + 1).cast("long").as("pos"), $"h")
+
+    val dupHashes = posts.groupBy($"h").agg(count(lit(1)).as("cnt"))
+      .filter($"cnt" >= 2).select($"h")
+
+    val w = Window.partitionBy($"doc_id").orderBy($"pos")
+    val spans = posts.join(dupHashes, Seq("h"))
+      .withColumn("ni", when(lag($"pos", 1).over(w).isNull
+        || $"pos" > lag($"pos", 1).over(w) + k, 1).otherwise(0))
+      .withColumn("island", sum($"ni").over(w))
+      .groupBy($"doc_id", $"island")
+      .agg(min($"pos").as("s"), (max($"pos") + lit(k.toLong - 1)).as("e"))
+
+    val summary = spans.groupBy($"doc_id")
+      .agg(count(lit(1)).as("spans"),
+        sum($"e" - $"s" + 1).as("dtok"),
+        max($"e" - $"s" + 1).as("mspan"))
+
+    docs.select($"doc_id", $"n_tokens")
+      .join(summary, Seq("doc_id"), "left")
+      .select($"doc_id", $"n_tokens",
+        coalesce($"spans", lit(0L)).as("n_dup_spans"),
+        coalesce($"dtok", lit(0L)).as("dup_tokens"),
+        coalesce($"mspan", lit(0L)).as("max_span_tokens"))
+      .withColumn("dup_frac",
+        expr("dup_tokens * 10000 div n_tokens").cast("double") / 10000.0)
+      .orderBy($"doc_id")
+  }
+
+  /** DuckDB oracle for [[dedupSubstring]]: the same postings →
+    * repeated-gram → interval-merge algorithm, keyed on the gram
+    * STRING instead of its 64-bit hash. */
+  def dedupSubstringOracleSql(k: Int = 8): String =
+    s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+       |t AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_tokens, ws FROM d),
+       |g AS (SELECT doc_id, CAST(u.i AS BIGINT) AS pos,
+       |             array_to_string(ws[u.i:u.i+$k-1], ' ') AS gram
+       |      FROM t, unnest(range(1, len(ws) - $k + 2)) AS u(i)),
+       |dup AS (SELECT gram FROM g GROUP BY gram HAVING count(*) >= 2),
+       |m AS (SELECT g.doc_id, g.pos FROM g JOIN dup USING (gram)),
+       |i1 AS (SELECT doc_id, pos,
+       |              CASE WHEN lag(pos) OVER w IS NULL OR pos > lag(pos) OVER w + $k
+       |                   THEN 1 ELSE 0 END AS ni
+       |       FROM m WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+       |i2 AS (SELECT doc_id, pos,
+       |              sum(ni) OVER (PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS island
+       |       FROM i1),
+       |sp AS (SELECT doc_id, island, min(pos) AS s, max(pos) + $k - 1 AS e
+       |       FROM i2 GROUP BY 1, 2),
+       |summ AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS spans,
+       |                CAST(sum(e - s + 1) AS BIGINT) AS dtok,
+       |                CAST(max(e - s + 1) AS BIGINT) AS mspan
+       |         FROM sp GROUP BY 1)
+       |SELECT t.doc_id, t.n_tokens,
+       |       CAST(coalesce(spans, 0) AS BIGINT) AS n_dup_spans,
+       |       CAST(coalesce(dtok, 0) AS BIGINT) AS dup_tokens,
+       |       CAST(coalesce(mspan, 0) AS BIGINT) AS max_span_tokens,
+       |       (CAST(coalesce(dtok, 0) AS BIGINT) * 10000 // n_tokens) / 10000.0 AS dup_frac
+       |FROM t LEFT JOIN summ ON t.doc_id = summ.doc_id
+       |ORDER BY t.doc_id""".stripMargin
 }

@@ -393,6 +393,27 @@ class BatchOperatorsSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAl
     assert(m(3L).getDouble(2) == 0.5 && m(3L).getDouble(3) > 0.0)
   }
 
+  test("dedup_substring finds planted cross-doc and within-doc repeats") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "p q r s t u v w"),       // shares "r s t u" with doc 2
+      (2L, "z1 z2 r s t u y1 y2"),
+      (3L, "m n o m n o m n o"),     // within-doc repetition covers all
+      (4L, "u1 u2 u3 u4 u5 u6"))     // nothing repeated
+      .toDF("doc_id", "text")
+    val out = graft.operators.Dedup.dedupSubstringTransform(spark, docs, k = 3)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5))).toMap
+    // docs 1/2: grams "r s t" and "s t u" repeat -> one span covering
+    // tokens 3..6 (4 tokens of 8)
+    assert(out(1L) == ((1L, 4L, 4L, 0.5)))
+    assert(out(2L) == ((1L, 4L, 4L, 0.5)))
+    // doc 3: every gram repeats within the doc -> one span, all 9 tokens
+    assert(out(3L) == ((1L, 9L, 9L, 1.0)))
+    // doc 4: clean
+    assert(out(4L) == ((0L, 0L, 0L, 0.0)))
+  }
+
   test("dedup_semantic is sound within cells and recalls most exact pairs") {
     import org.apache.spark.sql.functions._
     val t = 0.35
