@@ -31,6 +31,7 @@ object SparkEntry {
     // Structured Streaming (real engine: readStream -> AvailableNow),
     // checked against the same DuckDB oracles as their batch twins
     "stream_hop_agg"     -> EngagementStream.streamHopAgg _,
+    "stream_hop_append"  -> ((s: SparkSession, d: String) => EngagementStream.streamHopAppend(s, d)),
     "stream_tumble_agg"  -> EngagementStream.streamTumbleAgg _,
     "stream_topk_per_group" -> ((s: SparkSession, d: String) => EngagementStream.streamTopkPerGroup(s, d)),
     "stream_enrich"      -> EngagementStream.streamEnrich _,
@@ -110,6 +111,18 @@ object SparkEntry {
       "stream_dedup_incremental" -> base("dedup_incremental"),
       "stream_funnel" -> base("funnel_conversion"),
       "stream_hop_agg"     -> base("hop_window_agg"),
+      // Append mode emits exactly the windows the final watermark
+      // (max event time − 47 min) has closed — the batch HOP rows
+      // restricted to window end ≤ that watermark
+      "stream_hop_append" ->
+        """SELECT w_start, event_type, count(*) AS n, round(sum(value), 2) AS total
+          |FROM (SELECT make_timestamp(((CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) // 300) * 300 - k * 300) * 1000000) AS w_start,
+          |             event_type, value
+          |      FROM events CROSS JOIN (SELECT unnest([0, 1]) AS k) ks) t
+          |GROUP BY w_start, event_type
+          |HAVING w_start + INTERVAL 10 MINUTE
+          |       <= (SELECT max(CAST(ts AS TIMESTAMP)) - INTERVAL 47 MINUTE FROM events)
+          |ORDER BY w_start, event_type""".stripMargin,
       "stream_tumble_agg"  -> base("tumble_window_agg"),
       "stream_topk_per_group" -> base("topk_per_group"),
       "stream_enrich"      -> base("enrich_events"),

@@ -62,6 +62,33 @@ object EngagementStream {
           StreamSources.events(spark, dir).withWatermark("ts", "1 hour"), k),
         OutputMode.Complete()))
 
+  /** SURVEY §2 #9b: the 100 TB mode for #9 — the same
+    * [[Engagement.hopAggTransform]] in APPEND output with
+    * watermark-closed windows. Complete mode (#9) re-emits every
+    * window each trigger and never evicts state, which is what the
+    * batch-oracle comparison needs but NOT what an unbounded feed can
+    * run: state grows with all history. Append emits each window
+    * exactly once — when the watermark (max event time − delay)
+    * passes its end — and the state store drops it at that moment, so
+    * state holds only the open windows regardless of stream age, and
+    * rows later than the watermark are dropped instead of reopening
+    * closed windows (eviction + late-drop are spec-asserted in
+    * StreamingOperatorsSpec).
+    *
+    * Determinism for the oracle: a single-file AvailableNow replay is
+    * one data micro-batch (nothing is ever late) plus a no-data
+    * finalization batch, so the result is exactly the batch HOP rows
+    * whose window end ≤ max(ts) − delay. The 47-minute delay is
+    * deliberately NOT a multiple of the 5-minute slide, keeping the
+    * watermark off the window grid so the ≤/< boundary cannot bite. */
+  def streamHopAppend(spark: SparkSession, dir: String,
+                      delay: String = "47 minutes"): DataFrame =
+    StreamSources.runToMemory(
+      Engagement.hopAggTransform(
+        StreamSources.events(spark, dir).withWatermark("ts", delay)),
+      OutputMode.Append())
+      .orderBy(col("w_start"), col("event_type"))
+
   /** SURVEY §2 #10: dimension enrichment as a stream-static broadcast
     * join (the Spark analog of the reference's
     * `FOR SYSTEM_TIME AS OF` lookup join, process.py:163-183) —

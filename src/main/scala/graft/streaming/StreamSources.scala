@@ -79,17 +79,25 @@ object StreamSources {
     * in-process memory sink and return the materialized result. The
     * memory sink holds only the (small) query result, never the
     * input. */
-  def runToMemory(df: DataFrame, mode: OutputMode): DataFrame = withStreamPartitions(df) {
-    val name = s"graft_stream_${nameCtr.incrementAndGet()}"
-    val q = df.writeStream
-      .format("memory")
-      .queryName(name)
-      .outputMode(mode)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    df.sparkSession.table(name)
-  }
+  def runToMemory(df: DataFrame, mode: OutputMode): DataFrame =
+    runToMemoryWithProgress(df, mode)._1
+
+  /** [[runToMemory]] plus the terminated query's progress history —
+    * lets specs assert state-store behavior (rows kept/evicted, late
+    * rows dropped) from `stateOperators` metrics. */
+  def runToMemoryWithProgress(df: DataFrame, mode: OutputMode)
+      : (DataFrame, Seq[org.apache.spark.sql.streaming.StreamingQueryProgress]) =
+    withStreamPartitions(df) {
+      val name = s"graft_stream_${nameCtr.incrementAndGet()}"
+      val q = df.writeStream
+        .format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      (df.sparkSession.table(name), q.recentProgress.toSeq)
+    }
 
   /** Drive a stream through `foreachBatch` to completion. */
   def runForeachBatch(df: DataFrame, f: (Dataset[Row], Long) => Unit): Unit =

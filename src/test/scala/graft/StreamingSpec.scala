@@ -189,6 +189,70 @@ class StreamingSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
     assert(streamed == batch, s"streamed=${streamed.size} batch=${batch.size}")
   }
 
+  test("stream_hop_append equals the watermark-closed subset of batch hop windows") {
+    import org.apache.spark.sql.functions._
+    val batch = rows("hop_window_agg")
+    val maxTs = graft.sources.Tables.events(spark, sf)
+      .agg(max(col("ts"))).collect()(0).getTimestamp(0)
+    val wmMs = maxTs.getTime - 47 * 60 * 1000L
+    val closed = batch.filter(r => r.getTimestamp(0).getTime + 600000L <= wmMs)
+    assert(closed.size < batch.size,
+      "test corpus must leave some windows open, or the mode difference is invisible")
+    assert(rows("stream_hop_append") == closed)
+  }
+
+  test("stream_hop_append drops late rows and evicts closed-window state") {
+    import java.nio.file.{Files => JFiles, Paths}
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.streaming.OutputMode
+    import graft.streaming.StreamSources
+    import spark.implicits._
+
+    val work = JFiles.createTempDirectory("graft_hop_append_").toString
+    val base = 1577836800L // 2020-01-01 00:00 UTC
+    def nanos(minute: Long): Long = (base + minute * 60) * 1000000000L
+    def stage(sub: String, evs: Seq[(Long, Long)], modTime: Long): Unit = {
+      val tmp = s"$work/$sub-tmp"
+      evs.map { case (id, m) => (id, nanos(m), id, "play", 1.0, "{}") }
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      val dst = Paths.get(s"$work/input/$sub.parquet")
+      JFiles.createDirectories(dst.getParent)
+      JFiles.copy(part.toPath, dst)
+      dst.toFile.setLastModified(modTime); ()
+    }
+    // batch 0: events at 10:00 and 12:00 -> watermark advances to
+    //          12:00-47m = 11:13 for batch 1's EVICTION; Spark's
+    //          two-watermark design (late-events filter runs one
+    //          batch behind eviction) means a row is only dropped
+    //          once the advance is TWO batches old
+    // batch 1: 12:30 -> the 10:00 windows are evicted+emitted (n=1)
+    // batch 2: the LATE 10:05 event (windows end <= 10:15 < 11:13,
+    //          already emitted) must be dropped, not re-opened
+    val now = System.currentTimeMillis()
+    stage("f1", Seq((1L, 600L), (2L, 720L)), now - 90000)
+    stage("f2", Seq((4L, 750L)), now - 60000)
+    stage("f3", Seq((3L, 605L)), now - 30000)
+
+    val (table, progress) = StreamSources.runToMemoryWithProgress(
+      graft.operators.Engagement.hopAggTransform(
+        StreamSources.eventsFrom(spark, s"$work/input", maxFilesPerTrigger = 1)
+          .withWatermark("ts", "47 minutes")),
+      OutputMode.Append())
+    val got = table.orderBy(col("w_start")).collect()
+      .map(r => (r.getTimestamp(0).getTime / 1000, r.getLong(2)))
+    // only the 10:00 event's two windows closed (<= 11:43), each n=1:
+    // the late 10:05 row was dropped, so no n=2 and no [10:05,10:15)
+    assert(got.toSeq == Seq((base + 595 * 60, 1L), (base + 600 * 60, 1L)), got.mkString(", "))
+    val st = progress.reverse.find(_.stateOperators.nonEmpty).get.stateOperators.head
+    assert(st.numRowsTotal == 4,
+      s"state must hold only the 4 open windows, got ${st.numRowsTotal}")
+    val dropped = progress.flatMap(_.stateOperators).map(_.numRowsDroppedByWatermark).sum
+    assert(dropped >= 1, "the late row must be dropped by the watermark")
+  }
+
   test("kafka source/sink config shape and upsert record encoding") {
     val src = KafkaConfig.sourceOptions("broker:9092", "engagement_events")
     assert(src("kafka.bootstrap.servers") == "broker:9092")
