@@ -60,6 +60,7 @@ object SparkEntry {
     "percentile_stats"      -> ((s: SparkSession, d: String) => Olap.percentileStats(s, d)),
     "percentile_stats_approx" -> Olap.percentileStatsApprox _,
     "skew_salted_join"      -> ((s: SparkSession, d: String) => Olap.skewSaltedJoin(s, d)),
+    "bucketed_join"         -> ((s: SparkSession, d: String) => Olap.bucketedJoin(s, d)),
     "bloom_filtered_join"   -> ((s: SparkSession, d: String) => Olap.bloomFilteredJoin(s, d)),
     "range_join_agg"        -> Olap.rangeJoinAgg _,
     // LLM training-data pipeline
@@ -331,6 +332,13 @@ object SparkEntry {
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "skew_salted_join" ->
+      """SELECT c_mktsegment, count(*) AS n, round(sum(value), 2) AS total
+        |FROM events JOIN customer ON user_id = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    // bucketing is result-invisible — the plain join, as for the
+    // salted variant (same aggregate over the same join)
+    "bucketed_join" ->
       """SELECT c_mktsegment, count(*) AS n, round(sum(value), 2) AS total
         |FROM events JOIN customer ON user_id = c_custkey
         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,

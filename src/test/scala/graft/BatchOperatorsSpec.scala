@@ -200,40 +200,20 @@ class BatchOperatorsSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAl
     assert(trained >= 0.5, s"trained recall=$trained")
   }
 
-  test("bucketed co-located join plans zero shuffle exchanges") {
-    // SURVEY §4's co-location claim, demonstrated: both sides written
-    // bucketed on the join key with the same bucket count ⇒ the join
-    // consumes the on-disk hash partitioning and plans NO Exchange.
-    // At 100 TB this is the difference between re-shuffling the fact
-    // table per join and reading it join-ready.
-    import org.apache.spark.sql.functions.col
-    val tmp = java.nio.file.Files.createTempDirectory("graft_bucket_").toString
-    val ev = graft.sources.Tables.events(spark, sf)
-    val cust = graft.sources.Tables.customer(spark, sf)
-    try {
-      ev.write.mode("overwrite").bucketBy(8, "user_id").sortBy("user_id")
-        .option("path", s"$tmp/ev").saveAsTable("graft_ev_bucketed")
-      cust.write.mode("overwrite").bucketBy(8, "c_custkey").sortBy("c_custkey")
-        .option("path", s"$tmp/cust").saveAsTable("graft_cust_bucketed")
-      val prevBroadcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
-      val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
-      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-      spark.conf.set("spark.sql.adaptive.enabled", "false")
-      try {
-        val joined = spark.table("graft_ev_bucketed")
-          .join(spark.table("graft_cust_bucketed"), col("user_id") === col("c_custkey"))
-        val plan = joined.queryExecution.executedPlan.toString
-        assert(!plan.contains("Exchange"), s"bucketed join still shuffles:\n$plan")
-        val plain = ev.join(cust, col("user_id") === col("c_custkey")).count()
-        assert(joined.count() == plain)
-      } finally {
-        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBroadcast)
-        spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
-      }
-    } finally {
-      spark.sql("DROP TABLE IF EXISTS graft_ev_bucketed")
-      spark.sql("DROP TABLE IF EXISTS graft_cust_bucketed")
-    }
+  test("bucketed_join plans zero shuffle exchanges and equals the plain join") {
+    // SURVEY §4's co-location claim, now a first-class query entry:
+    // both sides written bucketed on the join key with the same
+    // bucket count ⇒ the join consumes the on-disk hash partitioning
+    // and plans NO Exchange. At 100 TB this is the difference between
+    // re-shuffling the fact table per join and reading it join-ready.
+    val base = graft.operators.Olap.bucketedJoinBase(spark, sf)
+    val plan = base.queryExecution.executedPlan.toString
+    assert(plan.contains("SortMergeJoin"), s"expected a sort-merge join:\n$plan")
+    assert(!plan.contains("Exchange"), s"bucketed join still shuffles:\n$plan")
+    // bucketing is result-invisible: same aggregate as the salted
+    // join's plain-join oracle
+    assert(SparkEntry.queries("bucketed_join")(spark, sf).collect().toSeq
+      == SparkEntry.queries("skew_salted_join")(spark, sf).collect().toSeq)
   }
 
   test("JDBC dim loader reads through Derby and enriches identically to the parquet dim") {
