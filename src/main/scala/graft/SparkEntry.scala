@@ -56,6 +56,7 @@ object SparkEntry {
     "rollup_sales"          -> Olap.rollupSales _,
     "pivot_sales"           -> Olap.pivotSales _,
     "cube_sales"            -> Olap.cubeSales _,
+    "grouping_sets_sales"   -> Olap.groupingSetsSales _,
     "semi_anti_customers"   -> Olap.semiAntiCustomers _,
     "percentile_stats"      -> ((s: SparkSession, d: String) => Olap.percentileStats(s, d)),
     "percentile_stats_approx" -> Olap.percentileStatsApprox _,
@@ -77,6 +78,7 @@ object SparkEntry {
     "lang_id"            -> TextOps.langId _,
     "text_quality"       -> TextOps.textQuality _,
     "text_repetition"    -> TextOps.textRepetition _,
+    "text_redact"        -> TextOps.textRedact _,
     "token_count"        -> TextOps.tokenCount _,
     "doc_fingerprint"    -> TextOps.docFingerprint _,
     "multimodal_meta"    -> TextOps.multimodalMeta _,
@@ -316,6 +318,14 @@ object SparkEntry {
         |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
         |ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
 
+    "grouping_sets_sales" ->
+      """SELECT l_returnflag, l_linestatus,
+        |       CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+        |       round(sum(l_extendedprice), 2) AS sum_price, count(*) AS n
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+        |ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+
     "semi_anti_customers" ->
       """SELECT c_custkey, c_name, c_mktsegment
         |FROM customer
@@ -421,6 +431,7 @@ object SparkEntry {
 
     "text_quality" -> operators.TextOps.textQualityOracleSql,
     "text_repetition" -> operators.TextOps.textRepetitionOracleSql,
+    "text_redact" -> operators.TextOps.textRedactOracleSql,
 
     "token_count" ->
       """WITH t AS (SELECT doc_id, length(text) AS n,

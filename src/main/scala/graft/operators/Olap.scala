@@ -140,6 +140,24 @@ object Olap {
       .orderBy($"gid", $"l_returnflag".asc_nulls_first, $"l_linestatus".asc_nulls_first)
   }
 
+  /** GROUPING SETS with an EXPLICIT set list — the general form
+    * [[rollupSales]]/[[cubeSales]] are shorthands of: exactly the
+    * requested levels ((flag, status), (flag), ()) and nothing else
+    * (no per-status level — the one CUBE would add). Same single
+    * Expand pass + one hash aggregate with map-side partials; row
+    * fan-out is |sets|, not 2^keys. */
+  def groupingSetsSales(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, dir)
+      .groupingSets(
+        Seq(Seq($"l_returnflag", $"l_linestatus"), Seq($"l_returnflag"), Seq.empty),
+        $"l_returnflag", $"l_linestatus")
+      .agg(round(sum($"l_extendedprice"), 2).as("sum_price"), count("*").as("n"),
+        grouping_id().as("gid"))
+      .select($"l_returnflag", $"l_linestatus", $"gid", $"sum_price", $"n")
+      .orderBy($"gid", $"l_returnflag".asc_nulls_first, $"l_linestatus".asc_nulls_first)
+  }
+
   /** Left-semi + left-anti joins (EXISTS / NOT EXISTS): customers
     * with at least one order but none above the price cap. */
   def semiAntiCustomers(spark: SparkSession, dir: String): DataFrame = {

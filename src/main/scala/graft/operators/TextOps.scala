@@ -442,6 +442,96 @@ object TextOps {
       |FROM uni LEFT JOIN bi USING (doc_id) JOIN tri USING (doc_id)
       |ORDER BY doc_id""".stripMargin
 
+  // Redaction classes: Java-regex and RE2 (DuckDB) compatible — ASCII
+  // \b word boundaries, bounded repeats, no lookaround.
+  private val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val phoneRe = "\\b\\d{3}-\\d{3}-\\d{4}\\b"
+  private val ipRe    = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+
+  /** PII / pattern redaction — the standard scrubbing stage next to
+    * lang_id/quality in a training pipeline: emails, phone numbers
+    * and IPv4 addresses replaced by class tags, with per-class match
+    * counts. One scan, all regexp work codegen'd per row, no shuffle
+    * before the ordered output; the redacted text is reported as its
+    * md5 (engines agree byte-for-byte or the hash snitches) so the
+    * output stays compact at any scale.
+    *
+    * Counts are taken on the pre-redaction text per class; the
+    * replacement applies email → phone → IP in that order. Both
+    * choices are mirrored in the oracle (DuckDB needs the 'g' flag —
+    * its regexp_replace is first-match-only by default, Spark's is
+    * global). */
+  def textRedactTransform(spark: SparkSession, documents: DataFrame): DataFrame = {
+    import spark.implicits._
+    documents.select($"doc_id", $"text")
+      .withColumn("n_emails", size(regexp_extract_all($"text", lit(emailRe), lit(0))).cast("long"))
+      .withColumn("n_phones", size(regexp_extract_all($"text", lit(phoneRe), lit(0))).cast("long"))
+      .withColumn("n_ips", size(regexp_extract_all($"text", lit(ipRe), lit(0))).cast("long"))
+      .withColumn("redacted",
+        regexp_replace(regexp_replace(regexp_replace($"text",
+          emailRe, "<EMAIL>"), phoneRe, "<PHONE>"), ipRe, "<IP>"))
+      .select($"doc_id", $"n_emails", $"n_phones", $"n_ips",
+        ($"n_emails" + $"n_phones" + $"n_ips").as("n_redactions"),
+        md5($"redacted").as("redacted_hash"))
+      .orderBy($"doc_id")
+  }
+
+  /** Queries entry for [[textRedactTransform]]. The synthetic corpus
+    * is PII-free (no digits at all), which would make the oracle a
+    * trivial all-zeros match — so the entry plants deterministic
+    * doc_id-derived PII on 4 of every 5 documents BEFORE scrubbing,
+    * with the identical construction in the DuckDB oracle. The
+    * planted classes exercise every regex plus the multi-class and
+    * untouched paths. */
+  def textRedact(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val id = $"doc_id".cast("string")
+    val aug = Tables.documents(spark, dir).select($"doc_id",
+      when($"doc_id" % 5 === 0,
+        concat($"text", lit(" contact user"), id, lit("@example.com now")))
+      .when($"doc_id" % 5 === 1,
+        concat($"text", lit(" call 555-"),
+          lpad(($"doc_id" * 7 % 1000).cast("string"), 3, "0"), lit("-"),
+          lpad(($"doc_id" * 13 % 10000).cast("string"), 4, "0")))
+      .when($"doc_id" % 5 === 2,
+        concat($"text", lit(" from 10."), ($"doc_id" % 256).cast("string"),
+          lit("."), ($"doc_id" * 3 % 256).cast("string"),
+          lit("."), ($"doc_id" * 5 % 256).cast("string")))
+      .when($"doc_id" % 5 === 3,
+        concat($"text", lit(" ref user"), id, lit("@mail.test and 192.168."),
+          ($"doc_id" % 256).cast("string"), lit("."), ($"doc_id" * 7 % 256).cast("string")))
+      .otherwise($"text").as("text"))
+    textRedactTransform(spark, aug)
+  }
+
+  /** DuckDB oracle for [[textRedact]]: identical PII planting,
+    * counting and replacement sequence ('g' = global replace). */
+  def textRedactOracleSql: String =
+    s"""WITH aug AS (
+       |  SELECT doc_id,
+       |         CASE doc_id % 5
+       |           WHEN 0 THEN text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com now'
+       |           WHEN 1 THEN text || ' call 555-' || lpad(CAST(doc_id * 7 % 1000 AS VARCHAR), 3, '0')
+       |                        || '-' || lpad(CAST(doc_id * 13 % 10000 AS VARCHAR), 4, '0')
+       |           WHEN 2 THEN text || ' from 10.' || CAST(doc_id % 256 AS VARCHAR)
+       |                        || '.' || CAST(doc_id * 3 % 256 AS VARCHAR)
+       |                        || '.' || CAST(doc_id * 5 % 256 AS VARCHAR)
+       |           WHEN 3 THEN text || ' ref user' || CAST(doc_id AS VARCHAR) || '@mail.test and 192.168.'
+       |                        || CAST(doc_id % 256 AS VARCHAR) || '.' || CAST(doc_id * 7 % 256 AS VARCHAR)
+       |           ELSE text END AS text
+       |  FROM documents),
+       |c AS (
+       |  SELECT doc_id,
+       |         CAST(len(regexp_extract_all(text, '$emailRe')) AS BIGINT) AS n_emails,
+       |         CAST(len(regexp_extract_all(text, '$phoneRe')) AS BIGINT) AS n_phones,
+       |         CAST(len(regexp_extract_all(text, '$ipRe')) AS BIGINT) AS n_ips,
+       |         md5(regexp_replace(regexp_replace(regexp_replace(text,
+       |           '$emailRe', '<EMAIL>', 'g'), '$phoneRe', '<PHONE>', 'g'), '$ipRe', '<IP>', 'g')) AS redacted_hash
+       |  FROM aug)
+       |SELECT doc_id, n_emails, n_phones, n_ips,
+       |       n_emails + n_phones + n_ips AS n_redactions, redacted_hash
+       |FROM c ORDER BY doc_id""".stripMargin
+
   /** Multimodal column plumbing: an opaque binary payload plus typed
     * metadata derived deterministically from the bytes. The decode
     * stub itself (Multimodal.decodeStub) is a mapPartitions op; this

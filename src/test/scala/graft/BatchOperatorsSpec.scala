@@ -373,6 +373,26 @@ class BatchOperatorsSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAl
     assert(m(3L).getDouble(2) == 0.5 && m(3L).getDouble(3) > 0.0)
   }
 
+  test("text_redact scrubs planted PII classes byte-exactly") {
+    import spark.implicits._
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    val docs = Seq(
+      (1L, "mail a@b.co now"),
+      (2L, "call 555-123-4567 or 555-123-4567"),
+      (3L, "ip 10.0.0.1 end"),
+      (4L, "clean text only"))
+      .toDF("doc_id", "text")
+    val out = graft.operators.TextOps.textRedactTransform(spark, docs).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getString(5))).toMap
+    assert(out(1L) == ((1L, 0L, 0L, 1L, md5hex("mail <EMAIL> now"))))
+    assert(out(2L) == ((0L, 2L, 0L, 2L, md5hex("call <PHONE> or <PHONE>"))))
+    assert(out(3L) == ((0L, 0L, 1L, 1L, md5hex("ip <IP> end"))))
+    assert(out(4L) == ((0L, 0L, 0L, 0L, md5hex("clean text only"))))
+  }
+
   test("dedup_substring finds planted cross-doc and within-doc repeats") {
     import spark.implicits._
     val docs = Seq(
