@@ -691,6 +691,15 @@ object Dedup {
   def dedupSubstring(spark: SparkSession, dir: String, k: Int = 8): DataFrame =
     dedupSubstringTransform(spark, Tables.documents(spark, dir), k)
 
+  /** Postings tables materialized per call (freed on clearAll): the
+    * postings feed BOTH the repeated-gram aggregate and the join
+    * back, and without materialization Catalyst plans the whole
+    * scan→split→gram-hash→explode subtree once per consumer (the
+    * sigTable lesson — self-joins don't share non-identical
+    * exchanges). At warehouse scale this is an eager parquet stage. */
+  private val substringPostsCache =
+    GraftCaches.memo[AnyRef, DataFrame](_.unpersist())
+
   /** [[dedupSubstring]] over any (doc_id, text) frame — lets the spec
     * feed documents with a known planted repeat. */
   def dedupSubstringTransform(spark: SparkSession, documents: DataFrame, k: Int): DataFrame = {
@@ -707,9 +716,14 @@ object Dedup {
               |THEN transform(sequence(1, size(words) - ${k - 1}),
               |               i -> xxhash64(concat_ws(' ', slice(words, i, $k))))
               |ELSE CAST(array() AS array<bigint>) END""".stripMargin))
-    val posts = withGrams
-      .select($"doc_id", posexplode($"ghs").as(Seq("p0", "h")))
-      .select($"doc_id", ($"p0" + 1).cast("long").as("pos"), $"h")
+    val posts = substringPostsCache.getOrElseUpdate(new Object) {
+      val p = withGrams
+        .select($"doc_id", posexplode($"ghs").as(Seq("p0", "h")))
+        .select($"doc_id", ($"p0" + 1).cast("long").as("pos"), $"h")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      p.count() // eager: both consumers racing the cache fill serialize on block locks
+      p
+    }
 
     val dupHashes = posts.groupBy($"h").agg(count(lit(1)).as("cnt"))
       .filter($"cnt" >= 2).select($"h")
