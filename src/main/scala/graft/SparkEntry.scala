@@ -94,6 +94,7 @@ object SparkEntry {
     "ann_topk"           -> ((s: SparkSession, d: String) => VectorOps.annTopK(s, d)),
     "ann_lsh_topk"       -> ((s: SparkSession, d: String) => VectorOps.annLshTopK(s, d)),
     "ann_ivf_topk"       -> ((s: SparkSession, d: String) => VectorOps.annIvfTopK(s, d)),
+    "ann_pq_topk"        -> ((s: SparkSession, d: String) => VectorOps.annPqTopK(s, d)),
   )
 
   /** DuckDB-runnable oracle for each SQL-expressible query.

@@ -46,33 +46,38 @@ object VectorOps {
   private val centroidCache =
     graft.GraftCaches.memo[(SparkSession, String, Int, Long), Array[Float]](_ => ())
 
+  /** Deterministic MAP-SIDE training sample (the Sampling.splitHash
+    * pattern), unit-normalized: membership = hash(vec_id) under a
+    * threshold sized to ~1.1·sampleN of the corpus, then a
+    * driver-side cap in hash order. A previous `orderBy(vec_id)
+    * .limit(sampleN)` sat exactly at topKSortFallbackThreshold
+    * (10000), so Spark planned a FULL global sort of the embeddings
+    * table just to pick a training sample; the threshold filter
+    * touches each row once with no shuffle, and membership stays
+    * stable under corpus growth and partition layout. Shared by the
+    * IVF and PQ trainers. */
+  private def sampleNormalized(spark: SparkSession, dir: String,
+                               sampleN: Int): Array[Array[Float]] = {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, dir)
+    val total = math.max(emb.select($"vec_id").count(), 1L)
+    val frac = math.min(1.0, sampleN.toDouble * 1.1 / total)
+    val rows = emb
+      .select($"vec_id", $"embedding",
+        Sampling.splitHash($"vec_id", "ivf-train").as("h"))
+      .filter($"h" < math.ceil(frac * 4294967296.0).toLong)
+      .collect()
+    rows.sortBy(r => (r.getLong(2), r.getLong(0))).take(sampleN).map { r =>
+      val v = r.getSeq[Float](1).toArray
+      val n = math.sqrt(v.foldLeft(0.0)((s, x) => s + x.toDouble * x)).toFloat
+      if (n > 0f) v.map(_ / n) else v
+    }
+  }
+
   def trainIvfCentroids(spark: SparkSession, dir: String, nCells: Int = 16,
                         seed: Long = 7L, sampleN: Int = 10000, iters: Int = 5): Array[Float] =
     centroidCache.getOrElseUpdate((spark, dir, nCells, seed)) {
-      import spark.implicits._
-      val emb = Tables.embeddings(spark, dir)
-      // Deterministic MAP-SIDE sample (the Sampling.splitHash
-      // pattern): membership = hash(vec_id) under a threshold sized
-      // to ~1.1·sampleN of the corpus, then a driver-side cap in
-      // hash order. The previous `orderBy(vec_id).limit(sampleN)`
-      // sat exactly at topKSortFallbackThreshold (10000), so Spark
-      // planned a FULL global sort of the embeddings table just to
-      // pick a training sample; the threshold filter touches each
-      // row once with no shuffle, and membership stays stable under
-      // corpus growth and partition layout.
-      val total = math.max(emb.select($"vec_id").count(), 1L)
-      val frac = math.min(1.0, sampleN.toDouble * 1.1 / total)
-      val rows = emb
-        .select($"vec_id", $"embedding",
-          Sampling.splitHash($"vec_id", "ivf-train").as("h"))
-        .filter($"h" < math.ceil(frac * 4294967296.0).toLong)
-        .collect()
-      val sample: Array[Array[Float]] = rows
-        .sortBy(r => (r.getLong(2), r.getLong(0))).take(sampleN).map { r =>
-        val v = r.getSeq[Float](1).toArray
-        val n = math.sqrt(v.foldLeft(0.0)((s, x) => s + x.toDouble * x)).toFloat
-        if (n > 0f) v.map(_ / n) else v
-      }
+      val sample: Array[Array[Float]] = sampleNormalized(spark, dir, sampleN)
       val n = sample.length
       val dim = if (n > 0) sample(0).length else 0
       val k = math.min(nCells, math.max(n, 1))
@@ -313,5 +318,187 @@ object VectorOps {
       .withColumn("dup_of", coalesce($"dup_of", $"vec_id"))
       .select($"vec_id", $"cell", $"dup_of", $"is_kept")
       .orderBy($"vec_id")
+  }
+
+  private val pqCache =
+    graft.GraftCaches.memo[(SparkSession, String, Int, Int), Array[Float]](_ => ())
+
+  /** Product-quantization codebooks (Jégou et al. 2011): the
+    * embedding is split into `m` contiguous subspaces of dim/m dims;
+    * each subspace gets its own `ksub`-centroid L2 k-means codebook,
+    * trained on the same deterministic hash sample the IVF trainer
+    * uses (vectors unit-normalized first, so PQ dot products
+    * approximate cosine). Returned flat: centroid j of subspace s
+    * occupies [(s·ksub + j)·dsub, +dsub).
+    *
+    * Init is deterministic (even strides through the hash-ordered
+    * sample); Lloyd assigns by min L2, recomputes plain means (sub-
+    * vectors are not unit vectors — no renormalization), reseeds an
+    * emptied cell to the worst-served subvector. m·ksub·dsub floats =
+    * exactly dim·ksub values (1 KB-ish) enter the plan as a literal. */
+  def trainPqCodebooks(spark: SparkSession, dir: String, m: Int = 16,
+                       ksub: Int = 16, sampleN: Int = 10000,
+                       iters: Int = 5): Array[Float] =
+    pqCache.getOrElseUpdate((spark, dir, m, ksub)) {
+      val sample = sampleNormalized(spark, dir, sampleN)
+      val n = sample.length
+      require(n > 0, "PQ training needs a non-empty sample")
+      val dim = sample(0).length
+      require(dim % m == 0, s"dim $dim not divisible by m=$m subspaces")
+      val dsub = dim / m
+      val out = new Array[Float](m * ksub * dsub)
+      var s = 0
+      while (s < m) {
+        val off = s * dsub
+        val k = math.min(ksub, n)
+        // deterministic spread init: even strides through the sample
+        var cents = Array.tabulate(k)(j => java.util.Arrays.copyOfRange(
+          sample((j * n) / k), off, off + dsub))
+        def d2(v: Array[Float], c: Array[Float]): Double = {
+          var acc = 0.0; var d = 0
+          while (d < dsub) { val x = v(off + d) - c(d); acc += x * x; d += 1 }
+          acc
+        }
+        var it = 0
+        while (it < iters) {
+          val sums = Array.fill(k)(new Array[Double](dsub))
+          val counts = new Array[Int](k)
+          val assign = new Array[Int](n)
+          var i = 0
+          while (i < n) {
+            var best = 0; var bestD = Double.MaxValue
+            var c = 0
+            while (c < k) {
+              val dd = d2(sample(i), cents(c))
+              if (dd < bestD) { bestD = dd; best = c }
+              c += 1
+            }
+            assign(i) = best; counts(best) += 1
+            var d = 0
+            while (d < dsub) { sums(best)(d) += sample(i)(off + d); d += 1 }
+            i += 1
+          }
+          cents = Array.tabulate(k) { c =>
+            if (counts(c) == 0) {
+              var worst = 0; var worstD = Double.MinValue
+              var j = 0
+              while (j < n) {
+                val dd = d2(sample(j), cents(assign(j)))
+                if (dd > worstD) { worstD = dd; worst = j }
+                j += 1
+              }
+              java.util.Arrays.copyOfRange(sample(worst), off, off + dsub)
+            } else sums(c).map(x => (x / counts(c)).toFloat)
+          }
+          it += 1
+        }
+        var j = 0
+        while (j < k) {
+          System.arraycopy(cents(j), 0, out, (s * ksub + j) * dsub, dsub)
+          j += 1
+        }
+        // if k < ksub (tiny sample) the remaining slots stay zero —
+        // valid centroids that simply never win an argmin on real data
+        s += 1
+      }
+      out
+    }
+
+  /** PQ-compressed ANN top-k — the storage-side 100 TB path, the
+    * complement of the routing-side IVF/LSH entries: every corpus
+    * vector is ENCODED as `m` small codes (m·log2(ksub) bits — with
+    * the 16×16 default, 16 nibbles = 8 bytes vs 256 bytes of raw
+    * float32, a 32× compression), and queries score candidates with
+    * asymmetric distance computation (ADC): one per-query lookup
+    * table of m·ksub inner products ⟨q_sub, centroid⟩, then each
+    * corpus vector costs m table lookups instead of dim multiplies.
+    * At warehouse scale the code table IS the index — it fits in
+    * memory where the raw vectors cannot, the scan reads 8-byte
+    * codes instead of 256-byte vectors, and the LUT join is a
+    * broadcast of (queries × 1 KB).
+    *
+    * Two-stage: ADC ranks candidates approximately (reconstruction
+    * error bounds the dot-product error), the top `rerank` per query
+    * are re-scored EXACTLY against the raw vectors, and the final
+    * top-k is exact-cosine-ordered — so reported cosines are true
+    * cosines; only the candidate choice is approximate (rows-only
+    * oracle; recall vs [[annTopK]] spec-gated). Candidate selection
+    * runs through the bounded-heap `graft_topk` aggregate: map tasks
+    * reduce to ≤rerank entries per query before the shuffle.
+    *
+    * The encode/ADC expressions are built-in HOFs over the codebook
+    * literal — fine at 16·16·4 ops/row here; a deployment hot-path
+    * would promote them to a codegen'd Expression exactly as
+    * CosineSimilarity/MinHash did. */
+  def annPqTopK(spark: SparkSession, dir: String, k: Int = 5, nQueries: Int = 10,
+                m: Int = 16, ksub: Int = 16, rerank: Int = 32): DataFrame = {
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    val cb = trainPqCodebooks(spark, dir, m, ksub)
+    val dsub = cb.length / (m * ksub)
+    val cbCol = typedLit(cb)
+
+    val e = Tables.embeddings(spark, dir).select($"vec_id", $"embedding")
+    // unit-normalize so PQ inner products approximate cosine
+    val norm = sqrt(aggregate($"embedding", lit(0.0d), (a, x) => a + x * x))
+    val nx = transform($"embedding", x => x / norm).as("nx")
+
+    // encode: per subspace, argmin-L2 centroid of the normalized
+    // subvector (array_position finds the FIRST minimal score —
+    // deterministic tie-break)
+    val codes = transform(sequence(lit(0), lit(m - 1)), mi => {
+      val scores = transform(sequence(lit(0), lit(ksub - 1)), j =>
+        aggregate(sequence(lit(1), lit(dsub)), lit(0.0d), (acc, d) => {
+          val diff = element_at($"nx", mi * dsub + d) -
+            element_at(cbCol, (mi * ksub + j) * dsub + d)
+          acc + diff * diff
+        }))
+      array_position(scores, array_min(scores)) - 1
+    }).as("codes")
+    val codeTable = e.filter($"vec_id" >= nQueries).select($"vec_id", nx)
+      .select($"vec_id", codes)
+
+    // per-query ADC lookup tables, built driver-side from the tiny
+    // query set (the k-means-training/bloom-sketch planning pattern):
+    // lut[mi*ksub + j] = <q_sub(mi), centroid(mi, j)>
+    val qRows = e.filter($"vec_id" < nQueries).collect()
+    val luts = qRows.map { r =>
+      val v = r.getSeq[Float](1).toArray
+      val nrm = math.sqrt(v.foldLeft(0.0)((s, x) => s + x.toDouble * x))
+      val q = if (nrm > 0) v.map(_ / nrm.toFloat) else v
+      val lut = new Array[Double](m * ksub)
+      for (mi <- 0 until m; j <- 0 until ksub) {
+        var s = 0.0; var d = 0
+        while (d < dsub) {
+          s += q(mi * dsub + d).toDouble * cb((mi * ksub + j) * dsub + d)
+          d += 1
+        }
+        lut(mi * ksub + j) = s
+      }
+      (r.getLong(0), lut)
+    }.toSeq.toDF("query_id", "lut")
+
+    // ADC score = m lookups; candidate top-`rerank` per query through
+    // the bounded-heap aggregate (≤rerank entries per map task)
+    val adcTop = codeTable.join(broadcast(luts))
+      .select($"query_id", $"vec_id",
+        aggregate(sequence(lit(0), lit(m - 1)), lit(0.0d), (acc, mi) =>
+          acc + element_at($"lut",
+            (mi * ksub + element_at($"codes", mi + 1) + 1).cast("int")))
+          .as("adc"))
+      .groupBy($"query_id")
+      .agg(call_function("graft_topk", $"adc", $"vec_id", lit(rerank)).as("top"))
+      .select($"query_id", explode($"top.id").as("vec_id"))
+
+    // exact re-rank of the surviving candidates
+    val queries = e.filter($"vec_id" < nQueries)
+      .select($"vec_id".as("query_id"), $"embedding".as("q_emb"))
+    adcTop.join(e, Seq("vec_id")).join(broadcast(queries), Seq("query_id"))
+      .select($"query_id", $"vec_id", cosine($"q_emb", $"embedding").as("cos"))
+      .withColumn("rank", row_number()
+        .over(Window.partitionBy($"query_id").orderBy($"cos".desc, $"vec_id")).cast("long"))
+      .filter($"rank" <= k)
+      .select($"query_id", $"vec_id".as("neighbor_id"), $"rank", round($"cos", 4).as("cosine"))
+      .orderBy($"query_id", $"rank")
   }
 }

@@ -186,6 +186,30 @@ class BatchOperatorsSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAl
     assert(recall >= 0.3, s"recall=$recall (${(exact intersect ivf).size}/${exact.size})")
   }
 
+  test("ann_pq_topk: ADC candidates + exact re-rank recall beats IVF") {
+    def pairs(name: String) = SparkEntry.queries(name)(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairs("ann_topk")
+    val pq = pairs("ann_pq_topk")
+    val ivf = pairs("ann_ivf_topk")
+    val recall = (exact intersect pq).size.toDouble / exact.size
+    val ivfRecall = (exact intersect ivf).size.toDouble / exact.size
+    info(s"pq=$recall ivf=$ivfRecall")
+    // ADC scans EVERY code (no routing loss) and re-ranks exactly, so
+    // its only error is quantization — 0.88 observed at sf0.001 and
+    // sf0.01 vs IVF's 0.52-0.60 at nProbe=4
+    assert(recall >= 0.7, s"pq recall=$recall")
+    assert(recall >= ivfRecall, s"pq=$recall < ivf=$ivfRecall")
+    // reported cosines are EXACT (post-rerank): every (pair -> cosine)
+    // agrees with the brute-force values
+    val exactCos = SparkEntry.queries("ann_topk")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(3)).toMap
+    SparkEntry.queries("ann_pq_topk")(spark, sf).collect().foreach { r =>
+      exactCos.get((r.getLong(0), r.getLong(1)))
+        .foreach(c => assert(c == r.getDouble(3), "re-ranked cosine differs from exact"))
+    }
+  }
+
   test("trained k-means IVF centroids beat hash centroids at equal nProbe") {
     def pairs(df: org.apache.spark.sql.DataFrame) = df.collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
