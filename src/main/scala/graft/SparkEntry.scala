@@ -79,6 +79,7 @@ object SparkEntry {
     "text_quality"       -> TextOps.textQuality _,
     "text_repetition"    -> TextOps.textRepetition _,
     "text_redact"        -> TextOps.textRedact _,
+    "token_rarity"       -> ((s: SparkSession, d: String) => TextOps.tokenRarity(s, d)),
     "token_count"        -> TextOps.tokenCount _,
     "doc_fingerprint"    -> TextOps.docFingerprint _,
     "multimodal_meta"    -> TextOps.multimodalMeta _,
@@ -433,6 +434,7 @@ object SparkEntry {
     "text_quality" -> operators.TextOps.textQualityOracleSql,
     "text_repetition" -> operators.TextOps.textRepetitionOracleSql,
     "text_redact" -> operators.TextOps.textRedactOracleSql,
+    "token_rarity" -> operators.TextOps.tokenRarityOracleSql(),
 
     "token_count" ->
       """WITH t AS (SELECT doc_id, length(text) AS n,

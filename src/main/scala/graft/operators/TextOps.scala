@@ -442,6 +442,72 @@ object TextOps {
       |FROM uni LEFT JOIN bi USING (doc_id) JOIN tri USING (doc_id)
       |ORDER BY doc_id""".stripMargin
 
+  /** Corpus-frequency quality scoring (the CCNet-family LM filter,
+    * exact-integer form): per document, how "ordinary" its tokens are
+    * under the corpus's own unigram statistics — mean corpus
+    * frequency of its tokens, fraction of rare tokens (corpus count ≤
+    * `rareMax`), and out-of-vocabulary fraction against the corpus's
+    * top-`vocabSize` tokens. The standard cheap proxy for "is this
+    * text language-like or junk" when a real LM is not in the loop —
+    * and unlike log-prob perplexity it is all BIGINT arithmetic, so
+    * any engine reproduces it bit-identically (no FP summation order,
+    * no ulp-sensitive log/floor).
+    *
+    * Scale shape: one explode → (tok) hash aggregate builds the
+    * frequency table (map-side partials absorb the fan-out); the
+    * top-V vocabulary is a rank over that (already aggregated, small)
+    * table with a deterministic (count desc, token asc) tie-break;
+    * postings re-join the frequency table on tok and aggregate back
+    * on doc_id — two shuffles total, both on short keys, never text
+    * beyond single tokens. */
+  def tokenRarity(spark: SparkSession, dir: String, rareMax: Long = 2,
+                  vocabSize: Int = 30): DataFrame = {
+    import spark.implicits._
+    val posts = Tables.documents(spark, dir)
+      .select($"doc_id", explode(split($"text", " ")).as("tok"))
+    val freq = posts.groupBy($"tok").agg(count(lit(1)).as("cnt"))
+    // membership-only top-V: orderBy+limit plans TakeOrderedAndProject
+    // (per-partition top-V + tiny driver merge) — no global-window
+    // single-task rank
+    val vocab = freq.orderBy($"cnt".desc, $"tok").limit(vocabSize)
+      .select($"tok", lit(1L).as("in_vocab"))
+    posts.join(freq, Seq("tok")).join(vocab, Seq("tok"), "left")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum($"cnt").as("sum_freq"),
+        sum(when($"cnt" <= rareMax, 1L).otherwise(0L)).as("n_rare"),
+        sum(when($"in_vocab".isNull, 1L).otherwise(0L)).as("n_oov"))
+      .select($"doc_id", $"n_tokens",
+        (expr("sum_freq * 100 div n_tokens").cast("double") / 100.0).as("mean_tok_freq"),
+        (expr("n_rare * 10000 div n_tokens").cast("double") / 10000.0).as("rare_frac"),
+        (expr("n_oov * 10000 div n_tokens").cast("double") / 10000.0).as("oov_frac"))
+      .orderBy($"doc_id")
+  }
+
+  /** DuckDB oracle for [[tokenRarity]] — same two aggregates, same
+    * deterministic top-V rank, same truncated integer ratios. */
+  def tokenRarityOracleSql(rareMax: Long = 2, vocabSize: Int = 30): String =
+    s"""WITH posts AS (
+       |  SELECT doc_id, u.tok AS tok
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents), unnest(ws) AS u(tok)),
+       |freq AS (SELECT tok, count(*) AS cnt FROM posts GROUP BY tok),
+       |vocab AS (SELECT tok, 1 AS in_vocab
+       |          FROM (SELECT tok, row_number() OVER (ORDER BY cnt DESC, tok) AS rk FROM freq)
+       |          WHERE rk <= $vocabSize),
+       |agg AS (
+       |  SELECT p.doc_id,
+       |         CAST(count(*) AS BIGINT) AS n_tokens,
+       |         CAST(sum(f.cnt) AS BIGINT) AS sum_freq,
+       |         CAST(sum(CASE WHEN f.cnt <= $rareMax THEN 1 ELSE 0 END) AS BIGINT) AS n_rare,
+       |         CAST(sum(CASE WHEN v.in_vocab IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov
+       |  FROM posts p JOIN freq f USING (tok) LEFT JOIN vocab v USING (tok)
+       |  GROUP BY p.doc_id)
+       |SELECT doc_id, n_tokens,
+       |       (sum_freq * 100 // n_tokens) / 100.0 AS mean_tok_freq,
+       |       (n_rare * 10000 // n_tokens) / 10000.0 AS rare_frac,
+       |       (n_oov * 10000 // n_tokens) / 10000.0 AS oov_frac
+       |FROM agg ORDER BY doc_id""".stripMargin
+
   // Redaction classes: Java-regex and RE2 (DuckDB) compatible — ASCII
   // \b word boundaries, bounded repeats, no lookaround.
   private val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
