@@ -32,6 +32,7 @@ object SparkEntry {
     // checked against the same DuckDB oracles as their batch twins
     "stream_hop_agg"     -> EngagementStream.streamHopAgg _,
     "stream_hop_append"  -> ((s: SparkSession, d: String) => EngagementStream.streamHopAppend(s, d)),
+    "stream_tumble_append" -> ((s: SparkSession, d: String) => EngagementStream.streamTumbleAppend(s, d)),
     "stream_tumble_agg"  -> EngagementStream.streamTumbleAgg _,
     "stream_topk_per_group" -> ((s: SparkSession, d: String) => EngagementStream.streamTopkPerGroup(s, d)),
     "stream_enrich"      -> EngagementStream.streamEnrich _,
@@ -128,6 +129,17 @@ object SparkEntry {
           |HAVING w_start + INTERVAL 10 MINUTE
           |       <= (SELECT max(CAST(ts AS TIMESTAMP)) - INTERVAL 47 MINUTE FROM events)
           |ORDER BY w_start, event_type""".stripMargin,
+      // the tumbling twin: batch TUMBLE rows whose hourly window
+      // closed under the final watermark
+      "stream_tumble_append" ->
+        """SELECT CAST(date_trunc('hour', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS w_start, event_type,
+          |       count(*) AS n,
+          |       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS total,
+          |       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / (count(*) * 100.0) AS avg_value
+          |FROM events GROUP BY 1, 2
+          |HAVING w_start + INTERVAL 1 HOUR
+          |       <= (SELECT max(CAST(ts AS TIMESTAMP)) - INTERVAL 47 MINUTE FROM events)
+          |ORDER BY 1, 2""".stripMargin,
       "stream_tumble_agg"  -> base("tumble_window_agg"),
       "stream_topk_per_group" -> base("topk_per_group"),
       "stream_enrich"      -> base("enrich_events"),

@@ -89,6 +89,19 @@ object EngagementStream {
       OutputMode.Append())
       .orderBy(col("w_start"), col("event_type"))
 
+  /** SURVEY §2 #9c: [[streamHopAppend]]'s tumbling twin — the shared
+    * [[Engagement.tumbleAggTransform]] in Append mode with
+    * watermark-closed hourly windows (same eviction/late-drop
+    * semantics, proven by the hop specs; the 47-minute delay is off
+    * the 1-hour grid for the same boundary-safety reason). */
+  def streamTumbleAppend(spark: SparkSession, dir: String,
+                         delay: String = "47 minutes"): DataFrame =
+    StreamSources.runToMemory(
+      Engagement.tumbleAggTransform(
+        StreamSources.events(spark, dir).withWatermark("ts", delay)),
+      OutputMode.Append())
+      .orderBy(col("w_start"), col("event_type"))
+
   /** SURVEY §2 #10: dimension enrichment as a stream-static broadcast
     * join (the Spark analog of the reference's
     * `FOR SYSTEM_TIME AS OF` lookup join, process.py:163-183) —
