@@ -87,6 +87,7 @@ object SparkEntry {
     "multimodal_decode"  -> Multimodal.decode _,
     "multimodal_pipeline" -> Multimodal.pipeline _,
     "dedup_substring"    -> ((s: SparkSession, d: String) => Dedup.dedupSubstring(s, d)),
+    "dedup_substring_remove" -> ((s: SparkSession, d: String) => Dedup.dedupSubstringRemove(s, d)),
     "dedup_minhash_lsh"  -> ((s: SparkSession, d: String) => Dedup.minHashLsh(s, d)),
     "dedup_clusters"     -> ((s: SparkSession, d: String) => Dedup.dedupClusters(s, d)),
     "dedup_clusters_star" -> ((s: SparkSession, d: String) => Dedup.dedupClustersStar(s, d)),
@@ -460,6 +461,7 @@ object SparkEntry {
     "doc_fingerprint" -> operators.TextOps.docFingerprintOracleSql,
 
     "dedup_substring" -> operators.Dedup.dedupSubstringOracleSql(),
+    "dedup_substring_remove" -> operators.Dedup.dedupSubstringRemoveOracleSql(),
 
     "dedup_minhash_lsh" -> operators.Dedup.minHashLshOracleSql(),
 

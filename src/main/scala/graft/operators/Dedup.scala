@@ -700,9 +700,10 @@ object Dedup {
   private val substringPostsCache =
     GraftCaches.memo[AnyRef, DataFrame](_.unpersist())
 
-  /** [[dedupSubstring]] over any (doc_id, text) frame — lets the spec
-    * feed documents with a known planted repeat. */
-  def dedupSubstringTransform(spark: SparkSession, documents: DataFrame, k: Int): DataFrame = {
+  /** Shared core of the substring-dedup family: tokenized docs and
+    * their merged repeated-span intervals. */
+  private def substringSpans(spark: SparkSession, documents: DataFrame,
+                             k: Int): (DataFrame, DataFrame) = {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
 
@@ -735,6 +736,14 @@ object Dedup {
       .withColumn("island", sum($"ni").over(w))
       .groupBy($"doc_id", $"island")
       .agg(min($"pos").as("s"), (max($"pos") + lit(k.toLong - 1)).as("e"))
+    (docs, spans)
+  }
+
+  /** [[dedupSubstring]] over any (doc_id, text) frame — lets the spec
+    * feed documents with a known planted repeat. */
+  def dedupSubstringTransform(spark: SparkSession, documents: DataFrame, k: Int): DataFrame = {
+    import spark.implicits._
+    val (docs, spans) = substringSpans(spark, documents, k)
 
     val summary = spans.groupBy($"doc_id")
       .agg(count(lit(1)).as("spans"),
@@ -751,6 +760,83 @@ object Dedup {
         expr("dup_tokens * 10000 div n_tokens").cast("double") / 10000.0)
       .orderBy($"doc_id")
   }
+
+  /** The REMOVAL half of ExactSubstr dedup (Lee et al. 2022 §4.1):
+    * strip every repeated-span token from every document and report
+    * the cleaned text (as md5 — engines must agree byte-for-byte).
+    * This is the aggressive strip-all-occurrences variant several
+    * open reimplementations ship: simple, order-free, and it removes
+    * boilerplate everywhere it appears; a keep-one-canonical-copy
+    * policy would additionally need a global occurrence election
+    * (min (doc_id, pos) per repeated run) feeding an exception list
+    * into the anti-join below — the plan shape stays identical.
+    *
+    * Scale shape on top of [[substringSpans]]: spans explode to
+    * (doc_id, pos) covered positions (output-sized, no text), kept
+    * tokens are one anti-join away, and the cleaned text reassembles
+    * with one doc_id-keyed sort_array aggregation — order restored
+    * from the carried pos, not from shuffle order. */
+  def dedupSubstringRemove(spark: SparkSession, dir: String, k: Int = 8): DataFrame =
+    dedupSubstringRemoveTransform(spark, Tables.documents(spark, dir), k)
+
+  def dedupSubstringRemoveTransform(spark: SparkSession, documents: DataFrame,
+                                    k: Int): DataFrame = {
+    import spark.implicits._
+    val (docs, spans) = substringSpans(spark, documents, k)
+
+    // merged islands never overlap, so the explode emits each covered
+    // position exactly once
+    val covered = spans.select($"doc_id", explode(sequence($"s", $"e")).as("pos"))
+    val toks = docs.select($"doc_id", posexplode($"words").as(Seq("p0", "tok")))
+      .select($"doc_id", ($"p0" + 1).cast("long").as("pos"), $"tok")
+    val kept = toks.join(covered, Seq("doc_id", "pos"), "left_anti")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("kept"),
+        md5(concat_ws(" ",
+          transform(array_sort(collect_list(struct($"pos", $"tok"))), x => x("tok"))))
+          .as("chash"))
+
+    docs.select($"doc_id", $"n_tokens")
+      .join(kept, Seq("doc_id"), "left")
+      .select($"doc_id", $"n_tokens",
+        coalesce($"kept", lit(0L)).as("kept_tokens"),
+        // a fully-covered doc keeps nothing: hash of the empty string
+        coalesce($"chash", md5(lit(""))).as("cleaned_hash"))
+      .orderBy($"doc_id")
+  }
+
+  /** DuckDB oracle for [[dedupSubstringRemove]] — same spans, same
+    * anti-join, cleaned text rebuilt with an ordered string_agg. */
+  def dedupSubstringRemoveOracleSql(k: Int = 8): String =
+    s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+       |t AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_tokens, ws FROM d),
+       |g AS (SELECT doc_id, CAST(u.i AS BIGINT) AS pos,
+       |             array_to_string(ws[u.i:u.i+$k-1], ' ') AS gram
+       |      FROM t, unnest(range(1, len(ws) - $k + 2)) AS u(i)),
+       |dup AS (SELECT gram FROM g GROUP BY gram HAVING count(*) >= 2),
+       |m AS (SELECT g.doc_id, g.pos FROM g JOIN dup USING (gram)),
+       |i1 AS (SELECT doc_id, pos,
+       |              CASE WHEN lag(pos) OVER w IS NULL OR pos > lag(pos) OVER w + $k
+       |                   THEN 1 ELSE 0 END AS ni
+       |       FROM m WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+       |i2 AS (SELECT doc_id, pos,
+       |              sum(ni) OVER (PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS island
+       |       FROM i1),
+       |sp AS (SELECT doc_id, island, min(pos) AS s, max(pos) + $k - 1 AS e
+       |       FROM i2 GROUP BY 1, 2),
+       |cov AS (SELECT doc_id, CAST(u.pos AS BIGINT) AS pos
+       |        FROM sp, unnest(range(s, e + 1)) AS u(pos)),
+       |toks AS (SELECT doc_id, CAST(u.i AS BIGINT) AS pos, ws[u.i] AS tok
+       |         FROM t, unnest(range(1, len(ws) + 1)) AS u(i)),
+       |kept AS (SELECT tk.doc_id, CAST(count(*) AS BIGINT) AS kept,
+       |                md5(string_agg(tk.tok, ' ' ORDER BY tk.pos)) AS chash
+       |         FROM toks tk ANTI JOIN cov c ON tk.doc_id = c.doc_id AND tk.pos = c.pos
+       |         GROUP BY tk.doc_id)
+       |SELECT t.doc_id, t.n_tokens,
+       |       CAST(coalesce(kept, 0) AS BIGINT) AS kept_tokens,
+       |       coalesce(chash, md5('')) AS cleaned_hash
+       |FROM t LEFT JOIN kept ON t.doc_id = kept.doc_id
+       |ORDER BY t.doc_id""".stripMargin
 
   /** DuckDB oracle for [[dedupSubstring]]: the same postings →
     * repeated-gram → interval-merge algorithm, keyed on the gram

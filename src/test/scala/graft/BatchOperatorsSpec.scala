@@ -436,6 +436,17 @@ class BatchOperatorsSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAl
     assert(out(3L) == ((1L, 9L, 9L, 1.0)))
     // doc 4: clean
     assert(out(4L) == ((0L, 0L, 0L, 0.0)))
+
+    // the removal half: repeated spans stripped, order preserved
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    val rem = graft.operators.Dedup.dedupSubstringRemoveTransform(spark, docs, k = 3)
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getString(3))).toMap
+    assert(rem(1L) == ((4L, md5hex("p q v w"))))
+    assert(rem(2L) == ((4L, md5hex("z1 z2 y1 y2"))))
+    assert(rem(3L) == ((0L, md5hex(""))), "fully-covered doc keeps nothing")
+    assert(rem(4L) == ((6L, md5hex("u1 u2 u3 u4 u5 u6"))), "clean doc untouched")
   }
 
   test("dedup_semantic is sound within cells and recalls most exact pairs") {
