@@ -75,6 +75,7 @@ object SparkEntry {
     "stratified_sample"   -> ((s: SparkSession, d: String) => Sampling.stratifiedSample(s, d)),
     "pack_sequences"      -> ((s: SparkSession, d: String) => Sampling.packSequences(s, d)),
     "ngram_contamination" -> ((s: SparkSession, d: String) => Sampling.ngramContamination(s, d)),
+    "doc_chunking"        -> ((s: SparkSession, d: String) => Sampling.docChunking(s, d)),
     "corpus_filter"       -> ((s: SparkSession, d: String) => TextOps.corpusFilter(s, d)),
     "lang_id"            -> TextOps.langId _,
     "text_quality"       -> TextOps.textQuality _,
@@ -443,6 +444,8 @@ object SparkEntry {
         |SELECT cg.doc_id, CAST(count(DISTINCT cg.gram) AS BIGINT) AS n_shared_ngrams
         |FROM cg JOIN eg ON cg.gram = eg.gram
         |GROUP BY cg.doc_id ORDER BY cg.doc_id""".stripMargin,
+
+    "doc_chunking" -> operators.Sampling.docChunkingOracleSql(),
 
     "text_quality" -> operators.TextOps.textQualityOracleSql,
     "text_repetition" -> operators.TextOps.textRepetitionOracleSql,

@@ -110,6 +110,55 @@ object Sampling {
       .orderBy($"doc_id")
   }
 
+  /** Overlapping token-window chunking — the embedding/RAG prep stage
+    * next to [[packSequences]]'s pretraining layout: each document
+    * splits into windows of `window` tokens advancing by `stride`
+    * (overlap = window − stride keeps context across cuts), the last
+    * chunk clamped to the doc end, short docs yielding exactly one
+    * chunk. Chunk text is reported as md5 (byte-exact across
+    * engines, compact output).
+    *
+    * Pure per-row arithmetic: chunk count and spans derive from
+    * size(words) alone, the explode emits output-sized rows, and
+    * nothing shuffles before the ordered output — embarrassingly
+    * parallel at any corpus size. */
+  def docChunking(spark: SparkSession, dir: String,
+                  window: Int = 64, stride: Int = 48): DataFrame = {
+    import spark.implicits._
+    require(stride > 0 && stride <= window, "need 0 < stride <= window")
+    Tables.documents(spark, dir)
+      .select($"doc_id", split($"text", " ").as("words"))
+      .withColumn("n_tokens", size($"words").cast("long"))
+      // 1 chunk when n <= window, else 1 + ceil((n - window) / stride)
+      .withColumn("n_chunks",
+        expr(s"(greatest(n_tokens - $window, 0) + ${stride - 1}) div $stride") + 1)
+      .select($"doc_id", $"words", $"n_tokens", $"n_chunks",
+        explode(sequence(lit(0L), $"n_chunks" - 1)).as("chunk_id"))
+      .withColumn("c_start", $"chunk_id" * stride + 1)
+      .withColumn("c_end", least($"c_start" + lit(window.toLong - 1), $"n_tokens"))
+      .select($"doc_id", $"chunk_id", $"n_tokens", $"n_chunks", $"c_start", $"c_end",
+        ($"c_end" - $"c_start" + 1).as("chunk_tokens"),
+        md5(concat_ws(" ", slice($"words", $"c_start".cast("int"),
+          ($"c_end" - $"c_start" + 1).cast("int")))).as("chunk_hash"))
+      .orderBy($"doc_id", $"chunk_id")
+  }
+
+  /** DuckDB oracle for [[docChunking]] — same chunk arithmetic, same
+    * md5 over the sliced tokens. */
+  def docChunkingOracleSql(window: Int = 64, stride: Int = 48): String =
+    s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+       |t AS (SELECT doc_id, ws, CAST(len(ws) AS BIGINT) AS n_tokens,
+       |             CAST((greatest(len(ws) - $window, 0) + ${stride - 1}) // $stride + 1 AS BIGINT) AS n_chunks
+       |      FROM d),
+       |c AS (SELECT doc_id, ws, n_tokens, n_chunks, CAST(u.ci AS BIGINT) AS chunk_id
+       |      FROM t, unnest(range(0, n_chunks)) AS u(ci))
+       |SELECT doc_id, chunk_id, n_tokens, n_chunks,
+       |       chunk_id * $stride + 1 AS c_start,
+       |       least(chunk_id * $stride + $window, n_tokens) AS c_end,
+       |       least(chunk_id * $stride + $window, n_tokens) - chunk_id * $stride AS chunk_tokens,
+       |       md5(array_to_string(ws[(chunk_id * $stride + 1):least(chunk_id * $stride + $window, n_tokens)], ' ')) AS chunk_hash
+       |FROM c ORDER BY doc_id, chunk_id""".stripMargin
+
   /** Benchmark-contamination scan: flag corpus documents sharing any
     * word n-gram with a held-out evaluation set.
     *
