@@ -95,6 +95,31 @@ class ExpressionEdgeSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAl
     assert(r.getSeq[Int](1) == Seq(0, 1, 2, 3))
   }
 
+  test("graft_topk works in a window frame (eval called repeatedly on a live buffer)") {
+    // the destructive-eval regression class: in a running window frame
+    // Spark's AggregateProcessor calls eval() on the SAME buffer once
+    // per row — a heap-draining eval returns the right answer for the
+    // first row and empty arrays for every later one
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    Seq(("a", 1L, 1.0), ("a", 2L, 3.0), ("a", 3L, 2.0),
+        ("b", 4L, 5.0), ("b", 5L, 4.0))
+      .toDF("g", "id", "score").createOrReplaceTempView("topk_window_in")
+    val rows = spark.sql(
+      """SELECT g, id,
+        |       graft_topk(score, id, 2) OVER (PARTITION BY g ORDER BY id
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running
+        |FROM topk_window_in ORDER BY g, id""".stripMargin).collect()
+    val running = rows.map(r => (r.getString(0), r.getLong(1),
+      r.getSeq[Row](2).map(x => (x.getDouble(0), x.getLong(1))).toList))
+    assert(running.toList == List(
+      ("a", 1L, List((1.0, 1L))),
+      ("a", 2L, List((3.0, 2L), (1.0, 1L))),
+      ("a", 3L, List((3.0, 2L), (2.0, 3L))),
+      ("b", 4L, List((5.0, 4L))),
+      ("b", 5L, List((5.0, 4L), (4.0, 5L)))))
+  }
+
   test("interpreted eval matches codegen for a non-trivial input") {
     // same expressions evaluated through a projection (codegen) and
     // via expression.eval (interpreted) must agree bit-for-bit
