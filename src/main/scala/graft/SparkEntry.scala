@@ -82,6 +82,7 @@ object SparkEntry {
     "text_repetition"    -> TextOps.textRepetition _,
     "text_redact"        -> TextOps.textRedact _,
     "token_rarity"       -> ((s: SparkSession, d: String) => TextOps.tokenRarity(s, d)),
+    "tfidf_top_terms"    -> ((s: SparkSession, d: String) => TextOps.tfidfTopTerms(s, d)),
     "token_count"        -> TextOps.tokenCount _,
     "doc_fingerprint"    -> TextOps.docFingerprint _,
     "multimodal_meta"    -> TextOps.multimodalMeta _,
@@ -451,6 +452,7 @@ object SparkEntry {
     "text_repetition" -> operators.TextOps.textRepetitionOracleSql,
     "text_redact" -> operators.TextOps.textRedactOracleSql,
     "token_rarity" -> operators.TextOps.tokenRarityOracleSql(),
+    "tfidf_top_terms" -> operators.TextOps.tfidfTopTermsOracleSql(),
 
     "token_count" ->
       """WITH t AS (SELECT doc_id, length(text) AS n,

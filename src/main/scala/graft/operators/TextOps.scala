@@ -508,6 +508,54 @@ object TextOps {
        |       (n_oov * 10000 // n_tokens) / 10000.0 AS oov_frac
        |FROM agg ORDER BY doc_id""".stripMargin
 
+  /** TF-IDF keyword extraction, exact-integer form: the `topN`
+    * highest-scoring terms per document where
+    * `score = (tf · N · 10000) div df` — term frequency × inverse
+    * document frequency with the usual log dropped in favor of a
+    * truncated integer ratio, which preserves a deterministic
+    * ranking (the log is monotone in N/df, so top-N by N/df equals
+    * top-N by log(N/df)) while keeping every value BIGINT —
+    * bit-identical in any engine, no FP summation or ulp-sensitive
+    * log. Ties break by term asc.
+    *
+    * Scale shape: postings → (doc, term) tf aggregate (map-side
+    * partials) → term-level df aggregate on the already-reduced
+    * pairs → join back on term → per-doc top-N window. The window
+    * partitions by doc_id — millions of balanced partitions, not the
+    * few-groups trap. */
+  def tfidfTopTerms(spark: SparkSession, dir: String, topN: Int = 3): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+    val nDocs = docs.count()
+    val tf = docs.select($"doc_id", explode(split($"text", " ")).as("term"))
+      .groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy($"term").agg(count(lit(1)).as("df"))
+    tf.join(df, Seq("term"))
+      .withColumn("score", expr(s"tf * ${nDocs}L * 10000 div df"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy($"doc_id").orderBy($"score".desc, $"term")).cast("long"))
+      .filter($"rank" <= topN)
+      .select($"doc_id", $"rank", $"term", $"tf", $"df", $"score")
+      .orderBy($"doc_id", $"rank")
+  }
+
+  /** DuckDB oracle for [[tfidfTopTerms]] — same integer score, same
+    * deterministic tie-break. */
+  def tfidfTopTermsOracleSql(topN: Int = 3): String =
+    s"""WITH tf AS (
+       |  SELECT doc_id, u.term AS term, CAST(count(*) AS BIGINT) AS tf
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents), unnest(ws) AS u(term)
+       |  GROUP BY doc_id, u.term),
+       |df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+       |n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+       |s AS (SELECT tf.doc_id, tf.term, tf.tf, df.df,
+       |             CAST(tf.tf * n.n_docs * 10000 // df.df AS BIGINT) AS score
+       |      FROM tf JOIN df USING (term) CROSS JOIN n),
+       |r AS (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rank
+       |      FROM s)
+       |SELECT doc_id, CAST(rank AS BIGINT) AS rank, term, tf, df, score
+       |FROM r WHERE rank <= $topN ORDER BY doc_id, rank""".stripMargin
+
   // Redaction classes: Java-regex and RE2 (DuckDB) compatible — ASCII
   // \b word boundaries, bounded repeats, no lookaround.
   private val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
