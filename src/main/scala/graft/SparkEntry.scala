@@ -28,6 +28,12 @@ object SparkEntry {
     "asof_join"          -> Engagement.asofJoin _,
     "funnel_conversion"  -> Engagement.funnelConversion _,
     "retention_cohorts"  -> ((s: SparkSession, d: String) => Engagement.retentionCohorts(s, d)),
+    // behavioral analytics over the enriched event log
+    "attribution_last_touch" -> Behavior.attributionLastTouch _,
+    "event_transitions"  -> Behavior.eventTransitions _,
+    "decayed_leaderboard" -> ((s: SparkSession, d: String) => Behavior.decayedLeaderboard(s, d)),
+    "lag_features"       -> Behavior.lagFeatures _,
+    "anomaly_zscore"     -> ((s: SparkSession, d: String) => Behavior.anomalyZscore(s, d)),
     // Structured Streaming (real engine: readStream -> AvailableNow),
     // checked against the same DuckDB oracles as their batch twins
     "stream_hop_agg"     -> EngagementStream.streamHopAgg _,
@@ -197,6 +203,64 @@ object SparkEntry {
         |FROM u LEFT JOIN v ON u.user_id = v.user_id
         |       LEFT JOIN c ON u.user_id = c.user_id
         |       LEFT JOIN p ON u.user_id = p.user_id""".stripMargin,
+
+    // last-touch attribution: the same struct-max carry-forward
+    // window as the Spark side (Behavior.attributionLastTouch) — no
+    // touches x conversions self-join in either engine
+    "attribution_last_touch" ->
+      """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, event_type, value FROM events),
+        |lt AS (SELECT *, max(CASE WHEN event_type IN ('view','click')
+        |                          THEN {'ts': ts, 'eid': event_id, 'et': event_type} END)
+        |              OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_touch
+        |       FROM e)
+        |SELECT CASE WHEN last_touch IS NOT NULL AND last_touch.ts >= ts - INTERVAL 7 DAY
+        |            THEN last_touch.et ELSE 'none' END AS touch_type,
+        |       count(*) AS n_conversions, round(sum(value), 2) AS attributed_value
+        |FROM lt WHERE event_type = 'purchase'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "event_transitions" ->
+      """WITH p AS (
+        |  SELECT prev_type, event_type AS curr_type, count(*) AS n
+        |  FROM (SELECT event_type,
+        |               lag(event_type) OVER (PARTITION BY user_id
+        |                                     ORDER BY CAST(ts AS TIMESTAMP), event_id) AS prev_type
+        |        FROM events) t
+        |  WHERE prev_type IS NOT NULL GROUP BY 1, 2)
+        |SELECT prev_type, curr_type, n,
+        |       round(n / (sum(n) OVER (PARTITION BY prev_type)), 4) AS p
+        |FROM p ORDER BY prev_type, curr_type""".stripMargin,
+
+    // decay anchored at the corpus max ts; exp() is IEEE libm in
+    // both engines and the 4-decimal round absorbs last-ulp drift
+    "decayed_leaderboard" ->
+      """WITH r AS (SELECT max(CAST(ts AS TIMESTAMP)) AS t_ref FROM events)
+        |SELECT user_id,
+        |       round(sum(value * exp(-0.6931471805599453 / 86400.0 *
+        |                 (epoch_us(r.t_ref) - epoch_us(CAST(ts AS TIMESTAMP))) / 1e6)), 4) AS score
+        |FROM events CROSS JOIN r
+        |GROUP BY user_id ORDER BY score DESC, user_id LIMIT 20""".stripMargin,
+
+    "lag_features" ->
+      """SELECT event_id, user_id, value,
+        |       lag(value, 1) OVER w AS value_lag1,
+        |       lag(value, 2) OVER w AS value_lag2,
+        |       round((epoch_us(CAST(ts AS TIMESTAMP)) - epoch_us(lag(CAST(ts AS TIMESTAMP), 1) OVER w)) / 1e6, 3) AS gap_seconds,
+        |       round(avg(value) OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id
+        |                              ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING), 4) AS rolling_avg3
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)
+        |ORDER BY event_id""".stripMargin,
+
+    "anomaly_zscore" ->
+      """WITH s AS (SELECT event_type, avg(value) AS mean, stddev_samp(value) AS sd
+        |           FROM events GROUP BY 1)
+        |SELECT e.event_type, count(*) AS n,
+        |       CAST(sum(CASE WHEN abs(e.value - s.mean) > 2.5 * s.sd THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+        |       round(sum(CASE WHEN abs(e.value - s.mean) > 2.5 * s.sd THEN 1 ELSE 0 END) / count(*), 4) AS outlier_share
+        |FROM events e JOIN s ON e.event_type = s.event_type
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "retention_cohorts" ->
       """WITH a AS (SELECT DISTINCT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day FROM events),

@@ -1,0 +1,173 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Behavioral-analytics surface downstream of the reference's
+  * engagement stream: attribution, transition graphs, time-decayed
+  * scoring, ML feature preparation, and statistical anomaly
+  * flagging. The reference feeds its ClickHouse sink exactly so an
+  * analyst can run this family over the event log
+  * (`src/process.py:43-76` routes the enriched stream to the
+  * analytics store); here each is a first-class distributed operator.
+  *
+  * Common scale shape: everything keyed by `user_id` shuffles ONCE on
+  * that key and then stays inside the partition (window functions
+  * over `(user_id, ts)` need co-partitioning + intra-partition sort,
+  * not a global sort). Aggregated outputs are bounded by
+  * |event_type|² or top-N, so the final collect is trivially small.
+  *
+  * Each operator is a pure `DataFrame => DataFrame` transform over an
+  * events-shaped input (same pattern as [[Engagement.enrichTransform]])
+  * so specs can plant adversarial scenarios and the streaming layer
+  * can reuse the expression trees; the `(spark, dir)` wrappers bind
+  * the test corpus.
+  */
+object Behavior {
+
+  /** Last-touch attribution: each conversion (`purchase`) is credited
+    * to the user's most recent preceding touch (`view`/`click`)
+    * within the lookback window; conversions with no touch in the
+    * window fall into the `none` bucket.
+    *
+    * Spark-first shape: a per-user carry-forward window over
+    * `max(struct(ts, event_id, event_type))` with a
+    * `[unbounded, 1 preceding]` frame — the struct max carries the
+    * latest touch's type alongside its timestamp in ONE window pass,
+    * so there is no touches×conversions self-join (the naive
+    * formulation that blows up quadratically on power users). One
+    * shuffle on user_id; the attribution aggregate is map-side
+    * combinable and ≤ |touch types|+1 rows.
+    */
+  def attributionTransform(events: DataFrame, lookback: String = "INTERVAL 7 DAYS"): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val touch = when(col("event_type").isin("view", "click"),
+      struct(col("ts"), col("event_id"), col("event_type")))
+    events.select(col("user_id"), col("ts"), col("event_id"), col("event_type"), col("value"))
+      .withColumn("last_touch", max(touch).over(w))
+      .filter(col("event_type") === "purchase")
+      .withColumn("touch_type",
+        when(col("last_touch").isNotNull &&
+             col("last_touch.ts") >= col("ts") - expr(lookback),
+          col("last_touch.event_type")).otherwise(lit("none")))
+      .groupBy(col("touch_type"))
+      .agg(count("*").as("n_conversions"),
+           round(sum(col("value")), 2).as("attributed_value"))
+      .orderBy(col("touch_type"))
+  }
+
+  def attributionLastTouch(spark: SparkSession, dir: String): DataFrame =
+    attributionTransform(Tables.events(spark, dir))
+
+  /** Event-type transition counts (first-order Markov graph): for
+    * each user's time-ordered stream, count `prev → curr` event-type
+    * pairs and the per-source transition probability. The behavioral
+    * fingerprint behind "what do users do after an error?" dashboards.
+    *
+    * One shuffle on user_id for the lag window; the pair aggregate is
+    * map-side combinable down to |types|² rows, and the probability
+    * normalization is a window over that tiny aggregate (not the raw
+    * stream).
+    */
+  def transitionsTransform(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val pairs = events
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+      .filter(col("prev_type").isNotNull)
+      .groupBy(col("prev_type"), col("event_type").as("curr_type"))
+      .agg(count("*").as("n"))
+    pairs
+      .withColumn("p", round(col("n") / sum(col("n")).over(Window.partitionBy(col("prev_type"))), 4))
+      .orderBy(col("prev_type"), col("curr_type"))
+  }
+
+  def eventTransitions(spark: SparkSession, dir: String): DataFrame =
+    transitionsTransform(Tables.events(spark, dir))
+
+  /** Time-decayed leaderboard: per-user engagement score where each
+    * event contributes `value · 2^(−age/half-life)` (half-life
+    * `halfLifeSec`, aged against the corpus max timestamp). The
+    * exponential-decay upgrade of the reference's cumulative Redis
+    * ZINCRBY leaderboard (`process.py:88-104`) — recent engagement
+    * dominates, stale engagement fades, and the score is a plain SUM
+    * so it stays map-side combinable (decay applied per event BEFORE
+    * the aggregate; no per-user event lists, no state).
+    *
+    * The reference timestamp is a one-row aggregate broadcast back
+    * via cross join — at 100 TB the anchor is typically the batch
+    * boundary and arrives as a literal instead.
+    */
+  def decayedTransform(events: DataFrame, topN: Int, halfLifeSec: Double): DataFrame = {
+    val ev = events.select(col("user_id"), col("ts"), col("value"))
+    val tRef = ev.agg(max(col("ts")).as("t_ref"))
+    val ageSec = (unix_micros(col("t_ref")) - unix_micros(col("ts"))).cast("double") / 1e6
+    ev.crossJoin(broadcast(tRef))
+      .withColumn("decayed", col("value") * exp(lit(-math.log(2.0) / halfLifeSec) * ageSec))
+      .groupBy(col("user_id"))
+      .agg(round(sum(col("decayed")), 4).as("score"))
+      .orderBy(col("score").desc, col("user_id"))
+      .limit(topN)
+  }
+
+  def decayedLeaderboard(spark: SparkSession, dir: String, topN: Int = 20): DataFrame =
+    decayedTransform(Tables.events(spark, dir), topN, halfLifeSec = 86400.0)
+
+  /** Per-user lag/rolling feature preparation — the standard
+    * training-data shape for sequence models over event streams:
+    * previous values, inter-event gap, and a trailing-3 rolling mean,
+    * all strictly from PAST events (frame ends at `1 preceding`) so
+    * the features are leakage-free for next-event prediction.
+    *
+    * One shuffle on user_id; every feature comes out of the same
+    * window pass (Spark collapses same-spec window functions into one
+    * physical Window operator — the rolling frame shares the sort).
+    */
+  def lagFeaturesTransform(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val wRoll = w.rowsBetween(-3, -1)
+    events
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+      .withColumn("value_lag1", lag(col("value"), 1).over(w))
+      .withColumn("value_lag2", lag(col("value"), 2).over(w))
+      .withColumn("gap_seconds",
+        round((unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(w))).cast("double") / 1e6, 3))
+      .withColumn("rolling_avg3", round(avg(col("value")).over(wRoll), 4))
+      .select(col("event_id"), col("user_id"), col("value"),
+        col("value_lag1"), col("value_lag2"), col("gap_seconds"), col("rolling_avg3"))
+      .orderBy(col("event_id"))
+  }
+
+  def lagFeatures(spark: SparkSession, dir: String): DataFrame =
+    lagFeaturesTransform(Tables.events(spark, dir))
+
+  /** Statistical anomaly flagging: per event type, how many events
+    * sit more than `nSigma` sample standard deviations from that
+    * type's mean. The classic two-pass z-score screen over a metrics
+    * stream.
+    *
+    * Pass 1 is a tiny aggregate (|types| rows of Welford moments,
+    * map-side combined); it broadcasts back onto the fact table so
+    * the classification pass re-scans WITHOUT shuffling the events —
+    * at 100 TB the stats table is bytes and the fact never moves.
+    */
+  def anomalyTransform(events: DataFrame, nSigma: Double): DataFrame = {
+    val ev = events.select(col("event_type"), col("value"))
+    val stats = ev.groupBy(col("event_type"))
+      .agg(avg(col("value")).as("mean"), stddev_samp(col("value")).as("sd"))
+    ev.join(broadcast(stats), Seq("event_type"))
+      .groupBy(col("event_type"))
+      .agg(
+        count("*").as("n"),
+        sum(when(abs(col("value") - col("mean")) > lit(nSigma) * col("sd"), 1L).otherwise(0L)).as("n_outliers"))
+      .withColumn("outlier_share", round(col("n_outliers") / col("n"), 4))
+      .orderBy(col("event_type"))
+  }
+
+  def anomalyZscore(spark: SparkSession, dir: String, nSigma: Double = 2.5): DataFrame =
+    anomalyTransform(Tables.events(spark, dir), nSigma)
+}

@@ -1,0 +1,91 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Behavior
+
+/** Planted-scenario semantics for the behavioral-analytics family —
+  * each transform is fed a hand-built events frame whose expected
+  * output is computable by hand, covering the edges the corpus-level
+  * DuckDB oracle exercises only statistically (lookback expiry,
+  * carry-forward through intervening conversions, same-timestamp
+  * ties, leakage-free frames). */
+class BehaviorSpec extends AnyFunSuite {
+  import TestSession._
+  import spark.implicits._
+
+  private def ev(rows: Seq[(Long, String, Long, String, Double)]): DataFrame =
+    rows.toDF("user_id", "ts_s", "event_id", "event_type", "value")
+      .withColumn("ts", to_timestamp($"ts_s"))
+      .drop("ts_s")
+
+  test("attribution: credits last touch, expires lookback, carries through conversions, breaks ts ties by event_id") {
+    val events = ev(Seq(
+      // user 1: view -> click -> purchase -> purchase (click credited twice,
+      // the second through an intervening purchase)
+      (1L, "2024-01-01 10:00:00", 1L, "view", 0.0),
+      (1L, "2024-01-01 11:00:00", 2L, "click", 0.0),
+      (1L, "2024-01-01 12:00:00", 3L, "purchase", 10.0),
+      (1L, "2024-01-01 13:00:00", 7L, "purchase", 1.0),
+      // user 2: touch 7.5 days before the purchase -> outside lookback
+      (2L, "2024-01-01 00:00:00", 4L, "view", 0.0),
+      (2L, "2024-01-08 12:00:00", 5L, "purchase", 5.0),
+      // user 3: no touch at all
+      (3L, "2024-01-02 00:00:00", 6L, "purchase", 2.0),
+      // user 4: view and click at the SAME ts -> higher event_id wins
+      (4L, "2024-01-03 00:00:00", 8L, "view", 0.0),
+      (4L, "2024-01-03 00:00:00", 9L, "click", 0.0),
+      (4L, "2024-01-03 01:00:00", 10L, "purchase", 7.0)))
+    val out = Behavior.attributionTransform(events).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(out == Seq(("click", 3L, 18.0), ("none", 2L, 7.0)))
+  }
+
+  test("transitions: per-user ordered pairs with per-source probabilities") {
+    val events = ev(Seq(
+      (1L, "2024-01-01 10:00:00", 1L, "view", 0.0),
+      (1L, "2024-01-01 11:00:00", 2L, "click", 0.0),
+      (1L, "2024-01-01 12:00:00", 3L, "view", 0.0),
+      (2L, "2024-01-01 10:30:00", 4L, "view", 0.0),
+      (2L, "2024-01-01 11:30:00", 5L, "click", 0.0)))
+    val out = Behavior.transitionsTransform(events).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSeq
+    // pairs: u1 view->click, click->view; u2 view->click
+    assert(out == Seq(("click", "view", 1L, 1.0), ("view", "click", 2L, 1.0)))
+  }
+
+  test("decayed leaderboard: exact half-life arithmetic against the corpus max ts") {
+    val events = ev(Seq(
+      (1L, "2024-01-02 00:00:00", 1L, "view", 100.0), // at t_ref: weight 1
+      (1L, "2024-01-01 00:00:00", 2L, "view", 100.0), // 1 half-life old: weight 1/2
+      (2L, "2023-12-31 00:00:00", 3L, "view", 100.0))) // 2 half-lives: weight 1/4
+    val out = Behavior.decayedTransform(events, topN = 10, halfLifeSec = 86400.0)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(out == Seq((1L, 150.0), (2L, 25.0)))
+  }
+
+  test("lag features come strictly from past events (no leakage)") {
+    val events = ev(Seq(
+      (1L, "2024-01-01 10:00:00", 1L, "view", 1.0),
+      (1L, "2024-01-01 10:01:00", 2L, "view", 2.0),
+      (1L, "2024-01-01 10:02:00", 3L, "view", 3.0)))
+    val rows = Behavior.lagFeaturesTransform(events).collect()
+    val r3 = rows.find(_.getLong(0) == 3L).get
+    assert(r3.getDouble(3) == 2.0 && r3.getDouble(4) == 1.0) // lag1, lag2
+    assert(r3.getDouble(5) == 60.0)                          // gap_seconds
+    assert(r3.getDouble(6) == 1.5)                           // avg of PAST values only
+    val r1 = rows.find(_.getLong(0) == 1L).get
+    assert(r1.isNullAt(3) && r1.isNullAt(5) && r1.isNullAt(6))
+  }
+
+  test("anomaly z-score flags a planted outlier and nothing else") {
+    val base = (1 to 20).map(i => (1L, f"2024-01-01 10:${i}%02d:00", i.toLong, "x", 10.0))
+    val events = ev(base :+ ((1L, "2024-01-01 11:00:00", 99L, "x", 1000.0)))
+    val out = Behavior.anomalyTransform(events, nSigma = 2.5).collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getLong(1) == 21L && r.getLong(2) == 1L)
+  }
+}
