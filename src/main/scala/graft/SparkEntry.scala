@@ -64,6 +64,8 @@ object SparkEntry {
     "pivot_sales"           -> Olap.pivotSales _,
     "cube_sales"            -> Olap.cubeSales _,
     "grouping_sets_sales"   -> Olap.groupingSetsSales _,
+    "histogram_value"       -> ((s: SparkSession, d: String) => Olap.histogramValue(s, d)),
+    "zorder_layout"         -> Olap.zorderLayout _,
     "semi_anti_customers"   -> Olap.semiAntiCustomers _,
     "percentile_stats"      -> ((s: SparkSession, d: String) => Olap.percentileStats(s, d)),
     "percentile_stats_approx" -> Olap.percentileStatsApprox _,
@@ -90,6 +92,7 @@ object SparkEntry {
     "token_rarity"       -> ((s: SparkSession, d: String) => TextOps.tokenRarity(s, d)),
     "tfidf_top_terms"    -> ((s: SparkSession, d: String) => TextOps.tfidfTopTerms(s, d)),
     "token_count"        -> TextOps.tokenCount _,
+    "text_normalize"     -> TextOps.textNormalize _,
     "doc_fingerprint"    -> TextOps.docFingerprint _,
     "multimodal_meta"    -> TextOps.multimodalMeta _,
     "multimodal_decode"  -> Multimodal.decode _,
@@ -261,6 +264,20 @@ object SparkEntry {
         |       round(sum(CASE WHEN abs(e.value - s.mean) > 2.5 * s.sd THEN 1 ELSE 0 END) / count(*), 4) AS outlier_share
         |FROM events e JOIN s ON e.event_type = s.event_type
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // identical double arithmetic on both sides: (v-lo)/((hi-lo)/10)
+    // then floor + clamp, so bin boundaries agree bit-for-bit
+    "histogram_value" ->
+      """WITH r AS (SELECT event_type, min(value) AS lo, max(value) AS hi FROM events GROUP BY 1)
+        |SELECT e.event_type,
+        |       CAST(CASE WHEN r.hi > r.lo
+        |                 THEN least(floor((e.value - r.lo) / ((r.hi - r.lo) / 10)), 9.0)
+        |                 ELSE 0.0 END AS BIGINT) AS bin,
+        |       count(*) AS n, round(min(e.value), 2) AS bin_min, round(max(e.value), 2) AS bin_max
+        |FROM events e JOIN r ON e.event_type = r.event_type
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "zorder_layout" -> operators.Olap.zorderOracleSql,
 
     "retention_cohorts" ->
       """WITH a AS (SELECT DISTINCT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day FROM events),
@@ -528,6 +545,15 @@ object SparkEntry {
         |FROM t ORDER BY doc_id""".stripMargin,
 
     "doc_fingerprint" -> operators.TextOps.docFingerprintOracleSql,
+
+    // same canonicalization pipeline: NFC -> lower -> \s-run collapse
+    // (the kernel's whitespace set IS the RE2 \s class)
+    "text_normalize" ->
+      """SELECT doc_id, norm_text, CAST(length(norm_text) AS BIGINT) AS n_chars_norm
+        |FROM (SELECT doc_id,
+        |             trim(regexp_replace(lower(nfc_normalize(text)), '\s+', ' ', 'g')) AS norm_text
+        |      FROM documents) t
+        |ORDER BY doc_id""".stripMargin,
 
     "dedup_substring" -> operators.Dedup.dedupSubstringOracleSql(),
     "dedup_substring_remove" -> operators.Dedup.dedupSubstringRemoveOracleSql(),

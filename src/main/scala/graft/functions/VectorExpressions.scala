@@ -533,6 +533,12 @@ object GraftFunctions {
     ("graft_doc_fingerprint",
       new ExpressionInfo(classOf[DocFingerprint].getName, "graft_doc_fingerprint"),
       es => DocFingerprint(es.head)),
+    ("graft_normalize_text",
+      new ExpressionInfo(classOf[NormalizeText].getName, "graft_normalize_text"),
+      es => NormalizeText(es.head)),
+    ("graft_zorder",
+      new ExpressionInfo(classOf[ZOrder2D].getName, "graft_zorder"),
+      es => ZOrder2D(es(0), es(1))),
     ("graft_sorted_intersect_size",
       new ExpressionInfo(classOf[SortedIntersectSize].getName, "graft_sorted_intersect_size"),
       es => SortedIntersectSize(es(0), es(1))),

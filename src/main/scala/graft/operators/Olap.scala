@@ -554,4 +554,91 @@ object Olap {
       .agg(count(lit(1)).as("n"), round(sum($"value"), 2).as("total"))
       .orderBy($"c_mktsegment")
   }
+
+  /** Z-order (Morton-curve) layout audit: scale two scan-predicate
+    * columns (`l_partkey`, `l_suppkey`) to 16 bits by min/max
+    * normalization, interleave them with the codegen'd
+    * [[graft.functions.ZOrder2D]] expression, and range-partition the
+    * curve into 16 equal Z-slices ("files"), reporting each slice's
+    * row count and per-dimension min/max — exactly the parquet footer
+    * stats a scan would prune on.
+    *
+    * Why it matters at 100 TB: a layout `repartitionByRange(zval)`
+    * write makes EVERY slice bounded in BOTH dimensions (top-2 bits
+    * of each fixed per slice → each dimension spans ≤ 1/4 of its
+    * range), so point/range predicates on either column skip ~3/4 of
+    * files; a single-column sort leaves the second column full-range
+    * in every file. This entry computes the per-slice stats rather
+    * than writing files — value-range bucketing on the Z-value, no
+    * global sort, one narrow aggregate. All-integer arithmetic
+    * (`div`), so the DuckDB oracle (unrolled bit-interleave) matches
+    * exactly.
+    */
+  def zorderLayout(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    val li = Tables.lineitem(spark, dir).select($"l_partkey".as("x"), $"l_suppkey".as("y"))
+    val r = li.agg(min($"x").as("xmin"), max($"x").as("xmax"),
+                   min($"y").as("ymin"), max($"y").as("ymax"))
+    li.crossJoin(broadcast(r))
+      .withColumn("xs", when($"xmax" > $"xmin",
+        expr("((x - xmin) * 65535) div (xmax - xmin)")).otherwise(lit(0L)))
+      .withColumn("ys", when($"ymax" > $"ymin",
+        expr("((y - ymin) * 65535) div (ymax - ymin)")).otherwise(lit(0L)))
+      .withColumn("z", call_function("graft_zorder", $"xs", $"ys"))
+      .withColumn("bucket", shiftright($"z", 28))
+      .groupBy($"bucket")
+      .agg(count("*").as("n"),
+           min($"x").as("min_x"), max($"x").as("max_x"),
+           min($"y").as("min_y"), max($"y").as("max_y"))
+      .orderBy($"bucket")
+  }
+
+  /** The interleave unrolled to pure SQL bit arithmetic — DuckDB has
+    * no Morton intrinsic, so the oracle sums the 32 shifted bit
+    * terms; identical integer math to [[graft.functions.ZOrderKernel]]. */
+  def zorderOracleSql: String = {
+    val terms = (0 until 16).flatMap { b =>
+      Seq(s"(((xs >> $b) & 1) << ${2 * b})", s"(((ys >> $b) & 1) << ${2 * b + 1})")
+    }.mkString(" + ")
+    s"""WITH r AS (SELECT min(l_partkey) AS xmin, max(l_partkey) AS xmax,
+       |                  min(l_suppkey) AS ymin, max(l_suppkey) AS ymax FROM lineitem),
+       |s AS (SELECT l_partkey AS x, l_suppkey AS y,
+       |             CASE WHEN r.xmax > r.xmin THEN ((l_partkey - r.xmin) * 65535) // (r.xmax - r.xmin) ELSE 0 END AS xs,
+       |             CASE WHEN r.ymax > r.ymin THEN ((l_suppkey - r.ymin) * 65535) // (r.ymax - r.ymin) ELSE 0 END AS ys
+       |      FROM lineitem CROSS JOIN r),
+       |z AS (SELECT x, y, ($terms) >> 28 AS bucket FROM s)
+       |SELECT bucket, count(*) AS n, min(x) AS min_x, max(x) AS max_x,
+       |       min(y) AS min_y, max(y) AS max_y
+       |FROM z GROUP BY bucket ORDER BY bucket""".stripMargin
+  }
+
+  /** Equal-width histogram of `value` per event type (the
+    * distribution panel behind every metrics dashboard): bin `i`
+    * covers `[lo + i·w, lo + (i+1)·w)` with `w = (hi−lo)/bins` from
+    * that type's own min/max, the top edge closed so `hi` lands in
+    * the last bin.
+    *
+    * Two passes, zero wide shuffles of the fact: pass 1 is a
+    * |types|-row min/max aggregate (map-side combined), broadcast
+    * back; pass 2 computes the bin number inside the scan and
+    * aggregates to ≤ |types|·bins rows. The degenerate hi == lo type
+    * collapses to bin 0 instead of dividing by zero (ANSI mode
+    * would throw; a histogram must survive constant columns).
+    */
+  def histogramValue(spark: SparkSession, dir: String, bins: Int = 10): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, dir).select($"event_type", $"value")
+    val ranges = ev.groupBy($"event_type").agg(min($"value").as("lo"), max($"value").as("hi"))
+    ev.join(broadcast(ranges), Seq("event_type"))
+      .withColumn("bin",
+        when($"hi" > $"lo",
+          least(floor(($"value" - $"lo") / (($"hi" - $"lo") / lit(bins))), lit(bins - 1).cast("double")))
+          .otherwise(lit(0.0)).cast("long"))
+      .groupBy($"event_type", $"bin")
+      .agg(count("*").as("n"),
+           round(min($"value"), 2).as("bin_min"),
+           round(max($"value"), 2).as("bin_max"))
+      .orderBy($"event_type", $"bin")
+  }
 }

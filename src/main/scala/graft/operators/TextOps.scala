@@ -339,6 +339,27 @@ object TextOps {
       .orderBy($"doc_id")
   }
 
+  /** Canonical text form via the codegen'd
+    * [[graft.functions.NormalizeText]] expression: NFC composition,
+    * root-locale lowercase, whitespace-run collapse. The first stage
+    * of every exact-dedup / tokenization pipeline — run it BEFORE
+    * hashing ([[dedupExact]]) so byte-level variants of the same text
+    * (combining marks, case, spacing) collapse to one key.
+    *
+    * Pure per-row map inside whole-stage codegen: no shuffle, no
+    * regex at runtime, scan-speed at any scale. (The `orderBy` is
+    * verify-harness determinism, not part of the operator.)
+    */
+  def textNormalize(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    Tables.documents(spark, dir)
+      .select($"doc_id",
+        call_function("graft_normalize_text", $"text").as("norm_text"))
+      .withColumn("n_chars_norm", length($"norm_text").cast("long"))
+      .orderBy($"doc_id")
+  }
+
   /** DuckDB list_sum returns HUGEINT — cast to BIGINT so the oracle's
     * dtype matches Spark's int64 (the driver's hash covers dtypes). */
   def docFingerprintOracleSql: String =

@@ -540,4 +540,43 @@ class BatchOperatorsSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAl
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     salted.foreach { r => assert(plain(r.getString(0)) == r.getLong(1)) }
   }
+
+  test("zorder slices bound BOTH dimensions (the file-skipping property)") {
+    import org.apache.spark.sql.functions.{max => fmax, min => fmin, col}
+    val li = graft.sources.Tables.lineitem(spark, sf)
+    val Array(r) = li.agg(
+      fmin(col("l_partkey")), fmax(col("l_partkey")),
+      fmin(col("l_suppkey")), fmax(col("l_suppkey"))).collect()
+    val (xmin, xmax, ymin, ymax) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    def scaleX(v: Long) = if (xmax > xmin) (v - xmin) * 65535 / (xmax - xmin) else 0L
+    def scaleY(v: Long) = if (ymax > ymin) (v - ymin) * 65535 / (ymax - ymin) else 0L
+    val slices = SparkEntry.queries("zorder_layout")(spark, sf).collect()
+    assert(slices.map(_.getLong(1)).sum == li.count())
+    // 16 Z-slices fix the top 2 bits of EACH scaled dimension, so
+    // every slice spans <= 2^14 of both x and y — the min/max footer
+    // stats a scan prunes on. A single-column sort cannot bound the
+    // second dimension this way.
+    slices.foreach { s =>
+      val xSpan = scaleX(s.getLong(3)) - scaleX(s.getLong(2))
+      val ySpan = scaleY(s.getLong(5)) - scaleY(s.getLong(4))
+      assert(xSpan <= 16383, s"bucket ${s.getLong(0)}: scaled x span $xSpan")
+      assert(ySpan <= 16383, s"bucket ${s.getLong(0)}: scaled y span $ySpan")
+    }
+  }
+
+  test("histogram bins partition each event type's value range") {
+    import org.apache.spark.sql.functions.{col, sum => fsum}
+    val h = SparkEntry.queries("histogram_value")(spark, sf)
+    val n = h.agg(fsum("n")).collect()(0).getLong(0)
+    assert(n == graft.sources.Tables.events(spark, sf).count())
+    // within each type, bins are ordered and non-overlapping
+    h.collect().groupBy(_.getString(0)).foreach { case (_, rows) =>
+      val sorted = rows.sortBy(_.getLong(1))
+      sorted.sliding(2).foreach {
+        case Array(a, b) => assert(a.getDouble(4) <= b.getDouble(3),
+          s"bin ${a.getLong(1)} max ${a.getDouble(4)} overlaps bin ${b.getLong(1)} min ${b.getDouble(3)}")
+        case _ =>
+      }
+    }
+  }
 }

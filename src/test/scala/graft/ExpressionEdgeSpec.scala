@@ -138,4 +138,46 @@ class ExpressionEdgeSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAl
     val codegenFp = one("SELECT graft_doc_fingerprint(array('alpha', 'beta')) AS s").getLong(0)
     assert(interpFp == codegenFp)
   }
+
+  test("zorder: bit interleave is exact and masks out-of-range inputs") {
+    val r = one(
+      "SELECT graft_zorder(0L, 0L) AS a, graft_zorder(1L, 0L) AS b, " +
+      "graft_zorder(0L, 1L) AS c, graft_zorder(65535L, 65535L) AS d, " +
+      "graft_zorder(65536L, 0L) AS e, graft_zorder(3L, 5L) AS f")
+    assert(r.getLong(0) == 0L)
+    assert(r.getLong(1) == 1L)  // x takes the even bits
+    assert(r.getLong(2) == 2L)  // y takes the odd bits
+    assert(r.getLong(3) == 0xFFFFFFFFL)
+    assert(r.getLong(4) == 0L)  // bit 16 masked: inputs are pre-scaled
+    // x=0b011, y=0b101 -> z = y2x2 y1x1 y0x0 = 0b100111 = 39
+    assert(r.getLong(5) == 39L)
+    // kernel matches the expression (codegen) path
+    assert(graft.functions.ZOrderKernel.interleave(3L, 5L) == 39L)
+  }
+
+  test("normalize_text: NFC composition, casefold, whitespace collapse, idempotence") {
+    // U+0065 U+0301 (e + combining acute) must compose to U+00E9 then
+    // casefold with the precomposed form; whitespace runs collapse;
+    // ends trim
+    val r = one(
+      "SELECT graft_normalize_text('  Café  \t BAR\n') AS a, " +
+      "graft_normalize_text('') AS b, " +
+      "graft_normalize_text('   ') AS c, " +
+      "graft_normalize_text('Café bar') AS d") // decomposed e + U+0301
+    assert(r.getString(0) == "café bar")
+    assert(r.getString(1) == "")
+    assert(r.getString(2) == "")
+    // precomposed and combining-mark spellings land on the SAME key
+    assert(r.getString(3) == r.getString(0))
+    // idempotent: re-normalizing clean text is a no-op
+    val again = one("SELECT graft_normalize_text('café bar') AS x").getString(0)
+    assert(again == r.getString(0))
+    // interpreted eval agrees with codegen
+    import graft.functions.NormalizeText
+    import org.apache.spark.unsafe.types.UTF8String
+    val interp = NormalizeText(org.apache.spark.sql.catalyst.expressions.Literal(
+      UTF8String.fromString("  Café  \t BAR\n"), StringType))
+      .eval(null).asInstanceOf[UTF8String].toString
+    assert(interp == r.getString(0))
+  }
 }
