@@ -34,6 +34,8 @@ object SparkEntry {
     "decayed_leaderboard" -> ((s: SparkSession, d: String) => Behavior.decayedLeaderboard(s, d)),
     "lag_features"       -> Behavior.lagFeatures _,
     "anomaly_zscore"     -> ((s: SparkSession, d: String) => Behavior.anomalyZscore(s, d)),
+    "co_engagement"      -> Behavior.coEngagement _,
+    "topk_diversified"   -> ((s: SparkSession, d: String) => Behavior.topkDiversified(s, d)),
     // Structured Streaming (real engine: readStream -> AvailableNow),
     // checked against the same DuckDB oracles as their batch twins
     "stream_hop_agg"     -> EngagementStream.streamHopAgg _,
@@ -91,6 +93,7 @@ object SparkEntry {
     "text_redact"        -> TextOps.textRedact _,
     "token_rarity"       -> ((s: SparkSession, d: String) => TextOps.tokenRarity(s, d)),
     "tfidf_top_terms"    -> ((s: SparkSession, d: String) => TextOps.tfidfTopTerms(s, d)),
+    "ngram_lm_score"     -> TextOps.ngramLmScore _,
     "token_count"        -> TextOps.tokenCount _,
     "text_normalize"     -> TextOps.textNormalize _,
     "doc_fingerprint"    -> TextOps.docFingerprint _,
@@ -278,6 +281,33 @@ object SparkEntry {
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "zorder_layout" -> operators.Olap.zorderOracleSql,
+
+    // same heavy-user cap (<= 50 distinct items) and support floor
+    "co_engagement" ->
+      """WITH items AS (SELECT DISTINCT user_id, TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS item FROM events),
+        |kept AS (SELECT i.* FROM items i
+        |         JOIN (SELECT user_id, count(*) AS n_items FROM items GROUP BY 1) c
+        |           ON i.user_id = c.user_id AND c.n_items <= 50)
+        |SELECT a.item AS item_a, b.item AS item_b, count(*) AS n_users
+        |FROM kept a JOIN kept b ON a.user_id = b.user_id AND a.item < b.item
+        |GROUP BY 1, 2 HAVING count(*) >= 3
+        |ORDER BY 1, 2""".stripMargin,
+
+    // the bounded-heap stage-2 equals this nested-window formulation
+    "topk_diversified" ->
+      """WITH c AS (SELECT event_id, user_id, event_type, value,
+        |                  row_number() OVER (PARTITION BY event_type, user_id
+        |                                     ORDER BY value DESC, event_id) AS ur
+        |           FROM events),
+        |r AS (SELECT event_type, event_id, user_id, value,
+        |             row_number() OVER (PARTITION BY event_type
+        |                                ORDER BY value DESC, event_id) AS rank
+        |      FROM c WHERE ur <= 2)
+        |SELECT event_type, CAST(rank AS BIGINT) AS rank, event_id, user_id,
+        |       round(value, 2) AS value
+        |FROM r WHERE rank <= 10 ORDER BY event_type, rank""".stripMargin,
+
+    "ngram_lm_score" -> operators.TextOps.ngramLmScoreOracleSql,
 
     "retention_cohorts" ->
       """WITH a AS (SELECT DISTINCT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day FROM events),

@@ -170,4 +170,70 @@ object Behavior {
 
   def anomalyZscore(spark: SparkSession, dir: String, nSigma: Double = 2.5): DataFrame =
     anomalyTransform(Tables.events(spark, dir), nSigma)
+
+  /** Item co-engagement counts ("users who engaged with X also
+    * engaged with Y"): distinct (user, item) pairs self-joined within
+    * each user, emitting `(item_a < item_b)` pair counts with support
+    * ≥ `minSupport` — the co-occurrence matrix behind
+    * item-similarity recommenders. Items are the `props.k` payload
+    * field (the reference's `raw_payload` JSONB analog).
+    *
+    * The quadratic guard is the point at scale: a user with n items
+    * contributes n² pairs, so power users (bots, crawlers) with more
+    * than `maxItems` distinct items are EXCLUDED — the standard
+    * practice (cap or sample) that bounds the blow-up at
+    * maxItems²·|users|. The per-user item count joins back on the
+    * same user_id partitioning the items already have (co-located,
+    * no extra wide shuffle), and the pair aggregate is map-side
+    * combinable down to ≤ |items|² rows.
+    */
+  def coEngagementTransform(events: DataFrame, maxItems: Int, minSupport: Long): DataFrame = {
+    val items = events
+      .select(col("user_id"), get_json_object(col("props"), "$.k").cast("long").as("item"))
+      .distinct()
+    val kept = items.join(
+      items.groupBy(col("user_id")).agg(count(lit(1)).as("n_items"))
+        .filter(col("n_items") <= maxItems),
+      Seq("user_id"))
+    val a = kept.select(col("user_id"), col("item").as("item_a"))
+    val b = kept.select(col("user_id"), col("item").as("item_b"))
+    a.join(b, Seq("user_id"))
+      .filter(col("item_a") < col("item_b"))
+      .groupBy(col("item_a"), col("item_b"))
+      .agg(count(lit(1)).as("n_users"))
+      .filter(col("n_users") >= minSupport)
+      .orderBy(col("item_a"), col("item_b"))
+  }
+
+  def coEngagement(spark: SparkSession, dir: String): DataFrame =
+    coEngagementTransform(Tables.events(spark, dir), maxItems = 50, minSupport = 3L)
+
+  /** Diversified top-k leaderboard: the k highest-value events per
+    * type with AT MOST `perUser` entries from any one user — the
+    * anti-monoculture constraint every production leaderboard ends up
+    * needing (one whale must not fill the board).
+    *
+    * Two stages, both bounded: stage 1 ranks within (type, user) —
+    * high-cardinality balanced window partitions — and keeps ≤
+    * perUser rows each; stage 2 reuses the bounded-heap
+    * `graft_topk` aggregate ([[Engagement.topkAggTransform]]) over
+    * the capped survivors, so the per-type selection shuffles ≤
+    * k-entry buffers instead of window-sorting whole type partitions
+    * (|types| is small — a global window here would be one task per
+    * type). The winning ids then pull their user back via a
+    * broadcast semi-join against the fact (tiny side broadcast, fact
+    * never shuffles).
+    */
+  def topkDiversified(spark: SparkSession, dir: String, k: Int = 10, perUser: Int = 2): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+    val w1 = Window.partitionBy(col("event_type"), col("user_id"))
+      .orderBy(col("value").desc, col("event_id"))
+    val capped = ev.withColumn("ur", row_number().over(w1)).filter(col("ur") <= perUser)
+    val top = Engagement.topkExplode(Engagement.topkAggTransform(capped, k))
+    ev.select(col("event_id"), col("user_id"))
+      .join(broadcast(top), Seq("event_id"))
+      .select(col("event_type"), col("rank"), col("event_id"), col("user_id"), col("value"))
+      .orderBy(col("event_type"), col("rank"))
+  }
 }

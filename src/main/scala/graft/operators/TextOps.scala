@@ -529,6 +529,63 @@ object TextOps {
        |       (n_oov * 10000 // n_tokens) / 10000.0 AS oov_frac
        |FROM agg ORDER BY doc_id""".stripMargin
 
+  /** Bigram language-model quality score (the CCNet/Wenzek et al.
+    * 2020 perplexity-filter shape with the corpus as its own LM):
+    * per document, the mean add-one-smoothed bigram log-probability
+    * `ln((c(w1 w2) + 1) / (c(w1) + V))` under corpus-global counts.
+    * Low scores mark text whose word transitions are unlike the
+    * corpus — the classic junk/boilerplate screen run next to
+    * [[tokenRarity]]'s unigram filter (a real deployment swaps the
+    * corpus counts for a KenLM table; the pipeline shape is
+    * identical).
+    *
+    * Scale shape: one explode builds (w1, bigram) postings; unigram
+    * and bigram count tables are hash aggregates over those postings
+    * (map-side partials absorb the fan-out) and are vocab-bounded —
+    * they are the "model", orders of magnitude smaller than the
+    * corpus, so both broadcast back onto the postings and the only
+    * wide shuffle is the final per-doc aggregate on doc_id. FP note:
+    * the per-doc mean sums doubles, so the 4-decimal round absorbs
+    * summation-order and libm-ulp drift (values are O(−10)).
+    */
+  def ngramLmScore(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val words = Tables.documents(spark, dir)
+      .select($"doc_id", split($"text", " ").as("ws"))
+    // (doc, w1, bigram) postings: zip each word with its successor
+    val posts = words.select($"doc_id",
+        explode(zip_with($"ws", slice($"ws", lit(2), greatest(size($"ws") - 1, lit(0))),
+          (a, b) => struct(a.as("w1"), concat_ws(" ", a, b).as("bg")))).as("p"))
+      .filter($"p.bg".contains(" ")) // zip_with pads the tail with null
+      .select($"doc_id", $"p.w1".as("w1"), $"p.bg".as("bg"))
+    val uni = posts.groupBy($"w1").agg(count(lit(1)).as("c1"))
+    val bi  = posts.groupBy($"bg").agg(count(lit(1)).as("c2"))
+    val v   = uni.agg(count(lit(1)).as("vocab"))
+    posts
+      .join(broadcast(uni), Seq("w1"))
+      .join(broadcast(bi), Seq("bg"))
+      .crossJoin(broadcast(v))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+           round(avg(log(($"c2" + 1).cast("double") / ($"c1" + $"vocab"))), 4).as("lm_score"))
+      .orderBy($"doc_id")
+  }
+
+  /** DuckDB oracle for [[ngramLmScore]] — same postings, counts,
+    * smoothing, and rounding. */
+  def ngramLmScoreOracleSql: String =
+    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |posts AS (
+      |  SELECT doc_id, ws[i] AS w1, ws[i] || ' ' || ws[i + 1] AS bg
+      |  FROM w, unnest(range(1, len(ws))) AS u(i)),
+      |uni AS (SELECT w1, count(*) AS c1 FROM posts GROUP BY 1),
+      |bi  AS (SELECT bg, count(*) AS c2 FROM posts GROUP BY 1),
+      |v   AS (SELECT count(*) AS vocab FROM uni)
+      |SELECT p.doc_id, count(*) AS n_bigrams,
+      |       round(avg(ln((b.c2 + 1) / (u.c1 + v.vocab))), 4) AS lm_score
+      |FROM posts p JOIN uni u USING (w1) JOIN bi b USING (bg) CROSS JOIN v
+      |GROUP BY p.doc_id ORDER BY p.doc_id""".stripMargin
+
   /** TF-IDF keyword extraction, exact-integer form: the `topN`
     * highest-scoring terms per document where
     * `score = (tf · N · 10000) div df` — term frequency × inverse

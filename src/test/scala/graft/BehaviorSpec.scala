@@ -80,6 +80,39 @@ class BehaviorSpec extends AnyFunSuite {
     assert(r1.isNullAt(3) && r1.isNullAt(5) && r1.isNullAt(6))
   }
 
+  test("co-engagement: pair counts with the heavy-user cap excluding power users") {
+    def evp(rows: Seq[(Long, Long, Long)]): DataFrame =
+      rows.toDF("user_id", "event_id", "k")
+        .withColumn("ts", to_timestamp(lit("2024-01-01 00:00:00")))
+        .withColumn("event_type", lit("view"))
+        .withColumn("props", concat(lit("{\"k\": "), $"k", lit("}")))
+    // users 1,2 share items {1,2}; user 3 has {1,3}; user 4 is a
+    // power user touching 1..5 (cap 4) and must NOT inflate any pair
+    val events = evp(Seq(
+      (1L, 1L, 1L), (1L, 2L, 2L),
+      (2L, 3L, 1L), (2L, 4L, 2L), (2L, 10L, 2L), // dupe item collapses
+      (3L, 5L, 1L), (3L, 6L, 3L)) ++
+      (1 to 5).map(i => (4L, 100L + i, i.toLong)))
+    val out = graft.operators.Behavior.coEngagementTransform(events, maxItems = 4, minSupport = 2L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(out == Seq((1L, 2L, 2L))) // only (1,2) reaches support 2; user 4 contributed nothing
+  }
+
+  test("diversified top-k: at most perUser rows per user, globally top-ranked") {
+    val out = SparkEntry.queries("topk_diversified")(spark, TestSession.sf).collect()
+    // per (type, user) cap
+    out.groupBy(r => (r.getString(0), r.getLong(3))).foreach { case (key, rows) =>
+      assert(rows.length <= 2, s"$key exceeded the per-user cap")
+    }
+    // ranks are 1..n per type and values non-increasing
+    out.groupBy(_.getString(0)).foreach { case (_, rows) =>
+      val sorted = rows.sortBy(_.getLong(1))
+      assert(sorted.map(_.getLong(1)).toSeq == (1L to sorted.length))
+      val vs = sorted.map(_.getDouble(4))
+      assert(vs.zip(vs.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
   test("anomaly z-score flags a planted outlier and nothing else") {
     val base = (1 to 20).map(i => (1L, f"2024-01-01 10:${i}%02d:00", i.toLong, "x", 10.0))
     val events = ev(base :+ ((1L, "2024-01-01 11:00:00", 99L, "x", 1000.0)))
