@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.operators._
-import graft.streaming.{CdcCompact, EngagementStream, FunnelStream, Sessionize, StreamDedup, StreamIncrementalDedup}
+import graft.streaming.{AttributionStream, CdcCompact, EngagementStream, FunnelStream, Sessionize, StreamDedup, StreamIncrementalDedup}
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the inventory. */
 object SparkEntry {
@@ -53,6 +53,7 @@ object SparkEntry {
     "stream_dedup_incremental" ->
       ((s: SparkSession, d: String) => StreamIncrementalDedup.streamDedupIncremental(s, d)),
     "stream_funnel"      -> ((s: SparkSession, d: String) => FunnelStream.streamFunnel(s, d)),
+    "stream_attribution" -> ((s: SparkSession, d: String) => AttributionStream.streamAttribution(s, d)),
     "stream_interval_join" -> EngagementStream.streamIntervalJoin _,
     // Analytic core
     "q1_pricing_summary"    -> Olap.q1PricingSummary _,
@@ -131,6 +132,9 @@ object SparkEntry {
       // boundaries cannot change any answer — same oracle
       "stream_dedup_incremental" -> base("dedup_incremental"),
       "stream_funnel" -> base("funnel_conversion"),
+      // incremental attribution equals the batch window row-for-row
+      // (integer-cents accumulation, time-ordered replay)
+      "stream_attribution" -> base("attribution_last_touch"),
       "stream_hop_agg"     -> base("hop_window_agg"),
       // Append mode emits exactly the windows the final watermark
       // (max event time − 47 min) has closed — the batch HOP rows

@@ -1,0 +1,127 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+import graft.sources.Tables
+
+/** Streaming last-touch attribution: the carry-forward window of
+  * [[graft.operators.Behavior.attributionTransform]] maintained
+  * incrementally across micro-batches.
+  *
+  * State = two small tables, versioned per batch (the [[FunnelState]]
+  * MERGE pattern, replay-guarded the same way):
+  *  - `lt`: one row per user — the latest touch seen so far as
+  *    (ts, event_id, event_type), i.e. exactly the struct the batch
+  *    operator's window max carries, with its ORIGINAL timestamp so
+  *    the lookback expiry keeps working across batches;
+  *  - `acc`: accumulated per-touch-type conversion counts and
+  *    attributed value in integer CENTS (the tumble-agg exact-sum
+  *    trick: per-batch rounded doubles would drift from the batch
+  *    oracle, integer cents cannot).
+  *
+  * Each batch unions the prior per-user touch (as a pseudo-row that
+  * sorts before every batch event — delivery is time-ordered) with
+  * the batch events, runs the SAME struct-max window, attributes the
+  * batch's purchases, and merges both state tables. Correctness
+  * rests on event-time-ordered replay, as in [[FunnelStream]]: a
+  * purchase is attributed when its batch closes, and no later batch
+  * may deliver an earlier touch.
+  */
+final class AttributionState(stateDir: String, lookback: String) {
+  @volatile private var version: Long = StreamUtil.latestVersion(stateDir)
+
+  private def ltPrior(spark: SparkSession): DataFrame =
+    if (version < 0)
+      spark.createDataFrame(java.util.List.of[Row](), StructType.fromDDL(
+        "user_id BIGINT, ts TIMESTAMP, event_id BIGINT, event_type STRING"))
+    else spark.read.parquet(s"$stateDir/v$version/lt")
+
+  private def accPrior(spark: SparkSession): DataFrame =
+    if (version < 0)
+      spark.createDataFrame(java.util.List.of[Row](), StructType.fromDDL(
+        "touch_type STRING, n_conversions BIGINT, cents BIGINT"))
+    else spark.read.parquet(s"$stateDir/v$version/acc")
+
+  /** foreachBatch body; exactly-once under replay via the
+    * batchId <= version guard. */
+  def merge(batch: Dataset[Row], batchId: Long): Unit = {
+    if (batchId <= version) return
+    val spark = batch.sparkSession
+
+    // prior per-user touch as a pseudo event: value never read (it is
+    // not a purchase), event_type is the touch's own type
+    val pseudo = ltPrior(spark)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"),
+        lit(null).cast("double").as("value"))
+    val uni = batch
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"), col("value"))
+      .union(pseudo)
+
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val touch = when(col("event_type").isin("view", "click"),
+      struct(col("ts"), col("event_id"), col("event_type")))
+
+    // batch purchases attributed against state ∪ batch touches;
+    // pseudo rows are never purchases, so no double counting
+    val batchAttr = uni.withColumn("last_touch", max(touch).over(w))
+      .filter(col("event_type") === "purchase")
+      .withColumn("touch_type",
+        when(col("last_touch").isNotNull &&
+             col("last_touch.ts") >= col("ts") - expr(lookback),
+          col("last_touch.event_type")).otherwise(lit("none")))
+      .groupBy(col("touch_type"))
+      .agg(count(lit(1)).as("b_n"),
+           sum(round(col("value") * 100).cast("long")).as("b_cents"))
+
+    val acc = accPrior(spark).join(batchAttr, Seq("touch_type"), "full_outer")
+      .select(col("touch_type"),
+        (coalesce(col("n_conversions"), lit(0L)) + coalesce(col("b_n"), lit(0L))).as("n_conversions"),
+        (coalesce(col("cents"), lit(0L)) + coalesce(col("b_cents"), lit(0L))).as("cents"))
+
+    // merged latest touch per user = struct max over prior ∪ batch
+    val lt = uni.filter(col("event_type").isin("view", "click"))
+      .groupBy(col("user_id"))
+      .agg(max(struct(col("ts"), col("event_id"), col("event_type"))).as("t"))
+      .select(col("user_id"), col("t.ts").as("ts"),
+        col("t.event_id").as("event_id"), col("t.event_type").as("event_type"))
+
+    // state is |types|+|users| rows — single-file parquet keeps the
+    // per-batch read/write at metadata scale (production shards by
+    // the ingest's user_id hash partitioning)
+    lt.coalesce(1).write.mode("overwrite").parquet(s"$stateDir/v$batchId/lt")
+    acc.coalesce(1).write.mode("overwrite").parquet(s"$stateDir/v$batchId/acc")
+    val prev = version
+    version = batchId
+    if (prev >= 0) StreamUtil.delete(spark, s"$stateDir/v$prev")
+  }
+
+  /** The attribution report over the accumulated state — same shape
+    * (and oracle) as the batch query: cents/100 equals the oracle's
+    * round(sum(value), 2) because inputs are 2-decimal. */
+  def report(spark: SparkSession): DataFrame =
+    accPrior(spark)
+      .select(col("touch_type"), col("n_conversions"),
+        (col("cents").cast("double") / 100.0).as("attributed_value"))
+      .orderBy(col("touch_type"))
+}
+
+object AttributionStream {
+
+  /** Queries entry: time-ordered replay through the incremental
+    * attribution state machine (oracle: same SQL as
+    * `attribution_last_touch`). */
+  def streamAttribution(spark: SparkSession, dir: String, nFiles: Int = 4,
+                        lookback: String = "INTERVAL 7 DAYS"): DataFrame = {
+    val work = graft.GraftCaches.trackTempDir("graft_attr_")
+    FunnelStream.stageTimeOrdered(spark, dir, s"$work/input", nFiles)
+    val state = new AttributionState(s"$work/state", lookback)
+    StreamSources.runForeachBatch(
+      StreamSources.eventsFrom(spark, s"$work/input", maxFilesPerTrigger = 1),
+      state.merge)
+    state.report(spark)
+  }
+}

@@ -92,6 +92,41 @@ class StreamingSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
     assert(rows("stream_funnel") == rows("funnel_conversion"))
   }
 
+  test("stream_attribution equals batch attribution_last_touch") {
+    assert(rows("stream_attribution") == rows("attribution_last_touch"))
+  }
+
+  test("attribution state: cross-batch touch carry, lookback expiry, replay guard") {
+    import org.apache.spark.sql.functions.{col, to_timestamp}
+    import graft.streaming.AttributionState
+    import spark.implicits._
+    val state = new AttributionState(
+      GraftCaches.trackTempDir("graft_attrspec_") + "/state", "INTERVAL 7 DAYS")
+    def batch(rows: (Long, Long, String, String, Double)*) =
+      rows.toSeq.toDF("user_id", "event_id", "event_type", "tss", "value")
+        .withColumn("ts", to_timestamp(col("tss"))).drop("tss")
+    def acc = state.report(spark).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+
+    // batch 0: a click touch only — nothing attributed yet
+    state.merge(batch((1L, 1L, "click", "2024-01-01 10:00:00", 0.0)), 0)
+    assert(acc.isEmpty)
+    // batch 1: purchase 1 day later — attributed to the CARRIED click
+    state.merge(batch((1L, 2L, "purchase", "2024-01-02 10:00:00", 5.0)), 1)
+    assert(acc == Seq(("click", 1L, 5.0)))
+    // replaying batch 1 must be a no-op (crash-replay guard)
+    state.merge(batch((1L, 2L, "purchase", "2024-01-02 10:00:00", 5.0)), 1)
+    assert(acc == Seq(("click", 1L, 5.0)))
+    // batch 2: purchase 8 days after the touch — lookback expired
+    state.merge(batch((1L, 3L, "purchase", "2024-01-09 11:00:00", 2.5)), 2)
+    assert(acc == Seq(("click", 1L, 5.0), ("none", 1L, 2.5)))
+    // batch 3: same-batch view→purchase resolves within the batch
+    state.merge(batch(
+      (2L, 4L, "view", "2024-01-10 09:00:00", 0.0),
+      (2L, 5L, "purchase", "2024-01-10 10:00:00", 1.25)), 3)
+    assert(acc == Seq(("click", 1L, 5.0), ("none", 1L, 2.5), ("view", 1L, 1.25)))
+  }
+
   test("funnel state: same-batch chains resolve, replayed batch is skipped") {
     import org.apache.spark.sql.functions.{col, to_timestamp}
     import graft.streaming.FunnelState
