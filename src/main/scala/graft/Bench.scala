@@ -73,7 +73,8 @@ object Bench {
     "topk_diversified" -> 2.145, "histogram_value" -> 2.141,
     "lag_features" -> 2.107, "event_transitions" -> 1.996,
     "attribution_last_touch" -> 1.985, "zorder_layout" -> 1.702,
-    "decayed_leaderboard" -> 1.330, "text_normalize" -> 0.819)
+    "decayed_leaderboard" -> 1.330, "text_normalize" -> 0.819,
+    "funnel_conversion_windowed" -> 2.683, "word_entropy" -> 1.947)
 
   /** Run ONE query in a fresh JVM (this JVM's own flags + classpath,
     * stderr discarded) and parse its timing out of the child's JSON

@@ -27,6 +27,7 @@ object SparkEntry {
     "json_extract_props" -> Engagement.jsonExtractProps _,
     "asof_join"          -> Engagement.asofJoin _,
     "funnel_conversion"  -> Engagement.funnelConversion _,
+    "funnel_conversion_windowed" -> ((s: SparkSession, d: String) => Engagement.funnelConversionWindowed(s, d)),
     "retention_cohorts"  -> ((s: SparkSession, d: String) => Engagement.retentionCohorts(s, d)),
     // behavioral analytics over the enriched event log
     "attribution_last_touch" -> Behavior.attributionLastTouch _,
@@ -95,6 +96,7 @@ object SparkEntry {
     "token_rarity"       -> ((s: SparkSession, d: String) => TextOps.tokenRarity(s, d)),
     "tfidf_top_terms"    -> ((s: SparkSession, d: String) => TextOps.tfidfTopTerms(s, d)),
     "ngram_lm_score"     -> TextOps.ngramLmScore _,
+    "word_entropy"       -> TextOps.wordEntropy _,
     "token_count"        -> TextOps.tokenCount _,
     "text_normalize"     -> TextOps.textNormalize _,
     "doc_fingerprint"    -> TextOps.docFingerprint _,
@@ -312,6 +314,36 @@ object SparkEntry {
         |FROM r WHERE rank <= 10 ORDER BY event_type, rank""".stripMargin,
 
     "ngram_lm_score" -> operators.TextOps.ngramLmScoreOracleSql,
+
+    // windowFunnel(24h) gate: every later stage within 24 h of the
+    // user's first view
+    "funnel_conversion_windowed" ->
+      """WITH e AS (SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events),
+        |v AS (SELECT user_id, min(ts) AS t_view FROM e WHERE event_type = 'view' GROUP BY 1),
+        |c AS (SELECT e.user_id, min(e.ts) AS t_click, min(v.t_view) AS tv
+        |      FROM e JOIN v ON e.user_id = v.user_id AND e.ts > v.t_view
+        |                   AND e.ts <= v.t_view + INTERVAL 24 HOUR
+        |      WHERE e.event_type = 'click' GROUP BY 1),
+        |p AS (SELECT e.user_id, min(e.ts) AS t_purchase
+        |      FROM e JOIN c ON e.user_id = c.user_id AND e.ts > c.t_click
+        |                   AND e.ts <= c.tv + INTERVAL 24 HOUR
+        |      WHERE e.event_type = 'purchase' GROUP BY 1),
+        |u AS (SELECT DISTINCT user_id FROM e)
+        |SELECT count(v.t_view) AS reached_view, count(c.t_click) AS reached_click,
+        |       count(p.t_purchase) AS reached_purchase, count(*) AS n_users
+        |FROM u LEFT JOIN v ON u.user_id = v.user_id
+        |       LEFT JOIN c ON u.user_id = c.user_id
+        |       LEFT JOIN p ON u.user_id = p.user_id""".stripMargin,
+
+    "word_entropy" ->
+      """WITH counts AS (
+        |  SELECT doc_id, u.w AS w, count(*) AS c
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents), unnest(ws) AS u(w)
+        |  GROUP BY 1, 2),
+        |wn AS (SELECT doc_id, c, sum(c) OVER (PARTITION BY doc_id) AS n FROM counts)
+        |SELECT doc_id, CAST(max(n) AS BIGINT) AS n_words,
+        |       round(-sum((c / n) * log2(c / n)), 4) AS entropy
+        |FROM wn GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "retention_cohorts" ->
       """WITH a AS (SELECT DISTINCT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day FROM events),

@@ -185,7 +185,10 @@ object Behavior {
     * maxItems²·|users|. The per-user item count joins back on the
     * same user_id partitioning the items already have (co-located,
     * no extra wide shuffle), and the pair aggregate is map-side
-    * combinable down to ≤ |items|² rows.
+    * combinable down to ≤ |items|² rows. (This single-query
+    * formulation scans the fact for each self-join side; a pipeline
+    * materializes the distinct (user, item) projection once upstream
+    * and both sides read it back co-partitioned.)
     */
   def coEngagementTransform(events: DataFrame, maxItems: Int, minSupport: Long): DataFrame = {
     val items = events

@@ -267,6 +267,41 @@ object Engagement {
         count("*").as("n_users"))
   }
 
+  /** Time-bounded ordered funnel (the ClickHouse `windowFunnel(T)`
+    * gate): stages must still occur in order, and every later stage
+    * must land within `windowHours` of the user's FIRST view — a
+    * view→click chain a week apart is not a conversion journey. Same
+    * chained conditional-min shape as [[funnelConversion]] (constant
+    * agg state, no per-user event lists); the bound is one extra
+    * predicate on each stage join, so the plan and scale story are
+    * unchanged.
+    */
+  def funnelConversionWindowed(spark: SparkSession, dir: String,
+                               windowHours: Int = 24): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, dir).select($"user_id", $"event_type", $"ts")
+    val bound = expr(s"INTERVAL $windowHours HOURS")
+    val v = ev.filter($"event_type" === "view")
+      .groupBy($"user_id").agg(min($"ts").as("t_view"))
+    val c = ev.filter($"event_type" === "click")
+      .join(v, Seq("user_id"))
+      .filter($"ts" > $"t_view" && $"ts" <= $"t_view" + bound)
+      .groupBy($"user_id").agg(min($"ts").as("t_click"), min($"t_view").as("tv"))
+    val p = ev.filter($"event_type" === "purchase")
+      .join(c, Seq("user_id"))
+      .filter($"ts" > $"t_click" && $"ts" <= $"tv" + bound)
+      .groupBy($"user_id").agg(min($"ts").as("t_purchase"))
+    ev.select($"user_id").distinct()
+      .join(v, Seq("user_id"), "left")
+      .join(c.select($"user_id", $"t_click"), Seq("user_id"), "left")
+      .join(p.select($"user_id", $"t_purchase"), Seq("user_id"), "left")
+      .agg(
+        count($"t_view").as("reached_view"),
+        count($"t_click").as("reached_click"),
+        count($"t_purchase").as("reached_purchase"),
+        count("*").as("n_users"))
+  }
+
   /** Retention cohorts: users grouped by first-seen day, tracked by
     * how many are active again k days later — the DAU retention
     * triangle behind every growth dashboard.

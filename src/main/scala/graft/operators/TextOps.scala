@@ -586,6 +586,31 @@ object TextOps {
       |FROM posts p JOIN uni u USING (w1) JOIN bi b USING (bg) CROSS JOIN v
       |GROUP BY p.doc_id ORDER BY p.doc_id""".stripMargin
 
+  /** Word-distribution entropy per document:
+    * `H = −Σ (c/n)·log2(c/n)` over the doc's own word counts — the
+    * information-theoretic twin of [[textRepetition]]'s top-word
+    * fraction (H → 0 for degenerate single-word spam, → log2(n) for
+    * fully diverse text). A standard cheap screen between the
+    * rule-based filters and a real LM.
+    *
+    * Scale shape: one explode → (doc, word) count aggregate with
+    * map-side partials, then a per-doc aggregate — both shuffles on
+    * doc_id (the second re-uses the first's partitioning). FP: ≤
+    * vocab-size log terms per doc, round(4) absorbs summation order.
+    */
+  def wordEntropy(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val counts = Tables.documents(spark, dir)
+      .select($"doc_id", explode(split($"text", " ")).as("w"))
+      .groupBy($"doc_id", $"w").agg(count(lit(1)).as("c"))
+    counts
+      .withColumn("n", sum($"c").over(Window.partitionBy($"doc_id")))
+      .groupBy($"doc_id")
+      .agg(max($"n").as("n_words"),
+           round(-sum(($"c" / $"n") * log2($"c" / $"n")), 4).as("entropy"))
+      .orderBy($"doc_id")
+  }
+
   /** TF-IDF keyword extraction, exact-integer form: the `topN`
     * highest-scoring terms per document where
     * `score = (tf · N · 10000) div df` — term frequency × inverse

@@ -541,6 +541,25 @@ class BatchOperatorsSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAl
     salted.foreach { r => assert(plain(r.getString(0)) == r.getLong(1)) }
   }
 
+  test("windowed funnel is dominated by the unbounded funnel, stage-monotone") {
+    val Array(b) = SparkEntry.queries("funnel_conversion")(spark, sf).collect()
+    val Array(w) = SparkEntry.queries("funnel_conversion_windowed")(spark, sf).collect()
+    assert(w.getLong(0) == b.getLong(0)) // stage 1 has no bound
+    assert(w.getLong(1) <= b.getLong(1) && w.getLong(2) <= b.getLong(2))
+    assert(w.getLong(0) >= w.getLong(1) && w.getLong(1) >= w.getLong(2))
+    assert(w.getLong(3) == b.getLong(3))
+  }
+
+  test("word entropy is bounded by log2(n_words) and positive on diverse text") {
+    val rows = SparkEntry.queries("word_entropy")(spark, sf).collect()
+    rows.foreach { r =>
+      val (n, h) = (r.getLong(1), r.getDouble(2))
+      assert(h >= 0.0 && h <= math.log(n.toDouble) / math.log(2.0) + 1e-9,
+        s"doc ${r.getLong(0)}: H=$h outside [0, log2($n)]")
+    }
+    assert(rows.forall(_.getDouble(2) > 1.0)) // corpus docs are word-diverse
+  }
+
   test("zorder slices bound BOTH dimensions (the file-skipping property)") {
     import org.apache.spark.sql.functions.{max => fmax, min => fmin, col}
     val li = graft.sources.Tables.lineitem(spark, sf)
