@@ -69,6 +69,8 @@ object SparkEntry {
     "cube_sales"            -> Olap.cubeSales _,
     "grouping_sets_sales"   -> Olap.groupingSetsSales _,
     "histogram_value"       -> ((s: SparkSession, d: String) => Olap.histogramValue(s, d)),
+    "timeseries_fill"       -> Olap.timeseriesFill _,
+    "hll_sketch_daily"      -> ((s: SparkSession, d: String) => Olap.hllSketchDaily(s, d)),
     "zorder_layout"         -> Olap.zorderLayout _,
     "semi_anti_customers"   -> Olap.semiAntiCustomers _,
     "percentile_stats"      -> ((s: SparkSession, d: String) => Olap.percentileStats(s, d)),
@@ -88,6 +90,7 @@ object SparkEntry {
     "pack_sequences"      -> ((s: SparkSession, d: String) => Sampling.packSequences(s, d)),
     "ngram_contamination" -> ((s: SparkSession, d: String) => Sampling.ngramContamination(s, d)),
     "doc_chunking"        -> ((s: SparkSession, d: String) => Sampling.docChunking(s, d)),
+    "corpus_mix"          -> ((s: SparkSession, d: String) => Sampling.corpusMix(s, d)),
     "corpus_filter"       -> ((s: SparkSession, d: String) => TextOps.corpusFilter(s, d)),
     "lang_id"            -> TextOps.langId _,
     "text_quality"       -> TextOps.textQuality _,
@@ -105,6 +108,7 @@ object SparkEntry {
     "multimodal_pipeline" -> Multimodal.pipeline _,
     "dedup_substring"    -> ((s: SparkSession, d: String) => Dedup.dedupSubstring(s, d)),
     "dedup_substring_remove" -> ((s: SparkSession, d: String) => Dedup.dedupSubstringRemove(s, d)),
+    "dedup_paragraph"    -> ((s: SparkSession, d: String) => Dedup.dedupParagraph(s, d)),
     "dedup_minhash_lsh"  -> ((s: SparkSession, d: String) => Dedup.minHashLsh(s, d)),
     "dedup_clusters"     -> ((s: SparkSession, d: String) => Dedup.dedupClusters(s, d)),
     "dedup_clusters_star" -> ((s: SparkSession, d: String) => Dedup.dedupClustersStar(s, d)),
@@ -287,6 +291,8 @@ object SparkEntry {
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "zorder_layout" -> operators.Olap.zorderOracleSql,
+
+    "timeseries_fill" -> operators.Olap.timeseriesFillOracleSql,
 
     // same heavy-user cap (<= 50 distinct items) and support floor
     "co_engagement" ->
@@ -594,6 +600,7 @@ object SparkEntry {
         |GROUP BY cg.doc_id ORDER BY cg.doc_id""".stripMargin,
 
     "doc_chunking" -> operators.Sampling.docChunkingOracleSql(),
+    "corpus_mix" -> operators.Sampling.corpusMixOracleSql(),
 
     "text_quality" -> operators.TextOps.textQualityOracleSql,
     "text_repetition" -> operators.TextOps.textRepetitionOracleSql,
@@ -623,6 +630,7 @@ object SparkEntry {
 
     "dedup_substring" -> operators.Dedup.dedupSubstringOracleSql(),
     "dedup_substring_remove" -> operators.Dedup.dedupSubstringRemoveOracleSql(),
+    "dedup_paragraph" -> operators.Dedup.dedupParagraphOracleSql(),
 
     "dedup_minhash_lsh" -> operators.Dedup.minHashLshOracleSql(),
 

@@ -869,4 +869,86 @@ object Dedup {
        |       (CAST(coalesce(dtok, 0) AS BIGINT) * 10000 // n_tokens) / 10000.0 AS dup_frac
        |FROM t LEFT JOIN summ ON t.doc_id = summ.doc_id
        |ORDER BY t.doc_id""".stripMargin
+
+  /** Paragraph-granularity exact dedup with document rebuild (the
+    * RefinedWeb / Dolma "line dedup" stage): documents are cut into
+    * fixed units (`segWords` consecutive words — the corpus has no
+    * newline structure, so the unit boundary is positional; on real
+    * data the same plan splits on '\n'), every unit is hashed, the
+    * globally FIRST occurrence of each distinct unit (min (doc_id,
+    * idx)) survives, and each document is rebuilt from its surviving
+    * units in original order. Catches the cross-document boilerplate
+    * (headers, navigation, license blocks) that whole-document
+    * hashing misses and that MinHash only catches probabilistically.
+    *
+    * Scale shape, in three doc_id-keyed stages with ONE hash-keyed
+    * shuffle in between: (1) units are derived map-side
+    * (`posexplode` over the word array), and only `(xxhash64(unit),
+    * doc_id, idx)` — never unit text — shuffles to the per-hash
+    * min-winner aggregate (map-side partial min); (2) winners
+    * collapse to a per-doc keep-set (`collect_set(idx)`, bounded by
+    * units-per-doc); (3) the keep-set joins back onto the re-derived
+    * units co-partitioned on doc_id, and the rebuild groupBy reuses
+    * that same partitioning. The only stage that moves text is the
+    * rebuild itself, which any rebuild must. 64-bit unit hashes:
+    * collision odds over even 10^10 units are ~1e-9 (birthday
+    * bound); the oracle groups on unit STRINGS, so a collision
+    * would surface as a mismatch rather than hide. */
+  def dedupParagraph(spark: SparkSession, dir: String, segWords: Int = 10): DataFrame =
+    dedupParagraphTransform(spark, Tables.documents(spark, dir), segWords)
+
+  def dedupParagraphTransform(spark: SparkSession, documents: DataFrame,
+                              segWords: Int): DataFrame = {
+    import spark.implicits._
+    val docs = documents.select($"doc_id", split($"text", " ").as("ws"))
+    def units(d: DataFrame): DataFrame = d.select($"doc_id",
+      posexplode(expr(
+        s"transform(sequence(0, (size(ws) - 1) div $segWords), " +
+        s"i -> array_join(slice(ws, i * $segWords + 1, $segWords), ' '))"))
+        .as(Seq("idx", "seg")))
+
+    val winners = units(docs)
+      .select(xxhash64($"seg").as("h"), struct($"doc_id", $"idx").as("at"))
+      .groupBy($"h").agg(min($"at").as("w"))
+      .select($"w.doc_id".as("doc_id"), $"w.idx".as("idx"))
+    val keepSets = winners.groupBy($"doc_id").agg(collect_set($"idx").as("keep"))
+
+    val rebuilt = units(docs)
+      .join(keepSets, Seq("doc_id"))
+      .filter(array_contains($"keep", $"idx"))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("kept"),
+        md5(concat_ws(" ",
+          transform(array_sort(collect_list(struct($"idx", $"seg"))), x => x("seg"))))
+          .as("chash"))
+
+    docs.select($"doc_id",
+        expr(s"CAST((size(ws) - 1) div $segWords + 1 AS BIGINT)").as("n_units"))
+      .join(rebuilt, Seq("doc_id"), "left")
+      .select($"doc_id", $"n_units",
+        coalesce($"kept", lit(0L)).as("kept_units"),
+        // a doc whose every unit appeared earlier keeps nothing
+        coalesce($"chash", md5(lit(""))).as("cleaned_hash"))
+      .orderBy($"doc_id")
+  }
+
+  /** DuckDB oracle for [[dedupParagraph]] — identical units, winners
+    * chosen per unit STRING (no hash), identical rebuild. */
+  def dedupParagraphOracleSql(segWords: Int = 10): String =
+    s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+       |u AS (SELECT doc_id, CAST(i AS BIGINT) AS idx,
+       |             array_to_string(ws[i * $segWords + 1 : i * $segWords + $segWords], ' ') AS seg
+       |      FROM d, unnest(range(0, (len(ws) - 1) // $segWords + 1)) AS t(i)),
+       |k AS (SELECT doc_id, idx, seg,
+       |             row_number() OVER (PARTITION BY seg ORDER BY doc_id, idx) AS rn
+       |      FROM u),
+       |reb AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS kept_units,
+       |               md5(string_agg(seg, ' ' ORDER BY idx)) AS cleaned_hash
+       |        FROM k WHERE rn = 1 GROUP BY 1),
+       |n AS (SELECT doc_id, CAST((len(ws) - 1) // $segWords + 1 AS BIGINT) AS n_units FROM d)
+       |SELECT n.doc_id, n.n_units,
+       |       COALESCE(reb.kept_units, 0) AS kept_units,
+       |       COALESCE(reb.cleaned_hash, md5('')) AS cleaned_hash
+       |FROM n LEFT JOIN reb USING (doc_id)
+       |ORDER BY n.doc_id""".stripMargin
 }

@@ -641,4 +641,83 @@ object Olap {
            round(max($"value"), 2).as("bin_max"))
       .orderBy($"event_type", $"bin")
   }
+
+  /** Gap-filled hourly time series with forward fill (the ClickHouse
+    * `ORDER BY ... WITH FILL` / time-series-interpolation surface):
+    * per (event_type, hour) integer-cents revenue, densified onto the
+    * complete hour grid, empty cells flagged `is_gap` and carrying
+    * the last observed value forward (`filled_cents` stays null
+    * before the first observation — a leading gap has nothing to
+    * carry).
+    *
+    * Scale shape: the fact table is touched exactly once, by a
+    * map-side-combined (type, hour) aggregate that reduces it to
+    * |types|·|hours| rows. Everything after runs on that tiny series:
+    * the hour grid comes from a 1-row min/max aggregate exploded via
+    * `sequence()` (never a scan of the fact), the grid join is
+    * broadcast, and the forward-fill window sorts |hours| rows per
+    * type. At 100 TB the fact aggregate is the only real stage; a
+    * year of hourly cells × 1000 types is still < 10M grid rows. */
+  def timeseriesFill(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, dir)
+      .select($"event_type", date_trunc("hour", $"ts").as("hour_start"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+    val series = ev.groupBy($"event_type", $"hour_start")
+      .agg(sum($"cents").as("cents"), count(lit(1)).as("n"))
+    val hours = ev.agg(min($"hour_start").as("lo"), max($"hour_start").as("hi"))
+      .select(explode(sequence($"lo", $"hi", expr("INTERVAL 1 HOUR"))).as("hour_start"))
+    val grid = series.select($"event_type").distinct().crossJoin(hours)
+    grid.join(series, Seq("event_type", "hour_start"), "left")
+      .select($"event_type", $"hour_start",
+        coalesce($"n", lit(0L)).as("n"),
+        $"n".isNull.as("is_gap"),
+        last($"cents", ignoreNulls = true).over(
+          Window.partitionBy($"event_type").orderBy($"hour_start")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .as("filled_cents"))
+      .orderBy($"event_type", $"hour_start")
+  }
+
+  /** DuckDB oracle for [[timeseriesFill]] — same grid, same
+    * forward-fill via `IGNORE NULLS`. */
+  val timeseriesFillOracleSql: String =
+    """WITH ev AS (SELECT event_type, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour_start,
+      |                   CAST(round(value * 100) AS BIGINT) AS cents FROM events),
+      |s AS (SELECT event_type, hour_start, CAST(sum(cents) AS BIGINT) AS cents, count(*) AS n FROM ev GROUP BY 1, 2),
+      |b AS (SELECT min(hour_start) AS lo, max(hour_start) AS hi FROM ev),
+      |h AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour_start FROM b),
+      |g AS (SELECT event_type, hour_start FROM (SELECT DISTINCT event_type FROM ev) CROSS JOIN h)
+      |SELECT g.event_type, g.hour_start, COALESCE(s.n, 0) AS n, s.n IS NULL AS is_gap,
+      |       last_value(s.cents IGNORE NULLS) OVER (
+      |         PARTITION BY g.event_type ORDER BY g.hour_start
+      |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_cents
+      |FROM g LEFT JOIN s ON g.event_type = s.event_type AND g.hour_start = s.hour_start
+      |ORDER BY 1, 2""".stripMargin
+
+  /** Re-aggregatable distinct-count sketches (the ClickHouse
+    * `AggregatingMergeTree` / `uniqState`→`uniqMerge` pattern): one
+    * HLL sketch of `user_id` per (week, day) — the shape a
+    * materialized daily rollup would persist — then the weekly
+    * distinct-user estimate computed by MERGING the daily sketches
+    * (`hll_union_agg`), never re-touching the fact table.
+    *
+    * This is the capability that makes pre-aggregation work for
+    * non-additive metrics at 100 TB: daily partials are a few KB
+    * each, re-aggregate associatively to any coarser grain, and the
+    * fact is scanned once ever. Approximate-by-design (rows-only in
+    * CORRECTNESS): DuckDB has no datasketches-compatible HLL, so the
+    * ±5%-of-exact and merge-vs-direct-equality guarantees are
+    * spec-asserted instead. */
+  def hllSketchDaily(spark: SparkSession, dir: String, lgConfigK: Int = 14): DataFrame = {
+    import spark.implicits._
+    val daily = Tables.events(spark, dir)
+      .select(date_trunc("week", $"ts").as("week"), date_trunc("day", $"ts").as("day"), $"user_id")
+      .groupBy($"week", $"day")
+      .agg(hll_sketch_agg($"user_id", lit(lgConfigK)).as("sk"))
+    daily.groupBy($"week")
+      .agg(count(lit(1)).as("n_days"),
+           hll_sketch_estimate(hll_union_agg($"sk", lit(false))).as("est_users"))
+      .orderBy($"week")
+  }
 }

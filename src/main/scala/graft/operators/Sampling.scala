@@ -192,4 +192,63 @@ object Sampling {
       .groupBy($"doc_id").agg(countDistinct($"gram").as("n_shared_ngrams"))
       .orderBy($"doc_id")
   }
+
+  /** Weighted source mixing to a target budget (the Pile / Dolma
+    * "mixture" stage): the corpus is downsampled to `budgetNum /
+    * budgetDen` of its size, with each source's share of the budget
+    * proportional to its mixture weight, and membership decided by
+    * the same deterministic [[splitHash]] as every other selection
+    * stage. Unlike [[stratifiedSample]] (fixed per-source rates,
+    * parameter-only), the rates here are DERIVED FROM DATA: a
+    * |sources|-row count aggregate feeds the per-source target
+    * `target_s = (N·num div den) · w_s div Σw`, then broadcasts back
+    * onto the scan. The keep test is pure 64-bit integer arithmetic
+    * — `h·n_s < target_s·2^32` ⇔ `h/2^32 < target_s/n_s` — so the
+    * DuckDB oracle is bit-exact with zero FP-rate comparisons.
+    * (Bounds: h < 2^32 and target_s ≤ n_s keep both products under
+    * Long.Max up to ~2·10^9 docs per source; beyond that, widen to
+    * DECIMAL.) Weights are demo-derived from the source name
+    * (`srcN` → N mod 3 + 1); production joins a real weight table
+    * through the identical plan. A source whose target exceeds its
+    * size keeps everything (rate caps at 1 by construction since
+    * Σ target_s ≤ budget < N only redistributes via the div floor).
+    *
+    * Scale shape: one tiny aggregate + broadcast back + one
+    * map-side filter — the fact table never shuffles. */
+  def corpusMix(spark: SparkSession, dir: String,
+                budgetNum: Int = 2, budgetDen: Int = 5,
+                salt: String = "graft-mix"): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir).select($"doc_id", $"source")
+    val counts = docs.groupBy($"source")
+      .agg(count(lit(1)).as("n_s"))
+      .withColumn("w", expr("CAST(substring(source, 4) AS BIGINT) % 3 + 1"))
+    val totals = counts.agg(sum($"n_s").as("n_tot"), sum($"w").as("w_tot"))
+    val rates = counts.crossJoin(totals)
+      .select($"source", $"n_s",
+        expr(s"((n_tot * $budgetNum div $budgetDen) * w) div w_tot").as("target_s"))
+    docs.join(broadcast(rates), Seq("source"))
+      .filter(splitHash($"doc_id", salt) * $"n_s" < $"target_s" * lit(4294967296L))
+      .select($"doc_id", $"source")
+      .orderBy($"doc_id")
+  }
+
+  /** DuckDB oracle for [[corpusMix]] — same counts, same integer
+    * targets, same md5-derived hash test. */
+  def corpusMixOracleSql(budgetNum: Int = 2, budgetDen: Int = 5,
+                         salt: String = "graft-mix"): String =
+    s"""WITH d AS (SELECT doc_id, source FROM documents),
+       |c AS (SELECT source, CAST(count(*) AS BIGINT) AS n_s,
+       |             CAST(substring(source, 4) AS BIGINT) % 3 + 1 AS w
+       |      FROM d GROUP BY 1),
+       |t AS (SELECT sum(n_s) AS n_tot, sum(w) AS w_tot FROM c),
+       |r AS (SELECT source, n_s,
+       |             ((n_tot * $budgetNum // $budgetDen) * w) // w_tot AS target_s
+       |      FROM c CROSS JOIN t),
+       |h AS (SELECT doc_id, d.source, n_s, target_s,
+       |             CAST(('0x' || substr(md5(doc_id || ':$salt'), 1, 8))::UBIGINT AS BIGINT) AS hv
+       |      FROM d JOIN r ON d.source = r.source)
+       |SELECT doc_id, source FROM h
+       |WHERE hv * n_s < target_s * 4294967296
+       |ORDER BY doc_id""".stripMargin
 }

@@ -583,6 +583,91 @@ class BatchOperatorsSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAl
     }
   }
 
+  test("timeseries_fill densifies the grid and carries values forward") {
+    import org.apache.spark.sql.functions.{col, countDistinct}
+    val ts = SparkEntry.queries("timeseries_fill")(spark, sf)
+    val types = ts.select(countDistinct("event_type")).collect()(0).getLong(0)
+    val hours = ts.select(countDistinct("hour_start")).collect()(0).getLong(0)
+    assert(ts.count() == types * hours, "grid must be dense: |types| x |hours|")
+    assert(ts.filter(col("is_gap") && col("n") =!= 0L).count() == 0)
+    assert(ts.filter(!col("is_gap") && col("n") === 0L).count() == 0)
+    assert(ts.filter(col("is_gap")).count() > 0, "sf0.001 must exercise real gaps")
+    // forward fill: every gap row repeats the last observed cents
+    val rows = ts.orderBy("event_type", "hour_start").collect()
+    var last: Map[String, java.lang.Long] = Map().withDefaultValue(null)
+    rows.foreach { r =>
+      val t = r.getString(0); val gap = r.getBoolean(3)
+      val filled = if (r.isNullAt(4)) null else java.lang.Long.valueOf(r.getLong(4))
+      if (gap) assert(filled == last(t), s"gap at $t ${r.get(1)} must carry $last")
+      last = last.updated(t, filled)
+    }
+  }
+
+  test("hll_sketch_daily merged estimates stay within 5% of exact") {
+    import org.apache.spark.sql.functions.{countDistinct, date_trunc, col}
+    val est = SparkEntry.queries("hll_sketch_daily")(spark, sf)
+      .collect().map(r => r.getTimestamp(0) -> r.getLong(2)).toMap
+    val exact = graft.sources.Tables.events(spark, sf)
+      .groupBy(date_trunc("week", col("ts")).as("week"))
+      .agg(countDistinct("user_id").as("u"))
+      .collect().map(r => r.getTimestamp(0) -> r.getLong(1)).toMap
+    assert(est.keySet == exact.keySet)
+    exact.foreach { case (w, ex) =>
+      assert(math.abs(est(w) - ex) <= math.max(1L, ex / 20),
+        s"week $w: sketch ${est(w)} vs exact $ex drifts past 5%")
+    }
+    // determinism: the sketch-merge path is not sampling
+    val again = SparkEntry.queries("hll_sketch_daily")(spark, sf)
+      .collect().map(r => r.getTimestamp(0) -> r.getLong(2)).toMap
+    assert(again == est)
+  }
+
+  test("dedup_paragraph keeps first occurrences and rebuilds in order") {
+    import spark.implicits._
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    val docs = Seq(
+      (1L, "a1 a2 a3 b1 b2 b3"),              // both units fresh
+      (2L, "a1 a2 a3 c1 c2 c3"),              // first unit dupes doc 1's
+      (3L, "a1 a2 a3 b1 b2 b3"),              // full duplicate: keeps nothing
+      (4L, "b1 b2 b3 d1"))                    // ragged tail unit survives
+      .toDF("doc_id", "text")
+    val out = graft.operators.Dedup.dedupParagraphTransform(spark, docs, segWords = 3)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    assert(out(1L) == ((2L, 2L, md5hex("a1 a2 a3 b1 b2 b3"))))
+    assert(out(2L) == ((2L, 1L, md5hex("c1 c2 c3"))), "shared unit stripped")
+    assert(out(3L) == ((2L, 0L, md5hex(""))), "fully-duplicate doc keeps nothing")
+    assert(out(4L) == ((2L, 1L, md5hex("d1"))), "ragged tail is its own unit")
+  }
+
+  test("corpus_mix respects per-source targets and grows monotonically") {
+    import org.apache.spark.sql.functions.{col, count => fcount, lit}
+    val kept = graft.operators.Sampling.corpusMix(spark, sf)
+    val n = graft.sources.Tables.documents(spark, sf).count()
+    assert(kept.count() > 0 && kept.count() < n)
+    // per-source kept <= integer target derived from counts and weights
+    val perSrc = kept.groupBy("source").agg(fcount(lit(1)).as("k"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val counts = graft.sources.Tables.documents(spark, sf)
+      .groupBy("source").agg(fcount(lit(1)).as("n_s"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val w = counts.keys.map(s => s -> (s.drop(3).toLong % 3 + 1)).toMap
+    val budget = n * 2 / 5; val wTot = w.values.sum
+    perSrc.foreach { case (s, k) =>
+      val target = budget * w(s) / wTot
+      // E[kept] = target; the hash draw is binomial around it
+      assert(k <= counts(s), s"$s kept more than it has")
+      assert(math.abs(k - target) <= math.max(3L, target),
+        s"$s kept $k vs target $target")
+    }
+    // determinism + monotone membership as the budget grows
+    val ids = kept.select("doc_id").collect().map(_.getLong(0)).toSet
+    val bigger = graft.operators.Sampling.corpusMix(spark, sf, budgetNum = 3, budgetDen = 5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids.subsetOf(bigger), "a larger budget must only add documents")
+  }
+
   test("histogram bins partition each event type's value range") {
     import org.apache.spark.sql.functions.{col, sum => fsum}
     val h = SparkEntry.queries("histogram_value")(spark, sf)
