@@ -74,7 +74,15 @@ object Bench {
     "lag_features" -> 2.107, "event_transitions" -> 1.996,
     "attribution_last_touch" -> 1.985, "zorder_layout" -> 1.702,
     "decayed_leaderboard" -> 1.330, "text_normalize" -> 0.819,
-    "funnel_conversion_windowed" -> 2.683, "word_entropy" -> 1.947)
+    "funnel_conversion_windowed" -> 2.683, "word_entropy" -> 1.947,
+    "dedup_paragraph" -> 3.409, "timeseries_fill" -> 2.093,
+    "corpus_mix" -> 1.932, "hll_sketch_daily" -> 1.303,
+    // round-5 fourth batch (graph analytics, journeys, skew
+    // diagnostics, Q17, interval concurrency)
+    "pagerank_items" -> 6.693, "triangle_count" -> 5.758,
+    "attribution_first_touch" -> 2.205, "top_paths" -> 2.743,
+    "key_skew_stats" -> 2.412, "q17_small_quantity" -> 2.013,
+    "open_orders_daily" -> 3.678)
 
   /** Run ONE query in a fresh JVM (this JVM's own flags + classpath,
     * stderr discarded) and parse its timing out of the child's JSON

@@ -31,12 +31,18 @@ object SparkEntry {
     "retention_cohorts"  -> ((s: SparkSession, d: String) => Engagement.retentionCohorts(s, d)),
     // behavioral analytics over the enriched event log
     "attribution_last_touch" -> Behavior.attributionLastTouch _,
+    "attribution_first_touch" -> Behavior.attributionFirstTouch _,
+    "top_paths"          -> Behavior.topPaths _,
+    "key_skew_stats"     -> Behavior.keySkewStats _,
     "event_transitions"  -> Behavior.eventTransitions _,
     "decayed_leaderboard" -> ((s: SparkSession, d: String) => Behavior.decayedLeaderboard(s, d)),
     "lag_features"       -> Behavior.lagFeatures _,
     "anomaly_zscore"     -> ((s: SparkSession, d: String) => Behavior.anomalyZscore(s, d)),
     "co_engagement"      -> Behavior.coEngagement _,
     "topk_diversified"   -> ((s: SparkSession, d: String) => Behavior.topkDiversified(s, d)),
+    // graph analytics over the co-engagement item graph
+    "pagerank_items"     -> Graph.pagerankItems _,
+    "triangle_count"     -> Graph.triangleCount _,
     // Structured Streaming (real engine: readStream -> AvailableNow),
     // checked against the same DuckDB oracles as their batch twins
     "stream_hop_agg"     -> EngagementStream.streamHopAgg _,
@@ -70,6 +76,8 @@ object SparkEntry {
     "grouping_sets_sales"   -> Olap.groupingSetsSales _,
     "histogram_value"       -> ((s: SparkSession, d: String) => Olap.histogramValue(s, d)),
     "timeseries_fill"       -> Olap.timeseriesFill _,
+    "q17_small_quantity"    -> ((s: SparkSession, d: String) => Olap.q17SmallQuantity(s, d)),
+    "open_orders_daily"     -> Olap.openOrdersDaily _,
     "hll_sketch_daily"      -> ((s: SparkSession, d: String) => Olap.hllSketchDaily(s, d)),
     "zorder_layout"         -> Olap.zorderLayout _,
     "semi_anti_customers"   -> Olap.semiAntiCustomers _,
@@ -236,6 +244,41 @@ object SparkEntry {
         |FROM lt WHERE event_type = 'purchase'
         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
+    // first-touch: correlated earliest-touch lookup (independent
+    // formulation of the Spark side's moving RANGE frame)
+    "attribution_first_touch" ->
+      """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, event_type, value FROM events)
+        |SELECT touch_type, count(*) AS n_conversions, round(sum(value), 2) AS attributed_value
+        |FROM (SELECT c.value,
+        |             coalesce((SELECT t.event_type FROM e t
+        |                       WHERE t.user_id = c.user_id
+        |                         AND t.event_type IN ('view','click')
+        |                         AND t.ts < c.ts
+        |                         AND t.ts >= c.ts - INTERVAL 7 DAY
+        |                       ORDER BY t.ts, t.event_id LIMIT 1), 'none') AS touch_type
+        |      FROM e c WHERE c.event_type = 'purchase')
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "top_paths" ->
+      """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, event_type FROM events),
+        |rn AS (SELECT user_id, event_type,
+        |              row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        |       FROM e),
+        |p AS (SELECT user_id, string_agg(event_type, '>' ORDER BY rn) AS path
+        |      FROM rn WHERE rn <= 5 GROUP BY 1)
+        |SELECT path, count(*) AS n_users
+        |FROM p GROUP BY 1 ORDER BY 2 DESC, 1 LIMIT 20""".stripMargin,
+
+    "key_skew_stats" ->
+      """WITH counts AS (SELECT TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS item, count(*) AS n
+        |                FROM events GROUP BY 1),
+        |tot AS (SELECT CAST(sum(n) AS BIGINT) AS total, count(*) AS n_keys FROM counts),
+        |top AS (SELECT item, n FROM counts ORDER BY n DESC, item LIMIT 10)
+        |SELECT item, n, round(n / total, 4) AS share,
+        |       round(CAST(sum(n) OVER (ORDER BY n DESC, item ROWS UNBOUNDED PRECEDING) AS BIGINT) / total, 4) AS cum_share,
+        |       round(n * n_keys / total, 4) AS skew_ratio
+        |FROM top, tot ORDER BY n DESC, item""".stripMargin,
+
     "event_transitions" ->
       """WITH p AS (
         |  SELECT prev_type, event_type AS curr_type, count(*) AS n
@@ -293,6 +336,8 @@ object SparkEntry {
     "zorder_layout" -> operators.Olap.zorderOracleSql,
 
     "timeseries_fill" -> operators.Olap.timeseriesFillOracleSql,
+    "q17_small_quantity" -> operators.Olap.q17OracleSql(),
+    "open_orders_daily" -> operators.Olap.openOrdersOracleSql,
 
     // same heavy-user cap (<= 50 distinct items) and support floor
     "co_engagement" ->
@@ -304,6 +349,11 @@ object SparkEntry {
         |FROM kept a JOIN kept b ON a.user_id = b.user_id AND a.item < b.item
         |GROUP BY 1, 2 HAVING count(*) >= 3
         |ORDER BY 1, 2""".stripMargin,
+
+    // graph family: unrolled integer-PageRank recurrence / naive
+    // triple-join triangle oracle (algorithm-independent result set)
+    "pagerank_items" -> operators.Graph.pagerankOracleSql(),
+    "triangle_count" -> operators.Graph.triangleOracleSql(),
 
     // the bounded-heap stage-2 equals this nested-window formulation
     "topk_diversified" ->

@@ -227,6 +227,97 @@ object Behavior {
     * broadcast semi-join against the fact (tiny side broadcast, fact
     * never shuffles).
     */
+  /** First-touch attribution — the acquisition-channel twin of
+    * [[attributionTransform]]: each conversion is credited to the
+    * EARLIEST touch inside the lookback window. Where last-touch can
+    * carry one struct-max forward forever, first-touch needs the
+    * window's left edge to move with time, so the frame is a RANGE
+    * frame over `unix_micros(ts)` spanning `[ts − lookback, ts)` —
+    * still one window pass per user partition, still no
+    * touches×conversions self-join. `min(struct(ts, event_id, type))`
+    * picks the earliest touch (ties by event_id), null → `none`.
+    */
+  def firstTouchTransform(events: DataFrame, lookbackSec: Long = 7L * 86400): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(unix_micros(col("ts")))
+      .rangeBetween(-lookbackSec * 1000000L, -1L)
+    val touch = when(col("event_type").isin("view", "click"),
+      struct(col("ts"), col("event_id"), col("event_type")))
+    events.select(col("user_id"), col("ts"), col("event_id"), col("event_type"), col("value"))
+      .withColumn("first_touch", min(touch).over(w))
+      .filter(col("event_type") === "purchase")
+      .withColumn("touch_type", coalesce(col("first_touch.event_type"), lit("none")))
+      .groupBy(col("touch_type"))
+      .agg(count("*").as("n_conversions"),
+           round(sum(col("value")), 2).as("attributed_value"))
+      .orderBy(col("touch_type"))
+  }
+
+  def attributionFirstTouch(spark: SparkSession, dir: String): DataFrame =
+    firstTouchTransform(Tables.events(spark, dir))
+
+  /** Top user journeys: the `depth`-prefix of each user's
+    * time-ordered event-type sequence, rendered `a>b>c`, counted and
+    * ranked — the "what are the most common first sessions" product
+    * question (path/Sankey analytics).
+    *
+    * One shuffle on user_id for the prefix window, which also CAPS
+    * the per-user payload at `depth` rows before anything aggregates;
+    * the in-group ordering is made deterministic by sorting
+    * `(rn, type)` structs inside the aggregate (collect_list order is
+    * not a contract under retries/merges — never rely on it). The
+    * path-count aggregate is map-side combinable and the final top-N
+    * is a bounded TakeOrdered, so nothing global ever sorts.
+    */
+  def topPathsTransform(events: DataFrame, depth: Int, topN: Int): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    events.select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= depth)
+      .groupBy(col("user_id"))
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("rn"), col("event_type")))),
+          x => x.getField("event_type")), ">").as("path"))
+      .groupBy(col("path")).agg(count(lit(1)).as("n_users"))
+      .orderBy(col("n_users").desc, col("path"))
+      .limit(topN)
+  }
+
+  def topPaths(spark: SparkSession, dir: String): DataFrame =
+    topPathsTransform(Tables.events(spark, dir), depth = 5, topN = 20)
+
+  /** Key-skew diagnostics over a prospective shuffle key — the
+    * measurement that DECIDES the salting/AQE-skew strategy every
+    * other operator here documents: per-key counts, each heavy
+    * hitter's share, the cumulative share of the top-N, and a skew
+    * ratio normalized so 1.0 = perfectly uniform (`n · |keys| /
+    * total`). Run it on a candidate join/groupBy key before sizing a
+    * 100 TB job; a top-1 ratio of 50 means the biggest key's
+    * partition does 50× the uniform work.
+    *
+    * Shape: one map-side-combinable count aggregate, a one-row totals
+    * aggregate broadcast back, bounded top-N; the cumulative window
+    * runs over ≤ topN rows (constant partition key — planning-scale
+    * by construction).
+    */
+  def keySkewTransform(events: DataFrame, topN: Int): DataFrame = {
+    val counts = events
+      .select(get_json_object(col("props"), "$.k").cast("long").as("item"))
+      .groupBy(col("item")).agg(count(lit(1)).as("n"))
+    val tot = counts.agg(sum(col("n")).as("total"), count(lit(1)).as("n_keys"))
+    val top = counts.orderBy(col("n").desc, col("item")).limit(topN)
+    val w = Window.partitionBy(lit(0)).orderBy(col("n").desc, col("item"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    top.crossJoin(broadcast(tot))
+      .withColumn("share", round(col("n") / col("total"), 4))
+      .withColumn("cum_share", round(sum(col("n")).over(w) / col("total"), 4))
+      .withColumn("skew_ratio", round(col("n") * col("n_keys") / col("total"), 4))
+      .select(col("item"), col("n"), col("share"), col("cum_share"), col("skew_ratio"))
+      .orderBy(col("n").desc, col("item"))
+  }
+
+  def keySkewStats(spark: SparkSession, dir: String): DataFrame =
+    keySkewTransform(Tables.events(spark, dir), topN = 10)
+
   def topkDiversified(spark: SparkSession, dir: String, k: Int = 10, perUser: Int = 2): DataFrame = {
     val ev = Tables.events(spark, dir)
       .select(col("event_id"), col("user_id"), col("event_type"), col("value"))

@@ -1,0 +1,243 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Graph analytics over the item co-engagement graph — the natural
+  * downstream of [[Behavior.coEngagementTransform]]'s co-occurrence
+  * matrix (reference `src/process.py:43-76` feeds the same event log
+  * to its analytics store; ranking items and finding tightly-knit
+  * item communities are the two classic graph asks on top of it).
+  *
+  * Graph basis shared by both operators: co-engagement pairs capped
+  * at `maxItems` per user (the quadratic guard documented on
+  * [[Behavior.coEngagementTransform]]), then the TOP-`topEdges` pairs
+  * by co-occurrence count (total order `(n_users DESC, item_a,
+  * item_b)` so the cut is deterministic). A fixed support threshold
+  * degenerates as data grows — at sf0.01 every one of the C(100,2)
+  * item pairs already clears support 3 and the graph is complete —
+  * whereas a top-E cut keeps edge count (and therefore iteration
+  * cost) bounded and the structure non-trivial at every scale.
+  *
+  * Scale shape: everything downstream of the pair aggregate operates
+  * on (id, id) edges — a few dozen bytes per edge, never event rows.
+  * The edge list after the top-E cut is planning-scale (≤ topEdges
+  * rows) here; on a 100 TB deployment where the retained graph is
+  * itself large, the same plans hold with the `limit` replaced by a
+  * support threshold tuned to keep |E| ~ billions: every join below
+  * is keyed on a node id (co-partitionable), every aggregate is
+  * map-side combinable, and iteration lineage is truncated per round
+  * exactly like [[Dedup.dedupClustersStar]].
+  */
+object Graph {
+
+  /** Co-engagement edge list: top-`topEdges` item pairs by
+    * co-occurrence count. Columns `(item_a, item_b)` with
+    * `item_a < item_b`, each row one undirected edge.
+    */
+  def edgeTransform(events: DataFrame, maxItems: Int, topEdges: Int): DataFrame =
+    Behavior.coEngagementTransform(events, maxItems, minSupport = 1L)
+      .orderBy(col("n_users").desc, col("item_a"), col("item_b"))
+      .limit(topEdges)
+      .select(col("item_a"), col("item_b"))
+
+  /** Per-round lineage truncation — same rationale as
+    * [[Dedup.dedupClustersStar]]'s: persist caches data but the
+    * logical plan still nests every prior round (exponential Catalyst
+    * re-analysis); checkpoint()/localCheckpoint() cuts the plan.
+    */
+  private def truncateLineage(df: DataFrame): DataFrame =
+    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint()
+    else df.localCheckpoint()
+
+  /** Fixed-iteration PageRank (Page et al. 1999) in EXACT integer
+    * arithmetic, so the result is bit-reproducible and
+    * hash-comparable against an independent engine: floating-point
+    * PageRank sums contributions in nondeterministic order, integer
+    * sums are order-independent.
+    *
+    * Formulation: undirected graph, every node starts at `scale`;
+    * one round is
+    * {{{ score'(v) = (15·scale)/100  +  (85 · Σ_{u∈Γ(v)} score(u) div deg(u)) div 100 }}}
+    * with `div` = truncating integer division (all values positive,
+    * so Spark's `div` and DuckDB's `//` agree). Undirected means
+    * deg(u) ≥ 1 for every node in an edge and every node receives
+    * mass each round — no dangling-mass correction term needed.
+    * Truncation drops < deg(u) units per neighbor per round — at
+    * `scale` = 1e9 a relative error < 1e-6, far below ranking
+    * resolution, and identical in both engines.
+    *
+    * Scale shape: per iteration, scores ⋈ deg is co-partitioned on
+    * `item`, the contribution fan-out joins edges on `src` (edges
+    * persist partitioned once, scores shuffle — the small side), and
+    * the in-sum is a map-side-combinable groupBy on `dst`. Overflow
+    * headroom: total mass stays ≤ |V|·scale, so 85·Σ fits a Long up
+    * to |V| ≈ 1e8 nodes at scale = 1e9.
+    */
+  def pagerankTransform(pairs: DataFrame, iters: Int = 10, scale: Long = 1000000000L): DataFrame = {
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    // iteration shuffles scoped to few partitions: per-round data is
+    // ids+scores (KBs here; at a billion-edge deployment this knob is
+    // sized to the edge list instead) — same pattern as
+    // dedupClustersStar's iteration scope
+    val shuffleKey = "spark.sql.shuffle.partitions"
+    val aqeKey = "spark.sql.adaptive.enabled"
+    val prevShuffle = spark.conf.get(shuffleKey)
+    val prevAqe = spark.conf.get(aqeKey)
+    spark.conf.set(shuffleKey, "8")
+    // AQE off for the iteration scope: each round is a fixed tiny
+    // 2-shuffle job, and adaptive re-planning at every stage boundary
+    // costs more than it can ever save on planning-scale state; the
+    // conf is restored before the caller's plan executes
+    spark.conf.set(aqeKey, "false")
+    // materialize the edge list ONCE before anything references it:
+    // the symmetric union below (and deg, and every round) would
+    // otherwise re-execute the co-engagement aggregation chain per
+    // reference — the classic diamond-reuse trap
+    val p = truncateLineage(pairs)
+    val edges = p.select($"item_a".as("src"), $"item_b".as("dst"))
+      .unionByName(p.select($"item_b".as("src"), $"item_a".as("dst")))
+      .persist()
+    val deg = edges.groupBy($"src".as("item")).agg(count(lit(1)).as("deg")).persist()
+    val base = 15L * scale / 100L
+    try {
+      var scores = truncateLineage(deg.select($"item", lit(scale).as("score")))
+      for (i <- 1 to iters) {
+        val contrib = scores.join(deg, "item")
+          .join(edges, $"item" === $"src")
+          .select($"dst".as("item"), expr("score div deg").as("c"))
+        val next = contrib.groupBy($"item")
+          .agg(expr(s"$base + (85 * sum(c)) div 100").as("score"))
+        // Per-round truncation keeps every iteration's execution
+        // inside this conf scope (shuffle width + AQE pinned) and the
+        // plan depth O(1); unlike star contraction the growth here is
+        // only linear, but the eager cut is what lets the caller's
+        // final plan see nothing but the checkpointed result.
+        scores = truncateLineage(next)
+      }
+      scores.select($"item", $"score".as("pr_score"))
+        .orderBy($"pr_score".desc, $"item")
+    } finally {
+      spark.conf.set(shuffleKey, prevShuffle)
+      spark.conf.set(aqeKey, prevAqe)
+      edges.unpersist()
+      deg.unpersist()
+    }
+  }
+
+  def pagerankItems(spark: SparkSession, dir: String): DataFrame =
+    pagerankTransform(edgeTransform(Tables.events(spark, dir), maxItems = 50, topEdges = 800))
+
+  /** Triangle participation counts with DEGREE-ORDERED orientation
+    * (Suri & Vassilvitskii 2011, "Counting triangles and the curse of
+    * the last reducer"): each undirected edge is directed from its
+    * endpoint with the smaller `(deg, id)` key, so wedges pivot on
+    * the triangle's lowest-degree vertex. A hub of degree d then
+    * builds wedges only from its few OUT-edges (≤ its lower-degree
+    * neighbors), not d² — the skew guard that keeps the wedge join
+    * from melting the partition holding the most popular item. Each
+    * triangle is emitted exactly once (its minimum-key vertex is the
+    * unique pivot), then per-node counts come from a 3-way unpivot of
+    * the triangle list.
+    *
+    * Scale shape: orientation is two broadcast-or-co-partitioned
+    * joins against the (item, deg) table; the wedge self-join keys on
+    * the pivot id; the closing-edge probe keys on `(src, dst)` — all
+    * id-only rows, all map-side combinable into the final count.
+    */
+  def triangleTransform(pairs: DataFrame): DataFrame = {
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    // materialize the edge list once — it is referenced by deg (twice
+    // via the unpivot), the orientation join, both wedge sides, and
+    // the closing-edge probe; without the cut the upstream
+    // co-engagement aggregation would re-execute for each reference
+    val e = truncateLineage(pairs.select($"item_a".as("a"), $"item_b".as("b")))
+    val deg = e.select($"a".as("item")).unionByName(e.select($"b".as("item")))
+      .groupBy($"item").agg(count(lit(1)).as("deg"))
+    // orientation key (deg, id): lexicographic struct comparison
+    val withDeg = e
+      .join(deg.withColumnsRenamed(Map("item" -> "a", "deg" -> "deg_a")), "a")
+      .join(deg.withColumnsRenamed(Map("item" -> "b", "deg" -> "deg_b")), "b")
+    val keyA = struct($"deg_a".as("d"), $"a".as("i"))
+    val keyB = struct($"deg_b".as("d"), $"b".as("i"))
+    val aFirst = keyA < keyB
+    val oriented = withDeg.select(
+      when(aFirst, $"a").otherwise($"b").as("src"),
+      when(aFirst, $"b").otherwise($"a").as("dst"),
+      when(aFirst, keyB).otherwise(keyA).as("dst_key"))
+    // wedges around the pivot, canonicalized so (w1, w2) is ordered by key;
+    // the closing edge, if present, is oriented w1 -> w2 by construction
+    val o1 = oriented.select($"src", $"dst".as("w1"), $"dst_key".as("k1"))
+    val o2 = oriented.select($"src", $"dst".as("w2"), $"dst_key".as("k2"))
+    val wedges = o1.join(o2, Seq("src")).filter($"k1" < $"k2")
+    val closing = oriented.select($"src".as("w1"), $"dst".as("w2"))
+    val tri = wedges.join(closing, Seq("w1", "w2")).select($"src".as("a"), $"w1".as("b"), $"w2".as("c"))
+    tri.select($"a".as("item"))
+      .unionByName(tri.select($"b".as("item")))
+      .unionByName(tri.select($"c".as("item")))
+      .groupBy($"item").agg(count(lit(1)).as("n_triangles"))
+      .orderBy($"n_triangles".desc, $"item")
+  }
+
+  def triangleCount(spark: SparkSession, dir: String): DataFrame =
+    triangleTransform(edgeTransform(Tables.events(spark, dir), maxItems = 50, topEdges = 800))
+
+  /** Shared edge-list CTE text for the DuckDB oracles — the SQL twin
+    * of [[edgeTransform]] (same maxItems = 50, topEdges = 800, same
+    * total order on the cut).
+    */
+  private val edgeCtes: String =
+    """items AS (SELECT DISTINCT user_id, TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS item FROM events),
+      |kept AS (SELECT i.* FROM items i
+      |         JOIN (SELECT user_id, count(*) AS n_items FROM items GROUP BY 1) c
+      |           ON i.user_id = c.user_id AND c.n_items <= 50),
+      |cooc AS (SELECT a.item AS item_a, b.item AS item_b, count(*) AS n_users
+      |         FROM kept a JOIN kept b ON a.user_id = b.user_id AND a.item < b.item
+      |         GROUP BY 1, 2),
+      |pairs AS (SELECT item_a, item_b FROM cooc ORDER BY n_users DESC, item_a, item_b LIMIT 800)""".stripMargin
+
+  /** PageRank oracle: the identical integer recurrence, unrolled to
+    * `iters` chained CTEs (no recursive CTE needed — the iteration
+    * count is fixed, so the loop unrolls at SQL-generation time).
+    * `SUM` over BIGINT widens to HUGEINT in DuckDB; the explicit CAST
+    * narrows each round back to BIGINT so pandas sees int64, matching
+    * Spark's Long.
+    */
+  def pagerankOracleSql(iters: Int = 10, scale: Long = 1000000000L): String = {
+    val base = 15L * scale / 100L
+    val rounds = (1 to iters).map { i =>
+      s"""pr$i AS (SELECT e.dst AS item,
+         |  CAST($base + (85 * SUM(p.score // d.deg)) // 100 AS BIGINT) AS score
+         |  FROM pr${i - 1} p
+         |  JOIN deg d ON p.item = d.item
+         |  JOIN edges e ON e.src = p.item
+         |  GROUP BY e.dst)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $edgeCtes,
+       |edges AS (SELECT item_a AS src, item_b AS dst FROM pairs
+       |          UNION ALL SELECT item_b, item_a FROM pairs),
+       |deg AS (SELECT src AS item, count(*) AS deg FROM edges GROUP BY 1),
+       |pr0 AS (SELECT item, CAST($scale AS BIGINT) AS score FROM deg),
+       |$rounds
+       |SELECT item, score AS pr_score FROM pr$iters ORDER BY pr_score DESC, item""".stripMargin
+  }
+
+  /** Triangle oracle: the NAIVE id-ordered triple join — per-node
+    * triangle counts are algorithm-independent, so the oracle need
+    * not (and deliberately does not) mirror the degree orientation;
+    * it independently derives the same set.
+    */
+  def triangleOracleSql(): String =
+    s"""WITH $edgeCtes,
+       |tri AS (SELECT e1.item_a AS a, e1.item_b AS b, e2.item_b AS c
+       |        FROM pairs e1
+       |        JOIN pairs e2 ON e2.item_a = e1.item_a AND e2.item_b > e1.item_b
+       |        JOIN pairs e3 ON e3.item_a = e1.item_b AND e3.item_b = e2.item_b)
+       |SELECT item, count(*) AS n_triangles
+       |FROM (SELECT a AS item FROM tri UNION ALL SELECT b FROM tri UNION ALL SELECT c FROM tri)
+       |GROUP BY 1 ORDER BY 2 DESC, 1""".stripMargin
+}

@@ -720,4 +720,106 @@ object Olap {
            hll_sketch_estimate(hll_union_agg($"sk", lit(false))).as("est_users"))
       .orderBy($"week")
   }
+
+  /** TPC-H Q17 shape ("small-quantity-order revenue"): average yearly
+    * revenue lost if orders below 20% of a part's average quantity
+    * were not filled — the classic correlated-aggregate-subquery
+    * pattern, decorrelated into a per-part aggregate joined back.
+    *
+    * Exact arithmetic end-to-end: quantities and prices scale to
+    * integer cents, and the `qty < 0.2·avg(qty)` predicate
+    * cross-multiplies to `5·qty_c·cnt < sum_c` — no float division
+    * anywhere until the one-row final report.
+    *
+    * Scale shape: the brand filter prunes `part` to ~1/25 and
+    * broadcasts; lineitem sees ONE shuffle on l_partkey that serves
+    * both the per-part aggregate and the join-back (self-join on the
+    * same key co-partitions). The subquery never runs per row — it is
+    * a decorrelated aggregate, which is exactly what Catalyst would
+    * rewrite a correlated `WHERE l_quantity < (SELECT 0.2*avg ...)`
+    * into, stated explicitly.
+    */
+  def q17SmallQuantity(spark: SparkSession, dir: String, brand: String = "Brand#4"): DataFrame = {
+    import spark.implicits._
+    val parts = Tables.part(spark, dir).filter($"p_brand" === brand).select($"p_partkey")
+    val li = Tables.lineitem(spark, dir)
+      .join(broadcast(parts), $"l_partkey" === $"p_partkey")
+      .select($"l_partkey",
+        expr("CAST(round(l_quantity * 100) AS BIGINT)").as("qty_c"),
+        expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("price_c"))
+    val perPart = li.groupBy($"l_partkey".as("pk"))
+      .agg(sum($"qty_c").as("sum_c"), count(lit(1)).as("cnt"))
+    li.join(perPart, $"l_partkey" === $"pk")
+      .filter($"qty_c" * lit(5L) * $"cnt" < $"sum_c")
+      .agg(count(lit(1)).as("n_small"),
+           sum($"price_c").as("revenue_cents"))
+      .select($"n_small", coalesce($"revenue_cents", lit(0L)).as("revenue_cents"),
+        round(coalesce($"revenue_cents", lit(0L)) / lit(700.0), 2).as("avg_yearly"))
+  }
+
+  /** Open-orders-over-time: how many orders are in flight each day,
+    * where an order is open from `o_orderdate` until its last
+    * lineitem ships. The classic interval-concurrency question,
+    * answered with a boundary sweep instead of an interval×days
+    * explode: +1 at each start, −1 the day after each end, deltas
+    * aggregated PER DAY map-side (the fact collapses to ≤ |days|·2
+    * delta rows before anything global happens), then one running
+    * sum over the tiny date axis. The axis is generated from a
+    * one-row min/max aggregate — planning-scale, like
+    * [[timeseriesFill]]'s grid — and the cumulative window runs over
+    * |days| rows under a constant partition key.
+    *
+    * Orders with no lineitems have no ship date and are excluded by
+    * the inner join (mirrored in the oracle).
+    */
+  def openOrdersDaily(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val iv = Tables.orders(spark, dir)
+      .join(Tables.lineitem(spark, dir), $"l_orderkey" === $"o_orderkey")
+      .groupBy($"o_orderkey", date_trunc("day", $"o_orderdate").as("s"))
+      .agg(date_trunc("day", max($"l_shipdate")).as("e"))
+    val deltas = iv.select($"s".as("day"), lit(1L).as("delta"))
+      .unionByName(iv.select(($"e" + expr("INTERVAL 1 DAY")).as("day"), lit(-1L).as("delta")))
+      .groupBy($"day").agg(sum($"delta").as("delta"))
+    val axis = iv.agg(min($"s").as("lo"), max($"e").as("hi"))
+      .select(explode(sequence($"lo", $"hi", expr("INTERVAL 1 DAY"))).as("day"))
+    axis.join(deltas, Seq("day"), "left")
+      .select($"day",
+        sum(coalesce($"delta", lit(0L))).over(
+          Window.partitionBy(lit(0)).orderBy($"day")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .as("n_open"))
+      .orderBy($"day")
+  }
+
+  /** DuckDB oracle for [[q17SmallQuantity]] — same decorrelated
+    * integer-exact formulation. */
+  def q17OracleSql(brand: String = "Brand#4"): String =
+    s"""WITH li AS (SELECT l_partkey,
+       |                  CAST(round(l_quantity * 100) AS BIGINT) AS qty_c,
+       |                  CAST(round(l_extendedprice * 100) AS BIGINT) AS price_c
+       |           FROM lineitem JOIN part ON l_partkey = p_partkey AND p_brand = '$brand'),
+       |pp AS (SELECT l_partkey AS pk, CAST(sum(qty_c) AS BIGINT) AS sum_c, count(*) AS cnt
+       |       FROM li GROUP BY 1)
+       |SELECT count(*) AS n_small,
+       |       coalesce(CAST(sum(price_c) AS BIGINT), 0) AS revenue_cents,
+       |       round(coalesce(CAST(sum(price_c) AS BIGINT), 0) / 700.0, 2) AS avg_yearly
+       |FROM li JOIN pp ON l_partkey = pk
+       |WHERE qty_c * 5 * cnt < sum_c""".stripMargin
+
+  /** DuckDB oracle for [[openOrdersDaily]] — same boundary sweep. */
+  val openOrdersOracleSql: String =
+    """WITH iv AS (SELECT o_orderkey, date_trunc('day', CAST(o_orderdate AS TIMESTAMP)) AS s,
+      |                   date_trunc('day', max(CAST(l_shipdate AS TIMESTAMP))) AS e
+      |            FROM orders JOIN lineitem ON l_orderkey = o_orderkey GROUP BY 1, 2),
+      |d AS (SELECT s AS day, 1 AS delta FROM iv
+      |      UNION ALL SELECT e + INTERVAL 1 DAY, -1 FROM iv),
+      |dd AS (SELECT day, CAST(sum(delta) AS BIGINT) AS delta FROM d GROUP BY 1),
+      |b AS (SELECT min(s) AS lo, max(e) AS hi FROM iv),
+      |axis AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS day FROM b)
+      |SELECT axis.day,
+      |       CAST(sum(coalesce(dd.delta, 0)) OVER (ORDER BY axis.day
+      |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS n_open
+      |FROM axis LEFT JOIN dd ON axis.day = dd.day
+      |ORDER BY 1""".stripMargin
 }

@@ -121,4 +121,57 @@ class BehaviorSpec extends AnyFunSuite {
     val r = out.head
     assert(r.getLong(1) == 21L && r.getLong(2) == 1L)
   }
+
+  test("first-touch: earliest touch wins, strictly-before + lookback bounds, ties by event_id") {
+    val events = ev(Seq(
+      // user 1: view then click -> FIRST touch (view) credited, unlike last-touch
+      (1L, "2024-01-01 10:00:00", 1L, "view", 0.0),
+      (1L, "2024-01-01 11:00:00", 2L, "click", 0.0),
+      (1L, "2024-01-01 12:00:00", 3L, "purchase", 10.0),
+      // user 2: only touch is 7.5 days before the purchase -> outside window
+      (2L, "2024-01-01 00:00:00", 4L, "view", 0.0),
+      (2L, "2024-01-08 12:00:00", 5L, "purchase", 5.0),
+      // user 3: touch at the SAME instant as the purchase -> excluded (strictly before)
+      (3L, "2024-01-02 00:00:00", 6L, "view", 0.0),
+      (3L, "2024-01-02 00:00:00", 7L, "purchase", 2.0),
+      // user 4: two touches at the same earliest ts -> smaller event_id (click) wins
+      (4L, "2024-01-03 00:00:00", 9L, "click", 0.0),
+      (4L, "2024-01-03 00:00:00", 10L, "view", 0.0),
+      (4L, "2024-01-03 01:00:00", 11L, "purchase", 7.0)))
+    val out = Behavior.firstTouchTransform(events).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(out == Seq(("click", 1L, 7.0), ("none", 2L, 7.0), ("view", 1L, 10.0)))
+  }
+
+  test("top paths: prefix capped at depth, deterministic in-path order, counted across users") {
+    val events = ev(Seq(
+      // users 1 and 2 share the prefix view>click>purchase
+      (1L, "2024-01-01 10:00:00", 1L, "view", 0.0),
+      (1L, "2024-01-01 10:01:00", 2L, "click", 0.0),
+      (1L, "2024-01-01 10:02:00", 3L, "purchase", 0.0),
+      (2L, "2024-01-01 10:00:00", 4L, "view", 0.0),
+      (2L, "2024-01-01 10:01:00", 5L, "click", 0.0),
+      (2L, "2024-01-01 10:02:00", 6L, "purchase", 0.0),
+      // user 3: four events but depth 3 keeps only the first three
+      (3L, "2024-01-01 10:00:00", 7L, "error", 0.0),
+      (3L, "2024-01-01 10:01:00", 8L, "error", 0.0),
+      (3L, "2024-01-01 10:02:00", 9L, "view", 0.0),
+      (3L, "2024-01-01 10:03:00", 10L, "purchase", 0.0)))
+    val out = Behavior.topPathsTransform(events, depth = 3, topN = 10).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(out == Seq(("view>click>purchase", 2L), ("error>error>view", 1L)))
+  }
+
+  test("key skew: shares, cumulative shares, and uniform-normalized ratio") {
+    import org.apache.spark.sql.functions.{col, format_string}
+    // items: 1 x5, 2 x3, 3 x1, 4 x1  (total 10, 4 keys)
+    val items = Seq(1L, 1L, 1L, 1L, 1L, 2L, 2L, 2L, 3L, 4L)
+    val events = items.zipWithIndex.toDF("item", "i")
+      .select(format_string("{\"k\": %d}", col("item")).as("props"))
+    val out = Behavior.keySkewTransform(events, topN = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))).toSeq
+    assert(out == Seq(
+      (1L, 5L, 0.5, 0.5, 2.0),   // 5/10, cum 5/10, 5*4/10
+      (2L, 3L, 0.3, 0.8, 1.2)))  // 3/10, cum 8/10, 3*4/10
+  }
 }

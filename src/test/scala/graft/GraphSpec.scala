@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Graph
+
+/** Planted-graph semantics for the graph-analytics family: the
+  * integer-PageRank recurrence is checked against hand-computed exact
+  * values (one round on a star — any div/rounding drift would show),
+  * triangle counting against graphs whose triangle sets are
+  * enumerable by eye, and both against the degenerate empty graph.
+  */
+class GraphSpec extends AnyFunSuite {
+  import TestSession._
+  import spark.implicits._
+
+  private def pairs(es: (Long, Long)*): DataFrame =
+    es.toSeq.toDF("item_a", "item_b")
+
+  test("pagerank: one exact integer round on a star graph") {
+    // star: center 1, leaves 2..5. deg(1)=4, deg(leaf)=1, scale=1e9.
+    // score'(1)    = 15e7 + 85 * (4 * 1e9 div 1) div 100 = 3_550_000_000
+    // score'(leaf) = 15e7 + 85 * (1e9 div 4)     div 100 =   362_500_000
+    val out = Graph.pagerankTransform(pairs((1L, 2L), (1L, 3L), (1L, 4L), (1L, 5L)), iters = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(out.head == (1L, 3550000000L))
+    assert(out.tail.toSet == Set(2L, 3L, 4L, 5L).map(i => (i, 362500000L)))
+  }
+
+  test("pagerank: center dominates after many rounds, ties ordered by item") {
+    val out = Graph.pagerankTransform(pairs((1L, 2L), (1L, 3L), (1L, 4L), (1L, 5L)))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(out.head._1 == 1L && out.head._2 > out(1)._2)
+    // leaves are symmetric: identical scores, then sorted by item id
+    assert(out.tail.map(_._2).distinct.size == 1)
+    assert(out.tail.map(_._1) == Seq(2L, 3L, 4L, 5L))
+  }
+
+  test("triangle: K4 minus an edge, plus a pendant vertex") {
+    // K4 on 1..4 without (3,4): triangles (1,2,3) and (1,2,4);
+    // pendant 5 hangs off 4 and joins no triangle -> absent from output
+    val out = Graph.triangleTransform(
+        pairs((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (4L, 5L)))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(out == Seq((1L, 2L), (2L, 2L), (3L, 1L), (4L, 1L)))
+  }
+
+  test("triangle: complete K4 gives every node C(3,2) = 3 triangles") {
+    val out = Graph.triangleTransform(
+        pairs((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L)))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(out == Seq((1L, 3L), (2L, 3L), (3L, 3L), (4L, 3L)))
+  }
+
+  test("empty graph: both operators return empty, no failure") {
+    val empty = pairs()
+    assert(Graph.pagerankTransform(empty, iters = 2).collect().isEmpty)
+    assert(Graph.triangleTransform(empty).collect().isEmpty)
+  }
+}
