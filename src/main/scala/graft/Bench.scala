@@ -82,7 +82,7 @@ object Bench {
     "pagerank_items" -> 6.693, "triangle_count" -> 5.758,
     "attribution_first_touch" -> 2.205, "top_paths" -> 2.743,
     "key_skew_stats" -> 2.412, "q17_small_quantity" -> 2.013,
-    "open_orders_daily" -> 3.678)
+    "open_orders_daily" -> 3.678, "stream_moments" -> 3.208)
 
   /** Run ONE query in a fresh JVM (this JVM's own flags + classpath,
     * stderr discarded) and parse its timing out of the child's JSON

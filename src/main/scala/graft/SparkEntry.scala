@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.operators._
-import graft.streaming.{AttributionStream, CdcCompact, EngagementStream, FunnelStream, Sessionize, StreamDedup, StreamIncrementalDedup}
+import graft.streaming.{AttributionStream, CdcCompact, EngagementStream, FunnelStream, MomentsStream, Sessionize, StreamDedup, StreamIncrementalDedup}
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the inventory. */
 object SparkEntry {
@@ -61,6 +61,7 @@ object SparkEntry {
       ((s: SparkSession, d: String) => StreamIncrementalDedup.streamDedupIncremental(s, d)),
     "stream_funnel"      -> ((s: SparkSession, d: String) => FunnelStream.streamFunnel(s, d)),
     "stream_attribution" -> ((s: SparkSession, d: String) => AttributionStream.streamAttribution(s, d)),
+    "stream_moments"     -> MomentsStream.streamMoments _,
     "stream_interval_join" -> EngagementStream.streamIntervalJoin _,
     // Analytic core
     "q1_pricing_summary"    -> Olap.q1PricingSummary _,
@@ -149,6 +150,20 @@ object SparkEntry {
       // incremental attribution equals the batch window row-for-row
       // (integer-cents accumulation, time-ordered replay)
       "stream_attribution" -> base("attribution_last_touch"),
+      // additive integer moments: batch boundaries are invisible, so
+      // the oracle is the same formula in one corpus pass (expression
+      // shape mirrored literally for bit-equal doubles)
+      "stream_moments" ->
+        """WITH m AS (SELECT event_type, count(*) AS n,
+          |                  CAST(sum(c) AS BIGINT) AS sum_c,
+          |                  CAST(sum(c * c) AS BIGINT) AS sumsq_c
+          |           FROM (SELECT event_type, CAST(round(value * 100) AS BIGINT) AS c FROM events)
+          |           GROUP BY 1)
+          |SELECT event_type, n, round((sum_c / 100.0) / n, 4) AS mean,
+          |       CASE WHEN n > 1
+          |            THEN round(sqrt((sumsq_c - CAST(sum_c AS DOUBLE) * sum_c / n) / (n - 1)) / 100.0, 4)
+          |       END AS sd
+          |FROM m ORDER BY event_type""".stripMargin,
       "stream_hop_agg"     -> base("hop_window_agg"),
       // Append mode emits exactly the windows the final watermark
       // (max event time − 47 min) has closed — the batch HOP rows

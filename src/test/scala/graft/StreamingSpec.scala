@@ -127,6 +127,51 @@ class StreamingSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
     assert(acc == Seq(("click", 1L, 5.0), ("none", 1L, 2.5), ("view", 1L, 1.25)))
   }
 
+  test("stream_moments equals the one-pass corpus moments") {
+    import org.apache.spark.sql.functions.{col, expr, round, sqrt, sum, count, lit, when}
+    val got = rows("stream_moments")
+    val cents = round(col("value") * 100).cast("long")
+    val want = graft.sources.Tables.events(spark, TestSession.sf)
+      .select(col("event_type"), cents.as("c"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("c")).as("sum_c"),
+           sum(col("c") * col("c")).as("sumsq_c"))
+      .select(col("event_type"), col("n"),
+        round((col("sum_c") / 100.0) / col("n"), 4).as("mean"),
+        when(col("n") > 1,
+          round(sqrt((col("sumsq_c") - col("sum_c").cast("double") * col("sum_c") / col("n"))
+            / (col("n") - 1)) / 100.0, 4)).as("sd"))
+      .orderBy(col("event_type"))
+      .collect().toSeq
+    assert(got == want)
+  }
+
+  test("moments state: cross-batch additivity, replay guard, n=1 null sd") {
+    import org.apache.spark.sql.functions.{col, to_timestamp}
+    import graft.streaming.MomentsState
+    import spark.implicits._
+    val state = new MomentsState(GraftCaches.trackTempDir("graft_momspec_") + "/state")
+    def batch(rows: (String, Double)*) =
+      rows.toSeq.toDF("event_type", "value")
+    def rep = state.report(spark).collect()
+      .map(r => (r.getString(0), r.getLong(1),
+        r.getDouble(2), if (r.isNullAt(3)) null else r.getDouble(3))).toSeq
+
+    // batch 0: x = {10, 12}, y = {5} (y has n=1 -> sd null)
+    state.merge(batch(("x", 10.0), ("x", 12.0), ("y", 5.0)), 0)
+    assert(rep == Seq(
+      ("x", 2L, 11.0, 1.4142),             // sample sd of {10,12} = sqrt(2), 4dp
+      ("y", 1L, 5.0, null)))
+    // replay of batch 0 must be a no-op
+    state.merge(batch(("x", 10.0), ("x", 12.0), ("y", 5.0)), 0)
+    assert(rep.head._2 == 2L)
+    // batch 1: x gains {14} -> {10,12,14}: mean 12, sample sd = 2
+    state.merge(batch(("x", 14.0)), 1)
+    assert(rep == Seq(
+      ("x", 3L, 12.0, 2.0),
+      ("y", 1L, 5.0, null)))
+  }
+
   test("funnel state: same-batch chains resolve, replayed batch is skipped") {
     import org.apache.spark.sql.functions.{col, to_timestamp}
     import graft.streaming.FunnelState
