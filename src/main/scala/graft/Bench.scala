@@ -82,7 +82,9 @@ object Bench {
     "pagerank_items" -> 6.693, "triangle_count" -> 5.758,
     "attribution_first_touch" -> 2.205, "top_paths" -> 2.743,
     "key_skew_stats" -> 2.412, "q17_small_quantity" -> 2.013,
-    "open_orders_daily" -> 3.678, "stream_moments" -> 3.208)
+    "open_orders_daily" -> 3.678, "stream_moments" -> 3.208,
+    "edit_distance_pairs" -> 5.166, "rolling_distinct_users" -> 2.629,
+    "profile_columns" -> 4.127, "q8_market_share" -> 3.964)
 
   /** Run ONE query in a fresh JVM (this JVM's own flags + classpath,
     * stderr discarded) and parse its timing out of the child's JSON

@@ -78,7 +78,10 @@ object SparkEntry {
     "histogram_value"       -> ((s: SparkSession, d: String) => Olap.histogramValue(s, d)),
     "timeseries_fill"       -> Olap.timeseriesFill _,
     "q17_small_quantity"    -> ((s: SparkSession, d: String) => Olap.q17SmallQuantity(s, d)),
+    "q8_market_share"       -> ((s: SparkSession, d: String) => Olap.q8MarketShare(s, d)),
     "open_orders_daily"     -> Olap.openOrdersDaily _,
+    "rolling_distinct_users" -> ((s: SparkSession, d: String) => Olap.rollingDistinctUsers(s, d)),
+    "profile_columns"       -> Olap.profileColumns _,
     "hll_sketch_daily"      -> ((s: SparkSession, d: String) => Olap.hllSketchDaily(s, d)),
     "zorder_layout"         -> Olap.zorderLayout _,
     "semi_anti_customers"   -> Olap.semiAntiCustomers _,
@@ -112,6 +115,7 @@ object SparkEntry {
     "token_count"        -> TextOps.tokenCount _,
     "text_normalize"     -> TextOps.textNormalize _,
     "doc_fingerprint"    -> TextOps.docFingerprint _,
+    "edit_distance_pairs" -> ((s: SparkSession, d: String) => TextOps.editDistancePairs(s, d)),
     "multimodal_meta"    -> TextOps.multimodalMeta _,
     "multimodal_decode"  -> Multimodal.decode _,
     "multimodal_pipeline" -> Multimodal.pipeline _,
@@ -352,7 +356,10 @@ object SparkEntry {
 
     "timeseries_fill" -> operators.Olap.timeseriesFillOracleSql,
     "q17_small_quantity" -> operators.Olap.q17OracleSql(),
+    "q8_market_share" -> operators.Olap.q8OracleSql(),
     "open_orders_daily" -> operators.Olap.openOrdersOracleSql,
+    "rolling_distinct_users" -> operators.Olap.rollingDistinctOracleSql,
+    "profile_columns" -> operators.Olap.profileColumnsOracleSql,
 
     // same heavy-user cap (<= 50 distinct items) and support floor
     "co_engagement" ->
@@ -683,6 +690,7 @@ object SparkEntry {
         |FROM t ORDER BY doc_id""".stripMargin,
 
     "doc_fingerprint" -> operators.TextOps.docFingerprintOracleSql,
+    "edit_distance_pairs" -> operators.TextOps.editDistanceOracleSql(),
 
     // same canonicalization pipeline: NFC -> lower -> \s-run collapse
     // (the kernel's whitespace set IS the RE2 \s class)

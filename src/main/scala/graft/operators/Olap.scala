@@ -792,6 +792,125 @@ object Olap {
       .orderBy($"day")
   }
 
+  /** Trailing-7-day distinct users per day — the hard sliding metric:
+    * COUNT(DISTINCT) does not decompose over a moving window, so the
+    * scalable shape is NOT a window function. The fact first
+    * collapses to distinct (day, user) pairs (map-side combinable),
+    * each pair then fans out to the ≤ 7 window-end days it can serve
+    * (the same bounded-offset explode as the HOP-window oracle), and
+    * one distinct-count per target day finishes it. Shuffle volume is
+    * 7·|day×user| id-rows — never raw events, never per-day state.
+    * Days before the axis start are clipped; the first 6 days carry
+    * partial windows by definition.
+    */
+  def rollingDistinctUsers(spark: SparkSession, dir: String, windowDays: Int = 7): DataFrame = {
+    import spark.implicits._
+    val d = Tables.events(spark, dir)
+      .select(date_trunc("day", $"ts").as("day"), $"user_id")
+      .distinct()
+    val bounds = d.agg(min($"day").as("lo"), max($"day").as("hi"))
+    d.crossJoin(broadcast(bounds))
+      .select(explode(expr(s"transform(sequence(0, ${windowDays - 1}), i -> timestampadd(DAY, i, day))")).as("day"),
+        $"user_id", $"lo", $"hi")
+      .filter($"day" >= $"lo" && $"day" <= $"hi")
+      .groupBy($"day")
+      .agg(count_distinct($"user_id").as("n_users_7d"))
+      .orderBy($"day")
+  }
+
+  /** Column profiling (the Deequ/dbt-style data-quality stage): one
+    * scan of the fact computing per-column row count, null count, and
+    * EXACT distinct cardinality, unpivoted to one row per column.
+    * Multiple exact COUNT(DISTINCT)s compile to a single Expand +
+    * partial aggregate — one shuffle total, no per-column scans. At
+    * 100 TB the same shape swaps `count_distinct` for
+    * `approx_count_distinct` per column (one pass, no Expand blowup);
+    * exact is kept here because the oracle can check it.
+    */
+  def profileColumns(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cols = Seq("l_orderkey", "l_partkey", "l_quantity", "l_extendedprice",
+      "l_returnflag", "l_shipdate")
+    val li = Tables.lineitem(spark, dir)
+    val aggs = count(lit(1)).as("n_rows") +:
+      cols.flatMap(c => Seq(
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}_nulls"),
+        count_distinct(col(c)).as(s"${c}_distinct")))
+    val one = li.agg(aggs.head, aggs.tail: _*)
+    val stack = cols.map(c => s"'$c', ${c}_nulls, ${c}_distinct").mkString(", ")
+    one.select($"n_rows",
+        expr(s"stack(${cols.length}, $stack) AS (column_name, n_null, n_distinct)"))
+      .select($"column_name", $"n_rows", $"n_null", $"n_distinct")
+      .orderBy($"column_name")
+  }
+
+  /** TPC-H Q8 shape ("national market share"): a nation's share of
+    * regional revenue per order year. Exercises the multi-dim join
+    * pyramid — lineitem ⋈ orders (the only big⋈big join, on the
+    * orderkey both sides already key by) with customer → nation →
+    * region collapsed into ONE broadcast map before touching the
+    * fact; revenue in exact integer cents so the share division is
+    * the only float, performed on two exact Longs per year row.
+    */
+  def q8MarketShare(spark: SparkSession, dir: String,
+                    region: String = "ASIA", nation: String = "NATION_2"): DataFrame = {
+    import spark.implicits._
+    val dims = Tables.customer(spark, dir)
+      .join(Tables.nation(spark, dir), $"c_nationkey" === $"n_nationkey")
+      .join(Tables.region(spark, dir), $"n_regionkey" === $"r_regionkey")
+      .filter($"r_name" === region)
+      .select($"c_custkey", $"n_name")
+    val rev = expr("CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)")
+    Tables.lineitem(spark, dir)
+      .join(Tables.orders(spark, dir), $"l_orderkey" === $"o_orderkey")
+      .join(broadcast(dims), $"o_custkey" === $"c_custkey")
+      .select(year($"o_orderdate").cast("long").as("o_year"), rev.as("cents"), $"n_name")
+      .groupBy($"o_year")
+      .agg(sum(when($"n_name" === nation, $"cents").otherwise(0L)).as("nation_cents"),
+           sum($"cents").as("region_cents"))
+      .withColumn("mkt_share", round($"nation_cents" / $"region_cents", 4))
+      .orderBy($"o_year")
+  }
+
+  /** DuckDB oracle for [[rollingDistinctUsers]]. */
+  val rollingDistinctOracleSql: String =
+    """WITH d AS (SELECT DISTINCT date_trunc('day', CAST(ts AS TIMESTAMP)) AS day, user_id FROM events),
+      |b AS (SELECT min(day) AS lo, max(day) AS hi FROM d),
+      |x AS (SELECT day + i * INTERVAL 1 DAY AS day, user_id
+      |      FROM d CROSS JOIN (SELECT unnest(range(0, 7)) AS i))
+      |SELECT x.day, count(DISTINCT x.user_id) AS n_users_7d
+      |FROM x, b WHERE x.day >= b.lo AND x.day <= b.hi
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** DuckDB oracle for [[profileColumns]]. */
+  val profileColumnsOracleSql: String = {
+    val cols = Seq("l_orderkey", "l_partkey", "l_quantity", "l_extendedprice",
+      "l_returnflag", "l_shipdate")
+    cols.map { c =>
+      s"""SELECT '$c' AS column_name, count(*) AS n_rows,
+         |       CAST(count(*) - count($c) AS BIGINT) AS n_null,
+         |       count(DISTINCT $c) AS n_distinct FROM lineitem""".stripMargin
+    }.mkString("", "\nUNION ALL\n", "\nORDER BY 1")
+  }
+
+  /** DuckDB oracle for [[q8MarketShare]]. */
+  def q8OracleSql(region: String = "ASIA", nation: String = "NATION_2"): String =
+    s"""SELECT year(o_orderdate) AS o_year,
+       |       CAST(sum(CASE WHEN n_name = '$nation'
+       |                     THEN CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)
+       |                     ELSE 0 END) AS BIGINT) AS nation_cents,
+       |       CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS region_cents,
+       |       round(CAST(sum(CASE WHEN n_name = '$nation'
+       |                     THEN CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)
+       |                     ELSE 0 END) AS BIGINT)
+       |             / CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT), 4) AS mkt_share
+       |FROM lineitem
+       |JOIN orders ON l_orderkey = o_orderkey
+       |JOIN customer ON o_custkey = c_custkey
+       |JOIN nation ON c_nationkey = n_nationkey
+       |JOIN region ON n_regionkey = r_regionkey AND r_name = '$region'
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** DuckDB oracle for [[q17SmallQuantity]] — same decorrelated
     * integer-exact formulation. */
   def q17OracleSql(brand: String = "Brand#4"): String =

@@ -766,4 +766,154 @@ object TextOps {
           .otherwise("webp").as("format"))
       .orderBy($"doc_id")
   }
+
+  /** Edit-distance similarity join (the fuzzy-matching operator
+    * class): all document pairs whose `prefixLen`-char prefixes are
+    * within Levenshtein distance `k`, found WITHOUT an all-pairs
+    * scan, via PARTITION-BASED signatures (PassJoin, Li et al. 2011).
+    *
+    * Why not q-grams: the classic q-gram count/prefix filters
+    * (Gravano et al. 2001; Ed-Join) bound distinct-gram overlap by
+    * `max(|G|) − k·q`, but candidate volume scales with Σ df² over
+    * posting lists — and this corpus has only ~377 distinct trigrams
+    * (tiny synthetic vocabulary), so even the rarest grams are
+    * common: measured 5.2M candidates for 247 true pairs at sf0.1
+    * (and the naive full-postings variant ran 99 s). Pigeonhole
+    * segments are the selective signature here: 17.9k distinct
+    * 16-char segments → ~2k candidates for the same 247 pairs.
+    *
+    * Filter chain, every step sound (no true pair can escape):
+    *  1. length filter — one edit changes length by ≤ 1, so
+    *     `|len(a) − len(b)| ≤ k`;
+    *  2. SEGMENT filter (pigeonhole): split each full prefix into
+    *     `k+1` fixed 16-char segments; ≤ k edits cannot touch all
+    *     k+1 segments, so some segment of `a` survives verbatim in
+    *     `b`, displaced by at most the net indel offset — i.e. it
+    *     equals one of b's substrings at the same segment slot
+    *     shifted by d ∈ [−k, k]. Candidates = join of a's (slot,
+    *     segment) against b's (slot, shifted-window) postings:
+    *     k+1 signatures and (k+1)(2k+1) windows per doc, all exact
+    *     16-char matches;
+    *  3. docs whose prefix is shorter than `prefixLen` (no fixed
+    *     segmentation) go to bounded side buckets: all-pairs among
+    *     the shorts, and shorts × full docs when the length filter
+    *     allows (len ≥ prefixLen − k). 2.5% of this corpus; a
+    *     production corpus buckets shorts by length class and
+    *     applies the same segmentation per class;
+    *  4. exact verification with the codegen'd `levenshtein` on the
+    *     distinct surviving candidates only.
+    *
+    * Scale shape: the shuffles carry (slot, 16-char segment, id)
+    * postings and (id, id) candidates; prefixes rejoin only for
+    * verification, co-partitioned on doc_id. Everything is a hash
+    * join on short fixed keys — no sort, no window, no quadratic
+    * except the declared bounded buckets. The oracle is the
+    * independent length-filtered all-pairs scan (ground truth, not
+    * a mirror).
+    */
+  def editDistancePairs(spark: SparkSession, dir: String, k: Int = 3,
+                        prefixLen: Int = 64): DataFrame =
+    editDistanceTransform(Tables.documents(spark, dir), k, prefixLen)
+
+  /** The transform behind [[editDistancePairs]] — input needs
+    * `(doc_id, text)`; separated so specs can plant exact-distance,
+    * boundary, and tiny-string scenarios.
+    *
+    * Variable-length segmentation: doc of length l gets k+1 segments
+    * with boundaries `start_j = 1 + ⌊j·l/(k+1)⌋` (PassJoin's even
+    * partition — lengths differ by ≤ 1 and adapt to l). The window
+    * side generates, for every partner length l' ∈ [l−k, l+k] and
+    * every slot j, the substring at the PARTNER's boundary for l'
+    * shifted by d ∈ [−k, k]; the join key `(l', slot, seg)` then
+    * pairs a's slot-j segment with b's windows generated FOR
+    * partner length len(a) — sound for any pair because ≤ k edits
+    * leave some segment of `a` intact and displaced by ≤ k inside
+    * `b`. Strings too short to segment (len < 2(k+1)) fall to a
+    * bounded tiny bucket (all-pairs among docs of len < 2(k+1)+k).
+    */
+  def editDistanceTransform(input: DataFrame, k: Int = 3,
+                            prefixLen: Int = 64): DataFrame = {
+    val spark = input.sparkSession
+    import spark.implicits._
+    val nSeg = k + 1
+    val tinyMax = 2 * nSeg // below this, segments degenerate -> bucket
+    // materialized once: (id, prefix, len) feeds postings, the tiny
+    // bucket, and both verification joins (diamond-reuse)
+    val docs = input
+      .select($"doc_id", substring($"text", 1, prefixLen).as("s"))
+      .withColumn("len", length($"s"))
+      .localCheckpoint()
+    val segDocs = docs.filter($"len" >= tinyMax)
+
+    // slot-j segment of a length-l string: [1 + (j*l) div n, ((j+1)*l) div n]
+    def segStart(j: Int, l: String) = s"(1 + ($j * $l) div $nSeg)"
+    def segLenOf(j: Int, l: String) = s"((($j + 1) * $l) div $nSeg - ($j * $l) div $nSeg)"
+
+    val segCols = (0 until nSeg).map { j =>
+      expr(s"struct($j AS slot, substring(s, ${segStart(j, "len")}, ${segLenOf(j, "len")}) AS seg)")
+    }
+    val segs = segDocs
+      .select($"doc_id", $"len", explode(array(segCols: _*)).as("x"))
+      .select($"len", $"x.slot".as("slot"), $"x.seg".as("seg"), $"doc_id".as("doc_a"))
+
+    // windows keyed by the PARTNER length tl = len + dl: the partner's
+    // slot-j segment bounds evaluated at tl, shifted by d, clamped to
+    // this string's extent. Generated by ONE nested higher-order
+    // expression, not (2k+1)²(k+1) literal columns — a first cut
+    // emitted 196 CASE+substring+struct columns and the generated
+    // projection blew past the codegen method budget (~12 s of the
+    // 16 s total was just materializing windows); the HOF form loops
+    // at runtime inside a single compact expression.
+    val winExpr = {
+      val tl = "(len + dl)"
+      val st = s"(1 + (j * $tl) div $nSeg + d)"
+      val sl = s"(((j + 1) * $tl) div $nSeg - (j * $tl) div $nSeg)"
+      s"""filter(
+         |  flatten(transform(sequence(-$k, $k), dl ->
+         |    flatten(transform(sequence(0, ${nSeg - 1}), j ->
+         |      transform(sequence(-$k, $k), d ->
+         |        CASE WHEN $tl >= $tinyMax AND $st >= 1
+         |                  AND $st + $sl - 1 <= len AND $sl >= 1
+         |             THEN struct($tl AS tl, j AS slot, substring(s, $st, $sl) AS seg)
+         |        END))))),
+         |  x -> x IS NOT NULL)""".stripMargin
+    }
+    val wins = segDocs
+      .select($"doc_id", explode(expr(winExpr)).as("x"))
+      .select($"x.tl".as("len"), $"x.slot".as("slot"), $"x.seg".as("seg"), $"doc_id".as("doc_b"))
+
+    val candSeg = segs.join(wins, Seq("len", "slot", "seg"))
+      .filter($"doc_a" < $"doc_b")
+      .select($"doc_a", $"doc_b")
+
+    // tiny strings: all-pairs among docs short enough to matter
+    // (len < tinyMax + k can pair with a tiny one under the length
+    // filter) — bounded by the tiny-doc count by construction
+    val small = docs.filter($"len" < tinyMax + k)
+    val candTiny = small.filter($"len" < tinyMax)
+      .select($"doc_id".as("id_t"), $"len".as("len_t"))
+      .crossJoin(small.select($"doc_id".as("id_o"), $"len".as("len_o")))
+      .filter($"id_t" =!= $"id_o" && abs($"len_t" - $"len_o") <= k)
+      .select(least($"id_t", $"id_o").as("doc_a"), greatest($"id_t", $"id_o").as("doc_b"))
+
+    candSeg.unionByName(candTiny).distinct()
+      .join(docs.select($"doc_id".as("doc_a"), $"s".as("s_a"), $"len".as("len_a")), "doc_a")
+      .join(docs.select($"doc_id".as("doc_b"), $"s".as("s_b"), $"len".as("len_b")), "doc_b")
+      .filter(abs($"len_a" - $"len_b") <= k)
+      .withColumn("dist", levenshtein($"s_a", $"s_b").cast("long"))
+      .filter($"dist" <= k)
+      .select($"doc_a", $"doc_b", $"dist")
+      .orderBy($"doc_a", $"doc_b")
+  }
+
+  /** DuckDB oracle for [[editDistancePairs]] — the independent
+    * all-pairs ground truth (length-filtered for cost only). */
+  def editDistanceOracleSql(k: Int = 3, prefixLen: Int = 64): String =
+    s"""WITH s AS (SELECT doc_id, substr(text, 1, $prefixLen) AS s FROM documents)
+       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |       CAST(levenshtein(a.s, b.s) AS BIGINT) AS dist
+       |FROM s a JOIN s b ON a.doc_id < b.doc_id
+       |WHERE abs(length(a.s) - length(b.s)) <= $k
+       |  AND levenshtein(a.s, b.s) <= $k
+       |ORDER BY 1, 2""".stripMargin
 }

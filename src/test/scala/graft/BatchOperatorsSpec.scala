@@ -668,6 +668,71 @@ class BatchOperatorsSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAl
     assert(ids.subsetOf(bigger), "a larger budget must only add documents")
   }
 
+  test("edit-distance join: segment path, short and mixed buckets, length filter") {
+    import spark.implicits._
+    import graft.operators.TextOps
+    val s1 = "A" * 16 + "B" * 16 + "C" * 16 + "D" * 16       // 64 chars, 4 segments
+    val s2 = "A" * 16 + "B" * 16 + "C" * 16 + "D" * 14 + "XY" // 2 subs in the last segment
+    val s3 = "E" * 64                                         // far from everything
+    val s4 = s1.dropRight(2)                                  // 62 chars: mixed bucket vs s1
+    val docs = Seq((1L, s1), (2L, s2), (3L, s3), (4L, s4),
+      (5L, "ab"), (6L, "ad")) // short bucket all-pairs
+      .toDF("doc_id", "text")
+    val out = TextOps.editDistanceTransform(docs, k = 3, prefixLen = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    // (1,2) dist 2 via segments (slots A/B/C shared); (1,4) and (2,4)
+    // dist 2 via the shorts x full bucket (s4 = s1 minus "DD" = s2
+    // minus "XY"); (5,6) dist 1 via the short bucket; (3,*) unreachable
+    assert(out == Seq((1L, 2L, 2L), (1L, 4L, 2L), (2L, 4L, 2L), (5L, 6L, 1L)))
+  }
+
+  test("rolling distinct users: each day equals a direct trailing-window count") {
+    import org.apache.spark.sql.functions.{col, countDistinct, date_trunc, expr, lit}
+    val out = SparkEntry.queries("rolling_distinct_users")(spark, sf).collect()
+      .map(r => (r.getTimestamp(0), r.getLong(1))).toMap
+    val ev = graft.sources.Tables.events(spark, sf)
+      .select(date_trunc("day", col("ts")).as("day"), col("user_id"))
+    // spot-check three days (first, middle, last) against a direct filter
+    val days = out.keys.toSeq.sortBy(_.getTime)
+    for (d <- Seq(days.head, days(days.length / 2), days.last)) {
+      val direct = ev.filter(col("day") <= lit(d) &&
+          col("day") >= expr(s"timestampadd(DAY, -6, timestamp'$d')"))
+        .agg(countDistinct(col("user_id"))).collect()(0).getLong(0)
+      assert(out(d) == direct, s"day $d: rolling ${out(d)} != direct $direct")
+    }
+  }
+
+  test("profile columns: one row per column, exact cardinalities") {
+    val rows = SparkEntry.queries("profile_columns")(spark, sf).collect()
+    assert(rows.length == 6)
+    val n = rows.head.getLong(1)
+    assert(rows.forall(_.getLong(1) == n), "n_rows must match across columns")
+    val byCol = rows.map(r => r.getString(0) -> r).toMap
+    assert(byCol("l_returnflag").getLong(3) == 3)  // A/N/R
+    assert(byCol("l_orderkey").getLong(2) == 0)    // keys never null
+    assert(byCol("l_orderkey").getLong(3) <= n)
+  }
+
+  test("q8 market share: share bounded, region revenue equals direct total") {
+    import org.apache.spark.sql.functions.{col, expr, sum => fsum}
+    val rows = SparkEntry.queries("q8_market_share")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(1) >= 0 && r.getLong(1) <= r.getLong(2))
+      assert(r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0)
+    }
+    val regionTotal = rows.map(_.getLong(2)).sum
+    val direct = graft.sources.Tables.lineitem(spark, sf)
+      .join(graft.sources.Tables.orders(spark, sf), col("l_orderkey") === col("o_orderkey"))
+      .join(graft.sources.Tables.customer(spark, sf), col("o_custkey") === col("c_custkey"))
+      .join(graft.sources.Tables.nation(spark, sf), col("c_nationkey") === col("n_nationkey"))
+      .join(graft.sources.Tables.region(spark, sf), col("n_regionkey") === col("r_regionkey"))
+      .filter(col("r_name") === "ASIA")
+      .agg(fsum(expr("CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)")))
+      .collect()(0).getLong(0)
+    assert(regionTotal == direct)
+  }
+
   test("histogram bins partition each event type's value range") {
     import org.apache.spark.sql.functions.{col, sum => fsum}
     val h = SparkEntry.queries("histogram_value")(spark, sf)
