@@ -84,7 +84,9 @@ object Bench {
     "key_skew_stats" -> 2.412, "q17_small_quantity" -> 2.013,
     "open_orders_daily" -> 3.678, "stream_moments" -> 3.208,
     "edit_distance_pairs" -> 5.166, "rolling_distinct_users" -> 2.629,
-    "profile_columns" -> 4.127, "q8_market_share" -> 3.964)
+    "profile_columns" -> 4.127, "q8_market_share" -> 3.964,
+    "bm25_topk" -> 2.519, "incremental_rollup" -> 2.542,
+    "sample_k_per_group" -> 1.358)
 
   /** Run ONE query in a fresh JVM (this JVM's own flags + classpath,
     * stderr discarded) and parse its timing out of the child's JSON

@@ -81,6 +81,7 @@ object SparkEntry {
     "q8_market_share"       -> ((s: SparkSession, d: String) => Olap.q8MarketShare(s, d)),
     "open_orders_daily"     -> Olap.openOrdersDaily _,
     "rolling_distinct_users" -> ((s: SparkSession, d: String) => Olap.rollingDistinctUsers(s, d)),
+    "incremental_rollup"    -> ((s: SparkSession, d: String) => Olap.incrementalRollup(s, d)),
     "profile_columns"       -> Olap.profileColumns _,
     "hll_sketch_daily"      -> ((s: SparkSession, d: String) => Olap.hllSketchDaily(s, d)),
     "zorder_layout"         -> Olap.zorderLayout _,
@@ -103,6 +104,7 @@ object SparkEntry {
     "ngram_contamination" -> ((s: SparkSession, d: String) => Sampling.ngramContamination(s, d)),
     "doc_chunking"        -> ((s: SparkSession, d: String) => Sampling.docChunking(s, d)),
     "corpus_mix"          -> ((s: SparkSession, d: String) => Sampling.corpusMix(s, d)),
+    "sample_k_per_group"  -> ((s: SparkSession, d: String) => Sampling.sampleKPerGroup(s, d)),
     "corpus_filter"       -> ((s: SparkSession, d: String) => TextOps.corpusFilter(s, d)),
     "lang_id"            -> TextOps.langId _,
     "text_quality"       -> TextOps.textQuality _,
@@ -110,6 +112,7 @@ object SparkEntry {
     "text_redact"        -> TextOps.textRedact _,
     "token_rarity"       -> ((s: SparkSession, d: String) => TextOps.tokenRarity(s, d)),
     "tfidf_top_terms"    -> ((s: SparkSession, d: String) => TextOps.tfidfTopTerms(s, d)),
+    "bm25_topk"          -> ((s: SparkSession, d: String) => TextOps.bm25TopK(s, d)),
     "ngram_lm_score"     -> TextOps.ngramLmScore _,
     "word_entropy"       -> TextOps.wordEntropy _,
     "token_count"        -> TextOps.tokenCount _,
@@ -359,6 +362,7 @@ object SparkEntry {
     "q8_market_share" -> operators.Olap.q8OracleSql(),
     "open_orders_daily" -> operators.Olap.openOrdersOracleSql,
     "rolling_distinct_users" -> operators.Olap.rollingDistinctOracleSql,
+    "incremental_rollup" -> operators.Olap.incrementalRollupOracleSql,
     "profile_columns" -> operators.Olap.profileColumnsOracleSql,
 
     // same heavy-user cap (<= 50 distinct items) and support floor
@@ -691,6 +695,8 @@ object SparkEntry {
 
     "doc_fingerprint" -> operators.TextOps.docFingerprintOracleSql,
     "edit_distance_pairs" -> operators.TextOps.editDistanceOracleSql(),
+    "bm25_topk" -> operators.TextOps.bm25OracleSql(),
+    "sample_k_per_group" -> operators.Sampling.sampleKPerGroupOracleSql(),
 
     // same canonicalization pipeline: NFC -> lower -> \s-run collapse
     // (the kernel's whitespace set IS the RE2 \s class)

@@ -872,6 +872,51 @@ object Olap {
       .orderBy($"o_year")
   }
 
+  /** Incremental materialized-view maintenance (the
+    * AggregatingMergeTree / incremental-ETL shape): a daily rollup
+    * "materialized" from the base portion of the feed is brought up
+    * to date by MERGING the late-arriving delta's partial aggregate —
+    * the base data is NEVER re-read, because SUM/COUNT are
+    * self-maintainable (full-outer coalesce-add, the batch twin of
+    * [[graft.streaming.MomentsState]]'s streaming MERGE). Non-
+    * self-maintainable metrics (distinct counts) would instead
+    * recompute only the delta's affected days or merge sketches
+    * ([[hllSketchDaily]] is that path).
+    *
+    * The split is simulated by event time: base = all but the last
+    * `deltaDays` days, delta = the tail. The oracle is the full
+    * recompute over everything — equality proves the merge is exact
+    * (integer cents, so addition cannot drift).
+    */
+  def incrementalRollup(spark: SparkSession, dir: String, deltaDays: Int = 2): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, dir)
+      .select(date_trunc("day", $"ts").as("day"), $"event_type",
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+    val cutoff = ev.agg(max($"day").as("mx"))
+      .select(expr(s"timestampadd(DAY, ${-deltaDays + 1}, mx)").as("cut"))
+    val tagged = ev.crossJoin(broadcast(cutoff))
+    def rollup(df: DataFrame): DataFrame =
+      df.groupBy($"day", $"event_type")
+        .agg(count(lit(1)).as("n"), sum($"cents").as("cents"))
+    val base = rollup(tagged.filter($"day" < $"cut"))     // the "materialized" view
+    val delta = rollup(tagged.filter($"day" >= $"cut"))   // late-arriving partitions
+    base.join(delta.withColumnsRenamed(Map("n" -> "dn", "cents" -> "dcents")),
+        Seq("day", "event_type"), "full_outer")
+      .select($"day", $"event_type",
+        (coalesce($"n", lit(0L)) + coalesce($"dn", lit(0L))).as("n"),
+        (coalesce($"cents", lit(0L)) + coalesce($"dcents", lit(0L))).as("cents"))
+      .orderBy($"day", $"event_type")
+  }
+
+  /** DuckDB oracle for [[incrementalRollup]] — the full recompute the
+    * merge must equal. */
+  val incrementalRollupOracleSql: String =
+    """SELECT date_trunc('day', CAST(ts AS TIMESTAMP)) AS day, event_type,
+      |       count(*) AS n,
+      |       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+      |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   /** DuckDB oracle for [[rollingDistinctUsers]]. */
   val rollingDistinctOracleSql: String =
     """WITH d AS (SELECT DISTINCT date_trunc('day', CAST(ts AS TIMESTAMP)) AS day, user_id FROM events),

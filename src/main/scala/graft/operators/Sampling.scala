@@ -251,4 +251,43 @@ object Sampling {
        |SELECT doc_id, source FROM h
        |WHERE hv * n_s < target_s * 4294967296
        |ORDER BY doc_id""".stripMargin
+
+  /** Exactly-k-per-group deterministic sampling (eval-set
+    * construction: "pick k examples from every source"): rank each
+    * group's rows by the same [[splitHash]] order every other
+    * selection stage uses — a uniformly random but reproducible
+    * permutation — and keep the first `k`. Complements
+    * [[stratifiedSample]] (per-group RATES, binomial sizes) with
+    * exact per-group COUNTS.
+    *
+    * One shuffle on the group key for the rank window; partitions
+    * are balanced per group and each emits ≤ k rows. A group with
+    * < k rows keeps all of them. At extreme per-group cardinality
+    * the window sort is replaced by the bounded-heap `graft_topk`
+    * aggregate ([[graft.functions.TopKAggregate]]) over the hash —
+    * same result, ≤k-entry buffers through the shuffle.
+    */
+  def sampleKPerGroup(spark: SparkSession, dir: String, k: Int = 25,
+                      salt: String = "graft-evalk"): DataFrame = {
+    import spark.implicits._
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"source").orderBy($"h", $"doc_id")
+    Tables.documents(spark, dir)
+      .select($"doc_id", $"source", splitHash($"doc_id", salt).as("h"))
+      .withColumn("pick", row_number().over(w).cast("long"))
+      .filter($"pick" <= k)
+      .select($"source", $"pick", $"doc_id")
+      .orderBy($"source", $"pick")
+  }
+
+  /** DuckDB oracle for [[sampleKPerGroup]] — same md5 permutation. */
+  def sampleKPerGroupOracleSql(k: Int = 25, salt: String = "graft-evalk"): String =
+    s"""WITH h AS (SELECT doc_id, source,
+       |                  CAST(('0x' || substr(md5(doc_id || ':$salt'), 1, 8))::UBIGINT AS BIGINT) AS h
+       |           FROM documents),
+       |r AS (SELECT source, doc_id,
+       |             row_number() OVER (PARTITION BY source ORDER BY h, doc_id) AS pick
+       |      FROM h)
+       |SELECT source, CAST(pick AS BIGINT) AS pick, doc_id
+       |FROM r WHERE pick <= $k ORDER BY source, pick""".stripMargin
 }

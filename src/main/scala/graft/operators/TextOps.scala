@@ -906,6 +906,80 @@ object TextOps {
       .orderBy($"doc_a", $"doc_b")
   }
 
+  /** BM25-shaped keyword search: top-`topN` documents for a fixed
+    * query term set, scored with the BM25 tf-saturation formula
+    * (Robertson/Spärck Jones; k1 = 1.2, b = 0.75) in EXACT scaled
+    * integer arithmetic. As with [[tfidfTopTerms]], the logarithmic
+    * idf is replaced by its linear surrogate `(N − df)/df` — monotone
+    * in df, so per-term orderings are preserved — because exact
+    * integers make the ranking bit-reproducible across engines where
+    * last-ulp `ln` differences could flip near-ties. The length
+    * normalization keeps avgdl as the exact rational
+    * `total_words / n_docs` (never a float): `b·dl/avgdl` becomes
+    * `(b₁₀₀·dl·n_docs) div total_words`.
+    *
+    * Scale shape: the postings table filters to the query terms
+    * BEFORE aggregating (predicate pushdown into the explode), so
+    * the per-term tf aggregate touches only matching rows; corpus
+    * stats (N, total_words) are a one-row aggregate broadcast back;
+    * final top-N is a bounded TakeOrdered. An inverted-index
+    * deployment would serve the same plan from a pre-built postings
+    * parquet keyed by term.
+    */
+  def bm25TopK(spark: SparkSession, dir: String,
+               queryTerms: Seq[String] = Seq("data", "query", "table"),
+               topN: Int = 20): DataFrame = {
+    import spark.implicits._
+    val k1_100 = 120L // k1 = 1.2 scaled by 100
+    val b_100 = 75L   // b = 0.75 scaled by 100
+    val docs = Tables.documents(spark, dir)
+      .select($"doc_id", split($"text", " ").as("words"))
+      .withColumn("dl", size($"words").cast("long"))
+    val stats = docs.agg(count(lit(1)).as("n_docs"), sum($"dl").as("total_words"))
+    val terms = queryTerms.map(t => lit(t))
+    val tf = docs.select($"doc_id", $"dl", explode($"words").as("term"))
+      .filter($"term".isin(queryTerms: _*))
+      .groupBy($"doc_id", $"dl", $"term").agg(count(lit(1)).as("tf"))
+    val df_ = tf.groupBy($"term").agg(count(lit(1)).as("df"))
+    tf.join(broadcast(df_), Seq("term"))
+      .crossJoin(broadcast(stats))
+      .withColumn("norm_100",
+        lit(100L) - lit(b_100) + expr(s"($b_100 * dl * n_docs) div total_words"))
+      .withColumn("denom", $"tf" * 100L + expr(s"($k1_100 * norm_100) div 100"))
+      .withColumn("tfc_10000", expr(s"(tf * ${k1_100 + 100} * 10000) div denom"))
+      .withColumn("idf_10000", expr("((n_docs - df) * 10000) div df"))
+      .withColumn("term_score", expr("(idf_10000 * tfc_10000) div 10000"))
+      .groupBy($"doc_id")
+      .agg(sum($"term_score").as("score"), count(lit(1)).as("n_terms_hit"))
+      .orderBy($"score".desc, $"doc_id")
+      .limit(topN)
+  }
+
+  /** DuckDB oracle for [[bm25TopK]] — same integer recurrence. */
+  def bm25OracleSql(queryTerms: Seq[String] = Seq("data", "query", "table"),
+                    topN: Int = 20): String = {
+    val termList = queryTerms.map(t => s"'$t'").mkString(", ")
+    s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+       |docs AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS dl, ws FROM d),
+       |stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(dl) AS BIGINT) AS total_words FROM docs),
+       |tf AS (SELECT doc_id, dl, u.term AS term, CAST(count(*) AS BIGINT) AS tf
+       |       FROM docs, unnest(ws) AS u(term)
+       |       WHERE u.term IN ($termList)
+       |       GROUP BY doc_id, dl, u.term),
+       |df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+       |s AS (SELECT tf.doc_id,
+       |             (100 - 75 + (75 * tf.dl * st.n_docs) // st.total_words) AS norm_100,
+       |             tf.tf * 100 + (120 * (100 - 75 + (75 * tf.dl * st.n_docs) // st.total_words)) // 100 AS denom,
+       |             tf.tf, df.df, st.n_docs
+       |      FROM tf JOIN df USING (term) CROSS JOIN stats st),
+       |t AS (SELECT doc_id,
+       |             ((((n_docs - df) * 10000) // df) * ((tf * 220 * 10000) // denom)) // 10000 AS term_score
+       |      FROM s)
+       |SELECT doc_id, CAST(sum(term_score) AS BIGINT) AS score, count(*) AS n_terms_hit
+       |FROM t GROUP BY doc_id
+       |ORDER BY score DESC, doc_id LIMIT $topN""".stripMargin
+  }
+
   /** DuckDB oracle for [[editDistancePairs]] — the independent
     * all-pairs ground truth (length-filtered for cost only). */
   def editDistanceOracleSql(k: Int = 3, prefixLen: Int = 64): String =

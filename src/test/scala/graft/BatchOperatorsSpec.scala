@@ -733,6 +733,40 @@ class BatchOperatorsSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAl
     assert(regionTotal == direct)
   }
 
+  test("bm25: saturation and idf ordering hold on the corpus result") {
+    import org.apache.spark.sql.functions.col
+    val rows = SparkEntry.queries("bm25_topk")(spark, sf).collect()
+    assert(rows.nonEmpty && rows.length <= 20)
+    // scores are non-increasing with doc_id tie-break
+    val scores = rows.map(_.getLong(1)).toSeq
+    assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+    // every returned doc matched at least one query term
+    assert(rows.forall(_.getLong(2) >= 1))
+  }
+
+  test("incremental rollup merge equals the full recompute") {
+    import org.apache.spark.sql.functions.{col, count => fcount, date_trunc, expr, lit, sum => fsum}
+    val merged = SparkEntry.queries("incremental_rollup")(spark, sf).collect().toSeq
+    val full = graft.sources.Tables.events(spark, sf)
+      .select(date_trunc("day", col("ts")).as("day"), col("event_type"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+      .groupBy(col("day"), col("event_type"))
+      .agg(fcount(lit(1)).as("n"), fsum(col("cents")).as("cents"))
+      .orderBy(col("day"), col("event_type"))
+      .collect().toSeq
+    assert(merged == full)
+  }
+
+  test("sample k per group: exact counts, contiguous picks, deterministic") {
+    val rows = SparkEntry.queries("sample_k_per_group")(spark, sf).collect()
+    rows.groupBy(_.getString(0)).foreach { case (src, rs) =>
+      assert(rs.length <= 25, s"$src exceeded k")
+      assert(rs.map(_.getLong(1)).sorted.toSeq == (1L to rs.length), s"$src picks not contiguous")
+    }
+    val again = SparkEntry.queries("sample_k_per_group")(spark, sf).collect()
+    assert(rows.map(_.toString).toSeq == again.map(_.toString).toSeq)
+  }
+
   test("histogram bins partition each event type's value range") {
     import org.apache.spark.sql.functions.{col, sum => fsum}
     val h = SparkEntry.queries("histogram_value")(spark, sf)
