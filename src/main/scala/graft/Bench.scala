@@ -86,7 +86,8 @@ object Bench {
     "edit_distance_pairs" -> 5.166, "rolling_distinct_users" -> 2.629,
     "profile_columns" -> 4.127, "q8_market_share" -> 3.964,
     "bm25_topk" -> 2.519, "incremental_rollup" -> 2.542,
-    "sample_k_per_group" -> 1.358)
+    "sample_k_per_group" -> 1.358, "snapshot_diff" -> 2.571,
+    "trending_daily" -> 2.005, "unpivot_metrics" -> 1.432)
 
   /** Run ONE query in a fresh JVM (this JVM's own flags + classpath,
     * stderr discarded) and parse its timing out of the child's JSON

@@ -29,6 +29,8 @@ object SparkEntry {
     "funnel_conversion"  -> Engagement.funnelConversion _,
     "funnel_conversion_windowed" -> ((s: SparkSession, d: String) => Engagement.funnelConversionWindowed(s, d)),
     "retention_cohorts"  -> ((s: SparkSession, d: String) => Engagement.retentionCohorts(s, d)),
+    "snapshot_diff"      -> Engagement.snapshotDiff _,
+    "trending_daily"     -> ((s: SparkSession, d: String) => Engagement.trendingDaily(s, d)),
     // behavioral analytics over the enriched event log
     "attribution_last_touch" -> Behavior.attributionLastTouch _,
     "attribution_first_touch" -> Behavior.attributionFirstTouch _,
@@ -82,6 +84,7 @@ object SparkEntry {
     "open_orders_daily"     -> Olap.openOrdersDaily _,
     "rolling_distinct_users" -> ((s: SparkSession, d: String) => Olap.rollingDistinctUsers(s, d)),
     "incremental_rollup"    -> ((s: SparkSession, d: String) => Olap.incrementalRollup(s, d)),
+    "unpivot_metrics"       -> Olap.unpivotMetrics _,
     "profile_columns"       -> Olap.profileColumns _,
     "hll_sketch_daily"      -> ((s: SparkSession, d: String) => Olap.hllSketchDaily(s, d)),
     "zorder_layout"         -> Olap.zorderLayout _,
@@ -363,6 +366,9 @@ object SparkEntry {
     "open_orders_daily" -> operators.Olap.openOrdersOracleSql,
     "rolling_distinct_users" -> operators.Olap.rollingDistinctOracleSql,
     "incremental_rollup" -> operators.Olap.incrementalRollupOracleSql,
+    "unpivot_metrics" -> operators.Olap.unpivotMetricsOracleSql,
+    "snapshot_diff" -> operators.Engagement.snapshotDiffOracleSql,
+    "trending_daily" -> operators.Engagement.trendingDailyOracleSql(),
     "profile_columns" -> operators.Olap.profileColumnsOracleSql,
 
     // same heavy-user cap (<= 50 distinct items) and support floor

@@ -433,4 +433,96 @@ object Engagement {
        |                                ORDER BY value DESC, event_id ASC) AS rn
        |      FROM events WHERE value IS NOT NULL) t
        |WHERE rn <= $k ORDER BY event_type, rank""".stripMargin
+
+  /** Snapshot reconciliation (table diff): the compacted live state
+    * as of the stream's midpoint vs the final state, classified per
+    * key into added / removed / changed (unchanged keys suppressed).
+    * The data-engineering answer to "what did the last half of the
+    * changelog do to my table" — migration validation, backfill
+    * audits, CDC drift checks.
+    *
+    * Both snapshots are [[cdcWithDeletes]] semantics (tombstones
+    * kill a key), so `removed` is reachable: an upsert before the
+    * cut whose key's final row is a delete. Scale shape: the two
+    * compactions and the diff all key on user_id — one shuffle
+    * partitioning serves all three; the midpoint is a one-row
+    * aggregate broadcast back (a deployment passes the snapshot
+    * boundary as a literal).
+    */
+  def snapshotDiff(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, dir)
+      .select($"user_id", $"event_id", $"ts", opExpr($"event_type").as("op"))
+    val cutoff = ev.agg(min($"ts").as("lo"), max($"ts").as("hi"))
+      .select(expr("timestamp_micros((unix_micros(lo) + unix_micros(hi)) div 2)").as("cut"))
+    val tagged = ev.crossJoin(broadcast(cutoff))
+    def live(df: DataFrame): DataFrame = {
+      val w = Window.partitionBy($"user_id").orderBy($"ts".desc, $"event_id".desc)
+      df.withColumn("rn", row_number().over(w))
+        .filter($"rn" === 1 && $"op" === "upsert")
+        .select($"user_id", $"event_id")
+    }
+    val a = live(tagged.filter($"ts" < $"cut")).withColumnRenamed("event_id", "a_id")
+    val b = live(tagged).withColumnRenamed("event_id", "b_id")
+    a.join(b, Seq("user_id"), "full_outer")
+      .withColumn("status",
+        when($"a_id".isNull, "added")
+          .when($"b_id".isNull, "removed")
+          .when($"a_id" =!= $"b_id", "changed")
+          .otherwise("unchanged"))
+      .filter($"status" =!= "unchanged")
+      .select($"user_id", $"status")
+      .orderBy($"user_id")
+  }
+
+  /** DuckDB oracle for [[snapshotDiff]]. */
+  val snapshotDiffOracleSql: String =
+    """WITH ev AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+      |                   CASE WHEN event_type = 'error' THEN 'delete' ELSE 'upsert' END AS op
+      |            FROM events),
+      |c AS (SELECT make_timestamp((epoch_us(min(ts)) + epoch_us(max(ts))) // 2) AS cut FROM ev),
+      |a AS (SELECT user_id, event_id AS a_id FROM
+      |        (SELECT ev.*, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      |         FROM ev, c WHERE ts < cut) WHERE rn = 1 AND op = 'upsert'),
+      |b AS (SELECT user_id, event_id AS b_id FROM
+      |        (SELECT ev.*, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      |         FROM ev) WHERE rn = 1 AND op = 'upsert')
+      |SELECT coalesce(a.user_id, b.user_id) AS user_id,
+      |       CASE WHEN a.user_id IS NULL THEN 'added'
+      |            WHEN b.user_id IS NULL THEN 'removed'
+      |            WHEN a_id != b_id THEN 'changed' END AS status
+      |FROM a FULL OUTER JOIN b ON a.user_id = b.user_id
+      |WHERE NOT (a.user_id IS NOT NULL AND b.user_id IS NOT NULL AND a_id = b_id)
+      |ORDER BY 1""".stripMargin
+
+  /** Daily trending items: top-`k` items per day by event count,
+    * selected with the bounded-heap `graft_topk` aggregate over the
+    * per-(day, item) counts — the custom aggregate exercised on a
+    * second grouping shape (time-bucketed trend boards). Counts pass
+    * through the aggregate's double score losslessly (< 2⁵³).
+    */
+  def trendingDaily(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    val counts = Tables.events(spark, dir)
+      .select(date_trunc("day", $"ts").as("day"),
+        get_json_object($"props", "$.k").cast("long").as("item"))
+      .groupBy($"day", $"item").agg(count(lit(1)).as("n"))
+    counts.groupBy($"day")
+      .agg(call_function("graft_topk", $"n".cast("double"), $"item", lit(k)).as("top"))
+      .select($"day", posexplode($"top"))
+      .select($"day", ($"pos" + 1).cast("long").as("rank"),
+        $"col.id".as("item"), $"col.score".cast("long").as("n"))
+      .orderBy($"day", $"rank")
+  }
+
+  /** DuckDB oracle for [[trendingDaily]]. */
+  def trendingDailyOracleSql(k: Int = 5): String =
+    s"""WITH c AS (SELECT date_trunc('day', CAST(ts AS TIMESTAMP)) AS day,
+       |                  TRY_CAST(json_extract_string(props, '$$.k') AS BIGINT) AS item,
+       |                  count(*) AS n
+       |           FROM events GROUP BY 1, 2)
+       |SELECT day, CAST(rn AS BIGINT) AS rank, item, n
+       |FROM (SELECT *, row_number() OVER (PARTITION BY day ORDER BY n DESC, item ASC) AS rn FROM c)
+       |WHERE rn <= $k ORDER BY day, rank""".stripMargin
 }

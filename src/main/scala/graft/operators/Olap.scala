@@ -909,6 +909,37 @@ object Olap {
       .orderBy($"day", $"event_type")
   }
 
+  /** Wide→long reshape (the inverse of [[pivotSales]]'s PIVOT —
+    * Spark's `unpivot`/MELT): per-returnflag exact-cents metrics
+    * unpivoted to (flag, metric, value) rows. One aggregate then a
+    * zero-shuffle row expansion (unpivot is a generator projection,
+    * ×|metrics| rows map-side).
+    */
+  def unpivotMetrics(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val wide = Tables.lineitem(spark, dir)
+      .groupBy($"l_returnflag")
+      .agg(
+        expr("CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT)").as("sum_qty_c"),
+        expr("CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)").as("sum_price_c"),
+        count(lit(1)).as("n_rows"))
+    wide.unpivot(Array($"l_returnflag"),
+        Array($"sum_qty_c", $"sum_price_c", $"n_rows"), "metric", "value")
+      .orderBy($"l_returnflag", $"metric")
+  }
+
+  /** DuckDB oracle for [[unpivotMetrics]]. */
+  val unpivotMetricsOracleSql: String =
+    """WITH w AS (SELECT l_returnflag,
+      |                  CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS sum_qty_c,
+      |                  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_price_c,
+      |                  count(*) AS n_rows
+      |           FROM lineitem GROUP BY 1)
+      |SELECT l_returnflag, 'sum_qty_c' AS metric, sum_qty_c AS value FROM w
+      |UNION ALL SELECT l_returnflag, 'sum_price_c', sum_price_c FROM w
+      |UNION ALL SELECT l_returnflag, 'n_rows', n_rows FROM w
+      |ORDER BY 1, 2""".stripMargin
+
   /** DuckDB oracle for [[incrementalRollup]] — the full recompute the
     * merge must equal. */
   val incrementalRollupOracleSql: String =

@@ -733,6 +733,40 @@ class BatchOperatorsSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAl
     assert(regionTotal == direct)
   }
 
+  test("snapshot diff: statuses well-formed, keys distinct, deterministic") {
+    val rows = SparkEntry.queries("snapshot_diff")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val statuses = rows.map(_.getString(1)).toSet
+    assert(statuses.subsetOf(Set("added", "removed", "changed")))
+    assert(rows.map(_.getLong(0)).distinct.length == rows.length)
+    val again = SparkEntry.queries("snapshot_diff")(spark, sf).collect()
+    assert(rows.map(_.toString).toSeq == again.map(_.toString).toSeq)
+  }
+
+  test("trending daily: bounded-heap result equals the window formulation") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val got = SparkEntry.queries("trending_daily")(spark, sf).collect().toSeq
+    val counts = graft.sources.Tables.events(spark, sf)
+      .select(date_trunc("day", col("ts")).as("day"),
+        get_json_object(col("props"), "$.k").cast("long").as("item"))
+      .groupBy(col("day"), col("item")).agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("day")).orderBy(col("n").desc, col("item"))
+    val want = counts.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 5)
+      .select(col("day"), col("rank"), col("item"), col("n"))
+      .orderBy(col("day"), col("rank"))
+      .collect().toSeq
+    assert(got == want)
+  }
+
+  test("unpivot metrics: one row per (flag, metric), values equal the wide aggregate") {
+    val rows = SparkEntry.queries("unpivot_metrics")(spark, sf).collect()
+    val byFlag = rows.groupBy(_.getString(0))
+    assert(byFlag.values.forall(_.length == 3))
+    assert(rows.map(r => (r.getString(0), r.getString(1))).distinct.length == rows.length)
+  }
+
   test("bm25: saturation and idf ordering hold on the corpus result") {
     import org.apache.spark.sql.functions.col
     val rows = SparkEntry.queries("bm25_topk")(spark, sf).collect()
