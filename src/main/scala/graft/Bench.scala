@@ -87,7 +87,9 @@ object Bench {
     "profile_columns" -> 4.127, "q8_market_share" -> 3.964,
     "bm25_topk" -> 2.519, "incremental_rollup" -> 2.542,
     "sample_k_per_group" -> 1.358, "snapshot_diff" -> 2.571,
-    "trending_daily" -> 2.005, "unpivot_metrics" -> 1.432)
+    "trending_daily" -> 2.005, "unpivot_metrics" -> 1.432,
+    "events_sessionized" -> 2.010, "cohort_ltv" -> 2.819,
+    "embedding_norms" -> 1.484)
 
   /** Run ONE query in a fresh JVM (this JVM's own flags + classpath,
     * stderr discarded) and parse its timing out of the child's JSON

@@ -30,6 +30,8 @@ object SparkEntry {
     "funnel_conversion_windowed" -> ((s: SparkSession, d: String) => Engagement.funnelConversionWindowed(s, d)),
     "retention_cohorts"  -> ((s: SparkSession, d: String) => Engagement.retentionCohorts(s, d)),
     "snapshot_diff"      -> Engagement.snapshotDiff _,
+    "events_sessionized" -> ((s: SparkSession, d: String) => Engagement.eventsSessionized(s, d)),
+    "cohort_ltv"         -> Engagement.cohortLtv _,
     "trending_daily"     -> ((s: SparkSession, d: String) => Engagement.trendingDaily(s, d)),
     // behavioral analytics over the enriched event log
     "attribution_last_touch" -> Behavior.attributionLastTouch _,
@@ -138,6 +140,7 @@ object SparkEntry {
     "ann_lsh_topk"       -> ((s: SparkSession, d: String) => VectorOps.annLshTopK(s, d)),
     "ann_ivf_topk"       -> ((s: SparkSession, d: String) => VectorOps.annIvfTopK(s, d)),
     "ann_pq_topk"        -> ((s: SparkSession, d: String) => VectorOps.annPqTopK(s, d)),
+    "embedding_norms"    -> VectorOps.embeddingNorms _,
   )
 
   /** DuckDB-runnable oracle for each SQL-expressible query.
@@ -368,6 +371,9 @@ object SparkEntry {
     "incremental_rollup" -> operators.Olap.incrementalRollupOracleSql,
     "unpivot_metrics" -> operators.Olap.unpivotMetricsOracleSql,
     "snapshot_diff" -> operators.Engagement.snapshotDiffOracleSql,
+    "events_sessionized" -> operators.Engagement.eventsSessionizedOracleSql(),
+    "cohort_ltv" -> operators.Engagement.cohortLtvOracleSql,
+    "embedding_norms" -> operators.VectorOps.embeddingNormsOracleSql,
     "trending_daily" -> operators.Engagement.trendingDailyOracleSql(),
     "profile_columns" -> operators.Olap.profileColumnsOracleSql,
 

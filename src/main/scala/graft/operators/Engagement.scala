@@ -495,6 +495,80 @@ object Engagement {
       |WHERE NOT (a.user_id IS NOT NULL AND b.user_id IS NOT NULL AND a_id = b_id)
       |ORDER BY 1""".stripMargin
 
+  /** Per-event session assignment (the feature-engineering face of
+    * [[sessionWindowAgg]]): every event gets its session's ordinal —
+    * gaps-and-islands with a 30-minute inactivity gap, as a column on
+    * the fact rather than an aggregate. One shuffle on user_id; both
+    * window passes (the lag flag and the running island count) share
+    * the same partitioning and sort.
+    */
+  def eventsSessionized(spark: SparkSession, dir: String, gapMinutes: Int = 30): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    Tables.events(spark, dir)
+      .select($"event_id", $"user_id", $"ts")
+      .withColumn("new_session",
+        when(unix_micros($"ts") - unix_micros(lag($"ts", 1).over(w))
+               > gapMinutes * 60L * 1000000L, 1L)
+          .when(lag($"ts", 1).over(w).isNull, 1L)
+          .otherwise(0L))
+      .withColumn("session_seq",
+        sum($"new_session").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .select($"event_id", $"user_id", $"session_seq")
+      .orderBy($"event_id")
+  }
+
+  /** DuckDB oracle for [[eventsSessionized]]. */
+  def eventsSessionizedOracleSql(gapMinutes: Int = 30): String =
+    s"""WITH e AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+       |f AS (SELECT event_id, user_id,
+       |             CASE WHEN lag(ts) OVER w IS NULL THEN 1
+       |                  WHEN epoch_us(ts) - epoch_us(lag(ts) OVER w) > $gapMinutes * 60 * 1000000 THEN 1
+       |                  ELSE 0 END AS new_session
+       |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+       |SELECT event_id, user_id,
+       |       CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY event_id
+       |              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+       |FROM f ORDER BY event_id""".stripMargin
+
+  /** Cohort lifetime-value curves — [[retentionCohorts]]'s revenue
+    * twin: users grouped by first-seen day, each cohort's CUMULATIVE
+    * engagement value tracked by age-in-days. Exact integer cents;
+    * the fact collapses to a (cohort, age) aggregate (≤ days² rows,
+    * map-side combined) before the running total runs over that
+    * planning-scale triangle.
+    */
+  def cohortLtv(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, dir)
+      .select($"user_id", date_trunc("day", $"ts").as("day"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+    val cohorts = ev.groupBy($"user_id").agg(min($"day").as("cohort"))
+    val byAge = ev.join(cohorts, "user_id")
+      .groupBy($"cohort", datediff($"day", $"cohort").cast("long").as("age_days"))
+      .agg(count_distinct($"user_id").as("n_active"), sum($"cents").as("cents"))
+    byAge
+      .withColumn("cents_cum",
+        sum($"cents").over(Window.partitionBy($"cohort").orderBy($"age_days")
+          .rowsBetween(Window.unboundedPreceding, 0)))
+      .select($"cohort", $"age_days", $"n_active", $"cents", $"cents_cum")
+      .orderBy($"cohort", $"age_days")
+  }
+
+  /** DuckDB oracle for [[cohortLtv]]. */
+  val cohortLtvOracleSql: String =
+    """WITH ev AS (SELECT user_id, date_trunc('day', CAST(ts AS TIMESTAMP)) AS day,
+      |                   CAST(round(value * 100) AS BIGINT) AS cents FROM events),
+      |c AS (SELECT user_id, min(day) AS cohort FROM ev GROUP BY 1),
+      |a AS (SELECT cohort, CAST(date_diff('day', cohort, day) AS BIGINT) AS age_days,
+      |             count(DISTINCT ev.user_id) AS n_active,
+      |             CAST(sum(cents) AS BIGINT) AS cents
+      |      FROM ev JOIN c ON ev.user_id = c.user_id GROUP BY 1, 2)
+      |SELECT cohort, age_days, n_active, cents,
+      |       CAST(sum(cents) OVER (PARTITION BY cohort ORDER BY age_days
+      |              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cents_cum
+      |FROM a ORDER BY 1, 2""".stripMargin
+
   /** Daily trending items: top-`k` items per day by event count,
     * selected with the bounded-heap `graft_topk` aggregate over the
     * per-(day, item) counts — the custom aggregate exercised on a

@@ -501,4 +501,38 @@ object VectorOps {
       .select($"query_id", $"vec_id".as("neighbor_id"), $"rank", round($"cos", 4).as("cosine"))
       .orderBy($"query_id", $"rank")
   }
+
+  /** Vector data-quality profiling: per-vector dimensionality and L2
+    * norm — the sanity pass a 100 TB embedding corpus runs before any
+    * ANN/clustering stage (dimension drift and un-normalized vectors
+    * are the two classic upstream bugs). EXACT path: elements scale
+    * to integers (×10⁶, round-half-up — float→double widening is
+    * exact in both engines), the squared-norm sum is pure Long
+    * arithmetic (order-independent; 128-dim · (10⁶)² ≈ 10¹⁴ ≪
+    * Long.Max), and the only float is the final sqrt of an exact
+    * integer. Embarrassingly parallel single scan, no shuffle before
+    * the ordered output.
+    */
+  def embeddingNorms(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.embeddings(spark, dir)
+      .select($"vec_id", size($"embedding").cast("long").as("dim"),
+        expr("""aggregate(embedding, 0L, (acc, x) ->
+                 acc + CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)
+                     * CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT))""").as("norm_sq_scaled"))
+      .withColumn("l2_norm", round(sqrt($"norm_sq_scaled") / lit(1000000.0), 4))
+      .orderBy($"vec_id")
+  }
+
+  /** DuckDB oracle for [[embeddingNorms]] — same integer scaling
+    * (list order is irrelevant: integer sums commute). */
+  val embeddingNormsOracleSql: String =
+    """SELECT vec_id, CAST(len(embedding) AS BIGINT) AS dim,
+      |       CAST(list_sum(list_transform(embedding,
+      |              x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)
+      |                 * CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT))) AS BIGINT) AS norm_sq_scaled,
+      |       round(sqrt(CAST(list_sum(list_transform(embedding,
+      |              x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)
+      |                 * CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT))) AS BIGINT)) / 1000000.0, 4) AS l2_norm
+      |FROM embeddings ORDER BY vec_id""".stripMargin
 }

@@ -733,6 +733,42 @@ class BatchOperatorsSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAl
     assert(regionTotal == direct)
   }
 
+  test("events sessionized: per-user session count equals session_window_agg") {
+    import org.apache.spark.sql.functions.{col, countDistinct, max => fmax}
+    val assigned = SparkEntry.queries("events_sessionized")(spark, sf)
+      .groupBy(col("user_id")).agg(fmax(col("session_seq")).as("n_sessions"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val agged = SparkEntry.queries("session_window_agg")(spark, sf)
+      .groupBy(col("user_id")).agg(countDistinct(col("s_start")).as("n"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(assigned == agged)
+  }
+
+  test("cohort ltv: cumulative ends at cohort total, corpus total preserved") {
+    import org.apache.spark.sql.functions.{col, expr, sum => fsum}
+    val rows = SparkEntry.queries("cohort_ltv")(spark, sf).collect()
+    // within each cohort the running total is non-decreasing in age
+    rows.groupBy(_.getTimestamp(0)).foreach { case (_, rs) =>
+      val sorted = rs.sortBy(_.getLong(1))
+      val cums = sorted.map(_.getLong(4))
+      assert(sorted.map(_.getLong(3)).sum == cums.last)
+      assert(cums.zip(cums.tail).forall { case (a, b) => a <= b })
+    }
+    val total = rows.map(_.getLong(3)).sum
+    val direct = graft.sources.Tables.events(spark, sf)
+      .agg(fsum(expr("CAST(round(value * 100) AS BIGINT)"))).collect()(0).getLong(0)
+    assert(total == direct)
+  }
+
+  test("embedding norms: uniform dimension, positive exact norms, deterministic") {
+    val rows = SparkEntry.queries("embedding_norms")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    assert(rows.map(_.getLong(1)).distinct.length == 1) // no dimension drift
+    assert(rows.forall(_.getLong(2) > 0))
+    val again = SparkEntry.queries("embedding_norms")(spark, sf).collect()
+    assert(rows.map(_.toString).toSeq == again.map(_.toString).toSeq)
+  }
+
   test("snapshot diff: statuses well-formed, keys distinct, deterministic") {
     val rows = SparkEntry.queries("snapshot_diff")(spark, sf).collect()
     assert(rows.nonEmpty)
