@@ -43,6 +43,8 @@ object SparkEntry {
     "lag_features"       -> Behavior.lagFeatures _,
     "anomaly_zscore"     -> ((s: SparkSession, d: String) => Behavior.anomalyZscore(s, d)),
     "co_engagement"      -> Behavior.coEngagement _,
+    "association_rules"  -> Behavior.associationRules _,
+    "frequent_sequences" -> Behavior.frequentSequences _,
     "topk_diversified"   -> ((s: SparkSession, d: String) => Behavior.topkDiversified(s, d)),
     // graph analytics over the co-engagement item graph
     "pagerank_items"     -> Graph.pagerankItems _,
@@ -83,6 +85,7 @@ object SparkEntry {
     "timeseries_fill"       -> Olap.timeseriesFill _,
     "q17_small_quantity"    -> ((s: SparkSession, d: String) => Olap.q17SmallQuantity(s, d)),
     "q8_market_share"       -> ((s: SparkSession, d: String) => Olap.q8MarketShare(s, d)),
+    "q19_discounted_revenue" -> Olap.q19DiscountedRevenue _,
     "open_orders_daily"     -> Olap.openOrdersDaily _,
     "rolling_distinct_users" -> ((s: SparkSession, d: String) => Olap.rollingDistinctUsers(s, d)),
     "incremental_rollup"    -> ((s: SparkSession, d: String) => Olap.incrementalRollup(s, d)),
@@ -366,6 +369,7 @@ object SparkEntry {
     "timeseries_fill" -> operators.Olap.timeseriesFillOracleSql,
     "q17_small_quantity" -> operators.Olap.q17OracleSql(),
     "q8_market_share" -> operators.Olap.q8OracleSql(),
+    "q19_discounted_revenue" -> operators.Olap.q19OracleSql,
     "open_orders_daily" -> operators.Olap.openOrdersOracleSql,
     "rolling_distinct_users" -> operators.Olap.rollingDistinctOracleSql,
     "incremental_rollup" -> operators.Olap.incrementalRollupOracleSql,
@@ -387,6 +391,48 @@ object SparkEntry {
         |FROM kept a JOIN kept b ON a.user_id = b.user_id AND a.item < b.item
         |GROUP BY 1, 2 HAVING count(*) >= 3
         |ORDER BY 1, 2""".stripMargin,
+
+    "association_rules" ->
+      """WITH items AS (SELECT DISTINCT user_id, TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS item FROM events),
+        |kept AS (SELECT i.* FROM items i
+        |         JOIN (SELECT user_id, count(*) AS n_items FROM items GROUP BY 1) c
+        |           ON i.user_id = c.user_id AND c.n_items <= 50),
+        |nu AS (SELECT count(DISTINCT user_id) AS n_users FROM kept),
+        |ic AS (SELECT item, count(*) AS n_item FROM kept GROUP BY 1),
+        |p AS (SELECT a.item AS item_a, b.item AS item_b, count(*) AS n_ab
+        |      FROM kept a JOIN kept b ON a.user_id = b.user_id AND a.item < b.item
+        |      GROUP BY 1, 2 HAVING count(*) >= 8),
+        |w AS (SELECT p.*, ia.n_item AS n_a, ib.n_item AS n_b, nu.n_users
+        |      FROM p JOIN ic ia ON p.item_a = ia.item JOIN ic ib ON p.item_b = ib.item CROSS JOIN nu),
+        |r AS (SELECT item_a AS antecedent, item_b AS consequent, n_ab,
+        |             CAST((n_ab * 10000) // n_a AS BIGINT) AS conf_10000,
+        |             CAST((n_ab * n_users * 10000) // (n_a * n_b) AS BIGINT) AS lift_10000 FROM w
+        |      UNION ALL
+        |      SELECT item_b, item_a, n_ab,
+        |             CAST((n_ab * 10000) // n_b AS BIGINT),
+        |             CAST((n_ab * n_users * 10000) // (n_a * n_b) AS BIGINT) FROM w)
+        |SELECT antecedent, consequent, CAST(n_ab AS BIGINT) AS n_ab, conf_10000, lift_10000
+        |FROM r ORDER BY conf_10000 DESC, antecedent, consequent LIMIT 50""".stripMargin,
+
+    "frequent_sequences" ->
+      """WITH e AS (SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts, event_id FROM events),
+        |f0 AS (SELECT user_id, event_type AS t, ts, event_id,
+        |              row_number() OVER (PARTITION BY user_id, event_type
+        |                                 ORDER BY ts, event_id) AS rn
+        |       FROM e),
+        |f AS (SELECT user_id, t,
+        |             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pos
+        |      FROM f0 WHERE rn = 1),
+        |s AS (SELECT user_id, t AS pattern FROM f
+        |      UNION ALL
+        |      SELECT a.user_id, a.t || '>' || b.t
+        |      FROM f a JOIN f b ON a.user_id = b.user_id AND a.pos < b.pos
+        |      UNION ALL
+        |      SELECT a.user_id, a.t || '>' || b.t || '>' || c.t
+        |      FROM f a JOIN f b ON a.user_id = b.user_id AND a.pos < b.pos
+        |               JOIN f c ON a.user_id = c.user_id AND b.pos < c.pos)
+        |SELECT pattern, count(*) AS support
+        |FROM s GROUP BY 1 ORDER BY 2 DESC, 1 LIMIT 30""".stripMargin,
 
     // graph family: unrolled integer-PageRank recurrence / naive
     // triple-join triangle oracle (algorithm-independent result set)

@@ -211,6 +211,94 @@ object Behavior {
   def coEngagement(spark: SparkSession, dir: String): DataFrame =
     coEngagementTransform(Tables.events(spark, dir), maxItems = 50, minSupport = 3L)
 
+  /** Frequent sequential patterns (PrefixSpan/SPAM class, bounded):
+    * the most common temporally-ordered event-type subsequences of
+    * length ≤ 3, counted by DISTINCT supporting users. Each user's
+    * timeline first collapses to the sequence of FIRST occurrences
+    * per type (≤ |alphabet| rows — the bound that makes this tractable
+    * without candidate generation), then ordered 1/2/3-subsequences
+    * come from self-joins on first-occurrence position, and support
+    * is a distinct-user count per pattern.
+    *
+    * Scale shape: everything after the first-occurrence aggregate
+    * operates on ≤ |alphabet| rows per user (alphabet = event types,
+    * single digits), so the subsequence fan-out is ≤ 41 rows per user
+    * — linear in users, never in events. One shuffle on user_id, one
+    * on the pattern string; both map-side combinable.
+    */
+  def frequentSequencesTransform(events: DataFrame, maxSupport: Int): DataFrame = {
+    val firsts = events
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(min(struct(col("ts"), col("event_id"))).as("first_at"))
+      .withColumn("pos", row_number().over(
+        Window.partitionBy(col("user_id")).orderBy(col("first_at"))))
+      .select(col("user_id"), col("event_type").as("t"), col("pos"))
+    val s1 = firsts.select(col("user_id"), col("t").as("pattern"))
+    val s2 = firsts.as("a").join(firsts.as("b"),
+        col("a.user_id") === col("b.user_id") && col("a.pos") < col("b.pos"))
+      .select(col("a.user_id").as("user_id"),
+        concat_ws(">", col("a.t"), col("b.t")).as("pattern"))
+    val s3 = firsts.as("a").join(firsts.as("b"),
+        col("a.user_id") === col("b.user_id") && col("a.pos") < col("b.pos"))
+      .join(firsts.as("c"),
+        col("a.user_id") === col("c.user_id") && col("b.pos") < col("c.pos"))
+      .select(col("a.user_id").as("user_id"),
+        concat_ws(">", col("a.t"), col("b.t"), col("c.t")).as("pattern"))
+    s1.unionByName(s2).unionByName(s3)
+      .groupBy(col("pattern")).agg(count(lit(1)).as("support"))
+      .orderBy(col("support").desc, col("pattern"))
+      .limit(maxSupport)
+  }
+
+  def frequentSequences(spark: SparkSession, dir: String): DataFrame =
+    frequentSequencesTransform(Tables.events(spark, dir), maxSupport = 30)
+
+  /** Association rules over the co-engagement pairs (Apriori's
+    * output stage): for each qualifying item pair, support,
+    * directional confidence, and lift — the classic
+    * "viewers of X also engage Y" recommender table. All three
+    * metrics are reported as exact scaled integers (÷10000), so the
+    * ranking is bit-reproducible: conf = n_ab·10⁴ div n_a,
+    * lift = n_ab·N·10⁴ div (n_a·n_b).
+    *
+    * Scale shape: pair counts come from [[coEngagementTransform]]
+    * (heavy-user-capped); per-item counts are a tiny aggregate
+    * broadcast back; both rule directions emit from one pair row.
+    */
+  def associationRulesTransform(events: DataFrame, maxItems: Int,
+                                minSupport: Long): DataFrame = {
+    val items = events
+      .select(col("user_id"), get_json_object(col("props"), "$.k").cast("long").as("item"))
+      .distinct()
+    val kept = items.join(
+      items.groupBy(col("user_id")).agg(count(lit(1)).as("n_items"))
+        .filter(col("n_items") <= maxItems),
+      Seq("user_id"))
+    val nUsers = kept.agg(count_distinct(col("user_id")).as("n_users"))
+    val itemCounts = kept.groupBy(col("item")).agg(count(lit(1)).as("n_item"))
+    val pairs = kept.select(col("user_id"), col("item").as("item_a"))
+      .join(kept.select(col("user_id"), col("item").as("item_b")), Seq("user_id"))
+      .filter(col("item_a") < col("item_b"))
+      .groupBy(col("item_a"), col("item_b")).agg(count(lit(1)).as("n_ab"))
+      .filter(col("n_ab") >= minSupport)
+    val withCounts = pairs
+      .join(broadcast(itemCounts.withColumnsRenamed(Map("item" -> "item_a", "n_item" -> "n_a"))), "item_a")
+      .join(broadcast(itemCounts.withColumnsRenamed(Map("item" -> "item_b", "n_item" -> "n_b"))), "item_b")
+      .crossJoin(broadcast(nUsers))
+    val fwd = withCounts.select(col("item_a").as("antecedent"), col("item_b").as("consequent"),
+      col("n_ab"), expr("(n_ab * 10000) div n_a").as("conf_10000"),
+      expr("(n_ab * n_users * 10000) div (n_a * n_b)").as("lift_10000"))
+    val bwd = withCounts.select(col("item_b").as("antecedent"), col("item_a").as("consequent"),
+      col("n_ab"), expr("(n_ab * 10000) div n_b").as("conf_10000"),
+      expr("(n_ab * n_users * 10000) div (n_a * n_b)").as("lift_10000"))
+    fwd.unionByName(bwd)
+      .orderBy(col("conf_10000").desc, col("antecedent"), col("consequent"))
+      .limit(50)
+  }
+
+  def associationRules(spark: SparkSession, dir: String): DataFrame =
+    associationRulesTransform(Tables.events(spark, dir), maxItems = 50, minSupport = 8L)
+
   /** Diversified top-k leaderboard: the k highest-value events per
     * type with AT MOST `perUser` entries from any one user — the
     * anti-monoculture constraint every production leaderboard ends up

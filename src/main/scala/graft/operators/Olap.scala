@@ -909,6 +909,40 @@ object Olap {
       .orderBy($"day", $"event_type")
   }
 
+  /** TPC-H Q19 shape ("discounted revenue", adapted to this part
+    * schema): revenue from lineitems matching an OR-of-ANDs over
+    * joined dimension and fact attributes — the classic test that
+    * DISJUNCTIVE predicates still prune: Catalyst extracts the
+    * common `p_brand IN (...)` + covering size/quantity bounds and
+    * pushes them into both scans, while the residual OR evaluates
+    * post-join. Exact integer cents; the brand-filtered part side
+    * broadcasts.
+    */
+  def q19DiscountedRevenue(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val part = Tables.part(spark, dir).select($"p_partkey", $"p_brand", $"p_size")
+    val li = Tables.lineitem(spark, dir)
+      .select($"l_partkey", $"l_quantity",
+        expr("CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)").as("rev_c"))
+    val cond =
+      ($"p_brand" === "Brand#1" && $"p_size".between(1, 10) && $"l_quantity".between(1, 20)) ||
+      ($"p_brand" === "Brand#2" && $"p_size".between(5, 20) && $"l_quantity".between(5, 30)) ||
+      ($"p_brand" === "Brand#3" && $"p_size".between(10, 40) && $"l_quantity".between(10, 40))
+    li.join(broadcast(part), $"l_partkey" === $"p_partkey")
+      .filter(cond)
+      .agg(count(lit(1)).as("n_rows"),
+           coalesce(sum($"rev_c"), lit(0L)).as("revenue_cents"))
+  }
+
+  /** DuckDB oracle for [[q19DiscountedRevenue]]. */
+  val q19OracleSql: String =
+    """SELECT count(*) AS n_rows,
+      |       coalesce(CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT), 0) AS revenue_cents
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 1 AND 20)
+      |   OR (p_brand = 'Brand#2' AND p_size BETWEEN 5 AND 20 AND l_quantity BETWEEN 5 AND 30)
+      |   OR (p_brand = 'Brand#3' AND p_size BETWEEN 10 AND 40 AND l_quantity BETWEEN 10 AND 40)""".stripMargin
+
   /** Wide→long reshape (the inverse of [[pivotSales]]'s PIVOT —
     * Spark's `unpivot`/MELT): per-returnflag exact-cents metrics
     * unpivoted to (flag, metric, value) rows. One aggregate then a

@@ -162,6 +162,38 @@ class BehaviorSpec extends AnyFunSuite {
     assert(out == Seq(("view>click>purchase", 2L), ("error>error>view", 1L)))
   }
 
+  test("frequent sequences: first-occurrence order, subsequence (not prefix) semantics") {
+    val events = ev(Seq(
+      // user 1: view -> click -> view -> purchase; type timeline v<c<p
+      (1L, "2024-01-01 10:00:00", 1L, "view", 0.0),
+      (1L, "2024-01-01 10:05:00", 2L, "click", 0.0),
+      (1L, "2024-01-01 10:10:00", 3L, "view", 0.0),   // repeat: ignored (first occurrence rules)
+      (1L, "2024-01-01 10:15:00", 4L, "purchase", 0.0),
+      // user 2: view -> purchase (no click)
+      (2L, "2024-01-02 09:00:00", 5L, "view", 0.0),
+      (2L, "2024-01-02 09:30:00", 6L, "purchase", 0.0)))
+    val out = Behavior.frequentSequencesTransform(events, maxSupport = 100).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(out("view") == 2L && out("purchase") == 2L && out("click") == 1L)
+    assert(out("view>purchase") == 2L)       // subsequence skips the middle click for user 1
+    assert(out("view>click>purchase") == 1L)
+    assert(!out.contains("click>view"))      // click is AFTER view's first occurrence everywhere
+  }
+
+  test("association rules: exact integer confidence and lift on a planted basket") {
+    import org.apache.spark.sql.functions.{col, format_string}
+    // users 1..10: all have item 1; users 1..5 also item 2 => n_users=10,
+    // n_1=10, n_2=5, n_12=5; conf(1->2)=0.5, conf(2->1)=1.0, lift=1.0
+    val rows = (1 to 10).map(u => (u.toLong, 1L)) ++ (1 to 5).map(u => (u.toLong, 2L))
+    val events = rows.toDF("user_id", "item")
+      .select(col("user_id"), format_string("{\"k\": %d}", col("item")).as("props"))
+    val out = Behavior.associationRulesTransform(events, maxItems = 50, minSupport = 2L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSeq
+    assert(out == Seq(
+      (2L, 1L, 5L, 10000L, 10000L),   // conf 1.0 first
+      (1L, 2L, 5L, 5000L, 10000L)))
+  }
+
   test("key skew: shares, cumulative shares, and uniform-normalized ratio") {
     import org.apache.spark.sql.functions.{col, format_string}
     // items: 1 x5, 2 x3, 3 x1, 4 x1  (total 10, 4 keys)

@@ -67,4 +67,57 @@ class KernelPropertySpec extends AnyFunSuite {
     val want = cases.map { case (a, b) => a.toSet.intersect(b.toSet).size }
     assert(got == want)
   }
+
+  /** Reference Levenshtein for the property check below. */
+  private def lev(a: String, b: String): Int = {
+    val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+      if (i == 0) j else if (j == 0) i else 0
+    }
+    for (i <- 1 to a.length; j <- 1 to b.length)
+      d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+        d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+    d(a.length)(b.length)
+  }
+
+  test("edit-distance join finds every randomly edited pair (pigeonhole soundness)") {
+    // The PassJoin segment arithmetic (variable-length boundaries,
+    // shifted windows, tiny bucket) is exactly the kind of fiddly
+    // index math an off-by-one silently breaks: fuzz it. Each planted
+    // pair is a random-length base string plus a partner mutated by
+    // <= k random edits; every pair whose PREFIX distance is <= k
+    // must appear in the output (supersets are fine - other random
+    // pairs may genuinely be close).
+    val spark = TestSession.spark
+    import spark.implicits._
+    val rnd = new Random(20260813L)
+    val k = 3
+    val docs = scala.collection.mutable.ArrayBuffer.empty[(Long, String)]
+    val planted = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, String, String)]
+    for (i <- 0 until 60) {
+      val len = 1 + rnd.nextInt(80)
+      val base = String.valueOf(Array.fill(len)(('a' + rnd.nextInt(26)).toChar))
+      val nEdits = rnd.nextInt(k + 1)
+      var part = base
+      for (_ <- 0 until nEdits if part.nonEmpty) rnd.nextInt(3) match {
+        case 0 => val p = rnd.nextInt(part.length) // substitute
+          part = part.updated(p, ('a' + rnd.nextInt(26)).toChar)
+        case 1 => val p = rnd.nextInt(part.length + 1) // insert
+          part = part.substring(0, p) + ('a' + rnd.nextInt(26)).toChar + part.substring(p)
+        case 2 => val p = rnd.nextInt(part.length) // delete
+          part = part.substring(0, p) + part.substring(p + 1)
+      }
+      val (idA, idB) = (2L * i, 2L * i + 1)
+      docs += ((idA, base)); docs += ((idB, part))
+      planted += ((idA, idB, base, part))
+    }
+    val out = graft.operators.TextOps
+      .editDistanceTransform(docs.toSeq.toDF("doc_id", "text"), k = k, prefixLen = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    planted.foreach { case (idA, idB, base, part) =>
+      val d = lev(base.take(64), part.take(64))
+      if (d <= k)
+        assert(out.contains((idA, idB)),
+          s"missed pair ($idA,$idB) dist=$d base='$base' part='$part'")
+    }
+  }
 }
