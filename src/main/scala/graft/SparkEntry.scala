@@ -44,6 +44,8 @@ object SparkEntry {
     "anomaly_zscore"     -> ((s: SparkSession, d: String) => Behavior.anomalyZscore(s, d)),
     "co_engagement"      -> Behavior.coEngagement _,
     "association_rules"  -> Behavior.associationRules _,
+    "activity_heatmap"   -> Behavior.activityHeatmap _,
+    "conversion_lag_stats" -> Behavior.conversionLagStats _,
     "frequent_sequences" -> Behavior.frequentSequences _,
     "topk_diversified"   -> ((s: SparkSession, d: String) => Behavior.topkDiversified(s, d)),
     // graph analytics over the co-engagement item graph
@@ -391,6 +393,9 @@ object SparkEntry {
         |FROM kept a JOIN kept b ON a.user_id = b.user_id AND a.item < b.item
         |GROUP BY 1, 2 HAVING count(*) >= 3
         |ORDER BY 1, 2""".stripMargin,
+
+    "activity_heatmap" -> operators.Behavior.activityHeatmapOracleSql,
+    "conversion_lag_stats" -> operators.Behavior.conversionLagOracleSql,
 
     "association_rules" ->
       """WITH items AS (SELECT DISTINCT user_id, TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS item FROM events),

@@ -211,6 +211,71 @@ object Behavior {
   def coEngagement(spark: SparkSession, dir: String): DataFrame =
     coEngagementTransform(Tables.events(spark, dir), maxItems = 50, minSupport = 3L)
 
+  /** Day-of-week × hour activity heatmap — the standard engagement
+    * dashboard grid. One map-side-combinable count aggregate (≤ 168
+    * cells), shares as exact scaled integers against a one-row total.
+    */
+  def activityHeatmap(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, dir)
+      .select(dayofweek($"ts").cast("long").as("dow"), hour($"ts").cast("long").as("hod"))
+    val cells = ev.groupBy($"dow", $"hod").agg(count(lit(1)).as("n"))
+    cells.crossJoin(broadcast(cells.agg(sum($"n").as("total"))))
+      .select($"dow", $"hod", $"n", expr("(n * 10000) div total").as("share_10000"))
+      .orderBy($"dow", $"hod")
+  }
+
+  /** DuckDB oracle for [[activityHeatmap]] — DuckDB's dayofweek is
+    * 0-based Sunday, Spark's is 1-based Sunday, hence the +1. */
+  val activityHeatmapOracleSql: String =
+    """WITH ev AS (SELECT dayofweek(CAST(ts AS TIMESTAMP)) + 1 AS dow,
+      |                   CAST(hour(CAST(ts AS TIMESTAMP)) AS BIGINT) AS hod
+      |            FROM events),
+      |c AS (SELECT CAST(dow AS BIGINT) AS dow, hod, count(*) AS n FROM ev GROUP BY 1, 2),
+      |t AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM c)
+      |SELECT dow, hod, n, CAST((n * 10000) // total AS BIGINT) AS share_10000
+      |FROM c, t ORDER BY 1, 2""".stripMargin
+
+  /** Time-to-convert statistics: per converting user, the lag from
+    * first view to first subsequent purchase, aggregated to count /
+    * mean / min / max seconds — all exact integers (µs differences,
+    * truncating div). The funnel family's latency report: the same
+    * conditional-min shape as [[Engagement.funnelConversion]], no
+    * per-user event lists.
+    */
+  def conversionLagTransform(events: DataFrame): DataFrame = {
+    val firsts = events
+      .groupBy(col("user_id"))
+      .agg(
+        min(when(col("event_type") === "view", col("ts"))).as("first_view"),
+        min(when(col("event_type") === "purchase", col("ts"))).as("first_purchase"))
+      .filter(col("first_view").isNotNull && col("first_purchase") > col("first_view"))
+      .select(((unix_micros(col("first_purchase")) - unix_micros(col("first_view")))
+        .cast("long")).as("lag_us"))
+    firsts.agg(
+      count(lit(1)).as("n_conversions"),
+      expr("sum(lag_us) div count(1) div 1000000").as("avg_lag_s"),
+      expr("min(lag_us) div 1000000").as("min_lag_s"),
+      expr("max(lag_us) div 1000000").as("max_lag_s"))
+  }
+
+  def conversionLagStats(spark: SparkSession, dir: String): DataFrame =
+    conversionLagTransform(Tables.events(spark, dir))
+
+  /** DuckDB oracle for [[conversionLagStats]]. */
+  val conversionLagOracleSql: String =
+    """WITH f AS (SELECT user_id,
+      |                  min(CASE WHEN event_type = 'view' THEN CAST(ts AS TIMESTAMP) END) AS fv,
+      |                  min(CASE WHEN event_type = 'purchase' THEN CAST(ts AS TIMESTAMP) END) AS fp
+      |           FROM events GROUP BY 1),
+      |l AS (SELECT epoch_us(fp) - epoch_us(fv) AS lag_us FROM f
+      |      WHERE fv IS NOT NULL AND fp > fv)
+      |SELECT count(*) AS n_conversions,
+      |       CAST(sum(lag_us) // count(*) // 1000000 AS BIGINT) AS avg_lag_s,
+      |       CAST(min(lag_us) // 1000000 AS BIGINT) AS min_lag_s,
+      |       CAST(max(lag_us) // 1000000 AS BIGINT) AS max_lag_s
+      |FROM l""".stripMargin
+
   /** Frequent sequential patterns (PrefixSpan/SPAM class, bounded):
     * the most common temporally-ordered event-type subsequences of
     * length ≤ 3, counted by DISTINCT supporting users. Each user's
