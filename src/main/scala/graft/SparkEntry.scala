@@ -406,7 +406,7 @@ object SparkEntry {
         |ic AS (SELECT item, count(*) AS n_item FROM kept GROUP BY 1),
         |p AS (SELECT a.item AS item_a, b.item AS item_b, count(*) AS n_ab
         |      FROM kept a JOIN kept b ON a.user_id = b.user_id AND a.item < b.item
-        |      GROUP BY 1, 2 HAVING count(*) >= 8),
+        |      GROUP BY 1, 2 HAVING count(*) >= 3),
         |w AS (SELECT p.*, ia.n_item AS n_a, ib.n_item AS n_b, nu.n_users
         |      FROM p JOIN ic ia ON p.item_a = ia.item JOIN ic ib ON p.item_b = ib.item CROSS JOIN nu),
         |r AS (SELECT item_a AS antecedent, item_b AS consequent, n_ab,

@@ -362,7 +362,7 @@ object Behavior {
   }
 
   def associationRules(spark: SparkSession, dir: String): DataFrame =
-    associationRulesTransform(Tables.events(spark, dir), maxItems = 50, minSupport = 8L)
+    associationRulesTransform(Tables.events(spark, dir), maxItems = 50, minSupport = 3L)
 
   /** Diversified top-k leaderboard: the k highest-value events per
     * type with AT MOST `perUser` entries from any one user — the
