@@ -45,6 +45,8 @@ object SparkEntry {
     "co_engagement"      -> Behavior.coEngagement _,
     "association_rules"  -> Behavior.associationRules _,
     "activity_heatmap"   -> Behavior.activityHeatmap _,
+    "dau_wau_mau"        -> Behavior.dauWauMau _,
+    "session_kpis"       -> ((s: SparkSession, d: String) => Behavior.sessionKpis(s, d)),
     "conversion_lag_stats" -> Behavior.conversionLagStats _,
     "frequent_sequences" -> Behavior.frequentSequences _,
     "topk_diversified"   -> ((s: SparkSession, d: String) => Behavior.topkDiversified(s, d)),
@@ -395,6 +397,8 @@ object SparkEntry {
         |ORDER BY 1, 2""".stripMargin,
 
     "activity_heatmap" -> operators.Behavior.activityHeatmapOracleSql,
+    "dau_wau_mau" -> operators.Behavior.dauWauMauOracleSql,
+    "session_kpis" -> operators.Behavior.sessionKpisOracleSql,
     "conversion_lag_stats" -> operators.Behavior.conversionLagOracleSql,
 
     "association_rules" ->

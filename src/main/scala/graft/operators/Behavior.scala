@@ -211,6 +211,97 @@ object Behavior {
   def coEngagement(spark: SparkSession, dir: String): DataFrame =
     coEngagementTransform(Tables.events(spark, dir), maxItems = 50, minSupport = 3L)
 
+  /** DAU / WAU / MAU with stickiness — the canonical engagement
+    * health metrics: per day, distinct users active that day, in the
+    * trailing 7 days, and in the trailing 30 days, plus
+    * DAU/MAU·10⁴. One bounded 30× fan-out of the distinct
+    * (day, user) pairs serves all three windows (the offset `i`
+    * rides along and three filtered distinct-counts share one
+    * aggregate), so the fact is reduced and shuffled once — the same
+    * non-decomposable-sliding-metric shape as
+    * [[Olap.rollingDistinctUsers]], generalized to nested windows.
+    */
+  def dauWauMau(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val d = Tables.events(spark, dir)
+      .select(date_trunc("day", $"ts").as("day"), $"user_id").distinct()
+    val bounds = d.agg(min($"day").as("lo"), max($"day").as("hi"))
+    d.crossJoin(broadcast(bounds))
+      .select(explode(expr(
+        "transform(sequence(0, 29), i -> struct(timestampadd(DAY, i, day) AS tday, i AS i))")).as("x"),
+        $"user_id", $"lo", $"hi")
+      .select($"x.tday".as("day"), $"x.i".as("i"), $"user_id", $"lo", $"hi")
+      .filter($"day" >= $"lo" && $"day" <= $"hi")
+      .groupBy($"day")
+      .agg(
+        count_distinct(when($"i" < 1, $"user_id")).as("dau"),
+        count_distinct(when($"i" < 7, $"user_id")).as("wau"),
+        count_distinct(when($"i" < 30, $"user_id")).as("mau"))
+      .withColumn("stickiness_10000", expr("(dau * 10000) div mau"))
+      .orderBy($"day")
+  }
+
+  /** DuckDB oracle for [[dauWauMau]]. */
+  val dauWauMauOracleSql: String =
+    """WITH d AS (SELECT DISTINCT date_trunc('day', CAST(ts AS TIMESTAMP)) AS day, user_id FROM events),
+      |b AS (SELECT min(day) AS lo, max(day) AS hi FROM d),
+      |x AS (SELECT day + i * INTERVAL 1 DAY AS day, i, user_id
+      |      FROM d CROSS JOIN (SELECT unnest(range(0, 30)) AS i)),
+      |f AS (SELECT x.day, i, user_id FROM x, b WHERE x.day >= lo AND x.day <= hi)
+      |SELECT day,
+      |       count(DISTINCT user_id) FILTER (i < 1) AS dau,
+      |       count(DISTINCT user_id) FILTER (i < 7) AS wau,
+      |       count(DISTINCT user_id) FILTER (i < 30) AS mau,
+      |       CAST((count(DISTINCT user_id) FILTER (i < 1) * 10000)
+      |            // count(DISTINCT user_id) FILTER (i < 30) AS BIGINT) AS stickiness_10000
+      |FROM f GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** Session-quality KPI rollup: sessions (30-min gap), bounce share
+    * (single-event sessions), events-per-session, and mean ACTIVE
+    * duration (last−first event, not the gap-padded window end) — the
+    * product-health one-liner on top of the sessionization the
+    * reference's windows power. Exact integers: counts, scaled
+    * ratios, µs durations with truncating division.
+    */
+  def sessionKpis(spark: SparkSession, dir: String, gap: String = "30 minutes"): DataFrame = {
+    import spark.implicits._
+    val sessions = Tables.events(spark, dir)
+      .groupBy($"user_id", session_window($"ts", gap))
+      .agg(count(lit(1)).as("n_events"),
+        min($"ts").as("t0"), max($"ts").as("t1"),
+        sum(expr("CAST(round(value * 100) AS BIGINT)")).as("cents"))
+      .select($"n_events",
+        (unix_micros($"t1") - unix_micros($"t0")).as("dur_us"), $"cents")
+    sessions.agg(
+      count(lit(1)).as("n_sessions"),
+      sum(when($"n_events" === 1, 1L).otherwise(0L)).as("n_bounce"),
+      expr("(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) * 10000) div count(1)").as("bounce_10000"),
+      expr("(sum(n_events) * 100) div count(1)").as("events_per_session_100"),
+      expr("sum(dur_us) div count(1) div 1000000").as("avg_active_s"),
+      sum($"cents").as("total_cents"))
+  }
+
+  /** DuckDB oracle for [[sessionKpis]] — the gaps-and-islands
+    * formulation of the same sessions. */
+  val sessionKpisOracleSql: String =
+    """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value, event_id FROM events),
+      |x AS (SELECT *, CASE WHEN lag(ts) OVER w IS NULL
+      |                          OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS is_new
+      |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |y AS (SELECT *, sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS sess
+      |      FROM x),
+      |s AS (SELECT count(*) AS n_events,
+      |             epoch_us(max(ts)) - epoch_us(min(ts)) AS dur_us,
+      |             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+      |      FROM y GROUP BY user_id, sess)
+      |SELECT count(*) AS n_sessions,
+      |       CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_bounce,
+      |       CAST((sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) * 10000) // count(*) AS BIGINT) AS bounce_10000,
+      |       CAST((sum(n_events) * 100) // count(*) AS BIGINT) AS events_per_session_100,
+      |       CAST(sum(dur_us) // count(*) // 1000000 AS BIGINT) AS avg_active_s,
+      |       CAST(sum(cents) AS BIGINT) AS total_cents
+      |FROM s""".stripMargin
+
   /** Day-of-week × hour activity heatmap — the standard engagement
     * dashboard grid. One map-side-combinable count aggregate (≤ 168
     * cells), shares as exact scaled integers against a one-row total.
