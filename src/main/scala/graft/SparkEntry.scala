@@ -148,6 +148,7 @@ object SparkEntry {
     "ann_ivf_topk"       -> ((s: SparkSession, d: String) => VectorOps.annIvfTopK(s, d)),
     "ann_pq_topk"        -> ((s: SparkSession, d: String) => VectorOps.annPqTopK(s, d)),
     "embedding_norms"    -> VectorOps.embeddingNorms _,
+    "knn_classify"       -> ((s: SparkSession, d: String) => VectorOps.knnClassify(s, d)),
   )
 
   /** DuckDB-runnable oracle for each SQL-expressible query.
@@ -382,6 +383,7 @@ object SparkEntry {
     "events_sessionized" -> operators.Engagement.eventsSessionizedOracleSql(),
     "cohort_ltv" -> operators.Engagement.cohortLtvOracleSql,
     "embedding_norms" -> operators.VectorOps.embeddingNormsOracleSql,
+    "knn_classify" -> operators.VectorOps.knnClassifyOracleSql(),
     "trending_daily" -> operators.Engagement.trendingDailyOracleSql(),
     "profile_columns" -> operators.Olap.profileColumnsOracleSql,
 

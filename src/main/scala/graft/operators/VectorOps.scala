@@ -535,4 +535,55 @@ object VectorOps {
       |              x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)
       |                 * CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT))) AS BIGINT)) / 1000000.0, 4) AS l2_norm
       |FROM embeddings ORDER BY vec_id""".stripMargin
+
+  /** k-NN label classification over the embedding corpus — the
+    * standard "is this embedding space any good" evaluation: each
+    * query vector is labeled by the majority vote of its k nearest
+    * corpus neighbors (ties broken toward the smaller label id), and
+    * the report carries the true label + correctness flag so accuracy
+    * is one aggregation away.
+    *
+    * Same exact brute-force shape as [[annTopK]] (queries broadcast,
+    * corpus never shuffles, per-query rank window on balanced
+    * query_id partitions); at 100 TB the neighbor stage swaps to the
+    * IVF/LSH/PQ paths unchanged — the vote is agnostic to how the
+    * top-k arrived.
+    */
+  def knnClassify(spark: SparkSession, dir: String, k: Int = 10, nQueries: Int = 50): DataFrame = {
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    val e = Tables.embeddings(spark, dir)
+    val queries = e.filter($"vec_id" < nQueries)
+      .select($"vec_id".as("query_id"), $"embedding".as("q_emb"),
+        $"label".cast("long").as("true_label"))
+    val corpus = e.filter($"vec_id" >= nQueries)
+      .select($"vec_id", $"embedding", $"label".cast("long").as("label"))
+    val nn = corpus.join(broadcast(queries))
+      .withColumn("cos", cosine($"q_emb", $"embedding"))
+      .withColumn("rank", row_number()
+        .over(Window.partitionBy($"query_id").orderBy($"cos".desc, $"vec_id")))
+      .filter($"rank" <= k)
+    nn.groupBy($"query_id", $"true_label", $"label")
+      .agg(count(lit(1)).as("votes"))
+      .withColumn("r", row_number()
+        .over(Window.partitionBy($"query_id").orderBy($"votes".desc, $"label")))
+      .filter($"r" === 1)
+      .select($"query_id", $"label".as("predicted"), $"votes", $"true_label",
+        ($"label" === $"true_label").as("correct"))
+      .orderBy($"query_id")
+  }
+
+  /** DuckDB oracle for [[knnClassify]]. */
+  def knnClassifyOracleSql(k: Int = 10, nQueries: Int = 50): String =
+    s"""WITH nn AS (SELECT a.vec_id AS query_id,
+       |                   CAST(a.label AS BIGINT) AS true_label,
+       |                   CAST(b.label AS BIGINT) AS label,
+       |                   row_number() OVER (PARTITION BY a.vec_id
+       |                     ORDER BY list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) DESC, b.vec_id) AS rank
+       |            FROM embeddings a JOIN embeddings b ON a.vec_id < $nQueries AND b.vec_id >= $nQueries),
+       |v AS (SELECT query_id, true_label, label, count(*) AS votes
+       |      FROM nn WHERE rank <= $k GROUP BY 1, 2, 3),
+       |p AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY votes DESC, label) AS r FROM v)
+       |SELECT query_id, label AS predicted, votes, true_label, label = true_label AS correct
+       |FROM p WHERE r = 1 ORDER BY query_id""".stripMargin
 }
