@@ -79,7 +79,7 @@ object Bench {
     "corpus_mix" -> 1.932, "hll_sketch_daily" -> 1.303,
     // round-5 fourth batch (graph analytics, journeys, skew
     // diagnostics, Q17, interval concurrency)
-    "pagerank_items" -> 6.693, "triangle_count" -> 5.758,
+    "pagerank_items" -> 5.771, "triangle_count" -> 5.758,
     "attribution_first_touch" -> 2.205, "top_paths" -> 2.743,
     "key_skew_stats" -> 2.412, "q17_small_quantity" -> 2.013,
     "open_orders_daily" -> 3.678, "stream_moments" -> 3.208,

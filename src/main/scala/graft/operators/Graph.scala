@@ -111,12 +111,15 @@ object Graph {
           .select($"dst".as("item"), expr("score div deg").as("c"))
         val next = contrib.groupBy($"item")
           .agg(expr(s"$base + (85 * sum(c)) div 100").as("score"))
-        // Per-round truncation keeps every iteration's execution
-        // inside this conf scope (shuffle width + AQE pinned) and the
-        // plan depth O(1); unlike star contraction the growth here is
-        // only linear, but the eager cut is what lets the caller's
-        // final plan see nothing but the checkpointed result.
-        scores = truncateLineage(next)
+        // Truncation every FOURTH round (and on the last): unlike star
+        // contraction the plan growth here is linear (each round
+        // references the prior scores once), so a 4-deep nested plan
+        // is safe — and each eager checkpoint is a whole extra job, so
+        // thinning them is the dominant per-round saving. The cut on
+        // the final round keeps ALL iteration execution inside this
+        // conf scope (shuffle width + AQE pinned); the caller's plan
+        // then sees nothing but the checkpointed result.
+        scores = if (i % 4 == 0 || i == iters) truncateLineage(next) else next
       }
       scores.select($"item", $"score".as("pr_score"))
         .orderBy($"pr_score".desc, $"item")
