@@ -114,6 +114,7 @@ object SparkEntry {
     "stratified_sample"   -> ((s: SparkSession, d: String) => Sampling.stratifiedSample(s, d)),
     "pack_sequences"      -> ((s: SparkSession, d: String) => Sampling.packSequences(s, d)),
     "ngram_contamination" -> ((s: SparkSession, d: String) => Sampling.ngramContamination(s, d)),
+    "decontaminate"       -> ((s: SparkSession, d: String) => Sampling.decontaminate(s, d)),
     "doc_chunking"        -> ((s: SparkSession, d: String) => Sampling.docChunking(s, d)),
     "corpus_mix"          -> ((s: SparkSession, d: String) => Sampling.corpusMix(s, d)),
     "sample_k_per_group"  -> ((s: SparkSession, d: String) => Sampling.sampleKPerGroup(s, d)),
@@ -745,6 +746,7 @@ object SparkEntry {
         |GROUP BY cg.doc_id ORDER BY cg.doc_id""".stripMargin,
 
     "doc_chunking" -> operators.Sampling.docChunkingOracleSql(),
+    "decontaminate" -> operators.Sampling.decontaminateOracleSql(),
     "corpus_mix" -> operators.Sampling.corpusMixOracleSql(),
 
     "text_quality" -> operators.TextOps.textQualityOracleSql,

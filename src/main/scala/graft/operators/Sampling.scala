@@ -193,6 +193,60 @@ object Sampling {
       .orderBy($"doc_id")
   }
 
+  /** The removal half of [[ngramContamination]] (the
+    * [[Dedup.dedupSubstringRemove]] pattern applied to eval
+    * decontamination): EVERY corpus document with its shared-eval-gram
+    * count and the keep/drop verdict under a zero-tolerance threshold
+    * — the stage that actually produces the decontaminated training
+    * corpus rather than just the contamination report. Same broadcast
+    * eval-gram set, same single corpus scan; the report join is a
+    * LEFT join so clean documents (the vast majority) surface with
+    * count 0 rather than being absent.
+    */
+  def decontaminate(spark: SparkSession, dir: String,
+                    n: Int = 8, evalPct: Int = 10,
+                    salt: String = "graft", maxShared: Long = 0L): DataFrame = {
+    import spark.implicits._
+    val grams: Column = expr(
+      s"""array_distinct(transform(
+         |  sequence(1, greatest(size(split(text, ' ')) - ${n - 1}, 1)),
+         |  i -> array_join(slice(split(text, ' '), i, $n), ' ')))""".stripMargin)
+    val docs = Tables.documents(spark, dir)
+      .select($"doc_id", $"text", (splitHash($"doc_id", salt) % 100).as("h"))
+    val evalGrams = docs.filter($"h" < evalPct)
+      .select(explode(grams).as("gram"))
+      .distinct()
+    val corpus = docs.filter($"h" >= evalPct)
+    val shared = corpus.select($"doc_id", explode(grams).as("gram"))
+      .join(broadcast(evalGrams), Seq("gram"))
+      .groupBy($"doc_id").agg(countDistinct($"gram").as("n_shared_ngrams"))
+    corpus.select($"doc_id")
+      .join(shared, Seq("doc_id"), "left")
+      .select($"doc_id",
+        coalesce($"n_shared_ngrams", lit(0L)).as("n_shared_ngrams"))
+      .withColumn("kept", $"n_shared_ngrams" <= maxShared)
+      .orderBy($"doc_id")
+  }
+
+  /** DuckDB oracle for [[decontaminate]]. */
+  def decontaminateOracleSql(maxShared: Long = 0L): String =
+    s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS w,
+       |                  ('0x' || substr(md5(doc_id || ':graft'), 1, 8))::UBIGINT % 100 AS hv
+       |           FROM documents),
+       |g AS (SELECT doc_id, hv,
+       |             list_distinct(list_transform(range(1, greatest(len(w) - 7, 1) + 1),
+       |               i -> array_to_string(w[i:i+7], ' '))) AS grams
+       |      FROM d),
+       |eg AS (SELECT DISTINCT unnest(grams) AS gram FROM g WHERE hv < 10),
+       |cg AS (SELECT doc_id, unnest(grams) AS gram FROM g WHERE hv >= 10),
+       |sh AS (SELECT cg.doc_id, CAST(count(DISTINCT cg.gram) AS BIGINT) AS n_shared_ngrams
+       |       FROM cg JOIN eg ON cg.gram = eg.gram GROUP BY 1)
+       |SELECT c.doc_id, coalesce(sh.n_shared_ngrams, 0) AS n_shared_ngrams,
+       |       coalesce(sh.n_shared_ngrams, 0) <= $maxShared AS kept
+       |FROM (SELECT doc_id FROM g WHERE hv >= 10) c
+       |LEFT JOIN sh ON c.doc_id = sh.doc_id
+       |ORDER BY c.doc_id""".stripMargin
+
   /** Weighted source mixing to a target budget (the Pile / Dolma
     * "mixture" stage): the corpus is downsampled to `budgetNum /
     * budgetDen` of its size, with each source's share of the budget
