@@ -58,4 +58,53 @@ class GraphSpec extends AnyFunSuite {
     assert(Graph.pagerankTransform(empty, iters = 2).collect().isEmpty)
     assert(Graph.triangleTransform(empty).collect().isEmpty)
   }
+
+  test("pagerank equals an independent reference implementation on random graphs") {
+    val rnd = new scala.util.Random(20260813L)
+    for (trial <- 1 to 5) {
+      val n = 4 + rnd.nextInt(8)
+      val es = (for (a <- 0 until n; b <- a + 1 until n if rnd.nextDouble() < 0.4)
+        yield (a.toLong, b.toLong)).toSeq
+      if (es.nonEmpty) {
+        val iters = 1 + rnd.nextInt(4)
+        val scale = 1000000000L
+        // reference: the same integer recurrence, straight Scala
+        val adj = es.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+          .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+        val deg = adj.view.mapValues(_.size.toLong).toMap
+        var score = adj.keys.map(_ -> scale).toMap
+        val base = 15L * scale / 100L
+        for (_ <- 1 to iters)
+          score = adj.keys.map { v =>
+            v -> (base + 85L * adj(v).map(u => score(u) / deg(u)).sum / 100L)
+          }.toMap
+        val want = score.toSeq.sortBy { case (id, s) => (-s, id) }
+        val got = Graph.pagerankTransform(pairs(es: _*), iters = iters)
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+        assert(got == want, s"trial $trial n=$n iters=$iters edges=$es")
+      }
+    }
+  }
+
+  test("triangle counts equal a brute-force triple loop on random graphs") {
+    val rnd = new scala.util.Random(42L)
+    for (trial <- 1 to 5) {
+      val n = 4 + rnd.nextInt(10)
+      val es = (for (a <- 0 until n; b <- a + 1 until n if rnd.nextDouble() < 0.45)
+        yield (a.toLong, b.toLong)).toSeq
+      if (es.nonEmpty) {
+        val edgeSet = es.toSet
+        val counts = scala.collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+        for (a <- 0 until n; b <- a + 1 until n; c <- b + 1 until n)
+          if (edgeSet((a.toLong, b.toLong)) && edgeSet((a.toLong, c.toLong))
+              && edgeSet((b.toLong, c.toLong))) {
+            counts(a.toLong) += 1; counts(b.toLong) += 1; counts(c.toLong) += 1
+          }
+        val want = counts.toSeq.sortBy { case (id, t) => (-t, id) }
+        val got = Graph.triangleTransform(pairs(es: _*))
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+        assert(got == want, s"trial $trial n=$n edges=$es")
+      }
+    }
+  }
 }
