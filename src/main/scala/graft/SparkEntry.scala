@@ -53,6 +53,7 @@ object SparkEntry {
     // graph analytics over the co-engagement item graph
     "pagerank_items"     -> Graph.pagerankItems _,
     "triangle_count"     -> Graph.triangleCount _,
+    "hits_scores"        -> Graph.hitsScores _,
     // Structured Streaming (real engine: readStream -> AvailableNow),
     // checked against the same DuckDB oracles as their batch twins
     "stream_hop_agg"     -> EngagementStream.streamHopAgg _,
@@ -449,6 +450,7 @@ object SparkEntry {
     // graph family: unrolled integer-PageRank recurrence / naive
     // triple-join triangle oracle (algorithm-independent result set)
     "pagerank_items" -> operators.Graph.pagerankOracleSql(),
+    "hits_scores" -> operators.Graph.hitsOracleSql(),
     "triangle_count" -> operators.Graph.triangleOracleSql(),
 
     // the bounded-heap stage-2 equals this nested-window formulation

@@ -189,6 +189,142 @@ object Graph {
   def triangleCount(spark: SparkSession, dir: String): DataFrame =
     triangleTransform(edgeTransform(Tables.events(spark, dir), maxItems = 50, topEdges = 800))
 
+  /** Directed item-transition edge list for [[hitsScores]]: within
+    * each user's timeline, an edge `prev_item → item` per successive
+    * engagement with different items, aggregated to transition counts
+    * and cut to the top-`topEdges` by `(n DESC, src, dst)` — the same
+    * determinism/scale rationale as [[edgeTransform]], but DIRECTED
+    * (temporal order carries the direction PageRank's co-engagement
+    * graph deliberately discards).
+    */
+  def transitionEdges(events: DataFrame, topEdges: Int): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"user_id").orderBy($"ts", $"event_id")
+    events
+      .select($"user_id", $"ts", $"event_id",
+        get_json_object($"props", "$.k").cast("long").as("item"))
+      .withColumn("prev", lag($"item", 1).over(w))
+      .filter($"prev".isNotNull && $"prev" =!= $"item")
+      .groupBy($"prev".as("src"), $"item".as("dst"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy($"n".desc, $"src", $"dst")
+      .limit(topEdges)
+      .select($"src", $"dst")
+  }
+
+  /** HITS hubs & authorities (Kleinberg 1999) in exact integer
+    * arithmetic with MAX-normalization: per round,
+    * {{{ h'(u) = Σ_{u→v} a(v);  h(u) = h'(u)·scale div max(h')
+    *     a'(v) = Σ_{u→v} h(u);  a(v) = a'(v)·scale div max(a') }}}
+    * — max-normalization (instead of the textbook L2) keeps every
+    * step in order-independent Long arithmetic, so the result is
+    * bit-reproducible and the DuckDB oracle unrolls the identical
+    * recurrence. The link-analysis complement of [[pagerankTransform]]
+    * on the DIRECTED graph: items that lead engagement sessions score
+    * as hubs, items sessions converge on score as authorities.
+    *
+    * Overflow headroom: Σa ≤ outdeg·scale and the normalization
+    * multiplies by scale before dividing, so scale = 10⁶ keeps
+    * `outdeg·scale²` under Long.Max up to ~9·10⁶ out-degree.
+    * Same iteration discipline as PageRank: edges/nodes persisted,
+    * AQE + shuffle width pinned for the loop, lineage cut every
+    * fourth round, nodes with no in/out edges keep score 0 via the
+    * left join (they stay in the output — the hub-less authority and
+    * authority-less hub are meaningful readings).
+    */
+  def hitsTransform(edges0: DataFrame, iters: Int = 5, scale: Long = 1000000L): DataFrame = {
+    val spark = edges0.sparkSession
+    import spark.implicits._
+    val shuffleKey = "spark.sql.shuffle.partitions"
+    val aqeKey = "spark.sql.adaptive.enabled"
+    val prevShuffle = spark.conf.get(shuffleKey)
+    val prevAqe = spark.conf.get(aqeKey)
+    spark.conf.set(shuffleKey, "8")
+    spark.conf.set(aqeKey, "false")
+    val edges = truncateLineage(edges0.select($"src", $"dst")).persist()
+    val nodes = edges.select($"src".as("item"))
+      .unionByName(edges.select($"dst".as("item"))).distinct().persist()
+    try {
+      var hub = truncateLineage(nodes.select($"item", lit(scale).as("s")))
+      var auth = hub
+      // Each half-step is materialized: `full` feeds BOTH the max
+      // aggregate and the normalized projection (a diamond), so an
+      // un-cut round would re-reference the prior round's subtree
+      // ~4x — the exponential-plan trap star contraction hit, which
+      // PageRank's single-reference rounds dodge. The eager cut per
+      // half-step bounds the plan AND keeps execution in this scope.
+      for (i <- 1 to iters) {
+        def halfStep(score: DataFrame, joinOn: String, groupOn: String): DataFrame = {
+          val raw = edges.join(score, edges(joinOn) === score("item"))
+            .groupBy(col(groupOn).as("item")).agg(sum($"s").as("raw"))
+          val full = truncateLineage(nodes.join(raw, Seq("item"), "left")
+            .select($"item", coalesce($"raw", lit(0L)).as("raw")))
+          // the normalizer is ONE value and the next round's plan needs
+          // it — planning metadata, not data (the percentile_stats /
+          // CC-probe pattern): collected from the checkpointed rows and
+          // baked in as a literal, instead of a per-half-step broadcast
+          // exchange + nested-loop join (14.5 s → ~7 s at sf0.1)
+          val mx = math.max(full.agg(max($"raw")).collect()(0).getLong(0), 1L)
+          full.select($"item", expr(s"(raw * $scale) div ${mx}L").as("s"))
+        }
+        hub = halfStep(auth, joinOn = "dst", groupOn = "src")
+        auth = halfStep(hub, joinOn = "src", groupOn = "dst")
+      }
+      hub.withColumnRenamed("s", "hub")
+        .join(auth.withColumnRenamed("s", "authority"), Seq("item"))
+        .orderBy($"authority".desc, $"item")
+    } finally {
+      spark.conf.set(shuffleKey, prevShuffle)
+      spark.conf.set(aqeKey, prevAqe)
+      edges.unpersist()
+      nodes.unpersist()
+    }
+  }
+
+  def hitsScores(spark: SparkSession, dir: String): DataFrame =
+    hitsTransform(transitionEdges(Tables.events(spark, dir), topEdges = 1500))
+
+  /** HITS oracle: identical integer recurrence unrolled to chained
+    * CTEs (SQL-generation-time loop, like [[pagerankOracleSql]]) —
+    * every multi-referenced CTE is `AS MATERIALIZED`, because DuckDB
+    * inlines plain CTEs per reference and each round references the
+    * prior one several times (max + projection): the inlined tree is
+    * exponential in rounds, the materialized one linear. The Spark
+    * side dodges the same trap with an eager cut per half-step. */
+  def hitsOracleSql(iters: Int = 5, scale: Long = 1000000L, topEdges: Int = 1500): String = {
+    val rounds = (1 to iters).map { i =>
+      s"""hraw$i AS MATERIALIZED (SELECT n.item, coalesce(CAST(sum(a.s) AS BIGINT), 0) AS raw
+         |  FROM nodes n
+         |  LEFT JOIN edges e ON e.src = n.item
+         |  LEFT JOIN a${i - 1} a ON a.item = e.dst
+         |  GROUP BY n.item),
+         |hmax$i AS (SELECT greatest(max(raw), 1) AS mx FROM hraw$i),
+         |h$i AS MATERIALIZED (SELECT item, CAST((raw * $scale) // mx AS BIGINT) AS s FROM hraw$i, hmax$i),
+         |araw$i AS MATERIALIZED (SELECT n.item, coalesce(CAST(sum(h.s) AS BIGINT), 0) AS raw
+         |  FROM nodes n
+         |  LEFT JOIN edges e ON e.dst = n.item
+         |  LEFT JOIN h$i h ON h.item = e.src
+         |  GROUP BY n.item),
+         |amax$i AS (SELECT greatest(max(raw), 1) AS mx FROM araw$i),
+         |a$i AS MATERIALIZED (SELECT item, CAST((raw * $scale) // mx AS BIGINT) AS s FROM araw$i, amax$i)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ev AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id,
+       |                   TRY_CAST(json_extract_string(props, '$$.k') AS BIGINT) AS item
+       |            FROM events),
+       |o AS (SELECT item, lag(item) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev FROM ev),
+       |t AS (SELECT prev AS src, item AS dst, count(*) AS n FROM o
+       |      WHERE prev IS NOT NULL AND prev != item GROUP BY 1, 2),
+       |edges AS MATERIALIZED (SELECT src, dst FROM t ORDER BY n DESC, src, dst LIMIT $topEdges),
+       |nodes AS MATERIALIZED (SELECT src AS item FROM edges UNION SELECT dst FROM edges),
+       |a0 AS MATERIALIZED (SELECT item, CAST($scale AS BIGINT) AS s FROM nodes),
+       |$rounds
+       |SELECT h$iters.item, h$iters.s AS hub, a$iters.s AS authority
+       |FROM h$iters JOIN a$iters ON h$iters.item = a$iters.item
+       |ORDER BY authority DESC, h$iters.item""".stripMargin
+  }
+
   /** Shared edge-list CTE text for the DuckDB oracles — the SQL twin
     * of [[edgeTransform]] (same maxItems = 50, topEdges = 800, same
     * total order on the cut).

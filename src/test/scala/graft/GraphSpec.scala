@@ -59,6 +59,53 @@ class GraphSpec extends AnyFunSuite {
     assert(Graph.triangleTransform(empty).collect().isEmpty)
   }
 
+  test("hits: hub/authority separation on a planted directed graph") {
+    import org.apache.spark.sql.functions.col
+    // 1 -> {2,3}, 4 -> 2: node 1 is the stronger hub; 2 the stronger
+    // authority (two in-edges vs one); pure-source nodes get authority
+    // 0 and pure-sink nodes hub 0
+    val edges = Seq((1L, 2L), (1L, 3L), (4L, 2L)).toDF("src", "dst")
+    val out = Graph.hitsTransform(edges, iters = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val byItem = out.map(r => r._1 -> (r._2, r._3)).toMap
+    assert(byItem(1L)._1 == 1000000L)                  // top hub, max-normalized
+    assert(byItem(2L)._2 == 1000000L)                  // top authority
+    assert(byItem(1L)._2 == 0L && byItem(4L)._2 == 0L) // sources: no authority
+    assert(byItem(2L)._1 == 0L && byItem(3L)._1 == 0L) // sinks: no hub score
+    assert(byItem(1L)._1 > byItem(4L)._1)
+  }
+
+  test("hits equals an independent reference implementation on random digraphs") {
+    val rnd = new scala.util.Random(7L)
+    for (trial <- 1 to 5) {
+      val n = 4 + rnd.nextInt(7)
+      val es = (for (a <- 0 until n; b <- 0 until n if a != b && rnd.nextDouble() < 0.3)
+        yield (a.toLong, b.toLong)).toSeq
+      if (es.nonEmpty) {
+        val iters = 1 + rnd.nextInt(4)
+        val scale = 1000000L
+        val nodes = es.flatMap { case (a, b) => Seq(a, b) }.distinct
+        val outAdj = es.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+        val inAdj = es.groupBy(_._2).view.mapValues(_.map(_._1)).toMap
+        var h = nodes.map(_ -> scale).toMap
+        var a = h
+        for (_ <- 1 to iters) {
+          val hraw = nodes.map(v => v -> outAdj.getOrElse(v, Nil).map(a).sum).toMap
+          val hmx = math.max(hraw.values.max, 1L)
+          h = hraw.view.mapValues(r => r * scale / hmx).toMap
+          val araw = nodes.map(v => v -> inAdj.getOrElse(v, Nil).map(h).sum).toMap
+          val amx = math.max(araw.values.max, 1L)
+          a = araw.view.mapValues(r => r * scale / amx).toMap
+        }
+        val want = nodes.map(v => (v, h(v), a(v)))
+          .sortBy { case (id, _, auth) => (-auth, id) }
+        val got = Graph.hitsTransform(es.toDF("src", "dst"), iters = iters)
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+        assert(got == want, s"trial $trial n=$n iters=$iters edges=$es")
+      }
+    }
+  }
+
   test("pagerank equals an independent reference implementation on random graphs") {
     val rnd = new scala.util.Random(20260813L)
     for (trial <- 1 to 5) {
