@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.operators._
-import graft.streaming.{AttributionStream, CdcCompact, EngagementStream, FunnelStream, MomentsStream, Sessionize, StreamDedup, StreamIncrementalDedup}
+import graft.streaming.{AttributionStream, CdcCompact, EngagementStream, FunnelStream, MomentsStream, RollupStream, Sessionize, StreamDedup, StreamIncrementalDedup}
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the inventory. */
 object SparkEntry {
@@ -73,6 +73,7 @@ object SparkEntry {
     "stream_funnel"      -> ((s: SparkSession, d: String) => FunnelStream.streamFunnel(s, d)),
     "stream_attribution" -> ((s: SparkSession, d: String) => AttributionStream.streamAttribution(s, d)),
     "stream_moments"     -> MomentsStream.streamMoments _,
+    "stream_rollup"      -> RollupStream.streamRollup _,
     "stream_interval_join" -> EngagementStream.streamIntervalJoin _,
     // Analytic core
     "q1_pricing_summary"    -> Olap.q1PricingSummary _,
@@ -176,6 +177,9 @@ object SparkEntry {
       // additive integer moments: batch boundaries are invisible, so
       // the oracle is the same formula in one corpus pass (expression
       // shape mirrored literally for bit-equal doubles)
+      // additive per-(day,type) rollup state: same full-recompute
+      // oracle as the batch incremental_rollup
+      "stream_rollup" -> base("incremental_rollup"),
       "stream_moments" ->
         """WITH m AS (SELECT event_type, count(*) AS n,
           |                  CAST(sum(c) AS BIGINT) AS sum_c,

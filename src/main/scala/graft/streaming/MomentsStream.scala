@@ -89,3 +89,57 @@ object MomentsStream {
     state.report(spark)
   }
 }
+
+/** Streaming incremental rollup — [[graft.operators.Olap
+  * .incrementalRollup]]'s streaming twin, closing the
+  * materialized-view-maintenance story across batch and stream: the
+  * per-(day, event_type) daily rollup maintained by merging each
+  * micro-batch's partial aggregate into versioned state (additive
+  * Long metrics, [[MomentsState]]'s replay guard). Late rows for any
+  * old day fold in exactly like the batch operator's delta MERGE —
+  * there is no watermark cut-off because the state keys on day, not
+  * on open windows; a deployment bounds state by archiving days past
+  * the lateness horizon to the serving store.
+  */
+final class RollupState(stateDir: String) {
+  @volatile private var version: Long = StreamUtil.latestVersion(stateDir)
+
+  private def prior(spark: SparkSession): DataFrame =
+    if (version < 0)
+      spark.createDataFrame(java.util.List.of[Row](), StructType.fromDDL(
+        "day TIMESTAMP, event_type STRING, n BIGINT, cents BIGINT"))
+    else spark.read.parquet(s"$stateDir/v$version")
+
+  def merge(batch: Dataset[Row], batchId: Long): Unit = {
+    if (batchId <= version) return
+    val spark = batch.sparkSession
+    val partial = batch
+      .select(date_trunc("day", col("ts")).as("day"), col("event_type"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+      .groupBy(col("day"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"))
+    val merged = prior(spark).unionByName(partial)
+      .groupBy(col("day"), col("event_type"))
+      .agg(sum(col("n")).as("n"), sum(col("cents")).as("cents"))
+    merged.coalesce(1).write.mode("overwrite").parquet(s"$stateDir/v$batchId")
+    val prev = version
+    version = batchId
+    if (prev >= 0) StreamUtil.delete(spark, s"$stateDir/v$prev")
+  }
+
+  def view(spark: SparkSession): DataFrame =
+    prior(spark).orderBy(col("day"), col("event_type"))
+}
+
+object RollupStream {
+
+  /** Queries entry: oracle = the same full recompute that gates
+    * `incremental_rollup` (additivity makes batch boundaries
+    * invisible). */
+  def streamRollup(spark: SparkSession, dir: String): DataFrame = {
+    val work = graft.GraftCaches.trackTempDir("graft_rollup_")
+    val state = new RollupState(s"$work/state")
+    StreamSources.runForeachBatch(StreamSources.events(spark, dir), state.merge)
+    state.view(spark)
+  }
+}

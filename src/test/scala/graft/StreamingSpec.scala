@@ -146,6 +146,35 @@ class StreamingSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
     assert(got == want)
   }
 
+  test("stream_rollup equals the batch incremental_rollup merge") {
+    assert(rows("stream_rollup") == rows("incremental_rollup"))
+  }
+
+  test("rollup state: late rows fold into old days, replay guard holds") {
+    import org.apache.spark.sql.functions.{col, to_timestamp}
+    import graft.streaming.RollupState
+    import spark.implicits._
+    val state = new RollupState(GraftCaches.trackTempDir("graft_rollspec_") + "/state")
+    def batch(rows: (String, String, Double)*) =
+      rows.toSeq.toDF("tss", "event_type", "value")
+        .withColumn("ts", to_timestamp(col("tss"))).drop("tss")
+    def view = state.view(spark).collect()
+      .map(r => (r.getTimestamp(0).toString, r.getString(1), r.getLong(2), r.getLong(3))).toSeq
+
+    state.merge(batch(("2024-01-01 10:00:00", "x", 1.50), ("2024-01-02 09:00:00", "x", 2.00)), 0)
+    assert(view == Seq(
+      ("2024-01-01 00:00:00.0", "x", 1L, 150L),
+      ("2024-01-02 00:00:00.0", "x", 1L, 200L)))
+    // batch 1 delivers a LATE row for day 1 — folds into the old day
+    state.merge(batch(("2024-01-01 23:00:00", "x", 0.25)), 1)
+    assert(view == Seq(
+      ("2024-01-01 00:00:00.0", "x", 2L, 175L),
+      ("2024-01-02 00:00:00.0", "x", 1L, 200L)))
+    // replay of batch 1 must be a no-op
+    state.merge(batch(("2024-01-01 23:00:00", "x", 0.25)), 1)
+    assert(view.head._3 == 2L)
+  }
+
   test("moments state: cross-batch additivity, replay guard, n=1 null sd") {
     import org.apache.spark.sql.functions.{col, to_timestamp}
     import graft.streaming.MomentsState
