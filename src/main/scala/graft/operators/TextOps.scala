@@ -27,33 +27,35 @@ object TextOps {
       .orderBy($"content_hash")
   }
 
-  /** The two self-join-feeding tables (word sets + prefix index),
-    * memoized per (session, dir, threshold) and freed via
-    * [[graft.GraftCaches.clearAll]]. */
-  private val jaccardTablesCache =
-    GraftCaches.memo[(SparkSession, String, Double), (DataFrame, DataFrame)] {
-      case (d, p) => d.unpersist(); p.unpersist(); ()
-    }
+  /** The self-join-feeding prefix index, memoized per (session, dir,
+    * threshold) and freed via [[graft.GraftCaches.clearAll]]. */
+  private val jaccardPrefixCache =
+    GraftCaches.memo[(SparkSession, String, Double), DataFrame] { p => p.unpersist(); () }
 
-  private def jaccardTables(spark: SparkSession, dir: String,
-                            threshold: Double): (DataFrame, DataFrame) =
-    jaccardTablesCache.getOrElseUpdate((spark, dir, threshold)) {
+  /** ONE persisted table (round-6; previously the word-set table was
+    * a second persist with a second eager count, the two filling
+    * sequentially — the index build dominated fresh-JVM cost): the
+    * SLIM prefix index (doc_id, source, nw, tok, rk). Persisted
+    * because it feeds BOTH sides of the self-join — without persist,
+    * Catalyst plans the scan→split→docFreq→window subtree once per
+    * side (the round-1 lesson: self-joins do not share non-identical
+    * exchanges). The word-set table is NOT worth materializing: it is
+    * a single scan→split projection, embarrassingly parallel, and the
+    * verification joins re-derive it from parquet for less than one
+    * cache fill costs. (The All-Pairs "carry the vector in the index"
+    * variant was also measured: shuffling the word arrays through
+    * both sides of the source/tok self-join cost ~3 s more at sf0.1
+    * than re-scanning — rejected.)
+    *
+    * Materialized eagerly: letting the join's two sides race to fill
+    * the cache serializes on per-partition block locks — measured
+    * 10-50s of flaky wait at sf0.1. At warehouse scale this is a
+    * parquet stage, eager for the same reason. */
+  private def jaccardPrefixIndex(spark: SparkSession, dir: String,
+                                 threshold: Double): DataFrame =
+    jaccardPrefixCache.getOrElseUpdate((spark, dir, threshold)) {
       import spark.implicits._
-      // Persisted like the MinHash signature table: the word-set table
-      // and the prefix index each feed BOTH sides of the self-join plus
-      // the verification joins — without persist, Catalyst plans the
-      // whole scan→split→docFreq→window subtree once per consumer (the
-      // round-1 lesson: self-joins do not share non-identical
-      // exchanges). Materialized eagerly: letting the join's two sides
-      // (plus broadcast builder threads) race to fill the cache
-      // serializes on per-partition block locks — measured 10-50s of
-      // flaky wait at sf0.1. At warehouse scale these are parquet
-      // stages, which are eager for the same reason.
-      val d = Tables.documents(spark, dir)
-        .select($"doc_id", $"source", array_sort(array_distinct(split($"text", " "))).as("words"))
-        .withColumn("nw", size($"words"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      d.count()
+      val d = wordSets(spark, dir)
 
       // global ascending document frequency = the token rarity order
       val postings = d.select($"doc_id", $"source", $"nw", explode($"words").as("tok"))
@@ -71,8 +73,17 @@ object TextOps {
         .select($"doc_id", $"source", $"nw", $"tok", $"rk")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       prefixes.count()
-      (d, prefixes)
+      prefixes
     }
+
+  /** The (doc_id, source, words, nw) projection — a lazy single
+    * scan→split, cheap enough to recompute per consumer. */
+  private def wordSets(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select($"doc_id", $"source", array_sort(array_distinct(split($"text", " "))).as("words"))
+      .withColumn("nw", size($"words"))
+  }
 
   /** Exact word-set Jaccard similarity pairs, blocked by source —
     * the exactness oracle against which the MinHash-LSH path
@@ -92,7 +103,7 @@ object TextOps {
   def wordJaccardPairs(spark: SparkSession, dir: String, threshold: Double = 0.75): DataFrame = {
     import spark.implicits._
     graft.functions.GraftFunctions.register(spark)
-    val (d, prefixes) = jaccardTables(spark, dir, threshold)
+    val prefixes = jaccardPrefixIndex(spark, dir, threshold)
 
     // candidates share a prefix token, subject to two lossless prunes:
     //  - size ratio: J <= |A|/|B| when |A| <= |B|, so require
@@ -118,8 +129,10 @@ object TextOps {
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
       .dropDuplicates("id_a", "id_b")
 
-    // exact verification on the surviving pairs only
-    val sets = d.select($"doc_id", $"words", $"nw")
+    // exact verification on the surviving pairs only; the word sets
+    // are re-derived lazily from parquet (see jaccardPrefixIndex —
+    // cheaper than a second cache fill)
+    val sets = wordSets(spark, dir).select($"doc_id", $"words", $"nw")
     candidates
       .join(sets.select($"doc_id".as("id_a"), $"words".as("wa"), $"nw".as("na")), Seq("id_a"))
       .join(sets.select($"doc_id".as("id_b"), $"words".as("wb"), $"nw".as("nb")), Seq("id_b"))
