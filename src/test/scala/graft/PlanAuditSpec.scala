@@ -1,0 +1,86 @@
+package graft
+
+import org.apache.spark.sql.catalyst.optimizer.{BuildLeft, BuildRight}
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The whole-suite plan audit, promoted from a manual round-end
+  * `graft.Explain` read to a gate (round-5 verdict task 3): every
+  * `SparkEntry.queries` plan must be free of the two
+  * quadratic-at-scale shapes —
+  *
+  *  - `CartesianProduct`: never acceptable in this library; every
+  *    pairwise operator (jaccard, edit-distance, neardup, ANN…) is
+  *    required to block/bucket/prefix-filter its self-join into an
+  *    equi-join.
+  *  - `BroadcastNestedLoopJoin`: acceptable ONLY when the build side
+  *    is a one-row global aggregate (the "broadcast a stats row"
+  *    pattern used by e.g. funnel/ngram_contamination), OR the query
+  *    is on the explicit allowlist below with a documented bounded
+  *    build side; a BNLJ whose build side can exceed one row
+  *    re-introduces an O(n·m) loop.
+  *
+  * Plans are audited on `queryExecution.sparkPlan` — the physical
+  * plan before AQE wrapping, so the audit sees the static join
+  * strategy Catalyst picked, and `collectWithSubqueries` descends
+  * into scalar-subquery plans as well.
+  *
+  * Calling each query function at sf0.001 also *executes* the
+  * streaming entries' micro-batch replays (their functions run the
+  * stream and return the batch result table) — the audit then checks
+  * the batch plan those entries hand back, which is exactly the plan
+  * a downstream consumer runs against the sink table.
+  */
+class PlanAuditSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
+  override def afterAll(): Unit = GraftCaches.clearAll()
+
+  import TestSession._
+
+  /** Queries whose BNLJ build side is intentionally more than one
+    * row but BOUNDED by construction — each bound is a parameter or
+    * declared baseline, not data volume, so the broadcast stays a
+    * few KB at any corpus scale. Kept explicit so a NEW query can
+    * never introduce a nested-loop join silently. */
+  private val boundedBnljAllowlist: Map[String, String] = Map(
+    "ann_topk" -> "broadcasts the nQueries=10-row query side (exact brute-force baseline; corpus streams map-side)",
+    "knn_classify" -> "broadcasts the 50-row labeled query side; corpus streams map-side",
+    "ann_pq_topk" -> "broadcasts the per-query ADC lookup tables — a plan-literal LocalTableScan, few KB",
+    "edit_distance_pairs" -> "short-string bucket (len<11) all-pairs — measured-and-documented PassJoin leftover, bucket bounded by the length cut",
+    "embedding_neardup" -> "DECLARED exact all-pairs baseline (cosine >= t over every pair); the scale paths are dedup_semantic / ann_*",
+  )
+
+  /** One-row build sides are global aggregates (no grouping columns)
+    * anywhere below the broadcast — e.g. Aggregate → Project →
+    * BroadcastExchange. */
+  private def isOneRowBuild(build: SparkPlan): Boolean =
+    build.collectWithSubqueries {
+      case agg: BaseAggregateExec if agg.groupingExpressions.isEmpty => agg
+    }.nonEmpty
+
+  test("no CartesianProduct and no wide BroadcastNestedLoopJoin in any query plan") {
+    val offenders = scala.collection.mutable.ListBuffer.empty[String]
+    val sawAllowlistedBnlj = scala.collection.mutable.Set.empty[String]
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val plan = fn(spark, sf).queryExecution.sparkPlan
+      plan.collectWithSubqueries {
+        case c: CartesianProductExec =>
+          offenders += s"$name: CartesianProduct\n${c.simpleString(3)}"
+        case b: BroadcastNestedLoopJoinExec =>
+          val build = b.buildSide match {
+            case BuildLeft  => b.left
+            case BuildRight => b.right
+          }
+          if (boundedBnljAllowlist.contains(name)) sawAllowlistedBnlj += name
+          else if (!isOneRowBuild(build))
+            offenders += s"$name: BroadcastNestedLoopJoin with non-one-row build side\n${build.treeString.take(2000)}"
+      }
+    }
+    assert(offenders.isEmpty, offenders.mkString("\n\n"))
+    // the allowlist must not rot: an entry whose query no longer
+    // plans a BNLJ should be deleted, not silently kept
+    val stale = boundedBnljAllowlist.keySet -- sawAllowlistedBnlj
+    assert(stale.isEmpty, s"allowlist entries with no BNLJ in their plan (delete them): $stale")
+  }
+}
