@@ -99,7 +99,9 @@ object Bench {
     "activity_heatmap" -> 1.764, "conversion_lag_stats" -> 1.235,
     "dau_wau_mau" -> 3.401, "session_kpis" -> 2.528,
     "knn_classify" -> 2.167, "decontaminate" -> 4.256,
-    "hits_scores" -> 8.873, "stream_rollup" -> 2.883)
+    "hits_scores" -> 8.873, "stream_rollup" -> 2.883,
+    // round-6 additions (isolated fresh-JVM freezes)
+    "communities_lpa" -> 6.865)
 
   /** Run ONE query in a fresh JVM (this JVM's own flags + classpath,
     * stderr discarded) and parse its timing out of the child's JSON

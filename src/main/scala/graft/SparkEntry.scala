@@ -54,6 +54,7 @@ object SparkEntry {
     "pagerank_items"     -> Graph.pagerankItems _,
     "triangle_count"     -> Graph.triangleCount _,
     "hits_scores"        -> Graph.hitsScores _,
+    "communities_lpa"    -> Graph.communitiesLpa _,
     // Structured Streaming (real engine: readStream -> AvailableNow),
     // checked against the same DuckDB oracles as their batch twins
     "stream_hop_agg"     -> EngagementStream.streamHopAgg _,
@@ -456,6 +457,7 @@ object SparkEntry {
     "pagerank_items" -> operators.Graph.pagerankOracleSql(),
     "hits_scores" -> operators.Graph.hitsOracleSql(),
     "triangle_count" -> operators.Graph.triangleOracleSql(),
+    "communities_lpa" -> operators.Graph.lpaOracleSql(),
 
     // the bounded-heap stage-2 equals this nested-window formulation
     "topk_diversified" ->

@@ -325,6 +325,70 @@ object Graph {
        |ORDER BY authority DESC, h$iters.item""".stripMargin
   }
 
+  /** Synchronous label propagation (Raghavan et al. 2007) with a
+    * DETERMINISTIC vote: every node starts labeled with its own id;
+    * each round every node adopts the label most frequent among its
+    * neighbors, ties broken by MINIMUM label — so the whole run is a
+    * pure function of the edge list (textbook LPA breaks ties
+    * randomly and is run-to-run unstable; the min-label rule keeps
+    * the result hash-comparable against an independent engine).
+    * Fixed iteration count, like [[pagerankTransform]]: synchronous
+    * LPA can 2-cycle on bipartite structures, and a fixed unrolled
+    * recurrence is what the oracle can re-express — convergence
+    * detection would add a per-round driver round-trip for nothing.
+    *
+    * Per round: one co-partitioned join (labels ⋈ edges on src), one
+    * map-side-combinable vote count on (dst, label), one window
+    * row_number over dst — all id-scale rows. Same iteration
+    * discipline as PageRank: conf-scoped shuffle width + AQE,
+    * lineage cut every fourth round (single-reference rounds — the
+    * plan grows linearly), persisted edge list.
+    *
+    * Output: every node with its community label and the community
+    * size — "which items cluster" (the leaderboard follow-up ask),
+    * answered without a second pass.
+    */
+  def lpaTransform(pairs: DataFrame, iters: Int = 5): DataFrame = {
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    val shuffleKey = "spark.sql.shuffle.partitions"
+    val aqeKey = "spark.sql.adaptive.enabled"
+    val prevShuffle = spark.conf.get(shuffleKey)
+    val prevAqe = spark.conf.get(aqeKey)
+    spark.conf.set(shuffleKey, "8")
+    spark.conf.set(aqeKey, "false")
+    val p = truncateLineage(pairs)
+    val edges = p.select($"item_a".as("src"), $"item_b".as("dst"))
+      .unionByName(p.select($"item_b".as("src"), $"item_a".as("dst")))
+      .persist()
+    try {
+      var labels = truncateLineage(
+        edges.select($"src".as("item")).distinct().select($"item", $"item".as("label")))
+      val byVotes = org.apache.spark.sql.expressions.Window
+        .partitionBy($"item").orderBy($"n".desc, $"label")
+      for (i <- 1 to iters) {
+        val votes = edges.join(labels, edges("src") === labels("item"))
+          .groupBy($"dst", $"label").agg(count(lit(1)).as("n"))
+        val next = votes.select($"dst".as("item"), $"label", $"n")
+          .withColumn("rk", row_number().over(byVotes))
+          .filter($"rk" === 1)
+          .select($"item", $"label")
+        labels = if (i % 4 == 0 || i == iters) truncateLineage(next) else next
+      }
+      val sizes = labels.groupBy($"label").agg(count(lit(1)).as("community_size"))
+      labels.join(sizes, "label")
+        .select($"item", $"label".as("community"), $"community_size")
+        .orderBy($"item")
+    } finally {
+      spark.conf.set(shuffleKey, prevShuffle)
+      spark.conf.set(aqeKey, prevAqe)
+      edges.unpersist()
+    }
+  }
+
+  def communitiesLpa(spark: SparkSession, dir: String): DataFrame =
+    lpaTransform(edgeTransform(Tables.events(spark, dir), maxItems = 50, topEdges = 800))
+
   /** Shared edge-list CTE text for the DuckDB oracles — the SQL twin
     * of [[edgeTransform]] (same maxItems = 50, topEdges = 800, same
     * total order on the cut).
@@ -379,4 +443,28 @@ object Graph {
        |SELECT item, count(*) AS n_triangles
        |FROM (SELECT a AS item FROM tri UNION ALL SELECT b FROM tri UNION ALL SELECT c FROM tri)
        |GROUP BY 1 ORDER BY 2 DESC, 1""".stripMargin
+
+  /** LPA oracle: the identical deterministic recurrence unrolled to
+    * chained CTEs (the [[hitsOracleSql]] pattern) — every label table
+    * is `AS MATERIALIZED` because each round's vote join references
+    * the prior round, and DuckDB inlines plain CTEs per reference. */
+  def lpaOracleSql(iters: Int = 5): String = {
+    val rounds = (1 to iters).map { i =>
+      s"""votes$i AS (SELECT e.dst AS item, l.label, count(*) AS n
+         |  FROM edges e JOIN lab${i - 1} l ON l.item = e.src
+         |  GROUP BY 1, 2),
+         |lab$i AS MATERIALIZED (SELECT item, label FROM (
+         |  SELECT item, label, row_number() OVER (PARTITION BY item ORDER BY n DESC, label) AS rk
+         |  FROM votes$i) WHERE rk = 1)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $edgeCtes,
+       |edges AS MATERIALIZED (SELECT item_a AS src, item_b AS dst FROM pairs
+       |          UNION ALL SELECT item_b, item_a FROM pairs),
+       |lab0 AS MATERIALIZED (SELECT DISTINCT src AS item, src AS label FROM edges),
+       |$rounds,
+       |sizes AS (SELECT label, count(*) AS community_size FROM lab$iters GROUP BY 1)
+       |SELECT l.item, l.label AS community, s.community_size
+       |FROM lab$iters l JOIN sizes s ON l.label = s.label
+       |ORDER BY l.item""".stripMargin
+  }
 }

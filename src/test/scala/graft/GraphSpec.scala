@@ -133,6 +133,32 @@ class GraphSpec extends AnyFunSuite {
     }
   }
 
+  test("LPA labels equal the straight-Scala recurrence on random graphs") {
+    val rnd = new scala.util.Random(1234L)
+    for (trial <- 1 to 5) {
+      val n = 4 + rnd.nextInt(10)
+      val iters = 1 + rnd.nextInt(5)
+      val es = (for (a <- 0 until n; b <- a + 1 until n if rnd.nextDouble() < 0.4)
+        yield (a.toLong, b.toLong)).toSeq
+      if (es.nonEmpty) {
+        // reference: same deterministic vote (count desc, min label)
+        val adj = es.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+          .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+        var lab = adj.keys.map(v => v -> v).toMap
+        for (_ <- 1 to iters)
+          lab = adj.keys.map { v =>
+            val votes = adj(v).groupBy(lab).view.mapValues(_.size).toSeq
+            v -> votes.minBy { case (l, c) => (-c, l) }._1
+          }.toMap
+        val sizes = lab.values.groupBy(identity).view.mapValues(_.size.toLong).toMap
+        val want = lab.toSeq.sorted.map { case (v, l) => (v, l, sizes(l)) }
+        val got = Graph.lpaTransform(pairs(es: _*), iters = iters)
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+        assert(got == want, s"trial $trial n=$n iters=$iters edges=$es")
+      }
+    }
+  }
+
   test("triangle counts equal a brute-force triple loop on random graphs") {
     val rnd = new scala.util.Random(42L)
     for (trial <- 1 to 5) {
