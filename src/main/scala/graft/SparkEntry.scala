@@ -76,6 +76,7 @@ object SparkEntry {
     "stream_moments"     -> MomentsStream.streamMoments _,
     "stream_rollup"      -> RollupStream.streamRollup _,
     "stream_interval_join" -> EngagementStream.streamIntervalJoin _,
+    "stream_interval_join_left" -> EngagementStream.streamIntervalJoinLeft _,
     // Analytic core
     "q1_pricing_summary"    -> Olap.q1PricingSummary _,
     "q3_top_orders"         -> Olap.q3TopOrders _,
@@ -234,6 +235,25 @@ object SparkEntry {
           |FROM events c JOIN events p
           |  ON c.user_id = p.user_id AND c.event_type = 'click' AND p.event_type = 'purchase'
           | AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
+          |ORDER BY click_id, purchase_id""".stripMargin,
+      // left-outer twin: null-padded rows appear only for clicks whose
+      // 30-min match window is CLOSED under the final watermark
+      // (min of the two sides' max event time − 1 h — Spark's default
+      // multipleWatermarkPolicy=min); younger unmatched clicks are
+      // still buffered when the replay ends and must not appear
+      "stream_interval_join_left" ->
+        """WITH wm AS (SELECT least(
+          |    (SELECT max(CAST(ts AS TIMESTAMP)) FROM events WHERE event_type = 'click'),
+          |    (SELECT max(CAST(ts AS TIMESTAMP)) FROM events WHERE event_type = 'purchase'))
+          |    - INTERVAL 1 HOUR AS w)
+          |SELECT c.event_id AS click_id, p.event_id AS purchase_id, c.user_id,
+          |       CAST(c.ts AS TIMESTAMP) AS click_ts, CAST(p.ts AS TIMESTAMP) AS purchase_ts
+          |FROM (SELECT * FROM events WHERE event_type = 'click') c
+          |LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+          |  ON c.user_id = p.user_id
+          | AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
+          |WHERE p.event_id IS NOT NULL
+          |   OR CAST(c.ts AS TIMESTAMP) + INTERVAL 30 MINUTE < (SELECT w FROM wm)
           |ORDER BY click_id, purchase_id""".stripMargin)
   }
 

@@ -143,6 +143,52 @@ object EngagementStream {
       .orderBy(col("click_id"), col("purchase_id"))
   }
 
+  /** LEFT OUTER stream-stream interval join — the attribution shape
+    * Flink deployments actually run (reference process.py routes
+    * un-converted engagement too): every click emits, matched
+    * purchases immediately (inner semantics), and clicks with NO
+    * purchase in the 30-minute window emit null-padded — but only
+    * once the watermark passes `click_ts + 30 min`, because until
+    * then a matching purchase could still arrive. That is the state
+    * clock: the engine buffers a click exactly until its match
+    * window is provably closed, then emits-and-evicts, so state
+    * stays bounded by the interval + watermark delay on an unbounded
+    * feed (asserted quantitatively in the streaming spec).
+    *
+    * Determinism for the oracle: the global watermark is
+    * `min(max click_ts, max purchase_ts) − 1 h` (Spark's default
+    * `multipleWatermarkPolicy = min` over the two inputs); after the
+    * AvailableNow finalization batch the emitted rows are exactly
+    * (all matched pairs) ∪ (unmatched clicks with
+    * `click_ts + 30 min < watermark`). Unmatched clicks younger than
+    * that stay in state and are NOT emitted — the oracle applies the
+    * same cut. */
+  def streamIntervalJoinLeft(spark: SparkSession, dir: String): DataFrame =
+    StreamSources.runToMemory(intervalJoinLeftPlan(spark, dir), OutputMode.Append())
+      .orderBy(col("click_id"), col("purchase_id"))
+
+  /** The un-run streaming plan behind [[streamIntervalJoinLeft]] —
+    * exposed so the state-eviction spec can drive it through
+    * [[StreamSources.runToMemoryWithProgress]] and read the join's
+    * state-store metrics. */
+  private[graft] def intervalJoinLeftPlan(spark: SparkSession, dir: String): DataFrame = {
+    val base = StreamSources.events(spark, dir)
+    val clicks = base.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"), col("ts").as("click_ts"))
+      .withWatermark("click_ts", "1 hour")
+    val purchases = base.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),
+        col("ts").as("purchase_ts"))
+      .withWatermark("purchase_ts", "1 hour")
+    clicks.join(purchases,
+      col("user_id") === col("p_user")
+        && col("purchase_ts") >= col("click_ts")
+        && col("purchase_ts") <= col("click_ts") + expr("INTERVAL 30 MINUTES"),
+      "leftOuter")
+      .select(col("click_id"), col("purchase_id"), col("user_id"),
+        col("click_ts"), col("purchase_ts"))
+  }
+
   /** Cumulative leaderboard state (the Redis ZINCRBY analog,
     * process.py:79-95): per micro-batch, partial per-user scores are
     * merged into a versioned parquet scoreboard. Only the (small)

@@ -80,6 +80,80 @@ class StreamingSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
     assert(stream == batch, s"stream=${stream.size} batch=${batch.size}")
   }
 
+  test("stream_interval_join_left equals the batch left join under the watermark cut") {
+    import org.apache.spark.sql.functions._
+    val ev = graft.sources.Tables.events(spark, sf)
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"), col("ts").as("click_ts"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),
+        col("ts").as("purchase_ts"))
+    // global watermark = min of the two sides' max event time − 1 h
+    val wmMs = math.min(
+      c.agg(max(col("click_ts"))).collect()(0).getTimestamp(0).getTime,
+      p.agg(max(col("purchase_ts"))).collect()(0).getTimestamp(0).getTime) - 3600000L
+    val batch = c.join(p,
+        col("user_id") === col("p_user")
+          && col("purchase_ts") >= col("click_ts")
+          && col("purchase_ts") <= col("click_ts") + expr("INTERVAL 30 MINUTES"),
+        "leftOuter")
+      .filter(col("purchase_id").isNotNull
+        || col("click_ts") + expr("INTERVAL 30 MINUTES") < lit(new java.sql.Timestamp(wmMs)))
+      .select(col("click_id"), col("purchase_id"))
+      .collect().map(r => (r.getLong(0), Option(r.get(1)))).toSet
+    val stream = rows("stream_interval_join_left").map(r => (r.getLong(0), Option(r.get(1)))).toSet
+    assert(stream.exists(_._2.isEmpty), "corpus must produce null-padded (unmatched) clicks")
+    assert(stream == batch, s"stream=${stream.size} batch=${batch.size}")
+  }
+
+  test("interval-join-left state is bounded by the watermark horizon") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.streaming.OutputMode
+    val (_, progress) = graft.streaming.StreamSources.runToMemoryWithProgress(
+      EngagementStream.intervalJoinLeftPlan(spark, sf), OutputMode.Append())
+    val st = progress.reverse.find(_.stateOperators.nonEmpty).get.stateOperators.head
+    // eviction bound after the finalization batch: buffered clicks are
+    // those whose 30-min match window is still open under the final
+    // watermark; buffered purchases those at-or-after the watermark
+    val ev = graft.sources.Tables.events(spark, sf)
+    val wmMs = math.min(
+      ev.filter(col("event_type") === "click").agg(max(col("ts"))).collect()(0).getTimestamp(0).getTime,
+      ev.filter(col("event_type") === "purchase").agg(max(col("ts"))).collect()(0).getTimestamp(0).getTime) - 3600000L
+    val openClicks = ev.filter(col("event_type") === "click")
+      .filter(col("ts") + expr("INTERVAL 30 MINUTES") >= lit(new java.sql.Timestamp(wmMs))).count()
+    val openPurchases = ev.filter(col("event_type") === "purchase")
+      .filter(col("ts") >= lit(new java.sql.Timestamp(wmMs))).count()
+    assert(st.numRowsTotal > 0, "replay must leave some in-horizon state")
+    assert(st.numRowsTotal <= openClicks + openPurchases,
+      s"join state ${st.numRowsTotal} exceeds the watermark horizon bound ${openClicks + openPurchases}")
+  }
+
+  test("append-mode window state holds exactly the open windows (hop + tumble)") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.streaming.OutputMode
+    import graft.streaming.StreamSources
+    val wmMs = graft.sources.Tables.events(spark, sf)
+      .agg(max(col("ts"))).collect()(0).getTimestamp(0).getTime - 47 * 60 * 1000L
+    // (batch twin rows, window length ms, streaming transform)
+    val cases = Seq(
+      ("hop_window_agg", 600000L,
+        graft.operators.Engagement.hopAggTransform(
+          StreamSources.events(spark, sf).withWatermark("ts", "47 minutes"))),
+      ("tumble_window_agg", 3600000L,
+        graft.operators.Engagement.tumbleAggTransform(
+          StreamSources.events(spark, sf).withWatermark("ts", "47 minutes"))))
+    cases.foreach { case (batchName, winMs, plan) =>
+      val open = rows(batchName).count(_.getTimestamp(0).getTime + winMs > wmMs)
+      val (_, progress) = StreamSources.runToMemoryWithProgress(plan, OutputMode.Append())
+      val st = progress.reverse.find(_.stateOperators.nonEmpty).get.stateOperators.head
+      // state must equal the open (window × event_type) groups — i.e.
+      // bounded by the watermark delay + window length, NEVER by the
+      // total number of rows replayed
+      assert(st.numRowsTotal == open,
+        s"$batchName append state ${st.numRowsTotal} != open-window groups $open")
+    }
+  }
+
   test("stream_cdc_with_deletes equals batch cdc_with_deletes") {
     assert(rows("stream_cdc_with_deletes") == rows("cdc_with_deletes"))
   }
