@@ -388,25 +388,39 @@ object Olap {
   def approxTopItems(spark: SparkSession, dir: String, k: Int = 10,
                      maxTracked: Int = 10000): DataFrame = {
     import spark.implicits._
+    // Spark's approx_top_k is the DataSketches frequent-items
+    // ItemsSketch; its PUBLISHED a-priori guarantee is
+    // |reported − true| ≤ ε(maxMapSize) · n  with ε = 3.5/maxMapSize
+    // and maxMapSize = ApproxTopK.calMaxMapSize(maxTracked) — both
+    // public statics, so the bound below is the library's own number,
+    // not a re-derivation. While distinct items fit the sketch map no
+    // eviction ever happens and the counts are exact (bound 0).
+    val eps = org.apache.datasketches.frequencies.ItemsSketch.getEpsilon(
+      org.apache.spark.sql.catalyst.expressions.aggregate.ApproxTopK.calMaxMapSize(maxTracked))
     Tables.events(spark, dir)
-      // an HLL distinct estimate rides the SAME aggregate pass (merged
-      // into the one scan) so the output can SAY whether the exactness
-      // guarantee held: approx_top_k counts are exact only while
-      // distinct items ≤ maxTracked — beyond that the sketch silently
-      // degrades to approximate counts under exact-looking ranks.
+      // an HLL distinct estimate and the total row count ride the SAME
+      // aggregate pass (merged into the one scan) so the output can
+      // SAY whether the exactness guarantee held AND how far off a
+      // degraded count can be: approx_top_k counts are exact only
+      // while distinct items ≤ maxTracked — beyond that the sketch
+      // silently degrades to approximate counts under exact-looking
+      // ranks, and `freq_err_bound` is the guaranteed ± cap.
       .agg(expr(s"approx_top_k(user_id, $k, $maxTracked)").as("top"),
-        approx_count_distinct($"user_id").as("est_distinct"))
+        approx_count_distinct($"user_id").as("est_distinct"),
+        count(lit(1)).as("total_n"))
       // rank without a WindowExec (the rankTopN pattern): sort the
       // ≤k-entry array in place, positions become ranks
       .select(sort_array(expr(
         "transform(top, t -> struct(-t.count AS neg, t.item AS user_id, t.count AS freq))"))
-        .as("arr"), $"est_distinct")
-      .select(posexplode($"arr").as(Seq("pos", "r")), $"est_distinct")
+        .as("arr"), $"est_distinct", $"total_n")
+      .select(posexplode($"arr").as(Seq("pos", "r")), $"est_distinct", $"total_n")
       .select(($"pos" + 1).cast("long").as("rank"),
         $"r.user_id".as("user_id"), $"r.freq".as("freq"),
         // HLL's ~2% relative error can't mask a real overflow for
         // long: warn-worthy overflows are 'distinct >> maxTracked'
-        ($"est_distinct" <= lit(maxTracked.toLong)).as("counts_exact"))
+        ($"est_distinct" <= lit(maxTracked.toLong)).as("counts_exact"),
+        when($"est_distinct" <= lit(maxTracked.toLong), lit(0L))
+          .otherwise(ceil(lit(eps) * $"total_n").cast("long")).as("freq_err_bound"))
       .orderBy($"rank")
   }
 

@@ -364,12 +364,21 @@ class BatchOperatorsSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAl
     assert(got.map(_._1).toSeq == (1L to got.length))
     // the exactness flag: distinct users here is far below maxTracked
     rows.foreach(r => assert(r.getBoolean(3), "counts_exact should hold at this SF"))
-    // ... and it turns false when maxTracked is undersized
-    val tiny = graft.operators.Olap.approxTopItems(spark, sf, 5, maxTracked = 8).collect()
-    tiny.foreach(r => assert(!r.getBoolean(3), "counts_exact must report sketch overflow"))
+    rows.foreach(r => assert(r.getLong(4) == 0L, "exact counts must report a zero error bound"))
     val exact = graft.sources.Tables.events(spark, sf)
       .groupBy(col("user_id")).agg(count(lit(1)).as("c"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // ... and when maxTracked is undersized the flag turns false AND
+    // the published DataSketches a-priori bound must actually contain
+    // the true count: |reported − true| ≤ freq_err_bound
+    val tiny = graft.operators.Olap.approxTopItems(spark, sf, 5, maxTracked = 8).collect()
+    tiny.foreach { r =>
+      assert(!r.getBoolean(3), "counts_exact must report sketch overflow")
+      assert(r.getLong(4) > 0L, "degraded counts must report a positive error bound")
+      val err = math.abs(r.getLong(2) - exact(r.getLong(1)))
+      assert(err <= r.getLong(4),
+        s"user ${r.getLong(1)}: |sketch ${r.getLong(2)} - true ${exact(r.getLong(1))}| = $err > bound ${r.getLong(4)}")
+    }
     // maxTracked >= distinct users -> every reported count is exact
     got.foreach { case (_, uid, freq) =>
       assert(exact(uid) == freq, s"user $uid: sketch=$freq exact=${exact(uid)}")
