@@ -382,7 +382,7 @@ object Behavior {
     * — linear in users, never in events. One shuffle on user_id, one
     * on the pattern string; both map-side combinable.
     */
-  def frequentSequencesTransform(events: DataFrame, maxSupport: Int): DataFrame = {
+  def frequentSequencesTransform(events: DataFrame, topN: Int): DataFrame = {
     val firsts = events
       .groupBy(col("user_id"), col("event_type"))
       .agg(min(struct(col("ts"), col("event_id"))).as("first_at"))
@@ -403,11 +403,11 @@ object Behavior {
     s1.unionByName(s2).unionByName(s3)
       .groupBy(col("pattern")).agg(count(lit(1)).as("support"))
       .orderBy(col("support").desc, col("pattern"))
-      .limit(maxSupport)
+      .limit(topN)
   }
 
   def frequentSequences(spark: SparkSession, dir: String): DataFrame =
-    frequentSequencesTransform(Tables.events(spark, dir), maxSupport = 30)
+    frequentSequencesTransform(Tables.events(spark, dir), topN = 30)
 
   /** Association rules over the co-engagement pairs (Apriori's
     * output stage): for each qualifying item pair, support,

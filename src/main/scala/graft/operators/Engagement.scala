@@ -521,13 +521,13 @@ object Engagement {
   /** DuckDB oracle for [[eventsSessionized]]. */
   def eventsSessionizedOracleSql(gapMinutes: Int = 30): String =
     s"""WITH e AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
-       |f AS (SELECT event_id, user_id,
+       |f AS (SELECT event_id, user_id, ts,
        |             CASE WHEN lag(ts) OVER w IS NULL THEN 1
        |                  WHEN epoch_us(ts) - epoch_us(lag(ts) OVER w) > $gapMinutes * 60 * 1000000 THEN 1
        |                  ELSE 0 END AS new_session
        |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
        |SELECT event_id, user_id,
-       |       CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY event_id
+       |       CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
        |              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
        |FROM f ORDER BY event_id""".stripMargin
 

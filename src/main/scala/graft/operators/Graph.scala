@@ -30,6 +30,17 @@ import graft.sources.Tables
   * is keyed on a node id (co-partitionable), every aggregate is
   * map-side combinable, and iteration lineage is truncated per round
   * exactly like [[Dedup.dedupClustersStar]].
+  *
+  * CONCURRENCY NOTE (round-5 advice): the iterative transforms
+  * ([[pagerankTransform]], [[hitsTransform]], [[lpaTransform]]) pin
+  * `spark.sql.shuffle.partitions` and disable AQE on the SHARED
+  * session conf for the iteration scope (restored in `finally`).
+  * Session conf is per-session, not per-query: anything planned
+  * concurrently on the same SparkSession inside that window silently
+  * picks up the iteration's settings. Fine in this library's
+  * sequential bench/verify harness; a multi-tenant caller should run
+  * these transforms on `spark.newSession()` (shared SparkContext and
+  * cache, isolated conf) or serialize them with its other planning.
   */
 object Graph {
 

@@ -53,7 +53,18 @@ final class MomentsState(stateDir: String) {
       .groupBy(col("event_type"))
       .agg(sum(col("n")).as("n"), sum(col("sum_c")).as("sum_c"),
            sum(col("sumsq_c")).as("sumsq_c"))
-    merged.coalesce(1).write.mode("overwrite").parquet(s"$stateDir/v$batchId")
+    // Loud-fail overflow invariant (round-5 advice): the scaladoc's
+    // ~9·10⁸-rows-per-type Σx² ceiling was documented but unenforced —
+    // past it the state would corrupt silently. A Long overflow of a
+    // sum of positives shows up as a negative (or an n beyond the
+    // documented ceiling); raise_error inside the filter condition
+    // survives column pruning and costs one comparison per state row.
+    val guarded = merged.filter(
+      when(col("sumsq_c") < 0 || col("sum_c") < 0 || col("n") > 900000000L,
+        raise_error(concat(lit("MomentsState Long overflow for event_type="),
+          col("event_type"), lit(" — promote sumsq_c to DECIMAL(38,0)"))))
+      .otherwise(lit(true)))
+    guarded.coalesce(1).write.mode("overwrite").parquet(s"$stateDir/v$batchId")
     val prev = version
     version = batchId
     if (prev >= 0) StreamUtil.delete(spark, s"$stateDir/v$prev")

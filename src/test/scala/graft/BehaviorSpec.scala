@@ -172,7 +172,7 @@ class BehaviorSpec extends AnyFunSuite {
       // user 2: view -> purchase (no click)
       (2L, "2024-01-02 09:00:00", 5L, "view", 0.0),
       (2L, "2024-01-02 09:30:00", 6L, "purchase", 0.0)))
-    val out = Behavior.frequentSequencesTransform(events, maxSupport = 100).collect()
+    val out = Behavior.frequentSequencesTransform(events, topN = 100).collect()
       .map(r => (r.getString(0), r.getLong(1))).toMap
     assert(out("view") == 2L && out("purchase") == 2L && out("click") == 1L)
     assert(out("view>purchase") == 2L)       // subsequence skips the middle click for user 1
