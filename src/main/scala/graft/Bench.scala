@@ -101,7 +101,8 @@ object Bench {
     "knn_classify" -> 2.167, "decontaminate" -> 4.256,
     "hits_scores" -> 8.873, "stream_rollup" -> 2.883,
     // round-6 additions (isolated fresh-JVM freezes)
-    "communities_lpa" -> 6.865, "stream_interval_join_left" -> 6.929)
+    "communities_lpa" -> 6.865, "stream_interval_join_left" -> 6.929,
+    "weighted_sample" -> 1.523)
 
   /** Run ONE query in a fresh JVM (this JVM's own flags + classpath,
     * stderr discarded) and parse its timing out of the child's JSON

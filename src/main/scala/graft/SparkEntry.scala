@@ -122,6 +122,7 @@ object SparkEntry {
     "doc_chunking"        -> ((s: SparkSession, d: String) => Sampling.docChunking(s, d)),
     "corpus_mix"          -> ((s: SparkSession, d: String) => Sampling.corpusMix(s, d)),
     "sample_k_per_group"  -> ((s: SparkSession, d: String) => Sampling.sampleKPerGroup(s, d)),
+    "weighted_sample"     -> ((s: SparkSession, d: String) => Sampling.weightedSample(s, d)),
     "corpus_filter"       -> ((s: SparkSession, d: String) => TextOps.corpusFilter(s, d)),
     "lang_id"            -> TextOps.langId _,
     "text_quality"       -> TextOps.textQuality _,
@@ -796,6 +797,7 @@ object SparkEntry {
     "edit_distance_pairs" -> operators.TextOps.editDistanceOracleSql(),
     "bm25_topk" -> operators.TextOps.bm25OracleSql(),
     "sample_k_per_group" -> operators.Sampling.sampleKPerGroupOracleSql(),
+    "weighted_sample" -> operators.Sampling.weightedSampleOracleSql(),
 
     // same canonicalization pipeline: NFC -> lower -> \s-run collapse
     // (the kernel's whitespace set IS the RE2 \s class)

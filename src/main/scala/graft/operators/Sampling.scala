@@ -70,6 +70,56 @@ object Sampling {
       .orderBy($"doc_id")
   }
 
+  /** Weight-proportional Bernoulli sampling with EXACT integer
+    * membership — the data-mixing selector between
+    * [[stratifiedSample]]'s fixed per-source rates and
+    * [[corpusMix]]'s proportion targets: each document is kept with
+    * probability `targetK · w / Σw` (expected sample size `targetK`,
+    * inclusion proportional to weight — here doc length, the usual
+    * token-budget weighting; production swaps in any quality score).
+    *
+    * Membership is the pure integer comparison
+    * {{{ h · Σw < targetK · w · 2³² }}}
+    * with `h` = [[splitHash]] ∈ [0, 2³²) — no floats, no `pow`, so
+    * the sample is bit-identical in any engine (the DuckDB oracle
+    * runs the same multiplication) and stable per document under
+    * corpus growth EXCEPT through the global Σw term, which is the
+    * point of weighted sampling (rates renormalize as the corpus
+    * grows; a grown corpus dilutes every inclusion probability).
+    *
+    * Scale shape: Σw is a one-row global aggregate broadcast into the
+    * filter (the one-row-stats-broadcast pattern the plan audit
+    * allows); membership then runs map-side on the scan. Long
+    * headroom: h·Σw < 2³²·Σw — overflow-safe up to Σw ≈ 2⁶² ⁻ ³²
+    * ≈ 10⁹ total weight units; a 100 TB corpus promotes the product
+    * to DECIMAL(38,0) (one cast in both engines).
+    */
+  def weightedSample(spark: SparkSession, dir: String,
+                     targetK: Int = 500, salt: String = "graft"): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+      .select($"doc_id", $"source", greatest($"n_chars", lit(1L)).as("weight"))
+    val total = docs.agg(sum($"weight").as("total"))
+    docs.crossJoin(total)
+      .filter(splitHash($"doc_id", salt) * $"total"
+        < lit(targetK.toLong) * $"weight" * lit(4294967296L))
+      .select($"doc_id", $"source", $"weight")
+      .orderBy($"doc_id")
+  }
+
+  /** DuckDB oracle for [[weightedSample]] — the identical integer
+    * comparison (UBIGINT hash, BIGINT products). */
+  def weightedSampleOracleSql(targetK: Int = 500, salt: String = "graft"): String =
+    s"""WITH d AS (SELECT doc_id, source,
+       |                  CAST(greatest(n_chars, 1) AS BIGINT) AS weight,
+       |                  CAST(('0x' || substr(md5(doc_id || ':$salt'), 1, 8))::UBIGINT AS BIGINT) AS h
+       |           FROM documents),
+       |t AS (SELECT CAST(sum(weight) AS BIGINT) AS total FROM d)
+       |SELECT doc_id, source, weight
+       |FROM d, t
+       |WHERE h * total < $targetK * weight * 4294967296
+       |ORDER BY doc_id""".stripMargin
+
   /** Concat-then-chunk sequence packing: assign every document a
     * position in a fixed-size token stream, the way LLM pretraining
     * shards pack documents into context windows.

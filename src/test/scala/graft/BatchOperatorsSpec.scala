@@ -310,6 +310,35 @@ class BatchOperatorsSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAl
     assert(sampled == again, "stratified sample must be deterministic")
   }
 
+  test("weighted_sample membership matches the exact integer rule; inclusion skews by weight") {
+    import org.apache.spark.sql.functions.{col, greatest, lit}
+    val targetK = 500
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select(col("doc_id"), greatest(col("n_chars"), lit(1L)).as("w"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    val total = docs.map(_._2).sum
+    def hash(id: Long): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s"$id:graft".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(8), 16)
+    }
+    // straight-Scala re-derivation of h·Σw < k·w·2³²
+    val want = docs.collect {
+      case (id, w) if hash(id) * total < targetK.toLong * w * 4294967296L => id
+    }.toSet
+    val got = graft.operators.Sampling.weightedSample(spark, sf, targetK)
+      .collect().map(_.getLong(0)).toSet
+    assert(got == want, s"got=${got.size} want=${want.size}")
+    assert(got.nonEmpty && got.size < docs.length, "sample must be a proper subset")
+    // weighting must bite: mean weight inside the sample exceeds the
+    // corpus mean (inclusion probability is proportional to weight)
+    val wMap = docs.toMap
+    val meanIn = got.toSeq.map(wMap).sum.toDouble / got.size
+    val meanAll = total.toDouble / docs.length
+    assert(meanIn > meanAll, s"sample mean weight $meanIn <= corpus mean $meanAll")
+  }
+
   test("pack_sequences lays out contiguous per-bucket token streams") {
     val rows = graft.operators.Sampling.packSequences(spark, sf).collect()
       .map(r => (r.getLong(1), r.getLong(0), r.getLong(2), r.getLong(3))) // bucket, doc, n_tokens, start
