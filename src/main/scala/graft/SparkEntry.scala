@@ -94,6 +94,9 @@ object SparkEntry {
     "q17_small_quantity"    -> ((s: SparkSession, d: String) => Olap.q17SmallQuantity(s, d)),
     "q8_market_share"       -> ((s: SparkSession, d: String) => Olap.q8MarketShare(s, d)),
     "q19_discounted_revenue" -> Olap.q19DiscountedRevenue _,
+    "q4_order_priority"     -> ((s: SparkSession, d: String) => Olap.q4OrderPriority(s, d)),
+    "q7_volume_shipping"    -> ((s: SparkSession, d: String) => Olap.q7VolumeShipping(s, d)),
+    "q18_large_orders"      -> ((s: SparkSession, d: String) => Olap.q18LargeOrders(s, d)),
     "open_orders_daily"     -> Olap.openOrdersDaily _,
     "rolling_distinct_users" -> ((s: SparkSession, d: String) => Olap.rollingDistinctUsers(s, d)),
     "incremental_rollup"    -> ((s: SparkSession, d: String) => Olap.incrementalRollup(s, d)),
@@ -403,6 +406,39 @@ object SparkEntry {
     "q17_small_quantity" -> operators.Olap.q17OracleSql(),
     "q8_market_share" -> operators.Olap.q8OracleSql(),
     "q19_discounted_revenue" -> operators.Olap.q19OracleSql,
+    "q4_order_priority" ->
+      """SELECT o_orderpriority, count(*) AS n_orders
+        |FROM orders o
+        |WHERE EXISTS (SELECT 1 FROM lineitem l
+        |              WHERE l.l_orderkey = o.o_orderkey
+        |                AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q7_volume_shipping" ->
+      """SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
+        |       CAST(year(l.l_shipdate) AS BIGINT) AS l_year,
+        |       round(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100) AS BIGINT)) / 100.0, 2) AS revenue
+        |FROM lineitem l
+        |JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |JOIN nation ns ON s.s_nationkey = ns.n_nationkey
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |JOIN nation nc ON c.c_nationkey = nc.n_nationkey
+        |WHERE ns.n_name IN ('NATION_18', 'NATION_19')
+        |  AND nc.n_name IN ('NATION_18', 'NATION_19')
+        |  AND ns.n_name != nc.n_name
+        |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+    "q18_large_orders" ->
+      """WITH q AS (SELECT l_orderkey,
+        |                  sum(CAST(round(l_quantity * 100) AS BIGINT)) AS qty_c
+        |           FROM lineitem GROUP BY 1 HAVING qty_c > 15000)
+        |SELECT c.c_name, c.c_custkey, o.o_orderkey,
+        |       date_trunc('day', o.o_orderdate) AS o_day,
+        |       round(o.o_totalprice, 2) AS o_totalprice,
+        |       qty_c / 100.0 AS total_qty
+        |FROM orders o
+        |JOIN q ON o.o_orderkey = q.l_orderkey
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |ORDER BY o_totalprice DESC, o.o_orderkey LIMIT 100""".stripMargin,
     "open_orders_daily" -> operators.Olap.openOrdersOracleSql,
     "rolling_distinct_users" -> operators.Olap.rollingDistinctOracleSql,
     "incremental_rollup" -> operators.Olap.incrementalRollupOracleSql,

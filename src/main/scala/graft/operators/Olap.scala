@@ -858,6 +858,93 @@ object Olap {
       .orderBy($"column_name")
   }
 
+  /** TPC-H Q4 shape ("order priority checking"): orders per priority
+    * having AT LEAST ONE late lineitem — the canonical EXISTS
+    * pattern, planned as a LEFT-SEMI join so the orders side is never
+    * expanded (an order with five late lines counts once, with no
+    * post-join distinct). This corpus carries no commit/receipt
+    * dates, so "late" is `l_shipdate > o_orderdate + 60 days`; the
+    * semi-join shape — the thing Q4 exists to exercise — is
+    * unchanged. The join condition references both sides (ship vs
+    * order date), so it rides the equi-join on orderkey as a
+    * residual filter: one shuffle pair, no pre-aggregation needed,
+    * and the priority rollup runs on the surviving order rows
+    * (map-side combinable, |priorities| groups).
+    */
+  def q4OrderPriority(spark: SparkSession, dir: String, lateDays: Int = 60): DataFrame = {
+    import spark.implicits._
+    Tables.orders(spark, dir)
+      .join(Tables.lineitem(spark, dir),
+        $"l_orderkey" === $"o_orderkey"
+          && $"l_shipdate" > $"o_orderdate" + expr(s"INTERVAL $lateDays DAYS"),
+        "left_semi")
+      .groupBy($"o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"))
+      .orderBy($"o_orderpriority")
+  }
+
+  /** TPC-H Q7 shape ("volume shipping"): bilateral trade revenue
+    * between two nations by ship year. The two small dim chains
+    * (supplier→nation, customer→nation) collapse to broadcast maps
+    * BEFORE touching the fact — each is filtered to the two nations
+    * first, so the broadcast carries only participating keys and the
+    * fact rows for every other nation pair are dropped at the
+    * map-side join, never shuffled. lineitem ⋈ orders stays the one
+    * big⋈big join, on the orderkey both sides key by. Revenue in
+    * exact integer cents.
+    */
+  def q7VolumeShipping(spark: SparkSession, dir: String,
+                       nationA: String = "NATION_18",
+                       nationB: String = "NATION_19"): DataFrame = {
+    import spark.implicits._
+    val ns = Seq(nationA, nationB)
+    val suppNation = Tables.supplier(spark, dir)
+      .join(Tables.nation(spark, dir).filter($"n_name".isin(ns: _*)),
+        $"s_nationkey" === $"n_nationkey")
+      .select($"s_suppkey", $"n_name".as("supp_nation"))
+    val custNation = Tables.customer(spark, dir)
+      .join(Tables.nation(spark, dir).filter($"n_name".isin(ns: _*)),
+        $"c_nationkey" === $"n_nationkey")
+      .select($"c_custkey", $"n_name".as("cust_nation"))
+    val rev = expr("CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)")
+    Tables.lineitem(spark, dir)
+      .join(Tables.orders(spark, dir), $"l_orderkey" === $"o_orderkey")
+      .join(broadcast(suppNation), $"l_suppkey" === $"s_suppkey")
+      .join(broadcast(custNation), $"o_custkey" === $"c_custkey")
+      .filter($"supp_nation" =!= $"cust_nation")
+      .select($"supp_nation", $"cust_nation",
+        year($"l_shipdate").cast("long").as("l_year"), rev.as("cents"))
+      .groupBy($"supp_nation", $"cust_nation", $"l_year")
+      .agg(round(sum($"cents") / 100.0, 2).as("revenue"))
+      .orderBy($"supp_nation", $"cust_nation", $"l_year")
+  }
+
+  /** TPC-H Q18 shape ("large volume customers"): orders whose total
+    * quantity clears a threshold, with their customer. The HAVING
+    * subquery becomes a pre-aggregation of the fact to per-order
+    * quantity (map-side combinable, one shuffle on the orderkey the
+    * join needs anyway), the threshold filter then shrinks it to a
+    * handful of hot orders BEFORE the joins — orders joins a
+    * planning-scale table, and the customer dim broadcasts. Quantity
+    * summed in exact integer hundredths.
+    */
+  def q18LargeOrders(spark: SparkSession, dir: String, minQty: Long = 150L): DataFrame = {
+    import spark.implicits._
+    val bigOrders = Tables.lineitem(spark, dir)
+      .groupBy($"l_orderkey")
+      .agg(sum(expr("CAST(round(l_quantity * 100) AS BIGINT)")).as("qty_c"))
+      .filter($"qty_c" > minQty * 100L)
+    Tables.orders(spark, dir)
+      .join(bigOrders, $"o_orderkey" === $"l_orderkey")
+      .join(broadcast(Tables.customer(spark, dir)), $"o_custkey" === $"c_custkey")
+      .select($"c_name", $"c_custkey", $"o_orderkey",
+        date_trunc("day", $"o_orderdate").as("o_day"),
+        round($"o_totalprice", 2).as("o_totalprice"),
+        ($"qty_c" / lit(100.0)).as("total_qty"))
+      .orderBy($"o_totalprice".desc, $"o_orderkey")
+      .limit(100)
+  }
+
   /** TPC-H Q8 shape ("national market share"): a nation's share of
     * regional revenue per order year. Exercises the multi-dim join
     * pyramid — lineitem ⋈ orders (the only big⋈big join, on the
