@@ -103,7 +103,8 @@ object Bench {
     // round-6 additions (isolated fresh-JVM freezes)
     "communities_lpa" -> 6.865, "stream_interval_join_left" -> 6.929,
     "weighted_sample" -> 1.523, "q4_order_priority" -> 2.478,
-    "q7_volume_shipping" -> 3.823, "q18_large_orders" -> 4.219)
+    "q7_volume_shipping" -> 3.823, "q18_large_orders" -> 4.219,
+    "rolling_p95_value" -> 4.484)
 
   /** Run ONE query in a fresh JVM (this JVM's own flags + classpath,
     * stderr discarded) and parse its timing out of the child's JSON

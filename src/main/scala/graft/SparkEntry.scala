@@ -99,6 +99,7 @@ object SparkEntry {
     "q18_large_orders"      -> ((s: SparkSession, d: String) => Olap.q18LargeOrders(s, d)),
     "open_orders_daily"     -> Olap.openOrdersDaily _,
     "rolling_distinct_users" -> ((s: SparkSession, d: String) => Olap.rollingDistinctUsers(s, d)),
+    "rolling_p95_value"      -> ((s: SparkSession, d: String) => Olap.rollingP95Value(s, d)),
     "incremental_rollup"    -> ((s: SparkSession, d: String) => Olap.incrementalRollup(s, d)),
     "unpivot_metrics"       -> Olap.unpivotMetrics _,
     "profile_columns"       -> Olap.profileColumns _,
@@ -441,6 +442,24 @@ object SparkEntry {
         |ORDER BY o_totalprice DESC, o.o_orderkey LIMIT 100""".stripMargin,
     "open_orders_daily" -> operators.Olap.openOrdersOracleSql,
     "rolling_distinct_users" -> operators.Olap.rollingDistinctOracleSql,
+    // discrete rank selection spelled out with the same integer-exact
+    // k = ceil(95n/100) in both engines (quantile_disc semantics vary)
+    "rolling_p95_value" ->
+      """WITH d AS (SELECT date_trunc('day', CAST(ts AS TIMESTAMP)) AS day,
+        |                  CAST(round(value * 100) AS BIGINT) AS cents
+        |           FROM events),
+        |b AS (SELECT min(day) AS lo, max(day) AS hi FROM d),
+        |fan AS (SELECT d.day + i.range * INTERVAL 1 DAY AS day, d.cents
+        |        FROM d, b, range(0, 7) i
+        |        WHERE d.day + i.range * INTERVAL 1 DAY >= b.lo
+        |          AND d.day + i.range * INTERVAL 1 DAY <= b.hi),
+        |r AS (SELECT day, cents,
+        |             row_number() OVER (PARTITION BY day ORDER BY cents) AS rn,
+        |             count(*) OVER (PARTITION BY day) AS n
+        |      FROM fan)
+        |SELECT day, CAST(n AS BIGINT) AS n, round(cents / 100.0, 2) AS p95
+        |FROM r WHERE rn = (n * 95 + 99) // 100
+        |ORDER BY day""".stripMargin,
     "incremental_rollup" -> operators.Olap.incrementalRollupOracleSql,
     "unpivot_metrics" -> operators.Olap.unpivotMetricsOracleSql,
     "snapshot_diff" -> operators.Engagement.snapshotDiffOracleSql,

@@ -832,6 +832,42 @@ object Olap {
       .orderBy($"day")
   }
 
+  /** Trailing-7-day p95 of event value per day — the sliding QUANTILE
+    * next to [[rollingDistinctUsers]]' sliding distinct: neither
+    * decomposes over a moving window, so the scalable shape is the
+    * same bounded fan-out (each (day, value) row serves ≤ 7 window-end
+    * days) followed by a per-day rank selection. The p95 is DISCRETE
+    * (the k-th smallest element, k = ⌈95·n/100⌉ computed in pure
+    * integer arithmetic — `ceil(0.95·n)` in floats is off by one
+    * whenever 0.95·n rounds up past an integer, e.g. n = 20) over
+    * exact integer cents, so both engines select the identical
+    * element. Shuffle volume is 7·|rows| (day, cents) pairs; at
+    * 100 TB the same shape runs on a pre-aggregated (day, cents,
+    * count) histogram — value distributions compress by orders of
+    * magnitude — or swaps in the GK sketch ([[percentileStatsApprox]])
+    * when ±ε is acceptable. First 6 days carry partial windows by
+    * definition.
+    */
+  def rollingP95Value(spark: SparkSession, dir: String, windowDays: Int = 7): DataFrame = {
+    import spark.implicits._
+    val d = Tables.events(spark, dir)
+      .select(date_trunc("day", $"ts").as("day"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+    val bounds = d.agg(min($"day").as("lo"), max($"day").as("hi"))
+    val fan = d.crossJoin(broadcast(bounds))
+      .select(explode(expr(s"transform(sequence(0, ${windowDays - 1}), i -> timestampadd(DAY, i, day))")).as("day"),
+        $"cents", $"lo", $"hi")
+      .filter($"day" >= $"lo" && $"day" <= $"hi")
+      .select($"day", $"cents")
+    val byDay = Window.partitionBy($"day")
+    fan
+      .withColumn("rn", row_number().over(byDay.orderBy($"cents")))
+      .withColumn("n", count(lit(1)).over(byDay))
+      .filter($"rn" === expr("(n * 95 + 99) div 100"))
+      .select($"day", $"n", round($"cents" / 100.0, 2).as("p95"))
+      .orderBy($"day")
+  }
+
   /** Column profiling (the Deequ/dbt-style data-quality stage): one
     * scan of the fact computing per-column row count, null count, and
     * EXACT distinct cardinality, unpivoted to one row per column.
