@@ -104,7 +104,11 @@ object Bench {
     "communities_lpa" -> 6.865, "stream_interval_join_left" -> 6.929,
     "weighted_sample" -> 1.523, "q4_order_priority" -> 2.478,
     "q7_volume_shipping" -> 3.823, "q18_large_orders" -> 4.219,
-    "rolling_p95_value" -> 4.484)
+    "rolling_p95_value" -> 4.484, "vocab_stats" -> 2.266,
+    "anomaly_mad" -> 3.896,
+    "q6_revenue_delta" -> 1.306, "q10_returned_items" -> 2.141,
+    "q13_order_distribution" -> 1.627, "q14_promo_effect" -> 1.621,
+    "q15_top_supplier" -> 2.000, "q22_dormant_customers" -> 2.364)
 
   /** Run ONE query in a fresh JVM (this JVM's own flags + classpath,
     * stderr discarded) and parse its timing out of the child's JSON

@@ -97,9 +97,17 @@ object SparkEntry {
     "q4_order_priority"     -> ((s: SparkSession, d: String) => Olap.q4OrderPriority(s, d)),
     "q7_volume_shipping"    -> ((s: SparkSession, d: String) => Olap.q7VolumeShipping(s, d)),
     "q18_large_orders"      -> ((s: SparkSession, d: String) => Olap.q18LargeOrders(s, d)),
+    "q6_revenue_delta"      -> ((s: SparkSession, d: String) => Olap.q6RevenueDelta(s, d)),
+    "q10_returned_items"    -> ((s: SparkSession, d: String) => Olap.q10ReturnedItems(s, d)),
+    "q13_order_distribution" -> ((s: SparkSession, d: String) => Olap.q13OrderDistribution(s, d)),
+    "q14_promo_effect"      -> ((s: SparkSession, d: String) => Olap.q14PromoEffect(s, d)),
+    "q15_top_supplier"      -> ((s: SparkSession, d: String) => Olap.q15TopSupplier(s, d)),
+    "q22_dormant_customers" -> ((s: SparkSession, d: String) => Olap.q22DormantCustomers(s, d)),
     "open_orders_daily"     -> Olap.openOrdersDaily _,
     "rolling_distinct_users" -> ((s: SparkSession, d: String) => Olap.rollingDistinctUsers(s, d)),
     "rolling_p95_value"      -> ((s: SparkSession, d: String) => Olap.rollingP95Value(s, d)),
+    "vocab_stats"            -> TextOps.vocabStats _,
+    "anomaly_mad"            -> ((s: SparkSession, d: String) => Behavior.anomalyMad(s, d)),
     "incremental_rollup"    -> ((s: SparkSession, d: String) => Olap.incrementalRollup(s, d)),
     "unpivot_metrics"       -> Olap.unpivotMetrics _,
     "profile_columns"       -> Olap.profileColumns _,
@@ -440,6 +448,12 @@ object SparkEntry {
         |JOIN q ON o.o_orderkey = q.l_orderkey
         |JOIN customer c ON o.o_custkey = c.c_custkey
         |ORDER BY o_totalprice DESC, o.o_orderkey LIMIT 100""".stripMargin,
+    "q6_revenue_delta" -> operators.Olap.q6OracleSql(),
+    "q10_returned_items" -> operators.Olap.q10OracleSql(),
+    "q13_order_distribution" -> operators.Olap.q13OracleSql(),
+    "q14_promo_effect" -> operators.Olap.q14OracleSql(),
+    "q15_top_supplier" -> operators.Olap.q15OracleSql(),
+    "q22_dormant_customers" -> operators.Olap.q22OracleSql(),
     "open_orders_daily" -> operators.Olap.openOrdersOracleSql,
     "rolling_distinct_users" -> operators.Olap.rollingDistinctOracleSql,
     // discrete rank selection spelled out with the same integer-exact
@@ -460,6 +474,40 @@ object SparkEntry {
         |SELECT day, CAST(n AS BIGINT) AS n, round(cents / 100.0, 2) AS p95
         |FROM r WHERE rn = (n * 95 + 99) // 100
         |ORDER BY day""".stripMargin,
+    "vocab_stats" ->
+      """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+        |v AS (SELECT tok, count(*) AS cf, count(DISTINCT doc_id) AS df FROM toks GROUP BY 1),
+        |t AS (SELECT count(*) AS total FROM toks),
+        |r AS (SELECT tok, cf, df,
+        |             row_number() OVER (ORDER BY cf DESC, tok) AS rank,
+        |             sum(cf) OVER (ORDER BY cf DESC, tok ROWS UNBOUNDED PRECEDING) AS cum_cf
+        |      FROM v)
+        |SELECT tok, cf, df, CAST(rank AS BIGINT) AS rank,
+        |       round(CAST(cum_cf AS BIGINT) / CAST(total AS BIGINT), 6) AS cum_share
+        |FROM r, t ORDER BY rank""".stripMargin,
+    // both medians are the same integer rank selection (k = (n+1)//2)
+    // the Spark side runs; the outlier test is the cross-multiplied
+    // integer comparison |x-med|*10 > 25*mad (k = 2.5, no floats)
+    "anomaly_mad" ->
+      """WITH ev AS (SELECT event_type, CAST(round(value * 100) AS BIGINT) AS c FROM events),
+        |r1 AS (SELECT event_type, c,
+        |              row_number() OVER (PARTITION BY event_type ORDER BY c) AS rn,
+        |              count(*) OVER (PARTITION BY event_type) AS n
+        |       FROM ev),
+        |med AS (SELECT event_type, c AS med_c, n FROM r1 WHERE rn = (n + 1) // 2),
+        |dev AS (SELECT e.event_type, e.c, abs(e.c - m.med_c) AS d, m.med_c
+        |        FROM ev e JOIN med m ON e.event_type = m.event_type),
+        |r2 AS (SELECT event_type, d,
+        |              row_number() OVER (PARTITION BY event_type ORDER BY d) AS rn,
+        |              count(*) OVER (PARTITION BY event_type) AS n
+        |       FROM dev),
+        |mad AS (SELECT event_type, d AS mad_c FROM r2 WHERE rn = (n + 1) // 2)
+        |SELECT dev.event_type, CAST(count(*) AS BIGINT) AS n,
+        |       round(max(dev.med_c) / 100.0, 2) AS median,
+        |       round(max(mad.mad_c) / 100.0, 2) AS mad,
+        |       CAST(sum(CASE WHEN dev.d * 10 > 25 * mad.mad_c THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+        |FROM dev JOIN mad ON dev.event_type = mad.event_type
+        |GROUP BY dev.event_type ORDER BY dev.event_type""".stripMargin,
     "incremental_rollup" -> operators.Olap.incrementalRollupOracleSql,
     "unpivot_metrics" -> operators.Olap.unpivotMetricsOracleSql,
     "snapshot_diff" -> operators.Engagement.snapshotDiffOracleSql,

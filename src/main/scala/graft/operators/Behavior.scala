@@ -171,6 +171,56 @@ object Behavior {
   def anomalyZscore(spark: SparkSession, dir: String, nSigma: Double = 2.5): DataFrame =
     anomalyTransform(Tables.events(spark, dir), nSigma)
 
+  /** Robust outlier screen — [[anomalyZscore]]'s median/MAD twin: a
+    * z-score's mean and stddev are themselves dragged by the
+    * outliers being hunted (one 10⁶× corrupt reading inflates σ
+    * until nothing else flags); the median and the median absolute
+    * deviation have a 50% breakdown point, so this is the screen a
+    * data-quality pipeline actually deploys against corrupt feeds.
+    *
+    * Both medians are DISCRETE rank selections over exact integer
+    * cents (k = ⌈n/2⌉, the [[Olap.rollingP95Value]] integer-k
+    * pattern), so both engines pick the identical element; a row
+    * flags when |x − med| · 10 > k10 · mad — the k = 2.5 threshold
+    * cross-multiplied into pure integer arithmetic (mad is cents, so
+    * no float enters the comparison at all).
+    *
+    * Scale shape: two windowed rank selections per type (the second
+    * over |x − med|, derived map-side after a broadcast join of the
+    * |types|-row median table) and one counting aggregate; the fact
+    * shuffles on event_type — at 100 TB the same plan runs per
+    * (type, day) partition, or swaps the exact medians for the GK
+    * sketch when ±ε is acceptable.
+    */
+  def anomalyMad(spark: SparkSession, dir: String, k10: Long = 25L): DataFrame =
+    anomalyMadTransform(Tables.events(spark, dir), k10)
+
+  def anomalyMadTransform(events: DataFrame, k10: Long = 25L): DataFrame = {
+    val ev = events
+      .select(col("event_type"), expr("CAST(round(value * 100) AS BIGINT)").as("c"))
+    val byType = Window.partitionBy(col("event_type"))
+    def medianOf(df: DataFrame, valueCol: String): DataFrame = df
+      .withColumn("rn", row_number().over(byType.orderBy(col(valueCol))))
+      .withColumn("n", count(lit(1)).over(byType))
+      .filter(col("rn") === expr("(n + 1) div 2"))
+      .select(col("event_type"), col(valueCol).as("med_" + valueCol), col("n"))
+    val med = medianOf(ev, "c")
+    val dev = ev.join(broadcast(med.select(col("event_type"), col("med_c"))), Seq("event_type"))
+      .withColumn("d", abs(col("c") - col("med_c")))
+    val mad = medianOf(dev.select(col("event_type"), col("d")), "d")
+      .select(col("event_type"), col("med_d"))
+    dev.join(broadcast(mad), Seq("event_type"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        max(col("med_c")).as("med_c"), max(col("med_d")).as("mad_c"),
+        sum(when(col("d") * 10L > lit(k10) * col("med_d"), 1L).otherwise(0L)).as("n_outliers"))
+      .select(col("event_type"), col("n"),
+        round(col("med_c") / 100.0, 2).as("median"),
+        round(col("mad_c") / 100.0, 2).as("mad"),
+        col("n_outliers"))
+      .orderBy(col("event_type"))
+  }
+
   /** Item co-engagement counts ("users who engaged with X also
     * engaged with Y"): distinct (user, item) pairs self-joined within
     * each user, emitting `(item_a < item_b)` pair counts with support

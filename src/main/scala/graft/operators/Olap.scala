@@ -1080,6 +1080,249 @@ object Olap {
       |   OR (p_brand = 'Brand#2' AND p_size BETWEEN 5 AND 20 AND l_quantity BETWEEN 5 AND 30)
       |   OR (p_brand = 'Brand#3' AND p_size BETWEEN 10 AND 40 AND l_quantity BETWEEN 10 AND 40)""".stripMargin
 
+  /** TPC-H Q6 ("forecasting revenue change"): the pure scan-pushdown
+    * benchmark — a conjunctive filter over one fact table and a
+    * single global sum, no joins at all. Every predicate (ship year,
+    * discount band, quantity cap) reaches the parquet scan as a
+    * pushed filter, the aggregate is map-side combinable to ONE row
+    * per partition, and the only shuffle is the |partitions|-row
+    * final combine. The discount band compares in exact integer
+    * hundredths (`round(l_discount*100) BETWEEN 5 AND 7`) so the
+    * float column never faces an equality test.
+    */
+  def q6RevenueDelta(spark: SparkSession, dir: String, shipYear: Int = 1997): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, dir)
+      .filter(year($"l_shipdate") === shipYear
+        && expr("CAST(round(l_discount * 100) AS BIGINT)").between(5L, 7L)
+        && $"l_quantity" < 24.0)
+      .agg(count(lit(1)).as("n_rows"),
+        coalesce(sum(expr("CAST(round(l_extendedprice * l_discount * 100) AS BIGINT)")), lit(0L))
+          .as("revenue_cents"))
+  }
+
+  /** DuckDB oracle for [[q6RevenueDelta]]. */
+  def q6OracleSql(shipYear: Int = 1997): String =
+    s"""SELECT count(*) AS n_rows,
+       |       coalesce(CAST(sum(CAST(round(l_extendedprice * l_discount * 100) AS BIGINT)) AS BIGINT), 0) AS revenue_cents
+       |FROM lineitem
+       |WHERE year(l_shipdate) = $shipYear
+       |  AND CAST(round(l_discount * 100) AS BIGINT) BETWEEN 5 AND 7
+       |  AND l_quantity < 24""".stripMargin
+
+  /** TPC-H Q10 ("returned item reporting"): the customers who
+    * returned the most revenue in a quarter. orders is filtered to
+    * the quarter BEFORE the big⋈big join with lineitem (the date
+    * predicate prunes at the orders scan, so the shuffle carries one
+    * quarter, not seven years), the returnflag filter prunes the
+    * lineitem side at its scan, and the customer→nation chain
+    * collapses to one broadcast applied AFTER the per-customer
+    * aggregate — the join that attaches names touches |customers with
+    * returns| rows, not |lineitems|. Revenue in exact integer cents;
+    * top-20 ordered (revenue desc, custkey) for determinism.
+    */
+  def q10ReturnedItems(spark: SparkSession, dir: String,
+                       qStart: String = "1997-10-01", qEnd: String = "1998-01-01"): DataFrame = {
+    import spark.implicits._
+    val ords = Tables.orders(spark, dir)
+      .filter($"o_orderdate" >= lit(qStart).cast("timestamp")
+        && $"o_orderdate" < lit(qEnd).cast("timestamp"))
+      .select($"o_orderkey", $"o_custkey")
+    val returned = Tables.lineitem(spark, dir)
+      .filter($"l_returnflag" === "R")
+      .select($"l_orderkey",
+        expr("CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)").as("rev_c"))
+    val perCust = returned.join(ords, $"l_orderkey" === $"o_orderkey")
+      .groupBy($"o_custkey").agg(sum($"rev_c").as("rev_c"))
+    val custDim = Tables.customer(spark, dir)
+      .join(Tables.nation(spark, dir), $"c_nationkey" === $"n_nationkey")
+      .select($"c_custkey", $"c_name", $"c_acctbal", $"n_name")
+    perCust.join(broadcast(custDim), $"o_custkey" === $"c_custkey")
+      .select($"c_custkey", $"c_name", round($"c_acctbal", 2).as("c_acctbal"), $"n_name",
+        round($"rev_c" / 100.0, 2).as("revenue"))
+      .orderBy($"revenue".desc, $"c_custkey")
+      .limit(20)
+  }
+
+  /** DuckDB oracle for [[q10ReturnedItems]]. */
+  def q10OracleSql(qStart: String = "1997-10-01", qEnd: String = "1998-01-01"): String =
+    s"""WITH per_cust AS (
+       |  SELECT o_custkey, sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS rev_c
+       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       |  WHERE l_returnflag = 'R'
+       |    AND o_orderdate >= TIMESTAMP '$qStart' AND o_orderdate < TIMESTAMP '$qEnd'
+       |  GROUP BY o_custkey)
+       |SELECT c_custkey, c_name, round(c_acctbal, 2) AS c_acctbal, n_name,
+       |       round(rev_c / 100.0, 2) AS revenue
+       |FROM per_cust
+       |JOIN customer ON o_custkey = c_custkey
+       |JOIN nation ON c_nationkey = n_nationkey
+       |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin
+
+  /** TPC-H Q13 ("customer distribution"): the histogram of
+    * orders-per-customer INCLUDING the zero-order customers — the
+    * query that exists to exercise an outer join that must not drop
+    * unmatched build rows. The fact pre-aggregates to per-customer
+    * counts first (map-side combinable, one shuffle on the custkey
+    * the join needs anyway), customer LEFT-joins that planning-scale
+    * table, and the final histogram groups |customers| id-rows into
+    * |distinct counts| buckets. This corpus has no order comment
+    * column, so the excluded class is an order-status (TPC-H excludes
+    * a comment pattern); the outer-join-then-histogram shape — the
+    * point of Q13 — is unchanged.
+    */
+  def q13OrderDistribution(spark: SparkSession, dir: String,
+                           excludeStatus: String = "P"): DataFrame = {
+    import spark.implicits._
+    val perCust = Tables.orders(spark, dir)
+      .filter($"o_orderstatus" =!= excludeStatus)
+      .groupBy($"o_custkey").agg(count(lit(1)).as("n_ord"))
+    Tables.customer(spark, dir)
+      .join(perCust, $"c_custkey" === $"o_custkey", "left")
+      .select(coalesce($"n_ord", lit(0L)).as("c_count"))
+      .groupBy($"c_count").agg(count(lit(1)).as("custdist"))
+      .orderBy($"custdist".desc, $"c_count".desc)
+  }
+
+  /** DuckDB oracle for [[q13OrderDistribution]]. */
+  def q13OracleSql(excludeStatus: String = "P"): String =
+    s"""WITH per_cust AS (
+       |  SELECT c_custkey, count(o_orderkey) AS c_count
+       |  FROM customer LEFT JOIN orders
+       |    ON c_custkey = o_custkey AND o_orderstatus <> '$excludeStatus'
+       |  GROUP BY c_custkey)
+       |SELECT c_count, count(*) AS custdist
+       |FROM per_cust GROUP BY c_count
+       |ORDER BY custdist DESC, c_count DESC""".stripMargin
+
+  /** TPC-H Q14 ("promotion effect"): the share of one month's revenue
+    * that came from promo-class parts. The month filter prunes the
+    * lineitem scan, part broadcasts, and the share is ONE conditional
+    * aggregate over the joined rows (no second pass) — numerator and
+    * denominator both exact integer cents, the percentage the only
+    * float, computed once on two Longs.
+    */
+  def q14PromoEffect(spark: SparkSession, dir: String,
+                     mStart: String = "1997-09-01", mEnd: String = "1997-10-01"): DataFrame = {
+    import spark.implicits._
+    val li = Tables.lineitem(spark, dir)
+      .filter($"l_shipdate" >= lit(mStart).cast("timestamp")
+        && $"l_shipdate" < lit(mEnd).cast("timestamp"))
+      .select($"l_partkey",
+        expr("CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)").as("rev_c"))
+    li.join(broadcast(Tables.part(spark, dir).select($"p_partkey", $"p_type")),
+        $"l_partkey" === $"p_partkey")
+      .agg(sum(when($"p_type" === "PROMO", $"rev_c").otherwise(0L)).as("promo_cents"),
+           sum($"rev_c").as("total_cents"))
+      .select($"promo_cents", $"total_cents",
+        round(lit(100.0) * $"promo_cents" / $"total_cents", 4).as("promo_share"))
+  }
+
+  /** DuckDB oracle for [[q14PromoEffect]]. */
+  def q14OracleSql(mStart: String = "1997-09-01", mEnd: String = "1997-10-01"): String =
+    s"""WITH j AS (
+       |  SELECT p_type, CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT) AS rev_c
+       |  FROM lineitem JOIN part ON l_partkey = p_partkey
+       |  WHERE l_shipdate >= TIMESTAMP '$mStart' AND l_shipdate < TIMESTAMP '$mEnd')
+       |SELECT CAST(sum(CASE WHEN p_type = 'PROMO' THEN rev_c ELSE 0 END) AS BIGINT) AS promo_cents,
+       |       CAST(sum(rev_c) AS BIGINT) AS total_cents,
+       |       round(100.0 * sum(CASE WHEN p_type = 'PROMO' THEN rev_c ELSE 0 END) / sum(rev_c), 4) AS promo_share
+       |FROM j""".stripMargin
+
+  /** TPC-H Q15 ("top supplier"): the supplier(s) with the maximum
+    * quarterly revenue — the argmax-with-ties shape (TPC-H specifies
+    * a view + `= (SELECT max ...)`, NOT a LIMIT 1, precisely so ties
+    * all surface). Per-supplier revenue is one map-side-combinable
+    * aggregate; the max is a ONE-ROW broadcast (the repo's standard
+    * one-row stats crossJoin) compared in exact integer cents, so
+    * tie detection is exact — no float epsilon; the supplier dim
+    * broadcasts onto the surviving row(s).
+    */
+  def q15TopSupplier(spark: SparkSession, dir: String,
+                     qStart: String = "1997-01-01", qEnd: String = "1997-04-01"): DataFrame = {
+    import spark.implicits._
+    val perSupp = Tables.lineitem(spark, dir)
+      .filter($"l_shipdate" >= lit(qStart).cast("timestamp")
+        && $"l_shipdate" < lit(qEnd).cast("timestamp"))
+      .groupBy($"l_suppkey")
+      .agg(sum(expr("CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)")).as("rev_c"))
+    perSupp
+      .crossJoin(broadcast(perSupp.agg(max($"rev_c").as("max_c"))))
+      .filter($"rev_c" === $"max_c")
+      .join(broadcast(Tables.supplier(spark, dir).select($"s_suppkey", $"s_name")),
+        $"l_suppkey" === $"s_suppkey")
+      .select($"s_suppkey", $"s_name", round($"rev_c" / 100.0, 2).as("total_revenue"))
+      .orderBy($"s_suppkey")
+  }
+
+  /** DuckDB oracle for [[q15TopSupplier]]. */
+  def q15OracleSql(qStart: String = "1997-01-01", qEnd: String = "1997-04-01"): String =
+    s"""WITH rev AS (
+       |  SELECT l_suppkey, sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS rev_c
+       |  FROM lineitem
+       |  WHERE l_shipdate >= TIMESTAMP '$qStart' AND l_shipdate < TIMESTAMP '$qEnd'
+       |  GROUP BY l_suppkey)
+       |SELECT s_suppkey, s_name, round(rev_c / 100.0, 2) AS total_revenue
+       |FROM rev JOIN supplier ON l_suppkey = s_suppkey
+       |WHERE rev_c = (SELECT max(rev_c) FROM rev)
+       |ORDER BY s_suppkey""".stripMargin
+
+  /** TPC-H Q22 shape ("global sales opportunity"): customers with an
+    * above-average account balance who have gone DORMANT — no order
+    * since `since` — rolled up by geography. Exercises the
+    * scalar-subquery + anti-join pair: the positive-balance average
+    * arrives as a ONE-ROW broadcast of (sum_cents, n) and the
+    * comparison cross-multiplies to pure integers
+    * (`bal_c * n > sum_c` ⇔ bal > avg — no division, no float),
+    * then a LEFT ANTI join against the DISTINCT recent-order
+    * custkeys (date filter pushed to the orders scan, distinct
+    * first, so the anti probe carries id-rows) keeps the dormant.
+    * Two corpus adaptations, shape unchanged: the anti-join class is
+    * "no order after a cutoff" rather than TPC-H's "no order ever"
+    * (this datagen gives every customer orders, so the literal Q22
+    * predicate is vacuous here), and the grouping geography is the
+    * nation dim rather than the phone-prefix country code (no phone
+    * column).
+    */
+  def q22DormantCustomers(spark: SparkSession, dir: String,
+                          since: String = "2000-01-01"): DataFrame = {
+    import spark.implicits._
+    val cust = Tables.customer(spark, dir)
+      .select($"c_custkey", $"c_nationkey",
+        expr("CAST(round(c_acctbal * 100) AS BIGINT)").as("bal_c"))
+    val avgStats = cust.filter($"bal_c" > 0L)
+      .agg(sum($"bal_c").as("sum_c"), count(lit(1)).as("n_pos"))
+    val dormant = cust
+      .crossJoin(broadcast(avgStats))
+      .filter($"bal_c" * $"n_pos" > $"sum_c")
+      .join(Tables.orders(spark, dir)
+          .filter($"o_orderdate" >= lit(since).cast("timestamp"))
+          .select($"o_custkey").distinct(),
+        $"c_custkey" === $"o_custkey", "left_anti")
+    dormant
+      .join(broadcast(Tables.nation(spark, dir)), $"c_nationkey" === $"n_nationkey")
+      .groupBy($"n_name")
+      .agg(count(lit(1)).as("numcust"), round(sum($"bal_c") / 100.0, 2).as("totacctbal"))
+      .orderBy($"n_name")
+  }
+
+  /** DuckDB oracle for [[q22DormantCustomers]]. */
+  def q22OracleSql(since: String = "2000-01-01"): String =
+    s"""WITH cust AS (
+       |  SELECT c_custkey, c_nationkey, CAST(round(c_acctbal * 100) AS BIGINT) AS bal_c
+       |  FROM customer),
+       |avg_stats AS (
+       |  SELECT CAST(sum(bal_c) AS BIGINT) AS sum_c, count(*) AS n_pos
+       |  FROM cust WHERE bal_c > 0)
+       |SELECT n_name, count(*) AS numcust, round(sum(bal_c) / 100.0, 2) AS totacctbal
+       |FROM cust, avg_stats
+       |JOIN nation ON c_nationkey = n_nationkey
+       |WHERE bal_c * n_pos > sum_c
+       |  AND NOT EXISTS (SELECT 1 FROM orders
+       |                  WHERE o_custkey = c_custkey
+       |                    AND o_orderdate >= TIMESTAMP '$since')
+       |GROUP BY n_name ORDER BY n_name""".stripMargin
+
   /** Wide→long reshape (the inverse of [[pivotSales]]'s PIVOT —
     * Spark's `unpivot`/MELT): per-returnflag exact-cents metrics
     * unpivoted to (flag, metric, value) rows. One aggregate then a

@@ -321,6 +321,45 @@ object TextOps {
        |JOIN (${Dedup.dedupClustersOracleSql()}) d ON l.doc_id = d.doc_id
        |ORDER BY l.doc_id""".stripMargin
 
+  /** Corpus vocabulary profile — the Zipf/coverage table a tokenizer
+    * or data-mix decision reads: per token its collection frequency
+    * (cf), document frequency (df), frequency rank, and the
+    * CUMULATIVE share of all token occurrences covered by ranks
+    * 1..r ("the head h tokens cover X% of the stream" — the number
+    * that sizes vocabularies and stop-lists). cf/df/cum are exact
+    * integers; the share division is the only float, performed once
+    * per vocab row on two exact Longs.
+    *
+    * Scale shape: one explode + one map-side-combinable (token)
+    * aggregate collapses the corpus to VOCAB-sized rows before
+    * anything global; the rank window and running sum then run over
+    * the vocabulary, not the corpus — fine up to millions of tokens
+    * on one partition (it is a final, post-aggregate sort; at
+    * larger vocabularies the same two columns come from a
+    * range-partitioned sort + per-partition offsets, the
+    * [[Olap.percentileStats]] slice pattern).
+    */
+  def vocabStats(spark: SparkSession, dir: String): DataFrame =
+    vocabStatsTransform(spark, Tables.documents(spark, dir))
+
+  def vocabStatsTransform(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    val toks = docs
+      .select($"doc_id", explode(split($"text", " ")).as("tok"))
+    val vocab = toks.groupBy($"tok")
+      .agg(count(lit(1)).as("cf"), count_distinct($"doc_id").as("df"))
+    val byFreq = Window.orderBy($"cf".desc, $"tok")
+    val cum = Window.orderBy($"cf".desc, $"tok")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    vocab
+      .withColumn("rank", row_number().over(byFreq).cast("long"))
+      .withColumn("cum_cf", sum($"cf").over(cum))
+      .crossJoin(broadcast(toks.agg(count(lit(1)).as("total"))))
+      .select($"tok", $"cf", $"df", $"rank",
+        round($"cum_cf" / $"total", 6).as("cum_share"))
+      .orderBy($"rank")
+  }
+
   /** Token counting: whitespace tokens plus a BPE-ish segmentation
     * (letter runs | digit runs | single punctuation). */
   def tokenCount(spark: SparkSession, dir: String): DataFrame = {

@@ -435,6 +435,19 @@ class BatchOperatorsSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAl
     assert(m(3L).getDouble(2) == 0.5 && m(3L).getDouble(3) > 0.0)
   }
 
+  test("vocab_stats: exact cf/df/rank with token tie-break and cumulative share reaching 1") {
+    import spark.implicits._
+    val docs = Seq((1L, "a a b c"), (2L, "a b d")).toDF("doc_id", "text")
+    val out = graft.operators.TextOps.vocabStatsTransform(spark, docs).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toSeq
+    // total stream = 7 tokens; cf ties (c=1, d=1) rank by token order
+    assert(out == Seq(
+      ("a", 3L, 2L, 1L, 0.428571),
+      ("b", 2L, 2L, 2L, 0.714286),
+      ("c", 1L, 1L, 3L, 0.857143),
+      ("d", 1L, 1L, 4L, 1.0)))
+  }
+
   test("text_redact scrubs planted PII classes byte-exactly") {
     import spark.implicits._
     def md5hex(s: String): String =

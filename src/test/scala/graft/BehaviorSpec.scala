@@ -122,6 +122,21 @@ class BehaviorSpec extends AnyFunSuite {
     assert(r.getLong(1) == 21L && r.getLong(2) == 1L)
   }
 
+  test("anomaly MAD: median and MAD survive a planted corruption that flags (50% breakdown)") {
+    // values 1..21 dollars -> median 11.00, MAD 5.00; one corrupt 1000.0
+    // reading joins the sample (n=22, lower-median k=11) WITHOUT moving
+    // either statistic — the robustness a z-score lacks — and is the
+    // only row with |x-med|*10 > 25*mad.
+    val base = (1 to 21).map(i => (1L, f"2024-01-01 10:${i - 1}%02d:00", i.toLong, "x", i.toDouble))
+    val events = ev(base :+ ((2L, "2024-01-01 11:00:00", 99L, "x", 1000.0)))
+    val out = Behavior.anomalyMadTransform(events).collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getString(0) == "x" && r.getLong(1) == 22L)
+    assert(r.getDouble(2) == 11.0 && r.getDouble(3) == 5.0)
+    assert(r.getLong(4) == 1L)
+  }
+
   test("first-touch: earliest touch wins, strictly-before + lookback bounds, ties by event_id") {
     val events = ev(Seq(
       // user 1: view then click -> FIRST touch (view) credited, unlike last-touch
