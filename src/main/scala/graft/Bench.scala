@@ -108,7 +108,10 @@ object Bench {
     "anomaly_mad" -> 3.896,
     "q6_revenue_delta" -> 1.306, "q10_returned_items" -> 2.141,
     "q13_order_distribution" -> 1.627, "q14_promo_effect" -> 1.621,
-    "q15_top_supplier" -> 2.000, "q22_dormant_customers" -> 2.364)
+    "q15_top_supplier" -> 2.000, "q22_dormant_customers" -> 2.364,
+    "degree_histogram" -> 3.422, "rfm_segments" -> 2.280,
+    "item_similarity" -> 3.345, "metric_correlations" -> 2.683,
+    "mode_daily_item" -> 2.574, "char_ngram_profile" -> 5.314)
 
   /** Run ONE query in a fresh JVM (this JVM's own flags + classpath,
     * stderr discarded) and parse its timing out of the child's JSON

@@ -55,6 +55,13 @@ object SparkEntry {
     "triangle_count"     -> Graph.triangleCount _,
     "hits_scores"        -> Graph.hitsScores _,
     "communities_lpa"    -> Graph.communitiesLpa _,
+    "degree_histogram"   -> Graph.degreeHistogram _,
+    // behavioral statistics over the event log
+    "rfm_segments"        -> Behavior.rfmSegments _,
+    "item_similarity"     -> Behavior.itemSimilarity _,
+    "metric_correlations" -> Behavior.metricCorrelations _,
+    "mode_daily_item"     -> Behavior.modeDailyItem _,
+    "char_ngram_profile"  -> TextOps.charNgramProfile _,
     // Structured Streaming (real engine: readStream -> AvailableNow),
     // checked against the same DuckDB oracles as their batch twins
     "stream_hop_agg"     -> EngagementStream.streamHopAgg _,
@@ -582,6 +589,12 @@ object SparkEntry {
     "hits_scores" -> operators.Graph.hitsOracleSql(),
     "triangle_count" -> operators.Graph.triangleOracleSql(),
     "communities_lpa" -> operators.Graph.lpaOracleSql(),
+    "degree_histogram" -> operators.Graph.degreeHistogramOracleSql,
+    "rfm_segments" -> operators.Behavior.rfmSegmentsOracleSql,
+    "item_similarity" -> operators.Behavior.itemSimilarityOracleSql,
+    "metric_correlations" -> operators.Behavior.metricCorrelationsOracleSql,
+    "mode_daily_item" -> operators.Behavior.modeDailyItemOracleSql,
+    "char_ngram_profile" -> operators.TextOps.charNgramProfileOracleSql,
 
     // the bounded-heap stage-2 equals this nested-window formulation
     "topk_diversified" ->

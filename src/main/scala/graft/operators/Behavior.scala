@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -611,6 +611,258 @@ object Behavior {
 
   def keySkewStats(spark: SparkSession, dir: String): DataFrame =
     keySkewTransform(Tables.events(spark, dir), topN = 10)
+
+  /** RFM (recency / frequency / monetary) quartile segmentation —
+    * the classic customer-base cut an analyst runs first on the
+    * reference's ClickHouse sink: per user, days since last activity
+    * (vs the corpus max day), event count, and exact spend cents;
+    * each metric quartiled 1..4 (1 = best) and the base reported as
+    * (r,f,m) segment counts with total spend and events.
+    *
+    * Quartiles are RANK-based with a total order (metric, then
+    * user_id), so the assignment `q = ((rn−1)·4) div n + 1` is
+    * deterministic and engine-identical — no float thresholds, no
+    * ntile tie ambiguity. The three rank windows run over the
+    * per-user AGGREGATE (|users| rows, fact already reduced — the
+    * [[TextOps.vocabStats]] pattern); at 100 TB user-count scale the
+    * three global sorts swap for the slice-locate exact-rank pattern
+    * of [[Olap.percentileStats]] or approx thresholds, documented
+    * trade.
+    *
+    * Scale shape: fact shuffles ONCE on user_id into the three-metric
+    * aggregate (map-side combinable: max/count/sum); everything after
+    * is user-scale; output is ≤ 64 segment rows.
+    */
+  def rfmSegmentsTransform(events: DataFrame): DataFrame = {
+    val perUser = events
+      .select(col("user_id"), col("ts"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+      .groupBy(col("user_id"))
+      .agg(max(col("ts")).as("last_ts"),
+        count(lit(1)).as("freq"),
+        sum(col("cents")).as("cents"))
+    val w = Window.partitionBy(lit(0))
+    def quartile(order: Column, name: String)(df: DataFrame): DataFrame = df
+      .withColumn("rn", row_number().over(w.orderBy(order, col("user_id"))))
+      .withColumn("nn", count(lit(1)).over(w))
+      .withColumn(name, expr("CAST((rn - 1) * 4 div nn + 1 AS INT)"))
+      .drop("rn", "nn")
+    val scored = quartile(col("last_ts").desc, "r_q")(
+      quartile(col("freq").desc, "f_q")(
+        quartile(col("cents").desc, "m_q")(perUser)))
+    scored.groupBy(col("r_q"), col("f_q"), col("m_q"))
+      .agg(count(lit(1)).as("n_users"),
+        sum(col("freq")).as("n_events"),
+        round(sum(col("cents")) / 100.0, 2).as("monetary"))
+      .orderBy(col("r_q"), col("f_q"), col("m_q"))
+  }
+
+  def rfmSegments(spark: SparkSession, dir: String): DataFrame =
+    rfmSegmentsTransform(Tables.events(spark, dir))
+
+  /** DuckDB oracle for [[rfmSegmentsTransform]] — same rank-quartile
+    * arithmetic (`(rn−1)·4 // n + 1`) over the same total orders.
+    */
+  val rfmSegmentsOracleSql: String =
+    """WITH u AS (
+      |  SELECT user_id, max(CAST(ts AS TIMESTAMP)) AS last_ts, count(*) AS freq,
+      |         sum(CAST(round(value * 100) AS BIGINT)) AS cents
+      |  FROM events GROUP BY 1),
+      |q AS (
+      |  SELECT user_id, freq, cents,
+      |    (row_number() OVER (ORDER BY last_ts DESC, user_id) - 1) * 4 // count(*) OVER () + 1 AS r_q,
+      |    (row_number() OVER (ORDER BY freq DESC, user_id) - 1) * 4 // count(*) OVER () + 1 AS f_q,
+      |    (row_number() OVER (ORDER BY cents DESC, user_id) - 1) * 4 // count(*) OVER () + 1 AS m_q
+      |  FROM u)
+      |SELECT CAST(r_q AS INT) AS r_q, CAST(f_q AS INT) AS f_q, CAST(m_q AS INT) AS m_q,
+      |       count(*) AS n_users, CAST(sum(freq) AS BIGINT) AS n_events,
+      |       round(CAST(sum(cents) AS BIGINT) / 100.0, 2) AS monetary
+      |FROM q GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
+
+  /** Item-item Jaccard similarity over co-engagement user sets —
+    * |U_a ∩ U_b| / |U_a ∪ U_b| for every co-engaged item pair with
+    * support ≥ `minSupport` — the similarity matrix behind
+    * "users who engaged with X also…" recommenders, one level up
+    * from [[coEngagementTransform]]'s raw counts.
+    *
+    * All three set sizes come from the SAME capped distinct
+    * (user, item) basis (power users past `maxItems` excluded before
+    * any pair is formed, identically for intersection and union), so
+    * the Jaccard denominators are consistent: n_a + n_b − n_both.
+    * The per-item counts join the pair table twice as planning-scale
+    * broadcasts (|items| rows). No top-k float ranking — the full
+    * thresholded pair list is emitted and ordered by ids, so the only
+    * float (the rounded ratio) never decides row membership.
+    *
+    * Scale shape: identical to [[coEngagementTransform]] (its
+    * quadratic guard IS the scale story) plus two broadcast joins of
+    * |items|-row count tables; at 100 TB the pair aggregate is the
+    * same bounded maxItems²·|users| shuffle.
+    */
+  def itemSimilarityTransform(events: DataFrame, maxItems: Int, minSupport: Long): DataFrame = {
+    val items = events
+      .select(col("user_id"), get_json_object(col("props"), "$.k").cast("long").as("item"))
+      .distinct()
+    val kept = items.join(
+      items.groupBy(col("user_id")).agg(count(lit(1)).as("n_items"))
+        .filter(col("n_items") <= maxItems),
+      Seq("user_id")).select(col("user_id"), col("item"))
+    val itemCounts = kept.groupBy(col("item")).agg(count(lit(1)).as("n"))
+    val a = kept.select(col("user_id"), col("item").as("item_a"))
+    val b = kept.select(col("user_id"), col("item").as("item_b"))
+    a.join(b, Seq("user_id"))
+      .filter(col("item_a") < col("item_b"))
+      .groupBy(col("item_a"), col("item_b"))
+      .agg(count(lit(1)).as("n_both"))
+      .filter(col("n_both") >= minSupport)
+      .join(broadcast(itemCounts.select(col("item").as("item_a"), col("n").as("n_a"))), Seq("item_a"))
+      .join(broadcast(itemCounts.select(col("item").as("item_b"), col("n").as("n_b"))), Seq("item_b"))
+      .select(col("item_a"), col("item_b"), col("n_a"), col("n_b"), col("n_both"),
+        round(col("n_both") / (col("n_a") + col("n_b") - col("n_both")), 6).as("jaccard"))
+      .orderBy(col("item_a"), col("item_b"))
+  }
+
+  def itemSimilarity(spark: SparkSession, dir: String): DataFrame =
+    itemSimilarityTransform(Tables.events(spark, dir), maxItems = 50, minSupport = 3L)
+
+  /** DuckDB oracle for [[itemSimilarityTransform]]. */
+  val itemSimilarityOracleSql: String =
+    """WITH it AS (
+      |  SELECT DISTINCT user_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS item FROM events),
+      |kept AS (
+      |  SELECT it.user_id, it.item FROM it
+      |  JOIN (SELECT user_id FROM it GROUP BY 1 HAVING count(*) <= 50) u USING (user_id)),
+      |ic AS (SELECT item, count(*) AS n FROM kept GROUP BY 1),
+      |pairs AS (
+      |  SELECT a.item AS item_a, b.item AS item_b, count(*) AS n_both
+      |  FROM kept a JOIN kept b ON a.user_id = b.user_id AND a.item < b.item
+      |  GROUP BY 1, 2 HAVING count(*) >= 3)
+      |SELECT item_a, item_b, ia.n AS n_a, ib.n AS n_b, n_both,
+      |       round(n_both / (ia.n + ib.n - n_both), 6) AS jaccard
+      |FROM pairs JOIN ic ia ON pairs.item_a = ia.item
+      |           JOIN ic ib ON pairs.item_b = ib.item
+      |ORDER BY item_a, item_b""".stripMargin
+
+  /** Pairwise Pearson correlation between event types' DAILY revenue
+    * series — the metric-correlation screen ("does `click` revenue
+    * move with `purchase` revenue?") behind dashboard anomaly
+    * root-causing. The day×type grid is ZERO-FILLED (a missing day is
+    * 0 revenue, not an ignored observation), so every pair correlates
+    * over the identical n = |days| sample.
+    *
+    * All five sufficient statistics (Σx, Σy, Σxy, Σx², Σy²) are
+    * EXACT integer sums of daily cents — commutative, engine- and
+    * order-independent; the cross-products run in Decimal(38,0)
+    * (DuckDB HUGEINT) because a 1e9-cent day already puts xa·xb at
+    * ~1e18 and the sf0.01 corpus overflows a Long in ANSI mode.
+    * Floats appear only in the final
+    * r = (nΣxy − ΣxΣy)/√((nΣx² − (Σx)²)(nΣy² − (Σy)²)) — both
+    * engines convert the same exact decimal to the same
+    * correctly-rounded double, so the rounded r is engine-identical.
+    *
+    * Scale shape: fact → (day, type) partial-agg (map-side
+    * combinable, one shuffle), grid is |days|·|types| planning-scale
+    * rows; the pair join fans each day row |types|² ways — bounded by
+    * the type-count square, never by data volume.
+    */
+  def metricCorrelationsTransform(events: DataFrame): DataFrame = {
+    val daily = events
+      .select(date_trunc("day", col("ts")).as("day"), col("event_type"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+      .groupBy(col("day"), col("event_type"))
+      .agg(sum(col("cents")).as("cents"))
+    val days = daily.select(col("day")).distinct()
+    val types = daily.select(col("event_type")).distinct()
+    val grid = days.crossJoin(broadcast(types))
+      .join(daily, Seq("day", "event_type"), "left")
+      .select(col("day"), col("event_type"), coalesce(col("cents"), lit(0L)).as("cents"))
+    val x = grid.select(col("day"), col("event_type").as("type_a"), col("cents").as("xa"))
+    val y = grid.select(col("day"), col("event_type").as("type_b"), col("cents").as("xb"))
+    val dec = "decimal(38,0)"
+    x.join(y, Seq("day"))
+      .filter(col("type_a") < col("type_b"))
+      .groupBy(col("type_a"), col("type_b"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("xa")).cast(dec).as("sx"), sum(col("xb")).cast(dec).as("sy"),
+        sum(col("xa").cast(dec) * col("xb")).as("sxy"),
+        sum(col("xa").cast(dec) * col("xa")).as("sxx"),
+        sum(col("xb").cast(dec) * col("xb")).as("syy"))
+      .select(col("type_a"), col("type_b"), col("n"),
+        round(((col("n") * col("sxy") - col("sx") * col("sy")).cast("double")) /
+          sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast("double") *
+               (col("n") * col("syy") - col("sy") * col("sy")).cast("double")), 6).as("pearson_r"))
+      .orderBy(col("type_a"), col("type_b"))
+  }
+
+  def metricCorrelations(spark: SparkSession, dir: String): DataFrame =
+    metricCorrelationsTransform(Tables.events(spark, dir))
+
+  /** DuckDB oracle for [[metricCorrelationsTransform]] — the same
+    * integer sufficient statistics, the same final expression.
+    */
+  val metricCorrelationsOracleSql: String =
+    """WITH daily AS (
+      |  SELECT date_trunc('day', CAST(ts AS TIMESTAMP)) AS day, event_type,
+      |         sum(CAST(round(value * 100) AS BIGINT)) AS cents
+      |  FROM events GROUP BY 1, 2),
+      |grid AS (
+      |  SELECT d.day, t.event_type, coalesce(daily.cents, 0) AS cents
+      |  FROM (SELECT DISTINCT day FROM daily) d
+      |  CROSS JOIN (SELECT DISTINCT event_type FROM daily) t
+      |  LEFT JOIN daily ON daily.day = d.day AND daily.event_type = t.event_type),
+      |p AS (
+      |  SELECT a.event_type AS type_a, b.event_type AS type_b, count(*) AS n,
+      |         CAST(sum(a.cents) AS HUGEINT) AS sx, CAST(sum(b.cents) AS HUGEINT) AS sy,
+      |         sum(CAST(a.cents AS HUGEINT) * b.cents) AS sxy,
+      |         sum(CAST(a.cents AS HUGEINT) * a.cents) AS sxx,
+      |         sum(CAST(b.cents AS HUGEINT) * b.cents) AS syy
+      |  FROM grid a JOIN grid b ON a.day = b.day AND a.event_type < b.event_type
+      |  GROUP BY 1, 2)
+      |SELECT type_a, type_b, n,
+      |       round(CAST(n * sxy - sx * sy AS DOUBLE) /
+      |             sqrt(CAST(n * sxx - sx * sx AS DOUBLE) * CAST(n * syy - sy * sy AS DOUBLE)), 6) AS pearson_r
+      |FROM p ORDER BY type_a, type_b""".stripMargin
+
+  /** Daily modal item — per day, the most-engaged item (by event
+    * count) with a deterministic tie-break (smallest item id), its
+    * count, and its integer share of the day in basis points. The
+    * ClickHouse `topK(1)`/`anyHeavy` per-bucket analog, exact.
+    *
+    * Shape: fact → (day, item) counts (map-side combinable), then a
+    * row_number window PARTITIONED BY day (distributed — every day
+    * sorts only its own items) picks rank 1; the day-total joins back
+    * co-partitioned on day. Integer share (n·10⁴ div total) keeps
+    * the output float-free.
+    */
+  def modeDailyItemTransform(events: DataFrame): DataFrame = {
+    val counts = events
+      .select(date_trunc("day", col("ts")).as("day"),
+        get_json_object(col("props"), "$.k").cast("long").as("item"))
+      .groupBy(col("day"), col("item"))
+      .agg(count(lit(1)).as("n"))
+    val totals = counts.groupBy(col("day")).agg(sum(col("n")).as("total"))
+    val w = Window.partitionBy(col("day")).orderBy(col("n").desc, col("item"))
+    counts.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .join(totals, Seq("day"))
+      .select(col("day"), col("item").as("top_item"), col("n"),
+        expr("n * 10000 div total").as("share_bp"))
+      .orderBy(col("day"))
+  }
+
+  def modeDailyItem(spark: SparkSession, dir: String): DataFrame =
+    modeDailyItemTransform(Tables.events(spark, dir))
+
+  /** DuckDB oracle for [[modeDailyItemTransform]]. */
+  val modeDailyItemOracleSql: String =
+    """WITH c AS (
+      |  SELECT date_trunc('day', CAST(ts AS TIMESTAMP)) AS day,
+      |         CAST(json_extract_string(props, '$.k') AS BIGINT) AS item, count(*) AS n
+      |  FROM events GROUP BY 1, 2),
+      |t AS (SELECT day, sum(n) AS total FROM c GROUP BY 1),
+      |r AS (SELECT day, item, n, row_number() OVER (PARTITION BY day ORDER BY n DESC, item) AS rn FROM c)
+      |SELECT r.day, r.item AS top_item, r.n,
+      |       CAST(r.n * 10000 // t.total AS BIGINT) AS share_bp
+      |FROM r JOIN t ON r.day = t.day WHERE r.rn = 1 ORDER BY r.day""".stripMargin
 
   def topkDiversified(spark: SparkSession, dir: String, k: Int = 10, perUser: Int = 2): DataFrame = {
     val ev = Tables.events(spark, dir)

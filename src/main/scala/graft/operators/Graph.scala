@@ -400,6 +400,38 @@ object Graph {
   def communitiesLpa(spark: SparkSession, dir: String): DataFrame =
     lpaTransform(edgeTransform(Tables.events(spark, dir), maxItems = 50, topEdges = 800))
 
+  /** Degree distribution of the co-engagement graph — the
+    * structure-health report read BEFORE running any iterative
+    * algorithm here (a power-law degree table says whether PageRank
+    * iterations or the LSH-style guards are the binding cost): per
+    * degree value, how many items have it.
+    *
+    * Shape: symmetric edge union → per-node degree count → per-degree
+    * node count, both map-side combinable aggregates on planning-scale
+    * edge rows; output is ≤ max-degree rows.
+    */
+  def degreeHistogramTransform(pairs: DataFrame): DataFrame = {
+    val edges = pairs.select(col("item_a").as("src"), col("item_b").as("dst"))
+      .unionByName(pairs.select(col("item_b").as("src"), col("item_a").as("dst")))
+    edges.groupBy(col("src"))
+      .agg(count(lit(1)).as("degree"))
+      .groupBy(col("degree"))
+      .agg(count(lit(1)).as("n_items"))
+      .orderBy(col("degree"))
+  }
+
+  def degreeHistogram(spark: SparkSession, dir: String): DataFrame =
+    degreeHistogramTransform(edgeTransform(Tables.events(spark, dir), maxItems = 50, topEdges = 800))
+
+  /** DuckDB oracle for [[degreeHistogramTransform]] over the shared
+    * edge basis. */
+  def degreeHistogramOracleSql: String =
+    s"""WITH $edgeCtes,
+       |edges AS (SELECT item_a AS src, item_b AS dst FROM pairs
+       |          UNION ALL SELECT item_b, item_a FROM pairs),
+       |deg AS (SELECT src, count(*) AS degree FROM edges GROUP BY 1)
+       |SELECT degree, count(*) AS n_items FROM deg GROUP BY 1 ORDER BY degree""".stripMargin
+
   /** Shared edge-list CTE text for the DuckDB oracles — the SQL twin
     * of [[edgeTransform]] (same maxItems = 50, topEdges = 800, same
     * total order on the cut).

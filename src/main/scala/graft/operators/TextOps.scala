@@ -360,6 +360,59 @@ object TextOps {
       .orderBy($"rank")
   }
 
+  /** Per-language character n-gram frequency profile — the training
+    * table behind [[langId]]'s n-gram heuristic (which ships with a
+    * hand-rolled profile; this operator DERIVES one from a labeled
+    * corpus): top-`topK` character trigrams per language with counts,
+    * dense rank, and integer basis-point share of the language's
+    * gram stream.
+    *
+    * Shape: each doc explodes to |chars| gram rows that collapse
+    * map-side into the (lang, gram) count table (gram-vocab scale —
+    * ≤ |alphabet|³ per language, NOT corpus scale); the top-k window
+    * partitions by lang, so every language sorts only its own vocab.
+    * Short docs (< n chars) contribute nothing (the `CASE` guard —
+    * Spark's `sequence(1, 0)` would otherwise count DOWN). Integer
+    * share keeps the output float-free.
+    */
+  def charNgramProfileTransform(docs: DataFrame, n: Int = 3, topK: Int = 20): DataFrame = {
+    val grams = docs
+      .select(col("lang"), lower(col("text")).as("t"))
+      .select(col("lang"), explode(expr(
+        s"CASE WHEN char_length(t) >= $n THEN transform(sequence(1, char_length(t) - ${n - 1}), i -> substr(t, i, $n)) ELSE array() END")).as("gram"))
+    val counts = grams.groupBy(col("lang"), col("gram")).agg(count(lit(1)).as("cnt"))
+    val totals = counts.groupBy(col("lang")).agg(sum(col("cnt")).as("total"))
+    val w = Window.partitionBy(col("lang")).orderBy(col("cnt").desc, col("gram"))
+    counts.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= topK)
+      .join(totals, Seq("lang"))
+      .select(col("lang"), col("gram"), col("cnt"), col("rank"),
+        expr("cnt * 10000 div total").as("share_bp"))
+      .orderBy(col("lang"), col("rank"))
+  }
+
+  def charNgramProfile(spark: SparkSession, dir: String): DataFrame =
+    charNgramProfileTransform(Tables.documents(spark, dir))
+
+  /** DuckDB oracle for [[charNgramProfileTransform]] (n = 3,
+    * topK = 20) — LATERAL unnest(range) spells the same gram
+    * enumeration; `range(1, len−2+1)` is empty for short docs, so no
+    * guard is needed on the SQL side.
+    */
+  val charNgramProfileOracleSql: String =
+    """WITH d AS (SELECT lang, lower(text) AS t FROM documents),
+      |g AS (SELECT lang, substr(t, CAST(i AS INT), 3) AS gram
+      |      FROM d, LATERAL (SELECT unnest(range(1, greatest(length(t) - 2, 0) + 1)) AS i) s),
+      |c AS (SELECT lang, gram, count(*) AS cnt FROM g GROUP BY 1, 2),
+      |t AS (SELECT lang, sum(cnt) AS total FROM c GROUP BY 1),
+      |r AS (SELECT lang, gram, cnt,
+      |             row_number() OVER (PARTITION BY lang ORDER BY cnt DESC, gram) AS rank
+      |      FROM c)
+      |SELECT r.lang, r.gram, r.cnt, CAST(r.rank AS BIGINT) AS rank,
+      |       CAST(r.cnt * 10000 // t.total AS BIGINT) AS share_bp
+      |FROM r JOIN t USING (lang) WHERE r.rank <= 20
+      |ORDER BY r.lang, r.rank""".stripMargin
+
   /** Token counting: whitespace tokens plus a BPE-ish segmentation
     * (letter runs | digit runs | single punctuation). */
   def tokenCount(spark: SparkSession, dir: String): DataFrame = {

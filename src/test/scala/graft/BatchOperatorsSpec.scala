@@ -435,6 +435,21 @@ class BatchOperatorsSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAl
     assert(m(3L).getDouble(2) == 0.5 && m(3L).getDouble(3) > 0.0)
   }
 
+  test("char_ngram_profile: exact trigram counts, lowercasing, short-doc guard, tie-break") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "en", "ABABA"),   // lower -> ababa: aba x2, bab x1
+      (2L, "en", "ab"),      // < 3 chars -> contributes nothing (sequence guard)
+      (3L, "fr", "xyz"))     // exactly 3 chars -> one gram
+      .toDF("doc_id", "lang", "text")
+    val out = graft.operators.TextOps.charNgramProfileTransform(docs).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSeq
+    assert(out == Seq(
+      ("en", "aba", 2L, 1L, 6666L),
+      ("en", "bab", 1L, 2L, 3333L),
+      ("fr", "xyz", 1L, 1L, 10000L)))
+  }
+
   test("vocab_stats: exact cf/df/rank with token tie-break and cumulative share reaching 1") {
     import spark.implicits._
     val docs = Seq((1L, "a a b c"), (2L, "a b d")).toDF("doc_id", "text")

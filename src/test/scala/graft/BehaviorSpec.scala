@@ -221,4 +221,87 @@ class BehaviorSpec extends AnyFunSuite {
       (1L, 5L, 0.5, 0.5, 2.0),   // 5/10, cum 5/10, 5*4/10
       (2L, 3L, 0.3, 0.8, 1.2)))  // 3/10, cum 8/10, 3*4/10
   }
+
+  test("rfm: rank quartiles are deterministic and partition the base, 1 = best") {
+    // 8 users, one event each on distinct days with distinct values:
+    // recency/frequency/monetary all resolve by the metric itself
+    // (freq ties broken by user_id) and each quartile gets 2 users.
+    val events = ev((1 to 8).map { i =>
+      (i.toLong, f"2024-01-$i%02d 00:00:00", i.toLong, "view", i * 10.0)
+    })
+    val out = Behavior.rfmSegmentsTransform(events).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getInt(2), r.getLong(3), r.getLong(4), r.getDouble(5)))
+    assert(out.map(_._4).sum == 8L)                    // every user in exactly one segment
+    assert(out.forall(t => t._1 >= 1 && t._1 <= 4 && t._2 >= 1 && t._2 <= 4 && t._3 >= 1 && t._3 <= 4))
+    // user 8 (latest, richest) lands in (r=1, f by user-id tiebreak, m=1);
+    // monetary quartile 1 holds users 7+8 -> 70+80 = 150.0 total
+    assert(out.filter(_._3 == 1).map(_._6).sum == 150.0)
+    // recency quartile 4 holds users 1+2 -> 10+20 = 30.0
+    assert(out.filter(_._1 == 4).map(_._6).sum == 30.0)
+  }
+
+  test("item similarity: jaccard from consistent capped user sets") {
+    def evp(rows: Seq[(Long, Long, Long)]): DataFrame =
+      rows.toDF("user_id", "event_id", "k")
+        .withColumn("ts", to_timestamp(lit("2024-01-01 00:00:00")))
+        .withColumn("event_type", lit("view"))
+        .withColumn("props", concat(lit("{\"k\": "), $"k", lit("}")))
+    // users 1,2,3 all touch item 1; users 1,2 touch item 2:
+    // J(1,2) = |{1,2}| / |{1,2,3} u {1,2}| = 2/3
+    val events = evp(Seq(
+      (1L, 1L, 1L), (2L, 2L, 1L), (3L, 3L, 1L),
+      (1L, 4L, 2L), (2L, 5L, 2L)))
+    val out = Behavior.itemSimilarityTransform(events, maxItems = 50, minSupport = 2L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5)))
+    assert(out.toSeq == Seq((1L, 2L, 3L, 2L, 2L, 0.666667)))
+  }
+
+  test("metric correlations: planted perfect correlation and anti-correlation, zero-filled grid") {
+    // a and b move together (r = 1); a and c move oppositely (r = -1).
+    // Day 3 has no 'c' row at all -> zero-fill puts c = 0 there, which
+    // keeps the anti-correlation exact: a = (1,2,3), c = (3,2,0)? no -
+    // use two days only for c so the fill makes c = (30,20,0) vs
+    // a = (10,20,30): r(a,c) is NOT -1 then. Plant exact series
+    // instead: a = (10,20,30), b = (20,40,60), c = (30,20,10).
+    val events = ev(Seq(
+      (1L, "2024-01-01 00:00:00", 1L, "a", 10.0),
+      (1L, "2024-01-02 00:00:00", 2L, "a", 20.0),
+      (1L, "2024-01-03 00:00:00", 3L, "a", 30.0),
+      (1L, "2024-01-01 00:00:00", 4L, "b", 20.0),
+      (1L, "2024-01-02 00:00:00", 5L, "b", 40.0),
+      (1L, "2024-01-03 00:00:00", 6L, "b", 60.0),
+      (1L, "2024-01-01 00:00:00", 7L, "c", 30.0),
+      (1L, "2024-01-02 00:00:00", 8L, "c", 20.0),
+      (1L, "2024-01-03 00:00:00", 9L, "c", 10.0)))
+    val out = Behavior.metricCorrelationsTransform(events).collect()
+      .map(r => ((r.getString(0), r.getString(1)), r.getDouble(3))).toMap
+    assert(out(("a", "b")) == 1.0 && out(("a", "c")) == -1.0 && out(("b", "c")) == -1.0)
+  }
+
+  test("metric correlations: missing day zero-fills (n identical for every pair)") {
+    val events = ev(Seq(
+      (1L, "2024-01-01 00:00:00", 1L, "a", 10.0),
+      (1L, "2024-01-02 00:00:00", 2L, "a", 20.0),
+      (1L, "2024-01-01 00:00:00", 3L, "b", 5.0))) // b missing day 2 -> 0
+    val rows = Behavior.metricCorrelationsTransform(events).collect()
+    assert(rows.length == 1 && rows.head.getLong(2) == 2L)
+    // a = (10,20), b = (5,0): r = -1 exactly
+    assert(rows.head.getDouble(3) == -1.0)
+  }
+
+  test("mode daily item: count wins, ties break to the smaller item id") {
+    def evp(rows: Seq[(String, Long, Long)]): DataFrame =
+      rows.zipWithIndex.map { case ((ts, _, k), i) => (1L + i, ts, i.toLong, k) }
+        .toDF("user_id", "ts_s", "event_id", "k")
+        .withColumn("ts", to_timestamp($"ts_s")).drop("ts_s")
+        .withColumn("event_type", lit("view"))
+        .withColumn("props", concat(lit("{\"k\": "), $"k", lit("}")))
+    val events = evp(Seq(
+      ("2024-01-01 01:00:00", 0L, 7L), ("2024-01-01 02:00:00", 0L, 7L),
+      ("2024-01-01 03:00:00", 0L, 9L),                     // day 1: item 7 wins 2/3
+      ("2024-01-02 01:00:00", 0L, 5L), ("2024-01-02 02:00:00", 0L, 3L))) // day 2: 1-1 tie -> item 3
+    val out = Behavior.modeDailyItemTransform(events).collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(out == Seq((7L, 2L, 6666L), (3L, 1L, 5000L)))
+  }
 }

@@ -180,4 +180,13 @@ class GraphSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("degree histogram: star plus an isolated edge") {
+    // star center 1 -> degree 4; leaves degree 1; edge (6,7) two more
+    // degree-1 nodes: histogram = {1: 6, 4: 1}
+    val out = Graph.degreeHistogramTransform(
+        pairs((1L, 2L), (1L, 3L), (1L, 4L), (1L, 5L), (6L, 7L)))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(out == Seq((1L, 6L), (4L, 1L)))
+  }
 }

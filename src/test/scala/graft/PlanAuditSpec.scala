@@ -49,6 +49,7 @@ class PlanAuditSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
     "ann_pq_topk" -> "broadcasts the per-query ADC lookup tables — a plan-literal LocalTableScan, few KB",
     "edit_distance_pairs" -> "short-string bucket (len<11) all-pairs — measured-and-documented PassJoin leftover, bucket bounded by the length cut",
     "embedding_neardup" -> "DECLARED exact all-pairs baseline (cosine >= t over every pair); the scale paths are dedup_semantic / ann_*",
+    "metric_correlations" -> "zero-fill grid broadcasts the DISTINCT event-type list — bounded by metric-dimension cardinality (|types|), not data volume",
   )
 
   /** One-row build sides are global aggregates (no grouping columns)
