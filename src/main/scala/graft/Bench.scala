@@ -111,7 +111,9 @@ object Bench {
     "q15_top_supplier" -> 2.000, "q22_dormant_customers" -> 2.364,
     "degree_histogram" -> 3.422, "rfm_segments" -> 2.280,
     "item_similarity" -> 3.345, "metric_correlations" -> 2.683,
-    "mode_daily_item" -> 2.574, "char_ngram_profile" -> 5.314)
+    "mode_daily_item" -> 2.574, "char_ngram_profile" -> 5.314,
+    "bpe_merge_candidates" -> 2.681, "sentence_stats" -> 1.593,
+    "stream_mode_daily" -> 3.599)
 
   /** Run ONE query in a fresh JVM (this JVM's own flags + classpath,
     * stderr discarded) and parse its timing out of the child's JSON

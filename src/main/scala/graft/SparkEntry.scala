@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.operators._
-import graft.streaming.{AttributionStream, CdcCompact, EngagementStream, FunnelStream, MomentsStream, RollupStream, Sessionize, StreamDedup, StreamIncrementalDedup}
+import graft.streaming.{AttributionStream, CdcCompact, DailyModeStream, EngagementStream, FunnelStream, MomentsStream, RollupStream, Sessionize, StreamDedup, StreamIncrementalDedup}
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the inventory. */
 object SparkEntry {
@@ -62,6 +62,8 @@ object SparkEntry {
     "metric_correlations" -> Behavior.metricCorrelations _,
     "mode_daily_item"     -> Behavior.modeDailyItem _,
     "char_ngram_profile"  -> TextOps.charNgramProfile _,
+    "bpe_merge_candidates" -> TextOps.bpeMergeCandidates _,
+    "sentence_stats"       -> TextOps.sentenceStats _,
     // Structured Streaming (real engine: readStream -> AvailableNow),
     // checked against the same DuckDB oracles as their batch twins
     "stream_hop_agg"     -> EngagementStream.streamHopAgg _,
@@ -82,6 +84,7 @@ object SparkEntry {
     "stream_attribution" -> ((s: SparkSession, d: String) => AttributionStream.streamAttribution(s, d)),
     "stream_moments"     -> MomentsStream.streamMoments _,
     "stream_rollup"      -> RollupStream.streamRollup _,
+    "stream_mode_daily"  -> DailyModeStream.streamModeDaily _,
     "stream_interval_join" -> EngagementStream.streamIntervalJoin _,
     "stream_interval_join_left" -> EngagementStream.streamIntervalJoinLeft _,
     // Analytic core
@@ -202,6 +205,9 @@ object SparkEntry {
       // additive per-(day,type) rollup state: same full-recompute
       // oracle as the batch incremental_rollup
       "stream_rollup" -> base("incremental_rollup"),
+      // sufficient-count state + shared mode derivation: stream
+      // equals the batch mode_daily_item row-for-row
+      "stream_mode_daily" -> base("mode_daily_item"),
       "stream_moments" ->
         """WITH m AS (SELECT event_type, count(*) AS n,
           |                  CAST(sum(c) AS BIGINT) AS sum_c,
@@ -595,6 +601,8 @@ object SparkEntry {
     "metric_correlations" -> operators.Behavior.metricCorrelationsOracleSql,
     "mode_daily_item" -> operators.Behavior.modeDailyItemOracleSql,
     "char_ngram_profile" -> operators.TextOps.charNgramProfileOracleSql,
+    "bpe_merge_candidates" -> operators.TextOps.bpeMergeCandidatesOracleSql,
+    "sentence_stats" -> operators.TextOps.sentenceStatsOracleSql,
 
     // the bounded-heap stage-2 equals this nested-window formulation
     "topk_diversified" ->

@@ -834,12 +834,20 @@ object Behavior {
     * co-partitioned on day. Integer share (n·10⁴ div total) keeps
     * the output float-free.
     */
-  def modeDailyItemTransform(events: DataFrame): DataFrame = {
-    val counts = events
+  def modeDailyItemTransform(events: DataFrame): DataFrame =
+    modeFromDailyCounts(events
       .select(date_trunc("day", col("ts")).as("day"),
         get_json_object(col("props"), "$.k").cast("long").as("item"))
       .groupBy(col("day"), col("item"))
-      .agg(count(lit(1)).as("n"))
+      .agg(count(lit(1)).as("n")))
+
+  /** Mode selection from a (day, item, n) count table — shared by the
+    * batch operator above and [[graft.streaming.DailyModeState]]'s
+    * report (stream/batch parity by construction: the streaming twin
+    * maintains the SAME count table additively and derives the mode
+    * through this exact expression tree).
+    */
+  def modeFromDailyCounts(counts: DataFrame): DataFrame = {
     val totals = counts.groupBy(col("day")).agg(sum(col("n")).as("total"))
     val w = Window.partitionBy(col("day")).orderBy(col("n").desc, col("item"))
     counts.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)

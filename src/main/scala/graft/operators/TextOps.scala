@@ -413,6 +413,112 @@ object TextOps {
       |FROM r JOIN t USING (lang) WHERE r.rank <= 20
       |ORDER BY r.lang, r.rank""".stripMargin
 
+  /** BPE-style merge-candidate table: adjacent whitespace-token pair
+    * frequencies with rank and pointwise mutual information — the
+    * first iteration of a BPE/WordPiece tokenizer trainer IS this
+    * table ("which adjacent pair to merge next"), and the PMI column
+    * separates collocations from merely-frequent pairs.
+    *
+    * PMI is self-contained on the pair distribution: with N total
+    * pairs, n_a· the first-position marginal and n_·b the second,
+    * pmi = ln(n·N / (n_a·· n_·b)) — marginals come from the SAME
+    * pair table (no token/pair denominator mixing), all inputs exact
+    * integers, the single `ln` per emitted row is the only float.
+    *
+    * Shape: docs explode to adjacent pairs (|tokens| rows) that
+    * collapse map-side to the pair-vocab count table; marginals are
+    * two more combinable aggregates of that table; the top-N cut is
+    * a bounded TakeOrdered and the rank window runs over ≤ topN
+    * rows. Nothing global ever sorts more than the vocab.
+    */
+  def bpeMergeCandidatesTransform(docs: DataFrame, topN: Int = 50): DataFrame = {
+    val pairs = docs
+      .select(split(col("text"), " ").as("ws"))
+      .select(explode(expr(
+        "CASE WHEN size(ws) >= 2 THEN transform(sequence(1, size(ws) - 1), i -> struct(ws[i-1] AS a, ws[i] AS b)) ELSE array() END")).as("p"))
+      .select(col("p.a").as("tok_a"), col("p.b").as("tok_b"))
+    val counts = pairs.groupBy(col("tok_a"), col("tok_b")).agg(count(lit(1)).as("n"))
+    val aMarg = counts.groupBy(col("tok_a")).agg(sum(col("n")).as("n_first"))
+    val bMarg = counts.groupBy(col("tok_b")).agg(sum(col("n")).as("n_second"))
+    val total = counts.agg(sum(col("n")).as("n_pairs"))
+    val top = counts.orderBy(col("n").desc, col("tok_a"), col("tok_b")).limit(topN)
+    val w = Window.partitionBy(lit(0)).orderBy(col("n").desc, col("tok_a"), col("tok_b"))
+    top.join(aMarg, Seq("tok_a")).join(bMarg, Seq("tok_b"))
+      .crossJoin(broadcast(total))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .select(col("tok_a"), col("tok_b"), col("n"), col("rank"),
+        round(log(col("n").cast("double") * col("n_pairs") / (col("n_first") * col("n_second"))), 6).as("pmi"))
+      .orderBy(col("rank"))
+  }
+
+  def bpeMergeCandidates(spark: SparkSession, dir: String): DataFrame =
+    bpeMergeCandidatesTransform(Tables.documents(spark, dir))
+
+  /** DuckDB oracle for [[bpeMergeCandidatesTransform]] (topN = 50) —
+    * 1-based DuckDB list indexing vs Spark's 0-based is absorbed in
+    * the lambda bounds; `ln` spelled explicitly (DuckDB `log` is
+    * log₁₀). */
+  val bpeMergeCandidatesOracleSql: String =
+    """WITH d AS (SELECT string_split(text, ' ') AS ws FROM documents),
+      |p AS (SELECT unnest(list_transform(range(1, len(ws)), i -> struct_pack(a := ws[i], b := ws[i+1]))) AS s
+      |      FROM d WHERE len(ws) >= 2),
+      |c AS (SELECT s.a AS tok_a, s.b AS tok_b, count(*) AS n FROM p GROUP BY 1, 2),
+      |am AS (SELECT tok_a, CAST(sum(n) AS BIGINT) AS n_first FROM c GROUP BY 1),
+      |bm AS (SELECT tok_b, CAST(sum(n) AS BIGINT) AS n_second FROM c GROUP BY 1),
+      |t AS (SELECT CAST(sum(n) AS BIGINT) AS n_pairs FROM c),
+      |r AS (SELECT tok_a, tok_b, n,
+      |             row_number() OVER (ORDER BY n DESC, tok_a, tok_b) AS rank
+      |      FROM c)
+      |SELECT r.tok_a, r.tok_b, r.n, CAST(r.rank AS BIGINT) AS rank,
+      |       round(ln(CAST(r.n AS DOUBLE) * t.n_pairs / (am.n_first * bm.n_second)), 6) AS pmi
+      |FROM r JOIN am USING (tok_a) JOIN bm USING (tok_b) CROSS JOIN t
+      |WHERE r.rank <= 50 ORDER BY r.rank""".stripMargin
+
+  /** Per-document sentence statistics: sentences split on `[.!?]+`
+    * runs (trimmed, empties dropped), words per sentence on
+    * whitespace runs — the doc-structure profile (avg/max sentence
+    * length) a quality-filter cascade thresholds on next to
+    * [[textQuality]]'s character-level ratios. Average is an exact
+    * integer `n_words·100 div n_sentences`; a doc with no sentence
+    * content (empty/whitespace text) reports 0 sentences and null
+    * avg/max rather than dividing by zero.
+    *
+    * Shape: pure per-row lambda arithmetic (no explode — the
+    * sentence arrays live and die inside one projection), so the
+    * operator is a single codegen'd scan emitting 4 numbers per doc.
+    */
+  def sentenceStatsTransform(docs: DataFrame): DataFrame = docs
+    .select(col("doc_id"),
+      expr("filter(transform(split(text, '[.!?]+'), s -> trim(s)), s -> s != '')").as("sents"))
+    .select(col("doc_id"),
+      expr("CAST(size(sents) AS BIGINT)").as("n_sentences"),
+      expr("CAST(aggregate(sents, 0L, (acc, s) -> acc + size(split(s, ' +'))) AS BIGINT)").as("n_words"),
+      expr("CASE WHEN size(sents) > 0 THEN CAST(aggregate(sents, 0L, (acc, s) -> acc + size(split(s, ' +'))) * 100 div size(sents) AS BIGINT) END").as("avg_words_x100"),
+      expr("CASE WHEN size(sents) > 0 THEN CAST(aggregate(sents, 0L, (acc, s) -> greatest(acc, CAST(size(split(s, ' +')) AS BIGINT))) AS BIGINT) END").as("max_sentence_words"))
+    .orderBy(col("doc_id"))
+
+  def sentenceStats(spark: SparkSession, dir: String): DataFrame =
+    sentenceStatsTransform(Tables.documents(spark, dir))
+
+  /** DuckDB oracle for [[sentenceStatsTransform]]. */
+  val sentenceStatsOracleSql: String =
+    """WITH s AS (
+      |  SELECT doc_id,
+      |         list_filter(list_transform(regexp_split_to_array(text, '[.!?]+'), x -> trim(x)),
+      |                     x -> x != '') AS sents
+      |  FROM documents),
+      |w AS (
+      |  SELECT doc_id, len(sents) AS n_sentences,
+      |         list_transform(sents, x -> len(regexp_split_to_array(x, ' +'))) AS wc
+      |  FROM s)
+      |SELECT doc_id, CAST(n_sentences AS BIGINT) AS n_sentences,
+      |       CAST(coalesce(list_sum(wc), 0) AS BIGINT) AS n_words,
+      |       CASE WHEN n_sentences > 0
+      |            THEN CAST(list_sum(wc) * 100 // n_sentences AS BIGINT) END AS avg_words_x100,
+      |       CASE WHEN n_sentences > 0
+      |            THEN CAST(list_max(wc) AS BIGINT) END AS max_sentence_words
+      |FROM w ORDER BY doc_id""".stripMargin
+
   /** Token counting: whitespace tokens plus a BPE-ish segmentation
     * (letter runs | digit runs | single punctuation). */
   def tokenCount(spark: SparkSession, dir: String): DataFrame = {

@@ -154,3 +154,62 @@ object RollupStream {
     state.view(spark)
   }
 }
+
+/** Streaming daily modal item —
+  * [[graft.operators.Behavior.modeDailyItemTransform]]'s twin: the
+  * (day, item, n) count table is the additive state (the mode itself
+  * is NOT additive — a per-batch mode cannot be merged, which is
+  * exactly why the state must be the sufficient counts, the
+  * `uniqState`-style lesson this family keeps re-proving), maintained
+  * with [[MomentsState]]'s `batchId ≤ version` replay guard; the mode
+  * is derived at report time through
+  * [[graft.operators.Behavior.modeFromDailyCounts]] — the identical
+  * expression tree the batch operator runs, so stream equals batch
+  * row-for-row regardless of how batches split or ties land.
+  *
+  * State is (days × items) rows — bounded by key cardinality, not
+  * input volume; late rows fold into their (old) day like
+  * [[RollupState]].
+  */
+final class DailyModeState(stateDir: String) {
+  @volatile private var version: Long = StreamUtil.latestVersion(stateDir)
+
+  private def prior(spark: SparkSession): DataFrame =
+    if (version < 0)
+      spark.createDataFrame(java.util.List.of[Row](), StructType.fromDDL(
+        "day TIMESTAMP, item BIGINT, n BIGINT"))
+    else spark.read.parquet(s"$stateDir/v$version")
+
+  def merge(batch: Dataset[Row], batchId: Long): Unit = {
+    if (batchId <= version) return
+    val spark = batch.sparkSession
+    val partial = batch
+      .select(date_trunc("day", col("ts")).as("day"),
+        get_json_object(col("props"), "$.k").cast("long").as("item"))
+      .groupBy(col("day"), col("item"))
+      .agg(count(lit(1)).as("n"))
+    val merged = prior(spark).unionByName(partial)
+      .groupBy(col("day"), col("item"))
+      .agg(sum(col("n")).as("n"))
+    merged.coalesce(1).write.mode("overwrite").parquet(s"$stateDir/v$batchId")
+    val prev = version
+    version = batchId
+    if (prev >= 0) StreamUtil.delete(spark, s"$stateDir/v$prev")
+  }
+
+  def mode(spark: SparkSession): DataFrame =
+    graft.operators.Behavior.modeFromDailyCounts(prior(spark))
+}
+
+object DailyModeStream {
+
+  /** Queries entry: oracle = the same SQL that gates
+    * `mode_daily_item` (sufficient-count state + shared mode
+    * derivation make batch boundaries invisible). */
+  def streamModeDaily(spark: SparkSession, dir: String): DataFrame = {
+    val work = graft.GraftCaches.trackTempDir("graft_mode_")
+    val state = new DailyModeState(s"$work/state")
+    StreamSources.runForeachBatch(StreamSources.events(spark, dir), state.merge)
+    state.mode(spark)
+  }
+}

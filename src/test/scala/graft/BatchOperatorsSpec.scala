@@ -435,6 +435,43 @@ class BatchOperatorsSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAl
     assert(m(3L).getDouble(2) == 0.5 && m(3L).getDouble(3) > 0.0)
   }
 
+  test("bpe_merge_candidates: exact pair counts, PMI from pair marginals, single-token guard") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b a b"),  // pairs: (a,b) (b,a) (a,b)
+      (2L, "a b"),      // (a,b)
+      (3L, "solo"))     // 1 token -> no pairs (sequence guard)
+      .toDF("doc_id", "text")
+    val out = graft.operators.TextOps.bpeMergeCandidatesTransform(docs, topN = 10).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toSeq
+    // N = 5 pairs; (a,b): n=3, first-marginal a=4, second-marginal b=3
+    //   pmi = ln(3*5/(4*3)) = ln(1.25); (b,a): n=2? no - (b,a) appears once in doc 1... wait:
+    // doc1 "a b a b" -> (a,b),(b,a),(a,b); doc2 -> (a,b). So (a,b) n=3, (b,a) n=1, N=4.
+    // marginals: first a=3, first b=1; second b=3, second a=1.
+    // pmi(a,b) = ln(3*4/(3*3)) = ln(4/3); pmi(b,a) = ln(1*4/(1*1)) = ln(4)
+    assert(out == Seq(
+      ("a", "b", 3L, 1L, BigDecimal(math.log(4.0 / 3.0)).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble),
+      ("b", "a", 1L, 2L, BigDecimal(math.log(4.0)).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)))
+  }
+
+  test("sentence_stats: punctuation runs, whitespace runs, degenerate docs") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "one two. three four five! six?"),  // 3 sentences: 2,3,1 words
+      (2L, "no terminator here"),              // 1 sentence, 3 words
+      (3L, "..."),                             // only punctuation -> 0 sentences
+      (4L, "a  b. c"))                         // double space collapses: 2 + 1 words
+      .toDF("doc_id", "text")
+    val out = graft.operators.TextOps.sentenceStatsTransform(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3), if (r.isNullAt(4)) -1L else r.getLong(4))).toSeq
+    assert(out == Seq(
+      (1L, 3L, 6L, 200L, 3L),
+      (2L, 1L, 3L, 300L, 3L),
+      (3L, 0L, 0L, -1L, -1L),
+      (4L, 2L, 3L, 150L, 2L)))
+  }
+
   test("char_ngram_profile: exact trigram counts, lowercasing, short-doc guard, tie-break") {
     import spark.implicits._
     val docs = Seq(

@@ -224,6 +224,39 @@ class StreamingSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
     assert(rows("stream_rollup") == rows("incremental_rollup"))
   }
 
+  test("stream_mode_daily equals the batch mode_daily_item") {
+    assert(rows("stream_mode_daily") == rows("mode_daily_item"))
+  }
+
+  test("daily mode state: cross-batch count accumulation flips the mode, replay guard holds") {
+    import org.apache.spark.sql.functions.{col, concat, lit, to_timestamp}
+    import graft.streaming.DailyModeState
+    import spark.implicits._
+    val state = new DailyModeState(GraftCaches.trackTempDir("graft_modespec_") + "/state")
+    def batch(rows: (String, Long)*) =
+      rows.toSeq.toDF("tss", "k")
+        .withColumn("ts", to_timestamp(col("tss"))).drop("tss")
+        .withColumn("props", concat(lit("{\"k\": "), col("k"), lit("}")))
+    def mode = state.mode(spark).collect()
+      .map(r => (r.getTimestamp(0).toString, r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+
+    // batch 0: item 5 leads day 1 (2 vs 1)
+    state.merge(batch(("2024-01-01 01:00:00", 5L), ("2024-01-01 02:00:00", 5L),
+      ("2024-01-01 03:00:00", 9L)), 0)
+    assert(mode == Seq(("2024-01-01 00:00:00.0", 5L, 2L, 6666L)))
+    // batch 1: two more 9s arrive LATE for day 1 -> mode flips to 9
+    // (a per-batch mode could never recover this; sufficient counts do)
+    state.merge(batch(("2024-01-01 04:00:00", 9L), ("2024-01-01 05:00:00", 9L)), 1)
+    assert(mode == Seq(("2024-01-01 00:00:00.0", 9L, 3L, 6000L)))
+    // replay of batch 1 is a no-op
+    state.merge(batch(("2024-01-01 04:00:00", 9L), ("2024-01-01 05:00:00", 9L)), 1)
+    assert(mode == Seq(("2024-01-01 00:00:00.0", 9L, 3L, 6000L)))
+    // equal counts tie-break to the smaller item id: add two 5s -> 4-3? no,
+    // 5 now has 2, 9 has 3; one more 5 makes it 3-3 -> item 5 wins the tie
+    state.merge(batch(("2024-01-01 06:00:00", 5L)), 2)
+    assert(mode == Seq(("2024-01-01 00:00:00.0", 5L, 3L, 5000L)))
+  }
+
   test("rollup state: late rows fold into old days, replay guard holds") {
     import org.apache.spark.sql.functions.{col, to_timestamp}
     import graft.streaming.RollupState
