@@ -113,7 +113,8 @@ object Bench {
     "item_similarity" -> 3.345, "metric_correlations" -> 2.683,
     "mode_daily_item" -> 2.574, "char_ngram_profile" -> 5.314,
     "bpe_merge_candidates" -> 2.681, "sentence_stats" -> 1.593,
-    "stream_mode_daily" -> 3.599)
+    "stream_mode_daily" -> 3.599, "source_drift_tv" -> 2.521,
+    "user_lifecycle" -> 2.214, "interevent_histogram" -> 1.739)
 
   /** Run ONE query in a fresh JVM (this JVM's own flags + classpath,
     * stderr discarded) and parse its timing out of the child's JSON

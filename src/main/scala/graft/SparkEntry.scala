@@ -64,6 +64,9 @@ object SparkEntry {
     "char_ngram_profile"  -> TextOps.charNgramProfile _,
     "bpe_merge_candidates" -> TextOps.bpeMergeCandidates _,
     "sentence_stats"       -> TextOps.sentenceStats _,
+    "source_drift_tv"      -> TextOps.sourceDriftTv _,
+    "user_lifecycle"       -> Behavior.userLifecycle _,
+    "interevent_histogram" -> Behavior.intereventHistogram _,
     // Structured Streaming (real engine: readStream -> AvailableNow),
     // checked against the same DuckDB oracles as their batch twins
     "stream_hop_agg"     -> EngagementStream.streamHopAgg _,
@@ -603,6 +606,9 @@ object SparkEntry {
     "char_ngram_profile" -> operators.TextOps.charNgramProfileOracleSql,
     "bpe_merge_candidates" -> operators.TextOps.bpeMergeCandidatesOracleSql,
     "sentence_stats" -> operators.TextOps.sentenceStatsOracleSql,
+    "source_drift_tv" -> operators.TextOps.sourceDriftTvOracleSql,
+    "user_lifecycle" -> operators.Behavior.userLifecycleOracleSql,
+    "interevent_histogram" -> operators.Behavior.intereventHistogramOracleSql,
 
     // the bounded-heap stage-2 equals this nested-window formulation
     "topk_diversified" ->

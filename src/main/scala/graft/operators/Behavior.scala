@@ -872,6 +872,129 @@ object Behavior {
       |       CAST(r.n * 10000 // t.total AS BIGINT) AS share_bp
       |FROM r JOIN t ON r.day = t.day WHERE r.rn = 1 ORDER BY r.day""".stripMargin
 
+  /** Daily growth accounting — the new / retained / resurrected /
+    * churned user-state ledger every growth dashboard runs (and the
+    * identity `active(d) = new + retained + resurrected`,
+    * `churned(d) = active(d−1) − retained(d)` audits it): per
+    * calendar day over [min_day, max_day], classified from each
+    * user's previous active day — no prior day → `new`, exactly
+    * yesterday → `retained`, older → `resurrected`; churned are
+    * yesterday's actives who didn't return, accounted on the day
+    * they went missing. Zero-activity calendar days zero-fill (their
+    * churn is yesterday's whole active base).
+    *
+    * Shape: fact → distinct (user, day) (one user_id-keyed shuffle),
+    * per-user lag window co-partitioned on the same key, conditional
+    * count aggregate to |days| rows; the calendar grid comes from a
+    * one-row min/max broadcast + `sequence()`, and the final churn
+    * lag runs over the |days|-row series (planning scale). Nothing
+    * after the distinct touches event rows.
+    */
+  def lifecycleTransform(events: DataFrame): DataFrame = {
+    val d = events.select(col("user_id"), date_trunc("day", col("ts")).as("day")).distinct()
+    val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+    val classified = d.withColumn("prev", lag(col("day"), 1).over(w))
+      .withColumn("state",
+        when(col("prev").isNull, "new")
+          .when(expr("timestampdiff(DAY, prev, day)") === 1, "retained")
+          .otherwise("resurrected"))
+    val perDay = classified.groupBy(col("day"))
+      .agg(count(lit(1)).as("active"),
+        sum(when(col("state") === "new", 1L).otherwise(0L)).as("n_new"),
+        sum(when(col("state") === "retained", 1L).otherwise(0L)).as("n_retained"),
+        sum(when(col("state") === "resurrected", 1L).otherwise(0L)).as("n_resurrected"))
+    val bounds = d.agg(min(col("day")).as("lo"), max(col("day")).as("hi"))
+    val grid = bounds.select(explode(expr(
+      "sequence(lo, hi, interval 1 day)")).as("day"))
+    val filled = grid.join(perDay, Seq("day"), "left")
+      .select(col("day"),
+        coalesce(col("active"), lit(0L)).as("active"),
+        coalesce(col("n_new"), lit(0L)).as("n_new"),
+        coalesce(col("n_retained"), lit(0L)).as("n_retained"),
+        coalesce(col("n_resurrected"), lit(0L)).as("n_resurrected"))
+    val wd = Window.partitionBy(lit(0)).orderBy(col("day"))
+    filled
+      .withColumn("n_churned",
+        coalesce(lag(col("active"), 1).over(wd) - col("n_retained"), lit(0L)))
+      .orderBy(col("day"))
+  }
+
+  def userLifecycle(spark: SparkSession, dir: String): DataFrame =
+    lifecycleTransform(Tables.events(spark, dir))
+
+  /** DuckDB oracle for [[lifecycleTransform]]. */
+  val userLifecycleOracleSql: String =
+    """WITH d AS (SELECT DISTINCT user_id, date_trunc('day', CAST(ts AS TIMESTAMP)) AS day FROM events),
+      |cl AS (SELECT day,
+      |              CASE WHEN prev IS NULL THEN 'new'
+      |                   WHEN date_diff('day', prev, day) = 1 THEN 'retained'
+      |                   ELSE 'resurrected' END AS state
+      |       FROM (SELECT user_id, day, lag(day) OVER (PARTITION BY user_id ORDER BY day) AS prev FROM d)),
+      |pd AS (SELECT day, count(*) AS active,
+      |              sum(CASE WHEN state = 'new' THEN 1 ELSE 0 END) AS n_new,
+      |              sum(CASE WHEN state = 'retained' THEN 1 ELSE 0 END) AS n_retained,
+      |              sum(CASE WHEN state = 'resurrected' THEN 1 ELSE 0 END) AS n_resurrected
+      |       FROM cl GROUP BY 1),
+      |grid AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS day
+      |         FROM (SELECT min(day) AS lo, max(day) AS hi FROM d)),
+      |f AS (SELECT g.day,
+      |             CAST(coalesce(pd.active, 0) AS BIGINT) AS active,
+      |             CAST(coalesce(pd.n_new, 0) AS BIGINT) AS n_new,
+      |             CAST(coalesce(pd.n_retained, 0) AS BIGINT) AS n_retained,
+      |             CAST(coalesce(pd.n_resurrected, 0) AS BIGINT) AS n_resurrected
+      |      FROM grid g LEFT JOIN pd ON g.day = pd.day)
+      |SELECT day, active, n_new, n_retained, n_resurrected,
+      |       CAST(coalesce(lag(active) OVER (ORDER BY day) - n_retained, 0) AS BIGINT) AS n_churned
+      |FROM f ORDER BY day""".stripMargin
+
+  /** Inter-event gap histogram — the traffic-burstiness profile
+    * (bot screens and session-gap tuning both read it): per
+    * consecutive same-user event pair, the gap in whole seconds,
+    * bucketed by powers of two (`⌊log₂(gap+1)⌋` — exact for doubles
+    * at every power-of-two boundary, identical in both engines) with
+    * the bucket's closed integer bounds spelled out.
+    *
+    * Shape: per-user lag window (one user_id shuffle, co-partitioned
+    * sort), then a map-side-combinable bucket count — ≤ ~40 output
+    * rows at any scale.
+    */
+  def intereventHistogramTransform(events: DataFrame): DataFrame = {
+    // exact µs integers then truncating div — Spark's timestampdiff
+    // truncates the interval while DuckDB's date_diff counts boundary
+    // CROSSINGS, so the two disagree on sub-second timestamps; raw
+    // epoch-µs subtraction sidesteps the semantic entirely
+    events.select(col("user_id"), col("ts"), col("event_id"))
+      .withColumn("gap_us", expr("unix_micros(ts) - lag(unix_micros(ts), 1) OVER " +
+        "(PARTITION BY user_id ORDER BY ts, event_id)"))
+      .filter(col("gap_us").isNotNull)
+      .withColumn("gap_s", expr("gap_us div 1000000"))
+      .select(expr("CAST(floor(log2(gap_s + 1)) AS BIGINT)").as("bucket"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_gaps"))
+      .select(col("bucket"),
+        expr("CAST(pow(2, bucket) AS BIGINT) - 1").as("gap_lo_s"),
+        expr("CAST(pow(2, bucket + 1) AS BIGINT) - 2").as("gap_hi_s"),
+        col("n_gaps"))
+      .orderBy(col("bucket"))
+  }
+
+  def intereventHistogram(spark: SparkSession, dir: String): DataFrame =
+    intereventHistogramTransform(Tables.events(spark, dir))
+
+  /** DuckDB oracle for [[intereventHistogramTransform]]. */
+  val intereventHistogramOracleSql: String =
+    """WITH g AS (
+      |  SELECT epoch_us(CAST(ts AS TIMESTAMP)) -
+      |           lag(epoch_us(CAST(ts AS TIMESTAMP))) OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id) AS gap_us
+      |  FROM events),
+      |b AS (SELECT CAST(floor(log2(gap_us // 1000000 + 1)) AS BIGINT) AS bucket
+      |      FROM g WHERE gap_us IS NOT NULL)
+      |SELECT bucket,
+      |       CAST(pow(2, bucket) AS BIGINT) - 1 AS gap_lo_s,
+      |       CAST(pow(2, bucket + 1) AS BIGINT) - 2 AS gap_hi_s,
+      |       count(*) AS n_gaps
+      |FROM b GROUP BY 1 ORDER BY 1""".stripMargin
+
   def topkDiversified(spark: SparkSession, dir: String, k: Int = 10, perUser: Int = 2): DataFrame = {
     val ev = Tables.events(spark, dir)
       .select(col("event_id"), col("user_id"), col("event_type"), col("value"))

@@ -474,6 +474,78 @@ object TextOps {
       |FROM r JOIN am USING (tok_a) JOIN bm USING (tok_b) CROSS JOIN t
       |WHERE r.rank <= 50 ORDER BY r.rank""".stripMargin
 
+  /** Corpus drift between sources — pairwise TOTAL-VARIATION distance
+    * between per-source unigram distributions, the mixture-health
+    * check run before re-weighting a training mix ([[graft.operators
+    * .Sampling]]'s corpus_mix decides WITH it): TV(P,Q) =
+    * ½·Σ|p_i − q_i|. KL/JS need float log-sums whose addition order
+    * is engine-dependent; TV cross-multiplies to the EXACT integer
+    * Σ|n_ai·N_b − n_bi·N_a| (order-independent Long sum, bit-equal
+    * in any engine) with ONE float division at the end:
+    * TV = Σ/(2·N_a·N_b). 0 = identical distributions, 1 = disjoint.
+    *
+    * Overflow headroom: n_ai·N_b ≤ per-source token counts squared —
+    * Long-safe below ~3·10⁹ tokens per source; past that promote the
+    * product to Decimal(38,0) ([[Behavior.metricCorrelationsTransform]]'s
+    * documented swap).
+    *
+    * Shape: corpus → (source, tok) counts (map-side combinable, one
+    * shuffle), zero-filled source×vocab grid (|sources| is a bounded
+    * broadcast like B21's type list), tok-keyed self-join fans each
+    * vocab row |sources|² ways, final abs-sum collapses to
+    * |sources|²/2 rows.
+    */
+  def sourceDriftTvTransform(docs: DataFrame): DataFrame = {
+    val counts = docs
+      .select(col("source"), explode(split(col("text"), " ")).as("tok"))
+      .groupBy(col("source"), col("tok")).agg(count(lit(1)).as("n"))
+    val toks = counts.select(col("tok")).distinct()
+    val sources = counts.select(col("source")).distinct()
+    val totals = counts.groupBy(col("source")).agg(sum(col("n")).as("total"))
+    val grid = toks.crossJoin(broadcast(sources))
+      .join(counts, Seq("source", "tok"), "left")
+      .select(col("source"), col("tok"), coalesce(col("n"), lit(0L)).as("n"))
+    val a = grid.select(col("tok"), col("source").as("source_a"), col("n").as("na"))
+    val b = grid.select(col("tok"), col("source").as("source_b"), col("n").as("nb"))
+    a.join(b, Seq("tok"))
+      .filter(col("source_a") < col("source_b"))
+      .join(broadcast(totals.select(col("source").as("source_a"), col("total").as("ta"))), Seq("source_a"))
+      .join(broadcast(totals.select(col("source").as("source_b"), col("total").as("tb"))), Seq("source_b"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(sum(abs(col("na") * col("tb") - col("nb") * col("ta"))).as("num"),
+        max(col("ta")).as("ta"), max(col("tb")).as("tb"))
+      .select(col("source_a"), col("source_b"),
+        round(col("num") / (lit(2.0) * col("ta") * col("tb")), 6).as("tv_distance"))
+      .orderBy(col("source_a"), col("source_b"))
+  }
+
+  def sourceDriftTv(spark: SparkSession, dir: String): DataFrame =
+    sourceDriftTvTransform(Tables.documents(spark, dir))
+
+  /** DuckDB oracle for [[sourceDriftTvTransform]]. */
+  val sourceDriftTvOracleSql: String =
+    """WITH c AS (
+      |  SELECT source, u.tok AS tok, count(*) AS n
+      |  FROM (SELECT source, string_split(text, ' ') AS ws FROM documents), unnest(ws) AS u(tok)
+      |  GROUP BY 1, 2),
+      |tot AS (SELECT source, CAST(sum(n) AS BIGINT) AS total FROM c GROUP BY 1),
+      |grid AS (
+      |  SELECT s.source, t.tok, CAST(coalesce(c.n, 0) AS BIGINT) AS n
+      |  FROM (SELECT DISTINCT tok FROM c) t
+      |  CROSS JOIN (SELECT DISTINCT source FROM c) s
+      |  LEFT JOIN c ON c.source = s.source AND c.tok = t.tok),
+      |p AS (
+      |  SELECT a.source AS source_a, b.source AS source_b,
+      |         CAST(sum(abs(a.n * tb.total - b.n * ta.total)) AS BIGINT) AS num,
+      |         max(ta.total) AS ta, max(tb.total) AS tb
+      |  FROM grid a
+      |  JOIN grid b ON a.tok = b.tok AND a.source < b.source
+      |  JOIN tot ta ON ta.source = a.source
+      |  JOIN tot tb ON tb.source = b.source
+      |  GROUP BY 1, 2)
+      |SELECT source_a, source_b, round(num / (2.0 * ta * tb), 6) AS tv_distance
+      |FROM p ORDER BY source_a, source_b""".stripMargin
+
   /** Per-document sentence statistics: sentences split on `[.!?]+`
     * runs (trimmed, empties dropped), words per sentence on
     * whitespace runs — the doc-structure profile (avg/max sentence

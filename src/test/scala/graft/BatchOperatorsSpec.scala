@@ -435,6 +435,22 @@ class BatchOperatorsSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAl
     assert(m(3L).getDouble(2) == 0.5 && m(3L).getDouble(3) > 0.0)
   }
 
+  test("source_drift_tv: exact integer TV distance, identical/disjoint extremes") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b", "s1"), (2L, "a b", "s2"),       // identical distributions -> 0
+      (3L, "x y", "s3"))                          // disjoint from both -> 1
+      .toDF("doc_id", "text", "source")
+    val out = graft.operators.TextOps.sourceDriftTvTransform(docs).collect()
+      .map(r => ((r.getString(0), r.getString(1)), r.getDouble(2))).toMap
+    assert(out(("s1", "s2")) == 0.0)
+    assert(out(("s1", "s3")) == 1.0 && out(("s2", "s3")) == 1.0)
+    // half-overlap: s1 = {a:1, b:1}, s4 = {a:1, c:1} -> TV = 1/2
+    val docs2 = Seq((1L, "a b", "s1"), (2L, "a c", "s4")).toDF("doc_id", "text", "source")
+    val o2 = graft.operators.TextOps.sourceDriftTvTransform(docs2).collect()
+    assert(o2.head.getDouble(2) == 0.5)
+  }
+
   test("bpe_merge_candidates: exact pair counts, PMI from pair marginals, single-token guard") {
     import spark.implicits._
     val docs = Seq(

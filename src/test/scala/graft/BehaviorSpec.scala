@@ -289,6 +289,37 @@ class BehaviorSpec extends AnyFunSuite {
     assert(rows.head.getDouble(3) == -1.0)
   }
 
+  test("lifecycle: new/retained/resurrected/churned with zero-activity day fill") {
+    val events = ev(Seq(
+      (1L, "2024-01-01 10:00:00", 1L, "view", 0.0),  // u1 new on d1
+      (2L, "2024-01-01 11:00:00", 2L, "view", 0.0),  // u2 new on d1
+      (1L, "2024-01-02 10:00:00", 3L, "view", 0.0),  // u1 retained d2; u2 churns at d2
+      (1L, "2024-01-04 10:00:00", 4L, "view", 0.0),  // d3 empty; u1 resurrected d4
+      (3L, "2024-01-04 11:00:00", 5L, "view", 0.0))) // u3 new on d4
+    val out = Behavior.lifecycleTransform(events).collect()
+      .map(r => (r.getTimestamp(0).toString.take(10), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toSeq
+    assert(out == Seq(
+      //  day        active new retained resurrected churned
+      ("2024-01-01", 2L, 2L, 0L, 0L, 0L),
+      ("2024-01-02", 1L, 0L, 1L, 0L, 1L),   // u2 gone
+      ("2024-01-03", 0L, 0L, 0L, 0L, 1L),   // u1 gone (temporarily)
+      ("2024-01-04", 2L, 1L, 0L, 1L, 0L)))  // u1 back, u3 new
+  }
+
+  test("interevent histogram: exact power-of-two buckets from µs arithmetic") {
+    val events = ev(Seq(
+      (1L, "2024-01-01 10:00:00", 1L, "view", 0.0),
+      (1L, "2024-01-01 10:00:00", 2L, "view", 0.0),  // gap 0s  -> bucket 0 [0,0]
+      (1L, "2024-01-01 10:00:03", 3L, "view", 0.0),  // gap 3s  -> bucket 2 [3,6]
+      (1L, "2024-01-01 10:00:10", 4L, "view", 0.0),  // gap 7s  -> bucket 3 [7,14]
+      (2L, "2024-01-01 10:00:00", 5L, "view", 0.0),
+      (2L, "2024-01-01 10:00:07", 6L, "view", 0.0))) // gap 7s  -> bucket 3
+    val out = Behavior.intereventHistogramTransform(events).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(out == Seq((0L, 0L, 0L, 1L), (2L, 3L, 6L, 1L), (3L, 7L, 14L, 2L)))
+  }
+
   test("mode daily item: count wins, ties break to the smaller item id") {
     def evp(rows: Seq[(String, Long, Long)]): DataFrame =
       rows.zipWithIndex.map { case ((ts, _, k), i) => (1L + i, ts, i.toLong, k) }

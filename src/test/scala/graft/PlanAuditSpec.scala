@@ -50,6 +50,7 @@ class PlanAuditSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
     "edit_distance_pairs" -> "short-string bucket (len<11) all-pairs — measured-and-documented PassJoin leftover, bucket bounded by the length cut",
     "embedding_neardup" -> "DECLARED exact all-pairs baseline (cosine >= t over every pair); the scale paths are dedup_semantic / ann_*",
     "metric_correlations" -> "zero-fill grid broadcasts the DISTINCT event-type list — bounded by metric-dimension cardinality (|types|), not data volume",
+    "source_drift_tv" -> "zero-fill grid broadcasts the DISTINCT source list — bounded by corpus-source cardinality, not data volume",
   )
 
   /** One-row build sides are global aggregates (no grouping columns)
