@@ -114,7 +114,11 @@ object Bench {
     "mode_daily_item" -> 2.574, "char_ngram_profile" -> 5.314,
     "bpe_merge_candidates" -> 2.681, "sentence_stats" -> 1.593,
     "stream_mode_daily" -> 3.599, "source_drift_tv" -> 2.521,
-    "user_lifecycle" -> 2.214, "interevent_histogram" -> 1.739)
+    "user_lifecycle" -> 2.214, "interevent_histogram" -> 1.739,
+    "q2_min_cost_supplier" -> 3.956, "q9_product_profit" -> 3.398,
+    "q11_important_parts" -> 3.059, "q12_ship_lag" -> 2.233,
+    "q16_parts_suppliers" -> 2.826, "q20_dominant_supplier" -> 4.155,
+    "q21_waiting_supplier" -> 4.532)
 
   /** Run ONE query in a fresh JVM (this JVM's own flags + classpath,
     * stderr discarded) and parse its timing out of the child's JSON

@@ -116,6 +116,13 @@ object SparkEntry {
     "q14_promo_effect"      -> ((s: SparkSession, d: String) => Olap.q14PromoEffect(s, d)),
     "q15_top_supplier"      -> ((s: SparkSession, d: String) => Olap.q15TopSupplier(s, d)),
     "q22_dormant_customers" -> ((s: SparkSession, d: String) => Olap.q22DormantCustomers(s, d)),
+    "q2_min_cost_supplier"  -> ((s: SparkSession, d: String) => TpchShapes.q2MinCostSupplier(s, d)),
+    "q9_product_profit"     -> ((s: SparkSession, d: String) => TpchShapes.q9ProductProfit(s, d)),
+    "q11_important_parts"   -> ((s: SparkSession, d: String) => TpchShapes.q11ImportantParts(s, d)),
+    "q12_ship_lag"          -> ((s: SparkSession, d: String) => TpchShapes.q12ShipLag(s, d)),
+    "q16_parts_suppliers"   -> ((s: SparkSession, d: String) => TpchShapes.q16PartsSuppliers(s, d)),
+    "q20_dominant_supplier" -> ((s: SparkSession, d: String) => TpchShapes.q20DominantSupplier(s, d)),
+    "q21_waiting_supplier"  -> ((s: SparkSession, d: String) => TpchShapes.q21WaitingSupplier(s, d)),
     "open_orders_daily"     -> Olap.openOrdersDaily _,
     "rolling_distinct_users" -> ((s: SparkSession, d: String) => Olap.rollingDistinctUsers(s, d)),
     "rolling_p95_value"      -> ((s: SparkSession, d: String) => Olap.rollingP95Value(s, d)),
@@ -470,6 +477,13 @@ object SparkEntry {
     "q14_promo_effect" -> operators.Olap.q14OracleSql(),
     "q15_top_supplier" -> operators.Olap.q15OracleSql(),
     "q22_dormant_customers" -> operators.Olap.q22OracleSql(),
+    "q2_min_cost_supplier" -> operators.TpchShapes.q2OracleSql(),
+    "q9_product_profit" -> operators.TpchShapes.q9OracleSql(),
+    "q11_important_parts" -> operators.TpchShapes.q11OracleSql(),
+    "q12_ship_lag" -> operators.TpchShapes.q12OracleSql(),
+    "q16_parts_suppliers" -> operators.TpchShapes.q16OracleSql(),
+    "q20_dominant_supplier" -> operators.TpchShapes.q20OracleSql(),
+    "q21_waiting_supplier" -> operators.TpchShapes.q21OracleSql(),
     "open_orders_daily" -> operators.Olap.openOrdersOracleSql,
     "rolling_distinct_users" -> operators.Olap.rollingDistinctOracleSql,
     // discrete rank selection spelled out with the same integer-exact
