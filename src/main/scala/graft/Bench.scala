@@ -118,7 +118,9 @@ object Bench {
     "q2_min_cost_supplier" -> 3.956, "q9_product_profit" -> 3.398,
     "q11_important_parts" -> 3.059, "q12_ship_lag" -> 2.233,
     "q16_parts_suppliers" -> 2.826, "q20_dominant_supplier" -> 4.155,
-    "q21_waiting_supplier" -> 4.532)
+    "q21_waiting_supplier" -> 4.532,
+    "item_cf_recommend" -> 7.652, "engagement_gini" -> 2.487,
+    "containment_pairs" -> 13.853)
 
   /** Run ONE query in a fresh JVM (this JVM's own flags + classpath,
     * stderr discarded) and parse its timing out of the child's JSON

@@ -59,6 +59,8 @@ object SparkEntry {
     // behavioral statistics over the event log
     "rfm_segments"        -> Behavior.rfmSegments _,
     "item_similarity"     -> Behavior.itemSimilarity _,
+    "item_cf_recommend"   -> Behavior.itemCfRecommend _,
+    "engagement_gini"     -> Behavior.engagementGini _,
     "metric_correlations" -> Behavior.metricCorrelations _,
     "mode_daily_item"     -> Behavior.modeDailyItem _,
     "char_ngram_profile"  -> TextOps.charNgramProfile _,
@@ -144,6 +146,7 @@ object SparkEntry {
     "dedup_exact"        -> TextOps.dedupExact _,
     "word_jaccard_pairs" -> ((s: SparkSession, d: String) => TextOps.wordJaccardPairs(s, d)),
     "word_jaccard_naive" -> ((s: SparkSession, d: String) => TextOps.wordJaccardNaive(s, d)),
+    "containment_pairs"  -> ((s: SparkSession, d: String) => TextOps.containmentPairs(s, d)),
     "dedup_incremental"  -> ((s: SparkSession, d: String) => Dedup.dedupIncremental(s, d)),
     // corpus assembly: deterministic selection / split / packing
     "train_test_split"    -> ((s: SparkSession, d: String) => Sampling.trainTestSplit(s, d)),
@@ -615,6 +618,9 @@ object SparkEntry {
     "degree_histogram" -> operators.Graph.degreeHistogramOracleSql,
     "rfm_segments" -> operators.Behavior.rfmSegmentsOracleSql,
     "item_similarity" -> operators.Behavior.itemSimilarityOracleSql,
+    "item_cf_recommend" -> operators.Behavior.itemCfRecommendOracleSql,
+    "engagement_gini" -> operators.Behavior.engagementGiniOracleSql,
+    "containment_pairs" -> operators.TextOps.containmentOracleSql(),
     "metric_correlations" -> operators.Behavior.metricCorrelationsOracleSql,
     "mode_daily_item" -> operators.Behavior.modeDailyItemOracleSql,
     "char_ngram_profile" -> operators.TextOps.charNgramProfileOracleSql,

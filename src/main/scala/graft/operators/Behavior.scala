@@ -699,14 +699,22 @@ object Behavior {
     * |items|-row count tables; at 100 TB the pair aggregate is the
     * same bounded maxItems²·|users| shuffle.
     */
-  def itemSimilarityTransform(events: DataFrame, maxItems: Int, minSupport: Long): DataFrame = {
+  /** The capped distinct (user, item) basis shared by
+    * [[itemSimilarityTransform]] and [[itemCfRecommendTransform]] —
+    * power users past `maxItems` excluded BEFORE any pair forms, so
+    * similarity and recommendation run over the identical matrix. */
+  private def cappedUserItems(events: DataFrame, maxItems: Int): DataFrame = {
     val items = events
       .select(col("user_id"), get_json_object(col("props"), "$.k").cast("long").as("item"))
       .distinct()
-    val kept = items.join(
+    items.join(
       items.groupBy(col("user_id")).agg(count(lit(1)).as("n_items"))
         .filter(col("n_items") <= maxItems),
       Seq("user_id")).select(col("user_id"), col("item"))
+  }
+
+  def itemSimilarityTransform(events: DataFrame, maxItems: Int, minSupport: Long): DataFrame = {
+    val kept = cappedUserItems(events, maxItems)
     val itemCounts = kept.groupBy(col("item")).agg(count(lit(1)).as("n"))
     val a = kept.select(col("user_id"), col("item").as("item_a"))
     val b = kept.select(col("user_id"), col("item").as("item_b"))
@@ -742,6 +750,156 @@ object Behavior {
       |FROM pairs JOIN ic ia ON pairs.item_a = ia.item
       |           JOIN ic ib ON pairs.item_b = ib.item
       |ORDER BY item_a, item_b""".stripMargin
+
+  /** Item-based collaborative-filtering top-N recommendations — the
+    * "users who engaged with X also engaged with…" READ of the
+    * [[itemSimilarityTransform]] matrix, completing the recommender
+    * loop (similarity → per-user scored candidates).
+    *
+    * Fully deterministic integer pipeline: each co-engaged pair's
+    * similarity collapses to basis points by truncating division
+    * (`n_both·10⁴ div (n_a+n_b−n_both)` — no float ever ranks), every
+    * item keeps only its `topNbr` strongest neighbours (row_number
+    * ordered (bp DESC, neighbour id) — total order, no tie
+    * ambiguity), a user's candidate score is the exact Long sum of
+    * the similarity bps of their owned items that neighbour the
+    * candidate, owned items drop by LEFT ANTI on the same capped
+    * basis, and the final top-`topRec` per user ranks (score DESC,
+    * item) — again total.
+    *
+    * Scale shape: the pair aggregate is [[itemSimilarityTransform]]'s
+    * bounded shuffle; the trimmed neighbour table is ≤ |items|·topNbr
+    * rows — a BROADCAST, so scoring is a map-side join of the
+    * (user, item) basis against it, then ONE (user, candidate)
+    * shuffle; the per-user rank window partitions by user_id. No
+    * stage touches |users|·|items|.
+    */
+  def itemCfRecommendTransform(events: DataFrame, maxItems: Int = 50,
+                               minSupport: Long = 3L, topNbr: Int = 10,
+                               topRec: Int = 5): DataFrame = {
+    val kept = cappedUserItems(events, maxItems)
+    val sims0 = itemSimilarityTransform(events, maxItems, minSupport)
+      .select(col("item_a"), col("item_b"),
+        expr("CAST(n_both * 10000 div (n_a + n_b - n_both) AS BIGINT)").as("bp"))
+    val sims = sims0.select(col("item_a").as("item"), col("item_b").as("nbr"), col("bp"))
+      .unionByName(sims0.select(col("item_b").as("item"), col("item_a").as("nbr"), col("bp")))
+    val byStrength = Window.partitionBy(col("item")).orderBy(col("bp").desc, col("nbr"))
+    val topSims = sims.withColumn("rk", row_number().over(byStrength))
+      .filter(col("rk") <= topNbr).select(col("item"), col("nbr"), col("bp"))
+    val scored = kept.join(broadcast(topSims), Seq("item"))
+      .groupBy(col("user_id"), col("nbr").as("item_rec"))
+      .agg(sum(col("bp")).as("score"))
+      .join(kept.select(col("user_id"), col("item").as("item_rec")),
+        Seq("user_id", "item_rec"), "left_anti")
+    val byScore = Window.partitionBy(col("user_id")).orderBy(col("score").desc, col("item_rec"))
+    scored.withColumn("rank", row_number().over(byScore).cast("long"))
+      .filter(col("rank") <= topRec)
+      .select(col("user_id"), col("item_rec"), col("score"), col("rank"))
+      .orderBy(col("user_id"), col("rank"))
+  }
+
+  def itemCfRecommend(spark: SparkSession, dir: String): DataFrame =
+    itemCfRecommendTransform(Tables.events(spark, dir))
+
+  /** DuckDB oracle for [[itemCfRecommendTransform]] — the same
+    * integer pipeline (DuckDB `//` truncates toward zero exactly like
+    * Spark's `div` on the non-negative values here). */
+  val itemCfRecommendOracleSql: String =
+    """WITH it AS (
+      |  SELECT DISTINCT user_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS item FROM events),
+      |kept AS (
+      |  SELECT it.user_id, it.item FROM it
+      |  JOIN (SELECT user_id FROM it GROUP BY 1 HAVING count(*) <= 50) u USING (user_id)),
+      |ic AS (SELECT item, count(*) AS n FROM kept GROUP BY 1),
+      |pairs AS (
+      |  SELECT a.item AS item_a, b.item AS item_b, count(*) AS n_both
+      |  FROM kept a JOIN kept b ON a.user_id = b.user_id AND a.item < b.item
+      |  GROUP BY 1, 2 HAVING count(*) >= 3),
+      |sims0 AS (
+      |  SELECT item_a, item_b, n_both * 10000 // (ia.n + ib.n - n_both) AS bp
+      |  FROM pairs JOIN ic ia ON item_a = ia.item JOIN ic ib ON item_b = ib.item),
+      |sims AS (SELECT item_a AS item, item_b AS nbr, bp FROM sims0
+      |         UNION ALL SELECT item_b, item_a, bp FROM sims0),
+      |top_sims AS (
+      |  SELECT item, nbr, bp FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY item ORDER BY bp DESC, nbr) AS rk FROM sims)
+      |  WHERE rk <= 10),
+      |scored AS (
+      |  SELECT k.user_id, t.nbr AS item_rec, CAST(sum(t.bp) AS BIGINT) AS score
+      |  FROM kept k JOIN top_sims t ON k.item = t.item
+      |  GROUP BY 1, 2),
+      |cand AS (
+      |  SELECT s.* FROM scored s
+      |  LEFT JOIN kept ON s.user_id = kept.user_id AND s.item_rec = kept.item
+      |  WHERE kept.item IS NULL)
+      |SELECT user_id, item_rec, score, rank FROM (
+      |  SELECT *, CAST(row_number() OVER (PARTITION BY user_id ORDER BY score DESC, item_rec) AS BIGINT) AS rank
+      |  FROM cand)
+      |WHERE rank <= 5
+      |ORDER BY user_id, rank""".stripMargin
+
+  /** Gini coefficient of engagement concentration across items — THE
+    * one-number inequality read ("do 1% of items soak up 99% of
+    * events?") that decides skew strategy (salting, hot-key caches)
+    * before any per-item query runs; the economics formulation
+    * (Lorenz-curve area) computed exactly: with per-item event
+    * counts x₁ ≤ … ≤ xₙ (ties broken by item id — a TOTAL order, so
+    * both engines rank identically),
+    * G = (2·Σi·xᵢ − (n+1)·Σxᵢ) / (n·Σxᵢ).
+    *
+    * All three sums run in Decimal(38,0) (DuckDB HUGEINT): at fleet
+    * scale i reaches |items| (~10⁸) and Σxᵢ ~10¹², putting Σi·xᵢ
+    * past a Long. The single float is the final division of two
+    * exact decimals — each converts to its nearest double
+    * identically in both engines, so the rounded G is
+    * engine-bit-equal.
+    *
+    * Scale shape: fact → per-item counts (ONE map-side-combinable
+    * shuffle, |items| rows out); the rank window over the item-scale
+    * aggregate is the documented planning-scale global sort (same
+    * class as [[vocab_stats]]'s rank — at 100 TB it swaps to the
+    * range-partitioned rank of Olap.percentileStats, the aggregate
+    * to ONE row either way).
+    */
+  def engagementGiniTransform(events: DataFrame): DataFrame = {
+    val counts = events
+      .select(get_json_object(col("props"), "$.k").cast("long").as("item"))
+      .filter(col("item").isNotNull)
+      .groupBy(col("item")).agg(count(lit(1)).as("cnt"))
+    val ranked = counts.withColumn("rn",
+      row_number().over(Window.partitionBy(lit(0)).orderBy(col("cnt"), col("item"))))
+    ranked
+      .agg(
+        count(lit(1)).as("n_items"),
+        sum(col("cnt")).as("total_events"),
+        sum(col("rn").cast("decimal(38,0)") * col("cnt").cast("decimal(38,0)")).as("wsum"))
+      .select(col("n_items"), col("total_events"),
+        round(
+          (lit(2).cast("decimal(38,0)") * col("wsum")
+            - (col("n_items") + lit(1)).cast("decimal(38,0)") * col("total_events").cast("decimal(38,0)"))
+            .cast("double")
+          / (col("n_items").cast("decimal(38,0)") * col("total_events").cast("decimal(38,0)"))
+            .cast("double"), 6).as("gini"))
+  }
+
+  def engagementGini(spark: SparkSession, dir: String): DataFrame =
+    engagementGiniTransform(Tables.events(spark, dir))
+
+  /** DuckDB oracle for [[engagementGiniTransform]] — identical exact
+    * HUGEINT arithmetic, one double division at the end. */
+  val engagementGiniOracleSql: String =
+    """WITH it AS (
+      |  SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS item, count(*) AS cnt
+      |  FROM events WHERE json_extract_string(props, '$.k') IS NOT NULL GROUP BY 1),
+      |r AS (SELECT cnt, row_number() OVER (ORDER BY cnt, item) AS rn FROM it),
+      |s AS (SELECT CAST(count(*) AS BIGINT) AS n_items,
+      |             CAST(sum(cnt) AS BIGINT) AS total_events,
+      |             CAST(sum(CAST(rn AS HUGEINT) * CAST(cnt AS HUGEINT)) AS HUGEINT) AS wsum
+      |      FROM r)
+      |SELECT n_items, total_events,
+      |       round(CAST(2 * wsum - (CAST(n_items AS HUGEINT) + 1) * CAST(total_events AS HUGEINT) AS DOUBLE)
+      |             / CAST(CAST(n_items AS HUGEINT) * CAST(total_events AS HUGEINT) AS DOUBLE), 6) AS gini
+      |FROM s""".stripMargin
 
   /** Pairwise Pearson correlation between event types' DAILY revenue
     * series — the metric-correlation screen ("does `click` revenue

@@ -170,6 +170,68 @@ object TextOps {
       .orderBy($"doc_a", $"doc_b")
   }
 
+  /** Exact word-set CONTAINMENT pairs — C(A→B) = |A∩B| / |A| ≥ t,
+    * the ASYMMETRIC cousin of [[wordJaccardPairs]] and the shape
+    * that catches what Jaccard structurally cannot: a short document
+    * quoted/embedded inside a much longer one (their Jaccard is tiny
+    * because the union is B-sized, but A's containment is ~1) — the
+    * sub-document duplication screen next to Dedup.dedupSubstring's
+    * k-gram approach, on set semantics.
+    *
+    * Same prefix-filter machinery as Jaccard — and the SAME index:
+    * containment ≥ t needs overlap ≥ ⌈t·|A|⌉, so by pigeonhole A's
+    * `|A| − ⌈t·|A|⌉ + 1` rarest tokens (exactly
+    * [[jaccardPrefixIndex]]'s prefix, memoized — shared with the
+    * Jaccard entry in-session) must hit B. Asymmetry changes the
+    * probe: A's PREFIX joins B's FULL posting list (B can match on
+    * any token, so no prefix shortens the indexed side), directed
+    * pairs both ways. The only extra prune is the lossless size
+    * bound |B| ≥ t·|A| (overlap ≤ |B|), with a −1 slack so FP
+    * rounding can only under-prune — verification decides
+    * membership, on the UNROUNDED ratio in both engines (identical
+    * IEEE division against the same constant; the rounded column is
+    * display-only).
+    *
+    * Scale shape: candidates are Σ_{prefix tok} df(tok) posting-list
+    * join rows — rare-token lists by construction of the rarity
+    * order; shuffles carry (doc_id, token) postings and id pairs;
+    * the verify join re-derives word sets from parquet (the
+    * [[jaccardPrefixIndex]] measured trade-off).
+    */
+  def containmentPairs(spark: SparkSession, dir: String, threshold: Double = 0.75): DataFrame = {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    val prefixes = jaccardPrefixIndex(spark, dir, threshold)
+    val postings = wordSets(spark, dir)
+      .select($"doc_id", $"source", $"nw", explode($"words").as("tok"))
+    val candidates = prefixes.as("a")
+      .join(postings.as("b"),
+        col("a.source") === col("b.source") && col("a.tok") === col("b.tok")
+          && col("a.doc_id") =!= col("b.doc_id")
+          && col("b.nw").cast("double") >= lit(threshold) * col("a.nw") - lit(1.0))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .dropDuplicates("id_a", "id_b")
+    val sets = wordSets(spark, dir).select($"doc_id", $"words", $"nw")
+    candidates
+      .join(sets.select($"doc_id".as("id_a"), $"words".as("wa"), $"nw".as("na")), Seq("id_a"))
+      .join(sets.select($"doc_id".as("id_b"), $"words".as("wb")), Seq("id_b"))
+      .withColumn("inter", call_function("graft_sorted_intersect_size", $"wa", $"wb"))
+      .filter($"inter".cast("double") / $"na" >= threshold)
+      .select($"id_a".as("doc_a"), $"id_b".as("doc_b"),
+        round($"inter".cast("double") / $"na", 4).as("containment"))
+      .orderBy($"doc_a", $"doc_b")
+  }
+
+  /** DuckDB oracle for [[containmentPairs]] — the naive blocked
+    * directed join; filter on the same unrounded ratio. */
+  def containmentOracleSql(threshold: Double = 0.75): String =
+    s"""WITH d AS (SELECT doc_id, source, list_distinct(string_split(text, ' ')) AS words FROM documents)
+       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |       round(CAST(len(list_intersect(a.words, b.words)) AS DOUBLE) / len(a.words), 4) AS containment
+       |FROM d a JOIN d b ON a.source = b.source AND a.doc_id != b.doc_id
+       |WHERE CAST(len(list_intersect(a.words, b.words)) AS DOUBLE) / len(a.words) >= $threshold
+       |ORDER BY doc_a, doc_b""".stripMargin
+
   private val langMarkers: Map[String, Seq[String]] = Map(
     "en" -> Seq("the", "and", "data", "table", "query"),
     "es" -> Seq("el", "la", "los", "datos", "tabla"),

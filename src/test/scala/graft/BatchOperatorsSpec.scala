@@ -83,6 +83,21 @@ class BatchOperatorsSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAl
     assert(fast == naive, s"fast=${fast.size} naive=${naive.size}")
   }
 
+  test("prefix-filtered containment join equals naive directed cross join") {
+    import org.apache.spark.sql.functions._
+    val d = graft.sources.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("source"), array_distinct(split(col("text"), " ")).as("words"))
+    val naive = d.alias("a").join(d.alias("b"),
+        col("a.source") === col("b.source") && col("a.doc_id") =!= col("b.doc_id"))
+      .withColumn("inter", size(array_intersect(col("a.words"), col("b.words"))))
+      .filter(col("inter").cast("double") / size(col("a.words")) >= 0.75)
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        round(col("inter").cast("double") / size(col("a.words")), 4).as("containment"))
+      .collect().toSet
+    val fast = SparkEntry.queries("containment_pairs")(spark, sf).collect().toSet
+    assert(fast == naive, s"fast=${fast.size} naive=${naive.size}")
+  }
+
   test("asof_join equals naive join-filter-rank and never looks ahead") {
     import org.apache.spark.sql.functions._
     val df = SparkEntry.queries("asof_join")(spark, sf)

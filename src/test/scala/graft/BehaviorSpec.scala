@@ -256,6 +256,44 @@ class BehaviorSpec extends AnyFunSuite {
     assert(out.toSeq == Seq((1L, 2L, 3L, 2L, 2L, 0.666667)))
   }
 
+  test("item cf recommend: planted scores, owned items excluded, no-candidate users absent") {
+    def evp(rows: Seq[(Long, Long, Long)]): DataFrame =
+      rows.toDF("user_id", "event_id", "k")
+        .withColumn("ts", to_timestamp(lit("2024-01-01 00:00:00")))
+        .withColumn("event_type", lit("view"))
+        .withColumn("props", concat(lit("{\"k\": "), $"k", lit("}")))
+    // u1:{1,2} u2:{1,2} u3:{1,3} u4:{2,3}; minSupport 2 keeps only the
+    // (1,2) pair: n_1 = 3, n_2 = 3, n_both = 2 -> bp = 20000/4 = 5000.
+    // u3 owns 1 -> recommended 2 (score 5000); u4 owns 2 -> recommended
+    // 1; u1/u2 own both ends of the only edge -> no rows at all.
+    val events = evp(Seq(
+      (1L, 1L, 1L), (1L, 2L, 2L), (2L, 3L, 1L), (2L, 4L, 2L),
+      (3L, 5L, 1L), (3L, 6L, 3L), (4L, 7L, 2L), (4L, 8L, 3L)))
+    val out = Behavior.itemCfRecommendTransform(events, maxItems = 50,
+        minSupport = 2L, topNbr = 10, topRec = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(out == Set((3L, 2L, 5000L, 1L), (4L, 1L, 5000L, 1L)))
+  }
+
+  test("engagement gini: zero on uniform counts, exact on a planted skewed corpus") {
+    def evk(rows: Seq[(Long, Long)]): DataFrame =
+      rows.zipWithIndex.map { case ((u, k), i) => (u, i.toLong, k) }
+        .toDF("user_id", "event_id", "k")
+        .withColumn("ts", to_timestamp(lit("2024-01-01 00:00:00")))
+        .withColumn("event_type", lit("view"))
+        .withColumn("value", lit(1.0))
+        .withColumn("props", concat(lit("{\"k\": "), $"k", lit("}")))
+    // uniform: four items, one event each -> G = 0
+    val uni = Behavior.engagementGiniTransform(
+      evk(Seq((1L, 1L), (1L, 2L), (1L, 3L), (1L, 4L)))).collect()(0)
+    assert((uni.getLong(0), uni.getLong(1), uni.getDouble(2)) == ((4L, 4L, 0.0)))
+    // skewed: counts (1,1,1,97) -> sorted ranks give
+    // wsum = 1+2+3+4*97 = 394; G = (2*394 - 5*100)/(4*100) = 0.72
+    val skew = Behavior.engagementGiniTransform(
+      evk(Seq((1L, 1L), (1L, 2L), (1L, 3L)) ++ (1 to 97).map(i => (i.toLong, 4L)))).collect()(0)
+    assert((skew.getLong(0), skew.getLong(1), skew.getDouble(2)) == ((4L, 100L, 0.72)))
+  }
+
   test("metric correlations: planted perfect correlation and anti-correlation, zero-filled grid") {
     // a and b move together (r = 1); a and c move oppositely (r = -1).
     // Day 3 has no 'c' row at all -> zero-fill puts c = 0 there, which
