@@ -120,7 +120,9 @@ object Bench {
     "q16_parts_suppliers" -> 2.826, "q20_dominant_supplier" -> 4.155,
     "q21_waiting_supplier" -> 4.532,
     "item_cf_recommend" -> 7.652, "engagement_gini" -> 2.487,
-    "containment_pairs" -> 13.853)
+    "containment_pairs" -> 13.853,
+    "link_prediction" -> 5.381, "changepoint_cusum" -> 3.398,
+    "stream_source_drift" -> 4.669)
 
   /** Run ONE query in a fresh JVM (this JVM's own flags + classpath,
     * stderr discarded) and parse its timing out of the child's JSON

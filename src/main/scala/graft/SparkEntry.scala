@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.operators._
-import graft.streaming.{AttributionStream, CdcCompact, DailyModeStream, EngagementStream, FunnelStream, MomentsStream, RollupStream, Sessionize, StreamDedup, StreamIncrementalDedup}
+import graft.streaming.{AttributionStream, CdcCompact, DailyModeStream, DriftStream, EngagementStream, FunnelStream, MomentsStream, RollupStream, Sessionize, StreamDedup, StreamIncrementalDedup}
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the inventory. */
 object SparkEntry {
@@ -56,6 +56,8 @@ object SparkEntry {
     "hits_scores"        -> Graph.hitsScores _,
     "communities_lpa"    -> Graph.communitiesLpa _,
     "degree_histogram"   -> Graph.degreeHistogram _,
+    "link_prediction"    -> Graph.linkPrediction _,
+    "changepoint_cusum"  -> Behavior.changepointCusum _,
     // behavioral statistics over the event log
     "rfm_segments"        -> Behavior.rfmSegments _,
     "item_similarity"     -> Behavior.itemSimilarity _,
@@ -90,6 +92,7 @@ object SparkEntry {
     "stream_moments"     -> MomentsStream.streamMoments _,
     "stream_rollup"      -> RollupStream.streamRollup _,
     "stream_mode_daily"  -> DailyModeStream.streamModeDaily _,
+    "stream_source_drift" -> DriftStream.streamSourceDrift _,
     "stream_interval_join" -> EngagementStream.streamIntervalJoin _,
     "stream_interval_join_left" -> EngagementStream.streamIntervalJoinLeft _,
     // Analytic core
@@ -221,6 +224,7 @@ object SparkEntry {
       // sufficient-count state + shared mode derivation: stream
       // equals the batch mode_daily_item row-for-row
       "stream_mode_daily" -> base("mode_daily_item"),
+      "stream_source_drift" -> base("source_drift_tv"),
       "stream_moments" ->
         """WITH m AS (SELECT event_type, count(*) AS n,
           |                  CAST(sum(c) AS BIGINT) AS sum_c,
@@ -616,6 +620,8 @@ object SparkEntry {
     "triangle_count" -> operators.Graph.triangleOracleSql(),
     "communities_lpa" -> operators.Graph.lpaOracleSql(),
     "degree_histogram" -> operators.Graph.degreeHistogramOracleSql,
+    "link_prediction" -> operators.Graph.linkPredictionOracleSql(),
+    "changepoint_cusum" -> operators.Behavior.changepointCusumOracleSql,
     "rfm_segments" -> operators.Behavior.rfmSegmentsOracleSql,
     "item_similarity" -> operators.Behavior.itemSimilarityOracleSql,
     "item_cf_recommend" -> operators.Behavior.itemCfRecommendOracleSql,

@@ -901,6 +901,83 @@ object Behavior {
       |             / CAST(CAST(n_items AS HUGEINT) * CAST(total_events AS HUGEINT) AS DOUBLE), 6) AS gini
       |FROM s""".stripMargin
 
+  /** CUSUM changepoint detection over the daily event-count series —
+    * "WHEN did traffic shift?" (deploy/incident/bot-wave dating), the
+    * temporal complement of [[anomalyTransform]]'s per-point z-score:
+    * a level change too small to flag any single day accumulates in
+    * the cumulative deviation. Classic mean-centered CUSUM
+    * (Page 1954), argmax form: the changepoint estimate is the day
+    * maximizing |Σ_{i≤t}(x_i − x̄)|.
+    *
+    * Exact integers throughout: with S_t the running sum, T days and
+    * N total events, T·S_t − t·N = T·Σ(x_i − N/T) — the deviation
+    * scaled by T, avoiding the fractional mean entirely. Long-safe
+    * while days·events < 9·10¹⁸ (a 100 TB decade is ~3.6·10¹⁵;
+    * past that the documented Decimal(38,0) swap of
+    * [[metricCorrelationsTransform]]). The changepoint flag is
+    * decided on integers only: max |dev| as a one-row broadcast,
+    * earliest-day tie-break as a second — both the repo's standard
+    * one-row stats crossJoins.
+    *
+    * Scale shape: fact → |days| rows in one map-side-combinable
+    * shuffle; calendar zero-fill from a one-row min/max broadcast
+    * (missing days are 0-count observations, not gaps — a silent
+    * ingestion outage IS the changepoint); cumsum window over the
+    * planning-scale day series.
+    */
+  def changepointCusumTransform(events: DataFrame): DataFrame = {
+    val daily = events.select(date_trunc("day", col("ts")).as("day"))
+      .groupBy(col("day")).agg(count(lit(1)).as("n"))
+    val bounds = daily.agg(min(col("day")).as("lo"), max(col("day")).as("hi"))
+    val axis = bounds.select(explode(sequence(col("lo"), col("hi"), expr("interval 1 day"))).as("day"))
+    val filled = axis.join(daily, Seq("day"), "left")
+      .select(col("day"), coalesce(col("n"), lit(0L)).as("n_events"))
+    val wDay = Window.partitionBy(lit(0)).orderBy(col("day"))
+    val withCum = filled
+      .withColumn("t_idx", row_number().over(wDay).cast("long"))
+      .withColumn("cum", sum(col("n_events")).over(wDay))
+    val totals = withCum.agg(max(col("t_idx")).as("t_total"), max(col("cum")).as("n_total"))
+    val dev = withCum.crossJoin(broadcast(totals))
+      .select(col("day"), col("n_events"),
+        (col("t_total") * col("cum") - col("t_idx") * col("n_total")).as("dev"))
+    val peak = dev.agg(max(abs(col("dev"))).as("max_dev"))
+    val cpDay = dev.crossJoin(broadcast(peak))
+      .filter(abs(col("dev")) === col("max_dev"))
+      .agg(min(col("day")).as("cp_day"))
+    dev.crossJoin(broadcast(cpDay))
+      .select(col("day"), col("n_events"), col("dev"),
+        (col("day") === col("cp_day")).as("is_changepoint"))
+      .orderBy(col("day"))
+  }
+
+  def changepointCusum(spark: SparkSession, dir: String): DataFrame =
+    changepointCusumTransform(Tables.events(spark, dir))
+
+  /** DuckDB oracle for [[changepointCusumTransform]] — identical
+    * integer deviation, scalar-subquery max and tie-break. */
+  val changepointCusumOracleSql: String =
+    """WITH daily AS (
+      |  SELECT date_trunc('day', CAST(ts AS TIMESTAMP)) AS day, CAST(count(*) AS BIGINT) AS n
+      |  FROM events GROUP BY 1),
+      |b AS (SELECT min(day) AS lo, max(day) AS hi FROM daily),
+      |axis AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS day FROM b),
+      |filled AS (
+      |  SELECT axis.day, CAST(coalesce(daily.n, 0) AS BIGINT) AS n_events
+      |  FROM axis LEFT JOIN daily ON axis.day = daily.day),
+      |cumed AS (
+      |  SELECT day, n_events,
+      |         CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS t_idx,
+      |         CAST(sum(n_events) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+      |  FROM filled),
+      |tot AS (SELECT max(t_idx) AS t_total, max(cum) AS n_total FROM cumed),
+      |dev AS (
+      |  SELECT day, n_events, CAST(t_total * cum - t_idx * n_total AS BIGINT) AS dev
+      |  FROM cumed, tot),
+      |cp AS (SELECT min(day) AS cp_day FROM dev
+      |       WHERE abs(dev) = (SELECT max(abs(dev)) FROM dev))
+      |SELECT day, n_events, dev, (day = cp_day) AS is_changepoint
+      |FROM dev, cp ORDER BY day""".stripMargin
+
   /** Pairwise Pearson correlation between event types' DAILY revenue
     * series — the metric-correlation screen ("does `click` revenue
     * move with `purchase` revenue?") behind dashboard anomaly

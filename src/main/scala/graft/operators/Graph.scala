@@ -432,6 +432,69 @@ object Graph {
        |deg AS (SELECT src, count(*) AS degree FROM edges GROUP BY 1)
        |SELECT degree, count(*) AS n_items FROM deg GROUP BY 1 ORDER BY degree""".stripMargin
 
+  /** Link prediction on the co-engagement graph: for every
+    * NON-adjacent item pair, the Jaccard coefficient of their
+    * neighbour sets — |Γa∩Γb| / |Γa∪Γb| (Liben-Nowell & Kleinberg
+    * 2003's strongest simple baseline) — top-N predicted edges. The
+    * "which items WILL co-engage next" read that completes the graph
+    * family: PageRank ranks nodes, LPA groups them, this scores the
+    * missing edges.
+    *
+    * Fully integer pipeline: common-neighbour counts from the wedge
+    * join (both legs of the symmetric edge list joined on the
+    * centre node — the SAME shape as [[triangleCountTransform]]'s
+    * candidate join, bounded by Σdeg² wedges, never |V|²), degrees
+    * as a planning-scale broadcast, existing edges removed by LEFT
+    * ANTI on the canonical (a < b) pair, score = truncating
+    * `n_common·10⁴ div (deg_a + deg_b − n_common)` so no float ever
+    * ranks, and the top-N cut runs under the TOTAL order
+    * (bp DESC, item_a, item_b).
+    */
+  def linkPredictionTransform(pairs: DataFrame, topN: Int = 50): DataFrame = {
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    val p = truncateLineage(pairs)
+    val edges = p.select($"item_a".as("src"), $"item_b".as("dst"))
+      .unionByName(p.select($"item_b".as("src"), $"item_a".as("dst")))
+    val deg = edges.groupBy($"src".as("item")).agg(count(lit(1)).as("deg"))
+    val common = edges.select($"src".as("u"), $"dst".as("a"))
+      .join(edges.select($"src".as("u2"), $"dst".as("b")),
+        $"u" === $"u2" && $"a" < $"b")
+      .groupBy($"a", $"b").agg(count(lit(1)).as("n_common"))
+    common
+      .join(p.select($"item_a".as("a"), $"item_b".as("b")), Seq("a", "b"), "left_anti")
+      .join(broadcast(deg.select($"item".as("a"), $"deg".as("deg_a"))), Seq("a"))
+      .join(broadcast(deg.select($"item".as("b"), $"deg".as("deg_b"))), Seq("b"))
+      .select($"a".as("item_a"), $"b".as("item_b"), $"n_common", $"deg_a", $"deg_b",
+        expr("CAST(n_common * 10000 div (deg_a + deg_b - n_common) AS BIGINT)").as("jaccard_bp"))
+      .orderBy($"jaccard_bp".desc, $"item_a", $"item_b")
+      .limit(topN)
+  }
+
+  def linkPrediction(spark: SparkSession, dir: String): DataFrame =
+    linkPredictionTransform(edgeTransform(Tables.events(spark, dir), maxItems = 50, topEdges = 800))
+
+  /** DuckDB oracle for [[linkPredictionTransform]] over the shared
+    * edge basis — same integer score, same total-order cut. */
+  def linkPredictionOracleSql(topN: Int = 50): String =
+    s"""WITH $edgeCtes,
+       |edges AS (SELECT item_a AS src, item_b AS dst FROM pairs
+       |          UNION ALL SELECT item_b, item_a FROM pairs),
+       |deg AS (SELECT src AS item, count(*) AS deg FROM edges GROUP BY 1),
+       |common AS (
+       |  SELECT e1.dst AS a, e2.dst AS b, count(*) AS n_common
+       |  FROM edges e1 JOIN edges e2 ON e1.src = e2.src AND e1.dst < e2.dst
+       |  GROUP BY 1, 2),
+       |nonadj AS (
+       |  SELECT c.* FROM common c
+       |  LEFT JOIN pairs p ON c.a = p.item_a AND c.b = p.item_b
+       |  WHERE p.item_a IS NULL)
+       |SELECT a AS item_a, b AS item_b, n_common, da.deg AS deg_a, db.deg AS deg_b,
+       |       CAST(n_common * 10000 // (da.deg + db.deg - n_common) AS BIGINT) AS jaccard_bp
+       |FROM nonadj JOIN deg da ON a = da.item JOIN deg db ON b = db.item
+       |ORDER BY jaccard_bp DESC, item_a, item_b
+       |LIMIT $topN""".stripMargin
+
   /** Shared edge-list CTE text for the DuckDB oracles — the SQL twin
     * of [[edgeTransform]] (same maxItems = 50, topEdges = 800, same
     * total order on the cut).

@@ -557,10 +557,18 @@ object TextOps {
     * vocab row |sources|² ways, final abs-sum collapses to
     * |sources|²/2 rows.
     */
-  def sourceDriftTvTransform(docs: DataFrame): DataFrame = {
-    val counts = docs
+  def sourceDriftTvTransform(docs: DataFrame): DataFrame =
+    sourceDriftFromCounts(docs
       .select(col("source"), explode(split(col("text"), " ")).as("tok"))
-      .groupBy(col("source"), col("tok")).agg(count(lit(1)).as("n"))
+      .groupBy(col("source"), col("tok")).agg(count(lit(1)).as("n")))
+
+  /** The TV derivation from an already-aggregated (source, tok, n)
+    * count table — split out so the STREAMING twin
+    * ([[graft.streaming.DriftStream]]) can maintain the counts as
+    * additive state and derive the report through this identical
+    * expression tree (the stream/batch-parity-by-construction
+    * pattern of [[Behavior.modeFromDailyCounts]]). */
+  def sourceDriftFromCounts(counts: DataFrame): DataFrame = {
     val toks = counts.select(col("tok")).distinct()
     val sources = counts.select(col("source")).distinct()
     val totals = counts.groupBy(col("source")).agg(sum(col("n")).as("total"))

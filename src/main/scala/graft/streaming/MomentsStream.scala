@@ -201,6 +201,63 @@ final class DailyModeState(stateDir: String) {
     graft.operators.Behavior.modeFromDailyCounts(prior(spark))
 }
 
+/** Streaming corpus-drift state —
+  * [[graft.operators.TextOps.sourceDriftTvTransform]]'s twin: the
+  * (source, tok, n) unigram count table is the additive sufficient
+  * state (a TV distance is NOT additive — per-batch TVs cannot merge,
+  * same non-additive-metric lesson as [[DailyModeState]]), maintained
+  * with the `batchId ≤ version` replay guard; the pairwise TV report
+  * derives at read time through
+  * [[graft.operators.TextOps.sourceDriftFromCounts]] — the identical
+  * expression tree the batch operator runs, so stream equals batch
+  * bit-for-bit regardless of how document batches split.
+  *
+  * State is (sources × vocab) rows — bounded by vocabulary, not
+  * document volume; at 100 TB the state parquet is a bucketed table
+  * instead of a coalesce(1) file, same merge plan.
+  */
+final class DriftState(stateDir: String) {
+  @volatile private var version: Long = StreamUtil.latestVersion(stateDir)
+
+  private def prior(spark: SparkSession): DataFrame =
+    if (version < 0)
+      spark.createDataFrame(java.util.List.of[Row](), StructType.fromDDL(
+        "source STRING, tok STRING, n BIGINT"))
+    else spark.read.parquet(s"$stateDir/v$version")
+
+  def merge(batch: Dataset[Row], batchId: Long): Unit = {
+    if (batchId <= version) return
+    val spark = batch.sparkSession
+    val partial = batch
+      .select(col("source"), explode(split(col("text"), " ")).as("tok"))
+      .groupBy(col("source"), col("tok"))
+      .agg(count(lit(1)).as("n"))
+    val merged = prior(spark).unionByName(partial)
+      .groupBy(col("source"), col("tok"))
+      .agg(sum(col("n")).as("n"))
+    merged.coalesce(1).write.mode("overwrite").parquet(s"$stateDir/v$batchId")
+    val prev = version
+    version = batchId
+    if (prev >= 0) StreamUtil.delete(spark, s"$stateDir/v$prev")
+  }
+
+  def drift(spark: SparkSession): DataFrame =
+    graft.operators.TextOps.sourceDriftFromCounts(prior(spark))
+}
+
+object DriftStream {
+
+  /** Queries entry: oracle = the same SQL that gates
+    * `source_drift_tv` (sufficient-count state + shared TV
+    * derivation make batch boundaries invisible). */
+  def streamSourceDrift(spark: SparkSession, dir: String): DataFrame = {
+    val work = graft.GraftCaches.trackTempDir("graft_drift_")
+    val state = new DriftState(s"$work/state")
+    StreamSources.runForeachBatch(StreamSources.documents(spark, dir), state.merge)
+    state.drift(spark)
+  }
+}
+
 object DailyModeStream {
 
   /** Queries entry: oracle = the same SQL that gates

@@ -60,6 +60,21 @@ object StreamSources {
         ++ extraCols).map(col): _*)
   }
 
+  /** The documents table as an unbounded stream (no timestamp
+    * normalization needed — the table has no nanos column); same
+    * schema-from-batch-read and single-file-glob routing as
+    * [[eventsFrom]]. */
+  def documents(spark: SparkSession, dir: String, maxFilesPerTrigger: Int = 0): DataFrame = {
+    val path = s"$dir/documents.parquet"
+    val schema = spark.read.parquet(path).schema
+    var reader = spark.readStream.schema(schema)
+    if (maxFilesPerTrigger > 0)
+      reader = reader.option("maxFilesPerTrigger", maxFilesPerTrigger.toString)
+    val streamPath =
+      if (new java.io.File(path).isFile) s"${path.init}[${path.last}]" else path
+    reader.parquet(streamPath)
+  }
+
   /** Shuffle/state partition count captured by a starting streaming
     * query. The replayed micro-batches here are small, and every
     * stateful operator creates one state store (plus per-batch commit

@@ -294,6 +294,22 @@ class BehaviorSpec extends AnyFunSuite {
     assert((skew.getLong(0), skew.getLong(1), skew.getDouble(2)) == ((4L, 100L, 0.72)))
   }
 
+  test("changepoint cusum: planted level shift, zero-filled gap day is the peak") {
+    // counts by day: d1=2, d2=2, d3 MISSING (zero-filled), d4=8, d5=8.
+    // T=5, N=20; dev_t = 5*S_t - 20*t: -10, -20, -40, -20, 0 — the
+    // ingestion-gap day carries the max |dev| and is the changepoint.
+    def rows(day: Int, k: Int): Seq[(Long, String, Long, String, Double)] =
+      (1 to k).map(i => (1L, f"2024-01-0$day 0$i:00:00", day * 100L + i, "e", 1.0))
+    val events = ev(rows(1, 2) ++ rows(2, 2) ++ rows(4, 8) ++ rows(5, 8))
+    val out = Behavior.changepointCusumTransform(events)
+      .collect().map(r => (r.getTimestamp(0).toString.take(10),
+        r.getLong(1), r.getLong(2), r.getBoolean(3))).toSeq
+    assert(out == Seq(
+      ("2024-01-01", 2L, -10L, false), ("2024-01-02", 2L, -20L, false),
+      ("2024-01-03", 0L, -40L, true), ("2024-01-04", 8L, -20L, false),
+      ("2024-01-05", 8L, 0L, false)))
+  }
+
   test("metric correlations: planted perfect correlation and anti-correlation, zero-filled grid") {
     // a and b move together (r = 1); a and c move oppositely (r = -1).
     // Day 3 has no 'c' row at all -> zero-fill puts c = 0 there, which

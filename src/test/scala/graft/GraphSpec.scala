@@ -181,6 +181,33 @@ class GraphSpec extends AnyFunSuite {
     }
   }
 
+  test("link prediction equals a straight-Scala neighbour-jaccard on random graphs") {
+    val rnd = new scala.util.Random(99L)
+    for (trial <- 1 to 5) {
+      val n = 4 + rnd.nextInt(10)
+      val es = (for (a <- 0 until n; b <- a + 1 until n if rnd.nextDouble() < 0.4)
+        yield (a.toLong, b.toLong)).toSeq
+      if (es.nonEmpty) {
+        val edgeSet = es.toSet
+        val adj = es.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+          .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+        val nodes = adj.keys.toSeq.sorted
+        val want = (for {
+          a <- nodes; b <- nodes
+          if a < b && !edgeSet((a, b))
+          common = (adj(a) & adj(b)).size.toLong
+          if common > 0
+        } yield (a, b, common, adj(a).size.toLong, adj(b).size.toLong,
+            common * 10000L / (adj(a).size + adj(b).size - common)))
+          .sortBy { case (a, b, _, _, _, bp) => (-bp, a, b) }.take(50)
+        val got = Graph.linkPredictionTransform(pairs(es: _*))
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+            r.getLong(3), r.getLong(4), r.getLong(5))).toSeq
+        assert(got == want, s"trial $trial n=$n edges=$es")
+      }
+    }
+  }
+
   test("degree histogram: star plus an isolated edge") {
     // star center 1 -> degree 4; leaves degree 1; edge (6,7) two more
     // degree-1 nodes: histogram = {1: 6, 4: 1}

@@ -228,6 +228,33 @@ class StreamingSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
     assert(rows("stream_mode_daily") == rows("mode_daily_item"))
   }
 
+  test("stream_source_drift equals the batch source_drift_tv") {
+    assert(rows("stream_source_drift") == rows("source_drift_tv"))
+  }
+
+  test("drift state: cross-batch counts move the TV distance, replay guard holds") {
+    import org.apache.spark.sql.functions.col
+    import graft.streaming.DriftState
+    import spark.implicits._
+    val state = new DriftState(GraftCaches.trackTempDir("graft_driftspec_") + "/state")
+    def batch(rows: (String, String)*) = rows.toSeq.toDF("source", "text")
+    def tv = state.drift(spark).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getDouble(2))).toSeq
+
+    // batch 0: identical unigram distributions -> TV = 0
+    state.merge(batch(("A", "x y"), ("B", "x y")), 0)
+    assert(tv == Seq(("A", "B", 0.0)))
+    // batch 1: B gains "z z" -> A={x:1,y:1}/2, B={x:1,y:1,z:2}/4;
+    // num = |1*4-1*2| + |1*4-1*2| + |0*4-2*2| = 8; TV = 8/(2*2*4) = 0.5
+    // (a per-batch TV could only ever average 0 and 1 — sufficient
+    // counts land the exact cross-batch mixture)
+    state.merge(batch(("B", "z z")), 1)
+    assert(tv == Seq(("A", "B", 0.5)))
+    // replay of batch 1 is a no-op
+    state.merge(batch(("B", "z z")), 1)
+    assert(tv == Seq(("A", "B", 0.5)))
+  }
+
   test("daily mode state: cross-batch count accumulation flips the mode, replay guard holds") {
     import org.apache.spark.sql.functions.{col, concat, lit, to_timestamp}
     import graft.streaming.DailyModeState
