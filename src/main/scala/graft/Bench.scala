@@ -122,7 +122,8 @@ object Bench {
     "item_cf_recommend" -> 7.652, "engagement_gini" -> 2.487,
     "containment_pairs" -> 13.853,
     "link_prediction" -> 5.381, "changepoint_cusum" -> 3.398,
-    "stream_source_drift" -> 4.669)
+    "stream_source_drift" -> 4.669, "stream_changepoint" -> 4.099,
+    "histogram_equidepth" -> 1.811, "yoy_revenue" -> 1.794)
 
   /** Run ONE query in a fresh JVM (this JVM's own flags + classpath,
     * stderr discarded) and parse its timing out of the child's JSON

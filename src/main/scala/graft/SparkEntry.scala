@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.operators._
-import graft.streaming.{AttributionStream, CdcCompact, DailyModeStream, DriftStream, EngagementStream, FunnelStream, MomentsStream, RollupStream, Sessionize, StreamDedup, StreamIncrementalDedup}
+import graft.streaming.{AttributionStream, CdcCompact, ChangepointStream, DailyModeStream, DriftStream, EngagementStream, FunnelStream, MomentsStream, RollupStream, Sessionize, StreamDedup, StreamIncrementalDedup}
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the inventory. */
 object SparkEntry {
@@ -93,6 +93,7 @@ object SparkEntry {
     "stream_rollup"      -> RollupStream.streamRollup _,
     "stream_mode_daily"  -> DailyModeStream.streamModeDaily _,
     "stream_source_drift" -> DriftStream.streamSourceDrift _,
+    "stream_changepoint"  -> ChangepointStream.streamChangepoint _,
     "stream_interval_join" -> EngagementStream.streamIntervalJoin _,
     "stream_interval_join_left" -> EngagementStream.streamIntervalJoinLeft _,
     // Analytic core
@@ -128,6 +129,8 @@ object SparkEntry {
     "q16_parts_suppliers"   -> ((s: SparkSession, d: String) => TpchShapes.q16PartsSuppliers(s, d)),
     "q20_dominant_supplier" -> ((s: SparkSession, d: String) => TpchShapes.q20DominantSupplier(s, d)),
     "q21_waiting_supplier"  -> ((s: SparkSession, d: String) => TpchShapes.q21WaitingSupplier(s, d)),
+    "histogram_equidepth"   -> ((s: SparkSession, d: String) => Olap.histogramEquidepth(s, d)),
+    "yoy_revenue"           -> Olap.yoyRevenue _,
     "open_orders_daily"     -> Olap.openOrdersDaily _,
     "rolling_distinct_users" -> ((s: SparkSession, d: String) => Olap.rollingDistinctUsers(s, d)),
     "rolling_p95_value"      -> ((s: SparkSession, d: String) => Olap.rollingP95Value(s, d)),
@@ -225,6 +228,7 @@ object SparkEntry {
       // equals the batch mode_daily_item row-for-row
       "stream_mode_daily" -> base("mode_daily_item"),
       "stream_source_drift" -> base("source_drift_tv"),
+      "stream_changepoint" -> base("changepoint_cusum"),
       "stream_moments" ->
         """WITH m AS (SELECT event_type, count(*) AS n,
           |                  CAST(sum(c) AS BIGINT) AS sum_c,
@@ -491,6 +495,8 @@ object SparkEntry {
     "q16_parts_suppliers" -> operators.TpchShapes.q16OracleSql(),
     "q20_dominant_supplier" -> operators.TpchShapes.q20OracleSql(),
     "q21_waiting_supplier" -> operators.TpchShapes.q21OracleSql(),
+    "histogram_equidepth" -> operators.Olap.histogramEquidepthOracleSql(),
+    "yoy_revenue" -> operators.Olap.yoyRevenueOracleSql,
     "open_orders_daily" -> operators.Olap.openOrdersOracleSql,
     "rolling_distinct_users" -> operators.Olap.rollingDistinctOracleSql,
     // discrete rank selection spelled out with the same integer-exact

@@ -925,9 +925,17 @@ object Behavior {
     * ingestion outage IS the changepoint); cumsum window over the
     * planning-scale day series.
     */
-  def changepointCusumTransform(events: DataFrame): DataFrame = {
-    val daily = events.select(date_trunc("day", col("ts")).as("day"))
-      .groupBy(col("day")).agg(count(lit(1)).as("n"))
+  def changepointCusumTransform(events: DataFrame): DataFrame =
+    changepointFromDaily(events.select(date_trunc("day", col("ts")).as("day"))
+      .groupBy(col("day")).agg(count(lit(1)).as("n")))
+
+  /** The CUSUM derivation from an already-aggregated (day, n) count
+    * table — split out so the STREAMING twin
+    * ([[graft.streaming.ChangepointStream]]) can maintain the daily
+    * counts as additive state and derive the report through this
+    * identical expression tree (the [[modeFromDailyCounts]] /
+    * sourceDriftFromCounts parity pattern). */
+  def changepointFromDaily(daily: DataFrame): DataFrame = {
     val bounds = daily.agg(min(col("day")).as("lo"), max(col("day")).as("hi"))
     val axis = bounds.select(explode(sequence(col("lo"), col("hi"), expr("interval 1 day"))).as("day"))
     val filled = axis.join(daily, Seq("day"), "left")

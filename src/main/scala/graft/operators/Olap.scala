@@ -1323,6 +1323,91 @@ object Olap {
        |                    AND o_orderdate >= TIMESTAMP '$since')
        |GROUP BY n_name ORDER BY n_name""".stripMargin
 
+  /** Equi-DEPTH histogram of event value — the quantile-bucket
+    * companion to [[histogramValue]]'s equi-WIDTH bins: each bucket
+    * holds ~n/B rows, so the bounds themselves are the distribution
+    * read (a long-tailed value column makes equi-width bins empty at
+    * the top and useless at the bottom; equi-depth adapts). The
+    * assignment is pure rank arithmetic on the DISTINCT-cents grid:
+    * bucket(v) = ((cum(v)−1)·B) div n + 1 with cum the inclusive
+    * cumulative row count — [[Behavior]]'s rfm quartile formula
+    * generalized to B buckets, integer-exact, no float thresholds,
+    * and all rows of one value land in one bucket (no value ever
+    * splits).
+    *
+    * Shape: values collapse map-side to the |distinct cents| grid
+    * (one shuffle); the cumsum window runs over that grid (value
+    * cardinality, not row count — the documented planning-scale
+    * class); n arrives as a one-row broadcast; output is exactly
+    * ≤ B rows.
+    */
+  def histogramEquidepth(spark: SparkSession, dir: String, buckets: Int = 10): DataFrame =
+    histogramEquidepthTransform(Tables.events(spark, dir), buckets)
+
+  def histogramEquidepthTransform(events: DataFrame, buckets: Int): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val g = events
+      .select(expr("CAST(round(value * 100) AS BIGINT)").as("c"))
+      .groupBy($"c").agg(count(lit(1)).as("cnt"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(lit(0)).orderBy($"c")
+    val cumed = g.withColumn("cum", sum($"cnt").over(w))
+    cumed
+      .crossJoin(broadcast(g.agg(sum($"cnt").as("n"))))
+      .select($"c", $"cnt", expr(s"((cum - 1) * $buckets) div n + 1").as("bucket"))
+      .groupBy($"bucket")
+      .agg(min($"c").as("lo_cents"), max($"c").as("hi_cents"), sum($"cnt").as("n_rows"))
+      .orderBy($"bucket")
+  }
+
+  /** DuckDB oracle for [[histogramEquidepth]]. */
+  def histogramEquidepthOracleSql(buckets: Int = 10): String =
+    s"""WITH g AS (SELECT CAST(round(value * 100) AS BIGINT) AS c, count(*) AS cnt FROM events GROUP BY 1),
+       |cumed AS (SELECT c, cnt, CAST(sum(cnt) OVER (ORDER BY c) AS BIGINT) AS cum FROM g),
+       |t AS (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM g)
+       |SELECT ((cum - 1) * $buckets) // n + 1 AS bucket,
+       |       min(c) AS lo_cents, max(c) AS hi_cents, CAST(sum(cnt) AS BIGINT) AS n_rows
+       |FROM cumed, t GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** Year-over-year monthly revenue — the LAG-12 window shape every
+    * revenue dashboard runs: monthly exact-cents totals, the
+    * same-month-last-year value by calendar join (a LAG(12) over a
+    * month axis silently lies when a month is missing; an explicit
+    * join on month−12 cannot), growth as the single float on two
+    * exact Longs, NULL (not 0) when no prior year exists.
+    *
+    * Shape: fact → |months| rows in one map-side-combinable shuffle;
+    * the self-join on the shifted month key is planning-scale.
+    */
+  def yoyRevenue(spark: SparkSession, dir: String): DataFrame =
+    yoyRevenueTransform(Tables.orders(spark, dir))
+
+  def yoyRevenueTransform(orders: DataFrame): DataFrame = {
+    val spark = orders.sparkSession
+    import spark.implicits._
+    val monthly = orders
+      .groupBy(date_trunc("month", $"o_orderdate").as("month"))
+      .agg(sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")).as("rev_cents"))
+    monthly
+      .join(monthly.select(add_months($"month", 12).cast("timestamp").as("month"),
+          $"rev_cents".as("prev_rev_cents")),
+        Seq("month"), "left")
+      .select($"month", $"rev_cents", $"prev_rev_cents",
+        round(lit(100.0) * ($"rev_cents" - $"prev_rev_cents") / $"prev_rev_cents", 4).as("yoy_pct"))
+      .orderBy($"month")
+  }
+
+  /** DuckDB oracle for [[yoyRevenue]]. */
+  val yoyRevenueOracleSql: String =
+    """WITH m AS (
+      |  SELECT date_trunc('month', CAST(o_orderdate AS TIMESTAMP)) AS month,
+      |         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS rev_cents
+      |  FROM orders GROUP BY 1)
+      |SELECT a.month, a.rev_cents, b.rev_cents AS prev_rev_cents,
+      |       round(100.0 * (a.rev_cents - b.rev_cents) / b.rev_cents, 4) AS yoy_pct
+      |FROM m a LEFT JOIN m b ON a.month = b.month + INTERVAL 12 MONTH
+      |ORDER BY a.month""".stripMargin
+
   /** Wide→long reshape (the inverse of [[pivotSales]]'s PIVOT —
     * Spark's `unpivot`/MELT): per-returnflag exact-cents metrics
     * unpivoted to (flag, metric, value) rows. One aggregate then a

@@ -258,6 +258,58 @@ object DriftStream {
   }
 }
 
+/** Streaming changepoint state —
+  * [[graft.operators.Behavior.changepointCusumTransform]]'s twin:
+  * the (day, n) daily count table is the additive sufficient state
+  * (a CUSUM argmax is NOT additive — every new batch can move the
+  * changepoint anywhere in history, so per-batch changepoints cannot
+  * merge), replay-guarded; the CUSUM report derives at read time
+  * through [[graft.operators.Behavior.changepointFromDaily]] — the
+  * identical expression tree the batch operator runs. State is
+  * |days| rows; late rows fold into their (old) day.
+  */
+final class DailyCountState(stateDir: String) {
+  @volatile private var version: Long = StreamUtil.latestVersion(stateDir)
+
+  private def prior(spark: SparkSession): DataFrame =
+    if (version < 0)
+      spark.createDataFrame(java.util.List.of[Row](), StructType.fromDDL(
+        "day TIMESTAMP, n BIGINT"))
+    else spark.read.parquet(s"$stateDir/v$version")
+
+  def merge(batch: Dataset[Row], batchId: Long): Unit = {
+    if (batchId <= version) return
+    val spark = batch.sparkSession
+    val partial = batch
+      .select(date_trunc("day", col("ts")).as("day"))
+      .groupBy(col("day"))
+      .agg(count(lit(1)).as("n"))
+    val merged = prior(spark).unionByName(partial)
+      .groupBy(col("day"))
+      .agg(sum(col("n")).as("n"))
+    merged.coalesce(1).write.mode("overwrite").parquet(s"$stateDir/v$batchId")
+    val prev = version
+    version = batchId
+    if (prev >= 0) StreamUtil.delete(spark, s"$stateDir/v$prev")
+  }
+
+  def changepoint(spark: SparkSession): DataFrame =
+    graft.operators.Behavior.changepointFromDaily(prior(spark))
+}
+
+object ChangepointStream {
+
+  /** Queries entry: oracle = the same SQL that gates
+    * `changepoint_cusum` (sufficient-count state + shared CUSUM
+    * derivation make batch boundaries invisible). */
+  def streamChangepoint(spark: SparkSession, dir: String): DataFrame = {
+    val work = graft.GraftCaches.trackTempDir("graft_cusum_")
+    val state = new DailyCountState(s"$work/state")
+    StreamSources.runForeachBatch(StreamSources.events(spark, dir), state.merge)
+    state.changepoint(spark)
+  }
+}
+
 object DailyModeStream {
 
   /** Queries entry: oracle = the same SQL that gates

@@ -83,6 +83,39 @@ class BatchOperatorsSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAl
     assert(fast == naive, s"fast=${fast.size} naive=${naive.size}")
   }
 
+  test("equi-depth histogram: duplicates never split a bucket, depths absorb the imbalance") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // cents = 1,2,3,3,3,3,4,5 with B=2: cum(1)=1 cum(2)=2 cum(3)=6
+    // cum(4)=7 cum(5)=8 -> buckets {1,2} (depth 2) and {3,4,5}
+    // (depth 6): all four 3s stay together even though an even split
+    // would cut through them.
+    val events = Seq(0.01, 0.02, 0.03, 0.03, 0.03, 0.03, 0.04, 0.05)
+      .toDF("value")
+    val out = graft.operators.Olap.histogramEquidepthTransform(events, buckets = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(out == Seq((1L, 1L, 2L, 2L), (2L, 3L, 5L, 6L)))
+  }
+
+  test("yoy revenue: exact growth where a prior year exists, NULL where it does not") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val orders = Seq(
+      ("2023-03-15", 100.0), ("2023-03-20", 100.0), // 2023-03: 20000c
+      ("2024-03-05", 300.0),                        // 2024-03: 30000c -> +50%
+      ("2024-06-01", 50.0))                         // 2024-06: no prior year
+      .toDF("d", "o_totalprice")
+      .withColumn("o_orderdate", to_timestamp($"d")).drop("d")
+    val out = graft.operators.Olap.yoyRevenueTransform(orders)
+      .collect().map(r => (r.getTimestamp(0).toString.take(7), r.getLong(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2),
+        if (r.isNullAt(3)) Double.NaN else r.getDouble(3))).toSeq
+    assert(out(0) == (("2023-03", 20000L, -1L, Double.NaN))
+      || out(0)._4.isNaN && out(0)._1 == "2023-03" && out(0)._2 == 20000L)
+    assert(out(1) == (("2024-03", 30000L, 20000L, 50.0)))
+    assert(out(2)._1 == "2024-06" && out(2)._2 == 5000L && out(2)._4.isNaN)
+  }
+
   test("prefix-filtered containment join equals naive directed cross join") {
     import org.apache.spark.sql.functions._
     val d = graft.sources.Tables.documents(spark, sf)

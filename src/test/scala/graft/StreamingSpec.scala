@@ -232,6 +232,38 @@ class StreamingSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
     assert(rows("stream_source_drift") == rows("source_drift_tv"))
   }
 
+  test("stream_changepoint equals the batch changepoint_cusum") {
+    assert(rows("stream_changepoint") == rows("changepoint_cusum"))
+  }
+
+  test("daily count state: a late batch MOVES the changepoint, replay guard holds") {
+    import org.apache.spark.sql.functions.{col, to_timestamp}
+    import graft.streaming.DailyCountState
+    import spark.implicits._
+    val state = new DailyCountState(GraftCaches.trackTempDir("graft_cusumspec_") + "/state")
+    def batch(rows: (String, Int)*) =
+      rows.toSeq.flatMap { case (d, k) => (1 to k).map(_ => d) }.toDF("tss")
+        .withColumn("ts", to_timestamp(col("tss"))).drop("tss")
+    def cp = state.changepoint(spark).collect()
+      .filter(_.getBoolean(3)).map(_.getTimestamp(0).toString.take(10)).toSeq
+
+    // batch 0: 2/2/2/8 -> T=4, N=14, dev = 4S_t - 14t =
+    // (-6, -12, -18, 0): shift lands at day 3
+    state.merge(batch(("2024-01-01", 2), ("2024-01-02", 2),
+      ("2024-01-03", 2), ("2024-01-04", 8)), 0)
+    assert(cp == Seq("2024-01-03"))
+    // batch 1: 6 LATE events for day 1 -> 8/2/2/8, N=20, dev =
+    // 4S_t - 20t = (+12, 0, -12, 0): max|dev| TIES at days 1 and 3,
+    // earliest wins — the changepoint MOVES into already-reported
+    // history AND exercises the tie-break (a per-batch argmax could
+    // do neither)
+    state.merge(batch(("2024-01-01", 6)), 1)
+    assert(cp == Seq("2024-01-01"))
+    // replay of batch 1 is a no-op
+    state.merge(batch(("2024-01-01", 6)), 1)
+    assert(cp == Seq("2024-01-01"))
+  }
+
   test("drift state: cross-batch counts move the TV distance, replay guard holds") {
     import org.apache.spark.sql.functions.col
     import graft.streaming.DriftState
