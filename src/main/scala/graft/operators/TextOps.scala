@@ -1343,4 +1343,97 @@ object TextOps {
        |WHERE abs(length(a.s) - length(b.s)) <= $k
        |  AND levenshtein(a.s, b.s) <= $k
        |ORDER BY 1, 2""".stripMargin
+
+  /** Zipf-law fit of the corpus token-frequency curve — the one-row
+    * health metric a corpus audit reads before training (natural text
+    * sits near slope −1; scraped boilerplate and synthetic spam bend
+    * it): OLS slope/intercept of ln(freq) on ln(rank) over the top
+    * `topN` terms of [[vocabStatsTransform]]'s vocabulary (same
+    * whitespace tokenization). Each log is quantized to an exact
+    * 1e-6-grid BIGINT BEFORE summation so the sufficient statistics
+    * Σx, Σy, Σxy, Σx² are exact integers in any summation order
+    * (the `metric_correlations` discipline — float only in the final
+    * slope/intercept division).
+    *
+    * Shape: token counts collapse map-side to vocab scale; the
+    * top-N cut is one global window over vocab (not corpus) rows;
+    * the regression is a single one-row aggregate.
+    */
+  def zipfSlopeTransform(spark: SparkSession, docs: DataFrame, topN: Int = 1000): DataFrame = {
+    import spark.implicits._
+    val vocab = docs
+      .select(explode(split($"text", " ")).as("tok"))
+      .groupBy($"tok").agg(count(lit(1)).as("cf"))
+    val byFreq = Window.orderBy($"cf".desc, $"tok")
+    val pts = vocab
+      .withColumn("rank", row_number().over(byFreq).cast("long"))
+      .filter($"rank" <= topN)
+      .select(expr("CAST(round(ln(rank) * 1000000) AS BIGINT)").as("x"),
+        expr("CAST(round(ln(cf) * 1000000) AS BIGINT)").as("y"))
+    pts.agg(count(lit(1)).as("n_terms"),
+        sum($"x").as("sx"), sum($"y").as("sy"),
+        sum(expr("CAST(x AS DECIMAL(38,0)) * y")).as("sxy"),
+        sum(expr("CAST(x AS DECIMAL(38,0)) * x")).as("sxx"))
+      .select($"n_terms",
+        expr("""round((n_terms * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy) /
+                      (n_terms * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx), 4)""")
+          .as("zipf_slope"),
+        expr("""round((CAST(sy AS DOUBLE) / n_terms / 1e6) -
+                      ((n_terms * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy) /
+                       (n_terms * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx)) *
+                      (CAST(sx AS DOUBLE) / n_terms / 1e6), 4)""")
+          .as("zipf_intercept"))
+  }
+
+  def zipfSlope(spark: SparkSession, dir: String): DataFrame =
+    zipfSlopeTransform(spark, Tables.documents(spark, dir))
+
+  /** DuckDB oracle for [[zipfSlopeTransform]] (topN = 1000). */
+  val zipfSlopeOracleSql: String =
+    """WITH v AS (SELECT u.tok AS tok, count(*) AS cf
+      |           FROM documents, unnest(string_split(text, ' ')) AS u(tok)
+      |           GROUP BY 1),
+      |r AS (SELECT cf, CAST(row_number() OVER (ORDER BY cf DESC, tok) AS BIGINT) AS rank FROM v),
+      |p AS (SELECT CAST(round(ln(rank) * 1000000) AS BIGINT) AS x,
+      |             CAST(round(ln(cf) * 1000000) AS BIGINT) AS y
+      |      FROM r WHERE rank <= 1000)
+      |SELECT count(*) AS n_terms,
+      |       round((count(*) * CAST(sum(CAST(x AS HUGEINT) * y) AS DOUBLE) - CAST(sum(x) AS DOUBLE) * sum(y)) /
+      |             (count(*) * CAST(sum(CAST(x AS HUGEINT) * x) AS DOUBLE) - CAST(sum(x) AS DOUBLE) * sum(x)), 4) AS zipf_slope,
+      |       round((CAST(sum(y) AS DOUBLE) / count(*) / 1e6) -
+      |             ((count(*) * CAST(sum(CAST(x AS HUGEINT) * y) AS DOUBLE) - CAST(sum(x) AS DOUBLE) * sum(y)) /
+      |              (count(*) * CAST(sum(CAST(x AS HUGEINT) * x) AS DOUBLE) - CAST(sum(x) AS DOUBLE) * sum(x))) *
+      |             (CAST(sum(x) AS DOUBLE) / count(*) / 1e6), 4) AS zipf_intercept
+      |FROM p""".stripMargin
+
+  /** Exact-duplicate rate per source — the per-provider contamination
+    * scoreboard that decides which feeds get renegotiated (the
+    * corpus-wide pass is [[dedupExact]]; this splits the damage by
+    * `source`): docs, distinct contents by 128-bit hash, duplicate
+    * surplus, and the rate. Only (hash, source) ever shuffles — the
+    * hash is computed map-side next to the scan, the text stays put.
+    */
+  def dupRateBySourceTransform(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select($"source", md5($"text").as("h"))
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"),
+        count_distinct($"h").as("n_distinct"))
+      .select($"source", $"n_docs", $"n_distinct",
+        ($"n_docs" - $"n_distinct").as("n_dup_surplus"),
+        round(($"n_docs" - $"n_distinct") / $"n_docs".cast("double"), 6).as("dup_rate"))
+      .orderBy($"source")
+  }
+
+  def dupRateBySource(spark: SparkSession, dir: String): DataFrame =
+    dupRateBySourceTransform(Tables.documents(spark, dir))
+
+  /** DuckDB oracle for [[dupRateBySourceTransform]]. */
+  val dupRateBySourceOracleSql: String =
+    """SELECT source, count(*) AS n_docs,
+      |       CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_distinct,
+      |       CAST(count(*) - count(DISTINCT md5(text)) AS BIGINT) AS n_dup_surplus,
+      |       round(CAST(count(*) - count(DISTINCT md5(text)) AS DOUBLE) / count(*), 6) AS dup_rate
+      |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin
 }

@@ -2,6 +2,7 @@ package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Loaders for the graft test corpus (TPC-H-ish star schema plus an
   * `events` stream table and LLM-pipeline `documents`/`embeddings`).
@@ -26,17 +27,33 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame       = apply(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame     = apply(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame   = apply(s, d, "lineitem")
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's reader
-    * rejects by default. Read it as raw int64 nanos (legacy flag) and
-    * truncate to microseconds — the same truncation DuckDB applies
-    * when casting TIMESTAMP_NS to TIMESTAMP, so oracles agree. */
+  /** `events.ts` has shipped in more than one parquet encoding across
+    * testdata generations: TIMESTAMP(NANOS) (which Spark's reader
+    * rejects unless read as raw int64 via the legacy nanosAsLong
+    * flag), TIMESTAMP(MICROS) not adjusted to UTC (read as
+    * TIMESTAMP_NTZ), or a plain UTC-adjusted timestamp. [[normalizeTs]]
+    * folds all of them to the session `TimestampType` at microsecond
+    * precision — the same truncation DuckDB applies casting
+    * TIMESTAMP_NS to TIMESTAMP, and value-preserving for NTZ because
+    * every graft session pins `spark.sql.session.timeZone=UTC`. */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    apply(s, d, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    normalizeTs(apply(s, d, "events"))
       .select(col("event_id"), col("ts"), col("user_id"),
         col("event_type"), col("value"), col("props"))
   }
+
+  /** Schema-adaptive timestamp normalization (see [[events]]). Works
+    * on batch and streaming frames alike — the dispatch is on the
+    * analyzed schema, not the data. */
+  def normalizeTs(df: DataFrame, tsCol: String = "ts"): DataFrame =
+    df.schema(tsCol).dataType match {
+      case LongType =>
+        df.withColumn(tsCol, timestamp_micros(expr(s"`$tsCol` div 1000")))
+      case TimestampType => df
+      case _ => // TIMESTAMP_NTZ (and anything else castable)
+        df.withColumn(tsCol, col(tsCol).cast(TimestampType))
+    }
   def documents(s: SparkSession, d: String): DataFrame  = apply(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = apply(s, d, "embeddings")
 

@@ -105,14 +105,26 @@ object Sessionize {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val src = s"$dir/events.parquet"
     val raw = spark.read.parquet(src)
-    val maxNanos = raw.agg(max(col("ts"))).first().getLong(0)
+    val maxTs = raw.agg(max(col("ts"))).first().get(0)
     val inputDir = Paths.get(work, "input")
     Files.createDirectories(inputDir)
     Files.copy(Paths.get(src), inputDir.resolve("000_events.parquet"))
 
     val schema = raw.schema
+    // sentinel ts = max(ts) + 10 days, in whatever encoding the file
+    // uses (int64 nanos, TIMESTAMP_NTZ, or UTC timestamp) so the
+    // sentinel row round-trips through the same normalizeTs path
     val tenDaysNs = 10L * 86400L * 1000000000L
-    val row = Row(-1L, maxNanos + tenDaysNs, -1L, "sentinel", 0.0, "{}")
+    val sentinelTs: Any = maxTs match {
+      case n: java.lang.Long => n + tenDaysNs
+      case t: java.time.LocalDateTime => t.plusDays(10)
+      case t: java.sql.Timestamp =>
+        new java.sql.Timestamp(t.getTime + 10L * 86400L * 1000L)
+      case t: java.time.Instant => t.plus(java.time.Duration.ofDays(10))
+      case other => throw new IllegalStateException(
+        s"unexpected events.ts runtime type: ${other.getClass}")
+    }
+    val row = Row(-1L, sentinelTs, -1L, "sentinel", 0.0, "{}")
     val df = spark.createDataFrame(java.util.List.of(row), schema).coalesce(1)
     val stage = Paths.get(work, "stage")
     df.write.mode("overwrite").parquet(stage.toString)

@@ -26,7 +26,7 @@ object StreamSources {
 
   private val nameCtr = new AtomicInteger(0)
 
-  /** The events table as an unbounded stream. Same nanos→micros
+  /** The events table as an unbounded stream. Same schema-adaptive ts
     * normalization as [[graft.sources.Tables.events]]; the schema is
     * taken from a metadata-only batch read (file-source streams
     * require an explicit schema). `maxFilesPerTrigger` bounds each
@@ -54,8 +54,7 @@ object StreamSources {
     // injection.
     val streamPath =
       if (new java.io.File(path).isFile) s"${path.init}[${path.last}]" else path
-    reader.parquet(streamPath)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    graft.sources.Tables.normalizeTs(reader.parquet(streamPath))
       .select((Seq("event_id", "ts", "user_id", "event_type", "value", "props")
         ++ extraCols).map(col): _*)
   }

@@ -564,6 +564,30 @@ class BatchOperatorsSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAl
       ("d", 1L, 1L, 4L, 1.0)))
   }
 
+  test("zipf_slope: exact -1 slope and ln(C) intercept on a planted 1/rank corpus") {
+    import spark.implicits._
+    // freqs 12/r at ranks 1..4 -> ln f = ln 12 - ln r, exactly linear
+    val words = Seq.fill(12)("t12") ++ Seq.fill(6)("t06") ++
+      Seq.fill(4)("t04") ++ Seq.fill(3)("t03")
+    val docs = Seq((1L, words.mkString(" "))).toDF("doc_id", "text")
+    val r = graft.operators.TextOps.zipfSlopeTransform(spark, docs).collect().head
+    assert(r.getLong(0) == 4L)
+    assert(r.getDouble(1) == -1.0)
+    assert(r.getDouble(2) == BigDecimal(math.log(12.0))
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+  }
+
+  test("dup_rate_by_source: per-source surplus and rate, clean source at zero") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "same text", "sA"), (2L, "same text", "sA"), (3L, "other", "sA"),
+      (4L, "unique", "sB"))
+      .toDF("doc_id", "text", "source")
+    val out = graft.operators.TextOps.dupRateBySourceTransform(docs).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toSeq
+    assert(out == Seq(("sA", 3L, 2L, 1L, 0.333333), ("sB", 1L, 1L, 0L, 0.0)))
+  }
+
   test("text_redact scrubs planted PII classes byte-exactly") {
     import spark.implicits._
     def md5hex(s: String): String =

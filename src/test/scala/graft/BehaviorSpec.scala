@@ -389,4 +389,78 @@ class BehaviorSpec extends AnyFunSuite {
       .map(r => (r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
     assert(out == Seq((7L, 2L, 6666L), (3L, 1L, 5000L)))
   }
+
+  test("rank delta daily: calendar join survives a missing day, new items get null delta") {
+    def evp(rows: Seq[(String, Long, Double)]): DataFrame =
+      rows.zipWithIndex.map { case ((ts, k, v), i) => (1L + i, ts, i.toLong, k, v) }
+        .toDF("user_id", "ts_s", "event_id", "k", "value")
+        .withColumn("ts", to_timestamp($"ts_s")).drop("ts_s")
+        .withColumn("event_type", lit("view"))
+        .withColumn("props", concat(lit("{\"k\": "), $"k", lit("}")))
+    val events = evp(Seq(
+      // day 1: item 1 = 300c (rank1), item 2 = 100c (rank2)
+      ("2024-01-01 01:00:00", 1L, 3.0), ("2024-01-01 02:00:00", 2L, 1.0),
+      // day 2: item 2 overtakes (rank1, climbed +1), item 3 NEW (null delta)
+      ("2024-01-02 01:00:00", 2L, 5.0), ("2024-01-02 02:00:00", 3L, 2.0),
+      // day 4 after a fully EMPTY day 3: a LAG-based prev would wrongly
+      // read day 2; the calendar join must yield null prev_rank
+      ("2024-01-04 01:00:00", 2L, 1.0)))
+    val out = Behavior.rankDeltaDailyTransform(events).collect()
+      .map(r => (r.getTimestamp(0).toString.take(10), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(4)) None else Some(r.getLong(4)),
+        if (r.isNullAt(5)) None else Some(r.getLong(5)))).toSeq
+    assert(out == Seq(
+      ("2024-01-01", 1L, 1L, None, None), ("2024-01-01", 2L, 2L, None, None),
+      ("2024-01-02", 1L, 2L, Some(2L), Some(1L)), ("2024-01-02", 2L, 3L, None, None),
+      ("2024-01-04", 1L, 2L, None, None)))
+  }
+
+  test("ewma daily: dyadic weights halve per day, zero-filled gap day dilutes the average") {
+    val events = ev(Seq(
+      (1L, "2024-01-01 01:00:00", 1L, "view", 1.0),   // day 1: 100c
+      // day 2 empty -> zero-filled
+      (1L, "2024-01-03 01:00:00", 2L, "view", 2.0)))  // day 3: 200c
+    val out = Behavior.ewmaDailyTransform(events).collect()
+      .map(r => (r.getTimestamp(1).toString.take(10), r.getLong(2), r.getDouble(3))).toSeq
+    // d1: 100; d2: (0·2 + 100)/3; d3: (200·4 + 0·2 + 100)/7
+    assert(out == Seq(
+      ("2024-01-01", 100L, 100.0),
+      ("2024-01-02", 0L, BigDecimal(100.0 / 3).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble),
+      ("2024-01-03", 200L, BigDecimal(900.0 / 7).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)))
+  }
+
+  test("pareto users: integer 80% threshold, ceil-decile share") {
+    val events = ev(Seq(
+      (1L, "2024-01-01 01:00:00", 1L, "view", 0.50),
+      (2L, "2024-01-01 02:00:00", 2L, "view", 0.30),
+      (3L, "2024-01-01 03:00:00", 3L, "view", 0.20)))
+    val r = Behavior.paretoUsersTransform(events).collect().head
+    // cum 50,80,100 of 100: first rn with 5·cum >= 4·100 is rn=2;
+    // decile = ceil(3/10) = 1 user -> share 50/100
+    assert((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)) ==
+      (3L, 100L, 2L, 0.5))
+  }
+
+  test("boxplot stats: ceil-k discrete quartiles, integer Tukey fences catch only the spike") {
+    val events = ev(
+      (1 to 8).map(i => (i.toLong, "2024-01-01 01:00:00", i.toLong, "view", i / 100.0)) :+
+        (9L, "2024-01-01 02:00:00", 9L, "view", 1.00))
+    val r = Behavior.boxplotStatsTransform(events).collect().head
+    // cents 1..8,100 (n=9): q1 = 3rd = 3, med = 5th = 5, q3 = 7th = 7;
+    // high fence 2c > 5·7 − 3·3 = 26 -> only 100; low fence empty
+    assert((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+      r.getLong(6), r.getLong(7)) == (9L, 3L, 5L, 7L, 4L, 0L, 1L))
+  }
+
+  test("welch t-test: hand-computed t and df on planted two-sample cents") {
+    val events = ev(Seq(
+      (1L, "2024-01-01 01:00:00", 1L, "a", 1.0),  // a: 100, 200 cents
+      (2L, "2024-01-01 02:00:00", 2L, "a", 2.0),
+      (3L, "2024-01-01 03:00:00", 3L, "b", 1.0),  // b: 100, 100 cents
+      (4L, "2024-01-01 04:00:00", 4L, "b", 1.0)))
+    val r = Behavior.abWelchTtestTransform(events).collect().head
+    // var_a = 5000, var_b = 0 -> t = 50/√2500 = 1, df = 2500²/2500² = 1
+    assert((r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+      r.getDouble(4), r.getDouble(5)) == ("a", "b", 2L, 2L, 1.0, 1.0))
+  }
 }
