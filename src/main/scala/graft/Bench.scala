@@ -137,7 +137,10 @@ object Bench {
     "rank_delta_daily" -> 3.690, "ewma_daily" -> 3.097,
     "pareto_users" -> 2.429, "boxplot_stats" -> 3.314,
     "ab_welch_ttest" -> 2.542, "zipf_slope" -> 1.794,
-    "dup_rate_by_source" -> 1.553)
+    "dup_rate_by_source" -> 1.553,
+    "ngram_novelty" -> 3.507, "source_lang_entropy" -> 1.762,
+    "label_centroids" -> 1.523, "stream_ewma" -> 4.338,
+    "term_pmi_top" -> 4.754, "seasonality_profile" -> 2.295)
 
   /** Run ONE query in a fresh JVM (this JVM's own flags + classpath,
     * stderr discarded) and parse its timing out of the child's JSON

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.operators._
-import graft.streaming.{AttributionStream, CdcCompact, ChangepointStream, DailyModeStream, DriftStream, EngagementStream, FunnelStream, MomentsStream, RollupStream, Sessionize, StreamDedup, StreamIncrementalDedup}
+import graft.streaming.{AttributionStream, CdcCompact, ChangepointStream, DailyModeStream, DriftStream, EngagementStream, EwmaStream, FunnelStream, MomentsStream, RollupStream, Sessionize, StreamDedup, StreamIncrementalDedup}
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the inventory. */
 object SparkEntry {
@@ -78,6 +78,12 @@ object SparkEntry {
     "ab_welch_ttest"       -> Behavior.abWelchTtest _,
     "zipf_slope"           -> TextOps.zipfSlope _,
     "dup_rate_by_source"   -> TextOps.dupRateBySource _,
+    "ngram_novelty"        -> TextOps.ngramNovelty _,
+    "source_lang_entropy"  -> TextOps.sourceLangEntropy _,
+    "term_pmi_top"         -> TextOps.termPmiTop _,
+    "seasonality_profile"  -> Behavior.seasonalityProfile _,
+    "label_centroids"      -> VectorOps.labelCentroids _,
+    "stream_ewma"          -> EwmaStream.streamEwma _,
     // Structured Streaming (real engine: readStream -> AvailableNow),
     // checked against the same DuckDB oracles as their batch twins
     "stream_hop_agg"     -> EngagementStream.streamHopAgg _,
@@ -236,6 +242,9 @@ object SparkEntry {
       "stream_mode_daily" -> base("mode_daily_item"),
       "stream_source_drift" -> base("source_drift_tv"),
       "stream_changepoint" -> base("changepoint_cusum"),
+      // additive daily-cents state + shared dyadic EWMA derivation:
+      // stream equals the batch ewma_daily row-for-row
+      "stream_ewma" -> base("ewma_daily"),
       "stream_moments" ->
         """WITH m AS (SELECT event_type, count(*) AS n,
           |                  CAST(sum(c) AS BIGINT) AS sum_c,
@@ -655,6 +664,11 @@ object SparkEntry {
     "ab_welch_ttest" -> operators.Behavior.abWelchTtestOracleSql,
     "zipf_slope" -> operators.TextOps.zipfSlopeOracleSql,
     "dup_rate_by_source" -> operators.TextOps.dupRateBySourceOracleSql,
+    "ngram_novelty" -> operators.TextOps.ngramNoveltyOracleSql,
+    "source_lang_entropy" -> operators.TextOps.sourceLangEntropyOracleSql,
+    "term_pmi_top" -> operators.TextOps.termPmiOracleSql,
+    "seasonality_profile" -> operators.Behavior.seasonalityProfileOracleSql,
+    "label_centroids" -> operators.VectorOps.labelCentroidsOracleSql,
 
     // the bounded-heap stage-2 equals this nested-window formulation
     "topk_diversified" ->

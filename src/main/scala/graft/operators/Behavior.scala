@@ -1319,13 +1319,23 @@ object Behavior {
     * day-range predicate — grid-scale (≤ 20·|grid| intermediate
     * rows), never fact-scale.
     */
-  def ewmaDailyTransform(events: DataFrame, taps: Int = 20): DataFrame = {
-    val spark = events.sparkSession
-    import spark.implicits._
-    val daily = events
-      .select(date_trunc("day", $"ts").as("day"), $"event_type",
+  def ewmaDailyTransform(events: DataFrame, taps: Int = 20): DataFrame =
+    ewmaFromDaily(events
+      .select(date_trunc("day", col("ts")).as("day"), col("event_type"),
         expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
-      .groupBy($"event_type", $"day").agg(sum($"cents").as("cents"))
+      .groupBy(col("event_type"), col("day")).agg(sum(col("cents")).as("cents")),
+      taps)
+
+  /** The EWMA derivation from an already-aggregated (event_type, day,
+    * cents) table — split out so the STREAMING twin
+    * ([[graft.streaming.EwmaStream]]) can maintain daily cents as
+    * additive state and derive the smoothed series through this
+    * identical expression tree (the changepointFromDaily /
+    * modeFromDailyCounts parity pattern). */
+  def ewmaFromDaily(daily0: DataFrame, taps: Int = 20): DataFrame = {
+    val spark = daily0.sparkSession
+    import spark.implicits._
+    val daily = daily0
     // calendar spine exploded from a ONE-ROW bounds aggregate (the
     // changepoint_cusum pattern) — the types×days grid materializes
     // through a generator + equi-join, never a nested-loop join
@@ -1500,6 +1510,56 @@ object Behavior {
       |       CAST(sum(CASE WHEN 2 * c.cents > 5 * q.q3_cents - 3 * q.q1_cents THEN 1 ELSE 0 END) AS BIGINT) AS n_high_outliers
       |FROM c JOIN q ON c.event_type = q.event_type
       |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** Hour-of-week seasonality profile per event type — the weekly
+    * heat-grid behind capacity planning and anomaly-baseline tuning
+    * (the FULL week axis where [[Behavior]]'s `activity_heatmap`
+    * reports the observed cells): per (type, day-of-week, hour) its
+    * count, integer basis-point share of the type's traffic, and the
+    * deviation from a uniform 168-cell week (`n·168·10⁴ div total −
+    * 10⁴` — positive = hot cell), all in pure integer arithmetic.
+    * Day-of-week derives from EPOCH-DAY arithmetic
+    * (`(days + 4) mod 7`, 0 = Sunday) — Spark's `dayofweek` and
+    * DuckDB's `dayofweek` disagree on numbering conventions; epoch
+    * math cannot.
+    *
+    * Shape: fact collapses map-side to ≤ 168·|types| cells; the
+    * share/deviation windows run at cell scale.
+    */
+  def seasonalityProfileTransform(events: DataFrame): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val cells = events
+      .select($"event_type",
+        expr("(unix_micros(ts) div 86400000000 + 4) % 7").as("dow"),
+        hour($"ts").cast("long").as("hour"))
+      .groupBy($"event_type", $"dow", $"hour")
+      .agg(count(lit(1)).as("n"))
+    cells
+      .withColumn("total", sum($"n").over(Window.partitionBy($"event_type")))
+      .select($"event_type", $"dow", $"hour", $"n",
+        expr("n * 10000 div total").as("share_bp"),
+        expr("n * 168 * 10000 div total - 10000").as("dev_bp"))
+      .orderBy($"event_type", $"dow", $"hour")
+  }
+
+  def seasonalityProfile(spark: SparkSession, dir: String): DataFrame =
+    seasonalityProfileTransform(Tables.events(spark, dir))
+
+  /** DuckDB oracle for [[seasonalityProfileTransform]]. */
+  val seasonalityProfileOracleSql: String =
+    """WITH c AS (
+      |  SELECT event_type,
+      |         (epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 + 4) % 7 AS dow,
+      |         CAST(hour(CAST(ts AS TIMESTAMP)) AS BIGINT) AS hour,
+      |         count(*) AS n
+      |  FROM events GROUP BY 1, 2, 3),
+      |t AS (SELECT event_type, CAST(sum(n) AS BIGINT) AS total FROM c GROUP BY 1)
+      |SELECT c.event_type, CAST(c.dow AS BIGINT) AS dow, c.hour, CAST(c.n AS BIGINT) AS n,
+      |       c.n * 10000 // t.total AS share_bp,
+      |       c.n * 168 * 10000 // t.total - 10000 AS dev_bp
+      |FROM c JOIN t USING (event_type)
+      |ORDER BY 1, 2, 3""".stripMargin
 
   /** Welch's two-sample t between every pair of event types on the
     * per-event value — the A/B readout layered on the same

@@ -1436,4 +1436,187 @@ object TextOps {
       |       CAST(count(*) - count(DISTINCT md5(text)) AS BIGINT) AS n_dup_surplus,
       |       round(CAST(count(*) - count(DISTINCT md5(text)) AS DOUBLE) / count(*), 6) AS dup_rate
       |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** Per-document n-gram novelty against everything that came before
+    * it — the ordered-ingest freshness score a crawl-dedup pipeline
+    * tracks next to full near-dup ([[graft.operators.Dedup]]): a
+    * doc's DISTINCT word trigram is "novel" iff no lower-doc_id
+    * document contains it (first-seen-wins on the stable ingest
+    * order). Output per doc: distinct trigrams, novel count, and the
+    * novelty ratio (NULL for docs under 3 words — no grams exist, and
+    * 0/0 must not read as "not novel").
+    *
+    * Shape: explode → DISTINCT (doc, gram) → gram-keyed min-doc
+    * aggregate (map-side combinable) → one join back on gram — all
+    * gram-vocabulary scale after the distinct; nothing is ever
+    * quadratic in docs (the all-pairs face of this question is
+    * `containment_pairs`).
+    */
+  def ngramNoveltyTransform(docs: DataFrame, n: Int = 3): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val grams = docs
+      .select($"doc_id", split($"text", " ").as("w"))
+      .select($"doc_id", explode(expr(
+        s"""CASE WHEN size(w) >= $n
+           |THEN transform(sequence(0, size(w) - $n),
+           |               i -> concat_ws(' ', slice(w, i + 1, $n)))
+           |ELSE array() END""".stripMargin)).as("gram"))
+      .distinct()
+    val firstSeen = grams.groupBy($"gram").agg(min($"doc_id").as("first_doc"))
+    val scored = grams.join(firstSeen, Seq("gram"))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when($"first_doc" === $"doc_id", 1L).otherwise(0L)).as("n_novel"))
+    docs.select($"doc_id")
+      .join(scored, Seq("doc_id"), "left")
+      .select($"doc_id",
+        coalesce($"n_grams", lit(0L)).as("n_grams"),
+        coalesce($"n_novel", lit(0L)).as("n_novel"),
+        round($"n_novel" / $"n_grams".cast("double"), 6).as("novelty"))
+      .orderBy($"doc_id")
+  }
+
+  def ngramNovelty(spark: SparkSession, dir: String): DataFrame =
+    ngramNoveltyTransform(Tables.documents(spark, dir))
+
+  /** DuckDB oracle for [[ngramNoveltyTransform]] (n = 3). */
+  val ngramNoveltyOracleSql: String =
+    """WITH g AS (
+      |  SELECT DISTINCT doc_id,
+      |         ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS gram
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |       unnest(range(1, len(ws) - 1)) AS t(i)),
+      |f AS (SELECT gram, min(doc_id) AS first_doc FROM g GROUP BY 1),
+      |s AS (SELECT g.doc_id, count(*) AS n_grams,
+      |             sum(CASE WHEN f.first_doc = g.doc_id THEN 1 ELSE 0 END) AS n_novel
+      |      FROM g JOIN f USING (gram) GROUP BY 1)
+      |SELECT d.doc_id,
+      |       CAST(coalesce(s.n_grams, 0) AS BIGINT) AS n_grams,
+      |       CAST(coalesce(s.n_novel, 0) AS BIGINT) AS n_novel,
+      |       round(CAST(s.n_novel AS DOUBLE) / s.n_grams, 6) AS novelty
+      |FROM documents d LEFT JOIN s ON d.doc_id = s.doc_id
+      |ORDER BY d.doc_id""".stripMargin
+
+  /** Language-mix profile per source — the homogeneity scoreboard a
+    * multilingual corpus curator reads next to [[dupRateBySource]]:
+    * per source its doc count, distinct LABELED languages, the
+    * dominant language with its share, and the Shannon entropy
+    * (bits) of the language distribution (0 = monolingual). Counts
+    * are exact integers; the entropy/share floats derive from exact
+    * (count, total) pairs in a fixed expression shape.
+    *
+    * Shape: docs collapse map-side to the |sources|×|langs| count
+    * grid; windows and the final aggregate run at grid scale.
+    */
+  def sourceLangEntropyTransform(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val counts = docs.groupBy($"source", $"lang").agg(count(lit(1)).as("c"))
+    val bySrc = Window.partitionBy($"source")
+    counts
+      .withColumn("n", sum($"c").over(bySrc))
+      .withColumn("maxc", max($"c").over(bySrc))
+      .withColumn("domlang", min(when($"c" === $"maxc", $"lang")).over(bySrc))
+      .groupBy($"source")
+      .agg(max($"n").as("n_docs"),
+        count(lit(1)).as("n_langs"),
+        max($"domlang").as("dominant_lang"),
+        round(max($"maxc") / max($"n").cast("double"), 6).as("dominant_share"),
+        // + 0.0 folds IEEE -0.0 (a monolingual source: -(1)·log2(1))
+        // to +0.0 so the two engines hash identically
+        round(sum(expr("-(CAST(c AS DOUBLE) / n) * log2(CAST(c AS DOUBLE) / n)")) + lit(0.0), 6)
+          .as("lang_entropy_bits"))
+      .orderBy($"source")
+  }
+
+  def sourceLangEntropy(spark: SparkSession, dir: String): DataFrame =
+    sourceLangEntropyTransform(Tables.documents(spark, dir))
+
+  /** Top collocations by pointwise mutual information over the
+    * frequent vocabulary — the phrase-mining/compound-detection pass
+    * (tokenizer merge candidates from CO-OCCURRENCE where
+    * [[bpeMergeCandidatesTransform]] ranks ADJACENCY): document-level
+    * co-occurrence of the top-`topTerms` terms, PMI =
+    * log2(n_ab·N / (df_a·df_b)) as the single float on four exact
+    * integers (identical expression → identical doubles → identical
+    * ordering in both engines; ties break lexicographically), pairs
+    * under `minPairDocs` docs suppressed (PMI of rare pairs is
+    * noise), top `topN` reported.
+    *
+    * Shape: the distinct (doc, term) basis filters against the
+    * BROADCAST top-vocabulary before any pairing, so the self-join
+    * fans out ≤ C(topTerms, 2) per doc and aggregates map-side to a
+    * ≤ topTerms² pair table — corpus-size-independent intermediate,
+    * never all-pairs over the raw vocabulary.
+    */
+  def termPmiTransform(docs: DataFrame, topTerms: Int = 100,
+                       minPairDocs: Int = 5, topN: Int = 50): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val dt = docs.select($"doc_id", explode(array_distinct(split($"text", " "))).as("tok"))
+    val dfs = dt.groupBy($"tok").agg(count(lit(1)).as("df"))
+    val byDf = Window.orderBy($"df".desc, $"tok")
+    val top = dfs.withColumn("r", row_number().over(byDf))
+      .filter($"r" <= topTerms).select($"tok", $"df")
+    val dtop = dt.join(broadcast(top), Seq("tok"))
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val pairs = dtop.as("a").join(dtop.as("b"),
+        $"a.doc_id" === $"b.doc_id" && $"a.tok" < $"b.tok")
+      .groupBy($"a.tok".as("tok_a"), $"b.tok".as("tok_b"))
+      .agg(count(lit(1)).as("n_ab"),
+        first($"a.df").as("df_a"), first($"b.df").as("df_b"))
+      .filter($"n_ab" >= minPairDocs)
+      .crossJoin(broadcast(nDocs))
+    val byPmi = Window.orderBy(
+      expr("CAST(n_ab AS DOUBLE) * n_docs / (CAST(df_a AS DOUBLE) * df_b)").desc,
+      $"tok_a", $"tok_b")
+    pairs.withColumn("rank", row_number().over(byPmi).cast("long"))
+      .filter($"rank" <= topN)
+      .select($"rank", $"tok_a", $"tok_b", $"n_ab", $"df_a", $"df_b",
+        expr("round(log2(CAST(n_ab AS DOUBLE) * n_docs / (CAST(df_a AS DOUBLE) * df_b)), 4)")
+          .as("pmi"))
+      .orderBy($"rank")
+  }
+
+  def termPmiTop(spark: SparkSession, dir: String): DataFrame =
+    termPmiTransform(Tables.documents(spark, dir))
+
+  /** DuckDB oracle for [[termPmiTransform]] (topTerms = 100,
+    * minPairDocs = 5, topN = 50). */
+  val termPmiOracleSql: String =
+    """WITH dt AS (SELECT DISTINCT doc_id, u.tok AS tok
+      |            FROM documents, unnest(string_split(text, ' ')) AS u(tok)),
+      |dfs AS (SELECT tok, count(*) AS df FROM dt GROUP BY 1),
+      |top AS (SELECT tok, df FROM (SELECT *, row_number() OVER (ORDER BY df DESC, tok) AS r FROM dfs)
+      |        WHERE r <= 100),
+      |dtop AS (SELECT dt.doc_id, dt.tok, top.df FROM dt JOIN top USING (tok)),
+      |n AS (SELECT count(*) AS n_docs FROM documents),
+      |p AS (SELECT a.tok AS tok_a, b.tok AS tok_b, count(*) AS n_ab,
+      |             min(a.df) AS df_a, min(b.df) AS df_b
+      |      FROM dtop a JOIN dtop b ON a.doc_id = b.doc_id AND a.tok < b.tok
+      |      GROUP BY 1, 2 HAVING count(*) >= 5),
+      |r AS (SELECT p.*, n.n_docs,
+      |             row_number() OVER (ORDER BY CAST(n_ab AS DOUBLE) * n.n_docs / (CAST(df_a AS DOUBLE) * df_b) DESC,
+      |                                tok_a, tok_b) AS rank
+      |      FROM p, n)
+      |SELECT CAST(rank AS BIGINT) AS rank, tok_a, tok_b,
+      |       CAST(n_ab AS BIGINT) AS n_ab, CAST(df_a AS BIGINT) AS df_a, CAST(df_b AS BIGINT) AS df_b,
+      |       round(log2(CAST(n_ab AS DOUBLE) * n_docs / (CAST(df_a AS DOUBLE) * df_b)), 4) AS pmi
+      |FROM r WHERE rank <= 50 ORDER BY rank""".stripMargin
+
+  /** DuckDB oracle for [[sourceLangEntropyTransform]]. */
+  val sourceLangEntropyOracleSql: String =
+    """WITH c AS (SELECT source, lang, count(*) AS c FROM documents GROUP BY 1, 2),
+      |w AS (SELECT source, lang, c,
+      |             CAST(sum(c) OVER (PARTITION BY source) AS BIGINT) AS n,
+      |             CAST(max(c) OVER (PARTITION BY source) AS BIGINT) AS maxc
+      |      FROM c),
+      |d AS (SELECT source, min(CASE WHEN c = maxc THEN lang END) AS domlang FROM w GROUP BY 1)
+      |SELECT w.source, max(w.n) AS n_docs, count(*) AS n_langs,
+      |       max(d.domlang) AS dominant_lang,
+      |       round(CAST(max(w.maxc) AS DOUBLE) / max(w.n), 6) AS dominant_share,
+      |       round(sum(-(CAST(w.c AS DOUBLE) / w.n) * log2(CAST(w.c AS DOUBLE) / w.n)) + 0.0, 6) AS lang_entropy_bits
+      |FROM w JOIN d USING (source)
+      |GROUP BY 1 ORDER BY 1""".stripMargin
 }

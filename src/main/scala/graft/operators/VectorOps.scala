@@ -586,4 +586,46 @@ object VectorOps {
        |p AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY votes DESC, label) AS r FROM v)
        |SELECT query_id, label AS predicted, votes, true_label, label = true_label AS correct
        |FROM p WHERE r = 1 ORDER BY query_id""".stripMargin
+
+  /** Per-label centroid of the embedding corpus — the cluster-center
+    * table every IVF build, drift monitor, and label-quality audit
+    * starts from ([[annIvfTopK]] trains its own centroids by k-means;
+    * this is the LABELED ground-truth version). EXACT discipline as
+    * [[embeddingNorms]]: elements quantize to ×10⁶ integers
+    * (float→double widening exact in both engines), per-dimension
+    * sums are pure Long arithmetic in any order, and the only float
+    * is the final sum/count division, rounded once.
+    *
+    * Shape: posexplode fans each vector into (label, dim, q) rows
+    * that collapse MAP-SIDE into the |labels|×|dims| grid — the
+    * shuffle carries only the grid, never vectors; output is
+    * dashboard-scale.
+    */
+  def labelCentroids(spark: SparkSession, dir: String): DataFrame =
+    labelCentroidsTransform(Tables.embeddings(spark, dir))
+
+  def labelCentroidsTransform(embeddings: DataFrame): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    embeddings
+      .select($"label".cast("long").as("label"), posexplode($"embedding"))
+      .select($"label", ($"pos" + 1).cast("long").as("dim"),
+        expr("CAST(round(CAST(col AS DOUBLE) * 1000000) AS BIGINT)").as("q"))
+      .groupBy($"label", $"dim")
+      .agg(count(lit(1)).as("n_vecs"), sum($"q").as("sum_q"))
+      .select($"label", $"dim", $"n_vecs", $"sum_q",
+        round($"sum_q" / $"n_vecs" / lit(1000000.0), 6).as("centroid"))
+      .orderBy($"label", $"dim")
+  }
+
+  /** DuckDB oracle for [[labelCentroids]] (1-based dim, same ×10⁶
+    * integer quantization — sums commute). */
+  val labelCentroidsOracleSql: String =
+    """SELECT CAST(label AS BIGINT) AS label, CAST(i AS BIGINT) AS dim,
+      |       count(*) AS n_vecs,
+      |       CAST(sum(CAST(round(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT)) AS BIGINT) AS sum_q,
+      |       round(CAST(sum(CAST(round(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT)) AS DOUBLE)
+      |             / count(*) / 1000000.0, 6) AS centroid
+      |FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(i)
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 }

@@ -322,3 +322,58 @@ object DailyModeStream {
     state.mode(spark)
   }
 }
+
+/** Streaming EWMA state —
+  * [[graft.operators.Behavior.ewmaDailyTransform]]'s twin: the
+  * (event_type, day, cents) daily revenue table is the additive
+  * sufficient state (an EWMA value itself is NOT mergeable across
+  * out-of-order batches — a late row re-weights every later day —
+  * but the daily cents grid is a plain Long sum), replay-guarded;
+  * the dyadic convolution derives at read time through
+  * [[graft.operators.Behavior.ewmaFromDaily]] — the identical
+  * expression tree the batch operator runs, so batch boundaries and
+  * late data are invisible in the report. State is
+  * |types|×|days| rows.
+  */
+final class DailyTypeCentsState(stateDir: String) {
+  @volatile private var version: Long = StreamUtil.latestVersion(stateDir)
+
+  private def prior(spark: SparkSession): DataFrame =
+    if (version < 0)
+      spark.createDataFrame(java.util.List.of[Row](), StructType.fromDDL(
+        "event_type STRING, day TIMESTAMP, cents BIGINT"))
+    else spark.read.parquet(s"$stateDir/v$version")
+
+  def merge(batch: Dataset[Row], batchId: Long): Unit = {
+    if (batchId <= version) return
+    val spark = batch.sparkSession
+    val partial = batch
+      .select(col("event_type"), date_trunc("day", col("ts")).as("day"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(sum(col("cents")).as("cents"))
+    val merged = prior(spark).unionByName(partial)
+      .groupBy(col("event_type"), col("day"))
+      .agg(sum(col("cents")).as("cents"))
+    merged.coalesce(1).write.mode("overwrite").parquet(s"$stateDir/v$batchId")
+    val prev = version
+    version = batchId
+    if (prev >= 0) StreamUtil.delete(spark, s"$stateDir/v$prev")
+  }
+
+  def ewma(spark: SparkSession): DataFrame =
+    graft.operators.Behavior.ewmaFromDaily(prior(spark))
+}
+
+object EwmaStream {
+
+  /** Queries entry: oracle = the same SQL that gates `ewma_daily`
+    * (sufficient-state daily cents + shared dyadic derivation make
+    * batch boundaries invisible). */
+  def streamEwma(spark: SparkSession, dir: String): DataFrame = {
+    val work = graft.GraftCaches.trackTempDir("graft_ewma_")
+    val state = new DailyTypeCentsState(s"$work/state")
+    StreamSources.runForeachBatch(StreamSources.events(spark, dir), state.merge)
+    state.ewma(spark)
+  }
+}

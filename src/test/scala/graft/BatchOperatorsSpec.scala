@@ -588,6 +588,59 @@ class BatchOperatorsSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAl
     assert(out == Seq(("sA", 3L, 2L, 1L, 0.333333), ("sB", 1L, 1L, 0L, 0.0)))
   }
 
+  test("ngram_novelty: first-seen-wins on doc_id order, short docs get NULL ratio") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c d"),      // grams "a b c","b c d" — both novel (first doc)
+      (2L, "a b c x"),      // "a b c" seen in doc 1, "b c x" novel -> 0.5
+      (3L, "hi"))           // < 3 words -> 0 grams, NULL novelty
+      .toDF("doc_id", "text")
+    val out = graft.operators.TextOps.ngramNoveltyTransform(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toSeq
+    assert(out == Seq((1L, 2L, 2L, Some(1.0)), (2L, 2L, 1L, Some(0.5)),
+      (3L, 0L, 0L, None)))
+  }
+
+  test("source_lang_entropy: 1 bit on an even split, +0.0 on monolingual, min-lang tie-break") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "t", "en", "sA"), (2L, "t", "en", "sA"),
+      (3L, "t", "fr", "sA"), (4L, "t", "fr", "sA"),   // even 2/2 -> 1 bit, tie -> 'en'
+      (5L, "t", "de", "sB"))                          // monolingual -> exactly 0.0, not -0.0
+      .toDF("doc_id", "text", "lang", "source")
+    val out = graft.operators.TextOps.sourceLangEntropyTransform(docs).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getString(3),
+        r.getDouble(4), r.getDouble(5))).toSeq
+    assert(out == Seq(("sA", 4L, 2L, "en", 0.5, 1.0), ("sB", 1L, 1L, "de", 1.0, 0.0)))
+    assert(!out.exists(r => r._6.equals(-0.0)))
+  }
+
+  test("label_centroids: exact quantized per-dimension means, 1-based dims") {
+    import spark.implicits._
+    val embs = Seq(
+      (1L, Array(1.0f, 2.0f), 0), (2L, Array(3.0f, 4.0f), 0),
+      (3L, Array(-1.5f, 0.5f), 1))
+      .toDF("vec_id", "embedding", "label")
+    val out = graft.operators.VectorOps.labelCentroidsTransform(embs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toSeq
+    assert(out == Seq(
+      (0L, 1L, 2L, 4000000L, 2.0), (0L, 2L, 2L, 6000000L, 3.0),
+      (1L, 1L, 1L, -1500000L, -1.5), (1L, 2L, 1L, 500000L, 0.5)))
+  }
+
+  test("term_pmi: exact PMI on planted co-occurrence, rare pairs suppressed") {
+    import spark.implicits._
+    val docs = (1L to 5L).map(i => (i, "x y")) :+ (6L, "z w")
+    val out = graft.operators.TextOps.termPmiTransform(docs.toDF("doc_id", "text")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getDouble(6))).toSeq
+    // (x,y): n_ab=5, df=5/5, N=6 -> PMI = log2(30/25); (w,z): n_ab=1 < 5 -> suppressed
+    val pmi = BigDecimal(math.log(1.2) / math.log(2.0))
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out == Seq((1L, "x", "y", 5L, 5L, 5L, pmi)))
+  }
+
   test("text_redact scrubs planted PII classes byte-exactly") {
     import spark.implicits._
     def md5hex(s: String): String =

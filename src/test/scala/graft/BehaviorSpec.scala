@@ -452,6 +452,18 @@ class BehaviorSpec extends AnyFunSuite {
       r.getLong(6), r.getLong(7)) == (9L, 3L, 5L, 7L, 4L, 0L, 1L))
   }
 
+  test("seasonality profile: epoch-day dow (0=Sunday), integer shares and uniform deviation") {
+    val events = ev(Seq(
+      (1L, "2024-01-01 01:10:00", 1L, "v", 0.0),  // Monday  -> dow 1
+      (2L, "2024-01-01 01:20:00", 2L, "v", 0.0),
+      (3L, "2024-01-01 01:30:00", 3L, "v", 0.0),
+      (4L, "2024-01-07 01:00:00", 4L, "v", 0.0))) // Sunday  -> dow 0
+    val out = Behavior.seasonalityProfileTransform(events).collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toSeq
+    // total 4: Sunday cell 1/4 -> 2500 bp, dev 168e4/4 - 1e4; Monday 3/4
+    assert(out == Seq((0L, 1L, 1L, 2500L, 410000L), (1L, 1L, 3L, 7500L, 1250000L)))
+  }
+
   test("welch t-test: hand-computed t and df on planted two-sample cents") {
     val events = ev(Seq(
       (1L, "2024-01-01 01:00:00", 1L, "a", 1.0),  // a: 100, 200 cents

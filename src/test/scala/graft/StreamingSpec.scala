@@ -236,6 +236,36 @@ class StreamingSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
     assert(rows("stream_changepoint") == rows("changepoint_cusum"))
   }
 
+  test("stream_ewma equals the batch ewma_daily") {
+    assert(rows("stream_ewma") == rows("ewma_daily"))
+  }
+
+  test("daily cents state: a late batch re-weights downstream EWMA, replay guard holds") {
+    import org.apache.spark.sql.functions.{col, to_timestamp, lit}
+    import graft.streaming.DailyTypeCentsState
+    import spark.implicits._
+    val state = new DailyTypeCentsState(GraftCaches.trackTempDir("graft_ewmaspec_") + "/state")
+    def batch(rows: (String, Double)*) =
+      rows.toSeq.toDF("tss", "value")
+        .withColumn("ts", to_timestamp(col("tss"))).drop("tss")
+        .withColumn("event_type", lit("v"))
+    def ewma = state.ewma(spark).collect()
+      .map(r => (r.getTimestamp(1).toString.take(10), r.getDouble(3))).toSeq
+
+    // batch 0: day1 = 100c, day2 = 200c -> d2 = (200·2+100)/3
+    state.merge(batch(("2024-01-01 01:00:00", 1.0), ("2024-01-02 01:00:00", 2.0)), 0)
+    assert(ewma == Seq(("2024-01-01", 100.0),
+      ("2024-01-02", BigDecimal(500.0 / 3).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)))
+    // batch 1: LATE +100c into day 1 -> day 1 becomes 200c and day
+    // 2's already-reported smoothed value MOVES to (200·2+200)/3 —
+    // exactly why the EWMA itself cannot be the state
+    state.merge(batch(("2024-01-01 02:00:00", 1.0)), 1)
+    assert(ewma == Seq(("2024-01-01", 200.0), ("2024-01-02", 200.0)))
+    // replay of batch 1 is a no-op
+    state.merge(batch(("2024-01-01 02:00:00", 1.0)), 1)
+    assert(ewma == Seq(("2024-01-01", 200.0), ("2024-01-02", 200.0)))
+  }
+
   test("daily count state: a late batch MOVES the changepoint, replay guard holds") {
     import org.apache.spark.sql.functions.{col, to_timestamp}
     import graft.streaming.DailyCountState
