@@ -140,7 +140,9 @@ object Bench {
     "dup_rate_by_source" -> 1.553,
     "ngram_novelty" -> 3.507, "source_lang_entropy" -> 1.762,
     "label_centroids" -> 1.523, "stream_ewma" -> 4.338,
-    "term_pmi_top" -> 4.754, "seasonality_profile" -> 2.295)
+    "term_pmi_top" -> 4.754, "seasonality_profile" -> 2.295,
+    "cdc_scd2" -> 3.481, "doclen_histogram" -> 1.313,
+    "stream_seasonality" -> 3.731)
 
   /** Run ONE query in a fresh JVM (this JVM's own flags + classpath,
     * stderr discarded) and parse its timing out of the child's JSON

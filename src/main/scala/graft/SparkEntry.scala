@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.operators._
-import graft.streaming.{AttributionStream, CdcCompact, ChangepointStream, DailyModeStream, DriftStream, EngagementStream, EwmaStream, FunnelStream, MomentsStream, RollupStream, Sessionize, StreamDedup, StreamIncrementalDedup}
+import graft.streaming.{AttributionStream, CdcCompact, ChangepointStream, DailyModeStream, DriftStream, EngagementStream, EwmaStream, FunnelStream, MomentsStream, RollupStream, SeasonalityStream, Sessionize, StreamDedup, StreamIncrementalDedup}
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the inventory. */
 object SparkEntry {
@@ -82,6 +82,9 @@ object SparkEntry {
     "source_lang_entropy"  -> TextOps.sourceLangEntropy _,
     "term_pmi_top"         -> TextOps.termPmiTop _,
     "seasonality_profile"  -> Behavior.seasonalityProfile _,
+    "cdc_scd2"             -> Engagement.cdcScd2 _,
+    "doclen_histogram"     -> TextOps.doclenHistogram _,
+    "stream_seasonality"   -> SeasonalityStream.streamSeasonality _,
     "label_centroids"      -> VectorOps.labelCentroids _,
     "stream_ewma"          -> EwmaStream.streamEwma _,
     // Structured Streaming (real engine: readStream -> AvailableNow),
@@ -245,6 +248,9 @@ object SparkEntry {
       // additive daily-cents state + shared dyadic EWMA derivation:
       // stream equals the batch ewma_daily row-for-row
       "stream_ewma" -> base("ewma_daily"),
+      // additive hour-of-week cell counts + shared share/deviation
+      // derivation: stream equals the batch seasonality_profile
+      "stream_seasonality" -> base("seasonality_profile"),
       "stream_moments" ->
         """WITH m AS (SELECT event_type, count(*) AS n,
           |                  CAST(sum(c) AS BIGINT) AS sum_c,
@@ -668,6 +674,8 @@ object SparkEntry {
     "source_lang_entropy" -> operators.TextOps.sourceLangEntropyOracleSql,
     "term_pmi_top" -> operators.TextOps.termPmiOracleSql,
     "seasonality_profile" -> operators.Behavior.seasonalityProfileOracleSql,
+    "cdc_scd2" -> operators.Engagement.cdcScd2OracleSql,
+    "doclen_histogram" -> operators.TextOps.doclenHistogramOracleSql,
     "label_centroids" -> operators.VectorOps.labelCentroidsOracleSql,
 
     // the bounded-heap stage-2 equals this nested-window formulation

@@ -1526,15 +1526,22 @@ object Behavior {
     * Shape: fact collapses map-side to ≤ 168·|types| cells; the
     * share/deviation windows run at cell scale.
     */
-  def seasonalityProfileTransform(events: DataFrame): DataFrame = {
-    val spark = events.sparkSession
-    import spark.implicits._
-    val cells = events
-      .select($"event_type",
+  def seasonalityProfileTransform(events: DataFrame): DataFrame =
+    seasonalityFromCells(events
+      .select(col("event_type"),
         expr("(unix_micros(ts) div 86400000000 + 4) % 7").as("dow"),
-        hour($"ts").cast("long").as("hour"))
-      .groupBy($"event_type", $"dow", $"hour")
-      .agg(count(lit(1)).as("n"))
+        hour(col("ts")).cast("long").as("hour"))
+      .groupBy(col("event_type"), col("dow"), col("hour"))
+      .agg(count(lit(1)).as("n")))
+
+  /** The share/deviation derivation from an already-aggregated
+    * (event_type, dow, hour, n) cell table — split out so the
+    * STREAMING twin ([[graft.streaming.SeasonalityStream]]) can
+    * maintain the 168-cell grid as additive state and derive the
+    * report through this identical expression tree. */
+  def seasonalityFromCells(cells: DataFrame): DataFrame = {
+    val spark = cells.sparkSession
+    import spark.implicits._
     cells
       .withColumn("total", sum($"n").over(Window.partitionBy($"event_type")))
       .select($"event_type", $"dow", $"hour", $"n",

@@ -64,6 +64,64 @@ object Engagement {
       .orderBy($"user_id")
   }
 
+  /** SCD type-2 history reconstruction from the changelog — the
+    * versioned-dimension table a warehouse keeps where
+    * [[cdcLatestByKey]] keeps only the live row: per key, each run
+    * of consecutive IDENTICAL states collapses to one validity
+    * interval `[valid_from, valid_to)`, open-ended (`valid_to`
+    * NULL, `is_current` true) for the latest state. No-op changes
+    * (same state re-asserted) extend the interval instead of
+    * splitting it — the run-collapse uses the gaps-and-islands
+    * row_number difference, not a lag-filter that would mis-date
+    * `valid_to` at run boundaries.
+    *
+    * Shape: ONE user_id shuffle; both row_number windows and the
+    * lead() share the same (user_id, ts, event_id) sort, so Catalyst
+    * plans a single Window over a single Sort — no second exchange;
+    * output ≤ input rows.
+    */
+  def cdcScd2Transform(events: DataFrame): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val byTs = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val byTypeTs = Window.partitionBy($"user_id", $"event_type").orderBy($"ts", $"event_id")
+    val runs = events
+      .select($"user_id", $"ts", $"event_id", $"event_type")
+      .withColumn("rn", row_number().over(byTs))
+      // gaps-and-islands: rows of one state run share (rn - rn_type)
+      .withColumn("grp", $"rn" - row_number().over(byTypeTs))
+      .groupBy($"user_id", $"event_type", $"grp")
+      .agg(min($"ts").as("valid_from"), min($"rn").as("orun"))
+    val byRun = Window.partitionBy($"user_id").orderBy($"orun")
+    runs
+      .withColumn("valid_to", lead($"valid_from", 1).over(byRun))
+      .withColumn("version", row_number().over(byRun).cast("long"))
+      .select($"user_id", $"version", $"event_type".as("state"),
+        $"valid_from", $"valid_to", $"valid_to".isNull.as("is_current"))
+      .orderBy($"user_id", $"version")
+  }
+
+  def cdcScd2(spark: SparkSession, dir: String): DataFrame =
+    cdcScd2Transform(Tables.events(spark, dir))
+
+  /** DuckDB oracle for [[cdcScd2Transform]]. */
+  val cdcScd2OracleSql: String =
+    """WITH e AS (
+      |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, event_type,
+      |         row_number() OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id) AS rn,
+      |         row_number() OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)
+      |       - row_number() OVER (PARTITION BY user_id, event_type ORDER BY CAST(ts AS TIMESTAMP), event_id) AS grp
+      |  FROM events),
+      |r AS (SELECT user_id, event_type, grp, min(ts) AS valid_from, min(rn) AS orun
+      |      FROM e GROUP BY 1, 2, 3),
+      |v AS (SELECT user_id, event_type, valid_from,
+      |             lead(valid_from) OVER (PARTITION BY user_id ORDER BY orun) AS valid_to,
+      |             CAST(row_number() OVER (PARTITION BY user_id ORDER BY orun) AS BIGINT) AS version
+      |      FROM r)
+      |SELECT user_id, version, event_type AS state, valid_from, valid_to,
+      |       valid_to IS NULL AS is_current
+      |FROM v ORDER BY user_id, version""".stripMargin
+
   /** Dimension-enrichment lookup join + derived engagement metrics.
     *
     * Mirrors `process.py:150-176`: events LEFT JOIN dim, then

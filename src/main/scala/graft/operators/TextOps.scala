@@ -1582,6 +1582,43 @@ object TextOps {
   def termPmiTop(spark: SparkSession, dir: String): DataFrame =
     termPmiTransform(Tables.documents(spark, dir))
 
+  /** Document-length histogram in power-of-two token buckets — the
+    * corpus shape profile that drives chunking/packing decisions
+    * (`pack_sequences` bin size, truncation cutoffs) and spots
+    * boilerplate spikes: per bucket `⌊log₂(n_words+1)⌋` (exact at
+    * every power-of-two boundary — the [[graft.operators.Behavior]]
+    * interevent discipline) its doc count, total tokens, and closed
+    * integer bounds. ≤ ~30 rows at any corpus size; one
+    * map-side-combinable aggregate, no shuffle of text.
+    */
+  def doclenHistogramTransform(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs
+      .select(size(split($"text", " ")).cast("long").as("nw"))
+      .select(expr("CAST(floor(log2(nw + 1)) AS BIGINT)").as("bucket"), $"nw")
+      .groupBy($"bucket")
+      .agg(count(lit(1)).as("n_docs"), sum($"nw").as("total_words"))
+      .select($"bucket",
+        expr("CAST(pow(2, bucket) AS BIGINT) - 1").as("words_lo"),
+        expr("CAST(pow(2, bucket + 1) AS BIGINT) - 2").as("words_hi"),
+        $"n_docs", $"total_words")
+      .orderBy($"bucket")
+  }
+
+  def doclenHistogram(spark: SparkSession, dir: String): DataFrame =
+    doclenHistogramTransform(Tables.documents(spark, dir))
+
+  /** DuckDB oracle for [[doclenHistogramTransform]]. */
+  val doclenHistogramOracleSql: String =
+    """WITH d AS (SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS nw FROM documents),
+      |b AS (SELECT CAST(floor(log2(nw + 1)) AS BIGINT) AS bucket, nw FROM d)
+      |SELECT bucket,
+      |       CAST(pow(2, bucket) AS BIGINT) - 1 AS words_lo,
+      |       CAST(pow(2, bucket + 1) AS BIGINT) - 2 AS words_hi,
+      |       count(*) AS n_docs, CAST(sum(nw) AS BIGINT) AS total_words
+      |FROM b GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** DuckDB oracle for [[termPmiTransform]] (topTerms = 100,
     * minPairDocs = 5, topN = 50). */
   val termPmiOracleSql: String =

@@ -377,3 +377,56 @@ object EwmaStream {
     state.ewma(spark)
   }
 }
+
+/** Streaming seasonality state —
+  * [[graft.operators.Behavior.seasonalityProfileTransform]]'s twin:
+  * the ≤ 168·|types| hour-of-week cell-count grid is the additive
+  * sufficient state (shares/deviations are ratios over the WHOLE
+  * grid, so per-batch profiles cannot merge), replay-guarded; the
+  * report derives at read time through
+  * [[graft.operators.Behavior.seasonalityFromCells]] — the identical
+  * expression tree the batch operator runs.
+  */
+final class SeasonalityCellState(stateDir: String) {
+  @volatile private var version: Long = StreamUtil.latestVersion(stateDir)
+
+  private def prior(spark: SparkSession): DataFrame =
+    if (version < 0)
+      spark.createDataFrame(java.util.List.of[Row](), StructType.fromDDL(
+        "event_type STRING, dow BIGINT, hour BIGINT, n BIGINT"))
+    else spark.read.parquet(s"$stateDir/v$version")
+
+  def merge(batch: Dataset[Row], batchId: Long): Unit = {
+    if (batchId <= version) return
+    val spark = batch.sparkSession
+    val partial = batch
+      .select(col("event_type"),
+        expr("(unix_micros(ts) div 86400000000 + 4) % 7").as("dow"),
+        hour(col("ts")).cast("long").as("hour"))
+      .groupBy(col("event_type"), col("dow"), col("hour"))
+      .agg(count(lit(1)).as("n"))
+    val merged = prior(spark).unionByName(partial)
+      .groupBy(col("event_type"), col("dow"), col("hour"))
+      .agg(sum(col("n")).as("n"))
+    merged.coalesce(1).write.mode("overwrite").parquet(s"$stateDir/v$batchId")
+    val prev = version
+    version = batchId
+    if (prev >= 0) StreamUtil.delete(spark, s"$stateDir/v$prev")
+  }
+
+  def profile(spark: SparkSession): DataFrame =
+    graft.operators.Behavior.seasonalityFromCells(prior(spark))
+}
+
+object SeasonalityStream {
+
+  /** Queries entry: oracle = the same SQL that gates
+    * `seasonality_profile` (additive cell counts + shared
+    * share/deviation derivation make batch boundaries invisible). */
+  def streamSeasonality(spark: SparkSession, dir: String): DataFrame = {
+    val work = graft.GraftCaches.trackTempDir("graft_season_")
+    val state = new SeasonalityCellState(s"$work/state")
+    StreamSources.runForeachBatch(StreamSources.events(spark, dir), state.merge)
+    state.profile(spark)
+  }
+}

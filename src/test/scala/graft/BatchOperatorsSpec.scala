@@ -641,6 +641,16 @@ class BatchOperatorsSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAl
     assert(out == Seq((1L, "x", "y", 5L, 5L, 5L, pmi)))
   }
 
+  test("doclen_histogram: power-of-two buckets with closed bounds") {
+    import spark.implicits._
+    val docs = Seq((1L, "a"), (2L, "a b"), (3L, "a b c d e f g"))
+      .toDF("doc_id", "text")
+    val out = graft.operators.TextOps.doclenHistogramTransform(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSeq
+    // nw 1,2 -> bucket 1 [1,2]; nw 7 -> bucket 3 [7,14]
+    assert(out == Seq((1L, 1L, 2L, 2L, 3L), (3L, 7L, 14L, 1L, 7L)))
+  }
+
   test("text_redact scrubs planted PII classes byte-exactly") {
     import spark.implicits._
     def md5hex(s: String): String =

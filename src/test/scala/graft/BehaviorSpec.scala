@@ -452,6 +452,25 @@ class BehaviorSpec extends AnyFunSuite {
       r.getLong(6), r.getLong(7)) == (9L, 3L, 5L, 7L, 4L, 0L, 1L))
   }
 
+  test("cdc scd2: no-op changes extend intervals, boundaries chain, latest stays open") {
+    val events = ev(Seq(
+      (1L, "2024-01-01 10:00:00", 1L, "view", 0.0),
+      (1L, "2024-01-01 11:00:00", 2L, "view", 0.0),   // same state -> same interval
+      (1L, "2024-01-01 12:00:00", 3L, "click", 0.0),
+      (1L, "2024-01-01 13:00:00", 4L, "view", 0.0),   // state REVISITED -> new version
+      (2L, "2024-01-02 09:00:00", 5L, "purchase", 0.0)))
+    val out = graft.operators.Engagement.cdcScd2Transform(events).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getTimestamp(3).toString.take(19),
+        if (r.isNullAt(4)) None else Some(r.getTimestamp(4).toString.take(19)),
+        r.getBoolean(5))).toSeq
+    assert(out == Seq(
+      (1L, 1L, "view", "2024-01-01 10:00:00", Some("2024-01-01 12:00:00"), false),
+      (1L, 2L, "click", "2024-01-01 12:00:00", Some("2024-01-01 13:00:00"), false),
+      (1L, 3L, "view", "2024-01-01 13:00:00", None, true),
+      (2L, 1L, "purchase", "2024-01-02 09:00:00", None, true)))
+  }
+
   test("seasonality profile: epoch-day dow (0=Sunday), integer shares and uniform deviation") {
     val events = ev(Seq(
       (1L, "2024-01-01 01:10:00", 1L, "v", 0.0),  // Monday  -> dow 1

@@ -240,6 +240,34 @@ class StreamingSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
     assert(rows("stream_ewma") == rows("ewma_daily"))
   }
 
+  test("stream_seasonality equals the batch seasonality_profile") {
+    assert(rows("stream_seasonality") == rows("seasonality_profile"))
+  }
+
+  test("seasonality cell state: cross-batch counts move shares, replay guard holds") {
+    import org.apache.spark.sql.functions.{col, to_timestamp, lit}
+    import graft.streaming.SeasonalityCellState
+    import spark.implicits._
+    val state = new SeasonalityCellState(GraftCaches.trackTempDir("graft_seasonspec_") + "/state")
+    def batch(rows: String*) =
+      rows.toSeq.toDF("tss")
+        .withColumn("ts", to_timestamp(col("tss"))).drop("tss")
+        .withColumn("event_type", lit("v"))
+    def shares = state.profile(spark).collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSeq
+
+    // batch 0: Monday 01h x1, Monday 02h x1 -> 5000 bp each
+    state.merge(batch("2024-01-01 01:00:00", "2024-01-01 02:00:00"), 0)
+    assert(shares == Seq((1L, 1L, 1L, 5000L), (1L, 2L, 1L, 5000L)))
+    // batch 1: two more into Monday 01h -> 3/4 vs 1/4 (a per-batch
+    // profile could only average 50/50 snapshots)
+    state.merge(batch("2024-01-08 01:10:00", "2024-01-08 01:20:00"), 1)
+    assert(shares == Seq((1L, 1L, 3L, 7500L), (1L, 2L, 1L, 2500L)))
+    // replay of batch 1 is a no-op
+    state.merge(batch("2024-01-08 01:10:00", "2024-01-08 01:20:00"), 1)
+    assert(shares == Seq((1L, 1L, 3L, 7500L), (1L, 2L, 1L, 2500L)))
+  }
+
   test("daily cents state: a late batch re-weights downstream EWMA, replay guard holds") {
     import org.apache.spark.sql.functions.{col, to_timestamp, lit}
     import graft.streaming.DailyTypeCentsState
