@@ -142,7 +142,9 @@ object Bench {
     "label_centroids" -> 1.523, "stream_ewma" -> 4.338,
     "term_pmi_top" -> 4.754, "seasonality_profile" -> 2.295,
     "cdc_scd2" -> 3.481, "doclen_histogram" -> 1.313,
-    "stream_seasonality" -> 3.731)
+    "stream_seasonality" -> 3.731,
+    "percentile_bands_daily" -> 3.254, "vocab_coverage_by_source" -> 2.996,
+    "cross_source_dups" -> 2.086, "stream_boxplot" -> 6.250)
 
   /** Run ONE query in a fresh JVM (this JVM's own flags + classpath,
     * stderr discarded) and parse its timing out of the child's JSON

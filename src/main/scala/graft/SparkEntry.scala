@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.operators._
-import graft.streaming.{AttributionStream, CdcCompact, ChangepointStream, DailyModeStream, DriftStream, EngagementStream, EwmaStream, FunnelStream, MomentsStream, RollupStream, SeasonalityStream, Sessionize, StreamDedup, StreamIncrementalDedup}
+import graft.streaming.{AttributionStream, BoxplotStream, CdcCompact, ChangepointStream, DailyModeStream, DriftStream, EngagementStream, EwmaStream, FunnelStream, MomentsStream, RollupStream, SeasonalityStream, Sessionize, StreamDedup, StreamIncrementalDedup}
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the inventory. */
 object SparkEntry {
@@ -85,6 +85,10 @@ object SparkEntry {
     "cdc_scd2"             -> Engagement.cdcScd2 _,
     "doclen_histogram"     -> TextOps.doclenHistogram _,
     "stream_seasonality"   -> SeasonalityStream.streamSeasonality _,
+    "percentile_bands_daily" -> Behavior.percentileBandsDaily _,
+    "vocab_coverage_by_source" -> TextOps.vocabCoverageBySource _,
+    "cross_source_dups"    -> TextOps.crossSourceDups _,
+    "stream_boxplot"       -> BoxplotStream.streamBoxplot _,
     "label_centroids"      -> VectorOps.labelCentroids _,
     "stream_ewma"          -> EwmaStream.streamEwma _,
     // Structured Streaming (real engine: readStream -> AvailableNow),
@@ -251,6 +255,9 @@ object SparkEntry {
       // additive hour-of-week cell counts + shared share/deviation
       // derivation: stream equals the batch seasonality_profile
       "stream_seasonality" -> base("seasonality_profile"),
+      // additive value counts + shared counting-sort quantiles:
+      // stream equals the batch boxplot_stats
+      "stream_boxplot" -> base("boxplot_stats"),
       "stream_moments" ->
         """WITH m AS (SELECT event_type, count(*) AS n,
           |                  CAST(sum(c) AS BIGINT) AS sum_c,
@@ -676,6 +683,9 @@ object SparkEntry {
     "seasonality_profile" -> operators.Behavior.seasonalityProfileOracleSql,
     "cdc_scd2" -> operators.Engagement.cdcScd2OracleSql,
     "doclen_histogram" -> operators.TextOps.doclenHistogramOracleSql,
+    "percentile_bands_daily" -> operators.Behavior.percentileBandsDailyOracleSql,
+    "vocab_coverage_by_source" -> operators.TextOps.vocabCoverageOracleSql,
+    "cross_source_dups" -> operators.TextOps.crossSourceDupsOracleSql,
     "label_centroids" -> operators.VectorOps.labelCentroidsOracleSql,
 
     // the bounded-heap stage-2 equals this nested-window formulation

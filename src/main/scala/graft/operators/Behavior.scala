@@ -1455,34 +1455,45 @@ object Behavior {
     * k-th rows collapse to |types| quartile rows that broadcast back
     * onto the fact for the fence count.
     */
-  def boxplotStatsTransform(events: DataFrame): DataFrame = {
-    val spark = events.sparkSession
+  def boxplotStatsTransform(events: DataFrame): DataFrame =
+    boxplotFromCounts(events
+      .select(col("event_type"), expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+      .groupBy(col("event_type"), col("cents"))
+      .agg(count(lit(1)).as("cnt")))
+
+  /** The quartile/fence derivation from an already-aggregated
+    * (event_type, cents, cnt) value-count table — split out so the
+    * STREAMING twin ([[graft.streaming.BoxplotStream]]) can maintain
+    * the count table as additive state and derive the report through
+    * this identical tree. The k-th order statistic over counts is
+    * "first cents whose cumulative count reaches k" — identical to
+    * ranking raw rows, but the input is value-cardinality-bounded
+    * (the classic counting-sort quantile at 100 TB: the fact never
+    * re-sorts, only the count grid does). */
+  def boxplotFromCounts(counts: DataFrame): DataFrame = {
+    val spark = counts.sparkSession
     import spark.implicits._
-    val c = events.select($"event_type",
-      expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
     val byVal = Window.partitionBy($"event_type").orderBy($"cents")
-    val quart = c
-      .withColumn("rn", row_number().over(byVal).cast("long"))
-      .withColumn("n", count(lit(1)).over(Window.partitionBy($"event_type")))
-      .withColumn("q", when($"rn" === expr("(n + 3) div 4"), lit("q1"))
-        .when($"rn" === expr("(2 * n + 3) div 4"), lit("med"))
-        .when($"rn" === expr("(3 * n + 3) div 4"), lit("q3")))
-      .filter($"q".isNotNull)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val whole = Window.partitionBy($"event_type")
+    val quart = counts
+      .withColumn("cum", sum($"cnt").over(byVal))
+      .withColumn("n", sum($"cnt").over(whole))
       .groupBy($"event_type")
       .agg(max($"n").as("n"),
-        max(when($"q" === "q1", $"cents")).as("q1_cents"),
-        max(when($"q" === "med", $"cents")).as("med_cents"),
-        max(when($"q" === "q3", $"cents")).as("q3_cents"))
-    c.join(broadcast(quart), Seq("event_type"))
+        min(when(expr("cum >= (n + 3) div 4"), $"cents")).as("q1_cents"),
+        min(when(expr("cum >= (2 * n + 3) div 4"), $"cents")).as("med_cents"),
+        min(when(expr("cum >= (3 * n + 3) div 4"), $"cents")).as("q3_cents"))
+    counts.join(broadcast(quart), Seq("event_type"))
       .groupBy($"event_type")
       .agg(max($"n").as("n"),
         max($"q1_cents").as("q1_cents"),
         max($"med_cents").as("med_cents"),
         max($"q3_cents").as("q3_cents"),
         (max($"q3_cents") - max($"q1_cents")).as("iqr_cents"),
-        sum(when(expr("2 * cents < 5 * q1_cents - 3 * q3_cents"), 1L)
+        sum(when(expr("2 * cents < 5 * q1_cents - 3 * q3_cents"), $"cnt")
           .otherwise(0L)).as("n_low_outliers"),
-        sum(when(expr("2 * cents > 5 * q3_cents - 3 * q1_cents"), 1L)
+        sum(when(expr("2 * cents > 5 * q3_cents - 3 * q1_cents"), $"cnt")
           .otherwise(0L)).as("n_high_outliers"))
       .orderBy($"event_type")
   }
@@ -1567,6 +1578,59 @@ object Behavior {
       |       c.n * 168 * 10000 // t.total - 10000 AS dev_bp
       |FROM c JOIN t USING (event_type)
       |ORDER BY 1, 2, 3""".stripMargin
+
+  /** Daily value-percentile bands — the p50/p90/p99 latency-style
+    * ribbon chart over the event value stream (the per-day axis
+    * where [[boxplotStatsTransform]] profiles per type and
+    * `rolling_p95_value` slides a window): discrete ⌈p·n⌉-th order
+    * statistics per day via the counting-sort trick — (day, cents)
+    * counts, cumulative sum per day, "first cents whose cum reaches
+    * k" — exact integers end to end, no interpolation semantics to
+    * disagree on.
+    *
+    * Shape: fact collapses map-side to the (day, value)-cardinality
+    * count grid; the cumulative window sorts only each day's own
+    * distinct values. The fact itself is never globally sorted.
+    */
+  def percentileBandsDailyTransform(events: DataFrame): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val counts = events
+      .select(date_trunc("day", $"ts").as("day"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+      .groupBy($"day", $"cents").agg(count(lit(1)).as("cnt"))
+    val byVal = Window.partitionBy($"day").orderBy($"cents")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    counts
+      .withColumn("cum", sum($"cnt").over(byVal))
+      .withColumn("n", sum($"cnt").over(Window.partitionBy($"day")))
+      .groupBy($"day")
+      .agg(max($"n").as("n"),
+        min(when(expr("cum >= (n + 1) div 2"), $"cents")).as("p50_cents"),
+        min(when(expr("cum >= (9 * n + 9) div 10"), $"cents")).as("p90_cents"),
+        min(when(expr("cum >= (99 * n + 99) div 100"), $"cents")).as("p99_cents"))
+      .orderBy($"day")
+  }
+
+  def percentileBandsDaily(spark: SparkSession, dir: String): DataFrame =
+    percentileBandsDailyTransform(Tables.events(spark, dir))
+
+  /** DuckDB oracle for [[percentileBandsDailyTransform]]. */
+  val percentileBandsDailyOracleSql: String =
+    """WITH c AS (
+      |  SELECT date_trunc('day', CAST(ts AS TIMESTAMP)) AS day,
+      |         CAST(round(value * 100) AS BIGINT) AS cents, count(*) AS cnt
+      |  FROM events GROUP BY 1, 2),
+      |w AS (SELECT day, cents,
+      |             CAST(sum(cnt) OVER (PARTITION BY day ORDER BY cents
+      |                                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+      |             CAST(sum(cnt) OVER (PARTITION BY day) AS BIGINT) AS n
+      |      FROM c)
+      |SELECT day, max(n) AS n,
+      |       min(CASE WHEN cum >= (n + 1) // 2 THEN cents END) AS p50_cents,
+      |       min(CASE WHEN cum >= (9 * n + 9) // 10 THEN cents END) AS p90_cents,
+      |       min(CASE WHEN cum >= (99 * n + 99) // 100 THEN cents END) AS p99_cents
+      |FROM w GROUP BY 1 ORDER BY 1""".stripMargin
 
   /** Welch's two-sample t between every pair of event types on the
     * per-event value — the A/B readout layered on the same

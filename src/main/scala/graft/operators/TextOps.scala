@@ -1609,6 +1609,97 @@ object TextOps {
   def doclenHistogram(spark: SparkSession, dir: String): DataFrame =
     doclenHistogramTransform(Tables.documents(spark, dir))
 
+  /** Per-source coverage of a fixed top-`vocabSize` vocabulary — the
+    * OOV-rate scoreboard a tokenizer/data-mix decision reads against
+    * each feed ([[vocabStatsTransform]] gives the global cumulative
+    * curve; this is its per-source projection): per source its token
+    * stream size, tokens covered by the GLOBAL top-N vocabulary, and
+    * the coverage ratio (the one float, on two exact Longs).
+    *
+    * Shape: (source, tok) counts collapse map-side; the global vocab
+    * cut is a window over vocab-scale rows that then BROADCASTS into
+    * a semi-join-shaped aggregate — the corpus never shuffles twice.
+    */
+  def vocabCoverageBySourceTransform(docs: DataFrame, vocabSize: Int = 1000): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val toks = docs.select($"source", explode(split($"text", " ")).as("tok"))
+      .groupBy($"source", $"tok").agg(count(lit(1)).as("cf"))
+    val byFreq = Window.orderBy($"gcf".desc, $"tok")
+    val vocab = toks.groupBy($"tok").agg(sum($"cf").as("gcf"))
+      .withColumn("r", row_number().over(byFreq))
+      .filter($"r" <= vocabSize).select($"tok")
+    toks.join(broadcast(vocab.withColumn("in_vocab", lit(1L))), Seq("tok"), "left")
+      .groupBy($"source")
+      .agg(sum($"cf").as("total_tokens"),
+        sum(when($"in_vocab".isNotNull, $"cf").otherwise(0L)).as("covered_tokens"))
+      .select($"source", $"total_tokens", $"covered_tokens",
+        round($"covered_tokens" / $"total_tokens".cast("double"), 6).as("coverage"))
+      .orderBy($"source")
+  }
+
+  def vocabCoverageBySource(spark: SparkSession, dir: String): DataFrame =
+    vocabCoverageBySourceTransform(Tables.documents(spark, dir))
+
+  /** DuckDB oracle for [[vocabCoverageBySourceTransform]]
+    * (vocabSize = 1000). */
+  val vocabCoverageOracleSql: String =
+    """WITH t AS (SELECT source, u.tok AS tok, count(*) AS cf
+      |           FROM documents, unnest(string_split(text, ' ')) AS u(tok)
+      |           GROUP BY 1, 2),
+      |v AS (SELECT tok FROM (
+      |        SELECT tok, row_number() OVER (ORDER BY sum(cf) DESC, tok) AS r
+      |        FROM t GROUP BY tok)
+      |      WHERE r <= 1000)
+      |SELECT t.source, CAST(sum(t.cf) AS BIGINT) AS total_tokens,
+      |       CAST(sum(CASE WHEN v.tok IS NOT NULL THEN t.cf ELSE 0 END) AS BIGINT) AS covered_tokens,
+      |       round(CAST(sum(CASE WHEN v.tok IS NOT NULL THEN t.cf ELSE 0 END) AS DOUBLE) / sum(t.cf), 6) AS coverage
+      |FROM t LEFT JOIN v ON t.tok = v.tok
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** Cross-source exact-duplicate matrix — WHERE duplicated content
+    * travels ([[dupRateBySource]] says how much each feed self-dups;
+    * this says which feeds copy each other — the provenance signal
+    * behind licensing and crawl-overlap decisions): for every source
+    * pair, the number of distinct contents (128-bit hash) present in
+    * BOTH — zero-filled over the full source-pair triangle, so a
+    * clean corpus reads as explicit zeros, not an empty report. Only
+    * (hash, source) pairs shuffle; the pair fan-out is bounded by
+    * |sources|² per hash after the distinct.
+    */
+  def crossSourceDupsTransform(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val hs = docs.select(md5($"text").as("h"), $"source").distinct()
+    val shared = hs.as("a").join(hs.as("b"),
+        $"a.h" === $"b.h" && $"a.source" < $"b.source")
+      .groupBy($"a.source".as("source_a"), $"b.source".as("source_b"))
+      .agg(count(lit(1)).as("n"))
+    val srcs = docs.select($"source").distinct()
+    srcs.as("x").join(srcs.as("y"), $"x.source" < $"y.source")
+      .select($"x.source".as("source_a"), $"y.source".as("source_b"))
+      .join(shared, Seq("source_a", "source_b"), "left")
+      .select($"source_a", $"source_b",
+        coalesce($"n", lit(0L)).as("n_shared_contents"))
+      .orderBy($"source_a", $"source_b")
+  }
+
+  def crossSourceDups(spark: SparkSession, dir: String): DataFrame =
+    crossSourceDupsTransform(Tables.documents(spark, dir))
+
+  /** DuckDB oracle for [[crossSourceDupsTransform]]. */
+  val crossSourceDupsOracleSql: String =
+    """WITH hs AS (SELECT DISTINCT md5(text) AS h, source FROM documents),
+      |sh AS (SELECT a.source AS source_a, b.source AS source_b, count(*) AS n
+      |       FROM hs a JOIN hs b ON a.h = b.h AND a.source < b.source
+      |       GROUP BY 1, 2),
+      |s AS (SELECT DISTINCT source FROM documents)
+      |SELECT x.source AS source_a, y.source AS source_b,
+      |       CAST(coalesce(sh.n, 0) AS BIGINT) AS n_shared_contents
+      |FROM s x JOIN s y ON x.source < y.source
+      |LEFT JOIN sh ON sh.source_a = x.source AND sh.source_b = y.source
+      |ORDER BY 1, 2""".stripMargin
+
   /** DuckDB oracle for [[doclenHistogramTransform]]. */
   val doclenHistogramOracleSql: String =
     """WITH d AS (SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS nw FROM documents),

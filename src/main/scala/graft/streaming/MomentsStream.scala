@@ -418,6 +418,58 @@ final class SeasonalityCellState(stateDir: String) {
     graft.operators.Behavior.seasonalityFromCells(prior(spark))
 }
 
+/** Streaming box-plot state —
+  * [[graft.operators.Behavior.boxplotStatsTransform]]'s twin: the
+  * (event_type, cents, cnt) value-count table is the additive
+  * sufficient state (a quantile is a rank over the WHOLE
+  * distribution — per-batch quartiles cannot merge; the counting-sort
+  * count grid can), replay-guarded, bounded by value cardinality, and
+  * the quartile/fence report derives at read time through
+  * [[graft.operators.Behavior.boxplotFromCounts]] — the identical
+  * expression tree the batch operator runs.
+  */
+final class ValueCountState(stateDir: String) {
+  @volatile private var version: Long = StreamUtil.latestVersion(stateDir)
+
+  private def prior(spark: SparkSession): DataFrame =
+    if (version < 0)
+      spark.createDataFrame(java.util.List.of[Row](), StructType.fromDDL(
+        "event_type STRING, cents BIGINT, cnt BIGINT"))
+    else spark.read.parquet(s"$stateDir/v$version")
+
+  def merge(batch: Dataset[Row], batchId: Long): Unit = {
+    if (batchId <= version) return
+    val spark = batch.sparkSession
+    val partial = batch
+      .select(col("event_type"), expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+      .groupBy(col("event_type"), col("cents"))
+      .agg(count(lit(1)).as("cnt"))
+    val merged = prior(spark).unionByName(partial)
+      .groupBy(col("event_type"), col("cents"))
+      .agg(sum(col("cnt")).as("cnt"))
+    merged.coalesce(1).write.mode("overwrite").parquet(s"$stateDir/v$batchId")
+    val prev = version
+    version = batchId
+    if (prev >= 0) StreamUtil.delete(spark, s"$stateDir/v$prev")
+  }
+
+  def boxplot(spark: SparkSession): DataFrame =
+    graft.operators.Behavior.boxplotFromCounts(prior(spark))
+}
+
+object BoxplotStream {
+
+  /** Queries entry: oracle = the same SQL that gates `boxplot_stats`
+    * (additive value counts + shared counting-sort quantile
+    * derivation make batch boundaries invisible). */
+  def streamBoxplot(spark: SparkSession, dir: String): DataFrame = {
+    val work = graft.GraftCaches.trackTempDir("graft_boxplot_")
+    val state = new ValueCountState(s"$work/state")
+    StreamSources.runForeachBatch(StreamSources.events(spark, dir), state.merge)
+    state.boxplot(spark)
+  }
+}
+
 object SeasonalityStream {
 
   /** Queries entry: oracle = the same SQL that gates

@@ -651,6 +651,29 @@ class BatchOperatorsSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAl
     assert(out == Seq((1L, 1L, 2L, 2L, 3L), (3L, 7L, 14L, 1L, 7L)))
   }
 
+  test("vocab_coverage_by_source: global top-N cut, per-source OOV split") {
+    import spark.implicits._
+    val docs = Seq((1L, "a a b", "sA"), (2L, "a", "sB")).toDF("doc_id", "text", "source")
+    val out = graft.operators.TextOps
+      .vocabCoverageBySourceTransform(docs, vocabSize = 1).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    // global vocab of size 1 = {"a"} (cf 3): sA covers 2/3, sB 1/1
+    assert(out == Seq(("sA", 3L, 2L, 0.666667), ("sB", 1L, 1L, 1.0)))
+  }
+
+  test("cross_source_dups: shared contents counted once per source pair") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "same", "sA"), (2L, "same", "sB"), (3L, "same", "sB"), // dup WITHIN sB ignored
+      (4L, "other", "sA"), (5L, "other", "sC"),
+      (6L, "only", "sC"))
+      .toDF("doc_id", "text", "source")
+    val out = graft.operators.TextOps.crossSourceDupsTransform(docs).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+    // (sB,sC) share nothing but still appear, zero-filled
+    assert(out == Seq(("sA", "sB", 1L), ("sA", "sC", 1L), ("sB", "sC", 0L)))
+  }
+
   test("text_redact scrubs planted PII classes byte-exactly") {
     import spark.implicits._
     def md5hex(s: String): String =

@@ -483,6 +483,14 @@ class BehaviorSpec extends AnyFunSuite {
     assert(out == Seq((0L, 1L, 1L, 2500L, 410000L), (1L, 1L, 3L, 7500L, 1250000L)))
   }
 
+  test("percentile bands: ceil-k discrete percentiles from the daily count grid") {
+    val events = ev((1 to 10).map(i =>
+      (i.toLong, "2024-01-01 01:00:00", i.toLong, "view", i / 100.0)))
+    val r = Behavior.percentileBandsDailyTransform(events).collect().head
+    // cents 1..10: p50 -> k=5 -> 5; p90 -> k=9 -> 9; p99 -> k=10 -> 10
+    assert((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)) == (10L, 5L, 9L, 10L))
+  }
+
   test("welch t-test: hand-computed t and df on planted two-sample cents") {
     val events = ev(Seq(
       (1L, "2024-01-01 01:00:00", 1L, "a", 1.0),  // a: 100, 200 cents

@@ -52,6 +52,7 @@ class PlanAuditSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
     "metric_correlations" -> "zero-fill grid broadcasts the DISTINCT event-type list — bounded by metric-dimension cardinality (|types|), not data volume",
     "ab_welch_ttest" -> "pair triangle (type_a < type_b) broadcasts the |types|-row sufficient-stat table — bounded by event-type cardinality, not data volume",
     "source_drift_tv" -> "zero-fill grid broadcasts the DISTINCT source list — bounded by corpus-source cardinality, not data volume",
+    "cross_source_dups" -> "zero-fill pair triangle (source_a < source_b) broadcasts the DISTINCT source list — bounded by corpus-source cardinality, not data volume",
     "stream_source_drift" -> "the same zero-fill source-list broadcast as source_drift_tv, derived over the stream's sufficient-count state",
   )
 

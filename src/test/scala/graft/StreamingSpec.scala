@@ -244,6 +244,33 @@ class StreamingSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
     assert(rows("stream_seasonality") == rows("seasonality_profile"))
   }
 
+  test("stream_boxplot equals the batch boxplot_stats") {
+    assert(rows("stream_boxplot") == rows("boxplot_stats"))
+  }
+
+  test("value count state: cross-batch counts move the quartiles, replay guard holds") {
+    import org.apache.spark.sql.functions.{col, lit}
+    import graft.streaming.ValueCountState
+    import spark.implicits._
+    val state = new ValueCountState(GraftCaches.trackTempDir("graft_boxspec_") + "/state")
+    def batch(vals: Double*) = vals.toSeq.toDF("value")
+      .withColumn("event_type", lit("v"))
+    def quart = state.boxplot(spark).collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(7))).toSeq
+
+    // batch 0: cents 1..4 -> q1=1 (k=1), med=2 (k=2), q3=3 (k=3)
+    state.merge(batch(0.01, 0.02, 0.03, 0.04), 0)
+    assert(quart == Seq((4L, 1L, 2L, 3L, 0L)))
+    // batch 1: four 100c spikes -> n=8, q1=2, med=4, q3=100; high
+    // fence 2c > 500-6 -> none (q3 itself IS the spike level); a
+    // merge of per-batch quartiles could never land these values
+    state.merge(batch(1.0, 1.0, 1.0, 1.0), 1)
+    assert(quart == Seq((8L, 2L, 4L, 100L, 0L)))
+    // replay of batch 1 is a no-op
+    state.merge(batch(1.0, 1.0, 1.0, 1.0), 1)
+    assert(quart == Seq((8L, 2L, 4L, 100L, 0L)))
+  }
+
   test("seasonality cell state: cross-batch counts move shares, replay guard holds") {
     import org.apache.spark.sql.functions.{col, to_timestamp, lit}
     import graft.streaming.SeasonalityCellState
