@@ -86,6 +86,8 @@ object SparkEntry {
     "doclen_histogram"     -> TextOps.doclenHistogram _,
     "stream_seasonality"   -> SeasonalityStream.streamSeasonality _,
     "percentile_bands_daily" -> Behavior.percentileBandsDaily _,
+    "langid_confusion"     -> TextOps.langidConfusion _,
+    "centroid_drift"       -> VectorOps.centroidDrift _,
     "vocab_coverage_by_source" -> TextOps.vocabCoverageBySource _,
     "cross_source_dups"    -> TextOps.crossSourceDups _,
     "stream_boxplot"       -> BoxplotStream.streamBoxplot _,
@@ -684,6 +686,8 @@ object SparkEntry {
     "cdc_scd2" -> operators.Engagement.cdcScd2OracleSql,
     "doclen_histogram" -> operators.TextOps.doclenHistogramOracleSql,
     "percentile_bands_daily" -> operators.Behavior.percentileBandsDailyOracleSql,
+    "langid_confusion" -> operators.TextOps.langidConfusionOracleSql,
+    "centroid_drift" -> operators.VectorOps.centroidDriftOracleSql,
     "vocab_coverage_by_source" -> operators.TextOps.vocabCoverageOracleSql,
     "cross_source_dups" -> operators.TextOps.crossSourceDupsOracleSql,
     "label_centroids" -> operators.VectorOps.labelCentroidsOracleSql,

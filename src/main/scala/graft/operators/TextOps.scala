@@ -241,13 +241,17 @@ object TextOps {
   /** Language ID via marker-token frequency scoring (the word-level
     * n-gram heuristic): count occurrences of per-language marker
     * tokens, argmax with fixed precedence, 'und' when all zero. */
-  def langId(spark: SparkSession, dir: String): DataFrame = {
+  def langId(spark: SparkSession, dir: String): DataFrame =
+    langIdTransform(Tables.documents(spark, dir))
+
+  def langIdTransform(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
     import spark.implicits._
     def score(lang: String): String = {
       val inList = langMarkers(lang).map(w => s"'$w'").mkString(", ")
       s"cast(size(filter(split(text, ' '), w -> w IN ($inList))) as bigint)"
     }
-    Tables.documents(spark, dir)
+    docs
       .select($"doc_id",
         expr(score("en")).as("s_en"), expr(score("es")).as("s_es"),
         expr(score("de")).as("s_de"), expr(score("fr")).as("s_fr"))
@@ -1686,6 +1690,48 @@ object TextOps {
 
   def crossSourceDups(spark: SparkSession, dir: String): DataFrame =
     crossSourceDupsTransform(Tables.documents(spark, dir))
+
+  /** Confusion matrix of the [[langId]] heuristic against the
+    * corpus's LABELED language — the eval table that decides whether
+    * the n-gram marker lists are good enough to gate a feed: per
+    * (true lang, predicted lang) its doc count and integer
+    * basis-point share of the true language's docs (diagonal =
+    * per-class recall in bp). The predictor and the oracle share the
+    * marker lists verbatim, so this measures the HEURISTIC, not an
+    * implementation skew.
+    *
+    * Shape: the langId scan collapses map-side to the ≤ |langs|²
+    * confusion grid; one broadcast-back of per-lang totals.
+    */
+  def langidConfusion(spark: SparkSession, dir: String): DataFrame =
+    langidConfusionTransform(Tables.documents(spark, dir))
+
+  def langidConfusionTransform(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val pred = langIdTransform(docs).select($"doc_id", $"pred_lang")
+    val cells = docs.select($"doc_id", $"lang")
+      .join(pred, Seq("doc_id"))
+      .groupBy($"lang", $"pred_lang").agg(count(lit(1)).as("n"))
+    cells
+      .withColumn("total", sum($"n").over(Window.partitionBy($"lang")))
+      .select($"lang", $"pred_lang", $"n",
+        expr("n * 10000 div total").as("share_bp"))
+      .orderBy($"lang", $"pred_lang")
+  }
+
+  /** DuckDB oracle for [[langidConfusion]] — the langId oracle as a
+    * subquery, joined to the labels exactly as the Spark plan joins
+    * the component frames. */
+  def langidConfusionOracleSql: String =
+    s"""WITH p AS (SELECT doc_id, pred_lang FROM ($langIdOracleSql)),
+       |c AS (SELECT d.lang, p.pred_lang, count(*) AS n
+       |      FROM documents d JOIN p USING (doc_id) GROUP BY 1, 2),
+       |t AS (SELECT lang, CAST(sum(n) AS BIGINT) AS total FROM c GROUP BY 1)
+       |SELECT c.lang, c.pred_lang, CAST(c.n AS BIGINT) AS n,
+       |       c.n * 10000 // t.total AS share_bp
+       |FROM c JOIN t USING (lang)
+       |ORDER BY 1, 2""".stripMargin
 
   /** DuckDB oracle for [[crossSourceDupsTransform]]. */
   val crossSourceDupsOracleSql: String =

@@ -618,6 +618,72 @@ object VectorOps {
       .orderBy($"label", $"dim")
   }
 
+  /** Per-label embedding drift between two corpus snapshots — the
+    * "did this label's region move" monitor a retraining decision
+    * reads (here the snapshots are the even/odd `vec_id` halves —
+    * deterministic, disjoint, and balanced; a deployment feeds two
+    * real snapshot tables through the same transform): per label the
+    * L2 distance between the two halves' centroids, exact until the
+    * final sqrt. Centroid sums use the [[labelCentroids]] ×10⁶
+    * integer quantization; the per-dimension mean DIFFERENCE is the
+    * ratio of exact integers (aΣb − bΣa over n_a·n_b in exact
+    * DECIMAL cross-multiplication), squared and summed as DOUBLE —
+    * the one float reduction; its summation-order noise (~1e-16
+    * relative over 64 terms) sits far below the 1e-6 output
+    * rounding.
+    *
+    * Shape: one posexplode pass → map-side collapse to
+    * |labels|×|dims|×2 sums → |labels| rows out; vectors never
+    * shuffle.
+    */
+  def centroidDriftTransform(embeddings: DataFrame): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val sums = embeddings
+      .select($"label".cast("long").as("label"), ($"vec_id" % 2 === 0).as("snap_a"),
+        posexplode($"embedding"))
+      .select($"label", $"snap_a", ($"pos" + 1).cast("long").as("dim"),
+        expr("CAST(round(CAST(col AS DOUBLE) * 1000000) AS BIGINT)").as("q"))
+      .groupBy($"label", $"dim")
+      .agg(sum(when($"snap_a", $"q")).as("sa"),
+        sum(when(!$"snap_a", $"q")).as("sb"),
+        sum(when($"snap_a", 1L).otherwise(0L)).as("na"),
+        sum(when(!$"snap_a", 1L).otherwise(0L)).as("nb"))
+    sums
+      .withColumn("diff", expr(
+        "(CAST(sa AS DECIMAL(38,0)) * nb - CAST(sb AS DECIMAL(38,0)) * na)"))
+      .groupBy($"label")
+      .agg(max($"na").as("n_a"), max($"nb").as("n_b"),
+        round(sqrt(sum(
+          expr("CAST(diff AS DOUBLE) / (CAST(na AS DOUBLE) * nb) / 1000000.0" +
+            " * (CAST(diff AS DOUBLE) / (CAST(na AS DOUBLE) * nb) / 1000000.0)"))),
+          6).as("centroid_l2_drift"))
+      .orderBy($"label")
+  }
+
+  def centroidDrift(spark: SparkSession, dir: String): DataFrame =
+    centroidDriftTransform(Tables.embeddings(spark, dir))
+
+  /** DuckDB oracle for [[centroidDriftTransform]]. */
+  val centroidDriftOracleSql: String =
+    """WITH e AS (SELECT CAST(label AS BIGINT) AS label, vec_id % 2 = 0 AS snap_a,
+      |                  CAST(i AS BIGINT) AS dim,
+      |                  CAST(round(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT) AS q
+      |           FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(i)),
+      |s AS (SELECT label, dim,
+      |             CAST(sum(CASE WHEN snap_a THEN q END) AS BIGINT) AS sa,
+      |             CAST(sum(CASE WHEN NOT snap_a THEN q END) AS BIGINT) AS sb,
+      |             CAST(sum(CASE WHEN snap_a THEN 1 ELSE 0 END) AS BIGINT) AS na,
+      |             CAST(sum(CASE WHEN NOT snap_a THEN 1 ELSE 0 END) AS BIGINT) AS nb
+      |      FROM e GROUP BY 1, 2),
+      |d AS (SELECT label, na, nb,
+      |             CAST(CAST(sa AS HUGEINT) * nb - CAST(sb AS HUGEINT) * na AS DOUBLE)
+      |               / (CAST(na AS DOUBLE) * nb) / 1000000.0 AS dm
+      |      FROM s)
+      |SELECT label, max(na) AS n_a, max(nb) AS n_b,
+      |       round(sqrt(sum(dm * dm)), 6) AS centroid_l2_drift
+      |FROM d GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** DuckDB oracle for [[labelCentroids]] (1-based dim, same ×10⁶
     * integer quantization — sums commute). */
   val labelCentroidsOracleSql: String =

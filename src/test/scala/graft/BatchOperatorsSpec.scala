@@ -674,6 +674,31 @@ class BatchOperatorsSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAl
     assert(out == Seq(("sA", "sB", 1L), ("sA", "sC", 1L), ("sB", "sC", 0L)))
   }
 
+  test("langid_confusion: diagonal recall and off-diagonal leak in basis points") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the and", "en"),   // predicted en  -> diagonal
+      (2L, "el la", "en"),     // predicted es  -> off-diagonal leak
+      (3L, "der die", "de"))   // predicted de  -> diagonal
+      .toDF("doc_id", "text", "lang")
+    val out = graft.operators.TextOps.langidConfusionTransform(docs).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(out == Seq(("de", "de", 1L, 10000L),
+      ("en", "en", 1L, 5000L), ("en", "es", 1L, 5000L)))
+  }
+
+  test("centroid_drift: exact even/odd split centroids, hand-computed L2") {
+    import spark.implicits._
+    val embs = Seq(
+      (0L, Array(1.0f, 2.0f), 0), (1L, Array(3.0f, 6.0f), 0))
+      .toDF("vec_id", "embedding", "label")
+    val r = graft.operators.VectorOps.centroidDriftTransform(embs).collect().head
+    // centroids (1,2) vs (3,6) -> sqrt(4 + 16)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) == (0L, 1L, 1L))
+    assert(r.getDouble(3) == BigDecimal(math.sqrt(20.0))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+  }
+
   test("text_redact scrubs planted PII classes byte-exactly") {
     import spark.implicits._
     def md5hex(s: String): String =
