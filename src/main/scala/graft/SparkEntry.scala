@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.operators._
-import graft.streaming.{AttributionStream, BoxplotStream, CdcCompact, ChangepointStream, DailyModeStream, DriftStream, EngagementStream, EwmaStream, FunnelStream, MomentsStream, RollupStream, SeasonalityStream, Sessionize, StreamDedup, StreamIncrementalDedup}
+import graft.streaming.{AttributionStream, BoxplotStream, CdcCompact, ChangepointStream, DailyModeStream, DoclenStream, DriftStream, EngagementStream, EwmaStream, FunnelStream, MomentsStream, PercentileBandsStream, RollupStream, SeasonalityStream, Sessionize, StreamDedup, StreamIncrementalDedup}
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the inventory. */
 object SparkEntry {
@@ -88,6 +88,8 @@ object SparkEntry {
     "percentile_bands_daily" -> Behavior.percentileBandsDaily _,
     "langid_confusion"     -> TextOps.langidConfusion _,
     "centroid_drift"       -> VectorOps.centroidDrift _,
+    "stream_percentile_bands" -> PercentileBandsStream.streamPercentileBands _,
+    "stream_doclen"        -> DoclenStream.streamDoclen _,
     "vocab_coverage_by_source" -> TextOps.vocabCoverageBySource _,
     "cross_source_dups"    -> TextOps.crossSourceDups _,
     "stream_boxplot"       -> BoxplotStream.streamBoxplot _,
@@ -260,6 +262,10 @@ object SparkEntry {
       // additive value counts + shared counting-sort quantiles:
       // stream equals the batch boxplot_stats
       "stream_boxplot" -> base("boxplot_stats"),
+      // per-day-keyed value counts, same counting-sort derivation
+      "stream_percentile_bands" -> base("percentile_bands_daily"),
+      // histograms are already additive: merge and report coincide
+      "stream_doclen" -> base("doclen_histogram"),
       "stream_moments" ->
         """WITH m AS (SELECT event_type, count(*) AS n,
           |                  CAST(sum(c) AS BIGINT) AS sum_c,

@@ -1592,13 +1592,20 @@ object Behavior {
     * count grid; the cumulative window sorts only each day's own
     * distinct values. The fact itself is never globally sorted.
     */
-  def percentileBandsDailyTransform(events: DataFrame): DataFrame = {
-    val spark = events.sparkSession
-    import spark.implicits._
-    val counts = events
-      .select(date_trunc("day", $"ts").as("day"),
+  def percentileBandsDailyTransform(events: DataFrame): DataFrame =
+    percentileBandsFromCounts(events
+      .select(date_trunc("day", col("ts")).as("day"),
         expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
-      .groupBy($"day", $"cents").agg(count(lit(1)).as("cnt"))
+      .groupBy(col("day"), col("cents")).agg(count(lit(1)).as("cnt")))
+
+  /** The band derivation from an already-aggregated (day, cents, cnt)
+    * count grid — split out so the STREAMING twin
+    * ([[graft.streaming.PercentileBandsStream]]) can keep the grid as
+    * additive state (the [[boxplotFromCounts]] pattern, keyed by
+    * day). */
+  def percentileBandsFromCounts(counts: DataFrame): DataFrame = {
+    val spark = counts.sparkSession
+    import spark.implicits._
     val byVal = Window.partitionBy($"day").orderBy($"cents")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     counts

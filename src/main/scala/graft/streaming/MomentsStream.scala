@@ -470,6 +470,108 @@ object BoxplotStream {
   }
 }
 
+/** Streaming percentile-band state — the per-day-keyed sibling of
+  * [[ValueCountState]]: the (day, cents, cnt) grid is additive
+  * state, and the daily p50/p90/p99 report derives at read time
+  * through [[graft.operators.Behavior.percentileBandsFromCounts]].
+  */
+final class DailyValueCountState(stateDir: String) {
+  @volatile private var version: Long = StreamUtil.latestVersion(stateDir)
+
+  private def prior(spark: SparkSession): DataFrame =
+    if (version < 0)
+      spark.createDataFrame(java.util.List.of[Row](), StructType.fromDDL(
+        "day TIMESTAMP, cents BIGINT, cnt BIGINT"))
+    else spark.read.parquet(s"$stateDir/v$version")
+
+  def merge(batch: Dataset[Row], batchId: Long): Unit = {
+    if (batchId <= version) return
+    val spark = batch.sparkSession
+    val partial = batch
+      .select(date_trunc("day", col("ts")).as("day"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+      .groupBy(col("day"), col("cents"))
+      .agg(count(lit(1)).as("cnt"))
+    val merged = prior(spark).unionByName(partial)
+      .groupBy(col("day"), col("cents"))
+      .agg(sum(col("cnt")).as("cnt"))
+    merged.coalesce(1).write.mode("overwrite").parquet(s"$stateDir/v$batchId")
+    val prev = version
+    version = batchId
+    if (prev >= 0) StreamUtil.delete(spark, s"$stateDir/v$prev")
+  }
+
+  def bands(spark: SparkSession): DataFrame =
+    graft.operators.Behavior.percentileBandsFromCounts(prior(spark))
+}
+
+object PercentileBandsStream {
+
+  /** Queries entry: oracle = the same SQL that gates
+    * `percentile_bands_daily`. */
+  def streamPercentileBands(spark: SparkSession, dir: String): DataFrame = {
+    val work = graft.GraftCaches.trackTempDir("graft_bands_")
+    val state = new DailyValueCountState(s"$work/state")
+    StreamSources.runForeachBatch(StreamSources.events(spark, dir), state.merge)
+    state.bands(spark)
+  }
+}
+
+/** Streaming document-length-histogram state: a histogram is ALREADY
+  * additive (bucket counts and token totals are plain sums), so the
+  * state IS the report grid minus its derived bound columns —
+  * the degenerate-but-real end of the state-merge family where
+  * merge and report coincide. Derivation still routes through one
+  * shared expression shape so batch/stream parity is by
+  * construction.
+  */
+final class DoclenBucketState(stateDir: String) {
+  @volatile private var version: Long = StreamUtil.latestVersion(stateDir)
+
+  private def prior(spark: SparkSession): DataFrame =
+    if (version < 0)
+      spark.createDataFrame(java.util.List.of[Row](), StructType.fromDDL(
+        "bucket BIGINT, n_docs BIGINT, total_words BIGINT"))
+    else spark.read.parquet(s"$stateDir/v$version")
+
+  def merge(batch: Dataset[Row], batchId: Long): Unit = {
+    if (batchId <= version) return
+    val spark = batch.sparkSession
+    val partial = batch
+      .select(size(split(col("text"), " ")).cast("long").as("nw"))
+      .select(expr("CAST(floor(log2(nw + 1)) AS BIGINT)").as("bucket"), col("nw"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("nw")).as("total_words"))
+    val merged = prior(spark).unionByName(partial)
+      .groupBy(col("bucket"))
+      .agg(sum(col("n_docs")).as("n_docs"), sum(col("total_words")).as("total_words"))
+    merged.coalesce(1).write.mode("overwrite").parquet(s"$stateDir/v$batchId")
+    val prev = version
+    version = batchId
+    if (prev >= 0) StreamUtil.delete(spark, s"$stateDir/v$prev")
+  }
+
+  def histogram(spark: SparkSession): DataFrame =
+    prior(spark)
+      .select(col("bucket"),
+        expr("CAST(pow(2, bucket) AS BIGINT) - 1").as("words_lo"),
+        expr("CAST(pow(2, bucket + 1) AS BIGINT) - 2").as("words_hi"),
+        col("n_docs"), col("total_words"))
+      .orderBy(col("bucket"))
+}
+
+object DoclenStream {
+
+  /** Queries entry: oracle = the same SQL that gates
+    * `doclen_histogram`. */
+  def streamDoclen(spark: SparkSession, dir: String): DataFrame = {
+    val work = graft.GraftCaches.trackTempDir("graft_doclen_")
+    val state = new DoclenBucketState(s"$work/state")
+    StreamSources.runForeachBatch(StreamSources.documents(spark, dir), state.merge)
+    state.histogram(spark)
+  }
+}
+
 object SeasonalityStream {
 
   /** Queries entry: oracle = the same SQL that gates

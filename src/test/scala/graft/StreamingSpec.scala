@@ -248,6 +248,36 @@ class StreamingSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
     assert(rows("stream_boxplot") == rows("boxplot_stats"))
   }
 
+  test("stream_percentile_bands equals the batch percentile_bands_daily") {
+    assert(rows("stream_percentile_bands") == rows("percentile_bands_daily"))
+  }
+
+  test("stream_doclen equals the batch doclen_histogram") {
+    assert(rows("stream_doclen") == rows("doclen_histogram"))
+  }
+
+  test("daily value count state: a late batch moves the day's percentile, replay guard holds") {
+    import org.apache.spark.sql.functions.{col, to_timestamp}
+    import graft.streaming.DailyValueCountState
+    import spark.implicits._
+    val state = new DailyValueCountState(GraftCaches.trackTempDir("graft_bandspec_") + "/state")
+    def batch(rows: (String, Double)*) = rows.toSeq.toDF("tss", "value")
+      .withColumn("ts", to_timestamp(col("tss"))).drop("tss")
+    def p50 = state.bands(spark).collect()
+      .map(r => (r.getTimestamp(0).toString.take(10), r.getLong(1), r.getLong(2))).toSeq
+
+    // batch 0: cents 1..3 on day 1 -> n=3, p50 k=2 -> 2
+    state.merge(batch(("2024-01-01 01:00:00", 0.01), ("2024-01-01 02:00:00", 0.02),
+      ("2024-01-01 03:00:00", 0.03)), 0)
+    assert(p50 == Seq(("2024-01-01", 3L, 2L)))
+    // batch 1: two LATE 100c rows into day 1 -> n=5, p50 k=3 -> 3
+    state.merge(batch(("2024-01-01 04:00:00", 1.0), ("2024-01-01 05:00:00", 1.0)), 1)
+    assert(p50 == Seq(("2024-01-01", 5L, 3L)))
+    // replay of batch 1 is a no-op
+    state.merge(batch(("2024-01-01 04:00:00", 1.0), ("2024-01-01 05:00:00", 1.0)), 1)
+    assert(p50 == Seq(("2024-01-01", 5L, 3L)))
+  }
+
   test("value count state: cross-batch counts move the quartiles, replay guard holds") {
     import org.apache.spark.sql.functions.{col, lit}
     import graft.streaming.ValueCountState
