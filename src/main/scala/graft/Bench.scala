@@ -146,7 +146,9 @@ object Bench {
     "percentile_bands_daily" -> 3.254, "vocab_coverage_by_source" -> 2.996,
     "cross_source_dups" -> 2.086, "stream_boxplot" -> 6.250,
     "langid_confusion" -> 3.163, "centroid_drift" -> 2.239,
-    "stream_percentile_bands" -> 4.219, "stream_doclen" -> 2.733)
+    "stream_percentile_bands" -> 4.219, "stream_doclen" -> 2.733,
+    "type_user_overlap" -> 2.143, "revenue_hhi" -> 2.265,
+    "stream_zipf_slope" -> 3.064, "stream_revenue_hhi" -> 3.884)
 
   /** Run ONE query in a fresh JVM (this JVM's own flags + classpath,
     * stderr discarded) and parse its timing out of the child's JSON

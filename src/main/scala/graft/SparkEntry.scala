@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.operators._
-import graft.streaming.{AttributionStream, BoxplotStream, CdcCompact, ChangepointStream, DailyModeStream, DoclenStream, DriftStream, EngagementStream, EwmaStream, FunnelStream, MomentsStream, PercentileBandsStream, RollupStream, SeasonalityStream, Sessionize, StreamDedup, StreamIncrementalDedup}
+import graft.streaming.{AttributionStream, BoxplotStream, CdcCompact, ChangepointStream, DailyModeStream, DoclenStream, DriftStream, EngagementStream, EwmaStream, FunnelStream, HhiStream, MomentsStream, PercentileBandsStream, RollupStream, SeasonalityStream, Sessionize, StreamDedup, StreamIncrementalDedup, ZipfStream}
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the inventory. */
 object SparkEntry {
@@ -90,6 +90,10 @@ object SparkEntry {
     "centroid_drift"       -> VectorOps.centroidDrift _,
     "stream_percentile_bands" -> PercentileBandsStream.streamPercentileBands _,
     "stream_doclen"        -> DoclenStream.streamDoclen _,
+    "type_user_overlap"    -> Behavior.typeUserOverlap _,
+    "revenue_hhi"          -> Behavior.revenueHhi _,
+    "stream_zipf_slope"    -> ZipfStream.streamZipfSlope _,
+    "stream_revenue_hhi"   -> HhiStream.streamRevenueHhi _,
     "vocab_coverage_by_source" -> TextOps.vocabCoverageBySource _,
     "cross_source_dups"    -> TextOps.crossSourceDups _,
     "stream_boxplot"       -> BoxplotStream.streamBoxplot _,
@@ -266,6 +270,10 @@ object SparkEntry {
       "stream_percentile_bands" -> base("percentile_bands_daily"),
       // histograms are already additive: merge and report coincide
       "stream_doclen" -> base("doclen_histogram"),
+      // additive vocabulary counts + shared regression derivation
+      "stream_zipf_slope" -> base("zipf_slope"),
+      // additive item-cents grid + shared HHI derivation
+      "stream_revenue_hhi" -> base("revenue_hhi"),
       "stream_moments" ->
         """WITH m AS (SELECT event_type, count(*) AS n,
           |                  CAST(sum(c) AS BIGINT) AS sum_c,
@@ -694,6 +702,8 @@ object SparkEntry {
     "percentile_bands_daily" -> operators.Behavior.percentileBandsDailyOracleSql,
     "langid_confusion" -> operators.TextOps.langidConfusionOracleSql,
     "centroid_drift" -> operators.VectorOps.centroidDriftOracleSql,
+    "type_user_overlap" -> operators.Behavior.typeUserOverlapOracleSql,
+    "revenue_hhi" -> operators.Behavior.revenueHhiOracleSql,
     "vocab_coverage_by_source" -> operators.TextOps.vocabCoverageOracleSql,
     "cross_source_dups" -> operators.TextOps.crossSourceDupsOracleSql,
     "label_centroids" -> operators.VectorOps.labelCentroidsOracleSql,

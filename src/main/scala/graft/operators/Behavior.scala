@@ -1639,6 +1639,104 @@ object Behavior {
       |       min(CASE WHEN cum >= (99 * n + 99) // 100 THEN cents END) AS p99_cents
       |FROM w GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Audience overlap between event types — Jaccard of user sets
+    * per type pair (the TYPE-level face of [[Behavior]]'s
+    * `item_similarity`; answers "do purchasers also click?"):
+    * |U_a∩U_b| from one distinct (type, user) self-join on user_id,
+    * per-type totals from the SAME distinct basis so the
+    * denominators are consistent (n_a + n_b − n_both), the rounded
+    * ratio never decides membership.
+    *
+    * Shape: distinct basis is one (user) shuffle; the pair fan-out
+    * per user is ≤ C(|types|, 2); totals attach as a broadcast.
+    */
+  def typeUserOverlapTransform(events: DataFrame): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val tu = events.select($"event_type", $"user_id").distinct()
+    val totals = tu.groupBy($"event_type").agg(count(lit(1)).as("nu"))
+    val pairs = tu.as("a").join(tu.as("b"),
+        $"a.user_id" === $"b.user_id" && $"a.event_type" < $"b.event_type")
+      .groupBy($"a.event_type".as("type_a"), $"b.event_type".as("type_b"))
+      .agg(count(lit(1)).as("n_both"))
+    pairs
+      .join(broadcast(totals.select($"event_type".as("type_a"), $"nu".as("n_a"))), Seq("type_a"))
+      .join(broadcast(totals.select($"event_type".as("type_b"), $"nu".as("n_b"))), Seq("type_b"))
+      .select($"type_a", $"type_b", $"n_a", $"n_b", $"n_both",
+        round($"n_both" / ($"n_a" + $"n_b" - $"n_both").cast("double"), 6).as("jaccard"))
+      .orderBy($"type_a", $"type_b")
+  }
+
+  def typeUserOverlap(spark: SparkSession, dir: String): DataFrame =
+    typeUserOverlapTransform(Tables.events(spark, dir))
+
+  /** DuckDB oracle for [[typeUserOverlapTransform]]. */
+  val typeUserOverlapOracleSql: String =
+    """WITH tu AS (SELECT DISTINCT event_type, user_id FROM events),
+      |t AS (SELECT event_type, count(*) AS nu FROM tu GROUP BY 1),
+      |p AS (SELECT a.event_type AS type_a, b.event_type AS type_b, count(*) AS n_both
+      |      FROM tu a JOIN tu b ON a.user_id = b.user_id AND a.event_type < b.event_type
+      |      GROUP BY 1, 2)
+      |SELECT p.type_a, p.type_b, CAST(ta.nu AS BIGINT) AS n_a, CAST(tb.nu AS BIGINT) AS n_b,
+      |       CAST(p.n_both AS BIGINT) AS n_both,
+      |       round(CAST(p.n_both AS DOUBLE) / (ta.nu + tb.nu - p.n_both), 6) AS jaccard
+      |FROM p JOIN t ta ON ta.event_type = p.type_a
+      |       JOIN t tb ON tb.event_type = p.type_b
+      |ORDER BY 1, 2""".stripMargin
+
+  /** Revenue-concentration Herfindahl–Hirschman index per event type
+    * over items — the market-concentration number next to
+    * [[paretoUsersTransform]]'s whale curve and `engagement_gini`'s
+    * inequality: HHI = Σᵢ shareᵢ² = Σ centsᵢ² / total² with the
+    * numerator an exact Decimal(38,0) sum (order-independent) and
+    * the single float division rounded once. 1/HHI is the "effective
+    * number of items" a mix decision reads.
+    *
+    * Shape: fact → (type, item) cents in one map-side-combinable
+    * shuffle, then a |types|-row aggregate. */
+  def revenueHhiTransform(events: DataFrame): DataFrame =
+    hhiFromItemCents(events
+      .select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast("long").as("item"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+      .filter(col("item").isNotNull)
+      .groupBy(col("event_type"), col("item"))
+      .agg(sum(col("cents")).as("cents")))
+
+  /** The HHI derivation from an already-aggregated (event_type,
+    * item, cents) table — split out so the STREAMING twin
+    * ([[graft.streaming.HhiStream]]) can keep the item-cents grid as
+    * additive state. */
+  def hhiFromItemCents(itemCents: DataFrame): DataFrame = {
+    val spark = itemCents.sparkSession
+    import spark.implicits._
+    itemCents
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n_items"),
+        sum($"cents").as("total_cents"),
+        sum(expr("CAST(cents AS DECIMAL(38,0)) * cents")).as("sq"))
+      .select($"event_type", $"n_items", $"total_cents",
+        expr("round(CAST(sq AS DOUBLE) / (CAST(total_cents AS DOUBLE) * total_cents), 6)")
+          .as("hhi"))
+      .orderBy($"event_type")
+  }
+
+  def revenueHhi(spark: SparkSession, dir: String): DataFrame =
+    revenueHhiTransform(Tables.events(spark, dir))
+
+  /** DuckDB oracle for [[revenueHhiTransform]]. */
+  val revenueHhiOracleSql: String =
+    """WITH ic AS (
+      |  SELECT event_type, TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS item,
+      |         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+      |  FROM events WHERE TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) IS NOT NULL
+      |  GROUP BY 1, 2)
+      |SELECT event_type, count(*) AS n_items,
+      |       CAST(sum(cents) AS BIGINT) AS total_cents,
+      |       round(CAST(sum(CAST(cents AS HUGEINT) * cents) AS DOUBLE)
+      |             / (CAST(sum(cents) AS DOUBLE) * sum(cents)), 6) AS hhi
+      |FROM ic GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** Welch's two-sample t between every pair of event types on the
     * per-event value — the A/B readout layered on the same
     * exact-sufficient-statistics discipline as [[Behavior]]'s

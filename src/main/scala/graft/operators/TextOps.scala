@@ -1363,11 +1363,20 @@ object TextOps {
     * top-N cut is one global window over vocab (not corpus) rows;
     * the regression is a single one-row aggregate.
     */
-  def zipfSlopeTransform(spark: SparkSession, docs: DataFrame, topN: Int = 1000): DataFrame = {
+  def zipfSlopeTransform(spark: SparkSession, docs: DataFrame, topN: Int = 1000): DataFrame =
+    zipfFromVocab(docs
+      .select(explode(split(col("text"), " ")).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("cf")), topN)
+
+  /** The regression derivation from an already-aggregated (tok, cf)
+    * vocabulary — split out so the STREAMING twin
+    * ([[graft.streaming.ZipfStream]]) can maintain the vocabulary as
+    * additive state (vocab-scale, the tokenizer-training state any
+    * corpus-stats stream keeps) and derive the fit through this
+    * identical tree. */
+  def zipfFromVocab(vocab: DataFrame, topN: Int = 1000): DataFrame = {
+    val spark = vocab.sparkSession
     import spark.implicits._
-    val vocab = docs
-      .select(explode(split($"text", " ")).as("tok"))
-      .groupBy($"tok").agg(count(lit(1)).as("cf"))
     val byFreq = Window.orderBy($"cf".desc, $"tok")
     val pts = vocab
       .withColumn("rank", row_number().over(byFreq).cast("long"))

@@ -572,6 +572,99 @@ object DoclenStream {
   }
 }
 
+/** Streaming Zipf-fit state — the additive (tok, cf) VOCABULARY is
+  * the sufficient state (a regression over ranked logs is a global
+  * fit — per-batch slopes cannot merge; token counts can), and the
+  * fit derives through [[graft.operators.TextOps.zipfFromVocab]].
+  * Vocab-scale state is exactly what any streaming corpus-stats /
+  * tokenizer-training pipeline already keeps.
+  */
+final class VocabState(stateDir: String) {
+  @volatile private var version: Long = StreamUtil.latestVersion(stateDir)
+
+  private def prior(spark: SparkSession): DataFrame =
+    if (version < 0)
+      spark.createDataFrame(java.util.List.of[Row](), StructType.fromDDL(
+        "tok STRING, cf BIGINT"))
+    else spark.read.parquet(s"$stateDir/v$version")
+
+  def merge(batch: Dataset[Row], batchId: Long): Unit = {
+    if (batchId <= version) return
+    val spark = batch.sparkSession
+    val partial = batch
+      .select(explode(split(col("text"), " ")).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("cf"))
+    val merged = prior(spark).unionByName(partial)
+      .groupBy(col("tok")).agg(sum(col("cf")).as("cf"))
+    merged.coalesce(1).write.mode("overwrite").parquet(s"$stateDir/v$batchId")
+    val prev = version
+    version = batchId
+    if (prev >= 0) StreamUtil.delete(spark, s"$stateDir/v$prev")
+  }
+
+  def zipf(spark: SparkSession): DataFrame =
+    graft.operators.TextOps.zipfFromVocab(prior(spark))
+}
+
+object ZipfStream {
+
+  /** Queries entry: oracle = the same SQL that gates `zipf_slope`. */
+  def streamZipfSlope(spark: SparkSession, dir: String): DataFrame = {
+    val work = graft.GraftCaches.trackTempDir("graft_zipf_")
+    val state = new VocabState(s"$work/state")
+    StreamSources.runForeachBatch(StreamSources.documents(spark, dir), state.merge)
+    state.zipf(spark)
+  }
+}
+
+/** Streaming HHI state — the additive (event_type, item, cents)
+  * revenue grid (a share² sum is a ratio over the whole
+  * distribution; per-batch HHIs cannot merge, item cents can),
+  * derived through [[graft.operators.Behavior.hhiFromItemCents]].
+  */
+final class ItemCentsState(stateDir: String) {
+  @volatile private var version: Long = StreamUtil.latestVersion(stateDir)
+
+  private def prior(spark: SparkSession): DataFrame =
+    if (version < 0)
+      spark.createDataFrame(java.util.List.of[Row](), StructType.fromDDL(
+        "event_type STRING, item BIGINT, cents BIGINT"))
+    else spark.read.parquet(s"$stateDir/v$version")
+
+  def merge(batch: Dataset[Row], batchId: Long): Unit = {
+    if (batchId <= version) return
+    val spark = batch.sparkSession
+    val partial = batch
+      .select(col("event_type"),
+        expr("TRY_CAST(get_json_object(props, '$.k') AS BIGINT)").as("item"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+      .filter(col("item").isNotNull)
+      .groupBy(col("event_type"), col("item"))
+      .agg(sum(col("cents")).as("cents"))
+    val merged = prior(spark).unionByName(partial)
+      .groupBy(col("event_type"), col("item"))
+      .agg(sum(col("cents")).as("cents"))
+    merged.coalesce(1).write.mode("overwrite").parquet(s"$stateDir/v$batchId")
+    val prev = version
+    version = batchId
+    if (prev >= 0) StreamUtil.delete(spark, s"$stateDir/v$prev")
+  }
+
+  def hhi(spark: SparkSession): DataFrame =
+    graft.operators.Behavior.hhiFromItemCents(prior(spark))
+}
+
+object HhiStream {
+
+  /** Queries entry: oracle = the same SQL that gates `revenue_hhi`. */
+  def streamRevenueHhi(spark: SparkSession, dir: String): DataFrame = {
+    val work = graft.GraftCaches.trackTempDir("graft_hhi_")
+    val state = new ItemCentsState(s"$work/state")
+    StreamSources.runForeachBatch(StreamSources.events(spark, dir), state.merge)
+    state.hhi(spark)
+  }
+}
+
 object SeasonalityStream {
 
   /** Queries entry: oracle = the same SQL that gates

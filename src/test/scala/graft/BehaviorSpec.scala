@@ -491,6 +491,32 @@ class BehaviorSpec extends AnyFunSuite {
     assert((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)) == (10L, 5L, 9L, 10L))
   }
 
+  test("type user overlap: consistent denominators from one distinct basis") {
+    val events = ev(Seq(
+      (1L, "2024-01-01 01:00:00", 1L, "a", 0.0),
+      (2L, "2024-01-01 02:00:00", 2L, "a", 0.0),
+      (2L, "2024-01-01 03:00:00", 3L, "a", 0.0),  // dup (a,2) collapses
+      (2L, "2024-01-01 04:00:00", 4L, "b", 0.0),
+      (3L, "2024-01-01 05:00:00", 5L, "b", 0.0)))
+    val r = Behavior.typeUserOverlapTransform(events).collect().head
+    // U_a={1,2}, U_b={2,3} -> both 1, jaccard 1/3
+    assert((r.getString(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4),
+      r.getDouble(5)) == ("a", "b", 2L, 2L, 1L, 0.333333))
+  }
+
+  test("revenue hhi: exact share-squared sum on planted item cents") {
+    def evp(rows: Seq[(Long, Double)]): org.apache.spark.sql.DataFrame =
+      rows.zipWithIndex.map { case ((k, v), i) =>
+        (1L + i, "2024-01-01 01:00:00", i.toLong, k, v) }
+        .toDF("user_id", "ts_s", "event_id", "k", "value")
+        .withColumn("ts", to_timestamp($"ts_s")).drop("ts_s")
+        .withColumn("event_type", lit("view"))
+        .withColumn("props", concat(lit("{\"k\": "), $"k", lit("}")))
+    val r = Behavior.revenueHhiTransform(evp(Seq((1L, 3.0), (2L, 1.0)))).collect().head
+    // cents 300,100 -> HHI = (300² + 100²)/400² = 0.625
+    assert((r.getLong(1), r.getLong(2), r.getDouble(3)) == (2L, 400L, 0.625))
+  }
+
   test("welch t-test: hand-computed t and df on planted two-sample cents") {
     val events = ev(Seq(
       (1L, "2024-01-01 01:00:00", 1L, "a", 1.0),  // a: 100, 200 cents

@@ -256,6 +256,38 @@ class StreamingSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
     assert(rows("stream_doclen") == rows("doclen_histogram"))
   }
 
+  test("stream_zipf_slope equals the batch zipf_slope") {
+    assert(rows("stream_zipf_slope") == rows("zipf_slope"))
+  }
+
+  test("stream_revenue_hhi equals the batch revenue_hhi") {
+    assert(rows("stream_revenue_hhi") == rows("revenue_hhi"))
+  }
+
+  test("item cents state: cross-batch revenue moves the HHI, replay guard holds") {
+    import org.apache.spark.sql.functions.{col, concat, lit}
+    import graft.streaming.ItemCentsState
+    import spark.implicits._
+    val state = new ItemCentsState(GraftCaches.trackTempDir("graft_hhispec_") + "/state")
+    def batch(rows: (Long, Double)*) = rows.toSeq.toDF("k", "value")
+      .withColumn("event_type", lit("v"))
+      .withColumn("props", concat(lit("{\"k\": "), col("k"), lit("}")))
+      .drop("k")
+    def hhi = state.hhi(spark).collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+
+    // batch 0: two equal items -> HHI = 0.5
+    state.merge(batch((1L, 1.0), (2L, 1.0)), 0)
+    assert(hhi == Seq((2L, 200L, 0.5)))
+    // batch 1: item 1 doubles -> cents 300/100 -> HHI = 0.625 (an
+    // average of per-batch HHIs could never produce this)
+    state.merge(batch((1L, 2.0)), 1)
+    assert(hhi == Seq((2L, 400L, 0.625)))
+    // replay of batch 1 is a no-op
+    state.merge(batch((1L, 2.0)), 1)
+    assert(hhi == Seq((2L, 400L, 0.625)))
+  }
+
   test("daily value count state: a late batch moves the day's percentile, replay guard holds") {
     import org.apache.spark.sql.functions.{col, to_timestamp}
     import graft.streaming.DailyValueCountState
