@@ -31,15 +31,14 @@ object Bench {
     // old in-session 3.486/10.646 rows made the pairs query flag
     // every round by construction (isolated re-runs pay the full
     // eager index build the in-session number amortized).
-    // corpus_filter / association_rules / stream_tumble_append
-    // re-frozen round 7 (fresh-JVM isolated medians on the driver's
-    // REGENERATED testdata): the old rows predated both the round-6
-    // data regeneration and — for corpus_filter — were a round-3
-    // number the composite never hit again in-session (r4 in-session
-    // was already 21.25; the components dedup_clusters/langId/
-    // text_quality each sit ON their own frozen rows, so the
-    // composite's old row was stale, not a regression).
-    "word_jaccard_naive" -> 10.070, "corpus_filter" -> 21.646,
+    // corpus_filter / association_rules / stream_tumble_append were
+    // re-frozen UP round 7 from end-of-round isolated runs; a round-8
+    // quiet-box re-measurement (3 fresh JVMs per query, same harness,
+    // zero concurrent load, numbers in BASELINE.md "Round-8
+    // re-measurement") came in far lower — the round-7 medians were
+    // contention artifacts, so the ratchet moves back DOWN to the
+    // quiet-box medians (12.353 / 3.987 / 4.708).
+    "word_jaccard_naive" -> 10.070, "corpus_filter" -> 12.353,
     "dedup_clusters" -> 9.437, "stream_dedup_incremental" -> 8.266,
     "stream_funnel" -> 7.400, "dedup_incremental" -> 6.527,
     "dedup_minhash_lsh" -> 4.916, "word_jaccard_pairs" -> 7.249,
@@ -77,7 +76,7 @@ object Bench {
     // round-5 additions (isolated fresh-JVM freezes)
     "dedup_substring" -> 6.630, "dedup_substring_remove" -> 6.946,
     "ann_pq_topk" -> 4.146, "stream_hop_append" -> 3.048,
-    "tfidf_top_terms" -> 3.014, "stream_tumble_append" -> 6.317,
+    "tfidf_top_terms" -> 3.014, "stream_tumble_append" -> 4.708,
     "bucketed_join" -> 1.435, "text_redact" -> 1.299,
     "token_rarity" -> 0.982, "doc_chunking" -> 0.664,
     "grouping_sets_sales" -> 0.478,
@@ -102,7 +101,7 @@ object Bench {
     "sample_k_per_group" -> 1.358, "snapshot_diff" -> 2.571,
     "trending_daily" -> 2.005, "unpivot_metrics" -> 1.432,
     "events_sessionized" -> 2.010, "cohort_ltv" -> 2.819,
-    "embedding_norms" -> 1.484, "association_rules" -> 5.081,
+    "embedding_norms" -> 1.484, "association_rules" -> 3.987,
     "frequent_sequences" -> 2.851, "q19_discounted_revenue" -> 1.436,
     "activity_heatmap" -> 1.764, "conversion_lag_stats" -> 1.235,
     "dau_wau_mau" -> 3.401, "session_kpis" -> 2.528,

@@ -1353,11 +1353,16 @@ object Behavior {
           $"b.day" >= $"a.day" - expr(s"INTERVAL $m DAY"))
       .select($"a.event_type".as("event_type"), $"a.day".as("day"),
         $"a.cents".as("cents"),
-        expr(s"b.cents * CAST(pow(2, $m - datediff(a.day, b.day)) AS BIGINT)").as("wc"),
+        // DECIMAL(38,0), not BIGINT: daily cents × 2^19 summed over 20
+        // taps wraps a Long silently past ~1.8e13 cents/day while the
+        // DECIMAL numerator stays exact at any revenue scale (the
+        // revenueHhi/abWelchTtest discipline); the one float remains
+        // the final ratio of two exact integers.
+        expr(s"CAST(b.cents AS DECIMAL(38,0)) * CAST(pow(2, $m - datediff(a.day, b.day)) AS DECIMAL(38,0))").as("wc"),
         expr(s"CAST(pow(2, $m - datediff(a.day, b.day)) AS BIGINT)").as("w"))
       .groupBy($"event_type", $"day")
       .agg(first($"cents").as("cents"),
-        round(sum($"wc") / sum($"w"), 4).as("ewma_cents"))
+        round(sum($"wc").cast("double") / sum($"w").cast("double"), 4).as("ewma_cents"))
       .orderBy($"event_type", $"day")
   }
 
@@ -1377,7 +1382,7 @@ object Behavior {
       |         CROSS JOIN spine s
       |         LEFT JOIN d ON d.event_type = t.event_type AND d.day = s.day)
       |SELECT a.event_type, a.day, a.cents,
-      |       round(CAST(sum(b.cents * CAST(pow(2, 19 - date_diff('day', b.day, a.day)) AS BIGINT)) AS DOUBLE)
+      |       round(CAST(sum(CAST(b.cents AS HUGEINT) * CAST(pow(2, 19 - date_diff('day', b.day, a.day)) AS HUGEINT)) AS DOUBLE)
       |             / CAST(sum(CAST(pow(2, 19 - date_diff('day', b.day, a.day)) AS BIGINT)) AS DOUBLE), 4) AS ewma_cents
       |FROM grid a JOIN grid b
       |  ON a.event_type = b.event_type AND b.day <= a.day AND b.day >= a.day - INTERVAL 19 DAY
@@ -1695,13 +1700,22 @@ object Behavior {
     * Shape: fact → (type, item) cents in one map-side-combinable
     * shuffle, then a |types|-row aggregate. */
   def revenueHhiTransform(events: DataFrame): DataFrame =
-    hhiFromItemCents(events
+    hhiFromItemCents(itemCentsGrid(events))
+
+  /** The (event_type, item, cents) extraction + aggregation shared BY
+    * CONSTRUCTION between the batch [[revenueHhiTransform]] and the
+    * streaming twin's `ItemCentsState.merge` — one expression tree, so
+    * stream/batch parity survives config changes (ANSI mode flips
+    * `cast` vs `TRY_CAST` semantics; with a single shared select there
+    * is no second expression to drift). */
+  def itemCentsGrid(events: DataFrame): DataFrame =
+    events
       .select(col("event_type"),
         get_json_object(col("props"), "$.k").cast("long").as("item"),
         expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
       .filter(col("item").isNotNull)
       .groupBy(col("event_type"), col("item"))
-      .agg(sum(col("cents")).as("cents")))
+      .agg(sum(col("cents")).as("cents"))
 
   /** The HHI derivation from an already-aggregated (event_type,
     * item, cents) table — split out so the STREAMING twin
@@ -1759,20 +1773,28 @@ object Behavior {
       .agg(count(lit(1)).as("n"),
         sum($"cents").as("s1"),
         sum(expr("CAST(cents AS DECIMAL(38,0)) * cents")).as("s2"))
+      // n >= 2 in BOTH engines: a single-sample type divides by (n-1)=0
+      // and Spark (non-ANSI) yields NULL where DuckDB's IEEE mode yields
+      // inf/NaN — excluding degenerate types identically keeps the
+      // cross-engine rows equal by construction.
+      .filter($"n" >= 2)
     val a = stats.select($"event_type".as("type_a"), $"n".as("na"),
       $"s1".as("s1a"), $"s2".as("s2a"))
     val b = stats.select($"event_type".as("type_b"), $"n".as("nb"),
       $"s1".as("s1b"), $"s2".as("s2b"))
     a.join(broadcast(b), $"type_a" < $"type_b")
       .select($"type_a", $"type_b", $"na", $"nb",
+        // nullif on both pooled-variance denominators: two zero-variance
+        // samples give 0/0, where Spark returns NULL but DuckDB's IEEE
+        // mode returns NaN — nullif makes both engines emit NULL.
         expr("""round((CAST(s1a AS DOUBLE) / na - CAST(s1b AS DOUBLE) / nb) /
-                sqrt((CAST(s2a AS DOUBLE) - CAST(s1a AS DOUBLE) * s1a / na) / (na - 1) / na +
-                     (CAST(s2b AS DOUBLE) - CAST(s1b AS DOUBLE) * s1b / nb) / (nb - 1) / nb), 4)""")
+                nullif(sqrt((CAST(s2a AS DOUBLE) - CAST(s1a AS DOUBLE) * s1a / na) / (na - 1) / na +
+                     (CAST(s2b AS DOUBLE) - CAST(s1b AS DOUBLE) * s1b / nb) / (nb - 1) / nb), 0), 4)""")
           .as("t_welch"),
         expr("""round(pow((CAST(s2a AS DOUBLE) - CAST(s1a AS DOUBLE) * s1a / na) / (na - 1) / na +
                           (CAST(s2b AS DOUBLE) - CAST(s1b AS DOUBLE) * s1b / nb) / (nb - 1) / nb, 2) /
-                (pow((CAST(s2a AS DOUBLE) - CAST(s1a AS DOUBLE) * s1a / na) / (na - 1) / na, 2) / (na - 1) +
-                 pow((CAST(s2b AS DOUBLE) - CAST(s1b AS DOUBLE) * s1b / nb) / (nb - 1) / nb, 2) / (nb - 1)), 4)""")
+                nullif(pow((CAST(s2a AS DOUBLE) - CAST(s1a AS DOUBLE) * s1a / na) / (na - 1) / na, 2) / (na - 1) +
+                 pow((CAST(s2b AS DOUBLE) - CAST(s1b AS DOUBLE) * s1b / nb) / (nb - 1) / nb, 2) / (nb - 1), 0), 4)""")
           .as("df_welch"))
       .orderBy($"type_a", $"type_b")
   }
@@ -1785,16 +1807,16 @@ object Behavior {
     """WITH s AS (SELECT event_type, count(*) AS n,
       |                  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS s1,
       |                  sum(CAST(CAST(round(value * 100) AS BIGINT) AS HUGEINT) * CAST(round(value * 100) AS BIGINT)) AS s2
-      |           FROM events GROUP BY 1)
+      |           FROM events GROUP BY 1 HAVING count(*) >= 2)
       |SELECT a.event_type AS type_a, b.event_type AS type_b,
       |       CAST(a.n AS BIGINT) AS na, CAST(b.n AS BIGINT) AS nb,
       |       round((CAST(a.s1 AS DOUBLE) / a.n - CAST(b.s1 AS DOUBLE) / b.n) /
-      |             sqrt((CAST(a.s2 AS DOUBLE) - CAST(a.s1 AS DOUBLE) * a.s1 / a.n) / (a.n - 1) / a.n +
-      |                  (CAST(b.s2 AS DOUBLE) - CAST(b.s1 AS DOUBLE) * b.s1 / b.n) / (b.n - 1) / b.n), 4) AS t_welch,
+      |             nullif(sqrt((CAST(a.s2 AS DOUBLE) - CAST(a.s1 AS DOUBLE) * a.s1 / a.n) / (a.n - 1) / a.n +
+      |                  (CAST(b.s2 AS DOUBLE) - CAST(b.s1 AS DOUBLE) * b.s1 / b.n) / (b.n - 1) / b.n), 0), 4) AS t_welch,
       |       round(pow((CAST(a.s2 AS DOUBLE) - CAST(a.s1 AS DOUBLE) * a.s1 / a.n) / (a.n - 1) / a.n +
       |                 (CAST(b.s2 AS DOUBLE) - CAST(b.s1 AS DOUBLE) * b.s1 / b.n) / (b.n - 1) / b.n, 2) /
-      |             (pow((CAST(a.s2 AS DOUBLE) - CAST(a.s1 AS DOUBLE) * a.s1 / a.n) / (a.n - 1) / a.n, 2) / (a.n - 1) +
-      |              pow((CAST(b.s2 AS DOUBLE) - CAST(b.s1 AS DOUBLE) * b.s1 / b.n) / (b.n - 1) / b.n, 2) / (b.n - 1)), 4) AS df_welch
+      |             nullif(pow((CAST(a.s2 AS DOUBLE) - CAST(a.s1 AS DOUBLE) * a.s1 / a.n) / (a.n - 1) / a.n, 2) / (a.n - 1) +
+      |              pow((CAST(b.s2 AS DOUBLE) - CAST(b.s1 AS DOUBLE) * b.s1 / b.n) / (b.n - 1) / b.n, 2) / (b.n - 1), 0), 4) AS df_welch
       |FROM s a JOIN s b ON a.event_type < b.event_type
       |ORDER BY 1, 2""".stripMargin
 }

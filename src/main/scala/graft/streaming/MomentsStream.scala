@@ -634,13 +634,10 @@ final class ItemCentsState(stateDir: String) {
   def merge(batch: Dataset[Row], batchId: Long): Unit = {
     if (batchId <= version) return
     val spark = batch.sparkSession
-    val partial = batch
-      .select(col("event_type"),
-        expr("TRY_CAST(get_json_object(props, '$.k') AS BIGINT)").as("item"),
-        expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
-      .filter(col("item").isNotNull)
-      .groupBy(col("event_type"), col("item"))
-      .agg(sum(col("cents")).as("cents"))
+    // IDENTICAL extraction to the batch path — shared helper, not a
+    // re-typed copy, so stream/batch parity is by construction even if
+    // ANSI mode ever changes cast semantics.
+    val partial = graft.operators.Behavior.itemCentsGrid(batch.toDF())
     val merged = prior(spark).unionByName(partial)
       .groupBy(col("event_type"), col("item"))
       .agg(sum(col("cents")).as("cents"))
