@@ -34,6 +34,26 @@ class BatchOperatorsSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAl
     assert(missing.isEmpty, s"oracles without queries: $missing")
   }
 
+  // SURVEY.md §2 is the coverage contract: every inventory row must name a
+  // registered query and vice versa, and row ids must be unique (round-7
+  // verdict flagged a duplicated `29f`).
+  test("SURVEY §2 inventory matches SparkEntry.queries 1:1 with unique row ids") {
+    val row = """^\|\s*([^\s|]+)\s*\|\s*`([a-z0-9_]+)`\s*\|""".r
+    val lines = scala.io.Source.fromFile(
+      new java.io.File(sys.props("user.dir"), "SURVEY.md"), "UTF-8")
+    val rows =
+      try lines.getLines().flatMap(l => row.findFirstMatchIn(l).map(m => (m.group(1), m.group(2)))).toVector
+      finally lines.close()
+    val dupIds = rows.groupBy(_._1).filter(_._2.size > 1).keys
+    assert(dupIds.isEmpty, s"duplicate SURVEY row ids: ${dupIds.mkString(",")}")
+    val names = rows.map(_._2).toSet
+    assert(rows.size == names.size, "duplicate SURVEY operator names")
+    val unregistered = names -- SparkEntry.queries.keySet
+    val uninventoried = SparkEntry.queries.keySet -- names
+    assert(unregistered.isEmpty, s"SURVEY rows with no query: $unregistered")
+    assert(uninventoried.isEmpty, s"queries missing from SURVEY: $uninventoried")
+  }
+
   test("cdc_latest_by_key keeps exactly one row per user") {
     val df = SparkEntry.queries("cdc_latest_by_key")(spark, sf)
     assert(df.count() == df.select("user_id").distinct().count())
