@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.operators._
-import graft.streaming.{AttributionStream, BoxplotStream, CdcCompact, ChangepointStream, DailyModeStream, DoclenStream, DriftStream, EngagementStream, EwmaStream, FunnelStream, HhiStream, MomentsStream, PercentileBandsStream, RollupStream, SeasonalityStream, Sessionize, StreamDedup, StreamIncrementalDedup, ZipfStream}
+import graft.streaming.{AttributionStream, BoxplotStream, CdcCompact, ChangepointStream, DailyModeStream, DoclenStream, DriftStream, EngagementStream, EwmaStream, FunnelStream, HhiStream, JdbcSink, MomentsStream, PercentileBandsStream, RollupStream, SeasonalityStream, Sessionize, StreamDedup, StreamIncrementalDedup, ZipfStream}
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the inventory. */
 object SparkEntry {
@@ -111,6 +111,7 @@ object SparkEntry {
     "stream_cdc_with_deletes" -> ((s: SparkSession, d: String) => CdcCompact.streamCdcWithDeletes(s, d)),
     "stream_session_agg" -> Sessionize.streamSessionAgg _,
     "stream_router"      -> EngagementStream.streamRouter _,
+    "stream_router_jdbc" -> JdbcSink.streamRouterJdbc _,
     "stream_leaderboard" -> EngagementStream.streamLeaderboard _,
     "stream_dedup"       -> StreamDedup.streamDedup _,
     "stream_dedup_incremental" ->
@@ -315,6 +316,7 @@ object SparkEntry {
       "stream_cdc_compact" -> base("cdc_latest_by_key"),
       "stream_session_agg" -> base("session_window_agg"),
       "stream_router"      -> base("event_router"),
+      "stream_router_jdbc" -> base("event_router"),
       "stream_leaderboard" -> base("leaderboard_topn"),
       // a full replay of the input is 100% duplicates → the deduped
       // stream equals the events table itself

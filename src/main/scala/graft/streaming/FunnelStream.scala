@@ -100,8 +100,8 @@ object FunnelStream {
     * with strictly increasing mod-times: micro-batch k contains only
     * events later than every event of batch k-1, giving the ordered
     * delivery the incremental funnel needs. */
-  private[streaming] def stageTimeOrdered(spark: SparkSession, dir: String, out: String,
-                                          nFiles: Int): Unit = {
+  private[graft] def stageTimeOrdered(spark: SparkSession, dir: String, out: String,
+                                      nFiles: Int): Unit = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.read.parquet(s"$dir/events.parquet")
       .repartitionByRange(nFiles, col("ts"))

@@ -675,6 +675,118 @@ class StreamingSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
     assert(dropped >= 1, "the late row must be dropped by the watermark")
   }
 
+  test("stream_router_jdbc (Derby MERGE sink) equals event_router") {
+    assert(rows("stream_router_jdbc") == rows("event_router"))
+  }
+
+  test("jdbc upsert sink: replayed batch is a no-op, updates land keyed (crash-replay idempotence)") {
+    import org.apache.spark.sql.functions.col
+    import graft.streaming.JdbcSink
+    import spark.implicits._
+    val db = "graft_jdbcspec"
+    val url = s"jdbc:derby:memory:$db;create=true"
+    try {
+      def batch(rows: (Long, String, Double)*) =
+        rows.toSeq.toDF("event_id", "event_type", "value")
+      def target = graft.sources.Tables.dimJdbc(spark, url, "\"sink\"")
+        .orderBy(col("event_id"))
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSeq
+
+      // batch 0 inserts two keys
+      val b0 = batch((1L, "view", 1.0), (2L, "click", 2.0))
+      JdbcSink.upsertBatch(b0, url, "sink", Seq("event_id"))
+      assert(target == Seq((1L, "view", 1.0), (2L, "click", 2.0)))
+      // CRASH-REPLAY: foreachBatch re-delivers batch 0 after a restart —
+      // the keyed MERGE must leave the target bit-identical, not doubled
+      JdbcSink.upsertBatch(b0, url, "sink", Seq("event_id"))
+      assert(target == Seq((1L, "view", 1.0), (2L, "click", 2.0)))
+      // batch 1: update key 2, insert key 3 — one MERGE does both
+      JdbcSink.upsertBatch(batch((2L, "click", 9.5), (3L, "purchase", 4.0)),
+        url, "sink", Seq("event_id"))
+      assert(target == Seq((1L, "view", 1.0), (2L, "click", 9.5), (3L, "purchase", 4.0)))
+    } finally JdbcSink.dropInMemoryDb(db)
+  }
+
+  /** Shared crash-resume harness for the versioned-state streaming
+    * family (round-8 verdict task 5): stage events as 4 files, drain 2
+    * through a checkpointed foreachBatch, "crash" (query + operator
+    * instance die), reveal the rest, restart with a FRESH operator
+    * instance on the same state/checkpoint dirs, drain, and hand back
+    * the final report. Proves (a) the checkpoint's file log skips
+    * already-processed files, (b) `StreamUtil.latestVersion` recovery
+    * gives the new instance the old high-water mark, so replayed
+    * batch ids are no-ops — together: exactly-once across a restart. */
+  private def resumeAcrossRestart(
+      prefix: String, timeOrdered: Boolean,
+      mkMerge: String => (org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], Long) => Unit)
+      : String = {
+    import java.nio.file.{Files => JFiles, Paths, StandardCopyOption}
+    import org.apache.spark.sql.streaming.Trigger
+    import graft.streaming.{FunnelStream, StreamSources}
+    val work = JFiles.createTempDirectory(s"graft_resume_${prefix}_").toString
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    if (timeOrdered)
+      FunnelStream.stageTimeOrdered(spark, sf, s"$work/staged", 4)
+    else
+      spark.read.parquet(s"$sf/events.parquet").repartition(4)
+        .write.mode("overwrite").parquet(s"$work/staged")
+    val parts = new java.io.File(s"$work/staged").listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.getName).sorted
+    assert(parts.length == 4)
+    JFiles.createDirectories(Paths.get(s"$work/input"))
+    def reveal(names: Seq[String]): Unit = names.foreach { n =>
+      JFiles.copy(Paths.get(s"$work/staged/$n"), Paths.get(s"$work/input/$n"),
+        StandardCopyOption.REPLACE_EXISTING)
+    }
+    def drain(merge: (org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], Long) => Unit): Unit = {
+      val q = StreamSources.eventsFrom(spark, s"$work/input", maxFilesPerTrigger = 1)
+        .writeStream
+        .foreachBatch(merge)
+        .option("checkpointLocation", s"$work/ckpt")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    reveal(parts.take(2))
+    drain(mkMerge(s"$work/state"))
+    reveal(parts.drop(2))
+    drain(mkMerge(s"$work/state")) // fresh instance: recovery is real
+    s"$work/state"
+  }
+
+  test("attribution resumes from checkpoint across a restart, exactly once") {
+    import graft.streaming.AttributionState
+    val stateDir = resumeAcrossRestart("attr", timeOrdered = true,
+      sd => new AttributionState(sd, "INTERVAL 7 DAYS").merge)
+    val resumed = new AttributionState(stateDir, "INTERVAL 7 DAYS")
+      .report(spark).collect().toSeq
+    assert(resumed == rows("attribution_last_touch"))
+  }
+
+  test("funnel resumes from checkpoint across a restart, exactly once") {
+    import graft.streaming.FunnelState
+    val stateDir = resumeAcrossRestart("funnel", timeOrdered = true,
+      sd => new FunnelState(sd).merge)
+    val resumed = new FunnelState(stateDir).counts(spark).collect().toSeq
+    assert(resumed == rows("funnel_conversion"))
+  }
+
+  test("rollup resumes from checkpoint across a restart, exactly once") {
+    import graft.streaming.RollupState
+    val stateDir = resumeAcrossRestart("rollup", timeOrdered = false,
+      sd => new RollupState(sd).merge)
+    val resumed = new RollupState(stateDir).view(spark).collect().toSeq
+    assert(resumed == rows("incremental_rollup"))
+  }
+
+  test("boxplot state-merge family resumes from checkpoint across a restart, exactly once") {
+    import graft.streaming.ValueCountState
+    val stateDir = resumeAcrossRestart("boxplot", timeOrdered = false,
+      sd => new ValueCountState(sd).merge)
+    val resumed = new ValueCountState(stateDir).boxplot(spark).collect().toSeq
+    assert(resumed == rows("boxplot_stats"))
+  }
+
   test("kafka source/sink config shape and upsert record encoding") {
     val src = KafkaConfig.sourceOptions("broker:9092", "engagement_events")
     assert(src("kafka.bootstrap.servers") == "broker:9092")
