@@ -189,6 +189,8 @@ object SparkEntry {
     "pack_sequences"      -> ((s: SparkSession, d: String) => Sampling.packSequences(s, d)),
     "ngram_contamination" -> ((s: SparkSession, d: String) => Sampling.ngramContamination(s, d)),
     "decontaminate"       -> ((s: SparkSession, d: String) => Sampling.decontaminate(s, d)),
+    "decontaminate_fuzzy" -> ((s: SparkSession, d: String) => Sampling.decontaminateFuzzy(s, d)),
+    "domain_frequency_cap" -> ((s: SparkSession, d: String) => Sampling.domainFrequencyCap(s, d)),
     "doc_chunking"        -> ((s: SparkSession, d: String) => Sampling.docChunking(s, d)),
     "corpus_mix"          -> ((s: SparkSession, d: String) => Sampling.corpusMix(s, d)),
     "sample_k_per_group"  -> ((s: SparkSession, d: String) => Sampling.sampleKPerGroup(s, d)),
@@ -1006,6 +1008,8 @@ object SparkEntry {
 
     "doc_chunking" -> operators.Sampling.docChunkingOracleSql(),
     "decontaminate" -> operators.Sampling.decontaminateOracleSql(),
+    "decontaminate_fuzzy" -> operators.Sampling.decontaminateFuzzyOracleSql(),
+    "domain_frequency_cap" -> operators.Sampling.domainFrequencyCapOracleSql(),
     "corpus_mix" -> operators.Sampling.corpusMixOracleSql(),
 
     "text_quality" -> operators.TextOps.textQualityOracleSql,

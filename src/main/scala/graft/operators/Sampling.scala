@@ -356,6 +356,133 @@ object Sampling {
        |WHERE hv * n_s < target_s * 4294967296
        |ORDER BY doc_id""".stripMargin
 
+  /** Per-domain frequency cap (the RefinedWeb/CCNet domain-balancing
+    * stage): no source may contribute more than `capPct` percent of
+    * the corpus — a handful of giant crawl domains otherwise dominate
+    * the training mixture. Sources under the cap keep everything;
+    * over-cap sources keep exactly `cap = floor(N·capPct/100)`
+    * documents, chosen by the same deterministic [[splitHash]]
+    * permutation every other selection stage uses (a uniformly random
+    * but reproducible within-domain sample, NOT a prefix — prefix
+    * truncation would bias toward crawl order).
+    *
+    * Differs from its two neighbours by where the budget comes from:
+    * [[sampleKPerGroup]] takes a fixed per-group k (parameter),
+    * [[corpusMix]] derives per-source Bernoulli rates from weights;
+    * the cap here is an exact COUNT derived from the global corpus
+    * size, so the output is an exact guarantee ("≤ cap docs per
+    * domain"), not an expectation.
+    *
+    * Scale shape: one |sources|-free one-row count broadcast back,
+    * then one shuffle on `source` for the per-domain rank window —
+    * partitionBy(source), never a global window. The hot-domain skew
+    * case (one domain = half the corpus) is exactly what AQE skew
+    * splitting plus the documented rank alternatives absorb: when
+    * `cap ≪ n_s` swap the full sort for the bounded-heap `graft_topk`
+    * aggregate over `h`; when `cap` is large, locate the h-threshold
+    * via a sampled quantile (#19 slice-locate) and filter map-side —
+    * same result, no full per-domain sort. */
+  def domainFrequencyCap(spark: SparkSession, dir: String, capPct: Int = 3,
+                         salt: String = "graft-domcap"): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+      .select($"doc_id", $"source", splitHash($"doc_id", salt).as("h"))
+    val cap = docs.agg(expr(s"CAST(count(1) * $capPct div 100 AS BIGINT)").as("cap"))
+    val w = Window.partitionBy($"source").orderBy($"h", $"doc_id")
+    docs.withColumn("rk", row_number().over(w).cast("long"))
+      .crossJoin(broadcast(cap))
+      .select($"doc_id", $"source", ($"rk" <= $"cap").as("kept"))
+      .orderBy($"doc_id")
+  }
+
+  /** DuckDB oracle for [[domainFrequencyCap]] — same md5 permutation,
+    * same integer cap. */
+  def domainFrequencyCapOracleSql(capPct: Int = 3,
+                                  salt: String = "graft-domcap"): String =
+    s"""WITH d AS (SELECT doc_id, source,
+       |                  CAST(('0x' || substr(md5(doc_id || ':$salt'), 1, 8))::UBIGINT AS BIGINT) AS h
+       |           FROM documents),
+       |c AS (SELECT CAST(count(*) * $capPct // 100 AS BIGINT) AS cap FROM d),
+       |r AS (SELECT doc_id, source,
+       |             row_number() OVER (PARTITION BY source ORDER BY h, doc_id) AS rk
+       |      FROM d)
+       |SELECT doc_id, source, rk <= (SELECT cap FROM c) AS kept
+       |FROM r ORDER BY doc_id""".stripMargin
+
+  /** Fuzzy (MinHash) decontamination — [[decontaminate]]'s exact
+    * 8-gram test misses eval items that were lightly paraphrased or
+    * truncated into the corpus; this variant flags any corpus
+    * document whose 3-shingle Jaccard with ANY eval item reaches
+    * `threshold`, found through the SAME banded-LSH screening core as
+    * [[Dedup.dedupIncremental]] (corpus side × eval side, never
+    * corpus × corpus: candidates carry (id, band, band_hash) only,
+    * survivors verify with exact shingle Jaccard, so the output
+    * equals the all-pairs oracle by the 32×2-band recall argument).
+    * The eval set is the same deterministic `h mod 100 < evalPct`
+    * slice [[decontaminate]] uses, so the two reports compose.
+    *
+    * Output is the corpus-production report: every training document
+    * with its verdict (`exact_contaminated` — byte-identical to an
+    * eval item; `fuzzy_contaminated` — best eval match ≥ threshold;
+    * `clean`), the matched eval doc, the Jaccard, and the keep flag.
+    *
+    * 100 TB shape: the eval side is the tiny one (a benchmark suite,
+    * a few 10⁵ items) — its signature/band table broadcasts into the
+    * band join, and the training corpus streams through map-side
+    * banding exactly once. */
+  def decontaminateFuzzy(spark: SparkSession, dir: String,
+                         threshold: Double = 0.5, evalPct: Int = 10,
+                         salt: String = "graft"): DataFrame = {
+    import spark.implicits._
+    val hv = splitHash($"doc_id", salt) % 100
+    val corpus = Tables.documents(spark, dir)
+      .filter(hv >= evalPct).select($"doc_id", $"text")
+    Dedup.screenBatch(spark, dir, corpus, threshold,
+        batchPct = 100 - evalPct, salt = salt)
+      .select($"doc_id",
+        when($"verdict" === "exact_dup", "exact_contaminated")
+          .when($"verdict" === "near_dup", "fuzzy_contaminated")
+          .otherwise("clean").as("verdict"),
+        $"dup_of".as("matched_eval"), $"jaccard")
+      .withColumn("kept", $"verdict" === "clean")
+      .orderBy($"doc_id")
+  }
+
+  /** DuckDB oracle for [[decontaminateFuzzy]] — all-pairs
+    * corpus × eval shingle Jaccard plus the md5 exact layer (the
+    * [[Dedup.dedupIncrementalOracleSql]] shape with the eval slice as
+    * the match-against side and contamination verdict names). */
+  def decontaminateFuzzyOracleSql(threshold: Double = 0.5,
+                                  evalPct: Int = 10): String =
+    s"""WITH h AS (SELECT doc_id, text, md5(text) AS ch,
+       |                  ('0x' || substr(md5(doc_id || ':graft'), 1, 8))::UBIGINT % 100 AS hv
+       |           FROM documents),
+       |ex AS (SELECT b.doc_id, min(c.doc_id) AS exact_of
+       |       FROM h b JOIN h c ON b.ch = c.ch AND b.hv >= $evalPct AND c.hv < $evalPct
+       |       GROUP BY b.doc_id),
+       |sh AS (SELECT doc_id, hv,
+       |              list_distinct(list_transform(range(1, greatest(len(string_split(text, ' ')) - 2, 1) + 1),
+       |                i -> array_to_string(string_split(text, ' ')[i:i+2], ' '))) AS s
+       |       FROM h),
+       |near AS (SELECT bb.doc_id, cc.doc_id AS c_id,
+       |                round(CAST(len(list_intersect(bb.s, cc.s)) AS DOUBLE)
+       |                      / (len(bb.s) + len(cc.s) - len(list_intersect(bb.s, cc.s))), 4) AS j
+       |         FROM sh bb JOIN sh cc ON bb.hv >= $evalPct AND cc.hv < $evalPct),
+       |nbest AS (SELECT doc_id, c_id AS near_of, j,
+       |                 row_number() OVER (PARTITION BY doc_id ORDER BY j DESC, c_id) AS rk
+       |          FROM near WHERE j >= $threshold)
+       |SELECT h.doc_id,
+       |       CASE WHEN ex.exact_of IS NOT NULL THEN 'exact_contaminated'
+       |            WHEN nb.near_of IS NOT NULL THEN 'fuzzy_contaminated'
+       |            ELSE 'clean' END AS verdict,
+       |       COALESCE(ex.exact_of, nb.near_of) AS matched_eval,
+       |       CASE WHEN ex.exact_of IS NULL THEN nb.j END AS jaccard,
+       |       ex.exact_of IS NULL AND nb.near_of IS NULL AS kept
+       |FROM h LEFT JOIN ex ON h.doc_id = ex.doc_id
+       |       LEFT JOIN (SELECT * FROM nbest WHERE rk = 1) nb ON h.doc_id = nb.doc_id
+       |WHERE h.hv >= $evalPct
+       |ORDER BY h.doc_id""".stripMargin
+
   /** Exactly-k-per-group deterministic sampling (eval-set
     * construction: "pick k examples from every source"): rank each
     * group's rows by the same [[splitHash]] order every other

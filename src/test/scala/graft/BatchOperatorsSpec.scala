@@ -990,6 +990,79 @@ class BatchOperatorsSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAl
     assert(ids.subsetOf(bigger), "a larger budget must only add documents")
   }
 
+  test("domain_frequency_cap: exact per-source budget, hash-rank selection, deterministic") {
+    import org.apache.spark.sql.functions.{col, count => fcount, lit}
+    val out = graft.operators.Sampling.domainFrequencyCap(spark, sf)
+    val n = graft.sources.Tables.documents(spark, sf).count()
+    assert(out.count() == n, "report must cover every document")
+    val cap = n * 3 / 100
+    // kept-per-source == min(n_s, cap), exactly (a COUNT guarantee,
+    // not a Bernoulli expectation)
+    val keptPerSrc = out.filter(col("kept")).groupBy("source")
+      .agg(fcount(lit(1)).as("k"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val counts = graft.sources.Tables.documents(spark, sf)
+      .groupBy("source").agg(fcount(lit(1)).as("n_s"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    counts.foreach { case (s, nS) =>
+      assert(keptPerSrc.getOrElse(s, 0L) == math.min(nS, cap),
+        s"$s kept ${keptPerSrc.getOrElse(s, 0L)} want min($nS, $cap)")
+    }
+    // the kept docs are each source's cap-smallest by (splitHash, id) —
+    // a reproducible permutation, not a crawl-order prefix
+    val hashed = graft.sources.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("source"),
+        graft.operators.Sampling.splitHash(col("doc_id"), "graft-domcap").as("h"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val expectKept = hashed.groupBy(_._2).values.flatMap(
+      _.sortBy(t => (t._3, t._1)).take(cap.toInt).map(_._1)).toSet
+    val gotKept = out.filter(col("kept")).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(gotKept == expectKept)
+    // determinism
+    assert(graft.operators.Sampling.domainFrequencyCap(spark, sf)
+      .collect().toSeq == out.collect().toSeq)
+  }
+
+  test("decontaminate_fuzzy equals brute-force corpus x eval shingle screening") {
+    import org.apache.spark.sql.functions._
+    // Independent reference: exact all-pairs corpus×eval — the md5
+    // layer plus best shingle-Jaccard ≥ 0.5 — computed with none of
+    // the LSH machinery under test.
+    val hv = graft.operators.Sampling.splitHash(col("doc_id"), "graft") % 100
+    val shingles = array_distinct(expr(
+      """transform(sequence(1, greatest(size(split(text, ' ')) - 2, 1)),
+        |  i -> concat_ws(' ', slice(split(text, ' '), i, 3)))""".stripMargin))
+    val d = graft.sources.Tables.documents(spark, sf)
+      .select(col("doc_id"), md5(col("text")).as("ch"), shingles.as("sh"), hv.as("hv"))
+    val corpus = d.filter(col("hv") >= 10).select(col("doc_id"), col("ch"), col("sh"))
+    val eval_ = d.filter(col("hv") < 10)
+      .select(col("doc_id").as("e_id"), col("ch").as("e_ch"), col("sh").as("e_sh"))
+    val pairs = corpus.crossJoin(eval_)
+      .withColumn("inter", size(array_intersect(col("sh"), col("e_sh"))))
+      .withColumn("j", round(col("inter").cast("double")
+        / (size(col("sh")) + size(col("e_sh")) - col("inter")), 4))
+      .collect().map(r => (r.getLong(0), r.getLong(3),
+        r.getString(1) == r.getString(4), r.getDouble(7)))
+    val exactOf = pairs.filter(_._3).groupBy(_._1).map { case (id, ps) =>
+      id -> ps.map(_._2).min }
+    val nearBest = pairs.filter(p => p._4 >= 0.5).groupBy(_._1).map { case (id, ps) =>
+      id -> ps.maxBy(p => (p._4, -p._2)) }
+    val got = graft.operators.Sampling.decontaminateFuzzy(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2), r.getBoolean(4))).toSeq
+    assert(got.nonEmpty && got.exists(_._2 == "fuzzy_contaminated"),
+      "planted scenario must exercise the fuzzy verdict")
+    got.foreach { case (id, verdict, matched, kept) =>
+      val want =
+        if (exactOf.contains(id)) ("exact_contaminated", exactOf(id))
+        else if (nearBest.contains(id)) ("fuzzy_contaminated", nearBest(id)._2)
+        else ("clean", -1L)
+      assert((verdict, matched) == want, s"doc $id: got ($verdict, $matched) want $want")
+      assert(kept == (verdict == "clean"))
+    }
+  }
+
   test("edit-distance join: segment path, short and mixed buckets, length filter") {
     import spark.implicits._
     import graft.operators.TextOps
