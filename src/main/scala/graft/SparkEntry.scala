@@ -36,6 +36,9 @@ object SparkEntry {
     // behavioral analytics over the enriched event log
     "attribution_last_touch" -> Behavior.attributionLastTouch _,
     "attribution_first_touch" -> Behavior.attributionFirstTouch _,
+    "attribution_linear"     -> MultiTouch.attributionLinear _,
+    "attribution_position"   -> MultiTouch.attributionPosition _,
+    "attribution_time_decay" -> MultiTouch.attributionTimeDecay _,
     "top_paths"          -> Behavior.topPaths _,
     "key_skew_stats"     -> Behavior.keySkewStats _,
     "event_transitions"  -> Behavior.eventTransitions _,
@@ -695,6 +698,9 @@ object SparkEntry {
     "pareto_users" -> operators.Behavior.paretoUsersOracleSql,
     "boxplot_stats" -> operators.Behavior.boxplotStatsOracleSql,
     "ab_welch_ttest" -> operators.Behavior.abWelchTtestOracleSql,
+    "attribution_linear" -> operators.MultiTouch.linearOracleSql,
+    "attribution_position" -> operators.MultiTouch.positionOracleSql,
+    "attribution_time_decay" -> operators.MultiTouch.timeDecayOracleSql,
     "zipf_slope" -> operators.TextOps.zipfSlopeOracleSql,
     "dup_rate_by_source" -> operators.TextOps.dupRateBySourceOracleSql,
     "ngram_novelty" -> operators.TextOps.ngramNoveltyOracleSql,

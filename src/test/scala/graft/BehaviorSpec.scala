@@ -528,4 +528,57 @@ class BehaviorSpec extends AnyFunSuite {
     assert((r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
       r.getDouble(4), r.getDouble(5)) == ("a", "b", 2L, 2L, 1.0, 1.0))
   }
+
+  private def attribRows(df: DataFrame): Seq[(String, Long, Double)] =
+    df.collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+
+  test("linear attribution: equal split across in-window touches, lookback expiry, none bucket") {
+    val events = ev(Seq(
+      // user 1: 2 views + 1 click then purchase 9.0 -> view 6, click 3
+      (1L, "2024-01-01 10:00:00", 1L, "view", 0.0),
+      (1L, "2024-01-01 11:00:00", 2L, "view", 0.0),
+      (1L, "2024-01-01 12:00:00", 3L, "click", 0.0),
+      (1L, "2024-01-01 13:00:00", 4L, "purchase", 9.0),
+      // user 2: only touch is 8 days old -> none
+      (2L, "2024-01-01 00:00:00", 5L, "view", 0.0),
+      (2L, "2024-01-09 00:00:00", 6L, "purchase", 5.0),
+      // user 3: no touches at all -> none
+      (3L, "2024-01-02 00:00:00", 7L, "purchase", 2.0)))
+    assert(attribRows(operators.MultiTouch.linearTransform(events)) ==
+      Seq(("click", 1L, 3.0), ("none", 2L, 7.0), ("view", 1L, 6.0)))
+  }
+
+  test("position attribution: U-shape 40/20/40, and the n=1 / n=2 degenerate splits") {
+    val events = ev(Seq(
+      // user 1: view,click,view,click then purchase 10 ->
+      // first(view) .4 + middle view .1 = 5; last(click) .4 + middle click .1 = 5
+      (1L, "2024-01-01 10:00:00", 1L, "view", 0.0),
+      (1L, "2024-01-01 11:00:00", 2L, "click", 0.0),
+      (1L, "2024-01-01 12:00:00", 3L, "view", 0.0),
+      (1L, "2024-01-01 13:00:00", 4L, "click", 0.0),
+      (1L, "2024-01-01 14:00:00", 5L, "purchase", 10.0),
+      // user 2: single click -> 100% click
+      (2L, "2024-01-01 10:00:00", 6L, "click", 0.0),
+      (2L, "2024-01-01 11:00:00", 7L, "purchase", 4.0),
+      // user 3: view then click -> 50/50
+      (3L, "2024-01-01 10:00:00", 8L, "view", 0.0),
+      (3L, "2024-01-01 11:00:00", 9L, "click", 0.0),
+      (3L, "2024-01-01 12:00:00", 10L, "purchase", 6.0)))
+    assert(attribRows(operators.MultiTouch.positionTransform(events)) ==
+      Seq(("click", 3L, 12.0), ("view", 2L, 8.0)))
+  }
+
+  test("time-decay attribution: half-life halving sets the shares, expiry excluded") {
+    val events = ev(Seq(
+      // user 1: view 2 days before (w=.25), click 1 day before (w=.5)
+      // -> shares 1/3, 2/3 of 9.0 -> view 3, click 6
+      (1L, "2024-01-08 00:00:00", 1L, "view", 0.0),
+      (1L, "2024-01-09 00:00:00", 2L, "click", 0.0),
+      (1L, "2024-01-10 00:00:00", 3L, "purchase", 9.0),
+      // user 2: touch 8 days old -> outside lookback -> none
+      (2L, "2024-01-01 00:00:00", 4L, "click", 0.0),
+      (2L, "2024-01-09 00:00:00", 5L, "purchase", 5.0)))
+    assert(attribRows(operators.MultiTouch.timeDecayTransform(events)) ==
+      Seq(("click", 1L, 6.0), ("none", 1L, 5.0), ("view", 1L, 3.0)))
+  }
 }
