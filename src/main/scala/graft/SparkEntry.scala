@@ -27,6 +27,8 @@ object SparkEntry {
     "json_extract_props" -> Engagement.jsonExtractProps _,
     "asof_join"          -> Engagement.asofJoin _,
     "funnel_conversion"  -> Engagement.funnelConversion _,
+    "sequence_count"     -> Sequences.sequenceCount _,
+    "funnel_strict_order" -> Sequences.funnelStrictOrder _,
     "funnel_conversion_windowed" -> ((s: SparkSession, d: String) => Engagement.funnelConversionWindowed(s, d)),
     "retention_cohorts"  -> ((s: SparkSession, d: String) => Engagement.retentionCohorts(s, d)),
     "snapshot_diff"      -> Engagement.snapshotDiff _,
@@ -698,6 +700,8 @@ object SparkEntry {
     "pareto_users" -> operators.Behavior.paretoUsersOracleSql,
     "boxplot_stats" -> operators.Behavior.boxplotStatsOracleSql,
     "ab_welch_ttest" -> operators.Behavior.abWelchTtestOracleSql,
+    "sequence_count" -> operators.Sequences.sequenceCountOracleSql,
+    "funnel_strict_order" -> operators.Sequences.funnelStrictOracleSql,
     "attribution_linear" -> operators.MultiTouch.linearOracleSql,
     "attribution_position" -> operators.MultiTouch.positionOracleSql,
     "attribution_time_decay" -> operators.MultiTouch.timeDecayOracleSql,

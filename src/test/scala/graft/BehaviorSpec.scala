@@ -568,6 +568,47 @@ class BehaviorSpec extends AnyFunSuite {
       Seq(("click", 3L, 12.0), ("view", 2L, 8.0)))
   }
 
+  test("sequence count: non-overlapping v>c>p with interleaving allowed") {
+    val events = ev(Seq(
+      // user 1: two full sequences
+      (1L, "2024-01-01 10:00:00", 1L, "view", 0.0),
+      (1L, "2024-01-01 11:00:00", 2L, "click", 0.0),
+      (1L, "2024-01-01 12:00:00", 3L, "purchase", 0.0),
+      (1L, "2024-01-01 13:00:00", 4L, "view", 0.0),
+      (1L, "2024-01-01 14:00:00", 5L, "click", 0.0),
+      (1L, "2024-01-01 15:00:00", 6L, "purchase", 0.0),
+      // user 2: an error interleaves but does not break the match
+      (2L, "2024-01-01 10:00:00", 7L, "view", 0.0),
+      (2L, "2024-01-01 11:00:00", 8L, "error", 0.0),
+      (2L, "2024-01-01 12:00:00", 9L, "click", 0.0),
+      (2L, "2024-01-01 13:00:00", 10L, "purchase", 0.0),
+      // user 3: no view -> no sequence
+      (3L, "2024-01-01 10:00:00", 11L, "click", 0.0),
+      (3L, "2024-01-01 11:00:00", 12L, "purchase", 0.0)))
+    val out = operators.Sequences.sequenceCountTransform(events).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(out == Seq((0L, 1L), (1L, 1L), (2L, 1L)))
+  }
+
+  test("strict-order funnel: interleaving breaks the attempt, a view restarts it") {
+    val events = ev(Seq(
+      // user 1: error between view and click kills the attempt -> depth 1
+      (1L, "2024-01-01 10:00:00", 1L, "view", 0.0),
+      (1L, "2024-01-01 11:00:00", 2L, "error", 0.0),
+      (1L, "2024-01-01 12:00:00", 3L, "click", 0.0),
+      (1L, "2024-01-01 13:00:00", 4L, "purchase", 0.0),
+      // user 2: view,view,click,purchase -> second view restarts, depth 3
+      (2L, "2024-01-01 10:00:00", 5L, "view", 0.0),
+      (2L, "2024-01-01 11:00:00", 6L, "view", 0.0),
+      (2L, "2024-01-01 12:00:00", 7L, "click", 0.0),
+      (2L, "2024-01-01 13:00:00", 8L, "purchase", 0.0),
+      // user 3: never views -> depth 0
+      (3L, "2024-01-01 10:00:00", 9L, "purchase", 0.0)))
+    val out = operators.Sequences.funnelStrictTransform(events).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(out == Seq((0L, 1L), (1L, 1L), (3L, 1L)))
+  }
+
   test("time-decay attribution: half-life halving sets the shares, expiry excluded") {
     val events = ev(Seq(
       // user 1: view 2 days before (w=.25), click 1 day before (w=.5)

@@ -734,9 +734,20 @@ class StreamingSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
       .filter(_.getName.endsWith(".parquet")).map(_.getName).sorted
     assert(parts.length == 4)
     JFiles.createDirectories(Paths.get(s"$work/input"))
+    // FileStreamSource orders pending files by modification time, and
+    // copy granularity can hand two reveals the SAME stamp — the tie
+    // order is then arbitrary, so a time-ordered staging intermittently
+    // arrives out of order and order-sensitive state (attribution's
+    // carry-forward last-touch) miscredits. Stamp each file with its
+    // staged rank so the source's order IS the staged order.
+    val mtimeBase = System.currentTimeMillis() - 10 * 60 * 1000L
     def reveal(names: Seq[String]): Unit = names.foreach { n =>
-      JFiles.copy(Paths.get(s"$work/staged/$n"), Paths.get(s"$work/input/$n"),
+      val tgt = Paths.get(s"$work/input/$n")
+      JFiles.copy(Paths.get(s"$work/staged/$n"), tgt,
         StandardCopyOption.REPLACE_EXISTING)
+      JFiles.setLastModifiedTime(tgt,
+        java.nio.file.attribute.FileTime.fromMillis(
+          mtimeBase + parts.indexOf(n) * 60000L))
     }
     def drain(merge: (org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], Long) => Unit): Unit = {
       val q = StreamSources.eventsFrom(spark, s"$work/input", maxFilesPerTrigger = 1)
