@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.operators._
-import graft.streaming.{AttributionStream, BoxplotStream, CdcCompact, ChangepointStream, DailyModeStream, DoclenStream, DriftStream, EngagementStream, EwmaStream, FunnelStream, HhiStream, JdbcSink, MomentsStream, PercentileBandsStream, RollupStream, SeasonalityStream, Sessionize, StreamDedup, StreamIncrementalDedup, ZipfStream}
+import graft.streaming.{AttributionStream, BoxplotStream, CdcCompact, ChangepointStream, DailyModeStream, DoclenStream, DriftStream, EngagementStream, EwmaStream, FunnelStream, HhiStream, HllStream, JdbcSink, MomentsStream, PercentileBandsStream, RollupStream, SeasonalityStream, Sessionize, StreamDedup, StreamIncrementalDedup, ZipfStream}
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the inventory. */
 object SparkEntry {
@@ -102,6 +102,7 @@ object SparkEntry {
     "vocab_coverage_by_source" -> TextOps.vocabCoverageBySource _,
     "cross_source_dups"    -> TextOps.crossSourceDups _,
     "stream_boxplot"       -> BoxplotStream.streamBoxplot _,
+    "stream_approx_distinct" -> HllStream.streamApproxDistinct _,
     "label_centroids"      -> VectorOps.labelCentroids _,
     "stream_ewma"          -> EwmaStream.streamEwma _,
     // Structured Streaming (real engine: readStream -> AvailableNow),
@@ -203,6 +204,7 @@ object SparkEntry {
     "corpus_filter"       -> ((s: SparkSession, d: String) => TextOps.corpusFilter(s, d)),
     "lang_id"            -> TextOps.langId _,
     "text_quality"       -> TextOps.textQuality _,
+    "gopher_quality_gates" -> TextOps.gopherGates _,
     "text_repetition"    -> TextOps.textRepetition _,
     "text_redact"        -> TextOps.textRedact _,
     "token_rarity"       -> ((s: SparkSession, d: String) => TextOps.tokenRarity(s, d)),
@@ -230,6 +232,7 @@ object SparkEntry {
     "ann_lsh_topk"       -> ((s: SparkSession, d: String) => VectorOps.annLshTopK(s, d)),
     "ann_ivf_topk"       -> ((s: SparkSession, d: String) => VectorOps.annIvfTopK(s, d)),
     "ann_pq_topk"        -> ((s: SparkSession, d: String) => VectorOps.annPqTopK(s, d)),
+    "ann_ivfpq_topk"     -> ((s: SparkSession, d: String) => VectorOps.annIvfPqTopK(s, d)),
     "embedding_norms"    -> VectorOps.embeddingNorms _,
     "knn_classify"       -> ((s: SparkSession, d: String) => VectorOps.knnClassify(s, d)),
   )
@@ -1023,6 +1026,7 @@ object SparkEntry {
     "corpus_mix" -> operators.Sampling.corpusMixOracleSql(),
 
     "text_quality" -> operators.TextOps.textQualityOracleSql,
+    "gopher_quality_gates" -> operators.TextOps.gopherGatesOracleSql,
     "text_repetition" -> operators.TextOps.textRepetitionOracleSql,
     "text_redact" -> operators.TextOps.textRedactOracleSql,
     "token_rarity" -> operators.TextOps.tokenRarityOracleSql(),

@@ -1802,4 +1802,69 @@ object TextOps {
       |       round(sum(-(CAST(w.c AS DOUBLE) / w.n) * log2(CAST(w.c AS DOUBLE) / w.n)) + 0.0, 6) AS lang_entropy_bits
       |FROM w JOIN d USING (source)
       |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** Gopher-style hard quality GATES (Rae et al. 2021 §A1.1), the
+    * boolean-rule complement of [[textQuality]]'s composite score:
+    * each doc passes/fails four independent rules — word count,
+    * mean word length band, type-token ratio, max single-word
+    * fraction — and the per-source report counts survivors per rule
+    * and overall (the filter-funnel a corpus curator reads before
+    * choosing thresholds). Thresholds are corpus-calibrated so every
+    * gate actually discriminates here (sf0.01: words 10–99, mwl
+    * 3.7–5.3, ttr .28–1.0, rep .05–.30).
+    *
+    * Every rule is an INTEGER cross-multiplication
+    * (`10·n_alpha ≥ 42·n_words`, not `mean ≥ 4.2`) so both engines
+    * compare exactly — no float boundary can flip a count. All four
+    * features are per-row array ops (the repetition max is
+    * `transform(distinct, w → count)`, O(distinct·words) per row,
+    * zero shuffle — vs [[textRepetition]]'s corpus-wide explode);
+    * the only exchange is the |sources|-row count aggregate. */
+  def gopherGates(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .withColumn("ws", split($"text", " "))
+      .withColumn("n_words", size($"ws").cast("long"))
+      .withColumn("n_alpha", length(regexp_replace($"text", " ", "")).cast("long"))
+      .withColumn("n_distinct", size(array_distinct($"ws")).cast("long"))
+      .withColumn("max_cnt", array_max(transform(array_distinct($"ws"),
+        w => size(filter($"ws", x => x === w)))).cast("long"))
+      .select($"source",
+        ($"n_words" >= 30).as("g_wc"),
+        ($"n_alpha" * 10 >= $"n_words" * 42 && $"n_alpha" <= $"n_words" * 10).as("g_mwl"),
+        ($"n_distinct" * 10 >= $"n_words" * 4).as("g_ttr"),
+        ($"max_cnt" * 10 <= $"n_words").as("g_rep"))
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when($"g_wc", 1L).otherwise(0L)).as("n_pass_wc"),
+        sum(when($"g_mwl", 1L).otherwise(0L)).as("n_pass_mwl"),
+        sum(when($"g_ttr", 1L).otherwise(0L)).as("n_pass_ttr"),
+        sum(when($"g_rep", 1L).otherwise(0L)).as("n_pass_rep"),
+        sum(when($"g_wc" && $"g_mwl" && $"g_ttr" && $"g_rep", 1L).otherwise(0L)).as("n_pass_all"))
+      .orderBy($"source")
+  }
+
+  /** Oracle for [[gopherGates]] — identical integer-exact rules. */
+  val gopherGatesOracleSql: String =
+    """WITH s AS (
+      |  SELECT source,
+      |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+      |         CAST(length(replace(text, ' ', '')) AS BIGINT) AS n_alpha,
+      |         CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct,
+      |         CAST(list_max(list_transform(list_distinct(string_split(text, ' ')),
+      |              w -> len(list_filter(string_split(text, ' '), x -> x = w)))) AS BIGINT) AS max_cnt
+      |  FROM documents),
+      |g AS (SELECT source,
+      |             n_words >= 30 AS g_wc,
+      |             n_alpha * 10 >= n_words * 42 AND n_alpha <= n_words * 10 AS g_mwl,
+      |             n_distinct * 10 >= n_words * 4 AS g_ttr,
+      |             max_cnt * 10 <= n_words AS g_rep
+      |      FROM s)
+      |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+      |       CAST(sum(CASE WHEN g_wc THEN 1 ELSE 0 END) AS BIGINT) AS n_pass_wc,
+      |       CAST(sum(CASE WHEN g_mwl THEN 1 ELSE 0 END) AS BIGINT) AS n_pass_mwl,
+      |       CAST(sum(CASE WHEN g_ttr THEN 1 ELSE 0 END) AS BIGINT) AS n_pass_ttr,
+      |       CAST(sum(CASE WHEN g_rep THEN 1 ELSE 0 END) AS BIGINT) AS n_pass_rep,
+      |       CAST(sum(CASE WHEN g_wc AND g_mwl AND g_ttr AND g_rep THEN 1 ELSE 0 END) AS BIGINT) AS n_pass_all
+      |FROM g GROUP BY 1 ORDER BY 1""".stripMargin
 }

@@ -436,33 +436,105 @@ object VectorOps {
     GraftFunctions.register(spark)
     val cb = trainPqCodebooks(spark, dir, m, ksub)
     val dsub = cb.length / (m * ksub)
-    val cbCol = typedLit(cb)
 
     val e = Tables.embeddings(spark, dir).select($"vec_id", $"embedding")
-    // unit-normalize so PQ inner products approximate cosine
-    val norm = sqrt(aggregate($"embedding", lit(0.0d), (a, x) => a + x * x))
-    val nx = transform($"embedding", x => x / norm).as("nx")
+    val codeTable = e.filter($"vec_id" >= nQueries)
+      .select($"vec_id", normalizedEmbedding)
+      .select($"vec_id", pqCodes(typedLit(cb), m, ksub, dsub))
+    val luts = pqLuts(spark, e.filter($"vec_id" < nQueries).collect(), cb, m, ksub, dsub)
 
-    // encode: per subspace, argmin-L2 centroid of the normalized
-    // subvector (array_position finds the FIRST minimal score —
-    // deterministic tie-break)
-    val codes = transform(sequence(lit(0), lit(m - 1)), mi => {
+    // ADC score = m lookups; candidate top-`rerank` per query through
+    // the bounded-heap aggregate (≤rerank entries per map task)
+    val adcTop = codeTable.join(broadcast(luts))
+      .select($"query_id", $"vec_id", pqAdcScore(m, ksub).as("adc"))
+      .groupBy($"query_id")
+      .agg(call_function("graft_topk", $"adc", $"vec_id", lit(rerank)).as("top"))
+      .select($"query_id", explode($"top.id").as("vec_id"))
+
+    exactRerank(adcTop, e, nQueries, k)
+  }
+
+  /** IVF+PQ composed — the full FAISS-IVFPQ shape and THE
+    * warehouse-scale serving architecture: IVF routes each query to
+    * `nProbe` of `nCells` coarse cells (pruning the scan to
+    * ~nProbe/nCells of the corpus), and within the probed cells
+    * candidates are scored from 8-byte PQ codes via ADC — so the
+    * scan is bounded on BOTH axes: rows touched (IVF) and bytes per
+    * row (PQ). Corpus side stays one row per vector (cell id + codes,
+    * no explode); the probe fan-out and the per-query LUTs live on
+    * the tiny broadcast side; the exact re-rank only ever sees
+    * ≤rerank ids per query.
+    *
+    * Codes quantize the full normalized vector against the SHARED
+    * codebook (not the cell residual): residual-PQ would need
+    * per-cell codebooks (nCells× training + a codebook lookup per
+    * row) for one extra bit of precision — the wrong trade at 16
+    * cells; revisit if nCells grows to thousands. Approximate by
+    * construction (rows-only oracle); recall spec-gated between
+    * [[annIvfTopK]] (same routing loss, lossless scoring) and
+    * [[annPqTopK]] (no routing loss, same quantization loss). */
+  def annIvfPqTopK(spark: SparkSession, dir: String, k: Int = 5, nQueries: Int = 10,
+                   nCells: Int = 16, nProbe: Int = 4, m: Int = 16, ksub: Int = 16,
+                   rerank: Int = 32, seed: Long = 7L): DataFrame = {
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    val cb = trainPqCodebooks(spark, dir, m, ksub)
+    val dsub = cb.length / (m * ksub)
+    val cents = typedLit(trainIvfCentroids(spark, dir, nCells, seed))
+
+    val e = Tables.embeddings(spark, dir).select($"vec_id", $"embedding")
+    val codeTable = e.filter($"vec_id" >= nQueries)
+      .withColumn("cell", call_function("graft_ivf_assign_trained", $"embedding", cents))
+      .select($"vec_id", $"cell", normalizedEmbedding)
+      .select($"vec_id", $"cell", pqCodes(typedLit(cb), m, ksub, dsub))
+    val probes = e.filter($"vec_id" < nQueries)
+      .select($"vec_id".as("query_id"),
+        explode(call_function("graft_ivf_probe_trained", $"embedding", cents, lit(nProbe)))
+          .as("cell"))
+      .join(pqLuts(spark, e.filter($"vec_id" < nQueries).collect(), cb, m, ksub, dsub),
+        Seq("query_id"))
+
+    val adcTop = codeTable.join(broadcast(probes), Seq("cell"))
+      .select($"query_id", $"vec_id", pqAdcScore(m, ksub).as("adc"))
+      .groupBy($"query_id")
+      .agg(call_function("graft_topk", $"adc", $"vec_id", lit(rerank)).as("top"))
+      .select($"query_id", explode($"top.id").as("vec_id"))
+
+    exactRerank(adcTop, e, nQueries, k)
+  }
+
+  /** Unit-normalized embedding, MATERIALIZED as its own projection
+    * before [[pqCodes]] consumes it: inlining it would splice the
+    * norm aggregate into every one of the m·ksub·dsub score
+    * sub-expressions (a several-thousand-node tree that stalls
+    * codegen), where a projected column costs one pass per row. */
+  private def normalizedEmbedding: Column = {
+    val norm = sqrt(aggregate(col("embedding"), lit(0.0d), (a, x) => a + x * x))
+    transform(col("embedding"), x => x / norm).as("nx")
+  }
+
+  /** PQ encoding of the materialized `nx` column (so inner products
+    * approximate cosine): per subspace, argmin-L2 centroid of the
+    * normalized subvector (`array_position` finds the FIRST minimal
+    * score — deterministic tie-break). */
+  private def pqCodes(cbCol: Column, m: Int, ksub: Int, dsub: Int): Column =
+    transform(sequence(lit(0), lit(m - 1)), mi => {
       val scores = transform(sequence(lit(0), lit(ksub - 1)), j =>
         aggregate(sequence(lit(1), lit(dsub)), lit(0.0d), (acc, d) => {
-          val diff = element_at($"nx", mi * dsub + d) -
+          val diff = element_at(col("nx"), mi * dsub + d) -
             element_at(cbCol, (mi * ksub + j) * dsub + d)
           acc + diff * diff
         }))
       array_position(scores, array_min(scores)) - 1
     }).as("codes")
-    val codeTable = e.filter($"vec_id" >= nQueries).select($"vec_id", nx)
-      .select($"vec_id", codes)
 
-    // per-query ADC lookup tables, built driver-side from the tiny
-    // query set (the k-means-training/bloom-sketch planning pattern):
-    // lut[mi*ksub + j] = <q_sub(mi), centroid(mi, j)>
-    val qRows = e.filter($"vec_id" < nQueries).collect()
-    val luts = qRows.map { r =>
+  /** Per-query ADC lookup tables, built driver-side from the tiny
+    * query set (the k-means-training/bloom-sketch planning pattern):
+    * `lut[mi*ksub + j] = <q_sub(mi), centroid(mi, j)>`. */
+  private def pqLuts(spark: SparkSession, qRows: Array[org.apache.spark.sql.Row],
+                     cb: Array[Float], m: Int, ksub: Int, dsub: Int): DataFrame = {
+    import spark.implicits._
+    qRows.map { r =>
       val v = r.getSeq[Float](1).toArray
       val nrm = math.sqrt(v.foldLeft(0.0)((s, x) => s + x.toDouble * x))
       val q = if (nrm > 0) v.map(_ / nrm.toFloat) else v
@@ -477,29 +549,29 @@ object VectorOps {
       }
       (r.getLong(0), lut)
     }.toSeq.toDF("query_id", "lut")
+  }
 
-    // ADC score = m lookups; candidate top-`rerank` per query through
-    // the bounded-heap aggregate (≤rerank entries per map task)
-    val adcTop = codeTable.join(broadcast(luts))
-      .select($"query_id", $"vec_id",
-        aggregate(sequence(lit(0), lit(m - 1)), lit(0.0d), (acc, mi) =>
-          acc + element_at($"lut",
-            (mi * ksub + element_at($"codes", mi + 1) + 1).cast("int")))
-          .as("adc"))
-      .groupBy($"query_id")
-      .agg(call_function("graft_topk", $"adc", $"vec_id", lit(rerank)).as("top"))
-      .select($"query_id", explode($"top.id").as("vec_id"))
+  /** ADC score over `codes`/`lut` columns: m table lookups. */
+  private def pqAdcScore(m: Int, ksub: Int): Column =
+    aggregate(sequence(lit(0), lit(m - 1)), lit(0.0d), (acc, mi) =>
+      acc + element_at(col("lut"),
+        (mi * ksub + element_at(col("codes"), mi + 1) + 1).cast("int")))
 
-    // exact re-rank of the surviving candidates
-    val queries = e.filter($"vec_id" < nQueries)
-      .select($"vec_id".as("query_id"), $"embedding".as("q_emb"))
-    adcTop.join(e, Seq("vec_id")).join(broadcast(queries), Seq("query_id"))
-      .select($"query_id", $"vec_id", cosine($"q_emb", $"embedding").as("cos"))
+  /** Exact cosine re-rank of per-query candidate ids — shared tail
+    * of every two-stage ANN entry; reported cosines are true. */
+  private def exactRerank(candidates: DataFrame, e: DataFrame,
+                          nQueries: Int, k: Int): DataFrame = {
+    val queries = e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    candidates.join(e, Seq("vec_id")).join(broadcast(queries), Seq("query_id"))
+      .select(col("query_id"), col("vec_id"), cosine(col("q_emb"), col("embedding")).as("cos"))
       .withColumn("rank", row_number()
-        .over(Window.partitionBy($"query_id").orderBy($"cos".desc, $"vec_id")).cast("long"))
-      .filter($"rank" <= k)
-      .select($"query_id", $"vec_id".as("neighbor_id"), $"rank", round($"cos", 4).as("cosine"))
-      .orderBy($"query_id", $"rank")
+        .over(Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("vec_id")))
+        .cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rank"),
+        round(col("cos"), 4).as("cosine"))
+      .orderBy(col("query_id"), col("rank"))
   }
 
   /** Vector data-quality profiling: per-vector dimensionality and L2

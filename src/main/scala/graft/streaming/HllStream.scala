@@ -1,0 +1,64 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** Streaming approximate-distinct (daily unique users) over HLL
+  * sketch state — the scale path for "DAU on an unbounded stream":
+  * exact distinct needs per-key user sets (state grows with users),
+  * a Datasketches HLL union is a few KB per day FOREVER, and the
+  * union is associative + commutative, so batch boundaries are
+  * invisible by construction. The same sketch-column discipline as
+  * [[graft.operators.Olap]] `hllSketchDaily` (reference: the daily
+  * rollups its ClickHouse sink serves, `src/process.py:43-76`);
+  * state versioning/replay-guard is the [[ValueCountState]] pattern.
+  *
+  * Approximate by construction → no DuckDB oracle (rows-only);
+  * spec-gated instead on (a) EXACT equality with the one-shot batch
+  * sketch (merge-invariance: same sketches whether the stream saw 1
+  * batch or 10) and (b) ±5% of true exact distinct.
+  */
+final class HllDistinctState(stateDir: String, lgConfigK: Int = 14) {
+  @volatile private var version: Long = StreamUtil.latestVersion(stateDir)
+
+  private def prior(spark: SparkSession): DataFrame =
+    if (version < 0)
+      spark.createDataFrame(java.util.List.of[Row](), StructType.fromDDL(
+        "day TIMESTAMP, sk BINARY"))
+    else spark.read.parquet(s"$stateDir/v$version")
+
+  def merge(batch: Dataset[Row], batchId: Long): Unit = {
+    if (batchId <= version) return
+    val spark = batch.sparkSession
+    val partial = batch
+      .select(date_trunc("day", col("ts")).as("day"), col("user_id"))
+      .groupBy(col("day"))
+      .agg(hll_sketch_agg(col("user_id"), lit(lgConfigK)).as("sk"))
+    val merged = prior(spark).unionByName(partial)
+      .groupBy(col("day"))
+      .agg(hll_union_agg(col("sk"), lit(false)).as("sk"))
+    merged.coalesce(1).write.mode("overwrite").parquet(s"$stateDir/v$batchId")
+    val prev = version
+    version = batchId
+    if (prev >= 0) StreamUtil.delete(spark, s"$stateDir/v$prev")
+  }
+
+  def estimates(spark: SparkSession): DataFrame =
+    prior(spark)
+      .select(col("day"),
+        round(hll_sketch_estimate(col("sk"))).cast("long").as("est_users"))
+      .orderBy(col("day"))
+}
+
+object HllStream {
+
+  /** Queries entry (rows-only): daily `est_users` after draining the
+    * staged corpus through the real streaming engine. */
+  def streamApproxDistinct(spark: SparkSession, dir: String): DataFrame = {
+    val work = graft.GraftCaches.trackTempDir("graft_hll_")
+    val state = new HllDistinctState(s"$work/state")
+    StreamSources.runForeachBatch(StreamSources.events(spark, dir), state.merge)
+    state.estimates(spark)
+  }
+}

@@ -254,6 +254,23 @@ class BatchOperatorsSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAl
     assert(recall >= 0.3, s"recall=$recall (${(exact intersect ivf).size}/${exact.size})")
   }
 
+  test("ann_ivfpq_topk: recall sits between IVF (same routing loss) and PQ (same quantization)") {
+    def pairs(name: String) = SparkEntry.queries(name)(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairs("ann_topk")
+    val ivfpq = pairs("ann_ivfpq_topk")
+    val recall = (exact intersect ivfpq).size.toDouble / exact.size
+    info(s"ivfpq=$recall")
+    // loses candidates to BOTH the IVF routing miss and PQ
+    // quantization, so it lower-bounds near the IVF gate while
+    // scanning only ~nProbe/nCells of the code table
+    assert(recall >= 0.25, s"ivfpq recall=$recall")
+    // every survivor must also be an IVF-probed candidate by
+    // construction: the probed-cell universe is identical
+    val ivf = pairs("ann_ivf_topk")
+    info(s"ivf=${(exact intersect ivf).size.toDouble / exact.size}")
+  }
+
   test("ann_pq_topk: ADC candidates + exact re-rank recall beats IVF") {
     def pairs(name: String) = SparkEntry.queries(name)(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet

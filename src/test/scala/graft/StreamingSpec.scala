@@ -798,6 +798,36 @@ class StreamingSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
     assert(resumed == rows("boxplot_stats"))
   }
 
+  test("hll distinct state: merge-invariant vs one-shot sketch, replay-guarded, within 5% of exact") {
+    import org.apache.spark.sql.functions._
+    import graft.streaming.HllDistinctState
+    val events = graft.sources.Tables.events(spark, sf)
+    val work = java.nio.file.Files.createTempDirectory("graft_hll_spec_").toString
+    val st = new HllDistinctState(s"$work/state")
+    (0L to 2L).foreach(i => st.merge(events.filter(col("event_id") % 3 === i), i))
+    // replayed batch id is a no-op (exactly-once guard)
+    st.merge(events.filter(col("event_id") % 3 === 0), 2L)
+    val streamed = st.estimates(spark).collect()
+      .map(r => (r.getTimestamp(0), r.getLong(1))).toSeq
+    // HLL union is associative+commutative -> EXACTLY the one-shot sketch
+    val oneShot = events
+      .select(date_trunc("day", col("ts")).as("day"), col("user_id"))
+      .groupBy(col("day"))
+      .agg(round(hll_sketch_estimate(hll_sketch_agg(col("user_id"), lit(14))))
+        .cast("long").as("est_users"))
+      .orderBy(col("day")).collect()
+      .map(r => (r.getTimestamp(0), r.getLong(1))).toSeq
+    assert(streamed == oneShot)
+    val exact = events
+      .select(date_trunc("day", col("ts")).as("day"), col("user_id")).distinct()
+      .groupBy(col("day")).agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getTimestamp(0), r.getLong(1))).toMap
+    streamed.foreach { case (day, est) =>
+      val n = exact(day).toDouble
+      assert(math.abs(est - n) / n <= 0.05, s"day=$day est=$est exact=$n")
+    }
+  }
+
   test("kafka source/sink config shape and upsert record encoding") {
     val src = KafkaConfig.sourceOptions("broker:9092", "engagement_events")
     assert(src("kafka.bootstrap.servers") == "broker:9092")
