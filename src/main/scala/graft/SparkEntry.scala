@@ -29,6 +29,9 @@ object SparkEntry {
     "funnel_conversion"  -> Engagement.funnelConversion _,
     "sequence_count"     -> Sequences.sequenceCount _,
     "funnel_strict_order" -> Sequences.funnelStrictOrder _,
+    "funnel_any_order"   -> Sequences.funnelAnyOrder _,
+    "interval_coalesce"  -> Intervals.intervalCoalesce _,
+    "stream_sequence_count" -> ((s: SparkSession, d: String) => streaming.SequenceCountStream.streamSequenceCount(s, d)),
     "funnel_conversion_windowed" -> ((s: SparkSession, d: String) => Engagement.funnelConversionWindowed(s, d)),
     "retention_cohorts"  -> ((s: SparkSession, d: String) => Engagement.retentionCohorts(s, d)),
     "snapshot_diff"      -> Engagement.snapshotDiff _,
@@ -257,6 +260,10 @@ object SparkEntry {
       // incremental attribution equals the batch window row-for-row
       // (integer-cents accumulation, time-ordered replay)
       "stream_attribution" -> base("attribution_last_touch"),
+      // the incremental DFA folds each batch on top of the stored
+      // accumulator (init = prior state), so time-ordered replay
+      // reproduces the batch fold exactly
+      "stream_sequence_count" -> base("sequence_count"),
       // additive integer moments: batch boundaries are invisible, so
       // the oracle is the same formula in one corpus pass (expression
       // shape mirrored literally for bit-equal doubles)
@@ -705,6 +712,8 @@ object SparkEntry {
     "ab_welch_ttest" -> operators.Behavior.abWelchTtestOracleSql,
     "sequence_count" -> operators.Sequences.sequenceCountOracleSql,
     "funnel_strict_order" -> operators.Sequences.funnelStrictOracleSql,
+    "funnel_any_order" -> operators.Sequences.funnelAnyOrderOracleSql,
+    "interval_coalesce" -> operators.Intervals.intervalCoalesceOracleSql,
     "attribution_linear" -> operators.MultiTouch.linearOracleSql,
     "attribution_position" -> operators.MultiTouch.positionOracleSql,
     "attribution_time_decay" -> operators.MultiTouch.timeDecayOracleSql,

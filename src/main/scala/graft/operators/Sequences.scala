@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.sources.Tables
@@ -39,16 +39,25 @@ object Sequences {
   def sequenceCountTransform(events: DataFrame): DataFrame =
     codedEvents(events)
       .groupBy(col("user_id"))
-      .agg(expr(
-        """aggregate(
-          |  transform(array_sort(collect_list(struct(ts, event_id, code))), s -> s.code),
-          |  0L,
-          |  (acc, x) -> CASE WHEN acc % 4 = 0 AND x = 1 THEN acc + 1
-          |                   WHEN acc % 4 = 1 AND x = 2 THEN acc + 1
-          |                   WHEN acc % 4 = 2 AND x = 3 THEN acc + 2
-          |                   ELSE acc END) div 4""".stripMargin).as("n_sequences"))
+      .agg((aggregate(sortedCodes, lit(0L), seqDfaStep) / 4).cast("long").as("n_sequences"))
       .groupBy(col("n_sequences")).agg(count(lit(1)).as("n_users"))
       .orderBy(col("n_sequences"))
+
+  /** The sequence-count DFA step (`acc = count*4 + stage`) as a
+    * Column lambda — one definition shared by the batch fold, the
+    * incremental [[graft.streaming.SequenceCountStream]] state merge,
+    * and (textually) the recursive-CTE oracle. */
+  private[graft] def seqDfaStep(acc: Column, x: Column): Column =
+    when(acc % 4 === 0 && x === 1, acc + 1)
+      .when(acc % 4 === 1 && x === 2, acc + 1)
+      .when(acc % 4 === 2 && x === 3, acc + 2)
+      .otherwise(acc)
+
+  /** Per-user codes of the batch, time-sorted (`(ts, event_id)`
+    * struct sort — collect_list order is not a contract). */
+  private def sortedCodes: Column =
+    transform(array_sort(collect_list(struct(col("ts"), col("event_id"), col("code")))),
+      s => s.getField("code"))
 
   def sequenceCount(spark: SparkSession, dir: String): DataFrame =
     sequenceCountTransform(Tables.events(spark, dir))
@@ -61,24 +70,72 @@ object Sequences {
   def funnelStrictTransform(events: DataFrame): DataFrame =
     codedEvents(events)
       .groupBy(col("user_id"))
-      .agg(expr(
-        """aggregate(
-          |  transform(array_sort(collect_list(struct(ts, event_id, code))), s -> s.code),
-          |  0L,
-          |  (acc, x) -> greatest(acc div 8,
-          |                CASE WHEN acc % 8 < 3 AND x = acc % 8 + 1 THEN acc % 8 + 1
-          |                     WHEN x = 1 THEN 1 ELSE 0 END) * 8
-          |              + CASE WHEN acc % 8 < 3 AND x = acc % 8 + 1 THEN acc % 8 + 1
-          |                     WHEN x = 1 THEN 1 ELSE 0 END) div 8""".stripMargin).as("depth"))
+      .agg((aggregate(sortedCodes, lit(0L), strictDfaStep) / 8).cast("long").as("depth"))
       .groupBy(col("depth")).agg(count(lit(1)).as("n_users"))
       .orderBy(col("depth"))
+
+  /** The strict-order DFA step (`acc = best*8 + current`). */
+  private[graft] def strictDfaStep(acc: Column, x: Column): Column = {
+    val cur = when(acc % 8 < 3 && x === acc % 8 + 1, acc % 8 + 1)
+      .when(x === 1, lit(1L)).otherwise(lit(0L))
+    greatest((acc / 8).cast("long"), cur) * 8 + cur
+  }
 
   def funnelStrictOrder(spark: SparkSession, dir: String): DataFrame =
     funnelStrictTransform(Tables.events(spark, dir))
 
+  /** Any-order funnel — the unordered complement of the strict/
+    * ordered members: a user "completes" once all three stage types
+    * have EVER occurred, regardless of order, and the report groups
+    * completers by which stage arrived first:
+    * `(first_type, n_users, avg_span_sec)` where span = first-to-last
+    * first-occurrence. Pure conditional-min aggregation — constant
+    * state per user, no ordered history, no collect, one user_id
+    * shuffle (the [[Engagement]] `funnel_conversion` discipline);
+    * span sums are exact BIGINT seconds so only the final avg
+    * divides. */
+  def funnelAnyOrderTransform(events: DataFrame): DataFrame = {
+    def firstOf(t: String) = min(when(col("event_type") === t, col("ts")))
+    events.select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .groupBy(col("user_id"))
+      .agg(firstOf("view").as("fv"), firstOf("click").as("fc"),
+           firstOf("purchase").as("fp"),
+           min(when(col("event_type").isin("view", "click", "purchase"),
+             struct(col("ts"), col("event_id"), col("event_type")))).as("first"))
+      .filter(col("fv").isNotNull && col("fc").isNotNull && col("fp").isNotNull)
+      .select(col("first.event_type").as("first_type"),
+        ((unix_micros(greatest(col("fv"), col("fc"), col("fp")))
+          - unix_micros(least(col("fv"), col("fc"), col("fp")))) / lit(1000000L))
+          .cast("long").as("span_sec"))
+      .groupBy(col("first_type"))
+      .agg(count(lit(1)).as("n_users"),
+           round(sum(col("span_sec")).cast("double") / count(lit(1)), 2).as("avg_span_sec"))
+      .orderBy(col("first_type"))
+  }
+
+  def funnelAnyOrder(spark: SparkSession, dir: String): DataFrame =
+    funnelAnyOrderTransform(Tables.events(spark, dir))
+
+  /** Oracle for [[funnelAnyOrderTransform]]. */
+  val funnelAnyOrderOracleSql: String =
+    """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, event_type FROM events),
+      |u AS (SELECT user_id,
+      |             min(CASE WHEN event_type = 'view' THEN ts END) AS fv,
+      |             min(CASE WHEN event_type = 'click' THEN ts END) AS fc,
+      |             min(CASE WHEN event_type = 'purchase' THEN ts END) AS fp,
+      |             min(CASE WHEN event_type IN ('view','click','purchase')
+      |                      THEN {'ts': ts, 'eid': event_id, 'event_type': event_type} END) AS first
+      |      FROM e GROUP BY user_id),
+      |c AS (SELECT first.event_type AS first_type,
+      |             CAST((epoch_us(greatest(fv, fc, fp)) - epoch_us(least(fv, fc, fp))) // 1000000 AS BIGINT) AS span_sec
+      |      FROM u WHERE fv IS NOT NULL AND fc IS NOT NULL AND fp IS NOT NULL)
+      |SELECT first_type, CAST(count(*) AS BIGINT) AS n_users,
+      |       round(CAST(sum(span_sec) AS DOUBLE) / count(*), 2) AS avg_span_sec
+      |FROM c GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** Stage coding shared by both DFAs (and spelled identically in
     * the oracles): view=1, click=2, purchase=3, anything else 0. */
-  private def codedEvents(events: DataFrame): DataFrame =
+  private[graft] def codedEvents(events: DataFrame): DataFrame =
     events.select(col("user_id"), col("ts"), col("event_id"),
       expr("CAST(CASE event_type WHEN 'view' THEN 1 WHEN 'click' THEN 2 WHEN 'purchase' THEN 3 ELSE 0 END AS BIGINT)").as("code"))
 

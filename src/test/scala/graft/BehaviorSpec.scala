@@ -609,6 +609,42 @@ class BehaviorSpec extends AnyFunSuite {
     assert(out == Seq((0L, 1L), (1L, 1L), (3L, 1L)))
   }
 
+  test("any-order funnel: completion regardless of order, grouped by first stage, exact spans") {
+    val events = ev(Seq(
+      // user 1: click first, completes in 7200s
+      (1L, "2024-01-01 10:00:00", 1L, "click", 0.0),
+      (1L, "2024-01-01 11:00:00", 2L, "view", 0.0),
+      (1L, "2024-01-01 12:00:00", 3L, "purchase", 0.0),
+      // user 2: purchase first (reverse order), 3600s
+      (2L, "2024-01-01 10:00:00", 4L, "purchase", 0.0),
+      (2L, "2024-01-01 10:30:00", 5L, "click", 0.0),
+      (2L, "2024-01-01 11:00:00", 6L, "view", 0.0),
+      // user 3: never clicks -> not complete
+      (3L, "2024-01-01 10:00:00", 7L, "view", 0.0),
+      (3L, "2024-01-01 11:00:00", 8L, "purchase", 0.0)))
+    val out = operators.Sequences.funnelAnyOrderTransform(events).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(out == Seq(("click", 1L, 7200.0), ("purchase", 1L, 3600.0)))
+  }
+
+  test("interval coalesce: overlap merges, touching merges, gaps split") {
+    import org.apache.spark.sql.functions.to_timestamp
+    val li = Seq(
+      // supplier 1: [0,5) ∪ [3,8) merge; [8,9) touches -> still one
+      // island [0,9); [11,12) splits -> 2 islands, 10 covered days
+      (1L, "1970-01-01 00:00:00", 5.0, 1L, 1),
+      (1L, "1970-01-04 00:00:00", 5.0, 2L, 1),
+      (1L, "1970-01-09 00:00:00", 1.0, 3L, 1),
+      (1L, "1970-01-12 00:00:00", 1.0, 4L, 1),
+      // supplier 2: a single interval
+      (2L, "1970-01-01 00:00:00", 3.0, 5L, 1))
+      .toDF("l_suppkey", "ship", "l_quantity", "l_orderkey", "l_linenumber")
+      .withColumn("l_shipdate", to_timestamp($"ship")).drop("ship")
+    val out = operators.Intervals.intervalCoalesceTransform(li).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(out == Seq((1L, 2L, 10L), (2L, 1L, 3L)))
+  }
+
   test("time-decay attribution: half-life halving sets the shares, expiry excluded") {
     val events = ev(Seq(
       // user 1: view 2 days before (w=.25), click 1 day before (w=.5)

@@ -170,6 +170,33 @@ class StreamingSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
     assert(rows("stream_attribution") == rows("attribution_last_touch"))
   }
 
+  test("stream_sequence_count equals batch sequence_count") {
+    assert(rows("stream_sequence_count") == rows("sequence_count"))
+  }
+
+  test("sequence-count state: DFA resumes mid-pattern across a batch boundary, replay-guarded") {
+    import org.apache.spark.sql.functions.{col, to_timestamp}
+    import graft.streaming.SequenceCountState
+    import spark.implicits._
+    def batch(rows: (Long, String, Long, String)*) =
+      rows.toDF("user_id", "ts_s", "event_id", "event_type")
+        .withColumn("ts", to_timestamp(col("ts_s"))).drop("ts_s")
+    val work = java.nio.file.Files.createTempDirectory("graft_seq_state_").toString
+    val st = new SequenceCountState(s"$work/state")
+    // batch 0 ends mid-pattern: view, click
+    st.merge(batch((1L, "2024-01-01 10:00:00", 1L, "view"),
+                   (1L, "2024-01-01 11:00:00", 2L, "click")), 0)
+    // batch 1 completes it and starts+completes a second one
+    st.merge(batch((1L, "2024-01-01 12:00:00", 3L, "purchase"),
+                   (1L, "2024-01-01 13:00:00", 4L, "view"),
+                   (1L, "2024-01-01 14:00:00", 5L, "click"),
+                   (1L, "2024-01-01 15:00:00", 6L, "purchase")), 1)
+    // replayed batch id is a no-op
+    st.merge(batch((1L, "2024-01-01 15:00:00", 6L, "purchase")), 1)
+    val out = st.histogram(spark).collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(out == Seq((2L, 1L)))
+  }
+
   test("attribution state: cross-batch touch carry, lookback expiry, replay guard") {
     import org.apache.spark.sql.functions.{col, to_timestamp}
     import graft.streaming.AttributionState
