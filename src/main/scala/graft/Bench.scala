@@ -147,7 +147,15 @@ object Bench {
     "langid_confusion" -> 3.163, "centroid_drift" -> 2.239,
     "stream_percentile_bands" -> 4.219, "stream_doclen" -> 2.733,
     "type_user_overlap" -> 2.143, "revenue_hhi" -> 2.265,
-    "stream_zipf_slope" -> 3.064, "stream_revenue_hhi" -> 3.884)
+    "stream_zipf_slope" -> 3.064, "stream_revenue_hhi" -> 3.884,
+    // round-8 additions (quiet-box isolated medians of 3; evidence in
+    // BASELINE.md "Round-8 additions")
+    "attribution_linear" -> 2.890, "attribution_position" -> 4.388,
+    "attribution_time_decay" -> 4.052, "sequence_count" -> 2.085,
+    "funnel_strict_order" -> 2.500, "funnel_any_order" -> 2.232,
+    "interval_coalesce" -> 3.542, "stream_sequence_count" -> 6.429,
+    "gopher_quality_gates" -> 2.194, "ann_ivfpq_topk" -> 5.988,
+    "stream_approx_distinct" -> 2.718)
 
   /** Run ONE query in a fresh JVM (this JVM's own flags + classpath,
     * stderr discarded) and parse its timing out of the child's JSON

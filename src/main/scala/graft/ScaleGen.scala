@@ -84,7 +84,22 @@ object ScaleGen {
       .repartition(8)
       .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
 
-    Seq("events", "documents", "embeddings").foreach { t =>
+    // lineitem (round-8: the interval-coalesce fact): keys shifted per
+    // copy — disjoint suppliers/orders keep per-supplier interval
+    // density constant, so growth adds suppliers (the realistic axis);
+    // dates/quantities kept so island structure per supplier matches
+    // the original.
+    val li = spark.read.parquet(s"$src/lineitem.parquet")
+    withCopies(li).select(
+      ($"l_orderkey" + $"copy" * shift).as("l_orderkey"),
+      ($"l_partkey" + $"copy" * shift).as("l_partkey"),
+      ($"l_suppkey" + $"copy" * shift).as("l_suppkey"),
+      $"l_linenumber", $"l_quantity", $"l_extendedprice", $"l_discount",
+      $"l_tax", $"l_returnflag", $"l_linestatus", $"l_shipdate")
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$out/lineitem.parquet")
+
+    Seq("events", "documents", "embeddings", "lineitem").foreach { t =>
       println(s"$t: " + spark.read.parquet(s"$out/$t.parquet").count())
     }
     spark.stop()
