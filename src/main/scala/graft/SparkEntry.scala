@@ -32,6 +32,7 @@ object SparkEntry {
     "funnel_any_order"   -> Sequences.funnelAnyOrder _,
     "interval_coalesce"  -> Intervals.intervalCoalesce _,
     "stream_sequence_count" -> ((s: SparkSession, d: String) => streaming.SequenceCountStream.streamSequenceCount(s, d)),
+    "stream_funnel_strict" -> ((s: SparkSession, d: String) => streaming.SequenceCountStream.streamFunnelStrict(s, d)),
     "funnel_conversion_windowed" -> ((s: SparkSession, d: String) => Engagement.funnelConversionWindowed(s, d)),
     "retention_cohorts"  -> ((s: SparkSession, d: String) => Engagement.retentionCohorts(s, d)),
     "snapshot_diff"      -> Engagement.snapshotDiff _,
@@ -64,6 +65,7 @@ object SparkEntry {
     "hits_scores"        -> Graph.hitsScores _,
     "communities_lpa"    -> Graph.communitiesLpa _,
     "degree_histogram"   -> Graph.degreeHistogram _,
+    "k_core"             -> Graph.kCoreItems _,
     "link_prediction"    -> Graph.linkPrediction _,
     "changepoint_cusum"  -> Behavior.changepointCusum _,
     // behavioral statistics over the event log
@@ -218,6 +220,7 @@ object SparkEntry {
     "token_count"        -> TextOps.tokenCount _,
     "text_normalize"     -> TextOps.textNormalize _,
     "doc_fingerprint"    -> TextOps.docFingerprint _,
+    "winnow_pairs"       -> Winnow.winnowPairs _,
     "edit_distance_pairs" -> ((s: SparkSession, d: String) => TextOps.editDistancePairs(s, d)),
     "multimodal_meta"    -> TextOps.multimodalMeta _,
     "multimodal_decode"  -> Multimodal.decode _,
@@ -264,6 +267,7 @@ object SparkEntry {
       // accumulator (init = prior state), so time-ordered replay
       // reproduces the batch fold exactly
       "stream_sequence_count" -> base("sequence_count"),
+      "stream_funnel_strict" -> base("funnel_strict_order"),
       // additive integer moments: batch boundaries are invisible, so
       // the oracle is the same formula in one corpus pass (expression
       // shape mirrored literally for bit-equal doubles)
@@ -1051,6 +1055,7 @@ object SparkEntry {
         |FROM t ORDER BY doc_id""".stripMargin,
 
     "doc_fingerprint" -> operators.TextOps.docFingerprintOracleSql,
+    "winnow_pairs" -> operators.Winnow.winnowPairsOracleSql,
     "edit_distance_pairs" -> operators.TextOps.editDistanceOracleSql(),
     "bm25_topk" -> operators.TextOps.bm25OracleSql(),
     "sample_k_per_group" -> operators.Sampling.sampleKPerGroupOracleSql(),

@@ -400,6 +400,70 @@ object Graph {
   def communitiesLpa(spark: SparkSession, dir: String): DataFrame =
     lpaTransform(edgeTransform(Tables.events(spark, dir), maxItems = 50, topEdges = 800))
 
+  /** k-core decomposition (Seidman 1983; distributed peeling as in
+    * Montresor et al. 2013) of the co-engagement graph: each node's
+    * core number = the largest k such that it survives in a subgraph
+    * where every node has degree ≥ k. THE graph-robustness screen
+    * next to [[degreeHistogramTransform]] (degree says how connected
+    * a node is, core says how connected its NEIGHBORHOOD stays).
+    *
+    * Classic peel: for k = 1, 2, …, repeatedly delete nodes whose
+    * remaining degree < k (deleted at level k ⇒ core number k−1)
+    * until stable, then advance k; terminates when no nodes remain.
+    * Distributed shape: node/edge tables stay DataFrames (degree =
+    * map-side-combinable groupBy; deletion = left_anti joins on the
+    * victim set, co-partitioned); the driver sees only a per-round
+    * victim COUNT (planning-scale convergence probe, the LPA/star
+    * discipline) and lineage is cut per peel via localCheckpoint.
+    * Rounds are bounded by Σ_k (peel depth at k) ≤ the graph's
+    * degeneracy ordering length — the same fixed-iteration envelope
+    * every iterative op here runs in. Core numbers are
+    * order-independent (the k-core is unique), so the output is
+    * deterministic without any tie policy. No SQL oracle (the peel
+    * count is data-dependent — not expressible as a fixed unrolled
+    * CTE like LPA's); rows-only, property-specced against a
+    * straight-Scala peeling reference on random graphs.
+    */
+  def kCoreTransform(pairs: DataFrame): DataFrame = {
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    val p = truncateLineage(pairs)
+    val edges0 = p.select($"item_a".as("src"), $"item_b".as("dst"))
+      .unionByName(p.select($"item_b".as("src"), $"item_a".as("dst")))
+    var active = truncateLineage(edges0)
+    var nodes = truncateLineage(active.select($"src".as("item")).distinct())
+    var result: DataFrame = spark.createDataFrame(
+      java.util.List.of[org.apache.spark.sql.Row](),
+      org.apache.spark.sql.types.StructType.fromDDL("item BIGINT, core BIGINT"))
+    var k = 1L
+    var remaining = nodes.count()
+    while (remaining > 0) {
+      var peeling = true
+      while (peeling && remaining > 0) {
+        val deg = active.groupBy($"src".as("item")).agg(count(lit(1)).as("deg"))
+        val victims = nodes.join(deg, Seq("item"), "left")
+          .filter(coalesce($"deg", lit(0L)) < k)
+          .select($"item")
+        val nVictims = victims.count()
+        if (nVictims == 0) peeling = false
+        else {
+          result = truncateLineage(result.unionByName(
+            victims.select($"item", lit(k - 1).as("core"))))
+          nodes = truncateLineage(nodes.join(victims, Seq("item"), "left_anti"))
+          active = truncateLineage(active
+            .join(victims.select($"item".as("src")), Seq("src"), "left_anti")
+            .join(victims.select($"item".as("dst")), Seq("dst"), "left_anti"))
+          remaining -= nVictims
+        }
+      }
+      k += 1
+    }
+    result.orderBy($"item")
+  }
+
+  def kCoreItems(spark: SparkSession, dir: String): DataFrame =
+    kCoreTransform(edgeTransform(Tables.events(spark, dir), maxItems = 50, topEdges = 800))
+
   /** Degree distribution of the co-engagement graph — the
     * structure-health report read BEFORE running any iterative
     * algorithm here (a power-law degree table says whether PageRank

@@ -1,20 +1,21 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Row, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{ArrayType, LongType, StructType}
+import org.apache.spark.sql.types.StructType
 
 import graft.operators.Sequences
 
-/** Streaming sequence-count: [[Sequences.sequenceCountTransform]]'s
-  * packed-DFA fold maintained incrementally — state is ONE BIGINT per
-  * user (`acc = count*4 + stage`), each batch folds its time-sorted
-  * codes on top of the stored accumulator (the fold's init is the
-  * prior state column, so the DFA literally resumes mid-pattern
-  * across the batch boundary). The DFA step is the very
-  * [[Sequences.seqDfaStep]] lambda the batch operator folds with —
-  * stream/batch parity by shared code, not by parallel
-  * implementations.
+/** Streaming packed-DFA state — the incremental twin of the
+  * [[Sequences]] fold family: state is ONE BIGINT per user, each
+  * batch folds its time-sorted codes on top of the stored
+  * accumulator (the fold's init is the prior state column, so the
+  * DFA literally resumes mid-pattern across the batch boundary). The
+  * step lambda is the very Column function the batch operator folds
+  * with — stream/batch parity by shared code, not by parallel
+  * implementations; which step (sequence-count's `count*4+stage` or
+  * strict-order's `best*8+current`) and which report divisor are the
+  * only parameters.
   *
   * Like [[AttributionStream]]/[[FunnelStream]], correctness rests on
   * event-time-ordered replay (staged via
@@ -24,7 +25,8 @@ import graft.operators.Sequences
   * in the streaming family; replay-guarded and versioned like every
   * state here.
   */
-final class SequenceCountState(stateDir: String) {
+final class DfaState(stateDir: String, step: (Column, Column) => Column,
+                     shift: Int, outCol: String) {
   @volatile private var version: Long = StreamUtil.latestVersion(stateDir)
 
   private def prior(spark: SparkSession): DataFrame =
@@ -45,32 +47,44 @@ final class SequenceCountState(stateDir: String) {
         aggregate(
           coalesce(col("codes"), lit(Array.empty[Long])),
           coalesce(col("acc"), lit(0L)),
-          Sequences.seqDfaStep).as("acc"))
+          step).as("acc"))
     merged.coalesce(1).write.mode("overwrite").parquet(s"$stateDir/v$batchId")
     val prev = version
     version = batchId
     if (prev >= 0) StreamUtil.delete(spark, s"$stateDir/v$prev")
   }
 
-  /** Same histogram shape (and oracle) as the batch query. */
+  /** Same histogram shape (and oracle) as the batch twin. */
   def histogram(spark: SparkSession): DataFrame =
     prior(spark)
-      .select((col("acc") / 4).cast("long").as("n_sequences"))
-      .groupBy(col("n_sequences")).agg(count(lit(1)).as("n_users"))
-      .orderBy(col("n_sequences"))
+      .select((col("acc") / shift).cast("long").as(outCol))
+      .groupBy(col(outCol)).agg(count(lit(1)).as("n_users"))
+      .orderBy(col(outCol))
 }
 
 object SequenceCountStream {
 
-  /** Queries entry: time-ordered replay through the incremental DFA
-    * (oracle: same recursive-CTE SQL as `sequence_count`). */
-  def streamSequenceCount(spark: SparkSession, dir: String, nFiles: Int = 4): DataFrame = {
-    val work = graft.GraftCaches.trackTempDir("graft_seqcnt_")
+  private def run(spark: SparkSession, dir: String, prefix: String,
+                  state: String => DfaState, nFiles: Int): DataFrame = {
+    val work = graft.GraftCaches.trackTempDir(prefix)
     FunnelStream.stageTimeOrdered(spark, dir, s"$work/input", nFiles)
-    val state = new SequenceCountState(s"$work/state")
+    val st = state(s"$work/state")
     StreamSources.runForeachBatch(
       StreamSources.eventsFrom(spark, s"$work/input", maxFilesPerTrigger = 1),
-      state.merge)
-    state.histogram(spark)
+      st.merge)
+    st.histogram(spark)
   }
+
+  /** Queries entry: time-ordered replay through the incremental
+    * sequence-count DFA (oracle: same recursive-CTE SQL as
+    * `sequence_count`). */
+  def streamSequenceCount(spark: SparkSession, dir: String, nFiles: Int = 4): DataFrame =
+    run(spark, dir, "graft_seqcnt_",
+      sd => new DfaState(sd, Sequences.seqDfaStep, 4, "n_sequences"), nFiles)
+
+  /** Queries entry: the strict-order funnel DFA, incrementally
+    * (oracle: same recursive-CTE SQL as `funnel_strict_order`). */
+  def streamFunnelStrict(spark: SparkSession, dir: String, nFiles: Int = 4): DataFrame =
+    run(spark, dir, "graft_strict_",
+      sd => new DfaState(sd, Sequences.strictDfaStep, 8, "depth"), nFiles)
 }

@@ -504,6 +504,22 @@ class BatchOperatorsSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAl
     assert(got.map(_._3).toSeq.sorted.reverse == wantCounts)
   }
 
+  test("winnowing: shared passage >= w+k-1 tokens guarantees a shared fingerprint; short docs safe") {
+    import spark.implicits._
+    val passage = "alpha beta gamma delta epsilon zeta eta theta"  // 8 tokens >= w+k-1 = 6
+    val docs = Seq(
+      (1L, s"one two $passage three four five six seven"),
+      (2L, s"red blue green $passage yellow purple orange pink"),
+      (3L, "disjoint words only here nothing shared at all with others"),
+      (4L, "ab cd"))  // shorter than k -> zero grams, must not error
+      .toDF("doc_id", "text")
+    val out = graft.operators.Winnow.winnowPairsTransform(docs, minShared = 1).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    // the winnowing guarantee: docs 1-2 share at least one selected
+    // fingerprint; no pair involves the disjoint or degenerate docs
+    assert(out == Seq((1L, 2L)))
+  }
+
   test("text_repetition survives degenerate (1- and 2-word) documents") {
     import spark.implicits._
     val docs = Seq((1L, "one"), (2L, "two words"), (3L, "a b a b a b"))

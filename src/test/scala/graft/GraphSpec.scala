@@ -216,4 +216,50 @@ class GraphSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
     assert(out == Seq((1L, 6L), (4L, 1L)))
   }
+
+  /** Straight-Scala peeling reference for k-core. */
+  private def refCores(es: Seq[(Long, Long)]): Map[Long, Long] = {
+    import scala.collection.mutable
+    val adj = mutable.Map[Long, mutable.Set[Long]]()
+    es.foreach { case (a, b) =>
+      adj.getOrElseUpdate(a, mutable.Set()) += b
+      adj.getOrElseUpdate(b, mutable.Set()) += a
+    }
+    val core = mutable.Map[Long, Long]()
+    var k = 1L
+    while (adj.nonEmpty) {
+      var changed = true
+      while (changed) {
+        val victims = adj.filter(_._2.size < k).keys.toList
+        if (victims.isEmpty) changed = false
+        else victims.foreach { v =>
+          core(v) = k - 1; adj -= v; adj.values.foreach(_ -= v)
+        }
+      }
+      k += 1
+    }
+    core.toMap
+  }
+
+  test("k-core: K4 plus a pendant — clique cores 3, pendant core 1") {
+    val es = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L), (1L, 5L))
+    val out = Graph.kCoreTransform(pairs(es: _*))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(out == Seq((1L, 3L), (2L, 3L), (3L, 3L), (4L, 3L), (5L, 1L)))
+  }
+
+  test("k-core equals the straight-Scala peeling reference on random graphs") {
+    val rnd = new scala.util.Random(77L)
+    for (trial <- 1 to 5) {
+      val n = 4 + rnd.nextInt(10)
+      val es = (for (a <- 0 until n; b <- a + 1 until n if rnd.nextDouble() < 0.45)
+        yield (a.toLong, b.toLong)).toSeq
+      if (es.nonEmpty) {
+        val want = refCores(es).toSeq.sorted
+        val got = Graph.kCoreTransform(pairs(es: _*))
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+        assert(got == want, s"trial $trial n=$n edges=$es")
+      }
+    }
+  }
 }

@@ -174,15 +174,20 @@ class StreamingSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
     assert(rows("stream_sequence_count") == rows("sequence_count"))
   }
 
+  test("stream_funnel_strict equals batch funnel_strict_order") {
+    assert(rows("stream_funnel_strict") == rows("funnel_strict_order"))
+  }
+
   test("sequence-count state: DFA resumes mid-pattern across a batch boundary, replay-guarded") {
     import org.apache.spark.sql.functions.{col, to_timestamp}
-    import graft.streaming.SequenceCountState
+    import graft.streaming.DfaState
     import spark.implicits._
     def batch(rows: (Long, String, Long, String)*) =
       rows.toDF("user_id", "ts_s", "event_id", "event_type")
         .withColumn("ts", to_timestamp(col("ts_s"))).drop("ts_s")
     val work = java.nio.file.Files.createTempDirectory("graft_seq_state_").toString
-    val st = new SequenceCountState(s"$work/state")
+    val st = new DfaState(s"$work/state",
+      graft.operators.Sequences.seqDfaStep, 4, "n_sequences")
     // batch 0 ends mid-pattern: view, click
     st.merge(batch((1L, "2024-01-01 10:00:00", 1L, "view"),
                    (1L, "2024-01-01 11:00:00", 2L, "click")), 0)
