@@ -240,6 +240,8 @@ object SparkEntry {
     "ann_pq_topk"        -> ((s: SparkSession, d: String) => VectorOps.annPqTopK(s, d)),
     "ann_ivfpq_topk"     -> ((s: SparkSession, d: String) => VectorOps.annIvfPqTopK(s, d)),
     "embedding_norms"    -> VectorOps.embeddingNorms _,
+    "embedding_dim_stats" -> VectorOps.embeddingDimStats _,
+    "embedding_quantize_sq" -> VectorOps.embeddingQuantizeSq _,
     "knn_classify"       -> ((s: SparkSession, d: String) => VectorOps.knnClassify(s, d)),
   )
 
@@ -625,6 +627,8 @@ object SparkEntry {
     "events_sessionized" -> operators.Engagement.eventsSessionizedOracleSql(),
     "cohort_ltv" -> operators.Engagement.cohortLtvOracleSql,
     "embedding_norms" -> operators.VectorOps.embeddingNormsOracleSql,
+    "embedding_dim_stats" -> operators.VectorOps.embeddingDimStatsOracleSql,
+    "embedding_quantize_sq" -> operators.VectorOps.embeddingQuantizeSqOracleSql,
     "knn_classify" -> operators.VectorOps.knnClassifyOracleSql(),
     "trending_daily" -> operators.Engagement.trendingDailyOracleSql(),
     "profile_columns" -> operators.Olap.profileColumnsOracleSql,

@@ -766,4 +766,105 @@ object VectorOps {
       |             / count(*) / 1000000.0, 6) AS centroid
       |FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(i)
       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  /** Micro-unit element table shared by the two profiling ops below:
+    * each embedding element as an EXACT ×10⁶ BIGINT
+    * ([[labelCentroids]]' quantization discipline) — every
+    * downstream sum/min/max is integer arithmetic, so both engines
+    * agree bit-for-bit until the one final rounded division. */
+  private def elements(embeddings: DataFrame): DataFrame =
+    embeddings.select(col("vec_id"), col("label"),
+        posexplode(col("embedding")).as(Seq("pos", "x")))
+      .select(col("vec_id"), col("label"),
+        (col("pos") + 1).cast("long").as("dim"),
+        expr("CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)").as("x6"))
+
+  /** Per-dimension corpus health profile — the dead/saturated
+    * dimension screen read before any quantization or index choice:
+    * `(dim, lo, hi, mean, variance)`. One map-side-combinable
+    * shuffle to |dims| rows; the variance numerator is an exact
+    * Decimal(38,0) sum (x6² overflows BIGINT past ~2e10 elements —
+    * the [[graft.operators.Behavior]] revenueHhi discipline). */
+  def embeddingDimStats(spark: SparkSession, dir: String): DataFrame =
+    elements(Tables.embeddings(spark, dir))
+      .groupBy(col("dim"))
+      .agg(count(lit(1)).as("n"),
+        min(col("x6")).as("lo6"), max(col("x6")).as("hi6"),
+        sum(col("x6")).as("s6"),
+        sum((col("x6") * col("x6")).cast("decimal(38,0)")).as("ss12"))
+      .select(col("dim"),
+        round(col("lo6").cast("double") / 1e6, 6).as("lo"),
+        round(col("hi6").cast("double") / 1e6, 6).as("hi"),
+        round(col("s6").cast("double") / col("n") / 1e6, 6).as("mean"),
+        round((col("ss12").cast("double") - col("s6").cast("double") * col("s6") / col("n"))
+          / (col("n") - 1) / 1e12, 6).as("variance"))
+      .orderBy(col("dim"))
+
+  /** DuckDB oracle for [[embeddingDimStats]] (HUGEINT where Spark
+    * uses Decimal(38,0)). */
+  val embeddingDimStatsOracleSql: String =
+    """WITH ex AS (SELECT CAST(i AS BIGINT) AS dim,
+      |                   CAST(round(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT) AS x6
+      |            FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(i)),
+      |s AS (SELECT dim, count(*) AS n, min(x6) AS lo6, max(x6) AS hi6,
+      |             CAST(sum(x6) AS BIGINT) AS s6,
+      |             sum(CAST(x6 AS HUGEINT) * x6) AS ss12
+      |      FROM ex GROUP BY 1)
+      |SELECT dim, round(CAST(lo6 AS DOUBLE) / 1e6, 6) AS lo,
+      |       round(CAST(hi6 AS DOUBLE) / 1e6, 6) AS hi,
+      |       round(CAST(s6 AS DOUBLE) / n / 1e6, 6) AS mean,
+      |       round((CAST(ss12 AS DOUBLE) - CAST(s6 AS DOUBLE) * s6 / n) / (n - 1) / 1e12, 6) AS variance
+      |FROM s ORDER BY dim""".stripMargin
+
+  /** Scalar (int8) quantization error profile — the cheapest
+    * vector-compression rung under [[annPqTopK]]'s PQ (4× vs 32×,
+    * but per-element affine: no codebook training, decode = one FMA):
+    * per-dim [lo, hi] affine maps each element to 0..255, and the
+    * report gives per-label reconstruction `(mse, max_abs_err)` — the
+    * "is 4× compression free for THIS corpus" decision table.
+    *
+    * Everything stays in exact micro-units: the quantize/dequantize
+    * round-trips are integer-in, `round(double)`-out with identical
+    * expressions in both engines, the error is an exact BIGINT, and
+    * the squared-error sum is Decimal(38,0)/HUGEINT. Per-dim ranges
+    * are a |dims|-row broadcast back onto the element stream — one
+    * extra map-side pass, no second corpus shuffle. */
+  def embeddingQuantizeSq(spark: SparkSession, dir: String): DataFrame = {
+    val ex = elements(Tables.embeddings(spark, dir))
+    val ranges = ex.groupBy(col("dim"))
+      .agg(min(col("x6")).as("lo6"), max(col("x6")).as("hi6"))
+    ex.join(broadcast(ranges), Seq("dim"))
+      .withColumn("span", col("hi6") - col("lo6"))
+      .withColumn("q", when(col("span") === 0, lit(0L))
+        .otherwise(expr("CAST(round(CAST((x6 - lo6) * 255 AS DOUBLE) / span) AS BIGINT)")))
+      .withColumn("err6", col("x6") - (col("lo6") + when(col("span") === 0, lit(0L))
+        .otherwise(expr("CAST(round(CAST(q * span AS DOUBLE) / 255) AS BIGINT)"))))
+      .groupBy(col("label").cast("long").as("label"))
+      .agg(count(lit(1)).as("n_el"),
+        sum((col("err6") * col("err6")).cast("decimal(38,0)")).as("sse12"),
+        max(abs(col("err6"))).as("maxe6"))
+      .select(col("label"), expr("n_el div 64").as("n_vecs"),
+        round(col("sse12").cast("double") / col("n_el") / 1e12, 8).as("mse"),
+        round(col("maxe6").cast("double") / 1e6, 6).as("max_abs_err"))
+      .orderBy(col("label"))
+  }
+
+  /** DuckDB oracle for [[embeddingQuantizeSq]]. */
+  val embeddingQuantizeSqOracleSql: String =
+    """WITH ex AS (SELECT vec_id, CAST(label AS BIGINT) AS label, CAST(i AS BIGINT) AS dim,
+      |                   CAST(round(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT) AS x6
+      |            FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(i)),
+      |r AS (SELECT dim, min(x6) AS lo6, max(x6) AS hi6 FROM ex GROUP BY 1),
+      |qz AS (SELECT label, x6, lo6, hi6 - lo6 AS span,
+      |              CASE WHEN hi6 = lo6 THEN 0
+      |                   ELSE CAST(round(CAST((x6 - lo6) * 255 AS DOUBLE) / (hi6 - lo6)) AS BIGINT) END AS q
+      |       FROM ex JOIN r USING (dim)),
+      |er AS (SELECT label,
+      |              x6 - (lo6 + CASE WHEN span = 0 THEN 0
+      |                               ELSE CAST(round(CAST(q * span AS DOUBLE) / 255) AS BIGINT) END) AS err6
+      |       FROM qz)
+      |SELECT label, CAST(count(*) // 64 AS BIGINT) AS n_vecs,
+      |       round(CAST(sum(CAST(err6 AS HUGEINT) * err6) AS DOUBLE) / count(*) / 1e12, 8) AS mse,
+      |       round(CAST(max(abs(err6)) AS DOUBLE) / 1e6, 6) AS max_abs_err
+      |FROM er GROUP BY 1 ORDER BY 1""".stripMargin
 }

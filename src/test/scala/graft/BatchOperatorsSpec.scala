@@ -504,6 +504,25 @@ class BatchOperatorsSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAl
     assert(got.map(_._3).toSeq.sorted.reverse == wantCounts)
   }
 
+  test("int8 scalar quantization: per-element error bounded by half a quantization step") {
+    import spark.implicits._
+    val stats = SparkEntry.queries("embedding_dim_stats")(spark, sf).collect()
+    stats.foreach { r =>
+      assert(r.getDouble(1) <= r.getDouble(3) && r.getDouble(3) <= r.getDouble(2)) // lo <= mean <= hi
+      assert(r.getDouble(4) >= 0.0)
+    }
+    val maxSpan = stats.map(r => r.getDouble(2) - r.getDouble(1)).max
+    val out = SparkEntry.queries("embedding_quantize_sq")(spark, sf).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (mse, maxErr) = (r.getDouble(2), r.getDouble(3))
+      assert(mse >= 0.0)
+      // affine int8: |err| <= span/(2*255) plus 2 integer-rounding ulps
+      assert(maxErr <= maxSpan / 510.0 + 2e-6, s"maxErr=$maxErr span=$maxSpan")
+      assert(mse <= maxErr * maxErr + 1e-12)
+    }
+  }
+
   test("winnowing: shared passage >= w+k-1 tokens guarantees a shared fingerprint; short docs safe") {
     import spark.implicits._
     val passage = "alpha beta gamma delta epsilon zeta eta theta"  // 8 tokens >= w+k-1 = 6
