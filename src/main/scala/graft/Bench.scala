@@ -155,7 +155,11 @@ object Bench {
     "funnel_strict_order" -> 2.500, "funnel_any_order" -> 2.232,
     "interval_coalesce" -> 3.542, "stream_sequence_count" -> 6.429,
     "gopher_quality_gates" -> 2.194, "ann_ivfpq_topk" -> 5.988,
-    "stream_approx_distinct" -> 2.718)
+    "stream_approx_distinct" -> 2.718,
+    "winnow_pairs" -> 5.991, "k_core" -> 18.103,
+    "stream_funnel_strict" -> 6.244, "embedding_dim_stats" -> 1.703,
+    "embedding_quantize_sq" -> 2.785, "rolling_retention" -> 1.328,
+    "peak_concurrency" -> 3.484)
 
   /** Run ONE query in a fresh JVM (this JVM's own flags + classpath,
     * stderr discarded) and parse its timing out of the child's JSON

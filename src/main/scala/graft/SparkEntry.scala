@@ -35,6 +35,8 @@ object SparkEntry {
     "stream_funnel_strict" -> ((s: SparkSession, d: String) => streaming.SequenceCountStream.streamFunnelStrict(s, d)),
     "funnel_conversion_windowed" -> ((s: SparkSession, d: String) => Engagement.funnelConversionWindowed(s, d)),
     "retention_cohorts"  -> ((s: SparkSession, d: String) => Engagement.retentionCohorts(s, d)),
+    "rolling_retention"  -> Retention.rollingRetention _,
+    "peak_concurrency"   -> Retention.peakConcurrency _,
     "snapshot_diff"      -> Engagement.snapshotDiff _,
     "events_sessionized" -> ((s: SparkSession, d: String) => Engagement.eventsSessionized(s, d)),
     "cohort_ltv"         -> Engagement.cohortLtv _,
@@ -220,7 +222,7 @@ object SparkEntry {
     "token_count"        -> TextOps.tokenCount _,
     "text_normalize"     -> TextOps.textNormalize _,
     "doc_fingerprint"    -> TextOps.docFingerprint _,
-    "winnow_pairs"       -> Winnow.winnowPairs _,
+    "winnow_pairs"       -> ((s: SparkSession, d: String) => Winnow.winnowPairs(s, d)),
     "edit_distance_pairs" -> ((s: SparkSession, d: String) => TextOps.editDistancePairs(s, d)),
     "multimodal_meta"    -> TextOps.multimodalMeta _,
     "multimodal_decode"  -> Multimodal.decode _,
@@ -718,6 +720,8 @@ object SparkEntry {
     "pareto_users" -> operators.Behavior.paretoUsersOracleSql,
     "boxplot_stats" -> operators.Behavior.boxplotStatsOracleSql,
     "ab_welch_ttest" -> operators.Behavior.abWelchTtestOracleSql,
+    "rolling_retention" -> operators.Retention.rollingRetentionOracleSql,
+    "peak_concurrency" -> operators.Retention.peakConcurrencyOracleSql(),
     "sequence_count" -> operators.Sequences.sequenceCountOracleSql,
     "funnel_strict_order" -> operators.Sequences.funnelStrictOracleSql,
     "funnel_any_order" -> operators.Sequences.funnelAnyOrderOracleSql,

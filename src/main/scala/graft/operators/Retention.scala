@@ -1,0 +1,121 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Retention and load-profile analytics over the engagement stream —
+  * the two ops an operator-of-the-product asks for right after
+  * [[Engagement]]'s classic cohort grid: "do users COME BACK at all"
+  * (rolling retention — day-N-or-later, robust to the exact-day
+  * sparsity that makes classic N-day retention jagged) and "what is
+  * peak simultaneous load" (interval-stabbing concurrency from the
+  * sessionized stream — the capacity-planning number).
+  */
+object Retention {
+
+  /** Rolling retention per signup cohort: a user counts as retained
+    * at N if they were active on ANY day ≥ cohort + N. Collapses the
+    * fact to one (cohort, last_day) row per user (two
+    * map-side-combinable aggregates, one user_id shuffle), so the
+    * cohort report reads a users-sized table — never the raw stream.
+    * All counts exact BIGINTs. */
+  def rollingRetentionTransform(events: DataFrame): DataFrame = {
+    val u = events.select(col("user_id"), date_trunc("day", col("ts")).as("day"))
+      .groupBy(col("user_id"))
+      .agg(min(col("day")).as("cohort"), max(col("day")).as("last_day"))
+    def retained(n: Int) =
+      sum(when(datediff(col("last_day"), col("cohort")) >= n, 1L).otherwise(0L))
+    u.groupBy(col("cohort"))
+      .agg(count(lit(1)).as("n_users"),
+        retained(1).as("retained_1d"),
+        retained(7).as("retained_7d"),
+        retained(14).as("retained_14d"))
+      .orderBy(col("cohort"))
+  }
+
+  def rollingRetention(spark: SparkSession, dir: String): DataFrame =
+    rollingRetentionTransform(Tables.events(spark, dir))
+
+  /** Oracle for [[rollingRetentionTransform]]. */
+  val rollingRetentionOracleSql: String =
+    """WITH e AS (SELECT user_id, date_trunc('day', CAST(ts AS TIMESTAMP)) AS day FROM events),
+      |u AS (SELECT user_id, min(day) AS cohort, max(day) AS last_day FROM e GROUP BY 1)
+      |SELECT cohort, CAST(count(*) AS BIGINT) AS n_users,
+      |       CAST(sum(CASE WHEN datediff('day', cohort, last_day) >= 1 THEN 1 ELSE 0 END) AS BIGINT) AS retained_1d,
+      |       CAST(sum(CASE WHEN datediff('day', cohort, last_day) >= 7 THEN 1 ELSE 0 END) AS BIGINT) AS retained_7d,
+      |       CAST(sum(CASE WHEN datediff('day', cohort, last_day) >= 14 THEN 1 ELSE 0 END) AS BIGINT) AS retained_14d
+      |FROM u GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** Peak concurrent sessions per day (interval stabbing): sessions
+    * are the 30-minute-gap islands of [[Engagement.eventsSessionized]]
+    * collapsed to `[start, end]` intervals, each contributing a `+1`
+    * boundary at its start and a `−1` at `end + 1 µs`; the running
+    * boundary sum's maximum is the day's peak simultaneous sessions.
+    * A session is accounted to its START day (30-min-gap sessions
+    * virtually never span midnight; a clamping variant would split
+    * the interval at day boundaries).
+    *
+    * Scale shape: the session collapse is the shared
+    * gaps-and-islands pass (one user_id shuffle); boundaries then
+    * partition by DAY, so the running sum never needs a global
+    * single-partition sort — the per-day boundary count is
+    * 2·sessions-per-day. The day peak is tie-order-independent:
+    * closes sort before opens at equal timestamps, and within a
+    * same-signed tie group the running extremum lands at the group
+    * edge, so both engines agree without a total row order. */
+  def peakConcurrencyTransform(events: DataFrame, gapMinutes: Int = 30): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val sess = events.select(col("event_id"), col("user_id"), col("ts"))
+      .withColumn("new_session",
+        when(unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(w))
+               > gapMinutes * 60L * 1000000L, 1L)
+          .when(lag(col("ts"), 1).over(w).isNull, 1L)
+          .otherwise(0L))
+      .withColumn("session_seq",
+        sum(col("new_session")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("user_id"), col("session_seq"))
+      .agg(min(col("ts")).as("s_ts"), max(col("ts")).as("e_ts"))
+    val bounds = sess
+      .select(date_trunc("day", col("s_ts")).as("day"), col("s_ts").as("bts"),
+        lit(1L).as("delta"))
+      .unionByName(sess.select(date_trunc("day", col("s_ts")).as("day"),
+        (col("e_ts") + expr("INTERVAL 1 MICROSECOND")).as("bts"), lit(-1L).as("delta")))
+    val wd = Window.partitionBy(col("day")).orderBy(col("bts"), col("delta"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    bounds.withColumn("conc", sum(col("delta")).over(wd))
+      .groupBy(col("day"))
+      .agg(max(col("conc")).as("peak_concurrent"),
+        expr("count(1) div 2").as("n_sessions"))
+      .orderBy(col("day"))
+  }
+
+  def peakConcurrency(spark: SparkSession, dir: String): DataFrame =
+    peakConcurrencyTransform(Tables.events(spark, dir))
+
+  /** Oracle for [[peakConcurrencyTransform]]. */
+  def peakConcurrencyOracleSql(gapMinutes: Int = 30): String =
+    s"""WITH e AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+       |f AS (SELECT user_id, event_id, ts,
+       |             CASE WHEN lag(ts) OVER w IS NULL THEN 1
+       |                  WHEN epoch_us(ts) - epoch_us(lag(ts) OVER w) > $gapMinutes * 60 * 1000000 THEN 1
+       |                  ELSE 0 END AS new_session
+       |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+       |g AS (SELECT user_id, ts,
+       |             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+       |                                    ROWS UNBOUNDED PRECEDING) AS session_seq
+       |      FROM f),
+       |s AS (SELECT user_id, session_seq, min(ts) AS s_ts, max(ts) AS e_ts
+       |      FROM g GROUP BY 1, 2),
+       |b AS (SELECT date_trunc('day', s_ts) AS day, s_ts AS bts, 1 AS delta FROM s
+       |      UNION ALL
+       |      SELECT date_trunc('day', s_ts), e_ts + INTERVAL 1 MICROSECOND, -1 FROM s),
+       |c AS (SELECT day, sum(delta) OVER (PARTITION BY day ORDER BY bts, delta
+       |                                   ROWS UNBOUNDED PRECEDING) AS conc
+       |      FROM b)
+       |SELECT day, CAST(max(conc) AS BIGINT) AS peak_concurrent,
+       |       CAST(count(*) // 2 AS BIGINT) AS n_sessions
+       |FROM c GROUP BY 1 ORDER BY 1""".stripMargin
+}

@@ -26,10 +26,14 @@ import graft.sources.Tables
   */
 object Winnow {
 
-  /** Shared-fingerprint pairs `(doc_a, doc_b, n_shared)` with
-    * `n_shared ≥ minShared`, winnowed at (k, w). */
-  def winnowPairsTransform(documents: DataFrame, k: Int = 3, w: Int = 4,
-                           maxDf: Int = 50, minShared: Int = 2): DataFrame = {
+  /** Per-doc selected fingerprints `(doc_id, fp)`, built as THREE
+    * staged projections (hash array → selection array → explode):
+    * each stage materializes its column once per row — inlining
+    * `hashes` into the five places the selection expression reads it
+    * would re-run the md5 gram scan per reference (the
+    * normalizedEmbedding codegen lesson; first cut of this operator
+    * paid 192 s at sf0.1 for exactly that, vs ~1 s of actual work). */
+  private def hashTable(documents: DataFrame, k: Int): DataFrame = {
     val toks = split(col("text"), " ")
     // guard: Spark's sequence(1, 0) DESCENDS ([1,0]) instead of
     // returning empty like DuckDB's range — short docs must
@@ -39,13 +43,26 @@ object Winnow {
         sequence(lit(1), size(toks) - (k - 1)),
         i => conv(substring(md5(array_join(slice(toks, i, lit(k)), " ")), 1, 8), 16, 10)
           .cast("long")))
+    documents.select(col("doc_id"), hashes.as("h"))
+  }
+
+  private def selectFingerprints(hashed: DataFrame, w: Int): DataFrame = {
     val sel: Column =
-      when(size(hashes) === 0, array().cast("array<bigint>"))
-        .when(size(hashes) < w, array(array_min(hashes)))
+      when(size(col("h")) === 0, array().cast("array<bigint>"))
+        .when(size(col("h")) < w, array(array_min(col("h"))))
         .otherwise(array_distinct(transform(
-          sequence(lit(1), size(hashes) - (w - 1)),
-          j => array_min(slice(hashes, j, lit(w))))))
-    val fp = documents.select(col("doc_id"), explode(sel).as("fp"))
+          sequence(lit(1), size(col("h")) - (w - 1)),
+          j => array_min(slice(col("h"), j, lit(w))))))
+    hashed.select(col("doc_id"), sel.as("sel"))
+      .select(col("doc_id"), explode(col("sel")).as("fp"))
+  }
+
+  private def fingerprintsOf(documents: DataFrame, k: Int, w: Int): DataFrame =
+    selectFingerprints(hashTable(documents, k), w)
+
+  /** Pair stage over a fingerprint table that feeds BOTH the df
+    * filter and both sides of the self-join — callers persist it. */
+  private def pairsFromFp(fp: DataFrame, maxDf: Int, minShared: Int): DataFrame = {
     val rare = fp.join(
       fp.groupBy(col("fp")).agg(count(lit(1)).as("df"))
         .filter(col("df") <= maxDf).select(col("fp")),
@@ -59,8 +76,40 @@ object Winnow {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
-  def winnowPairs(spark: SparkSession, dir: String): DataFrame =
-    winnowPairsTransform(Tables.documents(spark, dir))
+  /** Shared-fingerprint pairs `(doc_a, doc_b, n_shared)` with
+    * `n_shared ≥ minShared`, winnowed at (k, w). Un-memoized
+    * transform face for spec-level planted inputs. */
+  def winnowPairsTransform(documents: DataFrame, k: Int = 3, w: Int = 4,
+                           maxDf: Int = 50, minShared: Int = 2): DataFrame =
+    pairsFromFp(fingerprintsOf(documents, k, w), maxDf, minShared)
+
+  /** The corpus fingerprint table, memoized + persisted per
+    * (session, dir, k, w) — it feeds three plan branches (df filter
+    * + both self-join sides); recomputing the md5 gram scan per
+    * branch tripled the query. Freed via
+    * [[graft.GraftCaches.clearAll]] like every shared table. */
+  private val fpCache =
+    graft.GraftCaches.memo[(SparkSession, String, Int, Int), DataFrame](_.unpersist())
+
+  def winnowPairs(spark: SparkSession, dir: String, k: Int = 3, w: Int = 4): DataFrame = {
+    val fp = fpCache.getOrElseUpdate((spark, dir, k, w)) {
+      // Materialize the hash arrays BEFORE the window-min selection:
+      // an unmaterialized hash column gets column-pruned out of its
+      // own stage and re-inlined into the selection, where every
+      // w-window slice re-runs the md5 gram scan — first cut paid
+      // ~100 s at sf0.1 in that stage vs 0.8 s over a persisted
+      // array (probe numbers in the round-8 log). The intermediate
+      // is dropped once the fingerprint table is materialized.
+      val h = hashTable(Tables.documents(spark, dir), k).persist()
+      h.count()
+      val f = selectFingerprints(h, w)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      f.count()
+      h.unpersist()
+      f
+    }
+    pairsFromFp(fp, maxDf = 50, minShared = 2)
+  }
 
   /** Oracle for [[winnowPairsTransform]] — same grams, same
     * md5-prefix hash, same window minima, same df cap. */

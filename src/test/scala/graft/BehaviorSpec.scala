@@ -645,6 +645,34 @@ class BehaviorSpec extends AnyFunSuite {
     assert(out == Seq((1L, 2L, 10L), (2L, 1L, 3L)))
   }
 
+  test("rolling retention: day-N-or-later semantics per cohort") {
+    val events = ev(Seq(
+      (1L, "2024-01-01 10:00:00", 1L, "view", 0.0),   // cohort Jan 1
+      (1L, "2024-01-09 10:00:00", 2L, "view", 0.0),   // back day 8: r1+r7, not r14
+      (2L, "2024-01-01 12:00:00", 3L, "view", 0.0),   // never returns
+      (3L, "2024-01-02 10:00:00", 4L, "view", 0.0),   // cohort Jan 2
+      (3L, "2024-01-17 10:00:00", 5L, "view", 0.0)))  // back day 15: all three
+    val out = operators.Retention.rollingRetentionTransform(events).collect()
+      .map(r => (r.getTimestamp(0).toString.take(10), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSeq
+    assert(out == Seq(("2024-01-01", 2L, 1L, 1L, 0L), ("2024-01-02", 1L, 1L, 1L, 1L)))
+  }
+
+  test("peak concurrency: overlapping sessions stack, disjoint do not, closes beat opens on ties") {
+    val events = ev(Seq(
+      // day 1: u1 session 10:00-10:10, u2 session 10:05-10:15 -> peak 2
+      (1L, "2024-01-01 10:00:00", 1L, "view", 0.0),
+      (1L, "2024-01-01 10:10:00", 2L, "view", 0.0),
+      (2L, "2024-01-01 10:05:00", 3L, "view", 0.0),
+      (2L, "2024-01-01 10:15:00", 4L, "view", 0.0),
+      // u4 disjoint evening session -> n_sessions 3, peak stays 2
+      (4L, "2024-01-01 20:00:00", 5L, "view", 0.0),
+      // day 2: one single-event session
+      (3L, "2024-01-02 09:00:00", 6L, "view", 0.0)))
+    val out = operators.Retention.peakConcurrencyTransform(events).collect()
+      .map(r => (r.getTimestamp(0).toString.take(10), r.getLong(1), r.getLong(2))).toSeq
+    assert(out == Seq(("2024-01-01", 2L, 3L), ("2024-01-02", 1L, 1L)))
+  }
+
   test("time-decay attribution: half-life halving sets the shares, expiry excluded") {
     val events = ev(Seq(
       // user 1: view 2 days before (w=.25), click 1 day before (w=.5)
