@@ -35,6 +35,8 @@ object SparkEntry {
     "stream_funnel_strict" -> ((s: SparkSession, d: String) => streaming.SequenceCountStream.streamFunnelStrict(s, d)),
     "funnel_conversion_windowed" -> ((s: SparkSession, d: String) => Engagement.funnelConversionWindowed(s, d)),
     "retention_cohorts"  -> ((s: SparkSession, d: String) => Engagement.retentionCohorts(s, d)),
+    "asof_join_forward"  -> Engagement.asofJoinForward _,
+    "asof_join_nearest"  -> Engagement.asofJoinNearest _,
     "rolling_retention"  -> Retention.rollingRetention _,
     "peak_concurrency"   -> Retention.peakConcurrency _,
     "snapshot_diff"      -> Engagement.snapshotDiff _,
@@ -868,6 +870,46 @@ object SparkEntry {
         |       round(o.last_totalprice, 2) AS last_totalprice
         |FROM events e ASOF LEFT JOIN o ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
         |ORDER BY e.event_id""".stripMargin,
+
+    // forward as-of: DuckDB's native ASOF with the inequality
+    // flipped — an independent formulation of the Spark union-window
+    "asof_join_forward" ->
+      """WITH o AS (SELECT o_custkey, o_orderdate, max(o_orderkey) AS next_orderkey,
+        |                  max_by(o_totalprice, o_orderkey) AS next_totalprice
+        |           FROM orders GROUP BY 1, 2)
+        |SELECT e.event_id, CAST(e.ts AS TIMESTAMP) AS ts, e.user_id,
+        |       o.next_orderkey, o.o_orderdate AS next_orderdate,
+        |       round(o.next_totalprice, 2) AS next_totalprice
+        |FROM events e ASOF LEFT JOIN o ON e.user_id = o.o_custkey AND e.ts <= o.o_orderdate
+        |ORDER BY e.event_id""".stripMargin,
+
+    // nearest: both native ASOF directions joined, closer side wins,
+    // exact-microsecond distances, ties backward; forward is STRICT
+    // (an order exactly at the event's ts belongs to the backward
+    // side at distance 0)
+    "asof_join_nearest" ->
+      """WITH o AS (SELECT o_custkey, o_orderdate, max(o_orderkey) AS okey
+        |           FROM orders GROUP BY 1, 2),
+        |e AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id FROM events),
+        |b AS (SELECT e.event_id, e.ts, e.user_id, o.okey AS bk, o.o_orderdate AS bd
+        |      FROM e ASOF LEFT JOIN o ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate),
+        |f AS (SELECT e.event_id, o.okey AS fk, o.o_orderdate AS fd
+        |      FROM e ASOF LEFT JOIN o ON e.user_id = o.o_custkey AND e.ts < o.o_orderdate),
+        |j AS (SELECT b.event_id, b.ts, b.user_id, bk, bd, fk, fd,
+        |             epoch_us(b.ts) - epoch_us(bd) AS db,
+        |             epoch_us(fd) - epoch_us(b.ts) AS df
+        |      FROM b JOIN f USING (event_id))
+        |SELECT event_id, ts, user_id,
+        |       CASE WHEN bd IS NULL AND fd IS NULL THEN NULL
+        |            WHEN bd IS NULL THEN fk WHEN fd IS NULL THEN bk
+        |            WHEN db <= df THEN bk ELSE fk END AS nearest_orderkey,
+        |       CASE WHEN bd IS NULL AND fd IS NULL THEN NULL
+        |            WHEN bd IS NULL THEN 'f' WHEN fd IS NULL THEN 'b'
+        |            WHEN db <= df THEN 'b' ELSE 'f' END AS direction,
+        |       CAST(CASE WHEN bd IS NULL AND fd IS NULL THEN NULL
+        |            WHEN bd IS NULL THEN df WHEN fd IS NULL THEN db
+        |            ELSE least(db, df) END AS BIGINT) AS dist_us
+        |FROM j ORDER BY event_id""".stripMargin,
 
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,

@@ -437,6 +437,93 @@ object Engagement {
       .orderBy($"event_id")
   }
 
+  /** FORWARD as-of join — [[asofJoin]]'s time-mirror (pandas
+    * `merge_asof(direction='forward')` / kdb `aj` reversed): each
+    * event picks the EARLIEST order at-or-after its timestamp — the
+    * "what did this touch lead to" direction where backward answers
+    * "what state was current". Same distributed-merge shape (union →
+    * one key shuffle → one in-partition sort), with the carry
+    * flipped: `first(..., ignoreNulls)` over `[current, ∞)`, and the
+    * side bit ordered so an order AT the event's timestamp sorts
+    * after the event and stays inside the forward frame (`<=`
+    * semantics, matching the DuckDB forward ASOF oracle's
+    * `e.ts <= o.o_orderdate`).
+    */
+  def asofJoinForward(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val o = Tables.orders(spark, dir)
+      .groupBy($"o_custkey", $"o_orderdate")
+      .agg(max($"o_orderkey").as("next_orderkey"),
+        max_by($"o_totalprice", $"o_orderkey").as("next_totalprice"))
+
+    val ou = o.select($"o_custkey".as("user_id"), $"o_orderdate".as("t"),
+      lit(1).as("side"), lit(null).cast("long").as("event_id"),
+      $"next_orderkey", $"o_orderdate".as("next_orderdate"), $"next_totalprice")
+    val eu = Tables.events(spark, dir).select($"user_id", $"ts".as("t"),
+      lit(0).as("side"), $"event_id",
+      lit(null).cast("long").as("next_orderkey"),
+      lit(null).cast("timestamp").as("next_orderdate"),
+      lit(null).cast("double").as("next_totalprice"))
+
+    val w = Window.partitionBy($"user_id").orderBy($"t", $"side")
+      .rowsBetween(0, Window.unboundedFollowing)
+    ou.unionByName(eu)
+      .withColumn("nk", first($"next_orderkey", ignoreNulls = true).over(w))
+      .withColumn("nd", first($"next_orderdate", ignoreNulls = true).over(w))
+      .withColumn("np", first($"next_totalprice", ignoreNulls = true).over(w))
+      .filter($"side" === 0)
+      .select($"event_id", $"t".as("ts"), $"user_id",
+        $"nk".as("next_orderkey"), $"nd".as("next_orderdate"),
+        round($"np", 2).as("next_totalprice"))
+      .orderBy($"event_id")
+  }
+
+  /** NEAREST as-of join (pandas `direction='nearest'`): backward and
+    * forward carries computed over ONE partition sort (two window
+    * frames, same ordering), then per event the closer order wins;
+    * exact-integer microsecond distances, ties to the backward side.
+    */
+  def asofJoinNearest(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val o = Tables.orders(spark, dir)
+      .groupBy($"o_custkey", $"o_orderdate")
+      .agg(max($"o_orderkey").as("okey"))
+
+    val ou = o.select($"o_custkey".as("user_id"), $"o_orderdate".as("t"),
+      lit(0).as("side"), lit(null).cast("long").as("event_id"),
+      $"okey", $"o_orderdate".as("odate"))
+    val eu = Tables.events(spark, dir).select($"user_id", $"ts".as("t"),
+      lit(1).as("side"), $"event_id",
+      lit(null).cast("long").as("okey"),
+      lit(null).cast("timestamp").as("odate"))
+
+    val ord = Window.partitionBy($"user_id").orderBy($"t", $"side")
+    val wb = ord.rowsBetween(Window.unboundedPreceding, 0)
+    val wf = ord.rowsBetween(0, Window.unboundedFollowing)
+    ou.unionByName(eu)
+      .withColumn("bk", last($"okey", ignoreNulls = true).over(wb))
+      .withColumn("bd", last($"odate", ignoreNulls = true).over(wb))
+      .withColumn("fk", first($"okey", ignoreNulls = true).over(wf))
+      .withColumn("fd", first($"odate", ignoreNulls = true).over(wf))
+      .filter($"side" === 1)
+      .withColumn("db", unix_micros($"t") - unix_micros($"bd"))
+      .withColumn("df", unix_micros($"fd") - unix_micros($"t"))
+      .select($"event_id", $"t".as("ts"), $"user_id",
+        when($"bd".isNull && $"fd".isNull, lit(null).cast("long"))
+          .when($"bd".isNull, $"fk")
+          .when($"fd".isNull, $"bk")
+          .when($"db" <= $"df", $"bk").otherwise($"fk").as("nearest_orderkey"),
+        when($"bd".isNull && $"fd".isNull, lit(null).cast("string"))
+          .when($"bd".isNull, lit("f"))
+          .when($"fd".isNull, lit("b"))
+          .when($"db" <= $"df", lit("b")).otherwise(lit("f")).as("direction"),
+        when($"bd".isNull && $"fd".isNull, lit(null).cast("long"))
+          .when($"bd".isNull, $"df")
+          .when($"fd".isNull, $"db")
+          .otherwise(least($"db", $"df")).as("dist_us"))
+      .orderBy($"event_id")
+  }
+
   /** JSON payload extraction (the reference's `raw_payload JSONB`).
     *
     * `get_json_object` is a codegen'd Catalyst expression — no UDF.

@@ -645,6 +645,29 @@ class BehaviorSpec extends AnyFunSuite {
     assert(out == Seq((1L, 2L, 10L), (2L, 1L, 3L)))
   }
 
+  test("nearest as-of: exact tie goes backward, forward-only and no-order users handled") {
+    import org.apache.spark.sql.functions.to_timestamp
+    val dir = java.nio.file.Files.createTempDirectory("graft_asof_").toString
+    Seq(
+      (1L, "2024-01-01 12:00:00", 1L, "view", 0.0, "{}"),  // tie: orders 1h both sides
+      (2L, "2024-01-01 12:00:00", 2L, "view", 0.0, "{}"),  // only a later order -> f
+      (3L, "2024-01-01 12:00:00", 3L, "view", 0.0, "{}"))  // no orders -> nulls
+      .toDF("event_id", "ts_s", "user_id", "event_type", "value", "props")
+      .withColumn("ts", to_timestamp($"ts_s")).drop("ts_s")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    Seq(
+      (10L, 1L, "O", 5.0, "2024-01-01 11:00:00", "p"),
+      (11L, 1L, "O", 6.0, "2024-01-01 13:00:00", "p"),
+      (12L, 2L, "O", 7.0, "2024-01-02 09:00:00", "p"))
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "od_s", "o_orderpriority")
+      .withColumn("o_orderdate", to_timestamp($"od_s")).drop("od_s")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val out = operators.Engagement.asofJoinNearest(spark, dir).collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(3)) -1L else r.getLong(3),
+        if (r.isNullAt(4)) "-" else r.getString(4))).toSeq
+    assert(out == Seq((1L, 10L, "b"), (2L, 12L, "f"), (3L, -1L, "-")))
+  }
+
   test("rolling retention: day-N-or-later semantics per cohort") {
     val events = ev(Seq(
       (1L, "2024-01-01 10:00:00", 1L, "view", 0.0),   // cohort Jan 1
