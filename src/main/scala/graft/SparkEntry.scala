@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.operators._
-import graft.streaming.{AttributionStream, BoxplotStream, CdcCompact, ChangepointStream, DailyModeStream, DoclenStream, DriftStream, EngagementStream, EwmaStream, FunnelStream, HhiStream, HllStream, JdbcSink, MomentsStream, PercentileBandsStream, RollupStream, SeasonalityStream, Sessionize, StreamDedup, StreamIncrementalDedup, ZipfStream}
+import graft.streaming.{AttributionStream, BoxplotStream, CdcCompact, ChangepointStream, DailyModeStream, DoclenStream, DriftStream, EngagementStream, EwmaStream, FunnelStream, HhiStream, HllStream, JdbcSink, MomentsStream, PercentileBandsStream, ProfileStreams, RollupStream, SeasonalityStream, Sessionize, StreamDedup, StreamIncrementalDedup, ZipfStream}
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the inventory. */
 object SparkEntry {
@@ -112,6 +112,8 @@ object SparkEntry {
     "cross_source_dups"    -> TextOps.crossSourceDups _,
     "stream_boxplot"       -> BoxplotStream.streamBoxplot _,
     "stream_approx_distinct" -> HllStream.streamApproxDistinct _,
+    "stream_rolling_retention" -> ProfileStreams.streamRollingRetention _,
+    "stream_label_centroids" -> ((s: SparkSession, d: String) => ProfileStreams.streamLabelCentroids(s, d)),
     "label_centroids"      -> VectorOps.labelCentroids _,
     "stream_ewma"          -> EwmaStream.streamEwma _,
     // Structured Streaming (real engine: readStream -> AvailableNow),
@@ -274,6 +276,10 @@ object SparkEntry {
       // reproduces the batch fold exactly
       "stream_sequence_count" -> base("sequence_count"),
       "stream_funnel_strict" -> base("funnel_strict_order"),
+      // min/max spans and (label,dim) sums are additive state; the
+      // reports are the SAME derivations the batch operators run
+      "stream_rolling_retention" -> base("rolling_retention"),
+      "stream_label_centroids" -> base("label_centroids"),
       // additive integer moments: batch boundaries are invisible, so
       // the oracle is the same formula in one corpus pass (expression
       // shape mirrored literally for bit-equal doubles)

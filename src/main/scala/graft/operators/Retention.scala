@@ -22,10 +22,17 @@ object Retention {
     * map-side-combinable aggregates, one user_id shuffle), so the
     * cohort report reads a users-sized table — never the raw stream.
     * All counts exact BIGINTs. */
-  def rollingRetentionTransform(events: DataFrame): DataFrame = {
-    val u = events.select(col("user_id"), date_trunc("day", col("ts")).as("day"))
-      .groupBy(col("user_id"))
-      .agg(min(col("day")).as("cohort"), max(col("day")).as("last_day"))
+  def rollingRetentionTransform(events: DataFrame): DataFrame =
+    reportFromUsers(
+      events.select(col("user_id"), date_trunc("day", col("ts")).as("day"))
+        .groupBy(col("user_id"))
+        .agg(min(col("day")).as("cohort"), max(col("day")).as("last_day")))
+
+  /** The cohort report over a `(user_id, cohort, last_day)` table —
+    * shared by the batch collapse above and the streaming span state
+    * ([[graft.streaming.UserSpanState]]), so stream/batch parity is
+    * by shared derivation. */
+  private[graft] def reportFromUsers(u: DataFrame): DataFrame = {
     def retained(n: Int) =
       sum(when(datediff(col("last_day"), col("cohort")) >= n, 1L).otherwise(0L))
     u.groupBy(col("cohort"))

@@ -676,19 +676,26 @@ object VectorOps {
   def labelCentroids(spark: SparkSession, dir: String): DataFrame =
     labelCentroidsTransform(Tables.embeddings(spark, dir))
 
-  def labelCentroidsTransform(embeddings: DataFrame): DataFrame = {
-    val spark = embeddings.sparkSession
-    import spark.implicits._
+  def labelCentroidsTransform(embeddings: DataFrame): DataFrame =
+    centroidsFromSums(labelDimSums(embeddings))
+
+  /** The additive `(label, dim, n_vecs, sum_q)` sufficient state —
+    * shared with [[graft.streaming.LabelCentroidState]]'s per-batch
+    * partials (sums of sums merge exactly). */
+  private[graft] def labelDimSums(embeddings: DataFrame): DataFrame =
     embeddings
-      .select($"label".cast("long").as("label"), posexplode($"embedding"))
-      .select($"label", ($"pos" + 1).cast("long").as("dim"),
+      .select(col("label").cast("long").as("label"), posexplode(col("embedding")))
+      .select(col("label"), (col("pos") + 1).cast("long").as("dim"),
         expr("CAST(round(CAST(col AS DOUBLE) * 1000000) AS BIGINT)").as("q"))
-      .groupBy($"label", $"dim")
-      .agg(count(lit(1)).as("n_vecs"), sum($"q").as("sum_q"))
-      .select($"label", $"dim", $"n_vecs", $"sum_q",
-        round($"sum_q" / $"n_vecs" / lit(1000000.0), 6).as("centroid"))
-      .orderBy($"label", $"dim")
-  }
+      .groupBy(col("label"), col("dim"))
+      .agg(count(lit(1)).as("n_vecs"), sum(col("q")).as("sum_q"))
+
+  /** The centroid derivation over the sufficient state — shared by
+    * batch and stream so parity is by construction. */
+  private[graft] def centroidsFromSums(g: DataFrame): DataFrame =
+    g.select(col("label"), col("dim"), col("n_vecs"), col("sum_q"),
+        round(col("sum_q") / col("n_vecs") / lit(1000000.0), 6).as("centroid"))
+      .orderBy(col("label"), col("dim"))
 
   /** Per-label embedding drift between two corpus snapshots — the
     * "did this label's region move" monitor a retraining decision

@@ -1,0 +1,107 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** Additive-sufficient-state streaming twins for the profiling
+  * family — the [[ValueCountState]] discipline applied to two more
+  * state shapes:
+  *
+  *  - [[UserSpanState]]: per-user `(cohort, last_day)` span — min and
+  *    max merge exactly, so rolling retention on an unbounded stream
+  *    is |users| rows of state and the report is
+  *    [[graft.operators.Retention.reportFromUsers]], the very
+  *    derivation the batch operator runs (parity by shared code).
+  *  - [[LabelCentroidState]]: the `(label, dim, n, Σq)` grid of
+  *    [[graft.operators.VectorOps.labelDimSums]] — sums of sums merge
+  *    exactly; the centroid report is the shared
+  *    `centroidsFromSums`. The embedding stream is a staged parquet
+  *    replay ([[StreamSources.parquetStream]]) — the corpus arrives
+  *    in micro-batches exactly as an ingest pipeline would deliver
+  *    it.
+  *
+  * Both are replay-guarded and versioned like every state here.
+  */
+final class UserSpanState(stateDir: String) {
+  @volatile private var version: Long = StreamUtil.latestVersion(stateDir)
+
+  private def prior(spark: SparkSession): DataFrame =
+    if (version < 0)
+      spark.createDataFrame(java.util.List.of[Row](), StructType.fromDDL(
+        "user_id BIGINT, cohort TIMESTAMP, last_day TIMESTAMP"))
+    else spark.read.parquet(s"$stateDir/v$version")
+
+  def merge(batch: Dataset[Row], batchId: Long): Unit = {
+    if (batchId <= version) return
+    val spark = batch.sparkSession
+    val partial = batch
+      .select(col("user_id"), date_trunc("day", col("ts")).as("day"))
+      .groupBy(col("user_id"))
+      .agg(min(col("day")).as("b_first"), max(col("day")).as("b_last"))
+    val merged = prior(spark).join(partial, Seq("user_id"), "full_outer")
+      .select(col("user_id"),
+        least(coalesce(col("cohort"), col("b_first")),
+              coalesce(col("b_first"), col("cohort"))).as("cohort"),
+        greatest(coalesce(col("last_day"), col("b_last")),
+                 coalesce(col("b_last"), col("last_day"))).as("last_day"))
+    merged.coalesce(1).write.mode("overwrite").parquet(s"$stateDir/v$batchId")
+    val prev = version
+    version = batchId
+    if (prev >= 0) StreamUtil.delete(spark, s"$stateDir/v$prev")
+  }
+
+  def report(spark: SparkSession): DataFrame =
+    graft.operators.Retention.reportFromUsers(prior(spark))
+}
+
+final class LabelCentroidState(stateDir: String) {
+  @volatile private var version: Long = StreamUtil.latestVersion(stateDir)
+
+  private def prior(spark: SparkSession): DataFrame =
+    if (version < 0)
+      spark.createDataFrame(java.util.List.of[Row](), StructType.fromDDL(
+        "label BIGINT, dim BIGINT, n_vecs BIGINT, sum_q BIGINT"))
+    else spark.read.parquet(s"$stateDir/v$version")
+
+  def merge(batch: Dataset[Row], batchId: Long): Unit = {
+    if (batchId <= version) return
+    val spark = batch.sparkSession
+    val partial = graft.operators.VectorOps.labelDimSums(batch)
+    val merged = prior(spark).unionByName(partial)
+      .groupBy(col("label"), col("dim"))
+      .agg(sum(col("n_vecs")).as("n_vecs"), sum(col("sum_q")).as("sum_q"))
+    merged.coalesce(1).write.mode("overwrite").parquet(s"$stateDir/v$batchId")
+    val prev = version
+    version = batchId
+    if (prev >= 0) StreamUtil.delete(spark, s"$stateDir/v$prev")
+  }
+
+  def report(spark: SparkSession): DataFrame =
+    graft.operators.VectorOps.centroidsFromSums(prior(spark))
+}
+
+object ProfileStreams {
+
+  /** Queries entry (oracle: same SQL as `rolling_retention`). */
+  def streamRollingRetention(spark: SparkSession, dir: String): DataFrame = {
+    val work = graft.GraftCaches.trackTempDir("graft_uspan_")
+    val state = new UserSpanState(s"$work/state")
+    StreamSources.runForeachBatch(StreamSources.events(spark, dir), state.merge)
+    state.report(spark)
+  }
+
+  /** Queries entry (oracle: same SQL as `label_centroids`): the
+    * embedding corpus staged as 4 files and replayed one file per
+    * micro-batch. */
+  def streamLabelCentroids(spark: SparkSession, dir: String, nFiles: Int = 4): DataFrame = {
+    val work = graft.GraftCaches.trackTempDir("graft_lcent_")
+    graft.sources.Tables.embeddings(spark, dir).repartition(nFiles)
+      .write.mode("overwrite").parquet(s"$work/input")
+    val state = new LabelCentroidState(s"$work/state")
+    StreamSources.runForeachBatch(
+      StreamSources.parquetStream(spark, s"$work/input", maxFilesPerTrigger = 1),
+      state.merge)
+    state.report(spark)
+  }
+}

@@ -74,6 +74,20 @@ object StreamSources {
     reader.parquet(streamPath)
   }
 
+  /** Any parquet table as an unbounded stream (no normalization) —
+    * same schema-from-batch-read and single-file-glob routing as
+    * [[eventsFrom]]; used for staged embeddings replays. */
+  def parquetStream(spark: SparkSession, path: String,
+                    maxFilesPerTrigger: Int = 0): DataFrame = {
+    val schema = spark.read.parquet(path).schema
+    var reader = spark.readStream.schema(schema)
+    if (maxFilesPerTrigger > 0)
+      reader = reader.option("maxFilesPerTrigger", maxFilesPerTrigger.toString)
+    val streamPath =
+      if (new java.io.File(path).isFile) s"${path.init}[${path.last}]" else path
+    reader.parquet(streamPath)
+  }
+
   /** Shuffle/state partition count captured by a starting streaming
     * query. The replayed micro-batches here are small, and every
     * stateful operator creates one state store (plus per-batch commit

@@ -178,6 +178,14 @@ class StreamingSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
     assert(rows("stream_funnel_strict") == rows("funnel_strict_order"))
   }
 
+  test("stream_rolling_retention equals batch rolling_retention") {
+    assert(rows("stream_rolling_retention") == rows("rolling_retention"))
+  }
+
+  test("stream_label_centroids equals batch label_centroids") {
+    assert(rows("stream_label_centroids") == rows("label_centroids"))
+  }
+
   test("sequence-count state: DFA resumes mid-pattern across a batch boundary, replay-guarded") {
     import org.apache.spark.sql.functions.{col, to_timestamp}
     import graft.streaming.DfaState
