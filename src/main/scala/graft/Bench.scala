@@ -159,7 +159,10 @@ object Bench {
     "winnow_pairs" -> 5.991, "k_core" -> 18.103,
     "stream_funnel_strict" -> 6.244, "embedding_dim_stats" -> 1.703,
     "embedding_quantize_sq" -> 2.785, "rolling_retention" -> 1.328,
-    "peak_concurrency" -> 3.484)
+    "peak_concurrency" -> 3.484,
+    "asof_join_forward" -> 3.195, "asof_join_nearest" -> 3.427,
+    "stream_rolling_retention" -> 3.014, "stream_label_centroids" -> 5.546,
+    "corpus_mix_temperature" -> 2.327)
 
   /** Run ONE query in a fresh JVM (this JVM's own flags + classpath,
     * stderr discarded) and parse its timing out of the child's JSON

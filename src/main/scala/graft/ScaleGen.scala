@@ -99,7 +99,18 @@ object ScaleGen {
       .repartition(32)
       .write.mode("overwrite").parquet(s"$out/lineitem.parquet")
 
-    Seq("events", "documents", "embeddings", "lineitem").foreach { t =>
+    // orders (round-8: the as-of-join dimension): o_custkey shifted by
+    // the SAME per-copy offset as events.user_id, so every cloned
+    // user keeps an order timeline with the original's density.
+    val ord = spark.read.parquet(s"$src/orders.parquet")
+    withCopies(ord).select(
+      ($"o_orderkey" + $"copy" * shift).as("o_orderkey"),
+      ($"o_custkey" + $"copy" * shift).as("o_custkey"),
+      $"o_orderstatus", $"o_totalprice", $"o_orderdate", $"o_orderpriority")
+      .repartition(16)
+      .write.mode("overwrite").parquet(s"$out/orders.parquet")
+
+    Seq("events", "documents", "embeddings", "lineitem", "orders").foreach { t =>
       println(s"$t: " + spark.read.parquet(s"$out/$t.parquet").count())
     }
     spark.stop()

@@ -210,6 +210,7 @@ object SparkEntry {
     "domain_frequency_cap" -> ((s: SparkSession, d: String) => Sampling.domainFrequencyCap(s, d)),
     "doc_chunking"        -> ((s: SparkSession, d: String) => Sampling.docChunking(s, d)),
     "corpus_mix"          -> ((s: SparkSession, d: String) => Sampling.corpusMix(s, d)),
+    "corpus_mix_temperature" -> ((s: SparkSession, d: String) => Sampling.corpusMixTemperature(s, d)),
     "sample_k_per_group"  -> ((s: SparkSession, d: String) => Sampling.sampleKPerGroup(s, d)),
     "weighted_sample"     -> ((s: SparkSession, d: String) => Sampling.weightedSample(s, d)),
     "corpus_filter"       -> ((s: SparkSession, d: String) => TextOps.corpusFilter(s, d)),
@@ -1093,6 +1094,7 @@ object SparkEntry {
     "decontaminate_fuzzy" -> operators.Sampling.decontaminateFuzzyOracleSql(),
     "domain_frequency_cap" -> operators.Sampling.domainFrequencyCapOracleSql(),
     "corpus_mix" -> operators.Sampling.corpusMixOracleSql(),
+    "corpus_mix_temperature" -> operators.Sampling.corpusMixTemperatureOracleSql(),
 
     "text_quality" -> operators.TextOps.textQualityOracleSql,
     "gopher_quality_gates" -> operators.TextOps.gopherGatesOracleSql,

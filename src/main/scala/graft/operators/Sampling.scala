@@ -356,6 +356,54 @@ object Sampling {
        |WHERE hv * n_s < target_s * 4294967296
        |ORDER BY doc_id""".stripMargin
 
+  /** Temperature-scaled source mixing (Conneau & Lample 2019's
+    * multilingual α-sampling, α = 1/2): where [[corpusMix]] takes
+    * mixture weights as GIVEN, here the weight IS the source's size
+    * raised to α — `w_s ∝ √n_s` — which upsamples small sources and
+    * tempers head sources, the standard fix for a skewed multilingual
+    * or multi-domain corpus. Weights stay integer-exact:
+    * `w_s = ⌊√(n_s·10⁶)⌋` (IEEE sqrt of an exact int is correctly
+    * rounded, so the floor is the true integer square root in both
+    * engines); the target/keep machinery is [[corpusMix]]'s 64-bit
+    * integer test verbatim. Same scale shape: |sources|-row
+    * aggregate, broadcast back, map-side filter — the fact never
+    * shuffles. */
+  def corpusMixTemperature(spark: SparkSession, dir: String,
+                           budgetNum: Int = 2, budgetDen: Int = 5,
+                           salt: String = "graft-mix-temp"): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir).select($"doc_id", $"source")
+    val counts = docs.groupBy($"source")
+      .agg(count(lit(1)).as("n_s"))
+      .withColumn("w", expr("CAST(floor(sqrt(CAST(n_s AS DOUBLE) * 1000000)) AS BIGINT)"))
+    val totals = counts.agg(sum($"n_s").as("n_tot"), sum($"w").as("w_tot"))
+    val rates = counts.crossJoin(totals)
+      .select($"source", $"n_s",
+        expr(s"((n_tot * $budgetNum div $budgetDen) * w) div w_tot").as("target_s"))
+    docs.join(broadcast(rates), Seq("source"))
+      .filter(splitHash($"doc_id", salt) * $"n_s" < $"target_s" * lit(4294967296L))
+      .select($"doc_id", $"source")
+      .orderBy($"doc_id")
+  }
+
+  /** DuckDB oracle for [[corpusMixTemperature]]. */
+  def corpusMixTemperatureOracleSql(budgetNum: Int = 2, budgetDen: Int = 5,
+                                    salt: String = "graft-mix-temp"): String =
+    s"""WITH d AS (SELECT doc_id, source FROM documents),
+       |c AS (SELECT source, CAST(count(*) AS BIGINT) AS n_s,
+       |             CAST(floor(sqrt(CAST(count(*) AS DOUBLE) * 1000000)) AS BIGINT) AS w
+       |      FROM d GROUP BY 1),
+       |t AS (SELECT sum(n_s) AS n_tot, sum(w) AS w_tot FROM c),
+       |r AS (SELECT source, n_s,
+       |             ((n_tot * $budgetNum // $budgetDen) * w) // w_tot AS target_s
+       |      FROM c CROSS JOIN t),
+       |h AS (SELECT doc_id, d.source, n_s, target_s,
+       |             CAST(('0x' || substr(md5(doc_id || ':$salt'), 1, 8))::UBIGINT AS BIGINT) AS hv
+       |      FROM d JOIN r ON d.source = r.source)
+       |SELECT doc_id, source FROM h
+       |WHERE hv * n_s < target_s * 4294967296
+       |ORDER BY doc_id""".stripMargin
+
   /** Per-domain frequency cap (the RefinedWeb/CCNet domain-balancing
     * stage): no source may contribute more than `capPct` percent of
     * the corpus — a handful of giant crawl domains otherwise dominate

@@ -645,6 +645,23 @@ class BehaviorSpec extends AnyFunSuite {
     assert(out == Seq((1L, 2L, 10L), (2L, 1L, 3L)))
   }
 
+  test("temperature mix: sqrt weighting keeps small sources whole while tempering the head") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_mixt_").toString
+    // srcA: 90 docs, srcB: 10 docs, budget 2/5 of 100 = 40.
+    // wA=⌊√90e6⌋=9486, wB=⌊√10e6⌋=3162, w_tot=12648 →
+    // target_A = 40·9486 div 12648 = 30, target_B = 40·3162 div 12648 = 10
+    // → B's rate is 10/10 = 1 (kept WHOLE), A's is 30/90 = 1/3.
+    val rows = (1L to 90L).map(i => (i, s"doc $i", "en", "srcA", 5L)) ++
+      (91L to 100L).map(i => (i, s"doc $i", "en", "srcB", 5L))
+    rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val kept = operators.Sampling.corpusMixTemperature(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val (a, b) = kept.partition(_._2 == "srcA")
+    assert(b.length == 10, s"srcB kept ${b.length}/10 — α-sampling must keep the tail whole")
+    assert(a.length < 60 && a.length > 10, s"srcA kept ${a.length}/90 — expected ~1/3")
+  }
+
   test("nearest as-of: exact tie goes backward, forward-only and no-order users handled") {
     import org.apache.spark.sql.functions.to_timestamp
     val dir = java.nio.file.Files.createTempDirectory("graft_asof_").toString
