@@ -39,6 +39,19 @@ object SparkEntry {
     "asof_join_nearest"  -> Engagement.asofJoinNearest _,
     "rolling_retention"  -> Retention.rollingRetention _,
     "peak_concurrency"   -> Retention.peakConcurrency _,
+    "acf_daily"          -> ((s: SparkSession, d: String) => Timeseries.acfDaily(s, d)),
+    "rolling_corr_daily" -> ((s: SparkSession, d: String) => Timeseries.rollingCorrDaily(s, d)),
+    "survival_km"        -> ((s: SparkSession, d: String) => Timeseries.survivalKm(s, d)),
+    "code_prose_stats"   -> ((s: SparkSession, d: String) => CorpusQa.codeProseStats(s, d)),
+    "tokenizer_fertility" -> ((s: SparkSession, d: String) => CorpusQa.tokenizerFertility(s, d)),
+    "dedup_cluster_sizes" -> ((s: SparkSession, d: String) => CorpusQa.dedupClusterSizes(s, d)),
+    "bfs_distances"      -> ((s: SparkSession, d: String) => Graph.bfsDistances(s, d)),
+    "clustering_coefficient" -> ((s: SparkSession, d: String) => Graph.clusteringCoefficient(s, d)),
+    "embedding_covariance" -> ((s: SparkSession, d: String) => VectorOps.embeddingCovariance(s, d)),
+    "stream_transitions" -> ((s: SparkSession, d: String) => streaming.TransitionStream.streamTransitions(s, d)),
+    "stream_distinct_daily" -> ((s: SparkSession, d: String) => streaming.TransitionStream.streamDistinctDaily(s, d)),
+    "scd2_apply_batch"   -> Engagement.scd2ApplyBatch _,
+    "winsorized_stats"   -> Behavior.winsorizedStats _,
     "snapshot_diff"      -> Engagement.snapshotDiff _,
     "events_sessionized" -> ((s: SparkSession, d: String) => Engagement.eventsSessionized(s, d)),
     "cohort_ltv"         -> Engagement.cohortLtv _,
@@ -281,6 +294,17 @@ object SparkEntry {
       // reports are the SAME derivations the batch operators run
       "stream_rolling_retention" -> base("rolling_retention"),
       "stream_label_centroids" -> base("label_centroids"),
+      // boundary pairs reconstructed from the per-user frontier state
+      // + additive counts: time-ordered replay equals the batch
+      // window count table, then the SAME report derivation runs
+      "stream_transitions" -> base("event_transitions"),
+      // set-union (day,user) state is idempotent and order-blind —
+      // same exact-distinct oracle as the batch twin
+      "stream_distinct_daily" -> base("distinct_daily"),
+      // incremental-equals-rebuild IS the operator's contract: the
+      // mid-span split is internal and the full-log SCD2 SQL is the
+      // oracle
+      "scd2_apply_batch" -> base("cdc_scd2"),
       // additive integer moments: batch boundaries are invisible, so
       // the oracle is the same formula in one corpus pass (expression
       // shape mirrored literally for bit-equal doubles)
@@ -731,6 +755,16 @@ object SparkEntry {
     "ab_welch_ttest" -> operators.Behavior.abWelchTtestOracleSql,
     "rolling_retention" -> operators.Retention.rollingRetentionOracleSql,
     "peak_concurrency" -> operators.Retention.peakConcurrencyOracleSql(),
+    "acf_daily" -> operators.Timeseries.acfDailyOracleSql,
+    "rolling_corr_daily" -> operators.Timeseries.rollingCorrDailyOracleSql,
+    "survival_km" -> operators.Timeseries.survivalKmOracleSql,
+    "code_prose_stats" -> operators.CorpusQa.codeProseStatsOracleSql,
+    "tokenizer_fertility" -> operators.CorpusQa.tokenizerFertilityOracleSql,
+    "dedup_cluster_sizes" -> operators.CorpusQa.dedupClusterSizesOracleSql(),
+    "bfs_distances" -> operators.Graph.bfsDistancesOracleSql(),
+    "clustering_coefficient" -> operators.Graph.clusteringCoefficientOracleSql,
+    "embedding_covariance" -> operators.VectorOps.embeddingCovarianceOracleSql,
+    "winsorized_stats" -> operators.Behavior.winsorizedStatsOracleSql,
     "sequence_count" -> operators.Sequences.sequenceCountOracleSql,
     "funnel_strict_order" -> operators.Sequences.funnelStrictOracleSql,
     "funnel_any_order" -> operators.Sequences.funnelAnyOrderOracleSql,

@@ -81,10 +81,18 @@ object Behavior {
       .filter(col("prev_type").isNotNull)
       .groupBy(col("prev_type"), col("event_type").as("curr_type"))
       .agg(count("*").as("n"))
+    transitionReport(pairs)
+  }
+
+  /** Probability normalization + ordering over a `(prev_type,
+    * curr_type, n)` count table — split out so the streaming twin
+    * ([[graft.streaming.TransitionState]]) derives its report through
+    * the identical expression tree (stream/batch parity by shared
+    * code, the modeFromDailyCounts pattern). */
+  private[graft] def transitionReport(pairs: DataFrame): DataFrame =
     pairs
       .withColumn("p", round(col("n") / sum(col("n")).over(Window.partitionBy(col("prev_type"))), 4))
       .orderBy(col("prev_type"), col("curr_type"))
-  }
 
   def eventTransitions(spark: SparkSession, dir: String): DataFrame =
     transitionsTransform(Tables.events(spark, dir))
@@ -1819,4 +1827,75 @@ object Behavior {
       |              pow((CAST(b.s2 AS DOUBLE) - CAST(b.s1 AS DOUBLE) * b.s1 / b.n) / (b.n - 1) / b.n, 2) / (b.n - 1), 0), 4) AS df_welch
       |FROM s a JOIN s b ON a.event_type < b.event_type
       |ORDER BY 1, 2""".stripMargin
+
+  /** Winsorized & trimmed value stats per event type — the
+    * outlier-robust mean pair next to [[boxplotStatsTransform]]'s
+    * fences (a single mis-keyed 1e9-cent event moves the plain mean
+    * for a month; the 5 %-winsorized mean barely notices): cut points
+    * are exact ⌈p·n⌉-th order statistics (the rolling_p95 integer
+    * discipline — no interpolation semantics to disagree on) under
+    * the TOTAL order (cents, event_id); winsorizing clamps every
+    * value into [q05, q95] BY VALUE (tie-robust); trimming keeps
+    * ranks (k05, k95] only. All sums exact BIGINT cents; the two
+    * means are final one-shot divisions rounded at 1e−4.
+    *
+    * Shape: one (type) shuffle for the rank windows (each type sorts
+    * only its own rows — distributed by partition), cut points
+    * broadcast back onto the same sorted basis, one
+    * map-side-combinable rollup to |types| rows.
+    */
+  def winsorizedStatsTransform(events: DataFrame): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val base = events.select($"event_type", $"event_id",
+      expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+    val w = Window.partitionBy($"event_type").orderBy($"cents", $"event_id")
+    val ranked = base
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy($"event_type")))
+    val cuts = ranked
+      .groupBy($"event_type")
+      .agg(first($"n").as("n"),
+        min(when($"rn" === expr("(n * 5 + 99) div 100"), $"cents")).as("q05_cents"),
+        min(when($"rn" === expr("(n * 95 + 99) div 100"), $"cents")).as("q95_cents"))
+    ranked.join(broadcast(cuts.drop("n")), Seq("event_type"))
+      .groupBy($"event_type")
+      .agg(first($"n").as("n"),
+        first($"q05_cents").as("q05_cents"),
+        first($"q95_cents").as("q95_cents"),
+        sum(least(greatest($"cents", $"q05_cents"), $"q95_cents")).as("wsum"),
+        sum(when($"rn" > expr("(n * 5 + 99) div 100") &&
+                 $"rn" <= expr("(n * 95 + 99) div 100"), $"cents")).as("tsum"),
+        sum(when($"rn" > expr("(n * 5 + 99) div 100") &&
+                 $"rn" <= expr("(n * 95 + 99) div 100"), 1L).otherwise(0L)).as("tn"))
+      .select($"event_type", $"n", $"q05_cents", $"q95_cents",
+        round($"wsum".cast("double") / $"n", 4).as("winsorized_mean_cents"),
+        round($"tsum".cast("double") / $"tn", 4).as("trimmed_mean_cents"))
+      .orderBy($"event_type")
+  }
+
+  def winsorizedStats(spark: SparkSession, dir: String): DataFrame =
+    winsorizedStatsTransform(graft.sources.Tables.events(spark, dir))
+
+  /** DuckDB oracle for [[winsorizedStatsTransform]] — same total
+    * order, same ⌈⌉ ranks, same integer clamps. */
+  val winsorizedStatsOracleSql: String =
+    """WITH b AS (SELECT event_type, event_id,
+      |                  CAST(round(value * 100) AS BIGINT) AS cents
+      |           FROM events),
+      |r AS (SELECT event_type, event_id, cents,
+      |             CAST(row_number() OVER (PARTITION BY event_type ORDER BY cents, event_id) AS BIGINT) AS rn,
+      |             count(*) OVER (PARTITION BY event_type) AS n
+      |      FROM b),
+      |c AS (SELECT event_type, CAST(any_value(n) AS BIGINT) AS n,
+      |             min(CASE WHEN rn = (n * 5 + 99) // 100 THEN cents END) AS q05_cents,
+      |             min(CASE WHEN rn = (n * 95 + 99) // 100 THEN cents END) AS q95_cents
+      |      FROM r GROUP BY 1)
+      |SELECT r.event_type, c.n, c.q05_cents, c.q95_cents,
+      |       round(CAST(sum(least(greatest(r.cents, c.q05_cents), c.q95_cents)) AS DOUBLE) / c.n, 4) AS winsorized_mean_cents,
+      |       round(CAST(sum(CASE WHEN r.rn > (c.n * 5 + 99) // 100 AND r.rn <= (c.n * 95 + 99) // 100 THEN r.cents END) AS DOUBLE)
+      |             / sum(CASE WHEN r.rn > (c.n * 5 + 99) // 100 AND r.rn <= (c.n * 95 + 99) // 100 THEN 1 ELSE 0 END), 4) AS trimmed_mean_cents
+      |FROM r JOIN c ON r.event_type = c.event_type
+      |GROUP BY r.event_type, c.n, c.q05_cents, c.q95_cents
+      |ORDER BY r.event_type""".stripMargin
 }

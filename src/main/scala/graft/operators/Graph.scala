@@ -637,4 +637,128 @@ object Graph {
        |FROM lab$iters l JOIN sizes s ON l.label = s.label
        |ORDER BY l.item""".stripMargin
   }
+
+  /** Hop distance to the nearest hub: multi-source BFS from the
+    * top-`nSeeds` highest-degree items (deterministic seed set under
+    * the total order `deg DESC, item`), bounded at `maxDepth` hops —
+    * the "how far is the catalog from its hubs" centrality read that
+    * complements PageRank's global ranking (an item 4 hops from every
+    * hub is isolated no matter its score). Items unreached within
+    * `maxDepth` are reported with distance NULL (visible, not
+    * silently dropped).
+    *
+    * The depth bound is FIXED, so the BFS unrolls to `maxDepth`
+    * frontier joins at plan-build time — no driver-side convergence
+    * probing (unlike [[kCoreTransform]]'s data-dependent peel): each
+    * round is one co-partitioned join frontier×edges + one distinct +
+    * one anti-join against the labeled set, id-only rows on the
+    * capped planning-scale graph. On an uncapped warehouse graph the
+    * same unrolled shape holds — frontier rows are (item, dist)
+    * pairs, each round one shuffle on item id.
+    */
+  def bfsDistancesTransform(pairs: DataFrame, nSeeds: Int = 5, maxDepth: Int = 4): DataFrame = {
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    val e = truncateLineage(pairs.select($"item_a".as("a"), $"item_b".as("b")))
+    val edges = e.select($"a".as("src"), $"b".as("dst"))
+      .unionByName(e.select($"b".as("src"), $"a".as("dst")))
+    val deg = edges.groupBy($"src".as("item")).agg(count(lit(1)).as("deg"))
+    val seeds = deg.orderBy($"deg".desc, $"item").limit(nSeeds)
+      .select($"item", lit(0L).as("dist"))
+    var labeled = truncateLineage(seeds)
+    var frontier = labeled
+    for (k <- 1 to maxDepth) {
+      val next = frontier.join(edges, frontier("item") === edges("src"))
+        .select($"dst".as("item")).distinct()
+        .join(labeled, Seq("item"), "left_anti")
+        .select($"item", lit(k.toLong).as("dist"))
+      frontier = truncateLineage(next)
+      labeled = truncateLineage(labeled.unionByName(frontier))
+    }
+    deg.select($"item")
+      .join(labeled, Seq("item"), "left")
+      .select($"item", $"dist")
+      .orderBy($"item")
+  }
+
+  def bfsDistances(spark: SparkSession, dir: String): DataFrame =
+    bfsDistancesTransform(edgeTransform(Tables.events(spark, dir), maxItems = 50, topEdges = 800))
+
+  /** DuckDB oracle for [[bfsDistancesTransform]]: reach sets unrolled
+    * per depth over the shared edge basis, distance = min depth of
+    * first appearance. */
+  def bfsDistancesOracleSql(nSeeds: Int = 5, maxDepth: Int = 4): String = {
+    val rounds = (1 to maxDepth).map { k =>
+      s"""r$k AS (SELECT item FROM r${k - 1}
+         |  UNION SELECT e.dst FROM edges e JOIN r${k - 1} r ON e.src = r.item)""".stripMargin
+    }.mkString(",\n")
+    val levels = (0 to maxDepth)
+      .map(k => s"SELECT item, CAST($k AS BIGINT) AS k FROM r$k")
+      .mkString(" UNION ALL ")
+    s"""WITH $edgeCtes,
+       |edges AS MATERIALIZED (SELECT item_a AS src, item_b AS dst FROM pairs
+       |          UNION ALL SELECT item_b, item_a FROM pairs),
+       |deg AS (SELECT src AS item, count(*) AS deg FROM edges GROUP BY 1),
+       |r0 AS MATERIALIZED (SELECT item FROM deg ORDER BY deg DESC, item LIMIT $nSeeds),
+       |$rounds,
+       |lv AS ($levels),
+       |d AS (SELECT item, min(k) AS dist FROM lv GROUP BY 1)
+       |SELECT deg.item, d.dist
+       |FROM deg LEFT JOIN d ON deg.item = d.item
+       |ORDER BY deg.item""".stripMargin
+  }
+
+  /** Local clustering coefficient per item — "do my neighbours know
+    * each other": cc = triangles_at(v) / C(deg(v), 2), reported as
+    * exact truncating basis points so no float ever leaves the plan
+    * (the B9d/link_prediction discipline). The node-local face of
+    * [[triangleTransform]]'s raw counts — a hub with many triangles
+    * but TINY cc is a broker between communities; cc near 10⁴ marks a
+    * clique member. Degree-1 items have no possible wedge and report
+    * 0 bp.
+    *
+    * Shape: the per-node triangle counts come from the shared
+    * skew-guarded oriented wedge join; degrees from the same edge
+    * list; one id-scale join puts them together — nothing beyond
+    * [[triangleTransform]]'s cost.
+    */
+  def clusteringCoefficientTransform(pairs: DataFrame): DataFrame = {
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    val e = truncateLineage(pairs.select($"item_a".as("a"), $"item_b".as("b")))
+    val deg = e.select($"a".as("item")).unionByName(e.select($"b".as("item")))
+      .groupBy($"item").agg(count(lit(1)).as("deg"))
+    val tri = triangleTransform(e.select($"a".as("item_a"), $"b".as("item_b")))
+    deg.join(tri, Seq("item"), "left")
+      .select($"item", $"deg",
+        coalesce($"n_triangles", lit(0L)).as("n_triangles"))
+      .withColumn("cc_bp",
+        when($"deg" < 2, lit(0L))
+          .otherwise(expr("n_triangles * 2 * 10000 div (deg * (deg - 1))")))
+      .orderBy($"item")
+  }
+
+  def clusteringCoefficient(spark: SparkSession, dir: String): DataFrame =
+    clusteringCoefficientTransform(edgeTransform(Tables.events(spark, dir), maxItems = 50, topEdges = 800))
+
+  /** DuckDB oracle for [[clusteringCoefficientTransform]]: the naive
+    * id-ordered triple join (algorithm-independent triangle truth)
+    * joined to degrees, same truncating basis points. */
+  def clusteringCoefficientOracleSql: String =
+    s"""WITH $edgeCtes,
+       |edges AS (SELECT item_a AS src, item_b AS dst FROM pairs
+       |          UNION ALL SELECT item_b, item_a FROM pairs),
+       |deg AS (SELECT src AS item, count(*) AS deg FROM edges GROUP BY 1),
+       |tri AS (SELECT e1.item_a AS a, e1.item_b AS b, e2.item_b AS c
+       |        FROM pairs e1
+       |        JOIN pairs e2 ON e2.item_a = e1.item_a AND e2.item_b > e1.item_b
+       |        JOIN pairs e3 ON e3.item_a = e1.item_b AND e3.item_b = e2.item_b),
+       |tc AS (SELECT item, count(*) AS n_triangles
+       |       FROM (SELECT a AS item FROM tri UNION ALL SELECT b FROM tri UNION ALL SELECT c FROM tri)
+       |       GROUP BY 1)
+       |SELECT d.item, d.deg, CAST(coalesce(tc.n_triangles, 0) AS BIGINT) AS n_triangles,
+       |       CASE WHEN d.deg < 2 THEN 0
+       |            ELSE coalesce(tc.n_triangles, 0) * 2 * 10000 // (d.deg * (d.deg - 1)) END AS cc_bp
+       |FROM deg d LEFT JOIN tc ON d.item = tc.item
+       |ORDER BY d.item""".stripMargin
 }

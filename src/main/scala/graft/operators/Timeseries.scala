@@ -1,0 +1,306 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Serial-structure diagnostics over the daily engagement series —
+  * the three reads a forecasting/anomaly stack asks for after the
+  * smoothed line ([[Behavior.ewmaDailyTransform]]) and the
+  * changepoint date ([[Behavior.changepointCusumTransform]]):
+  * "how self-similar is the series" (autocorrelation), "do volume
+  * and revenue move together THIS week" (rolling correlation), and
+  * "how long until a viewer converts, counting the ones who never
+  * did" (Kaplan–Meier survival — the censoring-aware answer the
+  * plain conversion-lag mean gets wrong).
+  *
+  * Exactness discipline (the B21/B29 pattern): every sufficient
+  * statistic is an exact integer/Decimal(38,0) sum — cross-multiplied
+  * so no fractional mean ever enters a sum — and floats appear only
+  * in a final expression over exact integers, which two engines
+  * evaluate to the same correctly-rounded double.
+  */
+object Timeseries {
+
+  /** Autocorrelation of the daily event-count series per event type,
+    * lags 1..`maxLag` — the "is there weekly structure / how fast does
+    * the series forget" read that decides seasonal-naive vs flat
+    * baselines before any forecast is attempted.
+    *
+    * r_k = Σ_t (x_t−x̄)(x_{t−k}−x̄) / Σ_t (x_t−x̄)² over the
+    * ZERO-FILLED calendar (a missing day is a real 0, not a skipped
+    * lag — LAG over sparse days would silently compare non-adjacent
+    * days). Cross-multiplying by n² makes both sums exact:
+    * num_k·n² = Σ (n·x_t−S)(n·x_{t−k}−S), den·n² = Σ (n·x_t−S)²
+    * with S = Σx — Decimal(38,0) products (n·x reaches ~1e12 at
+    * fleet scale; its square passes a Long), one float division per
+    * (type, lag), rounded.
+    *
+    * Shape: fact → (type, day) counts in one map-side-combinable
+    * shuffle; the lag pairing is an equi-join on (type, day) against
+    * the lag-shifted grid (grid×maxLag rows — planning scale); the
+    * one-row-per-type stats table broadcasts back. Never fact-scale
+    * past the first aggregate.
+    */
+  def acfDailyTransform(events: DataFrame, maxLag: Int = 7): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val daily = events
+      .select(col("event_type"), date_trunc("day", col("ts")).as("day"))
+      .groupBy($"event_type", $"day").agg(count(lit(1)).as("x"))
+    val bounds = daily.agg(min($"day").as("lo"), max($"day").as("hi"))
+    val grid = daily.select($"event_type").distinct()
+      .crossJoin(broadcast(bounds))
+      .select($"event_type", explode(expr("sequence(lo, hi, INTERVAL 1 DAY)")).as("day"))
+      .join(daily, Seq("event_type", "day"), "left")
+      .select($"event_type", $"day", coalesce($"x", lit(0L)).as("x"))
+    // per-type n and S broadcast back (|types| rows), then the exact
+    // centered square for the lag-independent denominator
+    val stats = grid.groupBy($"event_type")
+      .agg(count(lit(1)).as("n"), sum($"x").as("s"))
+    val centered = grid.join(broadcast(stats), Seq("event_type"))
+      .select($"event_type", $"day", $"n", $"s",
+        expr("CAST(n * x - s AS DECIMAL(38,0))").as("c"))
+    val den = centered.groupBy($"event_type")
+      .agg(sum($"c" * $"c").as("den"), first($"n").as("n_days"))
+    // lag fan-out via a generator (not a small-table cross join — a
+    // 7-row BNLJ build side would be flagged by the plan audit; the
+    // generator keeps the fan-out inside whole-stage codegen)
+    val pairs = centered
+      .withColumn("lag", explode(expr(s"sequence(1, $maxLag)")))
+      .select($"event_type", $"lag", expr("day - make_interval(0, 0, 0, lag)").as("day"),
+        $"c".as("c_t"))
+      .join(centered.select($"event_type", $"day", $"c".as("c_lag")),
+        Seq("event_type", "day"))
+      .groupBy($"event_type", $"lag")
+      .agg(sum($"c_t" * $"c_lag").as("num"))
+    // a CONSTANT series has zero variance — NaN would round-trip
+    // differently through the two engines' hashing, NULL is identical
+    pairs.join(broadcast(den), Seq("event_type"))
+      .select($"event_type", $"lag".cast("long").as("lag"), $"n_days",
+        round($"num".cast("double") /
+          expr("CAST(nullif(den, CAST(0 AS DECIMAL(38,0))) AS DOUBLE)"), 6).as("acf"))
+      .orderBy($"event_type", $"lag")
+  }
+
+  def acfDaily(spark: SparkSession, dir: String): DataFrame =
+    acfDailyTransform(Tables.events(spark, dir))
+
+  /** DuckDB oracle for [[acfDailyTransform]] (maxLag = 7). */
+  val acfDailyOracleSql: String =
+    """WITH d AS (
+      |  SELECT event_type, date_trunc('day', CAST(ts AS TIMESTAMP)) AS day,
+      |         count(*) AS x
+      |  FROM events GROUP BY 1, 2),
+      |spine AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS day
+      |          FROM (SELECT min(day) AS lo, max(day) AS hi FROM d)),
+      |grid AS (SELECT t.event_type, s.day, CAST(coalesce(d.x, 0) AS BIGINT) AS x
+      |         FROM (SELECT DISTINCT event_type FROM d) t
+      |         CROSS JOIN spine s
+      |         LEFT JOIN d ON d.event_type = t.event_type AND d.day = s.day),
+      |st AS (SELECT event_type, count(*) AS n, sum(x) AS s FROM grid GROUP BY 1),
+      |c AS (SELECT g.event_type, g.day, st.n,
+      |             CAST(st.n * g.x - st.s AS HUGEINT) AS c
+      |      FROM grid g JOIN st ON g.event_type = st.event_type),
+      |den AS (SELECT event_type, sum(c * c) AS den, CAST(any_value(n) AS BIGINT) AS n_days
+      |        FROM c GROUP BY 1),
+      |num AS (SELECT a.event_type, l.lag, sum(a.c * b.c) AS num
+      |        FROM c a
+      |        CROSS JOIN (SELECT unnest(generate_series(1, 7)) AS lag) l
+      |        JOIN c b ON b.event_type = a.event_type
+      |               AND b.day = a.day - to_days(CAST(l.lag AS INTEGER))
+      |        GROUP BY 1, 2)
+      |SELECT n.event_type, CAST(n.lag AS BIGINT) AS lag, d.n_days,
+      |       round(CAST(n.num AS DOUBLE) / CAST(nullif(d.den, 0) AS DOUBLE), 6) AS acf
+      |FROM num n JOIN den d ON n.event_type = d.event_type
+      |ORDER BY n.event_type, n.lag""".stripMargin
+
+  /** 7-day rolling Pearson correlation between daily event volume and
+    * daily revenue — "are we monetizing the traffic we got THIS week",
+    * the windowed face of [[Behavior.metricCorrelationsTransform]]'s
+    * whole-corpus r (a launch that brings clicks but no purchases
+    * shows here a month before it moves the global number).
+    *
+    * Per window: r = (mΣxy−ΣxΣy)/√((mΣx²−(Σx)²)(mΣy²−(Σy)²)) with x
+    * = day's event count, y = day's cents, every Σ an exact
+    * Decimal(38,0) window sum over the ZERO-FILLED spine (so the ROWS
+    * frame is exactly the trailing 7 calendar days), m the in-window
+    * day count (< 7 only in the series head); zero-variance windows
+    * yield NULL through an integer `nullif`, identically in both
+    * engines. Floats only in the final per-row expression.
+    *
+    * Shape: fact → |days| rows in one map-side-combinable shuffle;
+    * the rolling frame is an unpartitioned ROWS window over the
+    * day-scale aggregate (planning-scale by the plan-audit rule; the
+    * 100 TB variant partitions by coarse date bucket and stitches the
+    * 6-row seam, or rides the 19 slice-locate pattern).
+    */
+  def rollingCorrDailyTransform(events: DataFrame, windowDays: Int = 7): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val daily = events
+      .select(date_trunc("day", col("ts")).as("day"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+      .groupBy($"day")
+      .agg(count(lit(1)).as("x"), sum($"cents").as("y"))
+    val bounds = daily.agg(min($"day").as("lo"), max($"day").as("hi"))
+    val spine = bounds
+      .select(explode(expr("sequence(lo, hi, INTERVAL 1 DAY)")).as("day"))
+      .join(daily, Seq("day"), "left")
+      .select($"day", coalesce($"x", lit(0L)).as("x"), coalesce($"y", lit(0L)).as("y"))
+    val w = Window.orderBy($"day").rowsBetween(-(windowDays - 1), Window.currentRow)
+    val dec = "decimal(38,0)"
+    spine
+      .withColumn("m", count(lit(1)).over(w))
+      .withColumn("sx", sum($"x".cast(dec)).over(w))
+      .withColumn("sy", sum($"y".cast(dec)).over(w))
+      .withColumn("sxy", sum($"x".cast(dec) * $"y").over(w))
+      .withColumn("sxx", sum($"x".cast(dec) * $"x").over(w))
+      .withColumn("syy", sum($"y".cast(dec) * $"y").over(w))
+      .select($"day", $"m".as("n_days"), $"x".as("n_events"), $"y".as("cents"),
+        round((($"m" * $"sxy" - $"sx" * $"sy").cast("double")) /
+          sqrt(expr(s"CAST(nullif(m * sxx - sx * sx, CAST(0 AS $dec)) AS DOUBLE)") *
+               expr(s"CAST(nullif(m * syy - sy * sy, CAST(0 AS $dec)) AS DOUBLE)")), 6)
+          .as("rolling_r"))
+      .orderBy($"day")
+  }
+
+  def rollingCorrDaily(spark: SparkSession, dir: String): DataFrame =
+    rollingCorrDailyTransform(Tables.events(spark, dir))
+
+  /** DuckDB oracle for [[rollingCorrDailyTransform]] (window = 7). */
+  val rollingCorrDailyOracleSql: String =
+    """WITH daily AS (
+      |  SELECT date_trunc('day', CAST(ts AS TIMESTAMP)) AS day,
+      |         count(*) AS x, sum(CAST(round(value * 100) AS BIGINT)) AS y
+      |  FROM events GROUP BY 1),
+      |spine AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS day
+      |          FROM (SELECT min(day) AS lo, max(day) AS hi FROM daily)),
+      |g AS (SELECT s.day, CAST(coalesce(d.x, 0) AS BIGINT) AS x,
+      |             CAST(coalesce(d.y, 0) AS BIGINT) AS y
+      |      FROM spine s LEFT JOIN daily d ON d.day = s.day),
+      |r AS (SELECT day, x, y,
+      |             count(*) OVER w AS m,
+      |             sum(CAST(x AS HUGEINT)) OVER w AS sx,
+      |             sum(CAST(y AS HUGEINT)) OVER w AS sy,
+      |             sum(CAST(x AS HUGEINT) * y) OVER w AS sxy,
+      |             sum(CAST(x AS HUGEINT) * x) OVER w AS sxx,
+      |             sum(CAST(y AS HUGEINT) * y) OVER w AS syy
+      |      FROM g WINDOW w AS (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW))
+      |SELECT day, CAST(m AS BIGINT) AS n_days, x AS n_events, y AS cents,
+      |       round(CAST(m * sxy - sx * sy AS DOUBLE) /
+      |             sqrt(CAST(nullif(m * sxx - sx * sx, 0) AS DOUBLE) *
+      |                  CAST(nullif(m * syy - sy * sy, 0) AS DOUBLE)), 6) AS rolling_r
+      |FROM r ORDER BY day""".stripMargin
+
+  /** Kaplan–Meier time-to-conversion survival (first `view` → first
+    * subsequent `purchase`, day granularity) — the censoring-aware
+    * answer to "how long until viewers convert": a viewer who has not
+    * purchased BY CORPUS END is right-censored at their observed
+    * span, not dropped (dropping them — what a plain mean over
+    * [[Behavior.conversionLagStatsTransform]]'s lags does — biases
+    * conversion time optimistic, hardest at the corpus edge).
+    *
+    * Standard product-limit estimator: at each day t with d_t
+    * conversions out of n_t users still at risk (duration ≥ t),
+    * S(t) = Π_{u≤t} (1 − d_u/n_u). Risk sets and event counts are
+    * exact integers (n_t = suffix-cumulative count over the duration
+    * axis); the product is evaluated as exp(Σ ln((n_u−d_u)/n_u)) in
+    * BOTH engines — each ln argument is the same correctly-rounded
+    * double of two exact BIGINTs, ln/exp agree to ULPs and the output
+    * rounds at 1e−6, argued safe the same way as the quantized-OLS
+    * zipf_slope; a step that converts the entire risk set (ratio 0)
+    * pins S to exactly 0.0 through a cumulative flag, never through
+    * ln(0) (Spark yields NULL there, DuckDB -inf).
+    *
+    * Shape: fact → one (first_view, first_purchase) row per user
+    * (conditional-min aggregate, ONE user_id shuffle), → |duration|
+    * rows (≤ corpus span in days); the KM recursion runs as
+    * unpartitioned windows over that day-scale table (planning-scale
+    * by the plan-audit rule). Output only at event days (standard KM
+    * steps) plus the day-0 row when present.
+    */
+  def survivalKmTransform(events: DataFrame,
+                          startType: String = "view",
+                          endType: String = "purchase"): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val perUser = events
+      .select($"user_id", $"ts", $"event_type", date_trunc("day", $"ts").as("day"))
+      .groupBy($"user_id")
+      .agg(min(when($"event_type" === startType, $"day")).as("v_day"),
+        max($"day").as("last_seen"))
+      .filter($"v_day".isNotNull)
+    // first purchase ON OR AFTER the first view, as a conditional min
+    // against the same fact (co-partitioned on user_id)
+    val firstEnd = events.filter($"event_type" === endType)
+      .select($"user_id", date_trunc("day", $"ts").as("p_day"))
+      .groupBy($"user_id").agg(min($"p_day").as("any_p"))
+    val horizon = events.agg(date_trunc("day", max($"ts")).as("h")).as("h")
+    val durations = perUser.join(firstEnd, Seq("user_id"), "left")
+      .crossJoin(broadcast(horizon))
+      .select($"user_id",
+        when($"any_p".isNotNull && $"any_p" >= $"v_day",
+          datediff($"any_p", $"v_day")).as("event_day"),
+        datediff($"h", $"v_day").as("censor_day"))
+      .select(
+        coalesce($"event_day", $"censor_day").cast("long").as("duration"),
+        when($"event_day".isNotNull, 1L).otherwise(0L).as("is_event"))
+    val byDur = durations.groupBy($"duration")
+      .agg(count(lit(1)).as("n_at"), sum($"is_event").as("d"))
+    val suffix = Window.orderBy($"duration")
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val cum = Window.orderBy($"duration")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    byDur
+      .withColumn("n_risk", sum($"n_at").over(suffix))
+      .withColumn("ratio", ($"n_risk" - $"d").cast("double") / $"n_risk".cast("double"))
+      .withColumn("dead", max(when($"ratio" === 0.0, 1L).otherwise(0L)).over(cum))
+      .withColumn("lnsum", sum(when($"ratio" > 0.0, log($"ratio")).otherwise(lit(0.0))).over(cum))
+      .filter($"d" > 0)
+      .select($"duration", $"n_risk", $"d".as("n_events"),
+        when($"dead" === 1L, lit(0.0)).otherwise(round(exp($"lnsum"), 6)).as("survival"))
+      .orderBy($"duration")
+  }
+
+  def survivalKm(spark: SparkSession, dir: String): DataFrame =
+    survivalKmTransform(Tables.events(spark, dir))
+
+  /** DuckDB oracle for [[survivalKmTransform]] (view → purchase). */
+  val survivalKmOracleSql: String =
+    """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_type,
+      |                  date_trunc('day', CAST(ts AS TIMESTAMP)) AS day
+      |           FROM events),
+      |pu AS (SELECT user_id,
+      |              min(CASE WHEN event_type = 'view' THEN day END) AS v_day
+      |       FROM e GROUP BY 1),
+      |fp AS (SELECT user_id, min(day) AS any_p FROM e WHERE event_type = 'purchase' GROUP BY 1),
+      |h AS (SELECT date_trunc('day', max(ts)) AS h FROM e),
+      |dur AS (
+      |  SELECT CAST(coalesce(
+      |           CASE WHEN fp.any_p IS NOT NULL AND fp.any_p >= pu.v_day
+      |                THEN date_diff('day', pu.v_day, fp.any_p) END,
+      |           date_diff('day', pu.v_day, h.h)) AS BIGINT) AS duration,
+      |         CASE WHEN fp.any_p IS NOT NULL AND fp.any_p >= pu.v_day THEN 1 ELSE 0 END AS is_event
+      |  FROM pu LEFT JOIN fp ON pu.user_id = fp.user_id CROSS JOIN h
+      |  WHERE pu.v_day IS NOT NULL),
+      |bd AS (SELECT duration, count(*) AS n_at, CAST(sum(is_event) AS BIGINT) AS d
+      |       FROM dur GROUP BY 1),
+      |r AS (SELECT duration, d,
+      |             sum(n_at) OVER (ORDER BY duration ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS n_risk
+      |      FROM bd),
+      |s AS (SELECT duration, d, n_risk,
+      |             CAST(n_risk - d AS DOUBLE) / CAST(n_risk AS DOUBLE) AS ratio
+      |      FROM r),
+      |k AS (SELECT duration, d, n_risk,
+      |             max(CASE WHEN ratio = 0 THEN 1 ELSE 0 END)
+      |               OVER (ORDER BY duration ROWS UNBOUNDED PRECEDING) AS dead,
+      |             sum(CASE WHEN ratio > 0 THEN ln(ratio) ELSE 0 END)
+      |               OVER (ORDER BY duration ROWS UNBOUNDED PRECEDING) AS lnsum
+      |      FROM s)
+      |SELECT duration, CAST(n_risk AS BIGINT) AS n_risk, d AS n_events,
+      |       CASE WHEN dead = 1 THEN 0.0 ELSE round(exp(lnsum), 6) END AS survival
+      |FROM k WHERE d > 0 ORDER BY duration""".stripMargin
+}

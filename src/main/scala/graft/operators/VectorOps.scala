@@ -874,4 +874,59 @@ object VectorOps {
       |       round(CAST(sum(CAST(err6 AS HUGEINT) * err6) AS DOUBLE) / count(*) / 1e12, 8) AS mse,
       |       round(CAST(max(abs(err6)) AS DOUBLE) / 1e6, 6) AS max_abs_err
       |FROM er GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** Pairwise dimension covariance of the embedding corpus (upper
+    * triangle incl. the diagonal) — the redundancy map read between
+    * [[embeddingDimStats]]' per-dim variances and any PCA/whitening
+    * decision: a block of near-duplicate dimensions means the
+    * effective dimensionality is lower than the stored one and PQ
+    * subspace splits should cut ACROSS the block, not along it.
+    *
+    * Exact sufficient statistics in micro-units (the x6 discipline):
+    * per (i ≤ j) pair, Σxᵢxⱼ as Decimal(38,0), per-dim sums Σxᵢ as
+    * BIGINT; population covariance (n·Σxy − ΣxᵢΣxⱼ)/n² emerges from
+    * ONE float division of exact integers, both engines identical.
+    *
+    * Shape: the d²/2 pair fan-out happens MAP-SIDE inside the
+    * partial aggregate (explode → self-join on vec_id is
+    * co-partitioned by construction — Catalyst keeps the exploded
+    * stream partition-local), and the shuffle moves only the
+    * d(d+1)/2-row partial sums per partition — corpus size never
+    * crosses the wire. At warehouse scale this is the standard
+    * one-pass distributed Gramian.
+    */
+  def embeddingCovarianceTransform(embeddings: DataFrame): DataFrame = {
+    val ex = elements(embeddings).select(col("vec_id"), col("dim"), col("x6"))
+    val a = ex.select(col("vec_id"), col("dim").as("dim_i"), col("x6").as("xi"))
+    val b = ex.select(col("vec_id"), col("dim").as("dim_j"), col("x6").as("xj"))
+    val pair = a.join(b, Seq("vec_id")).filter(col("dim_i") <= col("dim_j"))
+      .groupBy(col("dim_i"), col("dim_j"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("xi")).as("si"), sum(col("xj")).as("sj"),
+        sum((col("xi") * col("xj")).cast("decimal(38,0)")).as("sij"))
+    pair.select(col("dim_i"), col("dim_j"), col("n"),
+        round((col("n") * col("sij") - col("si").cast("decimal(38,0)") * col("sj"))
+          .cast("double") / (col("n").cast("double") * col("n").cast("double")) / 1e12, 9)
+          .as("covariance"))
+      .orderBy(col("dim_i"), col("dim_j"))
+  }
+
+  def embeddingCovariance(spark: SparkSession, dir: String): DataFrame =
+    embeddingCovarianceTransform(Tables.embeddings(spark, dir))
+
+  /** DuckDB oracle for [[embeddingCovarianceTransform]] (HUGEINT for
+    * Decimal(38,0)). */
+  val embeddingCovarianceOracleSql: String =
+    """WITH ex AS (SELECT vec_id, CAST(i AS BIGINT) AS dim,
+      |                   CAST(round(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT) AS x6
+      |            FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(i)),
+      |p AS (SELECT a.dim AS dim_i, b.dim AS dim_j, count(*) AS n,
+      |             CAST(sum(a.x6) AS BIGINT) AS si, CAST(sum(b.x6) AS BIGINT) AS sj,
+      |             sum(CAST(a.x6 AS HUGEINT) * b.x6) AS sij
+      |      FROM ex a JOIN ex b ON a.vec_id = b.vec_id AND a.dim <= b.dim
+      |      GROUP BY 1, 2)
+      |SELECT dim_i, dim_j, n,
+      |       round(CAST(n * sij - CAST(si AS HUGEINT) * sj AS DOUBLE)
+      |             / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) / 1e12, 9) AS covariance
+      |FROM p ORDER BY dim_i, dim_j""".stripMargin
 }

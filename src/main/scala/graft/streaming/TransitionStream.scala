@@ -1,0 +1,154 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** Streaming twins for the per-user-order family that [[graft
+  * .operators.Behavior.transitionsTransform]] heads, plus the EXACT
+  * distinct-users counterpart of [[HllStream]]'s approximate sketch.
+  *
+  * [[TransitionState]] is the interesting one: transition counting is
+  * NOT purely additive — the pair that spans a micro-batch boundary
+  * (user's last event in batch k, first event in batch k+1) exists in
+  * no single batch — so the state carries two tables: the additive
+  * `(prev, curr, n)` counts AND a per-user `(ts, event_id,
+  * event_type)` frontier whose join against each new batch's
+  * first-per-user rows reconstructs exactly the boundary pairs. Under
+  * time-ordered replay the stream total therefore equals the batch
+  * window count row-for-row (the stream_attribution argument; ties in
+  * `ts` across a file boundary are the one caveat, and the staged
+  * replay's range partitioning makes them impossible at µs
+  * resolution).
+  *
+  * Both states follow the versioned-parquet + replayed-batch-guard
+  * discipline of [[CdcCompact]] (idempotent under crash replay).
+  */
+final class TransitionState(stateDir: String) {
+  @volatile private var version: Long = StreamUtil.latestVersion(stateDir)
+
+  private def priorPairs(spark: SparkSession): DataFrame =
+    if (version < 0)
+      spark.createDataFrame(java.util.List.of[Row](), StructType.fromDDL(
+        "prev_type STRING, curr_type STRING, n BIGINT"))
+    else spark.read.parquet(s"$stateDir/v$version/pairs")
+
+  private def priorLast(spark: SparkSession): DataFrame =
+    if (version < 0)
+      spark.createDataFrame(java.util.List.of[Row](), StructType.fromDDL(
+        "user_id BIGINT, p_ts TIMESTAMP, p_eid BIGINT, p_type STRING"))
+    else spark.read.parquet(s"$stateDir/v$version/last")
+
+  def merge(batch: Dataset[Row], batchId: Long): Unit = {
+    if (batchId <= version) return
+    val spark = batch.sparkSession
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val b = batch.select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+    val inBatch = b.filter(col("prev_type").isNotNull)
+      .groupBy(col("prev_type"), col("event_type").as("curr_type"))
+      .agg(count(lit(1)).as("n"))
+    val boundary = priorLast(spark)
+      .join(b.filter(col("rn") === 1).select(col("user_id"), col("event_type")), Seq("user_id"))
+      .groupBy(col("p_type").as("prev_type"), col("event_type").as("curr_type"))
+      .agg(count(lit(1)).as("n"))
+    val pairs = priorPairs(spark).unionByName(inBatch).unionByName(boundary)
+      .groupBy(col("prev_type"), col("curr_type"))
+      .agg(sum(col("n")).as("n"))
+    // per-user frontier: the (ts, event_id)-max event, batch vs prior
+    val bLast = b.groupBy(col("user_id"))
+      .agg(max(struct(col("ts"), col("event_id"), col("event_type"))).as("s"))
+      .select(col("user_id"), col("s.ts").as("b_ts"),
+        col("s.event_id").as("b_eid"), col("s.event_type").as("b_type"))
+    // CASE branches must agree on struct FIELD NAMES, not just types
+    val pS = struct(col("p_ts").as("ts"), col("p_eid").as("eid"), col("p_type").as("tp"))
+    val bS = struct(col("b_ts").as("ts"), col("b_eid").as("eid"), col("b_type").as("tp"))
+    val last = priorLast(spark).join(bLast, Seq("user_id"), "full_outer")
+      .select(col("user_id"),
+        when(col("b_ts").isNull, pS)
+          .when(col("p_ts").isNull, bS)
+          .when(struct(col("b_ts"), col("b_eid")) >= struct(col("p_ts"), col("p_eid")), bS)
+          .otherwise(pS).as("s"))
+      .select(col("user_id"), col("s.ts").as("p_ts"),
+        col("s.eid").as("p_eid"), col("s.tp").as("p_type"))
+    pairs.coalesce(1).write.mode("overwrite").parquet(s"$stateDir/v$batchId/pairs")
+    last.coalesce(1).write.mode("overwrite").parquet(s"$stateDir/v$batchId/last")
+    val prev = version
+    version = batchId
+    if (prev >= 0) StreamUtil.delete(spark, s"$stateDir/v$prev")
+  }
+
+  def report(spark: SparkSession): DataFrame =
+    graft.operators.Behavior.transitionReport(priorPairs(spark))
+}
+
+/** Exact distinct users per day on an unbounded stream — the
+  * ground-truth twin [[HllStream]]'s sketch is judged against when
+  * the key space still fits: a distinct `(day, user_id)` rollup (set
+  * union is idempotent, so replayed batches cannot double-count) plus
+  * an additive per-day event tally. State is |days|·|active users|
+  * rows — the honest cost of exactness; the sketch twin is the
+  * constant-memory 100 TB default. */
+final class DistinctDailyState(stateDir: String) {
+  @volatile private var version: Long = StreamUtil.latestVersion(stateDir)
+
+  private def priorPairs(spark: SparkSession): DataFrame =
+    if (version < 0)
+      spark.createDataFrame(java.util.List.of[Row](), StructType.fromDDL(
+        "day TIMESTAMP, user_id BIGINT"))
+    else spark.read.parquet(s"$stateDir/v$version/pairs")
+
+  private def priorCounts(spark: SparkSession): DataFrame =
+    if (version < 0)
+      spark.createDataFrame(java.util.List.of[Row](), StructType.fromDDL(
+        "day TIMESTAMP, n_events BIGINT"))
+    else spark.read.parquet(s"$stateDir/v$version/counts")
+
+  def merge(batch: Dataset[Row], batchId: Long): Unit = {
+    if (batchId <= version) return
+    val spark = batch.sparkSession
+    val days = batch.select(date_trunc("day", col("ts")).as("day"), col("user_id"))
+    val pairs = priorPairs(spark).unionByName(days.distinct()).distinct()
+    val counts = priorCounts(spark)
+      .unionByName(days.groupBy(col("day")).agg(count(lit(1)).as("n_events")))
+      .groupBy(col("day")).agg(sum(col("n_events")).as("n_events"))
+    pairs.coalesce(1).write.mode("overwrite").parquet(s"$stateDir/v$batchId/pairs")
+    counts.coalesce(1).write.mode("overwrite").parquet(s"$stateDir/v$batchId/counts")
+    val prev = version
+    version = batchId
+    if (prev >= 0) StreamUtil.delete(spark, s"$stateDir/v$prev")
+  }
+
+  def report(spark: SparkSession): DataFrame =
+    priorPairs(spark).groupBy(col("day")).agg(count(lit(1)).as("n_users"))
+      .join(priorCounts(spark), Seq("day"))
+      .select(col("day"), col("n_users"), col("n_events"))
+      .orderBy(col("day"))
+}
+
+object TransitionStream {
+
+  /** Queries entry (oracle: same SQL as `event_transitions`). */
+  def streamTransitions(spark: SparkSession, dir: String, nFiles: Int = 4): DataFrame = {
+    val work = graft.GraftCaches.trackTempDir("graft_trans_")
+    FunnelStream.stageTimeOrdered(spark, dir, s"$work/input", nFiles)
+    val state = new TransitionState(s"$work/state")
+    StreamSources.runForeachBatch(
+      StreamSources.eventsFrom(spark, s"$work/input", maxFilesPerTrigger = 1),
+      state.merge)
+    state.report(spark)
+  }
+
+  /** Queries entry (oracle: same SQL as `distinct_daily`). */
+  def streamDistinctDaily(spark: SparkSession, dir: String, nFiles: Int = 4): DataFrame = {
+    val work = graft.GraftCaches.trackTempDir("graft_ddaily_")
+    FunnelStream.stageTimeOrdered(spark, dir, s"$work/input", nFiles)
+    val state = new DistinctDailyState(s"$work/state")
+    StreamSources.runForeachBatch(
+      StreamSources.eventsFrom(spark, s"$work/input", maxFilesPerTrigger = 1),
+      state.merge)
+    state.report(spark)
+  }
+}
