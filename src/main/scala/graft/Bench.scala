@@ -162,7 +162,16 @@ object Bench {
     "peak_concurrency" -> 3.484,
     "asof_join_forward" -> 3.195, "asof_join_nearest" -> 3.427,
     "stream_rolling_retention" -> 3.014, "stream_label_centroids" -> 5.546,
-    "corpus_mix_temperature" -> 2.327)
+    "corpus_mix_temperature" -> 2.327,
+    // round-8 second wave (quiet-box isolated medians of 3; evidence
+    // in BASELINE.md "Round-8 additions, fourth wave")
+    "acf_daily" -> 4.733, "rolling_corr_daily" -> 3.353,
+    "survival_km" -> 3.305, "code_prose_stats" -> 1.733,
+    "tokenizer_fertility" -> 1.708, "dedup_cluster_sizes" -> 15.767,
+    "bfs_distances" -> 6.492, "clustering_coefficient" -> 6.118,
+    "embedding_covariance" -> 5.698, "stream_transitions" -> 10.194,
+    "stream_distinct_daily" -> 8.318, "scd2_apply_batch" -> 6.667,
+    "winsorized_stats" -> 4.131)
 
   /** Run ONE query in a fresh JVM (this JVM's own flags + classpath,
     * stderr discarded) and parse its timing out of the child's JSON

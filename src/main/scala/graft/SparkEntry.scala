@@ -52,6 +52,25 @@ object SparkEntry {
     "stream_distinct_daily" -> ((s: SparkSession, d: String) => streaming.TransitionStream.streamDistinctDaily(s, d)),
     "scd2_apply_batch"   -> Engagement.scd2ApplyBatch _,
     "winsorized_stats"   -> Behavior.winsorizedStats _,
+    "embedding_outliers" -> ((s: SparkSession, d: String) => VectorOps.embeddingOutliers(s, d)),
+    "url_canonicalize"   -> ((s: SparkSession, d: String) => CorpusQa.urlCanonicalize(s, d)),
+    "stream_acf"         -> ((s: SparkSession, d: String) => streaming.TimeseriesStream.streamAcf(s, d)),
+    "stream_rolling_corr" -> ((s: SparkSession, d: String) => streaming.TimeseriesStream.streamRollingCorr(s, d)),
+    "stream_survival"    -> ((s: SparkSession, d: String) => streaming.TimeseriesStream.streamSurvival(s, d)),
+    "stream_scd2"        -> ((s: SparkSession, d: String) => streaming.CdcCompact.streamScd2(s, d)),
+    "degree_assortativity" -> ((s: SparkSession, d: String) => Graph.degreeAssortativity(s, d)),
+    "graph_components"   -> ((s: SparkSession, d: String) => Graph.graphComponents(s, d)),
+    "time_weighted_value" -> ((s: SparkSession, d: String) => Timeseries.timeWeightedValue(s, d)),
+    "user_revenue_percentile" -> Behavior.userRevenuePercentile _,
+    "stream_user_lifecycle" -> ((s: SparkSession, d: String) => streaming.TransitionStream.streamUserLifecycle(s, d)),
+    "stream_dau_wau_mau" -> ((s: SparkSession, d: String) => streaming.TransitionStream.streamDauWauMau(s, d)),
+    "stream_winsorized"  -> ((s: SparkSession, d: String) => streaming.BoxplotStream.streamWinsorized(s, d)),
+    "stream_time_weighted" -> ((s: SparkSession, d: String) => streaming.TimeseriesStream.streamTimeWeighted(s, d)),
+    "boilerplate_score"  -> ((s: SparkSession, d: String) => CorpusQa.boilerplateScore(s, d)),
+    "dataset_card"       -> ((s: SparkSession, d: String) => CorpusQa.datasetCard(s, d)),
+    "hard_negatives"     -> ((s: SparkSession, d: String) => VectorOps.hardNegatives(s, d)),
+    "ma_crossover"       -> ((s: SparkSession, d: String) => Timeseries.maCrossover(s, d)),
+    "asof_join_tolerance" -> ((s: SparkSession, d: String) => Engagement.asofJoinTolerance(s, d)),
     "snapshot_diff"      -> Engagement.snapshotDiff _,
     "events_sessionized" -> ((s: SparkSession, d: String) => Engagement.eventsSessionized(s, d)),
     "cohort_ltv"         -> Engagement.cohortLtv _,
@@ -305,6 +324,25 @@ object SparkEntry {
       // mid-span split is internal and the full-log SCD2 SQL is the
       // oracle
       "scd2_apply_batch" -> base("cdc_scd2"),
+      // additive daily-count / (day,x,y) / per-user-min states, each
+      // reported through the batch operator's own derivation — the
+      // state-merge family invariant (stream ≡ batch row-for-row)
+      "stream_acf" -> base("acf_daily"),
+      "stream_rolling_corr" -> base("rolling_corr_daily"),
+      "stream_survival" -> base("survival_km"),
+      // per-batch apply IS the batch incremental operator; repeated
+      // apply over time-ordered batches equals the full-log rebuild
+      "stream_scd2" -> base("cdc_scd2"),
+      // the same distinct-(day,user) set state, reported through the
+      // batch operators' own derivations
+      "stream_user_lifecycle" -> base("user_lifecycle"),
+      "stream_dau_wau_mau" -> base("dau_wau_mau"),
+      // the boxplot counting-sort grid serves the winsorized report
+      // too — one additive state, two robust-stat faces
+      "stream_winsorized" -> base("winsorized_stats"),
+      // cross-batch intervals reconstructed from the per-user
+      // frontier; additive daily sufficient sums
+      "stream_time_weighted" -> base("time_weighted_value"),
       // additive integer moments: batch boundaries are invisible, so
       // the oracle is the same formula in one corpus pass (expression
       // shape mirrored literally for bit-equal doubles)
@@ -765,6 +803,17 @@ object SparkEntry {
     "clustering_coefficient" -> operators.Graph.clusteringCoefficientOracleSql,
     "embedding_covariance" -> operators.VectorOps.embeddingCovarianceOracleSql,
     "winsorized_stats" -> operators.Behavior.winsorizedStatsOracleSql,
+    "embedding_outliers" -> operators.VectorOps.embeddingOutliersOracleSql,
+    "url_canonicalize" -> operators.CorpusQa.urlCanonicalizeOracleSql,
+    "degree_assortativity" -> operators.Graph.degreeAssortativityOracleSql,
+    "graph_components" -> operators.Graph.graphComponentsOracleSql,
+    "time_weighted_value" -> operators.Timeseries.timeWeightedValueOracleSql,
+    "user_revenue_percentile" -> operators.Behavior.userRevenuePercentileOracleSql,
+    "boilerplate_score" -> operators.CorpusQa.boilerplateScoreOracleSql,
+    "dataset_card" -> operators.CorpusQa.datasetCardOracleSql,
+    "hard_negatives" -> operators.VectorOps.hardNegativesOracleSql(),
+    "ma_crossover" -> operators.Timeseries.maCrossoverOracleSql,
+    "asof_join_tolerance" -> operators.Engagement.asofJoinToleranceOracleSql(),
     "sequence_count" -> operators.Sequences.sequenceCountOracleSql,
     "funnel_strict_order" -> operators.Sequences.funnelStrictOracleSql,
     "funnel_any_order" -> operators.Sequences.funnelAnyOrderOracleSql,

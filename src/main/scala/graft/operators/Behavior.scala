@@ -279,10 +279,17 @@ object Behavior {
     * non-decomposable-sliding-metric shape as
     * [[Olap.rollingDistinctUsers]], generalized to nested windows.
     */
-  def dauWauMau(spark: SparkSession, dir: String): DataFrame = {
+  def dauWauMau(spark: SparkSession, dir: String): DataFrame =
+    dauWauMauFromDays(Tables.events(spark, dir)
+      .select(date_trunc("day", col("ts")).as("day"), col("user_id")).distinct())
+
+  /** The trailing-window derivation over a distinct `(day, user_id)`
+    * table — shared with the streaming twin (same sharing rationale
+    * as [[lifecycleFromDays]]). */
+  private[graft] def dauWauMauFromDays(d0: DataFrame): DataFrame = {
+    val spark = d0.sparkSession
     import spark.implicits._
-    val d = Tables.events(spark, dir)
-      .select(date_trunc("day", $"ts").as("day"), $"user_id").distinct()
+    val d = d0
     val bounds = d.agg(min($"day").as("lo"), max($"day").as("hi"))
     d.crossJoin(broadcast(bounds))
       .select(explode(expr(
@@ -1141,8 +1148,15 @@ object Behavior {
     * lag runs over the |days|-row series (planning scale). Nothing
     * after the distinct touches event rows.
     */
-  def lifecycleTransform(events: DataFrame): DataFrame = {
-    val d = events.select(col("user_id"), date_trunc("day", col("ts")).as("day")).distinct()
+  def lifecycleTransform(events: DataFrame): DataFrame =
+    lifecycleFromDays(
+      events.select(col("user_id"), date_trunc("day", col("ts")).as("day")).distinct())
+
+  /** The growth-accounting derivation over a distinct `(user_id,
+    * day)` activity table — split out so the streaming twin
+    * ([[graft.streaming.DistinctDailyState]], which keeps exactly
+    * this set) reports through the identical expression tree. */
+  private[graft] def lifecycleFromDays(d: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
     val classified = d.withColumn("prev", lag(col("day"), 1).over(w))
       .withColumn("state",
@@ -1844,33 +1858,54 @@ object Behavior {
     * broadcast back onto the same sorted basis, one
     * map-side-combinable rollup to |types| rows.
     */
-  def winsorizedStatsTransform(events: DataFrame): DataFrame = {
-    val spark = events.sparkSession
+  def winsorizedStatsTransform(events: DataFrame): DataFrame =
+    winsorizedFromCounts(events
+      .select(col("event_type"), expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+      .groupBy(col("event_type"), col("cents")).agg(count(lit(1)).as("cnt")))
+
+  /** The winsorized/trimmed derivation over the COUNTING-SORT grid
+    * `(event_type, cents, cnt)` — the boxplotFromCounts re-expression
+    * applied here for the same two reasons: the fact collapses
+    * map-side to value-cardinality rows (never a per-row rank over
+    * the raw stream), and the streaming twin can keep the identical
+    * grid as additive state and report through this exact tree.
+    * Rank-range trimming becomes per-bucket overlap arithmetic:
+    * a bucket covering ranks [cum−cnt+1, cum] contributes
+    * `min(cum,k95) − max(cum−cnt,k05)` rows (clamped at 0) to the
+    * (k05, k95] trim window — identical to the row-rank formulation
+    * on the same multiset. */
+  private[graft] def winsorizedFromCounts(counts: DataFrame): DataFrame = {
+    val spark = counts.sparkSession
     import spark.implicits._
-    val base = events.select($"event_type", $"event_id",
-      expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
-    val w = Window.partitionBy($"event_type").orderBy($"cents", $"event_id")
-    val ranked = base
-      .withColumn("rn", row_number().over(w).cast("long"))
-      .withColumn("n", count(lit(1)).over(Window.partitionBy($"event_type")))
-    val cuts = ranked
-      .groupBy($"event_type")
-      .agg(first($"n").as("n"),
-        min(when($"rn" === expr("(n * 5 + 99) div 100"), $"cents")).as("q05_cents"),
-        min(when($"rn" === expr("(n * 95 + 99) div 100"), $"cents")).as("q95_cents"))
-    ranked.join(broadcast(cuts.drop("n")), Seq("event_type"))
+    val byVal = Window.partitionBy($"event_type").orderBy($"cents")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val whole = Window.partitionBy($"event_type")
+    val c = counts
+      .withColumn("cum", sum($"cnt").over(byVal))
+      .withColumn("n", sum($"cnt").over(whole))
+      .withColumn("k05", expr("(n * 5 + 99) div 100"))
+      .withColumn("k95", expr("(n * 95 + 99) div 100"))
+    val cuts = c.groupBy($"event_type")
+      .agg(first($"n").as("n"), first($"k05").as("k05"), first($"k95").as("k95"),
+        min(when($"cum" >= $"k05", $"cents")).as("q05_cents"),
+        min(when($"cum" >= $"k95", $"cents")).as("q95_cents"))
+    val dec = "decimal(38,0)"
+    counts
+      .withColumn("cum", sum($"cnt").over(byVal))
+      .join(broadcast(cuts), Seq("event_type"))
+      .withColumn("tcnt",
+        greatest(lit(0L), least($"cum", $"k95") - greatest($"cum" - $"cnt", $"k05")))
       .groupBy($"event_type")
       .agg(first($"n").as("n"),
         first($"q05_cents").as("q05_cents"),
         first($"q95_cents").as("q95_cents"),
-        sum(least(greatest($"cents", $"q05_cents"), $"q95_cents")).as("wsum"),
-        sum(when($"rn" > expr("(n * 5 + 99) div 100") &&
-                 $"rn" <= expr("(n * 95 + 99) div 100"), $"cents")).as("tsum"),
-        sum(when($"rn" > expr("(n * 5 + 99) div 100") &&
-                 $"rn" <= expr("(n * 95 + 99) div 100"), 1L).otherwise(0L)).as("tn"))
+        sum(least(greatest($"cents", $"q05_cents"), $"q95_cents").cast(dec) * $"cnt").as("wsum"),
+        sum($"cents".cast(dec) * $"tcnt").as("tsum"),
+        first($"k95" - $"k05").as("tn"))
       .select($"event_type", $"n", $"q05_cents", $"q95_cents",
         round($"wsum".cast("double") / $"n", 4).as("winsorized_mean_cents"),
-        round($"tsum".cast("double") / $"tn", 4).as("trimmed_mean_cents"))
+        when($"tn" === 0L, lit(null).cast("double"))
+          .otherwise(round($"tsum".cast("double") / $"tn", 4)).as("trimmed_mean_cents"))
       .orderBy($"event_type")
   }
 
@@ -1898,4 +1933,55 @@ object Behavior {
       |FROM r JOIN c ON r.event_type = c.event_type
       |GROUP BY r.event_type, c.n, c.q05_cents, c.q95_cents
       |ORDER BY r.event_type""".stripMargin
+
+  /** Per-user revenue percentile — "what percentile is THIS account"
+    * (support-tier routing, churn-risk weighting, the per-account
+    * face of B30's aggregate whale curve): rank under the TOTAL
+    * order (cents, user_id), percentile as exact truncating basis
+    * points `rn·10⁴ div n` — no cume_dist float semantics to
+    * disagree on — plus the user's exact cumulative revenue share in
+    * bp.
+    *
+    * Shape: fact → one row per user (map-side combinable), rank
+    * window over the user-scale aggregate (planning-scale by the
+    * plan-audit rule; the 100 TB variant rides the 19 slice-locate
+    * pattern), |users| rows out.
+    */
+  def userRevenuePercentileTransform(events: DataFrame): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val perUser = events
+      .select($"user_id", expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+      .groupBy($"user_id").agg(sum($"cents").as("cents"))
+    val byRev = Window.orderBy($"cents", $"user_id")
+    val whole = Window.partitionBy(lit(0))
+    perUser
+      .withColumn("rn", row_number().over(byRev).cast("long"))
+      .withColumn("n", count(lit(1)).over(whole))
+      .withColumn("cum", sum($"cents").over(byRev.rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("total", sum($"cents").over(whole))
+      .select($"user_id", $"cents",
+        $"rn".as("revenue_rank"),
+        expr("rn * 10000 div n").as("percentile_bp"),
+        expr("cum * 10000 div total").as("cum_share_bp"))
+      .orderBy($"user_id")
+  }
+
+  def userRevenuePercentile(spark: SparkSession, dir: String): DataFrame =
+    userRevenuePercentileTransform(graft.sources.Tables.events(spark, dir))
+
+  /** DuckDB oracle for [[userRevenuePercentileTransform]]. */
+  val userRevenuePercentileOracleSql: String =
+    """WITH u AS (SELECT user_id, CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+      |           FROM events GROUP BY 1),
+      |r AS (SELECT user_id, cents,
+      |             CAST(row_number() OVER (ORDER BY cents, user_id) AS BIGINT) AS rn,
+      |             count(*) OVER () AS n,
+      |             sum(cents) OVER (ORDER BY cents, user_id ROWS UNBOUNDED PRECEDING) AS cum,
+      |             sum(cents) OVER () AS total
+      |      FROM u)
+      |SELECT user_id, cents, rn AS revenue_rank,
+      |       CAST(rn * 10000 // n AS BIGINT) AS percentile_bp,
+      |       CAST(cum * 10000 // total AS BIGINT) AS cum_share_bp
+      |FROM r ORDER BY user_id""".stripMargin
 }

@@ -192,4 +192,214 @@ object CorpusQa {
        |       cluster_size * count(*) AS n_docs,
        |       (cluster_size - 1) * count(*) AS dup_docs
        |FROM cs GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** URL canonicalization + dedup — the FIRST dedup layer of every
+    * web corpus (two crawls of one page differ in scheme, www, case
+    * of the host, default port, param order, fragment, trailing
+    * slash long before their bodies differ): lowercase host, strip
+    * scheme / leading `www.` / `:80`/`:443` / fragment / trailing
+    * slash, sort query params; docs sharing a canonical URL form a
+    * group keyed by its min doc_id, `is_kept` marks the
+    * representative. The corpus ships no URLs, so each doc is
+    * AUGMENTED with a deterministic surface variant (4 docs per
+    * logical page, one variant each — scheme/case, port/fragment,
+    * upper-host/trailing-slash, param order) mirrored in the oracle,
+    * so every canonicalization rule is exercised and checked.
+    *
+    * All string ops are per-row map inside codegen (anchored regexes
+    * — single-match, so Spark's replace-all and DuckDB's
+    * replace-first agree); the dedup is one canonical-url shuffle.
+    */
+  def urlCanonicalizeTransform(docs: DataFrame): DataFrame = {
+    val planted = docs.select(col("doc_id"),
+      concat(
+        when(col("doc_id") % 4 === 0, lit("http://www.ExAmple.com/p"))
+          .when(col("doc_id") % 4 === 1, lit("https://example.com:443/p"))
+          .when(col("doc_id") % 4 === 2, lit("HTTP://EXAMPLE.COM/p"))
+          .otherwise(lit("http://example.com:80/p")),
+        (col("doc_id") / 4).cast("long").cast("string"),
+        when(col("doc_id") % 4 === 0, lit("?b=2&a=1"))
+          .when(col("doc_id") % 4 === 1, lit("?a=1&b=2#section"))
+          .when(col("doc_id") % 4 === 2, lit("/?b=2&a=1"))
+          .otherwise(lit("?a=1&b=2"))).as("url"))
+    val noScheme = regexp_replace(col("url"), "^[A-Za-z]+://", "")
+    val noFrag = regexp_replace(noScheme, "#.*$", "")
+    val host0 = regexp_extract(noFrag, "^([^/?]+)", 1)
+    val host = regexp_replace(
+      regexp_replace(lower(host0), "^www\\.", ""), ":(80|443)$", "")
+    val pathq = regexp_replace(noFrag, "^[^/?]+", "")
+    val path = regexp_replace(regexp_extract(pathq, "^([^?]*)", 1), "/+$", "")
+    val query = regexp_extract(pathq, "\\?(.*)$", 1)
+    val canonQ = when(query === "", lit(""))
+      .otherwise(concat(lit("?"), array_join(array_sort(split(query, "&")), "&")))
+    val canon = planted.select(col("doc_id"), col("url"),
+      concat(host, path, canonQ).as("canonical_url"))
+    val groups = canon.groupBy(col("canonical_url"))
+      .agg(min(col("doc_id")).as("url_group"), count(lit(1)).as("group_size"))
+    canon.join(groups, Seq("canonical_url"))
+      .select(col("doc_id"), col("url"), col("canonical_url"),
+        col("url_group"), col("group_size"),
+        (col("doc_id") === col("url_group")).as("is_kept"))
+      .orderBy(col("doc_id"))
+  }
+
+  def urlCanonicalize(spark: SparkSession, dir: String): DataFrame =
+    urlCanonicalizeTransform(Tables.documents(spark, dir))
+
+  /** DuckDB oracle for [[urlCanonicalizeTransform]] — identical
+    * planting, identical rule sequence. */
+  val urlCanonicalizeOracleSql: String =
+    """WITH p AS (
+      |  SELECT doc_id,
+      |         (CASE doc_id % 4
+      |            WHEN 0 THEN 'http://www.ExAmple.com/p'
+      |            WHEN 1 THEN 'https://example.com:443/p'
+      |            WHEN 2 THEN 'HTTP://EXAMPLE.COM/p'
+      |            ELSE 'http://example.com:80/p' END)
+      |         || CAST(doc_id // 4 AS VARCHAR)
+      |         || (CASE doc_id % 4
+      |            WHEN 0 THEN '?b=2&a=1'
+      |            WHEN 1 THEN '?a=1&b=2#section'
+      |            WHEN 2 THEN '/?b=2&a=1'
+      |            ELSE '?a=1&b=2' END) AS url
+      |  FROM documents),
+      |c0 AS (
+      |  SELECT doc_id, url,
+      |         regexp_replace(regexp_replace(url, '^[A-Za-z]+://', ''), '#.*$', '') AS nf
+      |  FROM p),
+      |c1 AS (
+      |  SELECT doc_id, url,
+      |         regexp_replace(regexp_replace(lower(regexp_extract(nf, '^([^/?]+)', 1)), '^www\.', ''), ':(80|443)$', '') AS host,
+      |         regexp_replace(nf, '^[^/?]+', '') AS pathq
+      |  FROM c0),
+      |c2 AS (
+      |  SELECT doc_id, url, host,
+      |         regexp_replace(regexp_extract(pathq, '^([^?]*)', 1), '/+$', '') AS path,
+      |         regexp_extract(pathq, '\?(.*)$', 1) AS query
+      |  FROM c1),
+      |canon AS (
+      |  SELECT doc_id, url,
+      |         host || path ||
+      |         CASE WHEN query = '' THEN ''
+      |              ELSE '?' || array_to_string(list_sort(string_split(query, '&')), '&') END AS canonical_url
+      |  FROM c2),
+      |g AS (SELECT canonical_url, min(doc_id) AS url_group, count(*) AS group_size
+      |      FROM canon GROUP BY 1)
+      |SELECT c.doc_id, c.url, c.canonical_url, g.url_group, g.group_size,
+      |       c.doc_id = g.url_group AS is_kept
+      |FROM canon c JOIN g ON c.canonical_url = g.canonical_url
+      |ORDER BY c.doc_id""".stripMargin
+
+  /** Boilerplate score per document — the CCNet-style shared-shingle
+    * screen that catches headers/footers/templates EXACT dedup and
+    * whole-doc MinHash both miss (the boilerplate is a FRAGMENT of
+    * many otherwise-distinct docs): fraction of a doc's distinct word
+    * 5-grams that appear in ≥ `minDf` docs of the SAME source, in
+    * truncating basis points. High score + low whole-doc similarity
+    * = template wrapping unique content — strip the template, keep
+    * the doc.
+    *
+    * Shape: distinct 5-grams explode map-side; document frequency is
+    * one (source, gram) count shuffle; the join back is on the same
+    * key — the ngram_novelty cost class, linear in corpus size, never
+    * doc×doc.
+    */
+  def boilerplateScoreTransform(docs: DataFrame, minDf: Long = 3L): DataFrame = {
+    val grams = docs
+      .select(col("doc_id"), col("source"),
+        array_distinct(expr(
+          "transform(sequence(1, greatest(size(split(text, ' ')) - 4, 1)), " +
+          "i -> array_join(slice(split(text, ' '), i, 5), ' '))")).as("gs"))
+      .select(col("doc_id"), col("source"), explode(col("gs")).as("gram"))
+    val df = grams.groupBy(col("source"), col("gram"))
+      .agg(count(lit(1)).as("df"))
+    val scored = grams.join(df, Seq("source", "gram"))
+      .groupBy(col("doc_id"), col("source"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("df") >= minDf, 1L).otherwise(0L)).as("n_common"))
+    docs.select(col("doc_id"), col("source"))
+      .join(scored.drop("source"), Seq("doc_id"), "left")
+      .select(col("doc_id"), col("source"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("n_common"), lit(0L)).as("n_common"))
+      .withColumn("boilerplate_bp",
+        when(col("n_grams") === 0L, lit(0L))
+          .otherwise(expr("n_common * 10000 div n_grams")))
+      .orderBy(col("doc_id"))
+  }
+
+  def boilerplateScore(spark: SparkSession, dir: String): DataFrame =
+    boilerplateScoreTransform(Tables.documents(spark, dir))
+
+  /** DuckDB oracle for [[boilerplateScoreTransform]] (minDf = 3). */
+  val boilerplateScoreOracleSql: String =
+    """WITH g AS (
+      |  SELECT doc_id, source,
+      |         unnest(list_distinct(list_transform(
+      |           range(1, greatest(len(string_split(text, ' ')) - 4, 1) + 1),
+      |           i -> array_to_string(string_split(text, ' ')[i:i+4], ' ')))) AS gram
+      |  FROM documents),
+      |df AS (SELECT source, gram, count(*) AS df FROM g GROUP BY 1, 2),
+      |s AS (SELECT g.doc_id, count(*) AS n_grams,
+      |             sum(CASE WHEN df.df >= 3 THEN 1 ELSE 0 END) AS n_common
+      |      FROM g JOIN df ON g.source = df.source AND g.gram = df.gram
+      |      GROUP BY 1)
+      |SELECT d.doc_id, d.source,
+      |       CAST(coalesce(s.n_grams, 0) AS BIGINT) AS n_grams,
+      |       CAST(coalesce(s.n_common, 0) AS BIGINT) AS n_common,
+      |       CAST(CASE WHEN coalesce(s.n_grams, 0) = 0 THEN 0
+      |            ELSE coalesce(s.n_common, 0) * 10000 // s.n_grams END AS BIGINT) AS boilerplate_bp
+      |FROM documents d LEFT JOIN s ON d.doc_id = s.doc_id
+      |ORDER BY d.doc_id""".stripMargin
+
+  /** Dataset-card summary — the ONE-ROW corpus header every dataset
+    * release ships (and every downstream consumer reads before
+    * anything else): doc/source/language counts, token and char
+    * totals under both tokenizations, length spread, and the English
+    * share in exact basis points. All sufficient statistics are
+    * exact integers in one map-side-combinable pass; the two means
+    * are final one-shot divisions.
+    */
+  def datasetCardTransform(docs: DataFrame): DataFrame =
+    docs
+      .select(col("lang"), col("source"),
+        expr("CAST(size(split(text, ' ')) AS BIGINT)").as("ws"),
+        expr("CAST(size(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]', 0)) AS BIGINT)").as("bpe"),
+        length(col("text")).cast("long").as("chars"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("source")).as("n_sources"),
+        countDistinct(col("lang")).as("n_langs"),
+        sum(col("ws")).as("ws_tokens"),
+        sum(col("bpe")).as("bpe_tokens"),
+        sum(col("chars")).as("n_chars"),
+        min(col("chars")).as("min_chars"),
+        max(col("chars")).as("max_chars"),
+        sum(when(col("lang") === "en", 1L).otherwise(0L)).as("n_en"))
+      .select(col("n_docs"), col("n_sources"), col("n_langs"),
+        col("ws_tokens"), col("bpe_tokens"), col("n_chars"),
+        col("min_chars"), col("max_chars"),
+        expr("n_chars * 100 div n_docs").as("mean_chars_x100"),
+        expr("n_en * 10000 div n_docs").as("en_share_bp"))
+
+  def datasetCard(spark: SparkSession, dir: String): DataFrame =
+    datasetCardTransform(Tables.documents(spark, dir))
+
+  /** DuckDB oracle for [[datasetCardTransform]]. */
+  val datasetCardOracleSql: String =
+    """WITH t AS (
+      |  SELECT lang, source,
+      |         CAST(len(string_split(text, ' ')) AS BIGINT) AS ws,
+      |         CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]')) AS BIGINT) AS bpe,
+      |         CAST(len(text) AS BIGINT) AS chars
+      |  FROM documents)
+      |SELECT count(*) AS n_docs,
+      |       CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+      |       CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+      |       CAST(sum(ws) AS BIGINT) AS ws_tokens,
+      |       CAST(sum(bpe) AS BIGINT) AS bpe_tokens,
+      |       CAST(sum(chars) AS BIGINT) AS n_chars,
+      |       min(chars) AS min_chars, max(chars) AS max_chars,
+      |       CAST(sum(chars) * 100 // count(*) AS BIGINT) AS mean_chars_x100,
+      |       CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) * 10000 // count(*) AS BIGINT) AS en_share_bp
+      |FROM t""".stripMargin
 }

@@ -491,6 +491,67 @@ object Engagement {
       .orderBy($"event_id")
   }
 
+  /** As-of join WITH TOLERANCE (pandas `merge_asof(tolerance=...)`):
+    * the backward carry of [[asofJoin]], but a match older than
+    * `tolDays` is nulled out — the semantics a feature pipeline
+    * actually wants ("the customer's last order, IF it's recent
+    * enough to still describe them"; an 11-month-old order row is
+    * worse than NULL for a freshness-sensitive model). Same union →
+    * one-shuffle → one-sort distributed merge; the tolerance is a
+    * per-row datediff test on the carried order date, applied to all
+    * carried columns consistently.
+    */
+  def asofJoinTolerance(spark: SparkSession, dir: String, tolDays: Int = 7): DataFrame = {
+    import spark.implicits._
+    val o = Tables.orders(spark, dir)
+      .groupBy($"o_custkey", $"o_orderdate")
+      .agg(max($"o_orderkey").as("last_orderkey"),
+        max_by($"o_totalprice", $"o_orderkey").as("last_totalprice"))
+    val ou = o.select($"o_custkey".as("user_id"), $"o_orderdate".as("t"),
+      lit(0).as("side"), lit(null).cast("long").as("event_id"),
+      $"last_orderkey", $"o_orderdate".as("last_orderdate"), $"last_totalprice")
+    val eu = Tables.events(spark, dir).select($"user_id", $"ts".as("t"),
+      lit(1).as("side"), $"event_id",
+      lit(null).cast("long").as("last_orderkey"),
+      lit(null).cast("timestamp").as("last_orderdate"),
+      lit(null).cast("double").as("last_totalprice"))
+    val w = Window.partitionBy($"user_id").orderBy($"t", $"side")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    ou.unionByName(eu)
+      .withColumn("lk", last($"last_orderkey", ignoreNulls = true).over(w))
+      .withColumn("ld", last($"last_orderdate", ignoreNulls = true).over(w))
+      .withColumn("lp", last($"last_totalprice", ignoreNulls = true).over(w))
+      .filter($"side" === 1)
+      .withColumn("in_tol", $"ld".isNotNull && datediff($"t", $"ld") <= tolDays)
+      .select($"event_id", $"t".as("ts"), $"user_id",
+        when($"in_tol", $"lk").as("last_orderkey"),
+        when($"in_tol", $"ld").as("last_orderdate"),
+        when($"in_tol", round($"lp", 2)).as("last_totalprice"))
+      .orderBy($"event_id")
+  }
+
+  /** DuckDB oracle for [[asofJoinTolerance]] — the native backward
+    * ASOF join with the identical datediff null-out. */
+  def asofJoinToleranceOracleSql(tolDays: Int = 7): String =
+    s"""WITH o AS (
+       |  SELECT o_custkey, o_orderdate,
+       |         max(o_orderkey) AS last_orderkey,
+       |         max_by(o_totalprice, o_orderkey) AS last_totalprice
+       |  FROM orders GROUP BY 1, 2),
+       |e AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id FROM events),
+       |j AS (SELECT e.event_id, e.ts, e.user_id,
+       |             o.last_orderkey, o.o_orderdate AS last_orderdate, o.last_totalprice
+       |      FROM e ASOF LEFT JOIN o
+       |        ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate)
+       |SELECT event_id, ts, user_id,
+       |       CASE WHEN last_orderdate IS NOT NULL AND date_diff('day', last_orderdate, ts) <= $tolDays
+       |            THEN last_orderkey END AS last_orderkey,
+       |       CASE WHEN last_orderdate IS NOT NULL AND date_diff('day', last_orderdate, ts) <= $tolDays
+       |            THEN last_orderdate END AS last_orderdate,
+       |       CASE WHEN last_orderdate IS NOT NULL AND date_diff('day', last_orderdate, ts) <= $tolDays
+       |            THEN round(last_totalprice, 2) END AS last_totalprice
+       |FROM j ORDER BY event_id""".stripMargin
+
   /** FORWARD as-of join — [[asofJoin]]'s time-mirror (pandas
     * `merge_asof(direction='forward')` / kdb `aj` reversed): each
     * event picks the EARLIEST order at-or-after its timestamp — the

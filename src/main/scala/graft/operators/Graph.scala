@@ -761,4 +761,120 @@ object Graph {
        |            ELSE coalesce(tc.n_triangles, 0) * 2 * 10000 // (d.deg * (d.deg - 1)) END AS cc_bp
        |FROM deg d LEFT JOIN tc ON d.item = tc.item
        |ORDER BY d.item""".stripMargin
+
+  /** Degree assortativity (Newman 2002) — ONE number: do hubs link
+    * to hubs (r > 0, social-network shape) or to leaves (r < 0,
+    * hub-and-spoke)? It decides whether the hub guards in B9/B9e
+    * bind: a disassortative graph concentrates wedges on few pivots.
+    * Pearson r of (deg(u), deg(v)) over the SYMMETRIC directed edge
+    * list — the standard undirected formulation; sufficient sums are
+    * exact Decimal(38,0) (deg² × edges passes a Long at warehouse
+    * scale), one final float.
+    *
+    * Shape: degrees from one aggregate, attached to both endpoints
+    * by co-partitioned id joins, collapsed map-side to a single
+    * sufficient-stat row.
+    */
+  def degreeAssortativityTransform(pairs: DataFrame): DataFrame = {
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    val e = truncateLineage(pairs.select($"item_a".as("a"), $"item_b".as("b")))
+    val edges = e.select($"a".as("src"), $"b".as("dst"))
+      .unionByName(e.select($"b".as("src"), $"a".as("dst")))
+    val deg = edges.groupBy($"src".as("item")).agg(count(lit(1)).as("deg"))
+    val dec = "decimal(38,0)"
+    edges
+      .join(deg.select($"item".as("src"), $"deg".as("dx")), Seq("src"))
+      .join(deg.select($"item".as("dst"), $"deg".as("dy")), Seq("dst"))
+      .agg(count(lit(1)).as("n_edges"),
+        sum($"dx".cast(dec)).as("sx"), sum($"dy".cast(dec)).as("sy"),
+        sum($"dx".cast(dec) * $"dy").as("sxy"),
+        sum($"dx".cast(dec) * $"dx").as("sxx"),
+        sum($"dy".cast(dec) * $"dy").as("syy"))
+      .select($"n_edges",
+        round((($"n_edges" * $"sxy" - $"sx" * $"sy").cast("double")) /
+          sqrt(expr(s"CAST(nullif(n_edges * sxx - sx * sx, CAST(0 AS $dec)) AS DOUBLE)") *
+               expr(s"CAST(nullif(n_edges * syy - sy * sy, CAST(0 AS $dec)) AS DOUBLE)")), 6)
+          .as("assortativity"))
+  }
+
+  def degreeAssortativity(spark: SparkSession, dir: String): DataFrame =
+    degreeAssortativityTransform(edgeTransform(Tables.events(spark, dir), maxItems = 50, topEdges = 800))
+
+  /** DuckDB oracle for [[degreeAssortativityTransform]]. */
+  def degreeAssortativityOracleSql: String =
+    s"""WITH $edgeCtes,
+       |edges AS (SELECT item_a AS src, item_b AS dst FROM pairs
+       |          UNION ALL SELECT item_b, item_a FROM pairs),
+       |deg AS (SELECT src AS item, count(*) AS deg FROM edges GROUP BY 1),
+       |j AS (SELECT CAST(a.deg AS HUGEINT) AS dx, CAST(b.deg AS HUGEINT) AS dy
+       |      FROM edges e JOIN deg a ON e.src = a.item JOIN deg b ON e.dst = b.item)
+       |SELECT count(*) AS n_edges,
+       |       round(CAST(count(*) * sum(dx * dy) - sum(dx) * sum(dy) AS DOUBLE) /
+       |             sqrt(CAST(nullif(count(*) * sum(dx * dx) - sum(dx) * sum(dx), 0) AS DOUBLE) *
+       |                  CAST(nullif(count(*) * sum(dy * dy) - sum(dy) * sum(dy), 0) AS DOUBLE)), 6) AS assortativity
+       |FROM j""".stripMargin
+
+  /** Connected components of the co-engagement graph with component
+    * sizes — the fragmentation read BEFORE any community algorithm
+    * (LPA inside one giant component answers a different question
+    * than ten disconnected catalogs): min-label propagation to a
+    * convergence checksum (the [[kCoreTransform]] planning-scale
+    * driver-probe discipline; rounds bounded by component diameter —
+    * the star-contraction O(log²) variant lives in
+    * [[Dedup.dedupClustersStar]] for adversarial shapes), lineage
+    * truncated per round.
+    */
+  def graphComponentsTransform(pairs: DataFrame, maxIters: Int = 30): DataFrame = {
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    val e = truncateLineage(pairs.select($"item_a".as("a"), $"item_b".as("b")))
+    val edges = e.select($"a".as("src"), $"b".as("dst"))
+      .unionByName(e.select($"b".as("src"), $"a".as("dst")))
+    var labels = truncateLineage(
+      edges.select($"src".as("item")).distinct().select($"item", $"item".as("lbl")))
+    def checksum(l: DataFrame): Long = {
+      val r = l.agg(expr("bit_xor(xxhash64(item, lbl))")).collect()(0)
+      if (r.isNullAt(0)) 0L else r.getLong(0)
+    }
+    var sig = checksum(labels)
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIters) {
+      val next = truncateLineage(
+        edges.join(labels.withColumnRenamed("item", "src"), Seq("src"))
+          .groupBy($"dst".as("item")).agg(min($"lbl").as("nbr"))
+          .join(labels, Seq("item"))
+          .select($"item", least($"lbl", $"nbr").as("lbl")))
+      val nextSig = checksum(next)
+      labels = next
+      converged = nextSig == sig
+      sig = nextSig
+      iter += 1
+    }
+    val sizes = labels.groupBy($"lbl").agg(count(lit(1)).as("component_size"))
+    labels.join(sizes, Seq("lbl"))
+      .select($"item", $"lbl".as("component"), $"component_size")
+      .orderBy($"item")
+  }
+
+  def graphComponents(spark: SparkSession, dir: String): DataFrame =
+    graphComponentsTransform(edgeTransform(Tables.events(spark, dir), maxItems = 50, topEdges = 800))
+
+  /** DuckDB oracle for [[graphComponentsTransform]]: recursive-CTE
+    * reachability closure, component = min reachable id. */
+  def graphComponentsOracleSql: String =
+    s"""WITH RECURSIVE $edgeCtes,
+       |edges AS (SELECT item_a AS src, item_b AS dst FROM pairs
+       |          UNION ALL SELECT item_b, item_a FROM pairs),
+       |nodes AS (SELECT DISTINCT src AS item FROM edges),
+       |reach(a, b) AS (
+       |  SELECT item, item FROM nodes
+       |  UNION
+       |  SELECT reach.a, e.dst FROM reach JOIN edges e ON reach.b = e.src),
+       |lbl AS (SELECT a AS item, min(b) AS component FROM reach GROUP BY a),
+       |sz AS (SELECT component, count(*) AS component_size FROM lbl GROUP BY 1)
+       |SELECT l.item, l.component, s.component_size
+       |FROM lbl l JOIN sz s ON l.component = s.component
+       |ORDER BY l.item""".stripMargin
 }

@@ -44,12 +44,21 @@ object Timeseries {
     * one-row-per-type stats table broadcasts back. Never fact-scale
     * past the first aggregate.
     */
-  def acfDailyTransform(events: DataFrame, maxLag: Int = 7): DataFrame = {
-    val spark = events.sparkSession
-    import spark.implicits._
-    val daily = events
+  def acfDailyTransform(events: DataFrame, maxLag: Int = 7): DataFrame =
+    acfFromDaily(events
       .select(col("event_type"), date_trunc("day", col("ts")).as("day"))
-      .groupBy($"event_type", $"day").agg(count(lit(1)).as("x"))
+      .groupBy(col("event_type"), col("day")).agg(count(lit(1)).as("x")), maxLag)
+
+  /** The ACF derivation over an already-aggregated `(event_type, day,
+    * x)` count table — split out so the streaming twin
+    * ([[graft.streaming.TypeDailyCountState]]) maintains the daily
+    * counts as additive state and derives the correlogram through
+    * this identical expression tree (the ewmaFromDaily parity
+    * pattern). */
+  private[graft] def acfFromDaily(daily0: DataFrame, maxLag: Int = 7): DataFrame = {
+    val spark = daily0.sparkSession
+    import spark.implicits._
+    val daily = daily0
     val bounds = daily.agg(min($"day").as("lo"), max($"day").as("hi"))
     val grid = daily.select($"event_type").distinct()
       .crossJoin(broadcast(bounds))
@@ -137,14 +146,21 @@ object Timeseries {
     * 100 TB variant partitions by coarse date bucket and stitches the
     * 6-row seam, or rides the 19 slice-locate pattern).
     */
-  def rollingCorrDailyTransform(events: DataFrame, windowDays: Int = 7): DataFrame = {
-    val spark = events.sparkSession
-    import spark.implicits._
-    val daily = events
+  def rollingCorrDailyTransform(events: DataFrame, windowDays: Int = 7): DataFrame =
+    corrFromDaily(events
       .select(date_trunc("day", col("ts")).as("day"),
         expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
-      .groupBy($"day")
-      .agg(count(lit(1)).as("x"), sum($"cents").as("y"))
+      .groupBy(col("day"))
+      .agg(count(lit(1)).as("x"), sum(col("cents")).as("y")), windowDays)
+
+  /** The rolling-correlation derivation over an already-aggregated
+    * `(day, x, y)` table — split out for the streaming twin
+    * ([[graft.streaming.DailyVolRevState]]), same sharing rationale
+    * as [[acfFromDaily]]. */
+  private[graft] def corrFromDaily(daily0: DataFrame, windowDays: Int = 7): DataFrame = {
+    val spark = daily0.sparkSession
+    import spark.implicits._
+    val daily = daily0
     val bounds = daily.agg(min($"day").as("lo"), max($"day").as("hi"))
     val spine = bounds
       .select(explode(expr("sequence(lo, hi, INTERVAL 1 DAY)")).as("day"))
@@ -227,19 +243,26 @@ object Timeseries {
                           endType: String = "purchase"): DataFrame = {
     val spark = events.sparkSession
     import spark.implicits._
-    val perUser = events
-      .select($"user_id", $"ts", $"event_type", date_trunc("day", $"ts").as("day"))
+    // one conditional-min aggregate per user (ONE user_id shuffle)
+    // and a one-row horizon — exactly the state the streaming twin
+    // keeps ([[graft.streaming.SurvivalState]]: mins/max merge
+    // exactly across batches)
+    val users = events
+      .select($"user_id", $"event_type", date_trunc("day", $"ts").as("day"))
       .groupBy($"user_id")
       .agg(min(when($"event_type" === startType, $"day")).as("v_day"),
-        max($"day").as("last_seen"))
-      .filter($"v_day".isNotNull)
-    // first purchase ON OR AFTER the first view, as a conditional min
-    // against the same fact (co-partitioned on user_id)
-    val firstEnd = events.filter($"event_type" === endType)
-      .select($"user_id", date_trunc("day", $"ts").as("p_day"))
-      .groupBy($"user_id").agg(min($"p_day").as("any_p"))
-    val horizon = events.agg(date_trunc("day", max($"ts")).as("h")).as("h")
-    val durations = perUser.join(firstEnd, Seq("user_id"), "left")
+        min(when($"event_type" === endType, $"day")).as("any_p"))
+    val horizon = events.agg(date_trunc("day", max($"ts")).as("h"))
+    survivalFromUsers(users, horizon)
+  }
+
+  /** The product-limit derivation over the sufficient per-user state
+    * `(user_id, v_day, any_p)` + one-row horizon — shared with the
+    * streaming twin (parity by shared derivation). */
+  private[graft] def survivalFromUsers(users: DataFrame, horizon: DataFrame): DataFrame = {
+    val spark = users.sparkSession
+    import spark.implicits._
+    val durations = users.filter($"v_day".isNotNull)
       .crossJoin(broadcast(horizon))
       .select($"user_id",
         when($"any_p".isNotNull && $"any_p" >= $"v_day",
@@ -303,4 +326,138 @@ object Timeseries {
       |SELECT duration, CAST(n_risk AS BIGINT) AS n_risk, d AS n_events,
       |       CASE WHEN dead = 1 THEN 0.0 ELSE round(exp(lnsum), 6) END AS survival
       |FROM k WHERE d > 0 ORDER BY duration""".stripMargin
+
+  /** Time-weighted average engagement value per day — the
+    * sampling-bias-free daily level (a plain AVG over events
+    * overweights burst periods: a user firing 100 events in one
+    * minute dominates a day they were otherwise idle; weighting each
+    * value by the µs it was the user's CURRENT state until their
+    * next event is the telemetry-standard TWA): weight = exact µs
+    * gap to the same user's next event (lead window), the user's
+    * last event carries no interval and is excluded; Σ cents·w and
+    * Σ w as exact Decimal(38,0) (cents·µs passes a Long within one
+    * busy day), one float division per day.
+    *
+    * Shape: one user_id shuffle for the lead window, then a
+    * map-side-combinable day rollup — the lag_features plan with an
+    * aggregate instead of a feature matrix.
+    */
+  def timeWeightedValueTransform(events: DataFrame): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val dec = "decimal(38,0)"
+    twaFromDaily(events
+      .select($"user_id", $"ts", $"event_id",
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+      .withColumn("w_us", lead(unix_micros($"ts"), 1).over(w) - unix_micros($"ts"))
+      .filter($"w_us".isNotNull)
+      .groupBy(date_trunc("day", $"ts").as("day"))
+      .agg(count(lit(1)).as("n_intervals"),
+        sum($"cents".cast(dec) * $"w_us").as("cw"),
+        sum($"w_us".cast(dec)).as("sw")))
+  }
+
+  /** Moving-average crossover signal over daily revenue — the
+    * golden-cross/death-cross detector (ops reads it as "sustained
+    * shift vs noise": a 7-day mean crossing the 28-day mean commits
+    * to a trend the way no single day can): zero-filled daily cents,
+    * trailing S7/S28 window sums, comparison cross-multiplied to
+    * exact integers (28·S7 vs 7·S28 — the means never materialize as
+    * floats), only FULL windows compared (first 27 days emit no
+    * signal), output = the crossing days only with both sums.
+    *
+    * Shape: fact → |days| rows map-side; ROWS windows + one lag over
+    * the day-scale aggregate (plan-audit bounded).
+    */
+  def maCrossoverTransform(events: DataFrame, fast: Int = 7, slow: Int = 28): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val daily = events
+      .select(date_trunc("day", col("ts")).as("day"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+      .groupBy($"day").agg(sum($"cents").as("y"))
+    val bounds = daily.agg(min($"day").as("lo"), max($"day").as("hi"))
+    val spine = bounds
+      .select(explode(expr("sequence(lo, hi, INTERVAL 1 DAY)")).as("day"))
+      .join(daily, Seq("day"), "left")
+      .select($"day", coalesce($"y", lit(0L)).as("y"))
+    val ord = Window.orderBy($"day")
+    val wF = ord.rowsBetween(-(fast - 1), Window.currentRow)
+    val wS = ord.rowsBetween(-(slow - 1), Window.currentRow)
+    spine
+      .withColumn("i", row_number().over(ord).cast("long"))
+      .withColumn("sf", sum($"y").over(wF))
+      .withColumn("ss", sum($"y").over(wS))
+      .filter($"i" >= slow)
+      .withColumn("sig",
+        when(lit(slow) * $"sf" > lit(fast) * $"ss", 1L)
+          .when(lit(slow) * $"sf" < lit(fast) * $"ss", -1L)
+          .otherwise(0L))
+      .withColumn("prev_sig", lag($"sig", 1).over(ord))
+      // every full-window day emits (the signal line is the product;
+      // a crossing-only output is legitimately empty on short spans)
+      .select($"day", $"sf".as("fast_sum_cents"), $"ss".as("slow_sum_cents"), $"sig",
+        when($"prev_sig".isNotNull && $"sig" =!= $"prev_sig" && $"sig" === 1L, "golden")
+          .when($"prev_sig".isNotNull && $"sig" =!= $"prev_sig" && $"sig" === -1L, "death")
+          .otherwise(lit(null).cast("string")).as("cross"))
+      .orderBy($"day")
+  }
+
+  def maCrossover(spark: SparkSession, dir: String): DataFrame =
+    maCrossoverTransform(Tables.events(spark, dir))
+
+  /** DuckDB oracle for [[maCrossoverTransform]] (7/28). */
+  val maCrossoverOracleSql: String =
+    """WITH daily AS (
+      |  SELECT date_trunc('day', CAST(ts AS TIMESTAMP)) AS day,
+      |         sum(CAST(round(value * 100) AS BIGINT)) AS y
+      |  FROM events GROUP BY 1),
+      |spine AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS day
+      |          FROM (SELECT min(day) AS lo, max(day) AS hi FROM daily)),
+      |g AS (SELECT s.day, CAST(coalesce(d.y, 0) AS BIGINT) AS y
+      |      FROM spine s LEFT JOIN daily d ON d.day = s.day),
+      |m AS (SELECT day,
+      |             row_number() OVER (ORDER BY day) AS i,
+      |             sum(y) OVER (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS sf,
+      |             sum(y) OVER (ORDER BY day ROWS BETWEEN 27 PRECEDING AND CURRENT ROW) AS ss
+      |      FROM g),
+      |sg AS (SELECT day, sf, ss,
+      |              CASE WHEN 28 * sf > 7 * ss THEN 1
+      |                   WHEN 28 * sf < 7 * ss THEN -1 ELSE 0 END AS sig
+      |       FROM m WHERE i >= 28),
+      |x AS (SELECT day, sf, ss, sig, lag(sig) OVER (ORDER BY day) AS prev_sig FROM sg)
+      |SELECT day, CAST(sf AS BIGINT) AS fast_sum_cents, CAST(ss AS BIGINT) AS slow_sum_cents,
+      |       CAST(sig AS BIGINT) AS sig,
+      |       CASE WHEN prev_sig IS NOT NULL AND sig <> prev_sig AND sig = 1 THEN 'golden'
+      |            WHEN prev_sig IS NOT NULL AND sig <> prev_sig AND sig = -1 THEN 'death'
+      |            END AS cross
+      |FROM x ORDER BY day""".stripMargin
+
+  /** The final TWA select over the additive daily sufficient sums
+    * `(day, n_intervals, cw, sw)` — shared with the streaming twin
+    * ([[graft.streaming.TwaState]]), which maintains exactly this
+    * table (plus a per-user frontier for the cross-batch interval). */
+  private[graft] def twaFromDaily(daily: DataFrame): DataFrame =
+    daily.select(col("day"), col("n_intervals"),
+        round(col("cw").cast("double") / col("sw").cast("double"), 4).as("twa_cents"))
+      .orderBy(col("day"))
+
+  def timeWeightedValue(spark: SparkSession, dir: String): DataFrame =
+    timeWeightedValueTransform(Tables.events(spark, dir))
+
+  /** DuckDB oracle for [[timeWeightedValueTransform]]. */
+  val timeWeightedValueOracleSql: String =
+    """WITH e AS (
+      |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id,
+      |         CAST(round(value * 100) AS BIGINT) AS cents
+      |  FROM events),
+      |g AS (SELECT date_trunc('day', ts) AS day, cents,
+      |             lead(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      |               - epoch_us(ts) AS w_us
+      |      FROM e)
+      |SELECT day, count(*) AS n_intervals,
+      |       round(CAST(sum(CAST(cents AS HUGEINT) * w_us) AS DOUBLE)
+      |             / CAST(sum(CAST(w_us AS HUGEINT)) AS DOUBLE), 4) AS twa_cents
+      |FROM g WHERE w_us IS NOT NULL GROUP BY 1 ORDER BY 1""".stripMargin
 }

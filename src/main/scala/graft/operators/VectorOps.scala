@@ -929,4 +929,114 @@ object VectorOps {
       |       round(CAST(n * sij - CAST(si AS HUGEINT) * sj AS DOUBLE)
       |             / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) / 1e12, 9) AS covariance
       |FROM p ORDER BY dim_i, dim_j""".stripMargin
+
+  /** Mislabel/contamination screen: per label, the `topK` vectors
+    * FARTHEST from their own label centroid — exactly the rows a
+    * labeling audit reads first (a vec far from its centroid is
+    * either mislabeled, an outlier document, or a centroid drifting
+    * on it). Distance to the centroid in EXACT integers: with n =
+    * label count and S_d = Σx6 per dim, n²·dist² = Σ_d (n·x6_d −
+    * S_d)² is an exact Decimal(38,0) — ranking never touches a
+    * float; the reported distance √(n²d²)/n/10⁶ is derived after
+    * rank, rounded. Ranking is per-label under the total order
+    * (n²d² DESC, vec_id).
+    *
+    * Shape: the (label, dim) sufficient sums are [[labelDimSums]]'
+    * planning-scale grid broadcast back onto the element stream; the
+    * per-vec reduction is map-side combinable on vec_id; the rank
+    * window partitions by label. Vectors never shuffle whole.
+    */
+  def embeddingOutliersTransform(embeddings: DataFrame, topK: Int = 5): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val ex = elements(embeddings)
+    val sums = labelDimSums(embeddings) // (label, dim, n_vecs, sum_q)
+    val d2 = ex.join(broadcast(sums), Seq("label", "dim"))
+      .select($"vec_id", $"label", $"n_vecs",
+        expr("CAST(n_vecs * x6 - sum_q AS DECIMAL(38,0))").as("c"))
+      .groupBy($"vec_id", $"label")
+      .agg(first($"n_vecs").as("n"), sum($"c" * $"c").as("d2n2"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"label").orderBy($"d2n2".desc, $"vec_id")
+    d2.withColumn("rk", row_number().over(w).cast("long"))
+      .filter($"rk" <= topK)
+      .select($"label".cast("long").as("label"), $"rk", $"vec_id",
+        round(sqrt($"d2n2".cast("double")) / $"n".cast("double") / 1e6, 6)
+          .as("centroid_dist"))
+      .orderBy($"label", $"rk")
+  }
+
+  def embeddingOutliers(spark: SparkSession, dir: String): DataFrame =
+    embeddingOutliersTransform(Tables.embeddings(spark, dir))
+
+  /** DuckDB oracle for [[embeddingOutliersTransform]] (topK = 5). */
+  val embeddingOutliersOracleSql: String =
+    """WITH ex AS (SELECT vec_id, CAST(label AS BIGINT) AS label, CAST(i AS BIGINT) AS dim,
+      |                   CAST(round(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT) AS x6
+      |            FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(i)),
+      |s AS (SELECT label, dim, count(*) AS n_vecs, CAST(sum(x6) AS BIGINT) AS sum_q
+      |      FROM ex GROUP BY 1, 2),
+      |d AS (SELECT ex.vec_id, ex.label, CAST(any_value(s.n_vecs) AS BIGINT) AS n,
+      |             sum(CAST(s.n_vecs * ex.x6 - s.sum_q AS HUGEINT)
+      |                 * CAST(s.n_vecs * ex.x6 - s.sum_q AS HUGEINT)) AS d2n2
+      |      FROM ex JOIN s ON ex.label = s.label AND ex.dim = s.dim
+      |      GROUP BY 1, 2),
+      |r AS (SELECT label, vec_id, n, d2n2,
+      |             CAST(row_number() OVER (PARTITION BY label ORDER BY d2n2 DESC, vec_id) AS BIGINT) AS rk
+      |      FROM d)
+      |SELECT label, rk, vec_id,
+      |       round(sqrt(CAST(d2n2 AS DOUBLE)) / CAST(n AS DOUBLE) / 1e6, 6) AS centroid_dist
+      |FROM r WHERE rk <= 5 ORDER BY label, rk""".stripMargin
+
+  /** Hard-negative mining — for each query vector, the most-similar
+    * corpus vector with a DIFFERENT label: exactly the pairs a
+    * contrastive/triplet trainer wants next to its positives (random
+    * negatives are too easy; the near-miss with the wrong label is
+    * the gradient that matters) and simultaneously the
+    * labeling-audit read ("these two are nearly identical and
+    * labeled differently — which label is wrong?").
+    *
+    * Same bounded-broadcast shape as [[knnClassify]]/[[annTopK]]
+    * (nQueries-row query side broadcast, corpus streams map-side —
+    * plan-audit allowlisted with them), different-label filter
+    * BEFORE the rank window, deterministic `(cos DESC, vec_id)`
+    * order, cosine reported at the shared 4-decimal rounding.
+    */
+  def hardNegativesTransform(embeddings: DataFrame, k: Int = 3, nQueries: Int = 20): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    val queries = embeddings.filter($"vec_id" < nQueries)
+      .select($"vec_id".as("query_id"), $"embedding".as("q_emb"),
+        $"label".cast("long").as("query_label"))
+    val corpus = embeddings.filter($"vec_id" >= nQueries)
+      .select($"vec_id", $"embedding", $"label".cast("long").as("neg_label"))
+    corpus.join(broadcast(queries))
+      .filter($"neg_label" =!= $"query_label")
+      .withColumn("cos", cosine($"q_emb", $"embedding"))
+      .withColumn("rank", row_number()
+        .over(Window.partitionBy($"query_id").orderBy($"cos".desc, $"vec_id")).cast("long"))
+      .filter($"rank" <= k)
+      .select($"query_id", $"query_label", $"rank",
+        $"vec_id".as("hard_negative_id"), $"neg_label",
+        round($"cos", 4).as("cosine"))
+      .orderBy($"query_id", $"rank")
+  }
+
+  def hardNegatives(spark: SparkSession, dir: String): DataFrame =
+    hardNegativesTransform(Tables.embeddings(spark, dir))
+
+  /** DuckDB oracle for [[hardNegativesTransform]] (k=3, nQueries=20). */
+  def hardNegativesOracleSql(k: Int = 3, nQueries: Int = 20): String =
+    s"""WITH p AS (
+       |  SELECT a.vec_id AS query_id, CAST(a.label AS BIGINT) AS query_label,
+       |         b.vec_id AS hard_negative_id, CAST(b.label AS BIGINT) AS neg_label,
+       |         list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) AS c,
+       |         row_number() OVER (PARTITION BY a.vec_id
+       |           ORDER BY list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) DESC, b.vec_id) AS rank
+       |  FROM embeddings a JOIN embeddings b
+       |    ON a.vec_id < $nQueries AND b.vec_id >= $nQueries AND a.label <> b.label)
+       |SELECT query_id, query_label, CAST(rank AS BIGINT) AS rank,
+       |       hard_negative_id, neg_label, round(c, 4) AS cosine
+       |FROM p WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
 }

@@ -128,4 +128,54 @@ object CdcCompact {
       cdc.merge)
     cdc.live(spark).orderBy(col("user_id"))
   }
+
+  /** Queries entry: streaming SCD2 maintenance — the type-2 member
+    * of this CDC family (CdcCompact keeps only the live row; this
+    * keeps the versioned history): each micro-batch is applied to
+    * the stored dimension through
+    * [[graft.operators.Engagement.scd2ApplyTransform]] — the SAME
+    * incremental operator a nightly batch MERGE runs — under a
+    * time-ordered replay. Repeated apply over ordered batches equals
+    * the full-log rebuild (apply is associative on time-split
+    * batches), so the oracle is `cdc_scd2`'s full-log SQL. */
+  def streamScd2(spark: SparkSession, dir: String, nFiles: Int = 4): DataFrame = {
+    val work = graft.GraftCaches.trackTempDir("graft_scd2_")
+    FunnelStream.stageTimeOrdered(spark, dir, s"$work/input", nFiles)
+    val state = new Scd2State(s"$work/state")
+    StreamSources.runForeachBatch(
+      StreamSources.eventsFrom(spark, s"$work/input", maxFilesPerTrigger = 1),
+      state.merge)
+    state.table(spark)
+  }
+}
+
+/** Versioned-parquet SCD2 dimension state: `merge` IS the batch
+  * incremental operator ([[graft.operators.Engagement
+  * .scd2ApplyTransform]]) applied per micro-batch — stream/batch
+  * parity by the strongest form of shared code (the stream twin has
+  * NO derivation of its own). Replay-guarded like [[CdcCompact]]. */
+final class Scd2State(stateDir: String) {
+  @volatile private var version: Long = StreamUtil.latestVersion(stateDir)
+
+  private def prior(spark: SparkSession): DataFrame =
+    if (version < 0)
+      spark.createDataFrame(java.util.List.of[Row](),
+        org.apache.spark.sql.types.StructType.fromDDL(
+          "user_id BIGINT, version BIGINT, state STRING, " +
+          "valid_from TIMESTAMP, valid_to TIMESTAMP, is_current BOOLEAN"))
+    else spark.read.parquet(s"$stateDir/v$version")
+
+  def merge(batch: Dataset[Row], batchId: Long): Unit = {
+    if (batchId <= version) return
+    val spark = batch.sparkSession
+    val next = graft.operators.Engagement.scd2ApplyTransform(
+      prior(spark), batch.toDF())
+    next.coalesce(1).write.mode("overwrite").parquet(s"$stateDir/v$batchId")
+    val prev = version
+    version = batchId
+    if (prev >= 0) StreamUtil.delete(spark, s"$stateDir/v$prev")
+  }
+
+  def table(spark: SparkSession): DataFrame =
+    prior(spark).orderBy(col("user_id"), col("version"))
 }

@@ -455,6 +455,11 @@ final class ValueCountState(stateDir: String) {
 
   def boxplot(spark: SparkSession): DataFrame =
     graft.operators.Behavior.boxplotFromCounts(prior(spark))
+
+  /** The SAME grid serves the winsorized/trimmed report — one state,
+    * two robust-stat faces. */
+  def winsorized(spark: SparkSession): DataFrame =
+    graft.operators.Behavior.winsorizedFromCounts(prior(spark))
 }
 
 object BoxplotStream {
@@ -467,6 +472,15 @@ object BoxplotStream {
     val state = new ValueCountState(s"$work/state")
     StreamSources.runForeachBatch(StreamSources.events(spark, dir), state.merge)
     state.boxplot(spark)
+  }
+
+  /** Queries entry: oracle = the same SQL that gates
+    * `winsorized_stats`, derived from the same additive grid. */
+  def streamWinsorized(spark: SparkSession, dir: String): DataFrame = {
+    val work = graft.GraftCaches.trackTempDir("graft_winsor_")
+    val state = new ValueCountState(s"$work/state")
+    StreamSources.runForeachBatch(StreamSources.events(spark, dir), state.merge)
+    state.winsorized(spark)
   }
 }
 

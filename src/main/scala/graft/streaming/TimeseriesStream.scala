@@ -1,0 +1,254 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** Streaming twins for the [[graft.operators.Timeseries]] family —
+  * three more members of the state-merge family, each keeping the
+  * SUFFICIENT state its statistic needs and deriving the report
+  * through the batch operator's own expression tree:
+  *
+  *  - [[TypeDailyCountState]] → `stream_acf`: an autocorrelation is a
+  *    whole-series regression (per-batch ACFs cannot merge — one
+  *    late day re-centers every product), but the daily count grid is
+  *    additive; report = `Timeseries.acfFromDaily`.
+  *  - [[DailyVolRevState]] → `stream_rolling_corr`: same argument per
+  *    window; additive `(day, x, y)` state, report =
+  *    `Timeseries.corrFromDaily`.
+  *  - [[SurvivalState]] → `stream_survival`: risk sets are suffix
+  *    sums over ALL users' durations (a late first-view moves a
+  *    user's whole duration), but the per-user `(v_day, any_p)`
+  *    conditional mins and the one-row horizon max merge exactly;
+  *    report = `Timeseries.survivalFromUsers`.
+  *
+  * All three follow the versioned-parquet + replayed-batch-guard
+  * discipline ([[CdcCompact]]).
+  */
+final class TypeDailyCountState(stateDir: String) {
+  @volatile private var version: Long = StreamUtil.latestVersion(stateDir)
+
+  private def prior(spark: SparkSession): DataFrame =
+    if (version < 0)
+      spark.createDataFrame(java.util.List.of[Row](), StructType.fromDDL(
+        "event_type STRING, day TIMESTAMP, x BIGINT"))
+    else spark.read.parquet(s"$stateDir/v$version")
+
+  def merge(batch: Dataset[Row], batchId: Long): Unit = {
+    if (batchId <= version) return
+    val spark = batch.sparkSession
+    val partial = batch
+      .select(col("event_type"), date_trunc("day", col("ts")).as("day"))
+      .groupBy(col("event_type"), col("day")).agg(count(lit(1)).as("x"))
+    val merged = prior(spark).unionByName(partial)
+      .groupBy(col("event_type"), col("day")).agg(sum(col("x")).as("x"))
+    merged.coalesce(1).write.mode("overwrite").parquet(s"$stateDir/v$batchId")
+    val prev = version
+    version = batchId
+    if (prev >= 0) StreamUtil.delete(spark, s"$stateDir/v$prev")
+  }
+
+  def report(spark: SparkSession): DataFrame =
+    graft.operators.Timeseries.acfFromDaily(prior(spark))
+}
+
+final class DailyVolRevState(stateDir: String) {
+  @volatile private var version: Long = StreamUtil.latestVersion(stateDir)
+
+  private def prior(spark: SparkSession): DataFrame =
+    if (version < 0)
+      spark.createDataFrame(java.util.List.of[Row](), StructType.fromDDL(
+        "day TIMESTAMP, x BIGINT, y BIGINT"))
+    else spark.read.parquet(s"$stateDir/v$version")
+
+  def merge(batch: Dataset[Row], batchId: Long): Unit = {
+    if (batchId <= version) return
+    val spark = batch.sparkSession
+    val partial = batch
+      .select(date_trunc("day", col("ts")).as("day"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+      .groupBy(col("day"))
+      .agg(count(lit(1)).as("x"), sum(col("cents")).as("y"))
+    val merged = prior(spark).unionByName(partial)
+      .groupBy(col("day")).agg(sum(col("x")).as("x"), sum(col("y")).as("y"))
+    merged.coalesce(1).write.mode("overwrite").parquet(s"$stateDir/v$batchId")
+    val prev = version
+    version = batchId
+    if (prev >= 0) StreamUtil.delete(spark, s"$stateDir/v$prev")
+  }
+
+  def report(spark: SparkSession): DataFrame =
+    graft.operators.Timeseries.corrFromDaily(prior(spark))
+}
+
+final class SurvivalState(stateDir: String) {
+  @volatile private var version: Long = StreamUtil.latestVersion(stateDir)
+
+  private def priorUsers(spark: SparkSession): DataFrame =
+    if (version < 0)
+      spark.createDataFrame(java.util.List.of[Row](), StructType.fromDDL(
+        "user_id BIGINT, v_day TIMESTAMP, any_p TIMESTAMP"))
+    else spark.read.parquet(s"$stateDir/v$version/users")
+
+  private def priorHorizon(spark: SparkSession): DataFrame =
+    if (version < 0)
+      spark.createDataFrame(java.util.List.of[Row](), StructType.fromDDL(
+        "h TIMESTAMP"))
+    else spark.read.parquet(s"$stateDir/v$version/horizon")
+
+  def merge(batch: Dataset[Row], batchId: Long): Unit = {
+    if (batchId <= version) return
+    val spark = batch.sparkSession
+    val partial = batch
+      .select(col("user_id"), col("event_type"), date_trunc("day", col("ts")).as("day"))
+      .groupBy(col("user_id"))
+      .agg(min(when(col("event_type") === "view", col("day"))).as("b_v"),
+        min(when(col("event_type") === "purchase", col("day"))).as("b_p"))
+    // least(...) of a NULL and a value is the value only via
+    // coalesce-wrapping: conditional mins may legitimately be NULL
+    val users = priorUsers(spark).join(partial, Seq("user_id"), "full_outer")
+      .select(col("user_id"),
+        least(coalesce(col("v_day"), col("b_v")), coalesce(col("b_v"), col("v_day"))).as("v_day"),
+        least(coalesce(col("any_p"), col("b_p")), coalesce(col("b_p"), col("any_p"))).as("any_p"))
+    val bh = batch.agg(date_trunc("day", max(col("ts"))).as("h"))
+    val horizon = priorHorizon(spark).unionByName(bh)
+      .agg(max(col("h")).as("h"))
+    users.coalesce(1).write.mode("overwrite").parquet(s"$stateDir/v$batchId/users")
+    horizon.coalesce(1).write.mode("overwrite").parquet(s"$stateDir/v$batchId/horizon")
+    val prev = version
+    version = batchId
+    if (prev >= 0) StreamUtil.delete(spark, s"$stateDir/v$prev")
+  }
+
+  def report(spark: SparkSession): DataFrame =
+    // re-aggregate the one-row horizon at read time: the stored
+    // parquet IS one row, but a scan can't prove that to the plan
+    // audit — the max() makes the broadcast side a provable one-row
+    // aggregate (the isOneRowBuild shape), at the cost of nothing
+    graft.operators.Timeseries.survivalFromUsers(
+      priorUsers(spark), priorHorizon(spark).agg(max(col("h")).as("h")))
+}
+
+/** Streaming time-weighted average — the SECOND cross-batch-pair
+  * member (after [[TransitionState]]): the interval spanning a
+  * micro-batch boundary (user's last event in batch k held until
+  * their first event in batch k+1) exists in no single batch, so the
+  * state is the additive daily `(n_intervals, cw, sw)` sufficient
+  * sums PLUS a per-user `(ts, event_id, cents)` frontier that
+  * reconstructs exactly the boundary interval — weight accrues to
+  * the EARLIER event's day with the earlier event's value, the batch
+  * lead-gap semantics. Report via the shared `twaFromDaily`. */
+final class TwaState(stateDir: String) {
+  @volatile private var version: Long = StreamUtil.latestVersion(stateDir)
+
+  private def priorDaily(spark: SparkSession): DataFrame =
+    if (version < 0)
+      spark.createDataFrame(java.util.List.of[Row](), StructType.fromDDL(
+        "day TIMESTAMP, n_intervals BIGINT, cw DECIMAL(38,0), sw DECIMAL(38,0)"))
+    else spark.read.parquet(s"$stateDir/v$version/daily")
+
+  private def priorLast(spark: SparkSession): DataFrame =
+    if (version < 0)
+      spark.createDataFrame(java.util.List.of[Row](), StructType.fromDDL(
+        "user_id BIGINT, p_ts TIMESTAMP, p_eid BIGINT, p_cents BIGINT"))
+    else spark.read.parquet(s"$stateDir/v$version/last")
+
+  def merge(batch: Dataset[Row], batchId: Long): Unit = {
+    if (batchId <= version) return
+    val spark = batch.sparkSession
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val dec = "decimal(38,0)"
+    val b = batch
+      .select(col("user_id"), col("ts"), col("event_id"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("w_us", lead(unix_micros(col("ts")), 1).over(w) - unix_micros(col("ts")))
+    val inBatch = b.filter(col("w_us").isNotNull)
+      .groupBy(date_trunc("day", col("ts")).as("day"))
+      .agg(count(lit(1)).as("n_intervals"),
+        sum(col("cents").cast(dec) * col("w_us")).as("cw"),
+        sum(col("w_us").cast(dec)).as("sw"))
+    val boundary = priorLast(spark)
+      .join(b.filter(col("rn") === 1).select(col("user_id"), col("ts")), Seq("user_id"))
+      .select(date_trunc("day", col("p_ts")).as("day"), col("p_cents").as("cents"),
+        (unix_micros(col("ts")) - unix_micros(col("p_ts"))).as("w_us"))
+      .groupBy(col("day"))
+      .agg(count(lit(1)).as("n_intervals"),
+        sum(col("cents").cast(dec) * col("w_us")).as("cw"),
+        sum(col("w_us").cast(dec)).as("sw"))
+    val daily = priorDaily(spark).unionByName(inBatch).unionByName(boundary)
+      .groupBy(col("day"))
+      .agg(sum(col("n_intervals")).as("n_intervals"),
+        sum(col("cw")).cast(dec).as("cw"), sum(col("sw")).cast(dec).as("sw"))
+    val bLast = b.groupBy(col("user_id"))
+      .agg(max(struct(col("ts"), col("event_id"), col("cents"))).as("s"))
+      .select(col("user_id"), col("s.ts").as("b_ts"),
+        col("s.event_id").as("b_eid"), col("s.cents").as("b_cents"))
+    val pS = struct(col("p_ts").as("ts"), col("p_eid").as("eid"), col("p_cents").as("c"))
+    val bS = struct(col("b_ts").as("ts"), col("b_eid").as("eid"), col("b_cents").as("c"))
+    val last = priorLast(spark).join(bLast, Seq("user_id"), "full_outer")
+      .select(col("user_id"),
+        when(col("b_ts").isNull, pS)
+          .when(col("p_ts").isNull, bS)
+          .when(struct(col("b_ts"), col("b_eid")) >= struct(col("p_ts"), col("p_eid")), bS)
+          .otherwise(pS).as("s"))
+      .select(col("user_id"), col("s.ts").as("p_ts"),
+        col("s.eid").as("p_eid"), col("s.c").as("p_cents"))
+    daily.coalesce(1).write.mode("overwrite").parquet(s"$stateDir/v$batchId/daily")
+    last.coalesce(1).write.mode("overwrite").parquet(s"$stateDir/v$batchId/last")
+    val prev = version
+    version = batchId
+    if (prev >= 0) StreamUtil.delete(spark, s"$stateDir/v$prev")
+  }
+
+  def report(spark: SparkSession): DataFrame =
+    graft.operators.Timeseries.twaFromDaily(priorDaily(spark))
+}
+
+object TimeseriesStream {
+
+  /** Queries entry (oracle: same SQL as `time_weighted_value`). */
+  def streamTimeWeighted(spark: SparkSession, dir: String, nFiles: Int = 4): DataFrame = {
+    val work = graft.GraftCaches.trackTempDir("graft_stwa_")
+    FunnelStream.stageTimeOrdered(spark, dir, s"$work/input", nFiles)
+    val state = new TwaState(s"$work/state")
+    StreamSources.runForeachBatch(
+      StreamSources.eventsFrom(spark, s"$work/input", maxFilesPerTrigger = 1),
+      state.merge)
+    state.report(spark)
+  }
+
+  /** Queries entry (oracle: same SQL as `acf_daily`). */
+  def streamAcf(spark: SparkSession, dir: String, nFiles: Int = 4): DataFrame = {
+    val work = graft.GraftCaches.trackTempDir("graft_sacf_")
+    FunnelStream.stageTimeOrdered(spark, dir, s"$work/input", nFiles)
+    val state = new TypeDailyCountState(s"$work/state")
+    StreamSources.runForeachBatch(
+      StreamSources.eventsFrom(spark, s"$work/input", maxFilesPerTrigger = 1),
+      state.merge)
+    state.report(spark)
+  }
+
+  /** Queries entry (oracle: same SQL as `rolling_corr_daily`). */
+  def streamRollingCorr(spark: SparkSession, dir: String, nFiles: Int = 4): DataFrame = {
+    val work = graft.GraftCaches.trackTempDir("graft_scorr_")
+    FunnelStream.stageTimeOrdered(spark, dir, s"$work/input", nFiles)
+    val state = new DailyVolRevState(s"$work/state")
+    StreamSources.runForeachBatch(
+      StreamSources.eventsFrom(spark, s"$work/input", maxFilesPerTrigger = 1),
+      state.merge)
+    state.report(spark)
+  }
+
+  /** Queries entry (oracle: same SQL as `survival_km`). */
+  def streamSurvival(spark: SparkSession, dir: String, nFiles: Int = 4): DataFrame = {
+    val work = graft.GraftCaches.trackTempDir("graft_ssurv_")
+    FunnelStream.stageTimeOrdered(spark, dir, s"$work/input", nFiles)
+    val state = new SurvivalState(s"$work/state")
+    StreamSources.runForeachBatch(
+      StreamSources.eventsFrom(spark, s"$work/input", maxFilesPerTrigger = 1),
+      state.merge)
+    state.report(spark)
+  }
+}

@@ -126,6 +126,18 @@ final class DistinctDailyState(stateDir: String) {
       .join(priorCounts(spark), Seq("day"))
       .select(col("day"), col("n_users"), col("n_events"))
       .orderBy(col("day"))
+
+  /** The SAME distinct-(day,user) state serves the whole
+    * activity-derived family: growth accounting and trailing
+    * actives both derive from it through the batch operators' own
+    * expression trees. */
+  def reportLifecycle(spark: SparkSession): DataFrame =
+    graft.operators.Behavior.lifecycleFromDays(
+      priorPairs(spark).select(col("user_id"), col("day")))
+
+  def reportDauWauMau(spark: SparkSession): DataFrame =
+    graft.operators.Behavior.dauWauMauFromDays(
+      priorPairs(spark).select(col("day"), col("user_id")))
 }
 
 object TransitionStream {
@@ -151,4 +163,23 @@ object TransitionStream {
       state.merge)
     state.report(spark)
   }
+
+  private def drainedDayState(spark: SparkSession, dir: String,
+                              prefix: String, nFiles: Int): DistinctDailyState = {
+    val work = graft.GraftCaches.trackTempDir(prefix)
+    FunnelStream.stageTimeOrdered(spark, dir, s"$work/input", nFiles)
+    val state = new DistinctDailyState(s"$work/state")
+    StreamSources.runForeachBatch(
+      StreamSources.eventsFrom(spark, s"$work/input", maxFilesPerTrigger = 1),
+      state.merge)
+    state
+  }
+
+  /** Queries entry (oracle: same SQL as `user_lifecycle`). */
+  def streamUserLifecycle(spark: SparkSession, dir: String, nFiles: Int = 4): DataFrame =
+    drainedDayState(spark, dir, "graft_slife_", nFiles).reportLifecycle(spark)
+
+  /** Queries entry (oracle: same SQL as `dau_wau_mau`). */
+  def streamDauWauMau(spark: SparkSession, dir: String, nFiles: Int = 4): DataFrame =
+    drainedDayState(spark, dir, "graft_sdau_", nFiles).reportDauWauMau(spark)
 }

@@ -46,6 +46,7 @@ class PlanAuditSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
   private val boundedBnljAllowlist: Map[String, String] = Map(
     "ann_topk" -> "broadcasts the nQueries=10-row query side (exact brute-force baseline; corpus streams map-side)",
     "knn_classify" -> "broadcasts the 50-row labeled query side; corpus streams map-side",
+    "hard_negatives" -> "broadcasts the 20-row labeled query side (the knn_classify shape); corpus streams map-side",
     "ann_pq_topk" -> "broadcasts the per-query ADC lookup tables — a plan-literal LocalTableScan, few KB",
     "edit_distance_pairs" -> "short-string bucket (len<11) all-pairs — measured-and-documented PassJoin leftover, bucket bounded by the length cut",
     "embedding_neardup" -> "DECLARED exact all-pairs baseline (cosine >= t over every pair); the scale paths are dedup_semantic / ann_*",

@@ -137,6 +137,213 @@ class TimeseriesCorpusSpec extends AnyFunSuite with org.scalatest.BeforeAndAfter
     assert(out.drop(2).forall(r => math.abs(r.getDouble(4) - 1.0) < 1e-12))
   }
 
+  test("stream_acf / stream_rolling_corr / stream_survival equal their batch twins") {
+    for ((sName, bName) <- Seq(
+        "stream_acf" -> "acf_daily",
+        "stream_rolling_corr" -> "rolling_corr_daily",
+        "stream_survival" -> "survival_km")) {
+      val s = SparkEntry.queries(sName)(spark, sf).collect().map(_.toString).sorted
+      val b = SparkEntry.queries(bName)(spark, sf).collect().map(_.toString).sorted
+      assert(s.sameElements(b), s"$sName diverged from $bName")
+    }
+  }
+
+  test("SurvivalState: view and purchase split across batches still pair up") {
+    import spark.implicits._
+    val work = GraftCaches.trackTempDir("graft_surv_spec_")
+    val st = new streaming.SurvivalState(s"$work/state")
+    def b(rows: Seq[(Long, Timestamp, Long, String)]) =
+      rows.map { case (e, t, u, ty) => (e, t, u, ty, 0.0, "{}") }
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    st.merge(b(Seq((1L, ts(0), 1L, "view"), (2L, ts(0), 2L, "view"))), 0L)
+    st.merge(b(Seq((3L, ts(3), 1L, "purchase"), (4L, ts(6), 2L, "click"))), 1L)
+    val km = st.report(spark).collect()
+    // u1 converts at 3; u2 censored at horizon(6) - 0 = 6
+    assert(km.length == 1 && km(0).getLong(0) == 3L)
+    assert(km(0).getLong(1) == 2L) // both at risk at t=3
+    assert(math.abs(km(0).getDouble(3) - 0.5) < 1e-9)
+  }
+
+  test("embedding_outliers: a planted far vector ranks first in its label") {
+    import spark.implicits._
+    val vecs = Seq(
+      (1L, Array(0.1f, 0.1f), 0),
+      (2L, Array(0.1f, 0.1f), 0),
+      (3L, Array(0.9f, 0.9f), 0), // the planted outlier
+      (4L, Array(0.5f, 0.5f), 1)
+    ).toDF("vec_id", "embedding", "label")
+    val out = operators.VectorOps.embeddingOutliersTransform(vecs, topK = 2).collect()
+    val top0 = out.filter(_.getLong(0) == 0L).minBy(_.getLong(1))
+    assert(top0.getLong(2) == 3L, "farthest-from-centroid vec must rank 1")
+    // the singleton label sits exactly on its centroid
+    val solo = out.filter(_.getLong(0) == 1L)
+    assert(solo.length == 1 && math.abs(solo(0).getDouble(3)) < 1e-9)
+  }
+
+  test("url_canonicalize: all four surface variants collapse to one page") {
+    import spark.implicits._
+    val docs = (0L until 8L).map(i => (i, s"doc$i", "en", "src0", 4L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = operators.CorpusQa.urlCanonicalizeTransform(docs).collect()
+    assert(out.forall(_.getLong(4) == 4L), "every group holds its 4 variants")
+    assert(out.count(_.getBoolean(5)) == 2, "one representative per logical page")
+    val canon0 = out.filter(_.getLong(0) < 4).map(_.getString(2)).distinct
+    assert(canon0.toSeq == Seq("example.com/p0?a=1&b=2"))
+  }
+
+  test("stream_scd2 equals the full-log batch rebuild") {
+    val s = streaming.CdcCompact.streamScd2(spark, sf).collect().map(_.toString).sorted
+    val b = SparkEntry.queries("cdc_scd2")(spark, sf).collect().map(_.toString).sorted
+    assert(s.sameElements(b))
+  }
+
+  test("degree_assortativity: a star graph is perfectly disassortative") {
+    import spark.implicits._
+    val star = Seq((1L, 2L), (1L, 3L), (1L, 4L), (1L, 5L)).toDF("item_a", "item_b")
+    val r = operators.Graph.degreeAssortativityTransform(star).collect()(0)
+    assert(r.getLong(0) == 8L) // 4 undirected edges, symmetric
+    assert(math.abs(r.getDouble(1) - (-1.0)) < 1e-9)
+  }
+
+  test("graph_components: two planted components with correct sizes") {
+    import spark.implicits._
+    val g = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("item_a", "item_b")
+    val out = operators.Graph.graphComponentsTransform(g)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out(1L) == (1L, 3L) && out(2L) == (1L, 3L) && out(3L) == (1L, 3L))
+    assert(out(10L) == (10L, 2L) && out(11L) == (10L, 2L))
+  }
+
+  test("stream_user_lifecycle / stream_dau_wau_mau equal their batch twins") {
+    for ((sName, bName) <- Seq(
+        "stream_user_lifecycle" -> "user_lifecycle",
+        "stream_dau_wau_mau" -> "dau_wau_mau")) {
+      val s = SparkEntry.queries(sName)(spark, sf).collect().map(_.toString).sorted
+      val b = SparkEntry.queries(bName)(spark, sf).collect().map(_.toString).sorted
+      assert(s.sameElements(b), s"$sName diverged from $bName")
+    }
+  }
+
+  test("time_weighted_value: a value held 10x longer weighs 10x") {
+    import spark.implicits._
+    val events = Seq(
+      (1L, Timestamp.valueOf("2024-01-01 00:00:00"), 1L, "view", 1.0, "{}"),
+      (2L, Timestamp.valueOf("2024-01-01 00:00:10"), 1L, "view", 100.0, "{}"),
+      (3L, Timestamp.valueOf("2024-01-01 00:00:11"), 1L, "view", 7.0, "{}")
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val out = operators.Timeseries.timeWeightedValueTransform(events).collect()
+    assert(out.length == 1 && out(0).getLong(1) == 2L)
+    // (100c*10s + 10000c*1s) / 11s = 1000c exactly
+    assert(math.abs(out(0).getDouble(2) - 1000.0) < 1e-9)
+  }
+
+  test("user_revenue_percentile: exact basis points on a 4-user ladder") {
+    import spark.implicits._
+    val events = (1 to 4).map(u =>
+      (u.toLong, ts(0, u), u.toLong, "purchase", u.toDouble, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val out = operators.Behavior.userRevenuePercentileTransform(events)
+      .collect().map(r => r.getLong(0) -> (r.getLong(3), r.getLong(4))).toMap
+    assert(out(1L) == (2500L, 1000L) && out(2L) == (5000L, 3000L))
+    assert(out(3L) == (7500L, 6000L) && out(4L) == (10000L, 10000L))
+  }
+
+  test("stream_winsorized / stream_time_weighted equal their batch twins") {
+    for ((sName, bName) <- Seq(
+        "stream_winsorized" -> "winsorized_stats",
+        "stream_time_weighted" -> "time_weighted_value")) {
+      val s = SparkEntry.queries(sName)(spark, sf).collect().map(_.toString).sorted
+      val b = SparkEntry.queries(bName)(spark, sf).collect().map(_.toString).sorted
+      assert(s.sameElements(b), s"$sName diverged from $bName")
+    }
+  }
+
+  test("TwaState: an interval spanning the batch boundary lands on the earlier day") {
+    import spark.implicits._
+    val work = GraftCaches.trackTempDir("graft_twa_spec_")
+    val st = new streaming.TwaState(s"$work/state")
+    def b(rows: Seq[(Long, Timestamp, Long, Double)]) =
+      rows.map { case (e, t, u, v) => (e, t, u, "view", v, "{}") }
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    // batch 0 ends day 0 with value 2.00 held OPEN; batch 1 opens day 1
+    st.merge(b(Seq((1L, Timestamp.valueOf("2024-01-01 23:59:50"), 1L, 2.0))), 0L)
+    st.merge(b(Seq((2L, Timestamp.valueOf("2024-01-02 00:00:10"), 1L, 9.0)),
+               ), 1L)
+    val out = st.report(spark).collect()
+    // one interval: 20 s at 200 cents, accrued to day 0 (the earlier event's day)
+    assert(out.length == 1)
+    assert(out(0).getAs[java.sql.Timestamp]("day").toString.startsWith("2024-01-01"))
+    assert(math.abs(out(0).getDouble(2) - 200.0) < 1e-9)
+  }
+
+  test("boilerplate_score: a planted shared template scores high, unique text low") {
+    import spark.implicits._
+    val tmpl = "subscribe to our newsletter for updates today"
+    val docs = Seq(
+      (0L, s"alpha beta gamma delta epsilon $tmpl", "en", "src0", 1L),
+      (1L, s"one two three four five $tmpl", "en", "src0", 1L),
+      (2L, s"red green blue yellow purple $tmpl", "en", "src0", 1L),
+      (3L, "totally unique words nobody else repeats anywhere here", "en", "src0", 1L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = operators.CorpusQa.boilerplateScoreTransform(docs)
+      .collect().map(r => r.getLong(0) -> r.getLong(4)).toMap
+    assert(out(0L) > 0L && out(1L) > 0L && out(2L) > 0L,
+      "template 5-grams shared by 3 docs must score > 0 bp")
+    assert(out(3L) == 0L, "unique doc must score 0 bp")
+  }
+
+  test("ma_crossover: a planted revenue surge fires a golden cross") {
+    import spark.implicits._
+    // day offsets past Jan 31 need epoch math, not a formatted literal
+    val jan1 = Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    val events = (0 until 35).map { d =>
+      val v = if (d < 30) 1.0 else 100.0
+      (d.toLong, new Timestamp(jan1 + d * 86400000L), 1L, "purchase", v, "{}")
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val out = operators.Timeseries.maCrossoverTransform(events).collect()
+    assert(out.length == 35 - 27) // full windows only
+    val crosses = out.filter(!_.isNullAt(4)).map(r => r.getString(4))
+    assert(crosses.contains("golden"), "the surge day must label a golden cross")
+    // flat history: equal means -> sig 0, no cross before the surge
+    assert(out.takeWhile(_.getLong(3) == 0L).forall(_.isNullAt(4)))
+  }
+
+  test("hard_negatives: the nearest SAME-label vector is never returned") {
+    import spark.implicits._
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f), 0),  // query
+      (1L, Array(1.0f, 0.0f), 0),  // identical but same label -> excluded
+      (2L, Array(0.7f, 0.7f), 1)   // different label -> the hard negative
+    ).toDF("vec_id", "embedding", "label")
+    val out = operators.VectorOps.hardNegativesTransform(vecs, k = 1, nQueries = 1).collect()
+    assert(out.length == 1 && out(0).getLong(3) == 2L)
+  }
+
+  test("asof_join_tolerance equals asof_join within tolerance, NULL beyond") {
+    val tol = SparkEntry.queries("asof_join_tolerance")(spark, sf)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val base = SparkEntry.queries("asof_join")(spark, sf).collect()
+    base.foreach { b =>
+      val t = tol(b.getLong(0))
+      val withinTol = !b.isNullAt(4) && {
+        val gapDays = java.time.temporal.ChronoUnit.DAYS.between(
+          b.getTimestamp(4).toLocalDateTime.toLocalDate,
+          b.getTimestamp(1).toLocalDateTime.toLocalDate)
+        gapDays <= 7
+      }
+      if (withinTol) assert(t.getLong(3) == b.getLong(3), s"event ${b.getLong(0)} should keep its match")
+      else assert(t.isNullAt(3), s"event ${b.getLong(0)} beyond tolerance must be NULL")
+    }
+  }
+
+  test("dataset_card: one exact-integer header row") {
+    val r = SparkEntry.queries("dataset_card")(spark, sf).collect()
+    assert(r.length == 1)
+    val row = r(0)
+    assert(row.getLong(0) > 0 && row.getLong(6) <= row.getLong(7))
+    assert(row.getLong(9) >= 0 && row.getLong(9) <= 10000)
+  }
+
   test("embedding_covariance: full upper triangle, PSD diagonal") {
     val cov = SparkEntry.queries("embedding_covariance")(spark, sf).collect()
     val dims = cov.map(_.getLong(0)).max
