@@ -171,7 +171,19 @@ object Bench {
     "bfs_distances" -> 6.492, "clustering_coefficient" -> 6.118,
     "embedding_covariance" -> 5.698, "stream_transitions" -> 10.194,
     "stream_distinct_daily" -> 8.318, "scd2_apply_batch" -> 6.667,
-    "winsorized_stats" -> 4.131)
+    "winsorized_stats" -> 4.131,
+    // round-8 third wave (same quiet-box harness; evidence in
+    // BASELINE.md "Round-8 additions, fifth wave")
+    "embedding_outliers" -> 3.129, "url_canonicalize" -> 4.993,
+    "stream_acf" -> 7.688, "stream_rolling_corr" -> 6.824,
+    "stream_survival" -> 8.804, "stream_scd2" -> 8.481,
+    "degree_assortativity" -> 4.015, "graph_components" -> 5.878,
+    "time_weighted_value" -> 2.500, "user_revenue_percentile" -> 1.702,
+    "stream_user_lifecycle" -> 8.053, "stream_dau_wau_mau" -> 10.548,
+    "stream_winsorized" -> 5.618, "stream_time_weighted" -> 9.549,
+    "boilerplate_score" -> 8.767, "dataset_card" -> 1.539,
+    "hard_negatives" -> 2.101, "ma_crossover" -> 2.301,
+    "asof_join_tolerance" -> 3.786)
 
   /** Run ONE query in a fresh JVM (this JVM's own flags + classpath,
     * stderr discarded) and parse its timing out of the child's JSON

@@ -71,6 +71,11 @@ object SparkEntry {
     "hard_negatives"     -> ((s: SparkSession, d: String) => VectorOps.hardNegatives(s, d)),
     "ma_crossover"       -> ((s: SparkSession, d: String) => Timeseries.maCrossover(s, d)),
     "asof_join_tolerance" -> ((s: SparkSession, d: String) => Engagement.asofJoinTolerance(s, d)),
+    "type_mix_drift"     -> ((s: SparkSession, d: String) => Timeseries.typeMixDrift(s, d)),
+    "item_adoption"      -> ((s: SparkSession, d: String) => Behavior.itemAdoption(s, d)),
+    "script_detect"      -> ((s: SparkSession, d: String) => CorpusQa.scriptDetect(s, d)),
+    "stream_dataset_card" -> ((s: SparkSession, d: String) => streaming.ProfileStreams.streamDatasetCard(s, d)),
+    "stream_ma_crossover" -> ((s: SparkSession, d: String) => streaming.TimeseriesStream.streamMaCrossover(s, d)),
     "snapshot_diff"      -> Engagement.snapshotDiff _,
     "events_sessionized" -> ((s: SparkSession, d: String) => Engagement.eventsSessionized(s, d)),
     "cohort_ltv"         -> Engagement.cohortLtv _,
@@ -340,6 +345,10 @@ object SparkEntry {
       // the boxplot counting-sort grid serves the winsorized report
       // too — one additive state, two robust-stat faces
       "stream_winsorized" -> base("winsorized_stats"),
+      // additive (lang, source) card grid / daily (x, y) grid — the
+      // one-state-many-faces pattern again
+      "stream_dataset_card" -> base("dataset_card"),
+      "stream_ma_crossover" -> base("ma_crossover"),
       // cross-batch intervals reconstructed from the per-user
       // frontier; additive daily sufficient sums
       "stream_time_weighted" -> base("time_weighted_value"),
@@ -814,6 +823,9 @@ object SparkEntry {
     "hard_negatives" -> operators.VectorOps.hardNegativesOracleSql(),
     "ma_crossover" -> operators.Timeseries.maCrossoverOracleSql,
     "asof_join_tolerance" -> operators.Engagement.asofJoinToleranceOracleSql(),
+    "type_mix_drift" -> operators.Timeseries.typeMixDriftOracleSql,
+    "item_adoption" -> operators.Behavior.itemAdoptionOracleSql,
+    "script_detect" -> operators.CorpusQa.scriptDetectOracleSql,
     "sequence_count" -> operators.Sequences.sequenceCountOracleSql,
     "funnel_strict_order" -> operators.Sequences.funnelStrictOracleSql,
     "funnel_any_order" -> operators.Sequences.funnelAnyOrderOracleSql,

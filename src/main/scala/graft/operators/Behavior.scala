@@ -1984,4 +1984,56 @@ object Behavior {
       |       CAST(rn * 10000 // n AS BIGINT) AS percentile_bp,
       |       CAST(cum * 10000 // total AS BIGINT) AS cum_share_bp
       |FROM r ORDER BY user_id""".stripMargin
+
+  /** Item adoption profile — launch health per item: first-seen day
+    * and what share of the item's lifetime engagement landed in its
+    * first `earlyDays` days ("spike-and-die" vs "slow burn" — the
+    * read a catalog team uses to separate launch-promo artifacts
+    * from durable items). Exact integers: first day from a per-item
+    * min, early share in truncating basis points.
+    *
+    * Shape: fact → (item, day) counts map-side, per-item min-day
+    * window + conditional sums on the same item shuffle; |items|
+    * rows out.
+    */
+  def itemAdoptionTransform(events: DataFrame, earlyDays: Int = 3): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val counts = events
+      .select(get_json_object($"props", "$.k").cast("long").as("item"),
+        date_trunc("day", $"ts").as("day"))
+      .filter($"item".isNotNull)
+      .groupBy($"item", $"day").agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy($"item")
+    counts
+      .withColumn("first_day", min($"day").over(w))
+      .groupBy($"item")
+      .agg(first($"first_day").as("first_day"),
+        sum(when(datediff($"day", $"first_day") < earlyDays, $"n").otherwise(0L))
+          .as("n_early"),
+        sum($"n").as("n_total"))
+      .select($"item", $"first_day", $"n_early", $"n_total",
+        expr("n_early * 10000 div n_total").as("early_share_bp"))
+      .orderBy($"item")
+  }
+
+  def itemAdoption(spark: SparkSession, dir: String): DataFrame =
+    itemAdoptionTransform(graft.sources.Tables.events(spark, dir))
+
+  /** DuckDB oracle for [[itemAdoptionTransform]] (earlyDays = 3). */
+  val itemAdoptionOracleSql: String =
+    """WITH c AS (
+      |  SELECT TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS item,
+      |         date_trunc('day', CAST(ts AS TIMESTAMP)) AS day, count(*) AS n
+      |  FROM events
+      |  WHERE TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) IS NOT NULL
+      |  GROUP BY 1, 2),
+      |f AS (SELECT item, min(day) AS first_day FROM c GROUP BY 1)
+      |SELECT c.item, f.first_day,
+      |       CAST(sum(CASE WHEN date_diff('day', f.first_day, c.day) < 3 THEN c.n ELSE 0 END) AS BIGINT) AS n_early,
+      |       CAST(sum(c.n) AS BIGINT) AS n_total,
+      |       CAST(sum(CASE WHEN date_diff('day', f.first_day, c.day) < 3 THEN c.n ELSE 0 END) * 10000
+      |            // sum(c.n) AS BIGINT) AS early_share_bp
+      |FROM c JOIN f ON c.item = f.item
+      |GROUP BY 1, 2 ORDER BY 1""".stripMargin
 }

@@ -361,20 +361,37 @@ object CorpusQa {
     * are final one-shot divisions.
     */
   def datasetCardTransform(docs: DataFrame): DataFrame =
+    cardFromGrid(cardGrid(docs))
+
+  /** The additive per-(lang, source) sufficient grid behind the card
+    * — sums add, mins/maxs merge, so the streaming twin keeps exactly
+    * this table as state. */
+  private[graft] def cardGrid(docs: DataFrame): DataFrame =
     docs
       .select(col("lang"), col("source"),
         expr("CAST(size(split(text, ' ')) AS BIGINT)").as("ws"),
         expr("CAST(size(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]', 0)) AS BIGINT)").as("bpe"),
         length(col("text")).cast("long").as("chars"))
+      .groupBy(col("lang"), col("source"))
       .agg(count(lit(1)).as("n_docs"),
-        countDistinct(col("source")).as("n_sources"),
-        countDistinct(col("lang")).as("n_langs"),
         sum(col("ws")).as("ws_tokens"),
         sum(col("bpe")).as("bpe_tokens"),
         sum(col("chars")).as("n_chars"),
         min(col("chars")).as("min_chars"),
-        max(col("chars")).as("max_chars"),
-        sum(when(col("lang") === "en", 1L).otherwise(0L)).as("n_en"))
+        max(col("chars")).as("max_chars"))
+
+  /** The one-row card derivation over the grid — shared batch/stream. */
+  private[graft] def cardFromGrid(grid: DataFrame): DataFrame =
+    grid
+      .agg(sum(col("n_docs")).as("n_docs"),
+        countDistinct(col("source")).as("n_sources"),
+        countDistinct(col("lang")).as("n_langs"),
+        sum(col("ws_tokens")).as("ws_tokens"),
+        sum(col("bpe_tokens")).as("bpe_tokens"),
+        sum(col("n_chars")).as("n_chars"),
+        min(col("min_chars")).as("min_chars"),
+        max(col("max_chars")).as("max_chars"),
+        sum(when(col("lang") === "en", col("n_docs")).otherwise(0L)).as("n_en"))
       .select(col("n_docs"), col("n_sources"), col("n_langs"),
         col("ws_tokens"), col("bpe_tokens"), col("n_chars"),
         col("min_chars"), col("max_chars"),
@@ -402,4 +419,73 @@ object CorpusQa {
       |       CAST(sum(chars) * 100 // count(*) AS BIGINT) AS mean_chars_x100,
       |       CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) * 10000 // count(*) AS BIGINT) AS en_share_bp
       |FROM t""".stripMargin
+
+  /** Script detection per document — the writing-system profile that
+    * runs BEFORE language ID (a Cyrillic doc labeled `en` is a
+    * pipeline bug no n-gram language model needs to vote on):
+    * per-script codepoint counts over explicit Unicode RANGES
+    * (literal-char classes — identical in Java regex and RE2; script
+    * NAMES like `\p{Cyrillic}` spell differently across the two
+    * dialects and are avoided), majority script with a deterministic
+    * priority tie-break. The corpus is ASCII, so docs are AUGMENTED
+    * with deterministic non-Latin suffixes keyed on doc_id (the
+    * textRedact planting pattern) so every script path is exercised
+    * and oracle-checked. Pure per-row map + rollup.
+    */
+  def scriptDetectTransform(docs: DataFrame): DataFrame = {
+    val cyr = "[Ѐ-ӿ]"
+    val cjk = "[一-鿿]"
+    val ar = "[؀-ۿ]"
+    // plants are repeated past the longest doc (553 ASCII chars) so
+    // the planted script strictly dominates the Latin body
+    val planted = docs.select(col("doc_id"), col("source"),
+      when(col("doc_id") % 5 === 1,
+        concat(col("text"), lit(" " + "приветмирданные" * 40)))
+      .when(col("doc_id") % 5 === 2,
+        concat(col("text"), lit(" " + "你好世界数据模型" * 80)))
+      .when(col("doc_id") % 5 === 3,
+        concat(col("text"), lit(" " + "مرحباالعالم" * 60)))
+      .otherwise(col("text")).as("text"))
+    planted
+      .select(col("doc_id"), col("source"),
+        size(regexp_extract_all(col("text"), lit("[A-Za-z]"), lit(0))).cast("long").as("n_latin"),
+        size(regexp_extract_all(col("text"), lit(cyr), lit(0))).cast("long").as("n_cyrillic"),
+        size(regexp_extract_all(col("text"), lit(cjk), lit(0))).cast("long").as("n_cjk"),
+        size(regexp_extract_all(col("text"), lit(ar), lit(0))).cast("long").as("n_arabic"))
+      .withColumn("script",
+        when(col("n_cjk") > col("n_latin") && col("n_cjk") >= col("n_cyrillic") &&
+             col("n_cjk") >= col("n_arabic"), "cjk")
+        .when(col("n_cyrillic") > col("n_latin") && col("n_cyrillic") >= col("n_arabic"), "cyrillic")
+        .when(col("n_arabic") > col("n_latin"), "arabic")
+        .otherwise("latin"))
+      .orderBy(col("doc_id"))
+  }
+
+  def scriptDetect(spark: SparkSession, dir: String): DataFrame =
+    scriptDetectTransform(Tables.documents(spark, dir))
+
+  /** DuckDB oracle for [[scriptDetectTransform]] — identical
+    * planting (repeat()), identical literal-range classes, identical
+    * priority rule. */
+  val scriptDetectOracleSql: String =
+    """WITH aug AS (
+      |  SELECT doc_id, source,
+      |         CASE WHEN doc_id % 5 = 1 THEN text || ' ' || repeat('приветмирданные', 40)
+      |              WHEN doc_id % 5 = 2 THEN text || ' ' || repeat('你好世界数据模型', 80)
+      |              WHEN doc_id % 5 = 3 THEN text || ' ' || repeat('مرحباالعالم', 60)
+      |              ELSE text END AS text
+      |  FROM documents),
+      |c AS (
+      |  SELECT doc_id, source,
+      |         CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS BIGINT) AS n_latin,
+      |         CAST(len(regexp_extract_all(text, '[Ѐ-ӿ]')) AS BIGINT) AS n_cyrillic,
+      |         CAST(len(regexp_extract_all(text, '[一-鿿]')) AS BIGINT) AS n_cjk,
+      |         CAST(len(regexp_extract_all(text, '[؀-ۿ]')) AS BIGINT) AS n_arabic
+      |  FROM aug)
+      |SELECT doc_id, source, n_latin, n_cyrillic, n_cjk, n_arabic,
+      |       CASE WHEN n_cjk > n_latin AND n_cjk >= n_cyrillic AND n_cjk >= n_arabic THEN 'cjk'
+      |            WHEN n_cyrillic > n_latin AND n_cyrillic >= n_arabic THEN 'cyrillic'
+      |            WHEN n_arabic > n_latin THEN 'arabic'
+      |            ELSE 'latin' END AS script
+      |FROM c ORDER BY doc_id""".stripMargin
 }

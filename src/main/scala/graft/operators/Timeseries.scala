@@ -370,13 +370,19 @@ object Timeseries {
     * Shape: fact → |days| rows map-side; ROWS windows + one lag over
     * the day-scale aggregate (plan-audit bounded).
     */
-  def maCrossoverTransform(events: DataFrame, fast: Int = 7, slow: Int = 28): DataFrame = {
-    val spark = events.sparkSession
-    import spark.implicits._
-    val daily = events
+  def maCrossoverTransform(events: DataFrame, fast: Int = 7, slow: Int = 28): DataFrame =
+    maFromDaily(events
       .select(date_trunc("day", col("ts")).as("day"),
         expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
-      .groupBy($"day").agg(sum($"cents").as("y"))
+      .groupBy(col("day")).agg(sum(col("cents")).as("y")), fast, slow)
+
+  /** The crossover derivation over an already-aggregated `(day, y)`
+    * table — shared with the streaming twin (which keeps the daily
+    * cents additively; the [[corrFromDaily]] sharing pattern). */
+  private[graft] def maFromDaily(daily0: DataFrame, fast: Int = 7, slow: Int = 28): DataFrame = {
+    val spark = daily0.sparkSession
+    import spark.implicits._
+    val daily = daily0
     val bounds = daily.agg(min($"day").as("lo"), max($"day").as("hi"))
     val spine = bounds
       .select(explode(expr("sequence(lo, hi, INTERVAL 1 DAY)")).as("day"))
@@ -433,6 +439,78 @@ object Timeseries {
       |            WHEN prev_sig IS NOT NULL AND sig <> prev_sig AND sig = -1 THEN 'death'
       |            END AS cross
       |FROM x ORDER BY day""".stripMargin
+
+  /** Daily event-type mix drift — "did the SHAPE of traffic change
+    * today" (an outage that drops one event type leaves total volume
+    * looking fine; the composition moves): total-variation distance
+    * between today's event-type distribution and the trailing 7-day
+    * baseline mix, cross-multiplied to exact integers —
+    * TV·(2·N·M) = Σ_t |n_t·M − m_t·N| with n/N today's per-type/total
+    * counts and m/M the baseline's — so no fraction enters a sum and
+    * the one float is the final division, rounded. The DAILY axis of
+    * [[graft.operators.TextOps]]' source_drift_tv (which compares
+    * SOURCES over the whole corpus).
+    *
+    * Shape: fact → |days|×|types| grid map-side; baseline sums are
+    * per-type ROWS windows over the day axis; day totals join back
+    * at day scale. Plan-audit bounded throughout.
+    */
+  def typeMixDriftTransform(events: DataFrame, baselineDays: Int = 7): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val daily = events
+      .select(col("event_type"), date_trunc("day", col("ts")).as("day"))
+      .groupBy($"event_type", $"day").agg(count(lit(1)).as("n"))
+    val bounds = daily.agg(min($"day").as("lo"), max($"day").as("hi"))
+    val grid = daily.select($"event_type").distinct()
+      .crossJoin(broadcast(bounds))
+      .select($"event_type", explode(expr("sequence(lo, hi, INTERVAL 1 DAY)")).as("day"))
+      .join(daily, Seq("event_type", "day"), "left")
+      .select($"event_type", $"day", coalesce($"n", lit(0L)).as("n"))
+    val wBase = Window.partitionBy($"event_type").orderBy($"day")
+      .rowsBetween(-baselineDays, -1)
+    val withM = grid.withColumn("m", coalesce(sum($"n").over(wBase), lit(0L)))
+    val totals = withM.groupBy($"day")
+      .agg(sum($"n").as("nt"), sum($"m").as("mt"))
+    val dec = "decimal(38,0)"
+    withM.join(totals, Seq("day"))
+      .filter($"nt" > 0 && $"mt" > 0)
+      .groupBy($"day")
+      .agg(first($"nt").as("n_today"), first($"mt").as("n_baseline"),
+        sum(abs($"n".cast(dec) * $"mt" - $"m".cast(dec) * $"nt")).as("num"))
+      .select($"day", $"n_today", $"n_baseline",
+        round($"num".cast("double") /
+          (lit(2.0) * $"n_today".cast("double") * $"n_baseline".cast("double")), 6)
+          .as("tv_drift"))
+      .orderBy($"day")
+  }
+
+  def typeMixDrift(spark: SparkSession, dir: String): DataFrame =
+    typeMixDriftTransform(Tables.events(spark, dir))
+
+  /** DuckDB oracle for [[typeMixDriftTransform]] (baseline = 7). */
+  val typeMixDriftOracleSql: String =
+    """WITH d AS (
+      |  SELECT event_type, date_trunc('day', CAST(ts AS TIMESTAMP)) AS day, count(*) AS n
+      |  FROM events GROUP BY 1, 2),
+      |spine AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS day
+      |          FROM (SELECT min(day) AS lo, max(day) AS hi FROM d)),
+      |grid AS (SELECT t.event_type, s.day, CAST(coalesce(d.n, 0) AS BIGINT) AS n
+      |         FROM (SELECT DISTINCT event_type FROM d) t
+      |         CROSS JOIN spine s
+      |         LEFT JOIN d ON d.event_type = t.event_type AND d.day = s.day),
+      |wm AS (SELECT event_type, day, n,
+      |              CAST(coalesce(sum(n) OVER (PARTITION BY event_type ORDER BY day
+      |                ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS m
+      |       FROM grid),
+      |tot AS (SELECT day, sum(n) AS nt, sum(m) AS mt FROM wm GROUP BY 1)
+      |SELECT w.day, CAST(any_value(t.nt) AS BIGINT) AS n_today,
+      |       CAST(any_value(t.mt) AS BIGINT) AS n_baseline,
+      |       round(CAST(sum(abs(CAST(w.n AS HUGEINT) * t.mt - CAST(w.m AS HUGEINT) * t.nt)) AS DOUBLE)
+      |             / (2.0 * CAST(any_value(t.nt) AS DOUBLE) * CAST(any_value(t.mt) AS DOUBLE)), 6) AS tv_drift
+      |FROM wm w JOIN tot t ON w.day = t.day
+      |WHERE t.nt > 0 AND t.mt > 0
+      |GROUP BY w.day ORDER BY w.day""".stripMargin
 
   /** The final TWA select over the additive daily sufficient sums
     * `(day, n_intervals, cw, sw)` — shared with the streaming twin

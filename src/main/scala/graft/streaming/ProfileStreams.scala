@@ -81,7 +81,58 @@ final class LabelCentroidState(stateDir: String) {
     graft.operators.VectorOps.centroidsFromSums(prior(spark))
 }
 
+/** Dataset-card state over a DOCUMENTS stream: the per-(lang, source)
+  * sufficient grid ([[graft.operators.CorpusQa.cardGrid]]) — sums
+  * add, mins/maxs merge — and the one-row card derives at read time
+  * through the shared `cardFromGrid`. Distinct lang/source counts are
+  * grid-key counts, so they too are exact under any batch split. */
+final class DatasetCardState(stateDir: String) {
+  @volatile private var version: Long = StreamUtil.latestVersion(stateDir)
+
+  private def prior(spark: SparkSession): DataFrame =
+    if (version < 0)
+      spark.createDataFrame(java.util.List.of[Row](), StructType.fromDDL(
+        "lang STRING, source STRING, n_docs BIGINT, ws_tokens BIGINT, " +
+        "bpe_tokens BIGINT, n_chars BIGINT, min_chars BIGINT, max_chars BIGINT"))
+    else spark.read.parquet(s"$stateDir/v$version")
+
+  def merge(batch: Dataset[Row], batchId: Long): Unit = {
+    if (batchId <= version) return
+    val spark = batch.sparkSession
+    val partial = graft.operators.CorpusQa.cardGrid(batch.toDF())
+    val merged = prior(spark).unionByName(partial)
+      .groupBy(col("lang"), col("source"))
+      .agg(sum(col("n_docs")).as("n_docs"),
+        sum(col("ws_tokens")).as("ws_tokens"),
+        sum(col("bpe_tokens")).as("bpe_tokens"),
+        sum(col("n_chars")).as("n_chars"),
+        min(col("min_chars")).as("min_chars"),
+        max(col("max_chars")).as("max_chars"))
+    merged.coalesce(1).write.mode("overwrite").parquet(s"$stateDir/v$batchId")
+    val prev = version
+    version = batchId
+    if (prev >= 0) StreamUtil.delete(spark, s"$stateDir/v$prev")
+  }
+
+  def report(spark: SparkSession): DataFrame =
+    graft.operators.CorpusQa.cardFromGrid(prior(spark))
+}
+
 object ProfileStreams {
+
+  /** Queries entry (oracle: same SQL as `dataset_card`): the
+    * documents corpus staged as 4 files and replayed one per
+    * micro-batch through the additive card grid. */
+  def streamDatasetCard(spark: SparkSession, dir: String, nFiles: Int = 4): DataFrame = {
+    val work = graft.GraftCaches.trackTempDir("graft_scard_")
+    graft.sources.Tables.documents(spark, dir).repartition(nFiles)
+      .write.mode("overwrite").parquet(s"$work/input")
+    val state = new DatasetCardState(s"$work/state")
+    StreamSources.runForeachBatch(
+      StreamSources.parquetStream(spark, s"$work/input", maxFilesPerTrigger = 1),
+      state.merge)
+    state.report(spark)
+  }
 
   /** Queries entry (oracle: same SQL as `rolling_retention`). */
   def streamRollingRetention(spark: SparkSession, dir: String): DataFrame = {

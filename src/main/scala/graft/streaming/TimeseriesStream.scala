@@ -79,6 +79,11 @@ final class DailyVolRevState(stateDir: String) {
 
   def report(spark: SparkSession): DataFrame =
     graft.operators.Timeseries.corrFromDaily(prior(spark))
+
+  /** The SAME (day, x, y) grid serves the crossover signal — one
+    * state, two daily-series faces (the ValueCountState pattern). */
+  def reportMaCrossover(spark: SparkSession): DataFrame =
+    graft.operators.Timeseries.maFromDaily(prior(spark).select(col("day"), col("y")))
 }
 
 final class SurvivalState(stateDir: String) {
@@ -239,6 +244,18 @@ object TimeseriesStream {
       StreamSources.eventsFrom(spark, s"$work/input", maxFilesPerTrigger = 1),
       state.merge)
     state.report(spark)
+  }
+
+  /** Queries entry (oracle: same SQL as `ma_crossover`): the SAME
+    * daily (x, y) state as stream_rolling_corr, second face. */
+  def streamMaCrossover(spark: SparkSession, dir: String, nFiles: Int = 4): DataFrame = {
+    val work = graft.GraftCaches.trackTempDir("graft_smacx_")
+    FunnelStream.stageTimeOrdered(spark, dir, s"$work/input", nFiles)
+    val state = new DailyVolRevState(s"$work/state")
+    StreamSources.runForeachBatch(
+      StreamSources.eventsFrom(spark, s"$work/input", maxFilesPerTrigger = 1),
+      state.merge)
+    state.reportMaCrossover(spark)
   }
 
   /** Queries entry (oracle: same SQL as `survival_km`). */

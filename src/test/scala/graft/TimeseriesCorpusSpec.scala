@@ -344,6 +344,61 @@ class TimeseriesCorpusSpec extends AnyFunSuite with org.scalatest.BeforeAndAfter
     assert(row.getLong(9) >= 0 && row.getLong(9) <= 10000)
   }
 
+  test("stream_dataset_card / stream_ma_crossover equal their batch twins") {
+    for ((sName, bName) <- Seq(
+        "stream_dataset_card" -> "dataset_card",
+        "stream_ma_crossover" -> "ma_crossover")) {
+      val s = SparkEntry.queries(sName)(spark, sf).collect().map(_.toString).sorted
+      val b = SparkEntry.queries(bName)(spark, sf).collect().map(_.toString).sorted
+      assert(s.sameElements(b), s"$sName diverged from $bName")
+    }
+  }
+
+  test("type_mix_drift: a planted composition flip registers, steady mix near zero") {
+    import spark.implicits._
+    val jan1 = Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    // days 0-9: 1 view + 1 click per day; day 10: clicks only
+    val steady = (0 until 10).flatMap(d => Seq(
+      (d * 2L, new Timestamp(jan1 + d * 86400000L), 1L, "view", 0.0, "{}"),
+      (d * 2 + 1L, new Timestamp(jan1 + d * 86400000L), 2L, "click", 0.0, "{}")))
+    val flip = Seq((100L, new Timestamp(jan1 + 10 * 86400000L), 1L, "click", 0.0, "{}"),
+      (101L, new Timestamp(jan1 + 10 * 86400000L), 2L, "click", 0.0, "{}"))
+    val events = (steady ++ flip)
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val out = operators.Timeseries.typeMixDriftTransform(events)
+      .collect().map(r => r.getAs[Timestamp]("day").getTime -> r.getDouble(3)).toMap
+    val steadyDay = jan1 + 5 * 86400000L
+    val flipDay = jan1 + 10 * 86400000L
+    assert(math.abs(out(steadyDay)) < 1e-9, "identical mix must drift 0")
+    assert(math.abs(out(flipDay) - 0.5) < 1e-9, "50/50 -> 0/100 is TV 0.5")
+  }
+
+  test("item_adoption: an item with all engagement on launch day scores 10000 bp") {
+    import spark.implicits._
+    val jan1 = Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    val events = Seq(
+      (1L, new Timestamp(jan1), 1L, "view", 0.0, """{"k": 7}"""),
+      (2L, new Timestamp(jan1), 2L, "view", 0.0, """{"k": 7}"""),
+      (3L, new Timestamp(jan1), 1L, "view", 0.0, """{"k": 9}"""),
+      (4L, new Timestamp(jan1 + 20 * 86400000L), 2L, "view", 0.0, """{"k": 9}""")
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val out = operators.Behavior.itemAdoptionTransform(events)
+      .collect().map(r => r.getLong(0) -> r.getLong(4)).toMap
+    assert(out(7L) == 10000L)
+    assert(out(9L) == 5000L) // 1 of 2 events in the first 3 days
+  }
+
+  test("script_detect: planted scripts dominate, ASCII docs stay latin") {
+    val out = SparkEntry.queries("script_detect")(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getString(6)).toMap
+    out.foreach { case (id, script) =>
+      val expected = (id % 5) match {
+        case 1 => "cyrillic"; case 2 => "cjk"; case 3 => "arabic"; case _ => "latin"
+      }
+      assert(script == expected, s"doc $id: got $script, expected $expected")
+    }
+  }
+
   test("embedding_covariance: full upper triangle, PSD diagonal") {
     val cov = SparkEntry.queries("embedding_covariance")(spark, sf).collect()
     val dims = cov.map(_.getLong(0)).max
