@@ -76,6 +76,8 @@ object SparkEntry {
     "script_detect"      -> ((s: SparkSession, d: String) => CorpusQa.scriptDetect(s, d)),
     "stream_dataset_card" -> ((s: SparkSession, d: String) => streaming.ProfileStreams.streamDatasetCard(s, d)),
     "stream_ma_crossover" -> ((s: SparkSession, d: String) => streaming.TimeseriesStream.streamMaCrossover(s, d)),
+    "stream_type_mix_drift" -> ((s: SparkSession, d: String) => streaming.TimeseriesStream.streamTypeMixDrift(s, d)),
+    "stream_item_adoption" -> ((s: SparkSession, d: String) => streaming.TimeseriesStream.streamItemAdoption(s, d)),
     "snapshot_diff"      -> Engagement.snapshotDiff _,
     "events_sessionized" -> ((s: SparkSession, d: String) => Engagement.eventsSessionized(s, d)),
     "cohort_ltv"         -> Engagement.cohortLtv _,
@@ -349,6 +351,8 @@ object SparkEntry {
       // one-state-many-faces pattern again
       "stream_dataset_card" -> base("dataset_card"),
       "stream_ma_crossover" -> base("ma_crossover"),
+      "stream_type_mix_drift" -> base("type_mix_drift"),
+      "stream_item_adoption" -> base("item_adoption"),
       // cross-batch intervals reconstructed from the per-user
       // frontier; additive daily sufficient sums
       "stream_time_weighted" -> base("time_weighted_value"),

@@ -1996,14 +1996,21 @@ object Behavior {
     * window + conditional sums on the same item shuffle; |items|
     * rows out.
     */
-  def itemAdoptionTransform(events: DataFrame, earlyDays: Int = 3): DataFrame = {
-    val spark = events.sparkSession
+  def itemAdoptionTransform(events: DataFrame, earlyDays: Int = 3): DataFrame =
+    adoptionFromCounts(events
+      .select(get_json_object(col("props"), "$.k").cast("long").as("item"),
+        date_trunc("day", col("ts")).as("day"))
+      .filter(col("item").isNotNull)
+      .groupBy(col("item"), col("day")).agg(count(lit(1)).as("n")), earlyDays)
+
+  /** The adoption derivation over the additive `(item, day, n)` count
+    * grid — shared with the streaming twin
+    * ([[graft.streaming.ItemDayCountState]]); the first-seen day is a
+    * min over the grid, so late micro-batches re-date it correctly. */
+  private[graft] def adoptionFromCounts(counts0: DataFrame, earlyDays: Int = 3): DataFrame = {
+    val spark = counts0.sparkSession
     import spark.implicits._
-    val counts = events
-      .select(get_json_object($"props", "$.k").cast("long").as("item"),
-        date_trunc("day", $"ts").as("day"))
-      .filter($"item".isNotNull)
-      .groupBy($"item", $"day").agg(count(lit(1)).as("n"))
+    val counts = counts0
     val w = Window.partitionBy($"item")
     counts
       .withColumn("first_day", min($"day").over(w))

@@ -455,12 +455,19 @@ object Timeseries {
     * per-type ROWS windows over the day axis; day totals join back
     * at day scale. Plan-audit bounded throughout.
     */
-  def typeMixDriftTransform(events: DataFrame, baselineDays: Int = 7): DataFrame = {
-    val spark = events.sparkSession
-    import spark.implicits._
-    val daily = events
+  def typeMixDriftTransform(events: DataFrame, baselineDays: Int = 7): DataFrame =
+    mixDriftFromDaily(events
       .select(col("event_type"), date_trunc("day", col("ts")).as("day"))
-      .groupBy($"event_type", $"day").agg(count(lit(1)).as("n"))
+      .groupBy(col("event_type"), col("day")).agg(count(lit(1)).as("x")), baselineDays)
+
+  /** The drift derivation over the `(event_type, day, x)` count grid
+    * — the SAME state shape [[acfFromDaily]] reads, so the streaming
+    * twin shares [[graft.streaming.TypeDailyCountState]] (one state,
+    * two daily-composition faces). */
+  private[graft] def mixDriftFromDaily(daily0: DataFrame, baselineDays: Int = 7): DataFrame = {
+    val spark = daily0.sparkSession
+    import spark.implicits._
+    val daily = daily0.select($"event_type", $"day", $"x".as("n"))
     val bounds = daily.agg(min($"day").as("lo"), max($"day").as("hi"))
     val grid = daily.select($"event_type").distinct()
       .crossJoin(broadcast(bounds))

@@ -50,6 +50,44 @@ final class TypeDailyCountState(stateDir: String) {
 
   def report(spark: SparkSession): DataFrame =
     graft.operators.Timeseries.acfFromDaily(prior(spark))
+
+  /** The SAME (type, day, x) grid serves the mix-drift report — one
+    * state, two daily-composition faces. */
+  def reportMixDrift(spark: SparkSession): DataFrame =
+    graft.operators.Timeseries.mixDriftFromDaily(prior(spark))
+}
+
+/** Additive (item, day, n) engagement grid for the adoption profile —
+  * the first-seen day is a MIN over the grid, so a late micro-batch
+  * that back-dates an item's launch re-dates every share correctly
+  * at read time (a per-batch "first seen" would be wrong forever). */
+final class ItemDayCountState(stateDir: String) {
+  @volatile private var version: Long = StreamUtil.latestVersion(stateDir)
+
+  private def prior(spark: SparkSession): DataFrame =
+    if (version < 0)
+      spark.createDataFrame(java.util.List.of[Row](), StructType.fromDDL(
+        "item BIGINT, day TIMESTAMP, n BIGINT"))
+    else spark.read.parquet(s"$stateDir/v$version")
+
+  def merge(batch: Dataset[Row], batchId: Long): Unit = {
+    if (batchId <= version) return
+    val spark = batch.sparkSession
+    val partial = batch
+      .select(get_json_object(col("props"), "$.k").cast("long").as("item"),
+        date_trunc("day", col("ts")).as("day"))
+      .filter(col("item").isNotNull)
+      .groupBy(col("item"), col("day")).agg(count(lit(1)).as("n"))
+    val merged = prior(spark).unionByName(partial)
+      .groupBy(col("item"), col("day")).agg(sum(col("n")).as("n"))
+    merged.coalesce(1).write.mode("overwrite").parquet(s"$stateDir/v$batchId")
+    val prev = version
+    version = batchId
+    if (prev >= 0) StreamUtil.delete(spark, s"$stateDir/v$prev")
+  }
+
+  def report(spark: SparkSession): DataFrame =
+    graft.operators.Behavior.adoptionFromCounts(prior(spark))
 }
 
 final class DailyVolRevState(stateDir: String) {
@@ -229,6 +267,29 @@ object TimeseriesStream {
     val work = graft.GraftCaches.trackTempDir("graft_sacf_")
     FunnelStream.stageTimeOrdered(spark, dir, s"$work/input", nFiles)
     val state = new TypeDailyCountState(s"$work/state")
+    StreamSources.runForeachBatch(
+      StreamSources.eventsFrom(spark, s"$work/input", maxFilesPerTrigger = 1),
+      state.merge)
+    state.report(spark)
+  }
+
+  /** Queries entry (oracle: same SQL as `type_mix_drift`): the SAME
+    * (type, day) count state as stream_acf, second face. */
+  def streamTypeMixDrift(spark: SparkSession, dir: String, nFiles: Int = 4): DataFrame = {
+    val work = graft.GraftCaches.trackTempDir("graft_smix_")
+    FunnelStream.stageTimeOrdered(spark, dir, s"$work/input", nFiles)
+    val state = new TypeDailyCountState(s"$work/state")
+    StreamSources.runForeachBatch(
+      StreamSources.eventsFrom(spark, s"$work/input", maxFilesPerTrigger = 1),
+      state.merge)
+    state.reportMixDrift(spark)
+  }
+
+  /** Queries entry (oracle: same SQL as `item_adoption`). */
+  def streamItemAdoption(spark: SparkSession, dir: String, nFiles: Int = 4): DataFrame = {
+    val work = graft.GraftCaches.trackTempDir("graft_sadopt_")
+    FunnelStream.stageTimeOrdered(spark, dir, s"$work/input", nFiles)
+    val state = new ItemDayCountState(s"$work/state")
     StreamSources.runForeachBatch(
       StreamSources.eventsFrom(spark, s"$work/input", maxFilesPerTrigger = 1),
       state.merge)

@@ -399,6 +399,35 @@ class TimeseriesCorpusSpec extends AnyFunSuite with org.scalatest.BeforeAndAfter
     }
   }
 
+  test("stream_type_mix_drift / stream_item_adoption equal their batch twins") {
+    for ((sName, bName) <- Seq(
+        "stream_type_mix_drift" -> "type_mix_drift",
+        "stream_item_adoption" -> "item_adoption")) {
+      val s = SparkEntry.queries(sName)(spark, sf).collect().map(_.toString).sorted
+      val b = SparkEntry.queries(bName)(spark, sf).collect().map(_.toString).sorted
+      assert(s.sameElements(b), s"$sName diverged from $bName")
+    }
+  }
+
+  test("ItemDayCountState: a late back-dating batch re-dates the launch") {
+    import spark.implicits._
+    val jan1 = Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    val work = GraftCaches.trackTempDir("graft_adopt_spec_")
+    val st = new streaming.ItemDayCountState(s"$work/state")
+    def b(rows: Seq[(Long, Long)]) = // (event_id, day offset)
+      rows.map { case (e, d) =>
+        (e, new Timestamp(jan1 + d * 86400000L), 1L, "view", 0.0, """{"k": 5}""") }
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    st.merge(b(Seq((1L, 10L), (2L, 10L))), 0L) // first seen day 10
+    val before = st.report(spark).collect()(0)
+    assert(before.getLong(4) == 10000L)
+    st.merge(b(Seq((3L, 0L))), 1L) // LATE batch: the real launch was day 0
+    val after = st.report(spark).collect()(0)
+    // first_day re-dates to day 0; the day-10 events leave the early window
+    assert(after.getAs[Timestamp]("first_day").getTime == jan1)
+    assert(after.getLong(4) == 3333L, "1 of 3 events inside the re-dated early window")
+  }
+
   test("embedding_covariance: full upper triangle, PSD diagonal") {
     val cov = SparkEntry.queries("embedding_covariance")(spark, sf).collect()
     val dims = cov.map(_.getLong(0)).max
