@@ -183,7 +183,13 @@ object Bench {
     "stream_winsorized" -> 5.618, "stream_time_weighted" -> 9.549,
     "boilerplate_score" -> 8.767, "dataset_card" -> 1.539,
     "hard_negatives" -> 2.101, "ma_crossover" -> 2.301,
-    "asof_join_tolerance" -> 3.786)
+    "asof_join_tolerance" -> 3.786,
+    // round-8 sixth wave (same quiet-box harness; evidence in
+    // BASELINE.md "Round-8 additions, sixth wave")
+    "type_mix_drift" -> 3.981, "item_adoption" -> 3.776,
+    "script_detect" -> 3.164, "stream_dataset_card" -> 8.161,
+    "stream_ma_crossover" -> 9.103, "stream_type_mix_drift" -> 10.734,
+    "stream_item_adoption" -> 9.992)
 
   /** Run ONE query in a fresh JVM (this JVM's own flags + classpath,
     * stderr discarded) and parse its timing out of the child's JSON
