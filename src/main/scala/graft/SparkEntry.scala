@@ -78,6 +78,12 @@ object SparkEntry {
     "stream_ma_crossover" -> ((s: SparkSession, d: String) => streaming.TimeseriesStream.streamMaCrossover(s, d)),
     "stream_type_mix_drift" -> ((s: SparkSession, d: String) => streaming.TimeseriesStream.streamTypeMixDrift(s, d)),
     "stream_item_adoption" -> ((s: SparkSession, d: String) => streaming.TimeseriesStream.streamItemAdoption(s, d)),
+    "chi2_type_dow"      -> Stats.chi2TypeDow _,
+    "mann_whitney_u"     -> Stats.mannWhitneyU _,
+    "ks_doclen_sources"  -> Stats.ksDoclenSources _,
+    "cramers_v_source_lang" -> Stats.cramersVSourceLang _,
+    "heaps_law_fit"      -> ((s: SparkSession, d: String) => CorpusQa.heapsLawFit(s, d)),
+    "url_filter"         -> ((s: SparkSession, d: String) => CorpusQa.urlFilter(s, d)),
     "snapshot_diff"      -> Engagement.snapshotDiff _,
     "events_sessionized" -> ((s: SparkSession, d: String) => Engagement.eventsSessionized(s, d)),
     "cohort_ltv"         -> Engagement.cohortLtv _,
@@ -830,6 +836,12 @@ object SparkEntry {
     "type_mix_drift" -> operators.Timeseries.typeMixDriftOracleSql,
     "item_adoption" -> operators.Behavior.itemAdoptionOracleSql,
     "script_detect" -> operators.CorpusQa.scriptDetectOracleSql,
+    "chi2_type_dow" -> operators.Stats.chi2TypeDowOracleSql,
+    "mann_whitney_u" -> operators.Stats.mannWhitneyUOracleSql,
+    "ks_doclen_sources" -> operators.Stats.ksDoclenSourcesOracleSql,
+    "cramers_v_source_lang" -> operators.Stats.cramersVSourceLangOracleSql,
+    "heaps_law_fit" -> operators.CorpusQa.heapsLawFitOracleSql,
+    "url_filter" -> operators.CorpusQa.urlFilterOracleSql,
     "sequence_count" -> operators.Sequences.sequenceCountOracleSql,
     "funnel_strict_order" -> operators.Sequences.funnelStrictOracleSql,
     "funnel_any_order" -> operators.Sequences.funnelAnyOrderOracleSql,

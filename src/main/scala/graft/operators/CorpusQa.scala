@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.sources.Tables
@@ -488,4 +489,160 @@ object CorpusQa {
       |            WHEN n_arabic > n_latin THEN 'arabic'
       |            ELSE 'latin' END AS script
       |FROM c ORDER BY doc_id""".stripMargin
+
+  /** Heaps'-law fit of vocabulary growth — "how fast does my vocab
+    * grow as I add documents", the tokenizer-budget companion of
+    * [[TextOps.zipfSlope]]: with documents consumed in doc_id order,
+    * the running token total T_d and running distinct-vocab size V_d
+    * trace V ≈ K·T^β; the fit is OLS of log V on log T over the
+    * per-doc points, on the same 1e-6-quantized integer grid as the
+    * Zipf fit (exact integer sums, floats only in the final
+    * slope/intercept division).
+    *
+    * Shape: the ONLY fact-scale passes are the two token rollups
+    * (per-doc token counts; per-token FIRST doc — a min aggregate);
+    * the cumulative curves are |docs|-row windows over those
+    * aggregates, and the regression is a one-row aggregate. The
+    * unpartitioned cumsum windows consume a per-doc-aggregate input
+    * (docs-grid scale, the vocab_stats class); a 100 TB run swaps in
+    * the slice-locate pattern. */
+  def heapsLawFitTransform(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val toks = docs.select($"doc_id", explode(split($"text", " ")).as("tok"))
+    val perDoc = toks.groupBy($"doc_id").agg(count(lit(1)).as("t"))
+    val newVocab = toks.groupBy($"tok").agg(min($"doc_id").as("doc_id"))
+      .groupBy($"doc_id").agg(count(lit(1)).as("v"))
+    val wc = Window.orderBy($"doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val pts = perDoc.join(newVocab, Seq("doc_id"), "left")
+      .select($"doc_id", $"t", coalesce($"v", lit(0L)).as("v"))
+      .withColumn("ct", sum($"t").over(wc))
+      .withColumn("cv", sum($"v").over(wc))
+      .select(expr("CAST(round(ln(ct) * 1000000) AS BIGINT)").as("x"),
+        expr("CAST(round(ln(cv) * 1000000) AS BIGINT)").as("y"))
+    pts.agg(count(lit(1)).as("n_points"),
+        sum($"x").as("sx"), sum($"y").as("sy"),
+        sum(expr("CAST(x AS DECIMAL(38,0)) * y")).as("sxy"),
+        sum(expr("CAST(x AS DECIMAL(38,0)) * x")).as("sxx"))
+      .select($"n_points",
+        expr("""round((n_points * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy) /
+                      (n_points * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx), 4)""")
+          .as("heaps_beta"),
+        expr("""round((CAST(sy AS DOUBLE) / n_points / 1e6) -
+                      ((n_points * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy) /
+                       (n_points * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx)) *
+                      (CAST(sx AS DOUBLE) / n_points / 1e6), 4)""")
+          .as("heaps_log_k"))
+  }
+
+  def heapsLawFit(spark: SparkSession, dir: String): DataFrame =
+    heapsLawFitTransform(Tables.documents(spark, dir))
+
+  /** DuckDB oracle for [[heapsLawFitTransform]]. */
+  val heapsLawFitOracleSql: String =
+    """WITH toks AS (SELECT doc_id, u.tok AS tok
+      |              FROM documents, unnest(string_split(text, ' ')) AS u(tok)),
+      |pd AS (SELECT doc_id, count(*) AS t FROM toks GROUP BY 1),
+      |nv AS (SELECT doc_id, count(*) AS v
+      |       FROM (SELECT tok, min(doc_id) AS doc_id FROM toks GROUP BY 1)
+      |       GROUP BY 1),
+      |cumr AS (SELECT pd.doc_id, pd.t, coalesce(nv.v, 0) AS v
+      |         FROM pd LEFT JOIN nv ON nv.doc_id = pd.doc_id),
+      |cum AS (SELECT sum(t) OVER w AS ct, sum(v) OVER w AS cv
+      |        FROM cumr WINDOW w AS (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)),
+      |p AS (SELECT CAST(round(ln(ct) * 1000000) AS BIGINT) AS x,
+      |             CAST(round(ln(cv) * 1000000) AS BIGINT) AS y
+      |      FROM cum)
+      |SELECT count(*) AS n_points,
+      |       round((count(*) * CAST(sum(CAST(x AS HUGEINT) * y) AS DOUBLE) - CAST(sum(x) AS DOUBLE) * sum(y)) /
+      |             (count(*) * CAST(sum(CAST(x AS HUGEINT) * x) AS DOUBLE) - CAST(sum(x) AS DOUBLE) * sum(x)), 4) AS heaps_beta,
+      |       round((CAST(sum(y) AS DOUBLE) / count(*) / 1e6) -
+      |             ((count(*) * CAST(sum(CAST(x AS HUGEINT) * y) AS DOUBLE) - CAST(sum(x) AS DOUBLE) * sum(y)) /
+      |              (count(*) * CAST(sum(CAST(x AS HUGEINT) * x) AS DOUBLE) - CAST(sum(x) AS DOUBLE) * sum(x))) *
+      |             (CAST(sum(x) AS DOUBLE) / count(*) / 1e6), 4) AS heaps_log_k
+      |FROM p""".stripMargin
+
+  /** URL-level quality screen — the RefinedWeb-style second URL layer
+    * after [[urlCanonicalizeTransform]]'s dedup: drop documents whose
+    * host sits on a curated domain blocklist (at scale a BROADCAST
+    * join against the list — here literally so, through a broadcast
+    * left join), whose path carries spam tokens, or whose path is
+    * digit-heavy (≥ 40% digits over a 10+-char path — the
+    * session-id/tracking-URL shape). The corpus ships no URLs, so
+    * each doc is AUGMENTED with a deterministic URL over 8 surface
+    * shapes (2 blocklisted domains, 1 spam path, 1 digit-heavy path,
+    * 4 clean), mirrored in the oracle — every rule fires on a known
+    * slice.
+    *
+    * Shape: pure per-row map + one broadcast join; the verdict
+    * rollup is map-side-combinable. Scan-speed at any corpus size. */
+  def urlFilterTransform(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val planted = docs.select($"doc_id",
+      concat(
+        when($"doc_id" % 8 === 0, lit("spam-casino.example/p"))
+          .when($"doc_id" % 8 === 1, lit("tracker.adnet.example/p"))
+          .when($"doc_id" % 8 === 2, lit("blog.example.org/discount-pills-casino-"))
+          .when($"doc_id" % 8 === 3, lit("shop.example.org/sid/94837261029384756473829104857362/x"))
+          .when($"doc_id" % 8 === 4, lit("news.example.org/story"))
+          .when($"doc_id" % 8 === 5, lit("docs.example.org/guide"))
+          .when($"doc_id" % 8 === 6, lit("forum.example.org/thread"))
+          .otherwise(lit("wiki.example.org/article")),
+        ($"doc_id" / 8).cast("long").cast("string")).as("url"))
+      .withColumn("host", regexp_extract($"url", "^([^/]+)", 1))
+      .withColumn("path", regexp_replace($"url", "^[^/]+", ""))
+    val blocklist = spark.createDataFrame(Seq(
+      Tuple1("spam-casino.example"), Tuple1("tracker.adnet.example"),
+      Tuple1("malware.example"))).toDF("host")
+      .withColumn("blocked", lit(true))
+    val digits = length(regexp_replace($"path", "[^0-9]", ""))
+    val scored = planted.join(broadcast(blocklist), Seq("host"), "left")
+      .withColumn("spam_path",
+        $"path".rlike("(casino|pills|viagra|xxx)"))
+      .withColumn("digit_heavy",
+        length($"path") >= 10 && digits * 100L >= length($"path") * 40L)
+      .select($"doc_id", $"url", $"host",
+        coalesce($"blocked", lit(false)).as("blocked_domain"),
+        $"spam_path", $"digit_heavy")
+      .withColumn("keep", !($"blocked_domain" || $"spam_path" || $"digit_heavy"))
+    scored.orderBy($"doc_id")
+  }
+
+  def urlFilter(spark: SparkSession, dir: String): DataFrame =
+    urlFilterTransform(Tables.documents(spark, dir))
+
+  /** DuckDB oracle for [[urlFilterTransform]] — identical planting,
+    * identical rules, the blocklist inlined as VALUES. */
+  val urlFilterOracleSql: String =
+    """WITH p AS (
+      |  SELECT doc_id,
+      |         (CASE doc_id % 8
+      |            WHEN 0 THEN 'spam-casino.example/p'
+      |            WHEN 1 THEN 'tracker.adnet.example/p'
+      |            WHEN 2 THEN 'blog.example.org/discount-pills-casino-'
+      |            WHEN 3 THEN 'shop.example.org/sid/94837261029384756473829104857362/x'
+      |            WHEN 4 THEN 'news.example.org/story'
+      |            WHEN 5 THEN 'docs.example.org/guide'
+      |            WHEN 6 THEN 'forum.example.org/thread'
+      |            ELSE 'wiki.example.org/article' END)
+      |         || CAST(doc_id // 8 AS VARCHAR) AS url
+      |  FROM documents),
+      |h AS (SELECT doc_id, url,
+      |             regexp_extract(url, '^([^/]+)', 1) AS host,
+      |             regexp_replace(url, '^[^/]+', '') AS path
+      |      FROM p),
+      |bl AS (SELECT * FROM (VALUES ('spam-casino.example'), ('tracker.adnet.example'),
+      |                             ('malware.example')) AS t(host)),
+      |s AS (SELECT h.doc_id, h.url, h.host,
+      |             (bl.host IS NOT NULL) AS blocked_domain,
+      |             regexp_matches(h.path, '(casino|pills|viagra|xxx)') AS spam_path,
+      |             (length(h.path) >= 10 AND
+      |              length(regexp_replace(h.path, '[^0-9]', '', 'g')) * 100
+      |                >= length(h.path) * 40) AS digit_heavy
+      |      FROM h LEFT JOIN bl ON bl.host = h.host)
+      |SELECT doc_id, url, host, blocked_domain, spam_path, digit_heavy,
+      |       NOT (blocked_domain OR spam_path OR digit_heavy) AS keep
+      |FROM s ORDER BY doc_id""".stripMargin
 }

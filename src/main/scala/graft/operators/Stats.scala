@@ -1,0 +1,303 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Distribution-comparison statistics over the engagement fact and
+  * the document corpus — the hypothesis-test layer that sits on the
+  * same exact-sufficient-statistics discipline as
+  * [[Behavior.abWelchTtestTransform]] (reference scope: the
+  * engagement pipeline's per-type aggregates, `process.py`'s windowed
+  * stats, extended to the comparison tests an experimentation stack
+  * runs downstream of them). Every statistic here reduces the fact
+  * table to a bounded grid (value support, contingency cells, length
+  * support) in ONE map-side-combinable shuffle, does exact integer /
+  * decimal arithmetic on the grid, and divides into floats once per
+  * output row — so Spark and DuckDB agree bit-for-bit without any
+  * float-sum ordering assumption.
+  */
+object Stats {
+
+  /** Two-sample Kolmogorov–Smirnov distance between every pair of
+    * sources on document length — the distribution-drift test behind
+    * "did provider X start sending truncated pages": D = max over
+    * the pooled length support of |F̂_a − F̂_b|, computed EXACTLY as
+    * max |cum_a·n_b − cum_b·n_a| (an integer) divided once at the
+    * end. Ties and unequal supports are handled by evaluating on the
+    * union support with per-source cumulative counts.
+    *
+    * Shape: fact collapses to (source, len) counts in one shuffle
+    * (support is bounded by max doc length, not |docs|); the
+    * cumulative curves are per-source windows over that grid; the
+    * pairing is a |sources|²-wide equi-join ON THE GRID. Nothing
+    * fact-scale ever joins. The integer numerator holds in a Long to
+    * ~3e9 docs per source (cum·n < 9.2e18); past that, swap the two
+    * products to DECIMAL(38,0) — the comparison itself is unchanged.
+    */
+  def ksDoclenSourcesTransform(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val counts = docs.select($"source", length($"text").cast("long").as("len"))
+      .groupBy($"source", $"len").agg(count(lit(1)).as("c"))
+    val ns = counts.groupBy($"source").agg(sum($"c").as("n"))
+    // union support × sources, zero-filled, then per-source ECDF counts
+    val grid = counts.select($"len").distinct()
+    val cum = ns.select($"source").crossJoin(grid)
+      .join(counts, Seq("source", "len"), "left")
+      .select($"source", $"len", coalesce($"c", lit(0L)).as("c"))
+      .withColumn("cum", sum($"c").over(
+        Window.partitionBy($"source").orderBy($"len")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .join(ns, Seq("source"))
+    val a = cum.select($"source".as("source_a"), $"len",
+      $"cum".as("cum_a"), $"n".as("n_a"))
+    val b = cum.select($"source".as("source_b"), $"len",
+      $"cum".as("cum_b"), $"n".as("n_b"))
+    a.join(b, Seq("len")).filter($"source_a" < $"source_b")
+      .groupBy($"source_a", $"source_b", $"n_a", $"n_b")
+      .agg(max(abs($"cum_a" * $"n_b" - $"cum_b" * $"n_a")).as("d_num"))
+      .select($"source_a", $"source_b", $"n_a", $"n_b", $"d_num",
+        round($"d_num" / ($"n_a" * $"n_b").cast("double"), 6).as("ks"))
+      .orderBy($"source_a", $"source_b")
+  }
+
+  def ksDoclenSources(spark: SparkSession, dir: String): DataFrame =
+    ksDoclenSourcesTransform(Tables.documents(spark, dir))
+
+  /** DuckDB oracle for [[ksDoclenSourcesTransform]]. */
+  val ksDoclenSourcesOracleSql: String =
+    """WITH c AS (SELECT source, CAST(length(text) AS BIGINT) AS len, count(*) AS c
+      |           FROM documents GROUP BY 1, 2),
+      |ns AS (SELECT source, CAST(sum(c) AS BIGINT) AS n FROM c GROUP BY 1),
+      |grid AS (SELECT DISTINCT len FROM c),
+      |cum0 AS (SELECT s.source, g.len, coalesce(c.c, 0) AS c
+      |         FROM ns s CROSS JOIN grid g
+      |         LEFT JOIN c ON c.source = s.source AND c.len = g.len),
+      |cum AS (SELECT source, len,
+      |               sum(c) OVER (PARTITION BY source ORDER BY len
+      |                            ROWS UNBOUNDED PRECEDING) AS cum
+      |        FROM cum0),
+      |j AS (SELECT a.source AS source_a, b.source AS source_b,
+      |             na.n AS n_a, nb.n AS n_b,
+      |             abs(a.cum * nb.n - b.cum * na.n) AS d
+      |      FROM cum a JOIN cum b ON a.len = b.len AND a.source < b.source
+      |      JOIN ns na ON na.source = a.source
+      |      JOIN ns nb ON nb.source = b.source)
+      |SELECT source_a, source_b, n_a, n_b, CAST(max(d) AS BIGINT) AS d_num,
+      |       round(CAST(max(d) AS DOUBLE) / (n_a * n_b), 6) AS ks
+      |FROM j GROUP BY 1, 2, 3, 4 ORDER BY 1, 2""".stripMargin
+
+  /** Chi-square independence cells for event type × day-of-week —
+    * "is the traffic mix the same every weekday": per cell the
+    * observed count, the expected count under independence, and the
+    * cell's χ² contribution (O−E)²/E computed as the exact rational
+    * (O·N − R·C)² / (N·R·C) with a DECIMAL(38,0) numerator (O·N is
+    * ~1e14 at 10M events and squares past a Long) and ONE float
+    * division per cell — no float sum anywhere, so no ordering
+    * dependence. The statistic is the (exact-decimal) sum of the
+    * per-cell column if a single number is wanted; the cells are the
+    * actionable view.
+    *
+    * Shape: fact → ≤ |types|·7 cells in one map-side-combinable
+    * shuffle; row/column totals are broadcast-scale aggregates of
+    * the cells. Output ≤ |types|·7 rows at any scale. */
+  def chi2TypeDowTransform(events: DataFrame): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    // Spark dayofweek: 1=Sunday; −1 aligns with DuckDB's dow (0=Sunday)
+    val obs = events
+      .select($"event_type", (dayofweek($"ts") - 1).cast("long").as("dow"))
+      .groupBy($"event_type", $"dow").agg(count(lit(1)).as("n"))
+    val rows = obs.groupBy($"event_type").agg(sum($"n").as("r"))
+    val cols = obs.groupBy($"dow").agg(sum($"n").as("c"))
+    val total = obs.agg(sum($"n").as("t"))
+    // zero-fill the full type×dow grid: an EMPTY cell still contributes
+    // (0−E)²/E = R·C/N — dropping it silently understates χ²
+    val cells = rows.select($"event_type").crossJoin(cols.select($"dow"))
+      .join(obs, Seq("event_type", "dow"), "left")
+      .select($"event_type", $"dow", coalesce($"n", lit(0L)).as("n"))
+    cells.join(rows, Seq("event_type")).join(cols, Seq("dow"))
+      .crossJoin(broadcast(total))
+      .select($"event_type", $"dow", $"n",
+        round($"r" * $"c" / $"t".cast("double"), 6).as("expected"),
+        round(
+          expr("CAST(CAST(n AS DECIMAL(38,0)) * t - CAST(r AS DECIMAL(38,0)) * c AS DOUBLE)")
+            * expr("CAST(CAST(n AS DECIMAL(38,0)) * t - CAST(r AS DECIMAL(38,0)) * c AS DOUBLE)")
+            / (expr("CAST(t AS DOUBLE)") * $"r" * $"c"), 6).as("contrib"))
+      .orderBy($"event_type", $"dow")
+  }
+
+  def chi2TypeDow(spark: SparkSession, dir: String): DataFrame =
+    chi2TypeDowTransform(Tables.events(spark, dir))
+
+  /** DuckDB oracle for [[chi2TypeDowTransform]]. */
+  val chi2TypeDowOracleSql: String =
+    """WITH obs AS (SELECT event_type,
+      |                    CAST(date_part('dow', CAST(ts AS TIMESTAMP)) AS BIGINT) AS dow,
+      |                    count(*) AS n
+      |             FROM events GROUP BY 1, 2),
+      |r AS (SELECT event_type, sum(n) AS r FROM obs GROUP BY 1),
+      |c AS (SELECT dow, sum(n) AS c FROM obs GROUP BY 1),
+      |t AS (SELECT sum(n) AS t FROM obs),
+      |cells AS (SELECT r.event_type, c.dow, coalesce(obs.n, 0) AS n
+      |          FROM r CROSS JOIN c
+      |          LEFT JOIN obs ON obs.event_type = r.event_type AND obs.dow = c.dow)
+      |SELECT cells.event_type, cells.dow, CAST(cells.n AS BIGINT) AS n,
+      |       round(r.r * c.c / CAST(t.t AS DOUBLE), 6) AS expected,
+      |       round(CAST(CAST(cells.n AS HUGEINT) * t.t - CAST(r.r AS HUGEINT) * c.c AS DOUBLE)
+      |             * CAST(CAST(cells.n AS HUGEINT) * t.t - CAST(r.r AS HUGEINT) * c.c AS DOUBLE)
+      |             / (CAST(t.t AS DOUBLE) * r.r * c.c), 6) AS contrib
+      |FROM cells JOIN r ON r.event_type = cells.event_type
+      |           JOIN c ON c.dow = cells.dow CROSS JOIN t
+      |ORDER BY 1, 2""".stripMargin
+
+  /** Mann–Whitney U (rank-sum) between every pair of event types on
+    * the per-event value — the non-parametric sibling of
+    * [[Behavior.abWelchTtestTransform]] for when the value
+    * distribution is skewed past a t-test's reach. Computed exactly
+    * on the integer-cents value support: with average ranks for
+    * ties, 2·R_a = Σ_v c_a(v)·(2·below(v) + tie(v) + 1) is an exact
+    * integer on the pooled support grid, and 2·U_a = 2·R_a −
+    * n_a(n_a+1) (the rank-sum identity; the complement 2·n_a·n_b −
+    * 2·U_a is U_b). The only float is the AUC = U_a/(n_a·n_b) — the
+    * probability a random `a` value exceeds a random `b`, ties at ½.
+    *
+    * Shape: fact → (type, cents) counts in one shuffle — support is
+    * bounded by the cent range, not |events|; the pair grid unions
+    * each type's support into the pooled ECDF under a per-pair
+    * window (pair-partitioned, support-scale). The integer 2·R_a
+    * holds in a Long to ~2e9 events per pair; past that the sum
+    * should be carried as DECIMAL(38,0) — AUC is unchanged. */
+  def mannWhitneyUTransform(events: DataFrame): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val cnts = events
+      .select($"event_type", expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+      .groupBy($"event_type", $"cents").agg(count(lit(1)).as("c"))
+    val ns = cnts.groupBy($"event_type").agg(sum($"c").as("n"))
+    val types = ns.select($"event_type".as("tb"))
+    // pooled support per (a, b) pair via a zero-filled union (avoids a
+    // per-pair full-outer join): each side contributes its own counts
+    val pa = cnts.crossJoin(broadcast(types)).filter($"event_type" < $"tb")
+      .select($"event_type".as("ta"), $"tb", $"cents", $"c".as("ca"), lit(0L).as("cb"))
+    val pb = cnts.crossJoin(broadcast(types.select($"tb".as("ta"))))
+      .filter($"ta" < $"event_type")
+      .select($"ta", $"event_type".as("tb"), $"cents", lit(0L).as("ca"), $"c".as("cb"))
+    val pooled = pa.unionByName(pb)
+      .groupBy($"ta", $"tb", $"cents")
+      .agg(sum($"ca").as("ca"), sum($"cb").as("cb"))
+    val w = Window.partitionBy($"ta", $"tb").orderBy($"cents")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ranked = pooled
+      .withColumn("below", sum($"ca" + $"cb").over(w) - ($"ca" + $"cb"))
+    val r2 = ranked.groupBy($"ta", $"tb")
+      .agg(sum($"ca" * (lit(2L) * $"below" + $"ca" + $"cb" + 1L)).as("r2_a"))
+    r2.join(ns.select($"event_type".as("ta"), $"n".as("n_a")), Seq("ta"))
+      .join(ns.select($"event_type".as("tb"), $"n".as("n_b")), Seq("tb"))
+      .select($"ta".as("type_a"), $"tb".as("type_b"), $"n_a", $"n_b",
+        ($"r2_a" - $"n_a" * ($"n_a" + 1L)).as("u2_a"))
+      .withColumn("auc", round($"u2_a" / (lit(2.0) * $"n_a" * $"n_b"), 6))
+      .orderBy($"type_a", $"type_b")
+  }
+
+  def mannWhitneyU(spark: SparkSession, dir: String): DataFrame =
+    mannWhitneyUTransform(Tables.events(spark, dir))
+
+  /** DuckDB oracle for [[mannWhitneyUTransform]]. */
+  val mannWhitneyUOracleSql: String =
+    """WITH cnt AS (SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents,
+      |                    count(*) AS c
+      |             FROM events GROUP BY 1, 2),
+      |ns AS (SELECT event_type, CAST(sum(c) AS BIGINT) AS n FROM cnt GROUP BY 1),
+      |pooled AS (
+      |  SELECT ta, tb, cents, sum(ca) AS ca, sum(cb) AS cb FROM (
+      |    SELECT a.event_type AS ta, t.event_type AS tb, a.cents, a.c AS ca, 0 AS cb
+      |    FROM cnt a JOIN ns t ON a.event_type < t.event_type
+      |    UNION ALL
+      |    SELECT t.event_type, b.event_type, b.cents, 0, b.c
+      |    FROM cnt b JOIN ns t ON t.event_type < b.event_type)
+      |  GROUP BY 1, 2, 3),
+      |ranked AS (SELECT ta, tb, cents, ca, cb,
+      |                  sum(ca + cb) OVER (PARTITION BY ta, tb ORDER BY cents
+      |                                     ROWS UNBOUNDED PRECEDING) - (ca + cb) AS below
+      |           FROM pooled),
+      |r2 AS (SELECT ta, tb, sum(ca * (2 * below + ca + cb + 1)) AS r2_a
+      |       FROM ranked GROUP BY 1, 2)
+      |SELECT r2.ta AS type_a, r2.tb AS type_b, na.n AS n_a, nb.n AS n_b,
+      |       CAST(r2.r2_a - na.n * (na.n + 1) AS BIGINT) AS u2_a,
+      |       round(CAST(r2.r2_a - na.n * (na.n + 1) AS DOUBLE)
+      |             / (2.0 * na.n * nb.n), 6) AS auc
+      |FROM r2 JOIN ns na ON na.event_type = r2.ta
+      |        JOIN ns nb ON nb.event_type = r2.tb
+      |ORDER BY 1, 2""".stripMargin
+
+  /** Cramér's V for source × lang over the corpus — "how much does
+    * knowing the provider tell you about the language" as a single
+    * [0,1] association number, the corpus-governance view of
+    * [[chi2TypeDowTransform]]'s machinery. Per-cell χ² contributions
+    * are exact rationals divided into floats ONCE and rounded to the
+    * 1e-6 grid; the statistic sums those already-quantized decimals
+    * EXACTLY (DECIMAL(20,6) addition is order-free), so the engines
+    * agree without a float-sum order assumption. V = sqrt(χ² / (N ·
+    * min(r−1, c−1))).
+    *
+    * Shape: corpus → |sources|·|langs| cells in one shuffle; the
+    * rest is cell-grid arithmetic and a one-row output. */
+  def cramersVSourceLangTransform(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val obs = docs.groupBy($"source", $"lang").agg(count(lit(1)).as("n"))
+    val rows = obs.groupBy($"source").agg(sum($"n").as("r"))
+    val cols = obs.groupBy($"lang").agg(sum($"n").as("c"))
+    val total = obs.agg(sum($"n").as("t"),
+      count_distinct($"source").as("nr"), count_distinct($"lang").as("nc"))
+    // zero-fill: empty cells carry R·C/N of χ² (see chi2TypeDow)
+    val cells = rows.select($"source").crossJoin(cols.select($"lang"))
+      .join(obs, Seq("source", "lang"), "left")
+      .select($"source", $"lang", coalesce($"n", lit(0L)).as("n"))
+    cells.join(rows, Seq("source")).join(cols, Seq("lang"))
+      .crossJoin(broadcast(total))
+      .select($"t", $"nr", $"nc",
+        round(
+          expr("CAST(CAST(n AS DECIMAL(38,0)) * t - CAST(r AS DECIMAL(38,0)) * c AS DOUBLE)")
+            * expr("CAST(CAST(n AS DECIMAL(38,0)) * t - CAST(r AS DECIMAL(38,0)) * c AS DOUBLE)")
+            / (expr("CAST(t AS DOUBLE)") * $"r" * $"c"), 6)
+          .cast("decimal(20,6)").as("contrib"))
+      .groupBy($"t", $"nr", $"nc")
+      .agg(sum($"contrib").as("chi2d"))
+      .select($"t".as("n_docs"), $"nr".as("n_sources"), $"nc".as("n_langs"),
+        $"chi2d".cast("double").as("chi2"),
+        round(sqrt($"chi2d".cast("double") /
+          ($"t" * least($"nr" - 1L, $"nc" - 1L)).cast("double")), 6).as("cramers_v"))
+  }
+
+  def cramersVSourceLang(spark: SparkSession, dir: String): DataFrame =
+    cramersVSourceLangTransform(Tables.documents(spark, dir))
+
+  /** DuckDB oracle for [[cramersVSourceLangTransform]]. */
+  val cramersVSourceLangOracleSql: String =
+    """WITH obs AS (SELECT source, lang, count(*) AS n FROM documents GROUP BY 1, 2),
+      |r AS (SELECT source, sum(n) AS r FROM obs GROUP BY 1),
+      |c AS (SELECT lang, sum(n) AS c FROM obs GROUP BY 1),
+      |t AS (SELECT sum(n) AS t, count(DISTINCT source) AS nr,
+      |             count(DISTINCT lang) AS nc
+      |      FROM obs),
+      |cells AS (SELECT r.source, c.lang, coalesce(obs.n, 0) AS n
+      |          FROM r CROSS JOIN c
+      |          LEFT JOIN obs ON obs.source = r.source AND obs.lang = c.lang),
+      |contrib AS (
+      |  SELECT t.t, t.nr, t.nc,
+      |         CAST(round(CAST(CAST(cells.n AS HUGEINT) * t.t - CAST(r.r AS HUGEINT) * c.c AS DOUBLE)
+      |                    * CAST(CAST(cells.n AS HUGEINT) * t.t - CAST(r.r AS HUGEINT) * c.c AS DOUBLE)
+      |                    / (CAST(t.t AS DOUBLE) * r.r * c.c), 6) AS DECIMAL(20,6)) AS contrib
+      |  FROM cells JOIN r ON r.source = cells.source
+      |             JOIN c ON c.lang = cells.lang CROSS JOIN t)
+      |SELECT CAST(t AS BIGINT) AS n_docs, CAST(nr AS BIGINT) AS n_sources,
+      |       CAST(nc AS BIGINT) AS n_langs,
+      |       CAST(sum(contrib) AS DOUBLE) AS chi2,
+      |       round(sqrt(CAST(sum(contrib) AS DOUBLE)
+      |                  / (t * least(nr - 1, nc - 1))), 6) AS cramers_v
+      |FROM contrib GROUP BY t, nr, nc""".stripMargin
+}

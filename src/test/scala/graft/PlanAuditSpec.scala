@@ -55,6 +55,10 @@ class PlanAuditSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
     "source_drift_tv" -> "zero-fill grid broadcasts the DISTINCT source list — bounded by corpus-source cardinality, not data volume",
     "cross_source_dups" -> "zero-fill pair triangle (source_a < source_b) broadcasts the DISTINCT source list — bounded by corpus-source cardinality, not data volume",
     "stream_source_drift" -> "the same zero-fill source-list broadcast as source_drift_tv, derived over the stream's sufficient-count state",
+    "chi2_type_dow" -> "zero-fill contingency grid crosses the |types|-row and 7-row marginal lists — bounded by type cardinality x weekdays, not data volume",
+    "cramers_v_source_lang" -> "zero-fill contingency grid crosses the |sources|-row and |langs|-row marginal lists — bounded by label cardinalities, not data volume",
+    "ks_doclen_sources" -> "union-support grid crosses the |sources| list with the DISTINCT length support (max-doc-length bounded) — grid scale, not data volume",
+    "mann_whitney_u" -> "pair fan-out broadcasts the |types|-row type list over the cents-bounded (type, cents) support grid — both factors cardinality-bounded, not data volume",
   )
 
   /** One-row build sides are global aggregates (no grouping columns)

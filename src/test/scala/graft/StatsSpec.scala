@@ -1,0 +1,138 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Edge-semantics pins for the hypothesis-test layer ([[operators
+  * .Stats]]) and the round-8 corpus additions: hand-computed KS /
+  * U / χ² values on frames small enough to verify on paper, planted
+  * URL-filter slices, and Heaps-fit sanity on the real corpus. The
+  * DuckDB oracle gate checks sf0.01 equality; these pin the DESIGNED
+  * math. */
+class StatsSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
+  override def afterAll(): Unit = GraftCaches.clearAll()
+
+  import TestSession._
+
+  private def ts(day: Int): Timestamp =
+    Timestamp.valueOf(f"2024-01-${day + 1}%02d 00:00:00")
+
+  test("ks_doclen_sources: hand-computed D on two tiny sources") {
+    import spark.implicits._
+    // a: lengths {1, 3}; b: lengths {2, 2} — F̂ diverges most at len 2:
+    // F_a(2) = 1/2, F_b(2) = 1 → D = 1/2, d_num = |1·2 − 2·2| = 2
+    val docs = Seq(
+      (1L, "x", "en", "a", 1L), (2L, "xyz", "en", "a", 3L),
+      (3L, "xy", "en", "b", 2L), (4L, "xy", "en", "b", 2L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val r = operators.Stats.ksDoclenSourcesTransform(docs).collect()
+    assert(r.length == 1)
+    assert(r(0).getAs[Long]("d_num") == 2L)
+    assert(math.abs(r(0).getAs[Double]("ks") - 0.5) < 1e-9)
+  }
+
+  test("ks_doclen_sources: identical distributions give D = 0, full pair triangle") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "aa", "en", "a", 2L), (2L, "bb", "en", "b", 2L),
+      (3L, "cc", "en", "c", 2L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val r = operators.Stats.ksDoclenSourcesTransform(docs).collect()
+    assert(r.length == 3) // C(3,2) pairs, zero-distance included
+    assert(r.forall(_.getAs[Long]("d_num") == 0L))
+  }
+
+  test("mann_whitney_u: tie-averaged ranks exact on a 2x2 frame; AUC bounds corpus-wide") {
+    import spark.implicits._
+    // a: {1.00, 2.00}; b: {2.00, 3.00}. Direct count of (a, b) pairs
+    // with a > b: none; ties (2.00, 2.00): one, at ½ → U_a = 0.5,
+    // 2U_a = 1, AUC = 0.5/4 = 0.125. Via ranks: pooled 1(a) 2(a) 2(b)
+    // 3(b), tie-averaged R_a = 1 + 2.5 = 3.5, 2U_a = 2R_a − n_a(n_a+1)
+    // = 7 − 6 = 1 — the identity the operator computes.
+    val ev = Seq(
+      (1L, ts(0), 1L, "a", 1.0, "{}"), (2L, ts(0), 1L, "a", 2.0, "{}"),
+      (3L, ts(0), 2L, "b", 2.0, "{}"), (4L, ts(0), 2L, "b", 3.0, "{}")
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val r = operators.Stats.mannWhitneyUTransform(ev).collect()
+    assert(r.length == 1)
+    assert(r(0).getAs[Long]("u2_a") == 1L)
+    assert(math.abs(r(0).getAs[Double]("auc") - 0.125) < 1e-9)
+    // corpus-wide: AUC ∈ [0,1] and U identity 0 ≤ 2U_a ≤ 2·n_a·n_b
+    val sf = "/root/testdata/sf0.001"
+    val all = SparkEntry.queries("mann_whitney_u")(spark, sf).collect()
+    assert(all.nonEmpty)
+    all.foreach { row =>
+      val (na, nb) = (row.getAs[Long]("n_a"), row.getAs[Long]("n_b"))
+      val u2 = row.getAs[Long]("u2_a")
+      assert(u2 >= 0L && u2 <= 2L * na * nb)
+      val auc = row.getAs[Double]("auc")
+      assert(auc >= 0.0 && auc <= 1.0)
+    }
+  }
+
+  test("chi2_type_dow: independent 2x2 has zero contribution; cells partition N") {
+    import spark.implicits._
+    // perfectly independent: each (type, dow) cell = 1 — expected = 1
+    val ev = Seq(
+      (1L, ts(0), 1L, "a", 0.0, "{}"), (2L, ts(1), 1L, "a", 0.0, "{}"),
+      (3L, ts(0), 2L, "b", 0.0, "{}"), (4L, ts(1), 2L, "b", 0.0, "{}")
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val r = operators.Stats.chi2TypeDowTransform(ev).collect()
+    assert(r.length == 4)
+    r.foreach { row =>
+      assert(math.abs(row.getAs[Double]("expected") - 1.0) < 1e-9)
+      assert(row.getAs[Double]("contrib") == 0.0)
+    }
+    val sf = "/root/testdata/sf0.001"
+    val all = SparkEntry.queries("chi2_type_dow")(spark, sf).collect()
+    val total = all.map(_.getAs[Long]("n")).sum
+    val nEvents = sources.Tables.events(spark, sf).count()
+    assert(total == nEvents, "cells must partition the fact table")
+    assert(all.forall(_.getAs[Double]("contrib") >= 0.0))
+  }
+
+  test("cramers_v_source_lang: perfect association gives V = 1, independence V = 0") {
+    import spark.implicits._
+    val perfect = Seq(
+      (1L, "x", "en", "a", 1L), (2L, "x", "en", "a", 1L),
+      (3L, "x", "de", "b", 1L), (4L, "x", "de", "b", 1L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val v1 = operators.Stats.cramersVSourceLangTransform(perfect).collect()(0)
+    assert(math.abs(v1.getAs[Double]("cramers_v") - 1.0) < 1e-6)
+    val indep = Seq(
+      (1L, "x", "en", "a", 1L), (2L, "x", "de", "a", 1L),
+      (3L, "x", "en", "b", 1L), (4L, "x", "de", "b", 1L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val v0 = operators.Stats.cramersVSourceLangTransform(indep).collect()(0)
+    assert(v0.getAs[Double]("cramers_v") == 0.0)
+  }
+
+  test("heaps_law_fit: beta in (0,1) on the real corpus, n_points = |docs|") {
+    val sf = "/root/testdata/sf0.001"
+    val r = SparkEntry.queries("heaps_law_fit")(spark, sf).collect()(0)
+    val nDocs = sources.Tables.documents(spark, sf).count()
+    assert(r.getAs[Long]("n_points") == nDocs)
+    val beta = r.getAs[Double]("heaps_beta")
+    // sublinear vocab growth: 0 < β < 1 for any natural-ish corpus
+    assert(beta > 0.0 && beta < 1.0, s"heaps beta $beta outside (0,1)")
+  }
+
+  test("url_filter: every planted slice fires its own rule") {
+    val sf = "/root/testdata/sf0.001"
+    val rows = SparkEntry.queries("url_filter")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      val (bl, spam, dig, keep) = (r.getAs[Boolean]("blocked_domain"),
+        r.getAs[Boolean]("spam_path"), r.getAs[Boolean]("digit_heavy"),
+        r.getAs[Boolean]("keep"))
+      (id % 8) match {
+        case 0 | 1 => assert(bl && !keep, s"doc $id should be domain-blocked")
+        case 2     => assert(spam && !bl && !keep, s"doc $id should be spam-path")
+        case 3     => assert(dig && !bl && !spam && !keep, s"doc $id should be digit-heavy")
+        case _     => assert(keep && !bl && !spam && !dig, s"doc $id should be kept")
+      }
+    }
+  }
+}
