@@ -78,6 +78,8 @@ object SparkEntry {
     "stream_ma_crossover" -> ((s: SparkSession, d: String) => streaming.TimeseriesStream.streamMaCrossover(s, d)),
     "stream_type_mix_drift" -> ((s: SparkSession, d: String) => streaming.TimeseriesStream.streamTypeMixDrift(s, d)),
     "stream_item_adoption" -> ((s: SparkSession, d: String) => streaming.TimeseriesStream.streamItemAdoption(s, d)),
+    "stream_interevent"  -> ((s: SparkSession, d: String) => streaming.TransitionStream.streamInterevent(s, d)),
+    "stream_peak_concurrency" -> ((s: SparkSession, d: String) => streaming.TransitionStream.streamPeakConcurrency(s, d)),
     "chi2_type_dow"      -> Stats.chi2TypeDow _,
     "mann_whitney_u"     -> Stats.mannWhitneyU _,
     "ks_doclen_sources"  -> Stats.ksDoclenSources _,
@@ -359,6 +361,10 @@ object SparkEntry {
       "stream_ma_crossover" -> base("ma_crossover"),
       "stream_type_mix_drift" -> base("type_mix_drift"),
       "stream_item_adoption" -> base("item_adoption"),
+      // cross-batch-pair family: boundary gaps / boundary-spanning
+      // sessions reconstructed from per-user frontiers
+      "stream_interevent" -> base("interevent_histogram"),
+      "stream_peak_concurrency" -> base("peak_concurrency"),
       // cross-batch intervals reconstructed from the per-user
       // frontier; additive daily sufficient sums
       "stream_time_weighted" -> base("time_weighted_value"),

@@ -1223,25 +1223,42 @@ object Behavior {
     * sort), then a map-side-combinable bucket count — ≤ ~40 output
     * rows at any scale.
     */
-  def intereventHistogramTransform(events: DataFrame): DataFrame = {
-    // exact µs integers then truncating div — Spark's timestampdiff
-    // truncates the interval while DuckDB's date_diff counts boundary
-    // CROSSINGS, so the two disagree on sub-second timestamps; raw
-    // epoch-µs subtraction sidesteps the semantic entirely
-    events.select(col("user_id"), col("ts"), col("event_id"))
+  def intereventHistogramTransform(events: DataFrame): DataFrame =
+    intereventFromBuckets(gapBucketCounts(events))
+
+  /** The in-order gap extraction + bucketing — shared BY CONSTRUCTION
+    * with the streaming twin's per-batch pass
+    * ([[graft.streaming.IntereventState]]): exact µs integers then
+    * truncating div (Spark's timestampdiff truncates the interval
+    * while DuckDB's date_diff counts boundary CROSSINGS, so the two
+    * disagree on sub-second timestamps; raw epoch-µs subtraction
+    * sidesteps the semantic entirely). */
+  private[graft] def gapBucketCounts(events: DataFrame): DataFrame =
+    bucketizeGapUs(events.select(col("user_id"), col("ts"), col("event_id"))
       .withColumn("gap_us", expr("unix_micros(ts) - lag(unix_micros(ts), 1) OVER " +
         "(PARTITION BY user_id ORDER BY ts, event_id)"))
-      .filter(col("gap_us").isNotNull)
-      .withColumn("gap_s", expr("gap_us div 1000000"))
-      .select(expr("CAST(floor(log2(gap_s + 1)) AS BIGINT)").as("bucket"))
+      .filter(col("gap_us").isNotNull))
       .groupBy(col("bucket"))
       .agg(count(lit(1)).as("n_gaps"))
+
+  /** µs gap → power-of-two bucket, one expression tree for every
+    * caller (batch lag pairs AND stream boundary pairs). */
+  private[graft] def bucketizeGapUs(gaps: DataFrame): DataFrame =
+    gaps.withColumn("gap_s", expr("gap_us div 1000000"))
+      .select(expr("CAST(floor(log2(gap_s + 1)) AS BIGINT)").as("bucket"))
+
+  /** Bucket counts → labeled histogram rows — the read-time face the
+    * streaming twin derives from its additive (bucket, n_gaps)
+    * state. Re-aggregates on entry so callers may pass partials. */
+  private[graft] def intereventFromBuckets(buckets: DataFrame): DataFrame =
+    buckets
+      .groupBy(col("bucket"))
+      .agg(sum(col("n_gaps")).as("n_gaps"))
       .select(col("bucket"),
         expr("CAST(pow(2, bucket) AS BIGINT) - 1").as("gap_lo_s"),
         expr("CAST(pow(2, bucket + 1) AS BIGINT) - 2").as("gap_hi_s"),
         col("n_gaps"))
       .orderBy(col("bucket"))
-  }
 
   def intereventHistogram(spark: SparkSession, dir: String): DataFrame =
     intereventHistogramTransform(Tables.events(spark, dir))

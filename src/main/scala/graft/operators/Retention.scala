@@ -73,9 +73,17 @@ object Retention {
     * closes sort before opens at equal timestamps, and within a
     * same-signed tie group the running extremum lands at the group
     * edge, so both engines agree without a total row order. */
-  def peakConcurrencyTransform(events: DataFrame, gapMinutes: Int = 30): DataFrame = {
+  def peakConcurrencyTransform(events: DataFrame, gapMinutes: Int = 30): DataFrame =
+    peakFromSessions(sessionIntervals(events, gapMinutes))
+
+  /** The gaps-and-islands session collapse to `(user_id, s_ts, e_ts)`
+    * intervals — shared BY CONSTRUCTION with the streaming twin's
+    * per-batch pass ([[graft.streaming.PeakSessionState]]), which
+    * stitches the batch-boundary session through its per-user open
+    * frontier. */
+  private[graft] def sessionIntervals(events: DataFrame, gapMinutes: Int = 30): DataFrame = {
     val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
-    val sess = events.select(col("event_id"), col("user_id"), col("ts"))
+    events.select(col("event_id"), col("user_id"), col("ts"))
       .withColumn("new_session",
         when(unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(w))
                > gapMinutes * 60L * 1000000L, 1L)
@@ -85,6 +93,12 @@ object Retention {
         sum(col("new_session")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
       .groupBy(col("user_id"), col("session_seq"))
       .agg(min(col("ts")).as("s_ts"), max(col("ts")).as("e_ts"))
+      .select(col("user_id"), col("s_ts"), col("e_ts"))
+  }
+
+  /** Interval table → per-day peak — the read-time face the streaming
+    * twin derives over closed-∪-open session state. */
+  private[graft] def peakFromSessions(sess: DataFrame): DataFrame = {
     val bounds = sess
       .select(date_trunc("day", col("s_ts")).as("day"), col("s_ts").as("bts"),
         lit(1L).as("delta"))

@@ -140,6 +140,141 @@ final class DistinctDailyState(stateDir: String) {
       priorPairs(spark).select(col("day"), col("user_id")))
 }
 
+/** Inter-event gap histogram on an unbounded stream — the FOURTH
+  * cross-batch-pair family member (after transitions / TWA /
+  * strict-funnel): the gap spanning a micro-batch boundary (user's
+  * last event in batch k → first in k+1) exists in no single batch,
+  * so the state carries the additive `(bucket, n_gaps)` histogram
+  * PLUS the per-user `(ts, event_id)` frontier whose join against
+  * each batch's first-per-user row reconstructs exactly the boundary
+  * gap. In-batch gaps and the bucket expression go through the SAME
+  * shared trees as the batch operator
+  * ([[graft.operators.Behavior.gapBucketCounts]] /
+  * `bucketizeGapUs`), so stream ≡ batch by construction under
+  * time-ordered replay. */
+final class IntereventState(stateDir: String) {
+  @volatile private var version: Long = StreamUtil.latestVersion(stateDir)
+
+  private def priorBuckets(spark: SparkSession): DataFrame =
+    if (version < 0)
+      spark.createDataFrame(java.util.List.of[Row](), StructType.fromDDL(
+        "bucket BIGINT, n_gaps BIGINT"))
+    else spark.read.parquet(s"$stateDir/v$version/buckets")
+
+  private def priorLast(spark: SparkSession): DataFrame =
+    if (version < 0)
+      spark.createDataFrame(java.util.List.of[Row](), StructType.fromDDL(
+        "user_id BIGINT, p_ts TIMESTAMP, p_eid BIGINT"))
+    else spark.read.parquet(s"$stateDir/v$version/last")
+
+  def merge(batch: Dataset[Row], batchId: Long): Unit = {
+    if (batchId <= version) return
+    val spark = batch.sparkSession
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val b = batch.select(col("user_id"), col("ts"), col("event_id"))
+      .withColumn("rn", row_number().over(w))
+    val inBatch = graft.operators.Behavior.gapBucketCounts(b)
+    val boundary = graft.operators.Behavior.bucketizeGapUs(
+      priorLast(spark)
+        .join(b.filter(col("rn") === 1).select(col("user_id"), col("ts")), Seq("user_id"))
+        .select((unix_micros(col("ts")) - unix_micros(col("p_ts"))).as("gap_us")))
+      .groupBy(col("bucket")).agg(count(lit(1)).as("n_gaps"))
+    val buckets = priorBuckets(spark).unionByName(inBatch).unionByName(boundary)
+      .groupBy(col("bucket")).agg(sum(col("n_gaps")).as("n_gaps"))
+    val bLast = b.groupBy(col("user_id"))
+      .agg(max(struct(col("ts"), col("event_id"))).as("s"))
+      .select(col("user_id"), col("s.ts").as("b_ts"), col("s.event_id").as("b_eid"))
+    val pS = struct(col("p_ts").as("ts"), col("p_eid").as("eid"))
+    val bS = struct(col("b_ts").as("ts"), col("b_eid").as("eid"))
+    val last = priorLast(spark).join(bLast, Seq("user_id"), "full_outer")
+      .select(col("user_id"),
+        when(col("b_ts").isNull, pS)
+          .when(col("p_ts").isNull, bS)
+          .when(struct(col("b_ts"), col("b_eid")) >= struct(col("p_ts"), col("p_eid")), bS)
+          .otherwise(pS).as("s"))
+      .select(col("user_id"), col("s.ts").as("p_ts"), col("s.eid").as("p_eid"))
+    buckets.coalesce(1).write.mode("overwrite").parquet(s"$stateDir/v$batchId/buckets")
+    last.coalesce(1).write.mode("overwrite").parquet(s"$stateDir/v$batchId/last")
+    val prev = version
+    version = batchId
+    if (prev >= 0) StreamUtil.delete(spark, s"$stateDir/v$prev")
+  }
+
+  def report(spark: SparkSession): DataFrame =
+    graft.operators.Behavior.intereventFromBuckets(priorBuckets(spark))
+}
+
+/** Peak session concurrency on an unbounded stream — the SESSION
+  * member of the cross-batch family: a 30-minute-gap session can
+  * stay open across ANY number of micro-batch boundaries, so the
+  * state is the append-only table of CLOSED `(s_ts, e_ts)` intervals
+  * plus a per-user OPEN-session frontier `(o_sts, o_lts)`. Each
+  * batch sessionizes through the batch operator's own
+  * gaps-and-islands tree ([[graft.operators.Retention
+  * .sessionIntervals]]); a user's first batch session merges into
+  * the frontier when the boundary gap is within the session gap,
+  * every non-final session closes, and the final one becomes the new
+  * frontier. The report derives the per-day peak over closed ∪ open
+  * through the shared `peakFromSessions` — stream ≡ batch by
+  * construction under time-ordered replay. State is |closed
+  * sessions| rows — the honest cost of exact session accounting (the
+  * DistinctDailyState class); a watermark would bound it by closing
+  * frontiers past the horizon. */
+final class PeakSessionState(stateDir: String, gapMinutes: Int = 30) {
+  @volatile private var version: Long = StreamUtil.latestVersion(stateDir)
+  private val gapUs = gapMinutes * 60L * 1000000L
+
+  private def priorClosed(spark: SparkSession): DataFrame =
+    if (version < 0)
+      spark.createDataFrame(java.util.List.of[Row](), StructType.fromDDL(
+        "s_ts TIMESTAMP, e_ts TIMESTAMP"))
+    else spark.read.parquet(s"$stateDir/v$version/closed")
+
+  private def priorOpen(spark: SparkSession): DataFrame =
+    if (version < 0)
+      spark.createDataFrame(java.util.List.of[Row](), StructType.fromDDL(
+        "user_id BIGINT, o_sts TIMESTAMP, o_lts TIMESTAMP"))
+    else spark.read.parquet(s"$stateDir/v$version/open")
+
+  def merge(batch: Dataset[Row], batchId: Long): Unit = {
+    if (batchId <= version) return
+    val spark = batch.sparkSession
+    val sess = graft.operators.Retention.sessionIntervals(batch, gapMinutes)
+    val w = Window.partitionBy(col("user_id")).orderBy(col("s_ts"))
+    val marked = sess
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("user_id"))))
+      .join(priorOpen(spark), Seq("user_id"), "left")
+      .withColumn("merged", col("rn") === 1 && col("o_lts").isNotNull &&
+        unix_micros(col("s_ts")) - unix_micros(col("o_lts")) <= gapUs)
+      .withColumn("s_ts2", when(col("merged"), col("o_sts")).otherwise(col("s_ts")))
+    // a frontier NOT continued by its user's first batch session closes
+    val frontierClosed = marked.filter(col("rn") === 1 &&
+        col("o_lts").isNotNull && !col("merged"))
+      .select(col("o_sts").as("s_ts"), col("o_lts").as("e_ts"))
+    val inBatchClosed = marked.filter(col("rn") < col("n"))
+      .select(col("s_ts2").as("s_ts"), col("e_ts"))
+    val closed = priorClosed(spark)
+      .unionByName(frontierClosed).unionByName(inBatchClosed)
+    // new frontier: each batch user's LAST session; untouched users keep theirs
+    val openBatch = marked.filter(col("rn") === col("n"))
+      .select(col("user_id"), col("s_ts2").as("o_sts"), col("e_ts").as("o_lts"))
+    val openKept = priorOpen(spark)
+      .join(sess.select(col("user_id")).distinct(), Seq("user_id"), "left_anti")
+    val open = openKept.unionByName(openBatch)
+    closed.coalesce(1).write.mode("overwrite").parquet(s"$stateDir/v$batchId/closed")
+    open.coalesce(1).write.mode("overwrite").parquet(s"$stateDir/v$batchId/open")
+    val prev = version
+    version = batchId
+    if (prev >= 0) StreamUtil.delete(spark, s"$stateDir/v$prev")
+  }
+
+  def report(spark: SparkSession): DataFrame =
+    graft.operators.Retention.peakFromSessions(
+      priorClosed(spark).unionByName(
+        priorOpen(spark).select(col("o_sts").as("s_ts"), col("o_lts").as("e_ts"))))
+}
+
 object TransitionStream {
 
   /** Queries entry (oracle: same SQL as `event_transitions`). */
@@ -173,6 +308,28 @@ object TransitionStream {
       StreamSources.eventsFrom(spark, s"$work/input", maxFilesPerTrigger = 1),
       state.merge)
     state
+  }
+
+  /** Queries entry (oracle: same SQL as `interevent_histogram`). */
+  def streamInterevent(spark: SparkSession, dir: String, nFiles: Int = 4): DataFrame = {
+    val work = graft.GraftCaches.trackTempDir("graft_sgap_")
+    FunnelStream.stageTimeOrdered(spark, dir, s"$work/input", nFiles)
+    val state = new IntereventState(s"$work/state")
+    StreamSources.runForeachBatch(
+      StreamSources.eventsFrom(spark, s"$work/input", maxFilesPerTrigger = 1),
+      state.merge)
+    state.report(spark)
+  }
+
+  /** Queries entry (oracle: same SQL as `peak_concurrency`). */
+  def streamPeakConcurrency(spark: SparkSession, dir: String, nFiles: Int = 4): DataFrame = {
+    val work = graft.GraftCaches.trackTempDir("graft_speak_")
+    FunnelStream.stageTimeOrdered(spark, dir, s"$work/input", nFiles)
+    val state = new PeakSessionState(s"$work/state")
+    StreamSources.runForeachBatch(
+      StreamSources.eventsFrom(spark, s"$work/input", maxFilesPerTrigger = 1),
+      state.merge)
+    state.report(spark)
   }
 
   /** Queries entry (oracle: same SQL as `user_lifecycle`). */

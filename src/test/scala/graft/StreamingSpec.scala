@@ -37,6 +37,36 @@ class StreamingSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
     assert(rows("stream_leaderboard") == rows("leaderboard_topn"))
   }
 
+  test("stream_interevent / stream_peak_concurrency equal their batch twins") {
+    assert(rows("stream_interevent") == rows("interevent_histogram"))
+    assert(rows("stream_peak_concurrency") == rows("peak_concurrency"))
+  }
+
+  test("PeakSessionState: a session spanning three micro-batches stays one session") {
+    import spark.implicits._
+    val base = java.sql.Timestamp.valueOf("2024-01-01 10:00:00").getTime
+    val work = GraftCaches.trackTempDir("graft_peak_spec_")
+    val st = new streaming.PeakSessionState(s"$work/state")
+    def b(rows: Seq[(Long, Long, Long)]) = // (event_id, user, minute offset)
+      rows.map { case (e, u, m) =>
+        (e, new java.sql.Timestamp(base + m * 60000L), u, "view", 0.0, "{}") }
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    // user 1: events at 0, 20, 40 min — each batch boundary gap is 20
+    // min < the 30-min session gap, so ONE session survives the cuts;
+    // user 2 opens a second session in batch 2 only
+    st.merge(b(Seq((1L, 1L, 0L))), 0L)
+    st.merge(b(Seq((2L, 1L, 20L), (3L, 2L, 25L))), 1L)
+    st.merge(b(Seq((4L, 1L, 40L))), 2L)
+    val r = st.report(spark).collect()
+    assert(r.length == 1)
+    assert(r(0).getAs[Long]("n_sessions") == 2L, "exactly two sessions (u1 stitched, u2)")
+    assert(r(0).getAs[Long]("peak_concurrent") == 2L, "u1 and u2 overlap at minute 25")
+    // a 31-min silent batch gap must CLOSE the session instead
+    st.merge(b(Seq((5L, 1L, 75L))), 3L) // 40 -> 75 = 35 min > gap
+    val r2 = st.report(spark).collect()
+    assert(r2(0).getAs[Long]("n_sessions") == 3L, "over-gap boundary starts a new session")
+  }
+
   test("stream_router counts equal event_router; physical route partitions exist") {
     assert(rows("stream_router") == rows("event_router"))
     val (out, _) = EngagementStream.fanout(spark, sf)
