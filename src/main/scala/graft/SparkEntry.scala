@@ -78,6 +78,10 @@ object SparkEntry {
     "stream_ma_crossover" -> ((s: SparkSession, d: String) => streaming.TimeseriesStream.streamMaCrossover(s, d)),
     "stream_type_mix_drift" -> ((s: SparkSession, d: String) => streaming.TimeseriesStream.streamTypeMixDrift(s, d)),
     "stream_item_adoption" -> ((s: SparkSession, d: String) => streaming.TimeseriesStream.streamItemAdoption(s, d)),
+    "session_duration"   -> Retention.sessionDuration _,
+    "stream_session_duration" -> ((s: SparkSession, d: String) => streaming.TransitionStream.streamSessionDuration(s, d)),
+    "vocab_coverage_curve" -> ((s: SparkSession, d: String) => TextOps.vocabCoverageCurve(s, d)),
+    "embedding_pca_power" -> VectorOps.embeddingPcaPower _,
     "stream_interevent"  -> ((s: SparkSession, d: String) => streaming.TransitionStream.streamInterevent(s, d)),
     "stream_peak_concurrency" -> ((s: SparkSession, d: String) => streaming.TransitionStream.streamPeakConcurrency(s, d)),
     "chi2_type_dow"      -> Stats.chi2TypeDow _,
@@ -365,6 +369,7 @@ object SparkEntry {
       // sessions reconstructed from per-user frontiers
       "stream_interevent" -> base("interevent_histogram"),
       "stream_peak_concurrency" -> base("peak_concurrency"),
+      "stream_session_duration" -> base("session_duration"),
       // cross-batch intervals reconstructed from the per-user
       // frontier; additive daily sufficient sums
       "stream_time_weighted" -> base("time_weighted_value"),
@@ -842,6 +847,9 @@ object SparkEntry {
     "type_mix_drift" -> operators.Timeseries.typeMixDriftOracleSql,
     "item_adoption" -> operators.Behavior.itemAdoptionOracleSql,
     "script_detect" -> operators.CorpusQa.scriptDetectOracleSql,
+    "session_duration" -> operators.Retention.sessionDurationOracleSql(),
+    "vocab_coverage_curve" -> operators.TextOps.vocabCoverageCurveOracleSql,
+    "embedding_pca_power" -> operators.VectorOps.embeddingPcaPowerOracleSql,
     "chi2_type_dow" -> operators.Stats.chi2TypeDowOracleSql,
     "mann_whitney_u" -> operators.Stats.mannWhitneyUOracleSql,
     "ks_doclen_sources" -> operators.Stats.ksDoclenSourcesOracleSql,

@@ -116,6 +116,59 @@ object Retention {
   def peakConcurrency(spark: SparkSession, dir: String): DataFrame =
     peakConcurrencyTransform(Tables.events(spark, dir))
 
+  /** Session-duration histogram in power-of-two second buckets — the
+    * engagement-depth profile next to [[peakConcurrencyTransform]]'s
+    * capacity peak (both read the SAME gaps-and-islands interval
+    * table; single-event sessions land in bucket 0 as 0-second
+    * durations): `⌊log₂(dur+1)⌋` exact at every power-of-two
+    * boundary (the interevent_histogram discipline), closed integer
+    * bounds, ≤ ~30 rows at any scale.
+    *
+    * Shape: one user_id shuffle for the session collapse, then a
+    * map-side-combinable bucket count. */
+  def sessionDurationTransform(events: DataFrame, gapMinutes: Int = 30): DataFrame =
+    durationsFromSessions(sessionIntervals(events, gapMinutes))
+
+  /** Interval table → duration histogram — the second read-time face
+    * the streaming twin ([[graft.streaming.PeakSessionState]])
+    * derives over its closed-∪-open session state. */
+  private[graft] def durationsFromSessions(sess: DataFrame): DataFrame =
+    sess
+      .select(expr("(unix_micros(e_ts) - unix_micros(s_ts)) div 1000000").as("dur_s"))
+      .select(expr("CAST(floor(log2(dur_s + 1)) AS BIGINT)").as("bucket"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_sessions"))
+      .select(col("bucket"),
+        expr("CAST(pow(2, bucket) AS BIGINT) - 1").as("dur_lo_s"),
+        expr("CAST(pow(2, bucket + 1) AS BIGINT) - 2").as("dur_hi_s"),
+        col("n_sessions"))
+      .orderBy(col("bucket"))
+
+  def sessionDuration(spark: SparkSession, dir: String): DataFrame =
+    sessionDurationTransform(Tables.events(spark, dir))
+
+  /** Oracle for [[sessionDurationTransform]]. */
+  def sessionDurationOracleSql(gapMinutes: Int = 30): String =
+    s"""WITH e AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+       |f AS (SELECT user_id, event_id, ts,
+       |             CASE WHEN lag(ts) OVER w IS NULL THEN 1
+       |                  WHEN epoch_us(ts) - epoch_us(lag(ts) OVER w) > $gapMinutes * 60 * 1000000 THEN 1
+       |                  ELSE 0 END AS new_session
+       |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+       |g AS (SELECT user_id, ts,
+       |             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+       |                                    ROWS UNBOUNDED PRECEDING) AS session_seq
+       |      FROM f),
+       |s AS (SELECT user_id, session_seq, min(ts) AS s_ts, max(ts) AS e_ts
+       |      FROM g GROUP BY 1, 2),
+       |b AS (SELECT CAST(floor(log2((epoch_us(e_ts) - epoch_us(s_ts)) // 1000000 + 1)) AS BIGINT) AS bucket
+       |      FROM s)
+       |SELECT bucket,
+       |       CAST(pow(2, bucket) AS BIGINT) - 1 AS dur_lo_s,
+       |       CAST(pow(2, bucket + 1) AS BIGINT) - 2 AS dur_hi_s,
+       |       count(*) AS n_sessions
+       |FROM b GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** Oracle for [[peakConcurrencyTransform]]. */
   def peakConcurrencyOracleSql(gapMinutes: Int = 30): String =
     s"""WITH e AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),

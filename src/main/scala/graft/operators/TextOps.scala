@@ -1419,6 +1419,54 @@ object TextOps {
       |             (CAST(sum(x) AS DOUBLE) / count(*) / 1e6), 4) AS zipf_intercept
       |FROM p""".stripMargin
 
+  /** Token-stream coverage at power-of-two vocabulary cuts — "how big
+    * a tokenizer vocab buys how much of the corpus": for each N ∈
+    * {1, 2, 4, …} (and the full vocabulary as the last point), the
+    * fraction of the token stream covered by the top-N
+    * tokens-by-frequency. The curve is [[vocabStats]]' cumulative
+    * share READ AT the power-of-two grid — the table a vocab-size
+    * decision actually consults (the knee is where the curve flattens).
+    *
+    * Shape: one map-side-combinable token rollup to vocab scale; the
+    * rank/cumsum windows run over the vocab aggregate (plan-audit
+    * bounded); the power-of-two filter is a bit test `rank & (rank−1)
+    * = 0` — exact in both engines. ≤ ~⌈log₂ V⌉+1 rows out. */
+  def vocabCoverageCurveTransform(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val vocab = docs.select(explode(split($"text", " ")).as("tok"))
+      .groupBy($"tok").agg(count(lit(1)).as("cf"))
+    val byFreq = Window.orderBy($"cf".desc, $"tok")
+    val cum = byFreq.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    vocab
+      .withColumn("rank", row_number().over(byFreq).cast("long"))
+      .withColumn("cum_cf", sum($"cf").over(cum))
+      .withColumn("v", count(lit(1)).over(Window.partitionBy()))
+      .filter(expr("(rank & (rank - 1)) = 0 OR rank = v"))
+      .crossJoin(broadcast(vocab.agg(sum($"cf").as("total"))))
+      .select($"rank".as("vocab_size"), $"cum_cf".as("tokens_covered"),
+        round($"cum_cf" / $"total".cast("double"), 6).as("coverage"))
+      .orderBy($"vocab_size")
+  }
+
+  def vocabCoverageCurve(spark: SparkSession, dir: String): DataFrame =
+    vocabCoverageCurveTransform(Tables.documents(spark, dir))
+
+  /** DuckDB oracle for [[vocabCoverageCurveTransform]]. */
+  val vocabCoverageCurveOracleSql: String =
+    """WITH v AS (SELECT u.tok AS tok, count(*) AS cf
+      |           FROM documents, unnest(string_split(text, ' ')) AS u(tok)
+      |           GROUP BY 1),
+      |r AS (SELECT cf, CAST(row_number() OVER (ORDER BY cf DESC, tok) AS BIGINT) AS rank,
+      |             sum(cf) OVER (ORDER BY cf DESC, tok ROWS UNBOUNDED PRECEDING) AS cum_cf,
+      |             count(*) OVER () AS v
+      |      FROM v),
+      |t AS (SELECT sum(cf) AS total FROM v)
+      |SELECT rank AS vocab_size, CAST(cum_cf AS BIGINT) AS tokens_covered,
+      |       round(CAST(cum_cf AS DOUBLE) / total, 6) AS coverage
+      |FROM r, t WHERE (rank & (rank - 1)) = 0 OR rank = v
+      |ORDER BY 1""".stripMargin
+
   /** Exact-duplicate rate per source — the per-provider contamination
     * scoreboard that decides which feeds get renegotiated (the
     * corpus-wide pass is [[dedupExact]]; this splits the damage by

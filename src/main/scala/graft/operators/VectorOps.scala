@@ -1039,4 +1039,104 @@ object VectorOps {
        |SELECT query_id, query_label, CAST(rank AS BIGINT) AS rank,
        |       hard_negative_id, neg_label, round(c, 4) AS cosine
        |FROM p WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
+
+  /** Principal direction of the embedding corpus by EXACT-INTEGER
+    * power iteration on the (uncentered) Gramian — the spectral read
+    * behind "is this embedding space effectively low-rank" that
+    * [[embeddingCovarianceTransform]]'s raw matrix only hints at:
+    * G(i,j) = Σ_v x6ᵢ·x6ⱼ is one distributed map-side-combinable
+    * pass (the corpus never shuffles whole — only d² partial sums
+    * cross the wire); the d×d eigen-iteration is then inherently
+    * planning-scale driver math (the k-means-training / ADC-LUT
+    * collect class, d² ≤ 10⁶ rows documented) done in arbitrary-
+    * precision INTEGERS so the DuckDB oracle can replay it
+    * bit-for-bit: v₀ = 1e6·𝟙, and each step is v' = sign(Gv) ·
+    * (|Gv|·10⁶ div max|Gv|) — truncating div on non-negative
+    * operands, identical in BigInt and HUGEINT. After `iters` steps
+    * the sign is canonicalized on the first nonzero component, and
+    * the Rayleigh quotient λ = vᵀGv / vᵀv emerges from ONE float
+    * division of exact integers (as does the λ/trace share).
+    * Magnitudes stay < 1e38 (HUGEINT's range) up to ~1e12 vectors —
+    * the documented bound.
+    */
+  def embeddingPcaPowerTransform(embeddings: DataFrame, iters: Int = 8): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val ex = elements(embeddings).select($"vec_id", $"dim", $"x6")
+    val gram = ex.select($"vec_id", $"dim".as("i"), $"x6".as("xi"))
+      .join(ex.select($"vec_id", $"dim".as("j"), $"x6".as("xj")), Seq("vec_id"))
+      .groupBy($"i", $"j")
+      .agg(sum(($"xi" * $"xj").cast("decimal(38,0)")).as("g"))
+    // planning-scale: d² sufficient statistics (4096 rows at d=64)
+    val cells = gram.collect().map(r => (r.getLong(0).toInt, r.getLong(1).toInt,
+      BigInt(r.getDecimal(2).toBigInteger)))
+    val d = cells.iterator.map(_._1).max
+    val a = Array.ofDim[BigInt](d + 1, d + 1)
+    for (i <- 0 to d; j <- 0 to d) a(i)(j) = BigInt(0)
+    cells.foreach { case (i, j, g) => a(i)(j) = g }
+    var v = Array.fill(d + 1)(BigInt(1000000)); v(0) = BigInt(0)
+    for (_ <- 1 to iters) {
+      val mv = Array.tabulate(d + 1) { i =>
+        if (i == 0) BigInt(0)
+        else (1 to d).iterator.map(j => a(i)(j) * v(j)).sum
+      }
+      val mx = mv.iterator.map(_.abs).max
+      v = mv.map(x => x.signum * ((x.abs * 1000000) / mx))
+    }
+    val firstNz = (1 to d).find(v(_) != 0).getOrElse(1)
+    if (v(firstNz) < 0) v = v.map(-_)
+    val num = (for (i <- 1 to d; j <- 1 to d) yield v(i) * a(i)(j) * v(j)).sum
+    val den = (1 to d).iterator.map(i => v(i) * v(i)).sum
+    val trace = (1 to d).iterator.map(i => a(i)(i)).sum
+    val norm = math.sqrt(den.toDouble)
+    // HALF_UP mirrors both engines' round() (away-from-zero on ties),
+    // NOT math.rint's half-to-even
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val lambda = r6(num.toDouble / den.toDouble / 1e12)
+    val share = r6(num.toDouble / den.toDouble / trace.toDouble)
+    (1 to d).map { i =>
+      (i.toLong, v(i).toLong, r6(v(i).toDouble / norm), lambda, share)
+    }.toDF("dim", "v6", "loading", "lambda_x6sq", "var_share")
+      .orderBy($"dim")
+  }
+
+  def embeddingPcaPower(spark: SparkSession, dir: String): DataFrame =
+    embeddingPcaPowerTransform(Tables.embeddings(spark, dir))
+
+  /** DuckDB oracle for [[embeddingPcaPowerTransform]] (iters = 8,
+    * unrolled — HUGEINT mirrors BigInt exactly under the |·|-then-
+    * truncating-div rescale). */
+  val embeddingPcaPowerOracleSql: String = {
+    // every chained CTE is MATERIALIZED: DuckDB inlines CTEs by
+    // default, and v_k references mv_k twice (directly and through
+    // mx_k) — inlining would re-expand the whole prefix 2^8 times
+    val iter = (k: Int) =>
+      s"""mv$k AS MATERIALIZED (SELECT g.i AS dim, sum(g.g * v.v) AS mv
+         |         FROM gram g JOIN v${k - 1} v ON v.dim = g.j GROUP BY 1),
+         |mx$k AS MATERIALIZED (SELECT max(abs(mv)) AS mx FROM mv$k),
+         |v$k AS MATERIALIZED (SELECT dim, CAST(sign(mv) AS HUGEINT) * ((abs(mv) * 1000000) // mx) AS v
+         |        FROM mv$k, mx$k)""".stripMargin
+    s"""WITH ex AS MATERIALIZED (SELECT vec_id, CAST(i AS BIGINT) AS dim,
+       |                   CAST(round(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT) AS x6
+       |            FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(i)),
+       |gram AS MATERIALIZED (SELECT a.dim AS i, b.dim AS j, sum(CAST(a.x6 AS HUGEINT) * b.x6) AS g
+       |         FROM ex a JOIN ex b ON a.vec_id = b.vec_id GROUP BY 1, 2),
+       |v0 AS MATERIALIZED (SELECT DISTINCT i AS dim, CAST(1000000 AS HUGEINT) AS v FROM gram),
+       |${(1 to 8).map(iter).mkString(",\n")},
+       |sg AS (SELECT CASE WHEN (SELECT v FROM v8
+       |                         WHERE dim = (SELECT min(dim) FROM v8 WHERE v <> 0)) < 0
+       |                   THEN -1 ELSE 1 END AS s),
+       |vf AS (SELECT dim, v * s AS v FROM v8, sg),
+       |ray AS (SELECT sum(va.v * g.g * vb.v) AS num
+       |        FROM gram g JOIN vf va ON va.dim = g.i JOIN vf vb ON vb.dim = g.j),
+       |dn AS (SELECT sum(v * v) AS den FROM vf),
+       |tr AS (SELECT sum(g) AS trace FROM gram WHERE i = j)
+       |SELECT vf.dim, CAST(vf.v AS BIGINT) AS v6,
+       |       round(CAST(vf.v AS DOUBLE) / sqrt(CAST(dn.den AS DOUBLE)), 6) AS loading,
+       |       round(CAST(ray.num AS DOUBLE) / CAST(dn.den AS DOUBLE) / 1e12, 6) AS lambda_x6sq,
+       |       round(CAST(ray.num AS DOUBLE) / CAST(dn.den AS DOUBLE)
+       |             / CAST(tr.trace AS DOUBLE), 6) AS var_share
+       |FROM vf, ray, dn, tr ORDER BY vf.dim""".stripMargin
+  }
 }

@@ -270,9 +270,16 @@ final class PeakSessionState(stateDir: String, gapMinutes: Int = 30) {
   }
 
   def report(spark: SparkSession): DataFrame =
-    graft.operators.Retention.peakFromSessions(
-      priorClosed(spark).unionByName(
-        priorOpen(spark).select(col("o_sts").as("s_ts"), col("o_lts").as("e_ts"))))
+    graft.operators.Retention.peakFromSessions(allSessions(spark))
+
+  /** The SAME closed-∪-open session state serves the duration
+    * histogram — one state, two session-shaped faces. */
+  def reportDurations(spark: SparkSession): DataFrame =
+    graft.operators.Retention.durationsFromSessions(allSessions(spark))
+
+  private def allSessions(spark: SparkSession): DataFrame =
+    priorClosed(spark).unionByName(
+      priorOpen(spark).select(col("o_sts").as("s_ts"), col("o_lts").as("e_ts")))
 }
 
 object TransitionStream {
@@ -322,14 +329,22 @@ object TransitionStream {
   }
 
   /** Queries entry (oracle: same SQL as `peak_concurrency`). */
-  def streamPeakConcurrency(spark: SparkSession, dir: String, nFiles: Int = 4): DataFrame = {
-    val work = graft.GraftCaches.trackTempDir("graft_speak_")
+  def streamPeakConcurrency(spark: SparkSession, dir: String, nFiles: Int = 4): DataFrame =
+    drainedSessionState(spark, dir, "graft_speak_", nFiles).report(spark)
+
+  /** Queries entry (oracle: same SQL as `session_duration`). */
+  def streamSessionDuration(spark: SparkSession, dir: String, nFiles: Int = 4): DataFrame =
+    drainedSessionState(spark, dir, "graft_sdur_", nFiles).reportDurations(spark)
+
+  private def drainedSessionState(spark: SparkSession, dir: String,
+                                  prefix: String, nFiles: Int): PeakSessionState = {
+    val work = graft.GraftCaches.trackTempDir(prefix)
     FunnelStream.stageTimeOrdered(spark, dir, s"$work/input", nFiles)
     val state = new PeakSessionState(s"$work/state")
     StreamSources.runForeachBatch(
       StreamSources.eventsFrom(spark, s"$work/input", maxFilesPerTrigger = 1),
       state.merge)
-    state.report(spark)
+    state
   }
 
   /** Queries entry (oracle: same SQL as `user_lifecycle`). */

@@ -118,6 +118,59 @@ class StatsSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
     assert(beta > 0.0 && beta < 1.0, s"heaps beta $beta outside (0,1)")
   }
 
+  test("vocab_coverage_curve: power-of-two grid, monotone, ends at 1.0") {
+    val sf = "/root/testdata/sf0.001"
+    val rows = SparkEntry.queries("vocab_coverage_curve")(spark, sf).collect()
+    assert(rows.length >= 2)
+    val sizes = rows.map(_.getAs[Long]("vocab_size"))
+    // every point but the full-V endpoint is a power of two
+    sizes.dropRight(1).foreach(n => assert((n & (n - 1)) == 0L, s"$n not a power of two"))
+    val cov = rows.map(_.getAs[Double]("coverage"))
+    assert(cov.zip(cov.tail).forall { case (a, b) => a <= b }, "coverage must be monotone")
+    assert(math.abs(cov.last - 1.0) < 1e-9, "full vocabulary covers everything")
+  }
+
+  test("embedding_pca_power: recovers a planted principal axis; unit loading norm") {
+    import spark.implicits._
+    // 12 vectors hugging dim 1 (amplitude 3-14 ·0.1), tiny dim-2 noise:
+    // the principal direction must load ~entirely on dim 1
+    val emb = (1 to 12).map { i =>
+      (i.toLong, Array(0.1f * (i + 2), if (i % 2 == 0) 0.01f else -0.01f, 0.0f), 0)
+    }.toDF("vec_id", "embedding", "label")
+    val r = operators.VectorOps.embeddingPcaPowerTransform(emb).collect()
+    assert(r.length == 3)
+    val byDim = r.map(x => x.getAs[Long]("dim") -> x).toMap
+    assert(math.abs(byDim(1L).getAs[Double]("loading")) > 0.999)
+    assert(math.abs(byDim(2L).getAs[Double]("loading")) < 0.05)
+    // sign canonicalization: first nonzero component positive
+    assert(byDim(1L).getAs[Long]("v6") > 0L)
+    val share = r.head.getAs[Double]("var_share")
+    assert(share > 0.99 && share <= 1.0, s"planted 1-D cloud must explain ~all: $share")
+    // real corpus: unit-norm loadings, bounded share
+    val rows = SparkEntry.queries("embedding_pca_power")(spark, "/root/testdata/sf0.001").collect()
+    val norm = math.sqrt(rows.map(x => math.pow(x.getAs[Double]("loading"), 2)).sum)
+    assert(math.abs(norm - 1.0) < 1e-3, s"loading norm $norm")
+    val s2 = rows.head.getAs[Double]("var_share")
+    assert(s2 > 0.0 && s2 <= 1.0)
+  }
+
+  test("session_duration: single-event sessions land in bucket 0 with closed bounds") {
+    import spark.implicits._
+    val base = java.sql.Timestamp.valueOf("2024-01-01 10:00:00").getTime
+    def t(m: Long) = new java.sql.Timestamp(base + m * 60000L)
+    // u1: one 40-min session (2400 s → bucket 11); u2: single event (0 s → bucket 0)
+    val ev = Seq(
+      (1L, t(0), 1L, "view", 0.0, "{}"), (2L, t(20), 1L, "view", 0.0, "{}"),
+      (3L, t(40), 1L, "view", 0.0, "{}"), (4L, t(0), 2L, "view", 0.0, "{}")
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val r = operators.Retention.sessionDurationTransform(ev).collect()
+    val byB = r.map(x => x.getAs[Long]("bucket") -> x).toMap
+    assert(byB.keySet == Set(0L, 11L))
+    assert(byB(0L).getAs[Long]("n_sessions") == 1L)
+    assert(byB(0L).getAs[Long]("dur_lo_s") == 0L && byB(0L).getAs[Long]("dur_hi_s") == 0L)
+    assert(byB(11L).getAs[Long]("n_sessions") == 1L) // 2400 s ∈ [2047, 4094]
+  }
+
   test("url_filter: every planted slice fires its own rule") {
     val sf = "/root/testdata/sf0.001"
     val rows = SparkEntry.queries("url_filter")(spark, sf).collect()

@@ -42,6 +42,10 @@ class StreamingSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
     assert(rows("stream_peak_concurrency") == rows("peak_concurrency"))
   }
 
+  test("stream_session_duration equals batch session_duration") {
+    assert(rows("stream_session_duration") == rows("session_duration"))
+  }
+
   test("PeakSessionState: a session spanning three micro-batches stays one session") {
     import spark.implicits._
     val base = java.sql.Timestamp.valueOf("2024-01-01 10:00:00").getTime
