@@ -189,7 +189,17 @@ object Bench {
     "type_mix_drift" -> 3.981, "item_adoption" -> 3.776,
     "script_detect" -> 3.164, "stream_dataset_card" -> 8.161,
     "stream_ma_crossover" -> 9.103, "stream_type_mix_drift" -> 10.734,
-    "stream_item_adoption" -> 9.992)
+    "stream_item_adoption" -> 9.992,
+    // round-8 seventh wave (same quiet-box harness; evidence in
+    // BASELINE.md "Round-8 additions, seventh wave")
+    "chi2_type_dow" -> 2.983, "mann_whitney_u" -> 4.698,
+    "ks_doclen_sources" -> 3.897, "cramers_v_source_lang" -> 3.879,
+    "heaps_law_fit" -> 2.827, "url_filter" -> 1.755,
+    "stream_interevent" -> 10.844, "stream_peak_concurrency" -> 13.556,
+    // round-8 eighth wave (same quiet-box harness; evidence in
+    // BASELINE.md "Round-8 additions, eighth wave")
+    "session_duration" -> 3.196, "stream_session_duration" -> 14.351,
+    "vocab_coverage_curve" -> 2.753, "embedding_pca_power" -> 8.561)
 
   /** Run ONE query in a fresh JVM (this JVM's own flags + classpath,
     * stderr discarded) and parse its timing out of the child's JSON
