@@ -78,6 +78,10 @@ object SparkEntry {
     "stream_ma_crossover" -> ((s: SparkSession, d: String) => streaming.TimeseriesStream.streamMaCrossover(s, d)),
     "stream_type_mix_drift" -> ((s: SparkSession, d: String) => streaming.TimeseriesStream.streamTypeMixDrift(s, d)),
     "stream_item_adoption" -> ((s: SparkSession, d: String) => streaming.TimeseriesStream.streamItemAdoption(s, d)),
+    "holt_linear_trend"  -> ((s: SparkSession, d: String) => Timeseries.holtLinearTrend(s, d)),
+    "stream_vocab_coverage" -> ((s: SparkSession, d: String) => streaming.ZipfStream.streamVocabCoverage(s, d)),
+    "stream_chi2_type_dow" -> ((s: SparkSession, d: String) => streaming.TimeseriesStream.streamChi2TypeDow(s, d)),
+    "stream_ks_doclen"   -> ((s: SparkSession, d: String) => streaming.ProfileStreams.streamKsDoclen(s, d)),
     "session_duration"   -> Retention.sessionDuration _,
     "stream_session_duration" -> ((s: SparkSession, d: String) => streaming.TransitionStream.streamSessionDuration(s, d)),
     "vocab_coverage_curve" -> ((s: SparkSession, d: String) => TextOps.vocabCoverageCurve(s, d)),
@@ -370,6 +374,11 @@ object SparkEntry {
       "stream_interevent" -> base("interevent_histogram"),
       "stream_peak_concurrency" -> base("peak_concurrency"),
       "stream_session_duration" -> base("session_duration"),
+      // further one-state-many-faces reads: the vocab, (type, day)
+      // and (source, len) grids each serve another derivation
+      "stream_vocab_coverage" -> base("vocab_coverage_curve"),
+      "stream_chi2_type_dow" -> base("chi2_type_dow"),
+      "stream_ks_doclen" -> base("ks_doclen_sources"),
       // cross-batch intervals reconstructed from the per-user
       // frontier; additive daily sufficient sums
       "stream_time_weighted" -> base("time_weighted_value"),
@@ -847,6 +856,7 @@ object SparkEntry {
     "type_mix_drift" -> operators.Timeseries.typeMixDriftOracleSql,
     "item_adoption" -> operators.Behavior.itemAdoptionOracleSql,
     "script_detect" -> operators.CorpusQa.scriptDetectOracleSql,
+    "holt_linear_trend" -> operators.Timeseries.holtLinearTrendOracleSql,
     "session_duration" -> operators.Retention.sessionDurationOracleSql(),
     "vocab_coverage_curve" -> operators.TextOps.vocabCoverageCurveOracleSql,
     "embedding_pca_power" -> operators.VectorOps.embeddingPcaPowerOracleSql,

@@ -36,11 +36,20 @@ object Stats {
     * ~3e9 docs per source (cum·n < 9.2e18); past that, swap the two
     * products to DECIMAL(38,0) — the comparison itself is unchanged.
     */
-  def ksDoclenSourcesTransform(docs: DataFrame): DataFrame = {
-    val spark = docs.sparkSession
+  def ksDoclenSourcesTransform(docs: DataFrame): DataFrame =
+    ksFromCounts(docs
+      .select(col("source"), length(col("text")).cast("long").as("len"))
+      .groupBy(col("source"), col("len")).agg(count(lit(1)).as("c")))
+
+  /** The KS derivation from an already-aggregated (source, len, c)
+    * grid — split out so the STREAMING twin reads it over
+    * [[graft.streaming.SourceLenState]]'s additive state (length
+    * counts add across micro-batches; the ECDF comparison is a
+    * whole-grid read). */
+  private[graft] def ksFromCounts(counts0: DataFrame): DataFrame = {
+    val spark = counts0.sparkSession
     import spark.implicits._
-    val counts = docs.select($"source", length($"text").cast("long").as("len"))
-      .groupBy($"source", $"len").agg(count(lit(1)).as("c"))
+    val counts = counts0
     val ns = counts.groupBy($"source").agg(sum($"c").as("n"))
     // union support × sources, zero-filled, then per-source ECDF counts
     val grid = counts.select($"len").distinct()
@@ -103,13 +112,22 @@ object Stats {
     * Shape: fact → ≤ |types|·7 cells in one map-side-combinable
     * shuffle; row/column totals are broadcast-scale aggregates of
     * the cells. Output ≤ |types|·7 rows at any scale. */
-  def chi2TypeDowTransform(events: DataFrame): DataFrame = {
-    val spark = events.sparkSession
-    import spark.implicits._
+  def chi2TypeDowTransform(events: DataFrame): DataFrame =
     // Spark dayofweek: 1=Sunday; −1 aligns with DuckDB's dow (0=Sunday)
-    val obs = events
-      .select($"event_type", (dayofweek($"ts") - 1).cast("long").as("dow"))
-      .groupBy($"event_type", $"dow").agg(count(lit(1)).as("n"))
+    chi2FromObs(events
+      .select(col("event_type"), (dayofweek(col("ts")) - 1).cast("long").as("dow"))
+      .groupBy(col("event_type"), col("dow")).agg(count(lit(1)).as("n")))
+
+  /** The χ² cell derivation from an already-aggregated (event_type,
+    * dow, n) table — split out so the STREAMING twin reads it over
+    * [[graft.streaming.TypeDailyCountState]]'s (type, day) grid
+    * (dow is a pure function of the day, so the daily state is a
+    * sufficient statistic; THIRD face of that one state after
+    * ACF and mix-drift). */
+  private[graft] def chi2FromObs(obs0: DataFrame): DataFrame = {
+    val spark = obs0.sparkSession
+    import spark.implicits._
+    val obs = obs0
     val rows = obs.groupBy($"event_type").agg(sum($"n").as("r"))
     val cols = obs.groupBy($"dow").agg(sum($"n").as("c"))
     val total = obs.agg(sum($"n").as("t"))

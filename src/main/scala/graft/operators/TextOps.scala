@@ -1431,11 +1431,17 @@ object TextOps {
     * rank/cumsum windows run over the vocab aggregate (plan-audit
     * bounded); the power-of-two filter is a bit test `rank & (rank−1)
     * = 0` — exact in both engines. ≤ ~⌈log₂ V⌉+1 rows out. */
-  def vocabCoverageCurveTransform(docs: DataFrame): DataFrame = {
-    val spark = docs.sparkSession
+  def vocabCoverageCurveTransform(docs: DataFrame): DataFrame =
+    coverageFromVocab(docs.select(explode(split(col("text"), " ")).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("cf")))
+
+  /** The curve derivation from an already-aggregated (tok, cf)
+    * vocabulary — split out so the STREAMING twin reads it over
+    * [[graft.streaming.VocabState]]'s additive state (the zipf_slope
+    * sharing pattern: one vocab state, two read-time faces). */
+  private[graft] def coverageFromVocab(vocab: DataFrame): DataFrame = {
+    val spark = vocab.sparkSession
     import spark.implicits._
-    val vocab = docs.select(explode(split($"text", " ")).as("tok"))
-      .groupBy($"tok").agg(count(lit(1)).as("cf"))
     val byFreq = Window.orderBy($"cf".desc, $"tok")
     val cum = byFreq.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     vocab

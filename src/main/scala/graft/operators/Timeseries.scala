@@ -545,4 +545,86 @@ object Timeseries {
       |       round(CAST(sum(CAST(cents AS HUGEINT) * w_us) AS DOUBLE)
       |             / CAST(sum(CAST(w_us AS HUGEINT)) AS DOUBLE), 4) AS twa_cents
       |FROM g WHERE w_us IS NOT NULL GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** Holt's linear-trend double exponential smoothing (α = β = ½)
+    * over daily revenue per type — the FORECASTING read next to
+    * [[Behavior.ewmaDailyTransform]]'s level-only smoother: a level
+    * that tracks the series plus a trend that carries momentum, and
+    * the one-day-ahead forecast level+trend. α = β = ½ keeps every
+    * step two halvings — but unlike the EWMA's 20-tap window the
+    * recurrence is genuinely sequential (trend feeds back), so the
+    * fold runs on the DRIVER over the zero-filled |types|×|days|
+    * grid (planning-scale, the k-means/ADC-LUT collect class) in
+    * IEEE doubles with a FIXED operation order: l′ = 0.5·x +
+    * 0.5·(l+b); b′ = 0.5·(l′−l) + 0.5·b, seeded l₀ = x₀, b₀ = 0.
+    * The DuckDB oracle replays the identical expression tree through
+    * a recursive CTE — same doubles in, same order, bit-identical
+    * out; rounding happens ONCE at output.
+    */
+  def holtLinearTrendTransform(events: DataFrame): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val daily = events
+      .select(col("event_type"), date_trunc("day", col("ts")).as("day"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+      .groupBy($"event_type", $"day").agg(sum($"cents").as("cents"))
+    val bounds = daily.agg(min($"day").as("lo"), max($"day").as("hi"))
+    val grid = daily.select($"event_type").distinct()
+      .crossJoin(broadcast(bounds))
+      .select($"event_type", explode(expr("sequence(lo, hi, INTERVAL 1 DAY)")).as("day"))
+      .join(daily, Seq("event_type", "day"), "left")
+      .select($"event_type", $"day", coalesce($"cents", lit(0L)).as("cents"))
+    // planning-scale: |types|×|days| rows folded on the driver
+    val rows = grid.orderBy($"event_type", $"day").collect()
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val out = scala.collection.mutable.ArrayBuffer
+      .empty[(String, java.sql.Timestamp, Double, Double, Double)]
+    var curType: String = null
+    var l = 0.0; var b = 0.0
+    rows.foreach { r =>
+      val (tp, day, x) =
+        (r.getString(0), r.getTimestamp(1), r.getLong(2).toDouble)
+      if (tp != curType) { curType = tp; l = x; b = 0.0 }
+      else {
+        val lNew = 0.5 * x + 0.5 * (l + b)
+        b = 0.5 * (lNew - l) + 0.5 * b
+        l = lNew
+      }
+      out += ((tp, day, r6(l), r6(b), r6(l + b)))
+    }
+    out.toSeq.toDF("event_type", "day", "level", "trend", "forecast")
+      .orderBy($"event_type", $"day")
+  }
+
+  def holtLinearTrend(spark: SparkSession, dir: String): DataFrame =
+    holtLinearTrendTransform(graft.sources.Tables.events(spark, dir))
+
+  /** DuckDB oracle for [[holtLinearTrendTransform]] — the identical
+    * recurrence replayed through a recursive CTE. */
+  val holtLinearTrendOracleSql: String =
+    """WITH RECURSIVE d AS (
+      |  SELECT event_type, date_trunc('day', CAST(ts AS TIMESTAMP)) AS day,
+      |         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+      |  FROM events GROUP BY 1, 2),
+      |spine AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS day
+      |          FROM (SELECT min(day) AS lo, max(day) AS hi FROM d)),
+      |g AS MATERIALIZED (
+      |  SELECT t.event_type, s.day, CAST(coalesce(d.cents, 0) AS BIGINT) AS cents,
+      |         row_number() OVER (PARTITION BY t.event_type ORDER BY s.day) AS rn
+      |  FROM (SELECT DISTINCT event_type FROM d) t
+      |  CROSS JOIN spine s
+      |  LEFT JOIN d ON d.event_type = t.event_type AND d.day = s.day),
+      |hw AS (
+      |  SELECT event_type, day, rn, CAST(cents AS DOUBLE) AS l, CAST(0 AS DOUBLE) AS b
+      |  FROM g WHERE rn = 1
+      |  UNION ALL
+      |  SELECT g.event_type, g.day, g.rn,
+      |         0.5 * CAST(g.cents AS DOUBLE) + 0.5 * (hw.l + hw.b),
+      |         0.5 * ((0.5 * CAST(g.cents AS DOUBLE) + 0.5 * (hw.l + hw.b)) - hw.l)
+      |           + 0.5 * hw.b
+      |  FROM hw JOIN g ON g.event_type = hw.event_type AND g.rn = hw.rn + 1)
+      |SELECT event_type, day, round(l, 6) AS level, round(b, 6) AS trend,
+      |       round(l + b, 6) AS forecast
+      |FROM hw ORDER BY 1, 2""".stripMargin
 }

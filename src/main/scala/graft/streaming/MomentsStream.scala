@@ -618,6 +618,11 @@ final class VocabState(stateDir: String) {
 
   def zipf(spark: SparkSession): DataFrame =
     graft.operators.TextOps.zipfFromVocab(prior(spark))
+
+  /** The SAME (tok, cf) vocabulary state serves the coverage curve —
+    * one vocab state, two read-time faces. */
+  def coverage(spark: SparkSession): DataFrame =
+    graft.operators.TextOps.coverageFromVocab(prior(spark))
 }
 
 object ZipfStream {
@@ -628,6 +633,14 @@ object ZipfStream {
     val state = new VocabState(s"$work/state")
     StreamSources.runForeachBatch(StreamSources.documents(spark, dir), state.merge)
     state.zipf(spark)
+  }
+
+  /** Queries entry (oracle: same SQL as `vocab_coverage_curve`). */
+  def streamVocabCoverage(spark: SparkSession, dir: String): DataFrame = {
+    val work = graft.GraftCaches.trackTempDir("graft_vcov_")
+    val state = new VocabState(s"$work/state")
+    StreamSources.runForeachBatch(StreamSources.documents(spark, dir), state.merge)
+    state.coverage(spark)
   }
 }
 

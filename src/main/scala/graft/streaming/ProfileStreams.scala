@@ -118,6 +118,39 @@ final class DatasetCardState(stateDir: String) {
     graft.operators.CorpusQa.cardFromGrid(prior(spark))
 }
 
+/** Additive (source, len) document-length grid for the streaming KS
+  * test — length counts add across micro-batches while the ECDF
+  * comparison is a whole-grid read (per-batch D statistics cannot
+  * merge: a batch's max-gap point may not be the corpus's), so the
+  * state is the sufficient grid and [[graft.operators.Stats
+  * .ksFromCounts]] derives the pairwise distances at read time. */
+final class SourceLenState(stateDir: String) {
+  @volatile private var version: Long = StreamUtil.latestVersion(stateDir)
+
+  private def prior(spark: SparkSession): DataFrame =
+    if (version < 0)
+      spark.createDataFrame(java.util.List.of[Row](), StructType.fromDDL(
+        "source STRING, len BIGINT, c BIGINT"))
+    else spark.read.parquet(s"$stateDir/v$version")
+
+  def merge(batch: Dataset[Row], batchId: Long): Unit = {
+    if (batchId <= version) return
+    val spark = batch.sparkSession
+    val partial = batch
+      .select(col("source"), length(col("text")).cast("long").as("len"))
+      .groupBy(col("source"), col("len")).agg(count(lit(1)).as("c"))
+    val merged = prior(spark).unionByName(partial)
+      .groupBy(col("source"), col("len")).agg(sum(col("c")).as("c"))
+    merged.coalesce(1).write.mode("overwrite").parquet(s"$stateDir/v$batchId")
+    val prev = version
+    version = batchId
+    if (prev >= 0) StreamUtil.delete(spark, s"$stateDir/v$prev")
+  }
+
+  def report(spark: SparkSession): DataFrame =
+    graft.operators.Stats.ksFromCounts(prior(spark))
+}
+
 object ProfileStreams {
 
   /** Queries entry (oracle: same SQL as `dataset_card`): the
@@ -128,6 +161,18 @@ object ProfileStreams {
     graft.sources.Tables.documents(spark, dir).repartition(nFiles)
       .write.mode("overwrite").parquet(s"$work/input")
     val state = new DatasetCardState(s"$work/state")
+    StreamSources.runForeachBatch(
+      StreamSources.parquetStream(spark, s"$work/input", maxFilesPerTrigger = 1),
+      state.merge)
+    state.report(spark)
+  }
+
+  /** Queries entry (oracle: same SQL as `ks_doclen_sources`). */
+  def streamKsDoclen(spark: SparkSession, dir: String, nFiles: Int = 4): DataFrame = {
+    val work = graft.GraftCaches.trackTempDir("graft_sks_")
+    graft.sources.Tables.documents(spark, dir).repartition(nFiles)
+      .write.mode("overwrite").parquet(s"$work/input")
+    val state = new SourceLenState(s"$work/state")
     StreamSources.runForeachBatch(
       StreamSources.parquetStream(spark, s"$work/input", maxFilesPerTrigger = 1),
       state.merge)

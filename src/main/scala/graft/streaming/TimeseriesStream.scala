@@ -55,6 +55,15 @@ final class TypeDailyCountState(stateDir: String) {
     * state, two daily-composition faces. */
   def reportMixDrift(spark: SparkSession): DataFrame =
     graft.operators.Timeseries.mixDriftFromDaily(prior(spark))
+
+  /** THIRD face: day-of-week is a pure function of the day, so the
+    * daily grid is a sufficient statistic for the χ² contingency
+    * cells — no new state, the same additive counts. */
+  def reportChi2Dow(spark: SparkSession): DataFrame =
+    graft.operators.Stats.chi2FromObs(prior(spark)
+      .select(col("event_type"),
+        (dayofweek(col("day")) - 1).cast("long").as("dow"), col("x"))
+      .groupBy(col("event_type"), col("dow")).agg(sum(col("x")).as("n")))
 }
 
 /** Additive (item, day, n) engagement grid for the adoption profile —
@@ -283,6 +292,19 @@ object TimeseriesStream {
       StreamSources.eventsFrom(spark, s"$work/input", maxFilesPerTrigger = 1),
       state.merge)
     state.reportMixDrift(spark)
+  }
+
+  /** Queries entry (oracle: same SQL as `chi2_type_dow`): the SAME
+    * (type, day) count state as stream_acf / stream_type_mix_drift,
+    * third face. */
+  def streamChi2TypeDow(spark: SparkSession, dir: String, nFiles: Int = 4): DataFrame = {
+    val work = graft.GraftCaches.trackTempDir("graft_schi2_")
+    FunnelStream.stageTimeOrdered(spark, dir, s"$work/input", nFiles)
+    val state = new TypeDailyCountState(s"$work/state")
+    StreamSources.runForeachBatch(
+      StreamSources.eventsFrom(spark, s"$work/input", maxFilesPerTrigger = 1),
+      state.merge)
+    state.reportChi2Dow(spark)
   }
 
   /** Queries entry (oracle: same SQL as `item_adoption`). */

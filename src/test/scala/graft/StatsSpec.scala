@@ -171,6 +171,36 @@ class StatsSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
     assert(byB(11L).getAs[Long]("n_sessions") == 1L) // 2400 s ∈ [2047, 4094]
   }
 
+  test("holt_linear_trend: hand-computed level/trend on a 3-day series") {
+    import spark.implicits._
+    // daily cents 4, 8, 4 (value 0.04/0.08/0.04):
+    // l0=4 b0=0 | l1=.5·8+.5·4=6, b1=.5·(6−4)=1 | l2=.5·4+.5·7=5.5,
+    // b2=.5·(5.5−6)+.5·1=0.25 → forecast day2 = 5.75
+    val ev = Seq(
+      (1L, ts(0), 1L, "a", 0.04, "{}"),
+      (2L, ts(1), 1L, "a", 0.08, "{}"),
+      (3L, ts(2), 1L, "a", 0.04, "{}")
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val r = operators.Timeseries.holtLinearTrendTransform(ev).collect()
+    assert(r.length == 3)
+    assert(r(0).getAs[Double]("level") == 4.0 && r(0).getAs[Double]("trend") == 0.0)
+    assert(r(1).getAs[Double]("level") == 6.0 && r(1).getAs[Double]("trend") == 1.0)
+    assert(r(2).getAs[Double]("level") == 5.5 && r(2).getAs[Double]("trend") == 0.25)
+    assert(r(2).getAs[Double]("forecast") == 5.75)
+  }
+
+  test("streaming faces equal their batch twins (coverage, chi2, ks)") {
+    val sf = "/root/testdata/sf0.001"
+    for ((sName, bName) <- Seq(
+        "stream_vocab_coverage" -> "vocab_coverage_curve",
+        "stream_chi2_type_dow" -> "chi2_type_dow",
+        "stream_ks_doclen" -> "ks_doclen_sources")) {
+      val s = SparkEntry.queries(sName)(spark, sf).collect().map(_.toString).sorted
+      val b = SparkEntry.queries(bName)(spark, sf).collect().map(_.toString).sorted
+      assert(s.sameElements(b), s"$sName diverged from $bName")
+    }
+  }
+
   test("url_filter: every planted slice fires its own rule") {
     val sf = "/root/testdata/sf0.001"
     val rows = SparkEntry.queries("url_filter")(spark, sf).collect()
