@@ -199,7 +199,11 @@ object Bench {
     // round-8 eighth wave (same quiet-box harness; evidence in
     // BASELINE.md "Round-8 additions, eighth wave")
     "session_duration" -> 3.196, "stream_session_duration" -> 14.351,
-    "vocab_coverage_curve" -> 2.753, "embedding_pca_power" -> 8.561)
+    "vocab_coverage_curve" -> 2.753, "embedding_pca_power" -> 8.561,
+    // round-8 ninth wave (same quiet-box harness; evidence in
+    // BASELINE.md "Round-8 additions, ninth wave")
+    "holt_linear_trend" -> 3.316, "stream_vocab_coverage" -> 4.449,
+    "stream_chi2_type_dow" -> 10.399, "stream_ks_doclen" -> 11.431)
 
   /** Run ONE query in a fresh JVM (this JVM's own flags + classpath,
     * stderr discarded) and parse its timing out of the child's JSON
