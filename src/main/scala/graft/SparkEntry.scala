@@ -79,6 +79,8 @@ object SparkEntry {
     "stream_type_mix_drift" -> ((s: SparkSession, d: String) => streaming.TimeseriesStream.streamTypeMixDrift(s, d)),
     "stream_item_adoption" -> ((s: SparkSession, d: String) => streaming.TimeseriesStream.streamItemAdoption(s, d)),
     "holt_linear_trend"  -> ((s: SparkSession, d: String) => Timeseries.holtLinearTrend(s, d)),
+    "stream_holt"        -> ((s: SparkSession, d: String) => streaming.EwmaStream.streamHolt(s, d)),
+    "graph_modularity"   -> ((s: SparkSession, d: String) => Graph.graphModularity(s, d)),
     "stream_vocab_coverage" -> ((s: SparkSession, d: String) => streaming.ZipfStream.streamVocabCoverage(s, d)),
     "stream_chi2_type_dow" -> ((s: SparkSession, d: String) => streaming.TimeseriesStream.streamChi2TypeDow(s, d)),
     "stream_ks_doclen"   -> ((s: SparkSession, d: String) => streaming.ProfileStreams.streamKsDoclen(s, d)),
@@ -379,6 +381,7 @@ object SparkEntry {
       "stream_vocab_coverage" -> base("vocab_coverage_curve"),
       "stream_chi2_type_dow" -> base("chi2_type_dow"),
       "stream_ks_doclen" -> base("ks_doclen_sources"),
+      "stream_holt" -> base("holt_linear_trend"),
       // cross-batch intervals reconstructed from the per-user
       // frontier; additive daily sufficient sums
       "stream_time_weighted" -> base("time_weighted_value"),
@@ -857,6 +860,7 @@ object SparkEntry {
     "item_adoption" -> operators.Behavior.itemAdoptionOracleSql,
     "script_detect" -> operators.CorpusQa.scriptDetectOracleSql,
     "holt_linear_trend" -> operators.Timeseries.holtLinearTrendOracleSql,
+    "graph_modularity" -> operators.Graph.graphModularityOracleSql(),
     "session_duration" -> operators.Retention.sessionDurationOracleSql(),
     "vocab_coverage_curve" -> operators.TextOps.vocabCoverageCurveOracleSql,
     "embedding_pca_power" -> operators.VectorOps.embeddingPcaPowerOracleSql,

@@ -400,6 +400,79 @@ object Graph {
   def communitiesLpa(spark: SparkSession, dir: String): DataFrame =
     lpaTransform(edgeTransform(Tables.events(spark, dir), maxItems = 50, topEdges = 800))
 
+  /** Newman modularity of the LPA partition — the single number that
+    * says whether [[lpaTransform]]'s communities are real structure
+    * or noise (Q ≈ 0 means the partition explains nothing beyond
+    * degree; Q ≳ 0.3 is conventionally "has community structure").
+    * Exact integer form: Q·(2m)² = 4·m·E_in − Σ_c K_c², where E_in =
+    * within-community edges, K_c = total degree per community — every
+    * term an integer on the capped graph (DECIMAL(38,0) carries the
+    * K² sum; the single float is the final division).
+    *
+    * Shape: one LPA run (the communities_lpa cost), then degree /
+    * per-community rollups and one labeled-edge pass — all id-scale;
+    * the three one-row aggregates combine via broadcast. */
+  def graphModularityTransform(pairs: DataFrame, iters: Int = 5): DataFrame = {
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    val p = truncateLineage(pairs.select($"item_a", $"item_b"))
+    val labels = lpaTransform(p, iters).select($"item", $"community")
+    val deg = p.select($"item_a".as("item")).unionByName(p.select($"item_b".as("item")))
+      .groupBy($"item").agg(count(lit(1)).as("k"))
+    val k2 = deg.join(labels, Seq("item"))
+      .groupBy($"community").agg(sum($"k").as("kc"))
+      .agg(sum(expr("CAST(kc AS DECIMAL(38,0)) * kc")).as("sum_k2"),
+        count(lit(1)).as("n_communities"))
+    val ein = p
+      .join(labels.select($"item".as("item_a"), $"community".as("ca")), Seq("item_a"))
+      .join(labels.select($"item".as("item_b"), $"community".as("cb")), Seq("item_b"))
+      .agg(sum(when($"ca" === $"cb", 1L).otherwise(0L)).as("e_in"),
+        count(lit(1)).as("m"))
+    ein.crossJoin(broadcast(k2))
+      .select($"n_communities", $"m".as("n_edges"), $"e_in",
+        expr("CAST(CAST(4 AS DECIMAL(38,0)) * m * e_in - sum_k2 AS BIGINT)").as("q_num"),
+        expr("round(CAST(CAST(4 AS DECIMAL(38,0)) * m * e_in - sum_k2 AS DOUBLE) " +
+          "/ (CAST(2 * m AS DOUBLE) * (2 * m)), 6)").as("modularity"))
+  }
+
+  def graphModularity(spark: SparkSession, dir: String): DataFrame =
+    graphModularityTransform(edgeTransform(Tables.events(spark, dir), maxItems = 50, topEdges = 800))
+
+  /** DuckDB oracle for [[graphModularityTransform]] — the lpa rounds
+    * of [[lpaOracleSql]] plus the exact-integer Q. */
+  def graphModularityOracleSql(iters: Int = 5): String = {
+    val rounds = (1 to iters).map { i =>
+      s"""votes$i AS (SELECT e.dst AS item, l.label, count(*) AS n
+         |  FROM edges e JOIN lab${i - 1} l ON l.item = e.src
+         |  GROUP BY 1, 2),
+         |lab$i AS MATERIALIZED (SELECT item, label FROM (
+         |  SELECT item, label, row_number() OVER (PARTITION BY item ORDER BY n DESC, label) AS rk
+         |  FROM votes$i) WHERE rk = 1)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $edgeCtes,
+       |edges AS MATERIALIZED (SELECT item_a AS src, item_b AS dst FROM pairs
+       |          UNION ALL SELECT item_b, item_a FROM pairs),
+       |lab0 AS MATERIALIZED (SELECT DISTINCT src AS item, src AS label FROM edges),
+       |$rounds,
+       |deg AS (SELECT item, count(*) AS k
+       |        FROM (SELECT item_a AS item FROM pairs
+       |              UNION ALL SELECT item_b FROM pairs) GROUP BY 1),
+       |k2 AS (SELECT sum(CAST(kc AS HUGEINT) * kc) AS sum_k2,
+       |              count(*) AS n_communities
+       |       FROM (SELECT l.label, sum(d.k) AS kc
+       |             FROM lab$iters l JOIN deg d ON d.item = l.item GROUP BY 1)),
+       |ein AS (SELECT sum(CASE WHEN la.label = lb.label THEN 1 ELSE 0 END) AS e_in,
+       |               count(*) AS m
+       |        FROM pairs p JOIN lab$iters la ON la.item = p.item_a
+       |                     JOIN lab$iters lb ON lb.item = p.item_b)
+       |SELECT CAST(n_communities AS BIGINT) AS n_communities,
+       |       CAST(m AS BIGINT) AS n_edges, CAST(e_in AS BIGINT) AS e_in,
+       |       CAST(4 * CAST(m AS HUGEINT) * e_in - sum_k2 AS BIGINT) AS q_num,
+       |       round(CAST(4 * CAST(m AS HUGEINT) * e_in - sum_k2 AS DOUBLE)
+       |             / (CAST(2 * m AS DOUBLE) * (2 * m)), 6) AS modularity
+       |FROM ein, k2""".stripMargin
+  }
+
   /** k-core decomposition (Seidman 1983; distributed peeling as in
     * Montresor et al. 2013) of the co-engagement graph: each node's
     * core number = the largest k such that it survives in a subgraph

@@ -561,13 +561,23 @@ object Timeseries {
     * a recursive CTE — same doubles in, same order, bit-identical
     * out; rounding happens ONCE at output.
     */
-  def holtLinearTrendTransform(events: DataFrame): DataFrame = {
-    val spark = events.sparkSession
-    import spark.implicits._
-    val daily = events
+  def holtLinearTrendTransform(events: DataFrame): DataFrame =
+    holtFromDaily(events
       .select(col("event_type"), date_trunc("day", col("ts")).as("day"),
         expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
-      .groupBy($"event_type", $"day").agg(sum($"cents").as("cents"))
+      .groupBy(col("event_type"), col("day")).agg(sum(col("cents")).as("cents")))
+
+  /** The Holt fold from an already-aggregated (event_type, day,
+    * cents) table — split out so the STREAMING twin reads it over
+    * [[graft.streaming.DailyTypeCentsState]]'s additive daily state
+    * (the ewma_daily sharing pattern: one daily-cents state, two
+    * smoother faces — a late batch reshapes the whole fold, which is
+    * exactly why per-batch Holt outputs cannot merge but daily cents
+    * can). */
+  private[graft] def holtFromDaily(daily0: DataFrame): DataFrame = {
+    val spark = daily0.sparkSession
+    import spark.implicits._
+    val daily = daily0
     val bounds = daily.agg(min($"day").as("lo"), max($"day").as("hi"))
     val grid = daily.select($"event_type").distinct()
       .crossJoin(broadcast(bounds))

@@ -363,6 +363,11 @@ final class DailyTypeCentsState(stateDir: String) {
 
   def ewma(spark: SparkSession): DataFrame =
     graft.operators.Behavior.ewmaFromDaily(prior(spark))
+
+  /** The SAME daily-cents state serves Holt's level+trend smoother —
+    * one state, two smoother faces. */
+  def holt(spark: SparkSession): DataFrame =
+    graft.operators.Timeseries.holtFromDaily(prior(spark))
 }
 
 object EwmaStream {
@@ -375,6 +380,14 @@ object EwmaStream {
     val state = new DailyTypeCentsState(s"$work/state")
     StreamSources.runForeachBatch(StreamSources.events(spark, dir), state.merge)
     state.ewma(spark)
+  }
+
+  /** Queries entry (oracle: same SQL as `holt_linear_trend`). */
+  def streamHolt(spark: SparkSession, dir: String): DataFrame = {
+    val work = graft.GraftCaches.trackTempDir("graft_holt_")
+    val state = new DailyTypeCentsState(s"$work/state")
+    StreamSources.runForeachBatch(StreamSources.events(spark, dir), state.merge)
+    state.holt(spark)
   }
 }
 

@@ -194,11 +194,25 @@ class StatsSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
     for ((sName, bName) <- Seq(
         "stream_vocab_coverage" -> "vocab_coverage_curve",
         "stream_chi2_type_dow" -> "chi2_type_dow",
-        "stream_ks_doclen" -> "ks_doclen_sources")) {
+        "stream_ks_doclen" -> "ks_doclen_sources",
+        "stream_holt" -> "holt_linear_trend")) {
       val s = SparkEntry.queries(sName)(spark, sf).collect().map(_.toString).sorted
       val b = SparkEntry.queries(bName)(spark, sf).collect().map(_.toString).sorted
       assert(s.sameElements(b), s"$sName diverged from $bName")
     }
+  }
+
+  test("graph_modularity: two disjoint triangles score exactly Q = 1/2") {
+    import spark.implicits._
+    // m = 6, E_in = 6, K_c = 6 each → Q·(2m)² = 4·6·6 − 2·36 = 72; Q = 0.5
+    val pairs = Seq((1L, 2L), (1L, 3L), (2L, 3L), (4L, 5L), (4L, 6L), (5L, 6L))
+      .toDF("item_a", "item_b")
+    val r = operators.Graph.graphModularityTransform(pairs).collect()
+    assert(r.length == 1)
+    assert(r(0).getAs[Long]("n_communities") == 2L)
+    assert(r(0).getAs[Long]("n_edges") == 6L && r(0).getAs[Long]("e_in") == 6L)
+    assert(r(0).getAs[Long]("q_num") == 72L)
+    assert(r(0).getAs[Double]("modularity") == 0.5)
   }
 
   test("url_filter: every planted slice fires its own rule") {
