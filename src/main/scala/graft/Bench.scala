@@ -203,7 +203,10 @@ object Bench {
     // round-8 ninth wave (same quiet-box harness; evidence in
     // BASELINE.md "Round-8 additions, ninth wave")
     "holt_linear_trend" -> 3.316, "stream_vocab_coverage" -> 4.449,
-    "stream_chi2_type_dow" -> 10.399, "stream_ks_doclen" -> 11.431)
+    "stream_chi2_type_dow" -> 10.399, "stream_ks_doclen" -> 11.431,
+    // round-8 tenth wave (same quiet-box harness; evidence in
+    // BASELINE.md "Round-8 additions, tenth wave")
+    "graph_modularity" -> 7.971, "stream_holt" -> 4.898)
 
   /** Run ONE query in a fresh JVM (this JVM's own flags + classpath,
     * stderr discarded) and parse its timing out of the child's JSON

@@ -81,6 +81,10 @@ object SparkEntry {
     "holt_linear_trend"  -> ((s: SparkSession, d: String) => Timeseries.holtLinearTrend(s, d)),
     "stream_holt"        -> ((s: SparkSession, d: String) => streaming.EwmaStream.streamHolt(s, d)),
     "graph_modularity"   -> ((s: SparkSession, d: String) => Graph.graphModularity(s, d)),
+    "neyman_allocation"  -> Stats.neymanAllocation _,
+    "fano_factor_daily"  -> Stats.fanoFactorDaily _,
+    "stream_cramers_v"   -> ((s: SparkSession, d: String) => streaming.ProfileStreams.streamCramersV(s, d)),
+    "stream_mann_whitney" -> ((s: SparkSession, d: String) => streaming.ProfileStreams.streamMannWhitney(s, d)),
     "stream_vocab_coverage" -> ((s: SparkSession, d: String) => streaming.ZipfStream.streamVocabCoverage(s, d)),
     "stream_chi2_type_dow" -> ((s: SparkSession, d: String) => streaming.TimeseriesStream.streamChi2TypeDow(s, d)),
     "stream_ks_doclen"   -> ((s: SparkSession, d: String) => streaming.ProfileStreams.streamKsDoclen(s, d)),
@@ -382,6 +386,8 @@ object SparkEntry {
       "stream_chi2_type_dow" -> base("chi2_type_dow"),
       "stream_ks_doclen" -> base("ks_doclen_sources"),
       "stream_holt" -> base("holt_linear_trend"),
+      "stream_cramers_v" -> base("cramers_v_source_lang"),
+      "stream_mann_whitney" -> base("mann_whitney_u"),
       // cross-batch intervals reconstructed from the per-user
       // frontier; additive daily sufficient sums
       "stream_time_weighted" -> base("time_weighted_value"),
@@ -861,6 +867,8 @@ object SparkEntry {
     "script_detect" -> operators.CorpusQa.scriptDetectOracleSql,
     "holt_linear_trend" -> operators.Timeseries.holtLinearTrendOracleSql,
     "graph_modularity" -> operators.Graph.graphModularityOracleSql(),
+    "neyman_allocation" -> operators.Stats.neymanAllocationOracleSql,
+    "fano_factor_daily" -> operators.Stats.fanoFactorDailyOracleSql,
     "session_duration" -> operators.Retention.sessionDurationOracleSql(),
     "vocab_coverage_curve" -> operators.TextOps.vocabCoverageCurveOracleSql,
     "embedding_pca_power" -> operators.VectorOps.embeddingPcaPowerOracleSql,

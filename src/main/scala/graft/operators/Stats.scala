@@ -188,12 +188,19 @@ object Stats {
     * window (pair-partitioned, support-scale). The integer 2·R_a
     * holds in a Long to ~2e9 events per pair; past that the sum
     * should be carried as DECIMAL(38,0) — AUC is unchanged. */
-  def mannWhitneyUTransform(events: DataFrame): DataFrame = {
-    val spark = events.sparkSession
+  def mannWhitneyUTransform(events: DataFrame): DataFrame =
+    mwFromCounts(events
+      .select(col("event_type"), expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+      .groupBy(col("event_type"), col("cents")).agg(count(lit(1)).as("c")))
+
+  /** The U derivation from an already-aggregated (event_type, cents,
+    * c) support grid — split out so the STREAMING twin reads it over
+    * [[graft.streaming.TypeCentsState]]'s additive state (rank sums
+    * are whole-pool reads; the value counts merge across batches). */
+  private[graft] def mwFromCounts(cnts0: DataFrame): DataFrame = {
+    val spark = cnts0.sparkSession
     import spark.implicits._
-    val cnts = events
-      .select($"event_type", expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
-      .groupBy($"event_type", $"cents").agg(count(lit(1)).as("c"))
+    val cnts = cnts0
     val ns = cnts.groupBy($"event_type").agg(sum($"c").as("n"))
     val types = ns.select($"event_type".as("tb"))
     // pooled support per (a, b) pair via a zero-filled union (avoids a
@@ -263,10 +270,19 @@ object Stats {
     *
     * Shape: corpus → |sources|·|langs| cells in one shuffle; the
     * rest is cell-grid arithmetic and a one-row output. */
-  def cramersVSourceLangTransform(docs: DataFrame): DataFrame = {
-    val spark = docs.sparkSession
+  def cramersVSourceLangTransform(docs: DataFrame): DataFrame =
+    cramersFromObs(docs.groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("n")))
+
+  /** The V derivation from an already-aggregated (source, lang, n)
+    * table — split out so the STREAMING twin reads it over
+    * [[graft.streaming.DatasetCardState]]'s (lang, source) grid
+    * (n_docs is one of the card's additive sums; a per-batch V
+    * cannot merge, the contingency counts can). */
+  private[graft] def cramersFromObs(obs0: DataFrame): DataFrame = {
+    val spark = obs0.sparkSession
     import spark.implicits._
-    val obs = docs.groupBy($"source", $"lang").agg(count(lit(1)).as("n"))
+    val obs = obs0
     val rows = obs.groupBy($"source").agg(sum($"n").as("r"))
     val cols = obs.groupBy($"lang").agg(sum($"n").as("c"))
     val total = obs.agg(sum($"n").as("t"),
@@ -293,6 +309,107 @@ object Stats {
 
   def cramersVSourceLang(spark: SparkSession, dir: String): DataFrame =
     cramersVSourceLangTransform(Tables.documents(spark, dir))
+
+  /** Neyman allocation of a sampling budget across sources — the
+    * variance-optimal stratified design ([[Sampling
+    * .stratifiedSample]] splits proportionally; Neyman gives a
+    * high-variance stratum MORE than its share, minimizing the
+    * estimator variance of mean doc length at fixed budget):
+    * allocation_h ∝ N_h·σ_h, realized exactly as w_h =
+    * ⌊√(N_h·Σx² − (Σx)²)⌋ (= N·σ as an integer sqrt of the exact
+    * variance numerator — IEEE sqrt of an exact integer then floor,
+    * identical in both engines, the corpus_mix_temperature
+    * discipline) and alloc_h = k·w_h div Σw (truncating div —
+    * allocations sum to ≤ k, monotone in k).
+    *
+    * Shape: one map-side-combinable shuffle to |sources| sufficient
+    * rows; the Σw denominator is a one-row broadcast. */
+  def neymanAllocationTransform(docs: DataFrame, budget: Long = 1000L): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val stats = docs.select($"source", length($"text").cast("long").as("x"))
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"), sum($"x").as("s1"),
+        sum(expr("CAST(x AS DECIMAL(38,0)) * x")).as("s2"))
+      .select($"source", $"n_docs",
+        expr("CAST(floor(sqrt(CAST(n_docs * s2 - CAST(s1 AS DECIMAL(38,0)) * s1 AS DOUBLE))) AS BIGINT)")
+          .as("w"))
+    stats.crossJoin(broadcast(stats.agg(sum($"w").as("tw"))))
+      .select($"source", $"n_docs", $"w",
+        expr(s"CAST($budget * w div tw AS BIGINT)").as("alloc"),
+        round($"w" / $"n_docs".cast("double"), 6).as("sd_len"))
+      .orderBy($"source")
+  }
+
+  def neymanAllocation(spark: SparkSession, dir: String): DataFrame =
+    neymanAllocationTransform(Tables.documents(spark, dir))
+
+  /** DuckDB oracle for [[neymanAllocationTransform]] (budget=1000). */
+  val neymanAllocationOracleSql: String =
+    """WITH s AS (SELECT source, count(*) AS n_docs,
+      |                  CAST(sum(length(text)) AS BIGINT) AS s1,
+      |                  sum(CAST(length(text) AS HUGEINT) * length(text)) AS s2
+      |           FROM documents GROUP BY 1),
+      |w AS (SELECT source, n_docs,
+      |             CAST(floor(sqrt(CAST(n_docs * s2 - CAST(s1 AS HUGEINT) * s1 AS DOUBLE))) AS BIGINT) AS w
+      |      FROM s),
+      |t AS (SELECT sum(w) AS tw FROM w)
+      |SELECT source, n_docs, w,
+      |       CAST(1000 * w // tw AS BIGINT) AS alloc,
+      |       round(CAST(w AS DOUBLE) / n_docs, 6) AS sd_len
+      |FROM w, t ORDER BY source""".stripMargin
+
+  /** Fano factor (variance-to-mean ratio) of the daily event count
+    * per type — the burstiness dial next to the ACF and changepoint
+    * reads: Poisson traffic sits at 1, campaign/batch-driven spikes
+    * push it up, rate-limited flows push it below. Computed over the
+    * ZERO-FILLED day spine (a silent day is data, not absence) as
+    * the exact rational (D·Σn² − (Σn)²)/(D·Σn) with a DECIMAL(38,0)
+    * numerator and ONE float division per type.
+    *
+    * Shape: fact → |types|×|days| daily counts (map-side
+    * combinable), spine from a one-row bounds broadcast, |types|
+    * rows out. */
+  def fanoFactorDailyTransform(events: DataFrame): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val daily = events
+      .select($"event_type", date_trunc("day", $"ts").as("day"))
+      .groupBy($"event_type", $"day").agg(count(lit(1)).as("n"))
+    val bounds = daily.agg(min($"day").as("lo"), max($"day").as("hi"))
+    val grid = daily.select($"event_type").distinct()
+      .crossJoin(broadcast(bounds))
+      .select($"event_type", explode(expr("sequence(lo, hi, INTERVAL 1 DAY)")).as("day"))
+      .join(daily, Seq("event_type", "day"), "left")
+      .select($"event_type", coalesce($"n", lit(0L)).as("n"))
+    grid.groupBy($"event_type")
+      .agg(count(lit(1)).as("n_days"), sum($"n").as("n_events"),
+        sum(expr("CAST(n AS DECIMAL(38,0)) * n")).as("s2"))
+      .select($"event_type", $"n_days", $"n_events",
+        expr("round(CAST(n_days * s2 - CAST(n_events AS DECIMAL(38,0)) * n_events AS DOUBLE) " +
+          "/ (CAST(n_days AS DOUBLE) * n_events), 6)").as("fano"))
+      .orderBy($"event_type")
+  }
+
+  def fanoFactorDaily(spark: SparkSession, dir: String): DataFrame =
+    fanoFactorDailyTransform(Tables.events(spark, dir))
+
+  /** DuckDB oracle for [[fanoFactorDailyTransform]]. */
+  val fanoFactorDailyOracleSql: String =
+    """WITH d AS (SELECT event_type, date_trunc('day', CAST(ts AS TIMESTAMP)) AS day,
+      |                  count(*) AS n
+      |           FROM events GROUP BY 1, 2),
+      |spine AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS day
+      |          FROM (SELECT min(day) AS lo, max(day) AS hi FROM d)),
+      |g AS (SELECT t.event_type, coalesce(d.n, 0) AS n
+      |      FROM (SELECT DISTINCT event_type FROM d) t
+      |      CROSS JOIN spine s
+      |      LEFT JOIN d ON d.event_type = t.event_type AND d.day = s.day)
+      |SELECT event_type, count(*) AS n_days, CAST(sum(n) AS BIGINT) AS n_events,
+      |       round(CAST(count(*) * sum(CAST(n AS HUGEINT) * n)
+      |                  - CAST(sum(n) AS HUGEINT) * sum(n) AS DOUBLE)
+      |             / (CAST(count(*) AS DOUBLE) * sum(n)), 6) AS fano
+      |FROM g GROUP BY 1 ORDER BY 1""".stripMargin
 
   /** DuckDB oracle for [[cramersVSourceLangTransform]]. */
   val cramersVSourceLangOracleSql: String =

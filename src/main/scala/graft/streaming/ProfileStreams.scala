@@ -116,6 +116,12 @@ final class DatasetCardState(stateDir: String) {
 
   def report(spark: SparkSession): DataFrame =
     graft.operators.CorpusQa.cardFromGrid(prior(spark))
+
+  /** The SAME card grid serves Cramér's V — n_docs per (source,
+    * lang) cell is one of its additive sums; second face. */
+  def reportCramersV(spark: SparkSession): DataFrame =
+    graft.operators.Stats.cramersFromObs(
+      prior(spark).select(col("source"), col("lang"), col("n_docs").as("n")))
 }
 
 /** Additive (source, len) document-length grid for the streaming KS
@@ -151,6 +157,40 @@ final class SourceLenState(stateDir: String) {
     graft.operators.Stats.ksFromCounts(prior(spark))
 }
 
+/** Additive (event_type, cents) value-support grid for the streaming
+  * rank-sum test — counts merge across micro-batches while the
+  * tie-averaged pooled ranks are a whole-support read, so the state
+  * is the sufficient grid (cents-bounded, never |events|) and
+  * [[graft.operators.Stats.mwFromCounts]] derives U/AUC at read
+  * time. */
+final class TypeCentsState(stateDir: String) {
+  @volatile private var version: Long = StreamUtil.latestVersion(stateDir)
+
+  private def prior(spark: SparkSession): DataFrame =
+    if (version < 0)
+      spark.createDataFrame(java.util.List.of[Row](), StructType.fromDDL(
+        "event_type STRING, cents BIGINT, c BIGINT"))
+    else spark.read.parquet(s"$stateDir/v$version")
+
+  def merge(batch: Dataset[Row], batchId: Long): Unit = {
+    if (batchId <= version) return
+    val spark = batch.sparkSession
+    val partial = batch
+      .select(col("event_type"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+      .groupBy(col("event_type"), col("cents")).agg(count(lit(1)).as("c"))
+    val merged = prior(spark).unionByName(partial)
+      .groupBy(col("event_type"), col("cents")).agg(sum(col("c")).as("c"))
+    merged.coalesce(1).write.mode("overwrite").parquet(s"$stateDir/v$batchId")
+    val prev = version
+    version = batchId
+    if (prev >= 0) StreamUtil.delete(spark, s"$stateDir/v$prev")
+  }
+
+  def report(spark: SparkSession): DataFrame =
+    graft.operators.Stats.mwFromCounts(prior(spark))
+}
+
 object ProfileStreams {
 
   /** Queries entry (oracle: same SQL as `dataset_card`): the
@@ -165,6 +205,29 @@ object ProfileStreams {
       StreamSources.parquetStream(spark, s"$work/input", maxFilesPerTrigger = 1),
       state.merge)
     state.report(spark)
+  }
+
+  /** Queries entry (oracle: same SQL as `mann_whitney_u`) — order-
+    * free additive counts, so the raw events stream needs no staged
+    * time ordering. */
+  def streamMannWhitney(spark: SparkSession, dir: String): DataFrame = {
+    val work = graft.GraftCaches.trackTempDir("graft_smw_")
+    val state = new TypeCentsState(s"$work/state")
+    StreamSources.runForeachBatch(StreamSources.events(spark, dir), state.merge)
+    state.report(spark)
+  }
+
+  /** Queries entry (oracle: same SQL as `cramers_v_source_lang`):
+    * the SAME card grid as stream_dataset_card, second face. */
+  def streamCramersV(spark: SparkSession, dir: String, nFiles: Int = 4): DataFrame = {
+    val work = graft.GraftCaches.trackTempDir("graft_scrv_")
+    graft.sources.Tables.documents(spark, dir).repartition(nFiles)
+      .write.mode("overwrite").parquet(s"$work/input")
+    val state = new DatasetCardState(s"$work/state")
+    StreamSources.runForeachBatch(
+      StreamSources.parquetStream(spark, s"$work/input", maxFilesPerTrigger = 1),
+      state.merge)
+    state.reportCramersV(spark)
   }
 
   /** Queries entry (oracle: same SQL as `ks_doclen_sources`). */

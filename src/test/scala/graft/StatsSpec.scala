@@ -195,7 +195,9 @@ class StatsSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
         "stream_vocab_coverage" -> "vocab_coverage_curve",
         "stream_chi2_type_dow" -> "chi2_type_dow",
         "stream_ks_doclen" -> "ks_doclen_sources",
-        "stream_holt" -> "holt_linear_trend")) {
+        "stream_holt" -> "holt_linear_trend",
+        "stream_cramers_v" -> "cramers_v_source_lang",
+        "stream_mann_whitney" -> "mann_whitney_u")) {
       val s = SparkEntry.queries(sName)(spark, sf).collect().map(_.toString).sorted
       val b = SparkEntry.queries(bName)(spark, sf).collect().map(_.toString).sorted
       assert(s.sameElements(b), s"$sName diverged from $bName")
@@ -213,6 +215,31 @@ class StatsSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
     assert(r(0).getAs[Long]("n_edges") == 6L && r(0).getAs[Long]("e_in") == 6L)
     assert(r(0).getAs[Long]("q_num") == 72L)
     assert(r(0).getAs[Double]("modularity") == 0.5)
+  }
+
+  test("neyman_allocation: a zero-variance stratum gets zero budget") {
+    import spark.implicits._
+    // source a: all docs length 5 (sigma = 0); source b: lengths vary
+    val docs = Seq(
+      (1L, "aaaaa", "en", "a", 5L), (2L, "bbbbb", "en", "a", 5L),
+      (3L, "cc", "en", "b", 2L), (4L, "dddddddd", "en", "b", 8L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val r = operators.Stats.neymanAllocationTransform(docs).collect()
+    val byS = r.map(x => x.getAs[String]("source") -> x).toMap
+    assert(byS("a").getAs[Long]("w") == 0L && byS("a").getAs[Long]("alloc") == 0L)
+    // b: n=2, sum=10, sum2=68 -> n*s2 - s1^2 = 136-100 = 36 -> w = 6, all budget
+    assert(byS("b").getAs[Long]("w") == 6L && byS("b").getAs[Long]("alloc") == 1000L)
+  }
+
+  test("fano_factor_daily: constant daily traffic scores exactly 0") {
+    import spark.implicits._
+    val ev = (0 until 4).map { d =>
+      (d.toLong, ts(d), 1L, "a", 0.0, "{}")
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val r = operators.Stats.fanoFactorDailyTransform(ev).collect()
+    assert(r.length == 1)
+    assert(r(0).getAs[Long]("n_days") == 4L && r(0).getAs[Long]("n_events") == 4L)
+    assert(r(0).getAs[Double]("fano") == 0.0)
   }
 
   test("url_filter: every planted slice fires its own rule") {
