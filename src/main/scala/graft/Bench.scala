@@ -206,7 +206,11 @@ object Bench {
     "stream_chi2_type_dow" -> 10.399, "stream_ks_doclen" -> 11.431,
     // round-8 tenth wave (same quiet-box harness; evidence in
     // BASELINE.md "Round-8 additions, tenth wave")
-    "graph_modularity" -> 7.971, "stream_holt" -> 4.898)
+    "graph_modularity" -> 7.971, "stream_holt" -> 4.898,
+    // round-8 eleventh wave (same quiet-box harness; evidence in
+    // BASELINE.md "Round-8 additions, eleventh wave")
+    "neyman_allocation" -> 2.886, "fano_factor_daily" -> 3.281,
+    "stream_cramers_v" -> 9.887, "stream_mann_whitney" -> 8.954)
 
   /** Run ONE query in a fresh JVM (this JVM's own flags + classpath,
     * stderr discarded) and parse its timing out of the child's JSON

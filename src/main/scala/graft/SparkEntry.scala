@@ -83,6 +83,10 @@ object SparkEntry {
     "graph_modularity"   -> ((s: SparkSession, d: String) => Graph.graphModularity(s, d)),
     "neyman_allocation"  -> Stats.neymanAllocation _,
     "fano_factor_daily"  -> Stats.fanoFactorDaily _,
+    "type_reach_ci"      -> Stats.typeReachCi _,
+    "degree_powerlaw_fit" -> ((s: SparkSession, d: String) => Graph.degreePowerlawFit(s, d)),
+    "stream_neyman"      -> ((s: SparkSession, d: String) => streaming.ProfileStreams.streamNeyman(s, d)),
+    "stream_fano"        -> ((s: SparkSession, d: String) => streaming.TimeseriesStream.streamFano(s, d)),
     "stream_cramers_v"   -> ((s: SparkSession, d: String) => streaming.ProfileStreams.streamCramersV(s, d)),
     "stream_mann_whitney" -> ((s: SparkSession, d: String) => streaming.ProfileStreams.streamMannWhitney(s, d)),
     "stream_vocab_coverage" -> ((s: SparkSession, d: String) => streaming.ZipfStream.streamVocabCoverage(s, d)),
@@ -388,6 +392,8 @@ object SparkEntry {
       "stream_holt" -> base("holt_linear_trend"),
       "stream_cramers_v" -> base("cramers_v_source_lang"),
       "stream_mann_whitney" -> base("mann_whitney_u"),
+      "stream_neyman" -> base("neyman_allocation"),
+      "stream_fano" -> base("fano_factor_daily"),
       // cross-batch intervals reconstructed from the per-user
       // frontier; additive daily sufficient sums
       "stream_time_weighted" -> base("time_weighted_value"),
@@ -869,6 +875,8 @@ object SparkEntry {
     "graph_modularity" -> operators.Graph.graphModularityOracleSql(),
     "neyman_allocation" -> operators.Stats.neymanAllocationOracleSql,
     "fano_factor_daily" -> operators.Stats.fanoFactorDailyOracleSql,
+    "type_reach_ci" -> operators.Stats.typeReachCiOracleSql,
+    "degree_powerlaw_fit" -> operators.Graph.degreePowerlawFitOracleSql,
     "session_duration" -> operators.Retention.sessionDurationOracleSql(),
     "vocab_coverage_curve" -> operators.TextOps.vocabCoverageCurveOracleSql,
     "embedding_pca_power" -> operators.VectorOps.embeddingPcaPowerOracleSql,

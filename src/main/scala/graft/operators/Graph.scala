@@ -569,6 +569,60 @@ object Graph {
        |deg AS (SELECT src, count(*) AS degree FROM edges GROUP BY 1)
        |SELECT degree, count(*) AS n_items FROM deg GROUP BY 1 ORDER BY degree""".stripMargin
 
+  /** Power-law fit of the degree distribution — "is this a
+    * scale-free graph and how heavy is the tail": OLS of log n(d) on
+    * log d over [[degreeHistogramTransform]]'s histogram points, on
+    * the 1e-6-quantized integer grid (the zipf_slope discipline —
+    * exact integer sums, floats only in the final division). A slope
+    * α in (−2, −3) is the classic scale-free band; flatter means
+    * hub-dominated, steeper means near-regular.
+    *
+    * Shape: the histogram is degree-scale (≤ max-degree rows); the
+    * regression is a one-row aggregate. */
+  def degreePowerlawFitTransform(pairs: DataFrame): DataFrame = {
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    val pts = degreeHistogramTransform(pairs)
+      .select(expr("CAST(round(ln(degree) * 1000000) AS BIGINT)").as("x"),
+        expr("CAST(round(ln(n_items) * 1000000) AS BIGINT)").as("y"))
+    pts.agg(count(lit(1)).as("n_points"),
+        sum($"x").as("sx"), sum($"y").as("sy"),
+        sum(expr("CAST(x AS DECIMAL(38,0)) * y")).as("sxy"),
+        sum(expr("CAST(x AS DECIMAL(38,0)) * x")).as("sxx"))
+      .select($"n_points",
+        expr("""round((n_points * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy) /
+                      (n_points * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx), 4)""")
+          .as("alpha"),
+        expr("""round((CAST(sy AS DOUBLE) / n_points / 1e6) -
+                      ((n_points * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy) /
+                       (n_points * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx)) *
+                      (CAST(sx AS DOUBLE) / n_points / 1e6), 4)""")
+          .as("log_c"))
+  }
+
+  def degreePowerlawFit(spark: SparkSession, dir: String): DataFrame =
+    degreePowerlawFitTransform(edgeTransform(Tables.events(spark, dir), maxItems = 50, topEdges = 800))
+
+  /** DuckDB oracle for [[degreePowerlawFitTransform]] — the degree
+    * histogram CTEs + the quantized OLS. */
+  def degreePowerlawFitOracleSql: String =
+    s"""WITH $edgeCtes,
+       |edges AS (SELECT item_a AS src, item_b AS dst FROM pairs
+       |          UNION ALL SELECT item_b, item_a FROM pairs),
+       |deg AS (SELECT src, count(*) AS degree FROM edges GROUP BY 1),
+       |h AS (SELECT degree, count(*) AS n_items FROM deg GROUP BY 1),
+       |p AS (SELECT CAST(round(ln(degree) * 1000000) AS BIGINT) AS x,
+       |             CAST(round(ln(n_items) * 1000000) AS BIGINT) AS y
+       |      FROM h)
+       |SELECT count(*) AS n_points,
+       |       round((count(*) * CAST(sum(CAST(x AS HUGEINT) * y) AS DOUBLE) - CAST(sum(x) AS DOUBLE) * sum(y)) /
+       |             (count(*) * CAST(sum(CAST(x AS HUGEINT) * x) AS DOUBLE) - CAST(sum(x) AS DOUBLE) * sum(x)), 4) AS alpha,
+       |       round((CAST(sum(y) AS DOUBLE) / count(*) / 1e6) -
+       |             ((count(*) * CAST(sum(CAST(x AS HUGEINT) * y) AS DOUBLE) - CAST(sum(x) AS DOUBLE) * sum(y)) /
+       |              (count(*) * CAST(sum(CAST(x AS HUGEINT) * x) AS DOUBLE) - CAST(sum(x) AS DOUBLE) * sum(x))) *
+       |             (CAST(sum(x) AS DOUBLE) / count(*) / 1e6), 4) AS log_c
+       |FROM p""".stripMargin
+
   /** Link prediction on the co-engagement graph: for every
     * NON-adjacent item pair, the Jaccard coefficient of their
     * neighbour sets — |Γa∩Γb| / |Γa∪Γb| (Liben-Nowell & Kleinberg

@@ -324,13 +324,22 @@ object Stats {
     *
     * Shape: one map-side-combinable shuffle to |sources| sufficient
     * rows; the Σw denominator is a one-row broadcast. */
-  def neymanAllocationTransform(docs: DataFrame, budget: Long = 1000L): DataFrame = {
-    val spark = docs.sparkSession
+  def neymanAllocationTransform(docs: DataFrame, budget: Long = 1000L): DataFrame =
+    neymanFromCounts(docs
+      .select(col("source"), length(col("text")).cast("long").as("len"))
+      .groupBy(col("source"), col("len")).agg(count(lit(1)).as("c")), budget)
+
+  /** The allocation derivation from the SAME (source, len, c) grid
+    * [[ksFromCounts]] reads — so the streaming twin shares
+    * [[graft.streaming.SourceLenState]] (one length-grid state, two
+    * design faces: drift test and sampling design). */
+  private[graft] def neymanFromCounts(counts: DataFrame, budget: Long = 1000L): DataFrame = {
+    val spark = counts.sparkSession
     import spark.implicits._
-    val stats = docs.select($"source", length($"text").cast("long").as("x"))
+    val stats = counts
       .groupBy($"source")
-      .agg(count(lit(1)).as("n_docs"), sum($"x").as("s1"),
-        sum(expr("CAST(x AS DECIMAL(38,0)) * x")).as("s2"))
+      .agg(sum($"c").as("n_docs"), sum($"len" * $"c").as("s1"),
+        sum(expr("CAST(len AS DECIMAL(38,0)) * len * c")).as("s2"))
       .select($"source", $"n_docs",
         expr("CAST(floor(sqrt(CAST(n_docs * s2 - CAST(s1 AS DECIMAL(38,0)) * s1 AS DOUBLE))) AS BIGINT)")
           .as("w"))
@@ -370,12 +379,19 @@ object Stats {
     * Shape: fact → |types|×|days| daily counts (map-side
     * combinable), spine from a one-row bounds broadcast, |types|
     * rows out. */
-  def fanoFactorDailyTransform(events: DataFrame): DataFrame = {
-    val spark = events.sparkSession
+  def fanoFactorDailyTransform(events: DataFrame): DataFrame =
+    fanoFromDaily(events
+      .select(col("event_type"), date_trunc("day", col("ts")).as("day"))
+      .groupBy(col("event_type"), col("day")).agg(count(lit(1)).as("n")))
+
+  /** The Fano derivation from an already-aggregated (event_type,
+    * day, n) table — the SAME grid shape [[graft.streaming
+    * .TypeDailyCountState]] keeps, making this its FOURTH read-time
+    * face (ACF, mix-drift, χ², burstiness — one additive state). */
+  private[graft] def fanoFromDaily(daily0: DataFrame): DataFrame = {
+    val spark = daily0.sparkSession
     import spark.implicits._
-    val daily = events
-      .select($"event_type", date_trunc("day", $"ts").as("day"))
-      .groupBy($"event_type", $"day").agg(count(lit(1)).as("n"))
+    val daily = daily0
     val bounds = daily.agg(min($"day").as("lo"), max($"day").as("hi"))
     val grid = daily.select($"event_type").distinct()
       .crossJoin(broadcast(bounds))
@@ -393,6 +409,49 @@ object Stats {
 
   def fanoFactorDaily(spark: SparkSession, dir: String): DataFrame =
     fanoFactorDailyTransform(Tables.events(spark, dir))
+
+  /** Per-type user reach with a Wilson 95% confidence interval —
+    * "how much of the user base does each event type touch, and how
+    * sure are we": k = distinct users emitting the type, n = all
+    * distinct users; the Wilson score interval (the
+    * recommended-over-Wald small-n interval) is a single fixed float
+    * expression over the two exact integers, written with IDENTICAL
+    * operation order in both engines (z² = 3.8416 as a shared
+    * literal), so the doubles agree bit-for-bit before the one
+    * rounding.
+    *
+    * Shape: two distinct-count aggregates (map-side partial
+    * distinct), |types| rows out. */
+  def typeReachCiTransform(events: DataFrame): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val reach = events.select($"event_type", $"user_id").distinct()
+      .groupBy($"event_type").agg(count(lit(1)).as("k"))
+    val total = events.agg(count_distinct($"user_id").as("n"))
+    reach.crossJoin(broadcast(total))
+      .select($"event_type", $"n".as("n_users"), $"k".as("reach_users"),
+        expr("round(CAST(k AS DOUBLE) / n, 6)").as("reach"),
+        expr(s"round(((CAST(k AS DOUBLE) / n + 3.8416 / (2 * n)) - 1.96 * sqrt((CAST(k AS DOUBLE) / n) * (1 - CAST(k AS DOUBLE) / n) / n + 3.8416 / (4.0 * n * n))) / (1 + 3.8416 / n), 6)")
+          .as("wilson_lo"),
+        expr(s"round(((CAST(k AS DOUBLE) / n + 3.8416 / (2 * n)) + 1.96 * sqrt((CAST(k AS DOUBLE) / n) * (1 - CAST(k AS DOUBLE) / n) / n + 3.8416 / (4.0 * n * n))) / (1 + 3.8416 / n), 6)")
+          .as("wilson_hi"))
+      .orderBy($"event_type")
+  }
+
+  def typeReachCi(spark: SparkSession, dir: String): DataFrame =
+    typeReachCiTransform(Tables.events(spark, dir))
+
+  /** DuckDB oracle for [[typeReachCiTransform]] — the identical
+    * Wilson expression, same literals, same order. */
+  val typeReachCiOracleSql: String =
+    """WITH r AS (SELECT event_type, count(*) AS k
+      |           FROM (SELECT DISTINCT event_type, user_id FROM events) GROUP BY 1),
+      |t AS (SELECT count(DISTINCT user_id) AS n FROM events)
+      |SELECT event_type, CAST(n AS BIGINT) AS n_users, CAST(k AS BIGINT) AS reach_users,
+      |       round(CAST(k AS DOUBLE) / n, 6) AS reach,
+      |       round(((CAST(k AS DOUBLE) / n + 3.8416 / (2 * n)) - 1.96 * sqrt((CAST(k AS DOUBLE) / n) * (1 - CAST(k AS DOUBLE) / n) / n + 3.8416 / (4.0 * n * n))) / (1 + 3.8416 / n), 6) AS wilson_lo,
+      |       round(((CAST(k AS DOUBLE) / n + 3.8416 / (2 * n)) + 1.96 * sqrt((CAST(k AS DOUBLE) / n) * (1 - CAST(k AS DOUBLE) / n) / n + 3.8416 / (4.0 * n * n))) / (1 + 3.8416 / n), 6) AS wilson_hi
+      |FROM r, t ORDER BY event_type""".stripMargin
 
   /** DuckDB oracle for [[fanoFactorDailyTransform]]. */
   val fanoFactorDailyOracleSql: String =

@@ -155,6 +155,11 @@ final class SourceLenState(stateDir: String) {
 
   def report(spark: SparkSession): DataFrame =
     graft.operators.Stats.ksFromCounts(prior(spark))
+
+  /** The SAME length grid serves the Neyman sampling design — one
+    * state, two design faces (drift test + allocation). */
+  def reportNeyman(spark: SparkSession): DataFrame =
+    graft.operators.Stats.neymanFromCounts(prior(spark))
 }
 
 /** Additive (event_type, cents) value-support grid for the streaming
@@ -231,15 +236,23 @@ object ProfileStreams {
   }
 
   /** Queries entry (oracle: same SQL as `ks_doclen_sources`). */
-  def streamKsDoclen(spark: SparkSession, dir: String, nFiles: Int = 4): DataFrame = {
-    val work = graft.GraftCaches.trackTempDir("graft_sks_")
+  def streamKsDoclen(spark: SparkSession, dir: String, nFiles: Int = 4): DataFrame =
+    drainedLenState(spark, dir, "graft_sks_", nFiles).report(spark)
+
+  /** Queries entry (oracle: same SQL as `neyman_allocation`). */
+  def streamNeyman(spark: SparkSession, dir: String, nFiles: Int = 4): DataFrame =
+    drainedLenState(spark, dir, "graft_sney_", nFiles).reportNeyman(spark)
+
+  private def drainedLenState(spark: SparkSession, dir: String,
+                              prefix: String, nFiles: Int): SourceLenState = {
+    val work = graft.GraftCaches.trackTempDir(prefix)
     graft.sources.Tables.documents(spark, dir).repartition(nFiles)
       .write.mode("overwrite").parquet(s"$work/input")
     val state = new SourceLenState(s"$work/state")
     StreamSources.runForeachBatch(
       StreamSources.parquetStream(spark, s"$work/input", maxFilesPerTrigger = 1),
       state.merge)
-    state.report(spark)
+    state
   }
 
   /** Queries entry (oracle: same SQL as `rolling_retention`). */

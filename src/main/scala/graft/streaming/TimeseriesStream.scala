@@ -64,6 +64,11 @@ final class TypeDailyCountState(stateDir: String) {
       .select(col("event_type"),
         (dayofweek(col("day")) - 1).cast("long").as("dow"), col("x"))
       .groupBy(col("event_type"), col("dow")).agg(sum(col("x")).as("n")))
+
+  /** FOURTH face: the burstiness (Fano) read over the same grid. */
+  def reportFano(spark: SparkSession): DataFrame =
+    graft.operators.Stats.fanoFromDaily(
+      prior(spark).select(col("event_type"), col("day"), col("x").as("n")))
 }
 
 /** Additive (item, day, n) engagement grid for the adoption profile —
@@ -305,6 +310,18 @@ object TimeseriesStream {
       StreamSources.eventsFrom(spark, s"$work/input", maxFilesPerTrigger = 1),
       state.merge)
     state.reportChi2Dow(spark)
+  }
+
+  /** Queries entry (oracle: same SQL as `fano_factor_daily`): the
+    * SAME (type, day) count state, fourth face. */
+  def streamFano(spark: SparkSession, dir: String, nFiles: Int = 4): DataFrame = {
+    val work = graft.GraftCaches.trackTempDir("graft_sfano_")
+    FunnelStream.stageTimeOrdered(spark, dir, s"$work/input", nFiles)
+    val state = new TypeDailyCountState(s"$work/state")
+    StreamSources.runForeachBatch(
+      StreamSources.eventsFrom(spark, s"$work/input", maxFilesPerTrigger = 1),
+      state.merge)
+    state.reportFano(spark)
   }
 
   /** Queries entry (oracle: same SQL as `item_adoption`). */

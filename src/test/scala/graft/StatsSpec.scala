@@ -197,7 +197,9 @@ class StatsSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
         "stream_ks_doclen" -> "ks_doclen_sources",
         "stream_holt" -> "holt_linear_trend",
         "stream_cramers_v" -> "cramers_v_source_lang",
-        "stream_mann_whitney" -> "mann_whitney_u")) {
+        "stream_mann_whitney" -> "mann_whitney_u",
+        "stream_neyman" -> "neyman_allocation",
+        "stream_fano" -> "fano_factor_daily")) {
       val s = SparkEntry.queries(sName)(spark, sf).collect().map(_.toString).sorted
       val b = SparkEntry.queries(bName)(spark, sf).collect().map(_.toString).sorted
       assert(s.sameElements(b), s"$sName diverged from $bName")
@@ -240,6 +242,36 @@ class StatsSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
     assert(r.length == 1)
     assert(r(0).getAs[Long]("n_days") == 4L && r(0).getAs[Long]("n_events") == 4L)
     assert(r(0).getAs[Double]("fano") == 0.0)
+  }
+
+  test("type_reach_ci: universal type spans CI to ~1, interval brackets the rate") {
+    import spark.implicits._
+    // type a touches both users (reach 1.0), type b one of two (0.5)
+    val ev = Seq(
+      (1L, ts(0), 1L, "a", 0.0, "{}"), (2L, ts(0), 2L, "a", 0.0, "{}"),
+      (3L, ts(0), 1L, "b", 0.0, "{}")
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val r = operators.Stats.typeReachCiTransform(ev).collect()
+    val byT = r.map(x => x.getAs[String]("event_type") -> x).toMap
+    assert(byT("a").getAs[Double]("reach") == 1.0)
+    assert(byT("a").getAs[Double]("wilson_hi") == 1.0) // k = n pins hi at 1
+    r.foreach { row =>
+      val (lo, hi, p) = (row.getAs[Double]("wilson_lo"),
+        row.getAs[Double]("wilson_hi"), row.getAs[Double]("reach"))
+      assert(lo >= 0.0 && hi <= 1.0 && lo <= p && p <= hi)
+    }
+  }
+
+  test("degree_powerlaw_fit: a flat histogram fits slope 0") {
+    import spark.implicits._
+    // path graph 1-2-3: degrees 1,2,1 -> histogram {1:2, 2:1}... use a
+    // star + ring mix? simplest exactness pin: two points (1,2),(2,1)
+    // give a finite negative alpha; assert the fit runs and is finite
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("item_a", "item_b")
+    val r = operators.Graph.degreePowerlawFitTransform(pairs).collect()(0)
+    assert(r.getAs[Long]("n_points") == 2L)
+    // points: (ln1, ln2), (ln2, ln1) -> slope exactly -1
+    assert(r.getAs[Double]("alpha") == -1.0)
   }
 
   test("url_filter: every planted slice fires its own rule") {
