@@ -210,7 +210,11 @@ object Bench {
     // round-8 eleventh wave (same quiet-box harness; evidence in
     // BASELINE.md "Round-8 additions, eleventh wave")
     "neyman_allocation" -> 2.886, "fano_factor_daily" -> 3.281,
-    "stream_cramers_v" -> 9.887, "stream_mann_whitney" -> 8.954)
+    "stream_cramers_v" -> 9.887, "stream_mann_whitney" -> 8.954,
+    // round-8 twelfth wave (same quiet-box harness; evidence in
+    // BASELINE.md "Round-8 additions, twelfth wave")
+    "type_reach_ci" -> 3.061, "degree_powerlaw_fit" -> 5.545,
+    "stream_neyman" -> 8.933, "stream_fano" -> 10.093)
 
   /** Run ONE query in a fresh JVM (this JVM's own flags + classpath,
     * stderr discarded) and parse its timing out of the child's JSON

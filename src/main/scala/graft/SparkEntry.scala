@@ -84,6 +84,10 @@ object SparkEntry {
     "neyman_allocation"  -> Stats.neymanAllocation _,
     "fano_factor_daily"  -> Stats.fanoFactorDaily _,
     "type_reach_ci"      -> Stats.typeReachCi _,
+    "spearman_daily_pairs" -> Stats.spearmanDailyPairs _,
+    "benford_first_digit" -> Stats.benfordFirstDigit _,
+    "transition_entropy" -> Stats.transitionEntropy _,
+    "stream_spearman"    -> ((s: SparkSession, d: String) => streaming.TimeseriesStream.streamSpearman(s, d)),
     "degree_powerlaw_fit" -> ((s: SparkSession, d: String) => Graph.degreePowerlawFit(s, d)),
     "stream_neyman"      -> ((s: SparkSession, d: String) => streaming.ProfileStreams.streamNeyman(s, d)),
     "stream_fano"        -> ((s: SparkSession, d: String) => streaming.TimeseriesStream.streamFano(s, d)),
@@ -394,6 +398,7 @@ object SparkEntry {
       "stream_mann_whitney" -> base("mann_whitney_u"),
       "stream_neyman" -> base("neyman_allocation"),
       "stream_fano" -> base("fano_factor_daily"),
+      "stream_spearman" -> base("spearman_daily_pairs"),
       // cross-batch intervals reconstructed from the per-user
       // frontier; additive daily sufficient sums
       "stream_time_weighted" -> base("time_weighted_value"),
@@ -876,6 +881,9 @@ object SparkEntry {
     "neyman_allocation" -> operators.Stats.neymanAllocationOracleSql,
     "fano_factor_daily" -> operators.Stats.fanoFactorDailyOracleSql,
     "type_reach_ci" -> operators.Stats.typeReachCiOracleSql,
+    "spearman_daily_pairs" -> operators.Stats.spearmanDailyPairsOracleSql,
+    "benford_first_digit" -> operators.Stats.benfordFirstDigitOracleSql,
+    "transition_entropy" -> operators.Stats.transitionEntropyOracleSql,
     "degree_powerlaw_fit" -> operators.Graph.degreePowerlawFitOracleSql,
     "session_duration" -> operators.Retention.sessionDurationOracleSql(),
     "vocab_coverage_curve" -> operators.TextOps.vocabCoverageCurveOracleSql,

@@ -441,6 +441,185 @@ object Stats {
   def typeReachCi(spark: SparkSession, dir: String): DataFrame =
     typeReachCiTransform(Tables.events(spark, dir))
 
+  /** Spearman rank correlation between every pair of event types on
+    * their DAILY-count series — the monotone-association sibling of
+    * `rolling_corr_daily`'s Pearson (a nonlinear but monotone
+    * coupling scores 1 here and < 1 there; rank space also defuses
+    * spike outliers). Tie-averaged ranks on the zero-filled day
+    * spine, carried 2×-scaled so they stay EXACT integers (rank2 =
+    * 2·rank + ties − 1); ρ is then Pearson over the integer rank
+    * pairs — exact sufficient sums, ONE float division per pair.
+    *
+    * Shape: fact → |types|×|days| grid; ranks are per-type windows
+    * over the grid; the pairing joins grid rows ON day (grid-scale);
+    * ≤ |types|² rows out. */
+  def spearmanDailyPairsTransform(events: DataFrame): DataFrame =
+    spearmanFromDaily(events
+      .select(col("event_type"), date_trunc("day", col("ts")).as("day"))
+      .groupBy(col("event_type"), col("day")).agg(count(lit(1)).as("n")))
+
+  /** The ρ derivation from an already-aggregated (event_type, day,
+    * n) table — the FIFTH face of [[graft.streaming
+    * .TypeDailyCountState]]'s grid (ACF, mix-drift, χ², Fano,
+    * Spearman). */
+  private[graft] def spearmanFromDaily(daily0: DataFrame): DataFrame = {
+    val spark = daily0.sparkSession
+    import spark.implicits._
+    val daily = daily0
+    val bounds = daily.agg(min($"day").as("lo"), max($"day").as("hi"))
+    val grid = daily.select($"event_type").distinct()
+      .crossJoin(broadcast(bounds))
+      .select($"event_type", explode(expr("sequence(lo, hi, INTERVAL 1 DAY)")).as("day"))
+      .join(daily, Seq("event_type", "day"), "left")
+      .select($"event_type", $"day", coalesce($"n", lit(0L)).as("n"))
+    val wRank = Window.partitionBy($"event_type").orderBy($"n")
+    val wTie = Window.partitionBy($"event_type", $"n")
+    val ranked = grid
+      .withColumn("rk", rank().over(wRank).cast("long"))
+      .withColumn("ties", count(lit(1)).over(wTie))
+      .select($"event_type", $"day", (lit(2L) * $"rk" + $"ties" - 1L).as("r2"))
+    val a = ranked.select($"event_type".as("type_a"), $"day", $"r2".as("ra"))
+    val b = ranked.select($"event_type".as("type_b"), $"day", $"r2".as("rb"))
+    a.join(b, Seq("day")).filter($"type_a" < $"type_b")
+      .groupBy($"type_a", $"type_b")
+      .agg(count(lit(1)).as("n_days"),
+        sum($"ra").as("sa"), sum($"rb").as("sb"),
+        sum(expr("CAST(ra AS DECIMAL(38,0)) * rb")).as("sab"),
+        sum(expr("CAST(ra AS DECIMAL(38,0)) * ra")).as("saa"),
+        sum(expr("CAST(rb AS DECIMAL(38,0)) * rb")).as("sbb"))
+      .select($"type_a", $"type_b", $"n_days",
+        expr("""round((n_days * CAST(sab AS DOUBLE) - CAST(sa AS DOUBLE) * sb) /
+                      (sqrt(n_days * CAST(saa AS DOUBLE) - CAST(sa AS DOUBLE) * sa) *
+                       sqrt(n_days * CAST(sbb AS DOUBLE) - CAST(sb AS DOUBLE) * sb)), 6)""")
+          .as("spearman_rho"))
+      .orderBy($"type_a", $"type_b")
+  }
+
+  def spearmanDailyPairs(spark: SparkSession, dir: String): DataFrame =
+    spearmanDailyPairsTransform(Tables.events(spark, dir))
+
+  /** DuckDB oracle for [[spearmanDailyPairsTransform]]. */
+  val spearmanDailyPairsOracleSql: String =
+    """WITH d AS (SELECT event_type, date_trunc('day', CAST(ts AS TIMESTAMP)) AS day,
+      |                  count(*) AS n
+      |           FROM events GROUP BY 1, 2),
+      |spine AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS day
+      |          FROM (SELECT min(day) AS lo, max(day) AS hi FROM d)),
+      |g AS (SELECT t.event_type, s.day, coalesce(d.n, 0) AS n
+      |      FROM (SELECT DISTINCT event_type FROM d) t
+      |      CROSS JOIN spine s
+      |      LEFT JOIN d ON d.event_type = t.event_type AND d.day = s.day),
+      |r AS (SELECT event_type, day,
+      |             2 * rank() OVER (PARTITION BY event_type ORDER BY n)
+      |               + count(*) OVER (PARTITION BY event_type, n) - 1 AS r2
+      |      FROM g),
+      |p AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+      |             count(*) AS n_days,
+      |             CAST(sum(a.r2) AS BIGINT) AS sa, CAST(sum(b.r2) AS BIGINT) AS sb,
+      |             sum(CAST(a.r2 AS HUGEINT) * b.r2) AS sab,
+      |             sum(CAST(a.r2 AS HUGEINT) * a.r2) AS saa,
+      |             sum(CAST(b.r2 AS HUGEINT) * b.r2) AS sbb
+      |      FROM r a JOIN r b ON a.day = b.day AND a.event_type < b.event_type
+      |      GROUP BY 1, 2)
+      |SELECT type_a, type_b, n_days,
+      |       round((n_days * CAST(sab AS DOUBLE) - CAST(sa AS DOUBLE) * sb) /
+      |             (sqrt(n_days * CAST(saa AS DOUBLE) - CAST(sa AS DOUBLE) * sa) *
+      |              sqrt(n_days * CAST(sbb AS DOUBLE) - CAST(sb AS DOUBLE) * sb)), 6) AS spearman_rho
+      |FROM p ORDER BY 1, 2""".stripMargin
+
+  /** Benford first-digit screen on the revenue cents — the
+    * fraud/synthetic-data smell test (organically-spread magnitudes
+    * follow log10(1+1/d); flat or spiked first digits mean
+    * generated, capped, or price-pointed values): observed share per
+    * leading digit against the Benford expectation, both as single
+    * floats over exact integers (the expected share is the IEEE
+    * log10 of small integer ratios — identical in both engines).
+    *
+    * Shape: one map-side-combinable shuffle to ≤ 9 rows; the digit
+    * is integer math (cents div 10^⌊log10 cents⌋), no strings. */
+  def benfordFirstDigitTransform(events: DataFrame): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val digits = events
+      .select(expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+      .filter($"cents" > 0L)
+      .select(expr("cents div CAST(pow(10, CAST(floor(log10(cents)) AS BIGINT)) AS BIGINT)")
+        .as("digit"))
+      .groupBy($"digit").agg(count(lit(1)).as("n"))
+    digits.crossJoin(broadcast(digits.agg(sum($"n").as("t"))))
+      .select($"digit", $"n",
+        expr("round(CAST(n AS DOUBLE) / t, 6)").as("share"),
+        expr("round(log10(1 + 1.0 / digit), 6)").as("benford_share"))
+      .orderBy($"digit")
+  }
+
+  def benfordFirstDigit(spark: SparkSession, dir: String): DataFrame =
+    benfordFirstDigitTransform(Tables.events(spark, dir))
+
+  /** DuckDB oracle for [[benfordFirstDigitTransform]]. */
+  val benfordFirstDigitOracleSql: String =
+    """WITH c AS (SELECT CAST(round(value * 100) AS BIGINT) AS cents
+      |           FROM events WHERE CAST(round(value * 100) AS BIGINT) > 0),
+      |d AS (SELECT cents // CAST(pow(10, CAST(floor(log10(cents)) AS BIGINT)) AS BIGINT) AS digit
+      |      FROM c),
+      |g AS (SELECT digit, count(*) AS n FROM d GROUP BY 1),
+      |t AS (SELECT sum(n) AS t FROM g)
+      |SELECT digit, CAST(n AS BIGINT) AS n,
+      |       round(CAST(n AS DOUBLE) / t, 6) AS share,
+      |       round(log10(1 + 1.0 / digit), 6) AS benford_share
+      |FROM g, t ORDER BY digit""".stripMargin
+
+  /** Per-state entropy of the event-type transition matrix — "how
+    * predictable is the next action given the current one" (a
+    * near-zero row is a funnel rail; log2|types| is pure noise):
+    * H(next|prev) per prev from the SAME (prev, curr, n) counts
+    * `event_transitions` reports, H = log2(N) − (Σ n·log2 n)/N with
+    * the Σ carried as per-term 1e-6-rounded DECIMAL(20,6) (exact
+    * order-free addition — the cramers_v discipline, no float-sum
+    * order anywhere).
+    *
+    * Shape: one user_id window pass for the pairs (the
+    * transitions shuffle), then |types|²-cell arithmetic. */
+  def transitionEntropyTransform(events: DataFrame): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val pairs = events.select($"user_id", $"ts", $"event_id", $"event_type")
+      .withColumn("prev_type", lag($"event_type", 1).over(w))
+      .filter($"prev_type".isNotNull)
+      .groupBy($"prev_type", $"event_type".as("curr_type"))
+      .agg(count(lit(1)).as("n"))
+    pairs
+      .select($"prev_type", $"n",
+        expr("CAST(round(n * log2(n), 6) AS DECIMAL(20,6))").as("nlogn"))
+      .groupBy($"prev_type")
+      .agg(sum($"n").as("n_out"), count(lit(1)).as("n_branches"),
+        sum($"nlogn").as("snl"))
+      .select($"prev_type", $"n_out", $"n_branches",
+        expr("round(log2(n_out) - CAST(snl AS DOUBLE) / n_out + 0.0, 6)")
+          .as("entropy_bits"))
+      .orderBy($"prev_type")
+  }
+
+  def transitionEntropy(spark: SparkSession, dir: String): DataFrame =
+    transitionEntropyTransform(Tables.events(spark, dir))
+
+  /** DuckDB oracle for [[transitionEntropyTransform]]. */
+  val transitionEntropyOracleSql: String =
+    """WITH p AS (
+      |  SELECT user_id, event_type, ts, event_id,
+      |         lag(event_type) OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id) AS prev_type
+      |  FROM events),
+      |c AS (SELECT prev_type, event_type AS curr_type, count(*) AS n
+      |      FROM p WHERE prev_type IS NOT NULL GROUP BY 1, 2),
+      |s AS (SELECT prev_type, sum(n) AS n_out, count(*) AS n_branches,
+      |             sum(CAST(round(n * log2(n), 6) AS DECIMAL(20,6))) AS snl
+      |      FROM c GROUP BY 1)
+      |SELECT prev_type, CAST(n_out AS BIGINT) AS n_out,
+      |       CAST(n_branches AS BIGINT) AS n_branches,
+      |       round(log2(n_out) - CAST(snl AS DOUBLE) / n_out + 0.0, 6) AS entropy_bits
+      |FROM s ORDER BY 1""".stripMargin
+
   /** DuckDB oracle for [[typeReachCiTransform]] — the identical
     * Wilson expression, same literals, same order. */
   val typeReachCiOracleSql: String =

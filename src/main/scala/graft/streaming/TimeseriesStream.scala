@@ -69,6 +69,12 @@ final class TypeDailyCountState(stateDir: String) {
   def reportFano(spark: SparkSession): DataFrame =
     graft.operators.Stats.fanoFromDaily(
       prior(spark).select(col("event_type"), col("day"), col("x").as("n")))
+
+  /** FIFTH face: Spearman rank correlation between the type series —
+    * rank space is a whole-series read, the counts stay additive. */
+  def reportSpearman(spark: SparkSession): DataFrame =
+    graft.operators.Stats.spearmanFromDaily(
+      prior(spark).select(col("event_type"), col("day"), col("x").as("n")))
 }
 
 /** Additive (item, day, n) engagement grid for the adoption profile —
@@ -322,6 +328,18 @@ object TimeseriesStream {
       StreamSources.eventsFrom(spark, s"$work/input", maxFilesPerTrigger = 1),
       state.merge)
     state.reportFano(spark)
+  }
+
+  /** Queries entry (oracle: same SQL as `spearman_daily_pairs`): the
+    * SAME (type, day) count state, fifth face. */
+  def streamSpearman(spark: SparkSession, dir: String, nFiles: Int = 4): DataFrame = {
+    val work = graft.GraftCaches.trackTempDir("graft_sspear_")
+    FunnelStream.stageTimeOrdered(spark, dir, s"$work/input", nFiles)
+    val state = new TypeDailyCountState(s"$work/state")
+    StreamSources.runForeachBatch(
+      StreamSources.eventsFrom(spark, s"$work/input", maxFilesPerTrigger = 1),
+      state.merge)
+    state.reportSpearman(spark)
   }
 
   /** Queries entry (oracle: same SQL as `item_adoption`). */

@@ -199,7 +199,8 @@ class StatsSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
         "stream_cramers_v" -> "cramers_v_source_lang",
         "stream_mann_whitney" -> "mann_whitney_u",
         "stream_neyman" -> "neyman_allocation",
-        "stream_fano" -> "fano_factor_daily")) {
+        "stream_fano" -> "fano_factor_daily",
+        "stream_spearman" -> "spearman_daily_pairs")) {
       val s = SparkEntry.queries(sName)(spark, sf).collect().map(_.toString).sorted
       val b = SparkEntry.queries(bName)(spark, sf).collect().map(_.toString).sorted
       assert(s.sameElements(b), s"$sName diverged from $bName")
@@ -272,6 +273,51 @@ class StatsSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
     assert(r.getAs[Long]("n_points") == 2L)
     // points: (ln1, ln2), (ln2, ln1) -> slope exactly -1
     assert(r.getAs[Double]("alpha") == -1.0)
+  }
+
+  test("spearman_daily_pairs: monotone coupling scores exactly +/-1") {
+    import spark.implicits._
+    // daily counts over 3 days — a: 1,2,3; b: 1,4,9 (nonlinear but
+    // monotone with a); c: 3,2,1 (anti-monotone)
+    def burst(tp: String, day: Int, k: Int, base: Long) =
+      (0 until k).map(i => (base + i, ts(day), 1L, tp, 0.0, "{}"))
+    val ev = (burst("a", 0, 1, 100) ++ burst("a", 1, 2, 200) ++ burst("a", 2, 3, 300) ++
+      burst("b", 0, 1, 400) ++ burst("b", 1, 4, 500) ++ burst("b", 2, 9, 600) ++
+      burst("c", 0, 3, 700) ++ burst("c", 1, 2, 800) ++ burst("c", 2, 1, 900))
+      .map { case (e, t, u, tp, v, p) => (e.toLong, t, u, tp, v, p) }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val r = operators.Stats.spearmanDailyPairsTransform(ev).collect()
+    val byP = r.map(x => (x.getString(0), x.getString(1)) -> x.getAs[Double]("spearman_rho")).toMap
+    assert(byP(("a", "b")) == 1.0)
+    assert(byP(("a", "c")) == -1.0 && byP(("b", "c")) == -1.0)
+  }
+
+  test("benford_first_digit: digits in 1-9, shares sum to 1") {
+    val rows = SparkEntry.queries("benford_first_digit")(spark, "/root/testdata/sf0.001").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val d = r.getAs[Long]("digit")
+      assert(d >= 1L && d <= 9L)
+    }
+    val total = rows.map(_.getAs[Double]("share")).sum
+    assert(math.abs(total - 1.0) < 1e-4)
+    val bTotal = rows.map(_.getAs[Double]("benford_share")).sum
+    assert(bTotal <= 1.0 + 1e-9) // full 1..9 set sums to exactly 1
+  }
+
+  test("transition_entropy: a deterministic chain has zero entropy") {
+    import spark.implicits._
+    // one user, strict a->b->a->b: prev=a always goes to b and vice versa
+    val ev = (0 until 6).map { i =>
+      (i.toLong, new Timestamp(ts(0).getTime + i * 1000L), 1L,
+        if (i % 2 == 0) "a" else "b", 0.0, "{}")
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val r = operators.Stats.transitionEntropyTransform(ev).collect()
+    assert(r.length == 2)
+    r.foreach { row =>
+      assert(row.getAs[Long]("n_branches") == 1L)
+      assert(row.getAs[Double]("entropy_bits") == 0.0)
+    }
   }
 
   test("url_filter: every planted slice fires its own rule") {
