@@ -88,6 +88,10 @@ object SparkEntry {
     "benford_first_digit" -> Stats.benfordFirstDigit _,
     "transition_entropy" -> Stats.transitionEntropy _,
     "stream_spearman"    -> ((s: SparkSession, d: String) => streaming.TimeseriesStream.streamSpearman(s, d)),
+    "runs_test_daily"    -> Stats.runsTestDaily _,
+    "props_key_census"   -> Stats.propsKeyCensus _,
+    "stream_runs_test"   -> ((s: SparkSession, d: String) => streaming.TimeseriesStream.streamRunsTest(s, d)),
+    "stream_benford"     -> ((s: SparkSession, d: String) => streaming.ProfileStreams.streamBenford(s, d)),
     "degree_powerlaw_fit" -> ((s: SparkSession, d: String) => Graph.degreePowerlawFit(s, d)),
     "stream_neyman"      -> ((s: SparkSession, d: String) => streaming.ProfileStreams.streamNeyman(s, d)),
     "stream_fano"        -> ((s: SparkSession, d: String) => streaming.TimeseriesStream.streamFano(s, d)),
@@ -399,6 +403,8 @@ object SparkEntry {
       "stream_neyman" -> base("neyman_allocation"),
       "stream_fano" -> base("fano_factor_daily"),
       "stream_spearman" -> base("spearman_daily_pairs"),
+      "stream_runs_test" -> base("runs_test_daily"),
+      "stream_benford" -> base("benford_first_digit"),
       // cross-batch intervals reconstructed from the per-user
       // frontier; additive daily sufficient sums
       "stream_time_weighted" -> base("time_weighted_value"),
@@ -884,6 +890,8 @@ object SparkEntry {
     "spearman_daily_pairs" -> operators.Stats.spearmanDailyPairsOracleSql,
     "benford_first_digit" -> operators.Stats.benfordFirstDigitOracleSql,
     "transition_entropy" -> operators.Stats.transitionEntropyOracleSql,
+    "runs_test_daily" -> operators.Stats.runsTestDailyOracleSql,
+    "props_key_census" -> operators.Stats.propsKeyCensusOracleSql,
     "degree_powerlaw_fit" -> operators.Graph.degreePowerlawFitOracleSql,
     "session_duration" -> operators.Retention.sessionDurationOracleSql(),
     "vocab_coverage_curve" -> operators.TextOps.vocabCoverageCurveOracleSql,

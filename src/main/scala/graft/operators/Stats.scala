@@ -537,15 +537,23 @@ object Stats {
     *
     * Shape: one map-side-combinable shuffle to ≤ 9 rows; the digit
     * is integer math (cents div 10^⌊log10 cents⌋), no strings. */
-  def benfordFirstDigitTransform(events: DataFrame): DataFrame = {
-    val spark = events.sparkSession
-    import spark.implicits._
-    val digits = events
+  def benfordFirstDigitTransform(events: DataFrame): DataFrame =
+    benfordFromCents(events
       .select(expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+      .groupBy(col("cents")).agg(count(lit(1)).as("c")))
+
+  /** The digit rollup from an already-aggregated (cents, c) value
+    * grid — the SAME support [[graft.streaming.TypeCentsState]]
+    * keeps (summed over types), making the streaming Benford screen
+    * its second face. */
+  private[graft] def benfordFromCents(cents0: DataFrame): DataFrame = {
+    val spark = cents0.sparkSession
+    import spark.implicits._
+    val digits = cents0
       .filter($"cents" > 0L)
       .select(expr("cents div CAST(pow(10, CAST(floor(log10(cents)) AS BIGINT)) AS BIGINT)")
-        .as("digit"))
-      .groupBy($"digit").agg(count(lit(1)).as("n"))
+        .as("digit"), $"c")
+      .groupBy($"digit").agg(sum($"c").as("n"))
     digits.crossJoin(broadcast(digits.agg(sum($"n").as("t"))))
       .select($"digit", $"n",
         expr("round(CAST(n AS DOUBLE) / t, 6)").as("share"),
@@ -603,6 +611,135 @@ object Stats {
 
   def transitionEntropy(spark: SparkSession, dir: String): DataFrame =
     transitionEntropyTransform(Tables.events(spark, dir))
+
+  /** Wald–Wolfowitz runs test on the daily up/down moves per type —
+    * "is the day-over-day direction random or regime-like" (too FEW
+    * runs = trending/sticky regimes, too MANY = oscillation;
+    * complements the ACF's linear view with a distribution-free
+    * one): day-over-day deltas on the zero-filled spine, zero deltas
+    * dropped (the standard treatment), R = 1 + #sign-changes, and
+    * the z statistic from the exact (n₊, n₋, R) integers in one
+    * fixed float expression.
+    *
+    * Shape: per-type windows over the |types|×|days| grid; |types|
+    * rows out. */
+  def runsTestDailyTransform(events: DataFrame): DataFrame =
+    runsFromDaily(events
+      .select(col("event_type"), date_trunc("day", col("ts")).as("day"))
+      .groupBy(col("event_type"), col("day")).agg(count(lit(1)).as("n")))
+
+  /** The runs derivation from the (event_type, day, n) grid — the
+    * SIXTH face of [[graft.streaming.TypeDailyCountState]]. */
+  private[graft] def runsFromDaily(daily0: DataFrame): DataFrame = {
+    val spark = daily0.sparkSession
+    import spark.implicits._
+    val daily = daily0
+    val bounds = daily.agg(min($"day").as("lo"), max($"day").as("hi"))
+    val grid = daily.select($"event_type").distinct()
+      .crossJoin(broadcast(bounds))
+      .select($"event_type", explode(expr("sequence(lo, hi, INTERVAL 1 DAY)")).as("day"))
+      .join(daily, Seq("event_type", "day"), "left")
+      .select($"event_type", $"day", coalesce($"n", lit(0L)).as("n"))
+    val wd = Window.partitionBy($"event_type").orderBy($"day")
+    val signs = grid
+      .withColumn("delta", $"n" - lag($"n", 1).over(wd))
+      .filter($"delta".isNotNull && $"delta" =!= 0L)
+      .select($"event_type", $"day", signum($"delta").cast("long").as("s"))
+    val ws = Window.partitionBy($"event_type").orderBy($"day")
+    signs
+      .withColumn("chg", when(lag($"s", 1).over(ws).isNull, 1L)
+        .when(lag($"s", 1).over(ws) =!= $"s", 1L).otherwise(0L))
+      .groupBy($"event_type")
+      .agg(sum(when($"s" === 1L, 1L).otherwise(0L)).as("n_up"),
+        sum(when($"s" === -1L, 1L).otherwise(0L)).as("n_down"),
+        sum($"chg").as("runs"))
+      .select($"event_type", $"n_up", $"n_down", $"runs",
+        // one-sided or too-short sign sequences have zero run
+        // variance — z is undefined, and the integer guard excludes
+        // them IDENTICALLY in both engines (ANSI Spark would raise
+        // DIVIDE_BY_ZERO, DuckDB's IEEE mode would emit inf/NaN)
+        expr("""CASE WHEN n_up > 0 AND n_down > 0
+                       AND 2 * n_up * n_down - n_up - n_down > 0
+                     THEN round((runs - (2.0 * n_up * n_down / (n_up + n_down) + 1)) /
+                          sqrt(2.0 * n_up * n_down * (2.0 * n_up * n_down - n_up - n_down) /
+                               ((CAST(n_up + n_down AS DOUBLE) * (n_up + n_down)) * (n_up + n_down - 1))), 6)
+                     ELSE NULL END""")
+          .as("z"))
+      .orderBy($"event_type")
+  }
+
+  def runsTestDaily(spark: SparkSession, dir: String): DataFrame =
+    runsTestDailyTransform(Tables.events(spark, dir))
+
+  /** DuckDB oracle for [[runsTestDailyTransform]]. */
+  val runsTestDailyOracleSql: String =
+    """WITH d AS (SELECT event_type, date_trunc('day', CAST(ts AS TIMESTAMP)) AS day,
+      |                  count(*) AS n
+      |           FROM events GROUP BY 1, 2),
+      |spine AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS day
+      |          FROM (SELECT min(day) AS lo, max(day) AS hi FROM d)),
+      |g AS (SELECT t.event_type, s.day, coalesce(d.n, 0) AS n
+      |      FROM (SELECT DISTINCT event_type FROM d) t
+      |      CROSS JOIN spine s
+      |      LEFT JOIN d ON d.event_type = t.event_type AND d.day = s.day),
+      |del AS (SELECT event_type, day,
+      |               n - lag(n) OVER (PARTITION BY event_type ORDER BY day) AS delta
+      |        FROM g),
+      |sg AS (SELECT event_type, day, CAST(sign(delta) AS BIGINT) AS s
+      |       FROM del WHERE delta IS NOT NULL AND delta <> 0),
+      |ch AS (SELECT event_type, s,
+      |              CASE WHEN lag(s) OVER (PARTITION BY event_type ORDER BY day) IS NULL THEN 1
+      |                   WHEN lag(s) OVER (PARTITION BY event_type ORDER BY day) <> s THEN 1
+      |                   ELSE 0 END AS chg
+      |       FROM sg),
+      |agg AS (SELECT event_type,
+      |               sum(CASE WHEN s = 1 THEN 1 ELSE 0 END) AS n_up,
+      |               sum(CASE WHEN s = -1 THEN 1 ELSE 0 END) AS n_down,
+      |               sum(chg) AS runs
+      |        FROM ch GROUP BY 1)
+      |SELECT event_type, CAST(n_up AS BIGINT) AS n_up,
+      |       CAST(n_down AS BIGINT) AS n_down, CAST(runs AS BIGINT) AS runs,
+      |       CASE WHEN n_up > 0 AND n_down > 0
+      |              AND 2 * n_up * n_down - n_up - n_down > 0
+      |            THEN round((runs - (2.0 * n_up * n_down / (n_up + n_down) + 1)) /
+      |                 sqrt(2.0 * n_up * n_down * (2.0 * n_up * n_down - n_up - n_down) /
+      |                      ((CAST(n_up + n_down AS DOUBLE) * (n_up + n_down)) * (n_up + n_down - 1))), 6)
+      |            ELSE NULL END AS z
+      |FROM agg ORDER BY 1""".stripMargin
+
+  /** JSON property-key census over the event payloads — the
+    * data-contract drift detector (a key vanishing or a new one
+    * ramping is a producer deploy you want to SEE): every key's
+    * event count and share, via the engines' native JSON key
+    * enumeration (`json_object_keys` / `json_keys` — no schema
+    * assumption about the values at all).
+    *
+    * Shape: per-row explode collapses map-side to the key-vocabulary
+    * grid; one broadcast total. */
+  def propsKeyCensusTransform(events: DataFrame): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val keys = events
+      .select(explode(expr("json_object_keys(props)")).as("key"))
+      .groupBy($"key").agg(count(lit(1)).as("n_events"))
+    keys.crossJoin(broadcast(events.agg(count(lit(1)).as("t"))))
+      .select($"key", $"n_events",
+        expr("round(CAST(n_events AS DOUBLE) / t, 6)").as("share"))
+      .orderBy($"key")
+  }
+
+  def propsKeyCensus(spark: SparkSession, dir: String): DataFrame =
+    propsKeyCensusTransform(Tables.events(spark, dir))
+
+  /** DuckDB oracle for [[propsKeyCensusTransform]]. */
+  val propsKeyCensusOracleSql: String =
+    """WITH k AS (SELECT u.k AS key, count(*) AS n_events
+      |           FROM events, unnest(json_keys(props)) AS u(k)
+      |           GROUP BY 1),
+      |t AS (SELECT count(*) AS t FROM events)
+      |SELECT key, n_events,
+      |       round(CAST(n_events AS DOUBLE) / t, 6) AS share
+      |FROM k, t ORDER BY key""".stripMargin
 
   /** DuckDB oracle for [[transitionEntropyTransform]]. */
   val transitionEntropyOracleSql: String =

@@ -194,6 +194,12 @@ final class TypeCentsState(stateDir: String) {
 
   def report(spark: SparkSession): DataFrame =
     graft.operators.Stats.mwFromCounts(prior(spark))
+
+  /** The SAME cents-support grid serves the Benford screen (digits
+    * derive from the values; type rolls up) — second face. */
+  def reportBenford(spark: SparkSession): DataFrame =
+    graft.operators.Stats.benfordFromCents(
+      prior(spark).groupBy(col("cents")).agg(sum(col("c")).as("c")))
 }
 
 object ProfileStreams {
@@ -220,6 +226,15 @@ object ProfileStreams {
     val state = new TypeCentsState(s"$work/state")
     StreamSources.runForeachBatch(StreamSources.events(spark, dir), state.merge)
     state.report(spark)
+  }
+
+  /** Queries entry (oracle: same SQL as `benford_first_digit`): the
+    * SAME cents-support state, second face. */
+  def streamBenford(spark: SparkSession, dir: String): DataFrame = {
+    val work = graft.GraftCaches.trackTempDir("graft_sbenf_")
+    val state = new TypeCentsState(s"$work/state")
+    StreamSources.runForeachBatch(StreamSources.events(spark, dir), state.merge)
+    state.reportBenford(spark)
   }
 
   /** Queries entry (oracle: same SQL as `cramers_v_source_lang`):

@@ -75,6 +75,12 @@ final class TypeDailyCountState(stateDir: String) {
   def reportSpearman(spark: SparkSession): DataFrame =
     graft.operators.Stats.spearmanFromDaily(
       prior(spark).select(col("event_type"), col("day"), col("x").as("n")))
+
+  /** SIXTH face: the Wald–Wolfowitz runs test — run boundaries are a
+    * whole-series read (a late day can split or merge runs). */
+  def reportRuns(spark: SparkSession): DataFrame =
+    graft.operators.Stats.runsFromDaily(
+      prior(spark).select(col("event_type"), col("day"), col("x").as("n")))
 }
 
 /** Additive (item, day, n) engagement grid for the adoption profile —
@@ -340,6 +346,18 @@ object TimeseriesStream {
       StreamSources.eventsFrom(spark, s"$work/input", maxFilesPerTrigger = 1),
       state.merge)
     state.reportSpearman(spark)
+  }
+
+  /** Queries entry (oracle: same SQL as `runs_test_daily`): the SAME
+    * (type, day) count state, sixth face. */
+  def streamRunsTest(spark: SparkSession, dir: String, nFiles: Int = 4): DataFrame = {
+    val work = graft.GraftCaches.trackTempDir("graft_sruns_")
+    FunnelStream.stageTimeOrdered(spark, dir, s"$work/input", nFiles)
+    val state = new TypeDailyCountState(s"$work/state")
+    StreamSources.runForeachBatch(
+      StreamSources.eventsFrom(spark, s"$work/input", maxFilesPerTrigger = 1),
+      state.merge)
+    state.reportRuns(spark)
   }
 
   /** Queries entry (oracle: same SQL as `item_adoption`). */

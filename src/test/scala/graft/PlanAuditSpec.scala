@@ -59,6 +59,13 @@ class PlanAuditSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
     "cramers_v_source_lang" -> "zero-fill contingency grid crosses the |sources|-row and |langs|-row marginal lists — bounded by label cardinalities, not data volume",
     "ks_doclen_sources" -> "union-support grid crosses the |sources| list with the DISTINCT length support (max-doc-length bounded) — grid scale, not data volume",
     "mann_whitney_u" -> "pair fan-out broadcasts the |types|-row type list over the cents-bounded (type, cents) support grid — both factors cardinality-bounded, not data volume",
+    // the streaming faces derive through the SAME shared trees as
+    // their allowlisted batch twins, over grid-sized state reads —
+    // identical bounded cross-grids, different query names
+    "stream_chi2_type_dow" -> "chi2_type_dow's zero-fill contingency grid, derived over the (type, day) state",
+    "stream_cramers_v" -> "cramers_v_source_lang's zero-fill grid, derived over the dataset-card state",
+    "stream_ks_doclen" -> "ks_doclen_sources' union-support grid, derived over the (source, len) state",
+    "stream_mann_whitney" -> "mann_whitney_u's pair fan-out, derived over the (type, cents) state",
   )
 
   /** One-row build sides are global aggregates (no grouping columns)
@@ -82,6 +89,8 @@ class PlanAuditSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
       "(tok, cf) — vocab-bounded because every micro-batch merge re-aggregates " +
       "groupBy(tok); the bounding aggregate ran in earlier batches, so the final " +
       "read-back plan legitimately shows a scan, not an aggregate"),
+    "stream_vocab_coverage" -> ("the SAME VocabState parquet read as stream_zipf_slope " +
+      "(second face) — vocab-bounded by the per-batch merge aggregate for the same reason"),
   )
 
   test("every unpartitioned Window consumes a pre-aggregated (bounded) input") {

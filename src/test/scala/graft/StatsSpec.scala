@@ -200,7 +200,9 @@ class StatsSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
         "stream_mann_whitney" -> "mann_whitney_u",
         "stream_neyman" -> "neyman_allocation",
         "stream_fano" -> "fano_factor_daily",
-        "stream_spearman" -> "spearman_daily_pairs")) {
+        "stream_spearman" -> "spearman_daily_pairs",
+        "stream_runs_test" -> "runs_test_daily",
+        "stream_benford" -> "benford_first_digit")) {
       val s = SparkEntry.queries(sName)(spark, sf).collect().map(_.toString).sorted
       val b = SparkEntry.queries(bName)(spark, sf).collect().map(_.toString).sorted
       assert(s.sameElements(b), s"$sName diverged from $bName")
@@ -318,6 +320,34 @@ class StatsSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
       assert(row.getAs[Long]("n_branches") == 1L)
       assert(row.getAs[Double]("entropy_bits") == 0.0)
     }
+  }
+
+  test("runs_test_daily: strict alternation = max runs, monotone ramp = one run") {
+    import spark.implicits._
+    def burst(tp: String, day: Int, k: Int, base: Int) =
+      (0 until k).map(i => ((base + i).toLong, ts(day), 1L, tp, 0.0, "{}"))
+    // alt: 1,3,1,3,1 -> signs +,-,+,- -> 4 runs; ramp: 1,2,3,4,5 -> ++++ -> 1 run
+    val ev = (burst("alt", 0, 1, 0) ++ burst("alt", 1, 3, 100) ++ burst("alt", 2, 1, 200) ++
+      burst("alt", 3, 3, 300) ++ burst("alt", 4, 1, 400) ++
+      burst("ramp", 0, 1, 500) ++ burst("ramp", 1, 2, 600) ++ burst("ramp", 2, 3, 700) ++
+      burst("ramp", 3, 4, 800) ++ burst("ramp", 4, 5, 900))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val r = operators.Stats.runsTestDailyTransform(ev).collect()
+    val byT = r.map(x => x.getString(0) -> x).toMap
+    assert(byT("alt").getAs[Long]("runs") == 4L)
+    assert(byT("ramp").getAs[Long]("runs") == 1L)
+    assert(byT("ramp").getAs[Long]("n_up") == 4L && byT("ramp").getAs[Long]("n_down") == 0L)
+  }
+
+  test("props_key_census: every key of a planted payload is counted") {
+    import spark.implicits._
+    val ev = Seq(
+      (1L, ts(0), 1L, "a", 0.0, """{"k": 1, "x": "y"}"""),
+      (2L, ts(0), 1L, "a", 0.0, """{"k": 2}""")
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val r = operators.Stats.propsKeyCensusTransform(ev).collect()
+    val byK = r.map(x => x.getString(0) -> x.getAs[Long]("n_events")).toMap
+    assert(byK == Map("k" -> 2L, "x" -> 1L))
   }
 
   test("url_filter: every planted slice fires its own rule") {
