@@ -214,7 +214,13 @@ object Bench {
     // round-8 twelfth wave (same quiet-box harness; evidence in
     // BASELINE.md "Round-8 additions, twelfth wave")
     "type_reach_ci" -> 3.061, "degree_powerlaw_fit" -> 5.545,
-    "stream_neyman" -> 8.933, "stream_fano" -> 10.093)
+    "stream_neyman" -> 8.933, "stream_fano" -> 10.093,
+    // round-8 thirteenth wave (same quiet-box harness; evidence in
+    // BASELINE.md "Round-8 additions, thirteenth wave")
+    "spearman_daily_pairs" -> 3.851, "benford_first_digit" -> 2.383,
+    "transition_entropy" -> 2.697, "stream_spearman" -> 8.079,
+    "runs_test_daily" -> 3.026, "props_key_census" -> 1.722,
+    "stream_runs_test" -> 7.875, "stream_benford" -> 4.370)
 
   /** Run ONE query in a fresh JVM (this JVM's own flags + classpath,
     * stderr discarded) and parse its timing out of the child's JSON

@@ -89,6 +89,10 @@ object SparkEntry {
     "transition_entropy" -> Stats.transitionEntropy _,
     "stream_spearman"    -> ((s: SparkSession, d: String) => streaming.TimeseriesStream.streamSpearman(s, d)),
     "runs_test_daily"    -> Stats.runsTestDaily _,
+    "kendall_tau_daily"  -> Stats.kendallTauDaily _,
+    "ljung_box_daily"    -> ((s: SparkSession, d: String) => Timeseries.ljungBoxDaily(s, d)),
+    "stream_kendall"     -> ((s: SparkSession, d: String) => streaming.TimeseriesStream.streamKendall(s, d)),
+    "stream_ljung_box"   -> ((s: SparkSession, d: String) => streaming.TimeseriesStream.streamLjungBox(s, d)),
     "props_key_census"   -> Stats.propsKeyCensus _,
     "stream_runs_test"   -> ((s: SparkSession, d: String) => streaming.TimeseriesStream.streamRunsTest(s, d)),
     "stream_benford"     -> ((s: SparkSession, d: String) => streaming.ProfileStreams.streamBenford(s, d)),
@@ -405,6 +409,8 @@ object SparkEntry {
       "stream_spearman" -> base("spearman_daily_pairs"),
       "stream_runs_test" -> base("runs_test_daily"),
       "stream_benford" -> base("benford_first_digit"),
+      "stream_kendall" -> base("kendall_tau_daily"),
+      "stream_ljung_box" -> base("ljung_box_daily"),
       // cross-batch intervals reconstructed from the per-user
       // frontier; additive daily sufficient sums
       "stream_time_weighted" -> base("time_weighted_value"),
@@ -892,6 +898,8 @@ object SparkEntry {
     "transition_entropy" -> operators.Stats.transitionEntropyOracleSql,
     "runs_test_daily" -> operators.Stats.runsTestDailyOracleSql,
     "props_key_census" -> operators.Stats.propsKeyCensusOracleSql,
+    "kendall_tau_daily" -> operators.Stats.kendallTauDailyOracleSql,
+    "ljung_box_daily" -> operators.Timeseries.ljungBoxDailyOracleSql,
     "degree_powerlaw_fit" -> operators.Graph.degreePowerlawFitOracleSql,
     "session_duration" -> operators.Retention.sessionDurationOracleSql(),
     "vocab_coverage_curve" -> operators.TextOps.vocabCoverageCurveOracleSql,

@@ -707,6 +707,88 @@ object Stats {
       |            ELSE NULL END AS z
       |FROM agg ORDER BY 1""".stripMargin
 
+  /** Kendall τ-b between every pair of event types on their daily
+    * series — the concordance view that completes the association
+    * triple (Pearson `rolling_corr_daily` for linearity, Spearman
+    * for monotone rank, Kendall for pairwise-order agreement; τ-b's
+    * tie correction matters on zero-heavy spines): over all day
+    * pairs d < e, C−D = Σ sign((a_d−a_e)(b_d−b_e)), with n₁/n₂ the
+    * tied-pair counts and τ_b = (C−D)/√((n₀−n₁)(n₀−n₂)) — every
+    * count an exact integer, ONE float expression per type pair.
+    *
+    * Shape: the day-pair fan-out is an equi-join on the type pair
+    * with a day< filter — |days|²/2 rows per pair, grid- not
+    * fact-scale (bounded by the day span, documented); output ≤
+    * |types|² rows. */
+  def kendallTauDailyTransform(events: DataFrame): DataFrame =
+    kendallFromDaily(events
+      .select(col("event_type"), date_trunc("day", col("ts")).as("day"))
+      .groupBy(col("event_type"), col("day")).agg(count(lit(1)).as("n")))
+
+  /** The τ-b derivation from the (event_type, day, n) grid — the
+    * SEVENTH face of [[graft.streaming.TypeDailyCountState]]. */
+  private[graft] def kendallFromDaily(daily0: DataFrame): DataFrame = {
+    val spark = daily0.sparkSession
+    import spark.implicits._
+    val daily = daily0
+    val bounds = daily.agg(min($"day").as("lo"), max($"day").as("hi"))
+    val grid = daily.select($"event_type").distinct()
+      .crossJoin(broadcast(bounds))
+      .select($"event_type", explode(expr("sequence(lo, hi, INTERVAL 1 DAY)")).as("day"))
+      .join(daily, Seq("event_type", "day"), "left")
+      .select($"event_type", $"day", coalesce($"n", lit(0L)).as("n"))
+    val a = grid.select($"event_type".as("type_a"), $"day", $"n".as("na"))
+    val b = grid.select($"event_type".as("type_b"), $"day", $"n".as("nb"))
+    val p = a.join(b, Seq("day")).filter($"type_a" < $"type_b")
+    val x = p.select($"type_a", $"type_b", $"day".as("d1"),
+      $"na".as("na1"), $"nb".as("nb1"))
+    val y = p.select($"type_a", $"type_b", $"day".as("d2"),
+      $"na".as("na2"), $"nb".as("nb2"))
+    x.join(y, Seq("type_a", "type_b")).filter($"d1" < $"d2")
+      .groupBy($"type_a", $"type_b")
+      .agg(count(lit(1)).as("n0"),
+        sum(signum(($"na1" - $"na2") * ($"nb1" - $"nb2")).cast("long")).as("cd"),
+        sum(when($"na1" === $"na2", 1L).otherwise(0L)).as("n1"),
+        sum(when($"nb1" === $"nb2", 1L).otherwise(0L)).as("n2"))
+      .select($"type_a", $"type_b", $"n0", $"cd", $"n1", $"n2",
+        expr("""CASE WHEN n0 > n1 AND n0 > n2
+                     THEN round(cd / (sqrt(CAST(n0 - n1 AS DOUBLE)) * sqrt(CAST(n0 - n2 AS DOUBLE))), 6)
+                     ELSE NULL END""").as("kendall_tau_b"))
+      .orderBy($"type_a", $"type_b")
+  }
+
+  def kendallTauDaily(spark: SparkSession, dir: String): DataFrame =
+    kendallTauDailyTransform(Tables.events(spark, dir))
+
+  /** DuckDB oracle for [[kendallTauDailyTransform]]. */
+  val kendallTauDailyOracleSql: String =
+    """WITH d AS (SELECT event_type, date_trunc('day', CAST(ts AS TIMESTAMP)) AS day,
+      |                  count(*) AS n
+      |           FROM events GROUP BY 1, 2),
+      |spine AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS day
+      |          FROM (SELECT min(day) AS lo, max(day) AS hi FROM d)),
+      |g AS (SELECT t.event_type, s.day, coalesce(d.n, 0) AS n
+      |      FROM (SELECT DISTINCT event_type FROM d) t
+      |      CROSS JOIN spine s
+      |      LEFT JOIN d ON d.event_type = t.event_type AND d.day = s.day),
+      |p AS (SELECT a.event_type AS type_a, b.event_type AS type_b, a.day,
+      |             a.n AS na, b.n AS nb
+      |      FROM g a JOIN g b ON a.day = b.day AND a.event_type < b.event_type),
+      |pp AS (SELECT x.type_a, x.type_b,
+      |              count(*) AS n0,
+      |              CAST(sum(sign((x.na - y.na) * (x.nb - y.nb))) AS BIGINT) AS cd,
+      |              sum(CASE WHEN x.na = y.na THEN 1 ELSE 0 END) AS n1,
+      |              sum(CASE WHEN x.nb = y.nb THEN 1 ELSE 0 END) AS n2
+      |       FROM p x JOIN p y ON x.type_a = y.type_a AND x.type_b = y.type_b
+      |                        AND x.day < y.day
+      |       GROUP BY 1, 2)
+      |SELECT type_a, type_b, CAST(n0 AS BIGINT) AS n0, cd,
+      |       CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+      |       CASE WHEN n0 > n1 AND n0 > n2
+      |            THEN round(cd / (sqrt(CAST(n0 - n1 AS DOUBLE)) * sqrt(CAST(n0 - n2 AS DOUBLE))), 6)
+      |            ELSE NULL END AS kendall_tau_b
+      |FROM pp ORDER BY 1, 2""".stripMargin
+
   /** JSON property-key census over the event payloads — the
     * data-contract drift detector (a key vanishing or a new one
     * ramping is a producer deploy you want to SEE): every key's

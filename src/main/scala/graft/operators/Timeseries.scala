@@ -126,6 +126,56 @@ object Timeseries {
       |FROM num n JOIN den d ON n.event_type = d.event_type
       |ORDER BY n.event_type, n.lag""".stripMargin
 
+  /** Ljung–Box portmanteau statistic over the first 7 daily-count
+    * autocorrelations per type — "is there ANY autocorrelation at
+    * all", the single-number significance readout over
+    * [[acfFromDaily]]'s per-lag view: Q = n(n+2)·Σ_k ρ_k²/(n−k),
+    * with each term computed from the ALREADY-1e-6-ROUNDED ρ_k (so
+    * both engines square identical doubles), rounded to the 1e-10
+    * grid and summed EXACTLY as DECIMAL(24,10) (order-free — the
+    * cramers_v discipline), then ONE final multiply-and-round.
+    * Constant series (ρ NULL) drop their terms identically.
+    */
+  def ljungBoxDailyTransform(events: DataFrame): DataFrame =
+    ljungBoxFromDaily(events
+      .select(col("event_type"), date_trunc("day", col("ts")).as("day"))
+      .groupBy(col("event_type"), col("day")).agg(count(lit(1)).as("x")))
+
+  /** The Q derivation over the (event_type, day, x) grid — the
+    * EIGHTH face of [[graft.streaming.TypeDailyCountState]] (it
+    * reads straight through [[acfFromDaily]]). */
+  private[graft] def ljungBoxFromDaily(daily0: DataFrame, maxLag: Int = 7): DataFrame = {
+    val spark = daily0.sparkSession
+    import spark.implicits._
+    acfFromDaily(daily0, maxLag)
+      .filter($"acf".isNotNull)
+      .select($"event_type", $"n_days", $"lag",
+        expr("CAST(round(acf * acf / (n_days - lag), 10) AS DECIMAL(24,10))").as("t"))
+      .groupBy($"event_type")
+      .agg(first($"n_days").as("n_days"), count(lit(1)).as("k_lags"),
+        sum($"t").as("st"))
+      .select($"event_type", $"n_days", $"k_lags",
+        expr("round(n_days * (n_days + 2) * CAST(st AS DOUBLE), 4)").as("ljung_box_q"))
+      .orderBy($"event_type")
+  }
+
+  def ljungBoxDaily(spark: SparkSession, dir: String): DataFrame =
+    ljungBoxDailyTransform(graft.sources.Tables.events(spark, dir))
+
+  /** DuckDB oracle for [[ljungBoxDailyTransform]] — the acf oracle
+    * as a subquery + the exact-decimal portmanteau rollup. */
+  val ljungBoxDailyOracleSql: String =
+    s"""WITH acf_out AS (
+       |${acfDailyOracleSql.linesIterator.map("  " + _).mkString("\n")}
+       |)
+       |SELECT event_type, CAST(max(n_days) AS BIGINT) AS n_days,
+       |       count(*) AS k_lags,
+       |       round(max(n_days) * (max(n_days) + 2) *
+       |             CAST(sum(CAST(round(acf * acf / (n_days - lag), 10) AS DECIMAL(24,10))) AS DOUBLE), 4)
+       |         AS ljung_box_q
+       |FROM acf_out WHERE acf IS NOT NULL
+       |GROUP BY event_type ORDER BY event_type""".stripMargin
+
   /** 7-day rolling Pearson correlation between daily event volume and
     * daily revenue — "are we monetizing the traffic we got THIS week",
     * the windowed face of [[Behavior.metricCorrelationsTransform]]'s

@@ -81,6 +81,15 @@ final class TypeDailyCountState(stateDir: String) {
   def reportRuns(spark: SparkSession): DataFrame =
     graft.operators.Stats.runsFromDaily(
       prior(spark).select(col("event_type"), col("day"), col("x").as("n")))
+
+  /** SEVENTH face: Kendall τ-b between the type series. */
+  def reportKendall(spark: SparkSession): DataFrame =
+    graft.operators.Stats.kendallFromDaily(
+      prior(spark).select(col("event_type"), col("day"), col("x").as("n")))
+
+  /** EIGHTH face: the Ljung–Box portmanteau over the ACF. */
+  def reportLjungBox(spark: SparkSession): DataFrame =
+    graft.operators.Timeseries.ljungBoxFromDaily(prior(spark))
 }
 
 /** Additive (item, day, n) engagement grid for the adoption profile —
@@ -358,6 +367,30 @@ object TimeseriesStream {
       StreamSources.eventsFrom(spark, s"$work/input", maxFilesPerTrigger = 1),
       state.merge)
     state.reportRuns(spark)
+  }
+
+  /** Queries entry (oracle: same SQL as `kendall_tau_daily`): the
+    * SAME (type, day) count state, seventh face. */
+  def streamKendall(spark: SparkSession, dir: String, nFiles: Int = 4): DataFrame = {
+    val work = graft.GraftCaches.trackTempDir("graft_skend_")
+    FunnelStream.stageTimeOrdered(spark, dir, s"$work/input", nFiles)
+    val state = new TypeDailyCountState(s"$work/state")
+    StreamSources.runForeachBatch(
+      StreamSources.eventsFrom(spark, s"$work/input", maxFilesPerTrigger = 1),
+      state.merge)
+    state.reportKendall(spark)
+  }
+
+  /** Queries entry (oracle: same SQL as `ljung_box_daily`): the SAME
+    * (type, day) count state, eighth face. */
+  def streamLjungBox(spark: SparkSession, dir: String, nFiles: Int = 4): DataFrame = {
+    val work = graft.GraftCaches.trackTempDir("graft_slb_")
+    FunnelStream.stageTimeOrdered(spark, dir, s"$work/input", nFiles)
+    val state = new TypeDailyCountState(s"$work/state")
+    StreamSources.runForeachBatch(
+      StreamSources.eventsFrom(spark, s"$work/input", maxFilesPerTrigger = 1),
+      state.merge)
+    state.reportLjungBox(spark)
   }
 
   /** Queries entry (oracle: same SQL as `item_adoption`). */

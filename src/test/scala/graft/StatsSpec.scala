@@ -202,7 +202,9 @@ class StatsSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
         "stream_fano" -> "fano_factor_daily",
         "stream_spearman" -> "spearman_daily_pairs",
         "stream_runs_test" -> "runs_test_daily",
-        "stream_benford" -> "benford_first_digit")) {
+        "stream_benford" -> "benford_first_digit",
+        "stream_kendall" -> "kendall_tau_daily",
+        "stream_ljung_box" -> "ljung_box_daily")) {
       val s = SparkEntry.queries(sName)(spark, sf).collect().map(_.toString).sorted
       val b = SparkEntry.queries(bName)(spark, sf).collect().map(_.toString).sorted
       assert(s.sameElements(b), s"$sName diverged from $bName")
@@ -348,6 +350,36 @@ class StatsSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
     val r = operators.Stats.propsKeyCensusTransform(ev).collect()
     val byK = r.map(x => x.getString(0) -> x.getAs[Long]("n_events")).toMap
     assert(byK == Map("k" -> 2L, "x" -> 1L))
+  }
+
+  test("kendall_tau_daily: monotone coupling scores +/-1, all-tie series guard to NULL") {
+    import spark.implicits._
+    def burst(tp: String, day: Int, k: Int, base: Int) =
+      (0 until k).map(i => ((base + i).toLong, ts(day), 1L, tp, 0.0, "{}"))
+    // a: 1,2,3; b: 1,4,9 (monotone with a -> +1); c: 3,2,1 (anti -> -1)
+    val ev = (burst("a", 0, 1, 0) ++ burst("a", 1, 2, 100) ++ burst("a", 2, 3, 200) ++
+      burst("b", 0, 1, 300) ++ burst("b", 1, 4, 400) ++ burst("b", 2, 9, 500) ++
+      burst("c", 0, 3, 600) ++ burst("c", 1, 2, 700) ++ burst("c", 2, 1, 800))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val r = operators.Stats.kendallTauDailyTransform(ev).collect()
+    val byP = r.map(x => (x.getString(0), x.getString(1)) -> x).toMap
+    assert(byP(("a", "b")).getAs[Double]("kendall_tau_b") == 1.0)
+    assert(byP(("a", "c")).getAs[Double]("kendall_tau_b") == -1.0)
+    // constant series: every day pair ties on it -> n0 = n1 -> NULL
+    val flat = (burst("a", 0, 1, 0) ++ burst("a", 1, 2, 100) ++
+      burst("f", 0, 2, 900) ++ burst("f", 1, 2, 950))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val rf = operators.Stats.kendallTauDailyTransform(flat).collect()
+    assert(rf.length == 1 && rf(0).isNullAt(rf(0).fieldIndex("kendall_tau_b")))
+  }
+
+  test("ljung_box_daily: Q >= 0 and grows with the autocorrelated series") {
+    val rows = SparkEntry.queries("ljung_box_daily")(spark, "/root/testdata/sf0.001").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Double]("ljung_box_q") >= 0.0)
+      assert(r.getAs[Long]("k_lags") <= 7L)
+    }
   }
 
   test("url_filter: every planted slice fires its own rule") {
