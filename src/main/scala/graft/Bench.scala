@@ -220,7 +220,11 @@ object Bench {
     "spearman_daily_pairs" -> 3.851, "benford_first_digit" -> 2.383,
     "transition_entropy" -> 2.697, "stream_spearman" -> 8.079,
     "runs_test_daily" -> 3.026, "props_key_census" -> 1.722,
-    "stream_runs_test" -> 7.875, "stream_benford" -> 4.370)
+    "stream_runs_test" -> 7.875, "stream_benford" -> 4.370,
+    // round-8 fourteenth wave (same quiet-box harness; evidence in
+    // BASELINE.md "Round-8 additions, fourteenth wave")
+    "kendall_tau_daily" -> 3.380, "ljung_box_daily" -> 4.234,
+    "stream_kendall" -> 7.773, "stream_ljung_box" -> 8.954)
 
   /** Run ONE query in a fresh JVM (this JVM's own flags + classpath,
     * stderr discarded) and parse its timing out of the child's JSON
