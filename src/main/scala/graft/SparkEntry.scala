@@ -90,6 +90,10 @@ object SparkEntry {
     "stream_spearman"    -> ((s: SparkSession, d: String) => streaming.TimeseriesStream.streamSpearman(s, d)),
     "runs_test_daily"    -> Stats.runsTestDaily _,
     "kendall_tau_daily"  -> Stats.kendallTauDaily _,
+    "markov_stationary"  -> Stats.markovStationary _,
+    "dow_residual_outliers" -> Stats.dowResidualOutliers _,
+    "stream_markov"      -> ((s: SparkSession, d: String) => streaming.TransitionStream.streamMarkov(s, d)),
+    "stream_dow_residual" -> ((s: SparkSession, d: String) => streaming.TimeseriesStream.streamDowResidual(s, d)),
     "ljung_box_daily"    -> ((s: SparkSession, d: String) => Timeseries.ljungBoxDaily(s, d)),
     "stream_kendall"     -> ((s: SparkSession, d: String) => streaming.TimeseriesStream.streamKendall(s, d)),
     "stream_ljung_box"   -> ((s: SparkSession, d: String) => streaming.TimeseriesStream.streamLjungBox(s, d)),
@@ -411,6 +415,8 @@ object SparkEntry {
       "stream_benford" -> base("benford_first_digit"),
       "stream_kendall" -> base("kendall_tau_daily"),
       "stream_ljung_box" -> base("ljung_box_daily"),
+      "stream_markov" -> base("markov_stationary"),
+      "stream_dow_residual" -> base("dow_residual_outliers"),
       // cross-batch intervals reconstructed from the per-user
       // frontier; additive daily sufficient sums
       "stream_time_weighted" -> base("time_weighted_value"),
@@ -900,6 +906,8 @@ object SparkEntry {
     "props_key_census" -> operators.Stats.propsKeyCensusOracleSql,
     "kendall_tau_daily" -> operators.Stats.kendallTauDailyOracleSql,
     "ljung_box_daily" -> operators.Timeseries.ljungBoxDailyOracleSql,
+    "markov_stationary" -> operators.Stats.markovStationaryOracleSql(),
+    "dow_residual_outliers" -> operators.Stats.dowResidualOutliersOracleSql,
     "degree_powerlaw_fit" -> operators.Graph.degreePowerlawFitOracleSql,
     "session_duration" -> operators.Retention.sessionDurationOracleSql(),
     "vocab_coverage_curve" -> operators.TextOps.vocabCoverageCurveOracleSql,

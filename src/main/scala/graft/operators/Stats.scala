@@ -789,6 +789,167 @@ object Stats {
       |            ELSE NULL END AS kendall_tau_b
       |FROM pp ORDER BY 1, 2""".stripMargin
 
+  /** Stationary distribution of the event-type transition chain —
+    * "where does a user's session settle" (the long-run share of
+    * each action if behavior kept its current dynamics; compare
+    * against today's raw mix to see where the flow is HEADING):
+    * fixed-point of π·P computed by 12 EXACT-INTEGER power steps on
+    * the (prev, curr, n) transition counts — π carried ×1e9, each
+    * step π′_j = Σ_i (π_i·c_ij div rs_i) with per-term truncating
+    * div (identical in BigInt and HUGEINT, the pca_power
+    * discipline), normalized ONCE into floats at output. The
+    * |types|² matrix is planning-scale, so the fold runs on the
+    * driver; the distributed pass is the transition count itself.
+    */
+  def markovStationaryTransform(events: DataFrame, iters: Int = 12): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val counts = events.select($"user_id", $"ts", $"event_id", $"event_type")
+      .withColumn("prev_type", lag($"event_type", 1).over(w))
+      .filter($"prev_type".isNotNull)
+      .groupBy($"prev_type", $"event_type".as("curr_type"))
+      .agg(count(lit(1)).as("n"))
+    markovFromCounts(counts, iters)
+  }
+
+  /** The stationary fold from the (prev, curr, n) counts — shared
+    * with the streaming twin over [[graft.streaming
+    * .TransitionState]]'s additive pair state (second face next to
+    * the transition report). */
+  private[graft] def markovFromCounts(counts: DataFrame, iters: Int = 12): DataFrame = {
+    val spark = counts.sparkSession
+    import spark.implicits._
+    // planning-scale: |types|² cells
+    val cells = counts.collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val types = (cells.map(_._1) ++ cells.map(_._2)).distinct.sorted
+    val idx = types.zipWithIndex.toMap
+    val d = types.length
+    val c = Array.ofDim[Long](d, d)
+    cells.foreach { case (i, j, n) => c(idx(i))(idx(j)) = n }
+    val rs = Array.tabulate(d)(i => c(i).sum)
+    var pi = Array.fill(d)(BigInt(1000000000L) / d)
+    for (_ <- 1 to iters) {
+      val next = Array.fill(d)(BigInt(0))
+      for (i <- 0 until d if rs(i) > 0; j <- 0 until d if c(i)(j) != 0)
+        next(j) += pi(i) * c(i)(j) / rs(i)
+      pi = next
+    }
+    val tot = pi.sum
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    types.indices.map { i =>
+      (types(i), pi(i).toLong, r6(pi(i).toDouble / tot.toDouble))
+    }.toDF("event_type", "pi9", "stationary_p")
+      .orderBy($"event_type")
+  }
+
+  def markovStationary(spark: SparkSession, dir: String): DataFrame =
+    markovStationaryTransform(Tables.events(spark, dir))
+
+  /** DuckDB oracle for [[markovStationaryTransform]] — the identical
+    * integer power steps unrolled as MATERIALIZED CTEs (plain CTEs
+    * would re-expand the chain per reference). */
+  def markovStationaryOracleSql(iters: Int = 12): String = {
+    val iter = (k: Int) =>
+      s"""p$k AS MATERIALIZED (
+         |  SELECT c.curr AS event_type,
+         |         sum(p.pi * c.n // c.rs) AS pi
+         |  FROM p${k - 1} p JOIN cells c ON c.prev = p.event_type
+         |  GROUP BY 1)""".stripMargin
+    s"""WITH pr AS (
+       |  SELECT user_id, event_type, ts, event_id,
+       |         lag(event_type) OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id) AS prev_type
+       |  FROM events),
+       |cnt AS MATERIALIZED (SELECT prev_type AS prev, event_type AS curr, count(*) AS n
+       |       FROM pr WHERE prev_type IS NOT NULL GROUP BY 1, 2),
+       |cells AS MATERIALIZED (
+       |  SELECT prev, curr, CAST(n AS HUGEINT) AS n,
+       |         CAST(sum(n) OVER (PARTITION BY prev) AS HUGEINT) AS rs
+       |  FROM cnt),
+       |tys AS MATERIALIZED (SELECT DISTINCT t AS event_type FROM (
+       |  SELECT prev AS t FROM cnt UNION SELECT curr FROM cnt)),
+       |p0 AS MATERIALIZED (
+       |  SELECT event_type,
+       |         CAST(1000000000 AS HUGEINT) // (SELECT count(*) FROM tys) AS pi
+       |  FROM tys),
+       |${(1 to iters).map(iter).mkString(",\n")},
+       |tot AS (SELECT sum(pi) AS tot FROM p$iters)
+       |SELECT t.event_type, CAST(coalesce(p.pi, 0) AS BIGINT) AS pi9,
+       |       round(CAST(coalesce(p.pi, 0) AS DOUBLE) / tot.tot, 6) AS stationary_p
+       |FROM tys t LEFT JOIN p$iters p ON p.event_type = t.event_type
+       |CROSS JOIN tot ORDER BY t.event_type""".stripMargin
+  }
+
+  /** Day-of-week residual outlier screen per type — "was TUESDAY
+    * abnormal for a Tuesday" (a raw z-score flags every weekend on a
+    * weekday-heavy product; comparing each day against ITS OWN
+    * weekday's history removes the seasonal term first): per (type,
+    * dow) the day-count mean/variance as exact rationals, and the
+    * 3σ test cross-multiplied to a PURE INTEGER comparison
+    * (K·n − S)² > 9·(K·Σn² − S²) — no float ever decides a flag;
+    * the reported expectation is the single rounded float.
+    *
+    * Shape: |types|×|days| grid → per-(type, dow) sufficient sums
+    * broadcast back onto the grid; grid-scale throughout. */
+  def dowResidualOutliersTransform(events: DataFrame): DataFrame =
+    dowResidualFromDaily(events
+      .select(col("event_type"), date_trunc("day", col("ts")).as("day"))
+      .groupBy(col("event_type"), col("day")).agg(count(lit(1)).as("n")))
+
+  /** The residual screen from the (event_type, day, n) grid — the
+    * NINTH face of [[graft.streaming.TypeDailyCountState]]. */
+  private[graft] def dowResidualFromDaily(daily0: DataFrame): DataFrame = {
+    val spark = daily0.sparkSession
+    import spark.implicits._
+    val daily = daily0
+    val bounds = daily.agg(min($"day").as("lo"), max($"day").as("hi"))
+    val grid = daily.select($"event_type").distinct()
+      .crossJoin(broadcast(bounds))
+      .select($"event_type", explode(expr("sequence(lo, hi, INTERVAL 1 DAY)")).as("day"))
+      .join(daily, Seq("event_type", "day"), "left")
+      .select($"event_type", $"day", coalesce($"n", lit(0L)).as("n"))
+      .withColumn("dow", (dayofweek($"day") - 1).cast("long"))
+    val stats = grid.groupBy($"event_type", $"dow")
+      .agg(count(lit(1)).as("k"), sum($"n").as("s"),
+        sum(expr("CAST(n AS DECIMAL(38,0)) * n")).as("s2"))
+    grid.join(broadcast(stats), Seq("event_type", "dow"))
+      .select($"event_type", $"day", $"n",
+        expr("round(CAST(s AS DOUBLE) / k, 6)").as("expected"),
+        expr("""CASE WHEN k > 1 THEN
+                  CAST(k * n - s AS DECIMAL(38,0)) * CAST(k * n - s AS DECIMAL(38,0))
+                    > 9 * (k * s2 - CAST(s AS DECIMAL(38,0)) * s)
+                ELSE false END""").as("is_outlier"))
+      .orderBy($"event_type", $"day")
+  }
+
+  def dowResidualOutliers(spark: SparkSession, dir: String): DataFrame =
+    dowResidualOutliersTransform(Tables.events(spark, dir))
+
+  /** DuckDB oracle for [[dowResidualOutliersTransform]]. */
+  val dowResidualOutliersOracleSql: String =
+    """WITH d AS (SELECT event_type, date_trunc('day', CAST(ts AS TIMESTAMP)) AS day,
+      |                  count(*) AS n
+      |           FROM events GROUP BY 1, 2),
+      |spine AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS day
+      |          FROM (SELECT min(day) AS lo, max(day) AS hi FROM d)),
+      |g AS (SELECT t.event_type, s.day, coalesce(d.n, 0) AS n,
+      |             CAST(date_part('dow', s.day) AS BIGINT) AS dow
+      |      FROM (SELECT DISTINCT event_type FROM d) t
+      |      CROSS JOIN spine s
+      |      LEFT JOIN d ON d.event_type = t.event_type AND d.day = s.day),
+      |st AS (SELECT event_type, dow, count(*) AS k, sum(n) AS s,
+      |              sum(CAST(n AS HUGEINT) * n) AS s2
+      |       FROM g GROUP BY 1, 2)
+      |SELECT g.event_type, g.day, CAST(g.n AS BIGINT) AS n,
+      |       round(CAST(st.s AS DOUBLE) / st.k, 6) AS expected,
+      |       CASE WHEN st.k > 1 THEN
+      |         CAST(st.k * g.n - st.s AS HUGEINT) * CAST(st.k * g.n - st.s AS HUGEINT)
+      |           > 9 * (st.k * st.s2 - CAST(st.s AS HUGEINT) * st.s)
+      |       ELSE false END AS is_outlier
+      |FROM g JOIN st ON st.event_type = g.event_type AND st.dow = g.dow
+      |ORDER BY g.event_type, g.day""".stripMargin
+
   /** JSON property-key census over the event payloads — the
     * data-contract drift detector (a key vanishing or a new one
     * ramping is a producer deploy you want to SEE): every key's

@@ -90,6 +90,12 @@ final class TypeDailyCountState(stateDir: String) {
   /** EIGHTH face: the Ljung–Box portmanteau over the ACF. */
   def reportLjungBox(spark: SparkSession): DataFrame =
     graft.operators.Timeseries.ljungBoxFromDaily(prior(spark))
+
+  /** NINTH face: the day-of-week residual outlier screen — the
+    * per-dow history is a whole-grid read, the counts are additive. */
+  def reportDowResidual(spark: SparkSession): DataFrame =
+    graft.operators.Stats.dowResidualFromDaily(
+      prior(spark).select(col("event_type"), col("day"), col("x").as("n")))
 }
 
 /** Additive (item, day, n) engagement grid for the adoption profile —
@@ -391,6 +397,18 @@ object TimeseriesStream {
       StreamSources.eventsFrom(spark, s"$work/input", maxFilesPerTrigger = 1),
       state.merge)
     state.reportLjungBox(spark)
+  }
+
+  /** Queries entry (oracle: same SQL as `dow_residual_outliers`):
+    * the SAME (type, day) count state, ninth face. */
+  def streamDowResidual(spark: SparkSession, dir: String, nFiles: Int = 4): DataFrame = {
+    val work = graft.GraftCaches.trackTempDir("graft_sdowr_")
+    FunnelStream.stageTimeOrdered(spark, dir, s"$work/input", nFiles)
+    val state = new TypeDailyCountState(s"$work/state")
+    StreamSources.runForeachBatch(
+      StreamSources.eventsFrom(spark, s"$work/input", maxFilesPerTrigger = 1),
+      state.merge)
+    state.reportDowResidual(spark)
   }
 
   /** Queries entry (oracle: same SQL as `item_adoption`). */

@@ -82,6 +82,13 @@ final class TransitionState(stateDir: String) {
 
   def report(spark: SparkSession): DataFrame =
     graft.operators.Behavior.transitionReport(priorPairs(spark))
+
+  /** The SAME (prev, curr, n) pair state serves the stationary-
+    * distribution fold — second face (a fixed point is a whole-
+    * matrix read; the counts merge). */
+  def reportMarkov(spark: SparkSession): DataFrame =
+    graft.operators.Stats.markovFromCounts(
+      priorPairs(spark).select(col("prev_type"), col("curr_type"), col("n")))
 }
 
 /** Exact distinct users per day on an unbounded stream — the
@@ -315,6 +322,19 @@ object TransitionStream {
       StreamSources.eventsFrom(spark, s"$work/input", maxFilesPerTrigger = 1),
       state.merge)
     state
+  }
+
+  /** Queries entry (oracle: same SQL as `markov_stationary`): the
+    * SAME (prev, curr, n) pair state as stream_transitions, second
+    * face. */
+  def streamMarkov(spark: SparkSession, dir: String, nFiles: Int = 4): DataFrame = {
+    val work = graft.GraftCaches.trackTempDir("graft_smkv_")
+    FunnelStream.stageTimeOrdered(spark, dir, s"$work/input", nFiles)
+    val state = new TransitionState(s"$work/state")
+    StreamSources.runForeachBatch(
+      StreamSources.eventsFrom(spark, s"$work/input", maxFilesPerTrigger = 1),
+      state.merge)
+    state.reportMarkov(spark)
   }
 
   /** Queries entry (oracle: same SQL as `interevent_histogram`). */

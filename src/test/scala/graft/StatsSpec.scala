@@ -204,7 +204,9 @@ class StatsSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
         "stream_runs_test" -> "runs_test_daily",
         "stream_benford" -> "benford_first_digit",
         "stream_kendall" -> "kendall_tau_daily",
-        "stream_ljung_box" -> "ljung_box_daily")) {
+        "stream_ljung_box" -> "ljung_box_daily",
+        "stream_markov" -> "markov_stationary",
+        "stream_dow_residual" -> "dow_residual_outliers")) {
       val s = SparkEntry.queries(sName)(spark, sf).collect().map(_.toString).sorted
       val b = SparkEntry.queries(bName)(spark, sf).collect().map(_.toString).sorted
       assert(s.sameElements(b), s"$sName diverged from $bName")
@@ -380,6 +382,43 @@ class StatsSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
       assert(r.getAs[Double]("ljung_box_q") >= 0.0)
       assert(r.getAs[Long]("k_lags") <= 7L)
     }
+  }
+
+  test("markov_stationary: a two-state doubly-stochastic chain settles at 50/50") {
+    import spark.implicits._
+    // a->b and b->a only: the stationary distribution is uniform
+    val ev = (0 until 8).map { i =>
+      (i.toLong, new Timestamp(ts(0).getTime + i * 1000L), 1L,
+        if (i % 2 == 0) "a" else "b", 0.0, "{}")
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val r = operators.Stats.markovStationaryTransform(ev).collect()
+    assert(r.length == 2)
+    r.foreach(row => assert(row.getAs[Double]("stationary_p") == 0.5))
+    // corpus: probabilities sum to ~1
+    val all = SparkEntry.queries("markov_stationary")(spark, "/root/testdata/sf0.001").collect()
+    val s = all.map(_.getAs[Double]("stationary_p")).sum
+    assert(math.abs(s - 1.0) < 1e-4)
+  }
+
+  test("dow_residual_outliers: a planted spike on one weekday flags, its peers do not") {
+    import spark.implicits._
+    // 12 quiet same-weekday baselines + one 40-event spike. The
+    // population sigma INCLUDES the spike, so a single outlier can
+    // only reach z > 3 with K >= ~11 history points (max z =
+    // (K-1)/sqrt(K)) — by design: thin histories never flag.
+    def dts(day: Int) = new Timestamp(ts(0).getTime + day * 86400000L)
+    def burst(day: Int, k: Int, base: Int) =
+      (0 until k).map(i => ((base + i).toLong, dts(day), 1L, "a", 0.0, "{}"))
+    val ev = ((0 until 12).flatMap(wk => burst(wk * 7, 2, wk * 100)) ++
+      burst(84, 40, 5000)).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val r = operators.Stats.dowResidualOutliersTransform(ev).collect()
+    val sameDow = r.filter(x => {
+      val d = x.getAs[Timestamp]("day").getTime - ts(0).getTime
+      d % (7L * 86400000L) == 0
+    })
+    assert(sameDow.length == 13)
+    val flagged = r.filter(_.getAs[Boolean]("is_outlier"))
+    assert(flagged.length == 1 && flagged(0).getAs[Long]("n") == 40L)
   }
 
   test("url_filter: every planted slice fires its own rule") {
