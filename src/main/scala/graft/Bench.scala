@@ -224,7 +224,11 @@ object Bench {
     // round-8 fourteenth wave (same quiet-box harness; evidence in
     // BASELINE.md "Round-8 additions, fourteenth wave")
     "kendall_tau_daily" -> 3.380, "ljung_box_daily" -> 4.234,
-    "stream_kendall" -> 7.773, "stream_ljung_box" -> 8.954)
+    "stream_kendall" -> 7.773, "stream_ljung_box" -> 8.954,
+    // round-8 fifteenth wave (same quiet-box harness; evidence in
+    // BASELINE.md "Round-8 additions, fifteenth wave")
+    "markov_stationary" -> 1.761, "dow_residual_outliers" -> 2.644,
+    "stream_markov" -> 9.162, "stream_dow_residual" -> 6.987)
 
   /** Run ONE query in a fresh JVM (this JVM's own flags + classpath,
     * stderr discarded) and parse its timing out of the child's JSON

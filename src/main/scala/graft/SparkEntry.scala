@@ -91,6 +91,11 @@ object SparkEntry {
     "runs_test_daily"    -> Stats.runsTestDaily _,
     "kendall_tau_daily"  -> Stats.kendallTauDaily _,
     "markov_stationary"  -> Stats.markovStationary _,
+    "mutual_info_type_dow" -> Stats.mutualInfoTypeDow _,
+    "absorption_steps"   -> Stats.absorptionSteps _,
+    "sessions_per_user"  -> Retention.sessionsPerUser _,
+    "stream_mutual_info" -> ((s: SparkSession, d: String) => streaming.TimeseriesStream.streamMutualInfo(s, d)),
+    "stream_absorption"  -> ((s: SparkSession, d: String) => streaming.TransitionStream.streamAbsorption(s, d)),
     "dow_residual_outliers" -> Stats.dowResidualOutliers _,
     "stream_markov"      -> ((s: SparkSession, d: String) => streaming.TransitionStream.streamMarkov(s, d)),
     "stream_dow_residual" -> ((s: SparkSession, d: String) => streaming.TimeseriesStream.streamDowResidual(s, d)),
@@ -417,6 +422,8 @@ object SparkEntry {
       "stream_ljung_box" -> base("ljung_box_daily"),
       "stream_markov" -> base("markov_stationary"),
       "stream_dow_residual" -> base("dow_residual_outliers"),
+      "stream_mutual_info" -> base("mutual_info_type_dow"),
+      "stream_absorption" -> base("absorption_steps"),
       // cross-batch intervals reconstructed from the per-user
       // frontier; additive daily sufficient sums
       "stream_time_weighted" -> base("time_weighted_value"),
@@ -908,6 +915,9 @@ object SparkEntry {
     "ljung_box_daily" -> operators.Timeseries.ljungBoxDailyOracleSql,
     "markov_stationary" -> operators.Stats.markovStationaryOracleSql(),
     "dow_residual_outliers" -> operators.Stats.dowResidualOutliersOracleSql,
+    "mutual_info_type_dow" -> operators.Stats.mutualInfoTypeDowOracleSql,
+    "absorption_steps" -> operators.Stats.absorptionStepsOracleSql(),
+    "sessions_per_user" -> operators.Retention.sessionsPerUserOracleSql(),
     "degree_powerlaw_fit" -> operators.Graph.degreePowerlawFitOracleSql,
     "session_duration" -> operators.Retention.sessionDurationOracleSql(),
     "vocab_coverage_curve" -> operators.TextOps.vocabCoverageCurveOracleSql,

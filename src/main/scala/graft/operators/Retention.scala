@@ -147,6 +147,44 @@ object Retention {
   def sessionDuration(spark: SparkSession, dir: String): DataFrame =
     sessionDurationTransform(Tables.events(spark, dir))
 
+  /** Sessions-per-user histogram in power-of-two buckets — the
+    * visit-frequency profile that closes the session triple (B41
+    * peak concurrency = capacity, B53 durations = depth, this =
+    * frequency): per user the session count from the SAME
+    * gaps-and-islands collapse, then the bucket rollup with closed
+    * integer bounds. One user_id shuffle + two map-side-combinable
+    * aggregates; ≤ ~30 rows at any scale. */
+  def sessionsPerUserTransform(events: DataFrame, gapMinutes: Int = 30): DataFrame =
+    sessionIntervals(events, gapMinutes)
+      .groupBy(col("user_id")).agg(count(lit(1)).as("k"))
+      .select(expr("CAST(floor(log2(k)) AS BIGINT)").as("bucket"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_users"))
+      .select(col("bucket"),
+        expr("CAST(pow(2, bucket) AS BIGINT)").as("sessions_lo"),
+        expr("CAST(pow(2, bucket + 1) AS BIGINT) - 1").as("sessions_hi"),
+        col("n_users"))
+      .orderBy(col("bucket"))
+
+  def sessionsPerUser(spark: SparkSession, dir: String): DataFrame =
+    sessionsPerUserTransform(Tables.events(spark, dir))
+
+  /** Oracle for [[sessionsPerUserTransform]]. */
+  def sessionsPerUserOracleSql(gapMinutes: Int = 30): String =
+    s"""WITH e AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+       |f AS (SELECT user_id, event_id, ts,
+       |             CASE WHEN lag(ts) OVER w IS NULL THEN 1
+       |                  WHEN epoch_us(ts) - epoch_us(lag(ts) OVER w) > $gapMinutes * 60 * 1000000 THEN 1
+       |                  ELSE 0 END AS new_session
+       |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+       |k AS (SELECT user_id, CAST(sum(new_session) AS BIGINT) AS k FROM f GROUP BY 1),
+       |b AS (SELECT CAST(floor(log2(k)) AS BIGINT) AS bucket FROM k)
+       |SELECT bucket,
+       |       CAST(pow(2, bucket) AS BIGINT) AS sessions_lo,
+       |       CAST(pow(2, bucket + 1) AS BIGINT) - 1 AS sessions_hi,
+       |       count(*) AS n_users
+       |FROM b GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** Oracle for [[sessionDurationTransform]]. */
   def sessionDurationOracleSql(gapMinutes: Int = 30): String =
     s"""WITH e AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),

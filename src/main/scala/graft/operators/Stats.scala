@@ -881,6 +881,158 @@ object Stats {
        |CROSS JOIN tot ORDER BY t.event_type""".stripMargin
   }
 
+  /** Mutual information between event type and day-of-week — the
+    * information-theoretic companion of [[chi2TypeDowTransform]]
+    * (χ² asks "is there dependence", MI says HOW MANY BITS the
+    * weekday tells you about the action mix): I = Σ p_ij·log2(n_ij·N
+    * /(r_i·c_j)) over the observed cells (empty cells contribute 0
+    * exactly, so no zero-fill is needed here), each term ONE float
+    * on four exact integers rounded to the 1e-9 grid and summed
+    * EXACTLY as DECIMAL(24,9) — the order-free discipline.
+    */
+  def mutualInfoTypeDowTransform(events: DataFrame): DataFrame =
+    miFromObs(events
+      .select(col("event_type"), (dayofweek(col("ts")) - 1).cast("long").as("dow"))
+      .groupBy(col("event_type"), col("dow")).agg(count(lit(1)).as("n")))
+
+  /** The MI rollup from the (event_type, dow, n) cells — the TENTH
+    * face of [[graft.streaming.TypeDailyCountState]] (dow derives
+    * from the day, as in [[chi2FromObs]]). */
+  private[graft] def miFromObs(obs: DataFrame): DataFrame = {
+    val spark = obs.sparkSession
+    import spark.implicits._
+    val rows = obs.groupBy($"event_type").agg(sum($"n").as("r"))
+    val cols = obs.groupBy($"dow").agg(sum($"n").as("c"))
+    val total = obs.agg(sum($"n").as("t"))
+    obs.join(rows, Seq("event_type")).join(cols, Seq("dow"))
+      .crossJoin(broadcast(total))
+      .select(
+        $"t",
+        expr("""CAST(round((CAST(n AS DOUBLE) / t) *
+                           log2(CAST(n AS DOUBLE) * t / (CAST(r AS DOUBLE) * c)), 9)
+                     AS DECIMAL(24,9))""").as("term"))
+      .groupBy($"t")
+      .agg(sum($"term").as("mi"))
+      .select($"t".as("n_events"),
+        expr("round(CAST(mi AS DOUBLE) + 0.0, 6)").as("mi_bits"))
+  }
+
+  def mutualInfoTypeDow(spark: SparkSession, dir: String): DataFrame =
+    mutualInfoTypeDowTransform(Tables.events(spark, dir))
+
+  /** DuckDB oracle for [[mutualInfoTypeDowTransform]]. */
+  val mutualInfoTypeDowOracleSql: String =
+    """WITH obs AS (SELECT event_type,
+      |                    CAST(date_part('dow', CAST(ts AS TIMESTAMP)) AS BIGINT) AS dow,
+      |                    count(*) AS n
+      |             FROM events GROUP BY 1, 2),
+      |r AS (SELECT event_type, sum(n) AS r FROM obs GROUP BY 1),
+      |c AS (SELECT dow, sum(n) AS c FROM obs GROUP BY 1),
+      |t AS (SELECT sum(n) AS t FROM obs),
+      |terms AS (
+      |  SELECT t.t,
+      |         CAST(round((CAST(obs.n AS DOUBLE) / t.t) *
+      |                    log2(CAST(obs.n AS DOUBLE) * t.t / (CAST(r.r AS DOUBLE) * c.c)), 9)
+      |              AS DECIMAL(24,9)) AS term
+      |  FROM obs JOIN r ON r.event_type = obs.event_type
+      |           JOIN c ON c.dow = obs.dow CROSS JOIN t)
+      |SELECT CAST(t AS BIGINT) AS n_events,
+      |       round(CAST(sum(term) AS DOUBLE) + 0.0, 6) AS mi_bits
+      |FROM terms GROUP BY t""".stripMargin
+
+  /** Expected transitions to reach `purchase` from every state of
+    * the empirical event-type chain — funnel depth READ OFF THE
+    * DYNAMICS instead of counted per user (a state may reach
+    * purchase rarely but fast, or often but slowly — this separates
+    * them): 20 fixed value-iteration steps of E′_i = 1 + Σ_j
+    * P_ij·E_j with the target absorbing at 0, in EXACT ×1e6
+    * integers with per-term truncating div (BigInt ≡ HUGEINT, the
+    * markov_stationary discipline). The iteration converges from
+    * below, so a state near 20·1e6 reads as "does not reach the
+    * target within the horizon" — visible, not an error.
+    */
+  def absorptionStepsTransform(events: DataFrame, target: String = "purchase",
+                               iters: Int = 20): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val counts = events.select($"user_id", $"ts", $"event_id", $"event_type")
+      .withColumn("prev_type", lag($"event_type", 1).over(w))
+      .filter($"prev_type".isNotNull)
+      .groupBy($"prev_type", $"event_type".as("curr_type"))
+      .agg(count(lit(1)).as("n"))
+    absorptionFromCounts(counts, target, iters)
+  }
+
+  /** The value-iteration fold from the (prev, curr, n) counts —
+    * shared with the streaming twin over [[graft.streaming
+    * .TransitionState]] (third face next to the transition report
+    * and the stationary fold). */
+  private[graft] def absorptionFromCounts(counts: DataFrame, target: String = "purchase",
+                                          iters: Int = 20): DataFrame = {
+    val spark = counts.sparkSession
+    import spark.implicits._
+    val cells = counts.collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val types = (cells.map(_._1) ++ cells.map(_._2)).distinct.sorted
+    val idx = types.zipWithIndex.toMap
+    val d = types.length
+    val c = Array.ofDim[Long](d, d)
+    cells.foreach { case (i, j, n) => c(idx(i))(idx(j)) = n }
+    val rs = Array.tabulate(d)(i => c(i).sum)
+    val tgt = idx.get(target)
+    var e = Array.fill(d)(BigInt(0))
+    for (_ <- 1 to iters) {
+      val next = Array.tabulate(d) { i =>
+        if (tgt.contains(i)) BigInt(0)
+        else BigInt(1000000) + (0 until d).iterator
+          .filter(j => c(i)(j) != 0 && rs(i) > 0)
+          .map(j => e(j) * c(i)(j) / rs(i)).sum
+      }
+      e = next
+    }
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    types.indices.map { i =>
+      (types(i), e(i).toLong, r6(e(i).toDouble / 1e6))
+    }.toDF("event_type", "e6", "expected_steps")
+      .orderBy($"event_type")
+  }
+
+  def absorptionSteps(spark: SparkSession, dir: String): DataFrame =
+    absorptionStepsTransform(Tables.events(spark, dir))
+
+  /** DuckDB oracle for [[absorptionStepsTransform]] (target =
+    * 'purchase', 20 unrolled MATERIALIZED integer steps). */
+  def absorptionStepsOracleSql(target: String = "purchase", iters: Int = 20): String = {
+    val iter = (k: Int) =>
+      s"""e$k AS MATERIALIZED (
+         |  SELECT t.event_type,
+         |         CASE WHEN t.event_type = '$target' THEN CAST(0 AS HUGEINT)
+         |              ELSE CAST(1000000 AS HUGEINT) +
+         |                   coalesce((SELECT sum(p.v * c.n // c.rs)
+         |                             FROM cells c JOIN e${k - 1} p ON p.event_type = c.curr
+         |                             WHERE c.prev = t.event_type), 0)
+         |         END AS v
+         |  FROM tys t)""".stripMargin
+    s"""WITH pr AS (
+       |  SELECT user_id, event_type, ts, event_id,
+       |         lag(event_type) OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id) AS prev_type
+       |  FROM events),
+       |cnt AS MATERIALIZED (SELECT prev_type AS prev, event_type AS curr, count(*) AS n
+       |       FROM pr WHERE prev_type IS NOT NULL GROUP BY 1, 2),
+       |cells AS MATERIALIZED (
+       |  SELECT prev, curr, CAST(n AS HUGEINT) AS n,
+       |         CAST(sum(n) OVER (PARTITION BY prev) AS HUGEINT) AS rs
+       |  FROM cnt),
+       |tys AS MATERIALIZED (SELECT DISTINCT t AS event_type FROM (
+       |  SELECT prev AS t FROM cnt UNION SELECT curr FROM cnt)),
+       |e0 AS MATERIALIZED (SELECT event_type, CAST(0 AS HUGEINT) AS v FROM tys),
+       |${(1 to iters).map(iter).mkString(",\n")}
+       |SELECT event_type, CAST(v AS BIGINT) AS e6,
+       |       round(CAST(v AS DOUBLE) / 1e6, 6) AS expected_steps
+       |FROM e$iters ORDER BY event_type""".stripMargin
+  }
+
   /** Day-of-week residual outlier screen per type — "was TUESDAY
     * abnormal for a Tuesday" (a raw z-score flags every weekend on a
     * weekday-heavy product; comparing each day against ITS OWN

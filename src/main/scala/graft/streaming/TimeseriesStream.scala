@@ -96,6 +96,14 @@ final class TypeDailyCountState(stateDir: String) {
   def reportDowResidual(spark: SparkSession): DataFrame =
     graft.operators.Stats.dowResidualFromDaily(
       prior(spark).select(col("event_type"), col("day"), col("x").as("n")))
+
+  /** TENTH face: type↔weekday mutual information over the same
+    * grid (dow derives from the day, the chi2FromObs route). */
+  def reportMutualInfo(spark: SparkSession): DataFrame =
+    graft.operators.Stats.miFromObs(prior(spark)
+      .select(col("event_type"),
+        (dayofweek(col("day")) - 1).cast("long").as("dow"), col("x"))
+      .groupBy(col("event_type"), col("dow")).agg(sum(col("x")).as("n")))
 }
 
 /** Additive (item, day, n) engagement grid for the adoption profile —
@@ -397,6 +405,18 @@ object TimeseriesStream {
       StreamSources.eventsFrom(spark, s"$work/input", maxFilesPerTrigger = 1),
       state.merge)
     state.reportLjungBox(spark)
+  }
+
+  /** Queries entry (oracle: same SQL as `mutual_info_type_dow`):
+    * the SAME (type, day) count state, tenth face. */
+  def streamMutualInfo(spark: SparkSession, dir: String, nFiles: Int = 4): DataFrame = {
+    val work = graft.GraftCaches.trackTempDir("graft_smi_")
+    FunnelStream.stageTimeOrdered(spark, dir, s"$work/input", nFiles)
+    val state = new TypeDailyCountState(s"$work/state")
+    StreamSources.runForeachBatch(
+      StreamSources.eventsFrom(spark, s"$work/input", maxFilesPerTrigger = 1),
+      state.merge)
+    state.reportMutualInfo(spark)
   }
 
   /** Queries entry (oracle: same SQL as `dow_residual_outliers`):

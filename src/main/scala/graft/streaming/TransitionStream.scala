@@ -89,6 +89,12 @@ final class TransitionState(stateDir: String) {
   def reportMarkov(spark: SparkSession): DataFrame =
     graft.operators.Stats.markovFromCounts(
       priorPairs(spark).select(col("prev_type"), col("curr_type"), col("n")))
+
+  /** THIRD face: expected steps to absorption — the value iteration
+    * is a whole-matrix read, the pair counts merge. */
+  def reportAbsorption(spark: SparkSession): DataFrame =
+    graft.operators.Stats.absorptionFromCounts(
+      priorPairs(spark).select(col("prev_type"), col("curr_type"), col("n")))
 }
 
 /** Exact distinct users per day on an unbounded stream — the
@@ -335,6 +341,18 @@ object TransitionStream {
       StreamSources.eventsFrom(spark, s"$work/input", maxFilesPerTrigger = 1),
       state.merge)
     state.reportMarkov(spark)
+  }
+
+  /** Queries entry (oracle: same SQL as `absorption_steps`): the
+    * SAME transition-pair state, third face. */
+  def streamAbsorption(spark: SparkSession, dir: String, nFiles: Int = 4): DataFrame = {
+    val work = graft.GraftCaches.trackTempDir("graft_sabs_")
+    FunnelStream.stageTimeOrdered(spark, dir, s"$work/input", nFiles)
+    val state = new TransitionState(s"$work/state")
+    StreamSources.runForeachBatch(
+      StreamSources.eventsFrom(spark, s"$work/input", maxFilesPerTrigger = 1),
+      state.merge)
+    state.reportAbsorption(spark)
   }
 
   /** Queries entry (oracle: same SQL as `interevent_histogram`). */

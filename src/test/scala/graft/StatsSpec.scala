@@ -206,7 +206,9 @@ class StatsSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
         "stream_kendall" -> "kendall_tau_daily",
         "stream_ljung_box" -> "ljung_box_daily",
         "stream_markov" -> "markov_stationary",
-        "stream_dow_residual" -> "dow_residual_outliers")) {
+        "stream_dow_residual" -> "dow_residual_outliers",
+        "stream_mutual_info" -> "mutual_info_type_dow",
+        "stream_absorption" -> "absorption_steps")) {
       val s = SparkEntry.queries(sName)(spark, sf).collect().map(_.toString).sorted
       val b = SparkEntry.queries(bName)(spark, sf).collect().map(_.toString).sorted
       assert(s.sameElements(b), s"$sName diverged from $bName")
@@ -419,6 +421,55 @@ class StatsSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
     assert(sameDow.length == 13)
     val flagged = r.filter(_.getAs[Boolean]("is_outlier"))
     assert(flagged.length == 1 && flagged(0).getAs[Long]("n") == 40L)
+  }
+
+  test("mutual_info_type_dow: independence gives 0 bits, perfect coupling log2(k)") {
+    import spark.implicits._
+    // perfect: type a only on day0(dow), b only on day1 -> MI = 1 bit
+    val perfect = Seq(
+      (1L, ts(0), 1L, "a", 0.0, "{}"), (2L, ts(0), 2L, "a", 0.0, "{}"),
+      (3L, ts(1), 1L, "b", 0.0, "{}"), (4L, ts(1), 2L, "b", 0.0, "{}")
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val mi1 = operators.Stats.mutualInfoTypeDowTransform(perfect).collect()(0)
+    assert(mi1.getAs[Double]("mi_bits") == 1.0)
+    // independent: both types on both days equally -> 0 bits
+    val indep = Seq(
+      (1L, ts(0), 1L, "a", 0.0, "{}"), (2L, ts(1), 1L, "a", 0.0, "{}"),
+      (3L, ts(0), 2L, "b", 0.0, "{}"), (4L, ts(1), 2L, "b", 0.0, "{}")
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val mi0 = operators.Stats.mutualInfoTypeDowTransform(indep).collect()(0)
+    assert(mi0.getAs[Double]("mi_bits") == 0.0)
+  }
+
+  test("absorption_steps: a deterministic a->b->purchase chain counts exact steps") {
+    import spark.implicits._
+    // one user repeating a,b,purchase: from b the next is ALWAYS
+    // purchase (1 step); from a always b (2); purchase -> a -> ... (3)
+    // after enough users the chain is deterministic a->b->p->a
+    val ev = (0 until 9).map { i =>
+      (i.toLong, new Timestamp(ts(0).getTime + i * 1000L), 1L,
+        Seq("a", "b", "purchase")(i % 3), 0.0, "{}")
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val r = operators.Stats.absorptionStepsTransform(ev).collect()
+    val byT = r.map(x => x.getString(0) -> x.getAs[Double]("expected_steps")).toMap
+    assert(byT("purchase") == 0.0)
+    assert(byT("b") == 1.0)
+    assert(byT("a") == 2.0)
+  }
+
+  test("sessions_per_user: planted 1-session and 3-session users bucket correctly") {
+    import spark.implicits._
+    val base = ts(0).getTime
+    def ev(id: Long, u: Long, minute: Long) =
+      (id, new Timestamp(base + minute * 60000L), u, "view", 0.0, "{}")
+    // u1: single burst (1 session -> bucket 0); u2: three bursts 2h apart
+    // (3 sessions -> bucket 1 [2,3])
+    val df = Seq(ev(1, 1, 0), ev(2, 1, 5),
+      ev(3, 2, 0), ev(4, 2, 120), ev(5, 2, 240))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val r = operators.Retention.sessionsPerUserTransform(df).collect()
+    val byB = r.map(x => x.getAs[Long]("bucket") -> x.getAs[Long]("n_users")).toMap
+    assert(byB == Map(0L -> 1L, 1L -> 1L))
   }
 
   test("url_filter: every planted slice fires its own rule") {
