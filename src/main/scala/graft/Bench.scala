@@ -228,7 +228,12 @@ object Bench {
     // round-8 fifteenth wave (same quiet-box harness; evidence in
     // BASELINE.md "Round-8 additions, fifteenth wave")
     "markov_stationary" -> 1.761, "dow_residual_outliers" -> 2.644,
-    "stream_markov" -> 9.162, "stream_dow_residual" -> 6.987)
+    "stream_markov" -> 9.162, "stream_dow_residual" -> 6.987,
+    // round-8 sixteenth wave (same quiet-box harness; evidence in
+    // BASELINE.md "Round-8 additions, sixteenth wave")
+    "mutual_info_type_dow" -> 2.268, "absorption_steps" -> 1.750,
+    "sessions_per_user" -> 2.510, "stream_mutual_info" -> 6.621,
+    "stream_absorption" -> 9.051)
 
   /** Run ONE query in a fresh JVM (this JVM's own flags + classpath,
     * stderr discarded) and parse its timing out of the child's JSON
