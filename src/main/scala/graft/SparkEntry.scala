@@ -97,6 +97,12 @@ object SparkEntry {
     "stream_mutual_info" -> ((s: SparkSession, d: String) => streaming.TimeseriesStream.streamMutualInfo(s, d)),
     "stream_absorption"  -> ((s: SparkSession, d: String) => streaming.TransitionStream.streamAbsorption(s, d)),
     "dow_residual_outliers" -> Stats.dowResidualOutliers _,
+    "jarque_bera_daily"  -> Timeseries.jarqueBeraDaily _,
+    "theil_sen_trend"    -> Timeseries.theilSenTrend _,
+    "anova_f_cents"      -> Stats.anovaFCents _,
+    "stream_jarque_bera" -> ((s: SparkSession, d: String) => streaming.TimeseriesStream.streamJarqueBera(s, d)),
+    "stream_theil_sen"   -> ((s: SparkSession, d: String) => streaming.TimeseriesStream.streamTheilSen(s, d)),
+    "stream_anova"       -> ((s: SparkSession, d: String) => streaming.MomentsStream.streamAnova(s, d)),
     "stream_markov"      -> ((s: SparkSession, d: String) => streaming.TransitionStream.streamMarkov(s, d)),
     "stream_dow_residual" -> ((s: SparkSession, d: String) => streaming.TimeseriesStream.streamDowResidual(s, d)),
     "ljung_box_daily"    -> ((s: SparkSession, d: String) => Timeseries.ljungBoxDaily(s, d)),
@@ -424,6 +430,11 @@ object SparkEntry {
       "stream_dow_residual" -> base("dow_residual_outliers"),
       "stream_mutual_info" -> base("mutual_info_type_dow"),
       "stream_absorption" -> base("absorption_steps"),
+      "stream_jarque_bera" -> base("jarque_bera_daily"),
+      "stream_theil_sen" -> base("theil_sen_trend"),
+      // additive per-type integer moments (the stream_moments state):
+      // the ANOVA decomposition is a pure read over them
+      "stream_anova" -> base("anova_f_cents"),
       // cross-batch intervals reconstructed from the per-user
       // frontier; additive daily sufficient sums
       "stream_time_weighted" -> base("time_weighted_value"),
@@ -917,6 +928,9 @@ object SparkEntry {
     "dow_residual_outliers" -> operators.Stats.dowResidualOutliersOracleSql,
     "mutual_info_type_dow" -> operators.Stats.mutualInfoTypeDowOracleSql,
     "absorption_steps" -> operators.Stats.absorptionStepsOracleSql(),
+    "jarque_bera_daily" -> operators.Timeseries.jarqueBeraDailyOracleSql,
+    "theil_sen_trend" -> operators.Timeseries.theilSenTrendOracleSql,
+    "anova_f_cents" -> operators.Stats.anovaFCentsOracleSql,
     "sessions_per_user" -> operators.Retention.sessionsPerUserOracleSql(),
     "degree_powerlaw_fit" -> operators.Graph.degreePowerlawFitOracleSql,
     "session_duration" -> operators.Retention.sessionDurationOracleSql(),

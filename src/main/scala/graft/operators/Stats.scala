@@ -1205,4 +1205,82 @@ object Stats {
       |       round(sqrt(CAST(sum(contrib) AS DOUBLE)
       |                  / (t * least(nr - 1, nc - 1))), 6) AS cramers_v
       |FROM contrib GROUP BY t, nr, nc""".stripMargin
+
+  /** One-way ANOVA F over the event-value cents across event types —
+    * the OMNIBUS companion of [[Behavior.abWelchTtestTransform]]'s
+    * pairwise t's (the pairwise table answers "which two differ",
+    * the F answers "does type explain value AT ALL" in one number,
+    * plus η² = SSB/SST as the effect size): per-type exact integer
+    * moments (n, Σc, Σc²), then SSB = Σ_g S1_g²/n_g − S1²/N and
+    * SSW = Σ_g (S2_g − S1_g²/n_g), F = (SSB/(k−1))/(SSW/(N−k)).
+    *
+    * Order-free discipline: each per-group float term is rounded to
+    * the 1e-9 grid and summed as DECIMAL(38,9) (S1² ≈ 4·10¹⁸ at
+    * sf0.1 needs the 29 integer digits), so the cross-group sum is
+    * exact and shuffle-order-independent; F and η² are then single
+    * floats over those fixed decimals. Degenerate inputs (k ≤ 1 or
+    * SSW ≤ 0) report null, not an engine-dependent inf.
+    *
+    * Shape: one map-side-combinable shuffle to |types| rows, then a
+    * one-row rollup — scan-bound at any scale. */
+  def anovaFCentsTransform(events: DataFrame): DataFrame =
+    anovaFromMoments(events
+      .select(col("event_type"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("c"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("c")).as("sum_c"),
+        sum(expr("CAST(c AS DECIMAL(38,0)) * c")).as("sumsq_c")))
+
+  /** The F rollup from per-type exact moments (event_type, n, sum_c,
+    * sumsq_c) — the SECOND face of [[graft.streaming.MomentsState]]
+    * (the per-type mean/sd report is the first): the ANOVA needs
+    * nothing beyond the same additive state. */
+  private[graft] def anovaFromMoments(mom: DataFrame): DataFrame = {
+    val spark = mom.sparkSession
+    import spark.implicits._
+    mom.select($"n", $"sum_c", $"sumsq_c",
+        expr("CAST(round(CAST(sum_c AS DOUBLE) * sum_c / n, 9) AS DECIMAL(38,9))").as("tb"),
+        expr("CAST(round(CAST(sumsq_c AS DOUBLE) - CAST(sum_c AS DOUBLE) * sum_c / n, 9) AS DECIMAL(38,9))").as("tw"))
+      .agg(count(lit(1)).as("k"), sum($"n").as("n_events"),
+        sum($"sum_c").as("s1"), sum($"tb").as("stb"), sum($"tw").as("ssw"))
+      .select($"k", $"n_events",
+        expr("CAST(stb AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n_events").as("ssb"),
+        expr("CAST(ssw AS DOUBLE)").as("ssw"))
+      .select($"k", $"n_events",
+        expr("""CASE WHEN k > 1 AND n_events > k AND ssw > 0 THEN
+               |  round((ssb / (k - 1)) / (ssw / (n_events - k)), 6)
+               |END""".stripMargin).as("f_stat"),
+        expr("""CASE WHEN ssb + ssw > 0 THEN round(ssb / (ssb + ssw), 6) END""")
+          .as("eta_sq"))
+  }
+
+  def anovaFCents(spark: SparkSession, dir: String): DataFrame =
+    anovaFCentsTransform(Tables.events(spark, dir))
+
+  /** DuckDB oracle for [[anovaFCentsTransform]] — identical term
+    * shapes, identical 1e-9 grid, identical guards. */
+  val anovaFCentsOracleSql: String =
+    """WITH m AS (SELECT event_type, count(*) AS n,
+      |                  sum(CAST(round(value * 100) AS BIGINT)) AS sum_c,
+      |                  sum(CAST(CAST(round(value * 100) AS BIGINT) AS HUGEINT)
+      |                      * CAST(round(value * 100) AS BIGINT)) AS sumsq_c
+      |           FROM events GROUP BY 1),
+      |t AS (SELECT event_type, n, sum_c,
+      |             CAST(round(CAST(sum_c AS DOUBLE) * sum_c / n, 9) AS DECIMAL(38,9)) AS tb,
+      |             CAST(round(CAST(sumsq_c AS DOUBLE) - CAST(sum_c AS DOUBLE) * sum_c / n, 9) AS DECIMAL(38,9)) AS tw
+      |      FROM m),
+      |a AS (SELECT count(*) AS k, CAST(sum(n) AS BIGINT) AS n_events,
+      |             CAST(sum(sum_c) AS BIGINT) AS s1,
+      |             sum(tb) AS stb, sum(tw) AS ssw
+      |      FROM t),
+      |f AS (SELECT k, n_events,
+      |             CAST(stb AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n_events AS ssb,
+      |             CAST(ssw AS DOUBLE) AS ssw
+      |      FROM a)
+      |SELECT k, n_events,
+      |       CASE WHEN k > 1 AND n_events > k AND ssw > 0 THEN
+      |         round((ssb / (k - 1)) / (ssw / (n_events - k)), 6)
+      |       END AS f_stat,
+      |       CASE WHEN ssb + ssw > 0 THEN round(ssb / (ssb + ssw), 6) END AS eta_sq
+      |FROM f""".stripMargin
 }

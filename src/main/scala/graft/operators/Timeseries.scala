@@ -687,4 +687,168 @@ object Timeseries {
       |SELECT event_type, day, round(l, 6) AS level, round(b, 6) AS trend,
       |       round(l + b, 6) AS forecast
       |FROM hw ORDER BY 1, 2""".stripMargin
+
+  /** Jarque–Bera normality screen on each type's daily-count series —
+    * the distribution-shape companion of the Fano/runs screens (Fano
+    * asks "is the variance Poisson-consistent", runs asks "is the
+    * sign sequence random", JB asks "are the third and fourth moments
+    * Gaussian-consistent"): skewness g1 = M3/M2^1.5 and kurtosis
+    * g2 = M4/M2², where M_k are the CROSS-MULTIPLIED central power
+    * sums — M2 = n·S2 − S1², M3 = n²·S3 − 3n·S1·S2 + 2S1³,
+    * M4 = n³·S4 − 4n²·S1·S3 + 6n·S1²·S2 − 3S1⁴ — kept EXACT as
+    * DECIMAL(38,0) over the integer daily counts (the normalizing
+    * n-powers cancel: m3/m2^1.5 = M3/M2^1.5, m4/m2² = M4/M2², so no
+    * division ever happens in integer space), then ONE float each
+    * for g1/g2 and JB = n/6·(g1² + (g2−3)²/4). Constant series
+    * (M2 = 0) report null rather than an engine-dependent ±inf.
+    *
+    * Headroom: S1⁴ must fit 38 digits → exact up to ~3·10⁹ total
+    * events per type (DuckDB's HUGEINT has the same int128 ceiling);
+    * past that a deployment standardizes the daily counts first.
+    * Shape: one map-side-combinable shuffle to |types| rows of four
+    * power sums; the zero-filled grid is |types|×|days|. */
+  def jarqueBeraDailyTransform(events: DataFrame): DataFrame =
+    jarqueBeraFromDaily(events
+      .select(col("event_type"), date_trunc("day", col("ts")).as("day"))
+      .groupBy(col("event_type"), col("day")).agg(count(lit(1)).as("n")))
+
+  /** The JB derivation from an already-aggregated (event_type, day,
+    * n) table — the ELEVENTH face of [[graft.streaming
+    * .TypeDailyCountState]]'s additive grid (a late day re-centers
+    * every moment, but the counts merge exactly). */
+  private[graft] def jarqueBeraFromDaily(daily0: DataFrame): DataFrame = {
+    val spark = daily0.sparkSession
+    import spark.implicits._
+    val daily = daily0
+    val bounds = daily.agg(min($"day").as("lo"), max($"day").as("hi"))
+    val grid = daily.select($"event_type").distinct()
+      .crossJoin(broadcast(bounds))
+      .select($"event_type", explode(expr("sequence(lo, hi, INTERVAL 1 DAY)")).as("day"))
+      .join(daily, Seq("event_type", "day"), "left")
+      .select($"event_type", coalesce($"n", lit(0L)).as("n"))
+    grid.groupBy($"event_type")
+      .agg(count(lit(1)).as("nd"),
+        sum(expr("CAST(n AS DECIMAL(38,0))")).as("s1"),
+        sum(expr("CAST(n AS DECIMAL(38,0)) * n")).as("s2"),
+        sum(expr("CAST(n AS DECIMAL(38,0)) * n * n")).as("s3"),
+        sum(expr("CAST(n AS DECIMAL(38,0)) * n * n * n")).as("s4"))
+      .select($"event_type", $"nd".as("n_days"),
+        expr("nd * s2 - s1 * s1").as("m2"),
+        expr("nd * nd * s3 - 3 * nd * s1 * s2 + 2 * s1 * s1 * s1").as("m3"),
+        expr("nd * nd * nd * s4 - 4 * nd * nd * s1 * s3 " +
+          "+ 6 * nd * s1 * s1 * s2 - 3 * s1 * s1 * s1 * s1").as("m4"),
+        $"nd")
+      .select($"event_type", $"n_days",
+        expr("CASE WHEN m2 > 0 THEN round(CAST(m3 AS DOUBLE) / pow(CAST(m2 AS DOUBLE), 1.5), 6) END")
+          .as("skewness"),
+        expr("CASE WHEN m2 > 0 THEN round(CAST(m4 AS DOUBLE) / (CAST(m2 AS DOUBLE) * CAST(m2 AS DOUBLE)), 6) END")
+          .as("kurtosis"),
+        expr("""CASE WHEN m2 > 0 THEN
+               |  round(nd / 6.0 *
+               |        (pow(CAST(m3 AS DOUBLE) / pow(CAST(m2 AS DOUBLE), 1.5), 2) +
+               |         pow(CAST(m4 AS DOUBLE) / (CAST(m2 AS DOUBLE) * CAST(m2 AS DOUBLE)) - 3.0, 2) / 4.0), 6)
+               |END""".stripMargin).as("jb_stat"))
+      .orderBy($"event_type")
+  }
+
+  def jarqueBeraDaily(spark: SparkSession, dir: String): DataFrame =
+    jarqueBeraDailyTransform(graft.sources.Tables.events(spark, dir))
+
+  /** DuckDB oracle for [[jarqueBeraDailyTransform]] — HUGEINT power
+    * sums, the identical cross-multiplied moments, one float each. */
+  val jarqueBeraDailyOracleSql: String =
+    """WITH d AS (SELECT event_type, date_trunc('day', CAST(ts AS TIMESTAMP)) AS day,
+      |                  count(*) AS n
+      |           FROM events GROUP BY 1, 2),
+      |spine AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS day
+      |          FROM (SELECT min(day) AS lo, max(day) AS hi FROM d)),
+      |g AS (SELECT t.event_type, CAST(coalesce(d.n, 0) AS HUGEINT) AS n
+      |      FROM (SELECT DISTINCT event_type FROM d) t
+      |      CROSS JOIN spine s
+      |      LEFT JOIN d ON d.event_type = t.event_type AND d.day = s.day),
+      |ps AS (SELECT event_type, CAST(count(*) AS HUGEINT) AS nd,
+      |              sum(n) AS s1, sum(n * n) AS s2,
+      |              sum(n * n * n) AS s3, sum(n * n * n * n) AS s4
+      |       FROM g GROUP BY 1),
+      |mm AS (SELECT event_type, CAST(nd AS BIGINT) AS n_days, nd,
+      |              nd * s2 - s1 * s1 AS m2,
+      |              nd * nd * s3 - 3 * nd * s1 * s2 + 2 * s1 * s1 * s1 AS m3,
+      |              nd * nd * nd * s4 - 4 * nd * nd * s1 * s3
+      |                + 6 * nd * s1 * s1 * s2 - 3 * s1 * s1 * s1 * s1 AS m4
+      |       FROM ps)
+      |SELECT event_type, n_days,
+      |       CASE WHEN m2 > 0 THEN round(CAST(m3 AS DOUBLE) / pow(CAST(m2 AS DOUBLE), 1.5), 6) END AS skewness,
+      |       CASE WHEN m2 > 0 THEN round(CAST(m4 AS DOUBLE) / (CAST(m2 AS DOUBLE) * CAST(m2 AS DOUBLE)), 6) END AS kurtosis,
+      |       CASE WHEN m2 > 0 THEN
+      |         round(CAST(nd AS BIGINT) / 6.0 *
+      |               (pow(CAST(m3 AS DOUBLE) / pow(CAST(m2 AS DOUBLE), 1.5), 2) +
+      |                pow(CAST(m4 AS DOUBLE) / (CAST(m2 AS DOUBLE) * CAST(m2 AS DOUBLE)) - 3.0, 2) / 4.0), 6)
+      |       END AS jb_stat
+      |FROM mm ORDER BY 1""".stripMargin
+
+  /** Theil–Sen robust trend per type — the slope estimate the
+    * anomaly screens want when OLS would chase one spiked day: the
+    * MEDIAN of all pairwise slopes (x_j − x_i)/(j − i) over the
+    * zero-filled daily series. Breakdown point ~29%, versus 0% for
+    * the least-squares line inside [[holtFromDaily]]'s smoother.
+    *
+    * Exactness: each slope is ONE float quotient of two exact
+    * integers (count delta / day delta); the median interpolates the
+    * two middle order statistics with the same (n−1)·p rule in both
+    * engines (Spark `percentile`, DuckDB `quantile_cont`), so the
+    * doubles agree bit-for-bit before the single round.
+    *
+    * Shape: the pair join is |days|²/2 per type — ~4k rows per type
+    * at a 90-day window, BOUNDED BY THE CALENDAR not the fact table
+    * (a year is 66k pairs); the fact table collapses to the daily
+    * grid in one map-side-combinable shuffle first. */
+  def theilSenTrendTransform(events: DataFrame): DataFrame =
+    theilSenFromDaily(events
+      .select(col("event_type"), date_trunc("day", col("ts")).as("day"))
+      .groupBy(col("event_type"), col("day")).agg(count(lit(1)).as("n")))
+
+  /** The Theil–Sen derivation from an already-aggregated
+    * (event_type, day, n) table — the TWELFTH face of
+    * [[graft.streaming.TypeDailyCountState]]'s additive grid. */
+  private[graft] def theilSenFromDaily(daily0: DataFrame): DataFrame = {
+    val spark = daily0.sparkSession
+    import spark.implicits._
+    val daily = daily0
+    val bounds = daily.agg(min($"day").as("lo"), max($"day").as("hi"))
+    val grid = daily.select($"event_type").distinct()
+      .crossJoin(broadcast(bounds))
+      .select($"event_type", explode(expr("sequence(lo, hi, INTERVAL 1 DAY)")).as("day"), $"lo")
+      .join(daily, Seq("event_type", "day"), "left")
+      .select($"event_type", datediff($"day", $"lo").cast("long").as("di"),
+        coalesce($"n", lit(0L)).as("n"))
+    val a = grid.select($"event_type", $"di".as("di_a"), $"n".as("n_a"))
+    val b = grid.select($"event_type", $"di".as("di_b"), $"n".as("n_b"))
+    a.join(b, Seq("event_type")).filter($"di_b" > $"di_a")
+      .select($"event_type",
+        expr("CAST(n_b - n_a AS DOUBLE) / (di_b - di_a)").as("slope"))
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n_pairs"),
+        expr("round(percentile(slope, 0.5), 6)").as("ts_slope"))
+      .orderBy($"event_type")
+  }
+
+  def theilSenTrend(spark: SparkSession, dir: String): DataFrame =
+    theilSenTrendTransform(graft.sources.Tables.events(spark, dir))
+
+  /** DuckDB oracle for [[theilSenTrendTransform]]. */
+  val theilSenTrendOracleSql: String =
+    """WITH d AS (SELECT event_type, date_trunc('day', CAST(ts AS TIMESTAMP)) AS day,
+      |                  count(*) AS n
+      |           FROM events GROUP BY 1, 2),
+      |spine AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS day, lo
+      |          FROM (SELECT min(day) AS lo, max(day) AS hi FROM d)),
+      |g AS (SELECT t.event_type, CAST(date_diff('day', s.lo, s.day) AS BIGINT) AS di,
+      |             CAST(coalesce(d.n, 0) AS BIGINT) AS n
+      |      FROM (SELECT DISTINCT event_type FROM d) t
+      |      CROSS JOIN spine s
+      |      LEFT JOIN d ON d.event_type = t.event_type AND d.day = s.day)
+      |SELECT a.event_type, count(*) AS n_pairs,
+      |       round(quantile_cont(CAST(b.n - a.n AS DOUBLE) / (b.di - a.di), 0.5), 6) AS ts_slope
+      |FROM g a JOIN g b ON a.event_type = b.event_type AND b.di > a.di
+      |GROUP BY 1 ORDER BY 1""".stripMargin
 }

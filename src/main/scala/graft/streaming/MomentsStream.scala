@@ -84,6 +84,15 @@ final class MomentsState(stateDir: String) {
           round(sqrt((col("sumsq_c") - col("sum_c").cast("double") * col("sum_c") / col("n"))
             / (col("n") - 1)) / 100.0, 4)).as("sd"))
       .orderBy(col("event_type"))
+
+  /** SECOND face: the one-way ANOVA omnibus F over the same additive
+    * per-type moments — the between/within decomposition is a
+    * whole-state read, but (n, Σc, Σc²) is exactly its sufficient
+    * statistic ([[graft.operators.Stats.anovaFromMoments]]). The
+    * state stores sumsq_c as BIGINT; the rollup's DECIMAL(38,9)
+    * terms widen it before any cross-type arithmetic. */
+  def reportAnova(spark: SparkSession): DataFrame =
+    graft.operators.Stats.anovaFromMoments(prior(spark))
 }
 
 object MomentsStream {
@@ -93,6 +102,15 @@ object MomentsStream {
     * formula over the whole corpus in one pass — additive state makes
     * batch boundaries invisible, no ordering staging needed).
     */
+  /** Queries entry (oracle: same SQL as `anova_f_cents`): the SAME
+    * per-type moments state as `stream_moments`, second face. */
+  def streamAnova(spark: SparkSession, dir: String): DataFrame = {
+    val work = graft.GraftCaches.trackTempDir("graft_sanova_")
+    val state = new MomentsState(s"$work/state")
+    StreamSources.runForeachBatch(StreamSources.events(spark, dir), state.merge)
+    state.reportAnova(spark)
+  }
+
   def streamMoments(spark: SparkSession, dir: String): DataFrame = {
     val work = graft.GraftCaches.trackTempDir("graft_moments_")
     val state = new MomentsState(s"$work/state")

@@ -104,6 +104,20 @@ final class TypeDailyCountState(stateDir: String) {
       .select(col("event_type"),
         (dayofweek(col("day")) - 1).cast("long").as("dow"), col("x"))
       .groupBy(col("event_type"), col("dow")).agg(sum(col("x")).as("n")))
+
+  /** ELEVENTH face: the Jarque–Bera normality screen — the central
+    * moments are whole-series reads (a late day re-centers all
+    * four), but the daily counts stay additive. */
+  def reportJarqueBera(spark: SparkSession): DataFrame =
+    graft.operators.Timeseries.jarqueBeraFromDaily(
+      prior(spark).select(col("event_type"), col("day"), col("x").as("n")))
+
+  /** TWELFTH face: the Theil–Sen robust trend — every pairwise slope
+    * touches two days, so per-batch medians cannot merge; the grid
+    * can. */
+  def reportTheilSen(spark: SparkSession): DataFrame =
+    graft.operators.Timeseries.theilSenFromDaily(
+      prior(spark).select(col("event_type"), col("day"), col("x").as("n")))
 }
 
 /** Additive (item, day, n) engagement grid for the adoption profile —
@@ -417,6 +431,30 @@ object TimeseriesStream {
       StreamSources.eventsFrom(spark, s"$work/input", maxFilesPerTrigger = 1),
       state.merge)
     state.reportMutualInfo(spark)
+  }
+
+  /** Queries entry (oracle: same SQL as `jarque_bera_daily`): the
+    * SAME (type, day) count state, eleventh face. */
+  def streamJarqueBera(spark: SparkSession, dir: String, nFiles: Int = 4): DataFrame = {
+    val work = graft.GraftCaches.trackTempDir("graft_sjb_")
+    FunnelStream.stageTimeOrdered(spark, dir, s"$work/input", nFiles)
+    val state = new TypeDailyCountState(s"$work/state")
+    StreamSources.runForeachBatch(
+      StreamSources.eventsFrom(spark, s"$work/input", maxFilesPerTrigger = 1),
+      state.merge)
+    state.reportJarqueBera(spark)
+  }
+
+  /** Queries entry (oracle: same SQL as `theil_sen_trend`): the SAME
+    * (type, day) count state, twelfth face. */
+  def streamTheilSen(spark: SparkSession, dir: String, nFiles: Int = 4): DataFrame = {
+    val work = graft.GraftCaches.trackTempDir("graft_sthsen_")
+    FunnelStream.stageTimeOrdered(spark, dir, s"$work/input", nFiles)
+    val state = new TypeDailyCountState(s"$work/state")
+    StreamSources.runForeachBatch(
+      StreamSources.eventsFrom(spark, s"$work/input", maxFilesPerTrigger = 1),
+      state.merge)
+    state.reportTheilSen(spark)
   }
 
   /** Queries entry (oracle: same SQL as `dow_residual_outliers`):

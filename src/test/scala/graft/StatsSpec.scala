@@ -208,7 +208,10 @@ class StatsSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
         "stream_markov" -> "markov_stationary",
         "stream_dow_residual" -> "dow_residual_outliers",
         "stream_mutual_info" -> "mutual_info_type_dow",
-        "stream_absorption" -> "absorption_steps")) {
+        "stream_absorption" -> "absorption_steps",
+        "stream_jarque_bera" -> "jarque_bera_daily",
+        "stream_theil_sen" -> "theil_sen_trend",
+        "stream_anova" -> "anova_f_cents")) {
       val s = SparkEntry.queries(sName)(spark, sf).collect().map(_.toString).sorted
       val b = SparkEntry.queries(bName)(spark, sf).collect().map(_.toString).sorted
       assert(s.sameElements(b), s"$sName diverged from $bName")
@@ -384,6 +387,63 @@ class StatsSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
       assert(r.getAs[Double]("ljung_box_q") >= 0.0)
       assert(r.getAs[Long]("k_lags") <= 7L)
     }
+  }
+
+  test("jarque_bera_daily: hand-computed moments on a 1,2,3 series; constant series guards to NULL") {
+    import spark.implicits._
+    def burst(tp: String, day: Int, k: Int, base: Int) =
+      (0 until k).map(i => ((base + i).toLong, ts(day), 1L, tp, 0.0, "{}"))
+    // counts 1,2,3: S1=6 S2=14 S3=36 S4=98 → M2=6, M3=0, M4=54
+    // skew = 0, kurt = 54/36 = 1.5, JB = 3/6·((1.5−3)²/4) = 0.28125
+    val ev = (burst("a", 0, 1, 0) ++ burst("a", 1, 2, 100) ++ burst("a", 2, 3, 200) ++
+      burst("f", 0, 2, 300) ++ burst("f", 1, 2, 400) ++ burst("f", 2, 2, 500))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val r = operators.Timeseries.jarqueBeraDailyTransform(ev).collect()
+    val byT = r.map(x => x.getString(0) -> x).toMap
+    assert(byT("a").getAs[Long]("n_days") == 3L)
+    assert(byT("a").getAs[Double]("skewness") == 0.0)
+    assert(byT("a").getAs[Double]("kurtosis") == 1.5)
+    assert(byT("a").getAs[Double]("jb_stat") == 0.28125)
+    // constant 2,2,2: M2 = 0 → all three stats NULL, not ±inf
+    assert(byT("f").isNullAt(byT("f").fieldIndex("skewness")))
+    assert(byT("f").isNullAt(byT("f").fieldIndex("jb_stat")))
+  }
+
+  test("theil_sen_trend: monotone ramps recover their slope exactly") {
+    import spark.implicits._
+    def burst(tp: String, day: Int, k: Int, base: Int) =
+      (0 until k).map(i => ((base + i).toLong, ts(day), 1L, tp, 0.0, "{}"))
+    // up: 1,2,3 → all three pairwise slopes = 1; down: 3,2,1 → −1
+    val ev = (burst("up", 0, 1, 0) ++ burst("up", 1, 2, 100) ++ burst("up", 2, 3, 200) ++
+      burst("down", 0, 3, 300) ++ burst("down", 1, 2, 400) ++ burst("down", 2, 1, 500))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val r = operators.Timeseries.theilSenTrendTransform(ev).collect()
+    val byT = r.map(x => x.getString(0) -> x).toMap
+    assert(byT("up").getAs[Long]("n_pairs") == 3L)
+    assert(byT("up").getAs[Double]("ts_slope") == 1.0)
+    assert(byT("down").getAs[Double]("ts_slope") == -1.0)
+  }
+
+  test("anova_f_cents: hand-computed F on two separated groups; zero-SSW guards to NULL") {
+    import spark.implicits._
+    // a: 1,3 cents; b: 5,7 cents → SSB = 16, SSW = 4, F = 8, η² = 0.8
+    val ev = Seq(
+      (1L, ts(0), 1L, "a", 0.01, "{}"), (2L, ts(0), 1L, "a", 0.03, "{}"),
+      (3L, ts(0), 1L, "b", 0.05, "{}"), (4L, ts(0), 1L, "b", 0.07, "{}")
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val r = operators.Stats.anovaFCentsTransform(ev).collect()
+    assert(r.length == 1)
+    assert(r(0).getAs[Long]("k") == 2L && r(0).getAs[Long]("n_events") == 4L)
+    assert(r(0).getAs[Double]("f_stat") == 8.0)
+    assert(r(0).getAs[Double]("eta_sq") == 0.8)
+    // constant within groups: SSW = 0 → F is NULL (not inf), η² = 1
+    val ev0 = Seq(
+      (1L, ts(0), 1L, "a", 1.00, "{}"), (2L, ts(0), 1L, "a", 1.00, "{}"),
+      (3L, ts(0), 1L, "b", 3.00, "{}"), (4L, ts(0), 1L, "b", 3.00, "{}")
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val r0 = operators.Stats.anovaFCentsTransform(ev0).collect()
+    assert(r0(0).isNullAt(r0(0).fieldIndex("f_stat")))
+    assert(r0(0).getAs[Double]("eta_sq") == 1.0)
   }
 
   test("markov_stationary: a two-state doubly-stochastic chain settles at 50/50") {
