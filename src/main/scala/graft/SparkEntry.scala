@@ -97,6 +97,8 @@ object SparkEntry {
     "stream_mutual_info" -> ((s: SparkSession, d: String) => streaming.TimeseriesStream.streamMutualInfo(s, d)),
     "stream_absorption"  -> ((s: SparkSession, d: String) => streaming.TransitionStream.streamAbsorption(s, d)),
     "dow_residual_outliers" -> Stats.dowResidualOutliers _,
+    "funnel_excluding"   -> Engagement.funnelExcluding _,
+    "bot_burst_screen"   -> Behavior.botBurstScreen _,
     "jarque_bera_daily"  -> Timeseries.jarqueBeraDaily _,
     "theil_sen_trend"    -> Timeseries.theilSenTrend _,
     "anova_f_cents"      -> Stats.anovaFCents _,
@@ -928,6 +930,8 @@ object SparkEntry {
     "dow_residual_outliers" -> operators.Stats.dowResidualOutliersOracleSql,
     "mutual_info_type_dow" -> operators.Stats.mutualInfoTypeDowOracleSql,
     "absorption_steps" -> operators.Stats.absorptionStepsOracleSql(),
+    "funnel_excluding" -> operators.Engagement.funnelExcludingOracleSql,
+    "bot_burst_screen" -> operators.Behavior.botBurstScreenOracleSql,
     "jarque_bera_daily" -> operators.Timeseries.jarqueBeraDailyOracleSql,
     "theil_sen_trend" -> operators.Timeseries.theilSenTrendOracleSql,
     "anova_f_cents" -> operators.Stats.anovaFCentsOracleSql,

@@ -2060,4 +2060,56 @@ object Behavior {
       |            // sum(c.n) AS BIGINT) AS early_share_bp
       |FROM c JOIN f ON c.item = f.item
       |GROUP BY 1, 2 ORDER BY 1""".stripMargin
+
+  /** Bot/scripted-traffic burst screen — the rate-based heuristic
+    * every engagement pipeline runs before trusting its own counts
+    * (a scraper firing 30 requests in one minute poisons the DAU,
+    * funnel, and leaderboard families upstream of it): per user, the
+    * minute-bucket activity profile — total events, distinct ACTIVE
+    * minutes, the single busiest minute — and a pure-integer flag
+    * (peak ≥ 10 events in one minute, OR a sustained 5+ events per
+    * active minute, cross-multiplied so no rate float ever decides).
+    * The report is the top-20 burstiest accounts (peak DESC, total
+    * DESC, user_id — unique tie-break) with the flag attached, so
+    * the output is useful review queue, not an empty table when the
+    * corpus is organic.
+    *
+    * Shape: one map-side-combinable (user, minute) collapse, a
+    * per-user rollup on the same user_id shuffle, then a global
+    * top-20 via TakeOrderedAndProject (sort pushed to partial
+    * per-partition top-k — no global sort, no window). */
+  def botBurstScreenTransform(events: DataFrame, topK: Int = 20): DataFrame = {
+    val perMinute = events
+      .select(col("user_id"), date_trunc("minute", col("ts")).as("minute"))
+      .groupBy(col("user_id"), col("minute")).agg(count(lit(1)).as("n"))
+    perMinute.groupBy(col("user_id"))
+      .agg(sum(col("n")).as("n_events"),
+        count(lit(1)).as("active_minutes"),
+        max(col("n")).as("peak_minute_events"))
+      .select(col("user_id"), col("n_events"), col("active_minutes"),
+        col("peak_minute_events"),
+        (col("peak_minute_events") >= 10 ||
+          col("n_events") >= col("active_minutes") * 5).as("flagged"))
+      .orderBy(col("peak_minute_events").desc, col("n_events").desc,
+        col("user_id"))
+      .limit(topK)
+  }
+
+  def botBurstScreen(spark: SparkSession, dir: String): DataFrame =
+    botBurstScreenTransform(graft.sources.Tables.events(spark, dir))
+
+  /** DuckDB oracle for [[botBurstScreenTransform]] (topK = 20). */
+  val botBurstScreenOracleSql: String =
+    """WITH m AS (SELECT user_id, date_trunc('minute', CAST(ts AS TIMESTAMP)) AS minute,
+      |                  count(*) AS n
+      |           FROM events GROUP BY 1, 2),
+      |u AS (SELECT user_id, CAST(sum(n) AS BIGINT) AS n_events,
+      |             count(*) AS active_minutes,
+      |             CAST(max(n) AS BIGINT) AS peak_minute_events
+      |      FROM m GROUP BY 1)
+      |SELECT user_id, n_events, active_minutes, peak_minute_events,
+      |       (peak_minute_events >= 10 OR n_events >= active_minutes * 5) AS flagged
+      |FROM u
+      |ORDER BY peak_minute_events DESC, n_events DESC, user_id
+      |LIMIT 20""".stripMargin
 }

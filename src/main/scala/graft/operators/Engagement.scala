@@ -414,6 +414,65 @@ object Engagement {
         count("*").as("n_users"))
   }
 
+  /** Funnel with an EXCLUSION step (the Amplitude/Mixpanel
+    * "exclude users who did X between" gate): view → purchase
+    * conversions, split by whether an `error` event landed STRICTLY
+    * between the user's first view and their first subsequent
+    * purchase — "purchased, but the journey hit an error" is a
+    * different product story than a clean conversion, and the plain
+    * funnels ([[funnelConversion]]) cannot see it.
+    *
+    * Same chained conditional-min shape as the ordered funnels
+    * (constant agg state, no per-user event lists); the exclusion is
+    * ONE more user_id-partitioned semi-join of the error slice
+    * against the (t_view, t_purchase) interval — every join in the
+    * plan shares the user_id hash partitioning. Strict inequalities
+    * keep tie semantics engine-identical. */
+  def funnelExcluding(spark: SparkSession, dir: String): DataFrame =
+    funnelExcludingTransform(Tables.events(spark, dir))
+
+  def funnelExcludingTransform(events: DataFrame): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val ev = events.select($"user_id", $"event_type", $"ts")
+    val v = ev.filter($"event_type" === "view")
+      .groupBy($"user_id").agg(min($"ts").as("t_view"))
+    val p = ev.filter($"event_type" === "purchase")
+      .join(v, Seq("user_id")).filter($"ts" > $"t_view")
+      .groupBy($"user_id").agg(min($"ts").as("t_purchase"), min($"t_view").as("t_view"))
+    val dirty = ev.filter($"event_type" === "error")
+      .join(p, Seq("user_id"))
+      .filter($"ts" > $"t_view" && $"ts" < $"t_purchase")
+      .select($"user_id").distinct()
+    v.agg(count(lit(1)).as("users_view"))
+      .crossJoin(p.agg(count(lit(1)).as("converted")))
+      .crossJoin(dirty.agg(count(lit(1)).as("excluded")))
+      .select($"users_view", $"converted",
+        ($"converted" - $"excluded").as("clean_converted"),
+        expr("""CASE WHEN converted > 0 THEN
+               |  round(CAST(converted - excluded AS DOUBLE) / converted, 6)
+               |END""".stripMargin).as("clean_rate"))
+  }
+
+  /** DuckDB oracle for [[funnelExcluding]]. */
+  val funnelExcludingOracleSql: String =
+    """WITH e AS (SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events),
+      |v AS (SELECT user_id, min(ts) AS t_view FROM e WHERE event_type = 'view' GROUP BY 1),
+      |p AS (SELECT e.user_id, min(e.ts) AS t_purchase, min(v.t_view) AS t_view
+      |      FROM e JOIN v ON e.user_id = v.user_id AND e.ts > v.t_view
+      |      WHERE e.event_type = 'purchase' GROUP BY 1),
+      |x AS (SELECT DISTINCT e.user_id
+      |      FROM e JOIN p ON e.user_id = p.user_id
+      |      WHERE e.event_type = 'error' AND e.ts > p.t_view AND e.ts < p.t_purchase),
+      |c AS (SELECT (SELECT count(*) FROM v) AS users_view,
+      |             (SELECT count(*) FROM p) AS converted,
+      |             (SELECT count(*) FROM x) AS excluded)
+      |SELECT users_view, converted, converted - excluded AS clean_converted,
+      |       CASE WHEN converted > 0 THEN
+      |         round(CAST(converted - excluded AS DOUBLE) / converted, 6)
+      |       END AS clean_rate
+      |FROM c""".stripMargin
+
   /** Retention cohorts: users grouped by first-seen day, tracked by
     * how many are active again k days later — the DAU retention
     * triangle behind every growth dashboard.

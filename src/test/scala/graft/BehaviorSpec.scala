@@ -726,4 +726,49 @@ class BehaviorSpec extends AnyFunSuite {
     assert(attribRows(operators.MultiTouch.timeDecayTransform(events)) ==
       Seq(("click", 1L, 6.0), ("none", 1L, 5.0), ("view", 1L, 3.0)))
   }
+
+  test("funnel excluding: error strictly inside the journey excludes, outside does not") {
+    val events = ev(Seq(
+      // u1: view -> error -> purchase: converted but DIRTY
+      (1L, "2024-01-01 10:00:00", 1L, "view", 0.0),
+      (1L, "2024-01-01 11:00:00", 2L, "error", 0.0),
+      (1L, "2024-01-01 12:00:00", 3L, "purchase", 1.0),
+      // u2: view -> purchase -> error (after): clean
+      (2L, "2024-01-01 10:00:00", 4L, "view", 0.0),
+      (2L, "2024-01-01 11:00:00", 5L, "purchase", 1.0),
+      (2L, "2024-01-01 12:00:00", 6L, "error", 0.0),
+      // u3: view only: counted in users_view, not converted
+      (3L, "2024-01-01 10:00:00", 7L, "view", 0.0),
+      // u4: error BEFORE the view: clean
+      (4L, "2024-01-01 09:00:00", 8L, "error", 0.0),
+      (4L, "2024-01-01 10:00:00", 9L, "view", 0.0),
+      (4L, "2024-01-01 11:00:00", 10L, "purchase", 1.0),
+      // u5: purchase before the first view only: not a conversion
+      (5L, "2024-01-01 09:00:00", 11L, "purchase", 1.0),
+      (5L, "2024-01-01 10:00:00", 12L, "view", 0.0)))
+    val r = operators.Engagement.funnelExcludingTransform(events).collect()
+    assert(r.length == 1)
+    assert(r(0).getAs[Long]("users_view") == 5L)
+    assert(r(0).getAs[Long]("converted") == 3L)
+    assert(r(0).getAs[Long]("clean_converted") == 2L)
+    assert(r(0).getAs[Double]("clean_rate") == 0.666667)
+  }
+
+  test("bot burst screen: peak-minute and sustained-rate flags, organic users pass") {
+    val events = ev(
+      // u1: 12 events inside one minute -> peak 12 >= 10 -> flagged
+      (0 until 12).map(i => (1L, f"2024-01-01 10:00:$i%02d", 100L + i, "view", 0.0)) ++
+      // u2: 10 events in 10 distinct minutes -> peak 1, 1/min -> clean
+      (0 until 10).map(i => (2L, f"2024-01-01 11:$i%02d:00", 200L + i, "view", 0.0)) ++
+      // u3: 6 events in one minute -> peak 6 < 10 BUT 6 >= 5x1 active
+      (0 until 6).map(i => (3L, f"2024-01-01 12:00:$i%02d", 300L + i, "view", 0.0)))
+    val r = operators.Behavior.botBurstScreenTransform(events).collect()
+    assert(r.map(_.getAs[Long]("user_id")).toSeq == Seq(1L, 3L, 2L))
+    val byU = r.map(x => x.getAs[Long]("user_id") -> x).toMap
+    assert(byU(1L).getAs[Long]("peak_minute_events") == 12L)
+    assert(byU(1L).getAs[Boolean]("flagged"))
+    assert(byU(3L).getAs[Boolean]("flagged"))
+    assert(!byU(2L).getAs[Boolean]("flagged"))
+    assert(byU(2L).getAs[Long]("active_minutes") == 10L)
+  }
 }
