@@ -98,6 +98,8 @@ object SparkEntry {
     "stream_absorption"  -> ((s: SparkSession, d: String) => streaming.TransitionStream.streamAbsorption(s, d)),
     "dow_residual_outliers" -> Stats.dowResidualOutliers _,
     "funnel_excluding"   -> Engagement.funnelExcluding _,
+    "katz_centrality"    -> Graph.katzItems _,
+    "flesch_reading_ease" -> TextOps.fleschReadingEase _,
     "bot_burst_screen"   -> Behavior.botBurstScreen _,
     "jarque_bera_daily"  -> Timeseries.jarqueBeraDaily _,
     "theil_sen_trend"    -> Timeseries.theilSenTrend _,
@@ -864,6 +866,8 @@ object SparkEntry {
     // graph family: unrolled integer-PageRank recurrence / naive
     // triple-join triangle oracle (algorithm-independent result set)
     "pagerank_items" -> operators.Graph.pagerankOracleSql(),
+    "katz_centrality" -> operators.Graph.katzOracleSql(),
+    "flesch_reading_ease" -> operators.TextOps.fleschReadingEaseOracleSql,
     "hits_scores" -> operators.Graph.hitsOracleSql(),
     "triangle_count" -> operators.Graph.triangleOracleSql(),
     "communities_lpa" -> operators.Graph.lpaOracleSql(),

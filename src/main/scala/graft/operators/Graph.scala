@@ -145,6 +145,79 @@ object Graph {
   def pagerankItems(spark: SparkSession, dir: String): DataFrame =
     pagerankTransform(edgeTransform(Tables.events(spark, dir), maxItems = 50, topEdges = 800))
 
+  /** Fixed-iteration Katz centrality (Katz 1953) in the
+    * [[pagerankTransform]] exact-integer discipline — the
+    * α-attenuated PATH-COUNT centrality next to PageRank's random
+    * walk (PageRank splits a node's mass across its edges, Katz
+    * credits EVERY walk reaching you: a node tied to three hubs
+    * outranks one tied to three leaves even at equal degree):
+    * {{{ x'(v) = scale + (Σ_{u∈Γ(v)} x(u)) div 64 }}}
+    * with truncating div (positive values — Spark `div` ≡ DuckDB
+    * `//`). α = 1/64 converges UNCONDITIONALLY here: the edge list is
+    * capped at `topEdges` = 800, and for any graph λ_max ≤ √(2m) =
+    * √1600 = 40 < 64, so scores are bounded by scale/(1−λα) ≤
+    * 2.7·scale — Long-safe at any corpus. 8 rounds ≈ attenuation
+    * (40/64)⁸ < 3%, under ranking resolution.
+    *
+    * Scale shape per round: scores ⋈ edges on `src` (ids+scores
+    * only), in-sum map-side-combinable on `dst` — the PageRank loop
+    * minus the degree join (no normalization in Katz). */
+  def katzTransform(pairs: DataFrame, iters: Int = 8, scale: Long = 1000000000L): DataFrame = {
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    val shuffleKey = "spark.sql.shuffle.partitions"
+    val aqeKey = "spark.sql.adaptive.enabled"
+    val prevShuffle = spark.conf.get(shuffleKey)
+    val prevAqe = spark.conf.get(aqeKey)
+    spark.conf.set(shuffleKey, "8")
+    spark.conf.set(aqeKey, "false")
+    val p = truncateLineage(pairs)
+    val edges = p.select($"item_a".as("src"), $"item_b".as("dst"))
+      .unionByName(p.select($"item_b".as("src"), $"item_a".as("dst")))
+      .persist()
+    val nodes = edges.select($"src".as("item")).distinct().persist()
+    try {
+      var scores = truncateLineage(nodes.select($"item", lit(scale).as("score")))
+      for (i <- 1 to iters) {
+        val contrib = scores
+          .join(edges, $"item" === $"src")
+          .select($"dst".as("item"), $"score".as("c"))
+        val next = contrib.groupBy($"item")
+          .agg(expr(s"$scale + sum(c) div 64").as("score"))
+        scores = if (i % 4 == 0 || i == iters) truncateLineage(next) else next
+      }
+      scores.select($"item", $"score".as("katz_score"))
+        .orderBy($"katz_score".desc, $"item")
+    } finally {
+      spark.conf.set(shuffleKey, prevShuffle)
+      spark.conf.set(aqeKey, prevAqe)
+      edges.unpersist()
+      nodes.unpersist()
+    }
+  }
+
+  def katzItems(spark: SparkSession, dir: String): DataFrame =
+    katzTransform(edgeTransform(Tables.events(spark, dir), maxItems = 50, topEdges = 800))
+
+  /** DuckDB oracle for [[katzTransform]] — the identical integer
+    * rounds unrolled (the [[pagerankOracleSql]] pattern). */
+  def katzOracleSql(iters: Int = 8, scale: Long = 1000000000L): String = {
+    val rounds = (1 to iters).map { i =>
+      s"""k$i AS (SELECT e.dst AS item,
+         |  CAST($scale + SUM(p.score) // 64 AS BIGINT) AS score
+         |  FROM k${i - 1} p
+         |  JOIN edges e ON e.src = p.item
+         |  GROUP BY e.dst)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $edgeCtes,
+       |edges AS (SELECT item_a AS src, item_b AS dst FROM pairs
+       |          UNION ALL SELECT item_b, item_a FROM pairs),
+       |k0 AS (SELECT DISTINCT src AS item, CAST($scale AS BIGINT) AS score FROM edges),
+       |$rounds
+       |SELECT item, score AS katz_score FROM k$iters
+       |ORDER BY katz_score DESC, item""".stripMargin
+  }
+
   /** Triangle participation counts with DEGREE-ORDERED orientation
     * (Suri & Vassilvitskii 2011, "Counting triangles and the curse of
     * the last reducer"): each undirected edge is directed from its

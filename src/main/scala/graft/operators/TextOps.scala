@@ -1921,4 +1921,71 @@ object TextOps {
       |       CAST(sum(CASE WHEN g_rep THEN 1 ELSE 0 END) AS BIGINT) AS n_pass_rep,
       |       CAST(sum(CASE WHEN g_wc AND g_mwl AND g_ttr AND g_rep THEN 1 ELSE 0 END) AS BIGINT) AS n_pass_all
       |FROM g GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** Flesch reading-ease per source — the READABILITY axis of the
+    * corpus-mix dashboard (quality gates ask "is it junk", this asks
+    * "what register is it": a source drifting from 70 to 40 switched
+    * from conversational to academic text even if every gate still
+    * passes): FRE = 206.835 − 1.015·(words/sentence) −
+    * 84.6·(syllables/word), with syllables counted by the standard
+    * vowel-group heuristic (runs of [aeiouy] per word, floor 1 —
+    * ±1 syllable on silent-e words, systematic and engine-identical,
+    * fine for a corpus-level register signal).
+    *
+    * Tokenization shared with the neighbors: sentences =
+    * `[.!?]+` splits trimmed non-empty ([[sentenceStatsTransform]]),
+    * words = lowercase letter runs. All three counts are exact
+    * integers summed per source; the two ratios and FRE are single
+    * floats at output. Shape: per-doc counts map-side, ONE
+    * map-side-combinable shuffle to |sources| rows. */
+  def fleschReadingEaseTransform(docs: DataFrame): DataFrame = docs
+    .select(col("source"),
+      expr("CAST(size(filter(transform(split(text, '[.!?]+'), s -> trim(s)), s -> s != '')) AS BIGINT)")
+        .as("n_sent"),
+      expr("regexp_extract_all(lower(text), '[a-z]+', 0)").as("words"))
+    .select(col("source"), col("n_sent"),
+      expr("CAST(size(words) AS BIGINT)").as("n_words"),
+      expr("CAST(aggregate(words, 0L, (acc, w) -> acc + greatest(1L, CAST(size(regexp_extract_all(w, '[aeiouy]+', 0)) AS BIGINT))) AS BIGINT)")
+        .as("n_syll"))
+    .groupBy(col("source"))
+    .agg(count(lit(1)).as("n_docs"),
+      sum(col("n_sent")).as("n_sentences"),
+      sum(col("n_words")).as("n_words"),
+      sum(col("n_syll")).as("n_syllables"))
+    .select(col("source"), col("n_docs"), col("n_sentences"), col("n_words"),
+      col("n_syllables"),
+      expr("""CASE WHEN n_sentences > 0 AND n_words > 0 THEN
+             |  round(206.835 - 1.015 * (CAST(n_words AS DOUBLE) / n_sentences)
+             |                - 84.6 * (CAST(n_syllables AS DOUBLE) / n_words), 6)
+             |END""".stripMargin).as("fre"))
+    .orderBy(col("source"))
+
+  def fleschReadingEase(spark: SparkSession, dir: String): DataFrame =
+    fleschReadingEaseTransform(Tables.documents(spark, dir))
+
+  /** DuckDB oracle for [[fleschReadingEaseTransform]]. */
+  val fleschReadingEaseOracleSql: String =
+    """WITH d AS (
+      |  SELECT source,
+      |         len(list_filter(list_transform(regexp_split_to_array(text, '[.!?]+'), x -> trim(x)),
+      |                         x -> x != '')) AS n_sent,
+      |         regexp_extract_all(lower(text), '[a-z]+') AS words
+      |  FROM documents),
+      |c AS (
+      |  SELECT source, n_sent, len(words) AS n_words,
+      |         coalesce(list_sum(list_transform(words,
+      |           w -> greatest(1, len(regexp_extract_all(w, '[aeiouy]+'))))), 0) AS n_syll
+      |  FROM d),
+      |a AS (SELECT source, count(*) AS n_docs, sum(n_sent) AS n_sentences,
+      |             sum(n_words) AS n_words, sum(n_syll) AS n_syllables
+      |      FROM c GROUP BY 1)
+      |SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
+      |       CAST(n_sentences AS BIGINT) AS n_sentences,
+      |       CAST(n_words AS BIGINT) AS n_words,
+      |       CAST(n_syllables AS BIGINT) AS n_syllables,
+      |       CASE WHEN n_sentences > 0 AND n_words > 0 THEN
+      |         round(206.835 - 1.015 * (CAST(n_words AS DOUBLE) / n_sentences)
+      |                       - 84.6 * (CAST(n_syllables AS DOUBLE) / n_words), 6)
+      |       END AS fre
+      |FROM a ORDER BY 1""".stripMargin
 }

@@ -608,6 +608,31 @@ class BatchOperatorsSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAl
       (4L, 2L, 3L, 150L, 2L)))
   }
 
+  test("flesch_reading_ease: hand-counted vowel groups, no-vowel floor, degenerate docs") {
+    import spark.implicits._
+    val docs = Seq(
+      // 1 sentence, 3 monosyllables -> FRE = 206.835 - 1.015*3 - 84.6*1 = 119.19
+      (1L, "The cat sat.", "a"),
+      // extraordinary = e|ao|i|a|y = 5 groups, bureaucracy = u|eau|a|y = 4
+      // -> 2 words, 9 syllables: 206.835 - 2.03 - 84.6*4.5 = -175.895
+      (2L, "Extraordinary bureaucracy.", "b"),
+      // punctuation-only doc: 0 sentences, 0 words -> NULL fre
+      (3L, "...", "c"),
+      // vowelless words floor at 1 syllable each: spw = 1
+      (4L, "hmm grr.", "d"))
+      .toDF("doc_id", "text", "source")
+    val out = graft.operators.TextOps.fleschReadingEaseTransform(docs).collect()
+    val byS = out.map(r => r.getString(0) -> r).toMap
+    assert(byS("a").getAs[Long]("n_syllables") == 3L)
+    assert(byS("a").getAs[Double]("fre") == 119.19)
+    assert(byS("b").getAs[Long]("n_words") == 2L)
+    assert(byS("b").getAs[Long]("n_syllables") == 9L)
+    assert(byS("b").getAs[Double]("fre") == -175.895)
+    assert(byS("c").isNullAt(byS("c").fieldIndex("fre")))
+    assert(byS("d").getAs[Long]("n_syllables") == 2L)
+    assert(byS("d").getAs[Double]("fre") == 120.205)
+  }
+
   test("char_ngram_profile: exact trigram counts, lowercasing, short-doc guard, tie-break") {
     import spark.implicits._
     val docs = Seq(

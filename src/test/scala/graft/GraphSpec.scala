@@ -37,6 +37,28 @@ class GraphSpec extends AnyFunSuite {
     assert(out.tail.map(_._1) == Seq(2L, 3L, 4L, 5L))
   }
 
+  test("katz: one exact integer round on a star; hub-adjacency ranking after eight") {
+    // star 1-{2,3,4} plus disjoint edge 5-6, scale=1e9, alpha=1/64.
+    // Round 1: x(1) = 1e9 + 3e9 div 64 = 1_046_875_000
+    //          x(leaf) = x(5) = x(6) = 1e9 + 1e9 div 64 = 1_015_625_000
+    val es = pairs((1L, 2L), (1L, 3L), (1L, 4L), (5L, 6L))
+    val one = Graph.katzTransform(es, iters = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(one.head == (1L, 1046875000L))
+    assert(one.tail.toSet ==
+      Set(2L, 3L, 4L, 5L, 6L).map(i => (i, 1015625000L)))
+    // 8 rounds: center > its leaves (they absorb the hub's score) >
+    // the isolated pair (which only sees its equal partner); scores
+    // bounded by the documented scale/(1-lambda*alpha) ceiling
+    val out = Graph.katzTransform(es)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val byI = out.toMap
+    assert(out.head._1 == 1L)
+    assert(byI(2L) == byI(3L) && byI(3L) == byI(4L))
+    assert(byI(5L) == byI(6L) && byI(2L) > byI(5L))
+    assert(out.forall(_._2 < 2700000000L))
+  }
+
   test("triangle: K4 minus an edge, plus a pendant vertex") {
     // K4 on 1..4 without (3,4): triangles (1,2,3) and (1,2,4);
     // pendant 5 hangs off 4 and joins no triangle -> absent from output
