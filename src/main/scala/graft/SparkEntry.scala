@@ -107,6 +107,10 @@ object SparkEntry {
     "stream_jarque_bera" -> ((s: SparkSession, d: String) => streaming.TimeseriesStream.streamJarqueBera(s, d)),
     "stream_theil_sen"   -> ((s: SparkSession, d: String) => streaming.TimeseriesStream.streamTheilSen(s, d)),
     "stream_anova"       -> ((s: SparkSession, d: String) => streaming.MomentsStream.streamAnova(s, d)),
+    "seasonal_strength"  -> Stats.seasonalStrength _,
+    "stream_seasonal_strength" -> ((s: SparkSession, d: String) => streaming.TimeseriesStream.streamSeasonalStrength(s, d)),
+    "stream_bot_screen"  -> ((s: SparkSession, d: String) => streaming.ProfileStreams.streamBotScreen(s, d)),
+    "stream_funnel_excluding" -> ((s: SparkSession, d: String) => streaming.FunnelStream.streamFunnelExcluding(s, d)),
     "stream_markov"      -> ((s: SparkSession, d: String) => streaming.TransitionStream.streamMarkov(s, d)),
     "stream_dow_residual" -> ((s: SparkSession, d: String) => streaming.TimeseriesStream.streamDowResidual(s, d)),
     "ljung_box_daily"    -> ((s: SparkSession, d: String) => Timeseries.ljungBoxDaily(s, d)),
@@ -439,6 +443,12 @@ object SparkEntry {
       // additive per-type integer moments (the stream_moments state):
       // the ANOVA decomposition is a pure read over them
       "stream_anova" -> base("anova_f_cents"),
+      "stream_seasonal_strength" -> base("seasonal_strength"),
+      // additive (user, minute) burst grid; rollup is a pure read
+      "stream_bot_screen" -> base("bot_burst_screen"),
+      // three conditional mins per user under time-ordered delivery;
+      // the dirty verdict is a read over (t_view, t_purchase, t_err)
+      "stream_funnel_excluding" -> base("funnel_excluding"),
       // cross-batch intervals reconstructed from the per-user
       // frontier; additive daily sufficient sums
       "stream_time_weighted" -> base("time_weighted_value"),
@@ -939,6 +949,7 @@ object SparkEntry {
     "jarque_bera_daily" -> operators.Timeseries.jarqueBeraDailyOracleSql,
     "theil_sen_trend" -> operators.Timeseries.theilSenTrendOracleSql,
     "anova_f_cents" -> operators.Stats.anovaFCentsOracleSql,
+    "seasonal_strength" -> operators.Stats.seasonalStrengthOracleSql,
     "sessions_per_user" -> operators.Retention.sessionsPerUserOracleSql(),
     "degree_powerlaw_fit" -> operators.Graph.degreePowerlawFitOracleSql,
     "session_duration" -> operators.Retention.sessionDurationOracleSql(),

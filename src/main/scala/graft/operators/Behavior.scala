@@ -2078,10 +2078,15 @@ object Behavior {
     * per-user rollup on the same user_id shuffle, then a global
     * top-20 via TakeOrderedAndProject (sort pushed to partial
     * per-partition top-k — no global sort, no window). */
-  def botBurstScreenTransform(events: DataFrame, topK: Int = 20): DataFrame = {
-    val perMinute = events
+  def botBurstScreenTransform(events: DataFrame, topK: Int = 20): DataFrame =
+    botFromMinutes(events
       .select(col("user_id"), date_trunc("minute", col("ts")).as("minute"))
-      .groupBy(col("user_id"), col("minute")).agg(count(lit(1)).as("n"))
+      .groupBy(col("user_id"), col("minute")).agg(count(lit(1)).as("n")), topK)
+
+  /** The screen rollup from an already-aggregated (user_id, minute,
+    * n) table — shared with the streaming face, whose additive
+    * minute-grid state this is exactly. */
+  private[graft] def botFromMinutes(perMinute: DataFrame, topK: Int = 20): DataFrame =
     perMinute.groupBy(col("user_id"))
       .agg(sum(col("n")).as("n_events"),
         count(lit(1)).as("active_minutes"),
@@ -2093,7 +2098,6 @@ object Behavior {
       .orderBy(col("peak_minute_events").desc, col("n_events").desc,
         col("user_id"))
       .limit(topK)
-  }
 
   def botBurstScreen(spark: SparkSession, dir: String): DataFrame =
     botBurstScreenTransform(graft.sources.Tables.events(spark, dir))

@@ -1075,6 +1075,89 @@ object Stats {
       .orderBy($"event_type", $"day")
   }
 
+  /** Seasonality STRENGTH per type — one number for what
+    * [[dowResidualFromDaily]] reads day-by-day and
+    * `seasonality_profile` lists per weekday: how much of the daily
+    * variance the weekday EXPLAINS. F_s = SSB/SST of the dow-means
+    * model over the zero-filled grid (the Hyndman seasonal-strength
+    * measure with the weekday means as the seasonal component —
+    * identically the ANOVA η² of dow on daily counts, so 0 = no
+    * weekly rhythm, 1 = the weekday determines the count exactly).
+    * Plus the peak weekday by EXACT rational mean comparison
+    * (mean×1e6 truncating div — no float argmax).
+    *
+    * [[anovaFromMoments]]' order-free discipline: per-dow float
+    * terms on exact integers, 1e-9 grid, DECIMAL(38,9) sums;
+    * constant series (SST = 0) report null. THIRTEENTH face of the
+    * streaming count state. */
+  private[graft] def seasonalStrengthFromDaily(daily0: DataFrame): DataFrame = {
+    val spark = daily0.sparkSession
+    import spark.implicits._
+    val daily = daily0
+    val bounds = daily.agg(min($"day").as("lo"), max($"day").as("hi"))
+    val grid = daily.select($"event_type").distinct()
+      .crossJoin(broadcast(bounds))
+      .select($"event_type", explode(expr("sequence(lo, hi, INTERVAL 1 DAY)")).as("day"))
+      .join(daily, Seq("event_type", "day"), "left")
+      .select($"event_type", (dayofweek($"day") - 1).cast("long").as("dow"),
+        coalesce($"n", lit(0L)).as("n"))
+    grid.groupBy($"event_type", $"dow")
+      .agg(count(lit(1)).as("k"), sum($"n").as("s1"),
+        sum(expr("CAST(n AS DECIMAL(38,0)) * n")).as("s2"))
+      .select($"event_type", $"dow", $"k", $"s1", $"s2",
+        expr("CAST(round(CAST(s1 AS DOUBLE) * s1 / k, 9) AS DECIMAL(38,9))").as("tb"),
+        expr("s1 * 1000000 div k").as("mean_micro"))
+      .groupBy($"event_type")
+      .agg(sum($"k").as("n_days"), sum($"s1").as("s1"), sum($"s2").as("s2"),
+        sum($"tb").as("stb"),
+        max(struct($"mean_micro", (-$"dow").as("neg_dow"))).as("pk"))
+      .select($"event_type", $"n_days", (-$"pk.neg_dow").as("peak_dow"),
+        expr("CAST(stb AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n_days").as("ssb"),
+        expr("CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n_days").as("sst"))
+      .select($"event_type", $"n_days", $"peak_dow",
+        expr("CASE WHEN sst > 0 THEN round(ssb / sst, 6) END").as("seasonal_strength"))
+      .orderBy($"event_type")
+  }
+
+  def seasonalStrengthTransform(events: DataFrame): DataFrame =
+    seasonalStrengthFromDaily(events
+      .select(col("event_type"), date_trunc("day", col("ts")).as("day"))
+      .groupBy(col("event_type"), col("day")).agg(count(lit(1)).as("n")))
+
+  def seasonalStrength(spark: SparkSession, dir: String): DataFrame =
+    seasonalStrengthTransform(Tables.events(spark, dir))
+
+  /** DuckDB oracle for [[seasonalStrengthTransform]]. */
+  val seasonalStrengthOracleSql: String =
+    """WITH d AS (SELECT event_type, date_trunc('day', CAST(ts AS TIMESTAMP)) AS day,
+      |                  count(*) AS n
+      |           FROM events GROUP BY 1, 2),
+      |spine AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS day
+      |          FROM (SELECT min(day) AS lo, max(day) AS hi FROM d)),
+      |g AS (SELECT t.event_type,
+      |             CAST(date_part('dow', s.day) AS BIGINT) AS dow,
+      |             CAST(coalesce(d.n, 0) AS BIGINT) AS n
+      |      FROM (SELECT DISTINCT event_type FROM d) t
+      |      CROSS JOIN spine s
+      |      LEFT JOIN d ON d.event_type = t.event_type AND d.day = s.day),
+      |m AS (SELECT event_type, dow, count(*) AS k, sum(n) AS s1,
+      |             sum(CAST(n AS HUGEINT) * n) AS s2,
+      |             CAST(round(CAST(sum(n) AS DOUBLE) * sum(n) / count(*), 9) AS DECIMAL(38,9)) AS tb,
+      |             CAST(sum(n) AS HUGEINT) * 1000000 // count(*) AS mean_micro
+      |      FROM g GROUP BY 1, 2),
+      |a AS (SELECT event_type, CAST(sum(k) AS BIGINT) AS n_days,
+      |             CAST(sum(s1) AS BIGINT) AS s1,
+      |             sum(s2) AS s2, sum(tb) AS stb,
+      |             first(dow ORDER BY mean_micro DESC, dow) AS peak_dow
+      |      FROM m GROUP BY 1),
+      |f AS (SELECT event_type, n_days, peak_dow,
+      |             CAST(stb AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n_days AS ssb,
+      |             CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n_days AS sst
+      |      FROM a)
+      |SELECT event_type, n_days, peak_dow,
+      |       CASE WHEN sst > 0 THEN round(ssb / sst, 6) END AS seasonal_strength
+      |FROM f ORDER BY 1""".stripMargin
+
   def dowResidualOutliers(spark: SparkSession, dir: String): DataFrame =
     dowResidualOutliersTransform(Tables.events(spark, dir))
 

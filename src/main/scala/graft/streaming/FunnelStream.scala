@@ -94,6 +94,70 @@ final class FunnelState(stateDir: String) {
       count(lit(1)).as("n_users"))
 }
 
+/** Streaming twin of [[graft.operators.Engagement.funnelExcluding]]:
+  * per-user `(first view, first post-view purchase, first post-view
+  * error)` — three conditional mins, constant state, merged per
+  * time-ordered batch exactly like [[FunnelState]] (same ordered-
+  * delivery contract: a merged first-view never moves earlier, so a
+  * gate applied today is never invalidated tomorrow). The exclusion
+  * verdict is a PURE READ: the journey is dirty iff the earliest
+  * post-view error precedes the first purchase — if even the MIN
+  * qualifying error lands at/after t_purchase, no error is inside
+  * the interval. A late purchase arriving AFTER an already-recorded
+  * error therefore classifies correctly with no per-user event
+  * lists. */
+final class ExclusionFunnelState(stateDir: String) {
+  @volatile private var version: Long = StreamUtil.latestVersion(stateDir)
+
+  private def prior(spark: SparkSession): DataFrame =
+    if (version < 0)
+      spark.createDataFrame(java.util.List.of[Row](),
+        org.apache.spark.sql.types.StructType.fromDDL(
+          "user_id BIGINT, t_view TIMESTAMP, t_purchase TIMESTAMP, t_err TIMESTAMP"))
+    else spark.read.parquet(s"$stateDir/v$version")
+
+  def merge(batch: Dataset[Row], batchId: Long): Unit = {
+    if (batchId <= version) return
+    val spark = batch.sparkSession
+    val p = prior(spark)
+    val bv = batch.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("bv"))
+    val s1 = p.join(bv, Seq("user_id"), "full_outer")
+      .select(col("user_id"),
+        coalesce(least(col("t_view"), col("bv")), col("t_view"), col("bv")).as("t_view"),
+        col("t_purchase"), col("t_err"))
+    def gatedMin(tpe: String, name: String) = batch
+      .filter(col("event_type") === tpe)
+      .join(s1.select(col("user_id"), col("t_view").as("gate")), Seq("user_id"))
+      .filter(col("ts") > col("gate"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as(name))
+    val s2 = s1.join(gatedMin("purchase", "bp"), Seq("user_id"), "left")
+      .join(gatedMin("error", "be"), Seq("user_id"), "left")
+      .select(col("user_id"), col("t_view"),
+        coalesce(least(col("t_purchase"), col("bp")), col("t_purchase"), col("bp")).as("t_purchase"),
+        coalesce(least(col("t_err"), col("be")), col("t_err"), col("be")).as("t_err"))
+    s2.coalesce(1).write.mode("overwrite").parquet(s"$stateDir/v$batchId")
+    val prev = version
+    version = batchId
+    if (prev >= 0) StreamUtil.delete(spark, s"$stateDir/v$prev")
+  }
+
+  /** Same output shape as the batch query. */
+  def report(spark: SparkSession): DataFrame = {
+    val s = prior(spark)
+    s.agg(
+        count(col("t_view")).as("users_view"),
+        count(col("t_purchase")).as("converted"),
+        coalesce(sum(when(col("t_purchase").isNotNull && col("t_err").isNotNull &&
+          col("t_err") < col("t_purchase"), 1L).otherwise(0L)), lit(0L)).as("excluded"))
+      .select(col("users_view"), col("converted"),
+        (col("converted") - col("excluded")).as("clean_converted"),
+        expr("""CASE WHEN converted > 0 THEN
+               |  round(CAST(converted - excluded AS DOUBLE) / converted, 6)
+               |END""".stripMargin).as("clean_rate"))
+  }
+}
+
 object FunnelStream {
 
   /** Stage events as `nFiles` time-range-partitioned parquet files
@@ -132,5 +196,17 @@ object FunnelStream {
       StreamSources.eventsFrom(spark, s"$work/input", maxFilesPerTrigger = 1),
       state.merge)
     state.counts(spark)
+  }
+
+  /** Queries entry: the exclusion funnel drained through the same
+    * time-ordered replay (oracle: same SQL as `funnel_excluding`). */
+  def streamFunnelExcluding(spark: SparkSession, dir: String, nFiles: Int = 4): DataFrame = {
+    val work = graft.GraftCaches.trackTempDir("graft_fexcl_")
+    stageTimeOrdered(spark, dir, s"$work/input", nFiles)
+    val state = new ExclusionFunnelState(s"$work/state")
+    StreamSources.runForeachBatch(
+      StreamSources.eventsFrom(spark, s"$work/input", maxFilesPerTrigger = 1),
+      state.merge)
+    state.report(spark)
   }
 }

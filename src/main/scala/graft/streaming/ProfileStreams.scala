@@ -55,6 +55,41 @@ final class UserSpanState(stateDir: String) {
     graft.operators.Retention.reportFromUsers(prior(spark))
 }
 
+/** Additive (user, minute, n) burst grid for the streaming bot
+  * screen — per-minute counts merge exactly, so the peak-minute and
+  * events-per-active-minute flags are pure reads over the state via
+  * the shared [[graft.operators.Behavior.botFromMinutes]] rollup.
+  * State is one row per ACTIVE (user, minute) pair — bounded by the
+  * event count, not the calendar (a production deployment ages
+  * minutes past its review horizon out of the state; the flags only
+  * ever need the recent window). */
+final class UserMinuteCountState(stateDir: String) {
+  @volatile private var version: Long = StreamUtil.latestVersion(stateDir)
+
+  private def prior(spark: SparkSession): DataFrame =
+    if (version < 0)
+      spark.createDataFrame(java.util.List.of[Row](), StructType.fromDDL(
+        "user_id BIGINT, minute TIMESTAMP, n BIGINT"))
+    else spark.read.parquet(s"$stateDir/v$version")
+
+  def merge(batch: Dataset[Row], batchId: Long): Unit = {
+    if (batchId <= version) return
+    val spark = batch.sparkSession
+    val partial = batch
+      .select(col("user_id"), date_trunc("minute", col("ts")).as("minute"))
+      .groupBy(col("user_id"), col("minute")).agg(count(lit(1)).as("n"))
+    val merged = prior(spark).unionByName(partial)
+      .groupBy(col("user_id"), col("minute")).agg(sum(col("n")).as("n"))
+    merged.coalesce(1).write.mode("overwrite").parquet(s"$stateDir/v$batchId")
+    val prev = version
+    version = batchId
+    if (prev >= 0) StreamUtil.delete(spark, s"$stateDir/v$prev")
+  }
+
+  def report(spark: SparkSession): DataFrame =
+    graft.operators.Behavior.botFromMinutes(prior(spark))
+}
+
 final class LabelCentroidState(stateDir: String) {
   @volatile private var version: Long = StreamUtil.latestVersion(stateDir)
 
@@ -248,6 +283,17 @@ object ProfileStreams {
       StreamSources.parquetStream(spark, s"$work/input", maxFilesPerTrigger = 1),
       state.merge)
     state.reportCramersV(spark)
+  }
+
+  /** Queries entry (oracle: same SQL as `bot_burst_screen`): the
+    * additive (user, minute) burst grid drained from the unstaged
+    * event stream (counts merge in any delivery order), reported
+    * through the batch rollup. */
+  def streamBotScreen(spark: SparkSession, dir: String): DataFrame = {
+    val work = graft.GraftCaches.trackTempDir("graft_sbot_")
+    val state = new UserMinuteCountState(s"$work/state")
+    StreamSources.runForeachBatch(StreamSources.events(spark, dir), state.merge)
+    state.report(spark)
   }
 
   /** Queries entry (oracle: same SQL as `ks_doclen_sources`). */

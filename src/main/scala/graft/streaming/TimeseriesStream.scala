@@ -118,6 +118,13 @@ final class TypeDailyCountState(stateDir: String) {
   def reportTheilSen(spark: SparkSession): DataFrame =
     graft.operators.Timeseries.theilSenFromDaily(
       prior(spark).select(col("event_type"), col("day"), col("x").as("n")))
+
+  /** THIRTEENTH face: the seasonal-strength η² of dow on the daily
+    * counts — between/within sums are whole-grid reads, the counts
+    * merge. */
+  def reportSeasonalStrength(spark: SparkSession): DataFrame =
+    graft.operators.Stats.seasonalStrengthFromDaily(
+      prior(spark).select(col("event_type"), col("day"), col("x").as("n")))
 }
 
 /** Additive (item, day, n) engagement grid for the adoption profile —
@@ -455,6 +462,18 @@ object TimeseriesStream {
       StreamSources.eventsFrom(spark, s"$work/input", maxFilesPerTrigger = 1),
       state.merge)
     state.reportTheilSen(spark)
+  }
+
+  /** Queries entry (oracle: same SQL as `seasonal_strength`): the
+    * SAME (type, day) count state, thirteenth face. */
+  def streamSeasonalStrength(spark: SparkSession, dir: String, nFiles: Int = 4): DataFrame = {
+    val work = graft.GraftCaches.trackTempDir("graft_sseas_")
+    FunnelStream.stageTimeOrdered(spark, dir, s"$work/input", nFiles)
+    val state = new TypeDailyCountState(s"$work/state")
+    StreamSources.runForeachBatch(
+      StreamSources.eventsFrom(spark, s"$work/input", maxFilesPerTrigger = 1),
+      state.merge)
+    state.reportSeasonalStrength(spark)
   }
 
   /** Queries entry (oracle: same SQL as `dow_residual_outliers`):

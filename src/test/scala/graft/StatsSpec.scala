@@ -211,7 +211,10 @@ class StatsSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
         "stream_absorption" -> "absorption_steps",
         "stream_jarque_bera" -> "jarque_bera_daily",
         "stream_theil_sen" -> "theil_sen_trend",
-        "stream_anova" -> "anova_f_cents")) {
+        "stream_anova" -> "anova_f_cents",
+        "stream_seasonal_strength" -> "seasonal_strength",
+        "stream_bot_screen" -> "bot_burst_screen",
+        "stream_funnel_excluding" -> "funnel_excluding")) {
       val s = SparkEntry.queries(sName)(spark, sf).collect().map(_.toString).sorted
       val b = SparkEntry.queries(bName)(spark, sf).collect().map(_.toString).sorted
       assert(s.sameElements(b), s"$sName diverged from $bName")
@@ -444,6 +447,26 @@ class StatsSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
     val r0 = operators.Stats.anovaFCentsTransform(ev0).collect()
     assert(r0(0).isNullAt(r0(0).fieldIndex("f_stat")))
     assert(r0(0).getAs[Double]("eta_sq") == 1.0)
+  }
+
+  test("seasonal_strength: dow-determined series scores exactly 1, constant series guards to NULL") {
+    import spark.implicits._
+    def burst(tp: String, day: Int, k: Int, base: Int) =
+      (0 until k).map(i => ((base + i).toLong, ts(day), 1L, tp, 0.0, "{}"))
+    // 2024-01-01 is a Monday (dow 1); 14 days = each dow exactly twice.
+    // "w": Mondays get 5 events, every other day 1 -> within-dow
+    // variance 0 -> strength exactly 1.0, peak_dow = 1
+    val w = (0 until 14).flatMap(d => burst("w", d, if (d % 7 == 0) 5 else 1, d * 10))
+    // "f": constant 2/day -> SST = 0 -> NULL; peak tie -> smallest dow
+    val f = (0 until 14).flatMap(d => burst("f", d, 2, 1000 + d * 10))
+    val ev = (w ++ f).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val r = operators.Stats.seasonalStrengthTransform(ev).collect()
+    val byT = r.map(x => x.getString(0) -> x).toMap
+    assert(byT("w").getAs[Long]("n_days") == 14L)
+    assert(byT("w").getAs[Long]("peak_dow") == 1L)
+    assert(byT("w").getAs[Double]("seasonal_strength") == 1.0)
+    assert(byT("f").isNullAt(byT("f").fieldIndex("seasonal_strength")))
+    assert(byT("f").getAs[Long]("peak_dow") == 0L)
   }
 
   test("markov_stationary: a two-state doubly-stochastic chain settles at 50/50") {
