@@ -111,6 +111,9 @@ object SparkEntry {
     "stream_seasonal_strength" -> ((s: SparkSession, d: String) => streaming.TimeseriesStream.streamSeasonalStrength(s, d)),
     "stream_bot_screen"  -> ((s: SparkSession, d: String) => streaming.ProfileStreams.streamBotScreen(s, d)),
     "stream_funnel_excluding" -> ((s: SparkSession, d: String) => streaming.FunnelStream.streamFunnelExcluding(s, d)),
+    "stream_pagerank"    -> ((s: SparkSession, d: String) => streaming.GraphStream.streamPagerank(s, d)),
+    "stream_katz"        -> ((s: SparkSession, d: String) => streaming.GraphStream.streamKatz(s, d)),
+    "stream_flesch"      -> ((s: SparkSession, d: String) => streaming.ProfileStreams.streamFlesch(s, d)),
     "stream_markov"      -> ((s: SparkSession, d: String) => streaming.TransitionStream.streamMarkov(s, d)),
     "stream_dow_residual" -> ((s: SparkSession, d: String) => streaming.TimeseriesStream.streamDowResidual(s, d)),
     "ljung_box_daily"    -> ((s: SparkSession, d: String) => Timeseries.ljungBoxDaily(s, d)),
@@ -449,6 +452,12 @@ object SparkEntry {
       // three conditional mins per user under time-ordered delivery;
       // the dirty verdict is a read over (t_view, t_purchase, t_err)
       "stream_funnel_excluding" -> base("funnel_excluding"),
+      // idempotent (user, item) presence set: the graph (cap, pair
+      // counts, edge cut, centrality rounds) is a pure read over it
+      "stream_pagerank" -> base("pagerank_items"),
+      "stream_katz" -> base("katz_centrality"),
+      // additive per-source readability sums
+      "stream_flesch" -> base("flesch_reading_ease"),
       // cross-batch intervals reconstructed from the per-user
       // frontier; additive daily sufficient sums
       "stream_time_weighted" -> base("time_weighted_value"),

@@ -248,10 +248,17 @@ object Behavior {
     * materializes the distinct (user, item) projection once upstream
     * and both sides read it back co-partitioned.)
     */
-  def coEngagementTransform(events: DataFrame, maxItems: Int, minSupport: Long): DataFrame = {
-    val items = events
+  def coEngagementTransform(events: DataFrame, maxItems: Int, minSupport: Long): DataFrame =
+    coEngagementFromItems(events
       .select(col("user_id"), get_json_object(col("props"), "$.k").cast("long").as("item"))
-      .distinct()
+      .distinct(), maxItems, minSupport)
+
+  /** The pair rollup from an already-distinct (user_id, item) table —
+    * split out so the streaming graph faces read it over their
+    * idempotent presence state (set union merges exactly; the
+    * per-user cap and the pair counts are pure reads). */
+  private[graft] def coEngagementFromItems(items: DataFrame, maxItems: Int,
+                                           minSupport: Long): DataFrame = {
     val kept = items.join(
       items.groupBy(col("user_id")).agg(count(lit(1)).as("n_items"))
         .filter(col("n_items") <= maxItems),

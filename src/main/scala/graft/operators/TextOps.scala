@@ -1938,7 +1938,17 @@ object TextOps {
     * integers summed per source; the two ratios and FRE are single
     * floats at output. Shape: per-doc counts map-side, ONE
     * map-side-combinable shuffle to |sources| rows. */
-  def fleschReadingEaseTransform(docs: DataFrame): DataFrame = docs
+  def fleschReadingEaseTransform(docs: DataFrame): DataFrame =
+    fleschFromSums(fleschDocCounts(docs)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_sent")).as("n_sentences"),
+        sum(col("n_words")).as("n_words"),
+        sum(col("n_syll")).as("n_syllables")))
+
+  /** Per-doc exact counts — the additive half the streaming face
+    * sums into its per-source state. */
+  private[graft] def fleschDocCounts(docs: DataFrame): DataFrame = docs
     .select(col("source"),
       expr("CAST(size(filter(transform(split(text, '[.!?]+'), s -> trim(s)), s -> s != '')) AS BIGINT)")
         .as("n_sent"),
@@ -1947,11 +1957,9 @@ object TextOps {
       expr("CAST(size(words) AS BIGINT)").as("n_words"),
       expr("CAST(aggregate(words, 0L, (acc, w) -> acc + greatest(1L, CAST(size(regexp_extract_all(w, '[aeiouy]+', 0)) AS BIGINT))) AS BIGINT)")
         .as("n_syll"))
-    .groupBy(col("source"))
-    .agg(count(lit(1)).as("n_docs"),
-      sum(col("n_sent")).as("n_sentences"),
-      sum(col("n_words")).as("n_words"),
-      sum(col("n_syll")).as("n_syllables"))
+
+  /** The FRE read from the per-source exact sums. */
+  private[graft] def fleschFromSums(sums: DataFrame): DataFrame = sums
     .select(col("source"), col("n_docs"), col("n_sentences"), col("n_words"),
       col("n_syllables"),
       expr("""CASE WHEN n_sentences > 0 AND n_words > 0 THEN

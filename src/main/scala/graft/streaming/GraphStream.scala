@@ -1,0 +1,89 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** Streaming faces for the graph-analytics family: the co-engagement
+  * graph maintained INCREMENTALLY. The state is not the graph — it is
+  * the distinct (user_id, item) PRESENCE set, which merges by set
+  * union (idempotent: replays and duplicate deliveries are free) —
+  * and the graph is a pure read: the per-user item cap, the pair
+  * counts, the top-E edge cut, and the centrality iterations all
+  * derive through the batch operators' own code
+  * ([[graft.operators.Behavior.coEngagementFromItems]] →
+  * [[graft.operators.Graph.pagerankTransform]]/`katzTransform`), so
+  * stream/batch parity is by construction.
+  *
+  * Why presence and not edges: per-batch edge counts do NOT merge —
+  * a user contributing items across two micro-batches creates pairs
+  * that neither batch sees locally. The presence set is the minimal
+  * state from which every cross-batch pair is recoverable, and it is
+  * bounded by distinct (user, item) pairs — the same cardinality the
+  * batch query's first aggregate materializes.
+  *
+  * Versioned-parquet + replay-guard discipline ([[CdcCompact]]). */
+final class UserItemState(stateDir: String) {
+  @volatile private var version: Long = StreamUtil.latestVersion(stateDir)
+
+  private def prior(spark: SparkSession): DataFrame =
+    if (version < 0)
+      spark.createDataFrame(java.util.List.of[Row](), StructType.fromDDL(
+        "user_id BIGINT, item BIGINT"))
+    else spark.read.parquet(s"$stateDir/v$version")
+
+  def merge(batch: Dataset[Row], batchId: Long): Unit = {
+    if (batchId <= version) return
+    val spark = batch.sparkSession
+    // NULL items kept: the batch twin's per-user item count includes
+    // them (they only drop at the pair filter), and the ≤50 cap must
+    // see the identical count
+    val partial = batch
+      .select(col("user_id"),
+        get_json_object(col("props"), "$.k").cast("long").as("item"))
+      .distinct()
+    val merged = prior(spark).unionByName(partial).distinct()
+    merged.coalesce(1).write.mode("overwrite").parquet(s"$stateDir/v$batchId")
+    val prev = version
+    version = batchId
+    if (prev >= 0) StreamUtil.delete(spark, s"$stateDir/v$prev")
+  }
+
+  private def edges(spark: SparkSession): DataFrame =
+    graft.operators.Behavior
+      .coEngagementFromItems(prior(spark), maxItems = 50, minSupport = 1L)
+      .orderBy(col("n_users").desc, col("item_a"), col("item_b"))
+      .limit(800)
+      .select(col("item_a"), col("item_b"))
+
+  /** PageRank over the state-derived graph — the batch transform on
+    * the read-time edge cut. */
+  def reportPagerank(spark: SparkSession): DataFrame =
+    graft.operators.Graph.pagerankTransform(edges(spark))
+
+  /** SECOND face: Katz centrality over the same presence state. */
+  def reportKatz(spark: SparkSession): DataFrame =
+    graft.operators.Graph.katzTransform(edges(spark))
+}
+
+object GraphStream {
+
+  /** Queries entry (oracle: same SQL as `pagerank_items`): the event
+    * stream drained through the presence state — no staging needed,
+    * set union merges in any delivery order. */
+  def streamPagerank(spark: SparkSession, dir: String): DataFrame = {
+    val work = graft.GraftCaches.trackTempDir("graft_sgraph_")
+    val state = new UserItemState(s"$work/state")
+    StreamSources.runForeachBatch(StreamSources.events(spark, dir), state.merge)
+    state.reportPagerank(spark)
+  }
+
+  /** Queries entry (oracle: same SQL as `katz_centrality`): the SAME
+    * presence state, second face. */
+  def streamKatz(spark: SparkSession, dir: String): DataFrame = {
+    val work = graft.GraftCaches.trackTempDir("graft_skatz_")
+    val state = new UserItemState(s"$work/state")
+    StreamSources.runForeachBatch(StreamSources.events(spark, dir), state.merge)
+    state.reportKatz(spark)
+  }
+}

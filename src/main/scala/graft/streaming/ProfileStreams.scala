@@ -90,6 +90,43 @@ final class UserMinuteCountState(stateDir: String) {
     graft.operators.Behavior.botFromMinutes(prior(spark))
 }
 
+/** Additive per-source readability sums for the streaming Flesch
+  * face — (n_docs, n_sentences, n_words, n_syllables) are plain
+  * integer sums of per-doc counts, so the state is |sources| rows
+  * and the FRE report is the shared
+  * [[graft.operators.TextOps.fleschFromSums]] read. */
+final class FleschState(stateDir: String) {
+  @volatile private var version: Long = StreamUtil.latestVersion(stateDir)
+
+  private def prior(spark: SparkSession): DataFrame =
+    if (version < 0)
+      spark.createDataFrame(java.util.List.of[Row](), StructType.fromDDL(
+        "source STRING, n_docs BIGINT, n_sentences BIGINT, n_words BIGINT, n_syllables BIGINT"))
+    else spark.read.parquet(s"$stateDir/v$version")
+
+  def merge(batch: Dataset[Row], batchId: Long): Unit = {
+    if (batchId <= version) return
+    val spark = batch.sparkSession
+    val partial = graft.operators.TextOps.fleschDocCounts(batch.toDF())
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_sent")).as("n_sentences"),
+        sum(col("n_words")).as("n_words"), sum(col("n_syll")).as("n_syllables"))
+    val merged = prior(spark).unionByName(partial)
+      .groupBy(col("source"))
+      .agg(sum(col("n_docs")).as("n_docs"),
+        sum(col("n_sentences")).as("n_sentences"),
+        sum(col("n_words")).as("n_words"),
+        sum(col("n_syllables")).as("n_syllables"))
+    merged.coalesce(1).write.mode("overwrite").parquet(s"$stateDir/v$batchId")
+    val prev = version
+    version = batchId
+    if (prev >= 0) StreamUtil.delete(spark, s"$stateDir/v$prev")
+  }
+
+  def report(spark: SparkSession): DataFrame =
+    graft.operators.TextOps.fleschFromSums(prior(spark))
+}
+
 final class LabelCentroidState(stateDir: String) {
   @volatile private var version: Long = StreamUtil.latestVersion(stateDir)
 
@@ -293,6 +330,20 @@ object ProfileStreams {
     val work = graft.GraftCaches.trackTempDir("graft_sbot_")
     val state = new UserMinuteCountState(s"$work/state")
     StreamSources.runForeachBatch(StreamSources.events(spark, dir), state.merge)
+    state.report(spark)
+  }
+
+  /** Queries entry (oracle: same SQL as `flesch_reading_ease`): the
+    * document stream drained through the additive per-source
+    * readability sums. */
+  def streamFlesch(spark: SparkSession, dir: String, nFiles: Int = 4): DataFrame = {
+    val work = graft.GraftCaches.trackTempDir("graft_sfre_")
+    graft.sources.Tables.documents(spark, dir).repartition(nFiles)
+      .write.mode("overwrite").parquet(s"$work/input")
+    val state = new FleschState(s"$work/state")
+    StreamSources.runForeachBatch(
+      StreamSources.parquetStream(spark, s"$work/input", maxFilesPerTrigger = 1),
+      state.merge)
     state.report(spark)
   }
 

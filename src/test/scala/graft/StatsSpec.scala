@@ -214,7 +214,10 @@ class StatsSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
         "stream_anova" -> "anova_f_cents",
         "stream_seasonal_strength" -> "seasonal_strength",
         "stream_bot_screen" -> "bot_burst_screen",
-        "stream_funnel_excluding" -> "funnel_excluding")) {
+        "stream_funnel_excluding" -> "funnel_excluding",
+        "stream_pagerank" -> "pagerank_items",
+        "stream_katz" -> "katz_centrality",
+        "stream_flesch" -> "flesch_reading_ease")) {
       val s = SparkEntry.queries(sName)(spark, sf).collect().map(_.toString).sorted
       val b = SparkEntry.queries(bName)(spark, sf).collect().map(_.toString).sorted
       assert(s.sameElements(b), s"$sName diverged from $bName")

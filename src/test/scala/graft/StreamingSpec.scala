@@ -872,6 +872,22 @@ class StreamingSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
     assert(resumed == rows("boxplot_stats"))
   }
 
+  test("exclusion funnel resumes from checkpoint across a restart, exactly once") {
+    import graft.streaming.ExclusionFunnelState
+    val stateDir = resumeAcrossRestart("fexcl", timeOrdered = true,
+      sd => new ExclusionFunnelState(sd).merge)
+    val resumed = new ExclusionFunnelState(stateDir).report(spark).collect().toSeq
+    assert(resumed == rows("funnel_excluding"))
+  }
+
+  test("graph presence state resumes from checkpoint across a restart, exactly once") {
+    import graft.streaming.UserItemState
+    val stateDir = resumeAcrossRestart("graph", timeOrdered = false,
+      sd => new UserItemState(sd).merge)
+    val resumed = new UserItemState(stateDir).reportPagerank(spark).collect().toSeq
+    assert(resumed == rows("pagerank_items"))
+  }
+
   test("hll distinct state: merge-invariant vs one-shot sketch, replay-guarded, within 5% of exact") {
     import org.apache.spark.sql.functions._
     import graft.streaming.HllDistinctState
