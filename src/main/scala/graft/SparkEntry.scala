@@ -114,6 +114,10 @@ object SparkEntry {
     "stream_pagerank"    -> ((s: SparkSession, d: String) => streaming.GraphStream.streamPagerank(s, d)),
     "stream_katz"        -> ((s: SparkSession, d: String) => streaming.GraphStream.streamKatz(s, d)),
     "stream_flesch"      -> ((s: SparkSession, d: String) => streaming.ProfileStreams.streamFlesch(s, d)),
+    "wilcoxon_signed_rank" -> Stats.wilcoxonSignedRank _,
+    "capture_recapture"  -> Retention.captureRecapture _,
+    "stream_wilcoxon"    -> ((s: SparkSession, d: String) => streaming.TimeseriesStream.streamWilcoxon(s, d)),
+    "stream_capture_recapture" -> ((s: SparkSession, d: String) => streaming.ProfileStreams.streamCaptureRecapture(s, d)),
     "stream_markov"      -> ((s: SparkSession, d: String) => streaming.TransitionStream.streamMarkov(s, d)),
     "stream_dow_residual" -> ((s: SparkSession, d: String) => streaming.TimeseriesStream.streamDowResidual(s, d)),
     "ljung_box_daily"    -> ((s: SparkSession, d: String) => Timeseries.ljungBoxDaily(s, d)),
@@ -458,6 +462,9 @@ object SparkEntry {
       "stream_katz" -> base("katz_centrality"),
       // additive per-source readability sums
       "stream_flesch" -> base("flesch_reading_ease"),
+      "stream_wilcoxon" -> base("wilcoxon_signed_rank"),
+      // per-user (first, last) span: half membership is a pure read
+      "stream_capture_recapture" -> base("capture_recapture"),
       // cross-batch intervals reconstructed from the per-user
       // frontier; additive daily sufficient sums
       "stream_time_weighted" -> base("time_weighted_value"),
@@ -959,6 +966,8 @@ object SparkEntry {
     "theil_sen_trend" -> operators.Timeseries.theilSenTrendOracleSql,
     "anova_f_cents" -> operators.Stats.anovaFCentsOracleSql,
     "seasonal_strength" -> operators.Stats.seasonalStrengthOracleSql,
+    "wilcoxon_signed_rank" -> operators.Stats.wilcoxonSignedRankOracleSql,
+    "capture_recapture" -> operators.Retention.captureRecaptureOracleSql,
     "sessions_per_user" -> operators.Retention.sessionsPerUserOracleSql(),
     "degree_powerlaw_fit" -> operators.Graph.degreePowerlawFitOracleSql,
     "session_duration" -> operators.Retention.sessionDurationOracleSql(),

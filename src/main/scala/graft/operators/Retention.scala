@@ -230,4 +230,76 @@ object Retention {
        |SELECT day, CAST(max(conc) AS BIGINT) AS peak_concurrent,
        |       CAST(count(*) // 2 AS BIGINT) AS n_sessions
        |FROM c GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** Capture–recapture audience estimate (Chapman 1951) — "how many
+    * users does this product REALLY have" when any one window only
+    * samples them: the observed corpus is split at its calendar
+    * midpoint, the two halves play capture and recapture, and
+    * N̂ = (n₁+1)(n₂+1)/(m+1) − 1 estimates the full population from
+    * the overlap (few repeat users ⇒ the halves sample a much bigger
+    * pool). The TRUE distinct count rides along, so the output is
+    * self-evaluating — the estimator's bias on this corpus is visible
+    * in the row itself (panels/telemetry use this when the true count
+    * is unknowable).
+    *
+    * Membership is pure integer logic on the per-user span: active in
+    * the first half ⟺ first_day index < span div 2, in the second ⟺
+    * last_day index ≥ span div 2 — so the (user, first, last) span
+    * table ([[graft.streaming.UserSpanState]]'s exact state) is the
+    * sufficient statistic, and the streaming face is a pure read. */
+  def captureRecaptureTransform(events: DataFrame): DataFrame =
+    captureFromUsers(
+      events.select(col("user_id"), date_trunc("day", col("ts")).as("day"))
+        .groupBy(col("user_id"))
+        .agg(min(col("day")).as("cohort"), max(col("day")).as("last_day")))
+
+  /** The Chapman estimate from the `(user_id, cohort, last_day)`
+    * span table — the SECOND face of the streaming span state. */
+  private[graft] def captureFromUsers(u: DataFrame): DataFrame = {
+    val spark = u.sparkSession
+    import spark.implicits._
+    val bounds = u.agg(min($"cohort").as("lo"), max($"last_day").as("hi"))
+    u.crossJoin(broadcast(bounds))
+      .select(
+        expr("datediff(cohort, lo) < (datediff(hi, lo) + 1) div 2").as("seen_a"),
+        expr("datediff(last_day, lo) >= (datediff(hi, lo) + 1) div 2").as("seen_b"))
+      .agg(count(lit(1)).as("n_users_true"),
+        sum(when($"seen_a", 1L).otherwise(0L)).as("n_first_half"),
+        sum(when($"seen_b", 1L).otherwise(0L)).as("n_second_half"),
+        sum(when($"seen_a" && $"seen_b", 1L).otherwise(0L)).as("n_both"))
+      .select($"n_users_true", $"n_first_half", $"n_second_half", $"n_both",
+        expr("""round(CAST(n_first_half + 1 AS DOUBLE) * (n_second_half + 1)
+               |      / (n_both + 1) - 1, 6)""".stripMargin).as("chapman_estimate"),
+        expr("""CASE WHEN n_both > 0 THEN
+               |  round(CAST(n_first_half AS DOUBLE) * n_second_half / n_both, 6)
+               |END""".stripMargin).as("lincoln_estimate"))
+  }
+
+  def captureRecapture(spark: SparkSession, dir: String): DataFrame =
+    captureRecaptureTransform(graft.sources.Tables.events(spark, dir))
+
+  /** DuckDB oracle for [[captureRecaptureTransform]]. */
+  val captureRecaptureOracleSql: String =
+    """WITH u AS (SELECT user_id,
+      |                  min(date_trunc('day', CAST(ts AS TIMESTAMP))) AS cohort,
+      |                  max(date_trunc('day', CAST(ts AS TIMESTAMP))) AS last_day
+      |           FROM events GROUP BY 1),
+      |b AS (SELECT min(cohort) AS lo, max(last_day) AS hi FROM u),
+      |s AS (SELECT date_diff('day', b.lo, u.cohort) <
+      |               (date_diff('day', b.lo, b.hi) + 1) // 2 AS seen_a,
+      |             date_diff('day', b.lo, u.last_day) >=
+      |               (date_diff('day', b.lo, b.hi) + 1) // 2 AS seen_b
+      |      FROM u CROSS JOIN b),
+      |c AS (SELECT count(*) AS n_users_true,
+      |             CAST(sum(CASE WHEN seen_a THEN 1 ELSE 0 END) AS BIGINT) AS n_first_half,
+      |             CAST(sum(CASE WHEN seen_b THEN 1 ELSE 0 END) AS BIGINT) AS n_second_half,
+      |             CAST(sum(CASE WHEN seen_a AND seen_b THEN 1 ELSE 0 END) AS BIGINT) AS n_both
+      |      FROM s)
+      |SELECT n_users_true, n_first_half, n_second_half, n_both,
+      |       round(CAST(n_first_half + 1 AS DOUBLE) * (n_second_half + 1)
+      |             / (n_both + 1) - 1, 6) AS chapman_estimate,
+      |       CASE WHEN n_both > 0 THEN
+      |         round(CAST(n_first_half AS DOUBLE) * n_second_half / n_both, 6)
+      |       END AS lincoln_estimate
+      |FROM c""".stripMargin
 }

@@ -1158,6 +1158,103 @@ object Stats {
       |       CASE WHEN sst > 0 THEN round(ssb / sst, 6) END AS seasonal_strength
       |FROM f ORDER BY 1""".stripMargin
 
+  /** Wilcoxon signed-rank z between every type pair's daily series —
+    * the PAIRED member of the hypothesis-test family (Mann–Whitney
+    * compares two unpaired samples; here the days pair naturally, so
+    * the test asks "is type A above type B on the SAME days", immune
+    * to day-level shocks both types share): per day d = n_a − n_b,
+    * zeros dropped (standard), |d| ranked with average ranks via the
+    * doubled-rank trick (r2 = 2·rank + ties − 1, exact integers —
+    * [[spearmanFromDaily]]'s discipline), W2⁺ = Σ_{d>0} r2 exact,
+    * E[W2⁺] = n(n+1)/2, Var(W2⁺)·12 = 2n(n+1)(2n+1) − Σ(t³−t) (tie
+    * correction exact — t³−t is divisible by 6), z = one final float.
+    * All-tie pairs never zero the variance (3n(n+1)² > 0); n = 0
+    * pairs report null.
+    *
+    * Shape: grid |types|×|days| map-side, day-equi-join pair fan-out
+    * (the Spearman plan), rank windows per pair — calendar-bounded. */
+  def wilcoxonSignedRankTransform(events: DataFrame): DataFrame =
+    wilcoxonFromDaily(events
+      .select(col("event_type"), date_trunc("day", col("ts")).as("day"))
+      .groupBy(col("event_type"), col("day")).agg(count(lit(1)).as("n")))
+
+  /** The signed-rank derivation from the (event_type, day, n) grid —
+    * the FOURTEENTH face of the streaming count state. */
+  private[graft] def wilcoxonFromDaily(daily0: DataFrame): DataFrame = {
+    val spark = daily0.sparkSession
+    import spark.implicits._
+    val daily = daily0
+    val bounds = daily.agg(min($"day").as("lo"), max($"day").as("hi"))
+    val grid = daily.select($"event_type").distinct()
+      .crossJoin(broadcast(bounds))
+      .select($"event_type", explode(expr("sequence(lo, hi, INTERVAL 1 DAY)")).as("day"))
+      .join(daily, Seq("event_type", "day"), "left")
+      .select($"event_type", $"day", coalesce($"n", lit(0L)).as("n"))
+    val a = grid.select($"event_type".as("type_a"), $"day", $"n".as("na"))
+    val b = grid.select($"event_type".as("type_b"), $"day", $"n".as("nb"))
+    val diffs = a.join(b, Seq("day")).filter($"type_a" < $"type_b")
+      .select($"type_a", $"type_b", ($"na" - $"nb").as("d"),
+        abs($"na" - $"nb").as("ad"))
+      .filter($"d" =!= 0L)
+    val wRank = Window.partitionBy($"type_a", $"type_b").orderBy($"ad")
+    val wTie = Window.partitionBy($"type_a", $"type_b", $"ad")
+    val ranked = diffs
+      .withColumn("rk", rank().over(wRank).cast("long"))
+      .withColumn("ties", count(lit(1)).over(wTie))
+      .select($"type_a", $"type_b", $"d", $"ad",
+        (lit(2L) * $"rk" + $"ties" - 1L).as("r2"))
+    val ties = diffs.groupBy($"type_a", $"type_b", $"ad")
+      .agg(count(lit(1)).as("t"))
+      .groupBy($"type_a", $"type_b")
+      .agg(sum(expr("t * t * t - t")).as("tsum"))
+    ranked.groupBy($"type_a", $"type_b")
+      .agg(count(lit(1)).as("n_nonzero"),
+        sum(when($"d" > 0, $"r2").otherwise(0L)).as("w2_plus"))
+      .join(ties, Seq("type_a", "type_b"))
+      .select($"type_a", $"type_b", $"n_nonzero", $"w2_plus",
+        expr("""CASE WHEN n_nonzero > 0 THEN
+               |  round((w2_plus - n_nonzero * (n_nonzero + 1) / 2) /
+               |        sqrt((2 * n_nonzero * (n_nonzero + 1) * (2 * n_nonzero + 1) - tsum) / 12.0), 6)
+               |END""".stripMargin).as("wilcoxon_z"))
+      .orderBy($"type_a", $"type_b")
+  }
+
+  def wilcoxonSignedRank(spark: SparkSession, dir: String): DataFrame =
+    wilcoxonSignedRankTransform(Tables.events(spark, dir))
+
+  /** DuckDB oracle for [[wilcoxonSignedRankTransform]]. */
+  val wilcoxonSignedRankOracleSql: String =
+    """WITH d AS (SELECT event_type, date_trunc('day', CAST(ts AS TIMESTAMP)) AS day,
+      |                  count(*) AS n
+      |           FROM events GROUP BY 1, 2),
+      |spine AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS day
+      |          FROM (SELECT min(day) AS lo, max(day) AS hi FROM d)),
+      |g AS (SELECT t.event_type, s.day, CAST(coalesce(d.n, 0) AS BIGINT) AS n
+      |      FROM (SELECT DISTINCT event_type FROM d) t
+      |      CROSS JOIN spine s
+      |      LEFT JOIN d ON d.event_type = t.event_type AND d.day = s.day),
+      |df AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+      |              a.n - b.n AS d, abs(a.n - b.n) AS ad
+      |       FROM g a JOIN g b ON a.day = b.day AND a.event_type < b.event_type
+      |       WHERE a.n != b.n),
+      |r AS (SELECT type_a, type_b, d,
+      |             2 * rank() OVER (PARTITION BY type_a, type_b ORDER BY ad)
+      |               + count(*) OVER (PARTITION BY type_a, type_b, ad) - 1 AS r2
+      |      FROM df),
+      |ts AS (SELECT type_a, type_b, CAST(sum(t * t * t - t) AS BIGINT) AS tsum
+      |       FROM (SELECT type_a, type_b, ad, count(*) AS t FROM df GROUP BY 1, 2, 3)
+      |       GROUP BY 1, 2),
+      |w AS (SELECT type_a, type_b, count(*) AS n_nonzero,
+      |             CAST(sum(CASE WHEN d > 0 THEN r2 ELSE 0 END) AS BIGINT) AS w2_plus
+      |      FROM r GROUP BY 1, 2)
+      |SELECT w.type_a, w.type_b, w.n_nonzero, w.w2_plus,
+      |       CASE WHEN n_nonzero > 0 THEN
+      |         round((w2_plus - n_nonzero * (n_nonzero + 1) / 2) /
+      |               sqrt((2 * n_nonzero * (n_nonzero + 1) * (2 * n_nonzero + 1) - tsum) / 12.0), 6)
+      |       END AS wilcoxon_z
+      |FROM w JOIN ts ON w.type_a = ts.type_a AND w.type_b = ts.type_b
+      |ORDER BY 1, 2""".stripMargin
+
   def dowResidualOutliers(spark: SparkSession, dir: String): DataFrame =
     dowResidualOutliersTransform(Tables.events(spark, dir))
 

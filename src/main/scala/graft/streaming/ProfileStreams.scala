@@ -53,6 +53,12 @@ final class UserSpanState(stateDir: String) {
 
   def report(spark: SparkSession): DataFrame =
     graft.operators.Retention.reportFromUsers(prior(spark))
+
+  /** SECOND face: the capture–recapture audience estimate — half
+    * membership is integer logic on the same (cohort, last_day)
+    * span, so the Chapman read shares the state untouched. */
+  def reportCapture(spark: SparkSession): DataFrame =
+    graft.operators.Retention.captureFromUsers(prior(spark))
 }
 
 /** Additive (user, minute, n) burst grid for the streaming bot
@@ -373,6 +379,16 @@ object ProfileStreams {
     val state = new UserSpanState(s"$work/state")
     StreamSources.runForeachBatch(StreamSources.events(spark, dir), state.merge)
     state.report(spark)
+  }
+
+  /** Queries entry (oracle: same SQL as `capture_recapture`): the
+    * SAME per-user span state as stream_rolling_retention, second
+    * face. */
+  def streamCaptureRecapture(spark: SparkSession, dir: String): DataFrame = {
+    val work = graft.GraftCaches.trackTempDir("graft_scapt_")
+    val state = new UserSpanState(s"$work/state")
+    StreamSources.runForeachBatch(StreamSources.events(spark, dir), state.merge)
+    state.reportCapture(spark)
   }
 
   /** Queries entry (oracle: same SQL as `label_centroids`): the

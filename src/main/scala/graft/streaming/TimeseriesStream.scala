@@ -125,6 +125,13 @@ final class TypeDailyCountState(stateDir: String) {
   def reportSeasonalStrength(spark: SparkSession): DataFrame =
     graft.operators.Stats.seasonalStrengthFromDaily(
       prior(spark).select(col("event_type"), col("day"), col("x").as("n")))
+
+  /** FOURTEENTH face: the Wilcoxon signed-rank z between type pairs —
+    * signed ranks are whole-series reads (a late day re-ranks every
+    * |d|), the counts merge. */
+  def reportWilcoxon(spark: SparkSession): DataFrame =
+    graft.operators.Stats.wilcoxonFromDaily(
+      prior(spark).select(col("event_type"), col("day"), col("x").as("n")))
 }
 
 /** Additive (item, day, n) engagement grid for the adoption profile —
@@ -474,6 +481,18 @@ object TimeseriesStream {
       StreamSources.eventsFrom(spark, s"$work/input", maxFilesPerTrigger = 1),
       state.merge)
     state.reportSeasonalStrength(spark)
+  }
+
+  /** Queries entry (oracle: same SQL as `wilcoxon_signed_rank`): the
+    * SAME (type, day) count state, fourteenth face. */
+  def streamWilcoxon(spark: SparkSession, dir: String, nFiles: Int = 4): DataFrame = {
+    val work = graft.GraftCaches.trackTempDir("graft_swsr_")
+    FunnelStream.stageTimeOrdered(spark, dir, s"$work/input", nFiles)
+    val state = new TypeDailyCountState(s"$work/state")
+    StreamSources.runForeachBatch(
+      StreamSources.eventsFrom(spark, s"$work/input", maxFilesPerTrigger = 1),
+      state.merge)
+    state.reportWilcoxon(spark)
   }
 
   /** Queries entry (oracle: same SQL as `dow_residual_outliers`):

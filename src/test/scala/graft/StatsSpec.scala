@@ -217,7 +217,9 @@ class StatsSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
         "stream_funnel_excluding" -> "funnel_excluding",
         "stream_pagerank" -> "pagerank_items",
         "stream_katz" -> "katz_centrality",
-        "stream_flesch" -> "flesch_reading_ease")) {
+        "stream_flesch" -> "flesch_reading_ease",
+        "stream_wilcoxon" -> "wilcoxon_signed_rank",
+        "stream_capture_recapture" -> "capture_recapture")) {
       val s = SparkEntry.queries(sName)(spark, sf).collect().map(_.toString).sorted
       val b = SparkEntry.queries(bName)(spark, sf).collect().map(_.toString).sorted
       assert(s.sameElements(b), s"$sName diverged from $bName")
@@ -470,6 +472,48 @@ class StatsSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
     assert(byT("w").getAs[Double]("seasonal_strength") == 1.0)
     assert(byT("f").isNullAt(byT("f").fieldIndex("seasonal_strength")))
     assert(byT("f").getAs[Long]("peak_dow") == 0L)
+  }
+
+  test("wilcoxon_signed_rank: hand-ranked ties and the exact tie-corrected variance") {
+    import spark.implicits._
+    def burst(tp: String, day: Int, k: Int, base: Int) =
+      (0 until k).map(i => ((base + i).toLong, ts(day), 1L, tp, 0.0, "{}"))
+    // a: 3,1,4,5; b: 1,2,2,2 -> d = 2,-1,2,3; |d| ranks (avg): 1->1,
+    // 2->2.5 (x2), 3->4; W2+ = 5+5+8 = 18, E2 = 10, tsum = 6,
+    // var12 = 2*4*5*9 - 6 = 354 -> z = 8/sqrt(29.5)
+    val ev = (burst("a", 0, 3, 0) ++ burst("a", 1, 1, 100) ++
+      burst("a", 2, 4, 200) ++ burst("a", 3, 5, 300) ++
+      burst("b", 0, 1, 400) ++ burst("b", 1, 2, 500) ++
+      burst("b", 2, 2, 600) ++ burst("b", 3, 2, 700))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val r = operators.Stats.wilcoxonSignedRankTransform(ev).collect()
+    assert(r.length == 1)
+    assert(r(0).getAs[Long]("n_nonzero") == 4L)
+    assert(r(0).getAs[Long]("w2_plus") == 18L)
+    val expected = BigDecimal(8.0 / math.sqrt(354.0 / 12.0))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r(0).getAs[Double]("wilcoxon_z") == expected)
+  }
+
+  test("capture_recapture: hand-placed spans across the calendar midpoint") {
+    import spark.implicits._
+    // 4 days: half = 2 -> A = days 0-1, B = days 2-3.
+    // u1 spans both, u2 A only, u3 day1->day2 both, u4 B only:
+    // n1 = 3, n2 = 3, m = 2 -> chapman = 16/3 - 1, lincoln = 4.5
+    val ev = Seq(
+      (1L, ts(0), 1L, "view", 0.0, "{}"), (2L, ts(3), 1L, "view", 0.0, "{}"),
+      (3L, ts(0), 2L, "view", 0.0, "{}"),
+      (4L, ts(1), 3L, "view", 0.0, "{}"), (5L, ts(2), 3L, "view", 0.0, "{}"),
+      (6L, ts(3), 4L, "view", 0.0, "{}")
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val r = operators.Retention.captureRecaptureTransform(ev).collect()
+    assert(r.length == 1)
+    assert(r(0).getAs[Long]("n_users_true") == 4L)
+    assert(r(0).getAs[Long]("n_first_half") == 3L)
+    assert(r(0).getAs[Long]("n_second_half") == 3L)
+    assert(r(0).getAs[Long]("n_both") == 2L)
+    assert(r(0).getAs[Double]("chapman_estimate") == 4.333333)
+    assert(r(0).getAs[Double]("lincoln_estimate") == 4.5)
   }
 
   test("markov_stationary: a two-state doubly-stochastic chain settles at 50/50") {
