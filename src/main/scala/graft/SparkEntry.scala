@@ -115,6 +115,9 @@ object SparkEntry {
     "stream_katz"        -> ((s: SparkSession, d: String) => streaming.GraphStream.streamKatz(s, d)),
     "stream_flesch"      -> ((s: SparkSession, d: String) => streaming.ProfileStreams.streamFlesch(s, d)),
     "wilcoxon_signed_rank" -> Stats.wilcoxonSignedRank _,
+    "source_jsonl_docs"  -> sources.Formats.jsonlDocsRoundtrip _,
+    "source_csv_lineitem" -> sources.Formats.csvLineitemRoundtrip _,
+    "source_orc_events"  -> sources.Formats.orcEventsRoundtrip _,
     "capture_recapture"  -> Retention.captureRecapture _,
     "stream_wilcoxon"    -> ((s: SparkSession, d: String) => streaming.TimeseriesStream.streamWilcoxon(s, d)),
     "stream_capture_recapture" -> ((s: SparkSession, d: String) => streaming.ProfileStreams.streamCaptureRecapture(s, d)),
@@ -967,6 +970,9 @@ object SparkEntry {
     "anova_f_cents" -> operators.Stats.anovaFCentsOracleSql,
     "seasonal_strength" -> operators.Stats.seasonalStrengthOracleSql,
     "wilcoxon_signed_rank" -> operators.Stats.wilcoxonSignedRankOracleSql,
+    "source_jsonl_docs" -> sources.Formats.jsonlDocsRoundtripOracleSql,
+    "source_csv_lineitem" -> sources.Formats.csvLineitemRoundtripOracleSql,
+    "source_orc_events" -> sources.Formats.orcEventsRoundtripOracleSql,
     "capture_recapture" -> operators.Retention.captureRecaptureOracleSql,
     "sessions_per_user" -> operators.Retention.sessionsPerUserOracleSql(),
     "degree_powerlaw_fit" -> operators.Graph.degreePowerlawFitOracleSql,

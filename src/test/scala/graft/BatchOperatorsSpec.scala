@@ -608,6 +608,34 @@ class BatchOperatorsSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAl
       (4L, 2L, 3L, 150L, 2L)))
   }
 
+  test("format roundtrips: jsonl/csv/orc read-back aggregates equal the direct-parquet ones") {
+    val sf = "/root/testdata/sf0.001"
+    import org.apache.spark.sql.functions._
+    // direct (no roundtrip) versions of the same aggregates
+    val directJson = graft.sources.Tables.documents(spark, sf)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(length(col("text"))).as("sum_len"),
+        sum(col("n_chars")).as("sum_chars"),
+        sum(expr("CAST(conv(substr(md5(text), 1, 8), 16, 10) AS BIGINT)")).as("text_checksum"))
+      .orderBy(col("source")).collect().toSeq
+    assert(graft.sources.Formats.jsonlDocsRoundtrip(spark, sf).collect().toSeq == directJson)
+    val directOrc = graft.sources.Tables.events(spark, sf)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sum(unix_micros(col("ts"))).as("ts_micros_sum"),
+        sum(expr("CAST(conv(substr(md5(props), 1, 8), 16, 10) AS BIGINT)")).as("props_checksum"),
+        sum(expr("CAST(round(value * 100) AS BIGINT)")).as("cents"))
+      .orderBy(col("event_type")).collect().toSeq
+    assert(graft.sources.Formats.orcEventsRoundtrip(spark, sf).collect().toSeq == directOrc)
+    val directCsv = graft.sources.Tables.lineitem(spark, sf)
+      .withColumn("l_shipdate", col("l_shipdate").cast("timestamp"))
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("l_quantity")).as("sum_qty"),
+        round(sum(col("l_extendedprice")), 2).as("sum_price"),
+        min(col("l_shipdate")).as("min_ship"), max(col("l_shipdate")).as("max_ship"))
+      .orderBy(col("l_returnflag")).collect().toSeq
+    assert(graft.sources.Formats.csvLineitemRoundtrip(spark, sf).collect().toSeq == directCsv)
+  }
+
   test("flesch_reading_ease: hand-counted vowel groups, no-vowel floor, degenerate docs") {
     import spark.implicits._
     val docs = Seq(
