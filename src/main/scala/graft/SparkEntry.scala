@@ -115,6 +115,8 @@ object SparkEntry {
     "stream_katz"        -> ((s: SparkSession, d: String) => streaming.GraphStream.streamKatz(s, d)),
     "stream_flesch"      -> ((s: SparkSession, d: String) => streaming.ProfileStreams.streamFlesch(s, d)),
     "wilcoxon_signed_rank" -> Stats.wilcoxonSignedRank _,
+    "user_type_entropy"  -> Behavior.userTypeEntropy _,
+    "stream_user_type_entropy" -> ((s: SparkSession, d: String) => streaming.ProfileStreams.streamUserTypeEntropy(s, d)),
     "source_jsonl_docs"  -> sources.Formats.jsonlDocsRoundtrip _,
     "source_csv_lineitem" -> sources.Formats.csvLineitemRoundtrip _,
     "source_orc_events"  -> sources.Formats.orcEventsRoundtrip _,
@@ -468,6 +470,8 @@ object SparkEntry {
       "stream_wilcoxon" -> base("wilcoxon_signed_rank"),
       // per-user (first, last) span: half membership is a pure read
       "stream_capture_recapture" -> base("capture_recapture"),
+      // additive (user, type) counts; per-user entropies cannot merge
+      "stream_user_type_entropy" -> base("user_type_entropy"),
       // cross-batch intervals reconstructed from the per-user
       // frontier; additive daily sufficient sums
       "stream_time_weighted" -> base("time_weighted_value"),
@@ -970,6 +974,7 @@ object SparkEntry {
     "anova_f_cents" -> operators.Stats.anovaFCentsOracleSql,
     "seasonal_strength" -> operators.Stats.seasonalStrengthOracleSql,
     "wilcoxon_signed_rank" -> operators.Stats.wilcoxonSignedRankOracleSql,
+    "user_type_entropy" -> operators.Behavior.userTypeEntropyOracleSql,
     "source_jsonl_docs" -> sources.Formats.jsonlDocsRoundtripOracleSql,
     "source_csv_lineitem" -> sources.Formats.csvLineitemRoundtripOracleSql,
     "source_orc_events" -> sources.Formats.orcEventsRoundtripOracleSql,

@@ -2068,6 +2068,53 @@ object Behavior {
       |FROM c JOIN f ON c.item = f.item
       |GROUP BY 1, 2 ORDER BY 1""".stripMargin
 
+  /** Engagement-DIVERSITY histogram: per-user entropy of the
+    * event-type mix, bucketed — "how many users are one-trick vs
+    * broad" (a recommender's exploration health metric; the per-USER
+    * face of [[graft.operators.Stats.transitionEntropyTransform]]'s
+    * per-state entropy): H(u) = log2(n_u) − Σ_t c·log2(c) / n_u over
+    * the user's per-type counts, each n·log2(n) term one float on an
+    * exact integer rounded to the 1e-6 grid and summed EXACTLY as
+    * DECIMAL(20,6) (order-free), H rounded to 1e-6 and bucketed at
+    * width ¼ bit by integer floor — identical doubles in both
+    * engines, so the bucket boundary cannot disagree.
+    *
+    * Shape: (user, type) counts map-side, per-user rollup on the
+    * same user_id shuffle, |buckets| ≤ 4·log2(|types|)+1 rows out. */
+  def userTypeEntropyTransform(events: DataFrame): DataFrame =
+    entropyFromUserTypeCounts(events
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(count(lit(1)).as("c")))
+
+  /** The histogram rollup from an already-aggregated (user_id,
+    * event_type, c) table — the streaming face's additive state. */
+  private[graft] def entropyFromUserTypeCounts(counts: DataFrame): DataFrame = counts
+    .select(col("user_id"), col("c"),
+      expr("CAST(round(c * log2(c), 6) AS DECIMAL(20,6))").as("clogc"))
+    .groupBy(col("user_id"))
+    .agg(sum(col("c")).as("n"), sum(col("clogc")).as("scl"))
+    .select(expr("CAST(floor(round(log2(n) - CAST(scl AS DOUBLE) / n + 0.0, 6) * 4) AS BIGINT)")
+      .as("h_bucket_x4"))
+    .groupBy(col("h_bucket_x4"))
+    .agg(count(lit(1)).as("n_users"))
+    .orderBy(col("h_bucket_x4"))
+
+  def userTypeEntropy(spark: SparkSession, dir: String): DataFrame =
+    userTypeEntropyTransform(graft.sources.Tables.events(spark, dir))
+
+  /** DuckDB oracle for [[userTypeEntropyTransform]]. */
+  val userTypeEntropyOracleSql: String =
+    """WITH c AS (SELECT user_id, event_type, count(*) AS c
+      |           FROM events GROUP BY 1, 2),
+      |u AS (SELECT user_id, sum(c) AS n,
+      |             sum(CAST(round(c * log2(c), 6) AS DECIMAL(20,6))) AS scl
+      |      FROM c GROUP BY 1),
+      |h AS (SELECT CAST(floor(round(log2(n) - CAST(scl AS DOUBLE) / n + 0.0, 6) * 4) AS BIGINT)
+      |               AS h_bucket_x4
+      |      FROM u)
+      |SELECT h_bucket_x4, count(*) AS n_users
+      |FROM h GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** Bot/scripted-traffic burst screen — the rate-based heuristic
     * every engagement pipeline runs before trusting its own counts
     * (a scraper firing 30 requests in one minute poisons the DAU,

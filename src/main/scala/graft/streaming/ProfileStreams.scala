@@ -133,6 +133,36 @@ final class FleschState(stateDir: String) {
     graft.operators.TextOps.fleschFromSums(prior(spark))
 }
 
+/** Additive (user_id, event_type, c) count grid for the streaming
+  * engagement-diversity histogram — per-user entropies cannot merge
+  * (one new event re-weights every term), the counts can; report via
+  * the shared [[graft.operators.Behavior.entropyFromUserTypeCounts]]. */
+final class UserTypeCountState(stateDir: String) {
+  @volatile private var version: Long = StreamUtil.latestVersion(stateDir)
+
+  private def prior(spark: SparkSession): DataFrame =
+    if (version < 0)
+      spark.createDataFrame(java.util.List.of[Row](), StructType.fromDDL(
+        "user_id BIGINT, event_type STRING, c BIGINT"))
+    else spark.read.parquet(s"$stateDir/v$version")
+
+  def merge(batch: Dataset[Row], batchId: Long): Unit = {
+    if (batchId <= version) return
+    val spark = batch.sparkSession
+    val partial = batch.groupBy(col("user_id"), col("event_type"))
+      .agg(count(lit(1)).as("c"))
+    val merged = prior(spark).unionByName(partial)
+      .groupBy(col("user_id"), col("event_type")).agg(sum(col("c")).as("c"))
+    merged.coalesce(1).write.mode("overwrite").parquet(s"$stateDir/v$batchId")
+    val prev = version
+    version = batchId
+    if (prev >= 0) StreamUtil.delete(spark, s"$stateDir/v$prev")
+  }
+
+  def report(spark: SparkSession): DataFrame =
+    graft.operators.Behavior.entropyFromUserTypeCounts(prior(spark))
+}
+
 final class LabelCentroidState(stateDir: String) {
   @volatile private var version: Long = StreamUtil.latestVersion(stateDir)
 
@@ -377,6 +407,16 @@ object ProfileStreams {
   def streamRollingRetention(spark: SparkSession, dir: String): DataFrame = {
     val work = graft.GraftCaches.trackTempDir("graft_uspan_")
     val state = new UserSpanState(s"$work/state")
+    StreamSources.runForeachBatch(StreamSources.events(spark, dir), state.merge)
+    state.report(spark)
+  }
+
+  /** Queries entry (oracle: same SQL as `user_type_entropy`): the
+    * event stream drained through the additive (user, type) count
+    * grid — no staging needed. */
+  def streamUserTypeEntropy(spark: SparkSession, dir: String): DataFrame = {
+    val work = graft.GraftCaches.trackTempDir("graft_suent_")
+    val state = new UserTypeCountState(s"$work/state")
     StreamSources.runForeachBatch(StreamSources.events(spark, dir), state.merge)
     state.report(spark)
   }

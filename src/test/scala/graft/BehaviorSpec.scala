@@ -754,6 +754,26 @@ class BehaviorSpec extends AnyFunSuite {
     assert(r(0).getAs[Double]("clean_rate") == 0.666667)
   }
 
+  test("user type entropy: uniform mix hits the log2 ceiling, one-trick users land in bucket 0") {
+    val events = ev(Seq(
+      // u1: 2+2 over two types -> H = 1.0 exactly -> bucket 4
+      (1L, "2024-01-01 10:00:00", 1L, "view", 0.0),
+      (1L, "2024-01-01 11:00:00", 2L, "view", 0.0),
+      (1L, "2024-01-01 12:00:00", 3L, "click", 0.0),
+      (1L, "2024-01-01 13:00:00", 4L, "click", 0.0),
+      // u2: all views -> H = 0 -> bucket 0
+      (2L, "2024-01-01 10:00:00", 5L, "view", 0.0),
+      (2L, "2024-01-01 11:00:00", 6L, "view", 0.0),
+      // u3: 3/1 split -> H = 2 - 0.75*log2(3) ~ 0.811 -> bucket 3
+      (3L, "2024-01-01 10:00:00", 7L, "view", 0.0),
+      (3L, "2024-01-01 11:00:00", 8L, "view", 0.0),
+      (3L, "2024-01-01 12:00:00", 9L, "view", 0.0),
+      (3L, "2024-01-01 13:00:00", 10L, "click", 0.0)))
+    val r = operators.Behavior.userTypeEntropyTransform(events).collect()
+      .map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(r == Map(0L -> 1L, 3L -> 1L, 4L -> 1L))
+  }
+
   test("bot burst screen: peak-minute and sustained-rate flags, organic users pass") {
     val events = ev(
       // u1: 12 events inside one minute -> peak 12 >= 10 -> flagged
