@@ -117,6 +117,7 @@ object SparkEntry {
     "wilcoxon_signed_rank" -> Stats.wilcoxonSignedRank _,
     "user_type_entropy"  -> Behavior.userTypeEntropy _,
     "stream_user_type_entropy" -> ((s: SparkSession, d: String) => streaming.ProfileStreams.streamUserTypeEntropy(s, d)),
+    "stream_sessions_per_user" -> ((s: SparkSession, d: String) => streaming.ProfileStreams.streamSessionsPerUser(s, d)),
     "source_jsonl_docs"  -> sources.Formats.jsonlDocsRoundtrip _,
     "source_csv_lineitem" -> sources.Formats.csvLineitemRoundtrip _,
     "source_orc_events"  -> sources.Formats.orcEventsRoundtrip _,
@@ -472,6 +473,8 @@ object SparkEntry {
       "stream_capture_recapture" -> base("capture_recapture"),
       // additive (user, type) counts; per-user entropies cannot merge
       "stream_user_type_entropy" -> base("user_type_entropy"),
+      // per-user (last_ts, k) session frontier under ordered delivery
+      "stream_sessions_per_user" -> base("sessions_per_user"),
       // cross-batch intervals reconstructed from the per-user
       // frontier; additive daily sufficient sums
       "stream_time_weighted" -> base("time_weighted_value"),

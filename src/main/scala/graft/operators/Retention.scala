@@ -155,8 +155,12 @@ object Retention {
     * integer bounds. One user_id shuffle + two map-side-combinable
     * aggregates; ≤ ~30 rows at any scale. */
   def sessionsPerUserTransform(events: DataFrame, gapMinutes: Int = 30): DataFrame =
-    sessionIntervals(events, gapMinutes)
-      .groupBy(col("user_id")).agg(count(lit(1)).as("k"))
+    sessionsHistFromK(sessionIntervals(events, gapMinutes)
+      .groupBy(col("user_id")).agg(count(lit(1)).as("k")))
+
+  /** The power-of-two histogram from a per-user (user_id, k) session
+    * count — shared with the streaming session-count state. */
+  private[graft] def sessionsHistFromK(k: DataFrame): DataFrame = k
       .select(expr("CAST(floor(log2(k)) AS BIGINT)").as("bucket"))
       .groupBy(col("bucket"))
       .agg(count(lit(1)).as("n_users"))

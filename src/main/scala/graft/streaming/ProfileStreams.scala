@@ -163,6 +163,57 @@ final class UserTypeCountState(stateDir: String) {
     graft.operators.Behavior.entropyFromUserTypeCounts(prior(spark))
 }
 
+/** Per-user session-count frontier for the streaming sessions-per-
+  * user histogram: (last_ts, k) — under [[FunnelStream]]'s
+  * time-ordered-delivery contract a batch's first event either
+  * continues the frontier session (gap ≤ timeout) or opens session
+  * k+1, and batch-internal boundaries count with the ordinary lag
+  * rule, so TWO columns of per-user state replace the whole event
+  * history. The histogram is a pure read
+  * ([[graft.operators.Retention.sessionsHistFromK]]). */
+final class SessionCountState(stateDir: String, gapMinutes: Int = 30) {
+  @volatile private var version: Long = StreamUtil.latestVersion(stateDir)
+  private val gapUs = gapMinutes * 60L * 1000000L
+
+  private def prior(spark: SparkSession): DataFrame =
+    if (version < 0)
+      spark.createDataFrame(java.util.List.of[Row](), StructType.fromDDL(
+        "user_id BIGINT, last_ts TIMESTAMP, k BIGINT"))
+    else spark.read.parquet(s"$stateDir/v$version")
+
+  def merge(batch: Dataset[Row], batchId: Long): Unit = {
+    if (batchId <= version) return
+    val spark = batch.sparkSession
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val partial = batch
+      .select(col("user_id"), col("ts"), col("event_id"))
+      .withColumn("prev", lag(col("ts"), 1).over(w))
+      .join(prior(spark), Seq("user_id"), "left")
+      .select(col("user_id"), col("ts"),
+        when(col("prev").isNotNull,
+          when(unix_micros(col("ts")) - unix_micros(col("prev")) > gapUs, 1L).otherwise(0L))
+        .otherwise(
+          when(col("last_ts").isNull ||
+            unix_micros(col("ts")) - unix_micros(col("last_ts")) > gapUs, 1L).otherwise(0L))
+        .as("new_s"))
+      .groupBy(col("user_id"))
+      .agg(max(col("ts")).as("b_last"), sum(col("new_s")).as("b_k"))
+    val merged = prior(spark).join(partial, Seq("user_id"), "full_outer")
+      .select(col("user_id"),
+        coalesce(col("b_last"), col("last_ts")).as("last_ts"),
+        (coalesce(col("k"), lit(0L)) + coalesce(col("b_k"), lit(0L))).as("k"))
+    merged.coalesce(1).write.mode("overwrite").parquet(s"$stateDir/v$batchId")
+    val prev = version
+    version = batchId
+    if (prev >= 0) StreamUtil.delete(spark, s"$stateDir/v$prev")
+  }
+
+  def report(spark: SparkSession): DataFrame =
+    graft.operators.Retention.sessionsHistFromK(
+      prior(spark).select(col("user_id"), col("k")))
+}
+
 final class LabelCentroidState(stateDir: String) {
   @volatile private var version: Long = StreamUtil.latestVersion(stateDir)
 
@@ -418,6 +469,19 @@ object ProfileStreams {
     val work = graft.GraftCaches.trackTempDir("graft_suent_")
     val state = new UserTypeCountState(s"$work/state")
     StreamSources.runForeachBatch(StreamSources.events(spark, dir), state.merge)
+    state.report(spark)
+  }
+
+  /** Queries entry (oracle: same SQL as `sessions_per_user`): the
+    * time-ordered replay drained through the per-user (last_ts, k)
+    * session-count frontier. */
+  def streamSessionsPerUser(spark: SparkSession, dir: String, nFiles: Int = 4): DataFrame = {
+    val work = graft.GraftCaches.trackTempDir("graft_sspu_")
+    FunnelStream.stageTimeOrdered(spark, dir, s"$work/input", nFiles)
+    val state = new SessionCountState(s"$work/state")
+    StreamSources.runForeachBatch(
+      StreamSources.eventsFrom(spark, s"$work/input", maxFilesPerTrigger = 1),
+      state.merge)
     state.report(spark)
   }
 
