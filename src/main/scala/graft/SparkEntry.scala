@@ -235,6 +235,7 @@ object SparkEntry {
     "stream_hop_append"  -> ((s: SparkSession, d: String) => EngagementStream.streamHopAppend(s, d)),
     "stream_tumble_append" -> ((s: SparkSession, d: String) => EngagementStream.streamTumbleAppend(s, d)),
     "stream_tumble_agg"  -> EngagementStream.streamTumbleAgg _,
+    "stream_tumble_jsonl" -> EngagementStream.streamTumbleJsonl _,
     "stream_topk_per_group" -> ((s: SparkSession, d: String) => EngagementStream.streamTopkPerGroup(s, d)),
     "stream_enrich"      -> EngagementStream.streamEnrich _,
     "stream_cdc_compact" -> ((s: SparkSession, d: String) => CdcCompact.streamCdcCompact(s, d)),
@@ -542,6 +543,8 @@ object SparkEntry {
           |       <= (SELECT max(CAST(ts AS TIMESTAMP)) - INTERVAL 47 MINUTE FROM events)
           |ORDER BY 1, 2""".stripMargin,
       "stream_tumble_agg"  -> base("tumble_window_agg"),
+      // same windowed state, JSON-lines wire format feeding it
+      "stream_tumble_jsonl" -> base("tumble_window_agg"),
       "stream_topk_per_group" -> base("topk_per_group"),
       "stream_enrich"      -> base("enrich_events"),
       "stream_cdc_compact" -> base("cdc_latest_by_key"),

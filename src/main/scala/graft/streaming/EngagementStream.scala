@@ -48,6 +48,19 @@ object EngagementStream {
       OutputMode.Complete())
       .orderBy(col("w_start"), col("event_type"))
 
+  /** TUMBLE aggregation over the JSON-LINES stream source — the same
+    * shared transform as `stream_tumble_agg`, but the events arrive
+    * through `readStream.json` (explicit schema, µs-pinned
+    * timestampFormat): proves the engine's windowed state behaves
+    * identically whatever wire format feeds it (oracle: same SQL as
+    * `tumble_window_agg`). */
+  def streamTumbleJsonl(spark: SparkSession, dir: String): DataFrame =
+    StreamSources.runToMemory(
+      Engagement.tumbleAggTransform(
+        StreamSources.eventsJsonl(spark, dir).withWatermark("ts", "1 hour")),
+      OutputMode.Complete())
+      .orderBy(col("w_start"), col("event_type"))
+
   /** SURVEY §2 #6b: the bounded-heap top-k aggregate
     * ([[graft.functions.BoundedTopK]]) driven through the streaming
     * engine — the custom TypedImperativeAggregate's buffers

@@ -59,6 +59,32 @@ object StreamSources {
         ++ extraCols).map(col): _*)
   }
 
+  /** The events table as a JSON-LINES file stream — the OTHER wire
+    * format a deployment tails (the reference's Kafka payloads are
+    * JSON lines; this is the same decode path minus the broker). The
+    * table is staged once per temp dir with a µs-pinned
+    * timestampFormat (Spark's default truncates to millis — the
+    * [[graft.sources.Formats]] hazard) and read back through
+    * `readStream.json` with an explicit schema — schema inference on
+    * a stream is not even allowed, which is the production-correct
+    * default. */
+  def eventsJsonl(spark: SparkSession, dir: String, nFiles: Int = 4,
+                  maxFilesPerTrigger: Int = 1): DataFrame = {
+    val tsFmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+    val work = graft.GraftCaches.trackTempDir("graft_jsonlsrc_")
+    graft.sources.Tables.events(spark, dir).repartition(nFiles)
+      .write.mode("overwrite").option("timestampFormat", tsFmt)
+      .json(s"$work/events")
+    spark.readStream
+      .schema("event_id BIGINT, ts TIMESTAMP, user_id BIGINT, " +
+        "event_type STRING, value DOUBLE, props STRING")
+      .option("timestampFormat", tsFmt)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger.toString)
+      .json(s"$work/events")
+      .select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value"), col("props"))
+  }
+
   /** The documents table as an unbounded stream (no timestamp
     * normalization needed — the table has no nanos column); same
     * schema-from-batch-read and single-file-glob routing as
