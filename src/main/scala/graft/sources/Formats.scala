@@ -88,7 +88,11 @@ object Formats {
     val back = spark.read.orc(s"$work/events")
     back.groupBy(col("event_type"))
       .agg(count(lit(1)).as("n_events"),
-        sum(unix_micros(col("ts"))).as("ts_micros_sum"),
+        // sub-second micros only: exactly the component a lossy
+        // format truncates, and overflow-safe to ~9e12 rows (a full
+        // unix_micros sum blows past Long at ~5e3 rows)
+        sum(unix_micros(col("ts")) % 1000000L).as("submicro_sum"),
+        min(col("ts")).as("min_ts"), max(col("ts")).as("max_ts"),
         sum(expr(md5Prefix("props"))).as("props_checksum"),
         sum(expr("CAST(round(value * 100) AS BIGINT)")).as("cents"))
       .orderBy(col("event_type"))
@@ -112,7 +116,8 @@ object Formats {
 
   val orcEventsRoundtripOracleSql: String =
     """SELECT event_type, count(*) AS n_events,
-      |       CAST(sum(epoch_us(CAST(ts AS TIMESTAMP))) AS BIGINT) AS ts_micros_sum,
+      |       CAST(sum(epoch_us(CAST(ts AS TIMESTAMP)) % 1000000) AS BIGINT) AS submicro_sum,
+      |       min(CAST(ts AS TIMESTAMP)) AS min_ts, max(CAST(ts AS TIMESTAMP)) AS max_ts,
       |       CAST(sum(CAST('0x' || substr(md5(props), 1, 8) AS BIGINT)) AS BIGINT) AS props_checksum,
       |       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
       |FROM events GROUP BY 1 ORDER BY 1""".stripMargin

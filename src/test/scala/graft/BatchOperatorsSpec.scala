@@ -621,7 +621,9 @@ class BatchOperatorsSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAl
     assert(graft.sources.Formats.jsonlDocsRoundtrip(spark, sf).collect().toSeq == directJson)
     val directOrc = graft.sources.Tables.events(spark, sf)
       .groupBy(col("event_type"))
-      .agg(count(lit(1)).as("n_events"), sum(unix_micros(col("ts"))).as("ts_micros_sum"),
+      .agg(count(lit(1)).as("n_events"),
+        sum(unix_micros(col("ts")) % 1000000L).as("submicro_sum"),
+        min(col("ts")).as("min_ts"), max(col("ts")).as("max_ts"),
         sum(expr("CAST(conv(substr(md5(props), 1, 8), 16, 10) AS BIGINT)")).as("props_checksum"),
         sum(expr("CAST(round(value * 100) AS BIGINT)")).as("cents"))
       .orderBy(col("event_type")).collect().toSeq
