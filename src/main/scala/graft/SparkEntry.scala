@@ -116,6 +116,8 @@ object SparkEntry {
     "stream_flesch"      -> ((s: SparkSession, d: String) => streaming.ProfileStreams.streamFlesch(s, d)),
     "wilcoxon_signed_rank" -> Stats.wilcoxonSignedRank _,
     "user_type_entropy"  -> Behavior.userTypeEntropy _,
+    "cross_correlation_daily" -> Timeseries.crossCorrelationDaily _,
+    "stream_ccf"         -> ((s: SparkSession, d: String) => streaming.TimeseriesStream.streamCcf(s, d)),
     "stream_user_type_entropy" -> ((s: SparkSession, d: String) => streaming.ProfileStreams.streamUserTypeEntropy(s, d)),
     "stream_sessions_per_user" -> ((s: SparkSession, d: String) => streaming.ProfileStreams.streamSessionsPerUser(s, d)),
     "source_jsonl_docs"  -> sources.Formats.jsonlDocsRoundtrip _,
@@ -476,6 +478,7 @@ object SparkEntry {
       "stream_user_type_entropy" -> base("user_type_entropy"),
       // per-user (last_ts, k) session frontier under ordered delivery
       "stream_sessions_per_user" -> base("sessions_per_user"),
+      "stream_ccf" -> base("cross_correlation_daily"),
       // cross-batch intervals reconstructed from the per-user
       // frontier; additive daily sufficient sums
       "stream_time_weighted" -> base("time_weighted_value"),
@@ -981,6 +984,7 @@ object SparkEntry {
     "seasonal_strength" -> operators.Stats.seasonalStrengthOracleSql,
     "wilcoxon_signed_rank" -> operators.Stats.wilcoxonSignedRankOracleSql,
     "user_type_entropy" -> operators.Behavior.userTypeEntropyOracleSql,
+    "cross_correlation_daily" -> operators.Timeseries.crossCorrelationDailyOracleSql(),
     "source_jsonl_docs" -> sources.Formats.jsonlDocsRoundtripOracleSql,
     "source_csv_lineitem" -> sources.Formats.csvLineitemRoundtripOracleSql,
     "source_orc_events" -> sources.Formats.orcEventsRoundtripOracleSql,

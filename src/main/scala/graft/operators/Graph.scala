@@ -94,6 +94,16 @@ object Graph {
     // ids+scores (KBs here; at a billion-edge deployment this knob is
     // sized to the edge list instead) — same pattern as
     // dedupClustersStar's iteration scope
+    // materialize the edge list ONCE before anything references it:
+    // the symmetric union below (and deg, and every round) would
+    // otherwise re-execute the co-engagement aggregation chain per
+    // reference — the classic diamond-reuse trap. CRUCIALLY this runs
+    // BEFORE the iteration conf scope narrows the shuffle width: the
+    // upstream pair fan-out is FACT-scale (per-user k²/2 pairs over
+    // the whole corpus) and squeezing it into 8 partitions with AQE
+    // off turned a 100× run from seconds into a timeout — measured,
+    // third stint.
+    val p = truncateLineage(pairs)
     val shuffleKey = "spark.sql.shuffle.partitions"
     val aqeKey = "spark.sql.adaptive.enabled"
     val prevShuffle = spark.conf.get(shuffleKey)
@@ -104,11 +114,6 @@ object Graph {
     // costs more than it can ever save on planning-scale state; the
     // conf is restored before the caller's plan executes
     spark.conf.set(aqeKey, "false")
-    // materialize the edge list ONCE before anything references it:
-    // the symmetric union below (and deg, and every round) would
-    // otherwise re-execute the co-engagement aggregation chain per
-    // reference — the classic diamond-reuse trap
-    val p = truncateLineage(pairs)
     val edges = p.select($"item_a".as("src"), $"item_b".as("dst"))
       .unionByName(p.select($"item_b".as("src"), $"item_a".as("dst")))
       .persist()
@@ -165,13 +170,15 @@ object Graph {
   def katzTransform(pairs: DataFrame, iters: Int = 8, scale: Long = 1000000000L): DataFrame = {
     val spark = pairs.sparkSession
     import spark.implicits._
+    // fact-scale pair materialization BEFORE the iteration conf scope
+    // (the pagerankTransform 100×-timeout lesson)
+    val p = truncateLineage(pairs)
     val shuffleKey = "spark.sql.shuffle.partitions"
     val aqeKey = "spark.sql.adaptive.enabled"
     val prevShuffle = spark.conf.get(shuffleKey)
     val prevAqe = spark.conf.get(aqeKey)
     spark.conf.set(shuffleKey, "8")
     spark.conf.set(aqeKey, "false")
-    val p = truncateLineage(pairs)
     val edges = p.select($"item_a".as("src"), $"item_b".as("dst"))
       .unionByName(p.select($"item_b".as("src"), $"item_a".as("dst")))
       .persist()

@@ -786,6 +786,92 @@ object Timeseries {
       |       END AS jb_stat
       |FROM mm ORDER BY 1""".stripMargin
 
+  /** Lagged cross-correlation (CCF) between every type pair's daily
+    * series — the LEAD/LAG structure the symmetric same-day measures
+    * (Spearman/Kendall/Pearson-window) cannot see: ccf(k) =
+    * corr(x_t, y_{t+k}) for k ∈ [−7, 7], so "views lead purchases by
+    * two days" shows as the off-center peak. Negative k means type_a
+    * LAGS type_b.
+    *
+    * Exactness: per (pair, lag) the five power sums over the day
+    * overlap are exact integers (products as DECIMAL(38,0)), the
+    * correlation is ONE float in the same fixed expression as
+    * [[graft.operators.Stats]]' Spearman; zero-variance overlaps
+    * report null. Shape: the lag fan-out is a 15-row literal
+    * crossJoin BEFORE the pair join on (day index + lag) — grid rows
+    * × 15, calendar-bounded like every face of the count state
+    * (FIFTEENTH face). */
+  def crossCorrelationDailyTransform(events: DataFrame, maxLag: Int = 7): DataFrame =
+    ccfFromDaily(events
+      .select(col("event_type"), date_trunc("day", col("ts")).as("day"))
+      .groupBy(col("event_type"), col("day")).agg(count(lit(1)).as("n")), maxLag)
+
+  private[graft] def ccfFromDaily(daily0: DataFrame, maxLag: Int = 7): DataFrame = {
+    val spark = daily0.sparkSession
+    import spark.implicits._
+    val daily = daily0
+    val bounds = daily.agg(min($"day").as("lo"), max($"day").as("hi"))
+    val grid = daily.select($"event_type").distinct()
+      .crossJoin(broadcast(bounds))
+      .select($"event_type", explode(expr("sequence(lo, hi, INTERVAL 1 DAY)")).as("day"), $"lo")
+      .join(daily, Seq("event_type", "day"), "left")
+      .select($"event_type", datediff($"day", $"lo").cast("long").as("di"),
+        coalesce($"n", lit(0L)).as("n"))
+    val lags = spark.range(-maxLag.toLong, maxLag + 1L).select($"id".as("lag"))
+    val a = grid.select($"event_type".as("type_a"), $"di", $"n".as("x"))
+      .crossJoin(broadcast(lags))
+    val b = grid.select($"event_type".as("type_b"), $"di".as("dib"), $"n".as("y"))
+    a.join(b, $"type_a" < $"type_b" && $"dib" === $"di" + $"lag")
+      .groupBy($"type_a", $"type_b", $"lag")
+      .agg(count(lit(1)).as("n_days"),
+        sum($"x").as("sx"), sum($"y").as("sy"),
+        sum(expr("CAST(x AS DECIMAL(38,0)) * y")).as("sxy"),
+        sum(expr("CAST(x AS DECIMAL(38,0)) * x")).as("sxx"),
+        sum(expr("CAST(y AS DECIMAL(38,0)) * y")).as("syy"))
+      .select($"type_a", $"type_b", $"lag", $"n_days",
+        expr("""CASE WHEN n_days * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx > 0
+               |      AND n_days * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * sy > 0 THEN
+               |  round((n_days * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy) /
+               |        (sqrt(n_days * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx) *
+               |         sqrt(n_days * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * sy)), 6)
+               |END""".stripMargin).as("ccf"))
+      .orderBy($"type_a", $"type_b", $"lag")
+  }
+
+  def crossCorrelationDaily(spark: SparkSession, dir: String): DataFrame =
+    crossCorrelationDailyTransform(graft.sources.Tables.events(spark, dir))
+
+  /** DuckDB oracle for [[crossCorrelationDailyTransform]]. */
+  def crossCorrelationDailyOracleSql(maxLag: Int = 7): String =
+    s"""WITH d AS (SELECT event_type, date_trunc('day', CAST(ts AS TIMESTAMP)) AS day,
+       |                  count(*) AS n
+       |           FROM events GROUP BY 1, 2),
+       |spine AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS day, lo
+       |          FROM (SELECT min(day) AS lo, max(day) AS hi FROM d)),
+       |g AS (SELECT t.event_type, CAST(date_diff('day', s.lo, s.day) AS BIGINT) AS di,
+       |             CAST(coalesce(d.n, 0) AS BIGINT) AS n
+       |      FROM (SELECT DISTINCT event_type FROM d) t
+       |      CROSS JOIN spine s
+       |      LEFT JOIN d ON d.event_type = t.event_type AND d.day = s.day),
+       |l AS (SELECT unnest(generate_series(-$maxLag, $maxLag)) AS lag),
+       |p AS (SELECT a.event_type AS type_a, b.event_type AS type_b, l.lag,
+       |             count(*) AS n_days,
+       |             CAST(sum(a.n) AS BIGINT) AS sx, CAST(sum(b.n) AS BIGINT) AS sy,
+       |             sum(CAST(a.n AS HUGEINT) * b.n) AS sxy,
+       |             sum(CAST(a.n AS HUGEINT) * a.n) AS sxx,
+       |             sum(CAST(b.n AS HUGEINT) * b.n) AS syy
+       |      FROM g a CROSS JOIN l
+       |      JOIN g b ON a.event_type < b.event_type AND b.di = a.di + l.lag
+       |      GROUP BY 1, 2, 3)
+       |SELECT type_a, type_b, lag, n_days,
+       |       CASE WHEN n_days * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx > 0
+       |             AND n_days * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * sy > 0 THEN
+       |         round((n_days * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy) /
+       |               (sqrt(n_days * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx) *
+       |                sqrt(n_days * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * sy)), 6)
+       |       END AS ccf
+       |FROM p ORDER BY 1, 2, 3""".stripMargin
+
   /** Theil–Sen robust trend per type — the slope estimate the
     * anomaly screens want when OLS would chase one spiked day: the
     * MEDIAN of all pairwise slopes (x_j − x_i)/(j − i) over the

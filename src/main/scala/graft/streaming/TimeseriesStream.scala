@@ -132,6 +132,13 @@ final class TypeDailyCountState(stateDir: String) {
   def reportWilcoxon(spark: SparkSession): DataFrame =
     graft.operators.Stats.wilcoxonFromDaily(
       prior(spark).select(col("event_type"), col("day"), col("x").as("n")))
+
+  /** FIFTEENTH face: the lagged cross-correlation between type
+    * pairs — every lag overlap is a whole-series read, the counts
+    * merge. */
+  def reportCcf(spark: SparkSession): DataFrame =
+    graft.operators.Timeseries.ccfFromDaily(
+      prior(spark).select(col("event_type"), col("day"), col("x").as("n")))
 }
 
 /** Additive (item, day, n) engagement grid for the adoption profile —
@@ -493,6 +500,18 @@ object TimeseriesStream {
       StreamSources.eventsFrom(spark, s"$work/input", maxFilesPerTrigger = 1),
       state.merge)
     state.reportWilcoxon(spark)
+  }
+
+  /** Queries entry (oracle: same SQL as `cross_correlation_daily`):
+    * the SAME (type, day) count state, fifteenth face. */
+  def streamCcf(spark: SparkSession, dir: String, nFiles: Int = 4): DataFrame = {
+    val work = graft.GraftCaches.trackTempDir("graft_sccf_")
+    FunnelStream.stageTimeOrdered(spark, dir, s"$work/input", nFiles)
+    val state = new TypeDailyCountState(s"$work/state")
+    StreamSources.runForeachBatch(
+      StreamSources.eventsFrom(spark, s"$work/input", maxFilesPerTrigger = 1),
+      state.merge)
+    state.reportCcf(spark)
   }
 
   /** Queries entry (oracle: same SQL as `dow_residual_outliers`):

@@ -222,7 +222,8 @@ class StatsSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
         "stream_capture_recapture" -> "capture_recapture",
         "stream_user_type_entropy" -> "user_type_entropy",
         "stream_sessions_per_user" -> "sessions_per_user",
-        "stream_tumble_jsonl" -> "tumble_window_agg")) {
+        "stream_tumble_jsonl" -> "tumble_window_agg",
+        "stream_ccf" -> "cross_correlation_daily")) {
       val s = SparkEntry.queries(sName)(spark, sf).collect().map(_.toString).sorted
       val b = SparkEntry.queries(bName)(spark, sf).collect().map(_.toString).sorted
       assert(s.sameElements(b), s"$sName diverged from $bName")
@@ -475,6 +476,33 @@ class StatsSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
     assert(byT("w").getAs[Double]("seasonal_strength") == 1.0)
     assert(byT("f").isNullAt(byT("f").fieldIndex("seasonal_strength")))
     assert(byT("f").getAs[Long]("peak_dow") == 0L)
+  }
+
+  test("cross_correlation_daily: a one-day-shifted copy peaks at exactly +1 lag; constant series guard to NULL") {
+    import spark.implicits._
+    def burst(tp: String, day: Int, k: Int, base: Int) =
+      (0 until k).map(i => ((base + i).toLong, ts(day), 1L, tp, 0.0, "{}"))
+    // b is a one-day-delayed copy of a -> ccf(a, b) = 1.0 exactly at
+    // lag +1 (sums 4*30-100 over sqrt(20)*sqrt(20)); f is constant
+    val ev = (burst("a", 0, 1, 0) ++ burst("a", 1, 2, 100) ++
+      burst("a", 2, 3, 200) ++ burst("a", 3, 4, 300) ++
+      burst("b", 1, 1, 400) ++ burst("b", 2, 2, 500) ++
+      burst("b", 3, 3, 600) ++ burst("b", 4, 4, 700) ++
+      (0 to 4).flatMap(d => burst("f", d, 2, 800 + d * 10)))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val r = operators.Timeseries.crossCorrelationDailyTransform(ev).collect()
+    val byK = r.map(x => (x.getString(0), x.getString(1), x.getLong(2)) -> x).toMap
+    assert(byK(("a", "b", 1L)).getAs[Double]("ccf") == 1.0)
+    // the peak is unique: lag 0 correlates the misaligned copies
+    assert(byK(("a", "b", 0L)).getAs[Double]("ccf") < 1.0)
+    // lags with zero day-overlap emit NO row on this 5-day spine
+    // (|lag| > 4 has no (t, t+k) pair) — not a null row
+    assert(!byK.contains(("a", "f", -7L)) && !byK.contains(("a", "f", 7L)))
+    // every OVERLAPPING lag against the constant type is NULL, not inf
+    (-4L to 4L).foreach { k =>
+      val row = byK(("a", "f", k))
+      assert(row.isNullAt(row.fieldIndex("ccf")))
+    }
   }
 
   test("wilcoxon_signed_rank: hand-ranked ties and the exact tie-corrected variance") {
