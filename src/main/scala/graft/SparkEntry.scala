@@ -117,6 +117,8 @@ object SparkEntry {
     "wilcoxon_signed_rank" -> Stats.wilcoxonSignedRank _,
     "user_type_entropy"  -> Behavior.userTypeEntropy _,
     "cross_correlation_daily" -> Timeseries.crossCorrelationDaily _,
+    "session_type_affinity" -> Behavior.sessionTypeAffinity _,
+    "stream_session_affinity" -> ((s: SparkSession, d: String) => streaming.ProfileStreams.streamSessionAffinity(s, d)),
     "stream_ccf"         -> ((s: SparkSession, d: String) => streaming.TimeseriesStream.streamCcf(s, d)),
     "stream_user_type_entropy" -> ((s: SparkSession, d: String) => streaming.ProfileStreams.streamUserTypeEntropy(s, d)),
     "stream_sessions_per_user" -> ((s: SparkSession, d: String) => streaming.ProfileStreams.streamSessionsPerUser(s, d)),
@@ -479,6 +481,9 @@ object SparkEntry {
       // per-user (last_ts, k) session frontier under ordered delivery
       "stream_sessions_per_user" -> base("sessions_per_user"),
       "stream_ccf" -> base("cross_correlation_daily"),
+      // stable per-user session ids under ordered delivery; the
+      // presence set union is idempotent
+      "stream_session_affinity" -> base("session_type_affinity"),
       // cross-batch intervals reconstructed from the per-user
       // frontier; additive daily sufficient sums
       "stream_time_weighted" -> base("time_weighted_value"),
@@ -985,6 +990,7 @@ object SparkEntry {
     "wilcoxon_signed_rank" -> operators.Stats.wilcoxonSignedRankOracleSql,
     "user_type_entropy" -> operators.Behavior.userTypeEntropyOracleSql,
     "cross_correlation_daily" -> operators.Timeseries.crossCorrelationDailyOracleSql(),
+    "session_type_affinity" -> operators.Behavior.sessionTypeAffinityOracleSql,
     "source_jsonl_docs" -> sources.Formats.jsonlDocsRoundtripOracleSql,
     "source_csv_lineitem" -> sources.Formats.csvLineitemRoundtripOracleSql,
     "source_orc_events" -> sources.Formats.orcEventsRoundtripOracleSql,

@@ -2068,6 +2068,89 @@ object Behavior {
       |FROM c JOIN f ON c.item = f.item
       |GROUP BY 1, 2 ORDER BY 1""".stripMargin
 
+  /** Session-level type AFFINITY: which event types co-occur inside
+    * the same session, with lift — the within-visit face of
+    * [[coEngagementTransform]]'s cross-visit item graph ("users who
+    * error also purchase *in the same sitting*" is a product signal
+    * the user-level overlap tables miss): sessions by the shared
+    * gaps-and-islands collapse, distinct (session, type) presence,
+    * pair counts and lift = n_ab·S / (n_a·n_b) as ONE float over
+    * exact integers.
+    *
+    * Shape: one user_id shuffle for the session labels, a
+    * per-session type-pair fan-out bounded by |types|²/2 per session
+    * (≤ 10 rows at 5 types — NOT fact-scale), session-key equi-joins
+    * throughout, |types|²/2 rows out. */
+  def sessionTypeAffinityTransform(events: DataFrame, gapMinutes: Int = 30): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val st = events.select($"user_id", $"ts", $"event_id", $"event_type")
+      .withColumn("new_session",
+        when(unix_micros($"ts") - unix_micros(lag($"ts", 1).over(w))
+               > gapMinutes * 60L * 1000000L, 1L)
+          .when(lag($"ts", 1).over(w).isNull, 1L)
+          .otherwise(0L))
+      .withColumn("session_seq",
+        sum($"new_session").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .select($"user_id", $"session_seq", $"event_type")
+      .distinct()
+    affinityFromPresence(st)
+  }
+
+  /** The affinity rollup from distinct (user_id, session_seq,
+    * event_type) presence rows — shared with the streaming face,
+    * which feeds it the union of its closed-session count tables and
+    * its open-session frontiers re-expressed as presence. */
+  private[graft] def affinityFromPresence(st0: DataFrame): DataFrame = {
+    val spark = st0.sparkSession
+    import spark.implicits._
+    val st = st0
+    val total = st.select($"user_id", $"session_seq").distinct()
+      .agg(count(lit(1)).as("s_total"))
+    val perType = st.groupBy($"event_type").agg(count(lit(1)).as("n_t"))
+    val a = st.select($"user_id", $"session_seq", $"event_type".as("type_a"))
+    val b = st.select($"user_id", $"session_seq", $"event_type".as("type_b"))
+    a.join(b, Seq("user_id", "session_seq")).filter($"type_a" < $"type_b")
+      .groupBy($"type_a", $"type_b").agg(count(lit(1)).as("n_both"))
+      .join(perType.withColumnsRenamed(Map("event_type" -> "type_a", "n_t" -> "n_a")), Seq("type_a"))
+      .join(perType.withColumnsRenamed(Map("event_type" -> "type_b", "n_t" -> "n_b")), Seq("type_b"))
+      .crossJoin(broadcast(total))
+      .select($"type_a", $"type_b", $"n_both", $"n_a", $"n_b",
+        expr("round(CAST(n_both AS DOUBLE) * s_total / (CAST(n_a AS DOUBLE) * n_b), 6)")
+          .as("lift"))
+      .orderBy($"type_a", $"type_b")
+  }
+
+  def sessionTypeAffinity(spark: SparkSession, dir: String): DataFrame =
+    sessionTypeAffinityTransform(graft.sources.Tables.events(spark, dir))
+
+  /** DuckDB oracle for [[sessionTypeAffinityTransform]] (gap 30m). */
+  val sessionTypeAffinityOracleSql: String =
+    """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, event_type FROM events),
+      |f AS (SELECT user_id, ts, event_id, event_type,
+      |             CASE WHEN lag(ts) OVER w IS NULL THEN 1
+      |                  WHEN epoch_us(ts) - epoch_us(lag(ts) OVER w) > 30 * 60 * 1000000 THEN 1
+      |                  ELSE 0 END AS new_session
+      |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |g AS (SELECT user_id, event_type,
+      |             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |                                    ROWS UNBOUNDED PRECEDING) AS session_seq
+      |      FROM f),
+      |st AS (SELECT DISTINCT user_id, session_seq, event_type FROM g),
+      |tot AS (SELECT count(*) AS s_total FROM (SELECT DISTINCT user_id, session_seq FROM st)),
+      |pt AS (SELECT event_type, count(*) AS n_t FROM st GROUP BY 1),
+      |p AS (SELECT a.event_type AS type_a, b.event_type AS type_b, count(*) AS n_both
+      |      FROM st a JOIN st b ON a.user_id = b.user_id AND a.session_seq = b.session_seq
+      |                         AND a.event_type < b.event_type
+      |      GROUP BY 1, 2)
+      |SELECT p.type_a, p.type_b, p.n_both,
+      |       pa.n_t AS n_a, pb.n_t AS n_b,
+      |       round(CAST(p.n_both AS DOUBLE) * tot.s_total / (CAST(pa.n_t AS DOUBLE) * pb.n_t), 6) AS lift
+      |FROM p JOIN pt pa ON pa.event_type = p.type_a
+      |       JOIN pt pb ON pb.event_type = p.type_b
+      |CROSS JOIN tot ORDER BY 1, 2""".stripMargin
+
   /** Engagement-DIVERSITY histogram: per-user entropy of the
     * event-type mix, bucketed — "how many users are one-trick vs
     * broad" (a recommender's exploration health metric; the per-USER

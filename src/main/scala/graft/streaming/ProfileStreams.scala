@@ -214,6 +214,75 @@ final class SessionCountState(stateDir: String, gapMinutes: Int = 30) {
       prior(spark).select(col("user_id"), col("k")))
 }
 
+/** Session-affinity state: per-user STABLE session ids assigned
+  * incrementally under time-ordered delivery — state is the distinct
+  * (user_id, sid, event_type) presence set (idempotent union; a
+  * batch that re-adds a continuing session's types is a no-op) plus
+  * a (last_ts, cur_sid) frontier per user. A batch's first session
+  * either continues `cur_sid` (gap ≤ timeout — its types union into
+  * the same sid) or opens `cur_sid`+1; the affinity report is the
+  * batch rollup over the presence rows
+  * ([[graft.operators.Behavior.affinityFromPresence]]), so
+  * stream ≡ batch by shared derivation. */
+final class SessionAffinityState(stateDir: String, gapMinutes: Int = 30) {
+  @volatile private var version: Long = StreamUtil.latestVersion(stateDir)
+  private val gapUs = gapMinutes * 60L * 1000000L
+
+  private def priorPresence(spark: SparkSession): DataFrame =
+    if (version < 0)
+      spark.createDataFrame(java.util.List.of[Row](), StructType.fromDDL(
+        "user_id BIGINT, sid BIGINT, event_type STRING"))
+    else spark.read.parquet(s"$stateDir/v$version/presence")
+
+  private def priorFrontier(spark: SparkSession): DataFrame =
+    if (version < 0)
+      spark.createDataFrame(java.util.List.of[Row](), StructType.fromDDL(
+        "user_id BIGINT, last_ts TIMESTAMP, cur_sid BIGINT"))
+    else spark.read.parquet(s"$stateDir/v$version/frontier")
+
+  def merge(batch: Dataset[Row], batchId: Long): Unit = {
+    if (batchId <= version) return
+    val spark = batch.sparkSession
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val labeled = batch
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("new_s",
+        when(unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(w)) > gapUs, 1L)
+          .when(lag(col("ts"), 1).over(w).isNull, 1L).otherwise(0L))
+      .withColumn("seq",
+        sum(col("new_s")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+    val firstMin = labeled.filter(col("seq") === 1L)
+      .groupBy(col("user_id")).agg(min(col("ts")).as("first_ts"))
+    val offsets = firstMin.join(priorFrontier(spark), Seq("user_id"), "left")
+      .select(col("user_id"),
+        when(col("cur_sid").isNotNull &&
+          unix_micros(col("first_ts")) - unix_micros(col("last_ts")) <= gapUs,
+          col("cur_sid") - 1L)
+        .otherwise(coalesce(col("cur_sid"), lit(0L))).as("offset"))
+    val withSid = labeled.join(offsets, Seq("user_id"))
+      .select(col("user_id"), (col("offset") + col("seq")).as("sid"),
+        col("event_type"), col("ts"))
+    val presence = priorPresence(spark)
+      .unionByName(withSid.select(col("user_id"), col("sid"), col("event_type")))
+      .distinct()
+    val newFrontier = withSid.groupBy(col("user_id"))
+      .agg(max(col("ts")).as("last_ts"), max(col("sid")).as("cur_sid"))
+    val frontier = priorFrontier(spark).join(newFrontier, Seq("user_id"), "left_anti")
+      .unionByName(newFrontier)
+    presence.coalesce(1).write.mode("overwrite").parquet(s"$stateDir/v$batchId/presence")
+    frontier.coalesce(1).write.mode("overwrite").parquet(s"$stateDir/v$batchId/frontier")
+    val prev = version
+    version = batchId
+    if (prev >= 0) StreamUtil.delete(spark, s"$stateDir/v$prev")
+  }
+
+  def report(spark: SparkSession): DataFrame =
+    graft.operators.Behavior.affinityFromPresence(
+      priorPresence(spark).select(col("user_id"),
+        col("sid").as("session_seq"), col("event_type")))
+}
+
 final class LabelCentroidState(stateDir: String) {
   @volatile private var version: Long = StreamUtil.latestVersion(stateDir)
 
@@ -479,6 +548,19 @@ object ProfileStreams {
     val work = graft.GraftCaches.trackTempDir("graft_sspu_")
     FunnelStream.stageTimeOrdered(spark, dir, s"$work/input", nFiles)
     val state = new SessionCountState(s"$work/state")
+    StreamSources.runForeachBatch(
+      StreamSources.eventsFrom(spark, s"$work/input", maxFilesPerTrigger = 1),
+      state.merge)
+    state.report(spark)
+  }
+
+  /** Queries entry (oracle: same SQL as `session_type_affinity`):
+    * the time-ordered replay drained through the stable-session-id
+    * presence state. */
+  def streamSessionAffinity(spark: SparkSession, dir: String, nFiles: Int = 4): DataFrame = {
+    val work = graft.GraftCaches.trackTempDir("graft_saff_")
+    FunnelStream.stageTimeOrdered(spark, dir, s"$work/input", nFiles)
+    val state = new SessionAffinityState(s"$work/state")
     StreamSources.runForeachBatch(
       StreamSources.eventsFrom(spark, s"$work/input", maxFilesPerTrigger = 1),
       state.merge)

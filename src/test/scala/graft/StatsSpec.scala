@@ -223,7 +223,8 @@ class StatsSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
         "stream_user_type_entropy" -> "user_type_entropy",
         "stream_sessions_per_user" -> "sessions_per_user",
         "stream_tumble_jsonl" -> "tumble_window_agg",
-        "stream_ccf" -> "cross_correlation_daily")) {
+        "stream_ccf" -> "cross_correlation_daily",
+        "stream_session_affinity" -> "session_type_affinity")) {
       val s = SparkEntry.queries(sName)(spark, sf).collect().map(_.toString).sorted
       val b = SparkEntry.queries(bName)(spark, sf).collect().map(_.toString).sorted
       assert(s.sameElements(b), s"$sName diverged from $bName")

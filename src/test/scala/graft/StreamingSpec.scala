@@ -880,6 +880,14 @@ class StreamingSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
     assert(resumed == rows("funnel_excluding"))
   }
 
+  test("session affinity state resumes from checkpoint across a restart, exactly once") {
+    import graft.streaming.SessionAffinityState
+    val stateDir = resumeAcrossRestart("saff", timeOrdered = true,
+      sd => new SessionAffinityState(sd).merge)
+    val resumed = new SessionAffinityState(stateDir).report(spark).collect().toSeq
+    assert(resumed == rows("session_type_affinity"))
+  }
+
   test("graph presence state resumes from checkpoint across a restart, exactly once") {
     import graft.streaming.UserItemState
     val stateDir = resumeAcrossRestart("graph", timeOrdered = false,
