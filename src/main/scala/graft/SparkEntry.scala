@@ -118,6 +118,8 @@ object SparkEntry {
     "user_type_entropy"  -> Behavior.userTypeEntropy _,
     "cross_correlation_daily" -> Timeseries.crossCorrelationDaily _,
     "session_type_affinity" -> Behavior.sessionTypeAffinity _,
+    "pacf_daily"         -> Timeseries.pacfDaily _,
+    "stream_pacf"        -> ((s: SparkSession, d: String) => streaming.TimeseriesStream.streamPacf(s, d)),
     "stream_session_affinity" -> ((s: SparkSession, d: String) => streaming.ProfileStreams.streamSessionAffinity(s, d)),
     "stream_ccf"         -> ((s: SparkSession, d: String) => streaming.TimeseriesStream.streamCcf(s, d)),
     "stream_user_type_entropy" -> ((s: SparkSession, d: String) => streaming.ProfileStreams.streamUserTypeEntropy(s, d)),
@@ -484,6 +486,7 @@ object SparkEntry {
       // stable per-user session ids under ordered delivery; the
       // presence set union is idempotent
       "stream_session_affinity" -> base("session_type_affinity"),
+      "stream_pacf" -> base("pacf_daily"),
       // cross-batch intervals reconstructed from the per-user
       // frontier; additive daily sufficient sums
       "stream_time_weighted" -> base("time_weighted_value"),
@@ -991,6 +994,7 @@ object SparkEntry {
     "user_type_entropy" -> operators.Behavior.userTypeEntropyOracleSql,
     "cross_correlation_daily" -> operators.Timeseries.crossCorrelationDailyOracleSql(),
     "session_type_affinity" -> operators.Behavior.sessionTypeAffinityOracleSql,
+    "pacf_daily" -> operators.Timeseries.pacfDailyOracleSql(),
     "source_jsonl_docs" -> sources.Formats.jsonlDocsRoundtripOracleSql,
     "source_csv_lineitem" -> sources.Formats.csvLineitemRoundtripOracleSql,
     "source_orc_events" -> sources.Formats.orcEventsRoundtripOracleSql,

@@ -786,6 +786,104 @@ object Timeseries {
       |       END AS jb_stat
       |FROM mm ORDER BY 1""".stripMargin
 
+  /** Partial autocorrelation (PACF) of each type's daily series via
+    * Durbin–Levinson — completes the correlogram family (ACF = raw
+    * correlation at lag k, Ljung–Box = "any of it significant",
+    * PACF = correlation at lag k WITH THE SHORTER LAGS REGRESSED
+    * OUT — the AR-order readout: an AR(p) series cuts off after p):
+    * φ_kk = (ρ_k − Σ_j φ_{k−1,j} ρ_{k−j}) / (1 − Σ_j φ_{k−1,j} ρ_j),
+    * φ_kj = φ_{k−1,j} − φ_kk φ_{k−1,k−j}.
+    *
+    * Determinism: the recursion consumes the ALREADY-1e-6-ROUNDED
+    * ρ from [[acfFromDaily]] (identical doubles in both engines) and
+    * runs on the DRIVER over the planning-scale |types|×7 rows (the
+    * [[holtFromDaily]] collect class) with a FIXED left-associated
+    * operation order the oracle's unrolled CTE levels replay
+    * literally; a zero denominator (perfect fit) nulls that lag and
+    * every later one in both engines; rounding happens ONCE at
+    * output. */
+  def pacfDailyTransform(events: DataFrame, maxLag: Int = 7): DataFrame =
+    pacfFromDaily(events
+      .select(col("event_type"), date_trunc("day", col("ts")).as("day"))
+      .groupBy(col("event_type"), col("day")).agg(count(lit(1)).as("x")), maxLag)
+
+  private[graft] def pacfFromDaily(daily0: DataFrame, maxLag: Int = 7): DataFrame = {
+    val spark = daily0.sparkSession
+    import spark.implicits._
+    val acf = acfFromDaily(daily0, maxLag).collect()
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val out = scala.collection.mutable.ArrayBuffer.empty[(String, Long, Option[Double])]
+    acf.groupBy(_.getString(0)).toSeq.sortBy(_._1).foreach { case (tp, rows) =>
+      val rho: Map[Long, Option[Double]] = rows.map(r =>
+        r.getLong(1) -> (if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toMap
+      def r(k: Int): Option[Double] = rho.getOrElse(k.toLong, None)
+      // φ_{k-1, j} carried between levels; null-poisoning mirrors the
+      // oracle's NULL propagation exactly
+      var phi = Map.empty[Int, Double]
+      var dead = false
+      for (k <- 1 to maxLag) {
+        val pk: Option[Double] =
+          if (dead) None
+          else if (k == 1) r(1)
+          else (r(k), (1 until k).foldLeft(Option(0.0)) { (acc, j) =>
+            for (a <- acc; p <- phi.get(j); rr <- r(k - j)) yield a + p * rr
+          }, (1 until k).foldLeft(Option(0.0)) { (acc, j) =>
+            for (a <- acc; p <- phi.get(j); rr <- r(j)) yield a + p * rr
+          }) match {
+            case (Some(rk), Some(num0), Some(den0)) if 1.0 - den0 != 0.0 =>
+              Some((rk - num0) / (1.0 - den0))
+            case _ => None
+          }
+        pk match {
+          case Some(v) =>
+            val prev = phi
+            phi = ((1 until k).map(j => j -> (prev(j) - v * prev(k - j))) :+ (k -> v)).toMap
+          case None => dead = true
+        }
+        out += ((tp, k.toLong, pk.map(r6)))
+      }
+    }
+    out.toSeq.map { case (t, l, p) => (t, l, p.map(Double.box).orNull) }
+      .toDF("event_type", "lag", "pacf")
+      .select($"event_type", $"lag", $"pacf".cast("double").as("pacf"))
+      .orderBy($"event_type", $"lag")
+  }
+
+  def pacfDaily(spark: SparkSession, dir: String): DataFrame =
+    pacfDailyTransform(graft.sources.Tables.events(spark, dir))
+
+  /** DuckDB oracle for [[pacfDailyTransform]] — the Durbin–Levinson
+    * levels unrolled with the identical left-associated sums. */
+  def pacfDailyOracleSql(maxLag: Int = 7): String = {
+    // level 1 seeds phi_1_1 = r1; level k derives phi_k_* from the
+    // pivoted r columns and level k-1's phi columns
+    val levels = (2 to maxLag).map { k =>
+      val num = (1 until k).map(j => s"phi_${k - 1}_$j * r${k - j}").mkString(" + ")
+      val den = (1 until k).map(j => s"phi_${k - 1}_$j * r$j").mkString(" + ")
+      val kk = s"(r$k - ($num)) / nullif(1.0 - ($den), 0.0)"
+      val carry = (1 until k).map(j =>
+        s"phi_${k - 1}_$j - ($kk) * phi_${k - 1}_${k - j} AS phi_${k}_$j").mkString(",\n|         ")
+      s"""l$k AS (SELECT event_type, ${(1 to maxLag).map(i => s"r$i").mkString(", ")},
+         |         $carry,
+         |         $kk AS phi_${k}_$k
+         |  FROM l${k - 1})""".stripMargin
+    }.mkString(",\n")
+    val unions = (1 to maxLag).map(k =>
+      s"SELECT event_type, $k AS lag, round(phi_${k}_$k, 6) AS pacf FROM l$k")
+      .mkString("\n UNION ALL ")
+    s"""WITH acf AS ($acfDailyOracleSql),
+       |r AS (SELECT event_type,
+       |             ${(1 to maxLag).map(i =>
+                        s"max(CASE WHEN lag = $i THEN acf END) AS r$i").mkString(",\n|             ")}
+       |      FROM acf GROUP BY 1),
+       |l1 AS (SELECT event_type, ${(1 to maxLag).map(i => s"r$i").mkString(", ")},
+       |              r1 AS phi_1_1 FROM r),
+       |$levels
+       |SELECT CAST(event_type AS VARCHAR) AS event_type, CAST(lag AS BIGINT) AS lag, pacf
+       |FROM ($unions) ORDER BY 1, 2""".stripMargin
+  }
+
   /** Lagged cross-correlation (CCF) between every type pair's daily
     * series — the LEAD/LAG structure the symmetric same-day measures
     * (Spearman/Kendall/Pearson-window) cannot see: ccf(k) =

@@ -139,6 +139,11 @@ final class TypeDailyCountState(stateDir: String) {
   def reportCcf(spark: SparkSession): DataFrame =
     graft.operators.Timeseries.ccfFromDaily(
       prior(spark).select(col("event_type"), col("day"), col("x").as("n")))
+
+  /** SIXTEENTH face: the PACF — the Durbin–Levinson recursion is a
+    * whole-correlogram read, the counts merge. */
+  def reportPacf(spark: SparkSession): DataFrame =
+    graft.operators.Timeseries.pacfFromDaily(prior(spark))
 }
 
 /** Additive (item, day, n) engagement grid for the adoption profile —
@@ -512,6 +517,18 @@ object TimeseriesStream {
       StreamSources.eventsFrom(spark, s"$work/input", maxFilesPerTrigger = 1),
       state.merge)
     state.reportCcf(spark)
+  }
+
+  /** Queries entry (oracle: same SQL as `pacf_daily`): the SAME
+    * (type, day) count state, sixteenth face. */
+  def streamPacf(spark: SparkSession, dir: String, nFiles: Int = 4): DataFrame = {
+    val work = graft.GraftCaches.trackTempDir("graft_spacf_")
+    FunnelStream.stageTimeOrdered(spark, dir, s"$work/input", nFiles)
+    val state = new TypeDailyCountState(s"$work/state")
+    StreamSources.runForeachBatch(
+      StreamSources.eventsFrom(spark, s"$work/input", maxFilesPerTrigger = 1),
+      state.merge)
+    state.reportPacf(spark)
   }
 
   /** Queries entry (oracle: same SQL as `dow_residual_outliers`):

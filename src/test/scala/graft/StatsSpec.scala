@@ -224,7 +224,8 @@ class StatsSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
         "stream_sessions_per_user" -> "sessions_per_user",
         "stream_tumble_jsonl" -> "tumble_window_agg",
         "stream_ccf" -> "cross_correlation_daily",
-        "stream_session_affinity" -> "session_type_affinity")) {
+        "stream_session_affinity" -> "session_type_affinity",
+        "stream_pacf" -> "pacf_daily")) {
       val s = SparkEntry.queries(sName)(spark, sf).collect().map(_.toString).sorted
       val b = SparkEntry.queries(bName)(spark, sf).collect().map(_.toString).sorted
       assert(s.sameElements(b), s"$sName diverged from $bName")
@@ -477,6 +478,26 @@ class StatsSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
     assert(byT("w").getAs[Double]("seasonal_strength") == 1.0)
     assert(byT("f").isNullAt(byT("f").fieldIndex("seasonal_strength")))
     assert(byT("f").getAs[Long]("peak_dow") == 0L)
+  }
+
+  test("pacf_daily: lag-1 PACF equals lag-1 ACF identically; constant series guards to NULL") {
+    import spark.implicits._
+    val sf = "/root/testdata/sf0.001"
+    val acf1 = SparkEntry.queries("acf_daily")(spark, sf).collect()
+      .filter(_.getLong(1) == 1L)
+      .map(r => r.getString(0) -> (if (r.isNullAt(3)) null else r.getDouble(3))).toMap
+    val pacf = SparkEntry.queries("pacf_daily")(spark, sf).collect()
+    val pacf1 = pacf.filter(_.getLong(1) == 1L)
+      .map(r => r.getString(0) -> (if (r.isNullAt(2)) null else r.getDouble(2))).toMap
+    assert(pacf1 == acf1 && pacf1.nonEmpty)
+    assert(pacf.forall(_.getLong(1) <= 7L))
+    // constant series: the ACF nulls poison every Durbin-Levinson level
+    def burst(tp: String, day: Int, k: Int, base: Int) =
+      (0 until k).map(i => ((base + i).toLong, ts(day), 1L, tp, 0.0, "{}"))
+    val flat = (0 until 10).flatMap(d => burst("f", d, 2, d * 10))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val rf = operators.Timeseries.pacfDailyTransform(flat).collect()
+    assert(rf.length == 7 && rf.forall(_.isNullAt(2)))
   }
 
   test("cross_correlation_daily: a one-day-shifted copy peaks at exactly +1 lag; constant series guard to NULL") {
