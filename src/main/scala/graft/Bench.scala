@@ -233,7 +233,27 @@ object Bench {
     // BASELINE.md "Round-8 additions, sixteenth wave")
     "mutual_info_type_dow" -> 2.268, "absorption_steps" -> 1.750,
     "sessions_per_user" -> 2.510, "stream_mutual_info" -> 6.621,
-    "stream_absorption" -> 9.051)
+    "stream_absorption" -> 9.051,
+    // round-8 third stint (canary-bracketed quiet-box medians of 3 —
+    // pre 1.10x / post 1.18x of the markov_stationary frozen row;
+    // evidence in BASELINE.md "third-stint freeze")
+    "jarque_bera_daily" -> 2.626, "theil_sen_trend" -> 2.872,
+    "anova_f_cents" -> 1.926, "funnel_excluding" -> 2.923,
+    "bot_burst_screen" -> 1.499, "katz_centrality" -> 5.907,
+    "flesch_reading_ease" -> 3.217, "seasonal_strength" -> 3.224,
+    "wilcoxon_signed_rank" -> 4.661, "capture_recapture" -> 2.354,
+    "user_type_entropy" -> 2.205, "source_jsonl_docs" -> 2.160,
+    "source_csv_lineitem" -> 4.070, "source_orc_events" -> 3.372,
+    "cross_correlation_daily" -> 3.434, "session_type_affinity" -> 5.465,
+    "pacf_daily" -> 6.425, "stream_jarque_bera" -> 14.244,
+    "stream_theil_sen" -> 8.510, "stream_anova" -> 4.111,
+    "stream_seasonal_strength" -> 9.082, "stream_bot_screen" -> 4.579,
+    "stream_funnel_excluding" -> 9.563, "stream_pagerank" -> 9.125,
+    "stream_katz" -> 7.767, "stream_flesch" -> 8.892,
+    "stream_wilcoxon" -> 10.649, "stream_capture_recapture" -> 4.390,
+    "stream_user_type_entropy" -> 4.524, "stream_sessions_per_user" -> 8.365,
+    "stream_tumble_jsonl" -> 8.478, "stream_ccf" -> 9.607,
+    "stream_session_affinity" -> 13.292, "stream_pacf" -> 10.705)
 
   /** Run ONE query in a fresh JVM (this JVM's own flags + classpath,
     * stderr discarded) and parse its timing out of the child's JSON
