@@ -119,6 +119,9 @@ object SparkEntry {
     "cross_correlation_daily" -> Timeseries.crossCorrelationDaily _,
     "session_type_affinity" -> Behavior.sessionTypeAffinity _,
     "pacf_daily"         -> Timeseries.pacfDaily _,
+    "first_passage_matrix" -> Stats.firstPassageMatrix _,
+    "burstiness_index"   -> Behavior.burstinessIndex _,
+    "stream_first_passage" -> ((s: SparkSession, d: String) => streaming.TransitionStream.streamFirstPassage(s, d)),
     "stream_pacf"        -> ((s: SparkSession, d: String) => streaming.TimeseriesStream.streamPacf(s, d)),
     "stream_session_affinity" -> ((s: SparkSession, d: String) => streaming.ProfileStreams.streamSessionAffinity(s, d)),
     "stream_ccf"         -> ((s: SparkSession, d: String) => streaming.TimeseriesStream.streamCcf(s, d)),
@@ -487,6 +490,8 @@ object SparkEntry {
       // presence set union is idempotent
       "stream_session_affinity" -> base("session_type_affinity"),
       "stream_pacf" -> base("pacf_daily"),
+      // same transition-pair state; |types| value-iteration reads
+      "stream_first_passage" -> base("first_passage_matrix"),
       // cross-batch intervals reconstructed from the per-user
       // frontier; additive daily sufficient sums
       "stream_time_weighted" -> base("time_weighted_value"),
@@ -995,6 +1000,8 @@ object SparkEntry {
     "cross_correlation_daily" -> operators.Timeseries.crossCorrelationDailyOracleSql(),
     "session_type_affinity" -> operators.Behavior.sessionTypeAffinityOracleSql,
     "pacf_daily" -> operators.Timeseries.pacfDailyOracleSql(),
+    "first_passage_matrix" -> operators.Stats.firstPassageMatrixOracleSql(),
+    "burstiness_index" -> operators.Behavior.burstinessIndexOracleSql,
     "source_jsonl_docs" -> sources.Formats.jsonlDocsRoundtripOracleSql,
     "source_csv_lineitem" -> sources.Formats.csvLineitemRoundtripOracleSql,
     "source_orc_events" -> sources.Formats.orcEventsRoundtripOracleSql,

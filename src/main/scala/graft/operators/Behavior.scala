@@ -1233,6 +1233,66 @@ object Behavior {
   def intereventHistogramTransform(events: DataFrame): DataFrame =
     intereventFromBuckets(gapBucketCounts(events))
 
+  /** Goh–Barabási burstiness B = (σ−μ)/(σ+μ) of the per-(user, type)
+    * inter-event gaps, per type — ONE number for what the
+    * [[intereventHistogramTransform]] buckets show as a shape
+    * (B → −1 metronome, 0 Poisson, → +1 bursty; the Fano factor
+    * reads the same property off daily COUNTS, this reads it off the
+    * GAPS, so sub-day burst structure the daily grid integrates away
+    * is visible here): exact µs gaps (the raw epoch-µs subtraction
+    * discipline), per-type moments n/Σg/Σg² as DECIMAL(38,0) (a
+    * 90-day gap squares to 6·10³¹ — past Long), then the
+    * cross-multiplied form B = (√(nΣg²−(Σg)²) − Σg)/(√(nΣg²−(Σg)²)
+    * + Σg): one sqrt, one division, zero-spread guarded to NULL.
+    * Shape: one (user, type) window pass, map-side-combinable
+    * moments, |types| rows out. */
+  def burstinessIndexTransform(events: DataFrame): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val w = Window.partitionBy($"user_id", $"event_type").orderBy($"ts", $"event_id")
+    events.select($"user_id", $"event_type", $"ts", $"event_id")
+      .withColumn("gap_us",
+        expr("unix_micros(ts)") - lag(expr("unix_micros(ts)"), 1).over(w))
+      .filter($"gap_us".isNotNull)
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n_gaps"),
+        sum(expr("CAST(gap_us AS DECIMAL(38,0))")).as("s1"),
+        sum(expr("CAST(gap_us AS DECIMAL(38,0)) * gap_us")).as("s2"))
+      .select($"event_type", $"n_gaps",
+        expr("round(CAST(s1 AS DOUBLE) / n_gaps / 1e6, 4)").as("mean_gap_s"),
+        expr("""CASE WHEN n_gaps > 1 AND
+               |          sqrt(CAST(n_gaps * s2 - s1 * s1 AS DOUBLE)) + CAST(s1 AS DOUBLE) > 0 THEN
+               |  round((sqrt(CAST(n_gaps * s2 - s1 * s1 AS DOUBLE)) - CAST(s1 AS DOUBLE)) /
+               |        (sqrt(CAST(n_gaps * s2 - s1 * s1 AS DOUBLE)) + CAST(s1 AS DOUBLE)), 6)
+               |END""".stripMargin).as("burstiness"))
+      .orderBy($"event_type")
+  }
+
+  def burstinessIndex(spark: SparkSession, dir: String): DataFrame =
+    burstinessIndexTransform(Tables.events(spark, dir))
+
+  /** DuckDB oracle for [[burstinessIndexTransform]]. */
+  val burstinessIndexOracleSql: String =
+    """WITH g AS (
+      |  SELECT event_type,
+      |         epoch_us(CAST(ts AS TIMESTAMP))
+      |           - lag(epoch_us(CAST(ts AS TIMESTAMP))) OVER w AS gap_us
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id, event_type
+      |               ORDER BY CAST(ts AS TIMESTAMP), event_id)),
+      |m AS (SELECT event_type, count(*) AS n_gaps,
+      |             sum(CAST(gap_us AS HUGEINT)) AS s1,
+      |             sum(CAST(gap_us AS HUGEINT) * gap_us) AS s2
+      |      FROM g WHERE gap_us IS NOT NULL GROUP BY 1)
+      |SELECT event_type, n_gaps,
+      |       round(CAST(s1 AS DOUBLE) / n_gaps / 1e6, 4) AS mean_gap_s,
+      |       CASE WHEN n_gaps > 1 AND
+      |                 sqrt(CAST(n_gaps * s2 - s1 * s1 AS DOUBLE)) + CAST(s1 AS DOUBLE) > 0 THEN
+      |         round((sqrt(CAST(n_gaps * s2 - s1 * s1 AS DOUBLE)) - CAST(s1 AS DOUBLE)) /
+      |               (sqrt(CAST(n_gaps * s2 - s1 * s1 AS DOUBLE)) + CAST(s1 AS DOUBLE)), 6)
+      |       END AS burstiness
+      |FROM m ORDER BY 1""".stripMargin
+
   /** The in-order gap extraction + bucketing — shared BY CONSTRUCTION
     * with the streaming twin's per-batch pass
     * ([[graft.streaming.IntereventState]]): exact µs integers then

@@ -964,6 +964,49 @@ object Stats {
     absorptionFromCounts(counts, target, iters)
   }
 
+  /** First-passage MATRIX: [[absorptionStepsTransform]] for EVERY
+    * target type at once — the full "how far is each state from each
+    * destination" read of the chain (one column of it is the funnel
+    * depth to purchase; the whole matrix exposes asymmetries like
+    * "error is near signup but signup is far from error"): one
+    * transition-count aggregation, then |types| value-iteration folds
+    * over the SAME planning-scale matrix via the shared
+    * [[absorptionFromCounts]] (the counts are localCheckpoint-ed once
+    * so the lag-window aggregation never re-executes per target).
+    * Targets are the corpus's five event kinds — static because the
+    * unrolled oracle must be static SQL, same contract as the
+    * single-target operator's default. */
+  def firstPassageMatrixTransform(events: DataFrame,
+      targets: Seq[String] = Seq("click", "error", "purchase", "signup", "view"),
+      iters: Int = 20): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val counts = events.select($"user_id", $"ts", $"event_id", $"event_type")
+      .withColumn("prev_type", lag($"event_type", 1).over(w))
+      .filter($"prev_type".isNotNull)
+      .groupBy($"prev_type", $"event_type".as("curr_type"))
+      .agg(count(lit(1)).as("n"))
+      .localCheckpoint()
+    targets.map { t =>
+      absorptionFromCounts(counts, t, iters).select(lit(t).as("target"),
+        col("event_type"), col("e6"), col("expected_steps"))
+    }.reduce(_ unionByName _)
+      .orderBy($"target", $"event_type")
+  }
+
+  def firstPassageMatrix(spark: SparkSession, dir: String): DataFrame =
+    firstPassageMatrixTransform(Tables.events(spark, dir))
+
+  /** DuckDB oracle for [[firstPassageMatrixTransform]] — one unrolled
+    * [[absorptionStepsOracleSql]] block per target, unioned. */
+  def firstPassageMatrixOracleSql(
+      targets: Seq[String] = Seq("click", "error", "purchase", "signup", "view"),
+      iters: Int = 20): String =
+    targets.map { t =>
+      s"SELECT '$t' AS target, * FROM (\n${absorptionStepsOracleSql(t, iters)}\n)"
+    }.mkString("", "\nUNION ALL\n", "\nORDER BY target, event_type")
+
   /** The value-iteration fold from the (prev, curr, n) counts —
     * shared with the streaming twin over [[graft.streaming
     * .TransitionState]] (third face next to the transition report

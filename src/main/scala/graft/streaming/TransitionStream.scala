@@ -95,6 +95,18 @@ final class TransitionState(stateDir: String) {
   def reportAbsorption(spark: SparkSession): DataFrame =
     graft.operators.Stats.absorptionFromCounts(
       priorPairs(spark).select(col("prev_type"), col("curr_type"), col("n")))
+
+  /** FOURTH face: the full first-passage matrix — |types| value
+    * iterations over the SAME additive pair counts. */
+  def reportFirstPassage(spark: SparkSession): DataFrame = {
+    val counts = priorPairs(spark)
+      .select(col("prev_type"), col("curr_type"), col("n")).localCheckpoint()
+    Seq("click", "error", "purchase", "signup", "view").map { t =>
+      graft.operators.Stats.absorptionFromCounts(counts, t)
+        .select(org.apache.spark.sql.functions.lit(t).as("target"),
+          col("event_type"), col("e6"), col("expected_steps"))
+    }.reduce(_ unionByName _).orderBy(col("target"), col("event_type"))
+  }
 }
 
 /** Exact distinct users per day on an unbounded stream — the
@@ -353,6 +365,18 @@ object TransitionStream {
       StreamSources.eventsFrom(spark, s"$work/input", maxFilesPerTrigger = 1),
       state.merge)
     state.reportAbsorption(spark)
+  }
+
+  /** Queries entry (oracle: same SQL as `first_passage_matrix`): the
+    * SAME transition-pair state, fourth face. */
+  def streamFirstPassage(spark: SparkSession, dir: String, nFiles: Int = 4): DataFrame = {
+    val work = graft.GraftCaches.trackTempDir("graft_sfpm_")
+    FunnelStream.stageTimeOrdered(spark, dir, s"$work/input", nFiles)
+    val state = new TransitionState(s"$work/state")
+    StreamSources.runForeachBatch(
+      StreamSources.eventsFrom(spark, s"$work/input", maxFilesPerTrigger = 1),
+      state.merge)
+    state.reportFirstPassage(spark)
   }
 
   /** Queries entry (oracle: same SQL as `interevent_histogram`). */

@@ -225,7 +225,8 @@ class StatsSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
         "stream_tumble_jsonl" -> "tumble_window_agg",
         "stream_ccf" -> "cross_correlation_daily",
         "stream_session_affinity" -> "session_type_affinity",
-        "stream_pacf" -> "pacf_daily")) {
+        "stream_pacf" -> "pacf_daily",
+        "stream_first_passage" -> "first_passage_matrix")) {
       val s = SparkEntry.queries(sName)(spark, sf).collect().map(_.toString).sorted
       val b = SparkEntry.queries(bName)(spark, sf).collect().map(_.toString).sorted
       assert(s.sameElements(b), s"$sName diverged from $bName")
@@ -478,6 +479,40 @@ class StatsSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
     assert(byT("w").getAs[Double]("seasonal_strength") == 1.0)
     assert(byT("f").isNullAt(byT("f").fieldIndex("seasonal_strength")))
     assert(byT("f").getAs[Long]("peak_dow") == 0L)
+  }
+
+  test("burstiness_index: hand-computed gaps; a metronome scores exactly -1") {
+    import spark.implicits._
+    // one user: gaps 1s, 2s -> S1=3e6 S2=5e12 -> B = (1e6-3e6)/(1e6+3e6) = -0.5
+    val ev = Seq(
+      (1L, "2024-01-01 00:00:00", 1L, "a", 0.0, "{}"),
+      (2L, "2024-01-01 00:00:01", 1L, "a", 0.0, "{}"),
+      (3L, "2024-01-01 00:00:03", 1L, "a", 0.0, "{}"),
+      // metronome: equal gaps -> sigma 0 -> B = -1 exactly
+      (4L, "2024-01-01 00:00:00", 1L, "m", 0.0, "{}"),
+      (5L, "2024-01-01 00:00:10", 1L, "m", 0.0, "{}"),
+      (6L, "2024-01-01 00:00:20", 1L, "m", 0.0, "{}"))
+      .map { case (id, t, u, tp, v, p) => (id, java.sql.Timestamp.valueOf(t), u, tp, v, p) }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val r = operators.Behavior.burstinessIndexTransform(ev).collect()
+    val byT = r.map(x => x.getString(0) -> x).toMap
+    assert(byT("a").getAs[Long]("n_gaps") == 2L)
+    assert(byT("a").getAs[Double]("mean_gap_s") == 1.5)
+    assert(byT("a").getAs[Double]("burstiness") == -0.5)
+    assert(byT("m").getAs[Double]("burstiness") == -1.0)
+  }
+
+  test("first_passage_matrix: target diagonal is zero and the purchase slice equals absorption_steps") {
+    val sf = "/root/testdata/sf0.001"
+    val m = SparkEntry.queries("first_passage_matrix")(spark, sf).collect()
+    assert(m.nonEmpty)
+    m.filter(r => r.getString(0) == r.getString(1))
+      .foreach(r => assert(r.getAs[Double]("expected_steps") == 0.0))
+    val slice = m.filter(_.getString(0) == "purchase")
+      .map(r => (r.getString(1), r.getLong(2), r.getDouble(3))).sortBy(_._1).toSeq
+    val single = SparkEntry.queries("absorption_steps")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).sortBy(_._1).toSeq
+    assert(slice == single)
   }
 
   test("pacf_daily: lag-1 PACF equals lag-1 ACF identically; constant series guards to NULL") {
