@@ -915,9 +915,13 @@ object Timeseries {
       .join(daily, Seq("event_type", "day"), "left")
       .select($"event_type", datediff($"day", $"lo").cast("long").as("di"),
         coalesce($"n", lit(0L)).as("n"))
-    val lags = spark.range(-maxLag.toLong, maxLag + 1L).select($"id".as("lag"))
+    // lag fan-out via a generator, NOT a 15-row cross join — a
+    // multi-row BNLJ build side is the exact shape the whole-suite
+    // plan audit rejects (the acfFromDaily precedent); the generator
+    // keeps the fan-out inside whole-stage codegen and the pair join
+    // hashes on the computed (di + lag) day key
     val a = grid.select($"event_type".as("type_a"), $"di", $"n".as("x"))
-      .crossJoin(broadcast(lags))
+      .withColumn("lag", explode(expr(s"sequence(CAST(${-maxLag} AS BIGINT), CAST($maxLag AS BIGINT))")))
     val b = grid.select($"event_type".as("type_b"), $"di".as("dib"), $"n".as("y"))
     a.join(b, $"type_a" < $"type_b" && $"dib" === $"di" + $"lag")
       .groupBy($"type_a", $"type_b", $"lag")
