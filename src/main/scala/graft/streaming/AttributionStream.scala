@@ -89,11 +89,10 @@ final class AttributionState(stateDir: String, lookback: String) {
       .select(col("user_id"), col("t.ts").as("ts"),
         col("t.event_id").as("event_id"), col("t.event_type").as("event_type"))
 
-    // state is |types|+|users| rows — single-file parquet keeps the
-    // per-batch read/write at metadata scale (production shards by
-    // the ingest's user_id hash partitioning)
-    lt.coalesce(1).write.mode("overwrite").parquet(s"$stateDir/v$batchId/lt")
-    acc.coalesce(1).write.mode("overwrite").parquet(s"$stateDir/v$batchId/acc")
+    // lt is |users| rows — sharded by user_id hash so the rewrite
+    // scales with the cluster; acc is |touch_types| rows (grid)
+    StreamUtil.writeSharded(lt, s"$stateDir/v$batchId/lt", Seq("user_id"))
+    StreamUtil.writeGrid(acc, s"$stateDir/v$batchId/acc")
     val prev = version
     version = batchId
     if (prev >= 0) StreamUtil.delete(spark, s"$stateDir/v$prev")

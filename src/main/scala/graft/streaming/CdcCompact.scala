@@ -170,7 +170,7 @@ final class Scd2State(stateDir: String) {
     val spark = batch.sparkSession
     val next = graft.operators.Engagement.scd2ApplyTransform(
       prior(spark), batch.toDF())
-    next.coalesce(1).write.mode("overwrite").parquet(s"$stateDir/v$batchId")
+    StreamUtil.writeSharded(next, s"$stateDir/v$batchId", Seq("user_id"))
     val prev = version
     version = batchId
     if (prev >= 0) StreamUtil.delete(spark, s"$stateDir/v$prev")

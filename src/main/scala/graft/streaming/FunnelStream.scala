@@ -74,11 +74,9 @@ final class FunnelState(stateDir: String) {
       .select(col("user_id"), col("t_view"), col("t_click"),
         coalesce(least(col("t_purchase"), col("bp")), col("t_purchase"), col("bp")).as("t_purchase"))
 
-    // per-user funnel state is 4 columns × |users| — single-file
-    // parquet keeps the per-batch read/write cost at metadata scale
-    // (a production deployment shards this by the same user_id hash
-    // as its ingest partitioning)
-    s3.coalesce(1).write.mode("overwrite").parquet(s"$stateDir/v$batchId")
+    // per-user funnel state is 4 columns × |users| — sharded by the
+    // user_id hash so the per-batch rewrite scales with the cluster
+    StreamUtil.writeSharded(s3, s"$stateDir/v$batchId", Seq("user_id"))
     val prev = version
     version = batchId
     if (prev >= 0) StreamUtil.delete(spark, s"$stateDir/v$prev")
@@ -136,7 +134,7 @@ final class ExclusionFunnelState(stateDir: String) {
       .select(col("user_id"), col("t_view"),
         coalesce(least(col("t_purchase"), col("bp")), col("t_purchase"), col("bp")).as("t_purchase"),
         coalesce(least(col("t_err"), col("be")), col("t_err"), col("be")).as("t_err"))
-    s2.coalesce(1).write.mode("overwrite").parquet(s"$stateDir/v$batchId")
+    StreamUtil.writeSharded(s2, s"$stateDir/v$batchId", Seq("user_id"))
     val prev = version
     version = batchId
     if (prev >= 0) StreamUtil.delete(spark, s"$stateDir/v$prev")

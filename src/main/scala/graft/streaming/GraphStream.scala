@@ -43,7 +43,7 @@ final class UserItemState(stateDir: String) {
         get_json_object(col("props"), "$.k").cast("long").as("item"))
       .distinct()
     val merged = prior(spark).unionByName(partial).distinct()
-    merged.coalesce(1).write.mode("overwrite").parquet(s"$stateDir/v$batchId")
+    StreamUtil.writeSharded(merged, s"$stateDir/v$batchId", Seq("user_id", "item"))
     val prev = version
     version = batchId
     if (prev >= 0) StreamUtil.delete(spark, s"$stateDir/v$prev")

@@ -38,7 +38,7 @@ final class HllDistinctState(stateDir: String, lgConfigK: Int = 14) {
     val merged = prior(spark).unionByName(partial)
       .groupBy(col("day"))
       .agg(hll_union_agg(col("sk"), lit(false)).as("sk"))
-    merged.coalesce(1).write.mode("overwrite").parquet(s"$stateDir/v$batchId")
+    StreamUtil.writeGrid(merged, s"$stateDir/v$batchId")
     val prev = version
     version = batchId
     if (prev >= 0) StreamUtil.delete(spark, s"$stateDir/v$prev")

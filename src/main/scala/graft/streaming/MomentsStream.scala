@@ -64,7 +64,7 @@ final class MomentsState(stateDir: String) {
         raise_error(concat(lit("MomentsState Long overflow for event_type="),
           col("event_type"), lit(" — promote sumsq_c to DECIMAL(38,0)"))))
       .otherwise(lit(true)))
-    guarded.coalesce(1).write.mode("overwrite").parquet(s"$stateDir/v$batchId")
+    StreamUtil.writeGrid(guarded, s"$stateDir/v$batchId")
     val prev = version
     version = batchId
     if (prev >= 0) StreamUtil.delete(spark, s"$stateDir/v$prev")
@@ -150,7 +150,7 @@ final class RollupState(stateDir: String) {
     val merged = prior(spark).unionByName(partial)
       .groupBy(col("day"), col("event_type"))
       .agg(sum(col("n")).as("n"), sum(col("cents")).as("cents"))
-    merged.coalesce(1).write.mode("overwrite").parquet(s"$stateDir/v$batchId")
+    StreamUtil.writeGrid(merged, s"$stateDir/v$batchId")
     val prev = version
     version = batchId
     if (prev >= 0) StreamUtil.delete(spark, s"$stateDir/v$prev")
@@ -209,7 +209,7 @@ final class DailyModeState(stateDir: String) {
     val merged = prior(spark).unionByName(partial)
       .groupBy(col("day"), col("item"))
       .agg(sum(col("n")).as("n"))
-    merged.coalesce(1).write.mode("overwrite").parquet(s"$stateDir/v$batchId")
+    StreamUtil.writeSharded(merged, s"$stateDir/v$batchId", Seq("day", "item"))
     val prev = version
     version = batchId
     if (prev >= 0) StreamUtil.delete(spark, s"$stateDir/v$prev")
@@ -231,8 +231,8 @@ final class DailyModeState(stateDir: String) {
   * bit-for-bit regardless of how document batches split.
   *
   * State is (sources × vocab) rows — bounded by vocabulary, not
-  * document volume; at 100 TB the state parquet is a bucketed table
-  * instead of a coalesce(1) file, same merge plan.
+  * document volume, but a 100 TB web corpus's vocabulary is itself
+  * data-scale, so the state write is hash-sharded on (source, tok).
   */
 final class DriftState(stateDir: String) {
   @volatile private var version: Long = StreamUtil.latestVersion(stateDir)
@@ -253,7 +253,7 @@ final class DriftState(stateDir: String) {
     val merged = prior(spark).unionByName(partial)
       .groupBy(col("source"), col("tok"))
       .agg(sum(col("n")).as("n"))
-    merged.coalesce(1).write.mode("overwrite").parquet(s"$stateDir/v$batchId")
+    StreamUtil.writeSharded(merged, s"$stateDir/v$batchId", Seq("source", "tok"))
     val prev = version
     version = batchId
     if (prev >= 0) StreamUtil.delete(spark, s"$stateDir/v$prev")
@@ -305,7 +305,7 @@ final class DailyCountState(stateDir: String) {
     val merged = prior(spark).unionByName(partial)
       .groupBy(col("day"))
       .agg(sum(col("n")).as("n"))
-    merged.coalesce(1).write.mode("overwrite").parquet(s"$stateDir/v$batchId")
+    StreamUtil.writeGrid(merged, s"$stateDir/v$batchId")
     val prev = version
     version = batchId
     if (prev >= 0) StreamUtil.delete(spark, s"$stateDir/v$prev")
@@ -373,7 +373,7 @@ final class DailyTypeCentsState(stateDir: String) {
     val merged = prior(spark).unionByName(partial)
       .groupBy(col("event_type"), col("day"))
       .agg(sum(col("cents")).as("cents"))
-    merged.coalesce(1).write.mode("overwrite").parquet(s"$stateDir/v$batchId")
+    StreamUtil.writeGrid(merged, s"$stateDir/v$batchId")
     val prev = version
     version = batchId
     if (prev >= 0) StreamUtil.delete(spark, s"$stateDir/v$prev")
@@ -439,7 +439,7 @@ final class SeasonalityCellState(stateDir: String) {
     val merged = prior(spark).unionByName(partial)
       .groupBy(col("event_type"), col("dow"), col("hour"))
       .agg(sum(col("n")).as("n"))
-    merged.coalesce(1).write.mode("overwrite").parquet(s"$stateDir/v$batchId")
+    StreamUtil.writeGrid(merged, s"$stateDir/v$batchId")
     val prev = version
     version = batchId
     if (prev >= 0) StreamUtil.delete(spark, s"$stateDir/v$prev")
@@ -478,7 +478,7 @@ final class ValueCountState(stateDir: String) {
     val merged = prior(spark).unionByName(partial)
       .groupBy(col("event_type"), col("cents"))
       .agg(sum(col("cnt")).as("cnt"))
-    merged.coalesce(1).write.mode("overwrite").parquet(s"$stateDir/v$batchId")
+    StreamUtil.writeGrid(merged, s"$stateDir/v$batchId")
     val prev = version
     version = batchId
     if (prev >= 0) StreamUtil.delete(spark, s"$stateDir/v$prev")
@@ -540,7 +540,7 @@ final class DailyValueCountState(stateDir: String) {
     val merged = prior(spark).unionByName(partial)
       .groupBy(col("day"), col("cents"))
       .agg(sum(col("cnt")).as("cnt"))
-    merged.coalesce(1).write.mode("overwrite").parquet(s"$stateDir/v$batchId")
+    StreamUtil.writeGrid(merged, s"$stateDir/v$batchId")
     val prev = version
     version = batchId
     if (prev >= 0) StreamUtil.delete(spark, s"$stateDir/v$prev")
@@ -590,7 +590,7 @@ final class DoclenBucketState(stateDir: String) {
     val merged = prior(spark).unionByName(partial)
       .groupBy(col("bucket"))
       .agg(sum(col("n_docs")).as("n_docs"), sum(col("total_words")).as("total_words"))
-    merged.coalesce(1).write.mode("overwrite").parquet(s"$stateDir/v$batchId")
+    StreamUtil.writeGrid(merged, s"$stateDir/v$batchId")
     val prev = version
     version = batchId
     if (prev >= 0) StreamUtil.delete(spark, s"$stateDir/v$prev")
@@ -641,7 +641,7 @@ final class VocabState(stateDir: String) {
       .groupBy(col("tok")).agg(count(lit(1)).as("cf"))
     val merged = prior(spark).unionByName(partial)
       .groupBy(col("tok")).agg(sum(col("cf")).as("cf"))
-    merged.coalesce(1).write.mode("overwrite").parquet(s"$stateDir/v$batchId")
+    StreamUtil.writeSharded(merged, s"$stateDir/v$batchId", Seq("tok"))
     val prev = version
     version = batchId
     if (prev >= 0) StreamUtil.delete(spark, s"$stateDir/v$prev")
@@ -699,7 +699,7 @@ final class ItemCentsState(stateDir: String) {
     val merged = prior(spark).unionByName(partial)
       .groupBy(col("event_type"), col("item"))
       .agg(sum(col("cents")).as("cents"))
-    merged.coalesce(1).write.mode("overwrite").parquet(s"$stateDir/v$batchId")
+    StreamUtil.writeSharded(merged, s"$stateDir/v$batchId", Seq("event_type", "item"))
     val prev = version
     version = batchId
     if (prev >= 0) StreamUtil.delete(spark, s"$stateDir/v$prev")

@@ -45,7 +45,7 @@ final class UserSpanState(stateDir: String) {
               coalesce(col("b_first"), col("cohort"))).as("cohort"),
         greatest(coalesce(col("last_day"), col("b_last")),
                  coalesce(col("b_last"), col("last_day"))).as("last_day"))
-    merged.coalesce(1).write.mode("overwrite").parquet(s"$stateDir/v$batchId")
+    StreamUtil.writeSharded(merged, s"$stateDir/v$batchId", Seq("user_id"))
     val prev = version
     version = batchId
     if (prev >= 0) StreamUtil.delete(spark, s"$stateDir/v$prev")
@@ -86,7 +86,7 @@ final class UserMinuteCountState(stateDir: String) {
       .groupBy(col("user_id"), col("minute")).agg(count(lit(1)).as("n"))
     val merged = prior(spark).unionByName(partial)
       .groupBy(col("user_id"), col("minute")).agg(sum(col("n")).as("n"))
-    merged.coalesce(1).write.mode("overwrite").parquet(s"$stateDir/v$batchId")
+    StreamUtil.writeSharded(merged, s"$stateDir/v$batchId", Seq("user_id", "minute"))
     val prev = version
     version = batchId
     if (prev >= 0) StreamUtil.delete(spark, s"$stateDir/v$prev")
@@ -123,7 +123,7 @@ final class FleschState(stateDir: String) {
         sum(col("n_sentences")).as("n_sentences"),
         sum(col("n_words")).as("n_words"),
         sum(col("n_syllables")).as("n_syllables"))
-    merged.coalesce(1).write.mode("overwrite").parquet(s"$stateDir/v$batchId")
+    StreamUtil.writeGrid(merged, s"$stateDir/v$batchId")
     val prev = version
     version = batchId
     if (prev >= 0) StreamUtil.delete(spark, s"$stateDir/v$prev")
@@ -153,7 +153,7 @@ final class UserTypeCountState(stateDir: String) {
       .agg(count(lit(1)).as("c"))
     val merged = prior(spark).unionByName(partial)
       .groupBy(col("user_id"), col("event_type")).agg(sum(col("c")).as("c"))
-    merged.coalesce(1).write.mode("overwrite").parquet(s"$stateDir/v$batchId")
+    StreamUtil.writeSharded(merged, s"$stateDir/v$batchId", Seq("user_id", "event_type"))
     val prev = version
     version = batchId
     if (prev >= 0) StreamUtil.delete(spark, s"$stateDir/v$prev")
@@ -203,7 +203,7 @@ final class SessionCountState(stateDir: String, gapMinutes: Int = 30) {
       .select(col("user_id"),
         coalesce(col("b_last"), col("last_ts")).as("last_ts"),
         (coalesce(col("k"), lit(0L)) + coalesce(col("b_k"), lit(0L))).as("k"))
-    merged.coalesce(1).write.mode("overwrite").parquet(s"$stateDir/v$batchId")
+    StreamUtil.writeSharded(merged, s"$stateDir/v$batchId", Seq("user_id"))
     val prev = version
     version = batchId
     if (prev >= 0) StreamUtil.delete(spark, s"$stateDir/v$prev")
@@ -270,8 +270,8 @@ final class SessionAffinityState(stateDir: String, gapMinutes: Int = 30) {
       .agg(max(col("ts")).as("last_ts"), max(col("sid")).as("cur_sid"))
     val frontier = priorFrontier(spark).join(newFrontier, Seq("user_id"), "left_anti")
       .unionByName(newFrontier)
-    presence.coalesce(1).write.mode("overwrite").parquet(s"$stateDir/v$batchId/presence")
-    frontier.coalesce(1).write.mode("overwrite").parquet(s"$stateDir/v$batchId/frontier")
+    StreamUtil.writeSharded(presence, s"$stateDir/v$batchId/presence", Seq("user_id"))
+    StreamUtil.writeSharded(frontier, s"$stateDir/v$batchId/frontier", Seq("user_id"))
     val prev = version
     version = batchId
     if (prev >= 0) StreamUtil.delete(spark, s"$stateDir/v$prev")
@@ -299,7 +299,7 @@ final class LabelCentroidState(stateDir: String) {
     val merged = prior(spark).unionByName(partial)
       .groupBy(col("label"), col("dim"))
       .agg(sum(col("n_vecs")).as("n_vecs"), sum(col("sum_q")).as("sum_q"))
-    merged.coalesce(1).write.mode("overwrite").parquet(s"$stateDir/v$batchId")
+    StreamUtil.writeGrid(merged, s"$stateDir/v$batchId")
     val prev = version
     version = batchId
     if (prev >= 0) StreamUtil.delete(spark, s"$stateDir/v$prev")
@@ -336,7 +336,7 @@ final class DatasetCardState(stateDir: String) {
         sum(col("n_chars")).as("n_chars"),
         min(col("min_chars")).as("min_chars"),
         max(col("max_chars")).as("max_chars"))
-    merged.coalesce(1).write.mode("overwrite").parquet(s"$stateDir/v$batchId")
+    StreamUtil.writeGrid(merged, s"$stateDir/v$batchId")
     val prev = version
     version = batchId
     if (prev >= 0) StreamUtil.delete(spark, s"$stateDir/v$prev")
@@ -375,7 +375,7 @@ final class SourceLenState(stateDir: String) {
       .groupBy(col("source"), col("len")).agg(count(lit(1)).as("c"))
     val merged = prior(spark).unionByName(partial)
       .groupBy(col("source"), col("len")).agg(sum(col("c")).as("c"))
-    merged.coalesce(1).write.mode("overwrite").parquet(s"$stateDir/v$batchId")
+    StreamUtil.writeGrid(merged, s"$stateDir/v$batchId")
     val prev = version
     version = batchId
     if (prev >= 0) StreamUtil.delete(spark, s"$stateDir/v$prev")
@@ -414,7 +414,7 @@ final class TypeCentsState(stateDir: String) {
       .groupBy(col("event_type"), col("cents")).agg(count(lit(1)).as("c"))
     val merged = prior(spark).unionByName(partial)
       .groupBy(col("event_type"), col("cents")).agg(sum(col("c")).as("c"))
-    merged.coalesce(1).write.mode("overwrite").parquet(s"$stateDir/v$batchId")
+    StreamUtil.writeGrid(merged, s"$stateDir/v$batchId")
     val prev = version
     version = batchId
     if (prev >= 0) StreamUtil.delete(spark, s"$stateDir/v$prev")

@@ -48,7 +48,7 @@ final class DfaState(stateDir: String, step: (Column, Column) => Column,
           coalesce(col("codes"), lit(Array.empty[Long])),
           coalesce(col("acc"), lit(0L)),
           step).as("acc"))
-    merged.coalesce(1).write.mode("overwrite").parquet(s"$stateDir/v$batchId")
+    StreamUtil.writeSharded(merged, s"$stateDir/v$batchId", Seq("user_id"))
     val prev = version
     version = batchId
     if (prev >= 0) StreamUtil.delete(spark, s"$stateDir/v$prev")

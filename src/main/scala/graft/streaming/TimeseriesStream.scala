@@ -42,7 +42,7 @@ final class TypeDailyCountState(stateDir: String) {
       .groupBy(col("event_type"), col("day")).agg(count(lit(1)).as("x"))
     val merged = prior(spark).unionByName(partial)
       .groupBy(col("event_type"), col("day")).agg(sum(col("x")).as("x"))
-    merged.coalesce(1).write.mode("overwrite").parquet(s"$stateDir/v$batchId")
+    StreamUtil.writeGrid(merged, s"$stateDir/v$batchId")
     val prev = version
     version = batchId
     if (prev >= 0) StreamUtil.delete(spark, s"$stateDir/v$prev")
@@ -169,7 +169,7 @@ final class ItemDayCountState(stateDir: String) {
       .groupBy(col("item"), col("day")).agg(count(lit(1)).as("n"))
     val merged = prior(spark).unionByName(partial)
       .groupBy(col("item"), col("day")).agg(sum(col("n")).as("n"))
-    merged.coalesce(1).write.mode("overwrite").parquet(s"$stateDir/v$batchId")
+    StreamUtil.writeSharded(merged, s"$stateDir/v$batchId", Seq("item", "day"))
     val prev = version
     version = batchId
     if (prev >= 0) StreamUtil.delete(spark, s"$stateDir/v$prev")
@@ -198,7 +198,7 @@ final class DailyVolRevState(stateDir: String) {
       .agg(count(lit(1)).as("x"), sum(col("cents")).as("y"))
     val merged = prior(spark).unionByName(partial)
       .groupBy(col("day")).agg(sum(col("x")).as("x"), sum(col("y")).as("y"))
-    merged.coalesce(1).write.mode("overwrite").parquet(s"$stateDir/v$batchId")
+    StreamUtil.writeGrid(merged, s"$stateDir/v$batchId")
     val prev = version
     version = batchId
     if (prev >= 0) StreamUtil.delete(spark, s"$stateDir/v$prev")
@@ -245,8 +245,8 @@ final class SurvivalState(stateDir: String) {
     val bh = batch.agg(date_trunc("day", max(col("ts"))).as("h"))
     val horizon = priorHorizon(spark).unionByName(bh)
       .agg(max(col("h")).as("h"))
-    users.coalesce(1).write.mode("overwrite").parquet(s"$stateDir/v$batchId/users")
-    horizon.coalesce(1).write.mode("overwrite").parquet(s"$stateDir/v$batchId/horizon")
+    StreamUtil.writeSharded(users, s"$stateDir/v$batchId/users", Seq("user_id"))
+    StreamUtil.writeGrid(horizon, s"$stateDir/v$batchId/horizon")
     val prev = version
     version = batchId
     if (prev >= 0) StreamUtil.delete(spark, s"$stateDir/v$prev")
@@ -327,8 +327,8 @@ final class TwaState(stateDir: String) {
           .otherwise(pS).as("s"))
       .select(col("user_id"), col("s.ts").as("p_ts"),
         col("s.eid").as("p_eid"), col("s.c").as("p_cents"))
-    daily.coalesce(1).write.mode("overwrite").parquet(s"$stateDir/v$batchId/daily")
-    last.coalesce(1).write.mode("overwrite").parquet(s"$stateDir/v$batchId/last")
+    StreamUtil.writeGrid(daily, s"$stateDir/v$batchId/daily")
+    StreamUtil.writeSharded(last, s"$stateDir/v$batchId/last", Seq("user_id"))
     val prev = version
     version = batchId
     if (prev >= 0) StreamUtil.delete(spark, s"$stateDir/v$prev")

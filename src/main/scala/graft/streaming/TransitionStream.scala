@@ -73,8 +73,8 @@ final class TransitionState(stateDir: String) {
           .otherwise(pS).as("s"))
       .select(col("user_id"), col("s.ts").as("p_ts"),
         col("s.eid").as("p_eid"), col("s.tp").as("p_type"))
-    pairs.coalesce(1).write.mode("overwrite").parquet(s"$stateDir/v$batchId/pairs")
-    last.coalesce(1).write.mode("overwrite").parquet(s"$stateDir/v$batchId/last")
+    StreamUtil.writeGrid(pairs, s"$stateDir/v$batchId/pairs")
+    StreamUtil.writeSharded(last, s"$stateDir/v$batchId/last", Seq("user_id"))
     val prev = version
     version = batchId
     if (prev >= 0) StreamUtil.delete(spark, s"$stateDir/v$prev")
@@ -139,8 +139,8 @@ final class DistinctDailyState(stateDir: String) {
     val counts = priorCounts(spark)
       .unionByName(days.groupBy(col("day")).agg(count(lit(1)).as("n_events")))
       .groupBy(col("day")).agg(sum(col("n_events")).as("n_events"))
-    pairs.coalesce(1).write.mode("overwrite").parquet(s"$stateDir/v$batchId/pairs")
-    counts.coalesce(1).write.mode("overwrite").parquet(s"$stateDir/v$batchId/counts")
+    StreamUtil.writeGrid(pairs, s"$stateDir/v$batchId/pairs")
+    StreamUtil.writeGrid(counts, s"$stateDir/v$batchId/counts")
     val prev = version
     version = batchId
     if (prev >= 0) StreamUtil.delete(spark, s"$stateDir/v$prev")
@@ -218,8 +218,8 @@ final class IntereventState(stateDir: String) {
           .when(struct(col("b_ts"), col("b_eid")) >= struct(col("p_ts"), col("p_eid")), bS)
           .otherwise(pS).as("s"))
       .select(col("user_id"), col("s.ts").as("p_ts"), col("s.eid").as("p_eid"))
-    buckets.coalesce(1).write.mode("overwrite").parquet(s"$stateDir/v$batchId/buckets")
-    last.coalesce(1).write.mode("overwrite").parquet(s"$stateDir/v$batchId/last")
+    StreamUtil.writeGrid(buckets, s"$stateDir/v$batchId/buckets")
+    StreamUtil.writeSharded(last, s"$stateDir/v$batchId/last", Seq("user_id"))
     val prev = version
     version = batchId
     if (prev >= 0) StreamUtil.delete(spark, s"$stateDir/v$prev")
@@ -287,8 +287,8 @@ final class PeakSessionState(stateDir: String, gapMinutes: Int = 30) {
     val openKept = priorOpen(spark)
       .join(sess.select(col("user_id")).distinct(), Seq("user_id"), "left_anti")
     val open = openKept.unionByName(openBatch)
-    closed.coalesce(1).write.mode("overwrite").parquet(s"$stateDir/v$batchId/closed")
-    open.coalesce(1).write.mode("overwrite").parquet(s"$stateDir/v$batchId/open")
+    StreamUtil.writeSharded(closed, s"$stateDir/v$batchId/closed", Seq("s_ts"))
+    StreamUtil.writeSharded(open, s"$stateDir/v$batchId/open", Seq("user_id"))
     val prev = version
     version = batchId
     if (prev >= 0) StreamUtil.delete(spark, s"$stateDir/v$prev")
