@@ -560,58 +560,65 @@ object Graph {
     * next to [[degreeHistogramTransform]] (degree says how connected
     * a node is, core says how connected its NEIGHBORHOOD stays).
     *
-    * Classic peel: for k = 1, 2, …, repeatedly delete nodes whose
-    * remaining degree < k (deleted at level k ⇒ core number k−1)
-    * until stable, then advance k; terminates when no nodes remain.
-    * Distributed shape: node/edge tables stay DataFrames (degree =
-    * map-side-combinable groupBy; deletion = left_anti joins on the
-    * victim set, co-partitioned); the driver sees only a per-round
-    * victim COUNT (planning-scale convergence probe, the LPA/star
-    * discipline) and lineage is cut per peel via localCheckpoint.
-    * Rounds are bounded by Σ_k (peel depth at k) ≤ the graph's
-    * degeneracy ordering length — the same fixed-iteration envelope
-    * every iterative op here runs in. Core numbers are
-    * order-independent (the k-core is unique), so the output is
-    * deterministic without any tie policy. No SQL oracle (the peel
-    * count is data-dependent — not expressible as a fixed unrolled
-    * CTE like LPA's); rows-only, property-specced against a
+    * Algorithm: the h-index LOCALITY iteration of Montresor et al.
+    * 2013 (also Lü et al. 2016), not the k-by-k peel. Each node
+    * holds a core estimate c(v), initialized to its degree; every
+    * round re-estimates c'(v) = H({c(u) : u ∈ N(v)}) — the h-index
+    * of its neighbors' estimates (the largest h such that ≥ h
+    * neighbors claim ≥ h). Estimates decrease monotonically from the
+    * degree upper bound and converge to the EXACT core numbers
+    * (Montresor et al., Thm 1), so the output is deterministic with
+    * no tie policy. Chosen over the peel for JOB COUNT: the peel
+    * schedules one sequential Spark job per (k, wave) step — Σ_k
+    * peel-depth jobs (~35 on the capped sf0.1 graph, 16–18 s of
+    * almost pure scheduling) — while the locality iteration needs
+    * one job per ROUND and converges in O(max peel depth at the
+    * binding k) rounds (≤ 6 observed on the same graph). Per round:
+    * one edges⋈estimates broadcast join, one map-side-combinable
+    * groupBy(node) collecting the ≤ degree-capped neighbor-estimate
+    * list, the h-index as a codegen'd zip_with/filter/size chain,
+    * and one checkpointed (old ∪ new) frame whose cached partitions
+    * answer BOTH the convergence probe (changed-row count, sub-ms)
+    * and next round's input — no separate lineage-cut jobs. The
+    * collect_list is bounded by the co-engagement degree cap, the
+    * same bound every LSH-style kernel here rides. No SQL oracle
+    * (the round count is data-dependent — not a fixed unrolled CTE
+    * like LPA's); rows-only, property-specced against a
     * straight-Scala peeling reference on random graphs.
     */
   def kCoreTransform(pairs: DataFrame): DataFrame = {
     val spark = pairs.sparkSession
     import spark.implicits._
     val p = truncateLineage(pairs)
-    val edges0 = p.select($"item_a".as("src"), $"item_b".as("dst"))
-      .unionByName(p.select($"item_b".as("src"), $"item_a".as("dst")))
-    var active = truncateLineage(edges0)
-    var nodes = truncateLineage(active.select($"src".as("item")).distinct())
-    var result: DataFrame = spark.createDataFrame(
-      java.util.List.of[org.apache.spark.sql.Row](),
-      org.apache.spark.sql.types.StructType.fromDDL("item BIGINT, core BIGINT"))
-    var k = 1L
-    var remaining = nodes.count()
-    while (remaining > 0) {
-      var peeling = true
-      while (peeling && remaining > 0) {
-        val deg = active.groupBy($"src".as("item")).agg(count(lit(1)).as("deg"))
-        val victims = nodes.join(deg, Seq("item"), "left")
-          .filter(coalesce($"deg", lit(0L)) < k)
-          .select($"item")
-        val nVictims = victims.count()
-        if (nVictims == 0) peeling = false
-        else {
-          result = truncateLineage(result.unionByName(
-            victims.select($"item", lit(k - 1).as("core"))))
-          nodes = truncateLineage(nodes.join(victims, Seq("item"), "left_anti"))
-          active = truncateLineage(active
-            .join(victims.select($"item".as("src")), Seq("src"), "left_anti")
-            .join(victims.select($"item".as("dst")), Seq("dst"), "left_anti"))
-          remaining -= nVictims
-        }
-      }
-      k += 1
+    val edges = truncateLineage(
+      p.select($"item_a".as("src"), $"item_b".as("dst"))
+        .unionByName(p.select($"item_b".as("src"), $"item_a".as("dst"))))
+    // h-index of a DESC-sorted estimate list: #positions i (1-based)
+    // with cs[i-1] ≥ i. Every node here has ≥ 1 edge, so cs is
+    // never empty and sequence(1, size) is well-formed.
+    def hIndex(cs: Column): Column =
+      size(filter(
+        zip_with(sort_array(cs, asc = false),
+          sequence(lit(1L), size(cs).cast("long")),
+          (c, i) => c >= i),
+        x => x))
+    var est = truncateLineage(
+      edges.groupBy($"src".as("item")).agg(count(lit(1)).as("c")))
+    var changed = 1L
+    while (changed > 0) {
+      val nb = edges.join(
+        est.select($"item".as("dst"), $"c".as("cd")), Seq("dst"))
+      val next = nb.groupBy($"src".as("item"))
+        .agg(hIndex(collect_list($"cd")).cast("long").as("c_new"))
+      // one materialization per round: (old, new) side by side — the
+      // changed-count probe and next round's estimates both read the
+      // cached partitions
+      val joined = truncateLineage(
+        est.join(next, Seq("item")).select($"item", $"c", $"c_new"))
+      changed = joined.filter($"c_new" =!= $"c").count()
+      est = joined.select($"item", $"c_new".as("c"))
     }
-    result.orderBy($"item")
+    est.select($"item", $"c".as("core")).orderBy($"item")
   }
 
   def kCoreItems(spark: SparkSession, dir: String): DataFrame =
