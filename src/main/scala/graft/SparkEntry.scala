@@ -249,6 +249,7 @@ object SparkEntry {
     "stream_enrich"      -> EngagementStream.streamEnrich _,
     "stream_cdc_compact" -> ((s: SparkSession, d: String) => CdcCompact.streamCdcCompact(s, d)),
     "stream_cdc_with_deletes" -> ((s: SparkSession, d: String) => CdcCompact.streamCdcWithDeletes(s, d)),
+    "stream_cdc_schema_drift" -> CdcCompact.streamCdcSchemaDrift _,
     "stream_session_agg" -> Sessionize.streamSessionAgg _,
     "stream_router"      -> EngagementStream.streamRouter _,
     "stream_router_jdbc" -> JdbcSink.streamRouterJdbc _,
@@ -564,6 +565,16 @@ object SparkEntry {
       "stream_topk_per_group" -> base("topk_per_group"),
       "stream_enrich"      -> base("enrich_events"),
       "stream_cdc_compact" -> base("cdc_latest_by_key"),
+      // cdc_latest_by_key extended with the post-DDL column: keys
+      // whose latest row predates min(ts)+15d read NULL plan
+      // (Postgres ADD COLUMN semantics through the drift boundary)
+      "stream_cdc_schema_drift" ->
+        """SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, event_type, value,
+          |       CASE WHEN ts >= (SELECT min(ts) + INTERVAL 15 DAY FROM events)
+          |            THEN concat('plan_', CAST(event_id % 3 AS VARCHAR)) END AS plan
+          |FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+          |      FROM events) t
+          |WHERE rn = 1 ORDER BY user_id""".stripMargin,
       "stream_session_agg" -> base("session_window_agg"),
       "stream_router"      -> base("event_router"),
       "stream_router_jdbc" -> base("event_router"),

@@ -129,6 +129,41 @@ object CdcCompact {
     cdc.live(spark).orderBy(col("user_id"))
   }
 
+  /** Queries entry: CDC compaction across an additive schema-drift
+    * boundary. The events log is split at min(ts)+15 days — the
+    * moment the upstream `ALTER TABLE ADD COLUMN plan` lands — into
+    * a pre-DDL deploy (5 columns, 2 files) and a post-DDL deploy
+    * (6 columns, 2 files, `plan` derived deterministically from
+    * event_id so DuckDB can reproduce it). Both deploys stream into
+    * ONE [[CdcCompactDrift]] state; the final compacted table is
+    * latest-per-key where keys whose winner predates the DDL read
+    * NULL plan (oracle: `cdc_latest_by_key` SQL extended with the
+    * same CASE). */
+  def streamCdcSchemaDrift(spark: SparkSession, dir: String): DataFrame = {
+    val work = graft.GraftCaches.trackTempDir("graft_cdcdrift_")
+    val base = graft.sources.Tables.events(spark, dir)
+      .select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value"), col("props"))
+    val cutTs = base.agg((min(col("ts")) + expr("INTERVAL 15 DAYS")).as("t"))
+      .head().getTimestamp(0)
+    base.filter(col("ts") < lit(cutTs))
+      .repartition(2).write.mode("overwrite").parquet(s"$work/pre")
+    base.filter(col("ts") >= lit(cutTs))
+      .withColumn("plan", concat(lit("plan_"), pmod(col("event_id"), lit(3L))))
+      .repartition(2).write.mode("overwrite").parquet(s"$work/post")
+    val cdc = new CdcCompactDrift(s"$work/state")
+    val keep = Seq("user_id", "event_id", "ts", "event_type", "value")
+    StreamSources.runForeachBatch(
+      StreamSources.eventsFrom(spark, s"$work/pre", maxFilesPerTrigger = 1)
+        .select(keep.map(col): _*),
+      cdc.merge(0))
+    StreamSources.runForeachBatch(
+      StreamSources.eventsFrom(spark, s"$work/post", maxFilesPerTrigger = 1,
+        extraCols = Seq("plan")).select((keep :+ "plan").map(col): _*),
+      cdc.merge(1))
+    cdc.table(spark).orderBy(col("user_id"))
+  }
+
   /** Queries entry: streaming SCD2 maintenance — the type-2 member
     * of this CDC family (CdcCompact keeps only the live row; this
     * keeps the versioned history): each micro-batch is applied to
@@ -147,6 +182,71 @@ object CdcCompact {
       state.merge)
     state.table(spark)
   }
+}
+
+/** CDC compaction under ADDITIVE schema drift — the day-2 reality of
+  * any changelog pipeline: a Postgres `ALTER TABLE ADD COLUMN` flows
+  * through pgoutput/Debezium and from one batch to the next the
+  * changelog rows carry an extra column the compacted state has
+  * never seen. The reference's relay would redeploy its ingest with
+  * the new schema and keep the same compacted topic; here the same
+  * restart is modeled as a SECOND stream (new reader, wider schema)
+  * continuing into the SAME state directory.
+  *
+  * Alignment rule = Postgres ADD COLUMN semantics: rows written
+  * before the DDL read NULL in the new column. On merge, the column
+  * set is the UNION of state and batch schemas (state's order first,
+  * new columns appended); either side back-fills its missing columns
+  * with typed NULLs, then the ordinary latest-per-key MERGE runs.
+  * The state parquet is read with `mergeSchema` so even a state
+  * directory whose own files straddle a drift boundary presents the
+  * union schema. Dropping or retyping a column is NOT handled — a
+  * destructive DDL is a pipeline redeploy with a state rebuild, not
+  * something to guess at silently (same posture as Delta's
+  * schema-enforcement-with-additive-evolution default).
+  *
+  * Replay guard across restarts: a restarted stream starts batchIds
+  * back at 0, so the committed version is `epoch·10⁶ + batchId` —
+  * each deploy gets an epoch and the guard keeps exactly-once within
+  * AND across deploys (the crash-resume spec replays both).
+  */
+final class CdcCompactDrift(stateDir: String) {
+  @volatile private var version: Long = StreamUtil.latestVersion(stateDir)
+
+  private def latestPerKey(df: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts").desc, col("event_id").desc)
+    df.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .drop("rn")
+  }
+
+  def merge(epoch: Long)(batch: Dataset[Row], batchId: Long): Unit = {
+    val v = epoch * 1000000L + batchId
+    if (v <= version) return
+    val spark = batch.sparkSession
+    val incoming = batch.toDF()
+    val merged =
+      if (version < 0) latestPerKey(incoming)
+      else {
+        val prior = spark.read.option("mergeSchema", "true")
+          .parquet(s"$stateDir/v$version")
+        val allFields = prior.schema.fields ++
+          incoming.schema.fields.filterNot(f => prior.columns.contains(f.name))
+        def align(df: DataFrame): DataFrame =
+          df.select(allFields.toSeq.map { f =>
+            if (df.columns.contains(f.name)) col(f.name)
+            else lit(null).cast(f.dataType).as(f.name)
+          }: _*)
+        latestPerKey(align(prior).unionByName(align(incoming)))
+      }
+    StreamUtil.writeSharded(merged, s"$stateDir/v$v", Seq("user_id"))
+    val prev = version
+    version = v
+    if (prev >= 0) StreamUtil.delete(spark, s"$stateDir/v$prev")
+  }
+
+  def table(spark: SparkSession): DataFrame =
+    spark.read.option("mergeSchema", "true").parquet(s"$stateDir/v$version")
 }
 
 /** Versioned-parquet SCD2 dimension state: `merge` IS the batch

@@ -645,6 +645,77 @@ class StreamingSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
     assert(liveIds == Seq((1L, 5L), (2L, 10L)))
   }
 
+  test("cdc schema drift: ADD COLUMN mid-stream back-fills NULL, union schema, epoch replay guard") {
+    import org.apache.spark.sql.functions.{col, to_timestamp}
+    import graft.streaming.CdcCompactDrift
+    import spark.implicits._
+    val work = GraftCaches.trackTempDir("graft_cdcdriftspec_")
+    val cdc = new CdcCompactDrift(s"$work/state")
+    def preBatch(rows: (Long, Long, String, String, Double)*) =
+      rows.toSeq.toDF("user_id", "event_id", "tss", "event_type", "value")
+        .withColumn("ts", to_timestamp(col("tss"))).drop("tss")
+    def postBatch(rows: (Long, Long, String, String, Double, String)*) =
+      rows.toSeq.toDF("user_id", "event_id", "tss", "event_type", "value", "plan")
+        .withColumn("ts", to_timestamp(col("tss"))).drop("tss")
+    def state = cdc.table(spark).orderBy(col("user_id"))
+      .select(col("user_id"), col("event_id"), col("plan"))
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        Option(r.getString(2)))).toSeq
+
+    // epoch 0 (pre-DDL deploy): two keys, 5-column schema
+    cdc.merge(0)(preBatch((1L, 1L, "2024-01-01 10:00:00", "view", 1.0),
+      (2L, 10L, "2024-01-01 10:00:00", "view", 2.0)), 0)
+    assert(!cdc.table(spark).columns.contains("plan"))
+    // epoch 1 (post-DDL deploy): wider schema; key 2 updated with a
+    // plan, key 1 untouched — its pre-DDL row must read NULL plan
+    cdc.merge(1)(postBatch((2L, 11L, "2024-01-01 12:00:00", "click", 3.0, "gold"),
+      (3L, 20L, "2024-01-01 12:30:00", "view", 4.0, "free")), 0)
+    // union schema = first deploy's order (the builder appends ts
+    // last) + the drift column appended
+    assert(cdc.table(spark).columns.toSeq ==
+      Seq("user_id", "event_id", "event_type", "value", "ts", "plan"))
+    assert(state == Seq((1L, 1L, None), (2L, 11L, Some("gold")), (3L, 20L, Some("free"))))
+    // replaying an epoch-0 batch after epoch 1 committed is a no-op
+    // (cross-deploy exactly-once): the narrow replay must not touch state
+    cdc.merge(0)(preBatch((1L, 99L, "2024-01-01 23:00:00", "view", 9.0)), 0)
+    assert(state == Seq((1L, 1L, None), (2L, 11L, Some("gold")), (3L, 20L, Some("free"))))
+    // a later epoch-1 batch still merges; latest-per-key wins across
+    // the drift boundary (pre-DDL row beaten by post-DDL update)
+    cdc.merge(1)(postBatch((1L, 2L, "2024-01-01 13:00:00", "purchase", 5.0, "gold")), 1)
+    assert(state == Seq((1L, 2L, Some("gold")), (2L, 11L, Some("gold")), (3L, 20L, Some("free"))))
+  }
+
+  test("cdc schema drift resumes across a restart: recovered version spans epochs") {
+    import org.apache.spark.sql.functions.{col, to_timestamp}
+    import graft.streaming.CdcCompactDrift
+    import spark.implicits._
+    val work = GraftCaches.trackTempDir("graft_cdcdriftres_")
+    def preBatch(rows: (Long, Long, String, String, Double)*) =
+      rows.toSeq.toDF("user_id", "event_id", "tss", "event_type", "value")
+        .withColumn("ts", to_timestamp(col("tss"))).drop("tss")
+    def postBatch(rows: (Long, Long, String, String, Double, String)*) =
+      rows.toSeq.toDF("user_id", "event_id", "tss", "event_type", "value", "plan")
+        .withColumn("ts", to_timestamp(col("tss"))).drop("tss")
+    val first = new CdcCompactDrift(s"$work/state")
+    first.merge(0)(preBatch((1L, 1L, "2024-01-01 10:00:00", "view", 1.0)), 0)
+    first.merge(1)(postBatch((2L, 5L, "2024-01-01 12:00:00", "view", 2.0, "gold")), 0)
+    // crash: fresh instance on the same state dir recovers the
+    // epoch-encoded version — BOTH prior deploys' batches replay as no-ops
+    val resumed = new CdcCompactDrift(s"$work/state")
+    resumed.merge(0)(preBatch((1L, 99L, "2024-01-01 23:00:00", "view", 9.0)), 0)
+    resumed.merge(1)(postBatch((2L, 99L, "2024-01-01 23:00:00", "view", 9.0, "late")), 0)
+    val got = resumed.table(spark).orderBy(col("user_id"))
+      .select(col("user_id"), col("event_id"), col("plan"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), Option(r.getString(2)))).toSeq
+    assert(got == Seq((1L, 1L, None), (2L, 5L, Some("gold"))))
+    // the next genuinely-new batch applies
+    resumed.merge(1)(postBatch((1L, 2L, "2024-01-01 13:00:00", "click", 3.0, "free")), 1)
+    val got2 = resumed.table(spark).orderBy(col("user_id"))
+      .select(col("user_id"), col("event_id"), col("plan"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), Option(r.getString(2)))).toSeq
+    assert(got2 == Seq((1L, 2L, Some("free")), (2L, 5L, Some("gold"))))
+  }
+
   test("cdc compaction resumes from checkpoint across a restart, exactly once") {
     import java.nio.file.{Files => JFiles, Paths, StandardCopyOption}
     import org.apache.spark.sql.streaming.Trigger
