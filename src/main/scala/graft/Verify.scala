@@ -10,11 +10,17 @@ object Verify {
     val only = args.drop(2).toSet
     def keep(name: String): Boolean = only.isEmpty || only(name)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // SPARK_GRAFT_ANSI=true runs the same dump under ANSI mode — the
+    // round-9 parity sweep: any query whose result depends on
+    // non-ANSI coincidences (silent overflow, lenient casts,
+    // divide-by-zero-as-NULL) diverges between the two dumps.
+    val ansi = sys.env.getOrElse("SPARK_GRAFT_ANSI", "false")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.ansi.enabled", ansi)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
