@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.operators._
-import graft.streaming.{AttributionStream, BoxplotStream, CdcCompact, ChangepointStream, DailyModeStream, DoclenStream, DriftStream, EngagementStream, EwmaStream, FunnelStream, HhiStream, HllStream, JdbcSink, MomentsStream, PercentileBandsStream, ProfileStreams, RollupStream, SeasonalityStream, Sessionize, StreamDedup, StreamIncrementalDedup, ZipfStream}
+import graft.streaming.{AttributionStream, BootstrapStream, BoxplotStream, CdcCompact, ChangepointStream, DailyModeStream, DoclenStream, DriftStream, EngagementStream, EwmaStream, FunnelStream, HhiStream, HllStream, JdbcSink, MomentsStream, PercentileBandsStream, ProfileStreams, RollupStream, SeasonalityStream, Sessionize, StreamDedup, StreamIncrementalDedup, ZipfStream}
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the inventory. */
 object SparkEntry {
@@ -104,6 +104,20 @@ object SparkEntry {
     "jarque_bera_daily"  -> Timeseries.jarqueBeraDaily _,
     "theil_sen_trend"    -> Timeseries.theilSenTrend _,
     "anova_f_cents"      -> Stats.anovaFCents _,
+    "kruskal_wallis"     -> Stats.kruskalWallis _,
+    "levene_brown_forsythe" -> Stats.leveneBrownForsythe _,
+    "friedman_daily"     -> Stats.friedmanDaily _,
+    "page_hinkley_daily" -> Stats.pageHinkleyDaily _,
+    "grubbs_daily"       -> Stats.grubbsDaily _,
+    "bootstrap_mean_ci"  -> ((s: SparkSession, d: String) => Sampling.bootstrapMeanCi(s, d)),
+    "cms_top_items"      -> Sketches.cmsTopItems _,
+    "stream_kruskal"     -> ((s: SparkSession, d: String) => streaming.ProfileStreams.streamKruskal(s, d)),
+    "stream_levene"      -> ((s: SparkSession, d: String) => streaming.ProfileStreams.streamLevene(s, d)),
+    "stream_friedman"    -> ((s: SparkSession, d: String) => streaming.TimeseriesStream.streamFriedman(s, d)),
+    "stream_page_hinkley" -> ((s: SparkSession, d: String) => EwmaStream.streamPageHinkley(s, d)),
+    "stream_grubbs"      -> ((s: SparkSession, d: String) => EwmaStream.streamGrubbs(s, d)),
+    "stream_bootstrap"   -> ((s: SparkSession, d: String) => streaming.BootstrapStream.streamBootstrap(s, d)),
+    "stream_cms"         -> ((s: SparkSession, d: String) => streaming.HllStream.streamCms(s, d)),
     "stream_jarque_bera" -> ((s: SparkSession, d: String) => streaming.TimeseriesStream.streamJarqueBera(s, d)),
     "stream_theil_sen"   -> ((s: SparkSession, d: String) => streaming.TimeseriesStream.streamTheilSen(s, d)),
     "stream_anova"       -> ((s: SparkSession, d: String) => streaming.MomentsStream.streamAnova(s, d)),
@@ -467,6 +481,19 @@ object SparkEntry {
       // additive per-type integer moments (the stream_moments state):
       // the ANOVA decomposition is a pure read over them
       "stream_anova" -> base("anova_f_cents"),
+      // additive (type, cents) support grid faces 3 + 4
+      "stream_kruskal" -> base("kruskal_wallis"),
+      "stream_levene" -> base("levene_brown_forsythe"),
+      // additive (type, day) count grid face 17
+      "stream_friedman" -> base("friedman_daily"),
+      // additive (type, day, Σcents, n) grid faces 3 + 4
+      "stream_page_hinkley" -> base("page_hinkley_daily"),
+      "stream_grubbs" -> base("grubbs_daily"),
+      // additive per-replicate (n_eff, Σw·cents) — the Poisson
+      // bootstrap's whole sampling distribution as a 32-row state
+      "stream_bootstrap" -> base("bootstrap_mean_ci"),
+      // additive d×w counter grid + idempotent item dictionary
+      "stream_cms" -> base("cms_top_items"),
       "stream_seasonal_strength" -> base("seasonal_strength"),
       // additive (user, minute) burst grid; rollup is a pure read
       "stream_bot_screen" -> base("bot_burst_screen"),
@@ -1005,6 +1032,13 @@ object SparkEntry {
     "jarque_bera_daily" -> operators.Timeseries.jarqueBeraDailyOracleSql,
     "theil_sen_trend" -> operators.Timeseries.theilSenTrendOracleSql,
     "anova_f_cents" -> operators.Stats.anovaFCentsOracleSql,
+    "kruskal_wallis" -> operators.Stats.kruskalWallisOracleSql,
+    "levene_brown_forsythe" -> operators.Stats.leveneBrownForsytheOracleSql,
+    "friedman_daily" -> operators.Stats.friedmanDailyOracleSql,
+    "page_hinkley_daily" -> operators.Stats.pageHinkleyDailyOracleSql,
+    "grubbs_daily" -> operators.Stats.grubbsDailyOracleSql,
+    "bootstrap_mean_ci" -> operators.Sampling.bootstrapMeanCiOracleSql(),
+    "cms_top_items" -> operators.Sketches.cmsTopItemsOracleSql,
     "seasonal_strength" -> operators.Stats.seasonalStrengthOracleSql,
     "wilcoxon_signed_rank" -> operators.Stats.wilcoxonSignedRankOracleSql,
     "user_type_entropy" -> operators.Behavior.userTypeEntropyOracleSql,

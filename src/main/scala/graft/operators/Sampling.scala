@@ -569,4 +569,78 @@ object Sampling {
        |      FROM h)
        |SELECT source, CAST(pick AS BIGINT) AS pick, doc_id
        |FROM r WHERE pick <= $k ORDER BY source, pick""".stripMargin
+
+  /** Poisson bootstrap of the mean event value — THE warehouse-scale
+    * bootstrap (Chamandy et al., "Estimating Uncertainty for Massive
+    * Data Streams", Google TR 2012; Kleiner et al.'s BLB is the
+    * other lineage): classical resampling needs B full passes over a
+    * shuffled copy each; the Poisson approximation draws each row's
+    * replicate multiplicity w ~ Poisson(1) INDEPENDENTLY, so all B
+    * replicates compute in ONE scan as a generator fan-out followed
+    * by a map-side-combinable aggregate — no resample materialized,
+    * no shuffle beyond B·|types| partials.
+    *
+    * Determinism (the [[splitHash]] doctrine — no rand()): the
+    * uniform for (row, replicate) is a 31-bit LCG step on
+    * (event_id mod p)·1103515245 + b·12345 + 54321 mod 2³¹ — the
+    * event_id is first reduced mod p = 2³¹−1 so the product stays
+    * far inside a Long at ANY event_id scale — and the Poisson draw
+    * inverts the CDF through a fixed 9-step ladder (P(w>8) < 1.1e-6;
+    * the tail mass is assigned to w=8, a documented truncation both
+    * engines share). Output = B rows (replicate, n_eff,
+    * mean_value): the replicate spread IS the sampling distribution
+    * of the mean; quantiles of 32 rows are the consumer's read. */
+  /** Per-replicate partial sums (b, n_eff, sum_c) from a batch of
+    * events — the ADDITIVE kernel (the weight of a row is a pure
+    * function of (event_id, b), so partials over any batch split sum
+    * to the full-scan result; the streaming twin's state is exactly
+    * these 32 rows). */
+  private[graft] def bootstrapPartial(events: DataFrame, b: Int): DataFrame = {
+    val lcg = "(((event_id % 2147483647) * 1103515245 + b * 12345 + 54321) % 2147483648)"
+    val u = s"CAST($lcg AS DOUBLE) / 2147483648.0"
+    val ladder =
+      s"""CASE WHEN $u < 0.3678794412 THEN 0 WHEN $u < 0.7357588823 THEN 1
+         |     WHEN $u < 0.9196986029 THEN 2 WHEN $u < 0.9810118431 THEN 3
+         |     WHEN $u < 0.9963401532 THEN 4 WHEN $u < 0.9994058152 THEN 5
+         |     WHEN $u < 0.9999167589 THEN 6 WHEN $u < 0.9999897508 THEN 7
+         |     ELSE 8 END""".stripMargin
+    events
+      .select(col("event_id"), expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+      .select(col("event_id"), col("cents"),
+        explode(sequence(lit(1), lit(b))).as("b"))
+      .select(col("b").cast("long").as("b"), expr(ladder).cast("long").as("w"), col("cents"))
+      .groupBy(col("b"))
+      .agg(sum(col("w")).as("n_eff"),
+        sum(col("w") * col("cents")).as("sum_c"))
+  }
+
+  /** The report off the (b, n_eff, sum_c) replicate table. */
+  private[graft] def bootstrapReport(state: DataFrame): DataFrame =
+    state
+      .select(col("b").as("replicate"), col("n_eff"),
+        expr("CASE WHEN n_eff > 0 THEN round(CAST(sum_c AS DOUBLE) / n_eff / 100.0, 6) END")
+          .as("mean_value"))
+      .orderBy(col("replicate"))
+
+  def bootstrapMeanCi(spark: SparkSession, dir: String, b: Int = 32): DataFrame =
+    bootstrapReport(bootstrapPartial(Tables.events(spark, dir), b))
+
+  /** DuckDB oracle for [[bootstrapMeanCi]] — same LCG, same ladder. */
+  def bootstrapMeanCiOracleSql(b: Int = 32): String = {
+    val lcg = "(((event_id % 2147483647) * 1103515245 + t.b * 12345 + 54321) % 2147483648)"
+    val u = s"CAST($lcg AS DOUBLE) / 2147483648.0"
+    s"""WITH fan AS (
+       |  SELECT t.b,
+       |         CASE WHEN $u < 0.3678794412 THEN 0 WHEN $u < 0.7357588823 THEN 1
+       |              WHEN $u < 0.9196986029 THEN 2 WHEN $u < 0.9810118431 THEN 3
+       |              WHEN $u < 0.9963401532 THEN 4 WHEN $u < 0.9994058152 THEN 5
+       |              WHEN $u < 0.9999167589 THEN 6 WHEN $u < 0.9999897508 THEN 7
+       |              ELSE 8 END AS w,
+       |         CAST(round(value * 100) AS BIGINT) AS cents
+       |  FROM events CROSS JOIN range(1, ${b + 1}) t(b))
+       |SELECT CAST(b AS BIGINT) AS replicate, CAST(sum(w) AS BIGINT) AS n_eff,
+       |       CASE WHEN sum(w) > 0 THEN
+       |         round(CAST(sum(w * cents) AS DOUBLE) / sum(w) / 100.0, 6) END AS mean_value
+       |FROM fan GROUP BY 1 ORDER BY 1""".stripMargin
+  }
 }

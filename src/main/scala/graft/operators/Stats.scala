@@ -1506,4 +1506,400 @@ object Stats {
       |       END AS f_stat,
       |       CASE WHEN ssb + ssw > 0 THEN round(ssb / (ssb + ssw), 6) END AS eta_sq
       |FROM f""".stripMargin
+
+  /** Kruskal–Wallis H across event types on the value cents — the
+    * k-group omnibus member of the rank family ([[mannWhitneyU]] is
+    * its two-group pairwise sibling exactly as [[anovaFCents]] sits
+    * over the Welch t's): does event type shift the value
+    * DISTRIBUTION at all, with no normality assumption.
+    *
+    * Exact-rank discipline as in [[mwFromCounts]]: from the (type,
+    * cents) support grid, 2·avgrank(v) = 2·below(v) + tie(v) + 1 is
+    * an exact integer on the pooled support, so 2·R_g is an exact
+    * DECIMAL(38,0); H = [12/(N(N+1))]·Σ R_g²/n_g − 3(N+1) with the
+    * per-group R² term rounded to the 1e-9 grid and summed as
+    * DECIMAL(38,9) (the [[anovaFromMoments]] order-free float
+    * discipline). Tie correction C = 1 − Σ(t³−t)/(N³−N) as exact
+    * DECIMAL(38,0) ratios; ε² = (H−k+1)/(N−k) is the effect size.
+    *
+    * Shape: fact → support grid in one map-side-combinable shuffle
+    * (cents-bounded, never |events|); the pooled-rank window runs
+    * over the tie aggregate (planning-scale, gate-compliant); output
+    * is one row. */
+  private[graft] def kwFromCounts(cnts: DataFrame): DataFrame = {
+    val spark = cnts.sparkSession
+    import spark.implicits._
+    val ties = cnts.groupBy($"cents").agg(sum($"c").as("t"))
+    val w = Window.orderBy($"cents")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ranked = ties.withColumn("below", sum($"t").over(w) - $"t")
+    val perType = cnts.join(ranked, Seq("cents"))
+      .groupBy($"event_type")
+      .agg(sum($"c").as("n"),
+        sum(expr("CAST(c AS DECIMAL(38,0)) * (2 * below + t + 1)")).as("r2"))
+      .select($"n",
+        expr("CAST(round(CAST(r2 AS DOUBLE) * CAST(r2 AS DOUBLE) / (4.0 * n), 9) AS DECIMAL(38,9))")
+          .as("term"))
+      .agg(count(lit(1)).as("k"), sum($"n").as("n_events"), sum($"term").as("sterm"))
+    val tcorr = ties
+      .agg(sum(expr("CAST(t AS DECIMAL(38,0)) * t * t - t")).as("t3"))
+    perType.join(tcorr)
+      .select($"k", $"n_events",
+        expr("""12.0 * CAST(sterm AS DOUBLE) / (CAST(n_events AS DOUBLE) * (n_events + 1))
+               |  - 3.0 * (n_events + 1)""".stripMargin).as("h0"),
+        expr("""1.0 - CAST(t3 AS DOUBLE)
+               |  / (CAST(n_events AS DOUBLE) * n_events * n_events - n_events)""".stripMargin)
+          .as("cc"))
+      .select($"k", $"n_events",
+        expr("CASE WHEN k > 1 AND n_events > k THEN round(h0, 6) END").as("h"),
+        expr("CASE WHEN k > 1 AND n_events > k AND cc > 0 THEN round(h0 / cc, 6) END")
+          .as("h_tie"),
+        expr("""CASE WHEN k > 1 AND n_events > k THEN
+               |  round((h0 - k + 1) / (n_events - k), 6) END""".stripMargin).as("eps_sq"))
+  }
+
+  def kruskalWallisTransform(events: DataFrame): DataFrame =
+    kwFromCounts(events
+      .select(col("event_type"), expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+      .groupBy(col("event_type"), col("cents")).agg(count(lit(1)).as("c")))
+
+  def kruskalWallis(spark: SparkSession, dir: String): DataFrame =
+    kruskalWallisTransform(Tables.events(spark, dir))
+
+  /** DuckDB oracle for [[kruskalWallisTransform]] — identical rank
+    * integers, identical 1e-9 term grid, identical guards. */
+  val kruskalWallisOracleSql: String =
+    """WITH cnt AS (SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents,
+      |                    count(*) AS c
+      |             FROM events GROUP BY 1, 2),
+      |ties AS (SELECT cents, sum(c) AS t FROM cnt GROUP BY 1),
+      |ranked AS (SELECT cents, t,
+      |                  sum(t) OVER (ORDER BY cents ROWS UNBOUNDED PRECEDING) - t AS below
+      |           FROM ties),
+      |per AS (SELECT cnt.event_type, sum(cnt.c) AS n,
+      |               sum(CAST(cnt.c AS HUGEINT) * (2 * ranked.below + ranked.t + 1)) AS r2
+      |        FROM cnt JOIN ranked ON ranked.cents = cnt.cents
+      |        GROUP BY 1),
+      |agg AS (SELECT count(*) AS k, CAST(sum(n) AS BIGINT) AS n_events,
+      |               sum(CAST(round(CAST(r2 AS DOUBLE) * CAST(r2 AS DOUBLE) / (4.0 * n), 9)
+      |                   AS DECIMAL(38,9))) AS sterm
+      |        FROM per),
+      |tc AS (SELECT sum(CAST(t AS HUGEINT) * t * t - t) AS t3 FROM ties),
+      |h AS (SELECT k, n_events,
+      |             12.0 * CAST(sterm AS DOUBLE) / (CAST(n_events AS DOUBLE) * (n_events + 1))
+      |               - 3.0 * (n_events + 1) AS h0,
+      |             1.0 - CAST(t3 AS DOUBLE)
+      |               / (CAST(n_events AS DOUBLE) * n_events * n_events - n_events) AS cc
+      |      FROM agg, tc)
+      |SELECT k, n_events,
+      |       CASE WHEN k > 1 AND n_events > k THEN round(h0, 6) END AS h,
+      |       CASE WHEN k > 1 AND n_events > k AND cc > 0 THEN round(h0 / cc, 6) END AS h_tie,
+      |       CASE WHEN k > 1 AND n_events > k THEN
+      |         round((h0 - k + 1) / (n_events - k), 6) END AS eps_sq
+      |FROM h""".stripMargin
+
+  /** Brown–Forsythe (median-centered Levene) test for variance
+    * homogeneity across event types — the PRECONDITION screen for
+    * [[anovaFCents]] (the F test assumes equal variances; this is
+    * the standard robust check, and it IS a one-way ANOVA on the
+    * absolute median deviations z = |x − med_g|).
+    *
+    * med_g is the LOW-median convention made explicit so both
+    * engines agree with no interpolation ambiguity: the smallest
+    * cents value whose within-type cumulative count reaches
+    * ceil((n+1)/2). z moments are exact integers off the support
+    * grid (Σc·|v−med|, Σc·(v−med)²), and the W statistic reuses
+    * [[anovaFromMoments]] verbatim — shared-code parity with the
+    * ANOVA face. Shape: one shuffle to the cents grid, per-type
+    * median via the grid window, one-row output. */
+  private[graft] def leveneFromCounts(cnts: DataFrame): DataFrame = {
+    val spark = cnts.sparkSession
+    import spark.implicits._
+    val wct = Window.partitionBy($"event_type").orderBy($"cents")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val withCum = cnts
+      .withColumn("cum", sum($"c").over(wct))
+      .withColumn("n", sum($"c").over(Window.partitionBy($"event_type")))
+    val med = withCum.filter(lit(2) * $"cum" >= $"n" + 1)
+      .groupBy($"event_type").agg(min($"cents").as("med"))
+    val zmom = cnts.join(med, Seq("event_type"))
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("support"), sum($"c").as("n"),
+        sum(expr("c * abs(cents - med)")).as("sum_c"),
+        sum(expr("CAST(c AS DECIMAL(38,0)) * (cents - med) * (cents - med)")).as("sumsq_c"))
+      .select($"event_type", $"n", $"sum_c", $"sumsq_c")
+    anovaFromMoments(zmom)
+      .select($"k", $"n_events", $"f_stat".as("w_stat"), $"eta_sq")
+  }
+
+  def leveneBrownForsytheTransform(events: DataFrame): DataFrame =
+    leveneFromCounts(events
+      .select(col("event_type"), expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+      .groupBy(col("event_type"), col("cents")).agg(count(lit(1)).as("c")))
+
+  def leveneBrownForsythe(spark: SparkSession, dir: String): DataFrame =
+    leveneBrownForsytheTransform(Tables.events(spark, dir))
+
+  /** DuckDB oracle for [[leveneBrownForsytheTransform]] — the same
+    * explicit low-median, the same z moments, the same anova body. */
+  val leveneBrownForsytheOracleSql: String =
+    """WITH cnt AS (SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents,
+      |                    count(*) AS c
+      |             FROM events GROUP BY 1, 2),
+      |cum AS (SELECT event_type, cents, c,
+      |               sum(c) OVER (PARTITION BY event_type ORDER BY cents
+      |                            ROWS UNBOUNDED PRECEDING) AS cum,
+      |               sum(c) OVER (PARTITION BY event_type) AS n
+      |        FROM cnt),
+      |med AS (SELECT event_type, min(cents) AS med FROM cum
+      |        WHERE 2 * cum >= n + 1 GROUP BY 1),
+      |m AS (SELECT cnt.event_type, sum(cnt.c) AS n,
+      |             sum(cnt.c * abs(cnt.cents - med.med)) AS sum_c,
+      |             sum(CAST(cnt.c AS HUGEINT) * (cnt.cents - med.med)
+      |                 * (cnt.cents - med.med)) AS sumsq_c
+      |      FROM cnt JOIN med ON med.event_type = cnt.event_type
+      |      GROUP BY 1),
+      |t AS (SELECT event_type, n, sum_c,
+      |             CAST(round(CAST(sum_c AS DOUBLE) * sum_c / n, 9) AS DECIMAL(38,9)) AS tb,
+      |             CAST(round(CAST(sumsq_c AS DOUBLE) - CAST(sum_c AS DOUBLE) * sum_c / n, 9) AS DECIMAL(38,9)) AS tw
+      |      FROM m),
+      |a AS (SELECT count(*) AS k, CAST(sum(n) AS BIGINT) AS n_events,
+      |             CAST(sum(sum_c) AS BIGINT) AS s1,
+      |             sum(tb) AS stb, sum(tw) AS ssw
+      |      FROM t),
+      |f AS (SELECT k, n_events,
+      |             CAST(stb AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n_events AS ssb,
+      |             CAST(ssw AS DOUBLE) AS ssw
+      |      FROM a)
+      |SELECT k, n_events,
+      |       CASE WHEN k > 1 AND n_events > k AND ssw > 0 THEN
+      |         round((ssb / (k - 1)) / (ssw / (n_events - k)), 6)
+      |       END AS w_stat,
+      |       CASE WHEN ssb + ssw > 0 THEN round(ssb / (ssb + ssw), 6) END AS eta_sq
+      |FROM f""".stripMargin
+
+  /** Friedman test over the day × event-type activity grid — "do the
+    * types keep the same activity ORDERING day after day": blocks =
+    * calendar days, treatments = event types, measurement = the
+    * day's event count (zero-filled — a silent type ranks last, it
+    * does not vanish). Within each day the k counts get tie-averaged
+    * ranks (2·r integers via the below/tie construction); the
+    * tie-robust statistic is the Iman–Davenport form χ² = (k−1)·
+    * Σ_j(R_j − n(k+1)/2)² / (A − C) with A = Σr², C = nk(k+1)²/4 —
+    * scaled by 4 throughout so every term is an exact integer until
+    * the single final division. Kendall's W = χ²/(n(k−1)) is the
+    * agreement effect size.
+    *
+    * Shape: fact → (day, type) counts in one shuffle; the zero-fill
+    * is a broadcast cross of two tiny dimension aggregates; ranks
+    * are windows over per-day tie aggregates. Everything after the
+    * first aggregate is grid-scale. */
+  /** Friedman from the (day, event_type, x) daily-count grid — a
+    * face over the same additive state the streaming daily-count
+    * twin keeps. */
+  private[graft] def friedmanFromDailyCounts(obs: DataFrame): DataFrame = {
+    val spark = obs.sparkSession
+    import spark.implicits._
+    val days = obs.select($"day").distinct()
+    val types = obs.select($"event_type").distinct()
+    val grid = days.crossJoin(broadcast(types))
+      .join(obs, Seq("day", "event_type"), "left")
+      .select($"day", $"event_type", coalesce($"x", lit(0L)).as("x"))
+    val ties = grid.groupBy($"day", $"x").agg(count(lit(1)).as("t"))
+    val wd = Window.partitionBy($"day").orderBy($"x")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ranked = ties.withColumn("below", sum($"t").over(wd) - $"t")
+      .select($"day", $"x", (lit(2L) * $"below" + $"t" + 1L).as("ar2"))
+    val withRank = grid.join(ranked, Seq("day", "x"))
+    val perType = withRank.groupBy($"event_type")
+      .agg(sum($"ar2").as("r2"), count(lit(1)).as("n_days"))
+    val a4 = withRank.agg(sum($"ar2" * $"ar2").as("a4"))
+    val dims = perType.agg(count(lit(1)).as("k"), max($"n_days").as("nd"))
+    // χ² = (k−1)·Σ_j(2R_j − n(k+1))² / (4A − 4C): the ×4 scaling
+    // keeps numerator and denominator exact integers (4A = Σ ar2²,
+    // 4C = n·k·(k+1)²) until the one final division
+    val num = perType.join(dims) // 1-row build side
+      .select((($"r2" - $"nd" * ($"k" + 1L))
+        * ($"r2" - $"nd" * ($"k" + 1L))).as("d2"), $"k", $"nd")
+      .groupBy($"k", $"nd").agg(sum($"d2").as("num4"))
+      .select($"k", $"nd".as("n_days"), $"num4")
+    num.join(a4) // 1-row build side
+      .select($"n_days", $"k",
+        ($"a4" - $"n_days" * $"k" * ($"k" + 1L) * ($"k" + 1L)).as("den4"), $"num4")
+      .select($"n_days", $"k",
+        expr("""CASE WHEN k > 1 AND den4 > 0 THEN
+               |  round((k - 1) * CAST(num4 AS DOUBLE) / den4, 6) END""".stripMargin)
+          .as("chi2_f"),
+        expr("""CASE WHEN k > 1 AND den4 > 0 THEN
+               |  round((k - 1) * CAST(num4 AS DOUBLE) / den4 / (n_days * (k - 1)), 6)
+               |END""".stripMargin).as("kendalls_w"))
+  }
+
+  /** DuckDB oracle for [[friedmanDailyTransform]] — identical grid,
+    * identical ×4 integer scaling. */
+  val friedmanDailyOracleSql: String =
+    """WITH obs AS (SELECT date_trunc('day', ts) AS day, event_type, count(*) AS x
+      |             FROM events GROUP BY 1, 2),
+      |grid AS (SELECT d.day, t.event_type, coalesce(obs.x, 0) AS x
+      |         FROM (SELECT DISTINCT day FROM obs) d
+      |         CROSS JOIN (SELECT DISTINCT event_type FROM obs) t
+      |         LEFT JOIN obs ON obs.day = d.day AND obs.event_type = t.event_type),
+      |ties AS (SELECT day, x, count(*) AS t FROM grid GROUP BY 1, 2),
+      |ranked AS (SELECT day, x,
+      |                  2 * (sum(t) OVER (PARTITION BY day ORDER BY x
+      |                                    ROWS UNBOUNDED PRECEDING) - t) + t + 1 AS ar2
+      |           FROM ties),
+      |wr AS (SELECT grid.day, grid.event_type, ranked.ar2
+      |       FROM grid JOIN ranked ON ranked.day = grid.day AND ranked.x = grid.x),
+      |per AS (SELECT event_type, sum(ar2) AS r2, count(*) AS n_days FROM wr GROUP BY 1),
+      |a4 AS (SELECT sum(ar2 * ar2) AS a4 FROM wr),
+      |dims AS (SELECT count(*) AS k, max(n_days) AS n_days FROM per),
+      |num AS (SELECT dims.k, dims.n_days,
+      |               sum((per.r2 - per.n_days * (dims.k + 1))
+      |                   * (per.r2 - per.n_days * (dims.k + 1))) AS num4
+      |        FROM per, dims GROUP BY 1, 2)
+      |SELECT CAST(num.n_days AS BIGINT) AS n_days, CAST(num.k AS BIGINT) AS k,
+      |       CASE WHEN num.k > 1 AND a4.a4 - num.n_days * num.k * (num.k + 1) * (num.k + 1) > 0 THEN
+      |         round((num.k - 1) * CAST(num.num4 AS DOUBLE)
+      |               / (a4.a4 - num.n_days * num.k * (num.k + 1) * (num.k + 1)), 6) END AS chi2_f,
+      |       CASE WHEN num.k > 1 AND a4.a4 - num.n_days * num.k * (num.k + 1) * (num.k + 1) > 0 THEN
+      |         round((num.k - 1) * CAST(num.num4 AS DOUBLE)
+      |               / (a4.a4 - num.n_days * num.k * (num.k + 1) * (num.k + 1))
+      |               / (num.n_days * (num.k - 1)), 6) END AS kendalls_w
+      |FROM num, a4""".stripMargin
+
+  def friedmanDailyTransform(events: DataFrame): DataFrame =
+    friedmanFromDailyCounts(events
+      .select(date_trunc("day", col("ts")).as("day"), col("event_type"))
+      .groupBy(col("day"), col("event_type")).agg(count(lit(1)).as("x")))
+
+  def friedmanDaily(spark: SparkSession, dir: String): DataFrame =
+    friedmanDailyTransform(Tables.events(spark, dir))
+
+  /** Page–Hinkley drift statistic over each type's daily-mean value
+    * series — the SEQUENTIAL changepoint monitor next to
+    * [[Timeseries]]' retrospective CUSUM face: PH_t = m_t − min_{i≤t}
+    * m_i with m_t = Σ_{i≤t}(x_i − x̄_i), x̄_i the running mean at i.
+    * A sustained upward mean shift makes PH grow linearly after the
+    * change; the alarm threshold λ is the consumer's (the statistic
+    * is reported per day, not thresholded here).
+    *
+    * Float discipline: the series is |days| rows per type (grid-
+    * scale after one fact shuffle); the running mean / cumulative
+    * sum / cumulative min all run in day order inside per-type
+    * windows, so both engines execute the identical IEEE op
+    * sequence and round once at 1e-6. */
+  /** The PH derivation from an already-aggregated (event_type, day,
+    * cents, n) grid — split out so the STREAMING twin reads it over
+    * [[graft.streaming.DailyTypeCentsState]]'s additive state (the
+    * running-mean recursion is NOT mergeable across out-of-order
+    * batches; the daily (Σcents, n) grid is). */
+  private[graft] def pageHinkleyFromDaily(daily0: DataFrame): DataFrame = {
+    val spark = daily0.sparkSession
+    import spark.implicits._
+    val daily = daily0.select($"event_type", $"day",
+      (expr("CAST(cents AS DOUBLE)") / $"n").as("x"))
+    val w = Window.partitionBy($"event_type").orderBy($"day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val dev = daily.withColumn("d", $"x" - avg($"x").over(w))
+    val m = dev.withColumn("m", sum($"d").over(w))
+    m.withColumn("ph", round($"m" - min($"m").over(w), 6))
+      .select($"event_type", $"day", $"ph")
+      .orderBy($"event_type", $"day")
+  }
+
+  def pageHinkleyDailyTransform(events: DataFrame): DataFrame =
+    pageHinkleyFromDaily(events
+      .select(col("event_type"), date_trunc("day", col("ts")).as("day"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("c"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(sum(col("c")).as("cents"), count(lit(1)).as("n")))
+
+  def pageHinkleyDaily(spark: SparkSession, dir: String): DataFrame =
+    pageHinkleyDailyTransform(Tables.events(spark, dir))
+
+  /** DuckDB oracle for [[pageHinkleyDailyTransform]]. */
+  val pageHinkleyDailyOracleSql: String =
+    """WITH daily AS (SELECT event_type, date_trunc('day', ts) AS day,
+      |                      CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE)
+      |                        / count(*) AS x
+      |               FROM events GROUP BY 1, 2),
+      |dev AS (SELECT event_type, day, x,
+      |               x - avg(x) OVER (PARTITION BY event_type ORDER BY day
+      |                                ROWS UNBOUNDED PRECEDING) AS d
+      |        FROM daily),
+      |m AS (SELECT event_type, day,
+      |             sum(d) OVER (PARTITION BY event_type ORDER BY day
+      |                          ROWS UNBOUNDED PRECEDING) AS m
+      |      FROM dev)
+      |SELECT event_type, CAST(day AS TIMESTAMP) AS day,
+      |       round(m - min(m) OVER (PARTITION BY event_type ORDER BY day
+      |                              ROWS UNBOUNDED PRECEDING), 6) AS ph
+      |FROM m ORDER BY 1, 2""".stripMargin
+
+  /** Grubbs outlier statistic per type over the daily revenue-cents
+    * sums — "is the most extreme day a statistical outlier": G =
+    * max|x_d − x̄| / s. The argmax is EXACT integer arithmetic
+    * (maximize |n·x_d − S1|, all Longs; ties broken by earliest
+    * day), so the reported day is order-independent; only G itself
+    * is a float, computed once from exact moments and rounded.
+    *
+    * Shape: fact → (type, day) sums in one shuffle; per-type moments
+    * and the max are grid-scale aggregates. */
+  /** Grubbs from the (event_type, day, cents) daily grid — the
+    * THIRD face of [[graft.streaming.DailyTypeCentsState]] (EWMA and
+    * Holt are the smoother faces; this is the outlier screen over
+    * the same additive sums). */
+  private[graft] def grubbsFromDaily(daily0: DataFrame): DataFrame = {
+    val spark = daily0.sparkSession
+    import spark.implicits._
+    val daily = daily0.select($"event_type", $"day", $"cents".as("x"))
+    val mom = daily.groupBy($"event_type")
+      .agg(count(lit(1)).as("n"), sum($"x").as("s1"),
+        sum(expr("CAST(x AS DECIMAL(38,0)) * x")).as("s2"))
+    val star = daily.join(mom, Seq("event_type"))
+      .select($"event_type", $"day", $"x", $"n", $"s1", $"s2",
+        abs($"n" * $"x" - $"s1").as("adev"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy($"event_type").orderBy($"adev".desc, $"day")))
+      .filter($"rn" === 1)
+    star.select($"event_type", $"n".as("n_days"), $"day".as("day_star"),
+        $"x".as("cents_star"),
+        expr("""CASE WHEN n > 2 AND CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n > 0 THEN
+               |  round((CAST(adev AS DOUBLE) / n)
+               |        / sqrt((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n) / (n - 1)), 6)
+               |END""".stripMargin).as("g"))
+      .orderBy($"event_type")
+  }
+
+  def grubbsDailyTransform(events: DataFrame): DataFrame =
+    grubbsFromDaily(events
+      .select(col("event_type"), date_trunc("day", col("ts")).as("day"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("c"))
+      .groupBy(col("event_type"), col("day")).agg(sum(col("c")).as("cents")))
+
+  def grubbsDaily(spark: SparkSession, dir: String): DataFrame =
+    grubbsDailyTransform(Tables.events(spark, dir))
+
+  /** DuckDB oracle for [[grubbsDailyTransform]]. */
+  val grubbsDailyOracleSql: String =
+    """WITH daily AS (SELECT event_type, date_trunc('day', ts) AS day,
+      |                      sum(CAST(round(value * 100) AS BIGINT)) AS x
+      |               FROM events GROUP BY 1, 2),
+      |mom AS (SELECT event_type, count(*) AS n, sum(x) AS s1,
+      |               sum(CAST(x AS HUGEINT) * x) AS s2
+      |        FROM daily GROUP BY 1),
+      |star AS (SELECT daily.event_type, daily.day, daily.x, mom.n, mom.s1, mom.s2,
+      |                abs(mom.n * daily.x - mom.s1) AS adev,
+      |                row_number() OVER (PARTITION BY daily.event_type
+      |                                   ORDER BY abs(mom.n * daily.x - mom.s1) DESC,
+      |                                            daily.day) AS rn
+      |         FROM daily JOIN mom ON mom.event_type = daily.event_type)
+      |SELECT event_type, CAST(n AS BIGINT) AS n_days, CAST(day AS TIMESTAMP) AS day_star,
+      |       CAST(x AS BIGINT) AS cents_star,
+      |       CASE WHEN n > 2 AND CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n > 0 THEN
+      |         round((CAST(adev AS DOUBLE) / n)
+      |               / sqrt((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n) / (n - 1)), 6)
+      |       END AS g
+      |FROM star WHERE rn = 1 ORDER BY 1""".stripMargin
 }

@@ -61,4 +61,65 @@ object HllStream {
     StreamSources.runForeachBatch(StreamSources.events(spark, dir), state.merge)
     state.estimates(spark)
   }
+
+  /** Queries entry (oracle: same SQL as `cms_top_items`): the CMS
+    * counter grid is plain Long addition, so the sketch a stream
+    * maintains equals the sketch a batch build produces — the
+    * deterministic-hash design makes that an exact equality, checked
+    * by the shared DuckDB oracle. */
+  def streamCms(spark: SparkSession, dir: String): DataFrame = {
+    val work = graft.GraftCaches.trackTempDir("graft_scms_")
+    val state = new CmsState(s"$work/state")
+    StreamSources.runForeachBatch(StreamSources.events(spark, dir), state.merge)
+    state.topItems(spark)
+  }
+}
+
+/** Streaming Count–Min state — [[graft.operators.Sketches]]' twin:
+  * the d×w counter grid is additive (Long sums), so the per-batch
+  * merge is a grid union + re-sum and batch boundaries are invisible
+  * in the estimates; the candidate dictionary (the sketch answers
+  * point queries, it cannot enumerate keys) is the idempotent
+  * distinct-item presence set, vocab-like and hash-sharded on write.
+  * Versioned-parquet + replay-guard discipline ([[CdcCompact]]).
+  *
+  * This pair is exactly what a production streaming counter keeps:
+  * bounded sketch for the heavy tail, a key dictionary for the
+  * queryable head. */
+final class CmsState(stateDir: String) {
+  @volatile private var version: Long = StreamUtil.latestVersion(stateDir)
+
+  private def priorCounters(spark: SparkSession): DataFrame =
+    if (version < 0)
+      spark.createDataFrame(java.util.List.of[Row](), StructType.fromDDL(
+        "j BIGINT, bucket BIGINT, c BIGINT"))
+    else spark.read.parquet(s"$stateDir/v$version/counters")
+
+  private def priorItems(spark: SparkSession): DataFrame =
+    if (version < 0)
+      spark.createDataFrame(java.util.List.of[Row](),
+        StructType.fromDDL("item BIGINT"))
+    else spark.read.parquet(s"$stateDir/v$version/items")
+
+  def merge(batch: Dataset[Row], batchId: Long): Unit = {
+    if (batchId <= version) return
+    val spark = batch.sparkSession
+    val items = batch
+      .select(get_json_object(col("props"), "$.k").cast("long").as("item"))
+    val partial = graft.operators.Sketches.cmsCountersTransform(items)
+    val counters = priorCounters(spark).unionByName(partial)
+      .groupBy(col("j"), col("bucket")).agg(sum(col("c")).as("c"))
+    val dict = priorItems(spark)
+      .unionByName(items.filter(col("item").isNotNull).distinct())
+      .distinct()
+    StreamUtil.writeGrid(counters, s"$stateDir/v$batchId/counters")
+    StreamUtil.writeSharded(dict, s"$stateDir/v$batchId/items", Seq("item"))
+    val prev = version
+    version = batchId
+    if (prev >= 0) StreamUtil.delete(spark, s"$stateDir/v$prev")
+  }
+
+  def topItems(spark: SparkSession): DataFrame =
+    graft.operators.Sketches.cmsTopFromState(
+      priorCounters(spark), priorItems(spark))
 }

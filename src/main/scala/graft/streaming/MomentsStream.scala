@@ -359,7 +359,7 @@ final class DailyTypeCentsState(stateDir: String) {
   private def prior(spark: SparkSession): DataFrame =
     if (version < 0)
       spark.createDataFrame(java.util.List.of[Row](), StructType.fromDDL(
-        "event_type STRING, day TIMESTAMP, cents BIGINT"))
+        "event_type STRING, day TIMESTAMP, cents BIGINT, n BIGINT"))
     else spark.read.parquet(s"$stateDir/v$version")
 
   def merge(batch: Dataset[Row], batchId: Long): Unit = {
@@ -369,10 +369,10 @@ final class DailyTypeCentsState(stateDir: String) {
       .select(col("event_type"), date_trunc("day", col("ts")).as("day"),
         expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
       .groupBy(col("event_type"), col("day"))
-      .agg(sum(col("cents")).as("cents"))
+      .agg(sum(col("cents")).as("cents"), count(lit(1)).as("n"))
     val merged = prior(spark).unionByName(partial)
       .groupBy(col("event_type"), col("day"))
-      .agg(sum(col("cents")).as("cents"))
+      .agg(sum(col("cents")).as("cents"), sum(col("n")).as("n"))
     StreamUtil.writeGrid(merged, s"$stateDir/v$batchId")
     val prev = version
     version = batchId
@@ -386,6 +386,18 @@ final class DailyTypeCentsState(stateDir: String) {
     * one state, two smoother faces. */
   def holt(spark: SparkSession): DataFrame =
     graft.operators.Timeseries.holtFromDaily(prior(spark))
+
+  /** Third face: the Grubbs daily-outlier screen over the same
+    * additive sums. */
+  def grubbs(spark: SparkSession): DataFrame =
+    graft.operators.Stats.grubbsFromDaily(prior(spark))
+
+  /** Fourth face: the Page–Hinkley drift monitor — the (Σcents, n)
+    * grid added round 9 carries the daily means the running-mean
+    * recursion needs (the recursion itself cannot merge across
+    * out-of-order batches; the grid can). */
+  def pageHinkley(spark: SparkSession): DataFrame =
+    graft.operators.Stats.pageHinkleyFromDaily(prior(spark))
 }
 
 object EwmaStream {
@@ -406,6 +418,24 @@ object EwmaStream {
     val state = new DailyTypeCentsState(s"$work/state")
     StreamSources.runForeachBatch(StreamSources.events(spark, dir), state.merge)
     state.holt(spark)
+  }
+
+  /** Queries entry (oracle: same SQL as `grubbs_daily`): the SAME
+    * daily-cents state, third face. */
+  def streamGrubbs(spark: SparkSession, dir: String): DataFrame = {
+    val work = graft.GraftCaches.trackTempDir("graft_sgrub_")
+    val state = new DailyTypeCentsState(s"$work/state")
+    StreamSources.runForeachBatch(StreamSources.events(spark, dir), state.merge)
+    state.grubbs(spark)
+  }
+
+  /** Queries entry (oracle: same SQL as `page_hinkley_daily`): the
+    * SAME daily-cents state, fourth face. */
+  def streamPageHinkley(spark: SparkSession, dir: String): DataFrame = {
+    val work = graft.GraftCaches.trackTempDir("graft_sph_")
+    val state = new DailyTypeCentsState(s"$work/state")
+    StreamSources.runForeachBatch(StreamSources.events(spark, dir), state.merge)
+    state.pageHinkley(spark)
   }
 }
 
@@ -730,5 +760,53 @@ object SeasonalityStream {
     val state = new SeasonalityCellState(s"$work/state")
     StreamSources.runForeachBatch(StreamSources.events(spark, dir), state.merge)
     state.profile(spark)
+  }
+}
+
+/** Streaming Poisson-bootstrap state —
+  * [[graft.operators.Sampling.bootstrapMeanCi]]'s twin: each row's
+  * replicate weight is a pure function of (event_id, replicate), so
+  * the per-replicate (n_eff, Σw·cents) partials are ADDITIVE across
+  * micro-batches — the whole sampling distribution of the mean rides
+  * in a 32-row grid state, updated with one map-side-combinable
+  * aggregate per batch. This is the streaming shape of the
+  * uncertainty pipes in Chamandy et al. 2012: the estimator's
+  * resamples advance with the stream, no buffering, no replay.
+  * Versioned-parquet + replay-guard discipline ([[ValueCountState]]).
+  */
+final class BootstrapState(stateDir: String, b: Int = 32) {
+  @volatile private var version: Long = StreamUtil.latestVersion(stateDir)
+
+  private def prior(spark: SparkSession): DataFrame =
+    if (version < 0)
+      spark.createDataFrame(java.util.List.of[Row](), StructType.fromDDL(
+        "b BIGINT, n_eff BIGINT, sum_c BIGINT"))
+    else spark.read.parquet(s"$stateDir/v$version")
+
+  def merge(batch: Dataset[Row], batchId: Long): Unit = {
+    if (batchId <= version) return
+    val spark = batch.sparkSession
+    val partial = graft.operators.Sampling.bootstrapPartial(batch.toDF(), b)
+    val merged = prior(spark).unionByName(partial)
+      .groupBy(col("b"))
+      .agg(sum(col("n_eff")).as("n_eff"), sum(col("sum_c")).as("sum_c"))
+    StreamUtil.writeGrid(merged, s"$stateDir/v$batchId")
+    val prev = version
+    version = batchId
+    if (prev >= 0) StreamUtil.delete(spark, s"$stateDir/v$prev")
+  }
+
+  def report(spark: SparkSession): DataFrame =
+    graft.operators.Sampling.bootstrapReport(prior(spark))
+}
+
+object BootstrapStream {
+
+  /** Queries entry (oracle: same SQL as `bootstrap_mean_ci`). */
+  def streamBootstrap(spark: SparkSession, dir: String): DataFrame = {
+    val work = graft.GraftCaches.trackTempDir("graft_sboot_")
+    val state = new BootstrapState(s"$work/state")
+    StreamSources.runForeachBatch(StreamSources.events(spark, dir), state.merge)
+    state.report(spark)
   }
 }

@@ -428,6 +428,16 @@ final class TypeCentsState(stateDir: String) {
   def reportBenford(spark: SparkSession): DataFrame =
     graft.operators.Stats.benfordFromCents(
       prior(spark).groupBy(col("cents")).agg(sum(col("c")).as("c")))
+
+  /** Third face: the k-group Kruskal–Wallis omnibus — pooled ranks
+    * are a whole-support read over the same additive grid. */
+  def reportKruskal(spark: SparkSession): DataFrame =
+    graft.operators.Stats.kwFromCounts(prior(spark))
+
+  /** Fourth face: the Brown–Forsythe variance-homogeneity screen —
+    * per-type medians and z-moments read off the same grid. */
+  def reportLevene(spark: SparkSession): DataFrame =
+    graft.operators.Stats.leveneFromCounts(prior(spark))
 }
 
 object ProfileStreams {
@@ -463,6 +473,24 @@ object ProfileStreams {
     val state = new TypeCentsState(s"$work/state")
     StreamSources.runForeachBatch(StreamSources.events(spark, dir), state.merge)
     state.reportBenford(spark)
+  }
+
+  /** Queries entry (oracle: same SQL as `kruskal_wallis`): the SAME
+    * cents-support state, third face. */
+  def streamKruskal(spark: SparkSession, dir: String): DataFrame = {
+    val work = graft.GraftCaches.trackTempDir("graft_skw_")
+    val state = new TypeCentsState(s"$work/state")
+    StreamSources.runForeachBatch(StreamSources.events(spark, dir), state.merge)
+    state.reportKruskal(spark)
+  }
+
+  /** Queries entry (oracle: same SQL as `levene_brown_forsythe`):
+    * the SAME cents-support state, fourth face. */
+  def streamLevene(spark: SparkSession, dir: String): DataFrame = {
+    val work = graft.GraftCaches.trackTempDir("graft_slev_")
+    val state = new TypeCentsState(s"$work/state")
+    StreamSources.runForeachBatch(StreamSources.events(spark, dir), state.merge)
+    state.reportLevene(spark)
   }
 
   /** Queries entry (oracle: same SQL as `cramers_v_source_lang`):

@@ -144,6 +144,13 @@ final class TypeDailyCountState(stateDir: String) {
     * whole-correlogram read, the counts merge. */
   def reportPacf(spark: SparkSession): DataFrame =
     graft.operators.Timeseries.pacfFromDaily(prior(spark))
+
+  /** SEVENTEENTH face: the Friedman repeated-measures test — does
+    * the type activity ORDERING hold day after day; within-day ranks
+    * are a whole-grid read, the counts stay additive. */
+  def reportFriedman(spark: SparkSession): DataFrame =
+    graft.operators.Stats.friedmanFromDailyCounts(
+      prior(spark).select(col("day"), col("event_type"), col("x")))
 }
 
 /** Additive (item, day, n) engagement grid for the adoption profile —
@@ -517,6 +524,18 @@ object TimeseriesStream {
       StreamSources.eventsFrom(spark, s"$work/input", maxFilesPerTrigger = 1),
       state.merge)
     state.reportCcf(spark)
+  }
+
+  /** Queries entry (oracle: same SQL as `friedman_daily`): the SAME
+    * (type, day) count state, seventeenth face. */
+  def streamFriedman(spark: SparkSession, dir: String, nFiles: Int = 4): DataFrame = {
+    val work = graft.GraftCaches.trackTempDir("graft_sfried_")
+    FunnelStream.stageTimeOrdered(spark, dir, s"$work/input", nFiles)
+    val state = new TypeDailyCountState(s"$work/state")
+    StreamSources.runForeachBatch(
+      StreamSources.eventsFrom(spark, s"$work/input", maxFilesPerTrigger = 1),
+      state.merge)
+    state.reportFriedman(spark)
   }
 
   /** Queries entry (oracle: same SQL as `pacf_daily`): the SAME

@@ -707,4 +707,123 @@ class StatsSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
       }
     }
   }
+
+  test("kruskal_wallis: hand-computed H on separated groups, exact ranks") {
+    import spark.implicits._
+    // A: cents {1, 2}; B: cents {3, 4} — pooled ranks 1..4, R_A = 3,
+    // R_B = 7; H = 12/(4·5)·(9/2 + 49/2) − 3·5 = 2.4; no ties → C = 1
+    val events = Seq(("A", 0.01), ("A", 0.02), ("B", 0.03), ("B", 0.04))
+      .toDF("event_type", "value")
+    val r = operators.Stats.kruskalWallisTransform(events).collect()
+    assert(r.length == 1)
+    assert(r(0).getAs[Long]("n_events") == 4L)
+    assert(r(0).getAs[Double]("h") == 2.4)
+    assert(r(0).getAs[Double]("h_tie") == 2.4)
+  }
+
+  test("kruskal_wallis: all-tied values give H = 0 through the tie path") {
+    import spark.implicits._
+    val events = Seq(("A", 0.05), ("A", 0.05), ("B", 0.05), ("B", 0.05))
+      .toDF("event_type", "value")
+    val r = operators.Stats.kruskalWallisTransform(events).collect()
+    // every value ties: H = 0 and the correction denominator C = 0 →
+    // h_tie must be null, not an Inf/NaN
+    assert(r(0).getAs[Double]("h") == 0.0)
+    assert(r(0).isNullAt(r(0).fieldIndex("h_tie")))
+  }
+
+  test("levene_brown_forsythe: identical |dev-from-median| profiles give W = 0") {
+    import spark.implicits._
+    // A: {1, 5} low-median 5 → z = {4, 0}; B: {2, 6} low-median 6 →
+    // z = {4, 0}: same z distribution in both groups → W = 0
+    val events = Seq(("A", 0.01), ("A", 0.05), ("B", 0.02), ("B", 0.06))
+      .toDF("event_type", "value")
+    val r = operators.Stats.leveneBrownForsytheTransform(events).collect()
+    assert(r.length == 1)
+    assert(r(0).getAs[Double]("w_stat") == 0.0)
+  }
+
+  test("friedman_daily: perfectly consistent daily ordering gives W = 1") {
+    import spark.implicits._
+    // 3 days, 2 types, A above B every day: per-day ranks fixed →
+    // num4 = (12−9)² + (6−9)² = 18, 4A − 4C = 60 − 54 = 6,
+    // χ² = 1·18/6 = 3, W = 3/(3·1) = 1
+    val rows =
+      (1 to 5).map(i => (ts(0), "A")) ++ Seq((ts(0), "B")) ++
+      (1 to 4).map(i => (ts(1), "A")) ++ Seq((ts(1), "B"), (ts(1), "B")) ++
+      (1 to 3).map(i => (ts(2), "A")) ++ Seq((ts(2), "B"))
+    val events = rows.toDF("ts", "event_type")
+    val r = operators.Stats.friedmanDailyTransform(events).collect()
+    assert(r.length == 1)
+    assert(r(0).getAs[Long]("n_days") == 3L)
+    assert(r(0).getAs[Long]("k") == 2L)
+    assert(r(0).getAs[Double]("chi2_f") == 3.0)
+    assert(r(0).getAs[Double]("kendalls_w") == 1.0)
+  }
+
+  test("page_hinkley_daily: a level jump shows as PH mass on the jump day") {
+    import spark.implicits._
+    // daily means 100,100,100,1100 cents: running means 100,100,100,350;
+    // deviations 0,0,0,750 → m = 0,0,0,750, min m = 0 → PH = 750 on day 4
+    val events = Seq((ts(0), "v", 1.0), (ts(1), "v", 1.0),
+      (ts(2), "v", 1.0), (ts(3), "v", 11.0)).toDF("ts", "event_type", "value")
+    val r = operators.Stats.pageHinkleyDailyTransform(events).collect()
+      .map(x => (x.getTimestamp(1).toString.take(10), x.getDouble(2))).toSeq
+    assert(r == Seq(("2024-01-01", 0.0), ("2024-01-02", 0.0),
+      ("2024-01-03", 0.0), ("2024-01-04", 750.0)))
+  }
+
+  test("grubbs_daily: hand-computed G with the exact integer argmax") {
+    import spark.implicits._
+    // daily sums 100,100,100,1100: mean 350, s = 500, max dev 750 →
+    // G = 1.5 on the spike day
+    val events = Seq((ts(0), "v", 1.0), (ts(1), "v", 1.0),
+      (ts(2), "v", 1.0), (ts(3), "v", 11.0)).toDF("ts", "event_type", "value")
+    val r = operators.Stats.grubbsDailyTransform(events).collect()
+    assert(r.length == 1)
+    assert(r(0).getAs[Long]("n_days") == 4L)
+    assert(r(0).getTimestamp(2).toString.take(10) == "2024-01-04")
+    assert(r(0).getAs[Long]("cents_star") == 1100L)
+    assert(r(0).getAs[Double]("g") == 1.5)
+  }
+
+  test("bootstrap_mean_ci: deterministic replicates, Poisson mass near 1 per row") {
+    import spark.implicits._
+    val events = (1L to 400L).map(i => (i, 0.5 + (i % 7) * 0.01))
+      .toDF("event_id", "value")
+    val a = operators.Sampling.bootstrapReport(
+      operators.Sampling.bootstrapPartial(events, 32)).collect()
+    val b = operators.Sampling.bootstrapReport(
+      operators.Sampling.bootstrapPartial(events, 32)).collect()
+    assert(a.length == 32)
+    assert(a.map(_.toString).toSeq == b.map(_.toString).toSeq, "must be deterministic")
+    // each replicate draws Poisson(1) weights over 400 rows: n_eff
+    // concentrates near 400 (s.d. 20) — a loose 5σ envelope
+    a.foreach { r =>
+      val n = r.getAs[Long]("n_eff")
+      assert(n > 300 && n < 500, s"replicate ${r.getLong(0)} n_eff=$n")
+    }
+  }
+
+  test("cms_top_items: estimate is never below truth and collision-free here") {
+    import spark.implicits._
+    // 3 hot items (120/80/60 of 300) + 40 singleton ids: d=4 × w=512
+    // rows make a collision across ALL 4 rows for a 43-key domain
+    // essentially impossible, so the min-estimate equals the truth;
+    // the one-sided bound est ≥ exact is the CMS guarantee itself
+    val ids = Seq.fill(120)(7L) ++ Seq.fill(80)(13L) ++ Seq.fill(60)(29L) ++
+      (1000L until 1040L)
+    val events = ids.zipWithIndex
+      .map { case (k, i) => (i.toLong, s"""{"k": $k}""") }
+      .toDF("event_id", "props")
+    val items = events.select(
+      org.apache.spark.sql.functions.get_json_object(
+        org.apache.spark.sql.functions.col("props"), "$.k").cast("long").as("item"))
+    val out = operators.Sketches.cmsTopFromState(
+      operators.Sketches.cmsCountersTransform(items), items).collect()
+    val got = out.map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got == Map(7L -> 120L, 13L -> 80L, 29L -> 60L),
+      s"heavy hitters with exact-equal estimates, got $got")
+    assert(out.forall(_.getAs[Long]("n_total") == 300L))
+  }
 }

@@ -1014,4 +1014,59 @@ class StreamingSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
     assert(first.getString(1).contains(""""event_type""""))
     assert(recs.count() == events.count())
   }
+
+  test("bootstrap state: additive replicates across batch splits, replay guard, resume") {
+    import org.apache.spark.sql.functions.col
+    import graft.streaming.BootstrapState
+    import spark.implicits._
+    val work = GraftCaches.trackTempDir("graft_bootspec_")
+    def batch(rows: (Long, Double)*) = rows.toSeq.toDF("event_id", "value")
+    def report(s: BootstrapState) = s.report(spark).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val full = Seq((1L, 0.5), (2L, 0.7), (3L, 0.9), (4L, 1.1))
+    // one-shot reference over the whole input
+    val oneShot = operators.Sampling.bootstrapReport(
+      operators.Sampling.bootstrapPartial(full.toDF("event_id", "value"), 32))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+
+    val state = new BootstrapState(s"$work/state")
+    state.merge(batch(full.take(2): _*), 0)
+    state.merge(batch(full.drop(2): _*), 1)
+    assert(report(state) == oneShot, "split replay must equal the one-shot build")
+    // replayed batch is a no-op
+    state.merge(batch(full.take(2): _*), 0)
+    assert(report(state) == oneShot)
+    // crash: a fresh instance recovers the committed version
+    val resumed = new BootstrapState(s"$work/state")
+    resumed.merge(batch(full.take(2): _*), 1)
+    assert(report(resumed) == oneShot)
+  }
+
+  test("cms state: sketch additivity across batches, replay guard, resume") {
+    import graft.streaming.CmsState
+    import spark.implicits._
+    val work = GraftCaches.trackTempDir("graft_cmsspec_")
+    def batch(ids: Long*) = ids.zipWithIndex
+      .map { case (k, i) => (i.toLong, s"""{"k": $k}""") }
+      .toDF("event_id", "props")
+    def top(s: CmsState) = s.topItems(spark).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+
+    val state = new CmsState(s"$work/state")
+    // 6×7 + 4×13 in two splits; total 10 → threshold est ≥ 0.05·... →
+    // 200·est ≥ 10 admits everything with est ≥ 1, so both keys report
+    state.merge(batch(7L, 7L, 7L, 13L, 13L), 0)
+    state.merge(batch(7L, 7L, 7L, 13L, 13L), 1)
+    assert(top(state) == Seq((7L, 6L), (13L, 4L)),
+      "streamed sketch must equal the exact counts on a collision-free domain")
+    // replay is a no-op
+    state.merge(batch(7L, 7L, 7L, 13L, 13L), 1)
+    assert(top(state) == Seq((7L, 6L), (13L, 4L)))
+    // crash-resume: fresh instance, old batch skipped, new batch applies
+    val resumed = new CmsState(s"$work/state")
+    resumed.merge(batch(7L, 7L, 7L, 13L, 13L), 0)
+    assert(top(resumed) == Seq((7L, 6L), (13L, 4L)))
+    resumed.merge(batch(29L, 29L), 2)
+    assert(top(resumed) == Seq((7L, 6L), (13L, 4L), (29L, 2L)))
+  }
 }
