@@ -205,6 +205,10 @@ object SparkEntry {
     "hits_scores"        -> Graph.hitsScores _,
     "communities_lpa"    -> Graph.communitiesLpa _,
     "degree_histogram"   -> Graph.degreeHistogram _,
+    "degree_assortativity" -> Graph.degreeAssortativity _,
+    "stream_assortativity" -> ((s: SparkSession, d: String) => streaming.GraphStream.streamAssortativity(s, d)),
+    "nb_lang_classifier" -> CorpusQa.nbLangClassifier _,
+    "pivot_type_dow"     -> Olap.pivotTypeDow _,
     "k_core"             -> Graph.kCoreItems _,
     "link_prediction"    -> Graph.linkPrediction _,
     "changepoint_cusum"  -> Behavior.changepointCusum _,
@@ -504,6 +508,7 @@ object SparkEntry {
       // counts, edge cut, centrality rounds) is a pure read over it
       "stream_pagerank" -> base("pagerank_items"),
       "stream_katz" -> base("katz_centrality"),
+      "stream_assortativity" -> base("degree_assortativity"),
       // additive per-source readability sums
       "stream_flesch" -> base("flesch_reading_ease"),
       "stream_wilcoxon" -> base("wilcoxon_signed_rank"),
@@ -965,6 +970,9 @@ object SparkEntry {
     "triangle_count" -> operators.Graph.triangleOracleSql(),
     "communities_lpa" -> operators.Graph.lpaOracleSql(),
     "degree_histogram" -> operators.Graph.degreeHistogramOracleSql,
+    "degree_assortativity" -> operators.Graph.degreeAssortativityOracleSql,
+    "nb_lang_classifier" -> operators.CorpusQa.nbLangClassifierOracleSql,
+    "pivot_type_dow" -> operators.Olap.pivotTypeDowOracleSql,
     "link_prediction" -> operators.Graph.linkPredictionOracleSql(),
     "changepoint_cusum" -> operators.Behavior.changepointCusumOracleSql,
     "rfm_segments" -> operators.Behavior.rfmSegmentsOracleSql,

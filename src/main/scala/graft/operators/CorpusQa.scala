@@ -645,4 +645,96 @@ object CorpusQa {
       |SELECT doc_id, url, host, blocked_domain, spam_path, digit_heavy,
       |       NOT (blocked_domain OR spam_path OR digit_heavy) AS keep
       |FROM s ORDER BY doc_id""".stripMargin
+
+  /** Multinomial Naive-Bayes language classifier trained IN the
+    * engine and evaluated on its own corpus — the fastText-style
+    * filter shape every training-data pipeline runs (train a cheap
+    * linear model on labeled text, score everything, keep/drop): the
+    * sufficient statistics are ADDITIVE count grids (per-class doc
+    * priors, per-(class, token) counts, the vocabulary), training is
+    * two map-side-combinable aggregates, and scoring is one
+    * broadcast join of doc tokens against the (vocab × classes)
+    * log-likelihood table — no iteration, no driver loop, linear in
+    * corpus size at any scale.
+    *
+    * Laplace-smoothed: score(d, c) = ln(n_c/N) + Σ_tok ln((cnt(c,
+    * tok)+1)/(N_c+V)), multiplicity counted (multinomial). Float
+    * discipline: every ln term is rounded to the 1e-9 grid and
+    * summed as DECIMAL(38,9) — order-free, so both engines agree
+    * exactly; argmax ties break to the lexicographically smallest
+    * class. Output = the confusion matrix (actual × predicted doc
+    * counts), the standard train-eval read and a bounded
+    * |langs|²-row result.
+    */
+  def nbLangClassifierTransform(docs0: DataFrame): DataFrame = {
+    val spark = docs0.sparkSession
+    import spark.implicits._
+    val docs = docs0.select($"doc_id", $"lang", $"text")
+    val toks = docs.select($"doc_id", $"lang", explode(split($"text", " ")).as("tok"))
+    val priors = docs.groupBy($"lang").agg(count(lit(1)).as("n_docs"))
+    val total = priors.agg(sum($"n_docs").as("n_total"))
+    val classTok = toks.groupBy($"lang", $"tok").agg(count(lit(1)).as("cnt"))
+    val classN = classTok.groupBy($"lang").agg(sum($"cnt").as("n_c"))
+    val v = classTok.select($"tok").distinct().agg(count(lit(1)).as("v"))
+    // (vocab × classes) log-likelihood table: zero-filled via the
+    // class cross (a token unseen in class c still contributes its
+    // smoothed ln(1/(N_c+V)) when a doc of another class carries it)
+    val ll = classTok.select($"tok").distinct()
+      .crossJoin(broadcast(classN.select($"lang".as("cls"), $"n_c")))
+      .join(classTok.select($"lang".as("cls"), $"tok", $"cnt"), Seq("cls", "tok"), "left")
+      .join(v) // 1-row build side
+      .select($"tok", $"cls",
+        expr("""CAST(round(ln(CAST(coalesce(cnt, 0) + 1 AS DOUBLE) / (n_c + v)), 9)
+               |AS DECIMAL(38,9))""".stripMargin).as("ll"))
+    val priorLl = priors.join(total) // 1-row build side
+      .select($"lang".as("cls"),
+        expr("CAST(round(ln(CAST(n_docs AS DOUBLE) / n_total), 9) AS DECIMAL(38,9))")
+          .as("pl"))
+    val scores = toks
+      .join(broadcast(ll), Seq("tok"))
+      .groupBy($"doc_id", $"lang", $"cls").agg(sum($"ll").as("s"))
+      .join(broadcast(priorLl), Seq("cls"))
+      .select($"doc_id", $"lang", $"cls", ($"s" + $"pl").as("score"))
+    val pred = scores
+      .withColumn("rn", row_number().over(
+        Window.partitionBy($"doc_id").orderBy($"score".desc, $"cls")))
+      .filter($"rn" === 1)
+    pred.groupBy($"lang", $"cls".as("predicted"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy($"lang", $"predicted")
+  }
+
+  def nbLangClassifier(spark: SparkSession, dir: String): DataFrame =
+    nbLangClassifierTransform(Tables.documents(spark, dir))
+
+  /** DuckDB oracle for [[nbLangClassifierTransform]] — identical
+    * smoothing, identical 1e-9 grid, identical tie policy. */
+  val nbLangClassifierOracleSql: String =
+    """WITH toks AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok
+      |              FROM documents),
+      |priors AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY 1),
+      |total AS (SELECT sum(n_docs) AS n_total FROM priors),
+      |ct AS (SELECT lang, tok, count(*) AS cnt FROM toks GROUP BY 1, 2),
+      |cn AS (SELECT lang, sum(cnt) AS n_c FROM ct GROUP BY 1),
+      |v AS (SELECT count(DISTINCT tok) AS v FROM ct),
+      |ll AS (SELECT t.tok, cn.lang AS cls,
+      |              CAST(round(ln(CAST(coalesce(ct.cnt, 0) + 1 AS DOUBLE) / (cn.n_c + v.v)), 9)
+      |                   AS DECIMAL(38,9)) AS ll
+      |       FROM (SELECT DISTINCT tok FROM ct) t
+      |       CROSS JOIN cn CROSS JOIN v
+      |       LEFT JOIN ct ON ct.tok = t.tok AND ct.lang = cn.lang),
+      |pl AS (SELECT priors.lang AS cls,
+      |              CAST(round(ln(CAST(priors.n_docs AS DOUBLE) / total.n_total), 9)
+      |                   AS DECIMAL(38,9)) AS pl
+      |       FROM priors, total),
+      |scores AS (SELECT toks.doc_id, toks.lang, ll.cls, sum(ll.ll) + any_value(pl.pl) AS score
+      |           FROM toks JOIN ll ON ll.tok = toks.tok
+      |           JOIN pl ON pl.cls = ll.cls
+      |           GROUP BY 1, 2, 3),
+      |pred AS (SELECT doc_id, lang, cls,
+      |                row_number() OVER (PARTITION BY doc_id
+      |                                   ORDER BY score DESC, cls) AS rn
+      |         FROM scores)
+      |SELECT lang, cls AS predicted, count(*) AS n_docs
+      |FROM pred WHERE rn = 1 GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 }

@@ -1516,4 +1516,35 @@ object Olap {
       |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS n_open
       |FROM axis LEFT JOIN dd ON axis.day = dd.day
       |ORDER BY 1""".stripMargin
+
+  /** PIVOT: the day-of-week activity matrix as one row per event
+    * type with seven count columns — the wide-format report a BI
+    * layer reads directly (the `grouping sets`/`cube` family's
+    * sibling: those go long, this goes wide). Uses Spark's native
+    * `pivot()` with the column values PINNED (passing the value list
+    * skips the extra distinct-scan job and fixes the output schema
+    * at plan time — the scale-correct form; an unpinned pivot runs a
+    * collect first). One map-side-combinable shuffle; 7·|types|
+    * cells. */
+  def pivotTypeDow(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, dir)
+      .select($"event_type", (dayofweek($"ts") - 1).cast("long").as("dow"))
+      .groupBy($"event_type")
+      .pivot("dow", (0L to 6L).map(java.lang.Long.valueOf))
+      .count()
+      .na.fill(0L)
+      .toDF("event_type", "dow_0", "dow_1", "dow_2", "dow_3", "dow_4", "dow_5", "dow_6")
+      .orderBy($"event_type")
+  }
+
+  /** DuckDB oracle for [[pivotTypeDow]] — the pivot as CASE sums. */
+  val pivotTypeDowOracleSql: String = {
+    val cols = (0 to 6).map(d =>
+      s"sum(CASE WHEN date_part('dow', CAST(ts AS TIMESTAMP)) = $d THEN 1 ELSE 0 END) AS dow_$d")
+      .mkString(",\n       |       ")
+    s"""SELECT event_type,
+       |       $cols
+       |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+  }
 }

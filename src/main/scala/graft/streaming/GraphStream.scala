@@ -64,6 +64,11 @@ final class UserItemState(stateDir: String) {
   /** SECOND face: Katz centrality over the same presence state. */
   def reportKatz(spark: SparkSession): DataFrame =
     graft.operators.Graph.katzTransform(edges(spark))
+
+  /** THIRD face: degree assortativity over the same presence state —
+    * the mixing-structure one-liner next to the centrality reads. */
+  def reportAssortativity(spark: SparkSession): DataFrame =
+    graft.operators.Graph.degreeAssortativityTransform(edges(spark))
 }
 
 object GraphStream {
@@ -85,5 +90,14 @@ object GraphStream {
     val state = new UserItemState(s"$work/state")
     StreamSources.runForeachBatch(StreamSources.events(spark, dir), state.merge)
     state.reportKatz(spark)
+  }
+
+  /** Queries entry (oracle: same SQL as `degree_assortativity`): the
+    * SAME presence state, third face. */
+  def streamAssortativity(spark: SparkSession, dir: String): DataFrame = {
+    val work = graft.GraftCaches.trackTempDir("graft_sassort_")
+    val state = new UserItemState(s"$work/state")
+    StreamSources.runForeachBatch(StreamSources.events(spark, dir), state.merge)
+    state.reportAssortativity(spark)
   }
 }

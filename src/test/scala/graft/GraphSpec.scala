@@ -284,4 +284,14 @@ class GraphSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("degree assortativity: a star is perfectly disassortative, a cycle degenerate") {
+    // star 1-{2,3,4}: directed x=[3,3,3,1,1,1], y mirrored -> r = -1
+    val star = Graph.degreeAssortativityTransform(pairs((1L,2L),(1L,3L),(1L,4L))).collect()
+    assert(star(0).getLong(0) == 6L)
+    assert(star(0).getDouble(1) == -1.0)
+    // 3-cycle: every degree 2 -> zero variance -> null, not NaN
+    val cyc = Graph.degreeAssortativityTransform(pairs((1L,2L),(2L,3L),(1L,3L))).collect()
+    assert(cyc(0).isNullAt(1))
+  }
 }

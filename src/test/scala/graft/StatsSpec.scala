@@ -826,4 +826,29 @@ class StatsSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
       s"heavy hitters with exact-equal estimates, got $got")
     assert(out.forall(_.getAs[Long]("n_total") == 300L))
   }
+
+  test("nb_lang_classifier: separable two-language corpus gives a diagonal confusion matrix") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the cat", "en", "a", 7L), (2L, "the dog", "en", "a", 7L),
+      (3L, "le chat", "fr", "a", 7L), (4L, "le chien", "fr", "a", 8L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val r = operators.CorpusQa.nbLangClassifierTransform(docs).collect()
+      .map(x => (x.getString(0), x.getString(1), x.getLong(2))).toSeq
+    assert(r == Seq(("en", "en", 2L), ("fr", "fr", 2L)))
+  }
+
+  test("pivot_type_dow oracle parity shape: counts land in the right dow column") {
+    import spark.implicits._
+    // 2024-01-01 is a Monday -> dow 1; 2024-01-07 a Sunday -> dow 0
+    val events = Seq((ts(0), "v"), (ts(0), "v"), (ts(6), "v"))
+      .toDF("ts", "event_type")
+    val out = events
+      .select($"event_type",
+        (org.apache.spark.sql.functions.dayofweek($"ts") - 1).cast("long").as("dow"))
+      .groupBy($"event_type").pivot("dow", (0L to 6L).map(java.lang.Long.valueOf))
+      .count().na.fill(0L).collect()
+    assert(out(0).getLong(1) == 1L, "Sunday count in dow_0")
+    assert(out(0).getLong(2) == 2L, "Monday count in dow_1")
+  }
 }
