@@ -205,7 +205,6 @@ object SparkEntry {
     "hits_scores"        -> Graph.hitsScores _,
     "communities_lpa"    -> Graph.communitiesLpa _,
     "degree_histogram"   -> Graph.degreeHistogram _,
-    "degree_assortativity" -> Graph.degreeAssortativity _,
     "stream_assortativity" -> ((s: SparkSession, d: String) => streaming.GraphStream.streamAssortativity(s, d)),
     "nb_lang_classifier" -> CorpusQa.nbLangClassifier _,
     "pivot_type_dow"     -> Olap.pivotTypeDow _,
@@ -970,7 +969,6 @@ object SparkEntry {
     "triangle_count" -> operators.Graph.triangleOracleSql(),
     "communities_lpa" -> operators.Graph.lpaOracleSql(),
     "degree_histogram" -> operators.Graph.degreeHistogramOracleSql,
-    "degree_assortativity" -> operators.Graph.degreeAssortativityOracleSql,
     "nb_lang_classifier" -> operators.CorpusQa.nbLangClassifierOracleSql,
     "pivot_type_dow" -> operators.Olap.pivotTypeDowOracleSql,
     "link_prediction" -> operators.Graph.linkPredictionOracleSql(),

@@ -777,61 +777,6 @@ object Graph {
     * of [[edgeTransform]] (same maxItems = 50, topEdges = 800, same
     * total order on the cut).
     */
-  /** Degree assortativity (Newman 2002) of the co-engagement graph —
-    * "do popular items co-engage with popular items": the Pearson
-    * correlation of endpoint degrees over the DIRECTED edge list
-    * (each undirected edge counted both ways, the standard
-    * convention). Positive = hub-hub mixing (social-network-like),
-    * negative = hub-leaf (star-like catalogs); the one-number
-    * structure report next to [[degreePowerlawFitTransform]].
-    *
-    * Exact integer moments: degrees are bounded by the edge cap, so
-    * Σx, Σx², Σxy are exact Longs/DECIMALs; symmetry makes Σy = Σx
-    * and Σy² = Σx², so r = (nΣxy − (Σx)²)/(nΣx² − (Σx)²) with ONE
-    * float division, rounded to the 1e-6 grid. Shape: degree =
-    * map-side groupBy; the two degree joins are broadcast
-    * (node-scale); one-row output. */
-  def degreeAssortativityTransform(pairs: DataFrame): DataFrame = {
-    val spark = pairs.sparkSession
-    import spark.implicits._
-    val edges = pairs.select($"item_a".as("src"), $"item_b".as("dst"))
-      .unionByName(pairs.select($"item_b".as("src"), $"item_a".as("dst")))
-    val deg = edges.groupBy($"src".as("item")).agg(count(lit(1)).as("d"))
-    edges
-      .join(broadcast(deg.select($"item".as("src"), $"d".as("x"))), Seq("src"))
-      .join(broadcast(deg.select($"item".as("dst"), $"d".as("y"))), Seq("dst"))
-      .agg(count(lit(1)).as("n_edges"), sum($"x").as("sx"),
-        sum(expr("CAST(x AS DECIMAL(38,0)) * x")).as("sxx"),
-        sum(expr("CAST(x AS DECIMAL(38,0)) * y")).as("sxy"))
-      .select($"n_edges",
-        expr("""CASE WHEN n_edges * sxx - sx * sx > 0 THEN
-               |  round(CAST(n_edges * sxy - sx * sx AS DOUBLE)
-               |        / CAST(n_edges * sxx - sx * sx AS DOUBLE), 6) END""".stripMargin)
-          .as("assortativity"))
-  }
-
-  def degreeAssortativity(spark: SparkSession, dir: String): DataFrame =
-    degreeAssortativityTransform(
-      edgeTransform(Tables.events(spark, dir), maxItems = 50, topEdges = 800))
-
-  /** DuckDB oracle for [[degreeAssortativityTransform]]. */
-  def degreeAssortativityOracleSql: String =
-    s"""WITH $edgeCtes,
-       |edges AS (SELECT item_a AS src, item_b AS dst FROM pairs
-       |          UNION ALL SELECT item_b, item_a FROM pairs),
-       |deg AS (SELECT src AS item, count(*) AS d FROM edges GROUP BY 1),
-       |xy AS (SELECT dx.d AS x, dy.d AS y FROM edges e
-       |       JOIN deg dx ON dx.item = e.src JOIN deg dy ON dy.item = e.dst),
-       |m AS (SELECT count(*) AS n_edges, sum(x) AS sx,
-       |             sum(CAST(x AS HUGEINT) * x) AS sxx,
-       |             sum(CAST(x AS HUGEINT) * y) AS sxy
-       |      FROM xy)
-       |SELECT CAST(n_edges AS BIGINT) AS n_edges,
-       |       CASE WHEN n_edges * sxx - sx * sx > 0 THEN
-       |         round(CAST(n_edges * sxy - sx * sx AS DOUBLE)
-       |               / CAST(n_edges * sxx - sx * sx AS DOUBLE), 6) END AS assortativity
-       |FROM m""".stripMargin
-
   private val edgeCtes: String =
     """items AS (SELECT DISTINCT user_id, TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS item FROM events),
       |kept AS (SELECT i.* FROM items i

@@ -1541,7 +1541,7 @@ object Olap {
   /** DuckDB oracle for [[pivotTypeDow]] — the pivot as CASE sums. */
   val pivotTypeDowOracleSql: String = {
     val cols = (0 to 6).map(d =>
-      s"sum(CASE WHEN date_part('dow', CAST(ts AS TIMESTAMP)) = $d THEN 1 ELSE 0 END) AS dow_$d")
+      s"CAST(sum(CASE WHEN date_part('dow', CAST(ts AS TIMESTAMP)) = $d THEN 1 ELSE 0 END) AS BIGINT) AS dow_$d")
       .mkString(",\n       |       ")
     s"""SELECT event_type,
        |       $cols
