@@ -207,7 +207,9 @@ object SparkEntry {
     "degree_histogram"   -> Graph.degreeHistogram _,
     "stream_assortativity" -> ((s: SparkSession, d: String) => streaming.GraphStream.streamAssortativity(s, d)),
     "nb_lang_classifier" -> CorpusQa.nbLangClassifier _,
+    "stream_nb_lang"     -> ((s: SparkSession, d: String) => streaming.NbLangStream.streamNbLang(s, d)),
     "pivot_type_dow"     -> Olap.pivotTypeDow _,
+    "stream_pivot_type_dow" -> RollupStream.streamPivotTypeDow _,
     "k_core"             -> Graph.kCoreItems _,
     "link_prediction"    -> Graph.linkPrediction _,
     "changepoint_cusum"  -> Behavior.changepointCusum _,
@@ -508,6 +510,10 @@ object SparkEntry {
       "stream_pagerank" -> base("pagerank_items"),
       "stream_katz" -> base("katz_centrality"),
       "stream_assortativity" -> base("degree_assortativity"),
+      // additive NB training grids; evaluation re-reads the staged corpus
+      "stream_nb_lang" -> base("nb_lang_classifier"),
+      // dow pivot is a pure read over the daily rollup state
+      "stream_pivot_type_dow" -> base("pivot_type_dow"),
       // additive per-source readability sums
       "stream_flesch" -> base("flesch_reading_ease"),
       "stream_wilcoxon" -> base("wilcoxon_signed_rank"),

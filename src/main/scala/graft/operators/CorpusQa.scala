@@ -666,14 +666,24 @@ object CorpusQa {
     * counts), the standard train-eval read and a bounded
     * |langs|²-row result.
     */
-  def nbLangClassifierTransform(docs0: DataFrame): DataFrame = {
-    val spark = docs0.sparkSession
+  /** The ADDITIVE training state: per-(class, token) counts and
+    * per-class doc priors — what the STREAMING twin merges across
+    * micro-batches ([[graft.streaming.NbLangState]]). */
+  private[graft] def nbTrainCounts(docs: DataFrame): (DataFrame, DataFrame) = {
+    val toks = docs.select(col("lang"), explode(split(col("text"), " ")).as("tok"))
+    (toks.groupBy(col("lang"), col("tok")).agg(count(lit(1)).as("cnt")),
+      docs.groupBy(col("lang")).agg(count(lit(1)).as("n_docs")))
+  }
+
+  /** Score + confusion off an already-built training state — shared
+    * by the batch transform and the streaming read face. */
+  private[graft] def nbConfusionFromState(classTok: DataFrame, priors: DataFrame,
+                                          docs0: DataFrame): DataFrame = {
+    val spark = classTok.sparkSession
     import spark.implicits._
     val docs = docs0.select($"doc_id", $"lang", $"text")
     val toks = docs.select($"doc_id", $"lang", explode(split($"text", " ")).as("tok"))
-    val priors = docs.groupBy($"lang").agg(count(lit(1)).as("n_docs"))
     val total = priors.agg(sum($"n_docs").as("n_total"))
-    val classTok = toks.groupBy($"lang", $"tok").agg(count(lit(1)).as("cnt"))
     val classN = classTok.groupBy($"lang").agg(sum($"cnt").as("n_c"))
     val v = classTok.select($"tok").distinct().agg(count(lit(1)).as("v"))
     // (vocab × classes) log-likelihood table: zero-filled via the
@@ -702,6 +712,12 @@ object CorpusQa {
     pred.groupBy($"lang", $"cls".as("predicted"))
       .agg(count(lit(1)).as("n_docs"))
       .orderBy($"lang", $"predicted")
+  }
+
+  def nbLangClassifierTransform(docs0: DataFrame): DataFrame = {
+    val docs = docs0.select(col("doc_id"), col("lang"), col("text"))
+    val (classTok, priors) = nbTrainCounts(docs)
+    nbConfusionFromState(classTok, priors, docs)
   }
 
   def nbLangClassifier(spark: SparkSession, dir: String): DataFrame =

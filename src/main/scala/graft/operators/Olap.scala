@@ -1526,16 +1526,25 @@ object Olap {
     * at plan time — the scale-correct form; an unpinned pivot runs a
     * collect first). One map-side-combinable shuffle; 7·|types|
     * cells. */
-  def pivotTypeDow(spark: SparkSession, dir: String): DataFrame = {
+  /** The wide pivot off a (event_type, dow, n) long grid — shared
+    * with the STREAMING face, which derives the grid from its daily
+    * rollup state (dow is a pure function of the day). */
+  private[graft] def pivotFromTypeDow(obs: DataFrame): DataFrame = {
+    val spark = obs.sparkSession
     import spark.implicits._
-    Tables.events(spark, dir)
-      .select($"event_type", (dayofweek($"ts") - 1).cast("long").as("dow"))
-      .groupBy($"event_type")
+    obs.groupBy($"event_type")
       .pivot("dow", (0L to 6L).map(java.lang.Long.valueOf))
-      .count()
+      .sum("n")
       .na.fill(0L)
       .toDF("event_type", "dow_0", "dow_1", "dow_2", "dow_3", "dow_4", "dow_5", "dow_6")
       .orderBy($"event_type")
+  }
+
+  def pivotTypeDow(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    pivotFromTypeDow(Tables.events(spark, dir)
+      .select($"event_type", (dayofweek($"ts") - 1).cast("long").as("dow"))
+      .groupBy($"event_type", $"dow").agg(count(lit(1)).as("n")))
   }
 
   /** DuckDB oracle for [[pivotTypeDow]] — the pivot as CASE sums. */

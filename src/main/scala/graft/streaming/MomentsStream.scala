@@ -158,6 +158,16 @@ final class RollupState(stateDir: String) {
 
   def view(spark: SparkSession): DataFrame =
     prior(spark).orderBy(col("day"), col("event_type"))
+
+  /** SECOND face: the wide type × day-of-week pivot — dow is a pure
+    * function of the rollup's day key, so the BI pivot is a read
+    * over the same additive daily grid. */
+  def pivotTypeDow(spark: SparkSession): DataFrame =
+    graft.operators.Olap.pivotFromTypeDow(
+      prior(spark)
+        .select(col("event_type"),
+          (dayofweek(col("day")) - 1).cast("long").as("dow"), col("n"))
+        .groupBy(col("event_type"), col("dow")).agg(sum(col("n")).as("n")))
 }
 
 object RollupStream {
@@ -170,6 +180,15 @@ object RollupStream {
     val state = new RollupState(s"$work/state")
     StreamSources.runForeachBatch(StreamSources.events(spark, dir), state.merge)
     state.view(spark)
+  }
+
+  /** Queries entry (oracle: same SQL as `pivot_type_dow`): the SAME
+    * daily rollup state, second face. */
+  def streamPivotTypeDow(spark: SparkSession, dir: String): DataFrame = {
+    val work = graft.GraftCaches.trackTempDir("graft_spivot_")
+    val state = new RollupState(s"$work/state")
+    StreamSources.runForeachBatch(StreamSources.events(spark, dir), state.merge)
+    state.pivotTypeDow(spark)
   }
 }
 

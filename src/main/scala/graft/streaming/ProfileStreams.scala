@@ -619,3 +619,69 @@ object ProfileStreams {
     state.report(spark)
   }
 }
+
+/** Streaming Naive-Bayes training state —
+  * [[graft.operators.CorpusQa.nbLangClassifierTransform]]'s twin:
+  * the classifier's sufficient statistics are two ADDITIVE count
+  * grids (per-(class, token) counts — vocab-scale, hash-sharded on
+  * write — and per-class doc priors), so the model trains
+  * incrementally with one map-side-combinable aggregate per batch;
+  * the evaluation face re-reads the staged corpus and scores it
+  * through the SAME `nbConfusionFromState` derivation the batch
+  * operator runs. This is the online shape of every
+  * retrain-as-data-arrives quality/language filter.
+  * Versioned-parquet + replay-guard discipline ([[CdcCompact]]). */
+final class NbLangState(stateDir: String) {
+  @volatile private var version: Long = StreamUtil.latestVersion(stateDir)
+
+  private def priorGrid(spark: SparkSession): DataFrame =
+    if (version < 0)
+      spark.createDataFrame(java.util.List.of[Row](), StructType.fromDDL(
+        "lang STRING, tok STRING, cnt BIGINT"))
+    else spark.read.parquet(s"$stateDir/v$version/grid")
+
+  private def priorDocs(spark: SparkSession): DataFrame =
+    if (version < 0)
+      spark.createDataFrame(java.util.List.of[Row](), StructType.fromDDL(
+        "lang STRING, n_docs BIGINT"))
+    else spark.read.parquet(s"$stateDir/v$version/priors")
+
+  def merge(batch: Dataset[Row], batchId: Long): Unit = {
+    if (batchId <= version) return
+    val spark = batch.sparkSession
+    val (pGrid, pPriors) = graft.operators.CorpusQa.nbTrainCounts(batch.toDF())
+    val grid = priorGrid(spark).unionByName(pGrid)
+      .groupBy(col("lang"), col("tok")).agg(sum(col("cnt")).as("cnt"))
+    val priors = priorDocs(spark).unionByName(pPriors)
+      .groupBy(col("lang")).agg(sum(col("n_docs")).as("n_docs"))
+    StreamUtil.writeSharded(grid, s"$stateDir/v$batchId/grid", Seq("lang", "tok"))
+    StreamUtil.writeGrid(priors, s"$stateDir/v$batchId/priors")
+    val prev = version
+    version = batchId
+    if (prev >= 0) StreamUtil.delete(spark, s"$stateDir/v$prev")
+  }
+
+  /** Evaluation face: confusion matrix of the trained model over the
+    * given corpus (the staged input the stream just drained). */
+  def confusion(spark: SparkSession, docsPath: String): DataFrame =
+    graft.operators.CorpusQa.nbConfusionFromState(
+      priorGrid(spark), priorDocs(spark), spark.read.parquet(docsPath))
+}
+
+object NbLangStream {
+
+  /** Queries entry (oracle: same SQL as `nb_lang_classifier`): the
+    * documents corpus staged as 4 files, trained through the
+    * additive NB state one micro-batch at a time, then evaluated on
+    * the same staged corpus through the shared scoring derivation. */
+  def streamNbLang(spark: SparkSession, dir: String, nFiles: Int = 4): DataFrame = {
+    val work = graft.GraftCaches.trackTempDir("graft_snb_")
+    graft.sources.Tables.documents(spark, dir).repartition(nFiles)
+      .write.mode("overwrite").parquet(s"$work/input")
+    val state = new NbLangState(s"$work/state")
+    StreamSources.runForeachBatch(
+      StreamSources.parquetStream(spark, s"$work/input", maxFilesPerTrigger = 1),
+      state.merge)
+    state.confusion(spark, s"$work/input")
+  }
+}
