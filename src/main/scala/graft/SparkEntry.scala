@@ -206,6 +206,9 @@ object SparkEntry {
     "communities_lpa"    -> Graph.communitiesLpa _,
     "degree_histogram"   -> Graph.degreeHistogram _,
     "stream_assortativity" -> ((s: SparkSession, d: String) => streaming.GraphStream.streamAssortativity(s, d)),
+    "stream_k_core"      -> ((s: SparkSession, d: String) => streaming.GraphStream.streamKCore(s, d)),
+    "heavy_changers"     -> Timeseries.heavyChangers _,
+    "stream_heavy_changers" -> ((s: SparkSession, d: String) => streaming.TimeseriesStream.streamHeavyChangers(s, d)),
     "nb_lang_classifier" -> CorpusQa.nbLangClassifier _,
     "stream_nb_lang"     -> ((s: SparkSession, d: String) => streaming.NbLangStream.streamNbLang(s, d)),
     "pivot_type_dow"     -> Olap.pivotTypeDow _,
@@ -512,6 +515,8 @@ object SparkEntry {
       "stream_assortativity" -> base("degree_assortativity"),
       // additive NB training grids; evaluation re-reads the staged corpus
       "stream_nb_lang" -> base("nb_lang_classifier"),
+      // additive (item, day) grid; the period cut is a min over it
+      "stream_heavy_changers" -> base("heavy_changers"),
       // dow pivot is a pure read over the daily rollup state
       "stream_pivot_type_dow" -> base("pivot_type_dow"),
       // additive per-source readability sums
@@ -976,6 +981,7 @@ object SparkEntry {
     "communities_lpa" -> operators.Graph.lpaOracleSql(),
     "degree_histogram" -> operators.Graph.degreeHistogramOracleSql,
     "nb_lang_classifier" -> operators.CorpusQa.nbLangClassifierOracleSql,
+    "heavy_changers" -> operators.Timeseries.heavyChangersOracleSql,
     "pivot_type_dow" -> operators.Olap.pivotTypeDowOracleSql,
     "link_prediction" -> operators.Graph.linkPredictionOracleSql(),
     "changepoint_cusum" -> operators.Behavior.changepointCusumOracleSql,

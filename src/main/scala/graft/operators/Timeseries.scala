@@ -1039,4 +1039,77 @@ object Timeseries {
       |       round(quantile_cont(CAST(b.n - a.n AS DOUBLE) / (b.di - a.di), 0.5), 6) AS ts_slope
       |FROM g a JOIN g b ON a.event_type = b.event_type AND b.di > a.di
       |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** Heavy changers (Cormode–Muthukrishnan's "what's new/what's hot"
+    * read, exact form): the items whose SHARE of engagement moved
+    * most between the first and second half of the window — the
+    * trend screen a feed-ranking or sketch-monitoring pipeline runs
+    * (the approximate version diffs two CMS sketches; on a warehouse
+    * the exact diff is one aggregate, so exact is the right tool).
+    *
+    * The period splits at min(day)+15 days. Per item, conditional
+    * half counts (n₁, n₂) come off the daily grid in one aggregate;
+    * the ORDERING key |n₂·N₁ − n₁·N₂| is an exact DECIMAL (the
+    * common denominator N₁·N₂ cancels), so the top-k is
+    * order-deterministic with no float compare; shares round once at
+    * 1e-6 for display. Output = top 20 by |Δshare| (ties → smaller
+    * item).
+    *
+    * Shape: fact → (item, day) grid (the streaming face's additive
+    * state) → one conditional aggregate to |items| rows → top-k. */
+  private[graft] def heavyChangersFromDaily(obs: DataFrame, topK: Int = 20): DataFrame = {
+    val spark = obs.sparkSession
+    import spark.implicits._
+    val cut = obs.agg((min($"day") + expr("INTERVAL 15 DAYS")).as("cut"))
+    val halves = obs.join(broadcast(cut)) // 1-row build side
+      .groupBy($"item")
+      .agg(sum(when($"day" < $"cut", $"n").otherwise(0L)).as("n_first"),
+        sum(when($"day" >= $"cut", $"n").otherwise(0L)).as("n_second"))
+    val totals = halves.agg(sum($"n_first").as("t1"), sum($"n_second").as("t2"))
+    halves.join(broadcast(totals)) // 1-row build side
+      .select($"item", $"n_first", $"n_second", $"t1", $"t2",
+        abs(expr("CAST(n_second AS DECIMAL(38,0)) * t1 - CAST(n_first AS DECIMAL(38,0)) * t2"))
+          .as("score"))
+      .orderBy($"score".desc, $"item")
+      .limit(topK)
+      .select($"item", $"n_first", $"n_second",
+        expr("round(CAST(n_first AS DOUBLE) / nullif(t1, 0), 6)").as("share_first"),
+        expr("round(CAST(n_second AS DOUBLE) / nullif(t2, 0), 6)").as("share_second"),
+        expr("""round(CAST(n_second AS DOUBLE) / nullif(t2, 0)
+               |      - CAST(n_first AS DOUBLE) / nullif(t1, 0), 6)""".stripMargin)
+          .as("share_delta"))
+  }
+
+  def heavyChangersTransform(events: DataFrame): DataFrame =
+    heavyChangersFromDaily(events
+      .select(get_json_object(col("props"), "$.k").cast("long").as("item"),
+        date_trunc("day", col("ts")).as("day"))
+      .filter(col("item").isNotNull)
+      .groupBy(col("item"), col("day")).agg(count(lit(1)).as("n")))
+
+  def heavyChangers(spark: SparkSession, dir: String): DataFrame =
+    heavyChangersTransform(Tables.events(spark, dir))
+
+  /** DuckDB oracle for [[heavyChangersTransform]]. */
+  val heavyChangersOracleSql: String =
+    """WITH obs AS (SELECT TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS item,
+      |                    date_trunc('day', ts) AS day, count(*) AS n
+      |             FROM events
+      |             WHERE TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) IS NOT NULL
+      |             GROUP BY 1, 2),
+      |cut AS (SELECT min(day) + INTERVAL 15 DAY AS cut FROM obs),
+      |halves AS (SELECT item,
+      |                  sum(CASE WHEN day < cut.cut THEN n ELSE 0 END) AS n_first,
+      |                  sum(CASE WHEN day >= cut.cut THEN n ELSE 0 END) AS n_second
+      |           FROM obs, cut GROUP BY 1),
+      |totals AS (SELECT sum(n_first) AS t1, sum(n_second) AS t2 FROM halves),
+      |scored AS (SELECT item, n_first, n_second, t1, t2,
+      |                  abs(CAST(n_second AS HUGEINT) * t1 - CAST(n_first AS HUGEINT) * t2) AS score
+      |           FROM halves, totals)
+      |SELECT item, CAST(n_first AS BIGINT) AS n_first, CAST(n_second AS BIGINT) AS n_second,
+      |       round(CAST(n_first AS DOUBLE) / nullif(t1, 0), 6) AS share_first,
+      |       round(CAST(n_second AS DOUBLE) / nullif(t2, 0), 6) AS share_second,
+      |       round(CAST(n_second AS DOUBLE) / nullif(t2, 0)
+      |             - CAST(n_first AS DOUBLE) / nullif(t1, 0), 6) AS share_delta
+      |FROM scored ORDER BY score DESC, item LIMIT 20""".stripMargin
 }

@@ -69,6 +69,12 @@ final class UserItemState(stateDir: String) {
     * the mixing-structure one-liner next to the centrality reads. */
   def reportAssortativity(spark: SparkSession): DataFrame =
     graft.operators.Graph.degreeAssortativityTransform(edges(spark))
+
+  /** FOURTH face: k-core decomposition over the same presence state
+    * (the h-index locality iteration is a pure read over the
+    * state-derived edge cut, like the centrality faces). */
+  def reportKCore(spark: SparkSession): DataFrame =
+    graft.operators.Graph.kCoreTransform(edges(spark))
 }
 
 object GraphStream {
@@ -99,5 +105,16 @@ object GraphStream {
     val state = new UserItemState(s"$work/state")
     StreamSources.runForeachBatch(StreamSources.events(spark, dir), state.merge)
     state.reportAssortativity(spark)
+  }
+
+  /** Queries entry (rows-only, like `k_core` itself — the peel/round
+    * count is data-dependent, not a fixed unrolled CTE; gated by the
+    * stream≡batch parity spec + k_core's property spec): the SAME
+    * presence state, fourth face. */
+  def streamKCore(spark: SparkSession, dir: String): DataFrame = {
+    val work = graft.GraftCaches.trackTempDir("graft_skcore_")
+    val state = new UserItemState(s"$work/state")
+    StreamSources.runForeachBatch(StreamSources.events(spark, dir), state.merge)
+    state.reportKCore(spark)
   }
 }

@@ -184,6 +184,12 @@ final class ItemDayCountState(stateDir: String) {
 
   def report(spark: SparkSession): DataFrame =
     graft.operators.Behavior.adoptionFromCounts(prior(spark))
+
+  /** SECOND face: the heavy-changers share-delta screen — the period
+    * cut is a min over the same grid, so a late back-dating batch
+    * re-dates the halves correctly at read time. */
+  def reportHeavyChangers(spark: SparkSession): DataFrame =
+    graft.operators.Timeseries.heavyChangersFromDaily(prior(spark))
 }
 
 final class DailyVolRevState(stateDir: String) {
@@ -571,6 +577,16 @@ object TimeseriesStream {
       StreamSources.eventsFrom(spark, s"$work/input", maxFilesPerTrigger = 1),
       state.merge)
     state.report(spark)
+  }
+
+  /** Queries entry (oracle: same SQL as `heavy_changers`): the SAME
+    * (item, day) count state, second face — order-free additive
+    * counts, so no staged time ordering is needed. */
+  def streamHeavyChangers(spark: SparkSession, dir: String): DataFrame = {
+    val work = graft.GraftCaches.trackTempDir("graft_shvychg_")
+    val state = new ItemDayCountState(s"$work/state")
+    StreamSources.runForeachBatch(StreamSources.events(spark, dir), state.merge)
+    state.reportHeavyChangers(spark)
   }
 
   /** Queries entry (oracle: same SQL as `rolling_corr_daily`). */

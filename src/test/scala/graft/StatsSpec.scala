@@ -851,4 +851,17 @@ class StatsSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
     assert(out(0).getLong(1) == 1L, "Sunday count in dow_0")
     assert(out(0).getLong(2) == 2L, "Monday count in dow_1")
   }
+
+  test("heavy_changers: hand-computed share deltas, exact integer ordering") {
+    import spark.implicits._
+    // first half: item 7 x3, item 8 x1; second half: item 7 x1, item 8 x3
+    // N1 = N2 = 4 -> deltas -0.5 / +0.5, equal |score| -> item 7 first
+    val rows =
+      Seq.fill(3)((ts(0), """{"k": 7}""")) ++ Seq((ts(0), """{"k": 8}""")) ++
+      Seq((ts(19), """{"k": 7}""")) ++ Seq.fill(3)((ts(19), """{"k": 8}"""))
+    val events = rows.toDF("ts", "props")
+    val out = operators.Timeseries.heavyChangersTransform(events).collect()
+      .map(r => (r.getLong(0), r.getDouble(5))).toSeq
+    assert(out == Seq((7L, -0.5), (8L, 0.5)))
+  }
 }

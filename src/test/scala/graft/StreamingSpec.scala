@@ -1069,4 +1069,8 @@ class StreamingSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
     resumed.merge(batch(29L, 29L), 2)
     assert(top(resumed) == Seq((7L, 6L), (13L, 4L), (29L, 2L)))
   }
+
+  test("stream_k_core equals batch k_core over the same presence-derived graph") {
+    assert(rows("stream_k_core") == rows("k_core"))
+  }
 }
