@@ -208,6 +208,8 @@ object SparkEntry {
     "stream_assortativity" -> ((s: SparkSession, d: String) => streaming.GraphStream.streamAssortativity(s, d)),
     "stream_k_core"      -> ((s: SparkSession, d: String) => streaming.GraphStream.streamKCore(s, d)),
     "heavy_changers"     -> Timeseries.heavyChangers _,
+    "markov_attribution" -> MultiTouch.markovAttribution _,
+    "stream_markov_attribution" -> ((s: SparkSession, d: String) => streaming.MarkovAttrStream.streamMarkovAttribution(s, d)),
     "stream_heavy_changers" -> ((s: SparkSession, d: String) => streaming.TimeseriesStream.streamHeavyChangers(s, d)),
     "nb_lang_classifier" -> CorpusQa.nbLangClassifier _,
     "stream_nb_lang"     -> ((s: SparkSession, d: String) => streaming.NbLangStream.streamNbLang(s, d)),
@@ -517,6 +519,9 @@ object SparkEntry {
       "stream_nb_lang" -> base("nb_lang_classifier"),
       // additive (item, day) grid; the period cut is a min over it
       "stream_heavy_changers" -> base("heavy_changers"),
+      // additive journey-chain counts + per-user truncation frontier
+      // under time-ordered replay; NULL terminals derive at read
+      "stream_markov_attribution" -> base("markov_attribution"),
       // dow pivot is a pure read over the daily rollup state
       "stream_pivot_type_dow" -> base("pivot_type_dow"),
       // additive per-source readability sums
@@ -982,6 +987,7 @@ object SparkEntry {
     "degree_histogram" -> operators.Graph.degreeHistogramOracleSql,
     "nb_lang_classifier" -> operators.CorpusQa.nbLangClassifierOracleSql,
     "heavy_changers" -> operators.Timeseries.heavyChangersOracleSql,
+    "markov_attribution" -> operators.MultiTouch.markovAttributionOracleSql(),
     "pivot_type_dow" -> operators.Olap.pivotTypeDowOracleSql,
     "link_prediction" -> operators.Graph.linkPredictionOracleSql(),
     "changepoint_cusum" -> operators.Behavior.changepointCusumOracleSql,

@@ -244,4 +244,193 @@ object MultiTouch {
       |       UNION ALL SELECT 'click', value * wc / wt FROM g WHERE wc > 0)
       |SELECT touch_type, count(*) AS n_conversions, round(sum(credit), 2) AS attributed_value
       |FROM cr GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** Markov-chain (removal-effect) attribution — the data-driven
+    * member of the attribution family (Anderl et al. 2014; the
+    * heuristic models above assign credit by POSITION, this one by
+    * COUNTERFACTUAL: how much conversion probability disappears if a
+    * channel is deleted from the journey graph). The standard gold
+    * standard in marketing analytics.
+    *
+    * Model: one journey per user, truncated at the FIRST purchase
+    * (absorbing CONV) — non-converters end in absorbing NULL; START
+    * precedes the first touch. Transition counts form the chain;
+    * conversion probability p(START) comes from a fixed-K absorbing
+    * value iteration in EXACT scaled integers (v ∈ [0, 10⁶],
+    * truncating division — bit-identical in both engines, the
+    * [[Stats.absorptionFromCounts]] discipline). Channel c's removal
+    * redirects every transition INTO c to NULL (rows out of c drop —
+    * unreachable), p recomputes, and
+    * removal_effect(c) = 1 − p₋c/p, share(c) = (p − p₋c)/Σ(p − p₋u)
+    * with the share an exact-integer ratio divided ONCE.
+    *
+    * Shape: one lag-window pass to the |types|²-cell transition
+    * grid; the value iterations are driver folds over that
+    * planning-scale matrix (the LPA/absorption discipline), one per
+    * channel + one full — ≤ 6 folds of a ≤ 7×7 matrix. Channels are
+    * static (the corpus's four non-purchase kinds) because the
+    * unrolled oracle must be static SQL. */
+  def markovAttributionTransform(events: DataFrame,
+      channels: Seq[String] = Seq("click", "error", "signup", "view"),
+      iters: Int = 25): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val seq0 = events.select($"user_id", $"ts", $"event_id", $"event_type")
+      .withColumn("rn", row_number().over(w))
+    val pcut = seq0.filter($"event_type" === "purchase")
+      .groupBy($"user_id").agg(min($"rn").as("prn"))
+    val j = seq0.join(pcut, Seq("user_id"), "left")
+      .filter($"prn".isNull || $"rn" <= $"prn")
+      .select($"user_id", $"rn",
+        when($"event_type" === "purchase", lit("CONV"))
+          .otherwise($"event_type").as("st"))
+    val wj = Window.partitionBy($"user_id").orderBy($"rn")
+    val trans = j
+      .withColumn("prev", coalesce(lag($"st", 1).over(wj), lit("START")))
+      .select($"prev", $"st".as("curr"))
+    val terminal = j
+      .withColumn("mx", max($"rn").over(Window.partitionBy($"user_id")))
+      .filter($"rn" === $"mx" && $"st" =!= "CONV")
+      .select($"st".as("prev"), lit("NULL").as("curr"))
+    markovFromCounts(
+      trans.unionByName(terminal)
+        .groupBy($"prev", $"curr").agg(count(lit(1)).as("n")),
+      channels, iters)
+  }
+
+  /** The removal-effect derivation from an already-aggregated (prev,
+    * curr, n) transition table (terminal NULL rows included) — split
+    * out so the STREAMING twin reads it over
+    * [[graft.streaming.MarkovAttrState]]'s additive counts + frontier. */
+  private[graft] def markovFromCounts(countsDf: DataFrame,
+      channels: Seq[String] = Seq("click", "error", "signup", "view"),
+      iters: Int = 25): DataFrame = {
+    val spark = countsDf.sparkSession
+    import spark.implicits._
+    val counts = countsDf.collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+
+    // driver fold: absorbing value iteration over the count matrix
+    def convProb(cells: Seq[(String, String, Long)]): BigInt = {
+      val types = (cells.map(_._1) ++ cells.map(_._2)).distinct.sorted
+      val idx = types.zipWithIndex.toMap
+      val d = types.length
+      val c = Array.ofDim[Long](d, d)
+      cells.foreach { case (a, b, n) => c(idx(a))(idx(b)) = n }
+      val rs = Array.tabulate(d)(i => c(i).sum)
+      val conv = idx.get("CONV")
+      var v = Array.tabulate(d)(i => if (conv.contains(i)) BigInt(1000000) else BigInt(0))
+      for (_ <- 1 to iters) {
+        val next = Array.tabulate(d) { i =>
+          if (conv.contains(i)) BigInt(1000000)
+          else if (rs(i) == 0) BigInt(0)
+          else (0 until d).iterator.filter(jx => c(i)(jx) != 0)
+            .map(jx => v(jx) * c(i)(jx) / rs(i)).sum
+        }
+        v = next
+      }
+      idx.get("START").map(v).getOrElse(BigInt(0))
+    }
+    def removed(ch: String): Seq[(String, String, Long)] =
+      counts.toSeq.filter(_._1 != ch)
+        .map { case (a, b, n) => (a, if (b == ch) "NULL" else b, n) }
+        .groupBy(t => (t._1, t._2)).map { case ((a, b), xs) => (a, b, xs.map(_._3).sum) }
+        .toSeq
+    val pFull = convProb(counts.toSeq)
+    val pRem = channels.map(ch => ch -> convProb(removed(ch)))
+    val sumDrop = pRem.map { case (_, p) => pFull - p }.sum
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    pRem.map { case (ch, p) =>
+      val re = if (pFull > 0) Some(r6(1.0 - p.toDouble / pFull.toDouble)) else None
+      val sh = if (sumDrop > 0) Some(r6((pFull - p).toDouble / sumDrop.toDouble)) else None
+      (ch, pFull.toLong, p.toLong, re, sh)
+    }.toDF("channel", "p_full6", "p_removed6", "removal_effect", "share")
+      .orderBy($"channel")
+  }
+
+  def markovAttribution(spark: SparkSession, dir: String): DataFrame =
+    markovAttributionTransform(Tables.events(spark, dir))
+
+  /** DuckDB oracle for [[markovAttributionTransform]] — the identical
+    * integer value iteration unrolled per variant (full + one per
+    * removed channel), [[Stats.absorptionStepsOracleSql]]'s style. */
+  def markovAttributionOracleSql(
+      channels: Seq[String] = Seq("click", "error", "signup", "view"),
+      iters: Int = 25): String = {
+    def chain(tag: String): String = {
+      val iter = (k: Int) =>
+        s"""v${tag}_$k AS MATERIALIZED (
+           |  SELECT t.st,
+           |         CASE WHEN t.st = 'CONV' THEN CAST(1000000 AS HUGEINT)
+           |              WHEN coalesce(c.rs, 0) = 0 THEN CAST(0 AS HUGEINT)
+           |              ELSE coalesce((SELECT sum(p.v * c2.n // c2.rs)
+           |                             FROM cells_$tag c2 JOIN v${tag}_${k - 1} p ON p.st = c2.curr
+           |                             WHERE c2.prev = t.st), 0)
+           |         END AS v
+           |  FROM tys_$tag t
+           |  LEFT JOIN (SELECT DISTINCT prev, rs FROM cells_$tag) c ON c.prev = t.st)""".stripMargin
+      s"""cells_$tag AS MATERIALIZED (
+         |  SELECT prev, curr, CAST(n AS HUGEINT) AS n,
+         |         CAST(sum(n) OVER (PARTITION BY prev) AS HUGEINT) AS rs
+         |  FROM cnt_$tag),
+         |tys_$tag AS MATERIALIZED (SELECT DISTINCT t AS st FROM (
+         |  SELECT prev AS t FROM cnt_$tag UNION SELECT curr FROM cnt_$tag)),
+         |v${tag}_0 AS MATERIALIZED (
+         |  SELECT st, CASE WHEN st = 'CONV' THEN CAST(1000000 AS HUGEINT)
+         |                  ELSE CAST(0 AS HUGEINT) END AS v FROM tys_$tag),
+         |${(1 to iters).map(iter).mkString(",\n")},
+         |p_$tag AS MATERIALIZED (
+         |  SELECT coalesce((SELECT v FROM v${tag}_$iters WHERE st = 'START'), 0) AS p)""".stripMargin
+    }
+    val removalCnts = channels.map { ch =>
+      s"""cnt_$ch AS MATERIALIZED (
+         |  SELECT prev, CASE WHEN curr = '$ch' THEN 'NULL' ELSE curr END AS curr,
+         |         sum(n) AS n
+         |  FROM cnt_full WHERE prev <> '$ch' GROUP BY 1, 2)""".stripMargin
+    }
+    val chains = chain("full") +: channels.map(chain)
+    val drops = channels.map(ch => s"(SELECT p FROM p_full) - (SELECT p FROM p_$ch)")
+      .mkString(" + ")
+    val rows = channels.map { ch =>
+      s"""SELECT '$ch' AS channel,
+         |       CAST((SELECT p FROM p_full) AS BIGINT) AS p_full6,
+         |       CAST((SELECT p FROM p_$ch) AS BIGINT) AS p_removed6,
+         |       CASE WHEN (SELECT p FROM p_full) > 0 THEN
+         |         round(1.0 - CAST((SELECT p FROM p_$ch) AS DOUBLE)
+         |               / CAST((SELECT p FROM p_full) AS DOUBLE), 6) END AS removal_effect,
+         |       CASE WHEN ($drops) > 0 THEN
+         |         round(CAST((SELECT p FROM p_full) - (SELECT p FROM p_$ch) AS DOUBLE)
+         |               / CAST($drops AS DOUBLE), 6) END AS share""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH seq0 AS (
+       |  SELECT user_id, event_type,
+       |         row_number() OVER (PARTITION BY user_id
+       |                            ORDER BY CAST(ts AS TIMESTAMP), event_id) AS rn
+       |  FROM events),
+       |pcut AS (SELECT user_id, min(rn) AS prn FROM seq0
+       |         WHERE event_type = 'purchase' GROUP BY 1),
+       |j AS MATERIALIZED (
+       |  SELECT s.user_id, s.rn,
+       |         CASE WHEN s.event_type = 'purchase' THEN 'CONV' ELSE s.event_type END AS st
+       |  FROM seq0 s LEFT JOIN pcut p ON p.user_id = s.user_id
+       |  WHERE p.prn IS NULL OR s.rn <= p.prn),
+       |trans AS (
+       |  SELECT coalesce(lag(st) OVER (PARTITION BY user_id ORDER BY rn), 'START') AS prev,
+       |         st AS curr
+       |  FROM j),
+       |term AS (
+       |  SELECT st AS prev, 'NULL' AS curr
+       |  FROM (SELECT st, rn, max(rn) OVER (PARTITION BY user_id) AS mx FROM j)
+       |  WHERE rn = mx AND st <> 'CONV'),
+       |cnt_full AS MATERIALIZED (
+       |  SELECT prev, curr, count(*) AS n FROM (
+       |    SELECT * FROM trans UNION ALL SELECT * FROM term)
+       |  GROUP BY 1, 2),
+       |${removalCnts.mkString(",\n")},
+       |${chains.mkString(",\n")}
+       |$rows
+       |ORDER BY channel""".stripMargin
+  }
 }

@@ -124,3 +124,104 @@ object AttributionStream {
     state.report(spark)
   }
 }
+
+/** Streaming Markov (removal-effect) attribution —
+  * [[graft.operators.MultiTouch.markovAttributionTransform]]'s twin
+  * under time-ordered replay: the chain's transition counts are
+  * ADDITIVE once journeys are truncated consistently, and the
+  * truncation state is a per-user frontier (last journey state + a
+  * converted flag). Per batch: events of already-converted users are
+  * dropped, each live user's batch slice truncates at its first
+  * purchase, the first batch transition hangs off the frontier's
+  * last state (START for new users), and the frontier advances.
+  * Terminal NULL rows are NOT stored — the READ face derives them
+  * from the frontier (a non-converted user's journey "ends today"
+  * exactly like the batch operator's last-event terminal), then runs
+  * the SHARED `markovFromCounts` folds. Correctness rests on
+  * event-time-ordered replay like [[FunnelStream]]/[[AttributionState]].
+  */
+final class MarkovAttrState(stateDir: String) {
+  @volatile private var version: Long = StreamUtil.latestVersion(stateDir)
+
+  private def priorCounts(spark: SparkSession): DataFrame =
+    if (version < 0)
+      spark.createDataFrame(java.util.List.of[Row](), StructType.fromDDL(
+        "prev STRING, curr STRING, n BIGINT"))
+    else spark.read.parquet(s"$stateDir/v$version/counts")
+
+  private def priorFrontier(spark: SparkSession): DataFrame =
+    if (version < 0)
+      spark.createDataFrame(java.util.List.of[Row](), StructType.fromDDL(
+        "user_id BIGINT, last_st STRING, converted BOOLEAN"))
+    else spark.read.parquet(s"$stateDir/v$version/frontier")
+
+  def merge(batch: Dataset[Row], batchId: Long): Unit = {
+    if (batchId <= version) return
+    val spark = batch.sparkSession
+    val fr = priorFrontier(spark)
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val seq0 = batch
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("rn", row_number().over(w))
+    val live = seq0.join(
+      fr.filter(col("converted")).select(col("user_id")), Seq("user_id"), "left_anti")
+    val pcut = live.filter(col("event_type") === "purchase")
+      .groupBy(col("user_id")).agg(min(col("rn")).as("prn"))
+    val j = live.join(pcut, Seq("user_id"), "left")
+      .filter(col("prn").isNull || col("rn") <= col("prn"))
+      .select(col("user_id"), col("rn"),
+        when(col("event_type") === "purchase", lit("CONV"))
+          .otherwise(col("event_type")).as("st"))
+    val wj = Window.partitionBy(col("user_id")).orderBy(col("rn"))
+    val trans = j.withColumn("p0", lag(col("st"), 1).over(wj))
+      .join(fr.select(col("user_id"), col("last_st")), Seq("user_id"), "left")
+      .select(coalesce(col("p0"), col("last_st"), lit("START")).as("prev"),
+        col("st").as("curr"))
+    val counts = priorCounts(spark)
+      .unionByName(trans.groupBy(col("prev"), col("curr")).agg(count(lit(1)).as("n")))
+      .groupBy(col("prev"), col("curr")).agg(sum(col("n")).as("n"))
+    val lastRow = j
+      .withColumn("mx", max(col("rn")).over(Window.partitionBy(col("user_id"))))
+      .filter(col("rn") === col("mx"))
+      .select(col("user_id"), col("st").as("b_st"))
+    val frontier = fr.join(lastRow, Seq("user_id"), "full_outer")
+      .select(col("user_id"),
+        coalesce(col("b_st"), col("last_st")).as("last_st"),
+        (coalesce(col("converted"), lit(false)) || col("b_st") === "CONV")
+          .as("converted"))
+      .select(col("user_id"), col("last_st"),
+        coalesce(col("converted"), lit(false)).as("converted"))
+    StreamUtil.writeGrid(counts, s"$stateDir/v$batchId/counts")
+    StreamUtil.writeSharded(frontier, s"$stateDir/v$batchId/frontier", Seq("user_id"))
+    val prev = version
+    version = batchId
+    if (prev >= 0) StreamUtil.delete(spark, s"$stateDir/v$prev")
+  }
+
+  /** Read face: counts ∪ the frontier's derived NULL terminals →
+    * the shared removal-effect folds. */
+  def report(spark: SparkSession): DataFrame = {
+    val nulls = priorFrontier(spark).filter(!col("converted"))
+      .select(col("last_st").as("prev"), lit("NULL").as("curr"))
+      .groupBy(col("prev"), col("curr")).agg(count(lit(1)).as("n"))
+    graft.operators.MultiTouch.markovFromCounts(
+      priorCounts(spark).unionByName(nulls)
+        .groupBy(col("prev"), col("curr")).agg(sum(col("n")).as("n")))
+  }
+}
+
+object MarkovAttrStream {
+
+  /** Queries entry (oracle: same SQL as `markov_attribution`):
+    * time-ordered replay through the incremental journey-chain state. */
+  def streamMarkovAttribution(spark: SparkSession, dir: String,
+                              nFiles: Int = 4): DataFrame = {
+    val work = graft.GraftCaches.trackTempDir("graft_smattr_")
+    FunnelStream.stageTimeOrdered(spark, dir, s"$work/input", nFiles)
+    val state = new MarkovAttrState(s"$work/state")
+    StreamSources.runForeachBatch(
+      StreamSources.eventsFrom(spark, s"$work/input", maxFilesPerTrigger = 1),
+      state.merge)
+    state.report(spark)
+  }
+}

@@ -864,4 +864,30 @@ class StatsSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
       .map(r => (r.getLong(0), r.getDouble(5))).toSeq
     assert(out == Seq((7L, -0.5), (8L, 0.5)))
   }
+
+  test("markov_attribution: hand-computed removal effects on a two-journey chain") {
+    import spark.implicits._
+    // u1: view -> click -> purchase (converts); u2: view -> error (does not)
+    // chain: START->view x2, view->click, click->CONV, view->error, error->NULL
+    // p(START) = 1/2; removing click or view kills all conversion (RE = 1),
+    // removing error changes nothing (RE = 0); shares 0.5 / 0 / 0.5;
+    // signup never appears -> RE = 0, share 0
+    val events = Seq(
+      (1L, 1L, "2024-01-01 10:00:00", "view", 0.0),
+      (1L, 2L, "2024-01-01 10:01:00", "click", 0.0),
+      (1L, 3L, "2024-01-01 10:02:00", "purchase", 5.0),
+      (2L, 4L, "2024-01-01 11:00:00", "view", 0.0),
+      (2L, 5L, "2024-01-01 11:01:00", "error", 0.0)
+    ).toDF("user_id", "event_id", "tss", "event_type", "value")
+      .withColumn("ts", org.apache.spark.sql.functions.to_timestamp(
+        org.apache.spark.sql.functions.col("tss"))).drop("tss")
+    val r = operators.MultiTouch.markovAttributionTransform(events).collect()
+      .map(x => (x.getString(0), x.getLong(1), x.getLong(2),
+        x.getDouble(3), x.getDouble(4))).toSeq
+    assert(r == Seq(
+      ("click", 500000L, 0L, 1.0, 0.5),
+      ("error", 500000L, 500000L, 0.0, 0.0),
+      ("signup", 500000L, 500000L, 0.0, 0.0),
+      ("view", 500000L, 0L, 1.0, 0.5)))
+  }
 }

@@ -1073,4 +1073,39 @@ class StreamingSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
   test("stream_k_core equals batch k_core over the same presence-derived graph") {
     assert(rows("stream_k_core") == rows("k_core"))
   }
+
+  test("markov attribution state: journey truncation across batches, replay guard, resume") {
+    import org.apache.spark.sql.functions.{col, to_timestamp}
+    import graft.streaming.MarkovAttrState
+    import spark.implicits._
+    val work = GraftCaches.trackTempDir("graft_mattrspec_")
+    def batch(rows: (Long, Long, String, String)*) =
+      rows.toSeq.toDF("user_id", "event_id", "tss", "event_type")
+        .withColumn("ts", to_timestamp(col("tss"))).drop("tss")
+    def report(s: MarkovAttrState) = s.report(spark).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+
+    val state = new MarkovAttrState(s"$work/state")
+    // batch 0: u1 view->click, u2 view
+    state.merge(batch((1L, 1L, "2024-01-01 10:00:00", "view"),
+      (1L, 2L, "2024-01-01 10:01:00", "click"),
+      (2L, 3L, "2024-01-01 11:00:00", "view")), 0)
+    // batch 1: u1 converts; u2 errors; a post-purchase u1 view must be cut
+    state.merge(batch((1L, 4L, "2024-01-02 10:00:00", "purchase"),
+      (1L, 5L, "2024-01-02 10:05:00", "view"),
+      (2L, 6L, "2024-01-02 11:00:00", "error")), 1)
+    // the hand-computed chain of the batch spec: p(START) = 1/2,
+    // removing click or view kills conversion, error changes nothing
+    val want = Seq(("click", 500000L, 0L), ("error", 500000L, 500000L),
+      ("signup", 500000L, 500000L), ("view", 500000L, 0L))
+    assert(report(state) == want)
+    // replay of batch 1 is a no-op
+    state.merge(batch((1L, 4L, "2024-01-02 10:00:00", "purchase")), 1)
+    assert(report(state) == want)
+    // crash-resume: fresh instance recovers the version; a post-
+    // conversion u1 event in batch 2 is dropped (journey closed)
+    val resumed = new MarkovAttrState(s"$work/state")
+    resumed.merge(batch((1L, 7L, "2024-01-03 10:00:00", "view")), 2)
+    assert(report(resumed) == want)
+  }
 }
