@@ -676,9 +676,14 @@ object CorpusQa {
   }
 
   /** Score + confusion off an already-built training state — shared
-    * by the batch transform and the streaming read face. */
+    * by the batch transform and the streaming read face. The class
+    * list is STATIC (the corpus's five languages, intersected with
+    * the observed priors) so the vocab × classes zero-fill is a
+    * generator + equi-joins, never a nested-loop join over a keyed
+    * aggregate — the markov_attribution static-channel contract. */
   private[graft] def nbConfusionFromState(classTok: DataFrame, priors: DataFrame,
-                                          docs0: DataFrame): DataFrame = {
+      docs0: DataFrame,
+      classes: Seq[String] = Seq("de", "en", "es", "fr", "zh")): DataFrame = {
     val spark = classTok.sparkSession
     import spark.implicits._
     val docs = docs0.select($"doc_id", $"lang", $"text")
@@ -686,11 +691,13 @@ object CorpusQa {
     val total = priors.agg(sum($"n_docs").as("n_total"))
     val classN = classTok.groupBy($"lang").agg(sum($"cnt").as("n_c"))
     val v = classTok.select($"tok").distinct().agg(count(lit(1)).as("v"))
-    // (vocab × classes) log-likelihood table: zero-filled via the
-    // class cross (a token unseen in class c still contributes its
-    // smoothed ln(1/(N_c+V)) when a doc of another class carries it)
+    // (vocab × classes) log-likelihood table: a token unseen in class
+    // c still contributes its smoothed ln(1/(N_c+V)) when a doc of
+    // another class carries it; the inner classN join drops static
+    // classes absent from the data
     val ll = classTok.select($"tok").distinct()
-      .crossJoin(broadcast(classN.select($"lang".as("cls"), $"n_c")))
+      .select($"tok", explode(array(classes.map(lit): _*)).as("cls"))
+      .join(broadcast(classN.select($"lang".as("cls"), $"n_c")), Seq("cls"))
       .join(classTok.select($"lang".as("cls"), $"tok", $"cnt"), Seq("cls", "tok"), "left")
       .join(v) // 1-row build side
       .select($"tok", $"cls",

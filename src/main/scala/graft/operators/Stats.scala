@@ -1700,9 +1700,16 @@ object Stats {
   private[graft] def friedmanFromDailyCounts(obs: DataFrame): DataFrame = {
     val spark = obs.sparkSession
     import spark.implicits._
-    val days = obs.select($"day").distinct()
-    val types = obs.select($"event_type").distinct()
-    val grid = days.crossJoin(broadcast(types))
+    // calendar spine from a ONE-ROW bounds aggregate (the ewmaFromDaily
+    // pattern): the types×days zero-fill grid materializes through a
+    // generator + equi-join — never a nested-loop join over a keyed
+    // aggregate (plan-audit gate); an all-silent calendar day ranks
+    // fully tied, which the spine represents and observed-days-only
+    // would skip
+    val bounds = obs.agg(min($"day").as("lo"), max($"day").as("hi"))
+    val grid = obs.select($"event_type").distinct()
+      .crossJoin(broadcast(bounds)) // 1-row build side
+      .select($"event_type", explode(expr("sequence(lo, hi, INTERVAL 1 DAY)")).as("day"))
       .join(obs, Seq("day", "event_type"), "left")
       .select($"day", $"event_type", coalesce($"x", lit(0L)).as("x"))
     val ties = grid.groupBy($"day", $"x").agg(count(lit(1)).as("t"))
@@ -1740,8 +1747,11 @@ object Stats {
   val friedmanDailyOracleSql: String =
     """WITH obs AS (SELECT date_trunc('day', ts) AS day, event_type, count(*) AS x
       |             FROM events GROUP BY 1, 2),
+      |spine AS (SELECT unnest(generate_series((SELECT min(day) FROM obs),
+      |                                        (SELECT max(day) FROM obs),
+      |                                        INTERVAL 1 DAY)) AS day),
       |grid AS (SELECT d.day, t.event_type, coalesce(obs.x, 0) AS x
-      |         FROM (SELECT DISTINCT day FROM obs) d
+      |         FROM spine d
       |         CROSS JOIN (SELECT DISTINCT event_type FROM obs) t
       |         LEFT JOIN obs ON obs.day = d.day AND obs.event_type = t.event_type),
       |ties AS (SELECT day, x, count(*) AS t FROM grid GROUP BY 1, 2),
