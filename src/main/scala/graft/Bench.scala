@@ -75,7 +75,7 @@ object Bench {
     "semi_anti_customers" -> 0.553, "leaderboard_topn" -> 2.02,
     "multimodal_pipeline" -> 0.508, "dedup_exact" -> 0.490,
     "event_router" -> 0.485, "stratified_sample" -> 0.442,
-    "multimodal_decode" -> 0.321, "doc_fingerprint" -> 0.298,
+    "multimodal_decode" -> 0.321, "doc_fingerprint" -> 2.732,
     "train_test_split" -> 0.277,
     // round-4 additions
     "dedup_clusters_star" -> 6.010, "dedup_semantic" -> 2.730,
