@@ -209,6 +209,8 @@ object SparkEntry {
     "stream_k_core"      -> ((s: SparkSession, d: String) => streaming.GraphStream.streamKCore(s, d)),
     "heavy_changers"     -> Timeseries.heavyChangers _,
     "markov_attribution" -> MultiTouch.markovAttribution _,
+    "jackknife_ratio"    -> Stats.jackknifeRatio _,
+    "stream_jackknife"   -> ((s: SparkSession, d: String) => EwmaStream.streamJackknife(s, d)),
     "stream_markov_attribution" -> ((s: SparkSession, d: String) => streaming.MarkovAttrStream.streamMarkovAttribution(s, d)),
     "stream_heavy_changers" -> ((s: SparkSession, d: String) => streaming.TimeseriesStream.streamHeavyChangers(s, d)),
     "nb_lang_classifier" -> CorpusQa.nbLangClassifier _,
@@ -522,6 +524,8 @@ object SparkEntry {
       // additive journey-chain counts + per-user truncation frontier
       // under time-ordered replay; NULL terminals derive at read
       "stream_markov_attribution" -> base("markov_attribution"),
+      // the daily (cents, n) grid's fifth face
+      "stream_jackknife" -> base("jackknife_ratio"),
       // dow pivot is a pure read over the daily rollup state
       "stream_pivot_type_dow" -> base("pivot_type_dow"),
       // additive per-source readability sums
@@ -988,6 +992,7 @@ object SparkEntry {
     "nb_lang_classifier" -> operators.CorpusQa.nbLangClassifierOracleSql,
     "heavy_changers" -> operators.Timeseries.heavyChangersOracleSql,
     "markov_attribution" -> operators.MultiTouch.markovAttributionOracleSql(),
+    "jackknife_ratio" -> operators.Stats.jackknifeRatioOracleSql,
     "pivot_type_dow" -> operators.Olap.pivotTypeDowOracleSql,
     "link_prediction" -> operators.Graph.linkPredictionOracleSql(),
     "changepoint_cusum" -> operators.Behavior.changepointCusumOracleSql,

@@ -1912,4 +1912,81 @@ object Stats {
       |               / sqrt((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n) / (n - 1)), 6)
       |       END AS g
       |FROM star WHERE rn = 1 ORDER BY 1""".stripMargin
+
+  /** Jackknife standard error of the per-type RATIO estimator
+    * (cents per event) over days — the leave-one-out companion of
+    * [[Sampling.bootstrapMeanCi]] and the textbook case where a
+    * resampling SE genuinely differs from a plug-in formula: the
+    * ratio Σcents/Σn is nonlinear in the per-day pairs, so its
+    * uncertainty has no exact closed form and the delta method /
+    * jackknife is the standard read (Efron & Tibshirani ch. 11,
+    * "ratio estimation"). Days are the natural resampling unit — a
+    * leave-one-EVENT-out jackknife would be data-scale; the day
+    * blocks are calendar-bounded and respect within-day correlation.
+    *
+    * SE_jack = √((n−1)/n · Σ(r_i − r̄)²), r_i the leave-day-i-out
+    * ratio. Float discipline: each r_i and r_i² is quantized to the
+    * 1e-9 grid and summed as DECIMAL (order-free), so both engines
+    * agree exactly; the SSE and the final √ are single float steps.
+    * Shape: one shuffle to the daily grid; everything after is
+    * grid-scale. */
+  private[graft] def jackknifeRatioFromDaily(daily: DataFrame): DataFrame = {
+    val spark = daily.sparkSession
+    import spark.implicits._
+    val tot = daily.groupBy($"event_type")
+      .agg(sum($"cents").as("sc"), sum($"n").as("sn"), count(lit(1)).as("nd"))
+    daily.join(tot, Seq("event_type"))
+      .filter($"sn" - $"n" > 0 && $"nd" > 1)
+      .select($"event_type", $"sc", $"sn", $"nd",
+        (expr("CAST(sc - cents AS DOUBLE)") / ($"sn" - $"n")).as("r"))
+      .select($"event_type", $"sc", $"sn", $"nd",
+        expr("CAST(round(r, 9) AS DECIMAL(38,9))").as("rq"),
+        expr("CAST(round(r * r, 9) AS DECIMAL(38,9))").as("rq2"))
+      .groupBy($"event_type")
+      .agg(max($"sc").as("sc"), max($"sn").as("sn"), max($"nd").as("nd"),
+        sum($"rq").as("sr"), sum($"rq2").as("sr2"))
+      .select($"event_type", $"nd".as("n_days"),
+        expr("round(CAST(sc AS DOUBLE) / sn, 6)").as("ratio_cents"),
+        expr("""round(sqrt((nd - 1.0) / nd *
+               |  greatest(CAST(sr2 AS DOUBLE) - CAST(sr AS DOUBLE) * CAST(sr AS DOUBLE) / nd, 0.0)),
+               |  6)""".stripMargin).as("jack_se"))
+      .orderBy($"event_type")
+  }
+
+  def jackknifeRatioTransform(events: DataFrame): DataFrame =
+    jackknifeRatioFromDaily(events
+      .select(col("event_type"), date_trunc("day", col("ts")).as("day"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("c"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(sum(col("c")).as("cents"), count(lit(1)).as("n")))
+
+  def jackknifeRatio(spark: SparkSession, dir: String): DataFrame =
+    jackknifeRatioTransform(Tables.events(spark, dir))
+
+  /** DuckDB oracle for [[jackknifeRatioTransform]] — identical LOO
+    * ratios, identical 1e-9 quantization. */
+  val jackknifeRatioOracleSql: String =
+    """WITH daily AS (SELECT event_type, date_trunc('day', ts) AS day,
+      |                      sum(CAST(round(value * 100) AS BIGINT)) AS cents,
+      |                      count(*) AS n
+      |               FROM events GROUP BY 1, 2),
+      |tot AS (SELECT event_type, sum(cents) AS sc, sum(n) AS sn, count(*) AS nd
+      |        FROM daily GROUP BY 1),
+      |loo AS (SELECT d.event_type, t.sc, t.sn, t.nd,
+      |               CAST(t.sc - d.cents AS DOUBLE) / (t.sn - d.n) AS r
+      |        FROM daily d JOIN tot t ON t.event_type = d.event_type
+      |        WHERE t.sn - d.n > 0 AND t.nd > 1),
+      |q AS (SELECT event_type, sc, sn, nd,
+      |             CAST(round(r, 9) AS DECIMAL(38,9)) AS rq,
+      |             CAST(round(r * r, 9) AS DECIMAL(38,9)) AS rq2
+      |      FROM loo),
+      |a AS (SELECT event_type, max(sc) AS sc, max(sn) AS sn, max(nd) AS nd,
+      |             sum(rq) AS sr, sum(rq2) AS sr2
+      |      FROM q GROUP BY 1)
+      |SELECT event_type, CAST(nd AS BIGINT) AS n_days,
+      |       round(CAST(sc AS DOUBLE) / sn, 6) AS ratio_cents,
+      |       round(sqrt((nd - 1.0) / nd *
+      |             greatest(CAST(sr2 AS DOUBLE) - CAST(sr AS DOUBLE) * CAST(sr AS DOUBLE) / nd, 0.0)),
+      |             6) AS jack_se
+      |FROM a ORDER BY 1""".stripMargin
 }

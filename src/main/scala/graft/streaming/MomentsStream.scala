@@ -411,6 +411,11 @@ final class DailyTypeCentsState(stateDir: String) {
   def grubbs(spark: SparkSession): DataFrame =
     graft.operators.Stats.grubbsFromDaily(prior(spark))
 
+  /** Fifth face: the jackknife ratio-SE read — leave-day-out blocks
+    * over the same (Σcents, n) grid. */
+  def jackknifeRatio(spark: SparkSession): DataFrame =
+    graft.operators.Stats.jackknifeRatioFromDaily(prior(spark))
+
   /** Fourth face: the Page–Hinkley drift monitor — the (Σcents, n)
     * grid added round 9 carries the daily means the running-mean
     * recursion needs (the recursion itself cannot merge across
@@ -446,6 +451,15 @@ object EwmaStream {
     val state = new DailyTypeCentsState(s"$work/state")
     StreamSources.runForeachBatch(StreamSources.events(spark, dir), state.merge)
     state.grubbs(spark)
+  }
+
+  /** Queries entry (oracle: same SQL as `jackknife_ratio`): the SAME
+    * daily-cents state, fifth face. */
+  def streamJackknife(spark: SparkSession, dir: String): DataFrame = {
+    val work = graft.GraftCaches.trackTempDir("graft_sjack_")
+    val state = new DailyTypeCentsState(s"$work/state")
+    StreamSources.runForeachBatch(StreamSources.events(spark, dir), state.merge)
+    state.jackknifeRatio(spark)
   }
 
   /** Queries entry (oracle: same SQL as `page_hinkley_daily`): the
