@@ -890,4 +890,17 @@ class StatsSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
       ("signup", 500000L, 500000L, 0.0, 0.0),
       ("view", 500000L, 0L, 1.0, 0.5)))
   }
+
+  test("jackknife_ratio: hand-computed LOO ratios on a two-day series") {
+    import spark.implicits._
+    // days: (100c, 1 event), (300c, 1 event) -> LOO ratios 300 and 100,
+    // mean 200, SSE 20000, SE = sqrt(1/2 * 20000) = 100; ratio = 200
+    val events = Seq((ts(0), "v", 1.0), (ts(1), "v", 3.0))
+      .toDF("ts", "event_type", "value")
+    val r = operators.Stats.jackknifeRatioTransform(events).collect()
+    assert(r.length == 1)
+    assert(r(0).getAs[Long]("n_days") == 2L)
+    assert(r(0).getAs[Double]("ratio_cents") == 200.0)
+    assert(r(0).getAs[Double]("jack_se") == 100.0)
+  }
 }
