@@ -210,6 +210,7 @@ object SparkEntry {
     "heavy_changers"     -> Timeseries.heavyChangers _,
     "markov_attribution" -> MultiTouch.markovAttribution _,
     "jackknife_ratio"    -> Stats.jackknifeRatio _,
+    "decile_lift"        -> Behavior.decileLift _,
     "stream_jackknife"   -> ((s: SparkSession, d: String) => EwmaStream.streamJackknife(s, d)),
     "stream_markov_attribution" -> ((s: SparkSession, d: String) => streaming.MarkovAttrStream.streamMarkovAttribution(s, d)),
     "stream_heavy_changers" -> ((s: SparkSession, d: String) => streaming.TimeseriesStream.streamHeavyChangers(s, d)),
@@ -993,6 +994,7 @@ object SparkEntry {
     "heavy_changers" -> operators.Timeseries.heavyChangersOracleSql,
     "markov_attribution" -> operators.MultiTouch.markovAttributionOracleSql(),
     "jackknife_ratio" -> operators.Stats.jackknifeRatioOracleSql,
+    "decile_lift" -> operators.Behavior.decileLiftOracleSql,
     "pivot_type_dow" -> operators.Olap.pivotTypeDowOracleSql,
     "link_prediction" -> operators.Graph.linkPredictionOracleSql(),
     "changepoint_cusum" -> operators.Behavior.changepointCusumOracleSql,

@@ -2313,4 +2313,66 @@ object Behavior {
       |FROM u
       |ORDER BY peak_minute_events DESC, n_events DESC, user_id
       |LIMIT 20""".stripMargin
+
+  /** Decile lift table — the campaign-analytics evaluation read that
+    * sits downstream of every scoring model here ([[CorpusQa
+    * .nbLangClassifierTransform]]'s confusion matrix evaluates a
+    * classifier; this evaluates a RANKING): users ranked by an
+    * engagement score (non-purchase event count — the propensity
+    * proxy a reference deployment would replace with a model score),
+    * cut into 10 equal-depth deciles, each reporting its conversion
+    * rate against the base rate as a lift multiple. A useful model
+    * front-loads converters into decile 1; lift ≈ 1 everywhere means
+    * the score carries no signal.
+    *
+    * Determinism: decile boundaries come from row_number over
+    * (score DESC, user_id) — the integer tie-break the sampling
+    * family uses — and decile_d = (rank−1)·10 / N in integer
+    * arithmetic; lift = c_d·N / (n_d·C) is a ratio of exact integers
+    * divided once. Shape: one user-level aggregate, one
+    * planning-scale window over |users| rows, a 10-row output. */
+  def decileLiftTransform(events: DataFrame): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val users = events.groupBy($"user_id")
+      .agg(sum(when($"event_type" =!= "purchase", 1L).otherwise(0L)).as("score"),
+        max(when($"event_type" === "purchase", 1L).otherwise(0L)).as("converted"))
+    val ranked = users
+      .withColumn("rnk", row_number().over(
+        Window.orderBy($"score".desc, $"user_id")))
+      .withColumn("n_users", count(lit(1)).over(Window.partitionBy()))
+      .withColumn("decile", (($"rnk" - 1L) * 10L / $"n_users").cast("long") + 1L)
+    val tot = users.agg(count(lit(1)).as("nt"), sum($"converted").as("ct"))
+    ranked.groupBy($"decile")
+      .agg(count(lit(1)).as("n_users"), sum($"converted").as("n_converters"))
+      .join(broadcast(tot)) // 1-row build side
+      .select($"decile", $"n_users", $"n_converters",
+        expr("round(CAST(n_converters AS DOUBLE) / n_users, 6)").as("conv_rate"),
+        expr("""CASE WHEN ct > 0 THEN
+               |  round(CAST(n_converters AS DOUBLE) * nt / (CAST(n_users AS DOUBLE) * ct), 6)
+               |END""".stripMargin).as("lift"))
+      .orderBy($"decile")
+  }
+
+  def decileLift(spark: SparkSession, dir: String): DataFrame =
+    decileLiftTransform(Tables.events(spark, dir))
+
+  /** DuckDB oracle for [[decileLiftTransform]]. */
+  val decileLiftOracleSql: String =
+    """WITH users AS (SELECT user_id,
+      |                      sum(CASE WHEN event_type <> 'purchase' THEN 1 ELSE 0 END) AS score,
+      |                      max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS converted
+      |               FROM events GROUP BY 1),
+      |ranked AS (SELECT converted,
+      |                  (row_number() OVER (ORDER BY score DESC, user_id) - 1) * 10
+      |                    // (SELECT count(*) FROM users) + 1 AS decile
+      |           FROM users),
+      |tot AS (SELECT count(*) AS nt, sum(converted) AS ct FROM users)
+      |SELECT CAST(decile AS BIGINT) AS decile, count(*) AS n_users,
+      |       CAST(sum(converted) AS BIGINT) AS n_converters,
+      |       round(CAST(sum(converted) AS DOUBLE) / count(*), 6) AS conv_rate,
+      |       CASE WHEN tot.ct > 0 THEN
+      |         round(CAST(sum(converted) AS DOUBLE) * tot.nt
+      |               / (CAST(count(*) AS DOUBLE) * tot.ct), 6) END AS lift
+      |FROM ranked, tot GROUP BY decile, tot.nt, tot.ct ORDER BY 1""".stripMargin
 }
