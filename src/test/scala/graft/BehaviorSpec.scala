@@ -791,4 +791,20 @@ class BehaviorSpec extends AnyFunSuite {
     assert(!byU(2L).getAs[Boolean]("flagged"))
     assert(byU(2L).getAs[Long]("active_minutes") == 10L)
   }
+
+  test("decile_lift: a perfectly ranked converter gives decile-1 lift = N/C") {
+    import spark.implicits._
+    // 10 users, scores 10..1 by event count; only the top scorer
+    // converts -> decile 1 holds the one converter, lift = 10
+    val rows = (1L to 10L).flatMap { u =>
+      (1L to (11L - u)).map(i => (u, "view")) ++
+        (if (u == 1L) Seq((u, "purchase")) else Nil)
+    }
+    val events = rows.toDF("user_id", "event_type")
+    val out = operators.Behavior.decileLiftTransform(events).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(4))).toSeq
+    assert(out.length == 10)
+    assert(out.head == ((1L, 1L, 1L, 10.0)))
+    assert(out.tail.forall(_._4 == 0.0))
+  }
 }
