@@ -2026,10 +2026,12 @@ object Behavior {
     * disagree on — plus the user's exact cumulative revenue share in
     * bp.
     *
-    * Shape: fact → one row per user (map-side combinable), rank
-    * window over the user-scale aggregate (planning-scale by the
-    * plan-audit rule; the 100 TB variant rides the 19 slice-locate
-    * pattern), |users| rows out.
+    * Shape: fact → one row per user (map-side combinable), then the
+    * rank and running share are DISTRIBUTED via
+    * [[GlobalRank.withGlobalOrder]]'s range-partitioned slice rank
+    * (round-9 verdict task 1: |users| rows is data scale — an
+    * unpartitioned window would put ~10⁹ rows through one task at
+    * 100 TB); |users| rows out.
     */
   def userRevenuePercentileTransform(events: DataFrame): DataFrame = {
     val spark = events.sparkSession
@@ -2037,17 +2039,11 @@ object Behavior {
     val perUser = events
       .select($"user_id", expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
       .groupBy($"user_id").agg(sum($"cents").as("cents"))
-    val byRev = Window.orderBy($"cents", $"user_id")
-    val whole = Window.partitionBy(lit(0))
-    perUser
-      .withColumn("rn", row_number().over(byRev).cast("long"))
-      .withColumn("n", count(lit(1)).over(whole))
-      .withColumn("cum", sum($"cents").over(byRev.rowsBetween(Window.unboundedPreceding, 0)))
-      .withColumn("total", sum($"cents").over(whole))
+    GlobalRank.withGlobalOrder(perUser, Seq($"cents", $"user_id"), Seq("cents"))
       .select($"user_id", $"cents",
-        $"rn".as("revenue_rank"),
-        expr("rn * 10000 div n").as("percentile_bp"),
-        expr("cum * 10000 div total").as("cum_share_bp"))
+        $"grk".as("revenue_rank"),
+        expr("grk * 10000 div n_total").as("percentile_bp"),
+        expr("cum_cents * 10000 div total_cents").as("cum_share_bp"))
       .orderBy($"user_id")
   }
 
@@ -2325,23 +2321,24 @@ object Behavior {
     * front-loads converters into decile 1; lift ≈ 1 everywhere means
     * the score carries no signal.
     *
-    * Determinism: decile boundaries come from row_number over
+    * Determinism: decile boundaries come from the global rank under
     * (score DESC, user_id) — the integer tie-break the sampling
-    * family uses — and decile_d = (rank−1)·10 / N in integer
-    * arithmetic; lift = c_d·N / (n_d·C) is a ratio of exact integers
-    * divided once. Shape: one user-level aggregate, one
-    * planning-scale window over |users| rows, a 10-row output. */
+    * family uses — and decile_d = (rank−1)·10 DIV N (Spark's
+    * integral division, matching the oracle's `//` exactly); lift =
+    * c_d·N / (n_d·C) is a ratio of exact integers divided once.
+    * Shape: one user-level aggregate, then the rank is DISTRIBUTED —
+    * [[GlobalRank.withGlobalOrder]]'s range-partitioned slice rank
+    * (round-9 verdict task 1: the per-user table is |users| rows —
+    * data scale, ~10⁹ at 100 TB — so an unpartitioned window here
+    * would funnel it through one task); a 10-row output. */
   def decileLiftTransform(events: DataFrame): DataFrame = {
     val spark = events.sparkSession
     import spark.implicits._
     val users = events.groupBy($"user_id")
       .agg(sum(when($"event_type" =!= "purchase", 1L).otherwise(0L)).as("score"),
         max(when($"event_type" === "purchase", 1L).otherwise(0L)).as("converted"))
-    val ranked = users
-      .withColumn("rnk", row_number().over(
-        Window.orderBy($"score".desc, $"user_id")))
-      .withColumn("n_users", count(lit(1)).over(Window.partitionBy()))
-      .withColumn("decile", (($"rnk" - 1L) * 10L / $"n_users").cast("long") + 1L)
+    val ranked = GlobalRank.withGlobalOrder(users, Seq($"score".desc, $"user_id"))
+      .withColumn("decile", expr("(grk - 1) * 10 div n_total") + 1L)
     val tot = users.agg(count(lit(1)).as("nt"), sum($"converted").as("ct"))
     ranked.groupBy($"decile")
       .agg(count(lit(1)).as("n_users"), sum($"converted").as("n_converters"))

@@ -501,11 +501,11 @@ object CorpusQa {
     *
     * Shape: the ONLY fact-scale passes are the two token rollups
     * (per-doc token counts; per-token FIRST doc — a min aggregate);
-    * the cumulative curves are |docs|-row windows over those
-    * aggregates, and the regression is a one-row aggregate. The
-    * unpartitioned cumsum windows consume a per-doc-aggregate input
-    * (docs-grid scale, the vocab_stats class); a 100 TB run swaps in
-    * the slice-locate pattern. */
+    * the cumulative curves ride [[GlobalRank.withGlobalOrder]]'s
+    * range-partitioned slice cumsum — the per-doc table is |docs|
+    * rows, DATA scale (round-9 verdict task 1: an unpartitioned
+    * cumsum window here would put every doc through one task at
+    * 100 TB) — and the regression is a one-row aggregate. */
   def heapsLawFitTransform(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
@@ -513,14 +513,11 @@ object CorpusQa {
     val perDoc = toks.groupBy($"doc_id").agg(count(lit(1)).as("t"))
     val newVocab = toks.groupBy($"tok").agg(min($"doc_id").as("doc_id"))
       .groupBy($"doc_id").agg(count(lit(1)).as("v"))
-    val wc = Window.orderBy($"doc_id")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val pts = perDoc.join(newVocab, Seq("doc_id"), "left")
+    val base = perDoc.join(newVocab, Seq("doc_id"), "left")
       .select($"doc_id", $"t", coalesce($"v", lit(0L)).as("v"))
-      .withColumn("ct", sum($"t").over(wc))
-      .withColumn("cv", sum($"v").over(wc))
-      .select(expr("CAST(round(ln(ct) * 1000000) AS BIGINT)").as("x"),
-        expr("CAST(round(ln(cv) * 1000000) AS BIGINT)").as("y"))
+    val pts = GlobalRank.withGlobalOrder(base, Seq($"doc_id"), Seq("t", "v"))
+      .select(expr("CAST(round(ln(cum_t) * 1000000) AS BIGINT)").as("x"),
+        expr("CAST(round(ln(cum_v) * 1000000) AS BIGINT)").as("y"))
     pts.agg(count(lit(1)).as("n_points"),
         sum($"x").as("sx"), sum($"y").as("sy"),
         sum(expr("CAST(x AS DECIMAL(38,0)) * y")).as("sxy"),

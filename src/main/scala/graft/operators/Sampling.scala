@@ -581,10 +581,17 @@ object Sampling {
     * no shuffle beyond B·|types| partials.
     *
     * Determinism (the [[splitHash]] doctrine — no rand()): the
-    * uniform for (row, replicate) is a 31-bit LCG step on
-    * (event_id mod p)·1103515245 + b·12345 + 54321 mod 2³¹ — the
-    * event_id is first reduced mod p = 2³¹−1 so the product stays
-    * far inside a Long at ANY event_id scale — and the Poisson draw
+    * uniform for (row, replicate) is x² mod p on
+    * x = ((event_id mod p)·1103515245 + b·1013904223 + 12345) mod p
+    * with p = 2³¹−1 — the same square-mix universal-family idiom as
+    * [[graft.functions.Sketches]]; the event_id is first reduced
+    * mod p so the product stays far inside a Long at ANY event_id
+    * scale, and the quadratic mix makes the b term propagate through
+    * the whole 31-bit state (a bare additive b·const shifts u by
+    * ≤2e-4 across 32 replicates, which correlates the replicates
+    * near-perfectly and collapses the bootstrap SE ~100×; the
+    * square restores per-replicate independence) — and the Poisson
+    * draw
     * inverts the CDF through a fixed 9-step ladder (P(w>8) < 1.1e-6;
     * the tail mass is assigned to w=8, a documented truncation both
     * engines share). Output = B rows (replicate, n_eff,
@@ -596,8 +603,10 @@ object Sampling {
     * to the full-scan result; the streaming twin's state is exactly
     * these 32 rows). */
   private[graft] def bootstrapPartial(events: DataFrame, b: Int): DataFrame = {
-    val lcg = "(((event_id % 2147483647) * 1103515245 + b * 12345 + 54321) % 2147483648)"
-    val u = s"CAST($lcg AS DOUBLE) / 2147483648.0"
+    // CAST(b AS BIGINT): b is the exploded sequence INT here; a bare
+    // b * 1013904223 would be int×int and wrap at b ≥ 3
+    val x = "(((event_id % 2147483647) * 1103515245 + CAST(b AS BIGINT) * 1013904223 + 12345) % 2147483647)"
+    val u = s"CAST(($x * $x) % 2147483647 AS DOUBLE) / 2147483647.0"
     val ladder =
       s"""CASE WHEN $u < 0.3678794412 THEN 0 WHEN $u < 0.7357588823 THEN 1
          |     WHEN $u < 0.9196986029 THEN 2 WHEN $u < 0.9810118431 THEN 3
@@ -627,8 +636,8 @@ object Sampling {
 
   /** DuckDB oracle for [[bootstrapMeanCi]] — same LCG, same ladder. */
   def bootstrapMeanCiOracleSql(b: Int = 32): String = {
-    val lcg = "(((event_id % 2147483647) * 1103515245 + t.b * 12345 + 54321) % 2147483648)"
-    val u = s"CAST($lcg AS DOUBLE) / 2147483648.0"
+    val x = "(((event_id % 2147483647) * 1103515245 + t.b * 1013904223 + 12345) % 2147483647)"
+    val u = s"CAST(($x * $x) % 2147483647 AS DOUBLE) / 2147483647.0"
     s"""WITH fan AS (
        |  SELECT t.b,
        |         CASE WHEN $u < 0.3678794412 THEN 0 WHEN $u < 0.7357588823 THEN 1

@@ -805,6 +805,32 @@ class StatsSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
     }
   }
 
+  test("bootstrap_mean_ci: replicate spread is a real sampling distribution (~ s/sqrt(n))") {
+    import spark.implicits._
+    // The round-9 advisor found the pre-fix LCG drew near-identical
+    // uniforms for every replicate (b only shifted u by ≤2e-4), so
+    // the replicate means collapsed to ~1e-6 spread — 100× below the
+    // true bootstrap SE. Pin the order of magnitude: for x with
+    // sample s.d. s over n rows, the Poisson-bootstrap replicate
+    // means must spread like s/√n (within a 3× envelope either way).
+    val n = 400
+    val vals = (1L to n.toLong).map(i => 0.5 + (i % 7) * 0.01)
+    val events = (1L to n.toLong).zip(vals).toDF("event_id", "value")
+    val means = operators.Sampling.bootstrapReport(
+      operators.Sampling.bootstrapPartial(events, 32)).collect()
+      .map(_.getAs[Double]("mean_value"))
+    val mu = means.sum / means.length
+    val sd = math.sqrt(means.map(m => (m - mu) * (m - mu)).sum / (means.length - 1))
+    val s = {
+      val vm = vals.sum / n
+      math.sqrt(vals.map(v => (v - vm) * (v - vm)).sum / (n - 1))
+    }
+    val se = s / math.sqrt(n.toDouble)
+    assert(sd > se / 3.0 && sd < se * 3.0,
+      s"replicate s.d. $sd vs expected SE $se — replicates are " +
+        "correlated (too small) or broken (too large)")
+  }
+
   test("cms_top_items: estimate is never below truth and collision-free here") {
     import spark.implicits._
     // 3 hot items (120/80/60 of 300) + 40 singleton ids: d=4 × w=512
