@@ -286,6 +286,11 @@ object Bench {
     re.findFirstMatchIn(out).map(_.group(1).toDouble)
   }
 
+  /** The host-health reference query: small, stable plan, frozen
+    * since round 3 — its fresh-JVM median vs frozen row measures the
+    * box, not the code. */
+  private val canaryName = "markov_stationary"
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -342,6 +347,7 @@ object Bench {
     // 3-fresh-JVM isolated re-run, median recorded. Skipped when the
     // bench was invoked for specific queries (that IS the child).
     val isolated = scala.collection.mutable.LinkedHashMap.empty[String, (Double, Seq[Double], Double)]
+    var canary: Option[(Double, Seq[Double])] = None
     if (args.isEmpty && sfDir.contains("sf0.1")) {
       spark.stop() // free the session's 32 threads before forking children
       val flaggedQ = results.collect {
@@ -354,6 +360,15 @@ object Bench {
           isolated(name) = (median, runs, frozenSf01(name))
         }
       }
+      // Host-health canary (round-9 verdict task 2): the frozen table
+      // was stamped on a host whose DRAM has since degraded, so every
+      // flag-tail ratio must be read against the SAME-WINDOW cost of a
+      // fixed reference query. Run it isolated every bench and stamp
+      // its median into the JSON — the flag tail then self-normalizes
+      // (ratio / canary_ratio) without the judge re-deriving the
+      // host's drift each round.
+      val cRuns = (1 to 3).flatMap(_ => isolatedRun(canaryName, sfDir, cpus))
+      if (cRuns.nonEmpty) canary = Some((cRuns.sorted.apply(cRuns.size / 2), cRuns))
     }
     def q(s: String): String = "\"" + s.flatMap {
       case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
@@ -368,8 +383,22 @@ object Bench {
       else ",\"isolated\":" + isolated.map { case (k, (med, runs, froz)) =>
         s"${q(k)}:{" + s""""median":$med,"runs":[${runs.mkString(",")}],"frozen":$froz}"""
       }.mkString("{", ",", "}")
+    val canaryJson = canary.map { case (med, runs) =>
+      val froz = frozenSf01(canaryName)
+      s""",\"canary\":{\"name\":${q(canaryName)},\"median\":$med,\"runs\":[${runs.mkString(",")}],\"frozen\":$froz,\"ratio\":${med / froz}}"""
+    }.getOrElse("")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$errJson$isoJson,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$errJson$isoJson$canaryJson,"sf":"$sfDir"}"""
+    println(line)
+    // The driver keeps only the tail of stdout (which truncated away
+    // the round-9 totals) — persist the full report verbatim (round-9
+    // verdict task 3). Child (single-query) invocations skip this so
+    // an isolation pass can't clobber the session report.
+    if (args.isEmpty) {
+      try java.nio.file.Files.write(java.nio.file.Paths.get("bench_report.json"),
+        (line + "\n").getBytes("UTF-8"))
+      catch { case _: Throwable => () }
+    }
     spark.stop() // idempotent if the isolation pass already stopped it
     if (errors.nonEmpty) sys.exit(1)
   }

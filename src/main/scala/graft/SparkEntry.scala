@@ -211,6 +211,7 @@ object SparkEntry {
     "markov_attribution" -> MultiTouch.markovAttribution _,
     "jackknife_ratio"    -> Stats.jackknifeRatio _,
     "decile_lift"        -> Behavior.decileLift _,
+    "stream_decile_lift" -> ProfileStreams.streamDecileLift _,
     "stream_jackknife"   -> ((s: SparkSession, d: String) => EwmaStream.streamJackknife(s, d)),
     "stream_markov_attribution" -> ((s: SparkSession, d: String) => streaming.MarkovAttrStream.streamMarkovAttribution(s, d)),
     "stream_heavy_changers" -> ((s: SparkSession, d: String) => streaming.TimeseriesStream.streamHeavyChangers(s, d)),
@@ -280,6 +281,7 @@ object SparkEntry {
     "stream_session_agg" -> Sessionize.streamSessionAgg _,
     "stream_router"      -> EngagementStream.streamRouter _,
     "stream_router_jdbc" -> JdbcSink.streamRouterJdbc _,
+    "stream_router_http" -> graft.streaming.HttpSink.streamRouterHttp _,
     "stream_leaderboard" -> EngagementStream.streamLeaderboard _,
     "stream_dedup"       -> StreamDedup.streamDedup _,
     "stream_dedup_incremental" ->
@@ -630,6 +632,7 @@ object SparkEntry {
       "stream_session_agg" -> base("session_window_agg"),
       "stream_router"      -> base("event_router"),
       "stream_router_jdbc" -> base("event_router"),
+      "stream_router_http" -> base("event_router"),
       "stream_leaderboard" -> base("leaderboard_topn"),
       // a full replay of the input is 100% duplicates → the deduped
       // stream equals the events table itself
@@ -995,6 +998,7 @@ object SparkEntry {
     "markov_attribution" -> operators.MultiTouch.markovAttributionOracleSql(),
     "jackknife_ratio" -> operators.Stats.jackknifeRatioOracleSql,
     "decile_lift" -> operators.Behavior.decileLiftOracleSql,
+    "stream_decile_lift" -> operators.Behavior.decileLiftOracleSql,
     "pivot_type_dow" -> operators.Olap.pivotTypeDowOracleSql,
     "link_prediction" -> operators.Graph.linkPredictionOracleSql(),
     "changepoint_cusum" -> operators.Behavior.changepointCusumOracleSql,

@@ -644,16 +644,17 @@ object Behavior {
     * Quartiles are RANK-based with a total order (metric, then
     * user_id), so the assignment `q = ((rn−1)·4) div n + 1` is
     * deterministic and engine-identical — no float thresholds, no
-    * ntile tie ambiguity. The three rank windows run over the
-    * per-user AGGREGATE (|users| rows, fact already reduced — the
-    * [[TextOps.vocabStats]] pattern); at 100 TB user-count scale the
-    * three global sorts swap for the slice-locate exact-rank pattern
-    * of [[Olap.percentileStats]] or approx thresholds, documented
-    * trade.
+    * ntile tie ambiguity. The three ranks are DISTRIBUTED
+    * ([[GlobalRank.withGlobalOrder]]'s range-partitioned slice rank,
+    * round-9 verdict task 1): the per-user table is |users| rows —
+    * data scale, ~10⁹ at 100 TB — so each metric's global order runs
+    * as P parallel slice sorts with in-plan offsets, never one task.
     *
     * Scale shape: fact shuffles ONCE on user_id into the three-metric
     * aggregate (map-side combinable: max/count/sum); everything after
-    * is user-scale; output is ≤ 64 segment rows.
+    * is user-scale (3 range exchanges, one per metric order — the
+    * price of three independent total orders); output is ≤ 64
+    * segment rows.
     */
   def rfmSegmentsTransform(events: DataFrame): DataFrame = {
     val perUser = events
@@ -663,12 +664,10 @@ object Behavior {
       .agg(max(col("ts")).as("last_ts"),
         count(lit(1)).as("freq"),
         sum(col("cents")).as("cents"))
-    val w = Window.partitionBy(lit(0))
-    def quartile(order: Column, name: String)(df: DataFrame): DataFrame = df
-      .withColumn("rn", row_number().over(w.orderBy(order, col("user_id"))))
-      .withColumn("nn", count(lit(1)).over(w))
-      .withColumn(name, expr("CAST((rn - 1) * 4 div nn + 1 AS INT)"))
-      .drop("rn", "nn")
+    def quartile(order: Column, name: String)(df: DataFrame): DataFrame =
+      GlobalRank.withGlobalOrder(df, Seq(order, col("user_id")))
+        .withColumn(name, expr("CAST((grk - 1) * 4 div n_total + 1 AS INT)"))
+        .drop("grk", "n_total")
     val scored = quartile(col("last_ts").desc, "r_q")(
       quartile(col("freq").desc, "f_q")(
         quartile(col("cents").desc, "m_q")(perUser)))
@@ -877,19 +876,19 @@ object Behavior {
     * engine-bit-equal.
     *
     * Scale shape: fact → per-item counts (ONE map-side-combinable
-    * shuffle, |items| rows out); the rank window over the item-scale
-    * aggregate is the documented planning-scale global sort (same
-    * class as [[vocab_stats]]'s rank — at 100 TB it swaps to the
-    * range-partitioned rank of Olap.percentileStats, the aggregate
-    * to ONE row either way).
+    * shuffle, |items| rows out); the rank rides
+    * [[GlobalRank.withGlobalOrder]]'s range-partitioned slice rank
+    * (round-9 verdict task 1 — |items| is data scale: a catalog at
+    * 100 TB is ~10⁸ items, too many for a one-task sort), and the
+    * aggregate reduces to ONE row.
     */
   def engagementGiniTransform(events: DataFrame): DataFrame = {
     val counts = events
       .select(get_json_object(col("props"), "$.k").cast("long").as("item"))
       .filter(col("item").isNotNull)
       .groupBy(col("item")).agg(count(lit(1)).as("cnt"))
-    val ranked = counts.withColumn("rn",
-      row_number().over(Window.partitionBy(lit(0)).orderBy(col("cnt"), col("item"))))
+    val ranked = GlobalRank.withGlobalOrder(counts, Seq(col("cnt"), col("item")))
+      .withColumnRenamed("grk", "rn")
     ranked
       .agg(
         count(lit(1)).as("n_items"),
@@ -2331,12 +2330,19 @@ object Behavior {
     * (round-9 verdict task 1: the per-user table is |users| rows —
     * data scale, ~10⁹ at 100 TB — so an unpartitioned window here
     * would funnel it through one task); a 10-row output. */
-  def decileLiftTransform(events: DataFrame): DataFrame = {
-    val spark = events.sparkSession
+  def decileLiftTransform(events: DataFrame): DataFrame =
+    decileFromUsers(events.groupBy(col("user_id"))
+      .agg(sum(when(col("event_type") =!= "purchase", 1L).otherwise(0L)).as("score"),
+        max(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("converted")))
+
+  /** The decile derivation over the per-user (score, converted)
+    * aggregate — shared with the streaming twin
+    * ([[graft.streaming.UserScoreState]]), whose additive per-user
+    * state is exactly this input (score sums, converted maxes across
+    * micro-batches). */
+  private[graft] def decileFromUsers(users: DataFrame): DataFrame = {
+    val spark = users.sparkSession
     import spark.implicits._
-    val users = events.groupBy($"user_id")
-      .agg(sum(when($"event_type" =!= "purchase", 1L).otherwise(0L)).as("score"),
-        max(when($"event_type" === "purchase", 1L).otherwise(0L)).as("converted"))
     val ranked = GlobalRank.withGlobalOrder(users, Seq($"score".desc, $"user_id"))
       .withColumn("decile", expr("(grk - 1) * 10 div n_total") + 1L)
     val tot = users.agg(count(lit(1)).as("nt"), sum($"converted").as("ct"))

@@ -674,15 +674,21 @@ object CorpusQa {
 
   /** Score + confusion off an already-built training state — shared
     * by the batch transform and the streaming read face. The class
-    * list is STATIC (the corpus's five languages, intersected with
-    * the observed priors) so the vocab × classes zero-fill is a
-    * generator + equi-joins, never a nested-loop join over a keyed
-    * aggregate — the markov_attribution static-channel contract. */
+    * list is derived from the TRAINING PRIORS (|langs| rows —
+    * planning metadata, the same bounded-collect class as
+    * markov_attribution's channel list), so the candidate set can
+    * never drift from the DuckDB oracle's data-derived one (the
+    * round-9 advisor's divergence scenario: a sixth corpus language
+    * the old static five-class list could not predict); the vocab ×
+    * classes zero-fill stays a generator + equi-joins, never a
+    * nested-loop join over a keyed aggregate. */
   private[graft] def nbConfusionFromState(classTok: DataFrame, priors: DataFrame,
-      docs0: DataFrame,
-      classes: Seq[String] = Seq("de", "en", "es", "fr", "zh")): DataFrame = {
+      docs0: DataFrame): DataFrame = {
     val spark = classTok.sparkSession
     import spark.implicits._
+    // |langs| rows: bounded by label cardinality, not data volume
+    val classes: Seq[String] =
+      priors.select($"lang").collect().map(_.getString(0)).toSeq.sorted
     val docs = docs0.select($"doc_id", $"lang", $"text")
     val toks = docs.select($"doc_id", $"lang", explode(split($"text", " ")).as("tok"))
     val total = priors.agg(sum($"n_docs").as("n_total"))

@@ -206,9 +206,14 @@ object CdcCompact {
   * schema-enforcement-with-additive-evolution default).
   *
   * Replay guard across restarts: a restarted stream starts batchIds
-  * back at 0, so the committed version is `epoch·10⁶ + batchId` —
+  * back at 0, so the committed version is `(epoch << 40) | batchId` —
   * each deploy gets an epoch and the guard keeps exactly-once within
-  * AND across deploys (the crash-resume spec replays both).
+  * AND across deploys (the crash-resume spec replays both). The
+  * 40-bit stride bounds a deploy at 2⁴⁰ ≈ 10¹² micro-batches (a
+  * 1-second trigger for 34,000 years) before epochs could overlap —
+  * the round-9 advisor flagged the old 10⁶ stride as reachable by a
+  * long-lived deploy — and 2²³ epochs (one per deploy) before the
+  * Long sign bit.
   */
 final class CdcCompactDrift(stateDir: String) {
   @volatile private var version: Long = StreamUtil.latestVersion(stateDir)
@@ -221,7 +226,7 @@ final class CdcCompactDrift(stateDir: String) {
   }
 
   def merge(epoch: Long)(batch: Dataset[Row], batchId: Long): Unit = {
-    val v = epoch * 1000000L + batchId
+    val v = (epoch << 40) | batchId
     if (v <= version) return
     val spark = batch.sparkSession
     val incoming = batch.toDF()

@@ -440,6 +440,42 @@ final class TypeCentsState(stateDir: String) {
     graft.operators.Stats.leveneFromCounts(prior(spark))
 }
 
+/** Per-user (score, converted) state for the streaming decile-lift
+  * table (round-9 verdict task 7): both columns merge additively —
+  * the non-purchase engagement score is a sum of per-batch sums, the
+  * converted flag a max of maxes — so |users| rows of hash-sharded
+  * state replace the event history, and the report is
+  * [[graft.operators.Behavior.decileFromUsers]], the batch
+  * operator's own distributed-rank derivation (parity by shared
+  * code, including [[graft.operators.GlobalRank]]'s slice rank). */
+final class UserScoreState(stateDir: String) {
+  @volatile private var version: Long = StreamUtil.latestVersion(stateDir)
+
+  private def prior(spark: SparkSession): DataFrame =
+    if (version < 0)
+      spark.createDataFrame(java.util.List.of[Row](), StructType.fromDDL(
+        "user_id BIGINT, score BIGINT, converted BIGINT"))
+    else spark.read.parquet(s"$stateDir/v$version")
+
+  def merge(batch: Dataset[Row], batchId: Long): Unit = {
+    if (batchId <= version) return
+    val spark = batch.sparkSession
+    val partial = batch.groupBy(col("user_id"))
+      .agg(sum(when(col("event_type") =!= "purchase", 1L).otherwise(0L)).as("score"),
+        max(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("converted"))
+    val merged = prior(spark).unionByName(partial)
+      .groupBy(col("user_id"))
+      .agg(sum(col("score")).as("score"), max(col("converted")).as("converted"))
+    StreamUtil.writeSharded(merged, s"$stateDir/v$batchId", Seq("user_id"))
+    val prev = version
+    version = batchId
+    if (prev >= 0) StreamUtil.delete(spark, s"$stateDir/v$prev")
+  }
+
+  def report(spark: SparkSession): DataFrame =
+    graft.operators.Behavior.decileFromUsers(prior(spark))
+}
+
 object ProfileStreams {
 
   /** Queries entry (oracle: same SQL as `dataset_card`): the
@@ -453,6 +489,16 @@ object ProfileStreams {
     StreamSources.runForeachBatch(
       StreamSources.parquetStream(spark, s"$work/input", maxFilesPerTrigger = 1),
       state.merge)
+    state.report(spark)
+  }
+
+  /** Queries entry (oracle: same SQL as `decile_lift`) — order-free
+    * additive per-user (score, converted) state, so the raw events
+    * stream needs no staged time ordering. */
+  def streamDecileLift(spark: SparkSession, dir: String): DataFrame = {
+    val work = graft.GraftCaches.trackTempDir("graft_sdlift_")
+    val state = new UserScoreState(s"$work/state")
+    StreamSources.runForeachBatch(StreamSources.events(spark, dir), state.merge)
     state.report(spark)
   }
 

@@ -85,15 +85,31 @@ class PlanAuditSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
     * global-ordering needs swap in the RangePartitioner slice-locate
     * pattern (SURVEY §2 row 19). */
   private val unpartitionedWindowAllowlist: Map[String, String] = Map(
-    "stream_zipf_slope" -> ("the window's input is the materialized VocabState parquet " +
+    // stream_zipf_slope (the state's other face) no longer needs an
+    // entry: its rank-filter plans a TakeOrderedAndProject(topN)
+    // BELOW the window, which the limit rule recognizes as bounded.
+    "stream_vocab_coverage" -> ("the window's input is the materialized VocabState parquet " +
       "(tok, cf) — vocab-bounded because every micro-batch merge re-aggregates " +
       "groupBy(tok); the bounding aggregate ran in earlier batches, so the final " +
       "read-back plan legitimately shows a scan, not an aggregate"),
-    "stream_vocab_coverage" -> ("the SAME VocabState parquet read as stream_zipf_slope " +
-      "(second face) — vocab-bounded by the per-batch merge aggregate for the same reason"),
   )
 
-  test("every unpartitioned Window consumes a pre-aggregated (bounded) input") {
+  /** Grouping-key names that mark an aggregate as DATA-scale: one
+    * output row per user / doc / item / order / event — cardinalities
+    * that grow with the corpus (|users| ~ 10⁹ at 100 TB), unlike the
+    * planning-scale keys (day, tok, cents, duration, dow, grid cell,
+    * slice id) an unpartitioned window may legitimately consume. An
+    * unpartitioned WindowExec whose NEAREST aggregate below is keyed
+    * on any of these funnels a data-scale table through ONE task —
+    * the round-9 verdict's `weak` class — and must instead ride
+    * [[graft.operators.GlobalRank.withGlobalOrder]]'s
+    * range-partitioned slice rank. */
+  private val dataScaleKeys: Set[String] = Set(
+    "user_id", "doc_id", "item", "event_id", "session_id",
+    "o_orderkey", "l_orderkey", "orderkey", "o_custkey", "c_custkey",
+    "s_suppkey", "p_partkey", "ps_partkey", "ps_suppkey")
+
+  test("every unpartitioned Window consumes a pre-aggregated, PLANNING-scale input") {
     import org.apache.spark.sql.execution.window.WindowExec
     val offenders = scala.collection.mutable.ListBuffer.empty[String]
     val sawAllowlisted = scala.collection.mutable.Set.empty[String]
@@ -101,12 +117,33 @@ class PlanAuditSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
       val plan = fn(spark, sf).queryExecution.sparkPlan
       plan.collectWithSubqueries {
         case w: WindowExec if w.partitionSpec.isEmpty =>
-          val aggBelow = w.child.collectWithSubqueries {
-            case a: BaseAggregateExec => a
-          }.nonEmpty
-          if (!aggBelow) {
-            if (unpartitionedWindowAllowlist.contains(name)) sawAllowlisted += name
-            else offenders += s"$name: unpartitioned Window over non-aggregate input\n${w.child.treeString.take(1500)}"
+          // pre-order collect: the head is the BOUNDING node nearest
+          // below the window — the one whose output cardinality the
+          // window actually consumes (deeper aggregates feed INTO it
+          // and do not bound the window's input). A global limit
+          // (top-N before the window) bounds regardless of what is
+          // under it.
+          import org.apache.spark.sql.execution.{CollectLimitExec, GlobalLimitExec, TakeOrderedAndProjectExec}
+          val nearestBound = w.child.collectWithSubqueries {
+            case n: BaseAggregateExec => n
+            case n: GlobalLimitExec => n
+            case n: TakeOrderedAndProjectExec => n
+            case n: CollectLimitExec => n
+          }.headOption
+          nearestBound match {
+            case None =>
+              if (unpartitionedWindowAllowlist.contains(name)) sawAllowlisted += name
+              else offenders += s"$name: unpartitioned Window over non-aggregate input\n${w.child.treeString.take(1500)}"
+            case Some(agg: BaseAggregateExec) =>
+              val keys = agg.groupingExpressions.flatMap(_.collectLeaves()).collect {
+                case a: org.apache.spark.sql.catalyst.expressions.Attribute => a.name.toLowerCase
+              }.toSet ++ agg.groupingExpressions.map(_.name.toLowerCase)
+              val hit = keys.intersect(dataScaleKeys)
+              if (hit.nonEmpty)
+                offenders += (s"$name: unpartitioned Window over a DATA-scale aggregate " +
+                  s"(grouping keys $hit — one task swallows that entity's full cardinality " +
+                  s"at 100 TB; use GlobalRank.withGlobalOrder)\n${agg.simpleString(5).take(800)}")
+            case Some(_) => // a global limit: parameter-bounded input
           }
       }
     }

@@ -338,6 +338,34 @@ class StreamingSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
     assert(rows("stream_revenue_hhi") == rows("revenue_hhi"))
   }
 
+  test("stream_decile_lift equals decile_lift (additive per-user score state)") {
+    assert(rows("stream_decile_lift") == rows("decile_lift"))
+  }
+
+  test("user score state: cross-batch score sums and converted maxes, replay guard holds") {
+    import org.apache.spark.sql.functions.lit
+    import graft.streaming.UserScoreState
+    import spark.implicits._
+    val state = new UserScoreState(GraftCaches.trackTempDir("graft_dliftspec_") + "/state")
+    def batch(rows: (Long, String)*) = rows.toSeq.toDF("user_id", "event_type")
+      .withColumn("value", lit(0.0))
+    def deciles = state.report(spark).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+
+    // batch 0: user 1 browses twice, user 2 purchases — with 2 users
+    // the rank cut puts user 1 (score 2) in decile 1, user 2 in 6
+    state.merge(batch((1L, "view"), (1L, "click"), (2L, "purchase")), 0)
+    assert(deciles == Seq((1L, 1L, 0L), (6L, 1L, 1L)))
+    // batch 1: user 2 out-browses user 1 (3 views) AND user 1
+    // converts — both the order and the converter flip, which a
+    // per-batch (non-additive) state could never reproduce
+    state.merge(batch((2L, "view"), (2L, "view"), (2L, "view"), (1L, "purchase")), 1)
+    assert(deciles == Seq((1L, 1L, 1L), (6L, 1L, 1L)))
+    // replay of batch 1 is a no-op
+    state.merge(batch((2L, "view"), (2L, "view"), (2L, "view"), (1L, "purchase")), 1)
+    assert(deciles == Seq((1L, 1L, 1L), (6L, 1L, 1L)))
+  }
+
   test("item cents state: cross-batch revenue moves the HHI, replay guard holds") {
     import org.apache.spark.sql.functions.{col, concat, lit}
     import graft.streaming.ItemCentsState
@@ -822,6 +850,38 @@ class StreamingSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
 
   test("stream_router_jdbc (Derby MERGE sink) equals event_router") {
     assert(rows("stream_router_jdbc") == rows("event_router"))
+  }
+
+  test("stream_router_http (loopback HTTP sink) equals event_router") {
+    assert(rows("stream_router_http") == rows("event_router"))
+  }
+
+  test("http sink: rows cross a real socket, replayed POST is a no-op (delivery counts)") {
+    import org.apache.spark.sql.functions.col
+    import graft.streaming.HttpSink
+    import spark.implicits._
+    val server = new HttpSink.CountingHttpServer()
+    try {
+      def routed(rows: (Long, String, Double)*) =
+        rows.toSeq.toDF("event_id", "route", "value")
+      // batch 0: two partitions → at least one POST each, 3 lines total
+      val b0 = routed((1L, "billing", 1.0), (2L, "crm", 2.0), (3L, "ops", 3.0))
+        .repartition(2)
+      HttpSink.postRouted(b0, server.url)
+      val postsAfterB0 = server.postCount.get()
+      assert(postsAfterB0 >= 1, "delivery must cross the socket")
+      assert(server.lineCount.get() == 3)
+      assert(server.deliveredCount == 3)
+      // CRASH-REPLAY: foreachBatch re-delivers batch 0 — the consumer
+      // receives the POSTs again (at-least-once is real) but its
+      // event_id dedup must keep the accepted set identical
+      HttpSink.postRouted(b0, server.url)
+      assert(server.postCount.get() > postsAfterB0, "replay must actually re-POST")
+      assert(server.lineCount.get() == 6, "replayed lines arrive on the wire")
+      assert(server.deliveredCount == 3, "accepted set must not double")
+      assert(server.delivered.sortBy(_._1) ==
+        Seq((1L, "billing", 1.0), (2L, "crm", 2.0), (3L, "ops", 3.0)))
+    } finally server.stop()
   }
 
   test("jdbc upsert sink: replayed batch is a no-op, updates land keyed (crash-replay idempotence)") {
