@@ -30,10 +30,16 @@ import org.apache.spark.sql.functions._
   *
   * The offsets stay in the plan (a P-row aggregate keyed by the
   * slice id, prefix-summed by a window over those P rows, broadcast
-  * back) rather than being collected: one job, and because the
-  * offsets subtree and the main subtree share the identical range
-  * exchange, `ReuseExchange` dedups the shuffle — the input is ranged
-  * once, not twice.
+  * back) rather than being collected. The ranged input is PERSISTED
+  * (MEMORY_AND_DISK, [[graft.GraftCaches]]-registered): the offsets
+  * subtree and the ranked subtree canonicalize differently through
+  * the nondeterministic `spark_partition_id` projection, so
+  * `ReuseExchange`/AQE stage reuse does NOT dedup them (verified at
+  * runtime round 10) — without the persist each call recomputes its
+  * whole upstream (a fact-table aggregate) once per subtree. The
+  * broadcast-side job materializes the cache; the probe side reads
+  * it. At 100 TB this stages the |users|/|docs|-row table once (the
+  * same cost class as Dedup.sigTable's persisted signature stage).
   *
   * Scale: at 100 TB the per-user table is ~10⁹ rows; with P = 32
   * (local harness) … P = shuffle-partition count (cluster), each task
@@ -43,6 +49,12 @@ import org.apache.spark.sql.functions._
   * globally order such tables.
   */
 object GlobalRank {
+
+  // Pure cleanup registry (keys are per-call DataFrame instances, so
+  // lookups never hit): every ranged-input persist is released on
+  // GraftCaches.clearAll() — bench between queries, specs in afterAll.
+  private val partedCache =
+    graft.GraftCaches.memo[DataFrame, DataFrame](_.unpersist())
 
   /** Appends to `df`:
     *  - `grk`      — 1-based global row_number under `sortCols`
@@ -57,8 +69,10 @@ object GlobalRank {
     */
   def withGlobalOrder(df: DataFrame, sortCols: Seq[Column],
                       sums: Seq[String] = Nil, numParts: Int = 32): DataFrame = {
-    val parted = df.repartitionByRange(numParts, sortCols: _*)
+    val parted0 = df.repartitionByRange(numParts, sortCols: _*)
       .withColumn("__pid", spark_partition_id().cast("long"))
+    val parted = partedCache.getOrElseUpdate(parted0)(
+      parted0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
 
     // P-row slice-stat table: planning metadata, like the
     // RangePartitioner's sampled bounds.
