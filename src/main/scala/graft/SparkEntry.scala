@@ -212,6 +212,10 @@ object SparkEntry {
     "jackknife_ratio"    -> Stats.jackknifeRatio _,
     "decile_lift"        -> Behavior.decileLift _,
     "stream_decile_lift" -> ProfileStreams.streamDecileLift _,
+    "stream_rfm_segments" -> ProfileStreams.streamRfmSegments _,
+    "stream_user_revenue_percentile" -> ProfileStreams.streamUserRevenuePercentile _,
+    "stream_engagement_gini" -> ProfileStreams.streamEngagementGini _,
+    "stream_heaps_law_fit" -> ((s: SparkSession, d: String) => ProfileStreams.streamHeapsLawFit(s, d)),
     "stream_jackknife"   -> ((s: SparkSession, d: String) => EwmaStream.streamJackknife(s, d)),
     "stream_markov_attribution" -> ((s: SparkSession, d: String) => streaming.MarkovAttrStream.streamMarkovAttribution(s, d)),
     "stream_heavy_changers" -> ((s: SparkSession, d: String) => streaming.TimeseriesStream.streamHeavyChangers(s, d)),
@@ -999,6 +1003,10 @@ object SparkEntry {
     "jackknife_ratio" -> operators.Stats.jackknifeRatioOracleSql,
     "decile_lift" -> operators.Behavior.decileLiftOracleSql,
     "stream_decile_lift" -> operators.Behavior.decileLiftOracleSql,
+    "stream_rfm_segments" -> operators.Behavior.rfmSegmentsOracleSql,
+    "stream_user_revenue_percentile" -> operators.Behavior.userRevenuePercentileOracleSql,
+    "stream_engagement_gini" -> operators.Behavior.engagementGiniOracleSql,
+    "stream_heaps_law_fit" -> operators.CorpusQa.heapsLawFitOracleSql,
     "pivot_type_dow" -> operators.Olap.pivotTypeDowOracleSql,
     "link_prediction" -> operators.Graph.linkPredictionOracleSql(),
     "changepoint_cusum" -> operators.Behavior.changepointCusumOracleSql,

@@ -656,14 +656,24 @@ object Behavior {
     * price of three independent total orders); output is ≤ 64
     * segment rows.
     */
-  def rfmSegmentsTransform(events: DataFrame): DataFrame = {
-    val perUser = events
-      .select(col("user_id"), col("ts"),
-        expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
-      .groupBy(col("user_id"))
-      .agg(max(col("ts")).as("last_ts"),
-        count(lit(1)).as("freq"),
-        sum(col("cents")).as("cents"))
+  def rfmSegmentsTransform(events: DataFrame): DataFrame =
+    rfmFromUsers(rfmPerUser(events))
+
+  /** Per-user (last_ts, freq, cents) table — the shared extraction
+    * (batch operator + the streaming twin's per-batch partial). */
+  def rfmPerUser(events: DataFrame): DataFrame = events
+    .select(col("user_id"), col("ts"),
+      expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+    .groupBy(col("user_id"))
+    .agg(max(col("ts")).as("last_ts"),
+      count(lit(1)).as("freq"),
+      sum(col("cents")).as("cents"))
+
+  /** Report face over the per-user (last_ts, freq, cents) table —
+    * shared by the batch operator and `stream_rfm_segments`'
+    * additive state (max of maxes / sum of counts / sum of sums), so
+    * stream ≡ batch by code. */
+  def rfmFromUsers(perUser: DataFrame): DataFrame = {
     def quartile(order: Column, name: String)(df: DataFrame): DataFrame =
       GlobalRank.withGlobalOrder(df, Seq(order, col("user_id")))
         .withColumn(name, expr("CAST((grk - 1) * 4 div n_total + 1 AS INT)"))
@@ -882,11 +892,21 @@ object Behavior {
     * 100 TB is ~10⁸ items, too many for a one-task sort), and the
     * aggregate reduces to ONE row.
     */
-  def engagementGiniTransform(events: DataFrame): DataFrame = {
-    val counts = events
-      .select(get_json_object(col("props"), "$.k").cast("long").as("item"))
-      .filter(col("item").isNotNull)
-      .groupBy(col("item")).agg(count(lit(1)).as("cnt"))
+  def engagementGiniTransform(events: DataFrame): DataFrame =
+    giniFromCounts(itemEngagementCounts(events))
+
+  /** Per-item engagement counts from props.$.k — the shared
+    * extraction (batch operator + the streaming twin's per-batch
+    * partial), so parity is by construction. */
+  def itemEngagementCounts(events: DataFrame): DataFrame = events
+    .select(get_json_object(col("props"), "$.k").cast("long").as("item"))
+    .filter(col("item").isNotNull)
+    .groupBy(col("item")).agg(count(lit(1)).as("cnt"))
+
+  /** Report face over the per-item (item, cnt) table — shared by the
+    * batch operator and `stream_engagement_gini`'s additive count
+    * state, so stream ≡ batch by code. */
+  def giniFromCounts(counts: DataFrame): DataFrame = {
     val ranked = GlobalRank.withGlobalOrder(counts, Seq(col("cnt"), col("item")))
       .withColumnRenamed("grk", "rn")
     ranked
@@ -2032,19 +2052,21 @@ object Behavior {
     * unpartitioned window would put ~10⁹ rows through one task at
     * 100 TB); |users| rows out.
     */
-  def userRevenuePercentileTransform(events: DataFrame): DataFrame = {
-    val spark = events.sparkSession
-    import spark.implicits._
-    val perUser = events
-      .select($"user_id", expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
-      .groupBy($"user_id").agg(sum($"cents").as("cents"))
-    GlobalRank.withGlobalOrder(perUser, Seq($"cents", $"user_id"), Seq("cents"))
-      .select($"user_id", $"cents",
-        $"grk".as("revenue_rank"),
+  def userRevenuePercentileTransform(events: DataFrame): DataFrame =
+    revenuePercentileFromUsers(events
+      .select(col("user_id"), expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+      .groupBy(col("user_id")).agg(sum(col("cents")).as("cents")))
+
+  /** Report face over the per-user (user_id, cents) table — shared
+    * by the batch operator and `stream_user_revenue_percentile`'s
+    * additive cents state, so stream ≡ batch by code. */
+  def revenuePercentileFromUsers(perUser: DataFrame): DataFrame =
+    GlobalRank.withGlobalOrder(perUser, Seq(col("cents"), col("user_id")), Seq("cents"))
+      .select(col("user_id"), col("cents"),
+        col("grk").as("revenue_rank"),
         expr("grk * 10000 div n_total").as("percentile_bp"),
         expr("cum_cents * 10000 div total_cents").as("cum_share_bp"))
-      .orderBy($"user_id")
-  }
+      .orderBy(col("user_id"))
 
   def userRevenuePercentile(spark: SparkSession, dir: String): DataFrame =
     userRevenuePercentileTransform(graft.sources.Tables.events(spark, dir))

@@ -507,11 +507,27 @@ object CorpusQa {
     * cumsum window here would put every doc through one task at
     * 100 TB) — and the regression is a one-row aggregate. */
   def heapsLawFitTransform(docs: DataFrame): DataFrame = {
-    val spark = docs.sparkSession
+    val toks = heapsTokens(docs)
+    heapsFromRollups(
+      toks.groupBy(col("doc_id")).agg(count(lit(1)).as("t")),
+      toks.groupBy(col("tok")).agg(min(col("doc_id")).as("doc_id")))
+  }
+
+  /** Shared tokenization for the two heaps rollups (batch operator +
+    * the streaming twin's per-batch partials). */
+  def heapsTokens(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+
+  /** Regression face over the two token rollups — per-doc token
+    * counts (doc_id, t) and per-token first doc (tok, doc_id) —
+    * shared by the batch operator and `stream_heaps_law_fit`'s
+    * min/sum-merge state, so stream ≡ batch by code. Both rollups
+    * merge exactly under batching: t is a sum of per-batch counts,
+    * first-doc a min of per-batch mins. */
+  def heapsFromRollups(perDoc: DataFrame, tokFirst: DataFrame): DataFrame = {
+    val spark = perDoc.sparkSession
     import spark.implicits._
-    val toks = docs.select($"doc_id", explode(split($"text", " ")).as("tok"))
-    val perDoc = toks.groupBy($"doc_id").agg(count(lit(1)).as("t"))
-    val newVocab = toks.groupBy($"tok").agg(min($"doc_id").as("doc_id"))
+    val newVocab = tokFirst
       .groupBy($"doc_id").agg(count(lit(1)).as("v"))
     val base = perDoc.join(newVocab, Seq("doc_id"), "left")
       .select($"doc_id", $"t", coalesce($"v", lit(0L)).as("v"))

@@ -476,6 +476,123 @@ final class UserScoreState(stateDir: String) {
     graft.operators.Behavior.decileFromUsers(prior(spark))
 }
 
+/** Per-user (last_ts, freq, cents) RFM state — every column merges
+  * additively (recency a max of maxes, frequency a sum of per-batch
+  * counts, monetary a sum of sums), hash-sharded at |users| rows;
+  * TWO report faces over the same state: the quartile segmentation
+  * ([[graft.operators.Behavior.rfmFromUsers]]) and the revenue
+  * percentile table
+  * ([[graft.operators.Behavior.revenuePercentileFromUsers]]), both
+  * the batch operators' own derivations including the distributed
+  * [[graft.operators.GlobalRank]] slice rank — stream ≡ batch by
+  * shared code. */
+final class UserRfmState(stateDir: String) {
+  @volatile private var version: Long = StreamUtil.latestVersion(stateDir)
+
+  private def prior(spark: SparkSession): DataFrame =
+    if (version < 0)
+      spark.createDataFrame(java.util.List.of[Row](), StructType.fromDDL(
+        "user_id BIGINT, last_ts TIMESTAMP, freq BIGINT, cents BIGINT"))
+    else spark.read.parquet(s"$stateDir/v$version")
+
+  def merge(batch: Dataset[Row], batchId: Long): Unit = {
+    if (batchId <= version) return
+    val spark = batch.sparkSession
+    // IDENTICAL extraction to the batch path (shared helper).
+    val partial = graft.operators.Behavior.rfmPerUser(batch.toDF())
+    val merged = prior(spark).unionByName(partial)
+      .groupBy(col("user_id"))
+      .agg(max(col("last_ts")).as("last_ts"),
+        sum(col("freq")).as("freq"),
+        sum(col("cents")).as("cents"))
+    StreamUtil.writeSharded(merged, s"$stateDir/v$batchId", Seq("user_id"))
+    val prev = version
+    version = batchId
+    if (prev >= 0) StreamUtil.delete(spark, s"$stateDir/v$prev")
+  }
+
+  def reportRfm(spark: SparkSession): DataFrame =
+    graft.operators.Behavior.rfmFromUsers(prior(spark))
+
+  def reportRevenuePercentile(spark: SparkSession): DataFrame =
+    graft.operators.Behavior.revenuePercentileFromUsers(
+      prior(spark).select(col("user_id"), col("cents")))
+}
+
+/** Heaps'-law corpus state: TWO merged rollups — per-doc token
+  * counts (doc_id, t), a sum of per-batch counts, and per-token
+  * first-seen doc (tok, doc_id), a min of per-batch mins — both
+  * exact under any batching/replay order; |docs| + |vocab| rows,
+  * each hash-sharded. Report =
+  * [[graft.operators.CorpusQa.heapsFromRollups]], the batch
+  * operator's own regression including the distributed range-
+  * partitioned cumsum. */
+final class CorpusHeapsState(stateDir: String) {
+  @volatile private var version: Long = StreamUtil.latestVersion(stateDir)
+
+  private def perDoc(spark: SparkSession): DataFrame =
+    if (version < 0)
+      spark.createDataFrame(java.util.List.of[Row](), StructType.fromDDL(
+        "doc_id BIGINT, t BIGINT"))
+    else spark.read.parquet(s"$stateDir/v$version/perdoc")
+
+  private def tokFirst(spark: SparkSession): DataFrame =
+    if (version < 0)
+      spark.createDataFrame(java.util.List.of[Row](), StructType.fromDDL(
+        "tok STRING, doc_id BIGINT"))
+    else spark.read.parquet(s"$stateDir/v$version/tokfirst")
+
+  def merge(batch: Dataset[Row], batchId: Long): Unit = {
+    if (batchId <= version) return
+    val spark = batch.sparkSession
+    // IDENTICAL tokenization to the batch path (shared helper).
+    val toks = graft.operators.CorpusQa.heapsTokens(batch.toDF())
+    val mergedPerDoc = perDoc(spark)
+      .unionByName(toks.groupBy(col("doc_id")).agg(count(lit(1)).as("t")))
+      .groupBy(col("doc_id")).agg(sum(col("t")).as("t"))
+    val mergedTokFirst = tokFirst(spark)
+      .unionByName(toks.groupBy(col("tok")).agg(min(col("doc_id")).as("doc_id")))
+      .groupBy(col("tok")).agg(min(col("doc_id")).as("doc_id"))
+    StreamUtil.writeSharded(mergedPerDoc, s"$stateDir/v$batchId/perdoc", Seq("doc_id"))
+    StreamUtil.writeSharded(mergedTokFirst, s"$stateDir/v$batchId/tokfirst", Seq("tok"))
+    val prev = version
+    version = batchId
+    if (prev >= 0) StreamUtil.delete(spark, s"$stateDir/v$prev")
+  }
+
+  def report(spark: SparkSession): DataFrame =
+    graft.operators.CorpusQa.heapsFromRollups(perDoc(spark), tokFirst(spark))
+}
+
+/** Per-item engagement count state (props.$.k), additive sums of
+  * per-batch counts, hash-sharded at |items| rows; report = the
+  * batch Gini derivation over the same distributed rank. */
+final class ItemEngagementState(stateDir: String) {
+  @volatile private var version: Long = StreamUtil.latestVersion(stateDir)
+
+  private def prior(spark: SparkSession): DataFrame =
+    if (version < 0)
+      spark.createDataFrame(java.util.List.of[Row](), StructType.fromDDL(
+        "item BIGINT, cnt BIGINT"))
+    else spark.read.parquet(s"$stateDir/v$version")
+
+  def merge(batch: Dataset[Row], batchId: Long): Unit = {
+    if (batchId <= version) return
+    val spark = batch.sparkSession
+    // IDENTICAL extraction to the batch path (shared helper).
+    val partial = graft.operators.Behavior.itemEngagementCounts(batch.toDF())
+    val merged = prior(spark).unionByName(partial)
+      .groupBy(col("item")).agg(sum(col("cnt")).as("cnt"))
+    StreamUtil.writeSharded(merged, s"$stateDir/v$batchId", Seq("item"))
+    val prev = version
+    version = batchId
+    if (prev >= 0) StreamUtil.delete(spark, s"$stateDir/v$prev")
+  }
+
+  def report(spark: SparkSession): DataFrame =
+    graft.operators.Behavior.giniFromCounts(prior(spark))
+}
+
 object ProfileStreams {
 
   /** Queries entry (oracle: same SQL as `dataset_card`): the
@@ -498,6 +615,48 @@ object ProfileStreams {
   def streamDecileLift(spark: SparkSession, dir: String): DataFrame = {
     val work = graft.GraftCaches.trackTempDir("graft_sdlift_")
     val state = new UserScoreState(s"$work/state")
+    StreamSources.runForeachBatch(StreamSources.events(spark, dir), state.merge)
+    state.report(spark)
+  }
+
+  /** Queries entry (oracle: same SQL as `rfm_segments`) — order-free
+    * additive per-user RFM state, so the raw events stream needs no
+    * staged time ordering. */
+  def streamRfmSegments(spark: SparkSession, dir: String): DataFrame = {
+    val work = graft.GraftCaches.trackTempDir("graft_srfm_")
+    val state = new UserRfmState(s"$work/state")
+    StreamSources.runForeachBatch(StreamSources.events(spark, dir), state.merge)
+    state.reportRfm(spark)
+  }
+
+  /** Queries entry (oracle: same SQL as `user_revenue_percentile`):
+    * the SAME RFM state, second face. */
+  def streamUserRevenuePercentile(spark: SparkSession, dir: String): DataFrame = {
+    val work = graft.GraftCaches.trackTempDir("graft_surp_")
+    val state = new UserRfmState(s"$work/state")
+    StreamSources.runForeachBatch(StreamSources.events(spark, dir), state.merge)
+    state.reportRevenuePercentile(spark)
+  }
+
+  /** Queries entry (oracle: same SQL as `heaps_law_fit`): the
+    * documents corpus staged as 4 files and replayed one per
+    * micro-batch through the min/sum-merge heaps rollup state. */
+  def streamHeapsLawFit(spark: SparkSession, dir: String, nFiles: Int = 4): DataFrame = {
+    val work = graft.GraftCaches.trackTempDir("graft_sheaps_")
+    graft.sources.Tables.documents(spark, dir).repartition(nFiles)
+      .write.mode("overwrite").parquet(s"$work/input")
+    val state = new CorpusHeapsState(s"$work/state")
+    StreamSources.runForeachBatch(
+      StreamSources.parquetStream(spark, s"$work/input", maxFilesPerTrigger = 1),
+      state.merge)
+    state.report(spark)
+  }
+
+  /** Queries entry (oracle: same SQL as `engagement_gini`) —
+    * order-free additive per-item counts. */
+  def streamEngagementGini(spark: SparkSession, dir: String): DataFrame = {
+    val work = graft.GraftCaches.trackTempDir("graft_sgini_")
+    val state = new ItemEngagementState(s"$work/state")
     StreamSources.runForeachBatch(StreamSources.events(spark, dir), state.merge)
     state.report(spark)
   }

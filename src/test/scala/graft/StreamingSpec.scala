@@ -342,6 +342,90 @@ class StreamingSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
     assert(rows("stream_decile_lift") == rows("decile_lift"))
   }
 
+  test("stream_rfm_segments equals rfm_segments (additive per-user RFM state)") {
+    assert(rows("stream_rfm_segments") == rows("rfm_segments"))
+  }
+
+  test("stream_user_revenue_percentile equals user_revenue_percentile (same RFM state, second face)") {
+    assert(rows("stream_user_revenue_percentile") == rows("user_revenue_percentile"))
+  }
+
+  test("stream_engagement_gini equals engagement_gini (additive per-item count state)") {
+    assert(rows("stream_engagement_gini") == rows("engagement_gini"))
+  }
+
+  test("user RFM state: recency maxes, frequency/monetary sum, replay guard holds") {
+    import org.apache.spark.sql.functions.to_timestamp
+    import graft.streaming.UserRfmState
+    import spark.implicits._
+    val state = new UserRfmState(GraftCaches.trackTempDir("graft_rfmspec_") + "/state")
+    def batch(rows: (Long, String, Double)*) = rows.toSeq.toDF("user_id", "d", "value")
+      .withColumn("ts", to_timestamp($"d")).drop("d")
+    def segs = state.reportRfm(spark).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getInt(2), r.getLong(3))).toSeq
+
+    // batch 0: user 1 spends twice early, user 2 once later — user 2
+    // is more recent (r_q 1) but lighter (f_q/m_q 3); user 1 inverse
+    state.merge(batch((1L, "2024-01-01", 5.0), (1L, "2024-01-02", 5.0),
+      (2L, "2024-01-05", 3.0)), 0)
+    assert(segs.toSet == Set((3, 1, 1, 1L), (1, 3, 3, 1L)))
+    // batch 1: user 1 spends again LATEST — recency flips, a
+    // per-batch (non-additive) state could never reproduce the
+    // cross-batch max
+    state.merge(batch((1L, "2024-01-09", 1.0)), 1)
+    assert(segs.toSet == Set((1, 1, 1, 1L), (3, 3, 3, 1L)))
+    // replay of batch 1 is a no-op
+    state.merge(batch((1L, "2024-01-09", 1.0)), 1)
+    assert(segs.toSet == Set((1, 1, 1, 1L), (3, 3, 3, 1L)))
+    // second face: percentile over the same state — user 2 (3.00)
+    // ranks below user 1 (11.00)
+    val pct = state.reportRevenuePercentile(spark).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(pct == Seq((1L, 1100L, 2L), (2L, 300L, 1L)))
+  }
+
+  test("stream_heaps_law_fit equals heaps_law_fit (min/sum-merge rollup state)") {
+    assert(rows("stream_heaps_law_fit") == rows("heaps_law_fit"))
+  }
+
+  test("heaps state: docs split across batches merge exactly, replay guard holds") {
+    import graft.streaming.CorpusHeapsState
+    import spark.implicits._
+    val state = new CorpusHeapsState(GraftCaches.trackTempDir("graft_heapsspec_") + "/state")
+    def docs(rows: (Long, String)*) = rows.toSeq.toDF("doc_id", "text")
+    // doc 1's tokens arrive SPLIT across batches (the sum-merge), and
+    // batch 1 re-uses tokens a/d first seen in batch 0 / doc 1 (the
+    // min-merge) — a per-batch state could reproduce neither
+    state.merge(docs((1L, "a b a"), (2L, "b c")), 0)
+    state.merge(docs((1L, "d"), (3L, "a d e")), 1)
+    state.merge(docs((1L, "d"), (3L, "a d e")), 1) // replay is a no-op
+    val expected = graft.operators.CorpusQa.heapsLawFitTransform(
+      docs((1L, "a b a d"), (2L, "b c"), (3L, "a d e"))).collect().toSeq
+    assert(state.report(spark).collect().toSeq == expected)
+  }
+
+  test("item engagement state: cross-batch counts move the Gini, replay guard holds") {
+    import org.apache.spark.sql.functions.{col, concat, lit}
+    import graft.streaming.ItemEngagementState
+    import spark.implicits._
+    val state = new ItemEngagementState(GraftCaches.trackTempDir("graft_ginispec_") + "/state")
+    def batch(items: Long*) = items.toSeq.toDF("k")
+      .withColumn("props", concat(lit("{\"k\": "), col("k"), lit("}")))
+      .drop("k")
+    def gini = state.report(spark).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+
+    // batch 0: two equal items -> perfect equality, G = 0
+    state.merge(batch(1L, 2L), 0)
+    assert(gini == Seq((2L, 2L, 0.0)))
+    // batch 1: item 2 gets 2 more -> counts (1,3), G = (2*7-3*4)/(2*4)
+    state.merge(batch(2L, 2L), 1)
+    assert(gini == Seq((2L, 4L, 0.25)))
+    // replay of batch 1 is a no-op
+    state.merge(batch(2L, 2L), 1)
+    assert(gini == Seq((2L, 4L, 0.25)))
+  }
+
   test("user score state: cross-batch score sums and converted maxes, replay guard holds") {
     import org.apache.spark.sql.functions.lit
     import graft.streaming.UserScoreState
