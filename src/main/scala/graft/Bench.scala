@@ -348,27 +348,39 @@ object Bench {
     // bench was invoked for specific queries (that IS the child).
     val isolated = scala.collection.mutable.LinkedHashMap.empty[String, (Double, Seq[Double], Double)]
     var canary: Option[(Double, Seq[Double])] = None
+    // True median: even-sized run sets (one of 3 children failed)
+    // average the middle two — sorted(n/2) would pick the MAX of 2,
+    // inflating the reading exactly when the box is flaky.
+    def median(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      if (s.size % 2 == 1) s(s.size / 2)
+      else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
+    }
     if (args.isEmpty && sfDir.contains("sf0.1")) {
       spark.stop() // free the session's 32 threads before forking children
-      val flaggedQ = results.collect {
-        case (n, t) if frozenSf01.get(n).exists(f => t > 1.5 * f) => n
-      }
-      flaggedQ.foreach { name =>
-        val runs = (1 to 3).flatMap(_ => isolatedRun(name, sfDir, cpus))
-        if (runs.nonEmpty) {
-          val median = runs.sorted.apply(runs.size / 2)
-          isolated(name) = (median, runs, frozenSf01(name))
-        }
-      }
       // Host-health canary (round-9 verdict task 2): the frozen table
       // was stamped on a host whose DRAM has since degraded, so every
       // flag-tail ratio must be read against the SAME-WINDOW cost of a
       // fixed reference query. Run it isolated every bench and stamp
       // its median into the JSON — the flag tail then self-normalizes
-      // (ratio / canary_ratio) without the judge re-deriving the
-      // host's drift each round.
+      // without the judge re-deriving the host's drift each round.
+      // Measured BEFORE the flag pass so the flag rule itself can be
+      // canary-normalized: on a 1.5×-degraded host a raw `>1.5×frozen`
+      // rule flags everything borderline and burns ~10 min re-running
+      // false positives (round-10 verdict task 2).
       val cRuns = (1 to 3).flatMap(_ => isolatedRun(canaryName, sfDir, cpus))
-      if (cRuns.nonEmpty) canary = Some((cRuns.sorted.apply(cRuns.size / 2), cRuns))
+      if (cRuns.nonEmpty) canary = Some((median(cRuns), cRuns))
+      val hostFactor = canary match {
+        case Some((med, _)) => math.max(1.0, med / frozenSf01(canaryName))
+        case None           => 1.0
+      }
+      val flaggedQ = results.collect {
+        case (n, t) if frozenSf01.get(n).exists(f => t > 1.5 * f * hostFactor) => n
+      }
+      flaggedQ.foreach { name =>
+        val runs = (1 to 3).flatMap(_ => isolatedRun(name, sfDir, cpus))
+        if (runs.nonEmpty) isolated(name) = (median(runs), runs, frozenSf01(name))
+      }
     }
     def q(s: String): String = "\"" + s.flatMap {
       case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"

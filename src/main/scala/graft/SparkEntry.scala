@@ -285,6 +285,9 @@ object SparkEntry {
     "stream_session_agg" -> Sessionize.streamSessionAgg _,
     "stream_router"      -> EngagementStream.streamRouter _,
     "stream_router_jdbc" -> JdbcSink.streamRouterJdbc _,
+    // local-mode sink-protocol test: the mock consumer lives in the
+    // driver JVM (see HttpSink.streamRouterHttp scaladoc); only the
+    // executor-side postPartition path is the deployable piece.
     "stream_router_http" -> graft.streaming.HttpSink.streamRouterHttp _,
     "stream_leaderboard" -> EngagementStream.streamLeaderboard _,
     "stream_dedup"       -> StreamDedup.streamDedup _,
@@ -397,7 +400,11 @@ object SparkEntry {
     "dedup_clusters_star" -> ((s: SparkSession, d: String) => Dedup.dedupClustersStar(s, d)),
     "dedup_simhash"      -> ((s: SparkSession, d: String) => Dedup.simHashPairs(s, d)),
     "embedding_neardup"  -> ((s: SparkSession, d: String) => VectorOps.embeddingNearDup(s, d)),
-    "dedup_semantic"     -> ((s: SparkSession, d: String) => VectorOps.dedupSemantic(s, d)),
+    // nCells ∝ |corpus|/target-cell-size, nProbe buys back boundary
+    // recall — see dedupSemantic's sizing note; tuned here, not inside
+    // the operator.
+    "dedup_semantic"     -> ((s: SparkSession, d: String) =>
+      VectorOps.dedupSemantic(s, d, threshold = 0.35, nCells = 8, nProbe = 2)),
     "ann_topk"           -> ((s: SparkSession, d: String) => VectorOps.annTopK(s, d)),
     "ann_lsh_topk"       -> ((s: SparkSession, d: String) => VectorOps.annLshTopK(s, d)),
     "ann_ivf_topk"       -> ((s: SparkSession, d: String) => VectorOps.annIvfTopK(s, d)),

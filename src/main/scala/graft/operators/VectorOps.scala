@@ -289,7 +289,20 @@ object VectorOps {
     *
     * Approximate by construction → rows-only oracle; the spec pins
     * soundness (every emitted dup pair really is ≥ threshold) and
-    * recall vs the exact pair set. */
+    * recall vs the exact pair set — at TWO cell counts, so recall is
+    * known not to collapse as cells shrink.
+    *
+    * Sizing at scale: nCells ∝ |corpus| / target-cell-size — pick the
+    * per-cell row count C the quadratic can afford (the in-cell join
+    * does ~C²/2 cosine evals per cell, so C ~ 10⁴-10⁵ keeps each
+    * cell's work a single-task affair), then nCells = |corpus|/C;
+    * SemDeDup itself runs 10⁵ cells over LAION-scale corpora. Recall
+    * lost to boundary splits is bought back with nProbe (OR-
+    * amplified membership, fan-out × nProbe), not with fewer cells.
+    * Both knobs are wired through the `queries` registration
+    * (SparkEntry) the way dedup_minhash_lsh's threshold is — the
+    * defaults here are test-corpus scale (|embeddings| at sf0.01 is
+    * small, so 8 cells ≈ the C ~ corpus/8 sweet spot). */
   def dedupSemantic(spark: SparkSession, dir: String, threshold: Double = 0.35,
                     nCells: Int = 8, nProbe: Int = 2, seed: Long = 7L): DataFrame = {
     import spark.implicits._

@@ -115,7 +115,12 @@ object HttpSink {
       try { out.write(body.getBytes(StandardCharsets.UTF_8)); out.flush() }
       finally out.close()
       val rc = conn.getResponseCode
-      conn.getInputStream.readAllBytes()
+      // Drain the right stream for the status: getInputStream throws
+      // IOException for >=400 responses, which would preempt the
+      // descriptive error below (the task still failed + retried, but
+      // with the JDK's message instead of ours).
+      val drain = if (rc >= 400) conn.getErrorStream else conn.getInputStream
+      if (drain != null) try drain.readAllBytes() finally drain.close()
       conn.disconnect()
       if (rc != 200) sys.error(s"http sink POST failed: $rc")
     }
@@ -126,12 +131,22 @@ object HttpSink {
     routed.select(col("event_id"), col("route"), col("value"))
       .foreachPartition((it: Iterator[Row]) => postPartition(url, it))
 
-  /** SURVEY §2 #10f: [[EngagementStream.streamRouter]]'s external-API
-    * face — the events stream runs through `foreachBatch`, each
-    * micro-batch is route-tagged and POSTed over a real socket to the
-    * loopback consumer, and the per-route counts are aggregated from
-    * what the CONSUMER accepted, through the same Spark expression
-    * tree as `event_router` (shared oracle). */
+  /** SURVEY §2 #10d'': [[EngagementStream.streamRouter]]'s
+    * external-API face — the events stream runs through
+    * `foreachBatch`, each micro-batch is route-tagged and POSTed over
+    * a real socket to the loopback consumer, and the per-route counts
+    * are aggregated from what the CONSUMER accepted, through the same
+    * Spark expression tree as `event_router` (shared oracle).
+    *
+    * LOCAL-MODE-ONLY as registered: the mock consumer binds
+    * 127.0.0.1 in the driver JVM and the read-back comes from its
+    * in-process map, so executors must share the driver host. That is
+    * the TEST harness for the sink protocol, mirroring the
+    * reference's own mock_external.py. In deployment the endpoint is
+    * a routable URL owned by the external service and the read-back
+    * is that service's query API — only [[postPartition]] /
+    * [[postRouted]] (the executor-side delivery path, which has no
+    * driver affinity) ship as-is. */
   def streamRouterHttp(spark: SparkSession, dir: String): DataFrame = {
     val server = new CountingHttpServer()
     try {

@@ -878,28 +878,36 @@ class BatchOperatorsSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAl
     assert(rem(4L) == ((6L, md5hex("u1 u2 u3 u4 u5 u6"))), "clean doc untouched")
   }
 
-  test("dedup_semantic is sound within cells and recalls most exact pairs") {
+  test("dedup_semantic is sound within cells and recall holds across cell counts") {
     import org.apache.spark.sql.functions._
     val t = 0.35
-    val sem = graft.operators.VectorOps.dedupSemantic(spark, sf, t).collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
-    // keep-consistency: dup_of == self iff kept; dup_of always lower id otherwise
-    sem.foreach { case (id, _, dupOf, kept) =>
-      assert(kept == (dupOf == id))
-      if (!kept) assert(dupOf < id)
-    }
     val exact = graft.operators.VectorOps.embeddingNearDup(spark, sf, t).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
-    // soundness: every emitted (dup_of, id) pair is a true >=t pair
-    sem.filter(!_._4).foreach { case (id, _, dupOf, _) =>
-      assert(exact.contains((dupOf, id)), s"semantic pair ($dupOf,$id) not >= $t exactly")
-    }
-    // recall on the decision that matters: which vectors are flagged
-    // as duplicates (exact dup = has ANY lower-id >=t neighbor)
     val exactDups = exact.map(_._2)
-    val flagged = sem.filter(!_._4).map(_._1).toSet
-    val recall = (flagged & exactDups).size.toDouble / math.max(exactDups.size, 1)
-    assert(recall >= 0.5, s"semantic dedup recall $recall below 0.5 (${exactDups.size} exact dups)")
+    // Two cell counts (the registered default and 2× finer): the
+    // sizing rule nCells ∝ |corpus|/C only works if recall survives
+    // shrinking cells — multi-probe must absorb the boundary splits.
+    for (nCells <- Seq(8, 16)) {
+      val sem = graft.operators.VectorOps.dedupSemantic(spark, sf, t, nCells = nCells)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+      // keep-consistency: dup_of == self iff kept; dup_of always lower id otherwise
+      sem.foreach { case (id, _, dupOf, kept) =>
+        assert(kept == (dupOf == id))
+        if (!kept) assert(dupOf < id)
+      }
+      // soundness: every emitted (dup_of, id) pair is a true >=t pair
+      sem.filter(!_._4).foreach { case (id, _, dupOf, _) =>
+        assert(exact.contains((dupOf, id)),
+          s"nCells=$nCells: semantic pair ($dupOf,$id) not >= $t exactly")
+      }
+      // recall on the decision that matters: which vectors are flagged
+      // as duplicates (exact dup = has ANY lower-id >=t neighbor)
+      val flagged = sem.filter(!_._4).map(_._1).toSet
+      val recall = (flagged & exactDups).size.toDouble / math.max(exactDups.size, 1)
+      assert(recall >= 0.5,
+        s"nCells=$nCells: semantic dedup recall $recall below 0.5 (${exactDups.size} exact dups)")
+    }
   }
 
   test("topk_per_group equals the window formulation and plans partial aggregation") {
@@ -1029,6 +1037,21 @@ class BatchOperatorsSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAl
       val filled = if (r.isNullAt(4)) null else java.lang.Long.valueOf(r.getLong(4))
       if (gap) assert(filled == last(t), s"gap at $t ${r.get(1)} must carry $last")
       last = last.updated(t, filled)
+    }
+  }
+
+  test("approx_distinct_daily stays within 3·rsd of exact distinct_daily per day") {
+    // approx_count_distinct's default rsd is 0.05; HLL++ error is
+    // approximately normal around the true count, so ±3·rsd (15%) is
+    // a ~99.7% envelope — the same shape as hll_sketch_daily's gate.
+    val est = SparkEntry.queries("approx_distinct_daily")(spark, sf)
+      .collect().map(r => r.getTimestamp(0) -> r.getLong(1)).toMap
+    val exact = SparkEntry.queries("distinct_daily")(spark, sf)
+      .collect().map(r => r.getTimestamp(0) -> r.getLong(1)).toMap
+    assert(est.keySet == exact.keySet, "day coverage differs from exact")
+    exact.foreach { case (d, ex) =>
+      assert(math.abs(est(d) - ex) <= math.max(1L, (ex * 0.15).toLong),
+        s"day $d: sketch ${est(d)} vs exact $ex drifts past 3·rsd (15%)")
     }
   }
 

@@ -117,24 +117,36 @@ class PlanAuditSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
       val plan = fn(spark, sf).queryExecution.sparkPlan
       plan.collectWithSubqueries {
         case w: WindowExec if w.partitionSpec.isEmpty =>
-          // pre-order collect: the head is the BOUNDING node nearest
-          // below the window — the one whose output cardinality the
-          // window actually consumes (deeper aggregates feed INTO it
-          // and do not bound the window's input). A global limit
-          // (top-N before the window) bounds regardless of what is
-          // under it.
-          import org.apache.spark.sql.execution.{CollectLimitExec, GlobalLimitExec, TakeOrderedAndProjectExec}
-          val nearestBound = w.child.collectWithSubqueries {
-            case n: BaseAggregateExec => n
-            case n: GlobalLimitExec => n
-            case n: TakeOrderedAndProjectExec => n
-            case n: CollectLimitExec => n
-          }.headOption
-          nearestBound match {
-            case None =>
-              if (unpartitionedWindowAllowlist.contains(name)) sawAllowlisted += name
-              else offenders += s"$name: unpartitioned Window over non-aggregate input\n${w.child.treeString.take(1500)}"
-            case Some(agg: BaseAggregateExec) =>
+          // Per-BRANCH bounding walk (round-10 advice: the old
+          // pre-order headOption saw only the LEFTMOST bound, so a
+          // window over `planning-agg JOIN data-scale-branch` passed
+          // on the left branch alone). Each root-to-leaf path of the
+          // window's input must cross a bounding node — an aggregate
+          // (checked below for data-scale keys) or a SMALL global
+          // limit. Broadcast-join build sides are skipped: the
+          // planner attested them small, and the probe side is what
+          // sets the join's output cardinality.
+          import org.apache.spark.sql.execution.{CollectLimitExec, GlobalLimitExec, SparkPlan, TakeOrderedAndProjectExec}
+          import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec => BHJ, BroadcastNestedLoopJoinExec => BNLJ}
+          def branchBounds(p: SparkPlan): Seq[Option[SparkPlan]] = p match {
+            case n: BaseAggregateExec => Seq(Some(n))
+            case n: GlobalLimitExec => Seq(Some(n))
+            case n: TakeOrderedAndProjectExec => Seq(Some(n))
+            case n: CollectLimitExec => Seq(Some(n))
+            case j: BHJ =>
+              branchBounds(j.buildSide match { case BuildLeft => j.right; case BuildRight => j.left })
+            case j: BNLJ =>
+              branchBounds(j.buildSide match { case BuildLeft => j.right; case BuildRight => j.left })
+            case n if n.children.isEmpty => Seq(None)
+            case n => n.children.flatMap(branchBounds)
+          }
+          val bounds = branchBounds(w.child)
+          if (bounds.contains(None)) {
+            if (unpartitionedWindowAllowlist.contains(name)) sawAllowlisted += name
+            else offenders += s"$name: unpartitioned Window with an unbounded input branch\n${w.child.treeString.take(1500)}"
+          }
+          bounds.flatten.foreach {
+            case agg: BaseAggregateExec =>
               val keys = agg.groupingExpressions.flatMap(_.collectLeaves()).collect {
                 case a: org.apache.spark.sql.catalyst.expressions.Attribute => a.name.toLowerCase
               }.toSet ++ agg.groupingExpressions.map(_.name.toLowerCase)
@@ -143,7 +155,13 @@ class PlanAuditSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
                 offenders += (s"$name: unpartitioned Window over a DATA-scale aggregate " +
                   s"(grouping keys $hit — one task swallows that entity's full cardinality " +
                   s"at 100 TB; use GlobalRank.withGlobalOrder)\n${agg.simpleString(5).take(800)}")
-            case Some(_) => // a global limit: parameter-bounded input
+            case l: GlobalLimitExec if l.limit > 100000 =>
+              offenders += s"$name: unpartitioned Window bounded only by a large limit (${l.limit})"
+            case l: CollectLimitExec if l.limit > 100000 =>
+              offenders += s"$name: unpartitioned Window bounded only by a large limit (${l.limit})"
+            case l: TakeOrderedAndProjectExec if l.limit > 100000 =>
+              offenders += s"$name: unpartitioned Window bounded only by a large top-N (${l.limit})"
+            case _ => // a small global limit: parameter-bounded input
           }
       }
     }
