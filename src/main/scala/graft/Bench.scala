@@ -20,8 +20,8 @@ import org.apache.spark.sql.SparkSession
   * isolated median is adjudication data. */
 object Bench {
 
-  /** BASELINE.md's frozen per-query table (sf0.1, clean-session
-    * harness): the round-3 re-freeze + round-4/5 additions. Only used
+  /** BASELINE.md's frozen per-query table (sf0.1, fresh-JVM
+    * quiet-box medians since the round-11 class re-freeze). Only used
     * to FLAG in-session outliers for isolated re-runs — grading stays
     * in the judge's hands. Keep in sync with BASELINE.md; queries
     * without a row (new this round) are never flagged. */
@@ -48,74 +48,74 @@ object Bench {
     // on the h-index rewrite. markov_stationary itself stays at its
     // round-3 1.761 as the canary's historical anchor.
     "word_jaccard_naive" -> 10.070, "corpus_filter" -> 12.353,
-    "dedup_clusters" -> 9.437, "stream_dedup_incremental" -> 8.266,
-    "stream_funnel" -> 7.400, "dedup_incremental" -> 6.527,
-    "dedup_minhash_lsh" -> 4.916, "word_jaccard_pairs" -> 7.249,
-    "funnel_conversion" -> 3.484, "stream_interval_join" -> 3.082,
-    "stream_cdc_with_deletes" -> 3.017, "ngram_contamination" -> 6.503,
-    "stream_cdc_compact" -> 2.776, "stream_router" -> 2.742,
-    "embedding_neardup" -> 2.645, "stream_session_agg" -> 8.538,
-    "range_join_agg" -> 5.228, "stream_dedup" -> 2.280,
-    "stream_hop_agg" -> 2.277, "stream_leaderboard" -> 2.224,
-    "stream_enrich" -> 1.914, "dedup_simhash" -> 1.645,
-    "q3_top_orders" -> 1.626, "percentile_stats_approx" -> 1.478,
-    "q5_region_revenue" -> 1.461, "running_total" -> 1.443,
-    "asof_join" -> 1.402, "percentile_stats" -> 1.169,
-    "text_quality" -> 1.093, "ann_lsh_topk" -> 1.084,
+    "dedup_clusters" -> 14.448, "stream_dedup_incremental" -> 15.118,
+    "stream_funnel" -> 11.197, "dedup_incremental" -> 8.880,
+    "dedup_minhash_lsh" -> 8.321, "word_jaccard_pairs" -> 7.249,
+    "funnel_conversion" -> 2.910, "stream_interval_join" -> 5.547,
+    "stream_cdc_with_deletes" -> 6.626, "ngram_contamination" -> 6.503,
+    "stream_cdc_compact" -> 6.432, "stream_router" -> 7.256,
+    "embedding_neardup" -> 3.388, "stream_session_agg" -> 8.538,
+    "range_join_agg" -> 5.228, "stream_dedup" -> 5.219,
+    "stream_hop_agg" -> 4.759, "stream_leaderboard" -> 5.954,
+    "stream_enrich" -> 4.350, "dedup_simhash" -> 4.966,
+    "q3_top_orders" -> 2.725, "percentile_stats_approx" -> 1.855,
+    "q5_region_revenue" -> 2.520, "running_total" -> 2.603,
+    "asof_join" -> 3.299, "percentile_stats" -> 3.575,
+    "text_quality" -> 1.914, "ann_lsh_topk" -> 3.217,
     "session_window_agg" -> 3.047, "retention_cohorts" -> 3.046,
-    "ann_ivf_topk" -> 0.984, "skew_salted_join" -> 2.85,
-    "rollup_sales" -> 0.905, "cube_sales" -> 0.793,
-    "lang_id" -> 0.784, "json_extract_props" -> 0.779,
-    "hop_window_agg" -> 0.758, "distinct_daily" -> 0.748,
-    "enrich_events" -> 0.735, "multimodal_meta" -> 0.695,
-    "token_count" -> 0.673, "tumble_window_agg" -> 0.652,
-    "ann_topk" -> 0.631, "pack_sequences" -> 0.630,
-    "cdc_with_deletes" -> 0.625, "q1_pricing_summary" -> 0.604,
-    "cdc_latest_by_key" -> 0.586, "approx_distinct_daily" -> 0.563,
-    "semi_anti_customers" -> 0.553, "leaderboard_topn" -> 2.02,
-    "multimodal_pipeline" -> 0.508, "dedup_exact" -> 0.490,
-    "event_router" -> 0.485, "stratified_sample" -> 0.442,
-    "multimodal_decode" -> 0.321, "doc_fingerprint" -> 2.732,
-    "train_test_split" -> 0.277,
+    "ann_ivf_topk" -> 3.523, "skew_salted_join" -> 2.85,
+    "rollup_sales" -> 1.718, "cube_sales" -> 1.871,
+    "lang_id" -> 1.928, "json_extract_props" -> 2.020,
+    "hop_window_agg" -> 2.198, "distinct_daily" -> 1.703,
+    "enrich_events" -> 1.874, "multimodal_meta" -> 1.075,
+    "token_count" -> 1.466, "tumble_window_agg" -> 1.804,
+    "ann_topk" -> 2.070, "pack_sequences" -> 1.835,
+    "cdc_with_deletes" -> 1.887, "q1_pricing_summary" -> 1.784,
+    "cdc_latest_by_key" -> 1.534, "approx_distinct_daily" -> 1.239,
+    "semi_anti_customers" -> 1.360, "leaderboard_topn" -> 2.02,
+    "multimodal_pipeline" -> 0.972, "dedup_exact" -> 1.047,
+    "event_router" -> 1.165, "stratified_sample" -> 1.584,
+    "multimodal_decode" -> 1.295, "doc_fingerprint" -> 1.195,
+    "train_test_split" -> 1.688,
     // round-4 additions
-    "dedup_clusters_star" -> 6.010, "dedup_semantic" -> 2.730,
-    "text_repetition" -> 1.940, "stream_tumble_agg" -> 6.231,
-    "pivot_sales" -> 1.190, "bloom_filtered_join" -> 1.180,
-    "topk_per_group" -> 0.420,
+    "dedup_clusters_star" -> 12.666, "dedup_semantic" -> 4.216,
+    "text_repetition" -> 3.928, "stream_tumble_agg" -> 6.231,
+    "pivot_sales" -> 2.995, "bloom_filtered_join" -> 3.413,
+    "topk_per_group" -> 1.546,
     // round-5 additions (isolated fresh-JVM freezes)
-    "dedup_substring" -> 6.630, "dedup_substring_remove" -> 6.946,
-    "ann_pq_topk" -> 4.146, "stream_hop_append" -> 3.048,
-    "tfidf_top_terms" -> 3.014, "stream_tumble_append" -> 4.708,
-    "bucketed_join" -> 1.435, "text_redact" -> 1.299,
-    "token_rarity" -> 0.982, "doc_chunking" -> 0.664,
+    "dedup_substring" -> 8.843, "dedup_substring_remove" -> 9.334,
+    "ann_pq_topk" -> 6.604, "stream_hop_append" -> 6.345,
+    "tfidf_top_terms" -> 4.534, "stream_tumble_append" -> 4.708,
+    "bucketed_join" -> 4.292, "text_redact" -> 2.583,
+    "token_rarity" -> 3.093, "doc_chunking" -> 1.861,
     "grouping_sets_sales" -> 2.648,
-    "stream_attribution" -> 8.008, "ngram_lm_score" -> 2.936,
-    "co_engagement" -> 4.409, "anomaly_zscore" -> 2.166,
-    "topk_diversified" -> 2.145, "histogram_value" -> 2.141,
-    "lag_features" -> 2.107, "event_transitions" -> 1.996,
-    "attribution_last_touch" -> 1.985, "zorder_layout" -> 1.702,
-    "decayed_leaderboard" -> 1.330, "text_normalize" -> 0.819,
-    "funnel_conversion_windowed" -> 2.683, "word_entropy" -> 1.947,
-    "dedup_paragraph" -> 3.409, "timeseries_fill" -> 2.093,
-    "corpus_mix" -> 1.932, "hll_sketch_daily" -> 1.303,
+    "stream_attribution" -> 10.587, "ngram_lm_score" -> 5.137,
+    "co_engagement" -> 4.409, "anomaly_zscore" -> 2.706,
+    "topk_diversified" -> 3.741, "histogram_value" -> 3.477,
+    "lag_features" -> 3.810, "event_transitions" -> 2.761,
+    "attribution_last_touch" -> 3.350, "zorder_layout" -> 2.746,
+    "decayed_leaderboard" -> 1.912, "text_normalize" -> 1.242,
+    "funnel_conversion_windowed" -> 4.212, "word_entropy" -> 2.881,
+    "dedup_paragraph" -> 5.512, "timeseries_fill" -> 3.032,
+    "corpus_mix" -> 3.347, "hll_sketch_daily" -> 1.902,
     // round-5 fourth batch (graph analytics, journeys, skew
     // diagnostics, Q17, interval concurrency)
-    "pagerank_items" -> 5.771, "triangle_count" -> 5.758,
-    "attribution_first_touch" -> 2.205, "top_paths" -> 2.743,
-    "key_skew_stats" -> 2.412, "q17_small_quantity" -> 2.013,
-    "open_orders_daily" -> 3.678, "stream_moments" -> 3.208,
-    "edit_distance_pairs" -> 5.166, "rolling_distinct_users" -> 2.629,
-    "profile_columns" -> 4.127, "q8_market_share" -> 3.964,
-    "bm25_topk" -> 2.519, "incremental_rollup" -> 2.542,
-    "sample_k_per_group" -> 1.358, "snapshot_diff" -> 2.571,
-    "trending_daily" -> 2.005, "unpivot_metrics" -> 1.432,
-    "events_sessionized" -> 2.010, "cohort_ltv" -> 2.819,
-    "embedding_norms" -> 1.484, "association_rules" -> 3.987,
-    "frequent_sequences" -> 2.851, "q19_discounted_revenue" -> 1.436,
-    "activity_heatmap" -> 1.764, "conversion_lag_stats" -> 1.235,
-    "dau_wau_mau" -> 3.401, "session_kpis" -> 2.528,
-    "knn_classify" -> 2.167, "decontaminate" -> 4.256,
-    "hits_scores" -> 8.873, "stream_rollup" -> 4.391,
+    "pagerank_items" -> 6.927, "triangle_count" -> 6.409,
+    "attribution_first_touch" -> 2.935, "top_paths" -> 2.684,
+    "key_skew_stats" -> 2.829, "q17_small_quantity" -> 2.818,
+    "open_orders_daily" -> 4.186, "stream_moments" -> 4.445,
+    "edit_distance_pairs" -> 6.870, "rolling_distinct_users" -> 3.320,
+    "profile_columns" -> 4.628, "q8_market_share" -> 3.392,
+    "bm25_topk" -> 3.134, "incremental_rollup" -> 2.814,
+    "sample_k_per_group" -> 1.788, "snapshot_diff" -> 3.532,
+    "trending_daily" -> 2.746, "unpivot_metrics" -> 2.019,
+    "events_sessionized" -> 2.867, "cohort_ltv" -> 5.885,
+    "embedding_norms" -> 2.932, "association_rules" -> 3.987,
+    "frequent_sequences" -> 4.149, "q19_discounted_revenue" -> 1.968,
+    "activity_heatmap" -> 2.110, "conversion_lag_stats" -> 1.508,
+    "dau_wau_mau" -> 4.395, "session_kpis" -> 2.785,
+    "knn_classify" -> 2.447, "decontaminate" -> 5.046,
+    "hits_scores" -> 7.898, "stream_rollup" -> 4.391,
     // round-6 additions (isolated fresh-JVM freezes)
     "communities_lpa" -> 6.865, "stream_interval_join_left" -> 6.929,
     "weighted_sample" -> 1.523, "q4_order_priority" -> 2.478,
@@ -189,7 +189,7 @@ object Bench {
     "degree_assortativity" -> 4.015, "graph_components" -> 5.878,
     "time_weighted_value" -> 2.500, "user_revenue_percentile" -> 1.702,
     "stream_user_lifecycle" -> 8.053, "stream_dau_wau_mau" -> 10.548,
-    "stream_winsorized" -> 5.618, "stream_time_weighted" -> 14.804,
+    "stream_winsorized" -> 6.362, "stream_time_weighted" -> 14.804,
     "boilerplate_score" -> 8.767, "dataset_card" -> 1.539,
     "hard_negatives" -> 2.101, "ma_crossover" -> 2.301,
     "asof_join_tolerance" -> 3.786,
@@ -262,7 +262,37 @@ object Bench {
     "stream_wilcoxon" -> 10.649, "stream_capture_recapture" -> 4.390,
     "stream_user_type_entropy" -> 4.524, "stream_sessions_per_user" -> 8.365,
     "stream_tumble_jsonl" -> 8.478, "stream_ccf" -> 9.607,
-    "stream_session_affinity" -> 13.292, "stream_pacf" -> 10.705)
+    "stream_session_affinity" -> 13.292, "stream_pacf" -> 10.705,
+    // Round-11 class re-freeze + first-freeze: the 111 still-stale
+    // pre-round-6 rows above were re-stamped in place, and the 42
+    // round-9/10 entries below (which had NO row, so the flag rule
+    // never saw them) frozen for the first time — all as fresh-JVM
+    // quiet-box medians of >=3 (tools/refreeze_r11.sh; canary
+    // bracketed 2.77/2.47/2.21/2.48/2.24 vs frozen 1.761 = 1.26-1.57x
+    // degraded-stable basis, so these are upper bounds; evidence in
+    // BASELINE.md "Round-11 re-freeze").
+    "approx_top_items" -> 1.805, "bootstrap_mean_ci" -> 2.535,
+    "burstiness_index" -> 3.339, "cms_top_items" -> 4.078,
+    "decile_lift" -> 4.885, "decontaminate_fuzzy" -> 11.230,
+    "domain_frequency_cap" -> 1.849, "first_passage_matrix" -> 3.897,
+    "friedman_daily" -> 5.495, "grubbs_daily" -> 4.038,
+    "heavy_changers" -> 3.780, "jackknife_ratio" -> 3.401,
+    "kruskal_wallis" -> 4.049, "levene_brown_forsythe" -> 4.787,
+    "markov_attribution" -> 4.524, "nb_lang_classifier" -> 6.219,
+    "page_hinkley_daily" -> 2.830, "pivot_type_dow" -> 2.274,
+    "stream_assortativity" -> 6.841, "stream_bootstrap" -> 4.182,
+    "stream_cdc_schema_drift" -> 8.342, "stream_cms" -> 6.590,
+    "stream_decile_lift" -> 5.869, "stream_engagement_gini" -> 6.480,
+    "stream_first_passage" -> 11.834, "stream_friedman" -> 9.932,
+    "stream_grubbs" -> 5.173, "stream_heaps_law_fit" -> 10.983,
+    "stream_heavy_changers" -> 5.839, "stream_jackknife" -> 4.139,
+    "stream_k_core" -> 8.986, "stream_kruskal" -> 5.192,
+    "stream_levene" -> 5.481, "stream_markov_attribution" -> 12.790,
+    "stream_nb_lang" -> 11.728, "stream_page_hinkley" -> 4.469,
+    "stream_pivot_type_dow" -> 4.610, "stream_rfm_segments" -> 8.116,
+    "stream_router_http" -> 4.148, "stream_router_jdbc" -> 8.129,
+    "stream_topk_per_group" -> 3.086,
+    "stream_user_revenue_percentile" -> 5.653)
 
   /** Run ONE query in a fresh JVM (this JVM's own flags + classpath,
     * stderr discarded) and parse its timing out of the child's JSON
