@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.operators._
-import graft.streaming.{AttributionStream, BootstrapStream, BoxplotStream, CdcCompact, ChangepointStream, DailyModeStream, DoclenStream, DriftStream, EngagementStream, EwmaStream, FunnelStream, HhiStream, HllStream, JdbcSink, MomentsStream, PercentileBandsStream, ProfileStreams, RollupStream, SeasonalityStream, Sessionize, StreamDedup, StreamIncrementalDedup, ZipfStream}
+import graft.streaming.{AttributionStream, BootstrapStream, BoxplotStream, CdcCompact, ChangepointStream, CorpusFilterStream, DailyModeStream, DoclenStream, DriftStream, EngagementStream, EwmaStream, FunnelStream, HhiStream, HllStream, JdbcSink, MomentsStream, PercentileBandsStream, ProfileStreams, RollupStream, SeasonalityStream, Sessionize, StreamDedup, StreamIncrementalDedup, ZipfStream}
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the inventory. */
 object SparkEntry {
@@ -60,6 +60,7 @@ object SparkEntry {
     "stream_scd2"        -> ((s: SparkSession, d: String) => streaming.CdcCompact.streamScd2(s, d)),
     "degree_assortativity" -> ((s: SparkSession, d: String) => Graph.degreeAssortativity(s, d)),
     "graph_components"   -> ((s: SparkSession, d: String) => Graph.graphComponents(s, d)),
+    "scc_items"          -> ((s: SparkSession, d: String) => Graph.sccItems(s, d)),
     "time_weighted_value" -> ((s: SparkSession, d: String) => Timeseries.timeWeightedValue(s, d)),
     "user_revenue_percentile" -> Behavior.userRevenuePercentile _,
     "stream_user_lifecycle" -> ((s: SparkSession, d: String) => streaming.TransitionStream.streamUserLifecycle(s, d)),
@@ -346,6 +347,8 @@ object SparkEntry {
     "unpivot_metrics"       -> Olap.unpivotMetrics _,
     "profile_columns"       -> Olap.profileColumns _,
     "hll_sketch_daily"      -> ((s: SparkSession, d: String) => Olap.hllSketchDaily(s, d)),
+    "kll_quantiles_daily"   -> ((s: SparkSession, d: String) => Olap.kllQuantilesDaily(s, d)),
+    "stream_kll_quantiles"  -> ((s: SparkSession, d: String) => HllStream.streamKllQuantiles(s, d)),
     "zorder_layout"         -> Olap.zorderLayout _,
     "semi_anti_customers"   -> Olap.semiAntiCustomers _,
     "percentile_stats"      -> ((s: SparkSession, d: String) => Olap.percentileStats(s, d)),
@@ -374,11 +377,16 @@ object SparkEntry {
     "sample_k_per_group"  -> ((s: SparkSession, d: String) => Sampling.sampleKPerGroup(s, d)),
     "weighted_sample"     -> ((s: SparkSession, d: String) => Sampling.weightedSample(s, d)),
     "corpus_filter"       -> ((s: SparkSession, d: String) => TextOps.corpusFilter(s, d)),
+    "stream_corpus_filter" -> ((s: SparkSession, d: String) =>
+      CorpusFilterStream.streamCorpusFilter(s, d)),
+    "semantic_clusters"   -> ((s: SparkSession, d: String) => VectorOps.semanticClusters(s, d)),
     "lang_id"            -> TextOps.langId _,
     "text_quality"       -> TextOps.textQuality _,
     "gopher_quality_gates" -> TextOps.gopherGates _,
     "text_repetition"    -> TextOps.textRepetition _,
     "text_redact"        -> TextOps.textRedact _,
+    "pii_density"        -> TextOps.piiDensity _,
+    "stream_pii_density" -> ((s: SparkSession, d: String) => ProfileStreams.streamPiiDensity(s, d)),
     "token_rarity"       -> ((s: SparkSession, d: String) => TextOps.tokenRarity(s, d)),
     "tfidf_top_terms"    -> ((s: SparkSession, d: String) => TextOps.tfidfTopTerms(s, d)),
     "bm25_topk"          -> ((s: SparkSession, d: String) => TextOps.bm25TopK(s, d)),
@@ -399,7 +407,11 @@ object SparkEntry {
     "dedup_clusters"     -> ((s: SparkSession, d: String) => Dedup.dedupClusters(s, d)),
     "dedup_clusters_star" -> ((s: SparkSession, d: String) => Dedup.dedupClustersStar(s, d)),
     "dedup_simhash"      -> ((s: SparkSession, d: String) => Dedup.simHashPairs(s, d)),
+    "dedup_simhash_clusters" -> ((s: SparkSession, d: String) => Dedup.dedupSimhashClusters(s, d)),
     "embedding_neardup"  -> ((s: SparkSession, d: String) => VectorOps.embeddingNearDup(s, d)),
+    "decontaminate_semantic" -> ((s: SparkSession, d: String) => VectorOps.decontaminateSemantic(s, d)),
+    "stream_decontaminate_semantic" -> ((s: SparkSession, d: String) =>
+      ProfileStreams.streamDecontaminateSemantic(s, d)),
     // nCells ∝ |corpus|/target-cell-size, nProbe buys back boundary
     // recall — see dedupSemantic's sizing note; tuned here, not inside
     // the operator.
@@ -445,6 +457,15 @@ object SparkEntry {
       // reports are the SAME derivations the batch operators run
       "stream_rolling_retention" -> base("rolling_retention"),
       "stream_label_centroids" -> base("label_centroids"),
+      // additive per-source PII grid / per-vector stateless verdicts
+      // against the broadcast eval side — reports run the batch
+      // operators' own derivations over the merged state
+      "stream_pii_density" -> base("pii_density"),
+      "stream_decontaminate_semantic" -> base("decontaminate_semantic"),
+      // per-batch LSH screening against the accumulated index union'd
+      // over an id-disjoint batching reproduces the full self-join
+      // pair set; representatives re-elected at report time
+      "stream_corpus_filter" -> base("corpus_filter"),
       // boundary pairs reconstructed from the per-user frontier state
       // + additive counts: time-ordered replay equals the batch
       // window count table, then the SAME report derivation runs
@@ -1051,6 +1072,7 @@ object SparkEntry {
     "url_canonicalize" -> operators.CorpusQa.urlCanonicalizeOracleSql,
     "degree_assortativity" -> operators.Graph.degreeAssortativityOracleSql,
     "graph_components" -> operators.Graph.graphComponentsOracleSql,
+    "scc_items" -> operators.Graph.sccItemsOracleSql,
     "time_weighted_value" -> operators.Timeseries.timeWeightedValueOracleSql,
     "user_revenue_percentile" -> operators.Behavior.userRevenuePercentileOracleSql,
     "boilerplate_score" -> operators.CorpusQa.boilerplateScoreOracleSql,
@@ -1481,6 +1503,7 @@ object SparkEntry {
     "gopher_quality_gates" -> operators.TextOps.gopherGatesOracleSql,
     "text_repetition" -> operators.TextOps.textRepetitionOracleSql,
     "text_redact" -> operators.TextOps.textRedactOracleSql,
+    "pii_density" -> operators.TextOps.piiDensityOracleSql,
     "token_rarity" -> operators.TextOps.tokenRarityOracleSql(),
     "tfidf_top_terms" -> operators.TextOps.tfidfTopTermsOracleSql(),
 
@@ -1520,6 +1543,9 @@ object SparkEntry {
     // deterministic (pigeonhole-exact) — full fingerprint recompute in
     // DuckDB, see Dedup.simHashOracleSql's arithmetic notes
     "dedup_simhash" -> operators.Dedup.simHashOracleSql(),
+    "dedup_simhash_clusters" -> operators.Dedup.simHashClustersOracleSql(),
+    "decontaminate_semantic" -> operators.VectorOps.decontaminateSemanticOracleSql(),
+    "semantic_clusters" -> operators.VectorOps.semanticClustersOracleSql(),
 
     "dedup_clusters" -> operators.Dedup.dedupClustersOracleSql(),
     // alternating-star components converge to the same (doc, min-id

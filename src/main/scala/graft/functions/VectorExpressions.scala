@@ -557,6 +557,15 @@ object GraftFunctions {
     ("graft_topk",
       new ExpressionInfo(classOf[BoundedTopK].getName, "graft_topk"),
       es => BoundedTopK(es(0), es(1), litLong(es(2)).toInt)),
+    ("graft_kll_agg",
+      new ExpressionInfo(classOf[KllSketchAgg].getName, "graft_kll_agg"),
+      es => KllSketchAgg(es(0), litLong(es(1)).toInt)),
+    ("graft_kll_merge",
+      new ExpressionInfo(classOf[KllMergeAgg].getName, "graft_kll_merge"),
+      es => KllMergeAgg(es(0), litLong(es(1)).toInt)),
+    ("graft_kll_quantile",
+      new ExpressionInfo(classOf[KllQuantile].getName, "graft_kll_quantile"),
+      es => KllQuantile(es(0), es(1).eval(null).asInstanceOf[Number].doubleValue())),
     // Spark's own (non-SQL-registered) runtime-filter expressions,
     // surfaced so operators can build/apply semi-join bloom pruning
     // explicitly: graft_bloom_agg(xxhash64(key), estItems) -> binary

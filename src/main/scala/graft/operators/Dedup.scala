@@ -134,6 +134,58 @@ object Dedup {
     minHashPairs(spark, dir, threshold, bands, rows).orderBy($"doc_a", $"doc_b")
   }
 
+  /** Per-batch pair discovery for the incremental corpus gate: the
+    * verified shingle-Jaccard pairs CONTRIBUTED by a new batch —
+    * batch × seen-index plus batch × batch — using the identical
+    * signature/band/verify chain as [[minHashPairs]], so the union of
+    * per-batch pairs over an id-disjoint batching of the corpus
+    * equals the full self-join's pair set (every pair surfaces when
+    * its later endpoint arrives).
+    *
+    * Inputs: the batch docs (doc_id, text) and the accumulated index
+    * — `seenBands` (doc_id, band, band_hash) and `seenSets`
+    * (doc_id, sh). Returns (verifiedPairs, batchBands, batchSets);
+    * the caller folds the latter two into its state. Scale: the
+    * batch side is small; the seen side is only ever EQUI-joined on
+    * (band, band_hash) — the index is queried, never self-joined. */
+  private[graft] def incrementalPairs(spark: SparkSession, batchDocs: DataFrame,
+                                      seenBands: DataFrame, seenSets: DataFrame,
+                                      threshold: Double, bands: Int = 32,
+                                      rows: Int = 2): (DataFrame, DataFrame, DataFrame) = {
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    val bandHashExpr = (0 until rows).map(r => s"element_at(sig, b * $rows + ${r + 1})")
+      .mkString(s"transform(sequence(0, ${bands - 1}), b -> xxhash64(", ", ", ", b))")
+    val batchBands = batchDocs
+      .select($"doc_id",
+        call_function("graft_minhash", expr(shingleExpr), lit(bands * rows)).as("sig"))
+      .select($"doc_id", posexplode(expr(bandHashExpr)))
+      .withColumnRenamed("pos", "band")
+      .withColumnRenamed("col", "band_hash")
+    val batchSets = batchDocs
+      .select($"doc_id", array_sort(array_distinct(expr(shingleExpr))).as("sh"))
+
+    val allBands = seenBands.unionByName(batchBands)
+    val candidates = batchBands.as("a")
+      .join(allBands.as("b"),
+        col("a.band") === col("b.band") && col("a.band_hash") === col("b.band_hash")
+          && col("a.doc_id") =!= col("b.doc_id"))
+      .select(least(col("a.doc_id"), col("b.doc_id")).as("id_a"),
+        greatest(col("a.doc_id"), col("b.doc_id")).as("id_b"))
+      .dropDuplicates("id_a", "id_b")
+
+    val allSets = seenSets.unionByName(batchSets)
+    val verified = candidates
+      .join(allSets.select($"doc_id".as("id_a"), $"sh".as("da")), Seq("id_a"))
+      .join(allSets.select($"doc_id".as("id_b"), $"sh".as("db")), Seq("id_b"))
+      .withColumn("inter", call_function("graft_sorted_intersect_size", $"da", $"db"))
+      .withColumn("jaccard",
+        round($"inter".cast("double") / (size($"da") + size($"db") - $"inter"), 4))
+      .filter($"jaccard" >= threshold)
+      .select($"id_a".as("doc_a"), $"id_b".as("doc_b"))
+    (verified, batchBands, batchSets)
+  }
+
   /** Incremental dedup: screen a NEW batch of documents against an
     * EXISTING corpus — the shape production ingestion actually runs
     * (the self-join variants above are the bootstrap pass; every
@@ -311,66 +363,86 @@ object Dedup {
                             maxIters: Int): DataFrame =
     labelsCache.getOrElseUpdate((spark, dir, threshold, maxIters)) {
       import spark.implicits._
-      val pairs = minHashPairs(spark, dir, threshold, 32, 2).select($"doc_a", $"doc_b")
-      val edges = pairs
-        .unionByName(pairs.select($"doc_b".as("doc_a"), $"doc_a".as("doc_b")))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      edges.count()
-
-      var labels = edges.select($"doc_a".as("node")).distinct()
-        .select($"node", $"node".as("lbl"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      labels.count()
-      var converged = false
-      var iter = 0
-      // The iteration jobs shuffle only the (tiny) pair-graph node set;
-      // scope the shuffle width down for the loop the same way the
-      // streaming runners do — the propagation joins are latency-bound
-      // on task count, not data. Restored before the returned plan runs.
-      val shuffleKey = "spark.sql.shuffle.partitions"
-      val prevShuffle = spark.conf.get(shuffleKey)
-      spark.conf.set(shuffleKey, "8")
-      try {
-        while (!converged && iter < maxIters) {
-          // ONE job per round: the new label and a changed flag come
-          // out of the same join (the flag is just lbl != new lbl, no
-          // second labels join needed), and the materializing action
-          // is an aggregate over the persisted table rather than a
-          // separate count + change-probe — round-3 fix after the
-          // honest per-query bench (memo caches cleared) made this
-          // loop the slowest operator at 3 jobs per iteration.
-          val nbrMin = edges.join(labels, edges("doc_b") === labels("node"))
-            .groupBy(edges("doc_a").as("n2")).agg(min($"lbl").as("nbr"))
-          val next = labels.join(nbrMin, labels("node") === nbrMin("n2"), "left")
-            .select($"node", $"lbl".as("old_lbl"), least($"lbl", coalesce($"nbr", $"lbl")).as("lbl"))
-            .persist(StorageLevel.MEMORY_AND_DISK)
-          val chg = next.agg(sum(when($"lbl" =!= $"old_lbl", 1L).otherwise(0L))).collect()(0).getLong(0)
-          labels.unpersist()
-          labels = next
-          converged = chg == 0
-          iter += 1
-        }
-      } finally spark.conf.set(shuffleKey, prevShuffle)
-      // An unconverged labeling is NOT the connected-components answer
-      // — surface it instead of letting it be consumed as exact. (A
-      // component with diameter > maxIters means an adversarially long
-      // near-dup chain; the large-star/small-star variant is the
-      // production escalation.)
-      if (!converged)
-        org.slf4j.LoggerFactory.getLogger(getClass).warn(
-          s"dedupClusters did NOT converge within $maxIters iterations; " +
-            "cluster labels may be incorrect for long-chain components")
-      // Memoize the 2-column projection as its own persisted table
-      // (tiny: pair-graph nodes only) so the cache cleanup hook
-      // releases the actual cached blocks, then free the loop
-      // iterate and the edge list — the returned table re-reads
-      // neither.
-      val out = labels.select($"node", $"lbl").persist(StorageLevel.MEMORY_AND_DISK)
-      out.count()
-      labels.unpersist()
-      edges.unpersist()
-      out
+      propagateMinLabels(spark,
+        minHashPairs(spark, dir, threshold, 32, 2).select($"doc_a", $"doc_b"),
+        maxIters, "dedupClusters")
     }
+
+  /** Min-label propagation over an undirected pair graph — the
+    * shared connected-components core of [[dedupClusters]] (MinHash
+    * edges) and [[dedupSimhashClusters]] (SimHash edges). Takes the
+    * (doc_a, doc_b) candidate pairs, symmetrizes, and iterates the
+    * per-node neighborhood min until fixpoint; returns the converged
+    * (node, lbl) table, eagerly persisted so callers never re-trigger
+    * the loop. */
+  private[graft] def propagateMinLabels(spark: SparkSession, pairs: DataFrame,
+                                        maxIters: Int, who: String): DataFrame = {
+    import spark.implicits._
+    val edges = pairs
+      .unionByName(pairs.select($"doc_b".as("doc_a"), $"doc_a".as("doc_b")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    edges.count()
+    var labels = edges.select($"doc_a".as("node")).distinct()
+      .select($"node", $"node".as("lbl"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    labels.count()
+    var converged = false
+    var iter = 0
+    // The iteration jobs shuffle only the (tiny) pair-graph node set;
+    // scope the shuffle width down for the loop the same way the
+    // streaming runners do — the propagation joins are latency-bound
+    // on task count, not data. Restored before the returned plan runs.
+    val shuffleKey = "spark.sql.shuffle.partitions"
+    val prevShuffle = spark.conf.get(shuffleKey)
+    spark.conf.set(shuffleKey, "8")
+    try {
+      while (!converged && iter < maxIters) {
+        // ONE job per round: the new label and a changed flag come
+        // out of the same join (the flag is just lbl != new lbl, no
+        // second labels join needed), and the materializing action
+        // is an aggregate over the persisted table rather than a
+        // separate count + change-probe — round-3 fix after the
+        // honest per-query bench (memo caches cleared) made this
+        // loop the slowest operator at 3 jobs per iteration.
+        val nbrMin = edges.join(labels, edges("doc_b") === labels("node"))
+          .groupBy(edges("doc_a").as("n2")).agg(min($"lbl").as("nbr"))
+        // truncateLineage, not persist: the iterate's plan nests the
+        // previous round TWICE (join + aggregate input), so the
+        // logical plan doubles per round — a long-diameter pair graph
+        // (the semantic-cluster components hit this first) blows the
+        // driver heap at ANALYSIS time around round ~18 even though
+        // each round's data is tiny. Checkpointing flattens every
+        // round to a scan; dead rounds go to the ContextCleaner.
+        val next = truncateLineage(
+          labels.join(nbrMin, labels("node") === nbrMin("n2"), "left")
+            .select($"node", $"lbl".as("old_lbl"), least($"lbl", coalesce($"nbr", $"lbl")).as("lbl")))
+        val chg = next.agg(sum(when($"lbl" =!= $"old_lbl", 1L).otherwise(0L))).collect()(0).getLong(0)
+        labels.unpersist()
+        labels = next
+        converged = chg == 0
+        iter += 1
+      }
+    } finally spark.conf.set(shuffleKey, prevShuffle)
+    // An unconverged labeling is NOT the connected-components answer
+    // — surface it instead of letting it be consumed as exact. (A
+    // component with diameter > maxIters means an adversarially long
+    // near-dup chain; the large-star/small-star variant is the
+    // production escalation.)
+    if (!converged)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"$who did NOT converge within $maxIters iterations; " +
+          "cluster labels may be incorrect for long-chain components")
+    // Memoize the 2-column projection as its own persisted table
+    // (tiny: pair-graph nodes only) so the cache cleanup hook
+    // releases the actual cached blocks, then free the loop
+    // iterate and the edge list — the returned table re-reads
+    // neither.
+    val out = labels.select($"node", $"lbl").persist(StorageLevel.MEMORY_AND_DISK)
+    out.count()
+    labels.unpersist()
+    edges.unpersist()
+    out
+  }
 
   /** Connected components by alternating large-star / small-star
     * (Kiveris et al., "Connected Components in MapReduce and
@@ -619,7 +691,17 @@ object Dedup {
     * empty tokens, where DuckDB's `string_split('','')` yields
     * `['']`. */
   def simHashOracleSql(maxHamming: Int = 3): String =
-    s"""WITH toks AS (
+    s"""WITH $simhashFpCte
+       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |       bit_count(xor(a.sim, b.sim))::BIGINT AS hamming
+       |FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.sim, b.sim)) <= $maxHamming
+       |ORDER BY doc_a, doc_b""".stripMargin
+
+  /** The `toks…fp` CTE chain both SimHash oracles share: the
+    * DuckDB-mirrored FNV-1a + splitmix64 fingerprint per doc. */
+  private val simhashFpCte: String =
+    """toks AS (
        |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
        |f0 AS (SELECT doc_id,
        |  list_reduce(
@@ -647,12 +729,57 @@ object Dedup {
        |  GROUP BY doc_id, b),
        |fp AS (
        |  SELECT doc_id, sum(CASE WHEN v > 0 THEN (1::UBIGINT << b)::HUGEINT ELSE 0::HUGEINT END)::UBIGINT AS sim
-       |  FROM votes GROUP BY doc_id)
-       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-       |       bit_count(xor(a.sim, b.sim))::BIGINT AS hamming
-       |FROM fp a JOIN fp b ON a.doc_id < b.doc_id
-       |WHERE bit_count(xor(a.sim, b.sim)) <= $maxHamming
-       |ORDER BY doc_a, doc_b""".stripMargin
+       |  FROM votes GROUP BY doc_id)""".stripMargin
+
+  /** Connected components over the SimHash near-dup graph — the
+    * cluster face of [[simHashPairs]], exactly as [[dedupClusters]]
+    * is the cluster face of [[minHashLsh]]: every document labeled
+    * with the min doc_id of its Hamming-≤k component, `is_kept` for
+    * the representative. SimHash clusters catch the boilerplate-heavy
+    * duplication class whose word-set Jaccard sits BELOW the MinHash
+    * threshold while the 64-bit profile still collides (near-identical
+    * token frequency profiles) — running both faces and diffing the
+    * cluster maps is the standard corpus-QA audit.
+    *
+    * Scale: pairs come from the pigeonhole chunk join (never
+    * all-pairs); components ride the shared min-label propagation —
+    * per round, one equi-join + aggregate over the (tiny) pair-graph
+    * node set. Same convergence contract/warning as dedupClusters;
+    * the star-contraction variant is the adversarial-chain
+    * escalation. */
+  def dedupSimhashClusters(spark: SparkSession, dir: String,
+                           maxHamming: Int = 3, maxIters: Int = 60): DataFrame = {
+    import spark.implicits._
+    val labels = simLabelsCache.getOrElseUpdate((spark, dir, maxHamming, maxIters)) {
+      propagateMinLabels(spark,
+        simHashPairs(spark, dir, maxHamming).select($"doc_a", $"doc_b"),
+        maxIters, "dedupSimhashClusters")
+    }
+    Tables.documents(spark, dir).select($"doc_id")
+      .join(labels.withColumnRenamed("node", "doc_id"), Seq("doc_id"), "left")
+      .select($"doc_id", coalesce($"lbl", $"doc_id").as("cluster_rep"))
+      .withColumn("is_kept", $"cluster_rep" === $"doc_id")
+      .orderBy($"doc_id")
+  }
+
+  private val simLabelsCache =
+    GraftCaches.memo[(SparkSession, String, Int, Int), DataFrame](_.unpersist())
+
+  /** DuckDB oracle for [[dedupSimhashClusters]]: the shared
+    * fingerprint CTE + the same reachability recursion as
+    * [[dedupClustersOracleSql]]. */
+  def simHashClustersOracleSql(maxHamming: Int = 3): String =
+    s"""WITH RECURSIVE $simhashFpCte,
+       |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |      FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+       |      WHERE bit_count(xor(a.sim, b.sim)) <= $maxHamming),
+       |e AS (SELECT doc_a AS a, doc_b AS b FROM p UNION ALL SELECT doc_b, doc_a FROM p),
+       |reach(a, b) AS (
+       |  SELECT doc_id, doc_id FROM documents
+       |  UNION
+       |  SELECT reach.a, e.b FROM reach JOIN e ON reach.b = e.a)
+       |SELECT a AS doc_id, min(b) AS cluster_rep, (min(b) = a) AS is_kept
+       |FROM reach GROUP BY a ORDER BY doc_id""".stripMargin
 
   /** Repeated-substring exact dedup (Lee et al. 2022, "Deduplicating
     * Training Data Makes Language Models Better" — the ExactSubstr

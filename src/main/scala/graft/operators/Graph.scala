@@ -1091,4 +1091,129 @@ object Graph {
        |SELECT l.item, l.component, s.component_size
        |FROM lbl l JOIN sz s ON l.component = s.component
        |ORDER BY l.item""".stripMargin
+
+  /** Strongly connected components of the DIRECTED item-transition
+    * graph — the navigation-loop structure the undirected components
+    * (#B9i) cannot see: item A linking to B means users go A → B,
+    * and an SCC is a set of items users can CYCLE through (a
+    * browse/return loop); items outside every cycle are pure
+    * feeders/sinks. Nodes are `props.k` items, edges the DISTINCT
+    * consecutive (item → next item) transitions per user in
+    * (ts, event_id) order (#B2's ordering discipline at item grain).
+    *
+    * Algorithm: iterative min-label FORWARD/BACKWARD coloring with
+    * peeling (the distributed SCC shape of Orzan 2004's coloring /
+    * the FW-BW family, Slota et al. 2014 — no sequential Tarjan
+    * stack): per round, F(v) = min id that can reach v and
+    * B(v) = min id v can reach, both by fixpoint min-propagation
+    * over the edge list; every v with F(v) = B(v) = m is in SCC(m)
+    * (mutual reachability through m), and the round peels at least
+    * SCC(min remaining id) — assigned SCCs are cycle-closed, so
+    * edges touching them can be dropped for the next round.
+    *
+    * Scale: the fact-scale work is ONE window pass (partitioned by
+    * user) + a distinct on (item, next) — everything after runs on
+    * the |items|-node edge list; each propagation step is an
+    * equi-join + min-aggregate with per-round lineage truncation
+    * ([[truncateLineage]]). Rounds are bounded and convergence is
+    * surfaced, not assumed. */
+  def sccItemsTransform(events: DataFrame, maxRounds: Int = 10,
+                        maxIters: Int = 60): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val seq = events
+      .select($"user_id", $"ts", $"event_id",
+        get_json_object($"props", "$.k").cast("long").as("item"))
+      .filter($"item".isNotNull)
+    val nodes = truncateLineage(seq.select($"item").distinct())
+    var edges = truncateLineage(
+      seq.withColumn("nxt", lead($"item", 1).over(w))
+        .filter($"nxt".isNotNull)
+        .select($"item".as("a"), $"nxt".as("b"))
+        .distinct())
+    var assigned = nodes.select($"item", $"item".as("scc_rep")).filter(lit(false))
+    var un = nodes
+    var round = 0
+    var remaining = un.count()
+    while (round < maxRounds && remaining > 0) {
+      var lbl = truncateLineage(
+        un.select($"item".as("node"), $"item".as("fmin"), $"item".as("bmin")))
+      var converged = false
+      var iter = 0
+      while (!converged && iter < maxIters) {
+        // F flows WITH the edge (a's reacher-min reaches b);
+        // B flows AGAINST it (whatever b reaches, a reaches too)
+        val fIn = edges.join(lbl.select($"node".as("a"), $"fmin".as("fa")), Seq("a"))
+          .groupBy($"b".as("fn")).agg(min($"fa").as("fin"))
+        val bIn = edges.join(lbl.select($"node".as("b"), $"bmin".as("bb")), Seq("b"))
+          .groupBy($"a".as("bn")).agg(min($"bb").as("bin"))
+        val next = truncateLineage(
+          lbl.join(fIn, lbl("node") === fIn("fn"), "left")
+            .join(bIn, lbl("node") === bIn("bn"), "left")
+            .select($"node",
+              $"fmin".as("f_old"), $"bmin".as("b_old"),
+              least($"fmin", coalesce($"fin", $"fmin")).as("fmin"),
+              least($"bmin", coalesce($"bin", $"bmin")).as("bmin")))
+        val chg = next.agg(sum(when($"fmin" =!= $"f_old" || $"bmin" =!= $"b_old", 1L)
+          .otherwise(0L))).collect()(0).getLong(0)
+        lbl = next.select($"node", $"fmin", $"bmin")
+        converged = chg == 0
+        iter += 1
+      }
+      if (!converged)
+        org.slf4j.LoggerFactory.getLogger(getClass).warn(
+          s"sccItems round $round did NOT converge within $maxIters propagation steps")
+      val newAssigned = truncateLineage(
+        lbl.filter($"fmin" === $"bmin").select($"node".as("item"), $"fmin".as("scc_rep")))
+      assigned = truncateLineage(assigned.unionByName(newAssigned))
+      un = truncateLineage(un.join(newAssigned.select($"item"), Seq("item"), "left_anti"))
+      edges = truncateLineage(
+        edges.join(un.select($"item".as("a")), Seq("a"), "left_semi")
+          .join(un.select($"item".as("b")), Seq("b"), "left_semi")
+          .select($"a", $"b"))
+      remaining = un.count()
+      round += 1
+    }
+    if (remaining > 0) {
+      // every round assigns at least SCC(min remaining id), so this
+      // needs > maxRounds peel levels — surface it rather than emit a
+      // wrong labeling silently
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"sccItems left $remaining nodes unassigned after $maxRounds rounds; " +
+          "falling back to singleton labels for the leftovers")
+      assigned = assigned.unionByName(un.select($"item", $"item".as("scc_rep")))
+    }
+    val sizes = assigned.groupBy($"scc_rep").agg(count(lit(1)).as("scc_size"))
+    assigned.join(sizes, Seq("scc_rep"))
+      .select($"item", $"scc_rep", $"scc_size")
+      .orderBy($"item")
+  }
+
+  def sccItems(spark: SparkSession, dir: String): DataFrame =
+    sccItemsTransform(Tables.events(spark, dir))
+
+  /** DuckDB oracle for [[sccItemsTransform]]: directed reachability
+    * closure; SCC representative = min over the MUTUAL-reach set
+    * (r1.a→r1.b and back), which includes the node itself. */
+  def sccItemsOracleSql: String =
+    s"""WITH RECURSIVE
+       |ev AS (SELECT user_id, ts, event_id,
+       |              TRY_CAST(json_extract_string(props, '$$.k') AS BIGINT) AS item
+       |       FROM events),
+       |sq AS (SELECT item, lead(item) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nxt
+       |       FROM ev WHERE item IS NOT NULL),
+       |e AS (SELECT DISTINCT item AS a, nxt AS b FROM sq WHERE nxt IS NOT NULL),
+       |n AS (SELECT DISTINCT item FROM ev WHERE item IS NOT NULL),
+       |reach(a, b) AS (
+       |  SELECT item, item FROM n
+       |  UNION
+       |  SELECT reach.a, e.b FROM reach JOIN e ON reach.b = e.a),
+       |m AS (SELECT r1.a AS item, min(r1.b) AS scc_rep
+       |      FROM reach r1 JOIN reach r2 ON r1.a = r2.b AND r1.b = r2.a
+       |      GROUP BY r1.a),
+       |sz AS (SELECT scc_rep, count(*) AS scc_size FROM m GROUP BY scc_rep)
+       |SELECT m.item, m.scc_rep, sz.scc_size
+       |FROM m JOIN sz USING (scc_rep) ORDER BY m.item""".stripMargin
 }

@@ -301,20 +301,26 @@ object TextOps {
     * IEEE division are bit-identical in any engine. */
   def textQuality(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    textQualityTransform(Tables.documents(spark, dir)).orderBy($"doc_id")
+  }
+
+  /** Per-doc quality scoring over any (doc_id, text…) table — shared
+    * by [[textQuality]], [[corpusFilter]] and the streaming corpus
+    * gate (per-batch stateless verdicts). */
+  def textQualityTransform(documents: DataFrame): DataFrame = {
     val stopList = stopwords.map(w => s"'$w'").mkString(", ")
-    Tables.documents(spark, dir)
+    documents
       .withColumn("n_words", expr("cast(size(split(text, ' ')) as bigint)"))
       .withColumn("n_stop", expr(s"cast(size(filter(split(text, ' '), w -> w IN ($stopList))) as bigint)"))
-      .withColumn("n_alpha", length(regexp_replace($"text", " ", "")).cast("long"))
+      .withColumn("n_alpha", length(regexp_replace(col("text"), " ", "")).cast("long"))
       .withColumn("num",
-        lit(5L) * least($"n_words", lit(100L)) * $"n_words"
-          + lit(300L) * ($"n_words" - $"n_stop")
-          + lit(25L) * least($"n_alpha", lit(8L) * $"n_words"))
-      .select($"doc_id", $"n_words",
-        round($"n_alpha".cast("double") / $"n_words", 4).as("avg_word_len"),
-        round($"n_stop".cast("double") / $"n_words", 4).as("stop_ratio"),
+        lit(5L) * least(col("n_words"), lit(100L)) * col("n_words")
+          + lit(300L) * (col("n_words") - col("n_stop"))
+          + lit(25L) * least(col("n_alpha"), lit(8L) * col("n_words")))
+      .select(col("doc_id"), col("n_words"),
+        round(col("n_alpha").cast("double") / col("n_words"), 4).as("avg_word_len"),
+        round(col("n_stop").cast("double") / col("n_words"), 4).as("stop_ratio"),
         (expr("(num * 1000) div n_words").cast("double") / 1000000.0).as("quality"))
-      .orderBy($"doc_id")
   }
 
   def textQualityOracleSql: String = {
@@ -356,16 +362,26 @@ object TextOps {
     val lang = langId(spark, dir).select($"doc_id", $"pred_lang")
     val qual = textQuality(spark, dir).select($"doc_id", $"quality")
     val dedup = Dedup.dedupClusters(spark, dir).select($"doc_id", $"is_kept".as("dedup_kept"))
-    val langOk = $"pred_lang".isin(langs: _*)
+    corpusFilterVerdict(lang, qual, dedup, minQuality, langs)
+  }
+
+  /** The keep/drop composition over one-row-per-doc part tables —
+    * shared by [[corpusFilter]] and the streaming corpus gate (whose
+    * parts come out of merged micro-batch state): two co-partitioned
+    * joins + the first-failing-reason verdict. */
+  private[graft] def corpusFilterVerdict(lang: DataFrame, qual: DataFrame, dedup: DataFrame,
+                                         minQuality: Double, langs: Seq[String]): DataFrame = {
+    val langOk = col("pred_lang").isin(langs: _*)
     lang.join(qual, Seq("doc_id")).join(dedup, Seq("doc_id"))
       .withColumn("reason",
         when(!langOk, "lang")
-          .when($"quality" < minQuality, "quality")
-          .when(!$"dedup_kept", "duplicate")
+          .when(col("quality") < minQuality, "quality")
+          .when(!col("dedup_kept"), "duplicate")
           .otherwise("ok"))
-      .withColumn("kept", $"reason" === "ok")
-      .select($"doc_id", $"pred_lang", $"quality", $"dedup_kept", $"reason", $"kept")
-      .orderBy($"doc_id")
+      .withColumn("kept", col("reason") === "ok")
+      .select(col("doc_id"), col("pred_lang"), col("quality"), col("dedup_kept"),
+        col("reason"), col("kept"))
+      .orderBy(col("doc_id"))
   }
 
   /** Oracle for [[corpusFilter]]: the component oracles composed as
@@ -1059,24 +1075,111 @@ object TextOps {
     * untouched paths. */
   def textRedact(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val id = $"doc_id".cast("string")
-    val aug = Tables.documents(spark, dir).select($"doc_id",
-      when($"doc_id" % 5 === 0,
-        concat($"text", lit(" contact user"), id, lit("@example.com now")))
-      .when($"doc_id" % 5 === 1,
-        concat($"text", lit(" call 555-"),
-          lpad(($"doc_id" * 7 % 1000).cast("string"), 3, "0"), lit("-"),
-          lpad(($"doc_id" * 13 % 10000).cast("string"), 4, "0")))
-      .when($"doc_id" % 5 === 2,
-        concat($"text", lit(" from 10."), ($"doc_id" % 256).cast("string"),
-          lit("."), ($"doc_id" * 3 % 256).cast("string"),
-          lit("."), ($"doc_id" * 5 % 256).cast("string")))
-      .when($"doc_id" % 5 === 3,
-        concat($"text", lit(" ref user"), id, lit("@mail.test and 192.168."),
-          ($"doc_id" % 256).cast("string"), lit("."), ($"doc_id" * 7 % 256).cast("string")))
-      .otherwise($"text").as("text"))
-    textRedactTransform(spark, aug)
+    textRedactTransform(spark,
+      plantPii(Tables.documents(spark, dir)).select($"doc_id", $"text"))
   }
+
+  /** Deterministic doc_id-derived PII planting, shared by
+    * [[textRedact]] and [[piiDensity]] (Spark face) and mirrored
+    * token-for-token by [[plantPiiSqlCase]] (DuckDB face). Replaces
+    * `text` in place; every other column passes through. */
+  private[graft] def plantPii(documents: DataFrame): DataFrame = {
+    val id = col("doc_id").cast("string")
+    documents.withColumn("text",
+      when(col("doc_id") % 5 === 0,
+        concat(col("text"), lit(" contact user"), id, lit("@example.com now")))
+      .when(col("doc_id") % 5 === 1,
+        concat(col("text"), lit(" call 555-"),
+          lpad((col("doc_id") * 7 % 1000).cast("string"), 3, "0"), lit("-"),
+          lpad((col("doc_id") * 13 % 10000).cast("string"), 4, "0")))
+      .when(col("doc_id") % 5 === 2,
+        concat(col("text"), lit(" from 10."), (col("doc_id") % 256).cast("string"),
+          lit("."), (col("doc_id") * 3 % 256).cast("string"),
+          lit("."), (col("doc_id") * 5 % 256).cast("string")))
+      .when(col("doc_id") % 5 === 3,
+        concat(col("text"), lit(" ref user"), id, lit("@mail.test and 192.168."),
+          (col("doc_id") % 256).cast("string"), lit("."), (col("doc_id") * 7 % 256).cast("string")))
+      .otherwise(col("text")))
+  }
+
+  /** The `aug` CTE both PII oracles share: [[plantPii]] in SQL. */
+  private[graft] def plantPiiSqlCase: String =
+    """aug AS (
+      |  SELECT doc_id, source,
+      |         CASE doc_id % 5
+      |           WHEN 0 THEN text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com now'
+      |           WHEN 1 THEN text || ' call 555-' || lpad(CAST(doc_id * 7 % 1000 AS VARCHAR), 3, '0')
+      |                        || '-' || lpad(CAST(doc_id * 13 % 10000 AS VARCHAR), 4, '0')
+      |           WHEN 2 THEN text || ' from 10.' || CAST(doc_id % 256 AS VARCHAR)
+      |                        || '.' || CAST(doc_id * 3 % 256 AS VARCHAR)
+      |                        || '.' || CAST(doc_id * 5 % 256 AS VARCHAR)
+      |           WHEN 3 THEN text || ' ref user' || CAST(doc_id AS VARCHAR) || '@mail.test and 192.168.'
+      |                        || CAST(doc_id % 256 AS VARCHAR) || '.' || CAST(doc_id * 7 % 256 AS VARCHAR)
+      |           ELSE text END AS text
+      |  FROM documents)""".stripMargin
+
+  /** Per-source PII density — the measurement face of [[textRedact]]:
+    * before a source enters the training mix, how much PII does it
+    * carry, and did the scrub have anything to do? Per source: doc
+    * count, docs with ≥1 hit, per-class match counts and matches per
+    * 10k scanned chars. Uses the SAME deterministic planting as
+    * text_redact (the synthetic corpus is digit-free, so an unplanted
+    * oracle would be trivially all-zero).
+    *
+    * Scale: one codegen'd regexp scan per doc (map-side, no text in
+    * any shuffle) into a groupBy bounded by |sources| — partial
+    * aggregation absorbs the fan-in, so the shuffle carries a few
+    * rows per source per task at any corpus size. */
+  def piiDensityCounts(documents: DataFrame): DataFrame =
+    plantPii(documents)
+      .select(col("source"),
+        size(regexp_extract_all(col("text"), lit(emailRe), lit(0))).cast("long").as("e"),
+        size(regexp_extract_all(col("text"), lit(phoneRe), lit(0))).cast("long").as("p"),
+        size(regexp_extract_all(col("text"), lit(ipRe), lit(0))).cast("long").as("i"),
+        length(col("text")).cast("long").as("chars"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("docs"),
+        sum(when(col("e") + col("p") + col("i") > 0, 1L).otherwise(0L)).as("pii_docs"),
+        sum(col("e")).as("n_emails"),
+        sum(col("p")).as("n_phones"),
+        sum(col("i")).as("n_ips"),
+        sum(col("chars")).as("n_chars"))
+
+  /** Report face over [[piiDensityCounts]]-shaped rows (shared with
+    * the streaming twin, whose state merges the same partials). */
+  def piiDensityFromCounts(counts: DataFrame): DataFrame =
+    counts.select(col("source"), col("docs"), col("pii_docs"),
+        col("n_emails"), col("n_phones"), col("n_ips"),
+        round((col("n_emails") + col("n_phones") + col("n_ips")) * lit(10000.0)
+          / col("n_chars"), 4).as("pii_per_10k"))
+      .orderBy("source")
+
+  def piiDensity(spark: SparkSession, dir: String): DataFrame =
+    piiDensityFromCounts(piiDensityCounts(Tables.documents(spark, dir)))
+
+  /** DuckDB oracle for [[piiDensity]]: identical planting and
+    * per-source aggregation. */
+  def piiDensityOracleSql: String =
+    // fragment concatenated OUTSIDE the margin-stripped literal: its
+    // own stripMargin already ran, and a second pass would eat one
+    // pipe of any continuation line starting with `||`
+    s"WITH $plantPiiSqlCase,\n" +
+    s"""c AS (
+       |  SELECT source,
+       |         CAST(len(regexp_extract_all(text, '$emailRe')) AS BIGINT) AS e,
+       |         CAST(len(regexp_extract_all(text, '$phoneRe')) AS BIGINT) AS p,
+       |         CAST(len(regexp_extract_all(text, '$ipRe')) AS BIGINT) AS i,
+       |         CAST(len(text) AS BIGINT) AS chars
+       |  FROM aug),
+       |g AS (
+       |  SELECT source, count(*) AS docs,
+       |         CAST(sum(CASE WHEN e + p + i > 0 THEN 1 ELSE 0 END) AS BIGINT) AS pii_docs,
+       |         CAST(sum(e) AS BIGINT) AS n_emails, CAST(sum(p) AS BIGINT) AS n_phones,
+       |         CAST(sum(i) AS BIGINT) AS n_ips, CAST(sum(chars) AS BIGINT) AS n_chars
+       |  FROM c GROUP BY source)
+       |SELECT source, docs, pii_docs, n_emails, n_phones, n_ips,
+       |       round((n_emails + n_phones + n_ips) * 10000.0 / n_chars, 4) AS pii_per_10k
+       |FROM g ORDER BY source""".stripMargin
 
   /** DuckDB oracle for [[textRedact]]: identical PII planting,
     * counting and replacement sequence ('g' = global replace). */

@@ -159,6 +159,117 @@ object VectorOps {
       .orderBy($"vec_a", $"vec_b")
   }
 
+  /** Semantic duplicate CLUSTERS — connected components over the
+    * exact cosine pair graph ([[embeddingNearDup]], cosine ≥ t),
+    * completing the cluster-family triple: MinHash components
+    * (`dedup_clusters`), SimHash components (`dedup_simhash_clusters`)
+    * and embedding components here. The verdict table a semantic
+    * dedup pass actually lands: every vector labeled with its
+    * component's min vec_id, `is_kept` for the representative.
+    *
+    * Scale: the pair generation here is the DECLARED exact all-pairs
+    * baseline (embeddingNearDup's contract — allowlisted); the scale
+    * path swaps in `dedup_semantic`'s IVF-cell pairs, and the
+    * component labeling is the same shared min-label propagation
+    * either way (pair-graph-sized, never corpus-sized). */
+  def semanticClusters(spark: SparkSession, dir: String,
+                       threshold: Double = 0.3, maxIters: Int = 60): DataFrame = {
+    import spark.implicits._
+    val labels = semLabelsCache.getOrElseUpdate((spark, dir, threshold, maxIters)) {
+      Dedup.propagateMinLabels(spark,
+        embeddingNearDup(spark, dir, threshold).select($"vec_a".as("doc_a"), $"vec_b".as("doc_b")),
+        maxIters, "semanticClusters")
+    }
+    Tables.embeddings(spark, dir).select($"vec_id")
+      .join(labels.withColumnRenamed("node", "vec_id"), Seq("vec_id"), "left")
+      .select($"vec_id", coalesce($"lbl", $"vec_id").as("cluster_rep"))
+      .withColumn("is_kept", $"cluster_rep" === $"vec_id")
+      .orderBy($"vec_id")
+  }
+
+  private val semLabelsCache =
+    graft.GraftCaches.memo[(SparkSession, String, Double, Int), DataFrame](_.unpersist())
+
+  def semanticClustersOracleSql(threshold: Double = 0.3): String =
+    s"""WITH RECURSIVE
+       |p AS (SELECT a.vec_id AS va, b.vec_id AS vb
+       |      FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+       |      WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= $threshold),
+       |e AS (SELECT va AS a, vb AS b FROM p UNION ALL SELECT vb, va FROM p),
+       |reach(a, b) AS (
+       |  SELECT vec_id, vec_id FROM embeddings
+       |  UNION
+       |  SELECT reach.a, e.b FROM reach JOIN e ON reach.b = e.a)
+       |SELECT a AS vec_id, min(b) AS cluster_rep, (min(b) = a) AS is_kept
+       |FROM reach GROUP BY a ORDER BY vec_id""".stripMargin
+
+  /** Semantic (embedding-cosine) decontamination — the embedding
+    * analog of `decontaminate`/`decontaminate_fuzzy`'s n-gram screens:
+    * a training corpus must not contain near-paraphrases of the
+    * eval/benchmark set, which token-overlap screens miss when the
+    * contamination is a reworded copy. Verdict per corpus vector:
+    * its max cosine against ANY eval vector (4dp), the eval item that
+    * attains it (ties broken to the lowest eval id on the ROUNDED
+    * value, mirrored in the oracle), and keep = max < threshold.
+    *
+    * Scale: the eval side is benchmark-sized (thousands of rows, KBs
+    * to MBs) → broadcast; the corpus streams map-side through the
+    * codegen'd cosine with partial aggregation collapsing the nEval
+    * fan-out BEFORE the one-row-per-vector shuffle. Never
+    * corpus×corpus — the shape is ann_topk's, with the verdict
+    * aggregate in place of top-k. For an eval set too big to
+    * broadcast, screen through `dedup_semantic`'s IVF cells instead
+    * (approximate, recall-gated). */
+  def decontaminateSemantic(spark: SparkSession, dir: String,
+                            nEval: Int = 20, threshold: Double = 0.35): DataFrame = {
+    import spark.implicits._
+    val verdicts = decontaminateSemanticVerdicts(
+      evalSide(spark, dir, nEval), corpusSide(spark, dir, nEval), threshold)
+    verdicts.orderBy($"vec_id")
+  }
+
+  private[graft] def evalSide(spark: SparkSession, dir: String, nEval: Int): DataFrame = {
+    import spark.implicits._
+    Tables.embeddings(spark, dir).filter($"vec_id" < nEval)
+      .select($"vec_id".as("eval_id"), $"embedding".as("ev_emb"))
+  }
+
+  private[graft] def corpusSide(spark: SparkSession, dir: String, nEval: Int): DataFrame = {
+    import spark.implicits._
+    Tables.embeddings(spark, dir).filter($"vec_id" >= nEval)
+      .select($"vec_id", $"embedding")
+  }
+
+  /** Shared verdict transform ([[decontaminateSemantic]] + the
+    * streaming twin): one row per corpus vector, stateless given the
+    * broadcast eval side — which is what makes the streaming face a
+    * per-batch map with an append-only verdict state. */
+  private[graft] def decontaminateSemanticVerdicts(evalDf: DataFrame, corpus: DataFrame,
+                                                   threshold: Double = 0.35): DataFrame = {
+    val spark = corpus.sparkSession
+    GraftFunctions.register(spark)
+    corpus.join(broadcast(evalDf))
+      .withColumn("cos_r", round(cosine(col("embedding"), col("ev_emb")), 4))
+      .groupBy(col("vec_id"))
+      .agg(max_by(col("eval_id"), struct(col("cos_r"), -col("eval_id"))).as("nearest_eval_id"),
+        max(col("cos_r")).as("max_cosine"))
+      .select(col("vec_id"), col("nearest_eval_id"), col("max_cosine"),
+        (col("max_cosine") < threshold).as("is_kept"))
+  }
+
+  def decontaminateSemanticOracleSql(nEval: Int = 20, threshold: Double = 0.35): String =
+    s"""WITH ev AS (SELECT vec_id AS eval_id, embedding FROM embeddings WHERE vec_id < $nEval),
+       |c AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id >= $nEval),
+       |p AS (SELECT c.vec_id, ev.eval_id,
+       |             round(list_cosine_similarity(c.embedding::DOUBLE[], ev.embedding::DOUBLE[]), 4) AS cos_r
+       |      FROM c CROSS JOIN ev),
+       |r AS (SELECT vec_id, eval_id, cos_r,
+       |             row_number() OVER (PARTITION BY vec_id ORDER BY cos_r DESC, eval_id) AS rn
+       |      FROM p)
+       |SELECT vec_id, eval_id AS nearest_eval_id, cos_r AS max_cosine,
+       |       cos_r < $threshold AS is_kept
+       |FROM r WHERE rn = 1 ORDER BY vec_id""".stripMargin
+
   /** Brute-force cosine top-k neighbors for a query set — the exact
     * ANN baseline. Broadcast the (small) query side; the corpus
     * streams through codegen'd cosine + per-query top-k. */

@@ -1,0 +1,131 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+import graft.operators.{Dedup, TextOps}
+
+/** The end-to-end corpus keep/drop gate as a STREAM — the daily-
+  * ingest shape of [[graft.operators.TextOps.corpusFilter]] (the
+  * composition every cleaning stage exists for): documents arrive in
+  * micro-batches; language and quality verdicts are per-doc and
+  * stateless, and the near-dup verdict is maintained INCREMENTALLY —
+  * each batch is LSH-screened against the accumulated signature
+  * index (batch × seen + batch × batch, never seen × seen), the
+  * verified pair graph accrues, and the final report re-elects
+  * cluster representatives over the full pair set and runs the SAME
+  * keep/drop derivation as the batch operator
+  * ([[graft.operators.TextOps.corpusFilterVerdict]] — parity by
+  * shared code).
+  *
+  * Why representatives are elected at REPORT time, not per batch: a
+  * later document can bridge two earlier components (5—9 and 1—9
+  * edges arriving after 5 was already "kept"), so per-doc dedup
+  * verdicts are not final until the pair graph stops growing — the
+  * report is the election. The per-batch work (the expensive part:
+  * signatures + index probe + Jaccard verify) IS incremental; the
+  * election is pair-graph-sized, not corpus-sized.
+  *
+  * State (versioned parquet + replay guard, [[CdcCompact]] style):
+  *  - `bands` (doc_id, band, band_hash): the LSH index, equi-join
+  *    probed by each batch — 32 short rows per doc;
+  *  - `sets`  (doc_id, sh): shingle sets for exact verification of
+  *    the candidates the index surfaces;
+  *  - `pairs` (doc_a, doc_b): the verified near-dup graph (tiny);
+  *  - `meta`  (doc_id, pred_lang, quality): the stateless verdicts.
+  *
+  * Scale: per batch the seen index is only equi-joined on
+  * (band, band_hash) — queried, never self-joined; the union of
+  * per-batch pair discoveries over an id-disjoint batching equals
+  * the full self-join pair set (each pair surfaces when its later
+  * endpoint arrives), so the drained stream equals the batch
+  * operator row-for-row and shares its oracle.
+  */
+final class CorpusFilterState(stateDir: String, threshold: Double) {
+  @volatile private var version: Long = StreamUtil.latestVersion(stateDir)
+
+  private def part(spark: SparkSession, name: String, ddl: String): DataFrame =
+    if (version < 0)
+      spark.createDataFrame(java.util.List.of[Row](), StructType.fromDDL(ddl))
+    else spark.read.parquet(s"$stateDir/v$version/$name")
+
+  private def bands(spark: SparkSession) =
+    part(spark, "bands", "doc_id BIGINT, band INT, band_hash BIGINT")
+  private def sets(spark: SparkSession) =
+    part(spark, "sets", "doc_id BIGINT, sh ARRAY<STRING>")
+  private def pairs(spark: SparkSession) =
+    part(spark, "pairs", "doc_a BIGINT, doc_b BIGINT")
+  private def meta(spark: SparkSession) =
+    part(spark, "meta", "doc_id BIGINT, pred_lang STRING, quality DOUBLE")
+
+  def merge(batch: Dataset[Row], batchId: Long): Unit = {
+    if (batchId <= version) return
+    val spark = batch.sparkSession
+    val docs = batch.toDF()
+    val (newPairs, batchBands, batchSets) =
+      Dedup.incrementalPairs(spark, docs, bands(spark), sets(spark), threshold)
+    val mergedPairs = pairs(spark).unionByName(newPairs)
+      .dropDuplicates("doc_a", "doc_b")
+    val batchMeta = TextOps.langIdTransform(docs).select(col("doc_id"), col("pred_lang"))
+      .join(TextOps.textQualityTransform(docs).select(col("doc_id"), col("quality")),
+        Seq("doc_id"))
+    // the pair discovery must see the PRIOR index, so all four parts
+    // write after it runs; bands/sets shard by doc_id (index-scale),
+    // pairs/meta are pair-graph / per-doc verdict tables
+    StreamUtil.writeSharded(bands(spark).unionByName(batchBands),
+      s"$stateDir/v$batchId/bands", Seq("doc_id"))
+    StreamUtil.writeSharded(sets(spark).unionByName(batchSets),
+      s"$stateDir/v$batchId/sets", Seq("doc_id"))
+    StreamUtil.writeSharded(mergedPairs, s"$stateDir/v$batchId/pairs", Seq("doc_a"))
+    StreamUtil.writeSharded(meta(spark).unionByName(batchMeta),
+      s"$stateDir/v$batchId/meta", Seq("doc_id"))
+    val prev = version
+    version = batchId
+    if (prev >= 0) StreamUtil.delete(spark, s"$stateDir/v$prev")
+  }
+
+  /** The election + keep/drop report over the drained state. The
+    * converged label table is persisted by the propagation core;
+    * registering it in [[CorpusFilterStream.labelsCache]] keyed by
+    * (state, version) puts its release under GraftCaches.clearAll
+    * like every other memoized table. */
+  def report(spark: SparkSession, minQuality: Double, langs: Seq[String]): DataFrame = {
+    val labels = CorpusFilterStream.labelsCache
+      .getOrElseUpdate((spark, stateDir, version)) {
+        Dedup.propagateMinLabels(spark,
+          pairs(spark), maxIters = 20, who = "streamCorpusFilter")
+      }
+    val m = meta(spark)
+    val dedup = m.select(col("doc_id"))
+      .join(labels.withColumnRenamed("node", "doc_id"), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        (coalesce(col("lbl"), col("doc_id")) === col("doc_id")).as("dedup_kept"))
+    TextOps.corpusFilterVerdict(
+      m.select(col("doc_id"), col("pred_lang")),
+      m.select(col("doc_id"), col("quality")),
+      dedup, minQuality, langs)
+  }
+}
+
+object CorpusFilterStream {
+
+  private[streaming] val labelsCache =
+    graft.GraftCaches.memo[(SparkSession, String, Long), DataFrame](_.unpersist())
+
+  /** Queries entry (oracle: same SQL as `corpus_filter`): the
+    * documents corpus staged as `nFiles` files and replayed one per
+    * micro-batch through the incremental gate. */
+  def streamCorpusFilter(spark: SparkSession, dir: String, nFiles: Int = 4,
+                         minQuality: Double = 0.5, threshold: Double = 0.5,
+                         langs: Seq[String] = Seq("en")): DataFrame = {
+    val work = graft.GraftCaches.trackTempDir("graft_scfilter_")
+    graft.sources.Tables.documents(spark, dir).repartition(nFiles)
+      .write.mode("overwrite").parquet(s"$work/input")
+    val state = new CorpusFilterState(s"$work/state", threshold)
+    StreamSources.runForeachBatch(
+      StreamSources.parquetStream(spark, s"$work/input", maxFilesPerTrigger = 1),
+      state.merge)
+    state.report(spark, minQuality, langs)
+  }
+}

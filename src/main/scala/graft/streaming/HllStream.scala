@@ -62,6 +62,19 @@ object HllStream {
     state.estimates(spark)
   }
 
+  /** Queries entry (rows-only): weekly p50/p95/p99 from the merged
+    * per-day KLL state after draining the staged corpus — the
+    * streaming face of `kll_quantiles_daily`. KLL merges are
+    * associative/commutative but RANDOMIZED (compaction coin flips),
+    * so unlike the HLL/CMS twins the parity spec asserts rank-error
+    * bounds, not byte equality. */
+  def streamKllQuantiles(spark: SparkSession, dir: String): DataFrame = {
+    val work = graft.GraftCaches.trackTempDir("graft_kll_")
+    val state = new KllDailyState(s"$work/state")
+    StreamSources.runForeachBatch(StreamSources.events(spark, dir), state.merge)
+    state.report(spark)
+  }
+
   /** Queries entry (oracle: same SQL as `cms_top_items`): the CMS
     * counter grid is plain Long addition, so the sketch a stream
     * maintains equals the sketch a batch build produces — the
@@ -122,4 +135,47 @@ final class CmsState(stateDir: String) {
   def topItems(spark: SparkSession): DataFrame =
     graft.operators.Sketches.cmsTopFromState(
       priorCounters(spark), priorItems(spark))
+}
+
+/** Streaming KLL quantile state — `kll_quantiles_daily`'s twin: one
+  * few-KB binary sketch per (week, day), merged per batch with
+  * [[graft.functions.KllMergeAgg]] (associative + commutative, so
+  * batch boundaries never change what the sketch REPRESENTS — only
+  * the randomized compaction path, whose error the spec bounds).
+  * Exact weekly percentiles on an unbounded stream would need
+  * per-key value multisets (state grows with events); this state is
+  * O(weeks · days) sketches forever. Report is the batch operator's
+  * own [[graft.operators.Olap.kllWeeklyReport]].
+  * Versioned-parquet + replay-guard discipline ([[CdcCompact]]). */
+final class KllDailyState(stateDir: String, k: Int = 200) {
+  @volatile private var version: Long = StreamUtil.latestVersion(stateDir)
+
+  private def prior(spark: SparkSession): DataFrame =
+    if (version < 0)
+      spark.createDataFrame(java.util.List.of[Row](), StructType.fromDDL(
+        "week TIMESTAMP, day TIMESTAMP, sk BINARY"))
+    else spark.read.parquet(s"$stateDir/v$version")
+
+  def merge(batch: Dataset[Row], batchId: Long): Unit = {
+    if (batchId <= version) return
+    val spark = batch.sparkSession
+    graft.functions.GraftFunctions.register(spark)
+    val partial = batch
+      .select(date_trunc("week", col("ts")).as("week"),
+        date_trunc("day", col("ts")).as("day"), col("value"))
+      .groupBy(col("week"), col("day"))
+      .agg(call_function("graft_kll_agg", col("value"), lit(k)).as("sk"))
+    val merged = prior(spark).unionByName(partial)
+      .groupBy(col("week"), col("day"))
+      .agg(call_function("graft_kll_merge", col("sk"), lit(k)).as("sk"))
+    StreamUtil.writeGrid(merged, s"$stateDir/v$batchId")
+    val prev = version
+    version = batchId
+    if (prev >= 0) StreamUtil.delete(spark, s"$stateDir/v$prev")
+  }
+
+  def report(spark: SparkSession): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    graft.operators.Olap.kllWeeklyReport(prior(spark), k)
+  }
 }

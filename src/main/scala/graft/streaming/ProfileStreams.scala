@@ -823,6 +823,104 @@ object ProfileStreams {
       state.merge)
     state.report(spark)
   }
+
+  /** Queries entry (oracle: same SQL as `pii_density`): the documents
+    * corpus staged as 4 files and replayed one per micro-batch through
+    * the additive per-source PII grid. */
+  def streamPiiDensity(spark: SparkSession, dir: String, nFiles: Int = 4): DataFrame = {
+    val work = graft.GraftCaches.trackTempDir("graft_spii_")
+    graft.sources.Tables.documents(spark, dir).repartition(nFiles)
+      .write.mode("overwrite").parquet(s"$work/input")
+    val state = new PiiSourceState(s"$work/state")
+    StreamSources.runForeachBatch(
+      StreamSources.parquetStream(spark, s"$work/input", maxFilesPerTrigger = 1),
+      state.merge)
+    state.report(spark)
+  }
+
+  /** Queries entry (oracle: same SQL as `decontaminate_semantic`):
+    * the corpus embeddings staged as 4 files and screened one
+    * micro-batch at a time against the broadcast eval side — the
+    * daily-ingest contamination gate. Verdicts are per-vector and
+    * STATELESS given the eval set, so the state is append-only. */
+  def streamDecontaminateSemantic(spark: SparkSession, dir: String,
+                                  nEval: Int = 20, nFiles: Int = 4): DataFrame = {
+    val work = graft.GraftCaches.trackTempDir("graft_sdecon_")
+    graft.operators.VectorOps.corpusSide(spark, dir, nEval).repartition(nFiles)
+      .write.mode("overwrite").parquet(s"$work/input")
+    val state = new SemanticVerdictState(s"$work/state", dir, nEval)
+    StreamSources.runForeachBatch(
+      StreamSources.parquetStream(spark, s"$work/input", maxFilesPerTrigger = 1),
+      state.merge)
+    state.report(spark)
+  }
+}
+
+/** Additive per-source PII grid —
+  * [[graft.operators.TextOps.piiDensityCounts]]'s twin: every column
+  * of the per-source partial (docs, pii_docs, per-class matches,
+  * chars) is a sum, so the state merges exactly under any batching;
+  * |sources| rows total. Report is the shared
+  * [[graft.operators.TextOps.piiDensityFromCounts]] (parity by
+  * shared code). Versioned-parquet + replay-guard discipline. */
+final class PiiSourceState(stateDir: String) {
+  @volatile private var version: Long = StreamUtil.latestVersion(stateDir)
+
+  private def prior(spark: SparkSession): DataFrame =
+    if (version < 0)
+      spark.createDataFrame(java.util.List.of[Row](), StructType.fromDDL(
+        "source STRING, docs BIGINT, pii_docs BIGINT, n_emails BIGINT, " +
+          "n_phones BIGINT, n_ips BIGINT, n_chars BIGINT"))
+    else spark.read.parquet(s"$stateDir/v$version")
+
+  def merge(batch: Dataset[Row], batchId: Long): Unit = {
+    if (batchId <= version) return
+    val spark = batch.sparkSession
+    val partial = graft.operators.TextOps.piiDensityCounts(batch.toDF())
+    val merged = prior(spark).unionByName(partial)
+      .groupBy(col("source"))
+      .agg(sum(col("docs")).as("docs"), sum(col("pii_docs")).as("pii_docs"),
+        sum(col("n_emails")).as("n_emails"), sum(col("n_phones")).as("n_phones"),
+        sum(col("n_ips")).as("n_ips"), sum(col("n_chars")).as("n_chars"))
+    StreamUtil.writeGrid(merged, s"$stateDir/v$batchId")
+    val prev = version
+    version = batchId
+    if (prev >= 0) StreamUtil.delete(spark, s"$stateDir/v$prev")
+  }
+
+  def report(spark: SparkSession): DataFrame =
+    graft.operators.TextOps.piiDensityFromCounts(prior(spark))
+}
+
+/** Append-only semantic-decontamination verdict state —
+  * [[graft.operators.VectorOps.decontaminateSemanticVerdicts]]'s
+  * twin. Each corpus vector arrives in exactly one micro-batch and
+  * its verdict depends only on the (broadcast) eval side, so the
+  * merge is a pure union of per-batch verdict rows, hash-sharded by
+  * vec_id; replay of a batch is a no-op by the version guard. */
+final class SemanticVerdictState(stateDir: String, dir: String, nEval: Int) {
+  @volatile private var version: Long = StreamUtil.latestVersion(stateDir)
+
+  private def prior(spark: SparkSession): DataFrame =
+    if (version < 0)
+      spark.createDataFrame(java.util.List.of[Row](), StructType.fromDDL(
+        "vec_id BIGINT, nearest_eval_id BIGINT, max_cosine DOUBLE, is_kept BOOLEAN"))
+    else spark.read.parquet(s"$stateDir/v$version")
+
+  def merge(batch: Dataset[Row], batchId: Long): Unit = {
+    if (batchId <= version) return
+    val spark = batch.sparkSession
+    val verdicts = graft.operators.VectorOps.decontaminateSemanticVerdicts(
+      graft.operators.VectorOps.evalSide(spark, dir, nEval), batch.toDF())
+    val merged = prior(spark).unionByName(verdicts)
+    StreamUtil.writeSharded(merged, s"$stateDir/v$batchId", Seq("vec_id"))
+    val prev = version
+    version = batchId
+    if (prev >= 0) StreamUtil.delete(spark, s"$stateDir/v$prev")
+  }
+
+  def report(spark: SparkSession): DataFrame =
+    prior(spark).orderBy(col("vec_id"))
 }
 
 /** Streaming Naive-Bayes training state —

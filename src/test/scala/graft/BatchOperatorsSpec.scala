@@ -1362,6 +1362,131 @@ class BatchOperatorsSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAl
     assert(rows.map(_.toString).toSeq == again.map(_.toString).toSeq)
   }
 
+  /** Exact normalized rank of each KLL estimate in the week's true
+    * value multiset must sit within the claimed quantile ± tol
+    * (KLL k=200 ⇒ ~1.65% single-sided 99%-confidence rank error;
+    * tol = 0.06 leaves slack for the weekly merge). */
+  private def assertKllRanks(rows: Array[org.apache.spark.sql.Row], tol: Double): Unit = {
+    import org.apache.spark.sql.functions.{col, date_trunc}
+    val vals = graft.sources.Tables.events(spark, sf)
+      .select(date_trunc("week", col("ts")).as("week"), col("value")).collect()
+      .groupBy(_.getTimestamp(0)).view.mapValues(_.map(_.getDouble(1)).sorted).toMap
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val vs = vals(r.getTimestamp(0))
+      for ((q, i) <- Seq(0.5 -> 2, 0.95 -> 3, 0.99 -> 4)) {
+        val est = r.getDouble(i)
+        val rank = vs.count(_ <= est).toDouble / vs.length
+        assert(math.abs(rank - q) <= tol,
+          s"week ${r.getTimestamp(0)} q=$q est=$est rank=$rank")
+      }
+    }
+  }
+
+  test("kll_quantiles_daily: every estimate sits at its claimed exact rank") {
+    assertKllRanks(SparkEntry.queries("kll_quantiles_daily")(spark, sf).collect(), 0.06)
+  }
+
+  test("stream_kll_quantiles: same week grid as batch, estimates rank-bounded") {
+    val stream = SparkEntry.queries("stream_kll_quantiles")(spark, sf).collect()
+    val batch = SparkEntry.queries("kll_quantiles_daily")(spark, sf).collect()
+    assert(stream.map(r => (r.getTimestamp(0), r.getLong(1))).toSeq ==
+      batch.map(r => (r.getTimestamp(0), r.getLong(1))).toSeq,
+      "week grid and n_days must be exactly the batch ones")
+    assertKllRanks(stream, 0.06)
+  }
+
+  test("pii_density counts match the planting contract per source") {
+    // plantPii puts ≥1 match on every doc_id % 5 ∈ {0,1,2,3} (email /
+    // phone / ip / email+ip) and nothing on % 5 == 4 (and the raw
+    // corpus is digit- and @-free), so per source the class counts
+    // are fully determined by the doc_id residues.
+    import org.apache.spark.sql.functions.col
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select(col("source"), col("doc_id")).collect()
+      .map(r => (r.getString(0), r.getLong(1) % 5))
+    def n(src: String, residues: Set[Long]) = docs.count { case (s, m) => s == src && residues(m) }.toLong
+    val out = SparkEntry.queries("pii_density")(spark, sf).collect()
+    assert(out.map(_.getLong(1)).sum == docs.length, "docs must sum to the corpus")
+    out.foreach { r =>
+      val src = r.getString(0)
+      assert(r.getLong(2) == n(src, Set(0L, 1L, 2L, 3L)), s"$src pii_docs")
+      assert(r.getLong(3) == n(src, Set(0L, 3L)), s"$src n_emails")
+      assert(r.getLong(4) == n(src, Set(1L)), s"$src n_phones")
+      assert(r.getLong(5) == n(src, Set(2L, 3L)), s"$src n_ips")
+      // doc ids stripe across sources, so sources whose every id is
+      // ≡ 4 (mod 5) legitimately measure ZERO density — assert the
+      // density is exactly consistent with the planted residues
+      assert((r.getDouble(6) > 0.0) == (n(src, Set(0L, 1L, 2L, 3L)) > 0), s"$src pii_per_10k")
+    }
+  }
+
+  test("decontaminate_semantic verdicts match a straight-Scala brute force") {
+    val embs = graft.sources.Tables.embeddings(spark, sf)
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var dp = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { dp += a(i).toDouble * b(i); na += a(i).toDouble * a(i); nb += b(i).toDouble * b(i); i += 1 }
+      dp / math.sqrt(na * nb)
+    }
+    val eval = embs.filter(_._1 < 20)
+    val corpus = embs.filter(_._1 >= 20)
+    val expected = corpus.map { case (id, v) =>
+      val best = eval.map { case (eid, ev) =>
+        (BigDecimal(cos(v, ev)).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble, eid)
+      }.maxBy { case (c, eid) => (c, -eid) }
+      (id, best._2, best._1, best._1 < 0.35)
+    }.sortBy(_._1).toSeq
+    val got = SparkEntry.queries("decontaminate_semantic")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getBoolean(3))).toSeq
+    assert(got == expected)
+    assert(got.exists(!_._4) || got.forall(_._4), "verdict column populated") // sanity: no NaNs crept in
+  }
+
+  test("semantic_clusters equals union-find over the embedding_neardup pair graph") {
+    val pairs = SparkEntry.queries("embedding_neardup")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = { val p = parent.getOrElse(x, x); if (p == x) x else { val r = find(p); parent(x) = r; r } }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b)); if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val vecs = graft.sources.Tables.embeddings(spark, sf)
+      .select("vec_id").collect().map(_.getLong(0))
+    val reps = vecs.groupBy(find).iterator.flatMap { case (_, ms) => val rep = ms.min; ms.map(_ -> rep) }.toMap
+    val got = SparkEntry.queries("semantic_clusters")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    assert(got.length == vecs.length)
+    got.foreach { case (id, rep, kept) =>
+      assert(rep == reps(id), s"vec $id rep $rep != ${reps(id)}")
+      assert(kept == (rep == id))
+    }
+  }
+
+  test("dedup_simhash_clusters equals union-find over the simhash pair graph") {
+    val pairs = SparkEntry.queries("dedup_simhash")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = { val p = parent.getOrElse(x, x); if (p == x) x else { val r = find(p); parent(x) = r; r } }
+    def union(a: Long, b: Long): Unit = { val (ra, rb) = (find(a), find(b)); if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb) }
+    pairs.foreach { case (a, b) => union(a, b) }
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select("doc_id").collect().map(_.getLong(0))
+    // min-id representative per component
+    val reps = docs.groupBy(find).iterator.flatMap { case (_, members) =>
+      val rep = members.min; members.map(_ -> rep)
+    }.toMap
+    val got = SparkEntry.queries("dedup_simhash_clusters")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    assert(got.length == docs.length)
+    got.foreach { case (id, rep, kept) =>
+      assert(rep == reps(id), s"doc $id rep $rep != ${reps(id)}")
+      assert(kept == (rep == id))
+    }
+    assert(pairs.nonEmpty, "simhash pair graph must be non-trivial at this sf")
+  }
+
   test("histogram bins partition each event type's value range") {
     import org.apache.spark.sql.functions.{col, sum => fsum}
     val h = SparkEntry.queries("histogram_value")(spark, sf)

@@ -294,4 +294,76 @@ class GraphSpec extends AnyFunSuite {
     val cyc = Graph.degreeAssortativityTransform(pairs((1L,2L),(2L,3L),(1L,3L))).collect()
     assert(cyc(0).isNullAt(1))
   }
+
+  test("scc_items: planted directed graph with two cycles and a feeder chain") {
+    import org.apache.spark.sql.functions.{col, to_timestamp}
+    // one user walks: 1 2 3 1 (cycle {1,2,3}) then 4 5 4 (cycle {4,5})
+    // then 6 7 (feeder chain: singletons). Edges: 1→2,2→3,3→1,
+    // 1→4(bridge),4→5,5→4,4→6(bridge),6→7.
+    val walk = Seq(1L, 2L, 3L, 1L, 4L, 5L, 4L, 6L, 7L)
+    val events = walk.zipWithIndex.map { case (item, i) =>
+      (1L, f"2024-01-01 00:00:${i}%02d", i.toLong, s"""{"k": $item}""")
+    }.toDF("user_id", "ts_s", "event_id", "props")
+      .withColumn("ts", to_timestamp(col("ts_s"))).drop("ts_s")
+    val out = Graph.sccItemsTransform(events).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq.sorted
+    assert(out == Seq((1L,1L,3L),(2L,1L,3L),(3L,1L,3L),(4L,4L,2L),(5L,4L,2L),
+      (6L,6L,1L),(7L,7L,1L)))
+  }
+
+  test("scc_items on testdata equals a straight-Scala Tarjan") {
+    val ev = graft.sources.Tables.events(spark, sf)
+    val out = Graph.sccItemsTransform(ev).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    // rebuild the edge list exactly as the operator does
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val edges = ev
+      .select(col("user_id"), col("ts"), col("event_id"),
+        get_json_object(col("props"), "$.k").cast("long").as("item"))
+      .filter(col("item").isNotNull)
+      .withColumn("nxt", lead(col("item"), 1).over(w))
+      .filter(col("nxt").isNotNull)
+      .select(col("item"), col("nxt")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val nodes = (edges.flatMap(e => Seq(e._1, e._2)) ++ out.keys).distinct.sorted
+    // iterative Tarjan (explicit stack)
+    val adj = edges.groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toList }
+    val idx = scala.collection.mutable.Map.empty[Long, Int]
+    val low = scala.collection.mutable.Map.empty[Long, Int]
+    val onStk = scala.collection.mutable.Set.empty[Long]
+    val stk = scala.collection.mutable.Stack.empty[Long]
+    val comp = scala.collection.mutable.Map.empty[Long, Long]
+    var counter = 0
+    def strongconnect(v0: Long): Unit = {
+      case class Frame(v: Long, var rest: List[Long])
+      val call = scala.collection.mutable.Stack(Frame(v0, adj.getOrElse(v0, Nil)))
+      idx(v0) = counter; low(v0) = counter; counter += 1; stk.push(v0); onStk += v0
+      while (call.nonEmpty) {
+        val f = call.top
+        f.rest match {
+          case wn :: tl =>
+            f.rest = tl
+            if (!idx.contains(wn)) {
+              idx(wn) = counter; low(wn) = counter; counter += 1; stk.push(wn); onStk += wn
+              call.push(Frame(wn, adj.getOrElse(wn, Nil)))
+            } else if (onStk(wn)) low(f.v) = math.min(low(f.v), idx(wn))
+          case Nil =>
+            call.pop()
+            if (call.nonEmpty) low(call.top.v) = math.min(low(call.top.v), low(f.v))
+            if (low(f.v) == idx(f.v)) {
+              val members = scala.collection.mutable.ListBuffer.empty[Long]
+              var cont = true
+              while (cont) { val x = stk.pop(); onStk -= x; members += x; cont = x != f.v }
+              val rep = members.min
+              members.foreach(m => comp(m) = rep)
+            }
+        }
+      }
+    }
+    nodes.foreach(v => if (!idx.contains(v)) strongconnect(v))
+    assert(out.keySet == nodes.toSet)
+    nodes.foreach(v => assert(out(v) == comp(v), s"item $v: spark ${out(v)} tarjan ${comp(v)}"))
+  }
 }

@@ -50,6 +50,12 @@ class PlanAuditSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
     "ann_pq_topk" -> "broadcasts the per-query ADC lookup tables — a plan-literal LocalTableScan, few KB",
     "edit_distance_pairs" -> "short-string bucket (len<11) all-pairs — measured-and-documented PassJoin leftover, bucket bounded by the length cut",
     "embedding_neardup" -> "DECLARED exact all-pairs baseline (cosine >= t over every pair); the scale paths are dedup_semantic / ann_*",
+    "decontaminate_semantic" -> "broadcasts the nEval=20-row eval/benchmark side (the ann_topk shape); corpus streams map-side with partial aggregation",
+    // semantic_clusters needs NO entry: its pair generation (the
+    // embedding_neardup BNLJ, allowlisted above) executes eagerly
+    // inside the memoized label construction; the returned plan joins
+    // embeddings to the truncated label table and the audit sees no
+    // BNLJ (the anti-rot check enforces exactly this).
     "metric_correlations" -> "zero-fill grid broadcasts the DISTINCT event-type list — bounded by metric-dimension cardinality (|types|), not data volume",
     "ab_welch_ttest" -> "pair triangle (type_a < type_b) broadcasts the |types|-row sufficient-stat table — bounded by event-type cardinality, not data volume",
     "source_drift_tv" -> "zero-fill grid broadcasts the DISTINCT source list — bounded by corpus-source cardinality, not data volume",

@@ -220,6 +220,21 @@ class StreamingSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
     assert(rows("stream_label_centroids") == rows("label_centroids"))
   }
 
+  test("stream_pii_density equals batch pii_density") {
+    assert(rows("stream_pii_density") == rows("pii_density"))
+  }
+
+  test("stream_decontaminate_semantic equals batch decontaminate_semantic") {
+    assert(rows("stream_decontaminate_semantic") == rows("decontaminate_semantic"))
+  }
+
+  test("stream_corpus_filter equals batch corpus_filter") {
+    // the strongest parity in the suite: incremental LSH pair
+    // discovery + report-time representative election must reproduce
+    // the batch self-join + components verdict row-for-row
+    assert(rows("stream_corpus_filter") == rows("corpus_filter"))
+  }
+
   test("sequence-count state: DFA resumes mid-pattern across a batch boundary, replay-guarded") {
     import org.apache.spark.sql.functions.{col, to_timestamp}
     import graft.streaming.DfaState
