@@ -292,6 +292,18 @@ object Bench {
     "stream_pivot_type_dow" -> 4.610, "stream_rfm_segments" -> 8.116,
     "stream_router_http" -> 4.148, "stream_router_jdbc" -> 8.129,
     "stream_topk_per_group" -> 3.086,
+    // Round-11 second-stint first-freeze: the 10 new operators, each
+    // a fresh-JVM quiet-box median of 3 (/tmp/freeze_new_r11b.txt;
+    // canary bracketed 1.86-2.59 vs frozen 1.761 = 1.06-1.47x, so
+    // upper bounds). stream_corpus_filter / stream_decontaminate_
+    // semantic re-measured AFTER the delta-append state refactor
+    // (medians of [19.73, 20.56, 22.82] / [6.11, 6.60, 7.07]).
+    "pii_density" -> 1.725, "stream_pii_density" -> 6.690,
+    "decontaminate_semantic" -> 2.279,
+    "stream_decontaminate_semantic" -> 6.603,
+    "dedup_simhash_clusters" -> 12.371, "semantic_clusters" -> 9.838,
+    "stream_corpus_filter" -> 20.563, "scc_items" -> 7.349,
+    "kll_quantiles_daily" -> 2.053, "stream_kll_quantiles" -> 3.845,
     "stream_user_revenue_percentile" -> 5.653)
 
   /** Run ONE query in a fresh JVM (this JVM's own flags + classpath,

@@ -2,7 +2,6 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.StructType
 
 import graft.operators.{Dedup, TextOps}
 
@@ -27,13 +26,22 @@ import graft.operators.{Dedup, TextOps}
   * signatures + index probe + Jaccard verify) IS incremental; the
   * election is pair-graph-sized, not corpus-sized.
   *
-  * State (versioned parquet + replay guard, [[CdcCompact]] style):
+  * State (DELTA-APPEND parquet, [[StreamUtil.writeDelta]] — these
+  * tables grow with the CORPUS, so the versioned-rewrite layout the
+  * grid states use would re-write the whole index every batch,
+  * quadratic write volume over the stream's lifetime; each batch
+  * appends only its own partial):
   *  - `bands` (doc_id, band, band_hash): the LSH index, equi-join
   *    probed by each batch — 32 short rows per doc;
   *  - `sets`  (doc_id, sh): shingle sets for exact verification of
   *    the candidates the index surfaces;
-  *  - `pairs` (doc_a, doc_b): the verified near-dup graph (tiny);
-  *  - `meta`  (doc_id, pred_lang, quality): the stateless verdicts.
+  *  - `pairs` (doc_a, doc_b): the verified near-dup graph — each
+  *    pair surfaces in exactly one batch (its later endpoint's), so
+  *    deltas never duplicate;
+  *  - `meta`  (doc_id, pred_lang, quality): the stateless verdicts —
+  *    written LAST as the commit guard (a crashed batch's other
+  *    deltas stay invisible behind the `batch <= guard` read filter
+  *    and are overwritten on replay).
   *
   * Scale: per batch the seen index is only equi-joined on
   * (band, band_hash) — queried, never self-joined; the union of
@@ -43,12 +51,10 @@ import graft.operators.{Dedup, TextOps}
   * operator row-for-row and shares its oracle.
   */
 final class CorpusFilterState(stateDir: String, threshold: Double) {
-  @volatile private var version: Long = StreamUtil.latestVersion(stateDir)
+  @volatile private var version: Long = StreamUtil.latestDelta(s"$stateDir/meta")
 
   private def part(spark: SparkSession, name: String, ddl: String): DataFrame =
-    if (version < 0)
-      spark.createDataFrame(java.util.List.of[Row](), StructType.fromDDL(ddl))
-    else spark.read.parquet(s"$stateDir/v$version/$name")
+    StreamUtil.readDeltas(spark, s"$stateDir/$name", ddl, version)
 
   private def bands(spark: SparkSession) =
     part(spark, "bands", "doc_id BIGINT, band INT, band_hash BIGINT")
@@ -63,26 +69,18 @@ final class CorpusFilterState(stateDir: String, threshold: Double) {
     if (batchId <= version) return
     val spark = batch.sparkSession
     val docs = batch.toDF()
+    // prior reads filter batch <= version (pre-update), so the new
+    // deltas written below are invisible to this batch's probe
     val (newPairs, batchBands, batchSets) =
       Dedup.incrementalPairs(spark, docs, bands(spark), sets(spark), threshold)
-    val mergedPairs = pairs(spark).unionByName(newPairs)
-      .dropDuplicates("doc_a", "doc_b")
     val batchMeta = TextOps.langIdTransform(docs).select(col("doc_id"), col("pred_lang"))
       .join(TextOps.textQualityTransform(docs).select(col("doc_id"), col("quality")),
         Seq("doc_id"))
-    // the pair discovery must see the PRIOR index, so all four parts
-    // write after it runs; bands/sets shard by doc_id (index-scale),
-    // pairs/meta are pair-graph / per-doc verdict tables
-    StreamUtil.writeSharded(bands(spark).unionByName(batchBands),
-      s"$stateDir/v$batchId/bands", Seq("doc_id"))
-    StreamUtil.writeSharded(sets(spark).unionByName(batchSets),
-      s"$stateDir/v$batchId/sets", Seq("doc_id"))
-    StreamUtil.writeSharded(mergedPairs, s"$stateDir/v$batchId/pairs", Seq("doc_a"))
-    StreamUtil.writeSharded(meta(spark).unionByName(batchMeta),
-      s"$stateDir/v$batchId/meta", Seq("doc_id"))
-    val prev = version
+    StreamUtil.writeDelta(batchBands, s"$stateDir/bands", batchId, Seq("doc_id"))
+    StreamUtil.writeDelta(batchSets, s"$stateDir/sets", batchId, Seq("doc_id"))
+    StreamUtil.writeDelta(newPairs, s"$stateDir/pairs", batchId, Seq("doc_a"))
+    StreamUtil.writeDelta(batchMeta, s"$stateDir/meta", batchId, Seq("doc_id"))
     version = batchId
-    if (prev >= 0) StreamUtil.delete(spark, s"$stateDir/v$prev")
   }
 
   /** The election + keep/drop report over the drained state. The

@@ -363,4 +363,42 @@ private[streaming] object StreamUtil {
 
   def writeGrid(df: DataFrame, path: String): Unit =
     df.coalesce(1).write.mode("overwrite").parquet(path)
+
+  /** Delta-append layout for CORPUS-scale accumulations (an ingest
+    * index, per-document verdicts): the versioned-rewrite layout
+    * above re-writes the WHOLE accumulated table every micro-batch —
+    * fine for grid/entity states whose size plateaus, QUADRATIC
+    * write volume over the stream's lifetime for a state that grows
+    * with the corpus. Here each batch appends only its own partial
+    * under a `batch=<id>` partition directory; readers union the
+    * deltas through plain partition discovery and filter
+    * `batch <= guard`, so a crashed batch's half-written dir is
+    * invisible until its guard commits (callers write their GUARD
+    * table's delta LAST; a replayed batch lands in mode-overwrite
+    * dirs, so re-runs are idempotent). No version deletion: every
+    * delta stays live. */
+  def latestDelta(deltaDir: String): Long = {
+    val p = new org.apache.hadoop.fs.Path(deltaDir)
+    val fs = p.getFileSystem(hadoopConf)
+    if (!fs.exists(p)) -1L
+    else fs.listStatus(p).iterator
+      .filter(_.isDirectory)
+      .map(_.getPath.getName)
+      .collect { case s if s.matches("batch=\\d+") => s.drop(6).toLong }
+      .foldLeft(-1L)(math.max)
+  }
+
+  def writeDelta(df: DataFrame, deltaDir: String, batchId: Long, keys: Seq[String]): Unit =
+    writeSharded(df, s"$deltaDir/batch=$batchId", keys)
+
+  /** Union of all deltas committed at or before `maxBatch`; empty
+    * frame of `ddl` when the state has never written. */
+  def readDeltas(spark: SparkSession, deltaDir: String, ddl: String,
+                 maxBatch: Long): DataFrame =
+    if (maxBatch < 0 || latestDelta(deltaDir) < 0)
+      spark.createDataFrame(java.util.List.of[org.apache.spark.sql.Row](),
+        org.apache.spark.sql.types.StructType.fromDDL(ddl))
+    else spark.read.parquet(deltaDir)
+      .filter(col("batch") <= maxBatch)
+      .drop("batch")
 }

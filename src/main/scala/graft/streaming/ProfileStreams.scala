@@ -895,28 +895,26 @@ final class PiiSourceState(stateDir: String) {
 /** Append-only semantic-decontamination verdict state —
   * [[graft.operators.VectorOps.decontaminateSemanticVerdicts]]'s
   * twin. Each corpus vector arrives in exactly one micro-batch and
-  * its verdict depends only on the (broadcast) eval side, so the
-  * merge is a pure union of per-batch verdict rows, hash-sharded by
-  * vec_id; replay of a batch is a no-op by the version guard. */
+  * its verdict depends only on the (broadcast) eval side, so each
+  * batch APPENDS its own verdict delta ([[StreamUtil.writeDelta]] —
+  * the verdict table grows with the corpus; rewriting the
+  * accumulation per batch would be quadratic write volume) and a
+  * replayed batch overwrites its own delta dir. */
 final class SemanticVerdictState(stateDir: String, dir: String, nEval: Int) {
-  @volatile private var version: Long = StreamUtil.latestVersion(stateDir)
+  @volatile private var version: Long = StreamUtil.latestDelta(stateDir)
 
   private def prior(spark: SparkSession): DataFrame =
-    if (version < 0)
-      spark.createDataFrame(java.util.List.of[Row](), StructType.fromDDL(
-        "vec_id BIGINT, nearest_eval_id BIGINT, max_cosine DOUBLE, is_kept BOOLEAN"))
-    else spark.read.parquet(s"$stateDir/v$version")
+    StreamUtil.readDeltas(spark, stateDir,
+      "vec_id BIGINT, nearest_eval_id BIGINT, max_cosine DOUBLE, is_kept BOOLEAN",
+      version)
 
   def merge(batch: Dataset[Row], batchId: Long): Unit = {
     if (batchId <= version) return
     val spark = batch.sparkSession
     val verdicts = graft.operators.VectorOps.decontaminateSemanticVerdicts(
       graft.operators.VectorOps.evalSide(spark, dir, nEval), batch.toDF())
-    val merged = prior(spark).unionByName(verdicts)
-    StreamUtil.writeSharded(merged, s"$stateDir/v$batchId", Seq("vec_id"))
-    val prev = version
+    StreamUtil.writeDelta(verdicts, stateDir, batchId, Seq("vec_id"))
     version = batchId
-    if (prev >= 0) StreamUtil.delete(spark, s"$stateDir/v$prev")
   }
 
   def report(spark: SparkSession): DataFrame =
