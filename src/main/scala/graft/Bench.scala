@@ -304,6 +304,10 @@ object Bench {
     "dedup_simhash_clusters" -> 12.371, "semantic_clusters" -> 9.838,
     "stream_corpus_filter" -> 20.563, "scc_items" -> 7.349,
     "kll_quantiles_daily" -> 2.053, "stream_kll_quantiles" -> 3.845,
+    // stream_scc_items frozen separately (it landed after the wave):
+    // fresh-JVM median of [14.68, 15.26, 15.04], same-window canary
+    // 2.16 = 1.23x.
+    "stream_scc_items" -> 15.045,
     "stream_user_revenue_percentile" -> 5.653)
 
   /** Run ONE query in a fresh JVM (this JVM's own flags + classpath,

@@ -49,6 +49,7 @@ object SparkEntry {
     "clustering_coefficient" -> ((s: SparkSession, d: String) => Graph.clusteringCoefficient(s, d)),
     "embedding_covariance" -> ((s: SparkSession, d: String) => VectorOps.embeddingCovariance(s, d)),
     "stream_transitions" -> ((s: SparkSession, d: String) => streaming.TransitionStream.streamTransitions(s, d)),
+    "stream_scc_items"   -> ((s: SparkSession, d: String) => streaming.TransitionStream.streamSccItems(s, d)),
     "stream_distinct_daily" -> ((s: SparkSession, d: String) => streaming.TransitionStream.streamDistinctDaily(s, d)),
     "scd2_apply_batch"   -> Engagement.scd2ApplyBatch _,
     "winsorized_stats"   -> Behavior.winsorizedStats _,
@@ -470,6 +471,10 @@ object SparkEntry {
       // + additive counts: time-ordered replay equals the batch
       // window count table, then the SAME report derivation runs
       "stream_transitions" -> base("event_transitions"),
+      // the edge SET is batching-invariant (in-batch window +
+      // frontier stitching yield every consecutive hop exactly once;
+      // distinct union is idempotent) — same SCC oracle as batch
+      "stream_scc_items" -> base("scc_items"),
       // set-union (day,user) state is idempotent and order-blind —
       // same exact-distinct oracle as the batch twin
       "stream_distinct_daily" -> base("distinct_daily"),

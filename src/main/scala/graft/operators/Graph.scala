@@ -1127,12 +1127,23 @@ object Graph {
       .select($"user_id", $"ts", $"event_id",
         get_json_object($"props", "$.k").cast("long").as("item"))
       .filter($"item".isNotNull)
-    val nodes = truncateLineage(seq.select($"item").distinct())
-    var edges = truncateLineage(
-      seq.withColumn("nxt", lead($"item", 1).over(w))
-        .filter($"nxt".isNotNull)
-        .select($"item".as("a"), $"nxt".as("b"))
-        .distinct())
+    val nodes = seq.select($"item").distinct()
+    val edges = seq.withColumn("nxt", lead($"item", 1).over(w))
+      .filter($"nxt".isNotNull)
+      .select($"item".as("a"), $"nxt".as("b"))
+      .distinct()
+    sccFromEdges(spark, nodes, edges, maxRounds, maxIters)
+  }
+
+  /** The coloring/peeling core over an explicit (nodes, edges) pair —
+    * split out so the streaming twin (whose edge SET is maintained
+    * incrementally) reports through the identical derivation. */
+  private[graft] def sccFromEdges(spark: SparkSession, nodesIn: DataFrame,
+                                  edgesIn: DataFrame, maxRounds: Int = 10,
+                                  maxIters: Int = 60): DataFrame = {
+    import spark.implicits._
+    val nodes = truncateLineage(nodesIn)
+    var edges = truncateLineage(edgesIn)
     var assigned = nodes.select($"item", $"item".as("scc_rep")).filter(lit(false))
     var un = nodes
     var round = 0

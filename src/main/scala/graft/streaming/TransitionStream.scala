@@ -307,7 +307,101 @@ final class PeakSessionState(stateDir: String, gapMinutes: Int = 30) {
       priorOpen(spark).select(col("o_sts").as("s_ts"), col("o_lts").as("e_ts")))
 }
 
+/** Incremental item-transition EDGE SET — `scc_items`' twin: the
+  * distinct directed (item → next item) graph maintained across
+  * micro-batches. Unlike [[TransitionState]]'s counts, the state is
+  * a SET (distinct union = idempotent, so replays and boundary
+  * re-derivations cannot corrupt it), bounded by |items|² — grid
+  * class, versioned-rewrite layout. In-batch hops come from the same
+  * (ts, event_id) window as the batch operator; cross-batch hops are
+  * stitched from the per-user frontier (last non-null-item event),
+  * the [[TransitionState]] discipline at item grain. The report runs
+  * [[graft.operators.Graph.sccFromEdges]], so the coloring/peeling
+  * derivation is shared code. */
+final class ItemEdgeState(stateDir: String) {
+  @volatile private var version: Long = StreamUtil.latestVersion(stateDir)
+
+  private def priorEdges(spark: SparkSession): DataFrame =
+    if (version < 0)
+      spark.createDataFrame(java.util.List.of[Row](), StructType.fromDDL(
+        "a BIGINT, b BIGINT"))
+    else spark.read.parquet(s"$stateDir/v$version/edges")
+
+  private def priorItems(spark: SparkSession): DataFrame =
+    if (version < 0)
+      spark.createDataFrame(java.util.List.of[Row](), StructType.fromDDL(
+        "item BIGINT"))
+    else spark.read.parquet(s"$stateDir/v$version/items")
+
+  private def priorLast(spark: SparkSession): DataFrame =
+    if (version < 0)
+      spark.createDataFrame(java.util.List.of[Row](), StructType.fromDDL(
+        "user_id BIGINT, p_ts TIMESTAMP, p_eid BIGINT, p_item BIGINT"))
+    else spark.read.parquet(s"$stateDir/v$version/last")
+
+  def merge(batch: Dataset[Row], batchId: Long): Unit = {
+    if (batchId <= version) return
+    val spark = batch.sparkSession
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    // null-item events are transparent (the batch operator filters
+    // them BEFORE its lead window), so filter first, then window
+    val b = batch
+      .select(col("user_id"), col("ts"), col("event_id"),
+        get_json_object(col("props"), "$.k").cast("long").as("item"))
+      .filter(col("item").isNotNull)
+      .withColumn("rn", row_number().over(w))
+      .withColumn("prev_item", lag(col("item"), 1).over(w))
+    val inBatch = b.filter(col("prev_item").isNotNull)
+      .select(col("prev_item").as("a"), col("item").as("b"))
+    val boundary = priorLast(spark)
+      .join(b.filter(col("rn") === 1).select(col("user_id"), col("item")), Seq("user_id"))
+      .select(col("p_item").as("a"), col("item").as("b"))
+    val edges = priorEdges(spark).unionByName(inBatch).unionByName(boundary)
+      .distinct()
+    val items = priorItems(spark).unionByName(b.select(col("item"))).distinct()
+    val bLast = b.groupBy(col("user_id"))
+      .agg(max(struct(col("ts"), col("event_id"), col("item"))).as("s"))
+      .select(col("user_id"), col("s.ts").as("b_ts"),
+        col("s.event_id").as("b_eid"), col("s.item").as("b_item"))
+    val pS = struct(col("p_ts").as("ts"), col("p_eid").as("eid"), col("p_item").as("it"))
+    val bS = struct(col("b_ts").as("ts"), col("b_eid").as("eid"), col("b_item").as("it"))
+    val last = priorLast(spark).join(bLast, Seq("user_id"), "full_outer")
+      .select(col("user_id"),
+        when(col("b_ts").isNull, pS)
+          .when(col("p_ts").isNull, bS)
+          .when(struct(col("b_ts"), col("b_eid")) >= struct(col("p_ts"), col("p_eid")), bS)
+          .otherwise(pS).as("s"))
+      .select(col("user_id"), col("s.ts").as("p_ts"),
+        col("s.eid").as("p_eid"), col("s.it").as("p_item"))
+    StreamUtil.writeGrid(edges, s"$stateDir/v$batchId/edges")
+    StreamUtil.writeGrid(items, s"$stateDir/v$batchId/items")
+    StreamUtil.writeSharded(last, s"$stateDir/v$batchId/last", Seq("user_id"))
+    val prev = version
+    version = batchId
+    if (prev >= 0) StreamUtil.delete(spark, s"$stateDir/v$prev")
+  }
+
+  def report(spark: SparkSession): DataFrame =
+    graft.operators.Graph.sccFromEdges(spark,
+      priorItems(spark), priorEdges(spark))
+}
+
 object TransitionStream {
+
+  /** Queries entry (oracle: same SQL as `scc_items`): time-ordered
+    * staged replay; the edge SET is batching-invariant (in-batch
+    * window + frontier stitching reproduce every consecutive hop
+    * exactly once; distinct union absorbs any overlap), so the
+    * drained stream's SCC labeling equals the batch operator's. */
+  def streamSccItems(spark: SparkSession, dir: String, nFiles: Int = 4): DataFrame = {
+    val work = graft.GraftCaches.trackTempDir("graft_sscc_")
+    FunnelStream.stageTimeOrdered(spark, dir, s"$work/input", nFiles)
+    val state = new ItemEdgeState(s"$work/state")
+    StreamSources.runForeachBatch(
+      StreamSources.eventsFrom(spark, s"$work/input", maxFilesPerTrigger = 1),
+      state.merge)
+    state.report(spark)
+  }
 
   /** Queries entry (oracle: same SQL as `event_transitions`). */
   def streamTransitions(spark: SparkSession, dir: String, nFiles: Int = 4): DataFrame = {

@@ -228,6 +228,10 @@ class StreamingSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
     assert(rows("stream_decontaminate_semantic") == rows("decontaminate_semantic"))
   }
 
+  test("stream_scc_items equals batch scc_items") {
+    assert(rows("stream_scc_items") == rows("scc_items"))
+  }
+
   test("stream_corpus_filter equals batch corpus_filter") {
     // the strongest parity in the suite: incremental LSH pair
     // discovery + report-time representative election must reproduce
