@@ -203,6 +203,8 @@ object SparkEntry {
     "topk_diversified"   -> ((s: SparkSession, d: String) => Behavior.topkDiversified(s, d)),
     // graph analytics over the co-engagement item graph
     "pagerank_items"     -> Graph.pagerankItems _,
+    "ppr_items"          -> Graph.pprItems _,
+    "stream_ppr"         -> ((s: SparkSession, d: String) => streaming.GraphStream.streamPpr(s, d)),
     "triangle_count"     -> Graph.triangleCount _,
     "hits_scores"        -> Graph.hitsScores _,
     "communities_lpa"    -> Graph.communitiesLpa _,
@@ -555,6 +557,9 @@ object SparkEntry {
       // idempotent (user, item) presence set: the graph (cap, pair
       // counts, edge cut, centrality rounds) is a pure read over it
       "stream_pagerank" -> base("pagerank_items"),
+      // the presence-set state is batching-invariant (set union), and
+      // the PPR read is the batch transform on the same edge cut
+      "stream_ppr" -> base("ppr_items"),
       "stream_katz" -> base("katz_centrality"),
       "stream_assortativity" -> base("degree_assortativity"),
       // additive NB training grids; evaluation re-reads the staged corpus
@@ -1024,6 +1029,7 @@ object SparkEntry {
     // graph family: unrolled integer-PageRank recurrence / naive
     // triple-join triangle oracle (algorithm-independent result set)
     "pagerank_items" -> operators.Graph.pagerankOracleSql(),
+    "ppr_items" -> operators.Graph.pprOracleSql(),
     "katz_centrality" -> operators.Graph.katzOracleSql(),
     "flesch_reading_ease" -> operators.TextOps.fleschReadingEaseOracleSql,
     "hits_scores" -> operators.Graph.hitsOracleSql(),

@@ -206,6 +206,104 @@ object Graph {
   def katzItems(spark: SparkSession, dir: String): DataFrame =
     katzTransform(edgeTransform(Tables.events(spark, dir), maxItems = 50, topEdges = 800))
 
+  /** Fixed-iteration PERSONALIZED PageRank (Haveliwala 2002; the
+    * random-surfer teleports to a SEED SET, not uniformly) in the
+    * [[pagerankTransform]] exact-integer discipline — the
+    * recommendation / local-relevance face of the centrality family:
+    * global PageRank answers "what is important anywhere", PPR
+    * answers "what is important NEAR these items" (here the seed set
+    * `item % seedMod == 0`, standing in for a user's recent items or
+    * a curated topic set). One round is
+    * {{{ score'(v) = (v∈S ? (15·scale) div 100 : 0)
+    *               + (85 · Σ_{u∈Γ(v)} score(u) div deg(u)) div 100 }}}
+    * with init score = scale on seeds only. The union-then-sum
+    * formulation keeps seeds alive even when no neighbor feeds them
+    * (a bare `GROUP BY dst` would silently drop a seed with no
+    * in-mass that round); nodes never reached by seed mass simply
+    * never appear — the output support IS the iters-hop
+    * seed-reachable set, which is the semantics a recommender wants.
+    *
+    * Scale shape identical to [[pagerankTransform]] (scores ⋈ deg
+    * co-partitioned, edge fan-out keyed on src, map-side-combinable
+    * in-sum) plus one planning-scale union with the seed base table
+    * per round. Mass bound: Σ scores ≤ |S|·scale/0.15, Long-safe at
+    * scale 1e9 up to ~1e7 seeds.
+    */
+  def pprTransform(pairs: DataFrame, iters: Int = 10, scale: Long = 1000000000L,
+                   seedMod: Long = 5L): DataFrame = {
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    val p = truncateLineage(pairs)
+    val shuffleKey = "spark.sql.shuffle.partitions"
+    val aqeKey = "spark.sql.adaptive.enabled"
+    val prevShuffle = spark.conf.get(shuffleKey)
+    val prevAqe = spark.conf.get(aqeKey)
+    spark.conf.set(shuffleKey, "8")
+    spark.conf.set(aqeKey, "false")
+    val edges = p.select($"item_a".as("src"), $"item_b".as("dst"))
+      .unionByName(p.select($"item_b".as("src"), $"item_a".as("dst")))
+      .persist()
+    val deg = edges.groupBy($"src".as("item")).agg(count(lit(1)).as("deg")).persist()
+    val seeds = deg.select($"item").filter($"item" % seedMod === 0L).persist()
+    val base = 15L * scale / 100L
+    try {
+      var scores = truncateLineage(seeds.select($"item", lit(scale).as("score")))
+      for (i <- 1 to iters) {
+        val contrib = scores.join(deg, "item")
+          .join(edges, $"item" === $"src")
+          .select($"dst".as("item"), expr("score div deg").as("c"))
+        val inMass = contrib.groupBy($"item")
+          .agg(expr("(85 * sum(c)) div 100").as("s"))
+        val next = seeds.select($"item", lit(base).as("s"))
+          .unionByName(inMass)
+          .groupBy($"item").agg(sum($"s").as("score"))
+        scores = if (i % 4 == 0 || i == iters) truncateLineage(next) else next
+      }
+      scores.select($"item", $"score".as("ppr_score"))
+        .orderBy($"ppr_score".desc, $"item")
+    } finally {
+      spark.conf.set(shuffleKey, prevShuffle)
+      spark.conf.set(aqeKey, prevAqe)
+      edges.unpersist()
+      deg.unpersist()
+      seeds.unpersist()
+    }
+  }
+
+  def pprItems(spark: SparkSession, dir: String): DataFrame =
+    pprTransform(edgeTransform(Tables.events(spark, dir), maxItems = 50, topEdges = 800))
+
+  /** DuckDB oracle for [[pprTransform]] — the identical integer
+    * rounds unrolled, with the seed-base union inside each round so
+    * un-fed seeds survive. Every round (and the shared seeds/deg/
+    * edges basis) is `AS MATERIALIZED`: the union-subquery reference
+    * pattern triggers the same exponential plain-CTE inlining the
+    * [[lpaOracleSql]] comment documents — the un-materialized form
+    * ran minutes at sf0.01, materialized 0.08 s. */
+  def pprOracleSql(iters: Int = 10, scale: Long = 1000000000L,
+                   seedMod: Long = 5L): String = {
+    val base = 15L * scale / 100L
+    val rounds = (1 to iters).map { i =>
+      s"""ppr$i AS MATERIALIZED (SELECT item, CAST(SUM(s) AS BIGINT) AS score FROM (
+         |  SELECT item, CAST($base AS BIGINT) AS s FROM seeds
+         |  UNION ALL
+         |  SELECT e.dst AS item, (85 * SUM(p.score // d.deg)) // 100 AS s
+         |  FROM ppr${i - 1} p
+         |  JOIN deg d ON p.item = d.item
+         |  JOIN edges e ON e.src = p.item
+         |  GROUP BY e.dst) GROUP BY item)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $edgeCtes,
+       |edges AS MATERIALIZED (SELECT item_a AS src, item_b AS dst FROM pairs
+       |          UNION ALL SELECT item_b, item_a FROM pairs),
+       |deg AS MATERIALIZED (SELECT src AS item, count(*) AS deg FROM edges GROUP BY 1),
+       |seeds AS MATERIALIZED (SELECT DISTINCT item FROM deg WHERE item % $seedMod = 0),
+       |ppr0 AS (SELECT item, CAST($scale AS BIGINT) AS score FROM seeds),
+       |$rounds
+       |SELECT item, score AS ppr_score FROM ppr$iters
+       |ORDER BY ppr_score DESC, item""".stripMargin
+  }
+
   /** DuckDB oracle for [[katzTransform]] — the identical integer
     * rounds unrolled (the [[pagerankOracleSql]] pattern). */
   def katzOracleSql(iters: Int = 8, scale: Long = 1000000000L): String = {

@@ -75,6 +75,11 @@ final class UserItemState(stateDir: String) {
     * state-derived edge cut, like the centrality faces). */
   def reportKCore(spark: SparkSession): DataFrame =
     graft.operators.Graph.kCoreTransform(edges(spark))
+
+  /** FIFTH face: personalized PageRank over the same presence state
+    * — the seed-local relevance read next to the global centralities. */
+  def reportPpr(spark: SparkSession): DataFrame =
+    graft.operators.Graph.pprTransform(edges(spark))
 }
 
 object GraphStream {
@@ -116,5 +121,14 @@ object GraphStream {
     val state = new UserItemState(s"$work/state")
     StreamSources.runForeachBatch(StreamSources.events(spark, dir), state.merge)
     state.reportKCore(spark)
+  }
+
+  /** Queries entry (oracle: same SQL as `ppr_items`): the SAME
+    * presence state, fifth face. */
+  def streamPpr(spark: SparkSession, dir: String): DataFrame = {
+    val work = graft.GraftCaches.trackTempDir("graft_sppr_")
+    val state = new UserItemState(s"$work/state")
+    StreamSources.runForeachBatch(StreamSources.events(spark, dir), state.merge)
+    state.reportPpr(spark)
   }
 }

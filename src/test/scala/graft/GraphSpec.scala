@@ -37,6 +37,31 @@ class GraphSpec extends AnyFunSuite {
     assert(out.tail.map(_._1) == Seq(2L, 3L, 4L, 5L))
   }
 
+  test("ppr: exact integer rounds on a star seeded at the center") {
+    // star: center 5 (the only item % 5 == 0 → the only seed),
+    // leaves 1..4. deg(5)=4, deg(leaf)=1, scale=1e9, base=15e7.
+    // Round 1: seed base only feeds 5; mass 1e9 div 4 = 25e7 flows
+    //          to each leaf → leaf = 85·25e7 div 100 = 212_500_000,
+    //          center = 150_000_000 (bare base — no in-mass).
+    val es = pairs((1L, 5L), (2L, 5L), (3L, 5L), (4L, 5L))
+    val one = Graph.pprTransform(es, iters = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(one(5L) == 150000000L)
+    assert(Seq(1L, 2L, 3L, 4L).forall(one(_) == 212500000L))
+    // Round 2: leaves return 4·212_500_000 → center = 15e7 +
+    //          85·85e7 div 100 = 872_500_000; leaves get
+    //          85·(15e7 div 4) div 100 = 31_875_000 (no seed base).
+    val two = Graph.pprTransform(es, iters = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(two(5L) == 872500000L)
+    assert(Seq(1L, 2L, 3L, 4L).forall(two(_) == 31875000L))
+  }
+
+  test("ppr: no seeds in the graph gives an empty result, no failure") {
+    val out = Graph.pprTransform(pairs((1L, 2L), (2L, 3L)), iters = 3)
+    assert(out.collect().isEmpty)
+  }
+
   test("katz: one exact integer round on a star; hub-adjacency ranking after eight") {
     // star 1-{2,3,4} plus disjoint edge 5-6, scale=1e9, alpha=1/64.
     // Round 1: x(1) = 1e9 + 3e9 div 64 = 1_046_875_000
