@@ -248,6 +248,12 @@ object SparkEntry {
     "pareto_users"         -> Behavior.paretoUsers _,
     "boxplot_stats"        -> Behavior.boxplotStats _,
     "ab_welch_ttest"       -> Behavior.abWelchTtest _,
+    "ab_cuped"             -> Experiments.abCuped _,
+    "stream_ab_cuped"      -> ((s: SparkSession, d: String) => streaming.ProfileStreams.streamAbCuped(s, d)),
+    "conformal_interval"   -> Experiments.conformalInterval _,
+    "stream_conformal"     -> ((s: SparkSession, d: String) => streaming.ProfileStreams.streamConformal(s, d)),
+    "hill_tail_index"      -> Stats.hillTailIndex _,
+    "stream_hill"          -> ((s: SparkSession, d: String) => streaming.ProfileStreams.streamHill(s, d)),
     "zipf_slope"           -> TextOps.zipfSlope _,
     "dup_rate_by_source"   -> TextOps.dupRateBySource _,
     "ngram_novelty"        -> TextOps.ngramNovelty _,
@@ -557,6 +563,12 @@ object SparkEntry {
       // idempotent (user, item) presence set: the graph (cap, pair
       // counts, edge cut, centrality rounds) is a pure read over it
       "stream_pagerank" -> base("pagerank_items"),
+      // additive per-user (pre,post) sums / conformal counting grid /
+      // per-user monetary state — reports run the batch operators'
+      // own derivations over the merged state
+      "stream_ab_cuped" -> base("ab_cuped"),
+      "stream_conformal" -> base("conformal_interval"),
+      "stream_hill" -> base("hill_tail_index"),
       // the presence-set state is batching-invariant (set union), and
       // the PPR read is the batch transform on the same edge cut
       "stream_ppr" -> base("ppr_items"),
@@ -1067,6 +1079,9 @@ object SparkEntry {
     "pareto_users" -> operators.Behavior.paretoUsersOracleSql,
     "boxplot_stats" -> operators.Behavior.boxplotStatsOracleSql,
     "ab_welch_ttest" -> operators.Behavior.abWelchTtestOracleSql,
+    "ab_cuped" -> operators.Experiments.abCupedOracleSql,
+    "conformal_interval" -> operators.Experiments.conformalOracleSql,
+    "hill_tail_index" -> operators.Stats.hillOracleSql,
     "rolling_retention" -> operators.Retention.rollingRetentionOracleSql,
     "peak_concurrency" -> operators.Retention.peakConcurrencyOracleSql(),
     "acf_daily" -> operators.Timeseries.acfDailyOracleSql,

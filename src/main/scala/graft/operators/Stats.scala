@@ -1989,4 +1989,65 @@ object Stats {
       |             greatest(CAST(sr2 AS DOUBLE) - CAST(sr AS DOUBLE) * CAST(sr AS DOUBLE) / nd, 0.0)),
       |             6) AS jack_se
       |FROM a ORDER BY 1""".stripMargin
+
+  /** Hill tail-index estimator (Hill 1975) over per-user revenue —
+    * the PARAMETRIC heavy-tail readout next to
+    * [[Behavior.paretoUsersTransform]]'s empirical concentration
+    * curve and [[Graph.degreePowerlawFitTransform]]'s rank
+    * regression: for the top-k order statistics x₍₁₎ ≥ … ≥ x₍ₖ₎,
+    * {{{ hill = (1/(k−1)) · Σᵢ (ln x₍ᵢ₎ − ln x₍ₖ₎),  α̂ = 1/hill }}}
+    * α̂ ≤ 2 means infinite variance — the "one whale user is half of
+    * revenue" regime where every mean-based KPI needs the robust
+    * twins. Tie-robust: rows at the boundary value contribute 0 to
+    * the sum, so the estimate depends only on the top-k VALUE
+    * multiset.
+    *
+    * Exactness discipline: each ln is quantized to the 1e-6 grid
+    * BEFORE summation (the `zipf_slope` pattern), so the sufficient
+    * statistic is an order-independent integer sum; floats appear
+    * only in the final two divisions (4dp).
+    *
+    * Scale shape: the per-user rollup is map-side combinable; the
+    * top-k cut is a bounded TakeOrdered (per-partition heaps, never a
+    * global sort); the estimator is a one-row aggregate over k rows.
+    */
+  private[graft] def hillFromUsers(users: DataFrame, k: Int = 100): DataFrame = {
+    val spark = users.sparkSession
+    import spark.implicits._
+    users.filter($"cents" > 0L)
+      .orderBy($"cents".desc, $"user_id")
+      .limit(k)
+      .agg(count(lit(1)).as("n_tail"),
+        min($"cents").as("xk_cents"),
+        sum(expr("CAST(round(ln(cents) * 1000000) AS BIGINT)")).as("sq"))
+      .withColumn("hill_raw",
+        expr("""(CAST(sq AS DOUBLE) - n_tail * CAST(round(ln(xk_cents) * 1000000) AS BIGINT))
+               |/ (n_tail - 1) / 1e6""".stripMargin))
+      .select($"n_tail", $"xk_cents",
+        round($"hill_raw", 4).as("hill"),
+        round(expr("1.0 / nullif(hill_raw, 0.0)"), 4).as("alpha"))
+  }
+
+  def hillTailIndex(spark: SparkSession, dir: String): DataFrame =
+    hillFromUsers(Tables.events(spark, dir)
+      .groupBy(col("user_id"))
+      .agg(expr("sum(CAST(round(value * 100) AS BIGINT))").as("cents")))
+
+  /** DuckDB oracle for [[hillTailIndex]] — identical top-k cut,
+    * identical 1e-6 log grid and final-division parenthesization. */
+  val hillOracleSql: String =
+    """WITH u AS (SELECT user_id,
+      |                  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+      |           FROM events GROUP BY 1),
+      |t AS (SELECT cents, user_id FROM u WHERE cents > 0
+      |      ORDER BY cents DESC, user_id LIMIT 100),
+      |a AS (SELECT CAST(count(*) AS BIGINT) AS n_tail,
+      |             CAST(min(cents) AS BIGINT) AS xk_cents,
+      |             CAST(sum(CAST(round(ln(cents) * 1000000) AS BIGINT)) AS BIGINT) AS sq
+      |      FROM t),
+      |h AS (SELECT *, (CAST(sq AS DOUBLE) - n_tail * CAST(round(ln(xk_cents) * 1000000) AS BIGINT))
+      |               / (n_tail - 1) / 1e6 AS hill_raw FROM a)
+      |SELECT n_tail, xk_cents, round(hill_raw, 4) AS hill,
+      |       round(1.0 / nullif(hill_raw, 0.0), 4) AS alpha
+      |FROM h""".stripMargin
 }

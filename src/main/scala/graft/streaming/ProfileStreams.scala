@@ -517,6 +517,80 @@ final class UserRfmState(stateDir: String) {
   def reportRevenuePercentile(spark: SparkSession): DataFrame =
     graft.operators.Behavior.revenuePercentileFromUsers(
       prior(spark).select(col("user_id"), col("cents")))
+
+  /** Third face: the Hill tail-index estimator — a bounded top-k
+    * read over the same per-user monetary state. */
+  def reportHill(spark: SparkSession): DataFrame =
+    graft.operators.Stats.hillFromUsers(
+      prior(spark).select(col("user_id"), col("cents")))
+}
+
+/** Per-user (pre_cents, post_cents) CUPED state — both columns are
+  * sums of per-batch sums (the event's period membership is a pure
+  * function of its own timestamp), so the grid merges additively
+  * under any batching/replay order; |users| rows, hash-sharded.
+  * Report = [[graft.operators.Experiments.cupedFromUsers]], the batch
+  * operator's own derivation (parity by shared code). */
+final class UserPrePostState(stateDir: String) {
+  @volatile private var version: Long = StreamUtil.latestVersion(stateDir)
+
+  private def prior(spark: SparkSession): DataFrame =
+    if (version < 0)
+      spark.createDataFrame(java.util.List.of[Row](), StructType.fromDDL(
+        "user_id BIGINT, pre_cents BIGINT, post_cents BIGINT"))
+    else spark.read.parquet(s"$stateDir/v$version")
+
+  def merge(batch: Dataset[Row], batchId: Long): Unit = {
+    if (batchId <= version) return
+    val spark = batch.sparkSession
+    val partial = graft.operators.Experiments.userPrePost(batch.toDF())
+    val merged = prior(spark).unionByName(partial)
+      .groupBy(col("user_id"))
+      .agg(sum(col("pre_cents")).as("pre_cents"),
+        sum(col("post_cents")).as("post_cents"))
+    StreamUtil.writeSharded(merged, s"$stateDir/v$batchId", Seq("user_id"))
+    val prev = version
+    version = batchId
+    if (prev >= 0) StreamUtil.delete(spark, s"$stateDir/v$prev")
+  }
+
+  def report(spark: SparkSession): DataFrame =
+    graft.operators.Experiments.cupedFromUsers(prior(spark))
+}
+
+/** Split-conformal counting-grid state — per (event_type, is_train,
+  * cents) counts (split membership is a pure function of event_id),
+  * additive under any batching; value-cardinality rows. BOTH the
+  * train-split center and the calibration residual order statistics
+  * derive at report time through
+  * [[graft.operators.Experiments.conformalFromGrid]] — residuals
+  * depend on the FINAL center, so they must never be frozen into the
+  * state (the classic streaming-conformal mistake this state shape
+  * avoids by construction). */
+final class ConformalGridState(stateDir: String) {
+  @volatile private var version: Long = StreamUtil.latestVersion(stateDir)
+
+  private def prior(spark: SparkSession): DataFrame =
+    if (version < 0)
+      spark.createDataFrame(java.util.List.of[Row](), StructType.fromDDL(
+        "event_type STRING, is_train BOOLEAN, cents BIGINT, cnt BIGINT"))
+    else spark.read.parquet(s"$stateDir/v$version")
+
+  def merge(batch: Dataset[Row], batchId: Long): Unit = {
+    if (batchId <= version) return
+    val spark = batch.sparkSession
+    val partial = graft.operators.Experiments.conformalGrid(batch.toDF())
+    val merged = prior(spark).unionByName(partial)
+      .groupBy(col("event_type"), col("is_train"), col("cents"))
+      .agg(sum(col("cnt")).as("cnt"))
+    StreamUtil.writeGrid(merged, s"$stateDir/v$batchId")
+    val prev = version
+    version = batchId
+    if (prev >= 0) StreamUtil.delete(spark, s"$stateDir/v$prev")
+  }
+
+  def report(spark: SparkSession): DataFrame =
+    graft.operators.Experiments.conformalFromGrid(prior(spark))
 }
 
 /** Heaps'-law corpus state: TWO merged rollups — per-doc token
@@ -659,6 +733,34 @@ object ProfileStreams {
     val state = new ItemEngagementState(s"$work/state")
     StreamSources.runForeachBatch(StreamSources.events(spark, dir), state.merge)
     state.report(spark)
+  }
+
+  /** Queries entry (oracle: same SQL as `ab_cuped`) — order-free
+    * additive per-user (pre, post) sums. */
+  def streamAbCuped(spark: SparkSession, dir: String): DataFrame = {
+    val work = graft.GraftCaches.trackTempDir("graft_scuped_")
+    val state = new UserPrePostState(s"$work/state")
+    StreamSources.runForeachBatch(StreamSources.events(spark, dir), state.merge)
+    state.report(spark)
+  }
+
+  /** Queries entry (oracle: same SQL as `conformal_interval`) —
+    * order-free additive counting grid; center and residual ranks
+    * both derive at report time. */
+  def streamConformal(spark: SparkSession, dir: String): DataFrame = {
+    val work = graft.GraftCaches.trackTempDir("graft_sconf_")
+    val state = new ConformalGridState(s"$work/state")
+    StreamSources.runForeachBatch(StreamSources.events(spark, dir), state.merge)
+    state.report(spark)
+  }
+
+  /** Queries entry (oracle: same SQL as `hill_tail_index`): the SAME
+    * per-user RFM state as `stream_rfm_segments`, third face. */
+  def streamHill(spark: SparkSession, dir: String): DataFrame = {
+    val work = graft.GraftCaches.trackTempDir("graft_shill_")
+    val state = new UserRfmState(s"$work/state")
+    StreamSources.runForeachBatch(StreamSources.events(spark, dir), state.merge)
+    state.reportHill(spark)
   }
 
   /** Queries entry (oracle: same SQL as `mann_whitney_u`) — order-

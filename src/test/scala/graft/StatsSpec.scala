@@ -929,4 +929,86 @@ class StatsSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
     assert(r(0).getAs[Double]("ratio_cents") == 200.0)
     assert(r(0).getAs[Double]("jack_se") == 100.0)
   }
+
+  test("ab_cuped: a perfectly linear covariate removes ALL variance and equalizes arms") {
+    import spark.implicits._
+    // y = 3x exactly → θ = 3, ρ² = 1, and every arm's adjusted mean
+    // collapses to 3·mean_x_pooled = 3·(10+20+30+40)/4 = 75.
+    val users = Seq(
+      (0L, 10L, 30L), (2L, 30L, 90L),   // arm 0
+      (1L, 20L, 60L), (3L, 40L, 120L)   // arm 1
+    ).toDF("user_id", "pre_cents", "post_cents")
+    val r = operators.Experiments.cupedFromUsers(users).collect()
+    assert(r.map(_.getAs[Long]("arm")).toSeq == Seq(0L, 1L))
+    r.foreach { row =>
+      assert(row.getAs[Double]("theta") == 3.0)
+      assert(row.getAs[Double]("var_reduction") == 1.0)
+      assert(row.getAs[Double]("cuped_mean_cents") == 75.0)
+    }
+    // raw means differ (60 vs 90); CUPED sees through the covariate
+    assert(r.map(_.getAs[Double]("mean_post_cents")).toSeq == Seq(60.0, 90.0))
+  }
+
+  test("ab_cuped: zero covariate variance yields NULL adjustment, raw means survive") {
+    import spark.implicits._
+    val users = Seq((0L, 5L, 10L), (1L, 5L, 30L)).toDF("user_id", "pre_cents", "post_cents")
+    val r = operators.Experiments.cupedFromUsers(users).collect()
+    assert(r.forall(_.isNullAt(r(0).fieldIndex("theta"))))
+    assert(r.map(_.getAs[Double]("mean_post_cents")).toSeq == Seq(10.0, 30.0))
+  }
+
+  test("conformal_interval: hand-computed rank on a planted grid") {
+    import spark.implicits._
+    // train (even ids): values all 10.00 → center 1000 cents.
+    // calibration (odd ids): 9 values at distances 0..8 (cents 1000..1008)
+    // → n_cal = 9, k = ⌈10·0.9⌉ = 9 → half-width = 8.
+    val train = (0 until 4).map(i => (2L * i, ts(1), 1L, "t", 10.00, "{}"))
+    val cal = (0 until 9).map(i => (2L * i + 1, ts(2), 1L, "t", 10.00 + i / 100.0, "{}"))
+    val events = (train ++ cal)
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val r = operators.Experiments.conformalFromGrid(
+      operators.Experiments.conformalGrid(events)).collect()
+    assert(r.length == 1)
+    assert(r(0).getAs[Long]("center_cents") == 1000L)
+    assert(r(0).getAs[Long]("n_cal") == 9L)
+    assert(r(0).getAs[Long]("half_width_cents") == 8L)
+    assert(r(0).getAs[Long]("lo_cents") == 992L && r(0).getAs[Long]("hi_cents") == 1008L)
+  }
+
+  test("conformal_interval: k > n_cal surfaces NULL bounds, never a clamp") {
+    import spark.implicits._
+    // n_cal = 2 → k = ⌈3·0.9⌉ = 3 > 2 → unbounded interval.
+    val events = Seq(
+      (0L, ts(1), 1L, "t", 10.0, "{}"), (2L, ts(1), 1L, "t", 10.0, "{}"),
+      (1L, ts(2), 1L, "t", 10.5, "{}"), (3L, ts(2), 1L, "t", 11.0, "{}")
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val r = operators.Experiments.conformalFromGrid(
+      operators.Experiments.conformalGrid(events)).collect()
+    assert(r.length == 1)
+    assert(r(0).isNullAt(r(0).fieldIndex("half_width_cents")))
+    assert(r(0).isNullAt(r(0).fieldIndex("lo_cents")))
+  }
+
+  test("hill_tail_index: exact decade ladder gives hill = ln(10)·(0+1+2)/2/... by hand") {
+    import spark.implicits._
+    // cents {1000, 100, 10}, k = 3: qln = {6907755, 4605170, 2302585};
+    // hill_raw = (13815510 − 3·2302585)/2/1e6 = 3.4538775 → 3.4539;
+    // α = 1/3.4538775 = 0.28953 → 0.2895.
+    val users = Seq((1L, 1000L), (2L, 100L), (3L, 10L)).toDF("user_id", "cents")
+    val r = operators.Stats.hillFromUsers(users, k = 3).collect()
+    assert(r(0).getAs[Long]("n_tail") == 3L)
+    assert(r(0).getAs[Long]("xk_cents") == 10L)
+    assert(r(0).getAs[Double]("hill") == 3.4539)
+    assert(r(0).getAs[Double]("alpha") == 0.2895)
+  }
+
+  test("hill_tail_index: boundary ties contribute zero — value-multiset determined") {
+    import spark.implicits._
+    // top-3 of {100, 10, 10, 10}: ties at the k-th value add 0 terms.
+    val users = Seq((1L, 100L), (2L, 10L), (3L, 10L), (4L, 10L))
+      .toDF("user_id", "cents")
+    val r = operators.Stats.hillFromUsers(users, k = 3).collect()
+    // hill_raw = (qln(100) − qln(10))/2/1e6 = 2302585/2e6 = 1.1512925
+    assert(r(0).getAs[Double]("hill") == 1.1513)
+  }
 }
