@@ -394,6 +394,8 @@ object SparkEntry {
     "gopher_quality_gates" -> TextOps.gopherGates _,
     "text_repetition"    -> TextOps.textRepetition _,
     "text_redact"        -> TextOps.textRedact _,
+    "dsir_importance"    -> CorpusQa.dsirImportance _,
+    "stream_dsir"        -> ((s: SparkSession, d: String) => streaming.ProfileStreams.streamDsir(s, d)),
     "pii_density"        -> TextOps.piiDensity _,
     "stream_pii_density" -> ((s: SparkSession, d: String) => ProfileStreams.streamPiiDensity(s, d)),
     "token_rarity"       -> ((s: SparkSession, d: String) => TextOps.tokenRarity(s, d)),
@@ -470,6 +472,9 @@ object SparkEntry {
       // against the broadcast eval side — reports run the batch
       // operators' own derivations over the merged state
       "stream_pii_density" -> base("pii_density"),
+      // id-disjoint delta-appended doc-bucket grid; weights derive at
+      // report time against the FINAL bucket LMs — same oracle
+      "stream_dsir" -> base("dsir_importance"),
       "stream_decontaminate_semantic" -> base("decontaminate_semantic"),
       // per-batch LSH screening against the accumulated index union'd
       // over an id-disjoint batching reproduces the full self-join
@@ -1529,6 +1534,7 @@ object SparkEntry {
     "gopher_quality_gates" -> operators.TextOps.gopherGatesOracleSql,
     "text_repetition" -> operators.TextOps.textRepetitionOracleSql,
     "text_redact" -> operators.TextOps.textRedactOracleSql,
+    "dsir_importance" -> operators.CorpusQa.dsirOracleSql(),
     "pii_density" -> operators.TextOps.piiDensityOracleSql,
     "token_rarity" -> operators.TextOps.tokenRarityOracleSql(),
     "tfidf_top_terms" -> operators.TextOps.tfidfTopTermsOracleSql(),

@@ -779,4 +779,105 @@ object CorpusQa {
       |         FROM scores)
       |SELECT lang, cls AS predicted, count(*) AS n_docs
       |FROM pred WHERE rn = 1 GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  // ---------------------------------------------------------------
+  // DSIR importance weights
+  // ---------------------------------------------------------------
+
+  /** Per-doc hashed-feature counts — the shared basis of both DSIR
+    * faces: unigrams PLUS space-joined bigrams (the DSIR paper's
+    * feature set), each hashed into `nBuckets` by the engine-portable
+    * word feature `len·131 + 7·cp(first) + cp(last)` (the
+    * [[TextOps.docFingerprint]] arithmetic — no engine-specific hash
+    * in the oracle path). Map-side combinable to Σ_docs(distinct
+    * buckets per doc) rows; additive across id-disjoint batches, so
+    * the streaming twin delta-appends it verbatim. */
+  private[graft] def dsirDocBuckets(docs: DataFrame, nBuckets: Int = 1024): DataFrame =
+    docs
+      .select(col("doc_id"), col("lang"), expr(
+        """explode(concat(split(text, ' '),
+          |  zip_with(slice(split(text, ' '), 1, size(split(text, ' ')) - 1),
+          |           slice(split(text, ' '), 2, size(split(text, ' ')) - 1),
+          |           (a, b) -> concat(a, ' ', b))))""".stripMargin).as("f"))
+      .select(col("doc_id"), col("lang"), expr(
+        s"CAST((length(f) * 131 + ascii(f) * 7 + ascii(substring(f, -1, 1))) % $nBuckets AS BIGINT)")
+        .as("bucket"))
+      .groupBy(col("doc_id"), col("lang"), col("bucket"))
+      .agg(count(lit(1)).as("c"))
+
+  /** DSIR importance weights (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling") — the principled
+    * domain-matching score a 100 TB pretraining mix is resampled by:
+    * per document,
+    * {{{ log ŵ(x) = Σ_b count_x[b] · (ln p_target[b] − ln p_raw[b]) }}}
+    * under add-1-smoothed hashed-bigram bag models fitted on the
+    * TARGET slice (here `lang = 'en'`, standing in for "looks like my
+    * eval domain") and the RAW corpus. Docs are then kept with
+    * probability ∝ ŵ — `weighted_sample` (36e) downstream consumes
+    * exactly this column.
+    *
+    * Exactness: each ln is quantized to the 1e-6 grid BEFORE the
+    * per-bucket difference, so `d[b]` is an exact integer and the
+    * per-doc sum Σ count·d is order-independent; float appears only
+    * in the final 4dp division. Hash collisions are PART OF the
+    * method (hashed features bound the model at `nBuckets` rows
+    * regardless of corpus vocabulary) and identical in both engines.
+    *
+    * Scale shape: the doc×feature explode collapses map-side to the
+    * doc-bucket grid; both LM grids are ≤ nBuckets rows → broadcast
+    * joined back; the final per-doc weight is map-side combinable.
+    * Nothing global except two B-row aggregates. */
+  private[graft] def dsirFromDocBuckets(grid: DataFrame, nBuckets: Int = 1024,
+                                        targetLang: String = "en"): DataFrame = {
+    val spark = grid.sparkSession
+    import spark.implicits._
+    val raw = grid.groupBy($"bucket").agg(sum($"c").as("cr"))
+    val tgt = grid.filter($"lang" === targetLang)
+      .groupBy($"bucket").agg(sum($"c").as("ct"))
+    val totals = raw.agg(sum($"cr").as("nr")).crossJoin(tgt.agg(sum($"ct").as("nt")))
+    val d = raw.join(tgt, Seq("bucket"), "left")
+      .na.fill(0L, Seq("ct"))
+      .crossJoin(broadcast(totals))
+      .select($"bucket", expr(
+        s"""CAST(round(ln(ct + 1) * 1000000) AS BIGINT)
+           | - CAST(round(ln(nt + $nBuckets) * 1000000) AS BIGINT)
+           | - CAST(round(ln(cr + 1) * 1000000) AS BIGINT)
+           | + CAST(round(ln(nr + $nBuckets) * 1000000) AS BIGINT)""".stripMargin).as("d"))
+    grid.join(broadcast(d), Seq("bucket"))
+      .groupBy($"doc_id")
+      .agg(sum($"c").as("n_feats"),
+        sum(expr("c * d")).as("s"))
+      .select($"doc_id", $"n_feats",
+        round(expr("CAST(s AS DOUBLE) / 1e6"), 4).as("log_weight"))
+      .orderBy($"doc_id")
+  }
+
+  def dsirImportance(spark: SparkSession, dir: String): DataFrame =
+    dsirFromDocBuckets(dsirDocBuckets(Tables.documents(spark, dir)))
+
+  /** DuckDB oracle for [[dsirImportance]] — identical feature set,
+    * portable hash, log grid, and smoothing. */
+  def dsirOracleSql(nBuckets: Int = 1024, targetLang: String = "en"): String =
+    s"""WITH f AS (SELECT doc_id, lang, u.f AS f
+       |           FROM (SELECT doc_id, lang, string_split(text, ' ') AS ws FROM documents),
+       |                unnest(list_concat(ws,
+       |                  list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i + 1]))) AS u(f)),
+       |g AS (SELECT doc_id, lang,
+       |             (length(f) * 131 + ascii(substr(f, 1, 1)) * 7 + ascii(right(f, 1))) % $nBuckets AS bucket,
+       |             CAST(count(*) AS BIGINT) AS c
+       |      FROM f GROUP BY 1, 2, 3),
+       |raw AS (SELECT bucket, CAST(sum(c) AS BIGINT) AS cr FROM g GROUP BY 1),
+       |tgt AS (SELECT bucket, CAST(sum(c) AS BIGINT) AS ct FROM g WHERE lang = '$targetLang' GROUP BY 1),
+       |tot AS (SELECT (SELECT CAST(sum(cr) AS BIGINT) FROM raw) AS nr,
+       |               (SELECT CAST(sum(ct) AS BIGINT) FROM tgt) AS nt),
+       |d AS (SELECT raw.bucket,
+       |             CAST(round(ln(COALESCE(tgt.ct, 0) + 1) * 1000000) AS BIGINT)
+       |             - CAST(round(ln(tot.nt + $nBuckets) * 1000000) AS BIGINT)
+       |             - CAST(round(ln(raw.cr + 1) * 1000000) AS BIGINT)
+       |             + CAST(round(ln(tot.nr + $nBuckets) * 1000000) AS BIGINT) AS d
+       |      FROM raw LEFT JOIN tgt ON raw.bucket = tgt.bucket CROSS JOIN tot)
+       |SELECT g.doc_id, CAST(sum(g.c) AS BIGINT) AS n_feats,
+       |       round(CAST(CAST(sum(g.c * d.d) AS BIGINT) AS DOUBLE) / 1e6, 4) AS log_weight
+       |FROM g JOIN d ON g.bucket = d.bucket
+       |GROUP BY 1 ORDER BY 1""".stripMargin
 }

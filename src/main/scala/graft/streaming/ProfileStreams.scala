@@ -763,6 +763,21 @@ object ProfileStreams {
     state.reportHill(spark)
   }
 
+  /** Queries entry (oracle: same SQL as `dsir_importance`): the
+    * documents corpus staged as 4 files, the hashed-feature grid
+    * delta-appended one micro-batch at a time, every weight derived
+    * at report time against the FINAL bucket LMs. */
+  def streamDsir(spark: SparkSession, dir: String, nFiles: Int = 4): DataFrame = {
+    val work = graft.GraftCaches.trackTempDir("graft_sdsir_")
+    graft.sources.Tables.documents(spark, dir).repartition(nFiles)
+      .write.mode("overwrite").parquet(s"$work/input")
+    val state = new DsirGridState(s"$work/state")
+    StreamSources.runForeachBatch(
+      StreamSources.parquetStream(spark, s"$work/input", maxFilesPerTrigger = 1),
+      state.merge)
+    state.report(spark)
+  }
+
   /** Queries entry (oracle: same SQL as `mann_whitney_u`) — order-
     * free additive counts, so the raw events stream needs no staged
     * time ordering. */
@@ -1021,6 +1036,35 @@ final class SemanticVerdictState(stateDir: String, dir: String, nEval: Int) {
 
   def report(spark: SparkSession): DataFrame =
     prior(spark).orderBy(col("vec_id"))
+}
+
+/** DSIR doc-bucket grid state —
+  * [[graft.operators.CorpusQa.dsirDocBuckets]] delta-appended per
+  * micro-batch: docs are immutable and batches id-disjoint, so each
+  * batch's hashed-feature counts land once and are never rewritten
+  * (the corpus-scale append discipline — versioned rewrite would be
+  * quadratic write volume). CRUCIALLY both bucket LMs and every doc
+  * weight derive at REPORT time through the batch operator's own
+  * [[graft.operators.CorpusQa.dsirFromDocBuckets]]: a weight frozen
+  * at ingest would be scored against a stale target model (the same
+  * final-center argument as the conformal state). */
+final class DsirGridState(stateDir: String) {
+  @volatile private var version: Long = StreamUtil.latestDelta(stateDir)
+
+  private def prior(spark: SparkSession): DataFrame =
+    StreamUtil.readDeltas(spark, stateDir,
+      "doc_id BIGINT, lang STRING, bucket BIGINT, c BIGINT", version)
+
+  def merge(batch: Dataset[Row], batchId: Long): Unit = {
+    if (batchId <= version) return
+    StreamUtil.writeDelta(
+      graft.operators.CorpusQa.dsirDocBuckets(batch.toDF()), stateDir, batchId,
+      Seq("doc_id"))
+    version = batchId
+  }
+
+  def report(spark: SparkSession): DataFrame =
+    graft.operators.CorpusQa.dsirFromDocBuckets(prior(spark))
 }
 
 /** Streaming Naive-Bayes training state —

@@ -2,6 +2,7 @@ package graft
 
 import java.sql.Timestamp
 
+import org.apache.spark.sql.functions.avg
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Edge-semantics pins for the hypothesis-test layer ([[operators
@@ -1000,6 +1001,37 @@ class StatsSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
     assert(r(0).getAs[Long]("xk_cents") == 10L)
     assert(r(0).getAs[Double]("hill") == 3.4539)
     assert(r(0).getAs[Double]("alpha") == 0.2895)
+  }
+
+  test("dsir_importance: disjoint-vocabulary corpus separates target from off-target") {
+    import spark.implicits._
+    // en docs speak only {alpha beta}, zh docs only {gamma delta}:
+    // every en feature bucket is target-heavy, every zh bucket has
+    // ct = 0 → en weights must be strictly positive, zh strictly
+    // negative (ln p_t < ln p_r on every zh bucket).
+    val docs = Seq(
+      (1L, "alpha beta alpha", "en", "a", 16L),
+      (2L, "beta alpha beta", "en", "a", 15L),
+      (3L, "gamma delta gamma", "zh", "b", 17L),
+      (4L, "delta gamma delta", "zh", "b", 17L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val r = operators.CorpusQa.dsirFromDocBuckets(
+      operators.CorpusQa.dsirDocBuckets(docs))
+      .collect().map(x => (x.getAs[Long]("doc_id"), x.getAs[Double]("log_weight"))).toMap
+    assert(r(1L) > 0 && r(2L) > 0, s"target docs must score positive: $r")
+    assert(r(3L) < 0 && r(4L) < 0, s"off-target docs must score negative: $r")
+  }
+
+  test("dsir_importance on testdata: target-language mean weight dominates") {
+    import spark.implicits._
+    val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+    val w = operators.CorpusQa.dsirFromDocBuckets(operators.CorpusQa.dsirDocBuckets(docs))
+      .join(docs.select($"doc_id", $"lang"), "doc_id")
+      .groupBy(($"lang" === "en").as("is_target"))
+      .agg(avg($"log_weight").as("m"))
+      .collect().map(x => (x.getAs[Boolean]("is_target"), x.getAs[Double]("m"))).toMap
+    assert(w(true) > w(false),
+      s"en docs should out-score the rest under an en-target DSIR: $w")
   }
 
   test("hill_tail_index: boundary ties contribute zero — value-multiset determined") {
