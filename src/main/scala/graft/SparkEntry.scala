@@ -429,6 +429,7 @@ object SparkEntry {
     "dedup_semantic"     -> ((s: SparkSession, d: String) =>
       VectorOps.dedupSemantic(s, d, threshold = 0.35, nCells = 8, nProbe = 2)),
     "ann_topk"           -> ((s: SparkSession, d: String) => VectorOps.annTopK(s, d)),
+    "hybrid_rrf_topk"    -> ((s: SparkSession, d: String) => VectorOps.hybridRrfTopK(s, d)),
     "ann_lsh_topk"       -> ((s: SparkSession, d: String) => VectorOps.annLshTopK(s, d)),
     "ann_ivf_topk"       -> ((s: SparkSession, d: String) => VectorOps.annIvfTopK(s, d)),
     "ann_pq_topk"        -> ((s: SparkSession, d: String) => VectorOps.annPqTopK(s, d)),
@@ -1552,6 +1553,7 @@ object SparkEntry {
     "winnow_pairs" -> operators.Winnow.winnowPairsOracleSql,
     "edit_distance_pairs" -> operators.TextOps.editDistanceOracleSql(),
     "bm25_topk" -> operators.TextOps.bm25OracleSql(),
+    "hybrid_rrf_topk" -> operators.VectorOps.hybridRrfOracleSql(),
     "sample_k_per_group" -> operators.Sampling.sampleKPerGroupOracleSql(),
     "weighted_sample" -> operators.Sampling.weightedSampleOracleSql(),
 

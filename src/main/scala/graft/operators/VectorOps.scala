@@ -1263,4 +1263,130 @@ object VectorOps {
        |             / CAST(tr.trace AS DOUBLE), 6) AS var_share
        |FROM vf, ray, dn, tr ORDER BY vf.dim""".stripMargin
   }
+
+  // ---------------------------------------------------------------
+  // Hybrid retrieval: BM25 ⊕ dense cosine via reciprocal-rank fusion
+  // ---------------------------------------------------------------
+
+  /** Hybrid top-k retrieval — the modern RAG-serving shape: a SPARSE
+    * lexical ranking (the [[TextOps.bm25TopK]] exact-integer BM25,
+    * here generalized to per-query term sets drawn from the query
+    * documents themselves) and a DENSE ranking (exact cosine against
+    * the query embedding, [[annTopK]]'s shape) are fused by
+    * reciprocal-rank fusion (Cormack, Clarke & Büttcher, SIGIR 2009):
+    * {{{ rrf(d) = Σ_lists 1e6 div (60 + rank_list(d)) }}}
+    * over each list's top-`pool` — integer arithmetic, so fusion is
+    * bit-reproducible; absence from a list contributes 0 (standard
+    * pooled RRF). RRF needs no score calibration between the lists —
+    * exactly why it wins over weighted-sum fusion when one side is an
+    * integer BM25 surrogate and the other a cosine.
+    *
+    * Queries are doc_ids < nQueries (documents and embeddings share
+    * the id space — a query contributes its distinct terms to the
+    * sparse side and its vector to the dense side).
+    *
+    * Scale shape: the sparse side is an inverted-index equi-join
+    * (corpus postings filtered to the broadcast query-term set BEFORE
+    * aggregation); the dense side broadcasts nQueries vectors and
+    * never shuffles the corpus; both rank windows partition by
+    * query_id; the fuse is a pool-bounded full-outer join. */
+  def hybridRrfTopK(spark: SparkSession, dir: String, nQueries: Int = 3,
+                    pool: Int = 50, topN: Int = 10): DataFrame = {
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    // --- sparse: per-query integer BM25 over the corpus postings ---
+    val k1_100 = 120L
+    val b_100 = 75L
+    val docs = Tables.documents(spark, dir)
+      .select($"doc_id", split($"text", " ").as("ws"))
+      .withColumn("dl", size($"ws").cast("long"))
+    val corpusDocs = docs.filter($"doc_id" >= nQueries)
+    val qTerms = docs.filter($"doc_id" < nQueries)
+      .select($"doc_id".as("query_id"), explode(array_distinct($"ws")).as("term"))
+    val stats = corpusDocs.agg(count(lit(1)).as("n_docs"), sum($"dl").as("total_words"))
+    val post = corpusDocs
+      .select($"doc_id", $"dl", explode($"ws").as("term"))
+      .join(broadcast(qTerms.select($"term").distinct()), Seq("term"))
+      .groupBy($"doc_id", $"dl", $"term").agg(count(lit(1)).as("tf"))
+    val df_ = post.groupBy($"term").agg(count(lit(1)).as("df"))
+    val byScore = Window.partitionBy($"query_id").orderBy($"score".desc, $"doc_id")
+    val sparse = post
+      .join(broadcast(qTerms), Seq("term"))
+      .join(broadcast(df_), Seq("term"))
+      .crossJoin(broadcast(stats))
+      .withColumn("norm_100",
+        lit(100L) - lit(b_100) + expr(s"($b_100 * dl * n_docs) div total_words"))
+      .withColumn("denom", $"tf" * 100L + expr(s"($k1_100 * norm_100) div 100"))
+      .withColumn("tfc_10000", expr(s"(tf * ${k1_100 + 100} * 10000) div denom"))
+      .withColumn("idf_10000", expr("((n_docs - df) * 10000) div df"))
+      .withColumn("term_score", expr("(idf_10000 * tfc_10000) div 10000"))
+      .groupBy($"query_id", $"doc_id")
+      .agg(sum($"term_score").as("score"))
+      .withColumn("sparse_rank", row_number().over(byScore).cast("long"))
+      .filter($"sparse_rank" <= pool)
+      .select($"query_id", $"doc_id", $"sparse_rank")
+    // --- dense: exact cosine on the 4dp grid, annTopK's shape ---
+    val e = Tables.embeddings(spark, dir).select($"vec_id", $"embedding")
+    val q = e.filter($"vec_id" < nQueries)
+      .select($"vec_id".as("query_id"), $"embedding".as("q_emb"))
+    val byCos = Window.partitionBy($"query_id").orderBy($"cos4".desc, $"vec_id")
+    val dense = e.filter($"vec_id" >= nQueries)
+      .join(broadcast(q))
+      .withColumn("cos4", round(cosine($"q_emb", $"embedding"), 4))
+      .withColumn("dense_rank", row_number().over(byCos).cast("long"))
+      .filter($"dense_rank" <= pool)
+      .select($"query_id", $"vec_id".as("doc_id"), $"dense_rank")
+    // --- fuse ---
+    val byRrf = Window.partitionBy($"query_id").orderBy($"rrf_score".desc, $"doc_id")
+    dense.join(sparse, Seq("query_id", "doc_id"), "full_outer")
+      .withColumn("rrf_score",
+        expr("coalesce(1000000 div (60 + dense_rank), 0) + coalesce(1000000 div (60 + sparse_rank), 0)"))
+      .withColumn("rank", row_number().over(byRrf).cast("long"))
+      .filter($"rank" <= topN)
+      .select($"query_id", $"doc_id", $"rank", $"rrf_score", $"dense_rank", $"sparse_rank")
+      .orderBy($"query_id", $"rank")
+  }
+
+  /** DuckDB oracle for [[hybridRrfTopK]] — identical BM25 integer
+    * recurrence, 4dp cosine grid, and RRF arithmetic. */
+  def hybridRrfOracleSql(nQueries: Int = 3, pool: Int = 50, topN: Int = 10): String =
+    s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+       |docs AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS dl, ws FROM d),
+       |corpus AS (SELECT * FROM docs WHERE doc_id >= $nQueries),
+       |qt AS (SELECT DISTINCT docs.doc_id AS query_id, u.term AS term
+       |       FROM docs, unnest(ws) AS u(term) WHERE doc_id < $nQueries),
+       |stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       |                 CAST(sum(dl) AS BIGINT) AS total_words FROM corpus),
+       |post AS (SELECT doc_id, dl, u.term AS term, CAST(count(*) AS BIGINT) AS tf
+       |         FROM corpus, unnest(ws) AS u(term)
+       |         WHERE u.term IN (SELECT DISTINCT term FROM qt)
+       |         GROUP BY 1, 2, 3),
+       |dfq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM post GROUP BY 1),
+       |s AS (SELECT qt.query_id, p.doc_id,
+       |             p.tf * 100 + (120 * (100 - 75 + (75 * p.dl * st.n_docs) // st.total_words)) // 100 AS denom,
+       |             p.tf, dfq.df, st.n_docs
+       |      FROM post p JOIN qt USING (term) JOIN dfq USING (term) CROSS JOIN stats st),
+       |sc AS (SELECT query_id, doc_id,
+       |              CAST(sum((((n_docs - df) * 10000) // df) * ((tf * 220 * 10000) // denom) // 10000) AS BIGINT) AS score
+       |       FROM s GROUP BY 1, 2),
+       |sparse AS (SELECT query_id, doc_id,
+       |                  CAST(row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS BIGINT) AS sparse_rank
+       |           FROM sc QUALIFY sparse_rank <= $pool),
+       |dense AS (SELECT a.vec_id AS query_id, b.vec_id AS doc_id,
+       |                 CAST(row_number() OVER (PARTITION BY a.vec_id
+       |                   ORDER BY round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) DESC,
+       |                            b.vec_id) AS BIGINT) AS dense_rank
+       |          FROM embeddings a JOIN embeddings b
+       |            ON a.vec_id < $nQueries AND b.vec_id >= $nQueries
+       |          QUALIFY dense_rank <= $pool),
+       |f AS (SELECT query_id, doc_id,
+       |             CAST(COALESCE(1000000 // (60 + dense_rank), 0)
+       |                + COALESCE(1000000 // (60 + sparse_rank), 0) AS BIGINT) AS rrf_score,
+       |             dense_rank, sparse_rank
+       |      FROM dense FULL OUTER JOIN sparse USING (query_id, doc_id))
+       |SELECT query_id, doc_id,
+       |       CAST(row_number() OVER (PARTITION BY query_id ORDER BY rrf_score DESC, doc_id) AS BIGINT) AS rank,
+       |       rrf_score, dense_rank, sparse_rank
+       |FROM f QUALIFY rank <= $topN
+       |ORDER BY query_id, rank""".stripMargin
 }

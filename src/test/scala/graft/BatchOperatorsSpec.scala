@@ -231,6 +231,32 @@ class BatchOperatorsSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAl
     assert(pigeonhole == brute, s"pigeonhole=${pigeonhole.size} brute=${brute.size}")
   }
 
+  test("hybrid_rrf_topk: well-formed fused ranking, RRF arithmetic pinned") {
+    import org.apache.spark.sql.functions.col
+    val rows = SparkEntry.queries("hybrid_rrf_topk")(spark, sf).collect()
+    val byQ = rows.groupBy(_.getAs[Long]("query_id"))
+    assert(byQ.nonEmpty)
+    byQ.foreach { case (_, rs) =>
+      // ranks are exactly 1..topN and scores are non-increasing
+      assert(rs.map(_.getAs[Long]("rank")).toSeq == (1L to rs.length).toSeq)
+      val scores = rs.sortBy(_.getAs[Long]("rank")).map(_.getAs[Long]("rrf_score"))
+      assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+    }
+    rows.foreach { r =>
+      // every fused row is backed by at least one list, and the score
+      // IS the pooled-RRF sum of its member ranks
+      val d = Option(r.getAs[java.lang.Long]("dense_rank")).map(_.toLong)
+      val s = Option(r.getAs[java.lang.Long]("sparse_rank")).map(_.toLong)
+      assert(d.nonEmpty || s.nonEmpty)
+      val expect = d.map(x => 1000000L / (60 + x)).getOrElse(0L) +
+        s.map(x => 1000000L / (60 + x)).getOrElse(0L)
+      assert(r.getAs[Long]("rrf_score") == expect)
+    }
+    // fusion is real: some fused top-10 row draws on BOTH lists
+    assert(rows.exists(r => !r.isNullAt(r.fieldIndex("dense_rank")) &&
+      !r.isNullAt(r.fieldIndex("sparse_rank"))))
+  }
+
   test("ann_lsh_topk recall vs exact ann_topk") {
     def pairs(name: String) = SparkEntry.queries(name)(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
