@@ -252,6 +252,10 @@ object SparkEntry {
     "stream_ab_cuped"      -> ((s: SparkSession, d: String) => streaming.ProfileStreams.streamAbCuped(s, d)),
     "conformal_interval"   -> Experiments.conformalInterval _,
     "stream_conformal"     -> ((s: SparkSession, d: String) => streaming.ProfileStreams.streamConformal(s, d)),
+    "ab_srm_check"         -> Experiments.abSrmCheck _,
+    "stream_ab_srm"        -> ((s: SparkSession, d: String) => streaming.ProfileStreams.streamAbSrm(s, d)),
+    "qte_deciles"          -> Experiments.qteDeciles _,
+    "stream_qte"           -> ((s: SparkSession, d: String) => streaming.ProfileStreams.streamQte(s, d)),
     "hill_tail_index"      -> Stats.hillTailIndex _,
     "stream_hill"          -> ((s: SparkSession, d: String) => streaming.ProfileStreams.streamHill(s, d)),
     "zipf_slope"           -> TextOps.zipfSlope _,
@@ -573,6 +577,8 @@ object SparkEntry {
       // per-user monetary state — reports run the batch operators'
       // own derivations over the merged state
       "stream_ab_cuped" -> base("ab_cuped"),
+      "stream_ab_srm" -> base("ab_srm_check"),
+      "stream_qte" -> base("qte_deciles"),
       "stream_conformal" -> base("conformal_interval"),
       "stream_hill" -> base("hill_tail_index"),
       // the presence-set state is batching-invariant (set union), and
@@ -1086,6 +1092,8 @@ object SparkEntry {
     "boxplot_stats" -> operators.Behavior.boxplotStatsOracleSql,
     "ab_welch_ttest" -> operators.Behavior.abWelchTtestOracleSql,
     "ab_cuped" -> operators.Experiments.abCupedOracleSql,
+    "ab_srm_check" -> operators.Experiments.abSrmOracleSql,
+    "qte_deciles" -> operators.Experiments.qteOracleSql,
     "conformal_interval" -> operators.Experiments.conformalOracleSql,
     "hill_tail_index" -> operators.Stats.hillOracleSql,
     "rolling_retention" -> operators.Retention.rollingRetentionOracleSql,

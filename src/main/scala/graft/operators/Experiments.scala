@@ -129,6 +129,120 @@ object Experiments {
       |FROM j ORDER BY arm""".stripMargin
 
   // ---------------------------------------------------------------
+  // Sample-ratio mismatch
+  // ---------------------------------------------------------------
+
+  /** Sample-ratio mismatch check — the FIRST gate any experiment
+    * readout must pass (Fabijan et al. 2019: a biased assignment
+    * invalidates every downstream metric, and SRM is the most common
+    * way experiments silently rot): χ² goodness-of-fit of the
+    * per-arm UNIT counts against the designed 50/50 split. For two
+    * cells with E = n/2 the statistic collapses to the exact rational
+    * {{{ χ² = (n₀ − n₁)² / n }}}
+    * — integer numerator, one final division (6dp). Flagged at the
+    * conventional p < 0.001 (1 df) threshold χ² > 10.83: an SRM alarm
+    * must be LOUD and rare, not a p=0.04 nag.
+    *
+    * Shape: a distinct-user aggregate (map-side combinable) to 2
+    * rows, then a 1-row fold. */
+  private[graft] def srmFromUsers(users: DataFrame): DataFrame = {
+    val spark = users.sparkSession
+    import spark.implicits._
+    users.select((col("user_id") % 2).as("arm"))
+      .groupBy($"arm").agg(count(lit(1)).as("n"))
+      .agg(sum($"n").as("n_users"),
+        sum(when($"arm" === 0L, $"n").otherwise(0L)).as("n_arm0"),
+        sum(when($"arm" === 1L, $"n").otherwise(0L)).as("n_arm1"))
+      .withColumn("chi2", round(expr(
+        "CAST((n_arm0 - n_arm1) * (n_arm0 - n_arm1) AS DOUBLE) / n_users"), 6))
+      .select($"n_users", $"n_arm0", $"n_arm1", $"chi2",
+        ($"chi2" > 10.83).as("srm_flag"))
+  }
+
+  def abSrmCheck(spark: SparkSession, dir: String): DataFrame =
+    srmFromUsers(Tables.events(spark, dir).select(col("user_id")).distinct())
+
+  /** DuckDB oracle for [[abSrmCheck]]. */
+  val abSrmOracleSql: String =
+    """WITH a AS (SELECT user_id % 2 AS arm, CAST(count(*) AS BIGINT) AS n
+      |           FROM (SELECT DISTINCT user_id FROM events) GROUP BY 1),
+      |t AS (SELECT CAST(sum(n) AS BIGINT) AS n_users,
+      |             CAST(sum(CASE WHEN arm = 0 THEN n ELSE 0 END) AS BIGINT) AS n_arm0,
+      |             CAST(sum(CASE WHEN arm = 1 THEN n ELSE 0 END) AS BIGINT) AS n_arm1
+      |      FROM a)
+      |SELECT n_users, n_arm0, n_arm1,
+      |       round(CAST((n_arm0 - n_arm1) * (n_arm0 - n_arm1) AS DOUBLE) / n_users, 6) AS chi2,
+      |       round(CAST((n_arm0 - n_arm1) * (n_arm0 - n_arm1) AS DOUBLE) / n_users, 6) > 10.83 AS srm_flag
+      |FROM t""".stripMargin
+
+  // ---------------------------------------------------------------
+  // Quantile treatment effects
+  // ---------------------------------------------------------------
+
+  /** The additive per-arm value grid both QTE faces derive from. */
+  private[graft] def armCentsGrid(events: DataFrame): DataFrame =
+    events
+      .select((col("user_id") % 2).as("arm"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+      .groupBy(col("arm"), col("cents"))
+      .agg(count(lit(1)).as("cnt"))
+
+  /** Quantile treatment effects at the deciles — the DISTRIBUTIONAL
+    * A/B readout next to [[cupedFromUsers]]'s mean shift: a treatment
+    * that fattens the tail while thinning the middle nets to zero in
+    * the mean but shows immediately as a tilted QTE curve. Per decile
+    * q ∈ {10..90}, the exact ⌈q·n/100⌉-th order statistic of event
+    * value per arm (the winsorized/rolling-p95 integer rank
+    * discipline — no interpolation semantics to disagree on), and
+    * their difference.
+    *
+    * Shape: everything on the (arm, cents) counting grid —
+    * cumulative-window reads over value-cardinality rows ×9 decile
+    * probes, then a 9-row pivot. Never a per-row global sort. */
+  private[graft] def qteFromGrid(grid: DataFrame): DataFrame = {
+    val spark = grid.sparkSession
+    import spark.implicits._
+    val byVal = Window.partitionBy($"arm").orderBy($"cents")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val whole = Window.partitionBy($"arm")
+    val qs = (10L to 90L by 10L).map(lit(_))
+    grid
+      .withColumn("cum", sum($"cnt").over(byVal))
+      .withColumn("n", sum($"cnt").over(whole))
+      .select($"arm", $"cents", $"cum", $"n", explode(array(qs: _*)).as("q"))
+      .withColumn("k", expr("(n * q + 99) div 100"))
+      .groupBy($"q", $"arm")
+      .agg(min(when($"cum" >= $"k", $"cents")).as("q_cents"))
+      .groupBy($"q")
+      .agg(min(when($"arm" === 0L, $"q_cents")).as("arm0_cents"),
+        min(when($"arm" === 1L, $"q_cents")).as("arm1_cents"))
+      .withColumn("qte_cents", $"arm1_cents" - $"arm0_cents")
+      .orderBy($"q")
+  }
+
+  def qteDeciles(spark: SparkSession, dir: String): DataFrame =
+    qteFromGrid(armCentsGrid(Tables.events(spark, dir)))
+
+  /** DuckDB oracle for [[qteDeciles]] — same grid, same rank
+    * arithmetic, same decile probes. */
+  val qteOracleSql: String =
+    """WITH g AS (SELECT user_id % 2 AS arm, CAST(round(value * 100) AS BIGINT) AS cents,
+      |                  CAST(count(*) AS BIGINT) AS cnt
+      |           FROM events GROUP BY 1, 2),
+      |w AS (SELECT *, CAST(sum(cnt) OVER (PARTITION BY arm ORDER BY cents) AS BIGINT) AS cum,
+      |             CAST(sum(cnt) OVER (PARTITION BY arm) AS BIGINT) AS n
+      |      FROM g),
+      |p AS (SELECT w.*, q.q, (w.n * q.q + 99) // 100 AS k
+      |      FROM w CROSS JOIN (SELECT CAST(unnest([10,20,30,40,50,60,70,80,90]) AS BIGINT) AS q) q),
+      |c AS (SELECT q, arm, min(CASE WHEN cum >= k THEN cents END) AS q_cents
+      |      FROM p GROUP BY 1, 2),
+      |f AS (SELECT q, min(CASE WHEN arm = 0 THEN q_cents END) AS arm0_cents,
+      |             min(CASE WHEN arm = 1 THEN q_cents END) AS arm1_cents
+      |      FROM c GROUP BY 1)
+      |SELECT q, arm0_cents, arm1_cents, arm1_cents - arm0_cents AS qte_cents
+      |FROM f ORDER BY q""".stripMargin
+
+  // ---------------------------------------------------------------
   // Split conformal prediction intervals
   // ---------------------------------------------------------------
 

@@ -556,6 +556,40 @@ final class UserPrePostState(stateDir: String) {
 
   def report(spark: SparkSession): DataFrame =
     graft.operators.Experiments.cupedFromUsers(prior(spark))
+
+  /** Second face: the sample-ratio-mismatch gate over the same
+    * per-user state (the state's key set IS the unit census). */
+  def reportSrm(spark: SparkSession): DataFrame =
+    graft.operators.Experiments.srmFromUsers(prior(spark).select(col("user_id")))
+}
+
+/** Per-arm value counting grid — [[graft.operators.Experiments
+  * .armCentsGrid]] merged additively; value-cardinality rows. Report
+  * = the batch QTE derivation over the merged grid. */
+final class ArmCentsState(stateDir: String) {
+  @volatile private var version: Long = StreamUtil.latestVersion(stateDir)
+
+  private def prior(spark: SparkSession): DataFrame =
+    if (version < 0)
+      spark.createDataFrame(java.util.List.of[Row](), StructType.fromDDL(
+        "arm BIGINT, cents BIGINT, cnt BIGINT"))
+    else spark.read.parquet(s"$stateDir/v$version")
+
+  def merge(batch: Dataset[Row], batchId: Long): Unit = {
+    if (batchId <= version) return
+    val spark = batch.sparkSession
+    val partial = graft.operators.Experiments.armCentsGrid(batch.toDF())
+    val merged = prior(spark).unionByName(partial)
+      .groupBy(col("arm"), col("cents"))
+      .agg(sum(col("cnt")).as("cnt"))
+    StreamUtil.writeGrid(merged, s"$stateDir/v$batchId")
+    val prev = version
+    version = batchId
+    if (prev >= 0) StreamUtil.delete(spark, s"$stateDir/v$prev")
+  }
+
+  def report(spark: SparkSession): DataFrame =
+    graft.operators.Experiments.qteFromGrid(prior(spark))
 }
 
 /** Split-conformal counting-grid state — per (event_type, is_train,
@@ -740,6 +774,25 @@ object ProfileStreams {
   def streamAbCuped(spark: SparkSession, dir: String): DataFrame = {
     val work = graft.GraftCaches.trackTempDir("graft_scuped_")
     val state = new UserPrePostState(s"$work/state")
+    StreamSources.runForeachBatch(StreamSources.events(spark, dir), state.merge)
+    state.report(spark)
+  }
+
+  /** Queries entry (oracle: same SQL as `ab_srm_check`): the SAME
+    * per-user CUPED state, second face — its key set is the unit
+    * census the SRM gate counts. */
+  def streamAbSrm(spark: SparkSession, dir: String): DataFrame = {
+    val work = graft.GraftCaches.trackTempDir("graft_ssrm_")
+    val state = new UserPrePostState(s"$work/state")
+    StreamSources.runForeachBatch(StreamSources.events(spark, dir), state.merge)
+    state.reportSrm(spark)
+  }
+
+  /** Queries entry (oracle: same SQL as `qte_deciles`) — order-free
+    * additive per-arm value grid. */
+  def streamQte(spark: SparkSession, dir: String): DataFrame = {
+    val work = graft.GraftCaches.trackTempDir("graft_sqte_")
+    val state = new ArmCentsState(s"$work/state")
     StreamSources.runForeachBatch(StreamSources.events(spark, dir), state.merge)
     state.report(spark)
   }

@@ -1003,6 +1003,30 @@ class StatsSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
     assert(r(0).getAs[Double]("alpha") == 0.2895)
   }
 
+  test("ab_srm_check: balanced census passes, a 9:1 skew raises the loud alarm") {
+    import spark.implicits._
+    val balanced = (0L until 10L).toDF("user_id")
+    val b = operators.Experiments.srmFromUsers(balanced).collect()(0)
+    assert(b.getAs[Double]("chi2") == 0.0 && !b.getAs[Boolean]("srm_flag"))
+    // 18 even ids vs 2 odd: χ² = (18−2)²/20 = 12.8 > 10.83 → flag
+    val skewed = ((0L until 36L by 2L) ++ Seq(1L, 3L)).toDF("user_id")
+    val s = operators.Experiments.srmFromUsers(skewed).collect()(0)
+    assert(s.getAs[Double]("chi2") == 12.8 && s.getAs[Boolean]("srm_flag"))
+  }
+
+  test("qte_deciles: a planted constant location shift shows at every decile") {
+    import spark.implicits._
+    // arm 0: cents 1..10 once each; arm 1: the same + 5 — every
+    // decile's order statistic differs by exactly 5.
+    val grid = ((1L to 10L).map(c => (0L, c, 1L)) ++ (1L to 10L).map(c => (1L, c + 5L, 1L)))
+      .toDF("arm", "cents", "cnt")
+    val r = operators.Experiments.qteFromGrid(grid).collect()
+    assert(r.map(_.getAs[Long]("q")).toSeq == (10L to 90L by 10L).toSeq)
+    assert(r.forall(_.getAs[Long]("qte_cents") == 5L))
+    // and the k-th order statistic itself is the hand value ⌈qn/100⌉
+    assert(r.map(_.getAs[Long]("arm0_cents")).toSeq == (1L to 9L).toSeq)
+  }
+
   test("dsir_importance: disjoint-vocabulary corpus separates target from off-target") {
     import spark.implicits._
     // en docs speak only {alpha beta}, zh docs only {gamma delta}:
