@@ -434,6 +434,7 @@ object SparkEntry {
       VectorOps.dedupSemantic(s, d, threshold = 0.35, nCells = 8, nProbe = 2)),
     "ann_topk"           -> ((s: SparkSession, d: String) => VectorOps.annTopK(s, d)),
     "hybrid_rrf_topk"    -> ((s: SparkSession, d: String) => VectorOps.hybridRrfTopK(s, d)),
+    "stream_hybrid_rrf"  -> ((s: SparkSession, d: String) => streaming.ProfileStreams.streamHybridRrf(s, d)),
     "ann_lsh_topk"       -> ((s: SparkSession, d: String) => VectorOps.annLshTopK(s, d)),
     "ann_ivf_topk"       -> ((s: SparkSession, d: String) => VectorOps.annIvfTopK(s, d)),
     "ann_pq_topk"        -> ((s: SparkSession, d: String) => VectorOps.annPqTopK(s, d)),
@@ -480,6 +481,10 @@ object SparkEntry {
       // id-disjoint delta-appended doc-bucket grid; weights derive at
       // report time against the FINAL bucket LMs — same oracle
       "stream_dsir" -> base("dsir_importance"),
+      // append-only inverted index + vector store; queries, stats, df
+      // and both rankings re-derive from the final index through the
+      // batch fusion core — same oracle
+      "stream_hybrid_rrf" -> base("hybrid_rrf_topk"),
       "stream_decontaminate_semantic" -> base("decontaminate_semantic"),
       // per-batch LSH screening against the accumulated index union'd
       // over an id-disjoint batching reproduces the full self-join

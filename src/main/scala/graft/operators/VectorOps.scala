@@ -1293,10 +1293,6 @@ object VectorOps {
   def hybridRrfTopK(spark: SparkSession, dir: String, nQueries: Int = 3,
                     pool: Int = 50, topN: Int = 10): DataFrame = {
     import spark.implicits._
-    GraftFunctions.register(spark)
-    // --- sparse: per-query integer BM25 over the corpus postings ---
-    val k1_100 = 120L
-    val b_100 = 75L
     val docs = Tables.documents(spark, dir)
       .select($"doc_id", split($"text", " ").as("ws"))
       .withColumn("dl", size($"ws").cast("long"))
@@ -1304,10 +1300,33 @@ object VectorOps {
     val qTerms = docs.filter($"doc_id" < nQueries)
       .select($"doc_id".as("query_id"), explode(array_distinct($"ws")).as("term"))
     val stats = corpusDocs.agg(count(lit(1)).as("n_docs"), sum($"dl").as("total_words"))
+    // pushdown: the corpus explode is filtered to the broadcast
+    // query-term set BEFORE the tf aggregate touches anything
     val post = corpusDocs
       .select($"doc_id", $"dl", explode($"ws").as("term"))
       .join(broadcast(qTerms.select($"term").distinct()), Seq("term"))
       .groupBy($"doc_id", $"dl", $"term").agg(count(lit(1)).as("tf"))
+    val e = Tables.embeddings(spark, dir).select($"vec_id", $"embedding")
+    hybridFuse(post, qTerms, stats,
+      e.filter($"vec_id" >= nQueries),
+      e.filter($"vec_id" < nQueries)
+        .select($"vec_id".as("query_id"), $"embedding".as("q_emb")),
+      pool, topN)
+  }
+
+  /** The shared fusion core both hybrid faces run: BM25 scoring of
+    * the (already query-term-restricted) corpus postings, dense
+    * cosine ranking, pooled RRF. `post` = (doc_id, dl, term, tf),
+    * `qTerms` = (query_id, term) distinct, `stats` = 1-row
+    * (n_docs, total_words) over the corpus. */
+  private[graft] def hybridFuse(post: DataFrame, qTerms: DataFrame, stats: DataFrame,
+                                corpusEmb: DataFrame, qEmb: DataFrame,
+                                pool: Int, topN: Int): DataFrame = {
+    val spark = post.sparkSession
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    val k1_100 = 120L
+    val b_100 = 75L
     val df_ = post.groupBy($"term").agg(count(lit(1)).as("df"))
     val byScore = Window.partitionBy($"query_id").orderBy($"score".desc, $"doc_id")
     val sparse = post
@@ -1325,18 +1344,13 @@ object VectorOps {
       .withColumn("sparse_rank", row_number().over(byScore).cast("long"))
       .filter($"sparse_rank" <= pool)
       .select($"query_id", $"doc_id", $"sparse_rank")
-    // --- dense: exact cosine on the 4dp grid, annTopK's shape ---
-    val e = Tables.embeddings(spark, dir).select($"vec_id", $"embedding")
-    val q = e.filter($"vec_id" < nQueries)
-      .select($"vec_id".as("query_id"), $"embedding".as("q_emb"))
     val byCos = Window.partitionBy($"query_id").orderBy($"cos4".desc, $"vec_id")
-    val dense = e.filter($"vec_id" >= nQueries)
-      .join(broadcast(q))
+    val dense = corpusEmb
+      .join(broadcast(qEmb))
       .withColumn("cos4", round(cosine($"q_emb", $"embedding"), 4))
       .withColumn("dense_rank", row_number().over(byCos).cast("long"))
       .filter($"dense_rank" <= pool)
       .select($"query_id", $"vec_id".as("doc_id"), $"dense_rank")
-    // --- fuse ---
     val byRrf = Window.partitionBy($"query_id").orderBy($"rrf_score".desc, $"doc_id")
     dense.join(sparse, Seq("query_id", "doc_id"), "full_outer")
       .withColumn("rrf_score",
@@ -1345,6 +1359,40 @@ object VectorOps {
       .filter($"rank" <= topN)
       .select($"query_id", $"doc_id", $"rank", $"rrf_score", $"dense_rank", $"sparse_rank")
       .orderBy($"query_id", $"rank")
+  }
+
+  /** Full (unfiltered) postings for one batch of documents — the
+    * inverted-index rows the streaming hybrid face delta-appends.
+    * Index build does NOT know the queries; serving filters. */
+  private[graft] def hybridPostings(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select($"doc_id", split($"text", " ").as("ws"))
+      .withColumn("dl", size($"ws").cast("long"))
+      .select($"doc_id", $"dl", explode($"ws").as("term"))
+      .groupBy($"doc_id", $"dl", $"term").agg(count(lit(1)).as("tf"))
+  }
+
+  /** The streaming report: re-derive query terms, corpus stats, and
+    * the query-term-restricted postings from the accrued index, then
+    * run the SAME fusion core. */
+  private[graft] def hybridFromIndex(post: DataFrame, emb: DataFrame, nQueries: Int,
+                                     pool: Int = 50, topN: Int = 10): DataFrame = {
+    val spark = post.sparkSession
+    import spark.implicits._
+    val qTerms = post.filter($"doc_id" < nQueries)
+      .select($"doc_id".as("query_id"), $"term").distinct()
+    val corpusPost = post.filter($"doc_id" >= nQueries)
+    val stats = corpusPost.select($"doc_id", $"dl").distinct()
+      .agg(count(lit(1)).as("n_docs"), sum($"dl").as("total_words"))
+    hybridFuse(
+      corpusPost.join(broadcast(qTerms.select($"term").distinct()), Seq("term"))
+        .select($"doc_id", $"dl", $"term", $"tf"),
+      qTerms, stats,
+      emb.filter($"vec_id" >= nQueries),
+      emb.filter($"vec_id" < nQueries)
+        .select($"vec_id".as("query_id"), $"embedding".as("q_emb")),
+      pool, topN)
   }
 
   /** DuckDB oracle for [[hybridRrfTopK]] — identical BM25 integer

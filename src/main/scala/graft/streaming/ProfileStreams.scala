@@ -831,6 +831,25 @@ object ProfileStreams {
     state.report(spark)
   }
 
+  /** Queries entry (oracle: same SQL as `hybrid_rrf_topk`): documents
+    * joined 1:1 with their embeddings, staged as 4 files; the
+    * inverted index and the vector store accrue per micro-batch and
+    * serving re-derives everything from the final index. */
+  def streamHybridRrf(spark: SparkSession, dir: String, nQueries: Int = 3,
+                      nFiles: Int = 4): DataFrame = {
+    val work = graft.GraftCaches.trackTempDir("graft_shyb_")
+    graft.sources.Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+      .join(graft.sources.Tables.embeddings(spark, dir)
+        .select(col("vec_id").as("doc_id"), col("embedding")), Seq("doc_id"))
+      .repartition(nFiles)
+      .write.mode("overwrite").parquet(s"$work/input")
+    val state = new HybridIndexState(s"$work/state", nQueries)
+    StreamSources.runForeachBatch(
+      StreamSources.parquetStream(spark, s"$work/input", maxFilesPerTrigger = 1),
+      state.merge)
+    state.report(spark)
+  }
+
   /** Queries entry (oracle: same SQL as `mann_whitney_u`) — order-
     * free additive counts, so the raw events stream needs no staged
     * time ordering. */
@@ -1118,6 +1137,39 @@ final class DsirGridState(stateDir: String) {
 
   def report(spark: SparkSession): DataFrame =
     graft.operators.CorpusQa.dsirFromDocBuckets(prior(spark))
+}
+
+/** Streaming hybrid-retrieval index — the serve-while-ingesting
+  * shape: each micro-batch of documents delta-appends its inverted-
+  * index postings ([[graft.operators.VectorOps.hybridPostings]] —
+  * the index build does NOT know the queries) and its embedding
+  * rows; at report time queries, corpus stats, df, and both rankings
+  * derive from the accrued index through the batch operator's own
+  * fusion core ([[graft.operators.VectorOps.hybridFromIndex]]).
+  * Both stores are append-only because docs are immutable and
+  * batches id-disjoint (the corpus-scale append discipline). */
+final class HybridIndexState(stateDir: String, nQueries: Int) {
+  @volatile private var version: Long = StreamUtil.latestDelta(s"$stateDir/post")
+
+  def merge(batch: Dataset[Row], batchId: Long): Unit = {
+    if (batchId <= version) return
+    val df = batch.toDF()
+    StreamUtil.writeDelta(
+      graft.operators.VectorOps.hybridPostings(df.select(col("doc_id"), col("text"))),
+      s"$stateDir/post", batchId, Seq("doc_id"))
+    StreamUtil.writeDelta(
+      df.select(col("doc_id").as("vec_id"), col("embedding")),
+      s"$stateDir/emb", batchId, Seq("vec_id"))
+    version = batchId
+  }
+
+  def report(spark: SparkSession): DataFrame =
+    graft.operators.VectorOps.hybridFromIndex(
+      StreamUtil.readDeltas(spark, s"$stateDir/post",
+        "doc_id BIGINT, dl BIGINT, term STRING, tf BIGINT", version),
+      StreamUtil.readDeltas(spark, s"$stateDir/emb",
+        "vec_id BIGINT, embedding ARRAY<FLOAT>", version),
+      nQueries)
 }
 
 /** Streaming Naive-Bayes training state —
