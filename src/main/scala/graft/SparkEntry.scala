@@ -398,6 +398,8 @@ object SparkEntry {
     "gopher_quality_gates" -> TextOps.gopherGates _,
     "text_repetition"    -> TextOps.textRepetition _,
     "text_redact"        -> TextOps.textRedact _,
+    "bpe_train"          -> TextOps.bpeTrain _,
+    "stream_bpe_train"   -> ((s: SparkSession, d: String) => streaming.ProfileStreams.streamBpeTrain(s, d)),
     "dsir_importance"    -> CorpusQa.dsirImportance _,
     "stream_dsir"        -> ((s: SparkSession, d: String) => streaming.ProfileStreams.streamDsir(s, d)),
     "pii_density"        -> TextOps.piiDensity _,

@@ -556,6 +556,101 @@ object TextOps {
       |FROM r JOIN am USING (tok_a) JOIN bm USING (tok_b) CROSS JOIN t
       |WHERE r.rank <= 50 ORDER BY r.rank""".stripMargin
 
+  /** Word-frequency dictionary — the vocab-scale sufficient state
+    * BPE training (and any subword-tokenizer fit) runs on: the corpus
+    * collapses map-side to (word, cnt), and nothing downstream ever
+    * touches a document row again (Sennrich's learn_bpe operates on
+    * exactly this dict). Additive — the streaming twin's state. */
+  private[graft] def wordFreqTransform(docs: DataFrame): DataFrame =
+    docs.select(explode(split(col("text"), " ")).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+
+  /** Iterative BPE merge training (Sennrich, Haddow & Birch, ACL 2016
+    * `learn_bpe`) — the tokenizer-construction step
+    * [[bpeMergeCandidatesTransform]] (one round, word-level) only
+    * gestures at: true char-level BPE over the word-frequency dict,
+    * `rounds` merge rules learned in order. Each round counts
+    * adjacent symbol pairs weighted by word frequency (every adjacent
+    * index counts — Sennrich's get_stats), picks the argmax under the
+    * total order (count DESC, tok_a, tok_b), and re-segments every
+    * word by the new rule greedily LEFT-TO-RIGHT, non-overlapping (a
+    * fresh merge output cannot immediately re-merge within the same
+    * round). Initial segmentation: characters + a '_' end-of-word
+    * marker, so merges are word-boundary aware.
+    *
+    * Exactness: everything is integer counts and string equality —
+    * no floats anywhere. The argmax is a 1-row planning-scale probe
+    * per round (the [[Dedup]] convergence-probe pattern); the greedy
+    * re-segmentation is a pure per-row fold (`aggregate` HOF) over
+    * vocab-scale rows with per-round lineage truncation.
+    *
+    * NOT SQL-expressible: the greedy non-overlapping re-segmentation
+    * is a sequential fold per word per round — no fixed unrolling
+    * expresses it relationally. Driver check is rows-only; the
+    * ScalaTest gate asserts equality with an independent straight-
+    * Scala learn_bpe on real data plus a hand-traced planted corpus.
+    *
+    * Scale shape: rounds × (one map-side-combinable pair count over
+    * |vocab| rows + one 1-row probe + one per-row fold). The corpus
+    * appears once, in [[wordFreqTransform]]'s initial collapse. At
+    * 100 TB the dict is still vocab-scale (tens of millions of rows)
+    * and each round is seconds; real tokenizer fits run ~30k rounds —
+    * the per-round cost here is round-count-linear with no
+    * corpus-size term after the first aggregate. */
+  private[graft] def bpeTrainFromVocab(vocab: DataFrame, rounds: Int = 8): DataFrame = {
+    val spark = vocab.sparkSession
+    import spark.implicits._
+    val emptySyms = expr("CAST(array() AS ARRAY<STRING>)")
+    var seg = vocab.select(col("cnt"), expr(
+      """concat(
+        |  CASE WHEN length(word) = 0 THEN CAST(array() AS ARRAY<STRING>)
+        |       ELSE transform(sequence(1, length(word)), i -> substring(word, i, 1)) END,
+        |  array('_'))""".stripMargin).as("syms"))
+      .localCheckpoint()
+    val merges = scala.collection.mutable.ListBuffer.empty[(Long, String, String, String, Long)]
+    var r = 1
+    var exhausted = false
+    while (r <= rounds && !exhausted) {
+      val top = seg.select(col("cnt"), explode(expr(
+        """CASE WHEN size(syms) >= 2
+          |     THEN transform(sequence(1, size(syms) - 1), i -> struct(syms[i-1] AS a, syms[i] AS b))
+          |     ELSE CAST(array() AS ARRAY<STRUCT<a: STRING, b: STRING>>) END""".stripMargin)).as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b")).agg(sum(col("cnt")).as("n"))
+        .orderBy(col("n").desc, col("a"), col("b"))
+        .limit(1).collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val (a, b, n) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        merges += ((r.toLong, a, b, a + b, n))
+        val pa = lit(a)
+        val pb = lit(b)
+        // greedy left-to-right fold: acc = done symbols, pend = the
+        // one symbol still eligible to start a merge
+        val folded = aggregate(
+          col("syms"),
+          struct(emptySyms.as("acc"), lit(null).cast("string").as("pend")),
+          (st, x) => {
+            val acc = st.getField("acc")
+            val pend = st.getField("pend")
+            when(pend.isNull, struct(acc.as("acc"), x.as("pend")))
+              .when(pend === pa && x === pb,
+                struct(concat(acc, array(concat(pa, pb))).as("acc"),
+                  lit(null).cast("string").as("pend")))
+              .otherwise(struct(concat(acc, array(pend)).as("acc"), x.as("pend")))
+          },
+          st => when(st.getField("pend").isNull, st.getField("acc"))
+            .otherwise(concat(st.getField("acc"), array(st.getField("pend")))))
+        seg = seg.select(col("cnt"), folded.as("syms")).localCheckpoint()
+        r += 1
+      }
+    }
+    merges.toSeq.toDF("round", "tok_a", "tok_b", "merged", "pair_count")
+      .orderBy(col("round"))
+  }
+
+  def bpeTrain(spark: SparkSession, dir: String): DataFrame =
+    bpeTrainFromVocab(wordFreqTransform(Tables.documents(spark, dir)))
+
   /** Corpus drift between sources — pairwise TOTAL-VARIATION distance
     * between per-source unigram distributions, the mixture-health
     * check run before re-weighting a training mix ([[graft.operators

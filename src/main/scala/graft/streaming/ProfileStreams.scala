@@ -831,6 +831,21 @@ object ProfileStreams {
     state.report(spark)
   }
 
+  /** Queries entry (rows-only like `bpe_train` itself; gated by the
+    * stream≡batch and straight-Scala reference specs): the documents
+    * corpus staged as 4 files through the additive word-frequency
+    * dict; all merge rules learn at report time over the final dict. */
+  def streamBpeTrain(spark: SparkSession, dir: String, nFiles: Int = 4): DataFrame = {
+    val work = graft.GraftCaches.trackTempDir("graft_sbpe_")
+    graft.sources.Tables.documents(spark, dir).repartition(nFiles)
+      .write.mode("overwrite").parquet(s"$work/input")
+    val state = new WordFreqState(s"$work/state")
+    StreamSources.runForeachBatch(
+      StreamSources.parquetStream(spark, s"$work/input", maxFilesPerTrigger = 1),
+      state.merge)
+    state.report(spark)
+  }
+
   /** Queries entry (oracle: same SQL as `hybrid_rrf_topk`): documents
     * joined 1:1 with their embeddings, staged as 4 files; the
     * inverted index and the vector store accrue per micro-batch and
@@ -1137,6 +1152,40 @@ final class DsirGridState(stateDir: String) {
 
   def report(spark: SparkSession): DataFrame =
     graft.operators.CorpusQa.dsirFromDocBuckets(prior(spark))
+}
+
+/** Streaming BPE-training state — the word-frequency dict
+  * ([[graft.operators.TextOps.wordFreqTransform]]) merged additively
+  * per batch (vocab-scale, the tokenizer-training state any subword
+  * fit keeps); the k-round merge learning runs at REPORT time over
+  * the final dict through the batch operator's own
+  * [[graft.operators.TextOps.bpeTrainFromVocab]] — merge rules
+  * depend on GLOBAL pair counts, so learning incrementally per batch
+  * would lock in early-corpus rules (the stale-model argument, BPE
+  * edition). */
+final class WordFreqState(stateDir: String) {
+  @volatile private var version: Long = StreamUtil.latestVersion(stateDir)
+
+  private def prior(spark: SparkSession): DataFrame =
+    if (version < 0)
+      spark.createDataFrame(java.util.List.of[Row](), StructType.fromDDL(
+        "word STRING, cnt BIGINT"))
+    else spark.read.parquet(s"$stateDir/v$version")
+
+  def merge(batch: Dataset[Row], batchId: Long): Unit = {
+    if (batchId <= version) return
+    val spark = batch.sparkSession
+    val partial = graft.operators.TextOps.wordFreqTransform(batch.toDF())
+    val merged = prior(spark).unionByName(partial)
+      .groupBy(col("word")).agg(sum(col("cnt")).as("cnt"))
+    StreamUtil.writeGrid(merged, s"$stateDir/v$batchId")
+    val prev = version
+    version = batchId
+    if (prev >= 0) StreamUtil.delete(spark, s"$stateDir/v$prev")
+  }
+
+  def report(spark: SparkSession): DataFrame =
+    graft.operators.TextOps.bpeTrainFromVocab(prior(spark))
 }
 
 /** Streaming hybrid-retrieval index — the serve-while-ingesting

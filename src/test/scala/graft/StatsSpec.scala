@@ -1027,6 +1027,60 @@ class StatsSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
     assert(r.map(_.getAs[Long]("arm0_cents")).toSeq == (1L to 9L).toSeq)
   }
 
+  /** Independent straight-Scala learn_bpe (Sennrich 2016): same
+    * counting (every adjacent index), same total order, same greedy
+    * non-overlapping re-segmentation. */
+  private def refBpe(words: Seq[(String, Long)],
+                     rounds: Int): Seq[(Long, String, String, String, Long)] = {
+    var seg: Seq[(Vector[String], Long)] =
+      words.map { case (w, c) => (w.map(_.toString).toVector :+ "_", c) }
+    val out = scala.collection.mutable.ListBuffer.empty[(Long, String, String, String, Long)]
+    var r = 1
+    var done = false
+    while (r <= rounds && !done) {
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+      for ((s, c) <- seg; i <- 0 until s.length - 1)
+        counts((s(i), s(i + 1))) = counts.getOrElse((s(i), s(i + 1)), 0L) + c
+      if (counts.isEmpty) done = true
+      else {
+        val ((a, b), n) = counts.toSeq.minBy { case ((x, y), m) => (-m, x, y) }
+        out += ((r.toLong, a, b, a + b, n))
+        seg = seg.map { case (s, c) =>
+          val buf = Vector.newBuilder[String]
+          var i = 0
+          while (i < s.length) {
+            if (i + 1 < s.length && s(i) == a && s(i + 1) == b) { buf += a + b; i += 2 }
+            else { buf += s(i); i += 1 }
+          }
+          (buf.result(), c)
+        }
+        r += 1
+      }
+    }
+    out.toSeq
+  }
+
+  test("bpe_train: hand-traced planted dictionary, three rounds") {
+    import spark.implicits._
+    // {"aaab"×3, "ab"×2}: r1 (a,a)=6; r2 tie (a,b)=(b,_)=5 → lexicographic
+    // (a,b); r3 after re-segmentation (ab,_)=5.
+    val vocab = Seq(("aaab", 3L), ("ab", 2L)).toDF("word", "cnt")
+    val got = operators.TextOps.bpeTrainFromVocab(vocab, rounds = 3)
+      .collect().map(x => (x.getLong(0), x.getString(1), x.getString(2), x.getString(3), x.getLong(4))).toSeq
+    assert(got == Seq((1L, "a", "a", "aa", 6L), (2L, "a", "b", "ab", 5L), (3L, "ab", "_", "ab_", 5L)))
+  }
+
+  test("bpe_train equals the independent straight-Scala learn_bpe on real data") {
+    import spark.implicits._
+    val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+    val vocab = operators.TextOps.wordFreqTransform(docs)
+    val expect = refBpe(
+      vocab.collect().map(x => (x.getString(0), x.getLong(1))).toSeq, rounds = 8)
+    val got = operators.TextOps.bpeTrainFromVocab(vocab, rounds = 8)
+      .collect().map(x => (x.getLong(0), x.getString(1), x.getString(2), x.getString(3), x.getLong(4))).toSeq
+    assert(got == expect)
+  }
+
   test("dsir_importance: disjoint-vocabulary corpus separates target from off-target") {
     import spark.implicits._
     // en docs speak only {alpha beta}, zh docs only {gamma delta}:

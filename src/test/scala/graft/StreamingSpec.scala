@@ -1237,6 +1237,10 @@ class StreamingSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
     assert(rows("stream_k_core") == rows("k_core"))
   }
 
+  test("stream_bpe_train equals batch bpe_train over the merged word-frequency dict") {
+    assert(rows("stream_bpe_train") == rows("bpe_train"))
+  }
+
   test("markov attribution state: journey truncation across batches, replay guard, resume") {
     import org.apache.spark.sql.functions.{col, to_timestamp}
     import graft.streaming.MarkovAttrState
