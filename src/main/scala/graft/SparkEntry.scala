@@ -255,6 +255,10 @@ object SparkEntry {
     "ab_srm_check"         -> Experiments.abSrmCheck _,
     "stream_ab_srm"        -> ((s: SparkSession, d: String) => streaming.ProfileStreams.streamAbSrm(s, d)),
     "qte_deciles"          -> Experiments.qteDeciles _,
+    "stratified_ate"       -> Experiments.stratifiedAte _,
+    "stream_stratified_ate" -> ((s: SparkSession, d: String) => streaming.ProfileStreams.streamStratifiedAte(s, d)),
+    "ab_peeking_curve"     -> Experiments.abPeekingCurve _,
+    "stream_peeking"       -> ((s: SparkSession, d: String) => streaming.ProfileStreams.streamPeeking(s, d)),
     "stream_qte"           -> ((s: SparkSession, d: String) => streaming.ProfileStreams.streamQte(s, d)),
     "hill_tail_index"      -> Stats.hillTailIndex _,
     "stream_hill"          -> ((s: SparkSession, d: String) => streaming.ProfileStreams.streamHill(s, d)),
@@ -586,6 +590,8 @@ object SparkEntry {
       "stream_ab_cuped" -> base("ab_cuped"),
       "stream_ab_srm" -> base("ab_srm_check"),
       "stream_qte" -> base("qte_deciles"),
+      "stream_stratified_ate" -> base("stratified_ate"),
+      "stream_peeking" -> base("ab_peeking_curve"),
       "stream_conformal" -> base("conformal_interval"),
       "stream_hill" -> base("hill_tail_index"),
       // the presence-set state is batching-invariant (set union), and
@@ -1101,6 +1107,8 @@ object SparkEntry {
     "ab_cuped" -> operators.Experiments.abCupedOracleSql,
     "ab_srm_check" -> operators.Experiments.abSrmOracleSql,
     "qte_deciles" -> operators.Experiments.qteOracleSql,
+    "stratified_ate" -> operators.Experiments.stratifiedAteOracleSql,
+    "ab_peeking_curve" -> operators.Experiments.abPeekingOracleSql,
     "conformal_interval" -> operators.Experiments.conformalOracleSql,
     "hill_tail_index" -> operators.Stats.hillOracleSql,
     "rolling_retention" -> operators.Retention.rollingRetentionOracleSql,

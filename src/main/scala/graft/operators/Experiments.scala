@@ -176,6 +176,164 @@ object Experiments {
       |FROM t""".stripMargin
 
   // ---------------------------------------------------------------
+  // Post-stratified treatment effect
+  // ---------------------------------------------------------------
+
+  /** Post-stratified average treatment effect — the covariate-
+    * adjustment that survives NON-LINEAR confounding where CUPED's
+    * single θ cannot (stratification needs no functional form;
+    * Imbens & Rubin 2015 ch. 17): units are binned into pre-period
+    * spend deciles (the propensity proxy), the arm contrast is taken
+    * WITHIN each stratum, and the per-stratum weight n_d/n
+    * reconstructs the population effect.
+    *
+    * Strata come from the EXACT global rank under the total order
+    * (pre_cents DESC, user_id) — the distributed
+    * [[GlobalRank.withGlobalOrder]] slice rank, never a single-task
+    * window. Output per stratum: sizes, per-arm means (4dp), the
+    * within-stratum difference, and the stratum's weight share; the
+    * weighted ATE is the Σ w·diff fold the caller reads off. A
+    * stratum missing an arm reports NULL difference (surfaced, not
+    * dropped). */
+  private[graft] def stratifiedAteFromUsers(users: DataFrame): DataFrame = {
+    val spark = users.sparkSession
+    import spark.implicits._
+    val ranked = GlobalRank.withGlobalOrder(users, Seq($"pre_cents".desc, $"user_id"))
+      .withColumn("stratum", expr("(grk - 1) * 10 div n_total") + 1L)
+      .withColumn("arm", $"user_id" % 2)
+    ranked.groupBy($"stratum")
+      .agg(count(lit(1)).as("n_d"),
+        first($"n_total").as("n_total"),
+        sum(when($"arm" === 1L, 1L).otherwise(0L)).as("n1"),
+        sum(when($"arm" === 1L, $"post_cents").otherwise(0L)).as("s1"),
+        sum(when($"arm" === 0L, 1L).otherwise(0L)).as("n0"),
+        sum(when($"arm" === 0L, $"post_cents").otherwise(0L)).as("s0"))
+      .select($"stratum", $"n_d", $"n1", $"n0",
+        round(expr("CAST(s1 AS DOUBLE) / nullif(n1, 0)"), 4).as("mean1_cents"),
+        round(expr("CAST(s0 AS DOUBLE) / nullif(n0, 0)"), 4).as("mean0_cents"),
+        round(expr("CAST(s1 AS DOUBLE) / nullif(n1, 0) - CAST(s0 AS DOUBLE) / nullif(n0, 0)"), 4)
+          .as("diff_cents"),
+        round(expr("CAST(n_d AS DOUBLE) / n_total"), 6).as("weight"))
+      .orderBy($"stratum")
+  }
+
+  def stratifiedAte(spark: SparkSession, dir: String): DataFrame =
+    stratifiedAteFromUsers(userPrePost(Tables.events(spark, dir)))
+
+  /** DuckDB oracle for [[stratifiedAte]] — plain row_number rank
+    * (the semantics GlobalRank reproduces distributed). */
+  val stratifiedAteOracleSql: String =
+    """WITH u AS (SELECT user_id,
+      |  CAST(sum(CASE WHEN EXTRACT(day FROM CAST(ts AS TIMESTAMP)) <= 15
+      |           THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END) AS BIGINT) AS x,
+      |  CAST(sum(CASE WHEN EXTRACT(day FROM CAST(ts AS TIMESTAMP)) > 15
+      |           THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END) AS BIGINT) AS y
+      |  FROM events GROUP BY 1),
+      |r AS (SELECT user_id % 2 AS arm, y,
+      |             (row_number() OVER (ORDER BY x DESC, user_id) - 1) * 10
+      |               // (SELECT count(*) FROM u) + 1 AS stratum,
+      |             (SELECT CAST(count(*) AS BIGINT) FROM u) AS n_total
+      |      FROM u),
+      |g AS (SELECT stratum, CAST(count(*) AS BIGINT) AS n_d, max(n_total) AS n_total,
+      |             CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+      |             CAST(sum(CASE WHEN arm = 1 THEN y ELSE 0 END) AS BIGINT) AS s1,
+      |             CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+      |             CAST(sum(CASE WHEN arm = 0 THEN y ELSE 0 END) AS BIGINT) AS s0
+      |      FROM r GROUP BY 1)
+      |SELECT CAST(stratum AS BIGINT) AS stratum, n_d, n1, n0,
+      |       round(CAST(s1 AS DOUBLE) / nullif(n1, 0), 4) AS mean1_cents,
+      |       round(CAST(s0 AS DOUBLE) / nullif(n0, 0), 4) AS mean0_cents,
+      |       round(CAST(s1 AS DOUBLE) / nullif(n1, 0) - CAST(s0 AS DOUBLE) / nullif(n0, 0), 4) AS diff_cents,
+      |       round(CAST(n_d AS DOUBLE) / n_total, 6) AS weight
+      |FROM g ORDER BY stratum""".stripMargin
+
+  // ---------------------------------------------------------------
+  // Peeking curve (daily cumulative z)
+  // ---------------------------------------------------------------
+
+  /** The additive per-(arm, day) moments grid both peeking faces
+    * derive from. */
+  private[graft] def peekingGrid(events: DataFrame): DataFrame =
+    events
+      .select((col("user_id") % 2).as("arm"),
+        date_trunc("day", col("ts")).as("day"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+      .groupBy(col("arm"), col("day"))
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("s1"),
+        sum(expr("CAST(cents AS DECIMAL(38,0)) * cents")).as("s2"))
+
+  /** The peeking curve — the daily CUMULATIVE Welch z an impatient
+    * experimenter reads every morning: the textbook demonstration of
+    * why unadjusted sequential looks inflate false positives (each
+    * day's |z| > 1.96 is a "significant!" temptation; the curve makes
+    * the multiplicity visible and is the input any alpha-spending
+    * boundary is checked against). Per day, both arms' moments
+    * accumulate as exact prefix sums (BIGINT/DECIMAL(38,0)) and the
+    * z statistic is [[Behavior.abWelchTtestTransform]]'s formula on
+    * the cumulative stats, with the information fraction n_cum/n
+    * alongside.
+    *
+    * Shape: the daily grid is map-side combinable; prefix sums are
+    * per-arm windows over |days| rows; the arm pivot is a |days|-row
+    * join. */
+  private[graft] def peekingFromGrid(grid: DataFrame): DataFrame = {
+    val spark = grid.sparkSession
+    import spark.implicits._
+    val cum = Window.partitionBy($"arm").orderBy($"day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val c = grid
+      .withColumn("cn", sum($"n").over(cum))
+      .withColumn("cs1", sum($"s1").over(cum))
+      .withColumn("cs2", sum($"s2").over(cum))
+    val a1 = c.filter($"arm" === 1L)
+      .select($"day", $"cn".as("n1"), $"cs1".as("a1"), $"cs2".as("b1"))
+    val a0 = c.filter($"arm" === 0L)
+      .select($"day", $"cn".as("n0"), $"cs1".as("a0"), $"cs2".as("b0"))
+    val total = grid.agg(sum($"n").as("n_final"))
+    a1.join(a0, Seq("day"))
+      .filter($"n1" >= 2L && $"n0" >= 2L)
+      .crossJoin(broadcast(total))
+      .select($"day", $"n0", $"n1",
+        round(expr(
+          """(CAST(a1 AS DOUBLE) / n1 - CAST(a0 AS DOUBLE) / n0) /
+            |nullif(sqrt((CAST(b1 AS DOUBLE) - CAST(a1 AS DOUBLE) * a1 / n1) / (n1 - 1) / n1 +
+            |            (CAST(b0 AS DOUBLE) - CAST(a0 AS DOUBLE) * a0 / n0) / (n0 - 1) / n0), 0)"""
+            .stripMargin), 4).as("z_welch"),
+        round(expr("CAST(n0 + n1 AS DOUBLE) / n_final"), 6).as("info_frac"))
+      .orderBy($"day")
+  }
+
+  def abPeekingCurve(spark: SparkSession, dir: String): DataFrame =
+    peekingFromGrid(peekingGrid(Tables.events(spark, dir)))
+
+  /** DuckDB oracle for [[abPeekingCurve]] — identical prefix sums and
+    * the identical Welch parenthesization. */
+  val abPeekingOracleSql: String =
+    """WITH g AS (SELECT user_id % 2 AS arm, date_trunc('day', CAST(ts AS TIMESTAMP)) AS day,
+      |                  CAST(count(*) AS BIGINT) AS n,
+      |                  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS s1,
+      |                  sum(CAST(CAST(round(value * 100) AS BIGINT) AS HUGEINT)
+      |                      * CAST(round(value * 100) AS BIGINT)) AS s2
+      |           FROM events GROUP BY 1, 2),
+      |c AS (SELECT *, CAST(sum(n) OVER w AS BIGINT) AS cn,
+      |             CAST(sum(s1) OVER w AS BIGINT) AS cs1,
+      |             sum(s2) OVER w AS cs2
+      |      FROM g WINDOW w AS (PARTITION BY arm ORDER BY day
+      |                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+      |t AS (SELECT CAST(sum(n) AS BIGINT) AS n_final FROM g),
+      |j AS (SELECT o.day, o.cn AS n0, i.cn AS n1,
+      |             i.cs1 AS a1, i.cs2 AS b1, o.cs1 AS a0, o.cs2 AS b0
+      |      FROM (SELECT * FROM c WHERE arm = 1) i
+      |      JOIN (SELECT * FROM c WHERE arm = 0) o USING (day)
+      |      WHERE i.cn >= 2 AND o.cn >= 2)
+      |SELECT day, n0, n1,
+      |       round((CAST(a1 AS DOUBLE) / n1 - CAST(a0 AS DOUBLE) / n0) /
+      |             nullif(sqrt((CAST(b1 AS DOUBLE) - CAST(a1 AS DOUBLE) * a1 / n1) / (n1 - 1) / n1 +
+      |                         (CAST(b0 AS DOUBLE) - CAST(a0 AS DOUBLE) * a0 / n0) / (n0 - 1) / n0), 0), 4) AS z_welch,
+      |       round(CAST(n0 + n1 AS DOUBLE) / t.n_final, 6) AS info_frac
+      |FROM j CROSS JOIN t ORDER BY day""".stripMargin
+
+  // ---------------------------------------------------------------
   // Quantile treatment effects
   // ---------------------------------------------------------------
 

@@ -561,6 +561,43 @@ final class UserPrePostState(stateDir: String) {
     * per-user state (the state's key set IS the unit census). */
   def reportSrm(spark: SparkSession): DataFrame =
     graft.operators.Experiments.srmFromUsers(prior(spark).select(col("user_id")))
+
+  /** Third face: the post-stratified ATE — stratum ranks derive at
+    * report time over the merged grid (a stratum frozen at ingest
+    * would shift as later users land). */
+  def reportStratifiedAte(spark: SparkSession): DataFrame =
+    graft.operators.Experiments.stratifiedAteFromUsers(prior(spark))
+}
+
+/** Per-(arm, day) moments grid — [[graft.operators.Experiments
+  * .peekingGrid]] merged additively (counts, Σ, Σ² are sums of
+  * per-batch sums); |arms|×|days| rows. Report = the batch peeking
+  * derivation: cumulative prefix sums and every z derive at report
+  * time. */
+final class ArmDayState(stateDir: String) {
+  @volatile private var version: Long = StreamUtil.latestVersion(stateDir)
+
+  private def prior(spark: SparkSession): DataFrame =
+    if (version < 0)
+      spark.createDataFrame(java.util.List.of[Row](), StructType.fromDDL(
+        "arm BIGINT, day TIMESTAMP, n BIGINT, s1 BIGINT, s2 DECIMAL(38,0)"))
+    else spark.read.parquet(s"$stateDir/v$version")
+
+  def merge(batch: Dataset[Row], batchId: Long): Unit = {
+    if (batchId <= version) return
+    val spark = batch.sparkSession
+    val partial = graft.operators.Experiments.peekingGrid(batch.toDF())
+    val merged = prior(spark).unionByName(partial)
+      .groupBy(col("arm"), col("day"))
+      .agg(sum(col("n")).as("n"), sum(col("s1")).as("s1"), sum(col("s2")).as("s2"))
+    StreamUtil.writeGrid(merged, s"$stateDir/v$batchId")
+    val prev = version
+    version = batchId
+    if (prev >= 0) StreamUtil.delete(spark, s"$stateDir/v$prev")
+  }
+
+  def report(spark: SparkSession): DataFrame =
+    graft.operators.Experiments.peekingFromGrid(prior(spark))
 }
 
 /** Per-arm value counting grid — [[graft.operators.Experiments
@@ -793,6 +830,25 @@ object ProfileStreams {
   def streamQte(spark: SparkSession, dir: String): DataFrame = {
     val work = graft.GraftCaches.trackTempDir("graft_sqte_")
     val state = new ArmCentsState(s"$work/state")
+    StreamSources.runForeachBatch(StreamSources.events(spark, dir), state.merge)
+    state.report(spark)
+  }
+
+  /** Queries entry (oracle: same SQL as `stratified_ate`): the SAME
+    * per-user CUPED state, third face — strata re-rank at report. */
+  def streamStratifiedAte(spark: SparkSession, dir: String): DataFrame = {
+    val work = graft.GraftCaches.trackTempDir("graft_ssate_")
+    val state = new UserPrePostState(s"$work/state")
+    StreamSources.runForeachBatch(StreamSources.events(spark, dir), state.merge)
+    state.reportStratifiedAte(spark)
+  }
+
+  /** Queries entry (oracle: same SQL as `ab_peeking_curve`) — order-
+    * free additive per-(arm, day) moments; the cumulative prefix
+    * sums and every daily z derive at report time. */
+  def streamPeeking(spark: SparkSession, dir: String): DataFrame = {
+    val work = graft.GraftCaches.trackTempDir("graft_speek_")
+    val state = new ArmDayState(s"$work/state")
     StreamSources.runForeachBatch(StreamSources.events(spark, dir), state.merge)
     state.report(spark)
   }

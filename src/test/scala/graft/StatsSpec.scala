@@ -1081,6 +1081,38 @@ class StatsSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
     assert(got == expect)
   }
 
+  test("stratified_ate: planted constant within-stratum effect, weights sum to 1") {
+    import spark.implicits._
+    // 20 users; pre = user_id so strata are clean rank deciles of 2;
+    // post = 100 for arm 0 (even ids), 150 for arm 1 → every stratum
+    // with both arms shows diff = 50, and Σ weight = 1.
+    val users = (0L until 20L).map(u => (u, u, if (u % 2 == 1) 150L else 100L))
+      .toDF("user_id", "pre_cents", "post_cents")
+    val r = operators.Experiments.stratifiedAteFromUsers(users).collect()
+    assert(math.abs(r.map(_.getAs[Double]("weight")).sum - 1.0) < 1e-9)
+    r.foreach { row =>
+      if (row.getAs[Long]("n1") > 0 && row.getAs[Long]("n0") > 0)
+        assert(row.getAs[Double]("diff_cents") == 50.0)
+    }
+    // adjacent-rank strata of 2 pair one even with one odd id each
+    assert(r.length == 10 && r.forall(x => x.getAs[Long]("n_d") == 2L))
+  }
+
+  test("ab_peeking_curve: identical arms give z = 0 at every look, info_frac reaches 1") {
+    import spark.implicits._
+    val events = Seq(
+      (0L, ts(1), 0L, "t", 0.10, "{}"), (1L, ts(1), 1L, "t", 0.10, "{}"),
+      (2L, ts(1), 2L, "t", 0.20, "{}"), (3L, ts(1), 3L, "t", 0.20, "{}"),
+      (4L, ts(2), 4L, "t", 0.30, "{}"), (5L, ts(2), 5L, "t", 0.30, "{}"),
+      (6L, ts(2), 6L, "t", 0.40, "{}"), (7L, ts(2), 7L, "t", 0.40, "{}")
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val r = operators.Experiments.peekingFromGrid(
+      operators.Experiments.peekingGrid(events)).collect()
+    assert(r.length == 2)
+    assert(r.forall(_.getAs[Double]("z_welch") == 0.0))
+    assert(r.map(_.getAs[Double]("info_frac")).toSeq == Seq(0.5, 1.0))
+  }
+
   test("dsir_importance: disjoint-vocabulary corpus separates target from off-target") {
     import spark.implicits._
     // en docs speak only {alpha beta}, zh docs only {gamma delta}:
