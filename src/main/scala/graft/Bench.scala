@@ -308,7 +308,21 @@ object Bench {
     // fresh-JVM median of [14.68, 15.26, 15.04], same-window canary
     // 2.16 = 1.23x.
     "stream_scc_items" -> 15.045,
-    "stream_user_revenue_percentile" -> 5.653)
+    "stream_user_revenue_percentile" -> 5.653,
+    // Round-11 third stint: first-freeze of the 22 new entries —
+    // fresh-JVM quiet-box medians of 3 (/tmp/freeze_r11s3.txt; canary
+    // 9-run median 1.913 vs frozen 1.761 = 1.09x).
+    "ppr_items" -> 7.303, "stream_ppr" -> 8.824,
+    "ab_cuped" -> 2.607, "stream_ab_cuped" -> 3.939,
+    "conformal_interval" -> 3.573, "stream_conformal" -> 5.593,
+    "hill_tail_index" -> 1.581, "stream_hill" -> 3.521,
+    "dsir_importance" -> 5.039, "stream_dsir" -> 8.367,
+    "hybrid_rrf_topk" -> 5.253, "stream_hybrid_rrf" -> 9.044,
+    "ab_srm_check" -> 1.307, "stream_ab_srm" -> 3.182,
+    "qte_deciles" -> 2.537, "stream_qte" -> 4.692,
+    "bpe_train" -> 4.525, "stream_bpe_train" -> 7.879,
+    "stratified_ate" -> 3.752, "stream_stratified_ate" -> 5.695,
+    "ab_peeking_curve" -> 3.056, "stream_peeking" -> 4.793)
 
   /** Run ONE query in a fresh JVM (this JVM's own flags + classpath,
     * stderr discarded) and parse its timing out of the child's JSON
