@@ -205,6 +205,8 @@ object SparkEntry {
     "pagerank_items"     -> Graph.pagerankItems _,
     "ppr_items"          -> Graph.pprItems _,
     "stream_ppr"         -> ((s: SparkSession, d: String) => streaming.GraphStream.streamPpr(s, d)),
+    "random_walks"       -> Graph.randomWalks _,
+    "stream_random_walks" -> ((s: SparkSession, d: String) => streaming.GraphStream.streamRandomWalks(s, d)),
     "triangle_count"     -> Graph.triangleCount _,
     "hits_scores"        -> Graph.hitsScores _,
     "communities_lpa"    -> Graph.communitiesLpa _,
@@ -597,6 +599,7 @@ object SparkEntry {
       // the presence-set state is batching-invariant (set union), and
       // the PPR read is the batch transform on the same edge cut
       "stream_ppr" -> base("ppr_items"),
+      "stream_random_walks" -> base("random_walks"),
       "stream_katz" -> base("katz_centrality"),
       "stream_assortativity" -> base("degree_assortativity"),
       // additive NB training grids; evaluation re-reads the staged corpus
@@ -1067,6 +1070,7 @@ object SparkEntry {
     // triple-join triangle oracle (algorithm-independent result set)
     "pagerank_items" -> operators.Graph.pagerankOracleSql(),
     "ppr_items" -> operators.Graph.pprOracleSql(),
+    "random_walks" -> operators.Graph.randomWalksOracleSql(),
     "katz_centrality" -> operators.Graph.katzOracleSql(),
     "flesch_reading_ease" -> operators.TextOps.fleschReadingEaseOracleSql,
     "hits_scores" -> operators.Graph.hitsOracleSql(),

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.sources.Tables
@@ -272,6 +273,96 @@ object Graph {
 
   def pprItems(spark: SparkSession, dir: String): DataFrame =
     pprTransform(edgeTransform(Tables.events(spark, dir), maxItems = 50, topEdges = 800))
+
+  /** Random-walk corpus over the co-engagement graph — the training-
+    * data generator for every skip-gram graph embedding (DeepWalk,
+    * Perozzi et al. 2014; node2vec at p=q=1): `walksPerNode` walks of
+    * `walkLen` steps from every node. The walk is DERANDOMIZED the
+    * way every exact-reproducible operator here is: step t of walk w
+    * at node v moves to the neighbor at index
+    * {{{ (w·1000003 + t·8191 + v·131) mod deg(v) }}}
+    * over the (dst ASC) neighbor ordering — a fixed mixing hash in
+    * portable integer arithmetic, so the corpus is a pure function of
+    * the edge list, bit-equal in any engine (textbook RNG walks are
+    * run-unstable and engine-specific, the `communities_lpa`
+    * tie-break argument). walk_id = start·walksPerNode + replicate,
+    * so the hash decorrelates replicates of the same start.
+    *
+    * Scale shape per step: walks ⋈ indexed edges is an equi-join on
+    * (node = src, idx) — co-partitionable on the node id; the
+    * neighbor index is a per-src window (each src sorts only its own
+    * adjacency); output is |V|·walksPerNode·(walkLen+1) rows, linear
+    * in graph size. Lineage truncated per step.
+    */
+  def randomWalksTransform(pairs: DataFrame, walksPerNode: Int = 2,
+                           walkLen: Int = 5): DataFrame = {
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    val p = truncateLineage(pairs)
+    val shuffleKey = "spark.sql.shuffle.partitions"
+    val aqeKey = "spark.sql.adaptive.enabled"
+    val prevShuffle = spark.conf.get(shuffleKey)
+    val prevAqe = spark.conf.get(aqeKey)
+    spark.conf.set(shuffleKey, "8")
+    spark.conf.set(aqeKey, "false")
+    val edges = p.select($"item_a".as("src"), $"item_b".as("dst"))
+      .unionByName(p.select($"item_b".as("src"), $"item_a".as("dst")))
+      .withColumn("idx",
+        row_number().over(Window.partitionBy($"src").orderBy($"dst")).cast("long") - 1L)
+      .withColumn("deg", count(lit(1)).over(Window.partitionBy($"src")).cast("long"))
+      .persist()
+    try {
+      val reps = (0 until walksPerNode).map(r => lit(r.toLong))
+      var cur = truncateLineage(edges.select($"src".as("node")).distinct()
+        .select($"node", explode(array(reps: _*)).as("r"))
+        .select(($"node" * walksPerNode + $"r").as("walk_id"), $"node"))
+      val steps = scala.collection.mutable.ListBuffer(
+        cur.select($"walk_id", lit(0L).as("step"), $"node"))
+      for (t <- 1 to walkLen) {
+        cur = truncateLineage(cur
+          .join(edges, $"node" === $"src" &&
+            edges("idx") === pmod($"walk_id" * 1000003L + lit(t.toLong) * 8191L + $"node" * 131L,
+              edges("deg")))
+          .select($"walk_id", $"dst".as("node")))
+        steps += cur.select($"walk_id", lit(t.toLong).as("step"), $"node")
+      }
+      steps.reduce(_ unionByName _).orderBy($"walk_id", $"step")
+    } finally {
+      spark.conf.set(shuffleKey, prevShuffle)
+      spark.conf.set(aqeKey, prevAqe)
+      edges.unpersist()
+    }
+  }
+
+  def randomWalks(spark: SparkSession, dir: String): DataFrame =
+    randomWalksTransform(edgeTransform(Tables.events(spark, dir), maxItems = 50, topEdges = 800))
+
+  /** DuckDB oracle for [[randomWalksTransform]] — identical neighbor
+    * indexing and mixing hash, steps unrolled MATERIALIZED. */
+  def randomWalksOracleSql(walksPerNode: Int = 2, walkLen: Int = 5): String = {
+    val rounds = (1 to walkLen).map { t =>
+      s"""w$t AS MATERIALIZED (SELECT p.walk_id, e.dst AS node
+         |  FROM w${t - 1} p JOIN e
+         |    ON e.src = p.node
+         |   AND e.idx = (p.walk_id * 1000003 + $t * 8191 + p.node * 131) % e.deg)"""
+        .stripMargin
+    }.mkString(",\n")
+    val unions = (0 to walkLen).map(t =>
+      s"SELECT walk_id, CAST($t AS BIGINT) AS step, node FROM w$t").mkString("\nUNION ALL\n")
+    s"""WITH $edgeCtes,
+       |edges AS MATERIALIZED (SELECT item_a AS src, item_b AS dst FROM pairs
+       |          UNION ALL SELECT item_b, item_a FROM pairs),
+       |e AS MATERIALIZED (SELECT src, dst,
+       |       row_number() OVER (PARTITION BY src ORDER BY dst) - 1 AS idx,
+       |       count(*) OVER (PARTITION BY src) AS deg
+       |     FROM edges),
+       |w0 AS MATERIALIZED (SELECT node * $walksPerNode + r AS walk_id, node
+       |  FROM (SELECT DISTINCT src AS node FROM e)
+       |  CROSS JOIN (SELECT unnest(range(0, $walksPerNode)) AS r)),
+       |$rounds
+       |SELECT walk_id, step, node FROM ($unions)
+       |ORDER BY walk_id, step""".stripMargin
+  }
 
   /** DuckDB oracle for [[pprTransform]] — the identical integer
     * rounds unrolled, with the seed-base union inside each round so

@@ -80,6 +80,11 @@ final class UserItemState(stateDir: String) {
     * — the seed-local relevance read next to the global centralities. */
   def reportPpr(spark: SparkSession): DataFrame =
     graft.operators.Graph.pprTransform(edges(spark))
+
+  /** SIXTH face: the derandomized random-walk corpus over the same
+    * presence state — graph-embedding training data as a pure read. */
+  def reportRandomWalks(spark: SparkSession): DataFrame =
+    graft.operators.Graph.randomWalksTransform(edges(spark))
 }
 
 object GraphStream {
@@ -130,5 +135,14 @@ object GraphStream {
     val state = new UserItemState(s"$work/state")
     StreamSources.runForeachBatch(StreamSources.events(spark, dir), state.merge)
     state.reportPpr(spark)
+  }
+
+  /** Queries entry (oracle: same SQL as `random_walks`): the SAME
+    * presence state, sixth face. */
+  def streamRandomWalks(spark: SparkSession, dir: String): DataFrame = {
+    val work = graft.GraftCaches.trackTempDir("graft_swalk_")
+    val state = new UserItemState(s"$work/state")
+    StreamSources.runForeachBatch(StreamSources.events(spark, dir), state.merge)
+    state.reportRandomWalks(spark)
   }
 }

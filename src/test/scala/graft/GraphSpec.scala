@@ -62,6 +62,33 @@ class GraphSpec extends AnyFunSuite {
     assert(out.collect().isEmpty)
   }
 
+  test("random_walks: equals a straight-Scala replay of the mixing-hash recurrence") {
+    val es = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L))
+    val adj = (es ++ es.map(e => (e._2, e._1))).groupBy(_._1)
+      .map { case (s, xs) => (s, xs.map(_._2).sorted.toVector) }
+    val expect = (for {
+      v <- adj.keys.toSeq.sorted
+      r <- 0 until 2
+    } yield {
+      val w = v * 2 + r
+      var node = v
+      (0L, node) +: (1 to 5).map { t =>
+        val nbrs = adj(node)
+        node = nbrs(((w * 1000003L + t * 8191L + node * 131L) % nbrs.length).toInt)
+        (t.toLong, node)
+      }
+    }.map { case (s, n) => (v * 2 + r, s, n) }).flatten.sortBy(x => (x._1, x._2))
+    val got = Graph.randomWalksTransform(pairs(es: _*))
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2))).toSeq
+    assert(got == expect)
+    // every consecutive hop is a real edge
+    val edgeSet = (es ++ es.map(e => (e._2, e._1))).toSet
+    got.groupBy(_._1).values.foreach { walk =>
+      val nodes = walk.sortBy(_._2).map(_._3)
+      nodes.zip(nodes.tail).foreach(h => assert(edgeSet(h)))
+    }
+  }
+
   test("katz: one exact integer round on a star; hub-adjacency ranking after eight") {
     // star 1-{2,3,4} plus disjoint edge 5-6, scale=1e9, alpha=1/64.
     // Round 1: x(1) = 1e9 + 3e9 div 64 = 1_046_875_000
