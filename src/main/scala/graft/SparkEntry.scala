@@ -406,6 +406,8 @@ object SparkEntry {
     "text_redact"        -> TextOps.textRedact _,
     "bpe_train"          -> TextOps.bpeTrain _,
     "stream_bpe_train"   -> ((s: SparkSession, d: String) => streaming.ProfileStreams.streamBpeTrain(s, d)),
+    "bpe_fertility_by_source" -> TextOps.bpeFertilityBySource _,
+    "stream_bpe_fertility" -> ((s: SparkSession, d: String) => streaming.ProfileStreams.streamBpeFertility(s, d)),
     "dsir_importance"    -> CorpusQa.dsirImportance _,
     "stream_dsir"        -> ((s: SparkSession, d: String) => streaming.ProfileStreams.streamDsir(s, d)),
     "pii_density"        -> TextOps.piiDensity _,

@@ -597,11 +597,17 @@ object TextOps {
     * and each round is seconds; real tokenizer fits run ~30k rounds —
     * the per-round cost here is round-count-linear with no
     * corpus-size term after the first aggregate. */
-  private[graft] def bpeTrainFromVocab(vocab: DataFrame, rounds: Int = 8): DataFrame = {
+  private[graft] def bpeTrainFromVocab(vocab: DataFrame, rounds: Int = 8): DataFrame =
+    bpeLoop(vocab, rounds)._1
+
+  /** The shared learn-and-segment loop: returns (merge table, final
+    * per-word segmentation) so the fertility face reuses the exact
+    * training path. */
+  private[graft] def bpeLoop(vocab: DataFrame, rounds: Int): (DataFrame, DataFrame) = {
     val spark = vocab.sparkSession
     import spark.implicits._
     val emptySyms = expr("CAST(array() AS ARRAY<STRING>)")
-    var seg = vocab.select(col("cnt"), expr(
+    var seg = vocab.select(col("word"), col("cnt"), expr(
       """concat(
         |  CASE WHEN length(word) = 0 THEN CAST(array() AS ARRAY<STRING>)
         |       ELSE transform(sequence(1, length(word)), i -> substring(word, i, 1)) END,
@@ -640,16 +646,52 @@ object TextOps {
           },
           st => when(st.getField("pend").isNull, st.getField("acc"))
             .otherwise(concat(st.getField("acc"), array(st.getField("pend")))))
-        seg = seg.select(col("cnt"), folded.as("syms")).localCheckpoint()
+        seg = seg.select(col("word"), col("cnt"), folded.as("syms")).localCheckpoint()
         r += 1
       }
     }
-    merges.toSeq.toDF("round", "tok_a", "tok_b", "merged", "pair_count")
-      .orderBy(col("round"))
+    (merges.toSeq.toDF("round", "tok_a", "tok_b", "merged", "pair_count")
+      .orderBy(col("round")), seg)
   }
 
   def bpeTrain(spark: SparkSession, dir: String): DataFrame =
     bpeTrainFromVocab(wordFreqTransform(Tables.documents(spark, dir)))
+
+  /** Per-source tokenizer cost under the TRAINED BPE — the budget
+    * table a multi-source mix is priced with (the trained-tokenizer
+    * companion to [[CorpusQa.tokenizerFertilityTransform]]'s fixed
+    * regex proxy): merges learn on the pooled corpus dict
+    * ([[bpeLoop]]), every distinct word segments once, and each
+    * source's token bill is the (source, word, c) grid joined onto
+    * the |vocab|-row segmentation — fertility (BPE tokens per word,
+    * end-of-word marker included) and chars-per-token fall out as
+    * final 4dp divisions over exact integer sums.
+    *
+    * Shape: corpus collapses map-side to the source×vocab grid; the
+    * segmentation join is vocab-keyed (co-partitionable); the rollup
+    * is |sources| rows. The dict is computed FROM the grid (sum over
+    * sources), so the streaming twin keeps ONE additive state. */
+  private[graft] def bpeFertilityFromGrid(grid: DataFrame, rounds: Int = 8): DataFrame = {
+    val spark = grid.sparkSession
+    import spark.implicits._
+    val vocab = grid.groupBy($"word").agg(sum($"c").as("cnt"))
+    val (_, seg) = bpeLoop(vocab, rounds)
+    grid
+      .join(seg.select($"word", size($"syms").cast("long").as("n_sym")), Seq("word"))
+      .groupBy($"source")
+      .agg(sum($"c").as("n_words"),
+        sum($"c" * length($"word")).as("n_chars"),
+        sum($"c" * $"n_sym").as("n_bpe_tokens"))
+      .select($"source", $"n_words", $"n_chars", $"n_bpe_tokens",
+        round(expr("CAST(n_bpe_tokens AS DOUBLE) / n_words"), 4).as("fertility"),
+        round(expr("CAST(n_chars AS DOUBLE) / n_bpe_tokens"), 4).as("chars_per_token"))
+      .orderBy($"source")
+  }
+
+  def bpeFertilityBySource(spark: SparkSession, dir: String): DataFrame =
+    bpeFertilityFromGrid(Tables.documents(spark, dir)
+      .select(col("source"), explode(split(col("text"), " ")).as("word"))
+      .groupBy(col("source"), col("word")).agg(count(lit(1)).as("c")))
 
   /** Corpus drift between sources — pairwise TOTAL-VARIATION distance
     * between per-source unigram distributions, the mixture-health

@@ -902,6 +902,20 @@ object ProfileStreams {
     state.report(spark)
   }
 
+  /** Queries entry (rows-only like `bpe_fertility_by_source`; gated
+    * by the stream≡batch parity spec): staged corpus through the
+    * additive (source, word) grid. */
+  def streamBpeFertility(spark: SparkSession, dir: String, nFiles: Int = 4): DataFrame = {
+    val work = graft.GraftCaches.trackTempDir("graft_sbpef_")
+    graft.sources.Tables.documents(spark, dir).repartition(nFiles)
+      .write.mode("overwrite").parquet(s"$work/input")
+    val state = new SourceWordState(s"$work/state")
+    StreamSources.runForeachBatch(
+      StreamSources.parquetStream(spark, s"$work/input", maxFilesPerTrigger = 1),
+      state.merge)
+    state.report(spark)
+  }
+
   /** Queries entry (oracle: same SQL as `hybrid_rrf_topk`): documents
     * joined 1:1 with their embeddings, staged as 4 files; the
     * inverted index and the vector store accrue per micro-batch and
@@ -1242,6 +1256,38 @@ final class WordFreqState(stateDir: String) {
 
   def report(spark: SparkSession): DataFrame =
     graft.operators.TextOps.bpeTrainFromVocab(prior(spark))
+}
+
+/** Per-(source, word) count grid — ONE additive state serving the
+  * trained-tokenizer fertility face: the pooled training dict is the
+  * over-sources sum of the same grid, so merges, segmentation, and
+  * every per-source bill derive at report time through
+  * [[graft.operators.TextOps.bpeFertilityFromGrid]]. */
+final class SourceWordState(stateDir: String) {
+  @volatile private var version: Long = StreamUtil.latestVersion(stateDir)
+
+  private def prior(spark: SparkSession): DataFrame =
+    if (version < 0)
+      spark.createDataFrame(java.util.List.of[Row](), StructType.fromDDL(
+        "source STRING, word STRING, c BIGINT"))
+    else spark.read.parquet(s"$stateDir/v$version")
+
+  def merge(batch: Dataset[Row], batchId: Long): Unit = {
+    if (batchId <= version) return
+    val spark = batch.sparkSession
+    val partial = batch.select(col("source"),
+      explode(split(col("text"), " ")).as("word"))
+      .groupBy(col("source"), col("word")).agg(count(lit(1)).as("c"))
+    val merged = prior(spark).unionByName(partial)
+      .groupBy(col("source"), col("word")).agg(sum(col("c")).as("c"))
+    StreamUtil.writeGrid(merged, s"$stateDir/v$batchId")
+    val prev = version
+    version = batchId
+    if (prev >= 0) StreamUtil.delete(spark, s"$stateDir/v$prev")
+  }
+
+  def report(spark: SparkSession): DataFrame =
+    graft.operators.TextOps.bpeFertilityFromGrid(prior(spark))
 }
 
 /** Streaming hybrid-retrieval index — the serve-while-ingesting

@@ -1113,6 +1113,21 @@ class StatsSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
     assert(r.map(_.getAs[Double]("info_frac")).toSeq == Seq(0.5, 1.0))
   }
 
+  test("bpe_fertility_by_source: hand-traced bills under the trained merges") {
+    import spark.implicits._
+    // pooled dict {"aaab": 3 (src A), "ab": 2 (src B)}, rounds = 3
+    // (the bpe_train hand-trace): final segs "aaab" → [aa, ab_] wait —
+    // r3 merges (ab,_): "aaab" → [aa, ab, _] → [aa, ab_] = 2 tokens;
+    // "ab" → [ab, _] → [ab_] = 1 token.
+    // src A: 3 words, 12 chars, 6 tokens → fertility 2.0, cpt 2.0;
+    // src B: 2 words, 4 chars, 2 tokens → fertility 1.0, cpt 2.0.
+    val grid = Seq(("A", "aaab", 3L), ("B", "ab", 2L)).toDF("source", "word", "c")
+    val r = operators.TextOps.bpeFertilityFromGrid(grid, rounds = 3)
+      .collect().map(x => (x.getString(0), x.getLong(1), x.getLong(2), x.getLong(3),
+        x.getDouble(4), x.getDouble(5))).toSeq
+    assert(r == Seq(("A", 3L, 12L, 6L, 2.0, 2.0), ("B", 2L, 4L, 2L, 1.0, 2.0)))
+  }
+
   test("dsir_importance: disjoint-vocabulary corpus separates target from off-target") {
     import spark.implicits._
     // en docs speak only {alpha beta}, zh docs only {gamma delta}:

@@ -1241,6 +1241,10 @@ class StreamingSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
     assert(rows("stream_bpe_train") == rows("bpe_train"))
   }
 
+  test("stream_bpe_fertility equals batch bpe_fertility_by_source") {
+    assert(rows("stream_bpe_fertility") == rows("bpe_fertility_by_source"))
+  }
+
   test("markov attribution state: journey truncation across batches, replay guard, resume") {
     import org.apache.spark.sql.functions.{col, to_timestamp}
     import graft.streaming.MarkovAttrState
