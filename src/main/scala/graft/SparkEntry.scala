@@ -207,6 +207,8 @@ object SparkEntry {
     "stream_ppr"         -> ((s: SparkSession, d: String) => streaming.GraphStream.streamPpr(s, d)),
     "random_walks"       -> Graph.randomWalks _,
     "stream_random_walks" -> ((s: SparkSession, d: String) => streaming.GraphStream.streamRandomWalks(s, d)),
+    "harmonic_centrality" -> Graph.harmonicCentrality _,
+    "stream_harmonic"    -> ((s: SparkSession, d: String) => streaming.GraphStream.streamHarmonic(s, d)),
     "triangle_count"     -> Graph.triangleCount _,
     "hits_scores"        -> Graph.hitsScores _,
     "communities_lpa"    -> Graph.communitiesLpa _,
@@ -255,6 +257,8 @@ object SparkEntry {
     "conformal_interval"   -> Experiments.conformalInterval _,
     "stream_conformal"     -> ((s: SparkSession, d: String) => streaming.ProfileStreams.streamConformal(s, d)),
     "ab_srm_check"         -> Experiments.abSrmCheck _,
+    "k_anonymity_check"    -> Experiments.kAnonymityCheck _,
+    "stream_k_anonymity"   -> ((s: SparkSession, d: String) => streaming.ProfileStreams.streamKAnonymity(s, d)),
     "stream_ab_srm"        -> ((s: SparkSession, d: String) => streaming.ProfileStreams.streamAbSrm(s, d)),
     "qte_deciles"          -> Experiments.qteDeciles _,
     "stratified_ate"       -> Experiments.stratifiedAte _,
@@ -593,6 +597,7 @@ object SparkEntry {
       // own derivations over the merged state
       "stream_ab_cuped" -> base("ab_cuped"),
       "stream_ab_srm" -> base("ab_srm_check"),
+      "stream_k_anonymity" -> base("k_anonymity_check"),
       "stream_qte" -> base("qte_deciles"),
       "stream_stratified_ate" -> base("stratified_ate"),
       "stream_peeking" -> base("ab_peeking_curve"),
@@ -602,6 +607,7 @@ object SparkEntry {
       // the PPR read is the batch transform on the same edge cut
       "stream_ppr" -> base("ppr_items"),
       "stream_random_walks" -> base("random_walks"),
+      "stream_harmonic" -> base("harmonic_centrality"),
       "stream_katz" -> base("katz_centrality"),
       "stream_assortativity" -> base("degree_assortativity"),
       // additive NB training grids; evaluation re-reads the staged corpus
@@ -1073,6 +1079,7 @@ object SparkEntry {
     "pagerank_items" -> operators.Graph.pagerankOracleSql(),
     "ppr_items" -> operators.Graph.pprOracleSql(),
     "random_walks" -> operators.Graph.randomWalksOracleSql(),
+    "harmonic_centrality" -> operators.Graph.harmonicCentralityOracleSql(),
     "katz_centrality" -> operators.Graph.katzOracleSql(),
     "flesch_reading_ease" -> operators.TextOps.fleschReadingEaseOracleSql,
     "hits_scores" -> operators.Graph.hitsOracleSql(),
@@ -1112,6 +1119,7 @@ object SparkEntry {
     "ab_welch_ttest" -> operators.Behavior.abWelchTtestOracleSql,
     "ab_cuped" -> operators.Experiments.abCupedOracleSql,
     "ab_srm_check" -> operators.Experiments.abSrmOracleSql,
+    "k_anonymity_check" -> operators.Experiments.kAnonymityOracleSql,
     "qte_deciles" -> operators.Experiments.qteOracleSql,
     "stratified_ate" -> operators.Experiments.stratifiedAteOracleSql,
     "ab_peeking_curve" -> operators.Experiments.abPeekingOracleSql,

@@ -401,6 +401,66 @@ object Experiments {
       |FROM f ORDER BY q""".stripMargin
 
   // ---------------------------------------------------------------
+  // k-anonymity / l-diversity release gate
+  // ---------------------------------------------------------------
+
+  /** The additive per-(QI-cell, user) grid both anonymity faces
+    * derive from: quasi-identifiers are (event_type, day-of-week,
+    * value bucket) — the release-table projection — and the grid
+    * keeps per-cell-per-user record counts (n_records = Σc is
+    * additive; n_users = per-cell key count is idempotent under the
+    * user dimension). */
+  private[graft] def anonymityGrid(events: DataFrame): DataFrame =
+    events
+      .select(col("event_type"),
+        // Spark dayofweek: 1=Sunday; −1 aligns with DuckDB's dow (0=Sunday)
+        (dayofweek(col("ts")) - 1).cast("long").as("dow"),
+        expr("CAST(round(value * 100) AS BIGINT) div 1000").as("cents_bucket"),
+        col("user_id"))
+      .groupBy(col("event_type"), col("dow"), col("cents_bucket"), col("user_id"))
+      .agg(count(lit(1)).as("c"))
+
+  /** k-anonymity / l-diversity audit (Sweeney 2002; Machanavajjhala
+    * et al. 2007) — the release gate a training-data pipeline runs
+    * BEFORE publishing an event-level extract: every quasi-identifier
+    * cell (type, day-of-week, 10-unit value bucket) reports its
+    * record count (k-anonymity: a cell with < k records re-identifies
+    * by linkage) and its DISTINCT-user count (l-diversity: a cell
+    * whose records all belong to one user leaks even at high k).
+    * Flags at the conventional k = 5 and l = 3.
+    *
+    * Shape: everything on the QI×user grid — n_records is a map-side
+    * combinable sum, n_users a per-cell key count; output is
+    * QI-cardinality rows (bounded by types × 7 × buckets, not data
+    * volume). */
+  private[graft] def kAnonymityFromGrid(grid: DataFrame): DataFrame = {
+    val spark = grid.sparkSession
+    import spark.implicits._
+    grid.groupBy($"event_type", $"dow", $"cents_bucket")
+      .agg(sum($"c").as("n_records"), count(lit(1)).as("n_users"))
+      .select($"event_type", $"dow", $"cents_bucket", $"n_records", $"n_users",
+        ($"n_records" >= 5L).as("k_anon_5"),
+        ($"n_users" >= 3L).as("l_div_3"))
+      .orderBy($"event_type", $"dow", $"cents_bucket")
+  }
+
+  def kAnonymityCheck(spark: SparkSession, dir: String): DataFrame =
+    kAnonymityFromGrid(anonymityGrid(Tables.events(spark, dir)))
+
+  /** DuckDB oracle for [[kAnonymityCheck]]. */
+  val kAnonymityOracleSql: String =
+    """WITH g AS (SELECT event_type,
+      |                  CAST(dayofweek(CAST(ts AS TIMESTAMP)) AS BIGINT) AS dow,
+      |                  CAST(round(value * 100) AS BIGINT) // 1000 AS cents_bucket,
+      |                  user_id, count(*) AS c
+      |           FROM events GROUP BY 1, 2, 3, 4)
+      |SELECT event_type, dow, cents_bucket,
+      |       CAST(sum(c) AS BIGINT) AS n_records,
+      |       CAST(count(*) AS BIGINT) AS n_users,
+      |       sum(c) >= 5 AS k_anon_5, count(*) >= 3 AS l_div_3
+      |FROM g GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
+
+  // ---------------------------------------------------------------
   // Split conformal prediction intervals
   // ---------------------------------------------------------------
 

@@ -337,6 +337,102 @@ object Graph {
   def randomWalks(spark: SparkSession, dir: String): DataFrame =
     randomWalksTransform(edgeTransform(Tables.events(spark, dir), maxItems = 50, topEdges = 800))
 
+  /** Harmonic (closeness-family) centrality from a SAMPLED source
+    * set (Eppstein & Wang 2004's estimator; harmonic form per
+    * Boldi & Vigna 2014 because it is defined on disconnected
+    * graphs — an unreachable pair contributes 0, no ∞ special-case):
+    * {{{ H(v) = Σ_{s∈S, d(s,v)>0} 1e6 div d(s,v) }}}
+    * over hop distances from the seed set `item % srcMod == 0`,
+    * truncated at `maxHops` (distances beyond the cap count as
+    * unreachable — the standard bounded-BFS trade). `1e6 div d` keeps
+    * the sum an exact order-independent integer, bit-equal in any
+    * engine.
+    *
+    * Scale shape per BFS round: frontier ⋈ edges is an equi-join on
+    * the node id; the first-arrival set difference (left_anti against
+    * visited) is co-partitioned on (src, node); every round's state
+    * is (seed × reached-node) pairs — |S|·|V| worst case, the
+    * documented cost of sampled closeness (S is the knob). Lineage
+    * truncated per round.
+    */
+  def harmonicCentralityTransform(pairs: DataFrame, srcMod: Long = 3L,
+                                  maxHops: Int = 8): DataFrame = {
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    val p = truncateLineage(pairs)
+    val shuffleKey = "spark.sql.shuffle.partitions"
+    val aqeKey = "spark.sql.adaptive.enabled"
+    val prevShuffle = spark.conf.get(shuffleKey)
+    val prevAqe = spark.conf.get(aqeKey)
+    spark.conf.set(shuffleKey, "8")
+    spark.conf.set(aqeKey, "false")
+    val edges = p.select($"item_a".as("src"), $"item_b".as("dst"))
+      .unionByName(p.select($"item_b".as("src"), $"item_a".as("dst")))
+      .persist()
+    try {
+      val seeds = edges.select($"src".as("s")).distinct()
+        .filter($"s" % srcMod === 0L)
+      var visited = truncateLineage(seeds.select($"s", $"s".as("node"), lit(0L).as("d")))
+      var frontier = visited.select($"s", $"node")
+      var t = 1
+      var drained = false
+      while (t <= maxHops && !drained) {
+        val next = truncateLineage(frontier
+          .join(edges, $"node" === $"src")
+          .select($"s", $"dst".as("node")).distinct()
+          .join(visited.select($"s", $"node"), Seq("s", "node"), "left_anti"))
+        if (next.isEmpty) drained = true
+        else {
+          visited = truncateLineage(
+            visited.unionByName(next.select($"s", $"node", lit(t.toLong).as("d"))))
+          frontier = next
+          t += 1
+        }
+      }
+      visited.filter($"d" > 0L)
+        .groupBy($"node".as("item"))
+        .agg(count(lit(1)).as("n_sources"),
+          sum(expr("1000000 div d")).as("harmonic_1e6"))
+        .orderBy($"harmonic_1e6".desc, $"item")
+    } finally {
+      spark.conf.set(shuffleKey, prevShuffle)
+      spark.conf.set(aqeKey, prevAqe)
+      edges.unpersist()
+    }
+  }
+
+  def harmonicCentrality(spark: SparkSession, dir: String): DataFrame =
+    harmonicCentralityTransform(edgeTransform(Tables.events(spark, dir), maxItems = 50, topEdges = 800))
+
+  /** DuckDB oracle for [[harmonicCentralityTransform]] — BFS rounds
+    * unrolled MATERIALIZED with EXCEPT as the first-arrival guard.
+    * The oracle always unrolls the full `maxHops`; rounds past the
+    * drain point add nothing (empty EXCEPT), matching the Spark
+    * loop's early exit. */
+  def harmonicCentralityOracleSql(srcMod: Long = 3L, maxHops: Int = 8): String = {
+    val rounds = (1 to maxHops).map { t =>
+      s"""n$t AS MATERIALIZED (
+         |  SELECT s, node FROM (
+         |    SELECT DISTINCT f.s, e.dst AS node
+         |    FROM f${t - 1} f JOIN edges e ON e.src = f.node)
+         |  EXCEPT SELECT s, node FROM b${t - 1}),
+         |b$t AS MATERIALIZED (SELECT s, node, d FROM b${t - 1}
+         |  UNION ALL SELECT s, node, CAST($t AS BIGINT) FROM n$t),
+         |f$t AS (SELECT s, node FROM n$t)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $edgeCtes,
+       |edges AS MATERIALIZED (SELECT item_a AS src, item_b AS dst FROM pairs
+       |          UNION ALL SELECT item_b, item_a FROM pairs),
+       |seeds AS (SELECT DISTINCT src AS s FROM edges WHERE src % $srcMod = 0),
+       |b0 AS MATERIALIZED (SELECT s, s AS node, CAST(0 AS BIGINT) AS d FROM seeds),
+       |f0 AS (SELECT s, node FROM b0),
+       |$rounds
+       |SELECT node AS item, CAST(count(*) AS BIGINT) AS n_sources,
+       |       CAST(sum(1000000 // d) AS BIGINT) AS harmonic_1e6
+       |FROM b$maxHops WHERE d > 0
+       |GROUP BY node ORDER BY harmonic_1e6 DESC, item""".stripMargin
+  }
+
   /** DuckDB oracle for [[randomWalksTransform]] — identical neighbor
     * indexing and mixing hash, steps unrolled MATERIALIZED. */
   def randomWalksOracleSql(walksPerNode: Int = 2, walkLen: Int = 5): String = {

@@ -85,6 +85,11 @@ final class UserItemState(stateDir: String) {
     * presence state — graph-embedding training data as a pure read. */
   def reportRandomWalks(spark: SparkSession): DataFrame =
     graft.operators.Graph.randomWalksTransform(edges(spark))
+
+  /** SEVENTH face: sampled harmonic centrality over the same
+    * presence state. */
+  def reportHarmonic(spark: SparkSession): DataFrame =
+    graft.operators.Graph.harmonicCentralityTransform(edges(spark))
 }
 
 object GraphStream {
@@ -144,5 +149,14 @@ object GraphStream {
     val state = new UserItemState(s"$work/state")
     StreamSources.runForeachBatch(StreamSources.events(spark, dir), state.merge)
     state.reportRandomWalks(spark)
+  }
+
+  /** Queries entry (oracle: same SQL as `harmonic_centrality`): the
+    * SAME presence state, seventh face. */
+  def streamHarmonic(spark: SparkSession, dir: String): DataFrame = {
+    val work = graft.GraftCaches.trackTempDir("graft_sharm_")
+    val state = new UserItemState(s"$work/state")
+    StreamSources.runForeachBatch(StreamSources.events(spark, dir), state.merge)
+    state.reportHarmonic(spark)
   }
 }

@@ -902,6 +902,15 @@ object ProfileStreams {
     state.report(spark)
   }
 
+  /** Queries entry (oracle: same SQL as `k_anonymity_check`) —
+    * order-free additive QI×user grid. */
+  def streamKAnonymity(spark: SparkSession, dir: String): DataFrame = {
+    val work = graft.GraftCaches.trackTempDir("graft_skanon_")
+    val state = new AnonymityGridState(s"$work/state")
+    StreamSources.runForeachBatch(StreamSources.events(spark, dir), state.merge)
+    state.report(spark)
+  }
+
   /** Queries entry (rows-only like `bpe_fertility_by_source`; gated
     * by the stream≡batch parity spec): staged corpus through the
     * additive (source, word) grid. */
@@ -1256,6 +1265,36 @@ final class WordFreqState(stateDir: String) {
 
   def report(spark: SparkSession): DataFrame =
     graft.operators.TextOps.bpeTrainFromVocab(prior(spark))
+}
+
+/** QI-cell × user grid — [[graft.operators.Experiments
+  * .anonymityGrid]] merged additively (per-cell-per-user record
+  * counts are sums of sums; the user dimension makes the distinct-
+  * user read idempotent). Report = the batch k-anonymity derivation. */
+final class AnonymityGridState(stateDir: String) {
+  @volatile private var version: Long = StreamUtil.latestVersion(stateDir)
+
+  private def prior(spark: SparkSession): DataFrame =
+    if (version < 0)
+      spark.createDataFrame(java.util.List.of[Row](), StructType.fromDDL(
+        "event_type STRING, dow BIGINT, cents_bucket BIGINT, user_id BIGINT, c BIGINT"))
+    else spark.read.parquet(s"$stateDir/v$version")
+
+  def merge(batch: Dataset[Row], batchId: Long): Unit = {
+    if (batchId <= version) return
+    val spark = batch.sparkSession
+    val partial = graft.operators.Experiments.anonymityGrid(batch.toDF())
+    val merged = prior(spark).unionByName(partial)
+      .groupBy(col("event_type"), col("dow"), col("cents_bucket"), col("user_id"))
+      .agg(sum(col("c")).as("c"))
+    StreamUtil.writeGrid(merged, s"$stateDir/v$batchId")
+    val prev = version
+    version = batchId
+    if (prev >= 0) StreamUtil.delete(spark, s"$stateDir/v$prev")
+  }
+
+  def report(spark: SparkSession): DataFrame =
+    graft.operators.Experiments.kAnonymityFromGrid(prior(spark))
 }
 
 /** Per-(source, word) count grid — ONE additive state serving the

@@ -89,6 +89,24 @@ class GraphSpec extends AnyFunSuite {
     }
   }
 
+  test("harmonic centrality: hand distances on a path, seeds at both ends") {
+    // path 0-1-2-3, seeds = items % 3 == 0 → {0, 3}.
+    // H(1) = 1e6/1 + 1e6 div 2 = 1_500_000 (sources 0 at d=1, 3 at d=2)
+    // H(2) symmetric; H(0) = H(3) = 1e6 div 3 = 333_333 (far end only).
+    val out = Graph.harmonicCentralityTransform(pairs((0L, 1L), (1L, 2L), (2L, 3L)))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val m = out.map(x => x._1 -> (x._2, x._3)).toMap
+    assert(m(1L) == (2L, 1500000L) && m(2L) == (2L, 1500000L))
+    assert(m(0L) == (1L, 333333L) && m(3L) == (1L, 333333L))
+    // ordered by score desc, item asc
+    assert(out.map(_._1).toSeq == Seq(1L, 2L, 0L, 3L))
+  }
+
+  test("harmonic centrality: no seeds reachable gives empty output, no failure") {
+    // items {1, 2} — neither ≡ 0 (mod 3) → empty seed set
+    assert(Graph.harmonicCentralityTransform(pairs((1L, 2L))).collect().isEmpty)
+  }
+
   test("katz: one exact integer round on a star; hub-adjacency ranking after eight") {
     // star 1-{2,3,4} plus disjoint edge 5-6, scale=1e9, alpha=1/64.
     // Round 1: x(1) = 1e9 + 3e9 div 64 = 1_046_875_000

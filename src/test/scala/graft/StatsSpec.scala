@@ -1113,6 +1113,25 @@ class StatsSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
     assert(r.map(_.getAs[Double]("info_frac")).toSeq == Seq(0.5, 1.0))
   }
 
+  test("k_anonymity_check: a planted lonely cell fails both gates") {
+    import spark.implicits._
+    // cell A: 6 records from 3 users → k and l both pass.
+    // cell B: 2 records from 1 user → fails both.
+    val events = (
+      (0 until 6).map(i => (i.toLong, ts(1), (i % 3).toLong, "a", 5.00, "{}")) ++
+      Seq((10L, ts(1), 9L, "b", 50.00, "{}"), (11L, ts(1), 9L, "b", 50.00, "{}"))
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val r = operators.Experiments.kAnonymityFromGrid(
+      operators.Experiments.anonymityGrid(events)).collect()
+    val byType = r.map(x => x.getAs[String]("event_type") -> x).toMap
+    assert(byType("a").getAs[Long]("n_records") == 6L)
+    assert(byType("a").getAs[Long]("n_users") == 3L)
+    assert(byType("a").getAs[Boolean]("k_anon_5") && byType("a").getAs[Boolean]("l_div_3"))
+    assert(byType("b").getAs[Long]("n_records") == 2L)
+    assert(byType("b").getAs[Long]("n_users") == 1L)
+    assert(!byType("b").getAs[Boolean]("k_anon_5") && !byType("b").getAs[Boolean]("l_div_3"))
+  }
+
   test("bpe_fertility_by_source: hand-traced bills under the trained merges") {
     import spark.implicits._
     // pooled dict {"aaab": 3 (src A), "ab": 2 (src B)}, rounds = 3
