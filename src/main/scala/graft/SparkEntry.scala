@@ -258,6 +258,8 @@ object SparkEntry {
     "stream_conformal"     -> ((s: SparkSession, d: String) => streaming.ProfileStreams.streamConformal(s, d)),
     "ab_srm_check"         -> Experiments.abSrmCheck _,
     "k_anonymity_check"    -> Experiments.kAnonymityCheck _,
+    "offpolicy_eval"       -> Experiments.offpolicyEval _,
+    "stream_offpolicy"     -> ((s: SparkSession, d: String) => streaming.ProfileStreams.streamOffpolicy(s, d)),
     "stream_k_anonymity"   -> ((s: SparkSession, d: String) => streaming.ProfileStreams.streamKAnonymity(s, d)),
     "stream_ab_srm"        -> ((s: SparkSession, d: String) => streaming.ProfileStreams.streamAbSrm(s, d)),
     "qte_deciles"          -> Experiments.qteDeciles _,
@@ -598,6 +600,7 @@ object SparkEntry {
       "stream_ab_cuped" -> base("ab_cuped"),
       "stream_ab_srm" -> base("ab_srm_check"),
       "stream_k_anonymity" -> base("k_anonymity_check"),
+      "stream_offpolicy" -> base("offpolicy_eval"),
       "stream_qte" -> base("qte_deciles"),
       "stream_stratified_ate" -> base("stratified_ate"),
       "stream_peeking" -> base("ab_peeking_curve"),
@@ -1120,6 +1123,7 @@ object SparkEntry {
     "ab_cuped" -> operators.Experiments.abCupedOracleSql,
     "ab_srm_check" -> operators.Experiments.abSrmOracleSql,
     "k_anonymity_check" -> operators.Experiments.kAnonymityOracleSql,
+    "offpolicy_eval" -> operators.Experiments.offpolicyOracleSql,
     "qte_deciles" -> operators.Experiments.qteOracleSql,
     "stratified_ate" -> operators.Experiments.stratifiedAteOracleSql,
     "ab_peeking_curve" -> operators.Experiments.abPeekingOracleSql,

@@ -401,6 +401,94 @@ object Experiments {
       |FROM f ORDER BY q""".stripMargin
 
   // ---------------------------------------------------------------
+  // Off-policy evaluation (IPS / SNIPS)
+  // ---------------------------------------------------------------
+
+  /** Off-policy evaluation of a TARGET action policy from the logged
+    * event stream (inverse-propensity scoring, Horvitz & Thompson
+    * 1952 via Bottou et al. 2013; self-normalized variant per
+    * Swaminathan & Joachims 2015) — the counterfactual readout a
+    * recommender team wants BEFORE an online test: "what would mean
+    * reward have been under the new action distribution?". Actions =
+    * event types; logging propensity π₀(t) = its empirical share;
+    * target π₁ boosts 'purchase' to probability ½ and splits the
+    * rest uniformly. Reports V_logging (observed mean cents), V_IPS,
+    * V_SNIPS (weight-normalized — the variance-reduced estimator that
+    * tolerates propensity misfit), and the effective sample size
+    * (Σw)²/Σw² — the honesty number that says how many logged events
+    * actually back the counterfactual.
+    *
+    * Exactness: per-type weights/terms are computed once on the
+    * |types|-row sufficient table and quantized to DECIMAL(38,9)
+    * BEFORE the cross-type sums (the `jackknife_ratio` discipline —
+    * double addition order never matters), finals rounded 4dp.
+    *
+    * Shape: one map-side-combinable grid collapse, then |types|-row
+    * arithmetic — collect-free, scale-invariant. */
+  private[graft] def offpolicyFromGrid(grid: DataFrame): DataFrame = {
+    val spark = grid.sparkSession
+    import spark.implicits._
+    val dec = "DECIMAL(38,9)"
+    val types = grid.groupBy($"event_type")
+      .agg(sum(expr("cents * c")).as("s_t"), sum($"c").as("n_t"))
+    val tot = types.agg(count(lit(1)).as("n_types"),
+      sum($"n_t").as("n"), sum($"s_t").as("s"))
+    types.crossJoin(broadcast(tot))
+      .withColumn("pi1", expr(
+        "CASE WHEN event_type = 'purchase' THEN 0.5 " +
+          "WHEN n_types > 1 THEN 0.5 / (n_types - 1) ELSE 0.5 END"))
+      .withColumn("w", expr("pi1 * n / n_t"))
+      .select($"n_types", $"n", $"s",
+        expr(s"CAST(round(CAST(s_t AS DOUBLE) * w, 9) AS $dec)").as("swt"),
+        expr(s"CAST(round(n_t * w, 9) AS $dec)").as("nwt"),
+        expr(s"CAST(round(n_t * w * w, 9) AS $dec)").as("nw2t"))
+      .groupBy($"n_types", $"n", $"s")
+      .agg(sum($"swt").as("sw"), sum($"nwt").as("nw"), sum($"nw2t").as("nw2"))
+      .select($"n", $"n_types",
+        round(expr("CAST(s AS DOUBLE) / n"), 4).as("v_logging"),
+        round(expr("CAST(sw AS DOUBLE) / n"), 4).as("v_ips"),
+        round(expr("CAST(sw AS DOUBLE) / CAST(nw AS DOUBLE)"), 4).as("v_snips"),
+        round(expr("CAST(nw AS DOUBLE) * CAST(nw AS DOUBLE) / CAST(nw2 AS DOUBLE)"), 4)
+          .as("ess"))
+  }
+
+  def offpolicyEval(spark: SparkSession, dir: String): DataFrame =
+    offpolicyFromGrid(Tables.events(spark, dir)
+      .select(col("event_type"), expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+      .groupBy(col("event_type"), col("cents")).agg(count(lit(1)).as("c")))
+
+  /** DuckDB oracle for [[offpolicyEval]] — identical per-type terms,
+    * 1e-9 quantization, and final parenthesization. */
+  val offpolicyOracleSql: String =
+    """WITH g AS (SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents,
+      |                  CAST(count(*) AS BIGINT) AS c
+      |           FROM events GROUP BY 1, 2),
+      |ty AS (SELECT event_type, CAST(sum(cents * c) AS BIGINT) AS s_t,
+      |              CAST(sum(c) AS BIGINT) AS n_t
+      |       FROM g GROUP BY 1),
+      |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_types,
+      |               CAST(sum(n_t) AS BIGINT) AS n, CAST(sum(s_t) AS BIGINT) AS s
+      |        FROM ty),
+      |w AS (SELECT ty.*, tot.n_types, tot.n, tot.s,
+      |             (CASE WHEN event_type = 'purchase' THEN 0.5
+      |                   WHEN tot.n_types > 1 THEN 0.5 / (tot.n_types - 1)
+      |                   ELSE 0.5 END) * tot.n / ty.n_t AS w
+      |      FROM ty CROSS JOIN tot),
+      |q AS (SELECT n_types, n, s,
+      |             CAST(round(CAST(s_t AS DOUBLE) * w, 9) AS DECIMAL(38,9)) AS swt,
+      |             CAST(round(n_t * w, 9) AS DECIMAL(38,9)) AS nwt,
+      |             CAST(round(n_t * w * w, 9) AS DECIMAL(38,9)) AS nw2t
+      |      FROM w),
+      |a AS (SELECT n_types, n, s, sum(swt) AS sw, sum(nwt) AS nw, sum(nw2t) AS nw2
+      |      FROM q GROUP BY 1, 2, 3)
+      |SELECT n, n_types,
+      |       round(CAST(s AS DOUBLE) / n, 4) AS v_logging,
+      |       round(CAST(sw AS DOUBLE) / n, 4) AS v_ips,
+      |       round(CAST(sw AS DOUBLE) / CAST(nw AS DOUBLE), 4) AS v_snips,
+      |       round(CAST(nw AS DOUBLE) * CAST(nw AS DOUBLE) / CAST(nw2 AS DOUBLE), 4) AS ess
+      |FROM a""".stripMargin
+
+  // ---------------------------------------------------------------
   // k-anonymity / l-diversity release gate
   // ---------------------------------------------------------------
 

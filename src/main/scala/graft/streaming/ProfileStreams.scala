@@ -429,6 +429,11 @@ final class TypeCentsState(stateDir: String) {
     graft.operators.Stats.benfordFromCents(
       prior(spark).groupBy(col("cents")).agg(sum(col("c")).as("c")))
 
+  /** Off-policy face: IPS/SNIPS counterfactual evaluation — per-type
+    * sufficient stats are a rollup of the same cents-support grid. */
+  def reportOffpolicy(spark: SparkSession): DataFrame =
+    graft.operators.Experiments.offpolicyFromGrid(prior(spark))
+
   /** Third face: the k-group Kruskal–Wallis omnibus — pooled ranks
     * are a whole-support read over the same additive grid. */
   def reportKruskal(spark: SparkSession): DataFrame =
@@ -900,6 +905,15 @@ object ProfileStreams {
       StreamSources.parquetStream(spark, s"$work/input", maxFilesPerTrigger = 1),
       state.merge)
     state.report(spark)
+  }
+
+  /** Queries entry (oracle: same SQL as `offpolicy_eval`): the SAME
+    * cents-support state as `stream_mann_whitney`, another face. */
+  def streamOffpolicy(spark: SparkSession, dir: String): DataFrame = {
+    val work = graft.GraftCaches.trackTempDir("graft_sops_")
+    val state = new TypeCentsState(s"$work/state")
+    StreamSources.runForeachBatch(StreamSources.events(spark, dir), state.merge)
+    state.reportOffpolicy(spark)
   }
 
   /** Queries entry (oracle: same SQL as `k_anonymity_check`) —

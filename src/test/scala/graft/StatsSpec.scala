@@ -1113,6 +1113,25 @@ class StatsSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
     assert(r.map(_.getAs[Double]("info_frac")).toSeq == Seq(0.5, 1.0))
   }
 
+  test("offpolicy_eval: boosting the high-reward action raises V_IPS above V_logging") {
+    import spark.implicits._
+    // two actions: purchase pays 100, view pays 10; logging plays
+    // each half the time → V_log = 55. Target boosts purchase to
+    // prob 1/2... equal here (T=2 → pi1 uniform = logging) — so use
+    // shares 3:1 against purchase: pi0(purchase)=1/4, w(purchase) =
+    // 0.5/0.25 = 2, w(view) = 0.5/0.75 = 2/3.
+    // V_log = (1·100 + 3·10)/4 = 32.5
+    // V_IPS = (100·2 + 30·2/3)/4 = 220/4 = 55.0
+    // SNIPS: Σw = 1·2 + 3·2/3 = 4 → V_SNIPS = 220/4 = 55.0
+    // ESS = 4²/(1·4 + 3·4/9) = 16/5.333333 = 3.0
+    val grid = Seq(("purchase", 100L, 1L), ("view", 10L, 3L)).toDF("event_type", "cents", "c")
+    val r = operators.Experiments.offpolicyFromGrid(grid).collect()(0)
+    assert(r.getAs[Double]("v_logging") == 32.5)
+    assert(r.getAs[Double]("v_ips") == 55.0)
+    assert(r.getAs[Double]("v_snips") == 55.0)
+    assert(r.getAs[Double]("ess") == 3.0)
+  }
+
   test("k_anonymity_check: a planted lonely cell fails both gates") {
     import spark.implicits._
     // cell A: 6 records from 3 users → k and l both pass.
