@@ -322,7 +322,14 @@ object Bench {
     "qte_deciles" -> 2.537, "stream_qte" -> 4.692,
     "bpe_train" -> 4.525, "stream_bpe_train" -> 7.879,
     "stratified_ate" -> 3.752, "stream_stratified_ate" -> 5.695,
-    "ab_peeking_curve" -> 3.056, "stream_peeking" -> 4.793)
+    "ab_peeking_curve" -> 3.056, "stream_peeking" -> 4.793,
+    // Round-11 third stint, second wave (/tmp/freeze_r11s3b.txt;
+    // canary 6-run median 1.909 vs frozen 1.761 = 1.08x).
+    "random_walks" -> 5.748, "stream_random_walks" -> 7.047,
+    "harmonic_centrality" -> 5.862, "stream_harmonic" -> 7.181,
+    "bpe_fertility_by_source" -> 5.356, "stream_bpe_fertility" -> 8.914,
+    "k_anonymity_check" -> 2.094, "stream_k_anonymity" -> 3.919,
+    "offpolicy_eval" -> 2.436, "stream_offpolicy" -> 4.199)
 
   /** Run ONE query in a fresh JVM (this JVM's own flags + classpath,
     * stderr discarded) and parse its timing out of the child's JSON
