@@ -329,7 +329,10 @@ object Bench {
     "harmonic_centrality" -> 5.862, "stream_harmonic" -> 7.181,
     "bpe_fertility_by_source" -> 5.356, "stream_bpe_fertility" -> 8.914,
     "k_anonymity_check" -> 2.094, "stream_k_anonymity" -> 3.919,
-    "offpolicy_eval" -> 2.436, "stream_offpolicy" -> 4.199)
+    "offpolicy_eval" -> 2.436, "stream_offpolicy" -> 4.199,
+    // betweenness pair (/tmp/freeze_betw.txt; canary 2.125 = 1.21x —
+    // medians are modest upper bounds)
+    "betweenness_centrality" -> 7.810, "stream_betweenness" -> 9.044)
 
   /** Run ONE query in a fresh JVM (this JVM's own flags + classpath,
     * stderr discarded) and parse its timing out of the child's JSON

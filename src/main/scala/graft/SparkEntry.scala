@@ -209,6 +209,8 @@ object SparkEntry {
     "stream_random_walks" -> ((s: SparkSession, d: String) => streaming.GraphStream.streamRandomWalks(s, d)),
     "harmonic_centrality" -> Graph.harmonicCentrality _,
     "stream_harmonic"    -> ((s: SparkSession, d: String) => streaming.GraphStream.streamHarmonic(s, d)),
+    "betweenness_centrality" -> Graph.betweennessItems _,
+    "stream_betweenness" -> ((s: SparkSession, d: String) => streaming.GraphStream.streamBetweenness(s, d)),
     "triangle_count"     -> Graph.triangleCount _,
     "hits_scores"        -> Graph.hitsScores _,
     "communities_lpa"    -> Graph.communitiesLpa _,

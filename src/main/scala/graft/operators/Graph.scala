@@ -404,6 +404,112 @@ object Graph {
   def harmonicCentrality(spark: SparkSession, dir: String): DataFrame =
     harmonicCentralityTransform(edgeTransform(Tables.events(spark, dir), maxItems = 50, topEdges = 800))
 
+  /** Sampled betweenness centrality (Brandes 2001 dependency
+    * accumulation; source-sampled per Brandes & Pich 2007) — the last
+    * classic centrality next to PageRank/Katz/HITS/harmonic: how much
+    * shortest-path TRAFFIC transits a node. Forward phase: BFS from
+    * the seed set with shortest-path counts σ (σ sums over
+    * equal-depth predecessors — map-side combinable). Backward phase,
+    * depth by depth:
+    * {{{ δ(v) += σ(v) · (SCALE + δ(w)) div σ(w)   for each DAG edge v→w }}}
+    * in scaled integer arithmetic (SCALE = 1e9): truncating div makes
+    * the accumulation deterministic and engine-free where float
+    * Brandes depends on summation order. Betweenness(v) =
+    * Σ_sources δ(v), endpoints excluded, reported at the 1e9 scale.
+    *
+    * Rows-only (the depth-peeled backward recurrence has no fixed
+    * relational unrolling — depth is data-dependent); gated by
+    * equality with an independent straight-Scala Brandes running the
+    * identical integer recurrence, plus a hand-checked planted graph.
+    *
+    * Scale shape: both phases are per-depth equi-joins on (s, node)
+    * / edge endpoints, co-partitionable; state is the |S|×|V|
+    * shortest-path DAG (S is the sampling knob); lineage truncated
+    * per depth. */
+  def betweennessTransform(pairs: DataFrame, srcMod: Long = 3L,
+                           maxHops: Int = 8, scale: Long = 1000000000L): DataFrame = {
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    val p = truncateLineage(pairs)
+    val shuffleKey = "spark.sql.shuffle.partitions"
+    val aqeKey = "spark.sql.adaptive.enabled"
+    val prevShuffle = spark.conf.get(shuffleKey)
+    val prevAqe = spark.conf.get(aqeKey)
+    spark.conf.set(shuffleKey, "8")
+    spark.conf.set(aqeKey, "false")
+    val edges = p.select($"item_a".as("src"), $"item_b".as("dst"))
+      .unionByName(p.select($"item_b".as("src"), $"item_a".as("dst")))
+      .persist()
+    try {
+      val seeds = edges.select($"src".as("s")).distinct()
+        .filter($"s" % srcMod === 0L)
+      // ---- forward: BFS with path counts ----
+      var visited = truncateLineage(
+        seeds.select($"s", $"s".as("node"), lit(0L).as("d"), lit(1L).as("sigma")))
+      var frontier = visited
+      var depth = 0
+      var drained = false
+      while (depth < maxHops && !drained) {
+        val t = depth + 1
+        val next = truncateLineage(frontier
+          .join(edges, $"node" === $"src")
+          .select($"s", $"dst".as("node"), $"sigma")
+          .join(visited.select($"s", $"node"), Seq("s", "node"), "left_anti")
+          .groupBy($"s", $"node")
+          .agg(sum($"sigma").as("sigma"))
+          .select($"s", $"node", lit(t.toLong).as("d"), $"sigma"))
+        if (next.isEmpty) drained = true
+        else {
+          visited = truncateLineage(visited.unionByName(next))
+          frontier = next
+          depth = t
+        }
+      }
+      // ---- backward: dependency accumulation, deepest level first ----
+      val maxD = depth
+      // delta table starts all-zero at the deepest level; each pass
+      // computes delta for level t-1 from level t and accrues output
+      var delta = truncateLineage(visited.filter($"d" === maxD.toLong)
+        .select($"s", $"node", lit(0L).as("delta")))
+      val contribs = scala.collection.mutable.ListBuffer.empty[DataFrame]
+      for (t <- maxD to 1 by -1) {
+        val w = visited.filter($"d" === t.toLong)
+          .join(delta, Seq("s", "node"), "left")
+          .na.fill(0L, Seq("delta"))
+          .select($"s".as("ws"), $"node".as("w_node"),
+            $"sigma".as("w_sigma"), $"delta".as("w_delta"))
+        val v = visited.filter($"d" === (t - 1).toLong)
+          .select($"s", $"node".as("v_node"), $"sigma".as("v_sigma"))
+        val nextDelta = truncateLineage(v
+          .join(edges, $"v_node" === $"src")
+          .join(w, $"s" === $"ws" && $"dst" === $"w_node")
+          .select($"s", $"v_node".as("node"),
+            expr(s"(v_sigma * ($scale + w_delta)) div w_sigma").as("c"))
+          .groupBy($"s", $"node")
+          .agg(sum($"c").as("delta")))
+        contribs += nextDelta
+        delta = nextDelta
+      }
+      if (contribs.isEmpty)
+        spark.createDataFrame(java.util.List.of[org.apache.spark.sql.Row](),
+          org.apache.spark.sql.types.StructType.fromDDL(
+            "item BIGINT, betweenness_x9 BIGINT"))
+      else contribs.reduce(_ unionByName _)
+        .filter($"node" =!= $"s") // Brandes excludes the source itself
+        .groupBy($"node".as("item"))
+        .agg(sum($"delta").as("betweenness_x9"))
+        .filter($"betweenness_x9" > 0L)
+        .orderBy($"betweenness_x9".desc, $"item")
+    } finally {
+      spark.conf.set(shuffleKey, prevShuffle)
+      spark.conf.set(aqeKey, prevAqe)
+      edges.unpersist()
+    }
+  }
+
+  def betweennessItems(spark: SparkSession, dir: String): DataFrame =
+    betweennessTransform(edgeTransform(Tables.events(spark, dir), maxItems = 50, topEdges = 800))
+
   /** DuckDB oracle for [[harmonicCentralityTransform]] — BFS rounds
     * unrolled MATERIALIZED with EXCEPT as the first-arrival guard.
     * The oracle always unrolls the full `maxHops`; rounds past the

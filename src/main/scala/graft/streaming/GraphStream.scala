@@ -90,6 +90,10 @@ final class UserItemState(stateDir: String) {
     * presence state. */
   def reportHarmonic(spark: SparkSession): DataFrame =
     graft.operators.Graph.harmonicCentralityTransform(edges(spark))
+
+  /** EIGHTH face: sampled betweenness over the same presence state. */
+  def reportBetweenness(spark: SparkSession): DataFrame =
+    graft.operators.Graph.betweennessTransform(edges(spark))
 }
 
 object GraphStream {
@@ -158,5 +162,17 @@ object GraphStream {
     val state = new UserItemState(s"$work/state")
     StreamSources.runForeachBatch(StreamSources.events(spark, dir), state.merge)
     state.reportHarmonic(spark)
+  }
+
+  /** Queries entry (rows-only like `betweenness_centrality` itself —
+    * the depth-peeled backward recurrence has no fixed relational
+    * unrolling; gated by the stream≡batch parity spec + the batch
+    * operator's Brandes-reference spec): the SAME presence state,
+    * eighth face. */
+  def streamBetweenness(spark: SparkSession, dir: String): DataFrame = {
+    val work = graft.GraftCaches.trackTempDir("graft_sbetw_")
+    val state = new UserItemState(s"$work/state")
+    StreamSources.runForeachBatch(StreamSources.events(spark, dir), state.merge)
+    state.reportBetweenness(spark)
   }
 }

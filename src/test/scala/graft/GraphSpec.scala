@@ -107,6 +107,65 @@ class GraphSpec extends AnyFunSuite {
     assert(Graph.harmonicCentralityTransform(pairs((1L, 2L))).collect().isEmpty)
   }
 
+  /** Independent straight-Scala Brandes with the identical scaled-
+    * integer dependency recurrence (per-edge truncating div, then
+    * sum — matching the distributed grouping exactly). */
+  private def refBetweenness(es: Seq[(Long, Long)], srcMod: Long = 3L,
+                             maxHops: Int = 8,
+                             scale: Long = 1000000000L): Map[Long, Long] = {
+    val adj = (es ++ es.map(e => (e._2, e._1))).groupBy(_._1)
+      .map { case (s, xs) => (s, xs.map(_._2).sorted.toVector) }
+    val acc = scala.collection.mutable.Map.empty[Long, Long]
+    for (s <- adj.keys.toSeq.sorted if s % srcMod == 0) {
+      val dist = scala.collection.mutable.Map(s -> 0)
+      val sigma = scala.collection.mutable.Map(s -> 1L)
+      var frontier = Vector(s)
+      var d = 0
+      while (frontier.nonEmpty && d < maxHops) {
+        val next = scala.collection.mutable.Map.empty[Long, Long]
+        for (v <- frontier; w <- adj(v)) {
+          if (!dist.contains(w)) next(w) = next.getOrElse(w, 0L) + sigma(v)
+        }
+        d += 1
+        next.foreach { case (w, sg) => dist(w) = d; sigma(w) = sg }
+        frontier = next.keys.toVector
+      }
+      val maxD = if (dist.isEmpty) 0 else dist.values.max
+      val delta = scala.collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+      for (t <- maxD to 1 by -1) {
+        for (v <- dist.keys if dist(v) == t - 1; w <- adj(v) if dist.get(w).contains(t))
+          delta(v) = delta(v) + sigma(v) * (scale + delta(w)) / sigma(w)
+      }
+      for ((v, dl) <- delta if v != s) acc(v) = acc.getOrElse(v, 0L) + dl
+    }
+    acc.filter(_._2 > 0L).toMap
+  }
+
+  test("betweenness: path graph hand values — interior nodes carry all traffic") {
+    // path 0-1-2-3, seeds {0, 3}: from each end the two interior
+    // nodes accumulate delta 2e9 and 1e9 → both total 3e9; endpoints
+    // are sources/leaves and drop out.
+    val out = Graph.betweennessTransform(pairs((0L, 1L), (1L, 2L), (2L, 3L)))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.toSeq == Seq((1L, 3000000000L), (2L, 3000000000L)))
+  }
+
+  test("betweenness equals the straight-Scala Brandes reference on random graphs") {
+    val rnd = new scala.util.Random(7)
+    for (trial <- 1 to 3) {
+      val n = 12 + trial * 3
+      val es = (for {
+        a <- 0L until n
+        b <- (a + 1) until n
+        if rnd.nextDouble() < 0.25
+      } yield (a, b)).toSeq
+      val expect = refBetweenness(es)
+      val got = Graph.betweennessTransform(pairs(es: _*))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      assert(got == expect, s"trial $trial: got=$got expect=$expect")
+    }
+  }
+
   test("katz: one exact integer round on a star; hub-adjacency ranking after eight") {
     // star 1-{2,3,4} plus disjoint edge 5-6, scale=1e9, alpha=1/64.
     // Round 1: x(1) = 1e9 + 3e9 div 64 = 1_046_875_000

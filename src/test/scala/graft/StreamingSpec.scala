@@ -1245,6 +1245,10 @@ class StreamingSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
     assert(rows("stream_bpe_fertility") == rows("bpe_fertility_by_source"))
   }
 
+  test("stream_betweenness equals batch betweenness_centrality") {
+    assert(rows("stream_betweenness") == rows("betweenness_centrality"))
+  }
+
   test("markov attribution state: journey truncation across batches, replay guard, resume") {
     import org.apache.spark.sql.functions.{col, to_timestamp}
     import graft.streaming.MarkovAttrState
