@@ -416,7 +416,7 @@ object Bench {
     // row, sf0.1 only — the frozen table is an sf0.1 table) get a
     // 3-fresh-JVM isolated re-run, median recorded. Skipped when the
     // bench was invoked for specific queries (that IS the child).
-    val isolated = scala.collection.mutable.LinkedHashMap.empty[String, (Double, Seq[Double], Double)]
+    val isolated = scala.collection.mutable.LinkedHashMap.empty[String, (Double, Seq[Double], Double, Int)]
     var canary: Option[(Double, Seq[Double])] = None
     // True median: even-sized run sets (one of 3 children failed)
     // average the middle two — sorted(n/2) would pick the MAX of 2,
@@ -448,8 +448,20 @@ object Bench {
         case (n, t) if frozenSf01.get(n).exists(f => t > 1.5 * f * hostFactor) => n
       }
       flaggedQ.foreach { name =>
-        val runs = (1 to 3).flatMap(_ => isolatedRun(name, sfDir, cpus))
-        if (runs.nonEmpty) isolated(name) = (median(runs), runs, frozenSf01(name))
+        // Page-cache hardening (round-11 verdict task 6): queries
+        // whose frozen cost is dominated by an eager index build
+        // (frozen > 10 s) are hypersensitive to cold-cache state —
+        // containment_pairs' isolated runs spread [16.8, 35.0, 47.3]
+        // on a 1.07× canary. For those, one UNMEASURED warm-up child
+        // primes the page cache (parquet bytes + JIT profile data on
+        // disk), then median-of-5 instead of median-of-3; the warm-up
+        // count is recorded in the JSON so the protocol is auditable.
+        val heavy = frozenSf01(name) > 10.0
+        val warmups = if (heavy) 1 else 0
+        (1 to warmups).foreach(_ => isolatedRun(name, sfDir, cpus))
+        val nRuns = if (heavy) 5 else 3
+        val runs = (1 to nRuns).flatMap(_ => isolatedRun(name, sfDir, cpus))
+        if (runs.nonEmpty) isolated(name) = (median(runs), runs, frozenSf01(name), warmups)
       }
     }
     def q(s: String): String = "\"" + s.flatMap {
@@ -462,8 +474,8 @@ object Bench {
       else ",\"errors\":" + errors.map { case (k, v) => s"${q(k)}:${q(v)}" }.mkString("{", ",", "}")
     val isoJson =
       if (isolated.isEmpty) ""
-      else ",\"isolated\":" + isolated.map { case (k, (med, runs, froz)) =>
-        s"${q(k)}:{" + s""""median":$med,"runs":[${runs.mkString(",")}],"frozen":$froz}"""
+      else ",\"isolated\":" + isolated.map { case (k, (med, runs, froz, warm)) =>
+        s"${q(k)}:{" + s""""median":$med,"runs":[${runs.mkString(",")}],"frozen":$froz,"warmups":$warm}"""
       }.mkString("{", ",", "}")
     val canaryJson = canary.map { case (med, runs) =>
       val froz = frozenSf01(canaryName)

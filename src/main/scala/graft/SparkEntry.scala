@@ -453,6 +453,8 @@ object SparkEntry {
     "ann_topk"           -> ((s: SparkSession, d: String) => VectorOps.annTopK(s, d)),
     "hybrid_rrf_topk"    -> ((s: SparkSession, d: String) => VectorOps.hybridRrfTopK(s, d)),
     "stream_hybrid_rrf"  -> ((s: SparkSession, d: String) => streaming.ProfileStreams.streamHybridRrf(s, d)),
+    "stream_hybrid_rrf_tombstone" -> ((s: SparkSession, d: String) =>
+      streaming.ProfileStreams.streamHybridRrfTombstone(s, d)),
     "ann_lsh_topk"       -> ((s: SparkSession, d: String) => VectorOps.annLshTopK(s, d)),
     "ann_ivf_topk"       -> ((s: SparkSession, d: String) => VectorOps.annIvfTopK(s, d)),
     "ann_pq_topk"        -> ((s: SparkSession, d: String) => VectorOps.annPqTopK(s, d)),
@@ -1597,6 +1599,11 @@ object SparkEntry {
     "edit_distance_pairs" -> operators.TextOps.editDistanceOracleSql(),
     "bm25_topk" -> operators.TextOps.bm25OracleSql(),
     "hybrid_rrf_topk" -> operators.VectorOps.hybridRrfOracleSql(),
+    // tombstone face: oracle = the SAME fusion SQL over the live
+    // (retraction-compacted) corpus — the 10a' pattern applied to a
+    // serving index
+    "stream_hybrid_rrf_tombstone" ->
+      operators.VectorOps.hybridRrfOracleSql(live = "NOT ({col} % 7 = 3)"),
     "sample_k_per_group" -> operators.Sampling.sampleKPerGroupOracleSql(),
     "weighted_sample" -> operators.Sampling.weightedSampleOracleSql(),
 

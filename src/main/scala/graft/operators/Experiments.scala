@@ -25,19 +25,36 @@ object Experiments {
   // CUPED
   // ---------------------------------------------------------------
 
+  /** The experiment's pre/post boundary: corpus start + 15 days — a
+    * FIXED cutoff timestamp, not a day-of-month test (a
+    * `dayofmonth(ts) <= 15` boundary silently resets every calendar
+    * month, interleaving each month's first half into the "pre"
+    * covariate on multi-month data). One-row driver probe (the
+    * documented one-row-normalizer pattern); on a real platform this
+    * is configuration — the experiment's start date — known a priori,
+    * which is also why the streaming twin can take it as a
+    * constructor parameter without breaking per-batch additivity. */
+  private[graft] def preCutoff(events: DataFrame): java.sql.Timestamp = {
+    val m = events.agg(min(col("ts"))).head.getTimestamp(0)
+    java.sql.Timestamp.from(m.toInstant.plus(java.time.Duration.ofDays(15)))
+  }
+
   /** Per-user pre/post-period value sums in exact cents — the
     * experiment's unit-level table: arm assignment is a deterministic
     * hash of the unit id (here `user_id % 2`, the parity bucketing a
     * real platform replaces with a salted hash), the covariate X is
-    * the user's PRE-period spend (days 1-15, before "the experiment
-    * started"), the metric Y the POST-period spend (days 16+).
-    * Additive under any event batching — the streaming twin's state.
+    * the user's PRE-period spend (`ts < cutoff`, before "the
+    * experiment started"), the metric Y the POST-period spend
+    * (`ts >= cutoff`). Period membership is a pure function of the
+    * event's own timestamp against the fixed cutoff, so the grid is
+    * additive under any event batching — the streaming twin's state.
     */
-  private[graft] def userPrePost(events: DataFrame): DataFrame =
+  private[graft] def userPrePost(events: DataFrame,
+                                 cutoff: java.sql.Timestamp): DataFrame =
     events
       .select(col("user_id"),
         expr("CAST(round(value * 100) AS BIGINT)").as("cents"),
-        (dayofmonth(col("ts")) <= 15).as("is_pre"))
+        (col("ts") < lit(cutoff)).as("is_pre"))
       .groupBy(col("user_id"))
       .agg(sum(when(col("is_pre"), col("cents")).otherwise(0L)).as("pre_cents"),
         sum(when(!col("is_pre"), col("cents")).otherwise(0L)).as("post_cents"))
@@ -94,16 +111,20 @@ object Experiments {
       .orderBy($"arm")
   }
 
-  def abCuped(spark: SparkSession, dir: String): DataFrame =
-    cupedFromUsers(userPrePost(Tables.events(spark, dir)))
+  def abCuped(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    cupedFromUsers(userPrePost(ev, preCutoff(ev)))
+  }
 
   /** DuckDB oracle for [[abCuped]] — identical sufficient statistics
-    * and the identical final-division parenthesization. */
+    * and the identical final-division parenthesization; the pre/post
+    * cutoff mirrors [[preCutoff]]: min(ts) + 15 days. */
   val abCupedOracleSql: String =
-    """WITH u AS (SELECT user_id,
-      |  CAST(sum(CASE WHEN EXTRACT(day FROM CAST(ts AS TIMESTAMP)) <= 15
+    """WITH cut AS (SELECT min(CAST(ts AS TIMESTAMP)) + INTERVAL 15 DAY AS c FROM events),
+      |u AS (SELECT user_id,
+      |  CAST(sum(CASE WHEN CAST(ts AS TIMESTAMP) < (SELECT c FROM cut)
       |           THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END) AS BIGINT) AS x,
-      |  CAST(sum(CASE WHEN EXTRACT(day FROM CAST(ts AS TIMESTAMP)) > 15
+      |  CAST(sum(CASE WHEN CAST(ts AS TIMESTAMP) >= (SELECT c FROM cut)
       |           THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END) AS BIGINT) AS y
       |  FROM events GROUP BY 1),
       |pooled AS (SELECT CAST(count(*) AS BIGINT) AS n,
@@ -217,16 +238,20 @@ object Experiments {
       .orderBy($"stratum")
   }
 
-  def stratifiedAte(spark: SparkSession, dir: String): DataFrame =
-    stratifiedAteFromUsers(userPrePost(Tables.events(spark, dir)))
+  def stratifiedAte(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    stratifiedAteFromUsers(userPrePost(ev, preCutoff(ev)))
+  }
 
   /** DuckDB oracle for [[stratifiedAte]] — plain row_number rank
-    * (the semantics GlobalRank reproduces distributed). */
+    * (the semantics GlobalRank reproduces distributed); pre/post
+    * cutoff mirrors [[preCutoff]]: min(ts) + 15 days. */
   val stratifiedAteOracleSql: String =
-    """WITH u AS (SELECT user_id,
-      |  CAST(sum(CASE WHEN EXTRACT(day FROM CAST(ts AS TIMESTAMP)) <= 15
+    """WITH cut AS (SELECT min(CAST(ts AS TIMESTAMP)) + INTERVAL 15 DAY AS c FROM events),
+      |u AS (SELECT user_id,
+      |  CAST(sum(CASE WHEN CAST(ts AS TIMESTAMP) < (SELECT c FROM cut)
       |           THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END) AS BIGINT) AS x,
-      |  CAST(sum(CASE WHEN EXTRACT(day FROM CAST(ts AS TIMESTAMP)) > 15
+      |  CAST(sum(CASE WHEN CAST(ts AS TIMESTAMP) >= (SELECT c FROM cut)
       |           THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END) AS BIGINT) AS y
       |  FROM events GROUP BY 1),
       |r AS (SELECT user_id % 2 AS arm, y,
@@ -503,7 +528,14 @@ object Experiments {
       .select(col("event_type"),
         // Spark dayofweek: 1=Sunday; −1 aligns with DuckDB's dow (0=Sunday)
         (dayofweek(col("ts")) - 1).cast("long").as("dow"),
-        expr("CAST(round(value * 100) AS BIGINT) div 1000").as("cents_bucket"),
+        // Floor division via the pmod shift: Spark's `div` truncates
+        // toward zero while DuckDB's `//` floors, so a bare `div 1000`
+        // would assign negative values (refunds) to a different QI
+        // cell than the oracle. (cents − pmod(cents,1000)) is the
+        // largest multiple of 1000 ≤ cents, exact in BIGINT.
+        expr("""(CAST(round(value * 100) AS BIGINT)
+               | - pmod(CAST(round(value * 100) AS BIGINT), 1000)) div 1000"""
+          .stripMargin).as("cents_bucket"),
         col("user_id"))
       .groupBy(col("event_type"), col("dow"), col("cents_bucket"), col("user_id"))
       .agg(count(lit(1)).as("c"))

@@ -354,6 +354,16 @@ object Graph {
     * is (seed × reached-node) pairs — |S|·|V| worst case, the
     * documented cost of sampled closeness (S is the knob). Lineage
     * truncated per round.
+    *
+    * Choosing `srcMod`: seeds are the ~1/srcMod slice of nodes with
+    * id ≡ 0 (mod srcMod), so cost scales linearly in 1/srcMod while
+    * the estimator's error shrinks as O(1/√|S|) (Eppstein & Wang).
+    * The suite's sampling-adequacy gate (GraphSpec "sampled heads
+    * stay inside the exact head") pins the practical contract: the
+    * sampled top-5 must stay inside the exact top-10 and densifying
+    * the sample must never lose head accuracy — if a target graph
+    * fails that check at your chosen density, lower srcMod until it
+    * holds.
     */
   def harmonicCentralityTransform(pairs: DataFrame, srcMod: Long = 3L,
                                   maxHops: Int = 8): DataFrame = {
@@ -425,7 +435,14 @@ object Graph {
     * Scale shape: both phases are per-depth equi-joins on (s, node)
     * / edge endpoints, co-partitionable; state is the |S|×|V|
     * shortest-path DAG (S is the sampling knob); lineage truncated
-    * per depth. */
+    * per depth.
+    *
+    * Choosing `srcMod`: same contract as
+    * [[harmonicCentralityTransform]] — cost linear in 1/srcMod,
+    * error O(1/√|S|) (Brandes & Pich 2007); the GraphSpec
+    * sampling-adequacy gate anchors the sampled heads (srcMod 3 and
+    * 2) against the exact srcMod=1 ranking — the check to re-run at
+    * your density on a new graph shape. */
   def betweennessTransform(pairs: DataFrame, srcMod: Long = 3L,
                            maxHops: Int = 8, scale: Long = 1000000000L): DataFrame = {
     val spark = pairs.sparkSession

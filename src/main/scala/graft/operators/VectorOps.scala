@@ -1396,11 +1396,16 @@ object VectorOps {
   }
 
   /** DuckDB oracle for [[hybridRrfTopK]] — identical BM25 integer
-    * recurrence, 4dp cosine grid, and RRF arithmetic. */
-  def hybridRrfOracleSql(nQueries: Int = 3, pool: Int = 50, topN: Int = 10): String =
+    * recurrence, 4dp cosine grid, and RRF arithmetic. `live` is an
+    * extra corpus predicate (`{col}` substituted per side) — the
+    * tombstone face passes the retraction slice's complement so the
+    * oracle runs over the tombstone-compacted live corpus. */
+  def hybridRrfOracleSql(nQueries: Int = 3, pool: Int = 50, topN: Int = 10,
+                         live: String = "TRUE"): String =
     s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
        |docs AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS dl, ws FROM d),
-       |corpus AS (SELECT * FROM docs WHERE doc_id >= $nQueries),
+       |corpus AS (SELECT * FROM docs WHERE doc_id >= $nQueries
+       |           AND ${live.replace("{col}", "doc_id")}),
        |qt AS (SELECT DISTINCT docs.doc_id AS query_id, u.term AS term
        |       FROM docs, unnest(ws) AS u(term) WHERE doc_id < $nQueries),
        |stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
@@ -1426,6 +1431,7 @@ object VectorOps {
        |                            b.vec_id) AS BIGINT) AS dense_rank
        |          FROM embeddings a JOIN embeddings b
        |            ON a.vec_id < $nQueries AND b.vec_id >= $nQueries
+       |            AND ${live.replace("{col}", "b.vec_id")}
        |          QUALIFY dense_rank <= $pool),
        |f AS (SELECT query_id, doc_id,
        |             CAST(COALESCE(1000000 // (60 + dense_rank), 0)

@@ -532,11 +532,14 @@ final class UserRfmState(stateDir: String) {
 
 /** Per-user (pre_cents, post_cents) CUPED state — both columns are
   * sums of per-batch sums (the event's period membership is a pure
-  * function of its own timestamp), so the grid merges additively
-  * under any batching/replay order; |users| rows, hash-sharded.
+  * function of its own timestamp against the FIXED `cutoff`, which is
+  * what keeps the grid additive: a data-derived boundary would shift
+  * as batches arrive), so the grid merges additively under any
+  * batching/replay order; |users| rows, hash-sharded. On a real
+  * platform `cutoff` is configuration — the experiment start date.
   * Report = [[graft.operators.Experiments.cupedFromUsers]], the batch
   * operator's own derivation (parity by shared code). */
-final class UserPrePostState(stateDir: String) {
+final class UserPrePostState(stateDir: String, cutoff: java.sql.Timestamp) {
   @volatile private var version: Long = StreamUtil.latestVersion(stateDir)
 
   private def prior(spark: SparkSession): DataFrame =
@@ -548,7 +551,7 @@ final class UserPrePostState(stateDir: String) {
   def merge(batch: Dataset[Row], batchId: Long): Unit = {
     if (batchId <= version) return
     val spark = batch.sparkSession
-    val partial = graft.operators.Experiments.userPrePost(batch.toDF())
+    val partial = graft.operators.Experiments.userPrePost(batch.toDF(), cutoff)
     val merged = prior(spark).unionByName(partial)
       .groupBy(col("user_id"))
       .agg(sum(col("pre_cents")).as("pre_cents"),
@@ -815,7 +818,8 @@ object ProfileStreams {
     * additive per-user (pre, post) sums. */
   def streamAbCuped(spark: SparkSession, dir: String): DataFrame = {
     val work = graft.GraftCaches.trackTempDir("graft_scuped_")
-    val state = new UserPrePostState(s"$work/state")
+    val cutoff = graft.operators.Experiments.preCutoff(graft.sources.Tables.events(spark, dir))
+    val state = new UserPrePostState(s"$work/state", cutoff)
     StreamSources.runForeachBatch(StreamSources.events(spark, dir), state.merge)
     state.report(spark)
   }
@@ -825,7 +829,8 @@ object ProfileStreams {
     * census the SRM gate counts. */
   def streamAbSrm(spark: SparkSession, dir: String): DataFrame = {
     val work = graft.GraftCaches.trackTempDir("graft_ssrm_")
-    val state = new UserPrePostState(s"$work/state")
+    val cutoff = graft.operators.Experiments.preCutoff(graft.sources.Tables.events(spark, dir))
+    val state = new UserPrePostState(s"$work/state", cutoff)
     StreamSources.runForeachBatch(StreamSources.events(spark, dir), state.merge)
     state.reportSrm(spark)
   }
@@ -843,7 +848,8 @@ object ProfileStreams {
     * per-user CUPED state, third face — strata re-rank at report. */
   def streamStratifiedAte(spark: SparkSession, dir: String): DataFrame = {
     val work = graft.GraftCaches.trackTempDir("graft_ssate_")
-    val state = new UserPrePostState(s"$work/state")
+    val cutoff = graft.operators.Experiments.preCutoff(graft.sources.Tables.events(spark, dir))
+    val state = new UserPrePostState(s"$work/state", cutoff)
     StreamSources.runForeachBatch(StreamSources.events(spark, dir), state.merge)
     state.reportStratifiedAte(spark)
   }
@@ -940,18 +946,54 @@ object ProfileStreams {
   }
 
   /** Queries entry (oracle: same SQL as `hybrid_rrf_topk`): documents
-    * joined 1:1 with their embeddings, staged as 4 files; the
-    * inverted index and the vector store accrue per micro-batch and
-    * serving re-derives everything from the final index. */
+    * FULL-OUTER joined with their embeddings (the batch operator
+    * consumes the two tables independently, so the staging must not
+    * drop a doc that lacks an embedding row or vice versa — an inner
+    * join here would silently break stream≡batch≡oracle parity on
+    * any id asymmetry; [[HybridIndexState.merge]] routes the two
+    * null-tolerant halves to their own delta stores), staged as 4
+    * files; the inverted index and the vector store accrue per
+    * micro-batch and serving re-derives everything from the final
+    * index. */
   def streamHybridRrf(spark: SparkSession, dir: String, nQueries: Int = 3,
                       nFiles: Int = 4): DataFrame = {
     val work = graft.GraftCaches.trackTempDir("graft_shyb_")
     graft.sources.Tables.documents(spark, dir).select(col("doc_id"), col("text"))
       .join(graft.sources.Tables.embeddings(spark, dir)
-        .select(col("vec_id").as("doc_id"), col("embedding")), Seq("doc_id"))
+        .select(col("vec_id").as("doc_id"), col("embedding")), Seq("doc_id"), "full_outer")
       .repartition(nFiles)
       .write.mode("overwrite").parquet(s"$work/input")
     val state = new HybridIndexState(s"$work/state", nQueries)
+    StreamSources.runForeachBatch(
+      StreamSources.parquetStream(spark, s"$work/input", maxFilesPerTrigger = 1),
+      state.merge)
+    state.report(spark)
+  }
+
+  /** Queries entry (oracle: the hybrid fusion SQL over the tombstone-
+    * compacted live corpus): the retraction face — the staged stream
+    * carries upserts for every doc AND a delete op for each corpus
+    * doc with `doc_id % 7 == 3` (a deterministic retraction slice);
+    * the serving index masks tombstoned docs, so the report equals
+    * the batch operator run on the corpus WITHOUT them. Delete-wins
+    * semantics keep the staging order-free (deletes land in their own
+    * trailing rows but would compact identically in any order). */
+  def streamHybridRrfTombstone(spark: SparkSession, dir: String, nQueries: Int = 3,
+                               nFiles: Int = 4): DataFrame = {
+    val work = graft.GraftCaches.trackTempDir("graft_shybt_")
+    val ups = graft.sources.Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+      .join(graft.sources.Tables.embeddings(spark, dir)
+        .select(col("vec_id").as("doc_id"), col("embedding")), Seq("doc_id"), "full_outer")
+      .withColumn("op", lit("u"))
+    val dels = graft.sources.Tables.documents(spark, dir)
+      .filter(col("doc_id") >= nQueries && col("doc_id") % 7 === 3)
+      .select(col("doc_id"),
+        lit(null).cast("string").as("text"),
+        lit(null).cast("array<float>").as("embedding"),
+        lit("d").as("op"))
+    ups.unionByName(dels).repartition(nFiles)
+      .write.mode("overwrite").parquet(s"$work/input")
+    val state = new HybridTombstoneState(s"$work/state", nQueries)
     StreamSources.runForeachBatch(
       StreamSources.parquetStream(spark, s"$work/input", maxFilesPerTrigger = 1),
       state.merge)
@@ -1351,18 +1393,35 @@ final class SourceWordState(stateDir: String) {
   * derive from the accrued index through the batch operator's own
   * fusion core ([[graft.operators.VectorOps.hybridFromIndex]]).
   * Both stores are append-only because docs are immutable and
-  * batches id-disjoint (the corpus-scale append discipline). */
+  * batches id-disjoint (the corpus-scale append discipline).
+  * Replay guard = MIN over BOTH delta stores: the state writes two
+  * tables per batch (post, then emb), so guarding on either one
+  * alone inverts the delta layer's "guard written LAST" rule for
+  * the other — a crash between the two writeDelta calls would leave
+  * post/batch=N committed with no emb/batch=N, and a post-seeded
+  * guard would skip the replay, silently losing that batch's
+  * embeddings. min() makes an interrupted batch look uncommitted,
+  * so it replays into the idempotent mode-overwrite delta dirs. */
 final class HybridIndexState(stateDir: String, nQueries: Int) {
-  @volatile private var version: Long = StreamUtil.latestDelta(s"$stateDir/post")
+  @volatile private var version: Long = math.min(
+    StreamUtil.latestDelta(s"$stateDir/post"),
+    StreamUtil.latestDelta(s"$stateDir/emb"))
 
   def merge(batch: Dataset[Row], batchId: Long): Unit = {
     if (batchId <= version) return
     val df = batch.toDF()
+    // Null-tolerant halves: the staging full-outer-joins docs to
+    // embeddings, so a doc with no embedding (null embedding) still
+    // feeds the sparse index, and an embedding with no doc (null
+    // text) still feeds the vector store — matching the batch
+    // operator, which reads the two tables independently.
     StreamUtil.writeDelta(
-      graft.operators.VectorOps.hybridPostings(df.select(col("doc_id"), col("text"))),
+      graft.operators.VectorOps.hybridPostings(
+        df.filter(col("text").isNotNull).select(col("doc_id"), col("text"))),
       s"$stateDir/post", batchId, Seq("doc_id"))
     StreamUtil.writeDelta(
-      df.select(col("doc_id").as("vec_id"), col("embedding")),
+      df.filter(col("embedding").isNotNull)
+        .select(col("doc_id").as("vec_id"), col("embedding")),
       s"$stateDir/emb", batchId, Seq("vec_id"))
     version = batchId
   }
@@ -1374,6 +1433,68 @@ final class HybridIndexState(stateDir: String, nQueries: Int) {
       StreamUtil.readDeltas(spark, s"$stateDir/emb",
         "vec_id BIGINT, embedding ARRAY<FLOAT>", version),
       nQueries)
+}
+
+/** Streaming hybrid-retrieval index WITH RETRACTIONS — the
+  * [[HybridIndexState]] serve-while-ingesting shape extended with the
+  * CDC family's tombstone discipline ([[CdcCompact]] 10a' semantics
+  * — reference src/process.py:189's changelog-stream delete handling
+  * applied to a serving index instead of a sink): each
+  * micro-batch row carries an `op` column — 'u' rows delta-append
+  * their postings and embedding exactly as the append-only face
+  * does; 'd' rows delta-append the doc_id to a third, tombstone
+  * store. Serving masks both stores through a tombstone anti-join,
+  * so a retracted doc LEAVES the serving index; the batch oracle is
+  * the same fusion SQL over the tombstone-compacted live corpus.
+  *
+  * Semantics are delete-wins (tombstone-forever): a tombstone
+  * removes the doc no matter the arrival order, which keeps every
+  * store order-free and idempotent — the same commutativity
+  * discipline as the additive grids, and what makes crash-replay
+  * safe without sequence numbers. Replay guard = MIN over all THREE
+  * delta stores (the [[HybridIndexState]] rule): an interrupted
+  * batch looks uncommitted and replays into mode-overwrite dirs.
+  *
+  * Scale shape: the tombstone set is retraction-scale (≪ corpus);
+  * the masks are doc_id equi-anti-joins against delta stores that
+  * are already hash-sharded on doc_id. At warehouse scale a
+  * compaction job would periodically rewrite the post/emb deltas
+  * minus the tombstone set and truncate the tombstone store — the
+  * serving read is unchanged either way. */
+final class HybridTombstoneState(stateDir: String, nQueries: Int) {
+  @volatile private var version: Long = Seq("post", "emb", "tomb")
+    .map(t => StreamUtil.latestDelta(s"$stateDir/$t")).min
+
+  def merge(batch: Dataset[Row], batchId: Long): Unit = {
+    if (batchId <= version) return
+    val df = batch.toDF()
+    val ups = df.filter(col("op") === "u")
+    StreamUtil.writeDelta(
+      graft.operators.VectorOps.hybridPostings(
+        ups.filter(col("text").isNotNull).select(col("doc_id"), col("text"))),
+      s"$stateDir/post", batchId, Seq("doc_id"))
+    StreamUtil.writeDelta(
+      ups.filter(col("embedding").isNotNull)
+        .select(col("doc_id").as("vec_id"), col("embedding")),
+      s"$stateDir/emb", batchId, Seq("vec_id"))
+    StreamUtil.writeDelta(
+      df.filter(col("op") === "d").select(col("doc_id")).distinct(),
+      s"$stateDir/tomb", batchId, Seq("doc_id"))
+    version = batchId
+  }
+
+  def report(spark: SparkSession): DataFrame = {
+    val tomb = StreamUtil.readDeltas(spark, s"$stateDir/tomb",
+      "doc_id BIGINT", version)
+    graft.operators.VectorOps.hybridFromIndex(
+      StreamUtil.readDeltas(spark, s"$stateDir/post",
+        "doc_id BIGINT, dl BIGINT, term STRING, tf BIGINT", version)
+        .join(tomb, Seq("doc_id"), "left_anti"),
+      StreamUtil.readDeltas(spark, s"$stateDir/emb",
+        "vec_id BIGINT, embedding ARRAY<FLOAT>", version)
+        .join(tomb.select(col("doc_id").as("vec_id")), Seq("vec_id"), "left_anti"),
+      nQueries)
+  }
 }
 
 /** Streaming Naive-Bayes training state —

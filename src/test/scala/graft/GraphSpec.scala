@@ -166,6 +166,46 @@ class GraphSpec extends AnyFunSuite {
     }
   }
 
+  test("sampled centralities: sampled heads stay inside the exact head, denser never worse") {
+    // Sampling-adequacy pin (round-11 verdict task 5): the gates
+    // above prove the sampled recurrences are computed EXACTLY; this
+    // pins what the sampling knob COSTS. Two assertions per
+    // centrality on three random graphs:
+    //  (1) the sampled top-5 keeps ≥3 members inside the EXACT
+    //      (srcMod=1, every node a source) top-10 — the estimate's
+    //      head is a subset-with-noise of the true head, not a
+    //      different ranking (observed 4-5 of 5 on these graphs;
+    //      3 is the alarm floor);
+    //  (2) doubling the seed density (srcMod 3 → 2) never captures
+    //      FEWER true-head members — the knob buys accuracy
+    //      monotonically, which is the property a user tunes against.
+    // (Head overlap BETWEEN two sparse samples was measured too and
+    // is NOT stable on 30-node graphs — two ~10-seed estimates can
+    // legitimately disagree at the head while both track the exact
+    // ranking; anchoring on exact is the well-posed form.)
+    val rnd = new scala.util.Random(11)
+    for (trial <- 1 to 3) {
+      val n = 24 + trial * 4
+      val es = (for {
+        a <- 0L until n
+        b <- (a + 1) until n
+        if rnd.nextDouble() < 0.18
+      } yield (a, b)).toSeq
+      def top(df: DataFrame, k: Int): Set[Long] =
+        df.collect().take(k).map(_.getLong(0)).toSet
+      def check(name: String, fn: Long => DataFrame): Unit = {
+        val exact10 = top(fn(1L), 10)
+        val in3 = (top(fn(3L), 5) & exact10).size
+        val in2 = (top(fn(2L), 5) & exact10).size
+        assert(in3 >= 3, s"trial $trial $name: srcMod3 head holds only $in3 of exact top-10")
+        assert(in2 >= 3, s"trial $trial $name: srcMod2 head holds only $in2 of exact top-10")
+        assert(in2 >= in3, s"trial $trial $name: densifying LOST head accuracy ($in3 -> $in2)")
+      }
+      check("betweenness", m => Graph.betweennessTransform(pairs(es: _*), srcMod = m))
+      check("harmonic", m => Graph.harmonicCentralityTransform(pairs(es: _*), srcMod = m))
+    }
+  }
+
   test("katz: one exact integer round on a star; hub-adjacency ranking after eight") {
     // star 1-{2,3,4} plus disjoint edge 5-6, scale=1e9, alpha=1/64.
     // Round 1: x(1) = 1e9 + 3e9 div 64 = 1_046_875_000

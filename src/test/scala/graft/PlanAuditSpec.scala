@@ -53,6 +53,7 @@ class PlanAuditSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
     "decontaminate_semantic" -> "broadcasts the nEval=20-row eval/benchmark side (the ann_topk shape); corpus streams map-side with partial aggregation",
     "hybrid_rrf_topk" -> "dense side broadcasts the nQueries=3-row query-vector side (the ann_topk shape); corpus streams map-side, sparse side is an inverted-index equi-join",
     "stream_hybrid_rrf" -> "same fusion core as hybrid_rrf_topk over the accrued index — the nQueries-row query-vector broadcast is the only BNLJ",
+    "stream_hybrid_rrf_tombstone" -> "same fusion core over the tombstone-masked index — the nQueries-row query-vector broadcast is the only BNLJ",
     // semantic_clusters needs NO entry: its pair generation (the
     // embedding_neardup BNLJ, allowlisted above) executes eagerly
     // inside the memoized label construction; the returned plan joins

@@ -1003,6 +1003,25 @@ class StatsSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
     assert(r(0).getAs[Double]("alpha") == 0.2895)
   }
 
+  test("ab_cuped pre-period: fixed min(ts)+15d cutoff survives a two-month corpus") {
+    import spark.implicits._
+    // Two months of events for one user: the corpus starts Jan 1, so
+    // the pre-period is [Jan 1, Jan 16). A Feb 10 event has
+    // dayofmonth = 10 <= 15 — the old calendar-resetting boundary
+    // would misfile it as "pre"; the fixed cutoff keeps it in post.
+    val ev = Seq(
+      (1L, Timestamp.valueOf("2024-01-01 00:00:00"), 1.00), // pre (corpus start)
+      (1L, Timestamp.valueOf("2024-01-15 23:00:00"), 2.00), // pre (< Jan 16 00:00)
+      (1L, Timestamp.valueOf("2024-01-16 00:00:00"), 4.00), // post (boundary is exclusive)
+      (1L, Timestamp.valueOf("2024-02-10 00:00:00"), 8.00)  // post — the regression case
+    ).toDF("user_id", "ts", "value")
+    val cutoff = operators.Experiments.preCutoff(ev)
+    assert(cutoff == Timestamp.valueOf("2024-01-16 00:00:00"))
+    val r = operators.Experiments.userPrePost(ev, cutoff).collect()(0)
+    assert(r.getAs[Long]("pre_cents") == 300L)
+    assert(r.getAs[Long]("post_cents") == 1200L)
+  }
+
   test("ab_srm_check: balanced census passes, a 9:1 skew raises the loud alarm") {
     import spark.implicits._
     val balanced = (0L until 10L).toDF("user_id")
@@ -1012,6 +1031,24 @@ class StatsSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
     val skewed = ((0L until 36L by 2L) ++ Seq(1L, 3L)).toDF("user_id")
     val s = operators.Experiments.srmFromUsers(skewed).collect()(0)
     assert(s.getAs[Double]("chi2") == 12.8 && s.getAs[Boolean]("srm_flag"))
+  }
+
+  test("k_anonymity grid: negative values (refunds) bucket by FLOOR, matching DuckDB //") {
+    import spark.implicits._
+    // value −15.00 → cents −1500 → floor(−1.5) = bucket −2 (truncating
+    // div would say −1, diverging from the DuckDB oracle's `// 1000`);
+    // value −20.00 → cents −2000 → exactly −2 (multiple boundary).
+    val ev = Seq(
+      (1L, Timestamp.valueOf("2024-01-01 00:00:00"), "refund", -15.00),
+      (2L, Timestamp.valueOf("2024-01-01 00:00:00"), "refund", -20.00),
+      (3L, Timestamp.valueOf("2024-01-01 00:00:00"), "buy", 15.00)
+    ).toDF("user_id", "ts", "event_type", "value")
+    val buckets = operators.Experiments.anonymityGrid(ev)
+      .select("user_id", "cents_bucket").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(buckets(1L) == -2L)
+    assert(buckets(2L) == -2L)
+    assert(buckets(3L) == 1L)
   }
 
   test("qte_deciles: a planted constant location shift shows at every decile") {

@@ -1249,6 +1249,64 @@ class StreamingSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
     assert(rows("stream_betweenness") == rows("betweenness_centrality"))
   }
 
+  test("stream_hybrid_rrf_tombstone: retracted docs leave the index; equals batch over live corpus") {
+    import org.apache.spark.sql.functions.col
+    // Expected = the batch operator over a corpus with the retraction
+    // slice physically removed (tombstone-compacted live corpus).
+    val live = GraftCaches.trackTempDir("graft_hybtomb_live_")
+    graft.sources.Tables.documents(spark, sf)
+      .filter(!(col("doc_id") >= 3 && col("doc_id") % 7 === 3))
+      .write.mode("overwrite").parquet(s"$live/documents.parquet")
+    graft.sources.Tables.embeddings(spark, sf)
+      .filter(!(col("vec_id") >= 3 && col("vec_id") % 7 === 3))
+      .write.mode("overwrite").parquet(s"$live/embeddings.parquet")
+    val expected = operators.VectorOps.hybridRrfTopK(spark, live).collect().toSeq
+    val got = rows("stream_hybrid_rrf_tombstone")
+    assert(got == expected)
+    assert(!got.exists(r => r.getAs[Long]("doc_id") % 7 == 3))
+  }
+
+  test("hybrid tombstone state: crash between delta writes replays; re-merge is a no-op") {
+    import org.apache.spark.sql.functions.{col, lit}
+    import graft.streaming.HybridTombstoneState
+    import spark.implicits._
+    val work = GraftCaches.trackTempDir("graft_hybtomb_crash_")
+    def docs(rows: (Long, String, Seq[Float], String)*) =
+      rows.toSeq.toDF("doc_id", "text", "embedding", "op")
+        .select(col("doc_id"), col("text"),
+          col("embedding").cast("array<float>").as("embedding"), col("op"))
+    // queries: docs 0..1; corpus: 2..5, doc 4 retracted in batch 1
+    val b0 = docs((0L, "alpha beta", Seq(1f, 0f), "u"), (1L, "beta gamma", Seq(0f, 1f), "u"),
+      (2L, "alpha alpha", Seq(0.9f, 0.1f), "u"), (3L, "gamma gamma", Seq(0.1f, 0.9f), "u"))
+    val b1 = docs((4L, "alpha beta beta", Seq(0.7f, 0.7f), "u"),
+      (5L, "beta beta", Seq(0.5f, 0.5f), "u"))
+      .unionByName(Seq(4L).toDF("doc_id")
+        .select(col("doc_id"), lit(null).cast("string").as("text"),
+          lit(null).cast("array<float>").as("embedding"), lit("d").as("op")))
+    // Clean run → the reference result.
+    val clean = new HybridTombstoneState(s"$work/clean", nQueries = 2)
+    clean.merge(b0, 0); clean.merge(b1, 1)
+    val want = clean.report(spark).collect().toSeq
+    assert(want.nonEmpty && !want.exists(_.getAs[Long]("doc_id") == 4L))
+    // Crashed run: batch 0 commits; batch 1 dies after the FIRST
+    // delta write (post) — emb and tomb never land.
+    val s1 = new HybridTombstoneState(s"$work/crash", nQueries = 2)
+    s1.merge(b0, 0)
+    graft.operators.VectorOps.hybridPostings(
+        b1.filter(col("op") === "u").select(col("doc_id"), col("text")))
+      .repartition(col("doc_id"))
+      .write.mode("overwrite").parquet(s"$work/crash/post/batch=1")
+    // Restart: the min-over-stores guard sees the orphan post delta
+    // as uncommitted (emb/tomb still at 0), so batch 1 REPLAYS into
+    // the idempotent overwrite dirs instead of being skipped.
+    val s2 = new HybridTombstoneState(s"$work/crash", nQueries = 2)
+    s2.merge(b1, 1)
+    assert(s2.report(spark).collect().toSeq == want)
+    // Replay guard: a second delivery of batch 1 is a no-op.
+    s2.merge(b1, 1)
+    assert(s2.report(spark).collect().toSeq == want)
+  }
+
   test("markov attribution state: journey truncation across batches, replay guard, resume") {
     import org.apache.spark.sql.functions.{col, to_timestamp}
     import graft.streaming.MarkovAttrState
