@@ -136,7 +136,13 @@ object Bench {
     "q16_parts_suppliers" -> 2.826, "q20_dominant_supplier" -> 4.155,
     "q21_waiting_supplier" -> 4.532,
     "item_cf_recommend" -> 7.652, "engagement_gini" -> 2.487,
-    "containment_pairs" -> 13.853,
+    // containment_pairs re-frozen DOWN round 12 (the round-11 flag's
+    // adjudication): warm-up + 5-run quiet-box median 6.911 (runs
+    // 6.43-7.54, canary bracket 1.13x) vs the old 13.853 — the
+    // round-11 [16.8, 35.0, 47.3] spread was cold-page-cache index
+    // builds, not a plan regression (BASELINE.md "Round-12:
+    // containment_pairs adjudication").
+    "containment_pairs" -> 6.911,
     "link_prediction" -> 5.381, "changepoint_cusum" -> 3.398,
     "stream_source_drift" -> 4.669, "stream_changepoint" -> 4.099,
     "histogram_equidepth" -> 1.811, "yoy_revenue" -> 1.794,

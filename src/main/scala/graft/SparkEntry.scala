@@ -174,6 +174,12 @@ object SparkEntry {
     "chi2_type_dow"      -> Stats.chi2TypeDow _,
     "mann_whitney_u"     -> Stats.mannWhitneyU _,
     "ks_doclen_sources"  -> Stats.ksDoclenSources _,
+    "wasserstein_doclen" -> Stats.wassersteinDoclen _,
+    "stream_wasserstein_doclen" -> ((s: SparkSession, d: String) =>
+      streaming.ProfileStreams.streamWassersteinDoclen(s, d)),
+    "psi_value_drift"    -> Stats.psiValueDrift _,
+    "stream_psi_drift"   -> ((s: SparkSession, d: String) =>
+      streaming.ProfileStreams.streamPsiDrift(s, d)),
     "cramers_v_source_lang" -> Stats.cramersVSourceLang _,
     "heaps_law_fit"      -> ((s: SparkSession, d: String) => CorpusQa.heapsLawFit(s, d)),
     "url_filter"         -> ((s: SparkSession, d: String) => CorpusQa.urlFilter(s, d)),
@@ -557,6 +563,9 @@ object SparkEntry {
       "stream_vocab_coverage" -> base("vocab_coverage_curve"),
       "stream_chi2_type_dow" -> base("chi2_type_dow"),
       "stream_ks_doclen" -> base("ks_doclen_sources"),
+      // same additive length grid, W1 face; same PSI grid discipline
+      "stream_wasserstein_doclen" -> base("wasserstein_doclen"),
+      "stream_psi_drift" -> base("psi_value_drift"),
       "stream_holt" -> base("holt_linear_trend"),
       "stream_cramers_v" -> base("cramers_v_source_lang"),
       "stream_mann_whitney" -> base("mann_whitney_u"),
@@ -1208,6 +1217,8 @@ object SparkEntry {
     "chi2_type_dow" -> operators.Stats.chi2TypeDowOracleSql,
     "mann_whitney_u" -> operators.Stats.mannWhitneyUOracleSql,
     "ks_doclen_sources" -> operators.Stats.ksDoclenSourcesOracleSql,
+    "wasserstein_doclen" -> operators.Stats.wassersteinDoclenOracleSql,
+    "psi_value_drift" -> operators.Stats.psiValueDriftOracleSql,
     "cramers_v_source_lang" -> operators.Stats.cramersVSourceLangOracleSql,
     "heaps_law_fit" -> operators.CorpusQa.heapsLawFitOracleSql,
     "url_filter" -> operators.CorpusQa.urlFilterOracleSql,

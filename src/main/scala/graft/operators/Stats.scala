@@ -98,6 +98,95 @@ object Stats {
       |       round(CAST(max(d) AS DOUBLE) / (n_a * n_b), 6) AS ks
       |FROM j GROUP BY 1, 2, 3, 4 ORDER BY 1, 2""".stripMargin
 
+  /** Wasserstein-1 (earth-mover's) distance between per-source
+    * document-length distributions — the INTEGRAL companion of the
+    * KS test on the same ECDFs (KS reports the worst single gap; W1
+    * reports how much mass must MOVE how far, in characters — the
+    * drift magnitude a corpus-mixing decision actually spends
+    * against). For 1-D empirical distributions
+    * {{{ W1 = ∫ |F_a(x) − F_b(x)| dx
+    *        = Σ_i |F_a(x_i) − F_b(x_i)| · (x_{i+1} − x_i) }}}
+    * over the sorted union support (Vallender 1974 — the exact
+    * closed form; no transport LP needed in 1-D). Cross-multiplied
+    * to exact integers: |cum_a·n_b − cum_b·n_a|·gap summed as
+    * DECIMAL(38,0) (order-free, bit-equal in any engine), ONE float
+    * division at the end — the [[ksFromCounts]] discipline.
+    *
+    * Scale shape: identical to KS — the state is the additive
+    * (source, len) count grid (length-bounded, never |docs|); the
+    * support walk is a len-keyed aggregate (planning-scale), the
+    * per-source ECDF a source-partitioned window, the pair fan a
+    * len-keyed equi-join collapsing to |sources|²/2 rows. The gap
+    * column rides an UNPARTITIONED lead() whose input is the
+    * len-keyed aggregate — support-scale by construction, the
+    * plan-audit gate's sanctioned shape. */
+  private[graft] def w1FromCounts(counts0: DataFrame): DataFrame = {
+    val spark = counts0.sparkSession
+    import spark.implicits._
+    val counts = counts0
+    val ns = counts.groupBy($"source").agg(sum($"c").as("n"))
+    // union support with the step to the NEXT support point; the
+    // maximum length drops out (both ECDFs are 1 there — zero term)
+    val support = counts.groupBy($"len").agg(count(lit(1)).as("nsrc"))
+      .select($"len")
+      .withColumn("gap", lead($"len", 1).over(Window.orderBy($"len")) - $"len")
+      .filter($"gap".isNotNull)
+    val cum = ns.select($"source").crossJoin(support)
+      .join(counts, Seq("source", "len"), "left")
+      .select($"source", $"len", $"gap", coalesce($"c", lit(0L)).as("c"))
+      .withColumn("cum", sum($"c").over(
+        Window.partitionBy($"source").orderBy($"len")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .join(ns, Seq("source"))
+    val a = cum.select($"source".as("source_a"), $"len", $"gap",
+      $"cum".as("cum_a"), $"n".as("n_a"))
+    val b = cum.select($"source".as("source_b"), $"len",
+      $"cum".as("cum_b"), $"n".as("n_b"))
+    a.join(b, Seq("len")).filter($"source_a" < $"source_b")
+      .groupBy($"source_a", $"source_b", $"n_a", $"n_b")
+      .agg(sum(expr(
+        """abs(CAST(cum_a AS DECIMAL(38,0)) * n_b
+          | - CAST(cum_b AS DECIMAL(38,0)) * n_a) * gap""".stripMargin)).as("num"))
+      .select($"source_a", $"source_b", $"n_a", $"n_b",
+        round($"num".cast("double") / ($"n_a" * $"n_b").cast("double"), 6).as("w1_chars"))
+      .orderBy($"source_a", $"source_b")
+  }
+
+  def wassersteinDoclenTransform(docs: DataFrame): DataFrame =
+    w1FromCounts(docs
+      .select(col("source"), length(col("text")).cast("long").as("len"))
+      .groupBy(col("source"), col("len")).agg(count(lit(1)).as("c")))
+
+  def wassersteinDoclen(spark: SparkSession, dir: String): DataFrame =
+    wassersteinDoclenTransform(Tables.documents(spark, dir))
+
+  /** DuckDB oracle for [[wassersteinDoclenTransform]] — identical
+    * union-support walk, HUGEINT cross-multiplication, one final
+    * division. */
+  val wassersteinDoclenOracleSql: String =
+    """WITH c AS (SELECT source, CAST(length(text) AS BIGINT) AS len, count(*) AS c
+      |           FROM documents GROUP BY 1, 2),
+      |ns AS (SELECT source, CAST(sum(c) AS BIGINT) AS n FROM c GROUP BY 1),
+      |sup AS (SELECT len, lead(len) OVER (ORDER BY len) - len AS gap
+      |        FROM (SELECT DISTINCT len FROM c) QUALIFY gap IS NOT NULL),
+      |cum0 AS (SELECT s.source, g.len, g.gap, coalesce(c.c, 0) AS c
+      |         FROM ns s CROSS JOIN sup g
+      |         LEFT JOIN c ON c.source = s.source AND c.len = g.len),
+      |cum AS (SELECT source, len, gap,
+      |               sum(c) OVER (PARTITION BY source ORDER BY len
+      |                            ROWS UNBOUNDED PRECEDING) AS cum
+      |        FROM cum0),
+      |j AS (SELECT a.source AS source_a, b.source AS source_b,
+      |             na.n AS n_a, nb.n AS n_b,
+      |             abs(CAST(a.cum AS HUGEINT) * nb.n
+      |               - CAST(b.cum AS HUGEINT) * na.n) * a.gap AS d
+      |      FROM cum a JOIN cum b ON a.len = b.len AND a.source < b.source
+      |      JOIN ns na ON na.source = a.source
+      |      JOIN ns nb ON nb.source = b.source)
+      |SELECT source_a, source_b, n_a, n_b,
+      |       round(CAST(sum(d) AS DOUBLE) / (n_a * n_b), 6) AS w1_chars
+      |FROM j GROUP BY 1, 2, 3, 4 ORDER BY 1, 2""".stripMargin
+
   /** Chi-square independence cells for event type × day-of-week —
     * "is the traffic mix the same every weekday": per cell the
     * observed count, the expected count under independence, and the
@@ -939,6 +1028,99 @@ object Stats {
       |SELECT CAST(t AS BIGINT) AS n_events,
       |       round(CAST(sum(term) AS DOUBLE) + 0.0, 6) AS mi_bits
       |FROM terms GROUP BY t""".stripMargin
+
+  /** The additive (event_type, is_base, bucket) count grid both PSI
+    * faces derive from — period membership is a pure function of the
+    * event's own timestamp against the FIXED `cutoff` (the
+    * [[Experiments.userPrePost]] additivity discipline), the bucket
+    * an exact FLOOR division of cents by 1000 (the pmod shift — the
+    * [[Experiments.anonymityGrid]] refund-safe form). */
+  private[graft] def psiGrid(events: DataFrame,
+                             cutoff: java.sql.Timestamp): DataFrame =
+    events.select(col("event_type"),
+      (col("ts") < lit(cutoff)).as("is_base"),
+      expr("""(CAST(round(value * 100) AS BIGINT)
+             | - pmod(CAST(round(value * 100) AS BIGINT), 1000)) div 1000"""
+        .stripMargin).as("bucket"))
+      .groupBy(col("event_type"), col("is_base"), col("bucket"))
+      .agg(count(lit(1)).as("c"))
+
+  /** Population Stability Index per event type — the ML-monitoring
+    * industry's standard drift alarm (Karakoulas 2004; the credit-
+    * scoring heritage metric every feature-store monitor reimplements):
+    * the baseline window's value distribution vs the current
+    * window's, over 10-unit value buckets,
+    * {{{ PSI = Σ_i (p_cur,i − p_base,i) · ln(p_cur,i / p_base,i) }}}
+    * — a symmetrized KL whose conventional alarm thresholds (0.1
+    * "shifting", 0.2 "significant") make it the drift gate next to
+    * [[ksDoclenSourcesTransform]]'s hypothesis test and
+    * `source_drift_tv`'s exact distance. Add-one smoothing over the
+    * type's union bucket support keeps every log finite (p =
+    * (c+1)/(n+K), K = support size) — deterministic and mirrored in
+    * the oracle, unlike the drop-empty-cells convention that makes
+    * PSI incomparable across windows. Each term is ONE float on
+    * exact integers rounded to the 1e-9 grid and summed EXACTLY as
+    * DECIMAL(24,9) — the [[miFromObs]] order-free discipline.
+    *
+    * Scale shape: everything on the grid — map-side-combinable
+    * counts to |types|×2×|buckets| rows; the derivation joins at
+    * bucket-support scale, never |events|. */
+  private[graft] def psiFromGrid(grid: DataFrame): DataFrame = {
+    val spark = grid.sparkSession
+    import spark.implicits._
+    val cells = grid.groupBy($"event_type", $"bucket")
+      .agg(sum(when($"is_base", $"c").otherwise(0L)).as("cb"),
+        sum(when(!$"is_base", $"c").otherwise(0L)).as("cc"))
+    val tot = cells.groupBy($"event_type")
+      .agg(sum($"cb").as("n_base"), sum($"cc").as("n_cur"),
+        count(lit(1)).as("k"))
+    cells.join(tot, Seq("event_type"))
+      .select($"event_type", $"n_base", $"n_cur",
+        expr("""CAST(round((CAST(cc + 1 AS DOUBLE) / (n_cur + k)
+               |            - CAST(cb + 1 AS DOUBLE) / (n_base + k)) *
+               |           ln((CAST(cc + 1 AS DOUBLE) / (n_cur + k))
+               |              / (CAST(cb + 1 AS DOUBLE) / (n_base + k))), 9)
+               |     AS DECIMAL(24,9))""".stripMargin).as("term"))
+      .groupBy($"event_type", $"n_base", $"n_cur")
+      .agg(sum($"term").as("psi0"))
+      .select($"event_type", $"n_base", $"n_cur",
+        expr("round(CAST(psi0 AS DOUBLE) + 0.0, 6)").as("psi"))
+      .withColumn("drift_flag", $"psi" > 0.2)
+      .orderBy($"event_type")
+  }
+
+  def psiValueDrift(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    psiFromGrid(psiGrid(ev, Experiments.preCutoff(ev)))
+  }
+
+  /** DuckDB oracle for [[psiValueDrift]] — identical cutoff
+    * (min(ts)+15d), floor bucketing, smoothing, and term/sum
+    * discipline. */
+  val psiValueDriftOracleSql: String =
+    """WITH cut AS (SELECT min(CAST(ts AS TIMESTAMP)) + INTERVAL 15 DAY AS c FROM events),
+      |cells AS (SELECT event_type,
+      |                 CAST(round(value * 100) AS BIGINT) // 1000 AS bucket,
+      |                 CAST(sum(CASE WHEN CAST(ts AS TIMESTAMP) < (SELECT c FROM cut)
+      |                          THEN 1 ELSE 0 END) AS BIGINT) AS cb,
+      |                 CAST(sum(CASE WHEN CAST(ts AS TIMESTAMP) >= (SELECT c FROM cut)
+      |                          THEN 1 ELSE 0 END) AS BIGINT) AS cc
+      |          FROM events GROUP BY 1, 2),
+      |tot AS (SELECT event_type, CAST(sum(cb) AS BIGINT) AS n_base,
+      |               CAST(sum(cc) AS BIGINT) AS n_cur,
+      |               CAST(count(*) AS BIGINT) AS k
+      |        FROM cells GROUP BY 1),
+      |terms AS (SELECT c.event_type, t.n_base, t.n_cur,
+      |                 CAST(round((CAST(c.cc + 1 AS DOUBLE) / (t.n_cur + t.k)
+      |                             - CAST(c.cb + 1 AS DOUBLE) / (t.n_base + t.k)) *
+      |                            ln((CAST(c.cc + 1 AS DOUBLE) / (t.n_cur + t.k))
+      |                               / (CAST(c.cb + 1 AS DOUBLE) / (t.n_base + t.k))), 9)
+      |                      AS DECIMAL(24,9)) AS term
+      |          FROM cells c JOIN tot t USING (event_type))
+      |SELECT event_type, n_base, n_cur,
+      |       round(CAST(sum(term) AS DOUBLE) + 0.0, 6) AS psi,
+      |       round(CAST(sum(term) AS DOUBLE) + 0.0, 6) > 0.2 AS drift_flag
+      |FROM terms GROUP BY 1, 2, 3 ORDER BY 1""".stripMargin
 
   /** Expected transitions to reach `purchase` from every state of
     * the empirical event-type chain — funnel depth READ OFF THE

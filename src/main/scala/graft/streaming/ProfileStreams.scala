@@ -388,6 +388,48 @@ final class SourceLenState(stateDir: String) {
     * state, two design faces (drift test + allocation). */
   def reportNeyman(spark: SparkSession): DataFrame =
     graft.operators.Stats.neymanFromCounts(prior(spark))
+
+  /** Third face: Wasserstein-1 between the per-source length ECDFs —
+    * the KS face's integral companion, same sufficient grid (a
+    * per-batch W1 cannot merge: one new length shifts every later
+    * cumulative gap, so the distance derives whole-grid at read). */
+  def reportW1(spark: SparkSession): DataFrame =
+    graft.operators.Stats.w1FromCounts(prior(spark))
+}
+
+/** Additive (event_type, is_base, bucket) PSI grid —
+  * [[graft.operators.Stats.psiGrid]] merged additively (period
+  * membership is a pure function of each event's own timestamp
+  * against the FIXED cutoff, bucket of its value), |types|×2×|buckets|
+  * rows. Report = [[graft.operators.Stats.psiFromGrid]], the batch
+  * derivation (smoothing and logs run at read time — a PSI computed
+  * per batch would smooth against a per-batch support). On a real
+  * platform `cutoff` is the monitoring baseline boundary, known
+  * configuration — the [[UserPrePostState]] convention. */
+final class PsiGridState(stateDir: String, cutoff: java.sql.Timestamp) {
+  @volatile private var version: Long = StreamUtil.latestVersion(stateDir)
+
+  private def prior(spark: SparkSession): DataFrame =
+    if (version < 0)
+      spark.createDataFrame(java.util.List.of[Row](), StructType.fromDDL(
+        "event_type STRING, is_base BOOLEAN, bucket BIGINT, c BIGINT"))
+    else spark.read.parquet(s"$stateDir/v$version")
+
+  def merge(batch: Dataset[Row], batchId: Long): Unit = {
+    if (batchId <= version) return
+    val spark = batch.sparkSession
+    val partial = graft.operators.Stats.psiGrid(batch.toDF(), cutoff)
+    val merged = prior(spark).unionByName(partial)
+      .groupBy(col("event_type"), col("is_base"), col("bucket"))
+      .agg(sum(col("c")).as("c"))
+    StreamUtil.writeGrid(merged, s"$stateDir/v$batchId")
+    val prev = version
+    version = batchId
+    if (prev >= 0) StreamUtil.delete(spark, s"$stateDir/v$prev")
+  }
+
+  def report(spark: SparkSession): DataFrame =
+    graft.operators.Stats.psiFromGrid(prior(spark))
 }
 
 /** Additive (event_type, cents) value-support grid for the streaming
@@ -1082,6 +1124,23 @@ object ProfileStreams {
   /** Queries entry (oracle: same SQL as `neyman_allocation`). */
   def streamNeyman(spark: SparkSession, dir: String, nFiles: Int = 4): DataFrame =
     drainedLenState(spark, dir, "graft_sney_", nFiles).reportNeyman(spark)
+
+  /** Queries entry (oracle: same SQL as `wasserstein_doclen`): the
+    * SAME additive length grid, third face. */
+  def streamWassersteinDoclen(spark: SparkSession, dir: String, nFiles: Int = 4): DataFrame =
+    drainedLenState(spark, dir, "graft_sw1_", nFiles).reportW1(spark)
+
+  /** Queries entry (oracle: same SQL as `psi_value_drift`) —
+    * order-free additive PSI grid; the fixed baseline cutoff is
+    * derived once from the batch table (configuration standing in
+    * for the monitoring boundary, the stream_ab_cuped convention). */
+  def streamPsiDrift(spark: SparkSession, dir: String): DataFrame = {
+    val work = graft.GraftCaches.trackTempDir("graft_spsi_")
+    val cutoff = graft.operators.Experiments.preCutoff(graft.sources.Tables.events(spark, dir))
+    val state = new PsiGridState(s"$work/state", cutoff)
+    StreamSources.runForeachBatch(StreamSources.events(spark, dir), state.merge)
+    state.report(spark)
+  }
 
   private def drainedLenState(spark: SparkSession, dir: String,
                               prefix: String, nFiles: Int): SourceLenState = {

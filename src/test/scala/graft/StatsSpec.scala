@@ -33,6 +33,51 @@ class StatsSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
     assert(math.abs(r(0).getAs[Double]("ks") - 0.5) < 1e-9)
   }
 
+  test("wasserstein_doclen: hand transport plan on two tiny sources") {
+    import spark.implicits._
+    // a: lengths {1, 3}; b: lengths {2, 2}. Optimal 1-D transport
+    // moves 1→2 and 3→2, cost (1 + 1)/2 = 1.0 characters. Support
+    // walk: gaps 1→2 and 2→3 each contribute |cum_a·n_b − cum_b·n_a|
+    // = 2 → num 4, W1 = 4/(2·2) = 1.0.
+    val docs = Seq(
+      (1L, "x", "en", "a", 1L), (2L, "xyz", "en", "a", 3L),
+      (3L, "xy", "en", "b", 2L), (4L, "xy", "en", "b", 2L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val r = operators.Stats.wassersteinDoclenTransform(docs).collect()
+    assert(r.length == 1)
+    assert(r(0).getAs[Double]("w1_chars") == 1.0)
+  }
+
+  test("wasserstein_doclen: identical distributions give W1 = 0; KS agrees on the pair set") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "aa", "en", "a", 2L), (2L, "bbbb", "en", "a", 4L),
+      (3L, "cc", "en", "b", 2L), (4L, "dddd", "en", "b", 4L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val r = operators.Stats.wassersteinDoclenTransform(docs).collect()
+    assert(r.length == 1 && r(0).getAs[Double]("w1_chars") == 0.0)
+  }
+
+  test("psi_value_drift: planted full bucket shift reads 2·(2/3)·ln5; no-shift type reads 0") {
+    import spark.implicits._
+    // cutoff = min(ts)+15d = Jan 16. Type "shift": baseline all in
+    // bucket 0 (value 1.00), current all in bucket 1 (value 10.00) —
+    // K=2, n=4 each side; both smoothed terms are (2/3)·ln5 =
+    // 1.072958608 (9dp) → psi = 2.145917. Type "same": identical
+    // bucket mix both periods → every term 0.
+    def ev(day: Int, typ: String, v: Double) =
+      (1L, Timestamp.valueOf(f"2024-01-$day%02d 00:00:00"), typ, v)
+    val rows = Seq.fill(4)(ev(2, "shift", 1.00)) ++ Seq.fill(4)(ev(20, "shift", 10.00)) ++
+      Seq(ev(1, "same", 1.00), ev(2, "same", 10.00), ev(20, "same", 1.00), ev(21, "same", 10.00))
+    val df = rows.toDF("user_id", "ts", "event_type", "value")
+    val cutoff = operators.Experiments.preCutoff(df)
+    val r = operators.Stats.psiFromGrid(operators.Stats.psiGrid(df, cutoff))
+      .collect().map(x => x.getAs[String]("event_type") ->
+        (x.getAs[Double]("psi"), x.getAs[Boolean]("drift_flag"))).toMap
+    assert(r("shift") == (2.145917, true), s"got ${r("shift")}")
+    assert(r("same") == (0.0, false))
+  }
+
   test("ks_doclen_sources: identical distributions give D = 0, full pair triangle") {
     import spark.implicits._
     val docs = Seq(
