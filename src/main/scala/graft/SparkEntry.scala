@@ -412,6 +412,8 @@ object SparkEntry {
     "corpus_filter"       -> ((s: SparkSession, d: String) => TextOps.corpusFilter(s, d)),
     "stream_corpus_filter" -> ((s: SparkSession, d: String) =>
       CorpusFilterStream.streamCorpusFilter(s, d)),
+    "stream_corpus_filter_tombstone" -> ((s: SparkSession, d: String) =>
+      CorpusFilterStream.streamCorpusFilterTombstone(s, d)),
     "semantic_clusters"   -> ((s: SparkSession, d: String) => VectorOps.semanticClusters(s, d)),
     "lang_id"            -> TextOps.langId _,
     "text_quality"       -> TextOps.textQuality _,
@@ -1534,6 +1536,13 @@ object SparkEntry {
     "lang_id" -> operators.TextOps.langIdOracleSql,
 
     "corpus_filter" -> operators.TextOps.corpusFilterOracleSql(),
+    // tombstone face: the SAME composed SQL over the live corpus —
+    // every `FROM documents` rewritten to a filtered inline subquery
+    // (DuckDB rejects a CTE shadowing its own source table, and
+    // schema-qualifying depends on how the harness registers views)
+    "stream_corpus_filter_tombstone" ->
+      operators.TextOps.corpusFilterOracleSql().replace("FROM documents",
+        "FROM (SELECT * FROM documents WHERE NOT (doc_id % 7 = 3)) AS documents"),
 
     // corpus assembly — all keyed off the same md5(doc_id:salt) 32-bit
     // hash, which DuckDB computes bit-identically

@@ -416,7 +416,11 @@ object Dedup {
         val next = truncateLineage(
           labels.join(nbrMin, labels("node") === nbrMin("n2"), "left")
             .select($"node", $"lbl".as("old_lbl"), least($"lbl", coalesce($"nbr", $"lbl")).as("lbl")))
-        val chg = next.agg(sum(when($"lbl" =!= $"old_lbl", 1L).otherwise(0L))).collect()(0).getLong(0)
+        // coalesce: sum over an EMPTY label table is NULL — an empty
+        // pair graph (every pair tombstone-masked) must read as
+        // converged, not crash the driver fold
+        val chg = next.agg(coalesce(sum(when($"lbl" =!= $"old_lbl", 1L).otherwise(0L)), lit(0L)))
+          .collect()(0).getLong(0)
         labels.unpersist()
         labels = next
         converged = chg == 0

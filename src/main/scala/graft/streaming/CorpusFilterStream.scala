@@ -106,6 +106,81 @@ final class CorpusFilterState(stateDir: String, threshold: Double) {
   }
 }
 
+/** [[CorpusFilterState]] WITH RETRACTIONS — the CDC tombstone
+  * discipline ([[CdcCompact]] 10a' semantics, the
+  * [[HybridTombstoneState]] shape) applied to the ingest gate: 'u'
+  * rows run the normal incremental screen; 'd' rows delta-append the
+  * doc_id to a fifth, tombstone store (written BEFORE meta, which
+  * stays the commit guard — every store lands before the guard, so a
+  * crash anywhere replays the whole batch). Serving masks the
+  * verdict table (meta anti-join tomb) and the pair graph (BOTH
+  * endpoints must be live) before the representative election.
+  *
+  * Why endpoint masking is EXACT: a verified near-dup pair depends
+  * only on its two endpoint documents (signatures → candidates →
+  * Jaccard verify — no third doc enters), so the live-endpoint
+  * subset of the accrued pair graph IS the pair set the batch
+  * operator computes over the tombstone-compacted corpus — including
+  * re-election when the retracted doc was a component's min-id
+  * representative, and component SPLITS when it was the only bridge
+  * (5—9—1 with 9 retracted leaves 5 and 1 kept separately, exactly
+  * as batch-over-live does).
+  *
+  * Scale note: dead docs' bands stay in the LSH index until a
+  * compaction rewrites the delta stores minus tombstones — later
+  * batches may surface (live, dead) candidates whose verified pairs
+  * are then masked at report; wasted probe work bounded by the
+  * retraction rate, correctness unaffected. */
+final class CorpusFilterTombstoneState(stateDir: String, threshold: Double) {
+  @volatile private var version: Long = StreamUtil.latestDelta(s"$stateDir/meta")
+
+  private def part(spark: SparkSession, name: String, ddl: String): DataFrame =
+    StreamUtil.readDeltas(spark, s"$stateDir/$name", ddl, version)
+
+  def merge(batch: Dataset[Row], batchId: Long): Unit = {
+    if (batchId <= version) return
+    val spark = batch.sparkSession
+    val docs = batch.toDF()
+    val ups = docs.filter(col("op") === "u").drop("op")
+    val (newPairs, batchBands, batchSets) = Dedup.incrementalPairs(spark, ups,
+      part(spark, "bands", "doc_id BIGINT, band INT, band_hash BIGINT"),
+      part(spark, "sets", "doc_id BIGINT, sh ARRAY<STRING>"), threshold)
+    val batchMeta = TextOps.langIdTransform(ups).select(col("doc_id"), col("pred_lang"))
+      .join(TextOps.textQualityTransform(ups).select(col("doc_id"), col("quality")),
+        Seq("doc_id"))
+    StreamUtil.writeDelta(batchBands, s"$stateDir/bands", batchId, Seq("doc_id"))
+    StreamUtil.writeDelta(batchSets, s"$stateDir/sets", batchId, Seq("doc_id"))
+    StreamUtil.writeDelta(newPairs, s"$stateDir/pairs", batchId, Seq("doc_a"))
+    StreamUtil.writeDelta(
+      docs.filter(col("op") === "d").select(col("doc_id")).distinct(),
+      s"$stateDir/tomb", batchId, Seq("doc_id"))
+    StreamUtil.writeDelta(batchMeta, s"$stateDir/meta", batchId, Seq("doc_id"))
+    version = batchId
+  }
+
+  def report(spark: SparkSession, minQuality: Double, langs: Seq[String]): DataFrame = {
+    val tomb = part(spark, "tomb", "doc_id BIGINT")
+    val livePairs = part(spark, "pairs", "doc_a BIGINT, doc_b BIGINT")
+      .join(tomb.withColumnRenamed("doc_id", "doc_a"), Seq("doc_a"), "left_anti")
+      .join(tomb.withColumnRenamed("doc_id", "doc_b"), Seq("doc_b"), "left_anti")
+    val labels = CorpusFilterStream.labelsCache
+      .getOrElseUpdate((spark, stateDir, version)) {
+        Dedup.propagateMinLabels(spark, livePairs,
+          maxIters = 20, who = "streamCorpusFilterTombstone")
+      }
+    val m = part(spark, "meta", "doc_id BIGINT, pred_lang STRING, quality DOUBLE")
+      .join(tomb, Seq("doc_id"), "left_anti")
+    val dedup = m.select(col("doc_id"))
+      .join(labels.withColumnRenamed("node", "doc_id"), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        (coalesce(col("lbl"), col("doc_id")) === col("doc_id")).as("dedup_kept"))
+    TextOps.corpusFilterVerdict(
+      m.select(col("doc_id"), col("pred_lang")),
+      m.select(col("doc_id"), col("quality")),
+      dedup, minQuality, langs)
+  }
+}
+
 object CorpusFilterStream {
 
   private[streaming] val labelsCache =
@@ -121,6 +196,29 @@ object CorpusFilterStream {
     graft.sources.Tables.documents(spark, dir).repartition(nFiles)
       .write.mode("overwrite").parquet(s"$work/input")
     val state = new CorpusFilterState(s"$work/state", threshold)
+    StreamSources.runForeachBatch(
+      StreamSources.parquetStream(spark, s"$work/input", maxFilesPerTrigger = 1),
+      state.merge)
+    state.report(spark, minQuality, langs)
+  }
+
+  /** Queries entry (oracle: the corpus_filter SQL over the
+    * tombstone-compacted live corpus — a `documents` CTE shadowing
+    * the table): upserts for every doc plus a delete op for each doc
+    * with `doc_id % 7 == 3` (the retraction slice convention of
+    * `stream_hybrid_rrf_tombstone`); delete-wins semantics keep the
+    * staging order-free. */
+  def streamCorpusFilterTombstone(spark: SparkSession, dir: String, nFiles: Int = 4,
+                                  minQuality: Double = 0.5, threshold: Double = 0.5,
+                                  langs: Seq[String] = Seq("en")): DataFrame = {
+    val work = graft.GraftCaches.trackTempDir("graft_scftomb_")
+    val docs = graft.sources.Tables.documents(spark, dir)
+    docs.withColumn("op", lit("u"))
+      .unionByName(docs.filter(col("doc_id") % 7 === 3)
+        .withColumn("op", lit("d")))
+      .repartition(nFiles)
+      .write.mode("overwrite").parquet(s"$work/input")
+    val state = new CorpusFilterTombstoneState(s"$work/state", threshold)
     StreamSources.runForeachBatch(
       StreamSources.parquetStream(spark, s"$work/input", maxFilesPerTrigger = 1),
       state.merge)

@@ -1307,6 +1307,48 @@ class StreamingSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
     assert(s2.report(spark).collect().toSeq == want)
   }
 
+  test("corpus filter tombstone: retracting a bridge doc SPLITS its component") {
+    import org.apache.spark.sql.functions.{col, lit}
+    import graft.streaming.CorpusFilterTombstoneState
+    import spark.implicits._
+    val work = GraftCaches.trackTempDir("graft_cftomb_")
+    // 3-word shingles: doc 1 {abc,bcd}, doc 5 {bcd,cde}, doc 9
+    // {abc,bcd,cde} — J(1,9)=J(5,9)=2/3 ≥ 0.5 but J(1,5)=1/3 < 0.5:
+    // doc 9 is the ONLY bridge between 1 and 5.
+    def docs(rows: (Long, String, String)*) =
+      rows.toSeq.toDF("doc_id", "text", "op")
+        .select(col("doc_id"), col("text"), lit("en").as("lang"),
+          lit("s").as("source"), lit(0L).as("n_chars"), col("op"))
+    val b0 = docs((1L, "a b c d", "u"), (5L, "b c d e", "u"))
+    val b1 = docs((9L, "a b c d e", "u"))
+    val del9 = docs((9L, "a b c d e", "d"))
+    def kept(dir: String, batches: Seq[org.apache.spark.sql.DataFrame]): Map[Long, Boolean] = {
+      val st = new CorpusFilterTombstoneState(dir, threshold = 0.5)
+      batches.zipWithIndex.foreach { case (b, i) => st.merge(b, i.toLong) }
+      st.report(spark, minQuality = 0.0, langs = Seq("en", "und"))
+        .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Boolean]("dedup_kept")).toMap
+    }
+    // No retraction: one component {1,5,9}, min-id rep 1 survives.
+    val clean = kept(s"$work/clean", Seq(b0, b1))
+    assert(clean == Map(1L -> true, 5L -> false, 9L -> false), s"clean=$clean")
+    // Retract the bridge: 9 leaves the verdicts AND the pair graph —
+    // 1 and 5 fall into separate singleton components, both kept.
+    val tomb = kept(s"$work/tomb", Seq(b0, b1, del9))
+    assert(tomb == Map(1L -> true, 5L -> true), s"tomb=$tomb")
+  }
+
+  test("stream_corpus_filter_tombstone equals batch corpus_filter over the live corpus") {
+    import org.apache.spark.sql.functions.col
+    val live = GraftCaches.trackTempDir("graft_cftomb_live_")
+    graft.sources.Tables.documents(spark, sf)
+      .filter(!(col("doc_id") % 7 === 3))
+      .write.mode("overwrite").parquet(s"$live/documents.parquet")
+    val expected = operators.TextOps.corpusFilter(spark, live).collect().toSeq
+    val got = rows("stream_corpus_filter_tombstone")
+    assert(got == expected)
+    assert(!got.exists(_.getAs[Long]("doc_id") % 7 == 3))
+  }
+
   test("markov attribution state: journey truncation across batches, replay guard, resume") {
     import org.apache.spark.sql.functions.{col, to_timestamp}
     import graft.streaming.MarkovAttrState
