@@ -426,6 +426,8 @@ object SparkEntry {
     "stream_bpe_fertility" -> ((s: SparkSession, d: String) => streaming.ProfileStreams.streamBpeFertility(s, d)),
     "dsir_importance"    -> CorpusQa.dsirImportance _,
     "stream_dsir"        -> ((s: SparkSession, d: String) => streaming.ProfileStreams.streamDsir(s, d)),
+    "stream_dsir_tombstone" -> ((s: SparkSession, d: String) =>
+      streaming.ProfileStreams.streamDsirTombstone(s, d)),
     "pii_density"        -> TextOps.piiDensity _,
     "stream_pii_density" -> ((s: SparkSession, d: String) => ProfileStreams.streamPiiDensity(s, d)),
     "token_rarity"       -> ((s: SparkSession, d: String) => TextOps.tokenRarity(s, d)),
@@ -1601,6 +1603,11 @@ object SparkEntry {
     "text_repetition" -> operators.TextOps.textRepetitionOracleSql,
     "text_redact" -> operators.TextOps.textRedactOracleSql,
     "dsir_importance" -> operators.CorpusQa.dsirOracleSql(),
+    // tombstone face: same SQL over the live corpus (the
+    // corpus_filter_tombstone subquery rewrite)
+    "stream_dsir_tombstone" -> operators.CorpusQa.dsirOracleSql().replace(
+      "FROM documents",
+      "FROM (SELECT * FROM documents WHERE NOT (doc_id % 7 = 3)) AS documents"),
     "pii_density" -> operators.TextOps.piiDensityOracleSql,
     "token_rarity" -> operators.TextOps.tokenRarityOracleSql(),
     "tfidf_top_terms" -> operators.TextOps.tfidfTopTermsOracleSql(),

@@ -940,6 +940,24 @@ object ProfileStreams {
     state.report(spark)
   }
 
+  /** Queries entry (oracle: the dsir SQL over the live corpus): the
+    * retraction face — upserts for every doc plus a delete op for
+    * each `doc_id % 7 == 3`; the masked grid re-derives bucket LMs
+    * and every weight over the live corpus only. */
+  def streamDsirTombstone(spark: SparkSession, dir: String, nFiles: Int = 4): DataFrame = {
+    val work = graft.GraftCaches.trackTempDir("graft_sdsirt_")
+    val docs = graft.sources.Tables.documents(spark, dir)
+    docs.withColumn("op", lit("u"))
+      .unionByName(docs.filter(col("doc_id") % 7 === 3).withColumn("op", lit("d")))
+      .repartition(nFiles)
+      .write.mode("overwrite").parquet(s"$work/input")
+    val state = new DsirTombstoneState(s"$work/state")
+    StreamSources.runForeachBatch(
+      StreamSources.parquetStream(spark, s"$work/input", maxFilesPerTrigger = 1),
+      state.merge)
+    state.report(spark)
+  }
+
   /** Queries entry (rows-only like `bpe_train` itself; gated by the
     * stream≡batch and straight-Scala reference specs): the documents
     * corpus staged as 4 files through the additive word-frequency
@@ -1346,6 +1364,42 @@ final class DsirGridState(stateDir: String) {
 
   def report(spark: SparkSession): DataFrame =
     graft.operators.CorpusQa.dsirFromDocBuckets(prior(spark))
+}
+
+/** [[DsirGridState]] WITH RETRACTIONS — the tombstone discipline on
+  * the importance-weight grid: 'u' rows delta-append their
+  * hashed-feature counts, 'd' rows delta-append the doc_id to a
+  * tombstone store; the report masks the grid (doc_id anti-join)
+  * BEFORE deriving bucket LMs and weights, so a retracted doc leaves
+  * both the output AND the target/proposal models — the same
+  * final-center argument as the append-only face, now also
+  * retraction-correct (a weight scored against LMs that still count
+  * dead docs would silently bias the mixture). Replay guard = MIN
+  * over both delta stores (the [[HybridIndexState]] rule). */
+final class DsirTombstoneState(stateDir: String) {
+  @volatile private var version: Long = math.min(
+    StreamUtil.latestDelta(s"$stateDir/grid"),
+    StreamUtil.latestDelta(s"$stateDir/tomb"))
+
+  def merge(batch: Dataset[Row], batchId: Long): Unit = {
+    if (batchId <= version) return
+    val df = batch.toDF()
+    StreamUtil.writeDelta(
+      graft.operators.CorpusQa.dsirDocBuckets(df.filter(col("op") === "u").drop("op")),
+      s"$stateDir/grid", batchId, Seq("doc_id"))
+    StreamUtil.writeDelta(
+      df.filter(col("op") === "d").select(col("doc_id")).distinct(),
+      s"$stateDir/tomb", batchId, Seq("doc_id"))
+    version = batchId
+  }
+
+  def report(spark: SparkSession): DataFrame = {
+    val tomb = StreamUtil.readDeltas(spark, s"$stateDir/tomb", "doc_id BIGINT", version)
+    graft.operators.CorpusQa.dsirFromDocBuckets(
+      StreamUtil.readDeltas(spark, s"$stateDir/grid",
+        "doc_id BIGINT, lang STRING, bucket BIGINT, c BIGINT", version)
+        .join(tomb, Seq("doc_id"), "left_anti"))
+  }
 }
 
 /** Streaming BPE-training state — the word-frequency dict

@@ -1349,6 +1349,18 @@ class StreamingSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
     assert(!got.exists(_.getAs[Long]("doc_id") % 7 == 3))
   }
 
+  test("stream_dsir_tombstone equals batch dsir_importance over the live corpus") {
+    import org.apache.spark.sql.functions.col
+    val live = GraftCaches.trackTempDir("graft_dsirtomb_live_")
+    graft.sources.Tables.documents(spark, sf)
+      .filter(!(col("doc_id") % 7 === 3))
+      .write.mode("overwrite").parquet(s"$live/documents.parquet")
+    val expected = operators.CorpusQa.dsirImportance(spark, live).collect().toSeq
+    val got = rows("stream_dsir_tombstone")
+    assert(got == expected)
+    assert(!got.exists(_.getAs[Long]("doc_id") % 7 == 3))
+  }
+
   test("markov attribution state: journey truncation across batches, replay guard, resume") {
     import org.apache.spark.sql.functions.{col, to_timestamp}
     import graft.streaming.MarkovAttrState
