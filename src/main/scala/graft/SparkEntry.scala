@@ -415,6 +415,18 @@ object SparkEntry {
     "stream_corpus_filter_tombstone" -> ((s: SparkSession, d: String) =>
       CorpusFilterStream.streamCorpusFilterTombstone(s, d)),
     "semantic_clusters"   -> ((s: SparkSession, d: String) => VectorOps.semanticClusters(s, d)),
+    // the scale path its contract promises: components over the IVF
+    // multi-probe pair graph (rows-only; refinement/recall spec).
+    // nCells follows the dedup_semantic sizing rule nCells = |corpus|/C
+    // AT THE REGISTRATION (a fixed cell count re-quadratizes the
+    // in-cell join as the corpus grows — the round-12 100x anchor
+    // caught exactly that: nCells=8 at 500k vectors timed out, the
+    // sized knob completes); C=512 keeps each cell's probe-2 join at
+    // ~0.5M cosine evals, single-task territory at any corpus size.
+    "semantic_clusters_ivf" -> ((s: SparkSession, d: String) => {
+      val n = sources.Tables.embeddings(s, d).count()
+      VectorOps.semanticClustersIvf(s, d, nCells = math.max(8L, n / 512L).toInt)
+    }),
     "lang_id"            -> TextOps.langId _,
     "text_quality"       -> TextOps.textQuality _,
     "gopher_quality_gates" -> TextOps.gopherGates _,

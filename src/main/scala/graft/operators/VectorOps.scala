@@ -190,6 +190,41 @@ object VectorOps {
   private val semLabelsCache =
     graft.GraftCaches.memo[(SparkSession, String, Double, Int), DataFrame](_.unpersist())
 
+  /** [[semanticClusters]]'s PRODUCTION path — the swap its contract
+    * promises: the same min-label connected components over the IVF
+    * multi-probe pair graph ([[ivfPairs]]) instead of the exact
+    * all-pairs cosine join. The round-12 100× anchor is WHY this
+    * entry exists: the exact baseline's n² cosine stage times out at
+    * 500k vectors BY DESIGN (its declared contract, the
+    * word_jaccard_naive shape), while the IVF pair stage is bounded
+    * per cell (~C²/2 per cell, nCells ∝ |corpus|/C — the
+    * [[dedupSemantic]] sizing rule).
+    *
+    * Approximate by construction (cross-cell edges outside the
+    * probed cells are missed) → rows-only oracle; gated by the
+    * refinement/recall spec: every edge is cosine-VERIFIED, so IVF
+    * components are always a refinement of the exact components
+    * (soundness is structural — only recall is statistical). */
+  def semanticClustersIvf(spark: SparkSession, dir: String, threshold: Double = 0.3,
+                          nCells: Int = 8, nProbe: Int = 2, seed: Long = 7L,
+                          maxIters: Int = 60): DataFrame = {
+    import spark.implicits._
+    val labels = semIvfLabelsCache.getOrElseUpdate((spark, dir, threshold, nCells, nProbe)) {
+      Dedup.propagateMinLabels(spark,
+        ivfPairs(spark, dir, threshold, nCells, nProbe, seed)
+          .select($"vec_a".as("doc_a"), $"vec_b".as("doc_b")),
+        maxIters, "semanticClustersIvf")
+    }
+    Tables.embeddings(spark, dir).select($"vec_id")
+      .join(labels.withColumnRenamed("node", "vec_id"), Seq("vec_id"), "left")
+      .select($"vec_id", coalesce($"lbl", $"vec_id").as("cluster_rep"))
+      .withColumn("is_kept", $"cluster_rep" === $"vec_id")
+      .orderBy($"vec_id")
+  }
+
+  private val semIvfLabelsCache =
+    graft.GraftCaches.memo[(SparkSession, String, Double, Int, Int), DataFrame](_.unpersist())
+
   def semanticClustersOracleSql(threshold: Double = 0.3): String =
     s"""WITH RECURSIVE
        |p AS (SELECT a.vec_id AS va, b.vec_id AS vb
@@ -414,8 +449,19 @@ object VectorOps {
     * (SparkEntry) the way dedup_minhash_lsh's threshold is — the
     * defaults here are test-corpus scale (|embeddings| at sf0.01 is
     * small, so 8 cells ≈ the C ~ corpus/8 sweet spot). */
-  def dedupSemantic(spark: SparkSession, dir: String, threshold: Double = 0.35,
-                    nCells: Int = 8, nProbe: Int = 2, seed: Long = 7L): DataFrame = {
+  /** The IVF multi-probe verified pair graph — SemDeDup's candidate
+    * + verify stage exposed as a pair set: (vec_a < vec_b) with
+    * cosine ≥ threshold, candidates restricted to vectors sharing at
+    * least one of their nProbe nearest trained cells. Shared by
+    * [[dedupSemantic]] (min-neighbor verdicts) and
+    * [[semanticClustersIvf]] (connected components) — the ONE
+    * corpus-scale pair generator of the semantic family. A pair met
+    * in several probed cells appears once PER shared cell: a
+    * distinct here would cost an extra shuffle, and both consumers
+    * absorb the multiset for free (min-aggregates and min-label
+    * propagation are idempotent over duplicate edges). */
+  private[graft] def ivfPairs(spark: SparkSession, dir: String, threshold: Double,
+                              nCells: Int, nProbe: Int, seed: Long): DataFrame = {
     import spark.implicits._
     GraftFunctions.register(spark)
     val cents = typedLit(trainIvfCentroids(spark, dir, nCells, seed))
@@ -423,17 +469,24 @@ object VectorOps {
     // multi-probe membership (OR-amplification over the vector's
     // nProbe nearest cells): two vectors compare if ANY probed cell
     // is shared — boundary pairs that single-cell SemDeDup splits
-    // still meet. Corpus fan-out is nProbe rows/vector; a pair met
-    // in several cells collapses in the min-aggregate, so no
-    // dedup shuffle is needed.
+    // still meet. Corpus fan-out is nProbe rows/vector.
     val probed = e.select($"vec_id", $"embedding",
       explode(call_function("graft_ivf_probe_trained", $"embedding", cents, lit(nProbe)))
         .as("pcell"))
-    val pairs = probed.alias("a").join(probed.alias("b"),
+    probed.alias("a").join(probed.alias("b"),
         col("a.pcell") === col("b.pcell") && col("a.vec_id") < col("b.vec_id"))
       .filter(cosine(col("a.embedding"), col("b.embedding")) >= threshold)
-      .select(col("b.vec_id").as("vec_id"), col("a.vec_id").as("nbr"))
-    val dupOf = pairs.groupBy($"vec_id").agg(min($"nbr").as("dup_of"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
+  }
+
+  def dedupSemantic(spark: SparkSession, dir: String, threshold: Double = 0.35,
+                    nCells: Int = 8, nProbe: Int = 2, seed: Long = 7L): DataFrame = {
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    val cents = typedLit(trainIvfCentroids(spark, dir, nCells, seed))
+    val e = Tables.embeddings(spark, dir).select($"vec_id", $"embedding")
+    val dupOf = ivfPairs(spark, dir, threshold, nCells, nProbe, seed)
+      .groupBy($"vec_b".as("vec_id")).agg(min($"vec_a").as("dup_of"))
     e.withColumn("cell",
         call_function("graft_ivf_assign_trained", $"embedding", cents).cast("long"))
       .select($"vec_id", $"cell")

@@ -936,6 +936,31 @@ class BatchOperatorsSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAl
     }
   }
 
+  test("semantic_clusters_ivf: refinement of exact components, recall across cell counts") {
+    val exact = graft.operators.VectorOps.semanticClusters(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val exactDups = exact.collect { case (id, rep) if rep != id => id }.toSet
+    for (nCells <- Seq(8, 16)) {
+      val ivf = graft.operators.VectorOps.semanticClustersIvf(spark, sf, nCells = nCells)
+        .collect().map(r => r.getLong(0) -> r.getLong(1))
+      // refinement (structural soundness): every IVF edge is a true
+      // cosine-≥t edge, so two vectors the IVF path clusters together
+      // MUST share an exact component
+      ivf.groupBy(_._2).values.foreach { members =>
+        val exactReps = members.map { case (id, _) => exact(id) }.toSet
+        assert(exactReps.size == 1,
+          s"nCells=$nCells: IVF cluster ${members.map(_._1).toSeq.sorted} spans exact components $exactReps")
+      }
+      // recall on the flagged-duplicate decision (the dedup_semantic
+      // floor): non-representative vectors found vs exact
+      val ivfDups = ivf.collect { case (id, rep) if rep != id => id }.toSet
+      assert(ivfDups.subsetOf(exactDups), s"nCells=$nCells: unsound dup flags ${ivfDups -- exactDups}")
+      val recall = (ivfDups & exactDups).size.toDouble / math.max(exactDups.size, 1)
+      assert(recall >= 0.5,
+        s"nCells=$nCells: component recall $recall below 0.5 (${exactDups.size} exact dups)")
+    }
+  }
+
   test("topk_per_group equals the window formulation and plans partial aggregation") {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.expressions.Window

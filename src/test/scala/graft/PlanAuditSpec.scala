@@ -67,6 +67,8 @@ class PlanAuditSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
     "chi2_type_dow" -> "zero-fill contingency grid crosses the |types|-row and 7-row marginal lists — bounded by type cardinality x weekdays, not data volume",
     "cramers_v_source_lang" -> "zero-fill contingency grid crosses the |sources|-row and |langs|-row marginal lists — bounded by label cardinalities, not data volume",
     "ks_doclen_sources" -> "union-support grid crosses the |sources| list with the DISTINCT length support (max-doc-length bounded) — grid scale, not data volume",
+    "wasserstein_doclen" -> "the SAME union-support grid cross as ks_doclen_sources (W1 walks the identical support with gaps)",
+    "stream_wasserstein_doclen" -> "wasserstein_doclen's support grid, derived over the (source, len) state",
     "mann_whitney_u" -> "pair fan-out broadcasts the |types|-row type list over the cents-bounded (type, cents) support grid — both factors cardinality-bounded, not data volume",
     // the streaming faces derive through the SAME shared trees as
     // their allowlisted batch twins, over grid-sized state reads —
