@@ -338,7 +338,17 @@ object Bench {
     "offpolicy_eval" -> 2.436, "stream_offpolicy" -> 4.199,
     // betweenness pair (/tmp/freeze_betw.txt; canary 2.125 = 1.21x —
     // medians are modest upper bounds)
-    "betweenness_centrality" -> 7.810, "stream_betweenness" -> 9.044)
+    "betweenness_centrality" -> 7.810, "stream_betweenness" -> 9.044,
+    // Round-12 first-freeze: the 8 new entries (PSI/W1 drift pairs,
+    // the three tombstone faces, the sized IVF clusters path) —
+    // fresh-JVM quiet-box medians of 3 (tools/scale_run.sh), canary
+    // bracketed 1.930 vs frozen 1.761 = 1.10x; evidence in
+    // BASELINE.md "Round-12 first-freeze".
+    "psi_value_drift" -> 3.331, "stream_psi_drift" -> 4.867,
+    "wasserstein_doclen" -> 3.924, "stream_wasserstein_doclen" -> 7.869,
+    "stream_hybrid_rrf_tombstone" -> 10.885,
+    "stream_corpus_filter_tombstone" -> 21.260,
+    "stream_dsir_tombstone" -> 10.395, "semantic_clusters_ivf" -> 8.932)
 
   /** Run ONE query in a fresh JVM (this JVM's own flags + classpath,
     * stderr discarded) and parse its timing out of the child's JSON
