@@ -427,6 +427,11 @@ object SparkEntry {
       val n = sources.Tables.embeddings(s, d).count()
       VectorOps.semanticClustersIvf(s, d, nCells = math.max(8L, n / 512L).toInt)
     }),
+    // serve-while-ingesting twin: batch x accrued-index incremental
+    // screen over the SAME fixed centroids/sized cells (rows-only;
+    // stream≡batch parity spec)
+    "stream_semantic_clusters_ivf" -> ((s: SparkSession, d: String) =>
+      streaming.ProfileStreams.streamSemanticIvf(s, d)),
     "lang_id"            -> TextOps.langId _,
     "text_quality"       -> TextOps.textQuality _,
     "gopher_quality_gates" -> TextOps.gopherGates _,

@@ -225,6 +225,38 @@ object VectorOps {
   private val semIvfLabelsCache =
     graft.GraftCaches.memo[(SparkSession, String, Double, Int, Int), DataFrame](_.unpersist())
 
+  /** Probed rows for one batch of embeddings against FIXED trained
+    * centroids — (vec_id, pcell, embedding), nProbe rows per vector.
+    * The streaming IVF state's per-batch unit ([[ivfPairs]] is this
+    * joined to itself; the incremental face joins batch × accrued). */
+  private[graft] def ivfProbeRows(e: DataFrame, cents: Array[Float],
+                                  nProbe: Int): DataFrame = {
+    val spark = e.sparkSession
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    e.select($"vec_id", $"embedding",
+      explode(call_function("graft_ivf_probe_trained", $"embedding",
+        typedLit(cents), lit(nProbe))).as("pcell"))
+  }
+
+  /** Incremental verified IVF pairs — batch × (seen ∪ batch) on the
+    * probed cell, normalized (least, greatest) and deduped within
+    * the batch output: under id-disjoint batching each pair surfaces
+    * exactly once, in its LATER endpoint's batch (the
+    * [[Dedup.incrementalPairs]] discipline on the IVF index instead
+    * of the LSH index). Cosine-verified before emission, so the
+    * accrued pair set equals [[ivfPairs]] over the drained corpus. */
+  private[graft] def ivfPairsIncremental(batchProbe: DataFrame, seenProbe: DataFrame,
+                                         threshold: Double): DataFrame = {
+    val all = seenProbe.unionByName(batchProbe)
+    batchProbe.alias("a").join(all.alias("b"),
+        col("a.pcell") === col("b.pcell") && col("a.vec_id") =!= col("b.vec_id"))
+      .filter(cosine(col("a.embedding"), col("b.embedding")) >= threshold)
+      .select(least(col("a.vec_id"), col("b.vec_id")).as("vec_a"),
+        greatest(col("a.vec_id"), col("b.vec_id")).as("vec_b"))
+      .dropDuplicates("vec_a", "vec_b")
+  }
+
   def semanticClustersOracleSql(threshold: Double = 0.3): String =
     s"""WITH RECURSIVE
        |p AS (SELECT a.vec_id AS va, b.vec_id AS vb

@@ -1060,6 +1060,29 @@ object ProfileStreams {
     state.report(spark)
   }
 
+  /** Queries entry (rows-only like `semantic_clusters_ivf` itself;
+    * gated by the stream≡batch parity spec): embeddings staged as
+    * `nFiles` files and IVF-screened one micro-batch at a time
+    * against the accumulated probe index; centroids and the sized
+    * cell count are fixed configuration derived once from the corpus
+    * (the offline-trained-model convention). */
+  def streamSemanticIvf(spark: SparkSession, dir: String, threshold: Double = 0.3,
+                        nProbe: Int = 2, seed: Long = 7L, nFiles: Int = 4): DataFrame = {
+    val work = graft.GraftCaches.trackTempDir("graft_ssiv_")
+    val n = graft.sources.Tables.embeddings(spark, dir).count()
+    val nCells = math.max(8L, n / 512L).toInt
+    val cents = graft.operators.VectorOps.trainIvfCentroids(spark, dir, nCells, seed)
+    graft.sources.Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"))
+      .repartition(nFiles)
+      .write.mode("overwrite").parquet(s"$work/input")
+    val state = new SemanticIvfState(s"$work/state", cents, threshold, nProbe)
+    StreamSources.runForeachBatch(
+      StreamSources.parquetStream(spark, s"$work/input", maxFilesPerTrigger = 1),
+      state.merge)
+    state.report(spark)
+  }
+
   /** Queries entry (oracle: same SQL as `mann_whitney_u`) — order-
     * free additive counts, so the raw events stream needs no staged
     * time ordering. */
@@ -1608,6 +1631,63 @@ final class HybridTombstoneState(stateDir: String, nQueries: Int) {
         .join(tomb.select(col("doc_id").as("vec_id")), Seq("vec_id"), "left_anti"),
       nQueries)
   }
+}
+
+/** Streaming semantic-dedup index — the serve-while-ingesting shape
+  * of [[graft.operators.VectorOps.semanticClustersIvf]]: centroids
+  * are FIXED configuration (a real platform trains them offline and
+  * ships them with the job — the stream_ab_cuped cutoff convention),
+  * each micro-batch delta-appends its probed rows and is IVF-screened
+  * against the accumulated probe index (batch × seen + batch ×
+  * batch, never seen × seen — [[graft.operators.VectorOps
+  * .ivfPairsIncremental]], the corpus-filter incremental discipline
+  * on the IVF index instead of the LSH index); verified pairs
+  * accrue, and the report runs the SAME min-label component election
+  * as the batch path. Under id-disjoint batching the accrued pair
+  * set equals the batch pair set, so drained ≡ batch (the parity
+  * spec's contract). Pairs written LAST as the commit guard. */
+final class SemanticIvfState(stateDir: String, cents: Array[Float],
+                             threshold: Double, nProbe: Int) {
+  @volatile private var version: Long = StreamUtil.latestDelta(s"$stateDir/pairs")
+
+  private def probeDdl = "vec_id BIGINT, embedding ARRAY<FLOAT>, pcell INT"
+
+  def merge(batch: Dataset[Row], batchId: Long): Unit = {
+    if (batchId <= version) return
+    val spark = batch.sparkSession
+    val batchProbe = graft.operators.VectorOps.ivfProbeRows(
+      batch.toDF().select(col("vec_id"), col("embedding")), cents, nProbe)
+    val seen = StreamUtil.readDeltas(spark, s"$stateDir/probe", probeDdl, version)
+    val newPairs = graft.operators.VectorOps.ivfPairsIncremental(
+      batchProbe, seen, threshold)
+    StreamUtil.writeDelta(batchProbe, s"$stateDir/probe", batchId, Seq("vec_id"))
+    StreamUtil.writeDelta(newPairs, s"$stateDir/pairs", batchId, Seq("vec_a"))
+    version = batchId
+  }
+
+  def report(spark: SparkSession): DataFrame = {
+    // memo-registered so GraftCaches.clearAll releases the persisted
+    // label table (the CorpusFilterStream.labelsCache discipline)
+    val labels = SemanticIvfState.labelsCache
+      .getOrElseUpdate((spark, stateDir, version)) {
+        graft.operators.Dedup.propagateMinLabels(spark,
+          StreamUtil.readDeltas(spark, s"$stateDir/pairs",
+            "vec_a BIGINT, vec_b BIGINT", version)
+            .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b")),
+          maxIters = 60, who = "streamSemanticIvf")
+      }
+    StreamUtil.readDeltas(spark, s"$stateDir/probe", probeDdl, version)
+      .select(col("vec_id")).distinct()
+      .join(labels.withColumnRenamed("node", "vec_id"), Seq("vec_id"), "left")
+      .select(col("vec_id"), coalesce(col("lbl"), col("vec_id")).as("cluster_rep"))
+      .withColumn("is_kept", col("cluster_rep") === col("vec_id"))
+      .orderBy(col("vec_id"))
+  }
+}
+
+object SemanticIvfState {
+  private[streaming] val labelsCache =
+    graft.GraftCaches.memo[(SparkSession, String, Long), DataFrame](_.unpersist())
 }
 
 /** Streaming Naive-Bayes training state —

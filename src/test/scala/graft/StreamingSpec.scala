@@ -1349,6 +1349,10 @@ class StreamingSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
     assert(!got.exists(_.getAs[Long]("doc_id") % 7 == 3))
   }
 
+  test("stream_semantic_clusters_ivf equals batch semantic_clusters_ivf (same sized cells)") {
+    assert(rows("stream_semantic_clusters_ivf") == rows("semantic_clusters_ivf"))
+  }
+
   test("stream_dsir_tombstone equals batch dsir_importance over the live corpus") {
     import org.apache.spark.sql.functions.col
     val live = GraftCaches.trackTempDir("graft_dsirtomb_live_")
