@@ -348,7 +348,10 @@ object Bench {
     "wasserstein_doclen" -> 3.924, "stream_wasserstein_doclen" -> 7.869,
     "stream_hybrid_rrf_tombstone" -> 10.885,
     "stream_corpus_filter_tombstone" -> 21.260,
-    "stream_dsir_tombstone" -> 10.395, "semantic_clusters_ivf" -> 8.932)
+    "stream_dsir_tombstone" -> 10.395, "semantic_clusters_ivf" -> 8.932,
+    // third-stint addition: fresh-JVM quiet-box median of
+    // [13.50, 11.75, 12.29], canary 2.03 = 1.15x.
+    "stream_semantic_clusters_ivf" -> 12.292)
 
   /** Run ONE query in a fresh JVM (this JVM's own flags + classpath,
     * stderr discarded) and parse its timing out of the child's JSON
